@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query executes fully via the noop sink (no driver-side collect in
+the timing; execution + shuffles are measured, result transfer is not).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: one per operator family, weighted toward the
+# shuffle/join-heavy queries that dominate at scale
+BENCH_QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13", "tpch_q18",
+    "op_count_distinct", "op_window_rank",
+    "ts_tumbling", "ts_sliding", "ts_session", "ts_asof_join",
+    "text_tokens", "text_fingerprint", "text_quality",
+    "dedup_exact", "dedup_minhash", "sim_topk",
+]
+
+
+def main():
+    from quokka_spark.session import build_spark
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark(app_name="quokka_spark_bench", cpus=CPUS)
+    registry = entry_mod.queries()
+    timings = {}
+
+    # JVM/codegen warmup on a trivial action
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "quokka_spark headline suite runtime (sum of per-query sec, "
+                  "TPC-H + time-series + LLM-data ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

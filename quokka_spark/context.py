@@ -1,0 +1,179 @@
+"""QuokkaContext — session/driver object (reference pyquokka/df.py:13-134).
+
+Wraps a SparkSession. Every ``read_*`` returns a DataStream backed by a
+lazy Spark scan; Catalyst handles split planning, predicate pushdown to
+parquet row groups, and column pruning — the machinery the reference
+implements in dataset/*_readers.py is Spark-native here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .datastream import DataStream
+from .orderedstream import OrderedStream
+from .session import build_spark
+from .sqldialect import duckdb_to_spark_sql
+
+
+def _nanos_timestamp_columns(path: str) -> list:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection;
+    local paths only — remote stores return [] and rely on the writer
+    using µs, the common case)."""
+    try:
+        import pyarrow.dataset as pads
+        import pyarrow as pa
+        schema = pads.dataset(path, format="parquet").schema
+        return [f.name for f in schema
+                if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"]
+    except Exception:
+        return []
+
+
+class LocalCluster:
+    """API-parity placeholder: the reference distinguishes
+    LocalCluster/EC2Cluster (pyquokka/utils.py); under Spark the cluster
+    is wherever the SparkSession's master points."""
+
+    def __init__(self, cpus: int | None = None):
+        self.cpus = cpus
+
+
+class QuokkaContext:
+    def __init__(self, cluster: LocalCluster | None = None,
+                 spark: SparkSession | None = None, **config):
+        if spark is None:
+            cpus = cluster.cpus if cluster else None
+            spark = build_spark(cpus=cpus, extra_conf=config)
+        self.spark = spark
+        try:
+            # read TIMESTAMP(NANOS) parquet columns (Spark has no ns type);
+            # read_parquet converts them back to (truncated-to-µs) timestamps
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            # naive parquet timestamps must round-trip unshifted regardless
+            # of the host timezone (externally-created sessions included)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+    # sources (SURVEY §2.1)
+    # ------------------------------------------------------------------
+    def read_parquet(self, path: str, name_column: str | None = None,
+                     **options) -> DataStream:
+        """Parquet file/dir/prefix (reference df.py:413-562).
+        ``name_column`` adds the originating filename per row."""
+        df = self.spark.read.options(**options).parquet(path)
+        for c in _nanos_timestamp_columns(path):
+            # nanosAsLong read the column as int64 nanos; restore a
+            # timestamp (µs truncation — matches DuckDB/Arrow semantics)
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if name_column:
+            df = df.withColumn(name_column, F.input_file_name())
+        return DataStream(self, df)
+
+    def read_csv(self, path: str, schema: list | None = None,
+                 has_header: bool = False, sep: str = ",", **options) -> DataStream:
+        """CSV file/dir/prefix (reference df.py:264-411). ``schema`` is a
+        name list (reference-style, untyped → types inferred)."""
+        reader = (self.spark.read.option("header", str(has_header).lower())
+                  .option("sep", sep).option("inferSchema", "true")
+                  .options(**options))
+        df = reader.csv(path)
+        if schema is not None and not has_header:
+            assert len(schema) == len(df.columns)
+            df = df.toDF(*schema)
+        return DataStream(self, df)
+
+    def read_json(self, path: str, **options) -> DataStream:
+        """Newline-delimited JSON (reference unordered_readers.py:445-594)."""
+        return DataStream(self, self.spark.read.options(**options).json(path))
+
+    def read_files(self, path: str, **options) -> DataStream:
+        """Whole files as (filename, object) rows (reference df.py:213-253).
+        At scale: binaryFile splits per file; combine with
+        ``spark.sql.files.maxPartitionBytes`` for many-small-files dirs."""
+        df = (self.spark.read.format("binaryFile").options(**options).load(path)
+              .select(F.col("path").alias("filename"),
+                      F.col("content").alias("object")))
+        return DataStream(self, df)
+
+    def read_sorted_parquet(self, path: str, sorted_by: str,
+                            mode: str = "stride", **options) -> OrderedStream:
+        """Sorted source → OrderedStream carrying the sort contract
+        (reference df.py:790-800, ordered_readers.py:28-116). The data is
+        range-repartitioned and sorted within partitions so that every
+        partition holds a contiguous, internally-ordered key range —
+        the Spark equivalent of the reference's channel range assignment."""
+        ds = self.read_parquet(path, **options)
+        return self._sorted_stream(ds.df, sorted_by, mode)
+
+    def read_sorted_csv(self, path: str, sorted_by: str,
+                        schema: list | None = None, has_header: bool = False,
+                        sep: str = ",", mode: str = "stride", **options) -> OrderedStream:
+        ds = self.read_csv(path, schema=schema, has_header=has_header, sep=sep,
+                           **options)
+        return self._sorted_stream(ds.df, sorted_by, mode)
+
+    def _sorted_stream(self, df, sorted_by: str, mode: str) -> OrderedStream:
+        df = df.repartitionByRange(F.col(sorted_by)).sortWithinPartitions(sorted_by)
+        return OrderedStream(self, df, sorted={sorted_by: mode})
+
+    def read_iceberg(self, table: str, snapshot: int | None = None) -> DataStream:
+        """Iceberg table, optional time travel (reference df.py:802-832).
+        Requires the iceberg-spark runtime jar on the classpath."""
+        reader = self.spark.read.format("iceberg")
+        if snapshot is not None:
+            reader = reader.option("snapshot-id", snapshot)
+        return DataStream(self, reader.load(table))
+
+    def read_lance(self, path: str, vec_column: str = "vec"):
+        """Lance vector datasets are not readable without the lance
+        package; parity path is parquet + vector_nn_join (reference
+        df.py:564-652)."""
+        raise NotImplementedError(
+            "lance is not available in this environment; store embeddings as "
+            "parquet array<float> and use DataStream.vector_nn_join")
+
+    def read_rest_get(self, url: str, params_list: list, headers: dict | None = None,
+                      batch_size: int = 100) -> DataStream:
+        """Paginated REST source (reference df.py:655-663,
+        dataset/crypto_dataset.py). Parameter rows are distributed;
+        each partition fetches its own pages (requests not available
+        here → raises at execution unless it is)."""
+        from .sources.rest import rest_get_stream
+        return DataStream(self, rest_get_stream(self.spark, url, params_list,
+                                                headers, batch_size))
+
+    def from_pandas(self, pdf) -> DataStream:
+        return DataStream(self, self.spark.createDataFrame(pdf), materialized=True)
+
+    def from_arrow(self, table) -> DataStream:
+        return DataStream(self, self.spark.createDataFrame(table.to_pandas()),
+                          materialized=True)
+
+    def from_polars(self, pldf) -> DataStream:
+        return DataStream(self, self.spark.createDataFrame(pldf.to_pandas()),
+                          materialized=True)
+
+    def read_dataset(self, dataset: DataStream) -> DataStream:
+        """Re-read a cached DataSet (reference df.py:665-689): computed
+        streams are persisted DataFrames, so this is identity."""
+        assert isinstance(dataset, DataStream)
+        return dataset
+
+    # ------------------------------------------------------------------
+    # SQL entry (SURVEY §2.10)
+    # ------------------------------------------------------------------
+    def sql(self, query: str, tables: dict | None = None) -> DataStream:
+        """SQL over registered DataStreams. Replaces the reference's
+        DuckDB-plan→DataStream code generator (pyquokka/sql.py) with
+        Catalyst; DuckDB dialect accepted via the shim."""
+        for name, ds in (tables or {}).items():
+            ds.df.createOrReplaceTempView(name)
+        return DataStream(self, self.spark.sql(duckdb_to_spark_sql(query)))
+
+    def register(self, name: str, ds: DataStream):
+        ds.df.createOrReplaceTempView(name)

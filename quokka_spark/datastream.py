@@ -1,0 +1,656 @@
+"""DataStream — the engine's lazy relational handle, backed by a Spark DataFrame.
+
+Parity target: reference pyquokka/datastream.py (DataStream,
+GroupedDataStream). Quokka's DataStream is a lazy unordered stream of
+batches over a push-based runtime; here every verb simply builds a
+Spark logical plan and Catalyst/Tungsten handle optimization +
+execution (SURVEY §3.1 mapping). The facade keeps Quokka's ergonomics:
+name-list ``schema``, suffix-based join dedup, dict-based ``agg``,
+``collect/compute/explain`` verbs.
+
+Scale notes are attached per-operator; the general rules:
+- everything stays declarative → predicate pushdown / column pruning /
+  partial aggregation / join reordering are Catalyst-native;
+- broadcast joins happen automatically under AQE when one side is small
+  (and explicitly for materialized streams, mirroring the reference's
+  materialized→broadcast rule, datastream.py:1489-1603);
+- Python only enters via Arrow-vectorized pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .expression import Expression
+from .sqldialect import duckdb_to_spark_sql
+
+
+def _to_column(predicate) -> Column:
+    if isinstance(predicate, Expression):
+        return predicate.column
+    if isinstance(predicate, Column):
+        return predicate
+    if isinstance(predicate, str):
+        return F.expr(duckdb_to_spark_sql(predicate))
+    raise TypeError(f"cannot interpret {type(predicate)} as a predicate")
+
+
+class DataStream:
+    """Lazy relational stream; wraps a Spark DataFrame.
+
+    ``sorted`` carries the OrderedStream sort contract through verbs
+    that preserve it (reference datastream.py:41-43); Spark does not
+    track cross-shuffle ordering so the facade does.
+    """
+
+    def __init__(self, qc, df: DataFrame, sorted: dict | None = None,
+                 materialized: bool = False):
+        self.qc = qc
+        self.df = df
+        self.sorted = sorted or {}
+        self.materialized = materialized
+
+    # ------------------------------------------------------------------
+    # introspection
+    # ------------------------------------------------------------------
+    @property
+    def schema(self) -> list:
+        """Name-list schema, matching the reference's untyped schema
+        (datastream.py:25-26). ``typed_schema`` exposes Spark's types."""
+        return list(self.df.columns)
+
+    @property
+    def typed_schema(self):
+        return self.df.schema
+
+    def __getitem__(self, col: str) -> Expression:
+        assert col in self.schema, f"column {col} not found in {self.schema}"
+        return Expression(F.col(col))
+
+    def __str__(self):
+        return f"DataStream[{', '.join(self.schema)}]"
+
+    __repr__ = __str__
+
+    def _with(self, df: DataFrame, sorted: dict | None = None) -> "DataStream":
+        # preserve OrderedStream-ness through sort-contract-preserving verbs
+        cls = type(self) if sorted else DataStream
+        return cls(self.qc, df, sorted=sorted, materialized=self.materialized)
+
+    # ------------------------------------------------------------------
+    # materialization verbs (reference datastream.py:75-127)
+    # ------------------------------------------------------------------
+    def collect(self):
+        """Execute and return a pandas DataFrame (Arrow-backed transfer).
+
+        The reference returns Polars (datastream.py:75-98); polars is not
+        in this environment so pandas is the local table type.
+        """
+        return self.df.toPandas()
+
+    def compute(self) -> "DataStream":
+        """Materialize and cache cluster-side (reference datastream.py:100-116
+        DataSet); subsequent streams read the cached result."""
+        cached = self.df.persist()
+        cached.count()  # force materialization
+        return DataStream(self.qc, cached, sorted=self.sorted, materialized=True)
+
+    def explain(self, mode: str = "formatted"):
+        return self.df.explain(mode=mode)
+
+    def count(self, collect: bool = True):
+        if collect:
+            return self.df.count()
+        return self._with(self.df.agg(F.count(F.lit(1)).alias("count")))
+
+    # ------------------------------------------------------------------
+    # row-wise ops (SURVEY §2.2)
+    # ------------------------------------------------------------------
+    def filter(self, predicate) -> "DataStream":
+        return self._with(self.df.filter(_to_column(predicate)), sorted=self.sorted)
+
+    def filter_sql(self, predicate: str) -> "DataStream":
+        """SQL WHERE clause, DuckDB dialect accepted (reference
+        datastream.py:322-393); Catalyst normalizes/pushes down."""
+        return self._with(self.df.filter(duckdb_to_spark_sql(predicate)),
+                          sorted=self.sorted)
+
+    def select(self, columns: list) -> "DataStream":
+        assert isinstance(columns, list)
+        return self._with(self.df.select(*columns),
+                          sorted={k: v for k, v in self.sorted.items() if k in columns})
+
+    def drop(self, columns: list) -> "DataStream":
+        for col in columns:
+            assert col not in self.sorted, "cannot drop a sort key (reference datastream.py:545-582)"
+        return self._with(self.df.drop(*columns), sorted=self.sorted)
+
+    def rename(self, rename_dict: dict) -> "DataStream":
+        new_sorted = {rename_dict.get(k, k): v for k, v in self.sorted.items()}
+        return self._with(self.df.withColumnsRenamed(rename_dict), sorted=new_sorted)
+
+    def with_column(self, name: str, f, required_columns=None,
+                    foldable: bool = True) -> "DataStream":
+        """Add one column from an Expression/Column or a batch lambda
+        (reference datastream.py:1209-1310). ``foldable`` is a no-op:
+        Catalyst fuses projections in WholeStageCodegen."""
+        return self.with_columns({name: f}, required_columns=required_columns,
+                                 foldable=foldable)
+
+    def with_columns(self, new_columns: dict, required_columns=None,
+                     foldable: bool = True) -> "DataStream":
+        df = self.df
+        exprs = {}
+        lambdas = {}
+        for name, v in new_columns.items():
+            if isinstance(v, Expression):
+                exprs[name] = v.column
+            elif isinstance(v, Column):
+                exprs[name] = v
+            elif isinstance(v, str):
+                exprs[name] = F.expr(duckdb_to_spark_sql(v))
+            elif callable(v):
+                lambdas[name] = v
+            else:
+                raise TypeError(f"with_columns value for {name}: {type(v)}")
+        if exprs:
+            df = df.withColumns(exprs)
+        if lambdas:
+            # batch lambda: pandas.DataFrame -> pandas.Series, Arrow-vectorized.
+            # Runs all lambdas for a batch in one python worker round-trip.
+            out_cols = list(df.columns) + list(lambdas.keys())
+
+            def add_cols(it):
+                for pdf in it:
+                    for name, fn in lambdas.items():
+                        pdf[name] = fn(pdf)
+                    yield pdf
+
+            sample = df.limit(100).toPandas()
+            for name, fn in lambdas.items():
+                sample[name] = fn(sample)
+            from pyspark.sql.pandas.types import from_arrow_schema
+            import pyarrow as pa
+            schema = from_arrow_schema(pa.Schema.from_pandas(sample[out_cols]))
+            df = df.mapInPandas(add_cols, schema=schema)
+        return self._with(df, sorted=self.sorted)
+
+    def with_columns_sql(self, statement: str) -> "DataStream":
+        """Add columns from SQL select-exprs with aliases (reference
+        datastream.py:1149-1207); per-batch DuckDB there, plain Catalyst
+        projection here."""
+        parts = _split_top_level_commas(duckdb_to_spark_sql(statement))
+        return self._with(self.df.selectExpr("*", *parts), sorted=self.sorted)
+
+    def clip(self, columns: dict) -> "DataStream":
+        """Clamp columns to (min,max) (reference datastream.py:867-903)."""
+        exprs = {}
+        for col, (lo, hi) in columns.items():
+            exprs[col] = F.greatest(F.least(F.col(col), F.lit(hi)), F.lit(lo))
+        return self._with(self.df.withColumns(exprs), sorted=self.sorted)
+
+    def transform(self, f: Callable, new_schema, required_columns: list | set,
+                  foldable: bool = True, by: str | None = None) -> "DataStream":
+        """Arbitrary batch→batch UDF replacing the schema (reference
+        datastream.py:652-739). ``f``: pandas.DataFrame → pandas.DataFrame.
+        Column pruning to ``required_columns`` is explicit, mirroring the
+        reference's pushdown block."""
+        required_columns = list(required_columns)
+        spark_schema = _normalize_schema(new_schema)
+
+        def run(it):
+            for pdf in it:
+                out = f(pdf)
+                if out is not None and len(out):
+                    yield out
+
+        df = self.df.select(*required_columns).mapInPandas(run, schema=spark_schema)
+        return DataStream(self.qc, df)
+
+    def stateful_transform(self, executor, new_schema, required_columns,
+                           by: str | list | None = None) -> "DataStream":
+        """Stateful batchwise operator (reference datastream.py:1312-1367,
+        executors/base_executor.py:26-32: ``execute(batches..)``+``done()``).
+
+        Keyed state (``by``) maps to ``groupBy(by).applyInPandas``: each
+        key group arrives as ONE pandas DataFrame; we run the executor's
+        execute() then done() on it — same contract, Spark-shuffled.
+        Unkeyed state maps to per-partition mapInPandas (partition-local
+        state, like one Quokka channel)."""
+        import pandas as pd
+        required_columns = list(required_columns)
+        spark_schema = _normalize_schema(new_schema)
+        by = [by] if isinstance(by, str) else by
+
+        if by:
+            sel = list(dict.fromkeys(required_columns + by))
+
+            def run_group(pdf):
+                ex = executor() if isinstance(executor, type) else _clone_executor(executor)
+                outs = []
+                r = ex.execute([pdf], 0, 0)
+                if r is not None:
+                    outs.append(_as_pandas(r))
+                r = ex.done(0)
+                if r is not None:
+                    outs.append(_as_pandas(r))
+                if not outs:
+                    return pd.DataFrame(columns=[f.name for f in spark_schema.fields])
+                return pd.concat(outs, ignore_index=True)
+
+            df = (self.df.select(*sel).repartition(*[F.col(b) for b in by])
+                  .groupBy(*by).applyInPandas(run_group, schema=spark_schema))
+        else:
+            def run_partition(it):
+                ex = executor() if isinstance(executor, type) else _clone_executor(executor)
+                for i, pdf in enumerate(it):
+                    r = ex.execute([pdf], 0, 0)
+                    if r is not None:
+                        yield _as_pandas(r)
+                r = ex.done(0)
+                if r is not None:
+                    yield _as_pandas(r)
+
+            df = self.df.select(*required_columns).mapInPandas(
+                run_partition, schema=spark_schema)
+        return DataStream(self.qc, df)
+
+    # ------------------------------------------------------------------
+    # set ops (SURVEY §2.6)
+    # ------------------------------------------------------------------
+    def union(self, other: "DataStream") -> "DataStream":
+        assert self.schema == other.schema, "union requires identical schemas"
+        return DataStream(self.qc, self.df.unionByName(other.df))
+
+    def intersect(self, other: "DataStream") -> "DataStream":
+        return DataStream(self.qc, self.df.intersect(other.df))
+
+    def except_(self, other: "DataStream") -> "DataStream":
+        return DataStream(self.qc, self.df.exceptAll(other.df))
+
+    def distinct(self, keys: list | None = None) -> "DataStream":
+        """Dedup on key columns (reference datastream.py:1369-1418 keeps
+        only the key columns in the output — preserved here)."""
+        if keys is None:
+            return DataStream(self.qc, self.df.distinct())
+        assert isinstance(keys, list)
+        return DataStream(self.qc, self.df.select(*keys).distinct())
+
+    def drop_duplicates(self, keys: list | None = None) -> "DataStream":
+        """Parity-plus: dedup keeping whole rows (exact dedup for data
+        pipelines); one shuffle on the key columns."""
+        return DataStream(self.qc, self.df.dropDuplicates(keys))
+
+    # ------------------------------------------------------------------
+    # joins (SURVEY §2.3)
+    # ------------------------------------------------------------------
+    def join(self, right: "DataStream", on=None, left_on=None, right_on=None,
+             suffix: str = "_2", how: str = "inner",
+             maintain_sort_order=None) -> "DataStream":
+        """Equi-join; API parity with reference datastream.py:1420-1603.
+
+        how ∈ {inner,left,semi,anti} (+right/outer/cross beyond parity).
+        Physical strategy is Catalyst's: broadcast if a side is small
+        (AQE), else sort-merge/shuffled-hash — the same decision the
+        reference makes from its cardinality catalog, done at runtime
+        with real statistics instead.
+        """
+        spark_how = {"inner": "inner", "left": "left", "semi": "left_semi",
+                     "anti": "left_anti", "right": "right", "outer": "full",
+                     "cross": "cross"}[how]
+        if on is None:
+            assert left_on is not None and right_on is not None
+            assert left_on in self.schema, f"{left_on} not in left schema"
+            assert right_on in right.schema, f"{right_on} not in right schema"
+        else:
+            assert on in self.schema and on in right.schema
+            left_on = right_on = on
+
+        rdf = right.df
+        if how in ("semi", "anti"):
+            rdf = rdf.select(right_on)  # reference projects right to key only
+        else:
+            # suffix-rename right-side collisions (right_on keeps its name
+            # unless it collides and differs from left_on)
+            rename = {}
+            for col in rdf.columns:
+                if col == right_on and on is not None:
+                    continue
+                if col in self.schema:
+                    assert col + suffix not in self.schema, \
+                        ("suffix insufficient for unique columns", col + suffix)
+                    rename[col] = col + suffix
+            if rename:
+                rdf = rdf.withColumnsRenamed(rename)
+                if right_on in rename:
+                    right_on = rename[right_on]
+
+        if right.materialized:
+            rdf = F.broadcast(rdf)
+
+        if on is not None:
+            joined = self.df.join(rdf, on=on, how=spark_how)
+        else:
+            joined = self.df.join(rdf, on=self.df[left_on] == rdf[right_on],
+                                  how=spark_how)
+            if how not in ("semi", "anti") and right_on != left_on:
+                # reference drops the right join key when names equal; when
+                # they differ both are retained (datastream.py join docs)
+                pass
+        return DataStream(self.qc, joined)
+
+    def cogroup(self, right: "DataStream", executor, on: str,
+                new_schema) -> "DataStream":
+        """Co-partition two streams on a key and feed both groups to a
+        custom executor (reference datastream.py:2073-2111)."""
+        import pandas as pd
+        spark_schema = _normalize_schema(new_schema)
+
+        def run(key, left_pdf, right_pdf):
+            ex = executor() if isinstance(executor, type) else _clone_executor(executor)
+            outs = []
+            r = ex.execute([left_pdf, right_pdf], 0, 0)
+            if r is not None:
+                outs.append(_as_pandas(r))
+            r = ex.done(0)
+            if r is not None:
+                outs.append(_as_pandas(r))
+            if not outs:
+                return pd.DataFrame(columns=[f.name for f in spark_schema.fields])
+            return pd.concat(outs, ignore_index=True)
+
+        df = (self.df.groupBy(on).cogroup(right.df.groupBy(on))
+              .applyInPandas(run, schema=spark_schema))
+        return DataStream(self.qc, df)
+
+    # ------------------------------------------------------------------
+    # grouping / aggregation (SURVEY §2.4)
+    # ------------------------------------------------------------------
+    def groupby(self, groupby, orderby=None) -> "GroupedDataStream":
+        if isinstance(groupby, str):
+            groupby = [groupby]
+        return GroupedDataStream(self, groupby, orderby)
+
+    def agg(self, aggregations: dict) -> "DataStream":
+        return self.groupby([]).agg(aggregations)
+
+    aggregate = agg
+
+    def agg_sql(self, aggregations: str) -> "DataStream":
+        return self.groupby([]).agg_sql(aggregations)
+
+    def count_distinct(self, col: str):
+        return DataStream(
+            self.qc,
+            self.df.agg(F.countDistinct(col).alias(f"{col}_count_distinct")))
+
+    def approx_count_distinct(self, col: str, rsd: float = 0.05):
+        """Parity-plus: HyperLogLog sketch — the scalable path at 100 TB."""
+        return DataStream(
+            self.qc,
+            self.df.agg(F.approx_count_distinct(col, rsd).alias(
+                f"{col}_approx_count_distinct")))
+
+    def sum(self, columns):
+        cols = [columns] if isinstance(columns, str) else columns
+        return self._with(self.df.agg(*[F.sum(c).alias(f"{c}_sum") for c in cols]))
+
+    def max(self, columns):
+        cols = [columns] if isinstance(columns, str) else columns
+        return self._with(self.df.agg(*[F.max(c).alias(f"{c}_max") for c in cols]))
+
+    def min(self, columns):
+        cols = [columns] if isinstance(columns, str) else columns
+        return self._with(self.df.agg(*[F.min(c).alias(f"{c}_min") for c in cols]))
+
+    def mean(self, columns):
+        cols = [columns] if isinstance(columns, str) else columns
+        return self._with(self.df.agg(*[F.avg(c).alias(f"{c}_mean") for c in cols]))
+
+    def approximate_quantile(self, columns, quantiles, relative_error: float = 1e-4):
+        """Mergeable-sketch quantiles (Greenwald-Khanna). The reference
+        uses per-channel t-digests then averages the per-channel
+        quantiles — a documented approximation (datastream.py:926-930);
+        Spark's sketch merges correctly, strictly better.
+
+        Wide inputs (the 10k-column case from blog/approxquant.md) are
+        handled by batching columns through approxQuantile, which runs
+        one pass per call over column groups."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        probs = [quantiles] if isinstance(quantiles, (int, float)) else list(quantiles)
+        out = {}
+        batch = 256
+        for i in range(0, len(cols), batch):
+            group = cols[i:i + batch]
+            res = self.df.stat.approxQuantile(group, probs, relative_error)
+            out.update(dict(zip(group, res)))
+        return out
+
+    def approximate_median(self, columns, relative_error: float = 1e-4):
+        res = self.approximate_quantile(columns, [0.5], relative_error)
+        return {k: v[0] for k, v in res.items()}
+
+    def gramian(self, columns: list, demean: bool = False):
+        """X^T·X over selected columns (reference datastream.py:1033-1098).
+
+        Arrow-batched partial products per partition (k×k each), summed
+        via a single-row global reduce — the executor-side work is NumPy
+        matmul on columnar batches; only k² floats cross the shuffle.
+        Returns a k×k numpy array."""
+        from .operators.linalg import gramian as _gram
+        return _gram(self.df, columns, demean=demean)
+
+    def covariance(self, columns: list):
+        """Sample covariance matrix (reference datastream.py:1100-1147)."""
+        from .operators.linalg import covariance as _cov
+        return _cov(self.df, columns)
+
+    # ------------------------------------------------------------------
+    # sort / top-k (SURVEY §2.5)
+    # ------------------------------------------------------------------
+    def top_k(self, columns, k: int, descending=None) -> "DataStream":
+        """ORDER BY ... LIMIT k. Catalyst plans TakeOrderedAndProject —
+        per-partition top-k then a single merge, the same two-phase
+        algorithm as the reference (datastream.py:1702-1767)."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        if descending is None:
+            descending = [False] * len(cols)
+        if isinstance(descending, bool):
+            descending = [descending] * len(cols)
+        order = [F.col(c).desc() if d else F.col(c).asc()
+                 for c, d in zip(cols, descending)]
+        return DataStream(self.qc, self.df.orderBy(*order).limit(k))
+
+    def sort(self, columns, descending=False) -> "DataStream":
+        """Global sort → range-partitioned external sort (Spark native);
+        result carries the sort contract like read_sorted_* does."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        if isinstance(descending, bool):
+            descending = [descending] * len(cols)
+        order = [F.col(c).desc() if d else F.col(c).asc()
+                 for c, d in zip(cols, descending)]
+        df = self.df.orderBy(*order)
+        return DataStream(self.qc, df, sorted={c: "range" for c in cols})
+
+    def limit(self, n: int) -> "DataStream":
+        return DataStream(self.qc, self.df.limit(n))
+
+    # ------------------------------------------------------------------
+    # vector ops (SURVEY §2.3 vector_nn_join)
+    # ------------------------------------------------------------------
+    def vector_nn_join(self, probe_df, vec_column: str, k: int = 1,
+                       probe_side: str = "left") -> "DataStream":
+        """k-NN join of a small probe table against this vector stream
+        (reference datastream.py:396-476). Broadcast probe matrix +
+        Arrow-batched NumPy dot + global top-k — see operators/similarity."""
+        from .functions.similarity import nn_join
+        return DataStream(self.qc, nn_join(self.df, probe_df, vec_column, k,
+                                           probe_side=probe_side))
+
+    # ------------------------------------------------------------------
+    # sinks (SURVEY §2.1)
+    # ------------------------------------------------------------------
+    def write_csv(self, path: str, output_line_limit: int = 1_000_000,
+                  **options) -> "DataStream":
+        (self.df.write.mode("overwrite")
+         .option("header", "true")
+         .option("maxRecordsPerFile", output_line_limit)
+         .csv(path, **options))
+        return self._filename_stream(path)
+
+    def write_parquet(self, path: str, output_line_limit: int = 5_000_000,
+                      partition_by: list | None = None, **options) -> "DataStream":
+        w = (self.df.write.mode("overwrite")
+             .option("maxRecordsPerFile", output_line_limit))
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path, **options)
+        return self._filename_stream(path)
+
+    def _filename_stream(self, path: str) -> "DataStream":
+        """The reference's sinks return a stream of written filenames
+        (datastream.py:129-203)."""
+        files = (self.qc.spark.read.format("binaryFile").load(path)
+                 .select(F.col("path").alias("filename")))
+        return DataStream(self.qc, files)
+
+
+class GroupedDataStream:
+    """Result of groupby(); reference datastream.py:2066-2186."""
+
+    def __init__(self, stream: DataStream, groupby: list, orderby=None):
+        self.stream = stream
+        self.groupby = groupby
+        self.orderby = orderby
+
+    def _finish(self, df: DataFrame) -> DataStream:
+        if self.orderby:
+            order = []
+            for o in self.orderby:
+                if isinstance(o, tuple):
+                    col, d = o
+                    order.append(F.col(col).desc() if d == "desc" else F.col(col).asc())
+                else:
+                    order.append(F.col(o).asc())
+            df = df.orderBy(*order)
+        return DataStream(self.stream.qc, df)
+
+    def agg(self, aggregations: dict) -> DataStream:
+        """Dict aggregation; output naming matches the reference
+        (_grouped_aggregate, datastream.py:1858-1884): ``col_sum``,
+        ``col_mean``...; ``{"*":"count"}`` → ``count``."""
+        aggs = []
+        for col, spec in aggregations.items():
+            specs = [spec] if isinstance(spec, str) else spec
+            for a in specs:
+                if col == "*":
+                    assert a == "count"
+                    aggs.append(F.count(F.lit(1)).alias("count"))
+                elif a == "min":
+                    aggs.append(F.min(col).alias(f"{col}_min"))
+                elif a == "max":
+                    aggs.append(F.max(col).alias(f"{col}_max"))
+                elif a == "mean":
+                    aggs.append(F.avg(col).alias(f"{col}_mean"))
+                elif a == "avg":
+                    aggs.append(F.avg(col).alias(f"{col}_avg"))
+                elif a == "sum":
+                    aggs.append(F.sum(col).alias(f"{col}_sum"))
+                else:
+                    raise ValueError(f"unrecognized aggregation {a}")
+        df = self.stream.df.groupBy(*self.groupby).agg(*aggs)
+        return self._finish(df)
+
+    aggregate = agg
+
+    def agg_sql(self, aggregations: str) -> DataStream:
+        """Arbitrary SQL aggregate expressions (reference
+        datastream.py:1934-1960). Catalyst splits each into partial +
+        final automatically (map-side combine) — the decomposition the
+        reference implements by hand in sql_utils.py:299-413."""
+        parts = _split_top_level_commas(duckdb_to_spark_sql(aggregations))
+        exprs = [F.expr(p) for p in parts]
+        df = self.stream.df.groupBy(*self.groupby).agg(*exprs)
+        return self._finish(df)
+
+    def count_distinct(self, col: str) -> DataStream:
+        df = (self.stream.df.groupBy(*self.groupby)
+              .agg(F.countDistinct(col).alias(f"{col}_count_distinct")))
+        return self._finish(df)
+
+    def cogroup(self, right: "GroupedDataStream", executor, new_schema) -> DataStream:
+        assert self.groupby == right.groupby
+        return self.stream.cogroup(right.stream, executor, self.groupby[0],
+                                   new_schema)
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+def _split_top_level_commas(s: str) -> list:
+    """Split 'a as x, sum(b) as y' on commas not inside parens/quotes."""
+    parts, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in ("'", '"'):
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _normalize_schema(schema):
+    """Accept StructType, DDL string, or name-list (reference style —
+    types unknown, default everything to string is wrong; we require
+    types unless given a pyarrow schema)."""
+    from pyspark.sql.types import StructType
+    if isinstance(schema, StructType):
+        return schema
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+        return _parse_datatype_string(schema)
+    import pyarrow as pa
+    if isinstance(schema, pa.Schema):
+        from pyspark.sql.pandas.types import from_arrow_schema
+        return from_arrow_schema(schema)
+    raise TypeError(
+        "new_schema must be a StructType, DDL string like 'a long, b string', "
+        "or pyarrow.Schema — a bare name list has no type information")
+
+
+def _as_pandas(obj):
+    import pandas as pd
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    import pyarrow as pa
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    raise TypeError(f"executor returned {type(obj)}")
+
+
+def _clone_executor(executor):
+    """Fresh executor instance per group/partition: deep-copy the
+    template the user passed (the reference instantiates one executor
+    per channel the same way)."""
+    import copy
+    return copy.deepcopy(executor)

@@ -1,0 +1,252 @@
+"""Deduplication operators for LLM training-data pipelines
+(BASELINE.json north star; extension beyond the reference surface).
+
+Five tiers, all shuffle-architected for 100 TB:
+
+- exact:        hash-groupBy on a fingerprint — one shuffle of (hash,id).
+- ngram-jaccard: exact near-dup ground truth via shingle inverted
+                 index (explode→self-join on shingle→count). The join
+                 key is the shingle hash, never the document text.
+- minhash-LSH:  scalable near-dup — signatures via mapInArrow NumPy,
+                 banded; candidate pairs only within equal (band,
+                 band-hash) buckets. Shuffle volume O(docs × bands).
+- simhash:      64-bit signature; near-dup = small hamming distance,
+                 bucketed by signature chunks.
+- embedding:    cosine near-dup over an embedding column (see
+                 functions/similarity.py for the LSH variant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalize_text_sql, word_ngrams
+
+# large Mersenne prime for minhash permutations
+_MERSENNE = (1 << 61) - 1
+
+
+def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
+                   out: str = "__sh__") -> DataFrame:
+    """(id, distinct word-n-gram array). Stages the split-words array in
+    a column first — inlining it into the transform() lambda would
+    re-evaluate regexp+split per sequence element (O(words²) regex)."""
+    from .text import normalize_text_sql
+    words = F.split(F.expr(normalize_text_sql(text_col)), " ")
+    staged = df.select(F.col(id_col), words.alias("__w__"))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(__w__) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(__w__, i, {n})))")
+    return staged.select(id_col, F.array_distinct(sh).alias(out))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group
+    (duplicates = identical normalized text). One shuffle on the md5
+    fingerprint; at 100 TB the shuffle rows are (32B hash, 8B id)."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("__fp__"))
+    keep = fp.groupBy("__fp__").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id1 < id2, jaccard ≥ τ).
+
+    Inverted-index plan: explode distinct shingles → self-join on
+    shingle → per-pair intersection count → |A∪B| via per-doc counts.
+    Only docs sharing ≥1 shingle ever pair up. Very common shingles
+    fan out quadratically — at scale, drop shingles with document
+    frequency above a cap (standard optimization, not applied at test
+    scale to keep the oracle exact)."""
+    shingled = _with_shingles(df, text_col, id_col, n)
+    sizes = shingled.select(id_col, F.size("__sh__").alias("__n__"))
+    inv = shingled.select(id_col, F.explode("__sh__").alias("__s__"))
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (a.join(b, (F.col("a.__s__") == F.col("b.__s__")) &
+                     (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("id1"),
+                       F.col(f"b.{id_col}").alias("id2"))
+              .agg(F.count(F.lit(1)).alias("__shared__")))
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("__n__").alias("__n1__"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("__n__").alias("__n2__"))
+    out = (shared.join(s1, "id1").join(s2, "id2")
+           .withColumn("jaccard",
+                       F.round(F.col("__shared__") /
+                               (F.col("__n1__") + F.col("__n2__") - F.col("__shared__")), 6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id1", "id2", "jaccard"))
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64, seed: int = 42) -> DataFrame:
+    """MinHash signatures via vectorized NumPy over Arrow batches.
+
+    Shingle base hash: xxhash64 (JVM-side); permutations h_i(x) =
+    (a_i·x + b_i) mod p computed in one (num_hashes × shingles) NumPy
+    broadcast per doc batch."""
+    rng = np.random.default_rng(seed)
+    # odd multipliers, wraparound mod 2^64: vectorized uint64 permutation
+    # family (a*x+b); min is taken over full 64-bit values so the weak
+    # low bits of multiplicative hashing don't matter
+    a = (rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    shingled = _with_shingles(df, text_col, id_col, n).select(
+        id_col, F.transform("__sh__", lambda s: F.xxhash64(s)).alias("__h__"))
+
+    def sign(it):
+        import pyarrow as pa
+        with np.errstate(over="ignore"):
+            for batch in it:
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                hlists = batch.column("__h__").to_pylist()
+                sigs = np.empty((len(hlists), num_hashes), dtype=np.uint64)
+                for i, hs in enumerate(hlists):
+                    if not hs:
+                        sigs[i] = 0
+                        continue
+                    x = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                    # (num_hashes, shingles) permuted hashes, min per row
+                    sigs[i] = (a[:, None] * x[None, :] + b[:, None]).min(axis=1)
+                yield pa.RecordBatch.from_pydict({
+                    id_col: pa.array(ids.tolist(), pa.int64()),
+                    "signature": pa.array(sigs.view(np.int64).tolist(),
+                                          pa.list_(pa.int64())),
+                })
+
+    return shingled.mapInArrow(sign, schema=f"{id_col} long, signature array<long>")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 64, bands: int = 16,
+                      seed: int = 42) -> DataFrame:
+    """Candidate near-dup pairs via banded minhash-LSH.
+
+    rows-per-band r = num_hashes/bands; P(candidate) ≈ 1-(1-j^r)^bands.
+    Shuffle key = (band index, hash of band slice): docs only meet
+    within a bucket — the 100 TB-safe plan."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda i: F.slice("signature", i * r + 1, r))
+        ).alias("band", "band_sig"))
+    bucketed = banded.withColumn("bucket", F.xxhash64(F.col("band"),
+                                                      F.col("band_sig").cast("string")))
+    x, y = bucketed.alias("x"), bucketed.alias("y")
+    pairs = (x.join(y, (F.col("x.bucket") == F.col("y.bucket")) &
+                    (F.col("x.band") == F.col("y.band")) &
+                    (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+             .select(F.col(f"x.{id_col}").alias("id1"),
+                     F.col(f"y.{id_col}").alias("id2"))
+             .distinct())
+    return pairs
+
+
+def verify_candidates_jaccard(df: DataFrame, candidates: DataFrame,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              n: int = 3, threshold: float = 0.6) -> DataFrame:
+    """Exact Jaccard on CANDIDATE pairs only (vs the all-pairs inverted
+    index of ngram_jaccard_pairs): join each side's shingle set onto the
+    pair and intersect JVM-side. Work is O(|candidates|), the shape that
+    survives 100 TB — the full index join is the oracle, this is the
+    production path."""
+    sh = _with_shingles(df, text_col, id_col, n)
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("__sh__").alias("__sh1__"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("__sh__").alias("__sh2__"))
+    inter = F.size(F.array_intersect("__sh1__", "__sh2__"))
+    union = F.size("__sh1__") + F.size("__sh2__") - inter
+    return (candidates.join(s1, "id1").join(s2, "id2")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard"))
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, num_hashes: int = 64, bands: int = 16,
+                  threshold: float = 0.6, seed: int = 42) -> DataFrame:
+    """Full near-dup dedup: LSH candidates → candidate-only exact
+    Jaccard verify → drop the higher id of each dup pair."""
+    cand = minhash_lsh_pairs(df, text_col, id_col, n, num_hashes, bands, seed)
+    dup = verify_candidates_jaccard(df, cand, text_col, id_col, n, threshold)
+    drop = dup.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """64-bit SimHash from shingle xxhash64s — JVM-only formulation:
+    per bit, sum(sign bit) vs half the shingle count."""
+    shingled = _with_shingles(df, text_col, id_col, n).select(
+        id_col, F.transform("__sh__", lambda s: F.xxhash64(s)).alias("__h__"))
+    # bit k of simhash = 1 if (# hashes with bit k set) > len/2
+    bit_terms = []
+    for k in range(64):
+        cnt = F.size(F.filter("__h__",
+                              lambda h: h.bitwiseAND(F.lit(1 << k if k < 63 else -(1 << 63))) != 0))
+        bit_terms.append(F.when(cnt * 2 > F.size("__h__"),
+                                F.lit(1 << k if k < 63 else -(1 << 63))).otherwise(F.lit(0)))
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig.bitwiseOR(t)
+    return shingled.select(id_col, sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ k, bucketed by
+    16-bit chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal)."""
+    sigs = simhash_signatures(df, text_col, id_col, n)
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)])).alias("chunk_idx", "chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk")) &
+                   (F.col("a.chunk_idx") == F.col("b.chunk_idx")) &
+                   (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id1"),
+                    F.col(f"b.{id_col}").alias("id2"),
+                    F.col("a.simhash").alias("s1"),
+                    F.col("b.simhash").alias("s2"))
+            .distinct())
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))
+
+
+def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, JVM-side arithmetic).
+
+    Exact all-pairs is O(n²) — correct as the sf0.01 oracle; at scale
+    use similarity.lsh_bucket_topk-style bucketing instead."""
+    v = df.select(F.col(id_col),
+                  F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    norm = v.withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)))
+    a, b = norm.alias("a"), norm.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .withColumn("cosine_sim",
+                        F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id1"),
+                    F.col(f"b.{id_col}").alias("id2"),
+                    "cosine_sim"))

@@ -1,0 +1,155 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Extension target (BASELINE.json north star). Media payloads are opaque
+``binary`` columns with typed metadata structs; all real decode work
+happens in Arrow-batched pandas UDFs over ``mapInPandas``. The decode
+kernels themselves are STUBBED (image/audio libs are not in this
+container): ``deterministic=True`` produces a seeded fake so the
+Spark-side plumbing — schema, batching, partitioning — is fully
+testable; ``deterministic=False`` raises NotImplementedError where a
+real libjpeg/ffmpeg call would go.
+
+At 100 TB: media rows are large and skewed → repartition by size
+buckets before the UDF stage (``repartition_by_payload_size``), keep
+``spark.sql.files.maxPartitionBytes`` low for binaryFile scans, and
+never collect payloads driver-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("format", StringType()),
+])
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("channels", IntegerType()),
+    StructField("format", StringType()),
+])
+
+
+def _fake_pixels(payload: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Deterministic fake decode: seed from payload digest."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def decode_image(df: DataFrame, payload_col: str = "object",
+                 id_col: str = "filename", height: int = 32, width: int = 32,
+                 deterministic_stub: bool = True) -> DataFrame:
+    """binary payload → fixed-size float feature vector (flattened,
+    resized 'decode'). Real implementation would call PIL/libjpeg here."""
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("pixels", ArrayType(FloatType())),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            if not deterministic_stub:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv (not in container)")
+            pixels = [
+                _fake_pixels(b, height, width, 3).mean(axis=2).ravel()
+                .astype(np.float32).tolist()
+                for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "pixels": pixels,
+                "width": width, "height": height,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def extract_image_features(df: DataFrame, payload_col: str = "object",
+                           id_col: str = "filename", dim: int = 64,
+                           deterministic_stub: bool = True) -> DataFrame:
+    """binary payload → embedding array<float> (a real pipeline would
+    run a vision encoder via a Pandas UDF with model cached per worker)."""
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+
+    def run(it):
+        for pdf in it:
+            if not deterministic_stub:
+                raise NotImplementedError("vision encoder not in container")
+            embs = []
+            for b in pdf[payload_col]:
+                seed = int.from_bytes(hashlib.md5(b).digest()[:8], "little")
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim)
+                embs.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, payload_col: str = "object",
+                  id_col: str = "filename", every_n: int = 30,
+                  max_frames: int = 8, deterministic_stub: bool = True) -> DataFrame:
+    """video binary → exploded (id, frame_idx, frame_bytes) rows.
+    Real implementation: ffmpeg keyframe sampling per partition."""
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            if not deterministic_stub:
+                raise NotImplementedError("ffmpeg not in container")
+            ids, idxs, frames = [], [], []
+            for fid, b in zip(pdf[id_col], pdf[payload_col]):
+                n = min(max_frames, max(1, len(b) // max(every_n, 1) % (max_frames + 1)))
+                for i in range(n):
+                    ids.append(fid)
+                    idxs.append(i * every_n)
+                    frames.append(hashlib.md5(b + i.to_bytes(4, "little")).digest())
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def payload_metadata(df: DataFrame, payload_col: str = "object") -> DataFrame:
+    """Cheap JVM-side metadata: size + magic-byte sniffing (no UDF)."""
+    magic = F.hex(F.substring(payload_col, 1, 4))
+    fmt = (F.when(magic.startswith("FFD8"), "jpeg")
+           .when(magic.startswith("8950"), "png")
+           .when(magic.startswith("4749"), "gif")
+           .when(magic.startswith("5249"), "riff")
+           .otherwise("unknown"))
+    return df.withColumns({
+        "payload_size": F.length(payload_col),
+        "payload_format": fmt,
+        "payload_md5": F.md5(payload_col),
+    })
+
+
+def repartition_by_payload_size(df: DataFrame, payload_col: str = "object",
+                                target_bytes: int = 128 << 20) -> DataFrame:
+    """Bin-pack skewed media rows into ~target_bytes partitions by
+    cumulative size bucketing (salted hash on size class)."""
+    sized = df.withColumn("__sz__", F.length(payload_col))
+    return (sized.withColumn("__bucket__",
+                             (F.xxhash64(F.monotonically_increasing_id())))
+            .repartition(F.col("__bucket__")).drop("__sz__", "__bucket__"))

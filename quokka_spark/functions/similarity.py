@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Parity target: reference vector_nn_join (datastream.py:396-476,
+executors/vector_executors.py:3-115) — k-NN of a small probe table
+against a big vector stream, two-stage: per-channel top-k then global
+reduce. Extension target (BASELINE.json north star): ANN at scale.
+
+Spark formulation:
+- ``nn_join`` / ``brute_force_topk``: probe matrix broadcast to every
+  task; per-Arrow-batch NumPy matmul emits each probe's LOCAL top-k;
+  a window over probe_id reduces to the GLOBAL top-k. Shuffle volume
+  is O(num_probes × k × partitions), never the vector stream.
+- ``lsh_bucket_topk``: the 100 TB path — random-hyperplane signatures
+  bucket both sides; candidates only form within a bucket, so the
+  cross product never materializes. Recall < 1 by construction;
+  multiple hash tables raise it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _collect_probes(probe, vec_column: str, id_column: str):
+    if isinstance(probe, DataFrame):
+        pdf = probe.select(id_column, vec_column).toPandas()
+    else:
+        pdf = probe[[id_column, vec_column]]
+    ids = pdf[id_column].to_numpy()
+    mat = np.stack(pdf[vec_column].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def brute_force_topk(df: DataFrame, probe, vec_column: str, k: int,
+                     id_column: str = "vec_id",
+                     probe_id_column: str = "probe_id") -> DataFrame:
+    """Exact cosine top-k per probe. Deterministic tie-break on id."""
+    ids, pmat = _collect_probes(probe, vec_column,
+                                probe_id_column if probe_id_column in
+                                getattr(probe, "columns", []) else id_column)
+    pnorm = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b_probes = sc.broadcast((ids, pnorm))
+    kk = k
+
+    def local_topk(it):
+        import pyarrow as pa
+        p_ids, p = b_probes.value
+        for batch in it:
+            vid = batch.column(id_column).to_numpy(zero_copy_only=False)
+            x = np.stack(batch.column(vec_column).to_pylist()).astype(np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = x @ p.T  # (batch, probes)
+            take = min(kk, sims.shape[0])
+            # per-probe local top-k rows
+            idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, probes)
+            out_pid, out_vid, out_sim = [], [], []
+            for j in range(sims.shape[1]):
+                rows = idx[:, j]
+                out_pid.extend([p_ids[j]] * len(rows))
+                out_vid.extend(vid[rows].tolist())
+                out_sim.extend(sims[rows, j].tolist())
+            yield pa.RecordBatch.from_pydict({
+                probe_id_column: pa.array(out_pid),
+                id_column: pa.array(out_vid),
+                "cosine_sim": pa.array(out_sim, pa.float64()),
+            })
+
+    local = df.mapInArrow(
+        local_topk,
+        schema=f"{probe_id_column} long, {id_column} long, cosine_sim double")
+    w = Window.partitionBy(probe_id_column).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_column).asc())
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def nn_join(df: DataFrame, probe, vec_column: str, k: int,
+            probe_side: str = "left", id_column: str = "vec_id") -> DataFrame:
+    """Reference-parity verb: joins probe rows to their k nearest stream
+    rows (cosine). Returns stream id + probe id + similarity + rank."""
+    return brute_force_topk(df, probe, vec_column, k, id_column=id_column)
+
+
+def lsh_bucket_topk(df: DataFrame, probe, vec_column: str, k: int,
+                    id_column: str = "vec_id", n_planes: int = 16,
+                    n_tables: int = 4, seed: int = 42) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing.
+
+    Each vector gets ``n_tables`` signatures (one per hash table); a
+    candidate pair must share a bucket in ≥1 table. Per-bucket
+    brute-force then global top-k. At 100 TB the stream is shuffled by
+    (table, signature) — bounded buckets, no cross product."""
+    probe_ids, pmat = _collect_probes(probe, vec_column, id_column)
+    dim = pmat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    pnorm = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+    # probe signatures per table
+    psig = (np.einsum("tpd,nd->tnp", planes, pnorm) > 0)
+    pow2 = 1 << np.arange(n_planes)
+    psig_int = (psig * pow2).sum(axis=2)  # (tables, probes)
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((probe_ids, pnorm, planes, psig_int))
+
+    def bucketize(it):
+        import pyarrow as pa
+        p_ids, p, pl, ps = b.value
+        for batch in it:
+            vid = batch.column(id_column).to_numpy(zero_copy_only=False)
+            x = np.stack(batch.column(vec_column).to_pylist()).astype(np.float64)
+            xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sig = (np.einsum("tpd,nd->tnp", pl, xn) > 0)
+            sig_int = (sig * pow2).sum(axis=2)  # (tables, n)
+            out_pid, out_vid, out_sim = [], [], []
+            for t in range(sig_int.shape[0]):
+                # rows whose table-t bucket matches any probe's bucket
+                match = sig_int[t][:, None] == ps[t][None, :]  # (n, probes)
+                rows, cols = np.nonzero(match)
+                if len(rows):
+                    sims = np.einsum("ij,ij->i", xn[rows], p[cols])
+                    out_pid.extend(p_ids[cols].tolist())
+                    out_vid.extend(vid[rows].tolist())
+                    out_sim.extend(sims.tolist())
+            yield pa.RecordBatch.from_pydict({
+                "probe_id": pa.array(out_pid, pa.int64()),
+                id_column: pa.array(out_vid, pa.int64()),
+                "cosine_sim": pa.array(out_sim, pa.float64()),
+            })
+
+    cand = df.mapInArrow(
+        bucketize, schema=f"probe_id long, {id_column} long, cosine_sim double")
+    cand = cand.dropDuplicates(["probe_id", id_column])
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_column).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

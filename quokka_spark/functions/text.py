@@ -1,0 +1,130 @@
+"""Text-analysis operators for LLM training-data pipelines
+(BASELINE.json north star; extension beyond the reference surface).
+
+Everything here is built from JVM-side built-in functions (no Python in
+the hot path), so each op is a narrow map over the scan: at 100 TB they
+pipeline with the parquet read, no shuffle at all. Each has an exact
+ANSI-SQL equivalent used as the DuckDB oracle in __spark_entry__.py.
+
+Functions that feed Spark higher-order functions (transform/sequence)
+take the source column as a SQL expression string and return a Column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic marker-word lists for the language-ID heuristic —
+# SQL-portable (plain substring counts, same formula in DuckDB).
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+    "zh": ["的", "是", "了"],
+}
+
+
+def normalize_text_sql(col: str) -> str:
+    """SQL for lowercase + collapse whitespace + trim (canonical form
+    for fingerprinting and shingling). Identical string in DuckDB."""
+    return f"lower(regexp_replace(trim({col}), '\\\\s+', ' '))"
+
+
+def token_count(col: str) -> Column:
+    """Whitespace token count (reference word-count recipe,
+    datastream.py:700-713 via pyarrow split_whitespace — same result)."""
+    return F.expr(
+        f"case when length(trim({col})) = 0 then 0 "
+        f"else size(split(trim({col}), '\\\\s+')) end")
+
+
+def normalize_text(col: str) -> Column:
+    return F.expr(normalize_text_sql(col))
+
+
+def fingerprint(col: str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.expr(f"md5({normalize_text_sql(col)})")
+
+
+def char_ngrams(col: str, n: int = 5) -> Column:
+    """Array of character n-grams of the normalized text (shingles)."""
+    norm = normalize_text_sql(col)
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm}) - {n - 1}, 1)), "
+        f"i -> substring({norm}, i, {n}))")
+
+
+def word_ngrams(col: str, n: int = 3) -> Column:
+    """Array of word n-grams ('shingles') of the normalized text."""
+    norm = normalize_text_sql(col)
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({norm}, ' ')) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split({norm}, ' '), i, {n})))")
+
+
+def quality_score(col: str) -> Column:
+    """Heuristic quality in [0,1]: length score × alpha ratio ×
+    mean-word-length sanity. Built from Column ops (Python float
+    literals → DoubleType; Spark SQL decimal literals would silently
+    turn this into DECIMAL arithmetic). DuckDB-oracle equivalent in
+    __spark_entry__.py uses the same formula in double arithmetic."""
+    c = F.col(col)
+    n = F.length(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, "[^a-zA-Z ]", "")).cast("double")
+    toks = token_count(col).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    mean_wl = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+    wl_score = F.when((toks > 0) & (mean_wl >= 3.0) & (mean_wl <= 12.0),
+                      F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_score * alpha_ratio * wl_score, 6)
+
+
+def lang_id(col: str) -> Column:
+    """Marker-word language ID: marker hits per language on the
+    normalized text, argmax with first-wins tie-break (map-side only)."""
+    return F.expr(lang_id_sql(col))
+
+
+def _marker_score_sql(norm: str, markers: list) -> str:
+    terms = []
+    for mk in markers:
+        token = f" {mk} "
+        # substring occurrence count via length difference
+        terms.append(
+            f"(length({norm}) - length(replace({norm}, '{token}', ''))) "
+            f"/ {len(token)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lang_id_sql(col: str) -> str:
+    """Same expression runs in Spark SQL and DuckDB (portable subset)."""
+    norm = normalize_text_sql(col)
+    padded = f"concat(' ', {norm}, ' ')"
+    scores = {lang: _marker_score_sql(padded, mks)
+              for lang, mks in LANG_MARKERS.items()}
+    langs = list(scores)
+    # argmax with first-wins tie-break, expressed as nested CASE
+    conds = []
+    for i, lang in enumerate(langs):
+        others = [f"{scores[lang]} >= {scores[o]}" for o in langs[:i]]
+        others += [f"{scores[lang]} > {scores[o]}" for o in langs[i + 1:]]
+        conds.append((lang, " and ".join(others) if others else "true"))
+    expr = "case "
+    for lang, cond in conds:
+        expr += f"when {scores[lang]} > 0 and ({cond}) then '{lang}' "
+    expr += "else 'unknown' end"
+    return expr
+
+
+def rolling_hash_fingerprint(col: str, window: int = 64) -> Column:
+    """Chunk fingerprints: xxhash64 of each ``window``-char slice at
+    stride window/2, as an array — near-dup signal robust to local
+    edits. (xxhash64 is Spark-only → verified rows-only / in pytest.)"""
+    norm = normalize_text_sql(col)
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm}) - {window - 1}, 1), "
+        f"{window // 2}), i -> xxhash64(substring({norm}, i, {window})))")

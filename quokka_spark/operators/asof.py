@@ -1,0 +1,114 @@
+"""As-of join (backward, per-key) — reference orderedstream.py:114-191 +
+executors/ts_executors.py:324-383 (SortedAsofExecutor).
+
+Semantics: for each left row, attach the latest right row with
+``right_on <= left_on`` within the same ``by`` group (pandas
+merge_asof / polars join_asof backward).
+
+Spark-first formulation — the union-tag trick (scalable default):
+  1. union left and right with a side tag (right sorts before left on
+     ties so equal timestamps match, matching merge_asof
+     allow_exact_matches=True);
+  2. one window over (by) ordered by (ts, side):
+     ``last(right_value, ignorenulls=True)`` forward-fills each right
+     value onto subsequent left rows;
+  3. keep the left rows.
+
+Cost at scale: ONE shuffle of (|L|+|R|) rows on the by-key — same
+lower bound as the reference's hash-partitioned streaming executor.
+No per-key pandas materialization; whole-stage codegen applies. Skewed
+by-keys inherit AQE skew handling on the shuffle; if one key dominates,
+pre-split by time range and merge (not automated here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
+              left_by: str | list, right_by: str | list,
+              suffix: str = "_2") -> DataFrame:
+    left_by = [left_by] if isinstance(left_by, str) else list(left_by)
+    right_by = [right_by] if isinstance(right_by, str) else list(right_by)
+    assert len(left_by) == len(right_by)
+
+    # right value columns (everything but key/time), suffix-renamed on
+    # collision with left — reference orderedstream.py:160-175
+    right_vals = [c for c in right.columns if c != right_on and c not in right_by]
+    rename = {}
+    for c in right_vals:
+        if c in left.columns:
+            assert c + suffix not in left.columns
+            rename[c] = c + suffix
+    out_right_vals = [rename.get(c, c) for c in right_vals]
+
+    r = right
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    for rb, lb in zip(right_by, left_by):
+        if rb != lb:
+            r = r.withColumnRenamed(rb, lb)
+    if right_on != left_on:
+        r = r.withColumnRenamed(right_on, left_on)
+
+    left_cols = list(left.columns)
+    tagged_left = left.select(
+        *left_cols,
+        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in out_right_vals],
+        F.lit(1).alias("__side__"))
+    tagged_right = r.select(
+        *[F.col(c) if c in ([left_on] + left_by) else
+          F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *out_right_vals,
+        F.lit(0).alias("__side__"))
+
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (Window.partitionBy(*left_by)
+         .orderBy(F.col(left_on).asc(), F.col("__side__").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = unioned.select(
+        *left_cols, F.col("__side__"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_right_vals])
+    return filled.filter(F.col("__side__") == 1).drop("__side__")
+
+
+def join_asof_pandas(left: DataFrame, right: DataFrame, left_on: str,
+                     right_on: str, left_by: str, right_by: str,
+                     suffix: str = "_2") -> DataFrame:
+    """Fallback formulation: ``groupBy(by).cogroup.applyInPandas`` with
+    ``pandas.merge_asof`` per key group. Simpler to reason about, but
+    materializes whole key groups in Python workers — only preferable
+    when per-key data fits memory and key count >> core count."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    right_vals = [c for c in right.columns if c != right_on and c != right_by]
+    rename = {c: c + suffix for c in right_vals if c in left.columns}
+
+    fields = list(left.schema.fields)
+    rschema = {f.name: f for f in right.schema.fields}
+    out_names = [rename.get(c, c) for c in right_vals]
+    schema = StructType(fields + [
+        type(rschema[c])(rename.get(c, c), rschema[c].dataType, True)
+        if False else rschema[c].__class__(rename.get(c, c), rschema[c].dataType, True)
+        for c in right_vals])
+
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        lpdf = lpdf.sort_values(left_on)
+        rpdf = rpdf.rename(columns=rename).sort_values(right_on)
+        if len(rpdf) == 0:
+            for c in out_names:
+                lpdf[c] = None
+            return lpdf
+        return pd.merge_asof(lpdf, rpdf.drop(columns=[right_by]),
+                             left_on=left_on, right_on=right_on,
+                             direction="backward").drop(
+            columns=[right_on] if right_on != left_on else [])
+
+    return (left.groupBy(left_by)
+            .cogroup(right.groupBy(right_by))
+            .applyInPandas(merge, schema=schema))

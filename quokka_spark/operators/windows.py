@@ -1,0 +1,156 @@
+"""Windowed aggregation over event-time columns.
+
+Parity target: reference executors/ts_executors.py:12-288 + pyquokka/
+windowtypes.py. The reference streams sorted batches and carries
+incomplete windows as state; in Spark each window type is a one-liner
+over the built-in event-time primitives — no state machinery needed in
+batch mode, and the same shapes port to Structured Streaming by adding
+``withWatermark``.
+
+Window aggregation_dict values are SQL aggregate fragments over the
+window's rows, e.g. ``{"avg_v": "avg(value)"}``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sqldialect import duckdb_to_spark_sql
+from ..windowtypes import (HoppingWindow, OnCompletionTrigger, OnEventTrigger,
+                           SessionWindow, SlidingWindow, TumblingWindow, Trigger)
+
+_UNIT_SECONDS = {
+    "ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400,
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def to_seconds(size) -> float:
+    """Accept a number of seconds or a polars-style duration ('5m', '1h')."""
+    if isinstance(size, (int, float)):
+        return float(size)
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", str(size))
+    assert m, f"cannot parse duration {size!r}"
+    return float(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()]
+
+
+def _interval(seconds: float) -> str:
+    if seconds == int(seconds):
+        return f"{int(seconds)} seconds"
+    return f"{seconds} seconds"
+
+
+def _aggs(aggregation_dict: dict) -> list:
+    return [F.expr(duckdb_to_spark_sql(sql)).alias(alias)
+            for alias, sql in aggregation_dict.items()]
+
+
+_ROUND_RE = re.compile(r"^\s*round\s*\((.*),\s*(\d+)\s*\)\s*$",
+                       re.IGNORECASE | re.DOTALL)
+
+
+def _over(sql: str, w) -> "F.Column":
+    """Windowed form of an aggregate SQL fragment. ``round(agg, d)`` is
+    peeled first — rounding is a post-step, not part of the window
+    aggregate (``round(x,4) OVER w`` is not valid)."""
+    sql = duckdb_to_spark_sql(sql)
+    m = _ROUND_RE.match(sql)
+    if m:
+        inner, digits = m.group(1), int(m.group(2))
+        return F.round(F.expr(inner).over(w), digits)
+    return F.expr(sql).over(w)
+
+
+def windowed_transform(df: DataFrame, window, time_col: str, by,
+                       trigger: Trigger | None = None) -> DataFrame:
+    """Dispatch on window type (reference datastream.py:1650-1700)."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    trigger = trigger or OnCompletionTrigger()
+
+    if isinstance(window, HoppingWindow):  # covers TumblingWindow
+        if isinstance(trigger, OnCompletionTrigger):
+            return hopping_window(df, time_col, by, window.size, window.hop,
+                                  window.aggregation_dict)
+        assert isinstance(window, TumblingWindow), \
+            "OnEventTrigger only supported for tumbling windows (reference ts_executors.py:64-98)"
+        return tumbling_window_running(df, time_col, by, window.size,
+                                       window.aggregation_dict)
+    if isinstance(window, SlidingWindow):
+        return sliding_window(df, time_col, by, window.size_before,
+                              window.aggregation_dict)
+    if isinstance(window, SessionWindow):
+        if isinstance(trigger, OnEventTrigger):
+            raise NotImplementedError(
+                "session window + OnEventTrigger (unsupported in reference too)")
+        return session_window(df, time_col, by, window.timeout,
+                              window.aggregation_dict)
+    raise TypeError(f"unknown window type {type(window)}")
+
+
+def hopping_window(df: DataFrame, time_col: str, by: list, size, hop,
+                   aggregation_dict: dict) -> DataFrame:
+    """Fixed (possibly overlapping) windows, one output row per complete
+    window (reference ts_executors.py:12-98). ``F.window`` assigns each
+    event to its window(s) map-side; the groupBy shuffles once on
+    (by, window) — partial aggregation happens before the shuffle."""
+    size_s, hop_s = to_seconds(size), to_seconds(hop)
+    win = F.window(F.col(time_col), _interval(size_s), _interval(hop_s))
+    out = (df.groupBy(*by, win.alias("__window__"))
+           .agg(*_aggs(aggregation_dict)))
+    return out.select(
+        *by,
+        F.col("__window__.start").alias("window_start"),
+        F.col("__window__.end").alias("window_end"),
+        *aggregation_dict.keys())
+
+
+def tumbling_window_running(df: DataFrame, time_col: str, by: list, size,
+                            aggregation_dict: dict) -> DataFrame:
+    """Running aggregate emitted per event within its tumbling window
+    (reference ts_executors.py:109-145: window-id assignment + RANGE
+    UNBOUNDED PRECEDING). One shuffle on the by-key."""
+    size_s = to_seconds(size)
+    win_id = F.window(F.col(time_col), _interval(size_s)).getField("start")
+    with_id = df.withColumn("__wid__", win_id)
+    w = (W.partitionBy(*by, "__wid__")
+         .orderBy(F.unix_micros(F.col(time_col)))
+         .rangeBetween(W.unboundedPreceding, 0))
+    aggs = [_over(sql, w).alias(alias)
+            for alias, sql in aggregation_dict.items()]
+    return with_id.select(*by, time_col, *aggs)
+
+
+def sliding_window(df: DataFrame, time_col: str, by: list, size_before,
+                   aggregation_dict: dict) -> DataFrame:
+    """Trailing window of ``size_before`` per event (reference
+    ts_executors.py:147-194, polars groupby_rolling): range frame
+    [-size_before, 0] over event-time seconds."""
+    # event-time in integer microseconds: rangeBetween requires integral
+    # bounds, and µs-longs keep window membership exact (no fp rounding)
+    size_us = int(to_seconds(size_before) * 1_000_000)
+    w = (W.partitionBy(*by)
+         .orderBy(F.unix_micros(F.col(time_col)))
+         .rangeBetween(-size_us, 0))
+    aggs = [_over(sql, w).alias(alias)
+            for alias, sql in aggregation_dict.items()]
+    return df.select(*by, time_col, *aggs)
+
+
+def session_window(df: DataFrame, time_col: str, by: list, timeout,
+                   aggregation_dict: dict) -> DataFrame:
+    """Gap-timeout sessions (reference ts_executors.py:197-288 builds
+    sessions via cumsum of (ts - lag(ts)) > timeout; Spark's
+    ``session_window`` implements exactly that, shuffle-once)."""
+    gap = _interval(to_seconds(timeout))
+    out = (df.groupBy(*by, F.session_window(F.col(time_col), gap).alias("__session__"))
+           .agg(*_aggs(aggregation_dict)))
+    return out.select(
+        *by,
+        F.col("__session__.start").alias("session_start"),
+        F.col("__session__.end").alias("session_end"),
+        *aggregation_dict.keys())

@@ -1,0 +1,85 @@
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from quokka_spark.session import build_spark
+    s = build_spark(app_name="quokka_spark_tests",
+                    cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def qc(spark):
+    from quokka_spark import QuokkaContext
+    return QuokkaContext(spark=spark)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted
+    by all columns, dtypes normalized."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
+    if len(df):
+        df = df.sort_values(list(df.columns), na_position="first") \
+               .reset_index(drop=True)
+    return df
+
+
+def assert_matches_oracle(spark, name: str, sf_dir: str, atol: float = 1e-9):
+    import __spark_entry__ as entry_mod
+    q = entry_mod.queries()[name]
+    sdf = canonicalize(q(spark, sf_dir).toPandas())
+    sql = entry_mod.oracle_sql().get(name)
+    if sql is None:
+        assert len(sdf) >= 0
+        return sdf, None
+    con = duck_con(sf_dir)
+    odf = canonicalize(con.execute(sql).fetchdf())
+    assert list(sdf.columns) == list(odf.columns), \
+        f"{name}: columns {list(sdf.columns)} != {list(odf.columns)}"
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != {len(odf)}"
+    for c in sdf.columns:
+        a, b = sdf[c], odf[c]
+        if pd.api.types.is_float_dtype(a):
+            mism = ~(np.isclose(a.fillna(np.nan), b.fillna(np.nan),
+                                atol=atol, rtol=0, equal_nan=True))
+        else:
+            mism = ~((a == b) | (a.isna() & b.isna()))
+        if mism.any():
+            i = mism.idxmax()
+            raise AssertionError(
+                f"{name}: column {c} mismatch at row {i}: "
+                f"spark={a[i]!r} oracle={b[i]!r} ({int(mism.sum())} total)")
+    return sdf, odf

@@ -1,0 +1,40 @@
+"""Driver-mimic: every queries() entry hash-matches its DuckDB oracle.
+
+This is the same comparison the driver runs for CORRECTNESS_r{N}.json
+(row-count + schema + order-insensitive values), run at sf0.001 for
+speed; test_oracle_sf001_full covers sf0.01 for the heavier queries.
+"""
+
+import pytest
+
+from conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+import __spark_entry__ as entry_mod
+
+ALL = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle_smoke(spark, name):
+    assert_matches_oracle(spark, name, SF_SMOKE)
+
+
+# the driver's actual correctness scale — run a representative subset
+# covering every operator family to keep test wall-clock sane
+SF001_SUBSET = [
+    "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q17", "tpch_q22",
+    "op_window_rank", "ts_sliding", "ts_session", "ts_asof_join",
+    "dedup_ngram_jaccard", "dedup_minhash", "sim_topk", "agg_covariance",
+]
+
+
+@pytest.mark.parametrize("name", SF001_SUBSET)
+def test_query_matches_oracle_sf001(spark, name):
+    assert_matches_oracle(spark, name, SF_CORRECT)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
