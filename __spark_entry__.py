@@ -941,13 +941,14 @@ _MINHASH_SQL = _JACCARD_SQL.replace(">= 0.5", ">= 0.6").replace(
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit shingle simhash).
+    """SimHash near-dup pairs (hamming ≤ 10 on 64-bit shingle simhash;
+    jaccard-0.9 doc pairs still flip ~10% of shingles → up to ~10 bits).
     Signature uses Spark-side xxhash64 → rows-only driver check;
     pytest asserts it recovers the known near-dup pairs."""
     from quokka_spark.functions.dedup import simhash_near_pairs
     qc = _qc(spark)
     docs = _t(qc, sf_dir, "documents").df
-    return simhash_near_pairs(docs, n=3, max_hamming=3)
+    return simhash_near_pairs(docs, n=3, max_hamming=10)
 
 
 def dedup_embedding(spark, sf_dir):
@@ -999,12 +1000,14 @@ SELECT probe_id, vec_id, round(cs, 6) AS cosine_sim, rank FROM ranked WHERE rank
 def sim_topk_lsh(spark, sf_dir):
     """Approximate ANN via random-hyperplane LSH buckets — the 100 TB
     scale path. Approximate by construction → rows-only driver check;
-    pytest asserts recall ≥ 0.6 vs brute force at k=5."""
+    pytest asserts recall ≥ 0.8 vs brute force at k=5 (4 planes ×
+    32 tables — random embeddings have weak neighbor separation, so
+    recall needs many short hashes)."""
     from quokka_spark.functions.similarity import lsh_bucket_topk
     qc = _qc(spark)
     emb = _t(qc, sf_dir, "embeddings").df
     probes = emb.filter(F.col("vec_id") < 8)
-    out = lsh_bucket_topk(emb, probes, "embedding", k=5, n_planes=8, n_tables=8)
+    out = lsh_bucket_topk(emb, probes, "embedding", k=5, n_planes=4, n_tables=32)
     return out.select("probe_id", "vec_id",
                       F.round("cosine_sim", 6).alias("cosine_sim"))
 

@@ -118,7 +118,15 @@ class QuokkaContext:
         return self._sorted_stream(ds.df, sorted_by, mode)
 
     def _sorted_stream(self, df, sorted_by: str, mode: str) -> OrderedStream:
-        df = df.repartitionByRange(F.col(sorted_by)).sortWithinPartitions(sorted_by)
+        """The sort contract is DECLARATIVE: we record the key; each
+        consuming operator (windows, as-of, shift, CEP) establishes the
+        per-key order it needs inside its own shuffle. Materializing a
+        global range-partition+sort here would add two extra exchanges
+        in front of every keyed operator — measured on the as-of plan,
+        it doubled the shuffle count for zero benefit. Call
+        ``.materialize_sort()`` on the stream when a physically
+        range-sorted layout is genuinely wanted (e.g. before writing a
+        sorted dataset)."""
         return OrderedStream(self, df, sorted={sorted_by: mode})
 
     def read_iceberg(self, table: str, snapshot: int | None = None) -> DataStream:

@@ -229,7 +229,7 @@ class DataStream:
         if by:
             sel = list(dict.fromkeys(required_columns + by))
 
-            def run_group(pdf):
+            def run_group(key, pdf):
                 ex = executor() if isinstance(executor, type) else _clone_executor(executor)
                 outs = []
                 r = ex.execute([pdf], 0, 0)
@@ -240,9 +240,17 @@ class DataStream:
                     outs.append(_as_pandas(r))
                 if not outs:
                     return pd.DataFrame(columns=[f.name for f in spark_schema.fields])
-                return pd.concat(outs, ignore_index=True)
+                out = pd.concat(outs, ignore_index=True)
+                # executors produce their own columns; key columns named in
+                # new_schema but absent from the output are injected (the
+                # reference's hash-partitioned executor sees the key
+                # implicitly the same way)
+                for b, v in zip(by, key):
+                    if b not in out.columns:
+                        out[b] = v
+                return out
 
-            df = (self.df.select(*sel).repartition(*[F.col(b) for b in by])
+            df = (self.df.select(*sel)
                   .groupBy(*by).applyInPandas(run_group, schema=spark_schema))
         else:
             def run_partition(it):
@@ -361,7 +369,10 @@ class DataStream:
                 outs.append(_as_pandas(r))
             if not outs:
                 return pd.DataFrame(columns=[f.name for f in spark_schema.fields])
-            return pd.concat(outs, ignore_index=True)
+            out = pd.concat(outs, ignore_index=True)
+            if on not in out.columns:
+                out[on] = key[0]
+            return out
 
         df = (self.df.groupBy(on).cogroup(right.df.groupBy(on))
               .applyInPandas(run, schema=spark_schema))

@@ -29,6 +29,16 @@ class OrderedStream(DataStream):
         assert self.sorted, "OrderedStream without a sort key"
         return next(iter(self.sorted))
 
+    def materialize_sort(self) -> "OrderedStream":
+        """Physically range-partition + sort by the contract key (the
+        layout the reference's sorted readers produce,
+        ordered_readers.py:28-116). Off by default — see
+        QuokkaContext._sorted_stream."""
+        key = self._sort_key
+        df = (self.df.repartitionByRange(F.col(key))
+              .sortWithinPartitions(key))
+        return OrderedStream(self.qc, df, sorted=self.sorted)
+
     def shift(self, n: int, by: str | None = None, fill_value=None) -> "OrderedStream":
         """Lag/lead whole rows on the ordered stream (reference
         orderedstream.py:13-35 — declared there but its ShiftOperator is

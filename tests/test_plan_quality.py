@@ -1,0 +1,77 @@
+"""Physical-plan regression tests — the properties that matter at
+100 TB must be visible in the plan, not assumed:
+
+- filters reach the parquet scan (PushedFilters),
+- projections prune the scan (ReadSchema),
+- dimension joins broadcast,
+- top-k plans as TakeOrderedAndProject (no global sort),
+- the declarative sort contract adds no extra exchanges.
+"""
+
+import contextlib
+import io
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    s = explain(em.tpch_q1(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+    # 7 of 11 lineitem columns needed — scan must not read the keys
+    read_schema = [l for l in s.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    s = explain(em.tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in s
+    # at sf0.001 every join should be broadcast: no sort-merge shuffle joins
+    assert "SortMergeJoin" not in s
+
+
+def test_q3_topk_is_take_ordered(spark):
+    s = explain(em.tpch_q3(spark, SF))
+    assert "TakeOrderedAndProject" in s
+
+
+def test_topk_operator_is_take_ordered(spark):
+    s = explain(em.op_topk(spark, SF))
+    assert "TakeOrderedAndProject" in s
+    assert "Sort " not in s  # no global sort for a limit-k
+
+
+def test_asof_single_key_shuffle(spark):
+    """The union-tag as-of join needs exactly ONE shuffle for the window
+    (partitionBy user_id); the declarative sort contract must not add
+    range-partition exchanges for the reads."""
+    s = explain(em.ts_asof_join(spark, SF))
+    n_exchanges = s.count("+- Exchange") + s.count(": +- Exchange")
+    assert "RANGEPARTITIONING" not in s.upper().replace(" ", "")
+    assert n_exchanges <= 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{s}"
+
+
+def test_semi_join_prunes_right_to_key(spark):
+    s = explain(em.op_semi_join(spark, SF))
+    # right side scan must read only the join key + pushed filter column
+    read_schemas = [l for l in s.splitlines() if "ReadSchema" in l]
+    orders_schema = [l for l in read_schemas if "o_custkey" in l][0]
+    assert "o_orderpriority" not in orders_schema
+    assert "o_orderdate" not in orders_schema
+
+
+def test_text_ops_no_shuffle(spark):
+    """Row-wise text ops must pipeline with the scan — zero exchanges."""
+    for fn in [em.text_tokens, em.text_fingerprint, em.text_quality,
+               em.text_lang_id]:
+        s = explain(fn(spark, SF))
+        assert "Exchange" not in s, f"{fn.__name__} plan shuffles:\n{s}"

@@ -1,0 +1,203 @@
+"""Deep checks for the custom operators: CEP vs a brute-force python
+reference, both as-of formulations vs pandas merge_asof, LSH recall,
+simhash recall, multimodal stub plumbing — the reference's own oracle
+style (SURVEY §5: polars/pandas oracles for time-series ops)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+# ----------------------------------------------------------------------
+# CEP
+# ----------------------------------------------------------------------
+def brute_force_funnel(pdf: pd.DataFrame, maxspan: float):
+    """Reference semantics: one match per start row (earliest paths),
+    events strictly later in row order, last within maxspan of first."""
+    out = []
+    rows = pdf.sort_values("ts_sec").reset_index(drop=True)
+    for i in range(len(rows)):
+        a = rows.iloc[i]
+        if a.event_type != "signup":
+            continue
+        matched = False
+        for j in range(i + 1, len(rows)):
+            b = rows.iloc[j]
+            if b.ts_sec > a.ts_sec + maxspan:
+                break
+            if not (b.event_type == "click" and b.value > a.value):
+                continue
+            for k in range(j + 1, len(rows)):
+                c = rows.iloc[k]
+                if c.ts_sec > a.ts_sec + maxspan:
+                    break
+                if c.event_type == "purchase":
+                    out.append((a.ts_sec, c.ts_sec))
+                    matched = True
+                    break
+            if matched:
+                break
+        # one match per start: stop after first successful (b) chain?
+        # reference DFS explores all b's until a full match is found
+        if not matched:
+            continue
+    return out
+
+
+def brute_force_funnel_full(pdf: pd.DataFrame, maxspan: float):
+    """DFS over all intermediate candidates (not just greedy-b), one
+    match per start — matches operators/cep.py exactly."""
+    rows = pdf.sort_values("ts_sec").reset_index(drop=True)
+    out = []
+    for i in range(len(rows)):
+        a = rows.iloc[i]
+        if a.event_type != "signup":
+            continue
+        horizon = a.ts_sec + maxspan
+        found = None
+        bs = [j for j in range(i + 1, len(rows))
+              if rows.iloc[j].ts_sec <= horizon
+              and rows.iloc[j].event_type == "click"
+              and rows.iloc[j].value > a.value]
+        for j in bs:
+            cs = [k for k in range(j + 1, len(rows))
+                  if rows.iloc[k].ts_sec <= horizon
+                  and rows.iloc[k].event_type == "purchase"]
+            if cs:
+                found = (a.ts_sec, rows.iloc[cs[0]].ts_sec)
+                break
+        if found:
+            out.append(found)
+    return out
+
+
+def test_cep_matches_brute_force(spark):
+    import __spark_entry__ as em
+    got = em.ts_cep_funnel(spark, SF_SMOKE).toPandas()
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["ts_sec"] = ev["ts"].astype("datetime64[us]").astype("int64") / 1e6
+    expected = []
+    for uid, grp in ev.groupby("user_id"):
+        for first, last in brute_force_funnel_full(grp, 7 * 86400.0):
+            expected.append((uid, first, last))
+    got_set = set(zip(got["user_id"],
+                      got["first_event_timestamp"].round(6),
+                      got["last_event_timestamp"].round(6)))
+    exp_set = set((u, round(f, 6), round(l, 6)) for u, f, l in expected)
+    assert got_set == exp_set, (
+        f"CEP mismatch: only_spark={got_set - exp_set}, "
+        f"only_ref={exp_set - got_set}")
+    assert len(got_set) > 0, "fixture produced no matches — test is vacuous"
+
+
+# ----------------------------------------------------------------------
+# as-of join: both formulations vs pandas merge_asof
+# ----------------------------------------------------------------------
+def test_asof_formulations_agree(spark, qc):
+    from quokka_spark.operators.asof import join_asof, join_asof_pandas
+    ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df
+    trades = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id", "value")
+    quotes = ev.filter(F.col("event_type") == "view") \
+        .select("ts", "user_id", "value")
+
+    union_res = join_asof(trades, quotes, "ts", "ts", "user_id", "user_id") \
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+
+    tp = trades.toPandas().sort_values("ts")
+    qp = quotes.toPandas().sort_values("ts").rename(columns={"value": "value_2"})
+    expected = pd.merge_asof(tp, qp, on="ts", by="user_id",
+                             direction="backward") \
+        .sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(union_res["value_2"].fillna(-1),
+                       expected["value_2"].fillna(-1))
+
+
+# ----------------------------------------------------------------------
+# approximate ops: recall guarantees
+# ----------------------------------------------------------------------
+def test_lsh_topk_recall(spark, qc):
+    from quokka_spark.functions.similarity import (brute_force_topk,
+                                                   lsh_bucket_topk)
+    emb = qc.read_parquet(f"{SF_SMOKE}/embeddings.parquet").df
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, probes, "embedding", k=5).toPandas()
+    approx = lsh_bucket_topk(emb, probes, "embedding", k=5,
+                             n_planes=4, n_tables=32).toPandas()
+    exact_pairs = set(zip(exact["probe_id"], exact["vec_id"]))
+    approx_pairs = set(zip(approx["probe_id"], approx["vec_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"LSH recall {recall} too low"
+
+
+def test_simhash_recovers_near_dups(spark, qc):
+    from quokka_spark.functions.dedup import (ngram_jaccard_pairs,
+                                              simhash_near_pairs)
+    docs = qc.read_parquet(f"{SF_SMOKE}/documents.parquet").df
+    true_pairs = ngram_jaccard_pairs(docs, threshold=0.9).toPandas()
+    sim_pairs = simhash_near_pairs(docs, max_hamming=10).toPandas()
+    t = set(zip(true_pairs["id1"], true_pairs["id2"]))
+    s = set(zip(sim_pairs["id1"], sim_pairs["id2"]))
+    assert t, "no near-dup pairs in fixture"
+    recall = len(t & s) / len(t)
+    assert recall >= 0.7, f"simhash recall {recall}"
+
+
+# ----------------------------------------------------------------------
+# multimodal stubs: plumbing is real even though decode is fake
+# ----------------------------------------------------------------------
+def test_multimodal_pipeline(spark, qc):
+    import tempfile, os
+    from quokka_spark.functions import multimodal as mm
+    with tempfile.TemporaryDirectory() as tmp:
+        for i in range(4):
+            with open(os.path.join(tmp, f"img{i}.bin"), "wb") as f:
+                f.write(os.urandom(256) if i else b"\xff\xd8\xff\xe0" + b"x" * 252)
+        files = qc.read_files(tmp).df
+
+        meta = mm.payload_metadata(files).toPandas()
+        assert (meta["payload_size"] == 256).all()
+        assert "jpeg" in set(meta["payload_format"])
+
+        decoded = mm.decode_image(files, height=8, width=8).toPandas()
+        assert (decoded["pixels"].apply(len) == 64).all()
+
+        feats = mm.extract_image_features(files, dim=16).toPandas()
+        assert (feats["embedding"].apply(len) == 16).all()
+        norms = feats["embedding"].apply(lambda v: np.linalg.norm(v))
+        assert np.allclose(norms, 1.0, atol=1e-5)
+
+        # determinism: same payload -> same embedding
+        feats2 = mm.extract_image_features(files, dim=16).toPandas()
+        m1 = dict(zip(feats["filename"], feats["embedding"]))
+        m2 = dict(zip(feats2["filename"], feats2["embedding"]))
+        for k in m1:
+            assert np.allclose(m1[k], m2[k])
+
+        frames = mm.sample_frames(files).toPandas()
+        assert set(frames.columns) == {"filename", "frame_idx", "frame"}
+
+
+# ----------------------------------------------------------------------
+# streaming: the windowed agg runs under Structured Streaming
+# ----------------------------------------------------------------------
+def test_streaming_windowed_agg(spark, qc, tmp_path):
+    from quokka_spark.streaming.stream import streaming_windowed_agg
+    from quokka_spark.windowtypes import TumblingWindow
+
+    src = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df
+    pq_dir = str(tmp_path / "stream_src")
+    src.write.parquet(pq_dir)
+    stream = spark.readStream.schema(src.schema).parquet(pq_dir)
+    win = TumblingWindow("1h", {"n": "count(*)"})
+    agg = streaming_windowed_agg(stream, win, "ts", "user_id",
+                                 watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("win_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select sum(n) as total from win_agg").collect()[0]["total"]
+    assert got == src.count()
