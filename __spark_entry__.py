@@ -1079,6 +1079,293 @@ FROM lineitem
 
 
 # ======================================================================
+# TPC-H batch 2 (q2/q11/q20/q21 adapted to partsupp-less schema)
+# ======================================================================
+
+def tpch_q2(spark, sf_dir):
+    """q2 adapted: for each part of size in (5,10,15), the supplier(s)
+    with the highest s_acctbal among suppliers that shipped it."""
+    qc = _qc(spark)
+    link = (_t(qc, sf_dir, "lineitem").distinct(["l_partkey", "l_suppkey"])
+            .join(_t(qc, sf_dir, "part").filter_sql("p_size in (5, 10, 15)"),
+                  left_on="l_partkey", right_on="p_partkey")
+            .join(_t(qc, sf_dir, "supplier"), left_on="l_suppkey",
+                  right_on="s_suppkey"))
+    best = link.groupby(["l_partkey"]).agg_sql("max(s_acctbal) as best_bal")                .rename({"l_partkey": "b_partkey"})
+    out = (link.join(best, left_on="l_partkey", right_on="b_partkey")
+           .filter_sql("s_acctbal = best_bal")
+           .select(["l_partkey", "p_name", "p_size", "s_name"]))
+    return out.df.withColumnsRenamed({"l_partkey": "p_partkey"})
+
+
+_Q2_SQL = """
+WITH link AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), j AS (
+  SELECT l_partkey AS p_partkey, p_name, p_size, s_name, s_acctbal
+  FROM link JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_size IN (5, 10, 15)
+)
+SELECT p_partkey, p_name, p_size, s_name FROM j
+WHERE s_acctbal = (SELECT max(s_acctbal) FROM j j2 WHERE j2.p_partkey = j.p_partkey)
+"""
+
+
+def tpch_q11(spark, sf_dir):
+    """q11 adapted: part 'inventory value' = sum(l_extendedprice *
+    l_quantity) per part; keep parts above 0.1% of the grand total."""
+    qc = _qc(spark)
+    val = _t(qc, sf_dir, "lineitem").with_columns_sql(
+        "l_extendedprice * l_quantity as v")         .groupby(["l_partkey"]).agg_sql("sum(v) as part_value")
+    total = val.df.agg(F.sum("part_value").alias("total"))
+    out = (val.df.join(F.broadcast(total))
+           .filter(F.col("part_value") > F.col("total") * 0.001)
+           .select("l_partkey", F.round("part_value", 0).alias("part_value")))
+    return out
+
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(part_value, 0) AS part_value FROM val
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM val)
+"""
+
+
+def tpch_q20(spark, sf_dir):
+    """q20 adapted: suppliers who shipped more than 50 units of any
+    'red' part during 1996."""
+    qc = _qc(spark)
+    red = _t(qc, sf_dir, "part")
+    red = red.filter(red["p_name"].str.contains("red"))
+    shipped = (_t(qc, sf_dir, "lineitem").filter_sql(
+        "l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'")
+        .join(red, left_on="l_partkey", right_on="p_partkey")
+        .groupby(["l_suppkey", "l_partkey"]).agg_sql("sum(l_quantity) as qty")
+        .filter_sql("qty > 50"))
+    out = (_t(qc, sf_dir, "supplier")
+           .join(shipped, left_on="s_suppkey", right_on="l_suppkey", how="semi")
+           .select(["s_suppkey", "s_name"]))
+    return out.df
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (
+  SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey = s_suppkey AND p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey HAVING sum(l_quantity) > 50
+)
+"""
+
+
+def tpch_q21(spark, sf_dir):
+    """q21 adapted (no commit/receipt dates): count, per supplier, the
+    multi-supplier orders where ONLY this supplier shipped later than
+    60 days after the order date."""
+    qc = _qc(spark)
+    li = _t(qc, sf_dir, "lineitem")
+    orders = _t(qc, sf_dir, "orders")
+    j = li.join(orders, left_on="l_orderkey", right_on="o_orderkey")
+    per_os = j.with_columns_sql(
+        "case when l_shipdate > o_orderdate + interval 60 day then 1 else 0 end as is_late")         .groupby(["l_orderkey", "l_suppkey"]).agg_sql("max(is_late) as supp_late")
+    per_order = per_os.groupby(["l_orderkey"]).agg_sql(
+        "count(*) as n_supps, sum(supp_late) as n_late")
+    out = (per_os.filter_sql("supp_late = 1")
+           .join(per_order.filter_sql("n_supps > 1 and n_late = 1"),
+                 on="l_orderkey", how="semi")
+           .groupby(["l_suppkey"]).agg_sql("count(*) as numwait"))
+    return out.df
+
+
+_Q21_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey, count(*) AS n_supps, sum(supp_late) AS n_late
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT l_suppkey, count(*) AS numwait
+FROM per_os JOIN per_order USING (l_orderkey)
+WHERE supp_late = 1 AND n_supps > 1 AND n_late = 1
+GROUP BY l_suppkey
+"""
+
+
+# ======================================================================
+# operator coverage batch 2
+# ======================================================================
+
+def op_clip(spark, sf_dir):
+    qc = _qc(spark)
+    out = _t(qc, sf_dir, "lineitem").clip({"l_quantity": (5.0, 45.0)})         .groupby(["l_returnflag"]).agg_sql(
+            "round(sum(l_quantity), 2) as clipped_qty")
+    return out.df
+
+
+_CLIP_SQL = """
+SELECT l_returnflag, round(sum(greatest(least(l_quantity, 45.0), 5.0)), 2) AS clipped_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def op_with_columns_lambda(spark, sf_dir):
+    """Arrow-batched python lambda column (reference with_columns,
+    datastream.py:1209-1310) inside the correctness gate."""
+    qc = _qc(spark)
+    ev = _t(qc, sf_dir, "events").select(["event_id", "value"])
+    out = ev.with_columns({
+        "value_scaled": lambda b: (b["value"] * 0.5 + 1.0).round(4)})
+    return out.df.select("event_id", "value_scaled")
+
+
+_LAMBDA_SQL = """
+SELECT event_id, round(value * 0.5 + 1.0, 4) AS value_scaled FROM events
+"""
+
+
+def op_transform(spark, sf_dir):
+    """Schema-replacing batch UDF (reference transform,
+    datastream.py:652-739)."""
+    import pandas as pd
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents")
+    out = docs.transform(
+        lambda pdf: pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "src_upper": pdf["source"].str.upper(),
+            "half_chars": pdf["n_chars"] // 2}),
+        new_schema="doc_id long, src_upper string, half_chars long",
+        required_columns=["doc_id", "source", "n_chars"])
+    return out.df
+
+
+_TRANSFORM_SQL = """
+SELECT doc_id, upper(source) AS src_upper,
+       CAST(n_chars // 2 AS BIGINT) AS half_chars
+FROM documents
+"""
+
+
+def op_stateful(spark, sf_dir):
+    """Keyed stateful executor (reference Executor contract,
+    base_executor.py:26-32): per-user max drawdown of the event value
+    sequence in time order."""
+    import pandas as pd
+    from quokka_spark import Executor
+
+    class DrawdownExecutor(Executor):
+        def __init__(self):
+            self.frames = []
+
+        def execute(self, batches, stream_id, executor_id):
+            self.frames.extend(batches)
+            return None
+
+        def done(self, executor_id):
+            pdf = pd.concat(self.frames).sort_values(["ts", "event_id"])
+            run_max = pdf["value"].cummax()
+            dd = (run_max - pdf["value"]).max()
+            return pd.DataFrame({"max_drawdown": [round(float(dd), 4)]})
+
+    qc = _qc(spark)
+    ev = _t(qc, sf_dir, "events")
+    out = ev.stateful_transform(
+        DrawdownExecutor, new_schema="user_id long, max_drawdown double",
+        required_columns=["ts", "event_id", "value"], by="user_id")
+    return out.df
+
+
+_STATEFUL_SQL = """
+SELECT user_id, round(max(rm - value), 4) AS max_drawdown FROM (
+  SELECT user_id, value,
+         max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def op_cogroup(spark, sf_dir):
+    """cogroup two keyed streams into a custom executor (reference
+    datastream.py:2073-2111)."""
+    import pandas as pd
+    from quokka_spark import Executor
+
+    class OrderStats(Executor):
+        def execute(self, batches, stream_id, executor_id):
+            orders_pdf, cust_pdf = batches
+            if len(cust_pdf) == 0:
+                return None
+            return pd.DataFrame({
+                "n_orders": [len(orders_pdf)],
+                "acctbal": [round(float(cust_pdf["c_acctbal"].iloc[0]), 2)]})
+
+        def done(self, executor_id):
+            return None
+
+    qc = _qc(spark)
+    orders = _t(qc, sf_dir, "orders").rename({"o_custkey": "custkey"})
+    cust = _t(qc, sf_dir, "customer").rename({"c_custkey": "custkey"})
+    out = orders.cogroup(cust, OrderStats, on="custkey",
+                         new_schema="custkey long, n_orders long, acctbal double")
+    return out.df
+
+
+_COGROUP_SQL = """
+SELECT c_custkey AS custkey, count(o_orderkey) AS n_orders,
+       round(c_acctbal, 2) AS acctbal
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_acctbal
+HAVING count(o_orderkey) > 0
+"""
+
+
+def op_sql_entry(spark, sf_dir):
+    """SQL front end (replaces reference pyquokka/sql.py code
+    generator with spark.sql; SURVEY §2.10)."""
+    qc = _qc(spark)
+    return qc.sql("""
+        SELECT o_orderpriority, round(avg(o_totalprice), 2) AS avg_price,
+               count(*) AS n
+        FROM ord WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """, tables={"ord": _t(qc, sf_dir, "orders")}).df
+
+
+_SQL_ENTRY_SQL = """
+SELECT o_orderpriority, round(avg(o_totalprice), 2) AS avg_price, count(*) AS n
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+"""
+
+
+def ts_tumbling_running(spark, sf_dir):
+    """Tumbling window + OnEventTrigger: running aggregate per event
+    within its window (reference ts_executors.py:109-145)."""
+    from quokka_spark.windowtypes import OnEventTrigger, TumblingWindow
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts")
+    win = TumblingWindow("1h", {"running_sum": "round(sum(value), 4)"})
+    out = ev.windowed_transform(win, by="user_id", trigger=OnEventTrigger())
+    return out.df.select("user_id", "ts", "running_sum")
+
+
+_TUMBLING_RUNNING_SQL = """
+SELECT user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id, date_trunc('hour', ts)
+             ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+       AS running_sum
+FROM events
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -1091,12 +1378,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": tpch_q12, "tpch_q13": tpch_q13, "tpch_q14": tpch_q14,
         "tpch_q15": tpch_q15, "tpch_q16": tpch_q16, "tpch_q17": tpch_q17,
         "tpch_q18": tpch_q18, "tpch_q19": tpch_q19, "tpch_q22": tpch_q22,
+        "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
+        "tpch_q21": tpch_q21,
         # relational operators
         "op_topk": op_topk, "op_distinct": op_distinct,
         "op_count_distinct": op_count_distinct, "op_union": op_union,
         "op_semi_join": op_semi_join, "op_anti_join": op_anti_join,
         "op_window_rank": op_window_rank,
         "op_window_running_sum": op_window_running_sum,
+        "op_clip": op_clip, "op_with_columns_lambda": op_with_columns_lambda,
+        "op_transform": op_transform, "op_stateful": op_stateful,
+        "op_cogroup": op_cogroup, "op_sql_entry": op_sql_entry,
         "op_expression_dsl": op_expression_dsl,
         "op_json_extract": op_json_extract,
         "op_case_when_agg": op_case_when_agg,
@@ -1105,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sliding": ts_sliding, "ts_session": ts_session,
         "ts_asof_join": ts_asof_join, "ts_shift": ts_shift,
         "ts_cep_funnel": ts_cep_funnel,
+        "ts_tumbling_running": ts_tumbling_running,
         # text analysis
         "text_tokens": text_tokens, "text_fingerprint": text_fingerprint,
         "text_lang_id": text_lang_id, "text_quality": text_quality,
@@ -1128,17 +1421,23 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": _Q12_SQL, "tpch_q13": _Q13_SQL, "tpch_q14": _Q14_SQL,
         "tpch_q15": _Q15_SQL, "tpch_q16": _Q16_SQL, "tpch_q17": _Q17_SQL,
         "tpch_q18": _Q18_SQL, "tpch_q19": _Q19_SQL, "tpch_q22": _Q22_SQL,
+        "tpch_q2": _Q2_SQL, "tpch_q11": _Q11_SQL, "tpch_q20": _Q20_SQL,
+        "tpch_q21": _Q21_SQL,
         "op_topk": _TOPK_SQL, "op_distinct": _DISTINCT_SQL,
         "op_count_distinct": _COUNT_DISTINCT_SQL, "op_union": _UNION_SQL,
         "op_semi_join": _SEMI_SQL, "op_anti_join": _ANTI_SQL,
         "op_window_rank": _WINDOW_RANK_SQL,
         "op_window_running_sum": _WINDOW_RUNNING_SQL,
+        "op_clip": _CLIP_SQL, "op_with_columns_lambda": _LAMBDA_SQL,
+        "op_transform": _TRANSFORM_SQL, "op_stateful": _STATEFUL_SQL,
+        "op_cogroup": _COGROUP_SQL, "op_sql_entry": _SQL_ENTRY_SQL,
         "op_expression_dsl": _EXPR_DSL_SQL,
         "op_json_extract": _JSON_SQL,
         "op_case_when_agg": _CASE_WHEN_SQL,
         "ts_tumbling": _TUMBLING_SQL, "ts_hopping": _HOPPING_SQL,
         "ts_sliding": _SLIDING_SQL, "ts_session": _SESSION_SQL,
         "ts_asof_join": _ASOF_SQL, "ts_shift": _SHIFT_SQL,
+        "ts_tumbling_running": _TUMBLING_RUNNING_SQL,
         # ts_cep_funnel: no SQL equivalent (MATCH_RECOGNIZE) → rows-only
         "text_tokens": _TOKENS_SQL, "text_fingerprint": _FINGERPRINT_SQL,
         "text_lang_id": _lang_id_duckdb_sql(), "text_quality": _QUALITY_SQL,

@@ -22,8 +22,9 @@ def test_query_matches_oracle_smoke(spark, name):
 # the driver's actual correctness scale — run a representative subset
 # covering every operator family to keep test wall-clock sane
 SF001_SUBSET = [
-    "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q17", "tpch_q22",
-    "op_window_rank", "ts_sliding", "ts_session", "ts_asof_join",
+    "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q17", "tpch_q21", "tpch_q22",
+    "op_window_rank", "op_stateful", "op_transform",
+    "ts_sliding", "ts_session", "ts_asof_join", "ts_tumbling_running",
     "dedup_ngram_jaccard", "dedup_minhash", "sim_topk", "agg_covariance",
 ]
 
