@@ -1365,6 +1365,56 @@ FROM events
 """
 
 
+def op_array_agg(spark, sf_dir):
+    """ARRAY_AGG parity (reference TPC-H Q21 usage, sql_utils.py:363-369):
+    per-order sorted quantity list, rendered as a string for stable
+    cross-engine hashing."""
+    qc = _qc(spark)
+    li = _t(qc, sf_dir, "lineitem")
+    out = li.df.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.transform(
+            F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint"))),
+            lambda x: x.cast("string"))).alias("qtys"),
+        F.size(F.collect_list("l_quantity")).cast("bigint").alias("n_items"))
+    return out
+
+
+_ARRAY_AGG_SQL = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS qtys,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def op_percentile_group(spark, sf_dir):
+    """Grouped exact percentile (the mergeable-sketch variant is
+    DataStream.approximate_quantile)."""
+    qc = _qc(spark)
+    li = _t(qc, sf_dir, "lineitem")
+    out = li.df.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"))
+    return out
+
+
+_PERCENTILE_GROUP_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def op_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog sketch (SURVEY §2.4 count_distinct scale path).
+    Sketch estimates differ engine-to-engine -> rows-only check;
+    tests assert relative error <= 5% vs exact."""
+    qc = _qc(spark)
+    return _t(qc, sf_dir, "lineitem") \
+        .approx_count_distinct("l_partkey", rsd=0.02).df
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1389,6 +1439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_clip": op_clip, "op_with_columns_lambda": op_with_columns_lambda,
         "op_transform": op_transform, "op_stateful": op_stateful,
         "op_cogroup": op_cogroup, "op_sql_entry": op_sql_entry,
+        "op_array_agg": op_array_agg,
+        "op_percentile_group": op_percentile_group,
+        "op_approx_count_distinct": op_approx_count_distinct,
         "op_expression_dsl": op_expression_dsl,
         "op_json_extract": op_json_extract,
         "op_case_when_agg": op_case_when_agg,
@@ -1431,6 +1484,9 @@ def oracle_sql() -> dict[str, str]:
         "op_clip": _CLIP_SQL, "op_with_columns_lambda": _LAMBDA_SQL,
         "op_transform": _TRANSFORM_SQL, "op_stateful": _STATEFUL_SQL,
         "op_cogroup": _COGROUP_SQL, "op_sql_entry": _SQL_ENTRY_SQL,
+        "op_array_agg": _ARRAY_AGG_SQL,
+        "op_percentile_group": _PERCENTILE_GROUP_SQL,
+        # op_approx_count_distinct: sketch-dependent -> rows-only
         "op_expression_dsl": _EXPR_DSL_SQL,
         "op_json_extract": _JSON_SQL,
         "op_case_when_agg": _CASE_WHEN_SQL,

@@ -84,6 +84,63 @@ def nn_join(df: DataFrame, probe, vec_column: str, k: int,
     return brute_force_topk(df, probe, vec_column, k, id_column=id_column)
 
 
+def vector_range_join(left: DataFrame, right: DataFrame,
+                      left_vec: str = "embedding", right_vec: str = "embedding",
+                      left_id: str = "id1", right_id: str = "id2",
+                      threshold: float = 0.8, n_planes: int = 4,
+                      n_tables: int = 32, seed: int = 42) -> DataFrame:
+    """Similarity range join of two vector STREAMS: all pairs with
+    cosine ≥ threshold. The reference declares this verb but left it a
+    stub (datastream.py:480-492 `vector_range_join: pass`); this is the
+    real thing.
+
+    Plan: hyperplane-LSH signatures on both sides (JVM/Arrow batched),
+    shuffle both on (table, signature) — candidates only meet inside a
+    bucket — then exact JVM-side cosine filter. Approximate recall
+    (more tables → higher), exact precision."""
+    def with_sigs(df, vec, idc, alias):
+        dim_probe = df.select(F.size(vec).alias("d")).first()["d"]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim_probe))
+        sc = df.sparkSession.sparkContext
+        b = sc.broadcast(planes)
+
+        def sig(it):
+            import pyarrow as pa
+            pl = b.value
+            pow2 = 1 << np.arange(n_planes)
+            for batch in it:
+                vid = batch.column(idc).to_numpy(zero_copy_only=False)
+                x = np.stack(batch.column(vec).to_pylist()).astype(np.float64)
+                xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+                s = ((np.einsum("tpd,nd->tnp", pl, xn) > 0) * pow2).sum(axis=2)
+                n = len(vid)
+                yield pa.RecordBatch.from_pydict({
+                    alias: pa.array(np.repeat(vid, n_tables).tolist(), pa.int64()),
+                    "table": pa.array(np.tile(np.arange(n_tables), n).tolist(),
+                                      pa.int32()),
+                    "sig": pa.array(s.T.ravel().tolist(), pa.int64()),
+                    f"{alias}_vec": pa.array(xn.repeat(n_tables, axis=0).tolist(),
+                                             pa.list_(pa.float64())),
+                })
+
+        return df.mapInArrow(
+            sig, schema=f"{alias} long, table int, sig long, "
+                        f"{alias}_vec array<double>")
+
+    ls = with_sigs(left, left_vec, left_id if left_id in left.columns else
+                   left.columns[0], "id1")
+    rs = with_sigs(right, right_vec, right_id if right_id in right.columns else
+                   right.columns[0], "id2")
+    cand = (ls.join(rs, ["table", "sig"])
+            .dropDuplicates(["id1", "id2"]))
+    dot = F.aggregate(F.zip_with("id1_vec", "id2_vec", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.withColumn("cosine_sim", F.round(dot, 6))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id1", "id2", "cosine_sim"))
+
+
 def lsh_bucket_topk(df: DataFrame, probe, vec_column: str, k: int,
                     id_column: str = "vec_id", n_planes: int = 16,
                     n_tables: int = 4, seed: int = 42) -> DataFrame:

@@ -1,0 +1,88 @@
+"""Unit tests: SQL-dialect shim, vector_range_join, approx sketches."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from quokka_spark.sqldialect import duckdb_to_spark_sql, translate_time_format
+
+
+def test_time_format_translation():
+    assert translate_time_format("%Y-%m-%d") == "yyyy-MM-dd"
+    assert translate_time_format("%H:%M:%S") == "HH:mm:ss"
+
+
+def test_strftime_rewrite():
+    out = duckdb_to_spark_sql("strftime(ts, '%Y-%m') as ym")
+    assert out == "date_format(ts, 'yyyy-MM') as ym"
+
+
+def test_strptime_rewrite():
+    out = duckdb_to_spark_sql("strptime(s, '%Y-%m-%d')")
+    assert out == "to_timestamp(s, 'yyyy-MM-dd')"
+
+
+def test_json_extract_rewrite():
+    assert duckdb_to_spark_sql("json_extract_string(props, 'k')") == \
+        "get_json_object(props, '$.k')"
+    assert duckdb_to_spark_sql("json_extract(props, '$.a.b')") == \
+        "get_json_object(props, '$.a.b')"
+
+
+def test_list_function_rewrites():
+    assert duckdb_to_spark_sql("list_contains(xs, 1)") == "array_contains(xs, 1)"
+    assert duckdb_to_spark_sql("len(xs)") == "length(xs)"
+
+
+def test_dialect_passthrough_executes(spark, qc):
+    """Transpiled DuckDB-dialect expressions actually run on Spark."""
+    ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet")
+    out = ev.with_columns_sql(
+        "strftime(ts, '%Y-%m') as ym, "
+        "json_extract_string(props, 'k') as k_str")
+    pdf = out.limit(5).collect()
+    assert pdf["ym"].str.match(r"2024-\d\d").all()
+    assert pdf["k_str"].str.isnumeric().all()
+
+
+def test_vector_range_join(spark, qc):
+    from quokka_spark.functions.similarity import vector_range_join
+    emb = qc.read_parquet(f"{SF_SMOKE}/embeddings.parquet").df
+    left = emb.filter(F.col("vec_id") < 100) \
+        .withColumnRenamed("vec_id", "id1")
+    right = emb.filter(F.col("vec_id") >= 100) \
+        .withColumnRenamed("vec_id", "id2")
+    got = vector_range_join(left, right, threshold=0.35,
+                            n_planes=4, n_tables=32).toPandas()
+
+    lp = left.select("id1", "embedding").toPandas()
+    rp = right.select("id2", "embedding").toPandas()
+    lm = np.stack(lp["embedding"]).astype(np.float64)
+    rm = np.stack(rp["embedding"]).astype(np.float64)
+    lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+    rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+    sims = lm @ rm.T
+    li_, ri_ = np.nonzero(sims >= 0.35)
+    expected = set(zip(lp["id1"].iloc[li_], rp["id2"].iloc[ri_]))
+    got_pairs = set(zip(got["id1"], got["id2"]))
+    assert expected, "fixture produced no range-join pairs"
+    # exact precision (cosine filter is exact), approximate recall
+    assert got_pairs <= expected
+    assert len(got_pairs) / len(expected) >= 0.7
+
+
+def test_approx_count_distinct_error(spark, qc):
+    li = qc.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    approx = li.approx_count_distinct("l_partkey", rsd=0.02).collect() \
+        .iloc[0, 0]
+    exact = li.count_distinct("l_partkey").collect().iloc[0, 0]
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_rest_source_shape(spark, qc):
+    """REST source builds its plan lazily; without the requests lib the
+    fetch raises only at execution."""
+    ds = qc.read_rest_get("http://localhost:1/nope", [{"page": 1}])
+    assert set(ds.schema) == {"params", "response", "status"}
