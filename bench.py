@@ -42,8 +42,13 @@ def main():
     registry = entry_mod.queries()
     timings = {}
 
-    # JVM/codegen warmup on a trivial action
+    # JVM/codegen warmup + python-UDF worker pool spin-up (one tiny
+    # mapInPandas touches every executor thread once; without it the
+    # first Arrow-UDF query pays ~6s of daemon startup)
     spark.range(1000).selectExpr("sum(id)").collect()
+    (spark.range(CPUS * 4).repartition(CPUS)
+     .mapInPandas(lambda it: it, "id long")
+     .write.format("noop").mode("overwrite").save())
 
     for name in BENCH_QUERIES:
         fn = registry[name]

@@ -33,9 +33,11 @@ def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
     """(id, distinct word-n-gram array). Stages the split-words array in
     a column first — inlining it into the transform() lambda would
     re-evaluate regexp+split per sequence element (O(words²) regex)."""
+    from ..util import ensure_parallelism
     from .text import normalize_text_sql
     words = F.split(F.expr(normalize_text_sql(text_col)), " ")
-    staged = df.select(F.col(id_col), words.alias("__w__"))
+    staged = ensure_parallelism(df, id_col).select(F.col(id_col),
+                                                   words.alias("__w__"))
     sh = F.expr(
         f"transform(sequence(1, greatest(size(__w__) - {n - 1}, 1)), "
         f"i -> concat_ws(' ', slice(__w__, i, {n})))")

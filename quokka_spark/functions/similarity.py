@@ -68,7 +68,8 @@ def brute_force_topk(df: DataFrame, probe, vec_column: str, k: int,
                 "cosine_sim": pa.array(out_sim, pa.float64()),
             })
 
-    local = df.mapInArrow(
+    from ..util import ensure_parallelism
+    local = ensure_parallelism(df, id_column).mapInArrow(
         local_topk,
         schema=f"{probe_id_column} long, {id_column} long, cosine_sim double")
     w = Window.partitionBy(probe_id_column).orderBy(
@@ -124,7 +125,8 @@ def vector_range_join(left: DataFrame, right: DataFrame,
                                              pa.list_(pa.float64())),
                 })
 
-        return df.mapInArrow(
+        from ..util import ensure_parallelism
+        return ensure_parallelism(df, idc).mapInArrow(
             sig, schema=f"{alias} long, table int, sig long, "
                         f"{alias}_vec array<double>")
 
@@ -188,7 +190,8 @@ def lsh_bucket_topk(df: DataFrame, probe, vec_column: str, k: int,
                 "cosine_sim": pa.array(out_sim, pa.float64()),
             })
 
-    cand = df.mapInArrow(
+    from ..util import ensure_parallelism
+    cand = ensure_parallelism(df, id_column).mapInArrow(
         bucketize, schema=f"probe_id long, {id_column} long, cosine_sim double")
     cand = cand.dropDuplicates(["probe_id", id_column])
     w = Window.partitionBy("probe_id").orderBy(

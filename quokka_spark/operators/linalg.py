@@ -38,7 +38,8 @@ def _partial_gramians(df: DataFrame, columns: list):
             "g": pa.array([total.ravel().tolist()], pa.list_(pa.float64())),
         })
 
-    return df.select(*columns).mapInArrow(
+    from ..util import ensure_parallelism
+    return ensure_parallelism(df.select(*columns)).mapInArrow(
         part, schema="n long, s array<double>, g array<double>")
 
 
