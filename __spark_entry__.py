@@ -1415,6 +1415,36 @@ def op_approx_count_distinct(spark, sf_dir):
         .approx_count_distinct("l_partkey", rsd=0.02).df
 
 
+def op_rollup(spark, sf_dir):
+    """Hierarchical grouping sets (parity-plus; SURVEY §2.4 notes the
+    reference lacks rollup/cube)."""
+    qc = _qc(spark)
+    out = _t(qc, sf_dir, "lineitem").rollup(["l_returnflag", "l_linestatus"]) \
+        .agg_sql("round(sum(l_quantity), 2) as sum_qty, count(*) as n")
+    return out.df
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def op_cube(spark, sf_dir):
+    qc = _qc(spark)
+    out = _t(qc, sf_dir, "orders").cube(["o_orderstatus", "o_orderpriority"]) \
+        .agg_sql("count(*) as n, round(sum(o_totalprice), 0) as total")
+    return out.df
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 0) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1442,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_array_agg": op_array_agg,
         "op_percentile_group": op_percentile_group,
         "op_approx_count_distinct": op_approx_count_distinct,
+        "op_rollup": op_rollup, "op_cube": op_cube,
         "op_expression_dsl": op_expression_dsl,
         "op_json_extract": op_json_extract,
         "op_case_when_agg": op_case_when_agg,
@@ -1487,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "op_array_agg": _ARRAY_AGG_SQL,
         "op_percentile_group": _PERCENTILE_GROUP_SQL,
         # op_approx_count_distinct: sketch-dependent -> rows-only
+        "op_rollup": _ROLLUP_SQL, "op_cube": _CUBE_SQL,
         "op_expression_dsl": _EXPR_DSL_SQL,
         "op_json_extract": _JSON_SQL,
         "op_case_when_agg": _CASE_WHEN_SQL,

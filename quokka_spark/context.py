@@ -185,3 +185,22 @@ class QuokkaContext:
 
     def register(self, name: str, ds: DataStream):
         ds.df.createOrReplaceTempView(name)
+
+    def mingle(self, streams: list, executor, new_schema,
+               required_columns: list, by: str | list | None = None) -> DataStream:
+        """Multi-stream custom operator (reference df.py:837-848): the
+        input streams are union-tagged with ``__stream_id__`` and fed to
+        the stateful executor, which sees the tag column — the Spark
+        shape of the reference's per-stream ``execute(…, stream_id)``
+        dispatch."""
+        from pyspark.sql import functions as F
+        assert len(streams) >= 2
+        cols = list(dict.fromkeys(
+            required_columns + ([by] if isinstance(by, str) else (by or []))))
+        tagged = None
+        for i, s in enumerate(streams):
+            t = s.df.select(*cols).withColumn("__stream_id__", F.lit(i))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        ds = DataStream(self, tagged)
+        return ds.stateful_transform(executor, new_schema,
+                                     cols + ["__stream_id__"], by=by)

@@ -211,6 +211,22 @@ class DataStream:
         df = self.df.select(*required_columns).mapInPandas(run, schema=spark_schema)
         return DataStream(self.qc, df)
 
+    def transform_sql(self, statement: str, groupby: list | None = None) -> "DataStream":
+        """SQL select-exprs (with aliases) over the stream, optionally
+        grouped (reference datastream.py:741-815). The reference runs
+        this per batch via DuckDB as its partial-aggregation stage;
+        under Catalyst the same statement runs globally and partial
+        aggregation happens automatically — per-batch semantics (which
+        depend on nondeterministic batch boundaries) are intentionally
+        not replicated."""
+        parts = [F.expr(p) for p in
+                 _split_top_level_commas(duckdb_to_spark_sql(statement))]
+        if groupby:
+            df = self.df.groupBy(*groupby).agg(*parts)
+        else:
+            df = self.df.select(*parts)
+        return DataStream(self.qc, df)
+
     def stateful_transform(self, executor, new_schema, required_columns,
                            by: str | list | None = None) -> "DataStream":
         """Stateful batchwise operator (reference datastream.py:1312-1367,
@@ -386,6 +402,15 @@ class DataStream:
             groupby = [groupby]
         return GroupedDataStream(self, groupby, orderby)
 
+    def rollup(self, keys: list, orderby=None) -> "GroupedDataStream":
+        """Parity-plus (not in the reference — SURVEY §2.4): hierarchical
+        grouping sets."""
+        return GroupedDataStream(self, list(keys), orderby, mode="rollup")
+
+    def cube(self, keys: list, orderby=None) -> "GroupedDataStream":
+        """Parity-plus: all grouping-set combinations."""
+        return GroupedDataStream(self, list(keys), orderby, mode="cube")
+
     def agg(self, aggregations: dict) -> "DataStream":
         return self.groupby([]).agg(aggregations)
 
@@ -533,10 +558,20 @@ class DataStream:
 class GroupedDataStream:
     """Result of groupby(); reference datastream.py:2066-2186."""
 
-    def __init__(self, stream: DataStream, groupby: list, orderby=None):
+    def __init__(self, stream: DataStream, groupby: list, orderby=None,
+                 mode: str = "groupby"):
         self.stream = stream
         self.groupby = groupby
         self.orderby = orderby
+        self.mode = mode
+
+    def _grouped(self):
+        df = self.stream.df
+        if self.mode == "rollup":
+            return df.rollup(*self.groupby)
+        if self.mode == "cube":
+            return df.cube(*self.groupby)
+        return df.groupBy(*self.groupby)
 
     def _finish(self, df: DataFrame) -> DataStream:
         if self.orderby:
@@ -573,7 +608,7 @@ class GroupedDataStream:
                     aggs.append(F.sum(col).alias(f"{col}_sum"))
                 else:
                     raise ValueError(f"unrecognized aggregation {a}")
-        df = self.stream.df.groupBy(*self.groupby).agg(*aggs)
+        df = self._grouped().agg(*aggs)
         return self._finish(df)
 
     aggregate = agg
@@ -585,7 +620,7 @@ class GroupedDataStream:
         reference implements by hand in sql_utils.py:299-413."""
         parts = _split_top_level_commas(duckdb_to_spark_sql(aggregations))
         exprs = [F.expr(p) for p in parts]
-        df = self.stream.df.groupBy(*self.groupby).agg(*exprs)
+        df = self._grouped().agg(*exprs)
         return self._finish(df)
 
     def count_distinct(self, col: str) -> DataStream:

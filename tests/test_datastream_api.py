@@ -224,3 +224,39 @@ def test_expression_dt_namespace(qc):
     pdf = d.limit(10).collect()
     assert (pdf["y"] == 2024).all()
     assert ((pdf["shifted"] - pdf["ts"]).dt.days == 1).all()
+
+
+def test_transform_sql(qc):
+    d = li(qc).transform_sql(
+        "l_returnflag, round(sum(l_extendedprice), 2) as total",
+        groupby=["l_returnflag"])
+    pdf = d.collect()
+    assert set(pdf.columns) == {"l_returnflag", "total"}
+    assert len(pdf) == 3
+
+
+def test_mingle_multi_stream(qc):
+    import pandas as pd
+    from quokka_spark import Executor
+
+    class SpreadExecutor(Executor):
+        """Per-user difference between stream-0 mean and stream-1 mean."""
+
+        def execute(self, batches, stream_id, executor_id):
+            pdf = pd.concat(batches)
+            m0 = pdf.loc[pdf["__stream_id__"] == 0, "value"].mean()
+            m1 = pdf.loc[pdf["__stream_id__"] == 1, "value"].mean()
+            return pd.DataFrame({"spread": [round(float(m0 - m1), 4)]})
+
+        def done(self, executor_id):
+            return None
+
+    ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet")
+    views = ev.filter_sql("event_type = 'view'")
+    clicks = ev.filter_sql("event_type = 'click'")
+    out = qc.mingle([views, clicks], SpreadExecutor,
+                    new_schema="user_id long, spread double",
+                    required_columns=["user_id", "value"], by="user_id")
+    pdf = out.collect()
+    assert set(pdf.columns) == {"user_id", "spread"}
+    assert len(pdf) > 0
