@@ -1,0 +1,88 @@
+"""Partitioning / skew / layout tooling for the 100 TB regime.
+
+The reference hand-schedules partitioners per operator
+(target_info.py:33-72 Hash/Range/Broadcast/PassThrough); under Spark
+the per-operator choice is Catalyst's, and what remains for the user
+is LAYOUT strategy: bucketing for shuffle-free repeated joins, salting
+for skewed keys, and explicit co-partitioning. These helpers encode
+those patterns.
+
+AQE (enabled by session.py) already handles moderate skew at runtime
+(`spark.sql.adaptive.skewJoin`); `salt_keys`/`salted_aggregate` are for
+the pathological hot-key case AQE splitting can't fix — e.g. one user
+with 10% of all events in a groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_keys(df: DataFrame, key: str, n_salts: int = 16,
+              salt_col: str = "__salt__") -> DataFrame:
+    """Append a deterministic salt in [0, n_salts): groupBy(key, salt)
+    spreads one hot key over n_salts reducers. Deterministic (hash of
+    the full row's monotonic id is NOT used — salt must distribute rows
+    of the SAME key, so it hashes a uniform row fingerprint)."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        .cast("int"))
+
+
+def salted_aggregate(df: DataFrame, keys: list, aggs: dict,
+                     n_salts: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation: partial agg on (keys, salt),
+    final agg on keys. Only decomposable aggs: sum/count/min/max.
+
+    ``aggs``: {output_name: ("sum"|"count"|"min"|"max", column)}.
+    The hot key's rows land on n_salts reducers in phase 1; phase 2
+    combines n_salts tiny partials per key.
+    """
+    _COMBINE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    _PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    salted = salt_keys(df, keys[0], n_salts)
+    partial = salted.groupBy(*keys, "__salt__").agg(*[
+        _PARTIAL[fn](col).alias(f"__p_{name}__")
+        for name, (fn, col) in aggs.items()])
+    final = partial.groupBy(*keys).agg(*[
+        _COMBINE[fn](f"__p_{name}__").alias(name)
+        for name, (fn, col) in aggs.items()])
+    return final
+
+
+def skew_report(df: DataFrame, key: str, top: int = 10):
+    """Key-frequency profile: the diagnosis step before salting.
+    Returns (top-key pandas frame, skew ratio = max/mean count)."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(F.max("n").alias("mx"), F.avg("n").alias("mean")).first()
+    topk = counts.orderBy(F.col("n").desc()).limit(top).toPandas()
+    return topk, (stats["mx"] / stats["mean"] if stats["mean"] else 0.0)
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   n_buckets: int = 64, sort_by: str | None = None,
+                   path: str | None = None):
+    """Persist bucketed-by-join-key: repeated joins/aggregations on
+    ``key`` then skip the shuffle entirely (both sides read
+    pre-partitioned). The 100 TB pattern for fact-fact joins that run
+    daily."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def co_partition(left: DataFrame, right: DataFrame, left_key: str,
+                 right_key: str, n_partitions: int | None = None):
+    """Explicitly co-partition two frames on their join keys so a
+    subsequent join (and any further same-key aggregation) reuses ONE
+    shuffle per side across multiple downstream ops."""
+    if n_partitions:
+        return (left.repartition(n_partitions, F.col(left_key)),
+                right.repartition(n_partitions, F.col(right_key)))
+    return (left.repartition(F.col(left_key)),
+            right.repartition(F.col(right_key)))
