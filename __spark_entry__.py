@@ -8,6 +8,15 @@ name).
 
 Query inventory follows SURVEY.md §2 plus the LLM-data extension ops
 (dedup / similarity / text analysis / time-series).
+
+Float rounding policy (cross-engine hash stability): every rounded sum
+uses the EXACT decimal grid of its inputs — 2dp for raw money columns,
+4dp for price*(1-discount) products — so true values land ON grid
+points, never on rounding midpoints. Rounding coarser than the grid
+would put ~1% of sums exactly on a midpoint, where last-ulp float
+noise flips Spark and DuckDB to different sides (observed on tpch_q10
+before this rule). Continuous values (averages, ratios, percentiles)
+may round anywhere; sketch/approximate outputs are rows-only.
 """
 
 from __future__ import annotations
@@ -51,9 +60,9 @@ def tpch_q1(spark, sf_dir):
         "l_extendedprice * (1 - l_discount) * (1 + l_tax) as charge")
     f = d.groupby(["l_returnflag", "l_linestatus"]).agg_sql("""
         round(sum(l_quantity), 2) as sum_qty,
-        round(sum(l_extendedprice), 0) as sum_base_price,
-        round(sum(disc_price), 0) as sum_disc_price,
-        round(sum(charge), 0) as sum_charge,
+        round(sum(l_extendedprice), 2) as sum_base_price,
+        round(sum(disc_price), 4) as sum_disc_price,
+        round(sum(charge), 2) as sum_charge,
         round(avg(l_quantity), 4) as avg_qty,
         round(avg(l_extendedprice), 4) as avg_price,
         round(avg(l_discount), 6) as avg_disc,
@@ -65,9 +74,9 @@ def tpch_q1(spark, sf_dir):
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 0) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
@@ -89,12 +98,12 @@ def tpch_q3(spark, sf_dir):
     top = rev.top_k(["revenue", "o_orderkey"], 10, descending=[True, False])
     return top.df.select(
         F.col("o_orderkey").alias("l_orderkey"),
-        F.round("revenue", 2).alias("revenue"), "o_orderdate")
+        F.round("revenue", 4).alias("revenue"), "o_orderdate")
 
 
 _Q3_SQL = """
 SELECT o_orderkey AS l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, o_orderdate
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, o_orderdate
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate < TIMESTAMP '1998-07-01' AND l_shipdate > TIMESTAMP '1998-07-01'
@@ -134,12 +143,12 @@ def tpch_q5(spark, sf_dir):
          .filter_sql("c_nationkey = n_nationkey")
          .filter_sql("o_orderdate >= date '1996-01-01' and o_orderdate < date '1997-01-01'"))
     out = j.with_columns_sql("l_extendedprice * (1 - l_discount) as rev") \
-           .groupby(["n_name"]).agg_sql("round(sum(rev), 0) as revenue")
+           .groupby(["n_name"]).agg_sql("round(sum(rev), 4) as revenue")
     return out.df
 
 
 _Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM region, nation, supplier, lineitem, orders, customer
 WHERE r_name = 'ASIA' AND r_regionkey = n_regionkey AND n_nationkey = s_nationkey
   AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -154,12 +163,12 @@ def tpch_q6(spark, sf_dir):
     out = _t(qc, sf_dir, "lineitem").filter_sql(
         "l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01' "
         "and l_discount between 0.03 and 0.07 and l_quantity < 24") \
-        .agg_sql("round(sum(l_extendedprice * l_discount), 2) as revenue")
+        .agg_sql("round(sum(l_extendedprice * l_discount), 4) as revenue")
     return out.df
 
 
 _Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -183,14 +192,14 @@ def tpch_q7(spark, sf_dir):
         "cast(year(l_shipdate) as bigint) as l_year, "
         "l_extendedprice * (1 - l_discount) as volume") \
         .groupby(["supp_nation", "cust_nation", "l_year"]) \
-        .agg_sql("round(sum(volume), 0) as revenue")
+        .agg_sql("round(sum(volume), 4) as revenue")
     return out.df
 
 
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM supplier, lineitem, orders, customer, nation n1, nation n2
 WHERE s_suppkey = l_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
@@ -247,13 +256,13 @@ def tpch_q9(spark, sf_dir):
     out = j.with_columns_sql(
         "cast(year(o_orderdate) as bigint) as o_year, "
         "l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity as amount") \
-        .groupby(["n_name", "o_year"]).agg_sql("round(sum(amount), 0) as sum_profit")
+        .groupby(["n_name", "o_year"]).agg_sql("round(sum(amount), 4) as sum_profit")
     return out.df
 
 
 _Q9_SQL = """
 SELECT n_name, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity), 0) AS sum_profit
+       round(sum(l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity), 4) AS sum_profit
 FROM part, lineitem, supplier, nation, orders
 WHERE p_name LIKE '%red%' AND p_partkey = l_partkey AND l_suppkey = s_suppkey
   AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
@@ -275,12 +284,12 @@ def tpch_q10(spark, sf_dir):
            .agg_sql("sum(rev) as revenue")
     top = rev.top_k(["revenue", "c_custkey"], 20, descending=[True, False])
     return top.df.select("c_custkey", "c_name",
-                         F.round("revenue", 2).alias("revenue"),
+                         F.round("revenue", 4).alias("revenue"),
                          "c_acctbal", "n_name")
 
 
 _Q10_SQL = """
-SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        c_acctbal, n_name
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -364,7 +373,7 @@ def tpch_q15(spark, sf_dir):
     mx = rev.df.agg(F.max("total_revenue").alias("mx"))
     out = rev.df.join(F.broadcast(mx), rev.df["total_revenue"] == mx["mx"]) \
         .select(F.col("l_suppkey").alias("s_suppkey"),
-                F.round("total_revenue", 2).alias("total_revenue"))
+                F.round("total_revenue", 4).alias("total_revenue"))
     return out
 
 
@@ -375,7 +384,7 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, round(total_revenue, 2) AS total_revenue FROM revenue
+SELECT s_suppkey, round(total_revenue, 4) AS total_revenue FROM revenue
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
 
@@ -446,12 +455,12 @@ def tpch_q19(spark, sf_dir):
         "(p_brand = 'Brand#13' and l_quantity between 1 and 20) or "
         "(p_brand = 'Brand#20' and l_quantity between 10 and 30) or "
         "(p_brand = 'Brand#9' and l_quantity between 20 and 40)") \
-        .agg_sql("round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue")
+        .agg_sql("round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue")
     return out.df
 
 
 _Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 30)
@@ -1120,7 +1129,7 @@ def tpch_q11(spark, sf_dir):
     total = val.df.agg(F.sum("part_value").alias("total"))
     out = (val.df.join(F.broadcast(total))
            .filter(F.col("part_value") > F.col("total") * 0.001)
-           .select("l_partkey", F.round("part_value", 0).alias("part_value")))
+           .select("l_partkey", F.round("part_value", 2).alias("part_value")))
     return out
 
 
@@ -1129,7 +1138,7 @@ WITH val AS (
   SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_partkey, round(part_value, 0) AS part_value FROM val
+SELECT l_partkey, round(part_value, 2) AS part_value FROM val
 WHERE part_value > (SELECT sum(part_value) * 0.001 FROM val)
 """
 

@@ -73,13 +73,13 @@ def assert_matches_oracle(spark, name: str, sf_dir: str, atol: float = 1e-9):
     for c in sdf.columns:
         a, b = sdf[c], odf[c]
         if pd.api.types.is_float_dtype(a):
-            mism = ~(np.isclose(a.fillna(np.nan), b.fillna(np.nan),
-                                atol=atol, rtol=0, equal_nan=True))
+            mism = np.asarray(~np.isclose(a.fillna(np.nan), b.fillna(np.nan),
+                                          atol=atol, rtol=0, equal_nan=True))
         else:
-            mism = ~((a == b) | (a.isna() & b.isna()))
+            mism = np.asarray(~((a == b) | (a.isna() & b.isna())))
         if mism.any():
-            i = mism.idxmax()
+            i = int(np.nonzero(mism)[0][0])
             raise AssertionError(
                 f"{name}: column {c} mismatch at row {i}: "
-                f"spark={a[i]!r} oracle={b[i]!r} ({int(mism.sum())} total)")
+                f"spark={a.iloc[i]!r} oracle={b.iloc[i]!r} ({int(mism.sum())} total)")
     return sdf, odf
