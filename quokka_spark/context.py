@@ -8,6 +8,8 @@ implements in dataset/*_readers.py is Spark-native here.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -18,10 +20,13 @@ from .session import build_spark
 from .sqldialect import duckdb_to_spark_sql
 
 
+@functools.lru_cache(maxsize=256)
 def _nanos_timestamp_columns(path: str) -> list:
     """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection;
     local paths only — remote stores return [] and rely on the writer
-    using µs, the common case)."""
+    using µs, the common case). Cached per path: the footer schema is
+    immutable for a given dataset version, and re-probing it on every
+    read_parquet call costs a filesystem round-trip per query."""
     try:
         import pyarrow.dataset as pads
         import pyarrow as pa
