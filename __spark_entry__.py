@@ -547,6 +547,46 @@ SELECT l_returnflag, count(*) AS cnt FROM (
 """
 
 
+def op_intersect(spark, sf_dir):
+    """Set intersection (parity-plus: the reference lacks INTERSECT and
+    hand-rolls anti-joins instead, SURVEY §2.6)."""
+    qc = _qc(spark)
+    orders = _t(qc, sf_dir, "orders")
+    a = orders.filter_sql("o_orderdate >= date '1997-01-01'").select(["o_custkey"])
+    b = orders.filter_sql("o_totalprice > 100000").select(["o_custkey"])
+    out = a.intersect(b)
+    return out.df.orderBy("o_custkey")
+
+
+_INTERSECT_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+ORDER BY o_custkey
+"""
+
+
+def op_except(spark, sf_dir):
+    """Set difference (parity-plus, SURVEY §2.6). EXCEPT ALL semantics
+    reduced to DISTINCT inputs so both engines agree on multiplicity."""
+    qc = _qc(spark)
+    orders = _t(qc, sf_dir, "orders")
+    a = orders.filter_sql("o_orderdate >= date '1997-01-01'") \
+        .select(["o_custkey"]).distinct()
+    b = orders.filter_sql("o_totalprice > 100000") \
+        .select(["o_custkey"]).distinct()
+    out = a.except_(b)
+    return out.df.orderBy("o_custkey")
+
+
+_EXCEPT_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000
+ORDER BY o_custkey
+"""
+
+
 def op_semi_join(spark, sf_dir):
     qc = _qc(spark)
     cust = _t(qc, sf_dir, "customer")
@@ -807,6 +847,69 @@ def ts_cep_funnel(spark, sf_dir):
     return out.df
 
 
+def ts_backtest(spark, sf_dir):
+    """Backtester-style stateful executor (reference flagship app
+    apps/rottnest/backtester.py:31-87): per-key running position/cash
+    over a time-ordered event stream. purchase = buy 1, click = sell 1;
+    cash moves by -direction*value; final equity marks the position to
+    the last observed value. One Executor per user_id key group —
+    the same keyed applyInPandas mapping the reference achieves with
+    hash-partitioned channels."""
+    import pandas as pd
+    from quokka_spark import Executor
+
+    class Backtester(Executor):
+        def __init__(self):
+            self.frames = []
+
+        def execute(self, batches, stream_id, executor_id):
+            self.frames.extend(batches)
+            return None
+
+        def done(self, executor_id):
+            pdf = pd.concat(self.frames).sort_values(["ts", "event_id"])
+            direction = pdf["event_type"].map(
+                {"purchase": 1, "click": -1}).fillna(0).astype("int64")
+            position = direction.cumsum()
+            cash = (-direction * pdf["value"]).cumsum()
+            equity = cash.iloc[-1] + position.iloc[-1] * pdf["value"].iloc[-1]
+            return pd.DataFrame({
+                "position": [int(position.iloc[-1])],
+                "cash": [round(float(cash.iloc[-1]), 4)],
+                "equity": [round(float(equity), 4)]})
+
+    qc = _qc(spark)
+    ev = _t(qc, sf_dir, "events")
+    out = ev.stateful_transform(
+        Backtester,
+        new_schema="user_id long, position long, cash double, equity double",
+        required_columns=["ts", "event_id", "event_type", "value"],
+        by="user_id")
+    return out.df
+
+
+_BACKTEST_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, value,
+         CASE event_type WHEN 'purchase' THEN 1
+                         WHEN 'click' THEN -1 ELSE 0 END AS dir
+  FROM events
+), r AS (
+  SELECT user_id, value,
+         sum(dir) OVER w AS position,
+         sum(-dir * value) OVER w AS cash,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, position, round(cash, 4) AS cash,
+       round(cash + position * value, 4) AS equity
+FROM r WHERE rn = 1
+"""
+
+
 def OrderedStreamFix(ds):
     """with_columns returns the subclass via _with; make sure sort key
     survives when callers add derived time columns."""
@@ -1017,6 +1120,21 @@ def sim_topk_lsh(spark, sf_dir):
     emb = _t(qc, sf_dir, "embeddings").df
     probes = emb.filter(F.col("vec_id") < 8)
     out = lsh_bucket_topk(emb, probes, "embedding", k=5, n_planes=4, n_tables=32)
+    return out.select("probe_id", "vec_id",
+                      F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+def sim_topk_ivf(spark, sf_dir):
+    """Approximate ANN via an IVF index (k-means cells, n_probe nearest
+    cells scored) — the centroid-based scale path next to LSH.
+    Approximate by construction → rows-only driver check; pytest
+    asserts recall ≥ 0.7 vs brute force and exactness at
+    n_probe == n_cells."""
+    from quokka_spark.functions.similarity import ivf_topk
+    qc = _qc(spark)
+    emb = _t(qc, sf_dir, "embeddings").df
+    probes = emb.filter(F.col("vec_id") < 8)
+    out = ivf_topk(emb, probes, "embedding", k=5, n_cells=16, n_probe=6)
     return out.select("probe_id", "vec_id",
                       F.round("cosine_sim", 6).alias("cosine_sim"))
 
@@ -1472,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational operators
         "op_topk": op_topk, "op_distinct": op_distinct,
         "op_count_distinct": op_count_distinct, "op_union": op_union,
+        "op_intersect": op_intersect, "op_except": op_except,
         "op_semi_join": op_semi_join, "op_anti_join": op_anti_join,
         "op_window_rank": op_window_rank,
         "op_window_running_sum": op_window_running_sum,
@@ -1489,7 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_tumbling": ts_tumbling, "ts_hopping": ts_hopping,
         "ts_sliding": ts_sliding, "ts_session": ts_session,
         "ts_asof_join": ts_asof_join, "ts_shift": ts_shift,
-        "ts_cep_funnel": ts_cep_funnel,
+        "ts_cep_funnel": ts_cep_funnel, "ts_backtest": ts_backtest,
         "ts_tumbling_running": ts_tumbling_running,
         # text analysis
         "text_tokens": text_tokens, "text_fingerprint": text_fingerprint,
@@ -1500,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         # similarity
         "sim_topk": sim_topk, "sim_topk_lsh": sim_topk_lsh,
+        "sim_topk_ivf": sim_topk_ivf,
         # linalg / sketches
         "agg_gramian": agg_gramian, "agg_covariance": agg_covariance,
         "agg_quantile": agg_quantile,
@@ -1518,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21": _Q21_SQL,
         "op_topk": _TOPK_SQL, "op_distinct": _DISTINCT_SQL,
         "op_count_distinct": _COUNT_DISTINCT_SQL, "op_union": _UNION_SQL,
+        "op_intersect": _INTERSECT_SQL, "op_except": _EXCEPT_SQL,
         "op_semi_join": _SEMI_SQL, "op_anti_join": _ANTI_SQL,
         "op_window_rank": _WINDOW_RANK_SQL,
         "op_window_running_sum": _WINDOW_RUNNING_SQL,
@@ -1534,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_tumbling": _TUMBLING_SQL, "ts_hopping": _HOPPING_SQL,
         "ts_sliding": _SLIDING_SQL, "ts_session": _SESSION_SQL,
         "ts_asof_join": _ASOF_SQL, "ts_shift": _SHIFT_SQL,
+        "ts_backtest": _BACKTEST_SQL,
         "ts_tumbling_running": _TUMBLING_RUNNING_SQL,
         # ts_cep_funnel: no SQL equivalent (MATCH_RECOGNIZE) → rows-only
         "text_tokens": _TOKENS_SQL, "text_fingerprint": _FINGERPRINT_SQL,

@@ -143,6 +143,79 @@ def vector_range_join(left: DataFrame, right: DataFrame,
             .select("id1", "id2", "cosine_sim"))
 
 
+def ivf_topk(df: DataFrame, probe, vec_column: str, k: int,
+             id_column: str = "vec_id", n_cells: int = 16, n_probe: int = 4,
+             train_size: int = 2048, kmeans_iters: int = 8) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the other
+    classic ANN scale path next to LSH (``lsh_bucket_topk``).
+
+    Train: k-means centroids on a bounded driver-side sample (the
+    ``train_size`` lowest-id vectors — deterministic, and independent
+    of total data scale; at 100 TB this is still one TakeOrdered of a
+    few thousand rows). Search: centroids broadcast; each stream batch
+    assigns its vectors to their nearest cell JVM-side-free in one
+    NumPy matmul, and only vectors whose cell is among a probe's
+    ``n_probe`` closest cells are scored exactly. Per-partition local
+    top-k then one global window — shuffle volume is
+    O(probes × k × partitions), the stream itself never shuffles.
+    Recall rises with n_probe (n_probe == n_cells ⇒ exact)."""
+    probe_ids, pmat = _collect_probes(probe, vec_column, id_column)
+    pnorm = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
+
+    train = (df.select(id_column, vec_column).orderBy(id_column)
+             .limit(train_size).toPandas())
+    x = np.stack(train[vec_column].to_numpy()).astype(np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:n_cells].copy()  # deterministic init: first sample points
+    for _ in range(kmeans_iters):
+        assign = (x @ cents.T).argmax(axis=1)  # cosine k-means on unit sphere
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / np.linalg.norm(m)
+    # each probe's n_probe nearest cells
+    pcells = np.argsort(-(pnorm @ cents.T), axis=1)[:, :n_probe]  # (probes, n_probe)
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((probe_ids, pnorm, cents, pcells))
+    kk = k
+
+    def probe_cells(it):
+        import pyarrow as pa
+        p_ids, p, cc, pc = b.value
+        for batch in it:
+            vid = batch.column(id_column).to_numpy(zero_copy_only=False)
+            v = np.stack(batch.column(vec_column).to_pylist()).astype(np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cell = (vn @ cc.T).argmax(axis=1)  # (n,)
+            match = (cell[:, None, None] == pc[None, :, :]).any(axis=2)  # (n, probes)
+            out_pid, out_vid, out_sim = [], [], []
+            for j in range(match.shape[1]):
+                rows = np.nonzero(match[:, j])[0]
+                if not len(rows):
+                    continue
+                sims = vn[rows] @ p[j]
+                take = min(kk, len(rows))
+                best = np.argpartition(-sims, take - 1)[:take]
+                out_pid.extend([p_ids[j]] * take)
+                out_vid.extend(vid[rows[best]].tolist())
+                out_sim.extend(sims[best].tolist())
+            yield pa.RecordBatch.from_pydict({
+                "probe_id": pa.array(out_pid, pa.int64()),
+                id_column: pa.array(out_vid, pa.int64()),
+                "cosine_sim": pa.array(out_sim, pa.float64()),
+            })
+
+    from ..util import ensure_parallelism
+    cand = ensure_parallelism(df, id_column).mapInArrow(
+        probe_cells, schema=f"probe_id long, {id_column} long, cosine_sim double")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_column).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def lsh_bucket_topk(df: DataFrame, probe, vec_column: str, k: int,
                     id_column: str = "vec_id", n_planes: int = 16,
                     n_tables: int = 4, seed: int = 42) -> DataFrame:

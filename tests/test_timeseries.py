@@ -134,6 +134,24 @@ def test_lsh_topk_recall(spark, qc):
     assert recall >= 0.8, f"LSH recall {recall} too low"
 
 
+def test_ivf_topk_recall_and_exact_limit(spark, qc):
+    from quokka_spark.functions.similarity import brute_force_topk, ivf_topk
+    emb = qc.read_parquet(f"{SF_SMOKE}/embeddings.parquet").df
+    probes = emb.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, probes, "embedding", k=5).toPandas()
+    exact_pairs = set(zip(exact["probe_id"], exact["vec_id"]))
+    approx = ivf_topk(emb, probes, "embedding", k=5,
+                      n_cells=16, n_probe=6).toPandas()
+    approx_pairs = set(zip(approx["probe_id"], approx["vec_id"]))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.7, f"IVF recall {recall} too low"
+    # probing every cell degenerates to exact search
+    full = ivf_topk(emb, probes, "embedding", k=5,
+                    n_cells=8, n_probe=8).toPandas()
+    full_pairs = set(zip(full["probe_id"], full["vec_id"]))
+    assert full_pairs == exact_pairs
+
+
 def test_simhash_recovers_near_dups(spark, qc):
     from quokka_spark.functions.dedup import (ngram_jaccard_pairs,
                                               simhash_near_pairs)
