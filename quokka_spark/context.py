@@ -160,6 +160,14 @@ class QuokkaContext:
         return DataStream(self, rest_get_stream(self.spark, url, params_list,
                                                 headers, batch_size))
 
+    def read_rest_post(self, url: str, params_list: list,
+                       headers: dict | None = None,
+                       batch_size: int = 100) -> DataStream:
+        """POST variant of the REST source (reference df.py:655-663)."""
+        from .sources.rest import rest_post_stream
+        return DataStream(self, rest_post_stream(self.spark, url, params_list,
+                                                 headers, batch_size))
+
     def from_pandas(self, pdf) -> DataStream:
         return DataStream(self, self.spark.createDataFrame(pdf), materialized=True)
 

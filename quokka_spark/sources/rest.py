@@ -22,8 +22,8 @@ RESULT_SCHEMA = StructType([
 ])
 
 
-def rest_get_stream(spark: SparkSession, url: str, params_list: list,
-                    headers: dict | None = None, batch_size: int = 100):
+def _rest_stream(spark: SparkSession, url: str, params_list: list,
+                 headers: dict | None, method: str):
     params_df = spark.createDataFrame(
         pd.DataFrame({"params": [json.dumps(p) for p in params_list]}))
 
@@ -37,9 +37,25 @@ def rest_get_stream(spark: SparkSession, url: str, params_list: list,
         for pdf in it:
             rows = []
             for p in pdf["params"]:
-                resp = session.get(url, params=json.loads(p),
-                                   headers=headers or {})
+                if method == "GET":
+                    resp = session.get(url, params=json.loads(p),
+                                       headers=headers or {})
+                else:
+                    resp = session.post(url, json=json.loads(p),
+                                        headers=headers or {})
                 rows.append((p, resp.text, str(resp.status_code)))
             yield pd.DataFrame(rows, columns=["params", "response", "status"])
 
     return params_df.mapInPandas(fetch, schema=RESULT_SCHEMA)
+
+
+def rest_get_stream(spark: SparkSession, url: str, params_list: list,
+                    headers: dict | None = None, batch_size: int = 100):
+    return _rest_stream(spark, url, params_list, headers, "GET")
+
+
+def rest_post_stream(spark: SparkSession, url: str, params_list: list,
+                     headers: dict | None = None, batch_size: int = 100):
+    """POST variant (reference df.py:655-663 exposes both verbs); the
+    per-request dict is sent as the JSON body."""
+    return _rest_stream(spark, url, params_list, headers, "POST")
