@@ -958,13 +958,16 @@ def text_lang_id(spark, sf_dir):
         "doc_id", lang_id("text").alias("lang_pred"))
 
 
-def _lang_id_duckdb_sql() -> str:
+def _lang_id_duckdb_expr() -> str:
     from quokka_spark.functions.text import lang_id_sql
     expr = lang_id_sql("text")
     # Spark regexp_replace is global; DuckDB needs the 'g' flag
-    expr = expr.replace("regexp_replace(trim(text), '\\\\s+', ' ')",
+    return expr.replace("regexp_replace(trim(text), '\\\\s+', ' ')",
                         "regexp_replace(trim(text), '\\s+', ' ', 'g')")
-    return f"SELECT doc_id, {expr} AS lang_pred FROM documents"
+
+
+def _lang_id_duckdb_sql() -> str:
+    return f"SELECT doc_id, {_lang_id_duckdb_expr()} AS lang_pred FROM documents"
 
 
 def text_quality(spark, sf_dir):
@@ -986,6 +989,55 @@ SELECT doc_id,
                      ELSE len(string_split_regex(trim(text), '\s+')) END) BETWEEN 3 AND 12
           THEN 1.0 ELSE 0.5 END), 6) AS quality
 FROM documents
+"""
+
+
+def pipeline_llm_data(spark, sf_dir):
+    """End-to-end training-data pipeline composition: exact dedup →
+    quality + language annotation → quality floor → per-language corpus
+    stats. One dedup shuffle + one agg shuffle; annotation is map-side.
+    The composition is the product — each stage is individually
+    oracle-gated elsewhere; this gate proves they compose."""
+    from quokka_spark.functions.dedup import exact_dedup
+    from quokka_spark.functions.text import lang_id, quality_score, token_count
+    qc = _qc(spark)
+    docs = exact_dedup(_t(qc, sf_dir, "documents").df)
+    ann = (docs.withColumn("quality", quality_score("text"))
+           .withColumn("lang_pred", lang_id("text"))
+           .filter(F.col("quality") >= 0.3))
+    return (ann.groupBy("lang_pred")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+                 F.round(F.avg("quality"), 6).alias("avg_quality"))
+            .orderBy("lang_pred"))
+
+
+def _pipeline_llm_data_sql() -> str:
+    quality = r"""least(length(text) / 500.0, 1.0)
+  * (CASE WHEN length(text) > 0
+          THEN length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / length(text)
+          ELSE 0.0 END)
+  * (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END) > 0
+               AND length(text) * 1.0 / (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END) BETWEEN 3 AND 12
+          THEN 1.0 ELSE 0.5 END)"""
+    tokens = r"""CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END"""
+    return rf"""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+), ann AS (
+  SELECT d.doc_id, d.text, {quality} AS quality,
+         {_lang_id_duckdb_expr()} AS lang_pred
+  FROM documents d JOIN kept USING (doc_id)
+)
+SELECT lang_pred, count(*) AS n_docs,
+       sum({tokens}) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM ann WHERE quality >= 0.3
+GROUP BY lang_pred ORDER BY lang_pred
 """
 
 
@@ -1614,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text_tokens, "text_fingerprint": text_fingerprint,
         "text_lang_id": text_lang_id, "text_quality": text_quality,
         # dedup
+        "pipeline_llm_data": pipeline_llm_data,
         "dedup_exact": dedup_exact, "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash": dedup_minhash, "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
@@ -1660,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         # ts_cep_funnel: no SQL equivalent (MATCH_RECOGNIZE) → rows-only
         "text_tokens": _TOKENS_SQL, "text_fingerprint": _FINGERPRINT_SQL,
         "text_lang_id": _lang_id_duckdb_sql(), "text_quality": _QUALITY_SQL,
+        "pipeline_llm_data": _pipeline_llm_data_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,
