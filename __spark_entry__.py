@@ -979,6 +979,9 @@ def bench_wide_quantile(spark, sf_dir):
     wide = spark.range(n).select(*cols)
     return approximate_quantile_wide(wide, [f"c{i}" for i in range(100)],
                                      [0.5, 0.99], accuracy=1000)
+
+
+def OrderedStreamFix(ds):
     """with_columns returns the subclass via _with; make sure sort key
     survives when callers add derived time columns."""
     from quokka_spark.orderedstream import OrderedStream

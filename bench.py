@@ -23,10 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# headline set: one per operator family, weighted toward the
-# shuffle/join-heavy queries that dominate at scale
+# headline set: the full TPC-H suite (the reference's own headline
+# comparison, blog/release.md) + one per operator family, weighted
+# toward the shuffle/join-heavy queries that dominate at scale
 BENCH_QUERIES = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q13", "tpch_q18",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "op_count_distinct", "op_window_rank",
     "ts_tumbling", "ts_sliding", "ts_session", "ts_asof_join",
     "bench_asof_micro", "bench_wide_quantile",
