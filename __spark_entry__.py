@@ -1422,13 +1422,17 @@ def tpch_q21(spark, sf_dir):
     j = li.join(orders, left_on="l_orderkey", right_on="o_orderkey")
     per_os = j.with_columns_sql(
         "case when l_shipdate > o_orderdate + interval 60 day then 1 else 0 end as is_late")         .groupby(["l_orderkey", "l_suppkey"]).agg_sql("max(is_late) as supp_late")
-    per_order = per_os.groupby(["l_orderkey"]).agg_sql(
-        "count(*) as n_supps, sum(supp_late) as n_late")
-    out = (per_os.filter_sql("supp_late = 1")
-           .join(per_order.filter_sql("n_supps > 1 and n_late = 1"),
-                 on="l_orderkey", how="semi")
-           .groupby(["l_suppkey"]).agg_sql("count(*) as numwait"))
-    return out.df
+    # per-order totals via a window over the SAME rows — one scan pass,
+    # no self-join (the naive per_os ⋈ per_order recomputes the whole
+    # lineitem⋈orders subtree and adds a sort-merge join; at 100 TB
+    # that's 2× the scan and an extra wide shuffle)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("l_orderkey")
+    df = (per_os.df
+          .withColumn("n_supps", F.count("*").over(w))
+          .withColumn("n_late", F.sum("supp_late").over(w)))
+    return (df.filter("supp_late = 1 AND n_supps > 1 AND n_late = 1")
+            .groupBy("l_suppkey").agg(F.count("*").alias("numwait")))
 
 
 _Q21_SQL = """
