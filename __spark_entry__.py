@@ -370,8 +370,12 @@ def tpch_q15(spark, sf_dir):
               "l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-04-01'")
            .with_columns_sql("l_extendedprice * (1 - l_discount) as rev")
            .groupby(["l_suppkey"]).agg_sql("sum(rev) as total_revenue"))
-    mx = rev.df.agg(F.max("total_revenue").alias("mx"))
-    out = rev.df.join(F.broadcast(mx), rev.df["total_revenue"] == mx["mx"]) \
+    # hand-decorrelate the scalar-max subquery the way the reference
+    # does (compute() + rejoin, SURVEY §4): persist the revenue agg so
+    # lineitem is scanned once, then broadcast the 1-row max
+    revdf = rev.df.persist()
+    mx = revdf.agg(F.max("total_revenue").alias("mx"))
+    out = revdf.join(F.broadcast(mx), revdf["total_revenue"] == mx["mx"]) \
         .select(F.col("l_suppkey").alias("s_suppkey"),
                 F.round("total_revenue", 4).alias("total_revenue"))
     return out
@@ -1341,11 +1345,14 @@ def tpch_q2(spark, sf_dir):
                   left_on="l_partkey", right_on="p_partkey")
             .join(_t(qc, sf_dir, "supplier"), left_on="l_suppkey",
                   right_on="s_suppkey"))
-    best = link.groupby(["l_partkey"]).agg_sql("max(s_acctbal) as best_bal")                .rename({"l_partkey": "b_partkey"})
-    out = (link.join(best, left_on="l_partkey", right_on="b_partkey")
-           .filter_sql("s_acctbal = best_bal")
-           .select(["l_partkey", "p_name", "p_size", "s_name"]))
-    return out.df.withColumnsRenamed({"l_partkey": "p_partkey"})
+    # per-part max via window — one pass over link instead of
+    # recomputing the distinct+2-join subtree for the agg side
+    from pyspark.sql import Window as W
+    w = W.partitionBy("l_partkey")
+    out = (link.df.withColumn("best_bal", F.max("s_acctbal").over(w))
+           .filter("s_acctbal = best_bal")
+           .select("l_partkey", "p_name", "p_size", "s_name"))
+    return out.withColumnsRenamed({"l_partkey": "p_partkey"})
 
 
 _Q2_SQL = """
