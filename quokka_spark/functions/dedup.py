@@ -87,7 +87,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 64, seed: int = 42) -> DataFrame:
+                       num_hashes: int = 64, seed: int = 42,
+                       shingled: DataFrame | None = None) -> DataFrame:
     """MinHash signatures via vectorized NumPy over Arrow batches.
 
     Shingle base hash: xxhash64 (JVM-side); permutations h_i(x) =
@@ -100,7 +101,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     a = (rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
-    shingled = _with_shingles(df, text_col, id_col, n).select(
+    if shingled is None:
+        shingled = _with_shingles(df, text_col, id_col, n)
+    shingled = shingled.select(
         id_col, F.transform("__sh__", lambda s: F.xxhash64(s)).alias("__h__"))
 
     def sign(it):
@@ -129,7 +132,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 64, bands: int = 16,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      shingled: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded minhash-LSH.
 
     rows-per-band r = num_hashes/bands; P(candidate) ≈ 1-(1-j^r)^bands.
@@ -137,7 +141,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     within a bucket — the 100 TB-safe plan."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed,
+                              shingled=shingled)
     banded = sigs.select(
         id_col,
         F.posexplode(
@@ -158,13 +163,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def verify_candidates_jaccard(df: DataFrame, candidates: DataFrame,
                               text_col: str = "text", id_col: str = "doc_id",
-                              n: int = 3, threshold: float = 0.6) -> DataFrame:
+                              n: int = 3, threshold: float = 0.6,
+                              shingled: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard on CANDIDATE pairs only (vs the all-pairs inverted
     index of ngram_jaccard_pairs): join each side's shingle set onto the
     pair and intersect JVM-side. Work is O(|candidates|), the shape that
     survives 100 TB — the full index join is the oracle, this is the
     production path."""
-    sh = _with_shingles(df, text_col, id_col, n)
+    sh = shingled if shingled is not None else _with_shingles(df, text_col,
+                                                              id_col, n)
     s1 = sh.select(F.col(id_col).alias("id1"), F.col("__sh__").alias("__sh1__"))
     s2 = sh.select(F.col(id_col).alias("id2"), F.col("__sh__").alias("__sh2__"))
     inter = F.size(F.array_intersect("__sh1__", "__sh2__"))
@@ -179,9 +186,19 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, num_hashes: int = 64, bands: int = 16,
                   threshold: float = 0.6, seed: int = 42) -> DataFrame:
     """Full near-dup dedup: LSH candidates → candidate-only exact
-    Jaccard verify → drop the higher id of each dup pair."""
-    cand = minhash_lsh_pairs(df, text_col, id_col, n, num_hashes, bands, seed)
-    dup = verify_candidates_jaccard(df, cand, text_col, id_col, n, threshold)
+    Jaccard verify → drop the higher id of each dup pair.
+
+    The shingle arrays feed both signature generation and verify, so
+    they are computed ONCE and persisted (memory-and-disk: at corpus
+    scale this is the one intermediate worth materializing — it
+    replaces two further regex+split passes over all text)."""
+    from pyspark.storagelevel import StorageLevel
+    sh = _with_shingles(df, text_col, id_col, n) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_pairs(df, text_col, id_col, n, num_hashes, bands, seed,
+                             shingled=sh)
+    dup = verify_candidates_jaccard(df, cand, text_col, id_col, n, threshold,
+                                    shingled=sh)
     drop = dup.select(F.col("id2").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
 
