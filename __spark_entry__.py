@@ -1116,6 +1116,29 @@ GROUP BY lang_pred ORDER BY lang_pred
 """
 
 
+def text_heavy_hitters(spark, sf_dir):
+    """Corpus token-frequency top-k (word-count at scale): explode
+    normalized tokens → partial-agg count per token → TakeOrdered 20.
+    The shuffle carries (token, partial count), never raw text."""
+    from quokka_spark.functions.text import normalize_text_sql
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    toks = docs.select(F.explode(
+        F.split(F.expr(normalize_text_sql("text")), " ")).alias("token")) \
+        .filter("token != ''")
+    return (toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "token").limit(20))
+
+
+_HEAVY_HITTERS_SQL = r"""
+SELECT token, count(*) AS cnt FROM (
+  SELECT unnest(string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+) WHERE token != ''
+GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
 # ======================================================================
 # Deduplication (LLM-data extension)
 # ======================================================================
@@ -1749,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_tokens": text_tokens, "text_fingerprint": text_fingerprint,
         "text_lang_id": text_lang_id, "text_quality": text_quality,
+        "text_heavy_hitters": text_heavy_hitters,
         # dedup
         "pipeline_llm_data": pipeline_llm_data,
         "dedup_exact": dedup_exact, "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1798,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         # ts_cep_funnel: no SQL equivalent (MATCH_RECOGNIZE) → rows-only
         "text_tokens": _TOKENS_SQL, "text_fingerprint": _FINGERPRINT_SQL,
         "text_lang_id": _lang_id_duckdb_sql(), "text_quality": _QUALITY_SQL,
+        "text_heavy_hitters": _HEAVY_HITTERS_SQL,
         "pipeline_llm_data": _pipeline_llm_data_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,

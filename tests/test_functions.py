@@ -86,3 +86,24 @@ def test_rest_source_shape(spark, qc):
     fetch raises only at execution."""
     ds = qc.read_rest_get("http://localhost:1/nope", [{"page": 1}])
     assert set(ds.schema) == {"params", "response", "status"}
+
+
+def test_wide_quantile_accuracy(spark):
+    """The rows-only bench_wide_quantile gate is backed here: batched
+    percentile_approx medians must land within the sketch's rank-error
+    bound of the exact percentile."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from quokka_spark.operators.linalg import approximate_quantile_wide
+    cols = [(((F.col("id") * (i + 7)) % 10007) / 7.0).alias(f"c{i}")
+            for i in range(8)]
+    wide = spark.range(50_000).select(*cols)
+    approx = approximate_quantile_wide(
+        wide, [f"c{i}" for i in range(8)], [0.5], accuracy=1000).toPandas()
+    exact = wide.agg(*[F.percentile(f"c{i}", F.lit(0.5)).alias(f"c{i}")
+                       for i in range(8)]).toPandas()
+    for _, row in approx.iterrows():
+        e = exact[row["column"]].iloc[0]
+        # values span [0, 10007/7]; 0.1% rank error on a ~uniform
+        # distribution ≈ 0.1% of the range
+        assert abs(row["q0_5"] - e) <= 10007 / 7.0 * 0.005, row["column"]
