@@ -1289,6 +1289,19 @@ def sim_topk_ivf(spark, sf_dir):
                       F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+def ml_kmeans(spark, sf_dir):
+    """Distributed k-means over the embeddings table (reference ships
+    this as apps/vectors/kmeans.py). Iterative → no SQL oracle
+    (rows-only driver check); tests/test_functions.py asserts exact
+    equality with a single-machine numpy Lloyd's reference."""
+    from quokka_spark.operators.linalg import kmeans
+    qc = _qc(spark)
+    emb = _t(qc, sf_dir, "embeddings").df
+    _, assign = kmeans(emb, "embedding", "vec_id", k=8, iters=5)
+    return (assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("cluster"))
+
+
 # ======================================================================
 # Linear algebra / sketches (SURVEY §2.4)
 # ======================================================================
@@ -1783,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": sim_topk_ivf,
         # linalg / sketches
         "agg_gramian": agg_gramian, "agg_covariance": agg_covariance,
+        "ml_kmeans": ml_kmeans,
         "agg_quantile": agg_quantile,
     }
 

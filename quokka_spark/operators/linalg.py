@@ -97,3 +97,66 @@ def approximate_quantile_wide(df: DataFrame, columns: list, probs: list,
     return res.select(
         "column", *[F.col("qs").getItem(j).alias(
             "q" + str(p).replace(".", "_")) for j, p in enumerate(probs)])
+
+
+def kmeans(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
+           iters: int = 5) -> "tuple[np.ndarray, DataFrame]":
+    """Distributed Lloyd's k-means over a vector column (reference ships
+    this as an app, apps/vectors/kmeans.py — here it is an operator).
+
+    The idiomatic Spark iterative shape: per iteration, centroids
+    (k×dim, tiny) broadcast to an Arrow-batched assign+partial-sum
+    kernel; only (cluster, count, sum-vector) partials — k rows per
+    partition — cross the shuffle; the driver reduces them and loops.
+    The vector stream itself never shuffles, any iteration count works
+    at 100 TB. Deterministic init: the k lowest-id vectors.
+
+    Returns (centroids, assignment DataFrame(id, cluster))."""
+    init = (df.select(id_col, vec_col).orderBy(id_col).limit(k).toPandas())
+    cents = np.stack(init[vec_col].to_numpy()).astype(np.float64)
+    sc = df.sparkSession.sparkContext
+
+    def make_kernel(b, emit_partials):
+        def kernel(it):
+            import pyarrow as pa
+            cc = b.value
+            for batch in it:
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                x = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+                d = ((x[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                if emit_partials:
+                    clusters, counts = np.unique(assign, return_counts=True)
+                    sums = np.stack([x[assign == c].sum(axis=0)
+                                     for c in clusters])
+                    yield pa.RecordBatch.from_pydict({
+                        "cluster": pa.array(clusters.tolist(), pa.int32()),
+                        "n": pa.array(counts.tolist(), pa.int64()),
+                        "vsum": pa.array(sums.tolist(),
+                                         pa.list_(pa.float64())),
+                    })
+                else:
+                    yield pa.RecordBatch.from_pydict({
+                        id_col: pa.array(ids.tolist(), pa.int64()),
+                        "cluster": pa.array(assign.tolist(), pa.int32()),
+                    })
+        return kernel
+
+    dim = cents.shape[1]
+    for _ in range(iters):
+        b = sc.broadcast(cents)
+        partials = df.select(id_col, vec_col).mapInArrow(
+            make_kernel(b, True),
+            schema="cluster int, n long, vsum array<double>")
+        rows = (partials.groupBy("cluster")
+                .agg(F.sum("n").alias("n"),
+                     *[F.sum(F.element_at("vsum", i + 1)).alias(f"s{i}")
+                       for i in range(dim)])
+                .collect())
+        for r in rows:
+            c = r["cluster"]
+            cents[c] = np.array([r[f"s{i}"] for i in range(dim)]) / r["n"]
+    b = sc.broadcast(cents)
+    assign = df.select(id_col, vec_col).mapInArrow(
+        make_kernel(b, False), schema=f"{id_col} long, cluster int")
+    return cents, assign

@@ -107,3 +107,25 @@ def test_wide_quantile_accuracy(spark):
         # values span [0, 10007/7]; 0.1% rank error on a ~uniform
         # distribution ≈ 0.1% of the range
         assert abs(row["q0_5"] - e) <= 10007 / 7.0 * 0.005, row["column"]
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """Distributed Lloyd's must equal a single-machine numpy run
+    exactly (same deterministic init, same iteration count)."""
+    import numpy as np
+    from quokka_spark.operators.linalg import kmeans
+    df = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents, assign = kmeans(df, "embedding", "vec_id", k=4, iters=3)
+    pdf = df.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ref = x[:4].copy()
+    for _ in range(3):
+        d = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(4):
+            if (a == c).any():
+                ref[c] = x[a == c].mean(axis=0)
+    assert np.allclose(cents, ref, atol=1e-9)
+    got = assign.orderBy("vec_id").toPandas()["cluster"].to_numpy()
+    d = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+    assert (got == d.argmin(axis=1)).all()
