@@ -1289,6 +1289,51 @@ def sim_topk_ivf(spark, sf_dir):
                       F.round("cosine_sim", 6).alias("cosine_sim"))
 
 
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the part↔supplier bipartite graph from lineitem
+    (reference apps/unstable/pagerank.py as an operator). 3 iterations;
+    oracle = the same iterations unrolled as DuckDB CTEs."""
+    from quokka_spark.operators.graph import pagerank
+    qc = _qc(spark)
+    li = _t(qc, sf_dir, "lineitem").df
+    fwd = li.select(F.col("l_partkey").alias("src"),
+                    (F.col("l_suppkey") + 1000000).alias("dst"))
+    rev = li.select((F.col("l_suppkey") + 1000000).alias("src"),
+                    F.col("l_partkey").alias("dst"))
+    ranks = pagerank(fwd.union(rev), iters=3)
+    return (ranks.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), "node").limit(20))
+
+
+_PAGERANK_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst FROM lineitem
+  UNION
+  SELECT DISTINCT 1000000 + l_suppkey AS src, l_partkey AS dst FROM lineitem
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst AS node FROM e
+), params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS rank FROM nodes),
+r1 AS (SELECT nd.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(s.c, 0) AS rank
+       FROM nodes nd LEFT JOIN (
+         SELECT e.dst AS node, sum(r0.rank / deg.outd) AS c
+         FROM e JOIN deg ON e.src = deg.src JOIN r0 ON r0.node = e.src
+         GROUP BY e.dst) s USING (node)),
+r2 AS (SELECT nd.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(s.c, 0) AS rank
+       FROM nodes nd LEFT JOIN (
+         SELECT e.dst AS node, sum(r1.rank / deg.outd) AS c
+         FROM e JOIN deg ON e.src = deg.src JOIN r1 ON r1.node = e.src
+         GROUP BY e.dst) s USING (node)),
+r3 AS (SELECT nd.node, 0.15 / (SELECT n FROM params) + 0.85 * coalesce(s.c, 0) AS rank
+       FROM nodes nd LEFT JOIN (
+         SELECT e.dst AS node, sum(r2.rank / deg.outd) AS c
+         FROM e JOIN deg ON e.src = deg.src JOIN r2 ON r2.node = e.src
+         GROUP BY e.dst) s USING (node))
+SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+"""
+
+
 def ml_kmeans(spark, sf_dir):
     """Distributed k-means over the embeddings table (reference ships
     this as apps/vectors/kmeans.py). Iterative → no SQL oracle
@@ -1796,7 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": sim_topk_ivf,
         # linalg / sketches
         "agg_gramian": agg_gramian, "agg_covariance": agg_covariance,
-        "ml_kmeans": ml_kmeans,
+        "ml_kmeans": ml_kmeans, "graph_pagerank": graph_pagerank,
         "agg_quantile": agg_quantile,
     }
 
@@ -1838,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_id_duckdb_sql(), "text_quality": _QUALITY_SQL,
         "text_heavy_hitters": _HEAVY_HITTERS_SQL,
         "pipeline_llm_data": _pipeline_llm_data_sql(),
+        "graph_pagerank": _PAGERANK_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,
