@@ -86,3 +86,62 @@ def test_random_filter_agg_matches_duckdb(spark, qc, duck, pred, agg, key):
             assert (a - b).abs().max() <= 1e-9, f"pred={pred} agg={agg} col={c}"
         else:
             assert (a == b).all(), f"pred={pred} agg={agg} col={c}"
+
+
+ORDER_LITERALS = {
+    "o_totalprice": st.integers(10000, 400000),
+    "c_acctbal": st.integers(-500, 9000),
+}
+
+
+@st.composite
+def join_predicate(draw):
+    col = draw(st.sampled_from(list(ORDER_LITERALS)))
+    op = draw(st.sampled_from(["<", "<=", ">", ">=", "="]))
+    return f"{col} {op} {draw(ORDER_LITERALS[col])}"
+
+
+@pytest.fixture(scope="module")
+def duck_oc(spark):
+    con = duckdb.connect()
+    for t in ["orders", "customer"]:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    return con
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pred=join_predicate(),
+       how=st.sampled_from(["inner", "semi", "anti"]),
+       key=st.sampled_from(["c_mktsegment", "o_orderpriority"]))
+def test_random_join_agg_matches_duckdb(spark, qc, duck_oc, pred, how, key):
+    """Random equi-join (inner/semi/anti) + filter + count per key must
+    match DuckDB. Semi/anti joins project the right side away, so the
+    group key must come from the left for those shapes."""
+    if how != "inner" and key == "o_orderpriority":
+        key = "c_mktsegment"
+    cust = qc.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    orders = qc.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    got = canonicalize(
+        cust.join(orders, left_on="c_custkey", right_on="o_custkey", how=how)
+        .filter_sql(pred if how == "inner" or pred.startswith("c_") else "TRUE")
+        .groupby([key]).agg_sql("count(*) as cnt").collect())
+    where = pred if how == "inner" or pred.startswith("c_") else "TRUE"
+    if how == "inner":
+        sql = (f"SELECT {key}, count(*) AS cnt FROM customer "
+               f"JOIN orders ON c_custkey = o_custkey WHERE {where} "
+               f"GROUP BY {key}")
+    elif how == "semi":
+        sql = (f"SELECT {key}, count(*) AS cnt FROM customer "
+               f"WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+               f"AND {where} GROUP BY {key}")
+    else:
+        sql = (f"SELECT {key}, count(*) AS cnt FROM customer "
+               f"WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+               f"AND {where} GROUP BY {key}")
+    want = canonicalize(duck_oc.execute(sql).fetchdf())
+    assert len(got) == len(want), f"pred={pred} how={how}"
+    if len(got):
+        for c in got.columns:
+            assert (got[c] == want[c]).all(), f"pred={pred} how={how} col={c}"
