@@ -1687,6 +1687,15 @@ FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
 """
 
 
+def op_sql_tpch(spark, sf_dir):
+    """TPC-H Q1 SQL TEXT (DuckDB dialect, the oracle's own string) run
+    through qc.sql() — proves the SQL front end executes real queries
+    verbatim, the capability the reference builds a whole DuckDB-plan→
+    code generator for (pyquokka/sql.py; SURVEY §2.10)."""
+    qc = _qc(spark)
+    return qc.sql(_Q1_SQL, tables={"lineitem": _t(qc, sf_dir, "lineitem")}).df
+
+
 def ts_tumbling_running(spark, sf_dir):
     """Tumbling window + OnEventTrigger: running aggregate per event
     within its window (reference ts_executors.py:109-145)."""
@@ -1812,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_clip": op_clip, "op_with_columns_lambda": op_with_columns_lambda,
         "op_transform": op_transform, "op_stateful": op_stateful,
         "op_cogroup": op_cogroup, "op_sql_entry": op_sql_entry,
+        "op_sql_tpch": op_sql_tpch,
         "op_array_agg": op_array_agg,
         "op_percentile_group": op_percentile_group,
         "op_approx_count_distinct": op_approx_count_distinct,
@@ -1865,6 +1875,7 @@ def oracle_sql() -> dict[str, str]:
         "op_clip": _CLIP_SQL, "op_with_columns_lambda": _LAMBDA_SQL,
         "op_transform": _TRANSFORM_SQL, "op_stateful": _STATEFUL_SQL,
         "op_cogroup": _COGROUP_SQL, "op_sql_entry": _SQL_ENTRY_SQL,
+        "op_sql_tpch": _Q1_SQL,
         "op_array_agg": _ARRAY_AGG_SQL,
         "op_percentile_group": _PERCENTILE_GROUP_SQL,
         # op_approx_count_distinct: sketch-dependent -> rows-only
