@@ -914,6 +914,70 @@ FROM r WHERE rn = 1
 """
 
 
+def _mm_payloads(spark, sf_dir):
+    """Deterministic binary payloads: magic bytes (by doc_id % 3) +
+    utf-8 text — stands in for real media files so the multimodal
+    plumbing is driver-checkable without image fixtures."""
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    magic = (F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit("FFD8FFE0")))
+             .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit("89504E47")))
+             .otherwise(F.unhex(F.lit("47494638"))))
+    return docs.select("doc_id",
+                       F.concat(magic, F.encode("text", "utf-8")).alias("object"))
+
+
+def mm_metadata(spark, sf_dir):
+    """Multimodal metadata pass (functions/multimodal.payload_metadata):
+    JVM-side size + magic-byte format sniffing — zero UDFs, zero
+    shuffles before the final agg."""
+    from quokka_spark.functions.multimodal import payload_metadata
+    p = _mm_payloads(spark, sf_dir)
+    ann = payload_metadata(p, "object")
+    return (ann.groupBy("payload_format")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("payload_size"), 2).alias("avg_size"))
+            .orderBy("payload_format"))
+
+
+_MM_METADATA_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB
+               WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+               ELSE '\x47\x49\x46\x38'::BLOB END || encode(text)) AS payload
+  FROM documents
+), ann AS (
+  SELECT CASE WHEN substr(hex(payload), 1, 4) = 'FFD8' THEN 'jpeg'
+              WHEN substr(hex(payload), 1, 4) = '8950' THEN 'png'
+              WHEN substr(hex(payload), 1, 4) = '4749' THEN 'gif'
+              WHEN substr(hex(payload), 1, 4) = '5249' THEN 'riff'
+              ELSE 'unknown' END AS payload_format,
+         octet_length(payload) AS payload_size
+  FROM p
+)
+SELECT payload_format, count(*) AS n, round(avg(payload_size), 2) AS avg_size
+FROM ann GROUP BY payload_format ORDER BY payload_format
+"""
+
+
+def mm_features(spark, sf_dir):
+    """Stubbed decode → feature-extract through the real mapInPandas
+    plumbing (functions/multimodal.extract_image_features): batching,
+    schema, and partitioning are production-shaped; only the pixel
+    decode is a deterministic fake (no codec libs in container) →
+    rows-only driver check; tests pin determinism and shapes."""
+    from quokka_spark.functions.multimodal import extract_image_features
+    p = _mm_payloads(spark, sf_dir).withColumnRenamed("doc_id", "filename")
+    feats = extract_image_features(p, "object", "filename", dim=16)
+    return feats.select(
+        "filename",
+        F.round(F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x * x), 4).alias("norm_sq"),
+        F.size("embedding").alias("dim"))
+
+
 def _sf_of(sf_dir: str) -> float:
     import re
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -1843,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": text_heavy_hitters,
         # dedup
         "pipeline_llm_data": pipeline_llm_data,
+        "mm_metadata": mm_metadata, "mm_features": mm_features,
         "dedup_exact": dedup_exact, "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash": dedup_minhash, "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
@@ -1895,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         "text_heavy_hitters": _HEAVY_HITTERS_SQL,
         "pipeline_llm_data": _pipeline_llm_data_sql(),
         "graph_pagerank": _PAGERANK_SQL,
+        "mm_metadata": _MM_METADATA_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,
