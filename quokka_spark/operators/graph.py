@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
-             iters: int = 3, damping: float = 0.85) -> DataFrame:
+             iters: int = 3, damping: float = 0.85,
+             checkpoint_every: int = 10) -> DataFrame:
     """PageRank over a directed edge list. Returns (node, rank).
 
     Dangling nodes (no out-edges) are supported: their rank mass is
@@ -27,18 +28,28 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .union(e.select(F.col("dst").alias("node")))
              .distinct().persist(StorageLevel.MEMORY_AND_DISK))
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    # dangling nodes (no out-edges) are a static property of the graph;
+    # only pay the per-iteration mass collect when they exist
+    has_dangling = n > deg.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for it in range(iters):
+        # each iteration stacks a join+agg on the rank lineage; truncate
+        # it periodically so long runs don't replan an ever-deeper tree
+        if it and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
         contrib = (e.join(deg, "src")
                    .join(ranks.withColumnRenamed("node", "src"), "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum(F.col("rank") / F.col("outd")).alias("c")))
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (ranks.join(deg.withColumnRenamed("src", "node"),
-                               "node", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d")))
-        d = dangling.collect()[0]["d"]
+        d = 0.0
+        if has_dangling:
+            # rank mass held by dangling nodes, redistributed uniformly
+            d = (ranks.join(deg.withColumnRenamed("src", "node"),
+                            "node", "left_anti")
+                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+                 .collect()[0]["d"])
         ranks = (nodes.join(contrib, "node", "left")
                  .select("node",
                          (F.lit((1.0 - damping) / n) + F.lit(damping) *
