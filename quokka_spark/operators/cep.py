@@ -199,7 +199,7 @@ def pattern_recognize(df, time_col: str, events: list, maxspan, by: str,
         StructField("last_event_timestamp", ts_field.dataType, True),
     ])
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         found = match_pattern_pandas(pdf, pattern)
         if not found:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
