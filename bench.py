@@ -70,6 +70,10 @@ def main():
             if measured:
                 t = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
+            # queries that persist intermediates (minhash shingles, q15
+            # revenue) would otherwise accumulate cached blocks across
+            # passes and starve execution memory for later queries
+            spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

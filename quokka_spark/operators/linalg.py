@@ -74,7 +74,7 @@ def covariance(df: DataFrame, columns: list) -> np.ndarray:
 
 def approximate_quantile_wide(df: DataFrame, columns: list, probs: list,
                               accuracy: int = 10000,
-                              batch: int = 64) -> DataFrame:
+                              batch: int = 128) -> DataFrame:
     """Wide approximate quantiles as a DataFrame (one row per column) —
     the shape that completes at 10k columns where a single plan carrying
     every aggregate falls over (BASELINE target 3, reference
