@@ -1253,12 +1253,21 @@ def dedup_minhash(spark, sf_dir):
     The data's near-dup pairs all have jaccard ≥ 0.9 where 16-band/4-row
     LSH recall is 1 - (1-0.9^4)^16 ≈ 1-4e-8, so the verified output
     provably equals the exact-jaccard oracle."""
-    from quokka_spark.functions.dedup import (minhash_lsh_pairs,
+    from pyspark.storagelevel import StorageLevel
+    from quokka_spark.functions.dedup import (_with_shingles,
+                                              minhash_lsh_pairs,
                                               verify_candidates_jaccard)
     qc = _qc(spark)
     docs = _t(qc, sf_dir, "documents").df
-    cand = minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16)
-    return verify_candidates_jaccard(docs, cand, n=3, threshold=0.6) \
+    # one persisted tokenize pass feeds both signatures and verify —
+    # at corpus scale the shingle arrays are the intermediate worth
+    # materializing (replaces a second regex+split pass over all text)
+    sh = _with_shingles(docs, "text", "doc_id", 3) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_pairs(docs, n=3, num_hashes=64, bands=16,
+                             shingled=sh)
+    return verify_candidates_jaccard(docs, cand, n=3, threshold=0.6,
+                                     shingled=sh) \
         .select("id1", "id2")
 
 
