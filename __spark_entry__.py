@@ -1581,15 +1581,22 @@ def tpch_q21(spark, sf_dir):
     li = _t(qc, sf_dir, "lineitem")
     orders = _t(qc, sf_dir, "orders")
     j = li.join(orders, left_on="l_orderkey", right_on="o_orderkey")
-    per_os = j.with_columns_sql(
-        "case when l_shipdate > o_orderdate + interval 60 day then 1 else 0 end as is_late")         .groupby(["l_orderkey", "l_suppkey"]).agg_sql("max(is_late) as supp_late")
     # per-order totals via a window over the SAME rows — one scan pass,
     # no self-join (the naive per_os ⋈ per_order recomputes the whole
     # lineitem⋈orders subtree and adds a sort-merge join; at 100 TB
-    # that's 2× the scan and an extra wide shuffle)
+    # that's 2× the scan and an extra wide shuffle). Repartitioning on
+    # l_orderkey ALONE before the (l_orderkey, l_suppkey) aggregation
+    # lets both the groupBy and the window reuse one exchange — a
+    # compound-key shuffle would satisfy the agg but force a second
+    # shuffle for the window's orderkey partitioning.
     from pyspark.sql import Window as W
+    per_os = (j.with_columns_sql(
+        "case when l_shipdate > o_orderdate + interval 60 day then 1 else 0 end as is_late")
+        .df.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.expr("max(is_late) as supp_late")))
     w = W.partitionBy("l_orderkey")
-    df = (per_os.df
+    df = (per_os
           .withColumn("n_supps", F.count("*").over(w))
           .withColumn("n_late", F.sum("supp_late").over(w)))
     return (df.filter("supp_late = 1 AND n_supps > 1 AND n_late = 1")
