@@ -1494,19 +1494,31 @@ def tpch_q2(spark, sf_dir):
     """q2 adapted: for each part of size in (5,10,15), the supplier(s)
     with the highest s_acctbal among suppliers that shipped it."""
     qc = _qc(spark)
-    link = (_t(qc, sf_dir, "lineitem").distinct(["l_partkey", "l_suppkey"])
-            .join(_t(qc, sf_dir, "part").filter_sql("p_size in (5, 10, 15)"),
-                  left_on="l_partkey", right_on="p_partkey")
-            .join(_t(qc, sf_dir, "supplier"), left_on="l_suppkey",
-                  right_on="s_suppkey"))
+    # the p_size filter keeps ~6% of parts, so semi-join it into
+    # lineitem BEFORE the (l_partkey, l_suppkey) distinct — the wide
+    # dedup shuffle then carries 6% of the rows. Partitioning that
+    # shuffle on l_partkey alone still satisfies the distinct's
+    # clustering AND the per-part window below, so one exchange serves
+    # both (cf. q21).
+    li = _t(qc, sf_dir, "lineitem").df
+    parts = _t(qc, sf_dir, "part").filter_sql("p_size in (5, 10, 15)").df
+    supp = _t(qc, sf_dir, "supplier").df
+    # no broadcast hints: AQE picks BHJ at this scale and degrades to
+    # shuffle joins if part/supplier ever outgrow the threshold
+    link = (li.join(parts.select("p_partkey"),
+                    li["l_partkey"] == F.col("p_partkey"), "left_semi")
+            .select("l_partkey", "l_suppkey")
+            .repartition("l_partkey").distinct())
+    j = (link.join(parts, link["l_partkey"] == parts["p_partkey"])
+         .join(supp, link["l_suppkey"] == supp["s_suppkey"]))
     # per-part max via window — one pass over link instead of
-    # recomputing the distinct+2-join subtree for the agg side
+    # recomputing the distinct+join subtree for the agg side
     from pyspark.sql import Window as W
     w = W.partitionBy("l_partkey")
-    out = (link.df.withColumn("best_bal", F.max("s_acctbal").over(w))
-           .filter("s_acctbal = best_bal")
-           .select("l_partkey", "p_name", "p_size", "s_name"))
-    return out.withColumnsRenamed({"l_partkey": "p_partkey"})
+    return (j.withColumn("best_bal", F.max("s_acctbal").over(w))
+            .filter("s_acctbal = best_bal")
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    "p_name", "p_size", "s_name"))
 
 
 _Q2_SQL = """
