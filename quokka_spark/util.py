@@ -16,7 +16,14 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # probe partition count on the JVM internal RDD: `df.rdd` would
+    # additionally build the Python-deserialization pipeline (~0.3 s of
+    # per-query setup at bench scale) just to read a number
+    try:
+        nparts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        nparts = df.rdd.getNumPartitions()
+    if nparts >= target:
         return df
     if key_cols:
         from pyspark.sql import functions as F
