@@ -314,7 +314,7 @@ class DataStream:
     # ------------------------------------------------------------------
     def join(self, right: "DataStream", on=None, left_on=None, right_on=None,
              suffix: str = "_2", how: str = "inner",
-             maintain_sort_order=None) -> "DataStream":
+             maintain_sort_order=None, condition=None) -> "DataStream":
         """Equi-join; API parity with reference datastream.py:1420-1603.
 
         how ∈ {inner,left,semi,anti} (+right/outer/cross beyond parity).
@@ -322,11 +322,26 @@ class DataStream:
         (AQE), else sort-merge/shuffled-hash — the same decision the
         reference makes from its cardinality catalog, done at runtime
         with real statistics instead.
+
+        ``condition`` (parity with the reference's non-equi prototype,
+        ExpBuildProbeJoinExecutor, executors/sql_executors.py:379-450 —
+        hard-coded there, general here) adds an arbitrary predicate to
+        the join. Accepts a DuckDB-dialect SQL string over the joined
+        schema (right-side collisions already suffix-renamed) or a
+        callable ``(left_df, right_df) -> Column/Expression``.
+
+        Scale notes: with equi keys + condition, Catalyst runs the hash
+        join on the keys and evaluates the residual inside the join —
+        the 100 TB shape. With condition only (pure theta join), Spark
+        needs BroadcastNestedLoopJoin: one side must be broadcastable.
         """
         spark_how = {"inner": "inner", "left": "left", "semi": "left_semi",
                      "anti": "left_anti", "right": "right", "outer": "full",
                      "cross": "cross"}[how]
-        if on is None:
+        if on is None and condition is not None and left_on is None:
+            # pure theta join: no equi keys at all
+            left_on = right_on = None
+        elif on is None:
             assert left_on is not None and right_on is not None
             assert left_on in self.schema, f"{left_on} not in left schema"
             assert right_on in right.schema, f"{right_on} not in right schema"
@@ -335,7 +350,7 @@ class DataStream:
             left_on = right_on = on
 
         rdf = right.df
-        if how in ("semi", "anti"):
+        if how in ("semi", "anti") and condition is None:
             rdf = rdf.select(right_on)  # reference projects right to key only
         else:
             # suffix-rename right-side collisions (right_on keeps its name
@@ -350,21 +365,40 @@ class DataStream:
                     rename[col] = col + suffix
             if rename:
                 rdf = rdf.withColumnsRenamed(rename)
-                if right_on in rename:
+                if right_on is not None and right_on in rename:
                     right_on = rename[right_on]
 
         if right.materialized:
             rdf = F.broadcast(rdf)
 
-        if on is not None:
-            joined = self.df.join(rdf, on=on, how=spark_how)
+        if condition is None:
+            if on is not None:
+                joined = self.df.join(rdf, on=on, how=spark_how)
+            else:
+                joined = self.df.join(
+                    rdf, on=self.df[left_on] == rdf[right_on], how=spark_how)
+            return DataStream(self.qc, joined)
+
+        # non-equi / mixed join: lower the extra predicate into the
+        # Catalyst join condition (residual of a hash join when equi
+        # keys exist; BroadcastNestedLoopJoin for pure theta).
+        if callable(condition):
+            from .expression import Expression
+            cond = condition(self.df, rdf)
+            # NOTE: can't duck-type via hasattr(cond, "column") — pyspark
+            # Column.__getattr__ turns .column into a struct-field extract
+            if isinstance(cond, Expression):
+                cond = cond.column
         else:
-            joined = self.df.join(rdf, on=self.df[left_on] == rdf[right_on],
-                                  how=spark_how)
-            if how not in ("semi", "anti") and right_on != left_on:
-                # reference drops the right join key when names equal; when
-                # they differ both are retained (datastream.py join docs)
-                pass
+            from .sqldialect import duckdb_to_spark_sql
+            cond = F.expr(duckdb_to_spark_sql(str(condition)))
+        if left_on is not None:
+            cond = (self.df[left_on] == rdf[right_on]) & cond
+        joined = self.df.join(rdf, on=cond, how=spark_how)
+        if on is not None and how not in ("semi", "anti"):
+            # same-named equi key appears on both sides: keep the left one
+            # (matches the on="k" string-join dedup behavior above)
+            joined = joined.drop(rdf[right_on])
         return DataStream(self.qc, joined)
 
     def cogroup(self, right: "DataStream", executor, on: str,

@@ -60,13 +60,30 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def assert_matches_oracle(spark, name: str, sf_dir: str, atol: float = 1e-9):
     import __spark_entry__ as entry_mod
     q = entry_mod.queries()[name]
-    sdf = canonicalize(q(spark, sf_dir).toPandas())
+    raw_sdf = q(spark, sf_dir).toPandas()
+    sdf = canonicalize(raw_sdf)
     sql = entry_mod.oracle_sql().get(name)
     if sql is None:
         assert len(sdf) >= 0
         return sdf, None
     con = duck_con(sf_dir)
-    odf = canonicalize(con.execute(sql).fetchdf())
+    raw_odf = con.execute(sql).fetchdf()
+    # driver hashes raw value representations: an int64 Spark column vs a
+    # HUGEINT->float64 DuckDB column hash-mismatches even when values are
+    # equal (the round-1 tpch_q12 failure). Catch int-vs-float kind drift
+    # here before canonicalization normalizes it away.
+    for c in raw_sdf.columns:
+        if c not in raw_odf.columns:
+            continue
+        sk, ok = raw_sdf[c].dtype.kind, raw_odf[c].dtype.kind
+        int_kinds, float_kinds = set("iu"), set("f")
+        if (sk in int_kinds and ok in float_kinds) or \
+                (sk in float_kinds and ok in int_kinds):
+            raise AssertionError(
+                f"{name}: column {c} dtype kind drift: spark={raw_sdf[c].dtype}"
+                f" oracle={raw_odf[c].dtype} — would hash-mismatch in driver;"
+                f" CAST the oracle (or Spark side) to align")
+    odf = canonicalize(raw_odf)
     assert list(sdf.columns) == list(odf.columns), \
         f"{name}: columns {list(sdf.columns)} != {list(odf.columns)}"
     assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} != {len(odf)}"

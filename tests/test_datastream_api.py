@@ -260,3 +260,37 @@ def test_mingle_multi_stream(qc):
     pdf = out.collect()
     assert set(pdf.columns) == {"user_id", "spread"}
     assert len(pdf) > 0
+
+
+def test_join_condition_pure_theta(qc):
+    """condition= with no equi keys: pure theta join (small broadcast
+    side). Verified against a pandas cross-merge filter."""
+    left = qc.from_pandas(pd.DataFrame({"a": [1, 5, 10]}))
+    right = qc.from_pandas(pd.DataFrame({"lo": [0, 4], "hi": [2, 6]}))
+    out = left.join(right, condition="a between lo and hi").collect()
+    got = set(map(tuple, out[["a", "lo", "hi"]].values.tolist()))
+    assert got == {(1, 0, 2), (5, 4, 6)}
+
+
+def test_join_condition_callable_and_semi(qc):
+    """condition= as (left_df, right_df) -> Column; semi keeps only left
+    columns and dedups matches."""
+    left = qc.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2, 3], "v": [10.0, 20.0, 30.0, 40.0]}))
+    right = qc.from_pandas(
+        pd.DataFrame({"k": [1, 2, 2], "thresh": [15.0, 25.0, 5.0]}))
+    out = left.join(right, on="k",
+                    condition=lambda l, r: l["v"] > r["thresh"],
+                    how="semi").collect()
+    assert list(out.columns) == ["k", "v"]
+    assert set(map(tuple, out.values.tolist())) == {(1, 20.0), (2, 30.0)}
+
+
+def test_join_condition_equi_residual_dedups_key(qc):
+    """on= + condition: the same-named equi key appears once in output
+    (matching plain on= string-join behavior)."""
+    left = qc.from_pandas(pd.DataFrame({"k": [1, 2], "x": [1.0, 2.0]}))
+    right = qc.from_pandas(pd.DataFrame({"k": [1, 2], "y": [5.0, 0.5]}))
+    out = left.join(right, on="k", condition="y > x").collect()
+    assert list(out.columns) == ["k", "x", "y"]
+    assert set(map(tuple, out.values.tolist())) == {(1, 1.0, 5.0)}

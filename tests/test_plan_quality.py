@@ -69,6 +69,17 @@ def test_semi_join_prunes_right_to_key(spark):
     assert "o_orderdate" not in orders_schema
 
 
+def test_nonequi_join_is_hash_join_with_residual(spark):
+    """Mixed equi+range join must lower to a hash/sort-merge join on the
+    equi key with the range predicate as a residual — never a cartesian
+    or nested-loop: the only shape that survives 100 TB."""
+    s = explain(em.op_join_nonequi(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoop" not in s
+    assert ("BroadcastHashJoin" in s or "SortMergeJoin" in s
+            or "ShuffledHashJoin" in s)
+
+
 def test_text_ops_no_shuffle(spark):
     """Row-wise text ops must pipeline with the scan — zero exchanges."""
     for fn in [em.text_tokens, em.text_fingerprint, em.text_quality,
