@@ -191,8 +191,10 @@ class DtNamespace:
         return Expression(F.unix_micros(self.c) % 1_000_000)
 
     def weekday(self):
-        # ISO weekday, Monday=1 (matches DuckDB isodow)
-        return Expression(F.dayofweek(self.c))
+        # ISO weekday, Monday=1..Sunday=7 (matches DuckDB isodow and the
+        # reference's polars dt.weekday). NOT F.dayofweek, which is
+        # Sunday=1..Saturday=7; F.weekday is Monday=0, so shift by 1.
+        return Expression(F.weekday(self.c) + 1)
 
     def week(self):
         return Expression(F.weekofyear(self.c))

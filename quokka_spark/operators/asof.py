@@ -54,14 +54,30 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
         r = r.withColumnRenamed(right_on, left_on)
 
     left_cols = list(left.columns)
+    if not out_right_vals:
+        # no right value columns: nothing to attach
+        return left
+
+    # Pack ALL right value columns into ONE struct before the forward
+    # fill: last(struct, ignorenulls) attaches the whole latest right
+    # row atomically. Filling per-column would interleave values from
+    # DIFFERENT right rows whenever the latest row holds a legitimate
+    # NULL in one column — diverging from pandas merge_asof / the
+    # reference SortedAsofExecutor (ts_executors.py:324-383), which
+    # attach the entire row including its NULLs. A struct whose members
+    # are all NULL is still non-NULL, so all-null right rows count as
+    # matches, exactly like merge_asof.
+    from pyspark.sql.types import StructField, StructType
+    rv_type = StructType([StructField(c, r.schema[c].dataType, True)
+                          for c in out_right_vals])
     tagged_left = left.select(
         *left_cols,
-        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in out_right_vals],
+        F.lit(None).cast(rv_type).alias("__rv__"),
         F.lit(1).alias("__side__"))
     tagged_right = r.select(
         *[F.col(c) if c in ([left_on] + left_by) else
           F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        *out_right_vals,
+        F.struct(*out_right_vals).alias("__rv__"),
         F.lit(0).alias("__side__"))
 
     unioned = tagged_left.unionByName(tagged_right)
@@ -70,8 +86,10 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
         *left_cols, F.col("__side__"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_right_vals])
-    return filled.filter(F.col("__side__") == 1).drop("__side__")
+        F.last("__rv__", ignorenulls=True).over(w).alias("__rv__"))
+    return (filled.filter(F.col("__side__") == 1)
+            .select(*left_cols,
+                    *[F.col("__rv__")[c].alias(c) for c in out_right_vals]))
 
 
 def join_asof_pandas(left: DataFrame, right: DataFrame, left_on: str,

@@ -83,7 +83,9 @@ class CompiledPattern:
             if i != 0:
                 assert pred is not None, "only the first event can lack a filter"
             own_conjs, dep_conjs = [], []
-            for conj in _split_conjuncts(pred):
+            # pred=None (allowed for the first event only) → no conjuncts:
+            # every row is a candidate start and pushdown is disabled
+            for conj in (_split_conjuncts(pred) if pred is not None else []):
                 quals = set(m.group(1) for m in _QUAL.finditer(conj))
                 cols = set(m.group(2) for m in _QUAL.finditer(conj))
                 for c in cols:
@@ -98,14 +100,18 @@ class CompiledPattern:
             own = " and ".join(own_conjs) if own_conjs else None
             self.event_prefilters[name] = own
             self.event_full_filters[name] = pred
-            if own:
-                # strip own qualifier for the pushdown filter
-                prefilter_terms.append(
-                    "(" + _QUAL.sub(lambda m: m.group(2), own) + ")")
-            else:
-                prefilter_terms = None  # an unfiltered event → no pushdown
-            if prefilter_terms is None:
-                break
+            # pushdown: the scan prefilter is the OR of every event's
+            # own-conjuncts — valid only if EVERY event has some. An
+            # unfiltered event disables pushdown but must NOT stop the
+            # compilation of later events (round-1 bug: early `break`
+            # here left event_full_filters incomplete → KeyError in the
+            # NFA whenever a non-final event had no own-conjuncts).
+            if prefilter_terms is not None:
+                if own:
+                    prefilter_terms.append(
+                        "(" + _QUAL.sub(lambda m: m.group(2), own) + ")")
+                else:
+                    prefilter_terms = None
             seen.add(name)
         self.prefilter_sql = (" or ".join(prefilter_terms)
                               if prefilter_terms else None)
@@ -151,8 +157,6 @@ def match_pattern_pandas(pdf: pd.DataFrame, pattern: CompiledPattern) -> list:
         if len(section) == 0:
             continue
         # DFS, earliest-first; one match per start (reference :146)
-        stack = [(section.index.min() if len(section) else None,
-                  {first_name: first_row}, 1)]
         stack = [({first_name: first_row}, 1, start_idx)]
         found = None
         while stack:

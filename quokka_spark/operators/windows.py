@@ -129,7 +129,14 @@ def sliding_window(df: DataFrame, time_col: str, by: list, size_before,
                    aggregation_dict: dict) -> DataFrame:
     """Trailing window of ``size_before`` per event (reference
     ts_executors.py:147-194, polars groupby_rolling): range frame
-    [-size_before, 0] over event-time seconds."""
+    [-size_before, 0] over event-time seconds.
+
+    Boundary semantics — intentional: the frame is CLOSED on the left
+    ([t-size, t]), so an event exactly ``size_before`` old is included.
+    This matches SQL RANGE BETWEEN ... PRECEDING (the DuckDB oracle) by
+    design; polars groupby_rolling defaults to left-open (t-size, t].
+    Callers needing polars semantics can pass size_before minus one
+    microsecond."""
     # event-time in integer microseconds: rangeBetween requires integral
     # bounds, and µs-longs keep window membership exact (no fp rounding)
     size_us = int(to_seconds(size_before) * 1_000_000)

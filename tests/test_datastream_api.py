@@ -294,3 +294,14 @@ def test_join_condition_equi_residual_dedups_key(qc):
     out = left.join(right, on="k", condition="y > x").collect()
     assert list(out.columns) == ["k", "x", "y"]
     assert set(map(tuple, out.values.tolist())) == {(1, 1.0, 5.0)}
+
+
+def test_expression_dt_weekday_iso(qc):
+    """ISO weekday Monday=1..Sunday=7 (DuckDB isodow / polars
+    dt.weekday parity — NOT Spark dayofweek's Sunday=1)."""
+    ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet")
+    d = ev.with_columns({"wd": ev["ts"].dt.weekday()})
+    pdf = d.select(["ts", "wd"]).limit(200).collect()
+    expected = pdf["ts"].dt.dayofweek + 1  # pandas: Monday=0
+    assert (pdf["wd"] == expected).all(), \
+        pdf[pdf["wd"] != expected].head()

@@ -117,6 +117,43 @@ def test_asof_formulations_agree(spark, qc):
                        expected["value_2"].fillna(-1))
 
 
+def test_asof_null_right_values_stay_atomic(spark, qc):
+    """When the matched (latest) right row holds a legitimate NULL in one
+    value column, the output must carry THAT row's values wholesale —
+    never a per-column mix of older right rows (merge_asof / reference
+    SortedAsofExecutor whole-row semantics, ts_executors.py:324-383)."""
+    from quokka_spark.operators.asof import join_asof
+    lpdf = pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "ts": [5, 15, 25, 10],
+        "lv": [1.0, 2.0, 3.0, 4.0]})
+    rpdf = pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "ts": [1, 10, 20, 99],
+        # row at ts=10: x NULL, y present; row at ts=20: x present, y NULL
+        "x": [100.0, None, 300.0, 999.0],
+        "y": [7.0, 8.0, None, 9.0]})
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = (join_asof(left, right, "ts", "ts", "k", "k")
+           .toPandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    expected = (pd.merge_asof(lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+                              on="ts", by="k", direction="backward")
+                .sort_values(["k", "ts"]).reset_index(drop=True))
+    for col in ["x", "y"]:
+        assert np.allclose(got[col].fillna(-1), expected[col].fillna(-1)), \
+            f"{col}: got={got[col].tolist()} expected={expected[col].tolist()}"
+    # ts=15 must match the ts=10 right row: x NULL (not back-filled 100.0)
+    row = got[(got["k"] == "a") & (got["ts"] == 15)].iloc[0]
+    assert pd.isna(row["x"]) and row["y"] == 8.0
+    # ts=25 matches ts=20: y NULL (not 8.0 from the older row)
+    row = got[(got["k"] == "a") & (got["ts"] == 25)].iloc[0]
+    assert row["x"] == 300.0 and pd.isna(row["y"])
+    # ts=10 on key b precedes every right row: whole attach is NULL
+    row = got[got["k"] == "b"].iloc[0]
+    assert pd.isna(row["x"]) and pd.isna(row["y"])
+
+
 # ----------------------------------------------------------------------
 # approximate ops: recall guarantees
 # ----------------------------------------------------------------------
@@ -219,3 +256,34 @@ def test_streaming_windowed_agg(spark, qc, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select sum(n) as total from win_agg").collect()[0]["total"]
     assert got == src.count()
+
+
+def test_cep_first_event_without_filter(spark, qc):
+    """pred=None on the FIRST event (explicitly allowed): every row is a
+    candidate start, pushdown disabled, no crash (round-1 advice: None
+    hit re.split in _split_conjuncts)."""
+    from quokka_spark.orderedstream import OrderedStream
+    pdf = pd.DataFrame({
+        "user_id": [1] * 5,
+        "ts_sec": [0.0, 10.0, 20.0, 30.0, 40.0],
+        "event_type": ["view", "click", "view", "click", "view"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    ev = OrderedStream(qc, spark.createDataFrame(pdf),
+                       sorted={"ts_sec": "stride"})
+    out = ev.pattern_recognize(
+        "ts_sec",
+        [("a", None),
+         ("b", "b.event_type = 'click' and b.value > a.value")],
+        maxspan=100.0, by="user_id").df.toPandas()
+    # starts: every row; match = first click strictly after, higher value
+    got = set(zip(out["first_event_timestamp"], out["last_event_timestamp"]))
+    expected = set()
+    for i in range(len(pdf)):
+        a = pdf.iloc[i]
+        for j in range(i + 1, len(pdf)):
+            b = pdf.iloc[j]
+            if b.ts_sec <= a.ts_sec + 100.0 and \
+                    b.event_type == "click" and b.value > a.value:
+                expected.add((a.ts_sec, b.ts_sec))
+                break
+    assert got == expected, (got, expected)
