@@ -136,11 +136,25 @@ class QuokkaContext:
 
     def read_iceberg(self, table: str, snapshot: int | None = None) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).
-        Requires the iceberg-spark runtime jar on the classpath."""
+        Requires the iceberg-spark runtime jar on the classpath; without
+        it the failure mode is gated to a clean, actionable error
+        (the raw Spark error is an opaque ClassNotFound/DATA_SOURCE
+        failure mid-analysis)."""
         reader = self.spark.read.format("iceberg")
         if snapshot is not None:
             reader = reader.option("snapshot-id", snapshot)
-        return DataStream(self, reader.load(table))
+        try:
+            return DataStream(self, reader.load(table))
+        except Exception as e:
+            if "iceberg" in str(e).lower() or "DATA_SOURCE" in str(e):
+                raise RuntimeError(
+                    "read_iceberg needs the iceberg-spark-runtime jar on the "
+                    "Spark classpath (spark.jars.packages "
+                    "org.apache.iceberg:iceberg-spark-runtime-*). It is not "
+                    "present in this environment; export the table to "
+                    "parquet and use read_parquet, or add the jar."
+                ) from e
+            raise
 
     def read_lance(self, path: str, vec_column: str = "vec"):
         """Lance vector datasets are not readable without the lance

@@ -142,7 +142,14 @@ class DataStream:
                                  foldable=foldable)
 
     def with_columns(self, new_columns: dict, required_columns=None,
-                     foldable: bool = True) -> "DataStream":
+                     foldable: bool = True, schema: dict | None = None
+                     ) -> "DataStream":
+        """``schema`` (optional): {lambda_col: spark_type_string} for the
+        batch-lambda columns. Supplying it keeps plan construction fully
+        lazy; without it the output dtypes are inferred by running the
+        lambdas on a 100-row sample — a driver-side Spark job at
+        plan-build time, and an all-null/unrepresentative prefix can
+        mis-infer (prefer passing schema)."""
         df = self.df
         exprs = {}
         lambdas = {}
@@ -170,13 +177,25 @@ class DataStream:
                         pdf[name] = fn(pdf)
                     yield pdf
 
-            sample = df.limit(100).toPandas()
-            for name, fn in lambdas.items():
-                sample[name] = fn(sample)
-            from pyspark.sql.pandas.types import from_arrow_schema
-            import pyarrow as pa
-            schema = from_arrow_schema(pa.Schema.from_pandas(sample[out_cols]))
-            df = df.mapInPandas(add_cols, schema=schema)
+            if schema is not None:
+                missing = [n for n in lambdas if n not in schema]
+                assert not missing, f"schema missing lambda columns {missing}"
+                from pyspark.sql.types import StructField, StructType
+                from pyspark.sql.types import _parse_datatype_string
+                out_schema = StructType(
+                    list(df.schema.fields)
+                    + [StructField(n,
+                                   _parse_datatype_string(schema[n]), True)
+                       for n in lambdas])
+            else:
+                sample = df.limit(100).toPandas()
+                for name, fn in lambdas.items():
+                    sample[name] = fn(sample)
+                from pyspark.sql.pandas.types import from_arrow_schema
+                import pyarrow as pa
+                out_schema = from_arrow_schema(
+                    pa.Schema.from_pandas(sample[out_cols]))
+            df = df.mapInPandas(add_cols, schema=out_schema)
         return self._with(df, sorted=self.sorted)
 
     def with_columns_sql(self, statement: str) -> "DataStream":

@@ -248,6 +248,66 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             .select("id1", "id2", "hamming"))
 
 
+def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             threshold: float = 0.8,
+                             bits_per_table: int = 4,
+                             n_tables: int | None = None,
+                             dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-bucket LSH — the SCALE
+    path (vs the all-pairs oracle ``embedding_near_pairs``).
+
+    Buckets: table t hashes the SIGNS of coordinate group
+    [t*bits, (t+1)*bits) — an axis-aligned instance of hyperplane LSH.
+    Deterministic (no RNG), so an external engine can mirror the exact
+    candidate set. Candidates only meet inside a (table, bucket) pair:
+    the plan is explode → one shuffle on (t, bucket) → slim pair dedup →
+    vector re-join by id. No cartesian anywhere; shuffled pair rows
+    carry only ids. Approximate recall (pairs whose sign groups all
+    differ are missed — more/smaller tables raise recall), exact
+    precision (JVM-side cosine filter).
+
+    Reference anchor: the stubbed vector_range_join
+    (reference datastream.py:480-492); random-hyperplane variant in
+    similarity.vector_range_join."""
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if n_tables is None:
+        n_tables = dim // bits_per_table
+    assert n_tables * bits_per_table <= dim
+
+    v = df.select(F.col(id_col).alias("id"),
+                  F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    tables = [
+        F.struct(
+            F.lit(t).alias("t"),
+            sum((F.when(F.col("v").getItem(t * bits_per_table + j) > 0,
+                        F.lit(1 << j)).otherwise(F.lit(0)))
+                for j in range(bits_per_table)).alias("bucket"))
+        for t in range(n_tables)]
+    tabs = v.select("id", F.explode(F.array(*tables)).alias("tb")) \
+        .select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    a, b = tabs.alias("a"), tabs.alias("b")
+    cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct())
+    norm = v.withColumn(
+        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)))
+    v1 = norm.select(F.col("id").alias("id1"), F.col("v").alias("v1"),
+                     F.col("norm").alias("n1"))
+    v2 = norm.select(F.col("id").alias("id2"), F.col("v").alias("v2"),
+                     F.col("norm").alias("n2"))
+    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.join(v1, "id1").join(v2, "id2")
+            .withColumn("cos_raw", dot / (F.col("n1") * F.col("n2")))
+            .filter(F.col("cos_raw") >= threshold)
+            .select("id1", "id2",
+                    F.round("cos_raw", 6).alias("cosine_sim")))
+
+
 def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          threshold: float = 0.95) -> DataFrame:

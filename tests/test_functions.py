@@ -129,3 +129,48 @@ def test_kmeans_matches_numpy_reference(spark):
     got = assign.orderBy("vec_id").toPandas()["cluster"].to_numpy()
     d = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
     assert (got == d.argmin(axis=1)).all()
+
+
+def test_repartition_by_payload_size_balances_bytes(spark):
+    """Skewed payloads (a few huge rows + many small) must spread so no
+    partition exceeds ~target by more than the max single row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.multimodal import repartition_by_payload_size
+    big = [b"X" * 1_000_000] * 8          # 8 MB in 8 rows
+    small = [b"y" * 1_000] * 2000         # 2 MB in 2000 rows
+    pdf = pd.DataFrame({"doc_id": range(2008), "object": big + small})
+    df = spark.createDataFrame(pdf).repartition(8)
+    out = repartition_by_payload_size(df, "object", target_bytes=2_000_000)
+    per_part = (out.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").agg(F.sum(F.length("object")).alias("bytes"))
+                .toPandas())
+    total = per_part["bytes"].sum()
+    assert total == 8 * 1_000_000 + 2000 * 1_000  # nothing lost
+    n_bins = per_part["pid"].nunique()
+    assert n_bins == 5  # ceil(10MB / 2MB)
+    # LPT: every bin gets at most ceil(8/5)=2 huge rows -> <= ~2.5MB
+    assert per_part["bytes"].max() <= 3_000_000, per_part
+    assert per_part["bytes"].min() >= 1_000_000, per_part
+
+
+def test_with_columns_schema_no_plan_time_job(spark, qc):
+    """Supplying schema= for lambda columns must not trigger any Spark
+    job during plan construction (round-1 advice: the sample-inference
+    path ran limit(100).toPandas eagerly)."""
+    sc = spark.sparkContext
+    d = qc.read_parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .select(["l_orderkey", "l_quantity"])
+    sc.setJobGroup("wc_schema_probe", "plan-build probe")
+    try:
+        d2 = d.with_columns(
+            {"qty2": lambda b: b["l_quantity"] * 2.0},
+            schema={"qty2": "double"})
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    jobs = tracker.getJobIdsForGroup("wc_schema_probe")
+    assert len(jobs) == 0, f"plan-build ran Spark jobs: {jobs}"
+    pdf = d2.limit(20).collect()
+    assert (pdf["qty2"] == pdf["l_quantity"] * 2.0).all()
+    assert str(d2.df.schema["qty2"].dataType) == "DoubleType()"

@@ -86,3 +86,11 @@ def test_text_ops_no_shuffle(spark):
                em.text_lang_id]:
         s = explain(fn(spark, SF))
         assert "Exchange" not in s, f"{fn.__name__} plan shuffles:\n{s}"
+
+
+def test_dedup_embedding_no_cartesian(spark):
+    """The gated embedding-dedup path must be LSH-bucketed: candidates
+    meet inside (table, bucket) joins — never an all-pairs cartesian."""
+    s = explain(em.dedup_embedding(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoop" not in s

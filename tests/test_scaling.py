@@ -73,3 +73,36 @@ def test_wide_approximate_quantile_completes(spark, qc):
     assert len(res) == n_cols
     med = np.array([res[f"c{i}"][1] for i in range(n_cols)])
     assert np.abs(med).max() < 0.2  # standard normal medians ≈ 0
+
+
+def test_wide_quantile_10k_columns_completes(spark):
+    """BASELINE.md row 4 at the PUBLISHED width (blog/approxquant.md:
+    19-31 claims Spark 'always crashes' at 10k columns): 10k cols x
+    100k rows through the NumPy order-stat sketch, bounded per-partition
+    memory (buffer caps at ~400 rows x 10k cols ~ 32 MB; summaries of
+    S=200 order stats per column cross the shuffle). Data generated
+    executor-side in Arrow batches — no driver-side 8 GB frame."""
+    from quokka_spark.operators.linalg import approximate_quantile_wide
+    n_rows, n_cols = 100_000, 10_000
+    cols = [f"c{i}" for i in range(n_cols)]
+
+    def gen(it):
+        import pyarrow as pa
+        for batch in it:
+            ids = batch.column("id").to_numpy()
+            rng = np.random.default_rng(int(ids[0]) + 1)
+            for s in range(0, len(ids), 500):
+                m = min(500, len(ids) - s)
+                x = rng.standard_normal((m, n_cols))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(x[:, j]) for j in range(n_cols)], names=cols)
+
+    wide = (spark.range(0, n_rows, 1, 32)
+            .mapInArrow(gen, schema=", ".join(f"{c} double" for c in cols)))
+    res = approximate_quantile_wide(wide, cols, [0.5], accuracy=200) \
+        .toPandas()
+    assert len(res) == n_cols
+    med = res["q0_5"].to_numpy()
+    # standard-normal medians concentrate near 0; rank error 1/(2*200)
+    # plus sampling noise at 100k rows stays well inside 0.05
+    assert np.abs(med).max() < 0.05, np.abs(med).max()

@@ -287,3 +287,75 @@ def test_cep_first_event_without_filter(spark, qc):
                 expected.add((a.ts_sec, b.ts_sec))
                 break
     assert got == expected, (got, expected)
+
+
+def test_embedding_lsh_recall_vs_exact(spark, qc):
+    """The gated sign-bucket LSH path must recover most of the exact
+    all-pairs set (exact precision is structural: same cosine filter)."""
+    from quokka_spark.functions.dedup import (embedding_near_pairs,
+                                              embedding_near_pairs_lsh)
+    emb = qc.read_parquet(f"{SF_SMOKE}/embeddings.parquet").df
+    exact = embedding_near_pairs(emb, threshold=0.4).toPandas()
+    lsh = embedding_near_pairs_lsh(emb, threshold=0.4, bits_per_table=4,
+                                   n_tables=16, dim=64).toPandas()
+    exact_pairs = set(zip(exact["id1"], exact["id2"]))
+    lsh_pairs = set(zip(lsh["id1"], lsh["id2"]))
+    assert lsh_pairs <= exact_pairs, "LSH produced a non-qualifying pair"
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"LSH recall {recall:.3f} too low"
+    assert len(exact_pairs) > 0
+
+
+def test_cep_dense_match_stress_bounded(spark, qc):
+    """Adversarial CEP load: one key, dense matches, maxspan covering
+    most of the stream. The one-match-per-start NFA must stay bounded
+    (early-exit on first full match) — not O(starts x events x
+    candidates). Bound: completes in wall-clock far under the
+    quadratic blowup."""
+    import time
+    from quokka_spark.orderedstream import OrderedStream
+    n = 4000
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts_sec": np.arange(n, dtype="float64"),
+        "event_type": ["signup", "click", "purchase", "click"] * (n // 4),
+        "value": np.tile([1.0, 2.0, 3.0, 0.5], n // 4)})
+    ev = OrderedStream(qc, spark.createDataFrame(pdf),
+                       sorted={"ts_sec": "stride"})
+    t0 = time.time()
+    out = ev.pattern_recognize(
+        "ts_sec",
+        [("a", "a.event_type = 'signup'"),
+         ("b", "b.event_type = 'click' and b.value > a.value"),
+         ("c", "c.event_type = 'purchase'")],
+        maxspan=float(n), by="user_id").df.toPandas()
+    elapsed = time.time() - t0
+    assert len(out) == n // 4  # every signup matches within 2 steps
+    assert elapsed < 60, f"dense CEP took {elapsed:.1f}s — candidate scan blowup"
+
+
+def test_cep_adversarial_no_final_match_bounded(spark, qc):
+    """Worst case for the DFS: every intermediate (b) matches, the
+    final event never does — the NFA must exhaust candidates via the
+    precomputed level index (no per-step full-frame scans) and finish
+    fast with zero matches."""
+    import time
+    from quokka_spark.orderedstream import OrderedStream
+    n = 3000
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts_sec": np.arange(n, dtype="float64"),
+        "event_type": ["signup"] + ["click"] * (n - 1),
+        "value": np.concatenate([[0.0], np.arange(1, n, dtype="float64")])})
+    ev = OrderedStream(qc, spark.createDataFrame(pdf),
+                       sorted={"ts_sec": "stride"})
+    t0 = time.time()
+    out = ev.pattern_recognize(
+        "ts_sec",
+        [("a", "a.event_type = 'signup'"),
+         ("b", "b.event_type = 'click' and b.value > a.value"),
+         ("c", "c.event_type = 'purchase'")],
+        maxspan=float(n), by="user_id").df.toPandas()
+    elapsed = time.time() - t0
+    assert len(out) == 0
+    assert elapsed < 30, f"no-match CEP took {elapsed:.1f}s"
