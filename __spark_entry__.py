@@ -1496,15 +1496,54 @@ SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY rank DESC, node LIMIT 20
 
 def ml_kmeans(spark, sf_dir):
     """Distributed k-means over the embeddings table (reference ships
-    this as apps/vectors/kmeans.py). Iterative → no SQL oracle
-    (rows-only driver check); tests/test_functions.py asserts exact
-    equality with a single-machine numpy Lloyd's reference."""
+    this as apps/vectors/kmeans.py). Fully deterministic (k-lowest-id
+    init, argmin with wide margins on this data), so the oracle is the
+    SAME Lloyd's iterations unrolled as DuckDB CTEs — a hash-exact gate
+    for an iterative ML op. tests/test_functions.py additionally
+    asserts exact equality with a single-machine numpy reference."""
     from quokka_spark.operators.linalg import kmeans
     qc = _qc(spark)
     emb = _t(qc, sf_dir, "embeddings").df
     _, assign = kmeans(emb, "embedding", "vec_id", k=8, iters=5)
     return (assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
             .orderBy("cluster"))
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+    """Lloyd's unrolled as CTEs: a_i assigns to nearest centroid
+    (squared-L2 argmin == list_distance argmin; ties broken by cluster
+    index, matching np.argmin first-min), m_i/c_i recompute means with
+    COALESCE carrying forward emptied clusters — exactly
+    operators/linalg.kmeans with init = k lowest vec_ids."""
+    def assign(name, cents):
+        return f"""{name} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT t.vec_id, p.cluster,
+           row_number() OVER (PARTITION BY t.vec_id
+                              ORDER BY list_distance(t.v, p.c), p.cluster) AS rn
+    FROM v t CROSS JOIN {cents} p) WHERE rn = 1)"""
+
+    parts = [f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, "
+             f"v AS c FROM v ORDER BY vec_id LIMIT {k})"]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", prev))
+        parts.append(f"""m{i} AS (
+  SELECT cluster, list(av ORDER BY dim) AS c FROM (
+    SELECT cluster, dim, avg(val) AS av FROM (
+      SELECT a0.cluster, unnest(t.v) AS val,
+             generate_subscripts(t.v, 1) AS dim
+      FROM a{i} a0 JOIN v t USING (vec_id))
+    GROUP BY cluster, dim) GROUP BY cluster)""")
+        parts.append(f"""c{i} AS (
+  SELECT p.cluster, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN m{i} m USING (cluster))""")
+        prev = f"c{i}"
+    parts.append(assign("af", prev))
+    return ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings),\n" + ",\n".join(parts) +
+            "\nSELECT CAST(cluster AS INT) AS cluster, count(*) AS n "
+            "FROM af GROUP BY cluster ORDER BY cluster")
 
 
 # ======================================================================
@@ -2111,4 +2150,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_gramian": _gramian_oracle(),
         "agg_covariance": _covariance_oracle(),
         "agg_quantile": _QUANTILE_SQL,
+        "ml_kmeans": _kmeans_oracle(),
     }
