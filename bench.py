@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     "ts_tumbling", "ts_sliding", "ts_session", "ts_asof_join",
     "bench_asof_micro", "bench_wide_quantile",
     "text_tokens", "text_fingerprint", "text_quality",
-    "dedup_exact", "dedup_minhash", "sim_topk",
+    "dedup_exact", "dedup_minhash", "dedup_embedding", "sim_topk",
+    "op_join_nonequi",
 ]
 
 

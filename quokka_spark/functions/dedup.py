@@ -267,6 +267,14 @@ def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
     differ are missed — more/smaller tables raise recall), exact
     precision (JVM-side cosine filter).
 
+    Selectivity is threshold-dependent, as for ANY cosine LSH: at
+    production near-dup thresholds (≥0.85, per-bit sign agreement
+    ≥0.82) the default tables prune candidates to a few percent; at a
+    loose threshold like 0.4 (agreement ≈0.63, barely above the 0.5 of
+    random pairs) no sign scheme separates well and the candidate set
+    approaches all-pairs — that is a property of the threshold, not
+    the plan shape (raise bits_per_table for tighter thresholds).
+
     Reference anchor: the stubbed vector_range_join
     (reference datastream.py:480-492); random-hyperplane variant in
     similarity.vector_range_join."""
