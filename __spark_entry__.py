@@ -1044,9 +1044,10 @@ FROM ann GROUP BY payload_format ORDER BY payload_format
 def mm_features(spark, sf_dir):
     """Stubbed decode → feature-extract through the real mapInPandas
     plumbing (functions/multimodal.extract_image_features): batching,
-    schema, and partitioning are production-shaped; only the pixel
-    decode is a deterministic fake (no codec libs in container) →
-    rows-only driver check; tests pin determinism and shapes."""
+    schema, and partitioning are production-shaped; the pixel decode is
+    a deterministic md5-byte fake (no codec libs in container) whose
+    features are exact small integers — so the oracle reproduces them
+    from md5 in SQL and the gate is hash-exact despite the stub."""
     from quokka_spark.functions.multimodal import extract_image_features
     p = _mm_payloads(spark, sf_dir).withColumnRenamed("doc_id", "filename")
     feats = extract_image_features(p, "object", "filename", dim=16)
@@ -1055,6 +1056,29 @@ def mm_features(spark, sf_dir):
         F.round(F.aggregate("embedding", F.lit(0.0),
                             lambda a, x: a + x * x), 4).alias("norm_sq"),
         F.size("embedding").alias("dim"))
+
+
+_MM_FEATURES_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN '\xFF\xD8\xFF\xE0'::BLOB
+               WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+               ELSE '\x47\x49\x46\x38'::BLOB END || encode(text)) AS payload
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(hex(payload)) AS hex FROM p
+), b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(hex, CAST(2*i+1 AS INT), 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(hex, CAST(2*i+2 AS INT), 1)) - 1) AS byte
+  FROM h, range(0, 16) r(i)
+)
+SELECT doc_id AS filename,
+       round(sum((2.0 * byte - 255) * (2.0 * byte - 255)), 4) AS norm_sq,
+       CAST(16 AS INT) AS dim
+FROM b GROUP BY doc_id
+"""
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -2189,6 +2213,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_llm_data": _pipeline_llm_data_sql(),
         "graph_pagerank": _PAGERANK_SQL,
         "mm_metadata": _MM_METADATA_SQL,
+        "mm_features": _MM_FEATURES_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,

@@ -94,10 +94,22 @@ def extract_image_features(df: DataFrame, payload_col: str = "object",
                 raise NotImplementedError("vision encoder not in container")
             embs = []
             for b in pdf[payload_col]:
-                seed = int.from_bytes(hashlib.md5(b).digest()[:8], "little")
-                rng = np.random.default_rng(seed)
-                v = rng.standard_normal(dim)
-                embs.append((v / np.linalg.norm(v)).astype(np.float32).tolist())
+                # deterministic fake: md5 byte stream mapped to exact
+                # small integers (2*byte - 255 ∈ [-255, 255], odd) —
+                # exactly representable in float32/float64. Hashing the
+                # UPPERCASE HEX of the payload (not the raw bytes) keeps
+                # the features reproducible in engines whose md5 only
+                # accepts strings (the mm_features driver gate mirrors
+                # this as md5(hex(payload)) in SQL).
+                seed = bytes(b).hex().upper()
+                raw = b""
+                i = 0
+                while len(raw) < dim:
+                    tag = seed if i == 0 else f"{seed}#{i}"
+                    raw += hashlib.md5(tag.encode()).digest()
+                    i += 1
+                v = np.frombuffer(raw[:dim], np.uint8).astype(np.float64)
+                embs.append((v * 2 - 255).astype(np.float32).tolist())
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": embs})
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
