@@ -199,6 +199,40 @@ class QuokkaContext:
         assert isinstance(dataset, DataStream)
         return dataset
 
+    def read_ray_dataset(self, ray_ds) -> DataStream:
+        """Ray Dataset ingestion (reference df.py read_ray_dataset — a
+        Ray-runtime source there). Spark has no Ray integration; the
+        portable path is Ray → Arrow → Spark. Requires ray installed
+        (absent in this environment → clean error); for datasets larger
+        than driver memory, write parquet from Ray and read_parquet."""
+        try:
+            tables = ray_ds.to_arrow_refs()
+        except AttributeError as e:
+            raise TypeError(
+                "read_ray_dataset expects a ray.data.Dataset "
+                "(to_arrow_refs missing)") from e
+        import pyarrow as pa
+        try:
+            import ray
+            arrow = pa.concat_tables(ray.get(tables))
+        except ImportError as e:
+            raise RuntimeError(
+                "read_ray_dataset needs the ray package (not in this "
+                "environment); export the dataset to parquet and use "
+                "read_parquet instead") from e
+        return self.from_arrow(arrow)
+
+    def get_config(self, key: str):
+        """Engine config read (reference df.py get_config — cluster
+        knobs there, Spark SQL conf here)."""
+        return self.spark.conf.get(key)
+
+    def set_config(self, key: str, value) -> None:
+        """Engine config write (reference df.py set_config). Runtime-
+        settable Spark SQL confs only (static confs raise, as in
+        vanilla Spark)."""
+        self.spark.conf.set(key, value)
+
     # ------------------------------------------------------------------
     # SQL entry (SURVEY §2.10)
     # ------------------------------------------------------------------

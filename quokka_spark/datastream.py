@@ -84,13 +84,25 @@ class DataStream:
     # ------------------------------------------------------------------
     # materialization verbs (reference datastream.py:75-127)
     # ------------------------------------------------------------------
-    def collect(self):
-        """Execute and return a pandas DataFrame (Arrow-backed transfer).
+    def collect(self, as_polars: bool = False):
+        """Execute and return a local table (Arrow-backed transfer).
 
-        The reference returns Polars (datastream.py:75-98); polars is not
-        in this environment so pandas is the local table type.
+        The reference returns Polars (datastream.py:75-98). polars is
+        not in this environment, so pandas is the default local type;
+        ``as_polars=True`` returns a polars DataFrame when the package
+        is importable (API parity where the dependency exists) and
+        raises a clear error otherwise.
         """
-        return self.df.toPandas()
+        pdf = self.df.toPandas()
+        if not as_polars:
+            return pdf
+        try:
+            import polars as pl
+        except ImportError as e:
+            raise RuntimeError(
+                "collect(as_polars=True) needs the polars package, which "
+                "is not installed in this environment") from e
+        return pl.from_pandas(pdf)
 
     def compute(self) -> "DataStream":
         """Materialize and cache cluster-side (reference datastream.py:100-116

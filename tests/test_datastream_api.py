@@ -316,3 +316,41 @@ def test_read_iceberg_clean_error_without_runtime(qc):
         qc.read_iceberg("nosuch.catalog.table").df.collect()
     msg = str(ei.value)
     assert "iceberg" in msg.lower()
+
+
+def test_get_set_config(qc):
+    qc.set_config("spark.sql.shuffle.partitions", "16")
+    assert qc.get_config("spark.sql.shuffle.partitions") == "16"
+    qc.set_config("spark.sql.shuffle.partitions", "32")
+
+
+def test_read_ray_dataset_clean_error(qc):
+    """ray is absent here: non-Dataset input raises TypeError; a
+    Dataset-shaped object without ray installed raises RuntimeError
+    naming the parquet fallback."""
+    with pytest.raises(TypeError):
+        qc.read_ray_dataset(object())
+
+    class FakeRayDs:
+        def to_arrow_refs(self):
+            return []
+
+    with pytest.raises(RuntimeError) as ei:
+        qc.read_ray_dataset(FakeRayDs())
+    assert "parquet" in str(ei.value)
+
+
+def test_collect_as_polars_gated(qc):
+    d = li(qc).select(["l_orderkey"]).limit(5)
+    assert len(d.collect()) == 5  # pandas default
+    try:
+        import polars  # noqa: F401
+        has_polars = True
+    except ImportError:
+        has_polars = False
+    if has_polars:
+        out = d.collect(as_polars=True)
+        assert out.__class__.__module__.startswith("polars")
+    else:
+        with pytest.raises(RuntimeError):
+            d.collect(as_polars=True)
