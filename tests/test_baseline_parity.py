@@ -92,3 +92,54 @@ def test_q5_plan_shape_matches_plain_sql(spark):
     assert pe["BroadcastHashJoin"] == pp["BroadcastHashJoin"]
     assert pe["Scan"] == pp["Scan"]
     assert pe.get("Exchange", 0) <= pp.get("Exchange", 0)
+
+
+def test_q12_plan_matches_plain_sql(spark):
+    """Join + conditional agg through the facade (filter_sql, join,
+    agg_sql) must plan exactly like hand-written SQL."""
+    _register(spark)
+    plain = spark.sql("""
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          OR o_orderpriority = '2-HIGH'
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                         AND o_orderpriority <> '2-HIGH'
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= timestamp '1996-01-01'
+          AND l_shipdate < timestamp '1997-01-01'
+        GROUP BY l_linestatus
+    """)
+    engine = em.tpch_q12(spark, SF)
+    assert plan_signature(engine) == plan_signature(plain)
+
+
+def test_q14_plan_matches_plain_sql(spark):
+    _register(spark)
+    plain = spark.sql("""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= timestamp '1996-03-01'
+          AND l_shipdate < timestamp '1996-04-01'
+    """)
+    engine = em.tpch_q14(spark, SF)
+    assert plan_signature(engine) == plan_signature(plain)
+
+
+def test_nonequi_join_plan_matches_plain_sql(spark):
+    """join(condition=...) must lower to the same plan as SQL with the
+    predicate in the ON clause (hash join + in-join residual)."""
+    _register(spark)
+    plain = spark.sql("""
+        SELECT p_brand, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS rev
+        FROM lineitem JOIN part
+          ON l_partkey = p_partkey
+         AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+        GROUP BY p_brand
+    """)
+    engine = em.op_join_nonequi(spark, SF)
+    assert plan_signature(engine) == plan_signature(plain)

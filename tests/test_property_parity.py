@@ -145,3 +145,30 @@ def test_random_join_agg_matches_duckdb(spark, qc, duck_oc, pred, how, key):
     if len(got):
         for c in got.columns:
             assert (got[c] == want[c]).all(), f"pred={pred} how={how} col={c}"
+
+
+@st.composite
+def theta_condition(draw):
+    """Random non-equi residual over the joined orders×customer schema."""
+    lo = draw(st.integers(-50, 400))
+    op = draw(st.sampled_from(["<", "<=", ">", ">="]))
+    scale = draw(st.sampled_from([10, 50, 100]))
+    return f"o_totalprice {op} c_acctbal * {scale} + {lo}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(cond=theta_condition(), how=st.sampled_from(["inner", "semi"]))
+def test_random_nonequi_join_matches_duckdb(spark, qc, duck_oc, cond, how):
+    """join(condition=...) with random cross-column range residuals on
+    top of the equi key must match DuckDB exactly."""
+    orders = qc.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = qc.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    j = orders.join(cust, left_on="o_custkey", right_on="c_custkey",
+                    condition=cond, how=how)
+    got = j.count()
+    want = duck_oc.execute(
+        f"SELECT count(*) FROM orders "
+        + (f"SEMI JOIN" if how == "semi" else "JOIN")
+        + f" customer ON o_custkey = c_custkey AND {cond}").fetchone()[0]
+    assert got == want, f"cond={cond} how={how}: {got} != {want}"
