@@ -595,19 +595,20 @@ class DataStream:
     def vector_range_join(self, other: "DataStream", vec_column: str,
                           threshold: float = 0.8, other_vec_column: str | None = None,
                           id_column: str = "id1", other_id_column: str = "id2",
-                          ) -> "DataStream":
+                          dim: int | None = None) -> "DataStream":
         """Similarity range join of two vector streams: all pairs with
         cosine ≥ threshold. The reference declares this verb but left
         it a stub (datastream.py:480-492 ``pass``); here it is real —
         LSH-bucketed candidates + exact cosine filter
-        (functions/similarity.vector_range_join)."""
+        (functions/similarity.vector_range_join). Pass ``dim`` to skip
+        the plan-time dimensionality probe job."""
         from .functions.similarity import vector_range_join
         right = other.df if isinstance(other, DataStream) else other
         return DataStream(self.qc, vector_range_join(
             self.df, right, left_vec=vec_column,
             right_vec=other_vec_column or vec_column,
             left_id=id_column, right_id=other_id_column,
-            threshold=threshold))
+            threshold=threshold, dim=dim))
 
     # ------------------------------------------------------------------
     # sinks (SURVEY §2.1)

@@ -89,7 +89,8 @@ def vector_range_join(left: DataFrame, right: DataFrame,
                       left_vec: str = "embedding", right_vec: str = "embedding",
                       left_id: str = "id1", right_id: str = "id2",
                       threshold: float = 0.8, n_planes: int = 4,
-                      n_tables: int = 32, seed: int = 42) -> DataFrame:
+                      n_tables: int = 32, seed: int = 42,
+                      dim: int | None = None) -> DataFrame:
     """Similarity range join of two vector STREAMS: all pairs with
     cosine ≥ threshold. The reference declares this verb but left it a
     stub (datastream.py:480-492 `vector_range_join: pass`); this is the
@@ -98,9 +99,14 @@ def vector_range_join(left: DataFrame, right: DataFrame,
     Plan: hyperplane-LSH signatures on both sides (JVM/Arrow batched),
     shuffle both on (table, signature) — candidates only meet inside a
     bucket — then exact JVM-side cosine filter. Approximate recall
-    (more tables → higher), exact precision."""
+    (more tables → higher), exact precision.
+
+    Pass ``dim`` (vector dimensionality) to keep plan construction
+    fully lazy; without it a one-row probe job runs at build time to
+    size the hyperplanes."""
     def with_sigs(df, vec, idc, alias):
-        dim_probe = df.select(F.size(vec).alias("d")).first()["d"]
+        dim_probe = dim if dim is not None else \
+            df.select(F.size(vec).alias("d")).first()["d"]
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((n_tables, n_planes, dim_probe))
         sc = df.sparkSession.sparkContext
