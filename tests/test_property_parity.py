@@ -172,3 +172,33 @@ def test_random_nonequi_join_matches_duckdb(spark, qc, duck_oc, cond, how):
         + (f"SEMI JOIN" if how == "semi" else "JOIN")
         + f" customer ON o_custkey = c_custkey AND {cond}").fetchone()[0]
     assert got == want, f"cond={cond} how={how}: {got} != {want}"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(minutes=st.sampled_from([10, 30, 60, 120, 240]),
+       agg=st.sampled_from(["count(*)", "round(sum(value), 4)",
+                            "round(avg(value), 4)", "round(max(value), 4)"]))
+def test_random_tumbling_window_matches_duckdb(spark, qc, minutes, agg):
+    """Tumbling windows of random width x random agg over the events
+    stream must match DuckDB's time_bucket formulation."""
+    import __spark_entry__ as em
+    from quokka_spark.windowtypes import TumblingWindow
+    from conftest import duck_con
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts")
+    win = TumblingWindow(f"{minutes}m", {"v": agg})
+    got = canonicalize(
+        ev.windowed_transform(win, by="user_id").df
+        .select("user_id", "window_start", "v").toPandas())
+    want = canonicalize(duck_con(SF_SMOKE).execute(f"""
+        SELECT user_id,
+               time_bucket(INTERVAL {minutes} MINUTES, CAST(ts AS TIMESTAMP)) AS window_start,
+               {agg} AS v
+        FROM events GROUP BY user_id, window_start""").fetchdf())
+    assert len(got) == len(want), f"{minutes}m {agg}"
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a):
+            assert (a - b).abs().max() <= 1e-9, f"{minutes}m {agg} col={c}"
+        else:
+            assert (a == b).all(), f"{minutes}m {agg} col={c}"
