@@ -202,3 +202,39 @@ def test_random_tumbling_window_matches_duckdb(spark, qc, minutes, agg):
             assert (a - b).abs().max() <= 1e-9, f"{minutes}m {agg} col={c}"
         else:
             assert (a == b).all(), f"{minutes}m {agg} col={c}"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(trade_types=st.sampled_from([("purchase",), ("click",),
+                                    ("purchase", "signup")]),
+       quote_type=st.sampled_from(["view", "click"]))
+def test_random_asof_matches_duckdb(spark, qc, trade_types, quote_type):
+    """As-of joins over random event-type splits must match DuckDB's
+    native ASOF LEFT JOIN (backward, allow-exact-match) row for row."""
+    import numpy as np
+    import __spark_entry__ as em
+    from conftest import duck_con
+    if quote_type in trade_types:
+        return
+    from pyspark.sql import functions as F
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts")
+    tt = "', '".join(trade_types)
+    trades = ev.filter_sql(f"event_type in ('{tt}')") \
+               .select(["event_id", "ts", "user_id", "value"])
+    quotes = ev.filter_sql(f"event_type = '{quote_type}'") \
+               .select(["ts", "user_id", "value"])
+    got = (trades.join_asof(quotes, on="ts", by="user_id").df
+           .select("event_id", F.round("value_2", 6).alias("value_2"))
+           .toPandas().sort_values("event_id").reset_index(drop=True))
+    want = duck_con(SF_SMOKE).execute(f"""
+        SELECT t.event_id, round(q.value, 6) AS value_2
+        FROM (SELECT * FROM events WHERE event_type IN ('{tt}')) t
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = '{quote_type}') q
+          ON t.user_id = q.user_id AND t.ts >= q.ts
+        ORDER BY t.event_id""").fetchdf()
+    assert len(got) == len(want)
+    a = got["value_2"].to_numpy(dtype=float)
+    b = want["value_2"].to_numpy(dtype=float)
+    mask = ~(np.isnan(a) & np.isnan(b))
+    assert np.allclose(a[mask], b[mask], atol=1e-9), (trade_types, quote_type)
