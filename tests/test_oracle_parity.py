@@ -22,10 +22,14 @@ def test_query_matches_oracle_smoke(spark, name):
 # the driver's actual correctness scale — run a representative subset
 # covering every operator family to keep test wall-clock sane
 SF001_SUBSET = [
-    "tpch_q1", "tpch_q5", "tpch_q13", "tpch_q17", "tpch_q21", "tpch_q22",
-    "op_window_rank", "op_stateful", "op_transform",
+    "tpch_q1", "tpch_q5", "tpch_q12", "tpch_q13", "tpch_q17", "tpch_q21",
+    "tpch_q22",
+    "op_window_rank", "op_stateful", "op_transform", "op_join_nonequi",
     "ts_sliding", "ts_session", "ts_asof_join", "ts_tumbling_running",
-    "dedup_ngram_jaccard", "dedup_minhash", "sim_topk", "agg_covariance",
+    "ts_cep_funnel", "ts_backtest",
+    "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
+    "dedup_simhash", "sim_topk", "agg_covariance", "ml_kmeans",
+    "mm_features", "pipeline_llm_data",
 ]
 
 
