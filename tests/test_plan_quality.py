@@ -94,3 +94,13 @@ def test_dedup_embedding_no_cartesian(spark):
     s = explain(em.dedup_embedding(spark, SF))
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoop" not in s
+
+
+def test_q21_single_lineitem_scan(spark):
+    """The window-over-order formulation must scan lineitem ONCE (the
+    naive EXISTS/NOT-EXISTS self-join doubles or triples the scan) and
+    share one l_orderkey exchange between the per-order aggregate and
+    the window — the dominant saving at 100 TB."""
+    s = explain(em.tpch_q21(spark, SF), mode="simple")
+    assert s.count("lineitem.parquet") == 1, s
+    assert s.count("Exchange hashpartitioning") <= 2, s

@@ -238,3 +238,33 @@ def test_random_asof_matches_duckdb(spark, qc, trade_types, quote_type):
     b = want["value_2"].to_numpy(dtype=float)
     mask = ~(np.isnan(a) & np.isnan(b))
     assert np.allclose(a[mask], b[mask], atol=1e-9), (trade_types, quote_type)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(minutes=st.sampled_from([15, 30, 60, 180]))
+def test_random_sliding_window_matches_duckdb(spark, qc, minutes):
+    """Trailing windows of random width must match DuckDB's
+    RANGE INTERVAL formulation (closed interval on both sides —
+    the documented boundary choice)."""
+    import __spark_entry__ as em
+    from quokka_spark.windowtypes import SlidingWindow
+    from conftest import duck_con
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts")
+    win = SlidingWindow(f"{minutes}m", {"v": "round(sum(value), 4)"})
+    got = canonicalize(
+        ev.windowed_transform(win, by="user_id").df
+        .select("user_id", "ts", "v").toPandas())
+    want = canonicalize(duck_con(SF_SMOKE).execute(f"""
+        SELECT user_id, ts,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL {minutes} MINUTES PRECEDING
+                     AND CURRENT ROW), 4) AS v
+        FROM events""").fetchdf())
+    assert len(got) == len(want)
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a):
+            assert (a - b).abs().max() <= 1e-9, f"{minutes}m col={c}"
+        else:
+            assert (a == b).all(), f"{minutes}m col={c}"
