@@ -363,3 +363,40 @@ def test_cep_adversarial_no_final_match_bounded(spark, qc):
     elapsed = time.time() - t0
     assert len(out) == 0
     assert elapsed < 30, f"no-match CEP took {elapsed:.1f}s"
+
+
+def test_stateful_stream_transform_matches_batch(spark, qc, tmp_path):
+    """applyInPandasWithState recipe (the streaming equivalent of the
+    reference's Executor.execute/done): a per-key running count/sum fed
+    from a file stream must equal the batch groupBy on the same data."""
+    from quokka_spark.streaming.stream import (read_parquet_stream,
+                                               stateful_stream_transform)
+    src = str(tmp_path / "src")
+    pdf = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[
+        ["user_id", "value"]].head(3000)
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite").parquet(src)
+
+    def func(key, pdf_iter, state):
+        cnt, tot = state.get if state.exists else (0, 0.0)
+        for b in pdf_iter:
+            cnt += len(b)
+            tot += float(b["value"].sum())
+        state.update((cnt, tot))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [cnt],
+                            "total": [round(tot, 4)]})
+
+    stream = read_parquet_stream(spark, src, "user_id long, value double")
+    out = stateful_stream_transform(
+        stream, func, "user_id long, n long, total double",
+        "n long, total double", by="user_id")
+    q = (out.writeStream.format("memory").queryName("stateful_probe")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = (spark.sql("SELECT * FROM stateful_probe").toPandas()
+           .sort_values("user_id").reset_index(drop=True))
+    want = (pdf.groupby("user_id", as_index=False)
+            .agg(n=("value", "size"), total=("value", "sum"))
+            .sort_values("user_id").reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(got["total"], want["total"].round(4), atol=1e-6)
