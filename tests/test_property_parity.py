@@ -268,3 +268,35 @@ def test_random_sliding_window_matches_duckdb(spark, qc, minutes):
             assert (a - b).abs().max() <= 1e-9, f"{minutes}m col={c}"
         else:
             assert (a == b).all(), f"{minutes}m col={c}"
+
+
+STR_METHODS = ["upper", "lower", "length"]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(meth=st.sampled_from(STR_METHODS),
+       needle=st.sampled_from(["a", "e", "ing", "the", "z"]))
+def test_random_str_namespace_matches_duckdb(spark, qc, meth, needle):
+    """Expression-DSL .str methods over the documents table must match
+    DuckDB's string functions (count per outcome keeps outputs small)."""
+    from conftest import duck_con
+    ds = qc.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    col = ds["text"].str
+    if meth == "length":
+        expr = col.length()
+        sql = "length(text)"
+    elif meth == "upper":
+        expr = col.to_uppercase().str.contains(needle.upper())
+        sql = f"contains(upper(text), '{needle.upper()}')"
+    else:
+        expr = col.to_lowercase().str.contains(needle)
+        sql = f"contains(lower(text), '{needle}')"
+    got = (ds.with_columns({"v": expr}).df
+           .groupBy("v").count().toPandas()
+           .sort_values("v").reset_index(drop=True))
+    want = (duck_con(SF_SMOKE).execute(
+        f"SELECT {sql} AS v, count(*) AS count FROM documents GROUP BY v "
+        f"ORDER BY v").fetchdf())
+    assert got["v"].tolist() == want["v"].tolist(), (meth, needle)
+    assert got["count"].tolist() == want["count"].tolist(), (meth, needle)
