@@ -1096,6 +1096,10 @@ def bench_asof_micro(spark, sf_dir):
     is DuckDB's native ASOF JOIN on the same generated inputs (sizes
     baked for the driver's sf0.01 compare)."""
     from quokka_spark.orderedstream import OrderedStream
+    # NOTE: 101 symbols bound the default plan's parallelism at 101
+    # tasks — fine on local[32]; on a large cluster pass
+    # join_asof(..., bucket=...) for the two-level keys x buckets plan
+    # (equality test: test_asof_bucketed_equals_unbucketed).
     sf = _sf_of(sf_dir)
     # floor at the sf0.01 sizes — the oracle SQL bakes those in, and the
     # driver (and the pytest smoke at sf0.001) compare at/below sf0.01

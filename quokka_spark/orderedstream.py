@@ -55,10 +55,12 @@ class OrderedStream(DataStream):
 
     def join_asof(self, right: "OrderedStream", on=None, left_on=None,
                   right_on=None, by=None, left_by=None, right_by=None,
-                  suffix: str = "_2") -> "OrderedStream":
+                  suffix: str = "_2", bucket=None) -> "OrderedStream":
         """Backward as-of join per key group (reference
         orderedstream.py:114-191). See operators/asof.py for the
-        union-tag formulation and its scale analysis."""
+        union-tag formulation and its scale analysis. ``bucket`` opts
+        into the time-bucketed two-level plan for low-key-count inputs
+        (parallelism keys x buckets instead of keys)."""
         from .operators.asof import join_asof as _asof
         assert isinstance(right, DataStream)
         if on is not None:
@@ -69,7 +71,7 @@ class OrderedStream(DataStream):
         assert left_by is not None, \
             "non-grouped asof join not supported (reference orderedstream.py:127-128)"
         out = _asof(self.df, right.df, left_on, right_on, left_by, right_by,
-                    suffix=suffix)
+                    suffix=suffix, bucket=bucket)
         return OrderedStream(self.qc, out, sorted=self.sorted)
 
     def windowed_transform(self, window, by=None, time_col: str | None = None,

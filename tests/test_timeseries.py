@@ -400,3 +400,52 @@ def test_stateful_stream_transform_matches_batch(spark, qc, tmp_path):
     assert len(got) == len(want)
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
     assert np.allclose(got["total"], want["total"].round(4), atol=1e-6)
+
+
+def test_asof_bucketed_equals_unbucketed(spark, qc):
+    """The time-bucketed two-level as-of plan (parallelism keys x
+    buckets, for low-key-count inputs) must produce exactly the
+    single-window result on the events stream."""
+    from quokka_spark.operators.asof import join_asof
+    ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df
+    trades = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id", "value")
+    quotes = ev.filter(F.col("event_type") == "view") \
+        .select("ts", "user_id", "value")
+    plain = join_asof(trades, quotes, "ts", "ts", "user_id", "user_id") \
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    for bucket in ["30m", "6h", "7d"]:
+        b = join_asof(trades, quotes, "ts", "ts", "user_id", "user_id",
+                      bucket=bucket) \
+            .toPandas().sort_values("event_id").reset_index(drop=True)
+        assert len(b) == len(plain), bucket
+        assert np.allclose(b["value_2"].fillna(-1),
+                           plain["value_2"].fillna(-1)), bucket
+
+
+def test_asof_bucketed_hot_key_numeric_ts(spark, qc):
+    """One dominant key with integer event time: the bucketed plan
+    must agree with pandas merge_asof — including left rows in buckets
+    that hold no right rows (carry across empty buckets) and before
+    any right row (all-NULL attach)."""
+    from quokka_spark.operators.asof import join_asof
+    rng = np.random.default_rng(7)
+    n_l, n_r = 4000, 800
+    lpdf = pd.DataFrame({
+        "k": ["hot"] * n_l,
+        "ts": np.sort(rng.choice(np.arange(100_000), n_l, replace=False)),
+        "lv": rng.standard_normal(n_l)})
+    rpdf = pd.DataFrame({
+        "k": ["hot"] * n_r,
+        # right rows clustered: long empty stretches between clusters
+        "ts": np.sort(rng.choice(
+            np.concatenate([np.arange(20_000, 30_000),
+                            np.arange(70_000, 75_000)]), n_r, replace=False)),
+        "x": rng.standard_normal(n_r)})
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = (join_asof(left, right, "ts", "ts", "k", "k", bucket=5_000)
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    want = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="backward") \
+        .sort_values("ts").reset_index(drop=True)
+    assert np.allclose(got["x"].fillna(-9e9), want["x"].fillna(-9e9))
