@@ -125,6 +125,38 @@ def tumbling_window_running(df: DataFrame, time_col: str, by: list, size,
     return with_id.select(*by, time_col, *aggs)
 
 
+def sliding_window_bucketed(df: DataFrame, time_col: str, by: list,
+                            size_before, aggregation_dict: dict,
+                            bucket) -> DataFrame:
+    """Overlap-chunk (halo) formulation of the trailing window for
+    LOW-KEY-COUNT streams: the plain sliding window partitions by key
+    only — one task per key. Here each row lands in its time bucket,
+    and rows within ``size_before`` of a bucket's end are COPIED into
+    the next bucket as halo rows (present for computation, never
+    emitted), so every trailing frame is complete inside its own
+    (key, bucket) partition — parallelism keys x buckets, ~2x the rows
+    of one window-width shuffled twice at worst. Requires
+    bucket >= size_before. Exact equality with the single-window plan
+    is test-asserted."""
+    size_us = int(to_seconds(size_before) * 1_000_000)
+    width_us = int(to_seconds(bucket) * 1_000_000)
+    assert width_us >= size_us, "bucket must be >= size_before"
+    us = F.unix_micros(F.col(time_col))
+    main = df.withColumn("__b__", F.floor(us / width_us)) \
+             .withColumn("__halo__", F.lit(False))
+    halo = (df.filter(us % width_us >= width_us - size_us)
+            .withColumn("__b__", F.floor(us / width_us) + 1)
+            .withColumn("__halo__", F.lit(True)))
+    unioned = main.unionByName(halo)
+    w = (W.partitionBy(*by, "__b__")
+         .orderBy(F.unix_micros(F.col(time_col)))
+         .rangeBetween(-size_us, 0))
+    aggs = [_over(sql, w).alias(alias)
+            for alias, sql in aggregation_dict.items()]
+    return (unioned.select(*by, time_col, F.col("__halo__"), *aggs)
+            .filter(~F.col("__halo__")).drop("__halo__"))
+
+
 def sliding_window(df: DataFrame, time_col: str, by: list, size_before,
                    aggregation_dict: dict) -> DataFrame:
     """Trailing window of ``size_before`` per event (reference

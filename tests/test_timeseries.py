@@ -449,3 +449,22 @@ def test_asof_bucketed_hot_key_numeric_ts(spark, qc):
     want = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="backward") \
         .sort_values("ts").reset_index(drop=True)
     assert np.allclose(got["x"].fillna(-9e9), want["x"].fillna(-9e9))
+
+
+def test_sliding_window_bucketed_equals_plain(spark, qc):
+    """Halo-copy bucketed sliding window (keys x buckets parallelism)
+    must exactly equal the single-window plan."""
+    from quokka_spark.operators.windows import (sliding_window,
+                                                sliding_window_bucketed)
+    ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df \
+        .select("ts", "user_id", "value")
+    aggs = {"n": "count(*)", "s": "round(sum(value), 4)"}
+    plain = (sliding_window(ev, "ts", ["user_id"], "30m", aggs)
+             .toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True))
+    for bucket in ["30m", "2h", "1d"]:
+        b = (sliding_window_bucketed(ev, "ts", ["user_id"], "30m", aggs,
+                                     bucket=bucket)
+             .toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True))
+        assert len(b) == len(plain), bucket
+        assert (b["n"].to_numpy() == plain["n"].to_numpy()).all(), bucket
+        assert np.allclose(b["s"], plain["s"]), bucket
