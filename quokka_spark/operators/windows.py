@@ -81,6 +81,11 @@ def windowed_transform(df: DataFrame, window, time_col: str, by,
         return tumbling_window_running(df, time_col, by, window.size,
                                        window.aggregation_dict)
     if isinstance(window, SlidingWindow):
+        if getattr(window, "bucket", None) is not None:
+            return sliding_window_bucketed(df, time_col, by,
+                                           window.size_before,
+                                           window.aggregation_dict,
+                                           window.bucket)
         return sliding_window(df, time_col, by, window.size_before,
                               window.aggregation_dict)
     if isinstance(window, SessionWindow):

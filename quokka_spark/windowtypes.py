@@ -45,11 +45,15 @@ class TumblingWindow(HoppingWindow):
 
 class SlidingWindow(Window):
     """Trailing window of ``size_before`` ending at each event
-    (reference windowtypes.py:71-76)."""
+    (reference windowtypes.py:71-76). ``bucket`` (optional, must be
+    >= size_before) opts into the halo-copy bucketed plan for
+    low-key-count streams — parallelism keys x buckets instead of one
+    task per key (operators/windows.sliding_window_bucketed)."""
 
-    def __init__(self, size_before, aggregation_dict: dict):
+    def __init__(self, size_before, aggregation_dict: dict, bucket=None):
         super().__init__(size_before, aggregation_dict)
         self.size_before = size_before
+        self.bucket = bucket
 
 
 class SessionWindow(Window):

@@ -468,3 +468,20 @@ def test_sliding_window_bucketed_equals_plain(spark, qc):
         assert len(b) == len(plain), bucket
         assert (b["n"].to_numpy() == plain["n"].to_numpy()).all(), bucket
         assert np.allclose(b["s"], plain["s"]), bucket
+
+
+def test_sliding_window_bucket_via_facade(spark, qc):
+    """SlidingWindow(bucket=...) reaches the halo plan through
+    windowed_transform and matches the plain facade result."""
+    import __spark_entry__ as em
+    from quokka_spark.windowtypes import SlidingWindow
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts")
+    plain = (ev.windowed_transform(
+        SlidingWindow("30m", {"v": "round(avg(value), 4)"}), by="user_id")
+        .df.toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True))
+    buck = (ev.windowed_transform(
+        SlidingWindow("30m", {"v": "round(avg(value), 4)"}, bucket="4h"),
+        by="user_id")
+        .df.toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True))
+    assert len(plain) == len(buck)
+    assert np.allclose(plain["v"], buck["v"])
