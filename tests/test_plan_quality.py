@@ -104,3 +104,12 @@ def test_q21_single_lineitem_scan(spark):
     s = explain(em.tpch_q21(spark, SF), mode="simple")
     assert s.count("lineitem.parquet") == 1, s
     assert s.count("Exchange hashpartitioning") <= 2, s
+
+
+def test_q17_single_scan_single_exchange(spark):
+    """The agg+self-join-as-window formulation (round-1): one lineitem
+    scan, one l_partkey exchange shared by the per-part average and the
+    final filter — not the naive two-scan correlated-subquery plan."""
+    s = explain(em.tpch_q17(spark, SF), mode="simple")
+    assert s.count("lineitem.parquet") == 1, s
+    assert s.count("Exchange hashpartitioning") <= 1, s

@@ -300,3 +300,43 @@ def test_random_str_namespace_matches_duckdb(spark, qc, meth, needle):
         f"ORDER BY v").fetchdf())
     assert got["v"].tolist() == want["v"].tolist(), (meth, needle)
     assert got["count"].tolist() == want["count"].tolist(), (meth, needle)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(gap_minutes=st.sampled_from([5, 15, 45, 90, 360]))
+def test_random_session_window_matches_duckdb(spark, qc, gap_minutes):
+    """Session windows with random gap timeouts must match DuckDB's
+    lag-cumsum sessionization."""
+    import __spark_entry__ as em
+    from quokka_spark.windowtypes import SessionWindow
+    from conftest import duck_con
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts")
+    win = SessionWindow(f"{gap_minutes}m",
+                        {"n": "count(*)", "s": "round(sum(value), 4)"})
+    got = canonicalize(
+        ev.windowed_transform(win, by="user_id").df
+        .select("user_id", "session_start", "n", "s").toPandas())
+    want = canonicalize(duck_con(SF_SMOKE).execute(f"""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTES
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+          SELECT user_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n,
+               round(sum(value), 4) AS s
+        FROM numbered GROUP BY user_id, sid""").fetchdf())
+    assert len(got) == len(want), gap_minutes
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a):
+            assert (a - b).abs().max() <= 1e-9, (gap_minutes, c)
+        else:
+            assert (a == b).all(), (gap_minutes, c)
