@@ -340,3 +340,53 @@ def test_random_session_window_matches_duckdb(spark, qc, gap_minutes):
             assert (a - b).abs().max() <= 1e-9, (gap_minutes, c)
         else:
             assert (a == b).all(), (gap_minutes, c)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(hop_minutes=st.sampled_from([30, 60, 120]),
+       k=st.sampled_from([2, 3, 4]))
+def test_random_hopping_window_matches_duckdb(spark, qc, hop_minutes, k):
+    """Hopping windows with random hop and size=k*hop: each event lands
+    in k windows (the UNION-ALL shift formulation in DuckDB)."""
+    import __spark_entry__ as em
+    from quokka_spark.windowtypes import HoppingWindow
+    from conftest import duck_con
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts")
+    win = HoppingWindow(f"{hop_minutes}m", f"{hop_minutes * k}m",
+                        {"n": "count(*)"})
+    got = canonicalize(
+        ev.windowed_transform(win, by=[]).df
+        .select("window_start", "n").toPandas())
+    shifts = " UNION ALL ".join(
+        f"SELECT time_bucket(INTERVAL {hop_minutes} MINUTES, "
+        f"CAST(ts AS TIMESTAMP)) - {i} * (INTERVAL {hop_minutes} MINUTES)"
+        f" AS ws FROM events" for i in range(k))
+    want = canonicalize(duck_con(SF_SMOKE).execute(
+        f"SELECT ws AS window_start, count(*) AS n FROM ({shifts}) "
+        f"GROUP BY ws").fetchdf())
+    assert len(got) == len(want), (hop_minutes, k)
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all(), (hop_minutes, k)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(meth=st.sampled_from(["hour", "day", "month", "week", "weekday",
+                             "minute"]))
+def test_random_dt_namespace_matches_duckdb(spark, qc, meth):
+    """Expression-DSL .dt extractors must match DuckDB part functions
+    (counts per extracted value keep outputs small)."""
+    from conftest import duck_con
+    ds = qc.read_parquet(f"{SF_SMOKE}/events.parquet")
+    expr = getattr(ds["ts"].dt, meth)()
+    duck_fn = {"hour": "hour(ts)", "day": "day(ts)", "month": "month(ts)",
+               "week": "weekofyear(ts)", "weekday": "isodow(ts)",
+               "minute": "minute(ts)"}[meth]
+    got = (ds.with_columns({"v": expr}).df
+           .groupBy("v").count().toPandas()
+           .sort_values("v").reset_index(drop=True))
+    want = (duck_con(SF_SMOKE).execute(
+        f"SELECT CAST({duck_fn} AS INT) AS v, count(*) AS count "
+        f"FROM events GROUP BY v ORDER BY v").fetchdf())
+    assert got["v"].tolist() == want["v"].tolist(), meth
+    assert got["count"].tolist() == want["count"].tolist(), meth
