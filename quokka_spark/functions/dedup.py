@@ -56,18 +56,34 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.6) -> DataFrame:
+                        threshold: float = 0.6,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id1 < id2, jaccard ≥ τ).
 
     Inverted-index plan: explode distinct shingles → self-join on
     shingle → per-pair intersection count → |A∪B| via per-doc counts.
-    Only docs sharing ≥1 shingle ever pair up. Very common shingles
-    fan out quadratically — at scale, drop shingles with document
-    frequency above a cap (standard optimization, not applied at test
-    scale to keep the oracle exact)."""
+    Only docs sharing ≥1 shingle ever pair up.
+
+    ``max_df``: document-frequency cap — shingles appearing in more
+    than ``max_df`` documents are dropped from the INDEX side (the
+    quadratic fan-out term: a shingle shared by d docs emits d²/2 pair
+    rows). |A|, |B| and the intersection still count capped shingles
+    OUT, so jaccard becomes a conservative approximation over the
+    remaining (discriminative) shingles: near-dup pairs share mostly
+    rare shingles and survive; the recall loss is bounded by the mass
+    of capped shingles (test-asserted on planted near-dups). None
+    (default) = exact — the oracle-gate configuration."""
     shingled = _with_shingles(df, text_col, id_col, n)
-    sizes = shingled.select(id_col, F.size("__sh__").alias("__n__"))
     inv = shingled.select(id_col, F.explode("__sh__").alias("__s__"))
+    if max_df is not None:
+        keep = (inv.groupBy("__s__")
+                .agg(F.count(F.lit(1)).alias("__df__"))
+                .filter(F.col("__df__") <= max_df)
+                .select("__s__"))
+        inv = inv.join(keep, "__s__", "left_semi")
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+    else:
+        sizes = shingled.select(id_col, F.size("__sh__").alias("__n__"))
     a, b = inv.alias("a"), inv.alias("b")
     shared = (a.join(b, (F.col("a.__s__") == F.col("b.__s__")) &
                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

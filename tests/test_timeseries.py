@@ -485,3 +485,20 @@ def test_sliding_window_bucket_via_facade(spark, qc):
         .df.toPandas().sort_values(["user_id", "ts"]).reset_index(drop=True))
     assert len(plain) == len(buck)
     assert np.allclose(plain["v"], buck["v"])
+
+
+def test_ngram_jaccard_df_cap_retains_near_dups(spark, qc):
+    """The document-frequency cap must kill the quadratic fan-out term
+    while retaining planted near-dup pairs (they share mostly RARE
+    shingles). Recall of the capped run over the exact jaccard>=0.9
+    set must stay high; precision stays structural (still a jaccard
+    filter, just over the discriminative shingles)."""
+    from quokka_spark.functions.dedup import ngram_jaccard_pairs
+    docs = qc.read_parquet(f"{SF_SMOKE}/documents.parquet").df
+    exact = ngram_jaccard_pairs(docs, threshold=0.9).toPandas()
+    capped = ngram_jaccard_pairs(docs, threshold=0.8, max_df=20).toPandas()
+    e = set(zip(exact["id1"], exact["id2"]))
+    c = set(zip(capped["id1"], capped["id2"]))
+    assert e, "no near-dup pairs in fixture"
+    recall = len(e & c) / len(e)
+    assert recall >= 0.9, f"DF-cap recall {recall}"
