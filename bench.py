@@ -62,12 +62,23 @@ def main():
     # costs amortize to nothing, so steady state is the number
     # comparable to a 100 TB run — and min-of-2 suppresses GC/JIT noise
     # that otherwise dominates at test scale)
+    errors = {}
     for measured in (False, True, True):
         for name in BENCH_QUERIES:
+            if name in errors:
+                continue
             fn = registry[name]
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            # per-query isolation: one broken query must never abort the
+            # suite (round-3 lesson: a single analysis error in warmup
+            # nulled the entire bench)
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                continue
             if measured:
                 t = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
@@ -79,7 +90,7 @@ def main():
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "quokka_spark headline suite runtime (sum of per-query sec, "
                   "TPC-H + time-series + LLM-data ops)",
         "value": total,
@@ -87,7 +98,10 @@ def main():
         "queries": timings,
         "sf": sf,
         "cpus": CPUS,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -427,9 +427,20 @@ class DataStream:
             cond = (self.df[left_on] == rdf[right_on]) & cond
         joined = self.df.join(rdf, on=cond, how=spark_how)
         if on is not None and how not in ("semi", "anti"):
-            # same-named equi key appears on both sides: keep the left one
-            # (matches the on="k" string-join dedup behavior above)
-            joined = joined.drop(rdf[right_on])
+            if spark_how in ("right", "full"):
+                # right/full with a Column condition keeps BOTH key
+                # columns; right-only rows have a NULL left key, so
+                # dropping the right key would lose it — coalesce the
+                # two into one (the same dedup the on="k" string-join
+                # path gets from Spark natively)
+                key = F.coalesce(self.df[left_on], rdf[right_on]).alias(on)
+                joined = joined.select(
+                    *[key if c == on else self.df[c] for c in self.df.columns],
+                    *[rdf[c] for c in rdf.columns if c != right_on])
+            else:
+                # same-named equi key appears on both sides: keep the
+                # left one (matches the on="k" string-join behavior)
+                joined = joined.drop(rdf[right_on])
         return DataStream(self.qc, joined)
 
     def cogroup(self, right: "DataStream", executor, on: str,

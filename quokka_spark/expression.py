@@ -185,10 +185,14 @@ class DtNamespace:
         return Expression(F.second(self.c))
 
     def millisecond(self):
-        return Expression((F.unix_micros(self.c) % 1_000_000) / 1000)
+        # cast-to-timestamp first: unix_micros rejects TIMESTAMP_NTZ
+        # (pyspark 4 reads naive parquet timestamps as NTZ; session tz
+        # is pinned UTC so the cast preserves the sub-second fields)
+        return Expression(
+            (F.unix_micros(self.c.cast("timestamp")) % 1_000_000) / 1000)
 
     def microsecond(self):
-        return Expression(F.unix_micros(self.c) % 1_000_000)
+        return Expression(F.unix_micros(self.c.cast("timestamp")) % 1_000_000)
 
     def weekday(self):
         # ISO weekday, Monday=1..Sunday=7 (matches DuckDB isodow and the

@@ -302,11 +302,20 @@ def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
 
     v = df.select(F.col(id_col).alias("id"),
                   F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    # F.get (NULL on out-of-range, vs getItem's ANSI error) + two-arm
+    # when with NO otherwise: a NULL element or a vector shorter than
+    # dim leaves that term NULL, and SQL + propagates it, so the whole
+    # bucket is NULL and the self-join's null-rejecting equality drops
+    # the row — matching the oracle SQL, which also yields NULL buckets
+    # for such vectors (previously NULLs silently folded to bit 0 and
+    # could pair)
     tables = [
         F.struct(
             F.lit(t).alias("t"),
-            sum((F.when(F.col("v").getItem(t * bits_per_table + j) > 0,
-                        F.lit(1 << j)).otherwise(F.lit(0)))
+            sum((F.when(F.get("v", t * bits_per_table + j) > 0,
+                        F.lit(1 << j))
+                 .when(F.get("v", t * bits_per_table + j) <= 0,
+                       F.lit(0)))
                 for j in range(bits_per_table)).alias("bucket"))
         for t in range(n_tables)]
     tabs = v.select("id", F.explode(F.array(*tables)).alias("tb")) \

@@ -186,10 +186,16 @@ def repartition_by_payload_size(df: DataFrame, payload_col: str = "object",
 
     # materialize the range-partition id BEFORE any downstream exchange:
     # spark_partition_id() used directly in a window/groupBy key would be
-    # re-evaluated after that operator's own shuffle (wrong pid)
+    # re-evaluated after that operator's own shuffle (wrong pid).
+    # localCheckpoint, not persist(): the pid snapshot must be stable
+    # across the counts job and the output plan, but a persist() here
+    # would pin the payload bytes in executor storage with no safe place
+    # to unpersist (the returned DataFrame still depends on it);
+    # checkpoint blocks are reclaimed by the ContextCleaner once the
+    # returned plan is garbage-collected
     ranked = (sized.repartitionByRange(n_range, F.desc("__sz__"))
               .withColumn("__pid__", F.spark_partition_id())
-              .persist())
+              .localCheckpoint(eager=True))
     counts = {r["__pid__"]: r["n"] for r in
               ranked.groupBy("__pid__")
               .agg(F.count(F.lit(1)).alias("n")).collect()}

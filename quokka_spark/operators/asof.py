@@ -44,6 +44,12 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     right_by = [right_by] if isinstance(right_by, str) else list(right_by)
     assert len(left_by) == len(right_by)
 
+    if bucket == "auto":
+        # probe the left stream: bucket only when the key count is
+        # small relative to the cluster (see windows.choose_bucket)
+        from .windows import choose_bucket
+        bucket = choose_bucket(left, left_on, left_by)
+
     # right value columns (everything but key/time), suffix-renamed on
     # collision with left — reference orderedstream.py:160-175
     right_vals = [c for c in right.columns if c != right_on and c not in right_by]
@@ -68,29 +74,35 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
         # no right value columns: nothing to attach
         return left
 
-    # Pack ALL right value columns into ONE struct before the forward
-    # fill: last(struct, ignorenulls) attaches the whole latest right
-    # row atomically. Filling per-column would interleave values from
-    # DIFFERENT right rows whenever the latest row holds a legitimate
-    # NULL in one column — diverging from pandas merge_asof / the
-    # reference SortedAsofExecutor (ts_executors.py:324-383), which
-    # attach the entire row including its NULLs. A struct whose members
-    # are all NULL is still non-NULL, so all-null right rows count as
-    # matches, exactly like merge_asof.
-    from pyspark.sql.types import StructField, StructType
-    rv_type = StructType([StructField(c, r.schema[c].dataType, True)
-                          for c in out_right_vals])
+    # Fill ALL right value columns as ONE struct: last(struct,
+    # ignorenulls) attaches the whole latest right row atomically.
+    # Filling per-column would interleave values from DIFFERENT right
+    # rows whenever the latest row holds a legitimate NULL in one
+    # column — diverging from pandas merge_asof / the reference
+    # SortedAsofExecutor (ts_executors.py:324-383), which attach the
+    # entire row including its NULLs. A struct whose members are all
+    # NULL is still non-NULL, so all-null right rows count as matches,
+    # exactly like merge_asof.
+    #
+    # The union shuffles FLAT columns (right values NULL on left rows,
+    # left values NULL on right rows); the struct is constructed lazily
+    # inside the window stage, AFTER the shuffle — when(side=0,
+    # struct(...)) is non-NULL for exactly the right rows. Packing
+    # before the union (as r2 did) inflated shuffle bytes with struct
+    # headers and cost bench_asof_micro +73%.
     tagged_left = left.select(
         *left_cols,
-        F.lit(None).cast(rv_type).alias("__rv__"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(c)
+          for c in out_right_vals],
         F.lit(1).alias("__side__"))
     tagged_right = r.select(
         *[F.col(c) if c in ([left_on] + left_by) else
           F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
-        F.struct(*out_right_vals).alias("__rv__"),
+        *out_right_vals,
         F.lit(0).alias("__side__"))
 
     unioned = tagged_left.unionByName(tagged_right)
+    rv = F.when(F.col("__side__") == 0, F.struct(*out_right_vals))
 
     if bucket is None:
         w = (Window.partitionBy(*left_by)
@@ -98,7 +110,7 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
              .rowsBetween(Window.unboundedPreceding, 0))
         filled = unioned.select(
             *left_cols, F.col("__side__"),
-            F.last("__rv__", ignorenulls=True).over(w).alias("__rv__"))
+            F.last(rv, ignorenulls=True).over(w).alias("__rv__"))
         return (filled.filter(F.col("__side__") == 1)
                 .select(*left_cols,
                         *[F.col("__rv__")[c].alias(c) for c in out_right_vals]))
@@ -106,9 +118,9 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     # ---- bucketed two-level formulation ------------------------------
     ts_type = dict(unioned.dtypes)[left_on]
     if "timestamp" in ts_type:
-        from .windows import to_seconds
+        from .windows import epoch_us, to_seconds
         width = int(to_seconds(bucket) * 1_000_000)
-        ts_num = F.unix_micros(F.col(left_on))
+        ts_num = epoch_us(left_on)
     else:
         # numeric event time: bucket is a width in the column's units
         width = int(bucket)
@@ -121,7 +133,7 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
           .rowsBetween(Window.unboundedPreceding, 0))
     filled = bucketed.select(
         *left_cols, "__b__", F.col("__side__"),
-        F.last("__rv__", ignorenulls=True).over(w1).alias("__rv__"))
+        F.last(rv, ignorenulls=True).over(w1).alias("__rv__"))
 
     # level 2: slim per-(key, bucket) summaries — the LAST right row of
     # each bucket — attached to EVERY bucket seen in the data (buckets
@@ -132,7 +144,7 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     # set, not the event stream.
     summaries = (bucketed.filter(F.col("__side__") == 0)
                  .groupBy(*left_by, "__b__")
-                 .agg(F.max_by("__rv__", ts_num).alias("__last_rv__")))
+                 .agg(F.max_by(rv, ts_num).alias("__last_rv__")))
     all_buckets = bucketed.select(*left_by, "__b__").distinct()
     w2 = (Window.partitionBy(*left_by).orderBy(F.col("__b__").asc())
           .rowsBetween(Window.unboundedPreceding, -1))

@@ -39,6 +39,17 @@ def to_seconds(size) -> float:
     return float(m.group(1)) * _UNIT_SECONDS[m.group(2).lower()]
 
 
+def epoch_us(col) -> "F.Column":
+    """Event time as integer epoch microseconds, tolerant of
+    TIMESTAMP_NTZ: pyspark 4 reads naive parquet timestamps as NTZ,
+    which ``unix_micros`` rejects at analysis. Casting to TIMESTAMP
+    first is an identity for LTZ inputs and resolves NTZ via the
+    session timezone — pinned UTC in session.py — so the epoch value is
+    stable and matches DuckDB's ``epoch_us`` of the naive value."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def _interval(seconds: float) -> str:
     if seconds == int(seconds):
         return f"{int(seconds)} seconds"
@@ -66,6 +77,64 @@ def _over(sql: str, w) -> "F.Column":
     return F.expr(sql).over(w)
 
 
+_BUCKET_DECISIONS: dict = {}
+
+
+def choose_bucket(df: DataFrame, time_col: str, by: list,
+                  size_before=None, parallelism: int | None = None):
+    """Auto-select the time-bucketed plan for low-key-count streams.
+
+    The plain per-key window/as-of plans give parallelism = #keys —
+    perfect until the key count is small relative to the cluster (the
+    reference's own 1.3B-row flagship has 101 symbols,
+    blog/orderedstreams.md:51: 101-way parallel on a 1000-core
+    cluster). One slim probe job (column-pruned scan of by + time:
+    approx key count, time span) decides:
+
+      keys >= 2 x defaultParallelism  ->  None (plain plan saturates)
+      else  bucket = max(size_before, span / (4 x cores))
+            -> keys x buckets ≈ >= 4 x cores tasks, halo/carry overhead
+               bounded by the max() floor (halo copies <= 1 extra
+               window-width of rows per bucket).
+
+    Returns the bucket in SECONDS for timestamp columns, in native
+    units for numeric event time, or None for "use the plain plan".
+    The probe is one extra pass over two columns — worth it whenever
+    the alternative is a near-serial stage; callers bypass it entirely
+    by passing an explicit ``bucket`` (or ``bucket=None``). Decisions
+    are memoized per (semantic plan, args), so re-running the same
+    query in a session probes once."""
+    cores = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    cache_key = None
+    try:
+        cache_key = (df.semanticHash(), time_col, tuple(by or []),
+                     str(size_before), cores)
+    except Exception:  # noqa: BLE001 — hash is best-effort (connect mode etc.)
+        pass
+    if cache_key in _BUCKET_DECISIONS:
+        return _BUCKET_DECISIONS[cache_key]
+    is_ts = "timestamp" in dict(df.dtypes)[time_col]
+    tsnum = epoch_us(time_col) if is_ts else F.col(time_col)
+    key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in by]) \
+        if by else F.lit("")
+    row = df.select(F.approx_count_distinct(key).alias("k"),
+                    F.min(tsnum).alias("lo"),
+                    F.max(tsnum).alias("hi")).first()
+    result = None
+    if row and row["k"] is not None and row["lo"] is not None \
+            and row["k"] < 2 * cores:
+        span = float(row["hi"] - row["lo"])
+        floor = to_seconds(size_before) * (1_000_000 if is_ts else 1) \
+            if size_before is not None else 1.0
+        bucket = max(floor, span / (4 * cores), 1.0)
+        result = bucket / 1_000_000 if is_ts else bucket
+    if cache_key is not None:
+        if len(_BUCKET_DECISIONS) > 512:
+            _BUCKET_DECISIONS.clear()
+        _BUCKET_DECISIONS[cache_key] = result
+    return result
+
+
 def windowed_transform(df: DataFrame, window, time_col: str, by,
                        trigger: Trigger | None = None) -> DataFrame:
     """Dispatch on window type (reference datastream.py:1650-1700)."""
@@ -81,11 +150,15 @@ def windowed_transform(df: DataFrame, window, time_col: str, by,
         return tumbling_window_running(df, time_col, by, window.size,
                                        window.aggregation_dict)
     if isinstance(window, SlidingWindow):
-        if getattr(window, "bucket", None) is not None:
+        bucket = getattr(window, "bucket", None)
+        if bucket == "auto":
+            bucket = choose_bucket(df, time_col, by,
+                                   size_before=window.size_before)
+        if bucket is not None:
             return sliding_window_bucketed(df, time_col, by,
                                            window.size_before,
                                            window.aggregation_dict,
-                                           window.bucket)
+                                           bucket)
         return sliding_window(df, time_col, by, window.size_before,
                               window.aggregation_dict)
     if isinstance(window, SessionWindow):
@@ -123,7 +196,7 @@ def tumbling_window_running(df: DataFrame, time_col: str, by: list, size,
     win_id = F.window(F.col(time_col), _interval(size_s)).getField("start")
     with_id = df.withColumn("__wid__", win_id)
     w = (W.partitionBy(*by, "__wid__")
-         .orderBy(F.unix_micros(F.col(time_col)))
+         .orderBy(epoch_us(time_col))
          .rangeBetween(W.unboundedPreceding, 0))
     aggs = [_over(sql, w).alias(alias)
             for alias, sql in aggregation_dict.items()]
@@ -146,15 +219,17 @@ def sliding_window_bucketed(df: DataFrame, time_col: str, by: list,
     size_us = int(to_seconds(size_before) * 1_000_000)
     width_us = int(to_seconds(bucket) * 1_000_000)
     assert width_us >= size_us, "bucket must be >= size_before"
-    us = F.unix_micros(F.col(time_col))
+    us = epoch_us(time_col)
     main = df.withColumn("__b__", F.floor(us / width_us)) \
              .withColumn("__halo__", F.lit(False))
-    halo = (df.filter(us % width_us >= width_us - size_us)
+    # F.pmod, not %: sign-preserving % silently drops halo rows for
+    # pre-1970 (negative-epoch) timestamps
+    halo = (df.filter(F.pmod(us, F.lit(width_us)) >= width_us - size_us)
             .withColumn("__b__", F.floor(us / width_us) + 1)
             .withColumn("__halo__", F.lit(True)))
     unioned = main.unionByName(halo)
     w = (W.partitionBy(*by, "__b__")
-         .orderBy(F.unix_micros(F.col(time_col)))
+         .orderBy(epoch_us(time_col))
          .rangeBetween(-size_us, 0))
     aggs = [_over(sql, w).alias(alias)
             for alias, sql in aggregation_dict.items()]
@@ -178,7 +253,7 @@ def sliding_window(df: DataFrame, time_col: str, by: list, size_before,
     # bounds, and µs-longs keep window membership exact (no fp rounding)
     size_us = int(to_seconds(size_before) * 1_000_000)
     w = (W.partitionBy(*by)
-         .orderBy(F.unix_micros(F.col(time_col)))
+         .orderBy(epoch_us(time_col))
          .rangeBetween(-size_us, 0))
     aggs = [_over(sql, w).alias(alias)
             for alias, sql in aggregation_dict.items()]

@@ -55,12 +55,15 @@ class OrderedStream(DataStream):
 
     def join_asof(self, right: "OrderedStream", on=None, left_on=None,
                   right_on=None, by=None, left_by=None, right_by=None,
-                  suffix: str = "_2", bucket=None) -> "OrderedStream":
+                  suffix: str = "_2", bucket="auto") -> "OrderedStream":
         """Backward as-of join per key group (reference
         orderedstream.py:114-191). See operators/asof.py for the
-        union-tag formulation and its scale analysis. ``bucket`` opts
-        into the time-bucketed two-level plan for low-key-count inputs
-        (parallelism keys x buckets instead of keys)."""
+        union-tag formulation and its scale analysis. ``bucket``
+        selects the time-bucketed two-level plan for low-key-count
+        inputs (parallelism keys x buckets instead of keys); the
+        default "auto" probes the left stream and buckets only when
+        keys < 2 x defaultParallelism (operators/windows.choose_bucket);
+        pass ``bucket=None`` to force the single-window plan."""
         from .operators.asof import join_asof as _asof
         assert isinstance(right, DataStream)
         if on is not None:

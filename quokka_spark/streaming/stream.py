@@ -27,6 +27,12 @@ def streaming_windowed_agg(df: DataFrame, window, time_col: str, by,
     """Hopping/tumbling/session windows with late-data handling — the
     capability the reference lacks (it asserts sortedness instead)."""
     by = [by] if isinstance(by, str) else list(by or [])
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(df.schema[time_col].dataType, TimestampNTZType):
+        # withWatermark rejects TIMESTAMP_NTZ (pyspark 4 reads naive
+        # parquet timestamps as NTZ); session tz is pinned UTC so the
+        # cast is an epoch identity
+        df = df.withColumn(time_col, F.col(time_col).cast("timestamp"))
     wm = df.withWatermark(time_col, watermark)
     if isinstance(window, HoppingWindow):
         win = F.window(F.col(time_col), _interval(to_seconds(window.size)),

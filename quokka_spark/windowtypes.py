@@ -45,12 +45,15 @@ class TumblingWindow(HoppingWindow):
 
 class SlidingWindow(Window):
     """Trailing window of ``size_before`` ending at each event
-    (reference windowtypes.py:71-76). ``bucket`` (optional, must be
-    >= size_before) opts into the halo-copy bucketed plan for
-    low-key-count streams — parallelism keys x buckets instead of one
-    task per key (operators/windows.sliding_window_bucketed)."""
+    (reference windowtypes.py:71-76). ``bucket`` (must be >=
+    size_before) selects the halo-copy bucketed plan for low-key-count
+    streams — parallelism keys x buckets instead of one task per key
+    (operators/windows.sliding_window_bucketed). The default "auto"
+    probes the stream (operators/windows.choose_bucket) and buckets
+    only when the key count is small relative to the cluster; pass
+    ``bucket=None`` to force the plain per-key plan."""
 
-    def __init__(self, size_before, aggregation_dict: dict, bucket=None):
+    def __init__(self, size_before, aggregation_dict: dict, bucket="auto"):
         super().__init__(size_before, aggregation_dict)
         self.size_before = size_before
         self.bucket = bucket

@@ -354,3 +354,20 @@ def test_collect_as_polars_gated(qc):
     else:
         with pytest.raises(RuntimeError):
             d.collect(as_polars=True)
+
+
+def test_join_condition_outer_coalesces_key(qc):
+    """on= + condition with how=outer/right: right-only rows carry their
+    key in the single deduped key column (round-3 advice: the right key
+    was dropped without coalescing, so right-only rows came out with a
+    NULL key, diverging from the plain on="k" string-join path)."""
+    left = qc.from_pandas(pd.DataFrame({"k": [1, 2], "x": [1.0, 2.0]}))
+    right = qc.from_pandas(pd.DataFrame({"k": [2, 3], "y": [0.5, 9.0]}))
+    out = left.join(right, on="k", condition="y > x", how="outer").collect()
+    assert list(out.columns) == ["k", "x", "y"]
+    got = {tuple(None if pd.isna(v) else round(float(v), 3) for v in row)
+           for row in out[["k", "x", "y"]].itertuples(index=False)}
+    # k=1: left-only (no match); k=2: condition fails -> both sides
+    # unmatched; k=3: right-only — key must survive as 3, not NULL
+    assert got == {(1.0, 1.0, None), (2.0, 2.0, None), (2.0, None, 0.5),
+                   (3.0, None, 9.0)}, got

@@ -174,3 +174,38 @@ def test_with_columns_schema_no_plan_time_job(spark, qc):
     pdf = d2.limit(20).collect()
     assert (pdf["qty2"] == pdf["l_quantity"] * 2.0).all()
     assert str(d2.df.schema["qty2"].dataType) == "DoubleType()"
+
+
+def test_repartition_payload_leaves_no_cache_entry(spark):
+    """Round-3 advice: repartition_by_payload_size persisted its ranked
+    intermediate and never unpersisted, pinning payload copies in
+    executor storage across calls. The pid snapshot now uses
+    localCheckpoint (ContextCleaner-reclaimed); the cache manager must
+    stay empty."""
+    import pandas as pd
+    from quokka_spark.functions.multimodal import repartition_by_payload_size
+    pdf = pd.DataFrame({"doc_id": range(64), "object": [b"z" * 10_000] * 64})
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = repartition_by_payload_size(df, "object", target_bytes=100_000)
+    assert out.count() == 64
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), \
+        "repartition_by_payload_size left a persisted DataFrame behind"
+
+
+def test_embedding_lsh_null_vectors_yield_no_pairs(spark):
+    """Round-3 advice: NULL vector elements folded to sign-bit 0 and
+    could pair, while the oracle SQL yields NULL buckets (no pairs).
+    Rows with NULL / short vectors must now drop out of the candidate
+    join on both sides."""
+    from quokka_spark.functions.dedup import embedding_near_pairs_lsh
+    rows = [
+        (1, [1.0] * 8),
+        (2, [1.0] * 8),               # exact duplicate of 1 -> the only pair
+        (3, [1.0] * 4 + [None] * 4),  # NULL elements
+        (4, None),                    # NULL vector
+        (5, [1.0] * 4),               # shorter than dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = embedding_near_pairs_lsh(df, threshold=0.9, bits_per_table=4,
+                                   n_tables=2, dim=8).toPandas()
+    assert set(zip(got["id1"], got["id2"])) == {(1, 2)}

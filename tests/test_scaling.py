@@ -106,3 +106,67 @@ def test_wide_quantile_10k_columns_completes(spark):
     # standard-normal medians concentrate near 0; rank error 1/(2*200)
     # plus sampling noise at 100k rows stays well inside 0.05
     assert np.abs(med).max() < 0.05, np.abs(med).max()
+
+
+def test_choose_bucket_low_vs_high_cardinality(spark, qc):
+    """Auto plan selection (round-2/3 advice #1): a 4-key stream must
+    opt into the bucketed plan with keys x buckets well above the core
+    count; a high-cardinality stream must keep the plain per-key plan
+    (keys already saturate the cluster)."""
+    from quokka_spark.operators.windows import choose_bucket, epoch_us
+    rng = np.random.default_rng(3)
+    n = 20_000
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "ts": pd.to_datetime(
+            np.sort(rng.integers(0, 7 * 86400 * 1_000_000, n)), unit="us")
+        .astype("datetime64[us]"),
+        "v": rng.random(n)})
+    few = spark.createDataFrame(pdf)
+    cores = spark.sparkContext.defaultParallelism
+    bucket = choose_bucket(few, "ts", ["k"], size_before="30m")
+    assert bucket is not None
+    assert bucket >= 1800  # never below size_before
+    span = 7 * 86400
+    n_buckets = span / bucket
+    assert 4 * n_buckets >= cores, (bucket, cores)
+
+    many = spark.createDataFrame(
+        pdf.assign(k=np.arange(n)))  # every row its own key
+    assert choose_bucket(many, "ts", ["k"], size_before="30m") is None
+
+
+def test_sliding_auto_bucket_equals_forced_plain(spark, qc):
+    """SlidingWindow default bucket="auto" must produce exactly the
+    forced-plain result on a low-key-count stream (the case where auto
+    switches to the halo plan)."""
+    import __spark_entry__ as em
+    from quokka_spark.windowtypes import SlidingWindow
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts")
+    aggs = {"v": "round(avg(value), 4)"}
+    auto = (ev.windowed_transform(SlidingWindow("30m", aggs), by="user_id")
+            .df.toPandas().sort_values(["user_id", "ts"])
+            .reset_index(drop=True))
+    plain = (ev.windowed_transform(SlidingWindow("30m", aggs, bucket=None),
+                                   by="user_id")
+             .df.toPandas().sort_values(["user_id", "ts"])
+             .reset_index(drop=True))
+    assert len(auto) == len(plain)
+    assert np.allclose(auto["v"], plain["v"])
+
+
+def test_asof_auto_bucket_equals_forced_plain(spark, qc):
+    """OrderedStream.join_asof default bucket="auto" must match the
+    forced single-window plan."""
+    import __spark_entry__ as em
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts")
+    trades = ev.filter_sql("event_type = 'purchase'") \
+        .select(["event_id", "ts", "user_id", "value"])
+    quotes = ev.filter_sql("event_type = 'view'") \
+        .select(["ts", "user_id", "value"])
+    auto = trades.join_asof(quotes, on="ts", by="user_id") \
+        .df.toPandas().sort_values("event_id").reset_index(drop=True)
+    plain = trades.join_asof(quotes, on="ts", by="user_id", bucket=None) \
+        .df.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert len(auto) == len(plain)
+    assert np.allclose(auto["value_2"].fillna(-1), plain["value_2"].fillna(-1))
