@@ -891,7 +891,7 @@ def ts_cep_funnel(spark, sf_dir):
     engine."""
     qc = _qc(spark)
     ev = _ts(qc, sf_dir, "events", sorted_by="ts") \
-        .with_columns({"ts_sec": "unix_micros(cast(ts as timestamp)) * 1e-6"})
+        .with_columns({"ts_sec": "unix_micros(cast(ts as timestamp)) / 1e6"})
     ev = OrderedStreamFix(ev)
     out = ev.pattern_recognize(
         "ts_sec",

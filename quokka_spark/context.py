@@ -156,13 +156,34 @@ class QuokkaContext:
                 ) from e
             raise
 
-    def read_lance(self, path: str, vec_column: str = "vec"):
-        """Lance vector datasets are not readable without the lance
-        package; parity path is parquet + vector_nn_join (reference
-        df.py:564-652)."""
-        raise NotImplementedError(
-            "lance is not available in this environment; store embeddings as "
-            "parquet array<float> and use DataStream.vector_nn_join")
+    def read_lance(self, path: str, vec_column: str = "vec",
+                   pushdown: bool = False) -> DataStream:
+        """Vector dataset scan (reference df.py:564-652). The lance
+        package is absent here, so the scan runs through the Spark 4
+        Python DataSource in sources/lancelike.py over the portable
+        fragment layout (directory of parquet fragments — what lance
+        exports to): one input partition per fragment.
+        ``pushdown=True`` additionally pushes comparison filters into
+        the per-fragment parquet read — opt-in because the loaded
+        relation caches its pushed-filter planning (see
+        sources/lancelike.py), so use it load-scan-once. ANN top-k over
+        the result goes through DataStream.vector_nn_join (the
+        reference's __push_ann__ index probe has no index to push into
+        without lance itself)."""
+        if not getattr(self, "_lancelike_registered", False):
+            from .sources.lancelike import LanceLikeDataSource
+            self.spark.dataSource.register(LanceLikeDataSource)
+            try:  # runtime-settable; required for the pushFilters path
+                self.spark.conf.set(
+                    "spark.sql.python.filterPushdown.enabled", "true")
+            except Exception:  # noqa: BLE001 — older/locked sessions
+                pass
+            self._lancelike_registered = True
+        df = (self.spark.read.format("lancelike")
+              .option("pushdown", str(bool(pushdown)).lower()).load(path))
+        assert vec_column in df.columns, \
+            f"vector column {vec_column!r} not in {df.columns}"
+        return DataStream(self, df)
 
     def read_rest_get(self, url: str, params_list: list, headers: dict | None = None,
                       batch_size: int = 100) -> DataStream:

@@ -32,6 +32,7 @@ def build_spark(app_name: str = "quokka_spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # local test scale reads single small files; smaller splits keep
         # all cores busy. Cluster deployments should raise this back to
         # 128-256m so scan tasks amortize open/seek costs.

@@ -209,3 +209,47 @@ def test_embedding_lsh_null_vectors_yield_no_pairs(spark):
     got = embedding_near_pairs_lsh(df, threshold=0.9, bits_per_table=4,
                                    n_tables=2, dim=8).toPandas()
     assert set(zip(got["id1"], got["id2"])) == {(1, 2)}
+
+
+def test_read_lance_fragment_scan_and_pushdown(spark, qc, tmp_path):
+    """lancelike Python DataSource: one input partition per parquet
+    fragment, comparison filters pushed into the fragment read, and
+    vector_nn_join runs over the scan (the read_lance capability path,
+    reference df.py:564-652)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(5)
+    frags = []
+    for i in range(3):
+        n = 40
+        frags.append(pd.DataFrame({
+            "vec_id": np.arange(i * n, (i + 1) * n),
+            "grp": rng.integers(0, 5, n),
+            "vec": list(rng.standard_normal((n, 8)).round(3)),
+        }))
+        pq.write_table(pa.Table.from_pandas(frags[-1]),
+                       str(tmp_path / f"frag-{i}.parquet"))
+    ds = qc.read_lance(str(tmp_path), vec_column="vec")
+    assert ds.df.rdd.getNumPartitions() == 3  # fragment parallelism
+    all_pdf = pd.concat(frags, ignore_index=True)
+    assert ds.df.count() == len(all_pdf)
+
+    # default reader: filters evaluated Spark-side; the same relation
+    # must keep producing ALL rows for later queries (pins the
+    # relation-state leak the opt-in pushdown reader documents)
+    got = ds.df.filter("grp = 2 and vec_id >= 40").toPandas()
+    want = all_pdf[(all_pdf.grp == 2) & (all_pdf.vec_id >= 40)]
+    assert set(got["vec_id"]) == set(want["vec_id"])
+    assert ds.df.count() == len(all_pdf)
+
+    # opt-in pushdown reader, load-scan-once: same filtered rows
+    pushed = qc.read_lance(str(tmp_path), vec_column="vec", pushdown=True) \
+        .df.filter("grp = 2 and vec_id >= 40").toPandas()
+    assert set(pushed["vec_id"]) == set(want["vec_id"])
+
+    # ANN over the scan: self is the most similar of the top-3
+    probe = pd.DataFrame({"probe_id": [0], "vec": [all_pdf["vec"].iloc[7]]})
+    nn = ds.vector_nn_join(probe, vec_column="vec", k=3).collect()
+    assert len(nn) == 3
+    best = nn.sort_values("cosine_sim", ascending=False).iloc[0]
+    assert best["vec_id"] == 7

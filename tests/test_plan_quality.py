@@ -51,10 +51,22 @@ def test_topk_operator_is_take_ordered(spark):
 
 
 def test_asof_single_key_shuffle(spark):
-    """The union-tag as-of join needs exactly ONE shuffle for the window
-    (partitionBy user_id); the declarative sort contract must not add
-    range-partition exchanges for the reads."""
-    s = explain(em.ts_asof_join(spark, SF))
+    """The plain union-tag as-of join needs exactly ONE shuffle for the
+    window (partitionBy user_id); the declarative sort contract must
+    not add range-partition exchanges for the reads. bucket=None forces
+    the plain plan — the driver-facing default is bucket="auto", which
+    may legitimately pick the multi-exchange bucketed plan on
+    low-key-count inputs (pinned by the scaling tests)."""
+    from pyspark.sql import functions as F
+    from quokka_spark.operators.asof import join_asof
+    qc = em._qc(spark)
+    ev = em._ts(qc, SF, "events", sorted_by="ts")
+    trades = ev.filter_sql("event_type = 'purchase'") \
+        .select(["event_id", "ts", "user_id", "value"]).df
+    quotes = ev.filter_sql("event_type = 'view'") \
+        .select(["ts", "user_id", "value"]).df
+    s = explain(join_asof(trades, quotes, "ts", "ts", "user_id", "user_id",
+                          bucket=None))
     n_exchanges = s.count("+- Exchange") + s.count(": +- Exchange")
     assert "RANGEPARTITIONING" not in s.upper().replace(" ", "")
     assert n_exchanges <= 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{s}"
