@@ -65,8 +65,14 @@ _SIMPLE_FN = [
     (re.compile(r"\blist_contains\(", re.I), "array_contains("),
     (re.compile(r"\blist_unique\(", re.I), "array_distinct("),
     (re.compile(r"\bregexp_matches\(", re.I), "rlike("),
-    (re.compile(r"\bepoch_ms\(", re.I), "unix_millis("),
 ]
+
+# epoch_ms(x) -> unix_millis(cast(x as timestamp)): the cast tolerates
+# TIMESTAMP_NTZ inputs (pyspark 4 reads naive parquet timestamps as
+# NTZ, which unix_millis rejects; session tz is pinned UTC so the cast
+# is an epoch identity). Non-nested args only — nested calls keep the
+# raw spelling and fail loudly at analysis rather than mis-transpile.
+_EPOCH_MS = re.compile(r"\bepoch_ms\(([^()]*)\)", re.I)
 
 
 def duckdb_to_spark_sql(sql: str) -> str:
@@ -76,4 +82,5 @@ def duckdb_to_spark_sql(sql: str) -> str:
     out = _rewrite_json_extract(out)
     for pat, repl in _SIMPLE_FN:
         out = pat.sub(repl, out)
+    out = _EPOCH_MS.sub(r"unix_millis(cast(\1 as timestamp))", out)
     return out

@@ -253,3 +253,13 @@ def test_read_lance_fragment_scan_and_pushdown(spark, qc, tmp_path):
     assert len(nn) == 3
     best = nn.sort_values("cosine_sim", ascending=False).iloc[0]
     assert best["vec_id"] == 7
+
+
+def test_epoch_ms_rewrite_ntz_safe(spark, qc):
+    """epoch_ms transpiles with a cast so it runs on NTZ parquet
+    timestamps (the round-3 environment reads naive parquet as NTZ)."""
+    assert duckdb_to_spark_sql("epoch_ms(ts)") == \
+        "unix_millis(cast(ts as timestamp))"
+    ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet")
+    out = ev.with_columns({"ms": "epoch_ms(ts)"}).limit(3).collect()
+    assert (out["ms"] > 1_500_000_000_000).all()  # epoch millis magnitude
