@@ -45,6 +45,25 @@ def streaming_windowed_agg(df: DataFrame, window, time_col: str, by,
     return wm.groupBy(*by, win.alias("window")).agg(*_aggs(window.aggregation_dict))
 
 
+def streaming_dedup_exact(df: DataFrame, key_cols, watermark_col: str,
+                          delay: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — the streaming face of
+    functions/dedup.exact_duplicates. ``dropDuplicatesWithinWatermark``
+    evicts seen-key state once the watermark passes, so state is
+    O(keys seen within ``delay``), not O(all keys ever) — the only
+    dedup shape that survives an unbounded 100 TB/day stream. Rows with
+    the same key more than ``delay`` apart may BOTH survive (that is
+    the documented watermark trade; batch dedup_exact is the exact
+    oracle)."""
+    from pyspark.sql.types import TimestampNTZType
+    if isinstance(df.schema[watermark_col].dataType, TimestampNTZType):
+        df = df.withColumn(watermark_col,
+                           F.col(watermark_col).cast("timestamp"))
+    return (df.withWatermark(watermark_col, delay)
+            .dropDuplicatesWithinWatermark(
+                [key_cols] if isinstance(key_cols, str) else list(key_cols)))
+
+
 def stateful_stream_transform(df: DataFrame, func, out_schema, state_schema,
                               by, timeout: str = "NoTimeout") -> DataFrame:
     """``applyInPandasWithState`` recipe — the streaming equivalent of

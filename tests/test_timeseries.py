@@ -502,3 +502,71 @@ def test_ngram_jaccard_df_cap_retains_near_dups(spark, qc):
     assert e, "no near-dup pairs in fixture"
     recall = len(e & c) / len(e)
     assert recall >= 0.9, f"DF-cap recall {recall}"
+
+
+def test_streaming_dedup_exact_bounded_state(spark, qc, tmp_path):
+    """Streaming dedup via dropDuplicatesWithinWatermark: duplicates
+    within the watermark delay collapse to one row; output row count
+    equals the batch distinct-key count on a single-batch source."""
+    from quokka_spark.streaming.stream import streaming_dedup_exact
+    src = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df \
+        .withColumn("dup_key", F.col("event_id") % 100)
+    pq_dir = str(tmp_path / "dedup_src")
+    src.write.parquet(pq_dir)
+    stream = spark.readStream.schema(src.schema).parquet(pq_dir)
+    out = streaming_dedup_exact(stream, "dup_key", "ts", delay="365 days")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) as n, count(distinct dup_key) as k "
+                    "from dedup_out").collect()[0]
+    assert got["n"] == got["k"] == 100
+
+
+def test_asof_multi_column_by_keys(spark, qc):
+    """join_asof with a composite by-key list must match pandas
+    merge_asof on the same keys."""
+    from quokka_spark.operators.asof import join_asof
+    rng = np.random.default_rng(13)
+    n_l, n_r = 2000, 500
+    lpdf = pd.DataFrame({
+        "k1": rng.integers(0, 3, n_l), "k2": rng.integers(0, 2, n_l),
+        "ts": np.sort(rng.choice(np.arange(50_000), n_l, replace=False)),
+        "lv": rng.standard_normal(n_l)})
+    rpdf = pd.DataFrame({
+        "k1": rng.integers(0, 3, n_r), "k2": rng.integers(0, 2, n_r),
+        "ts": np.sort(rng.choice(np.arange(50_000), n_r, replace=False)),
+        "x": rng.standard_normal(n_r)})
+    got = join_asof(spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+                    "ts", "ts", ["k1", "k2"], ["k1", "k2"], bucket=None) \
+        .toPandas().sort_values(["k1", "k2", "ts"]).reset_index(drop=True)
+    want = pd.merge_asof(lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+                         on="ts", by=["k1", "k2"], direction="backward") \
+        .sort_values(["k1", "k2", "ts"]).reset_index(drop=True)
+    assert np.allclose(got["x"].fillna(-9e9), want["x"].fillna(-9e9))
+
+
+def test_choose_bucket_numeric_event_time(spark):
+    """choose_bucket on an integer event-time column returns a width in
+    native units, and the auto-resolved asof matches the plain plan."""
+    from quokka_spark.operators.asof import join_asof
+    from quokka_spark.operators.windows import choose_bucket
+    rng = np.random.default_rng(17)
+    lpdf = pd.DataFrame({
+        "k": ["a", "b"] * 1000,
+        "ts": np.sort(rng.choice(np.arange(1_000_000), 2000, replace=False)),
+        "lv": rng.standard_normal(2000)})
+    rpdf = pd.DataFrame({
+        "k": ["a", "b"] * 250,
+        "ts": np.sort(rng.choice(np.arange(1_000_000), 500, replace=False)),
+        "x": rng.standard_normal(500)})
+    left = spark.createDataFrame(lpdf)
+    b = choose_bucket(left, "ts", ["k"])
+    assert b is not None and b >= 1  # 2 keys << 2x parallelism
+    auto = join_asof(left, spark.createDataFrame(rpdf),
+                     "ts", "ts", "k", "k", bucket="auto") \
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    want = pd.merge_asof(lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+                         on="ts", by="k", direction="backward") \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    assert np.allclose(auto["x"].fillna(-9e9), want["x"].fillna(-9e9))
