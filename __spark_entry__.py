@@ -2106,6 +2106,56 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 # registry
 # ======================================================================
 
+def src_lance(spark, sf_dir):
+    """read_lance capability gate: the lancelike Python DataSource scan
+    (sources/lancelike.py — fragment-per-partition; reference
+    df.py:564-652) over the embeddings table, summarized to scalar
+    columns the oracle can hash (dim + rounded L2 norm per vector)."""
+    qc = _qc(spark)
+    ds = qc.read_lance(f"{sf_dir}/embeddings.parquet", vec_column="embedding")
+    sq = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return ds.df.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)), 4)
+        .alias("norm"))
+
+
+_SRC_LANCE_SQL = """
+SELECT vec_id, len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(
+           embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+FROM embeddings
+"""
+
+
+def op_join_outer_condition(spark, sf_dir):
+    """Full-outer join with an equi key + extra condition: right-only
+    rows must keep their key through the single coalesced key column
+    (the round-3 advice fix in datastream.join)."""
+    qc = _qc(spark)
+    left = _t(qc, sf_dir, "nation").filter_sql("n_regionkey < 3") \
+        .with_columns({"k": "n_regionkey",
+                       "x": "cast(n_nationkey as double)"}) \
+        .select(["k", "x"])
+    right = _t(qc, sf_dir, "region") \
+        .with_columns({"k": "r_regionkey",
+                       "y": "cast(length(r_name) as double)"}) \
+        .select(["k", "y"])
+    out = left.join(right, on="k", condition="y > x", how="outer")
+    return out.df.select("k", "x", "y")
+
+
+_JOIN_OUTER_COND_SQL = """
+WITH l AS (SELECT n_regionkey AS k, CAST(n_nationkey AS DOUBLE) AS x
+           FROM nation WHERE n_regionkey < 3),
+     r AS (SELECT r_regionkey AS k, CAST(length(r_name) AS DOUBLE) AS y
+           FROM region)
+SELECT coalesce(l.k, r.k) AS k, x, y
+FROM l FULL JOIN r ON l.k = r.k AND r.y > l.x
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
@@ -2173,6 +2223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_expression_dsl": op_expression_dsl,
         "op_json_extract": op_json_extract,
         "op_case_when_agg": op_case_when_agg,
+        "src_lance": src_lance,
+        "op_join_outer_condition": op_join_outer_condition,
     }
 
 
@@ -2229,4 +2281,6 @@ def oracle_sql() -> dict[str, str]:
         "agg_covariance": _covariance_oracle(),
         "agg_quantile": _QUANTILE_SQL,
         "ml_kmeans": _kmeans_oracle(),
+        "src_lance": _SRC_LANCE_SQL,
+        "op_join_outer_condition": _JOIN_OUTER_COND_SQL,
     }

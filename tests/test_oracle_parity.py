@@ -30,6 +30,7 @@ SF001_SUBSET = [
     "dedup_ngram_jaccard", "dedup_minhash", "dedup_embedding",
     "dedup_simhash", "sim_topk", "agg_covariance", "ml_kmeans",
     "mm_features", "pipeline_llm_data",
+    "src_lance", "op_join_outer_condition",
 ]
 
 
