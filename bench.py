@@ -40,31 +40,21 @@ BENCH_QUERIES = [
 ]
 
 
-def main():
-    from quokka_spark.session import build_spark
-    import __spark_entry__ as entry_mod
+def run_suite(spark, registry, names, sf_dir,
+              passes=(False, True, True)) -> tuple[dict, dict]:
+    """Run the suite; returns (timings, errors). Separated from main()
+    so the crash-isolation contract is testable without a subprocess.
 
-    spark = build_spark(app_name="quokka_spark_bench", cpus=CPUS)
-    registry = entry_mod.queries()
-    timings = {}
-
-    # JVM/codegen warmup + python-UDF worker pool spin-up (one tiny
-    # mapInPandas touches every executor thread once; without it the
-    # first Arrow-UDF query pays ~6s of daemon startup)
-    spark.range(1000).selectExpr("sum(id)").collect()
-    (spark.range(CPUS * 4).repartition(CPUS)
-     .mapInPandas(lambda it: it, "id long")
-     .write.format("noop").mode("overwrite").save())
-
-    # three passes: pass 1 warms codegen/JIT/broadcast state per query
-    # (unrecorded), passes 2-3 are measured and the per-query MIN is
-    # reported (standard bench practice; at real scale one-time driver
-    # costs amortize to nothing, so steady state is the number
-    # comparable to a 100 TB run — and min-of-2 suppresses GC/JIT noise
-    # that otherwise dominates at test scale)
-    errors = {}
-    for measured in (False, True, True):
-        for name in BENCH_QUERIES:
+    Pass layout: entries of ``passes`` are one loop over the queries
+    each; False passes warm codegen/JIT/broadcast state (unrecorded),
+    True passes record the per-query MIN (standard bench practice; at
+    real scale one-time driver costs amortize to nothing, so steady
+    state is the number comparable to a 100 TB run — and min-of-N
+    suppresses GC/JIT noise that otherwise dominates at test scale)."""
+    timings: dict = {}
+    errors: dict = {}
+    for measured in passes:
+        for name in names:
             if name in errors:
                 continue
             fn = registry[name]
@@ -73,7 +63,7 @@ def main():
             # suite (round-3 lesson: a single analysis error in warmup
             # nulled the entire bench)
             try:
-                df = fn(spark, SF_DIR)
+                df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -86,6 +76,25 @@ def main():
             # revenue) would otherwise accumulate cached blocks across
             # passes and starve execution memory for later queries
             spark.catalog.clearCache()
+    return timings, errors
+
+
+def main():
+    from quokka_spark.session import build_spark
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark(app_name="quokka_spark_bench", cpus=CPUS)
+
+    # JVM/codegen warmup + python-UDF worker pool spin-up (one tiny
+    # mapInPandas touches every executor thread once; without it the
+    # first Arrow-UDF query pays ~6s of daemon startup)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    (spark.range(CPUS * 4).repartition(CPUS)
+     .mapInPandas(lambda it: it, "id long")
+     .write.format("noop").mode("overwrite").save())
+
+    timings, errors = run_suite(spark, entry_mod.queries(),
+                                BENCH_QUERIES, SF_DIR)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -263,3 +263,24 @@ def test_epoch_ms_rewrite_ntz_safe(spark, qc):
     ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet")
     out = ev.with_columns({"ms": "epoch_ms(ts)"}).limit(3).collect()
     assert (out["ms"] > 1_500_000_000_000).all()  # epoch millis magnitude
+
+
+def test_bench_harness_survives_broken_query(spark):
+    """Round-3 lesson as a regression test: one raising query records an
+    error and the rest of the suite still produces timings (BENCH_r03
+    was nulled by a single analysis error in warmup)."""
+    import bench
+
+    def boom(spark_, sf_dir):
+        raise RuntimeError("injected failure")
+
+    registry = {
+        "good": lambda s, d: s.range(100).selectExpr("id", "id * 2 as x"),
+        "boom": boom,
+        "also_good": lambda s, d: s.range(10).selectExpr("sum(id) as s"),
+    }
+    timings, errors = bench.run_suite(
+        spark, registry, ["good", "boom", "also_good"], SF_SMOKE)
+    assert set(timings) == {"good", "also_good"}
+    assert list(errors) == ["boom"]
+    assert "injected failure" in errors["boom"]
