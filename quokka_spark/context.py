@@ -223,25 +223,29 @@ class QuokkaContext:
     def read_ray_dataset(self, ray_ds) -> DataStream:
         """Ray Dataset ingestion (reference df.py read_ray_dataset — a
         Ray-runtime source there). Spark has no Ray integration; the
-        portable path is Ray → Arrow → Spark. Requires ray installed
-        (absent in this environment → clean error); for datasets larger
-        than driver memory, write parquet from Ray and read_parquet."""
+        portable path is Ray → Arrow → Spark. ``to_arrow_refs()``
+        results that are already local Arrow tables are consumed
+        directly (ray.get on local objects is identity), so the
+        plumbing is testable without ray; true ObjectRefs need the ray
+        package (absent here → clean error). For datasets larger than
+        driver memory, write parquet from Ray and read_parquet."""
         try:
-            tables = ray_ds.to_arrow_refs()
+            tables = list(ray_ds.to_arrow_refs())
         except AttributeError as e:
             raise TypeError(
                 "read_ray_dataset expects a ray.data.Dataset "
                 "(to_arrow_refs missing)") from e
         import pyarrow as pa
-        try:
-            import ray
-            arrow = pa.concat_tables(ray.get(tables))
-        except ImportError as e:
-            raise RuntimeError(
-                "read_ray_dataset needs the ray package (not in this "
-                "environment); export the dataset to parquet and use "
-                "read_parquet instead") from e
-        return self.from_arrow(arrow)
+        if not all(isinstance(t, pa.Table) for t in tables):
+            try:
+                import ray
+                tables = ray.get(tables)
+            except ImportError as e:
+                raise RuntimeError(
+                    "read_ray_dataset needs the ray package to resolve "
+                    "ObjectRefs (not in this environment); export the "
+                    "dataset to parquet and use read_parquet instead") from e
+        return self.from_arrow(pa.concat_tables(tables))
 
     def get_config(self, key: str):
         """Engine config read (reference df.py get_config — cluster

@@ -326,14 +326,14 @@ def test_get_set_config(qc):
 
 def test_read_ray_dataset_clean_error(qc):
     """ray is absent here: non-Dataset input raises TypeError; a
-    Dataset-shaped object without ray installed raises RuntimeError
-    naming the parquet fallback."""
+    Dataset whose refs are true ObjectRefs (not local tables) raises
+    RuntimeError naming the parquet fallback."""
     with pytest.raises(TypeError):
         qc.read_ray_dataset(object())
 
     class FakeRayDs:
         def to_arrow_refs(self):
-            return []
+            return [object()]  # ObjectRef-shaped: needs ray to resolve
 
     with pytest.raises(RuntimeError) as ei:
         qc.read_ray_dataset(FakeRayDs())
@@ -371,3 +371,20 @@ def test_join_condition_outer_coalesces_key(qc):
     # unmatched; k=3: right-only — key must survive as 3, not NULL
     assert got == {(1.0, 1.0, None), (2.0, 2.0, None), (2.0, None, 0.5),
                    (3.0, None, 9.0)}, got
+
+
+def test_read_ray_dataset_local_arrow_tables(qc):
+    """read_ray_dataset consumes to_arrow_refs() results that are
+    already local Arrow tables (ray.get is identity on local objects),
+    so the ingestion plumbing runs without the ray package; true
+    ObjectRefs still require ray (clean RuntimeError)."""
+    import pyarrow as pa
+
+    class FakeRayDataset:
+        def to_arrow_refs(self):
+            return [pa.table({"a": [1, 2], "b": ["x", "y"]}),
+                    pa.table({"a": [3], "b": ["z"]})]
+
+    out = qc.read_ray_dataset(FakeRayDataset()).collect()
+    assert list(out.columns) == ["a", "b"]
+    assert sorted(out["a"].tolist()) == [1, 2, 3]
