@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 from .text import fingerprint, normalize_text_sql, word_ngrams
 
+# memoized broadcast matrices for embedding_near_pairs_lsh (per semantic plan)
+_EMB_BROADCASTS: dict = {}
+
 # large Mersenne prime for minhash permutations
 _MERSENNE = (1 << 61) - 1
 
@@ -269,7 +272,8 @@ def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
                              threshold: float = 0.8,
                              bits_per_table: int = 4,
                              n_tables: int | None = None,
-                             dim: int | None = None) -> DataFrame:
+                             dim: int | None = None,
+                             broadcast_bytes: int = 64 << 20) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-bucket LSH — the SCALE
     path (vs the all-pairs oracle ``embedding_near_pairs``).
 
@@ -277,11 +281,20 @@ def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
     [t*bits, (t+1)*bits) — an axis-aligned instance of hyperplane LSH.
     Deterministic (no RNG), so an external engine can mirror the exact
     candidate set. Candidates only meet inside a (table, bucket) pair:
-    the plan is explode → one shuffle on (t, bucket) → slim pair dedup →
-    vector re-join by id. No cartesian anywhere; shuffled pair rows
-    carry only ids. Approximate recall (pairs whose sign groups all
-    differ are missed — more/smaller tables raise recall), exact
-    precision (JVM-side cosine filter).
+    explode → one shuffle on (t, bucket) → verify. No cartesian
+    anywhere; shuffled pair rows carry only ids. Approximate recall
+    (pairs whose sign groups all differ are missed — more/smaller
+    tables raise recall), exact precision (cosine filter).
+
+    Verify strategy is size-adaptive:
+    - vector table ≤ ``broadcast_bytes`` AND rectangular/non-null:
+      broadcast the id-sorted matrix and score candidates in an
+      Arrow-batched NumPy kernel straight off the bucket join — no
+      candidate-distinct shuffle (duplicate collisions score
+      identically and dedup on the tiny survivor set) and no per-pair
+      vector shuffle;
+    - else: distinct the slim id pairs, re-join vectors by id, and
+      score with the same kernel (vectors shuffle once per side).
 
     Selectivity is threshold-dependent, as for ANY cosine LSH: at
     production near-dup thresholds (≥0.85, per-bit sign agreement
@@ -318,30 +331,165 @@ def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
                        F.lit(0)))
                 for j in range(bits_per_table)).alias("bucket"))
         for t in range(n_tables)]
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    # explicit-width repartition on the join key: the bucket self-join
+    # BLOWS UP (tiny input rows -> |bucket|² pair rows), and AQE —
+    # which coalesces on map-side input bytes, not join multiplicity —
+    # would squeeze the whole blowup join into one task (measured: the
+    # single-task join was ~75% of the sf0.1 gate). A user-specified
+    # partition count is exempt from AQE coalescing, and the self-join
+    # reuses the one exchange for both sides (co-partitioned).
     tabs = v.select("id", F.explode(F.array(*tables)).alias("tb")) \
-        .select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        .select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")) \
+        .repartition(cores, "t", "bucket")
     a, b = tabs.alias("a"), tabs.alias("b")
-    cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-            .distinct())
-    # NOTE: a flat 64-term v1[i]*v2[i] expression chain benchmarked 4x
-    # SLOWER than the higher-order fold (per-element GetArrayItem chains
-    # defeat codegen); keep aggregate/zip_with.
-    norm = v.withColumn(
-        "norm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)))
-    v1 = norm.select(F.col("id").alias("id1"), F.col("v").alias("v1"),
-                     F.col("norm").alias("n1"))
-    v2 = norm.select(F.col("id").alias("id2"), F.col("v").alias("v2"),
-                     F.col("norm").alias("n2"))
-    dot = F.aggregate(F.zip_with("v1", "v2", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    return (cand.join(v1, "id1").join(v2, "id2")
-            .withColumn("cos_raw", dot / (F.col("n1") * F.col("n2")))
-            .filter(F.col("cos_raw") >= threshold)
-            .select("id1", "id2",
-                    F.round("cos_raw", 6).alias("cosine_sim")))
+    cand_raw = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2")))
+    id_t = cand_raw.schema["id1"].dataType.simpleString()
+
+    # Cosine verify: Arrow-batched NumPy (see docstring for the two
+    # strategies). einsum's row-wise dot is one cache-friendly pass
+    # (a column-sequential "same order as a scalar fold" loop was
+    # measured 40x slower — 64 strided sweeps over the pair matrix);
+    # its SIMD summation order differs from a scalar left fold in the
+    # last ulp (max |Δ| 4.4e-16 here), which vanishes under the
+    # exported round(.., 6): verified ZERO round-6 differences vs the
+    # left fold over the full all-pairs superset at sf0.01 and sf0.1.
+    # A JVM aggregate/zip_with fold is interpreted per element per row;
+    # a flat 64-term expression chain is 4x worse still (GetArrayItem
+    # chains defeat codegen). Rounding stays Spark-side (F.round
+    # half-up == DuckDB round).
+
+    def cos_rows_outer(a_m, b_m):
+        dot = np.einsum("ij,ij->i", a_m, b_m)
+        na = np.einsum("ij,ij->i", a_m, a_m)
+        nb = np.einsum("ij,ij->i", b_m, b_m)
+        return dot / (np.sqrt(na) * np.sqrt(nb))
+
+    # ---- broadcast verify (small clean vector tables) ----------------
+    # memoized per semantic plan: re-running the same dedup in a
+    # session reuses the collected matrix instead of re-paying the
+    # count + collect + broadcast (same pattern as windows.choose_bucket)
+    memo_key = None
+    try:
+        memo_key = (df.semanticHash(), vec_col, id_col, dim)
+    except Exception:  # noqa: BLE001
+        pass
+    cached = _EMB_BROADCASTS.get(memo_key) if memo_key is not None else None
+    bc = cached
+    if bc is None and \
+            df.select(F.count(F.lit(1))).first()[0] * dim * 8 <= broadcast_bytes:
+        pdf = v.toPandas()
+        vals = pdf["v"].to_list()
+        clean = all(x is not None and len(x) == dim
+                    and not any(e is None for e in x) for x in vals)
+        if clean and len(vals):
+            ids = pdf["id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            sorted_ids = ids[order]
+            mat = np.stack([np.asarray(x, dtype=np.float64)
+                            for x in vals])[order]
+            bc = df.sparkSession.sparkContext.broadcast((sorted_ids, mat))
+            if memo_key is not None:
+                if len(_EMB_BROADCASTS) > 8:
+                    for old in _EMB_BROADCASTS.values():
+                        old.unpersist()
+                    _EMB_BROADCASTS.clear()
+                _EMB_BROADCASTS[memo_key] = bc
+    if bc is not None:
+        def cos_lookup(it):
+            import pyarrow as pa
+            s_ids, m = bc.value
+            for batch in it:
+                if batch.num_rows == 0:
+                    continue
+                i1 = batch.column("id1").to_numpy(zero_copy_only=False)
+                i2 = batch.column("id2").to_numpy(zero_copy_only=False)
+                cos = cos_rows_outer(m[np.searchsorted(s_ids, i1)],
+                                     m[np.searchsorted(s_ids, i2)])
+                mask = pa.array(cos >= threshold)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column("id1").filter(mask),
+                     batch.column("id2").filter(mask),
+                     pa.array(cos[np.asarray(mask)], type=pa.float64())],
+                    ["id1", "id2", "cos_raw"])
+
+        # the bucket join is already cores-wide (see the tabs
+        # repartition) and mapInArrow consumes it narrowly — the
+        # kernel runs parallel with no extra shuffle
+        scored = cand_raw.mapInArrow(
+            cos_lookup, schema=f"id1 {id_t}, id2 {id_t}, cos_raw double")
+        # duplicate collisions (same pair from k tables) score
+        # bit-identically — dedup the tiny post-filter survivor
+        # set instead of the huge candidate set
+        return scored.select(
+            "id1", "id2",
+            F.round("cos_raw", 6).alias("cosine_sim")).distinct()
+
+    # ---- join verify (the general scale path) ------------------------
+    cand = cand_raw.distinct()
+    v1 = v.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    v2 = v.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    paired = cand.join(v1, "id1").join(v2, "id2")
+
+    def cos_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cos_rows = cos_rows_outer
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            c1, c2 = batch.column("v1"), batch.column("v2")
+            f1, f2 = c1.flatten(), c2.flatten()
+            clean = (c1.null_count == 0 and c2.null_count == 0
+                     and f1.null_count == 0 and f2.null_count == 0)
+            if clean:
+                l1 = np.diff(c1.offsets.to_numpy())
+                l2 = np.diff(c2.offsets.to_numpy())
+                clean = bool(len(l1) and (l1 == l1[0]).all()
+                             and (l2 == l1[0]).all())
+            if clean:
+                # fast path: rectangular, no NULLs — zero-copy reshape
+                a = f1.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64, copy=False).reshape(n, -1)
+                b = f2.to_numpy(zero_copy_only=False) \
+                    .astype(np.float64, copy=False).reshape(n, -1)
+                cos = cos_rows(a, b)
+            else:
+                # dirty batch: reproduce the fold's validity rule —
+                # a pair is droppable when either vector is NULL, the
+                # lengths differ (zip_with NULL-pads), or any element
+                # is NULL (the fold turns the sum NULL)
+                p1, p2 = c1.to_pylist(), c2.to_pylist()
+                cos = np.full(n, np.nan)
+                idx, ar, br = [], [], []
+                for i, (x, y) in enumerate(zip(p1, p2)):
+                    if x is None or y is None or len(x) != len(y):
+                        continue
+                    if any(e is None for e in x) or any(e is None for e in y):
+                        continue
+                    idx.append(i), ar.append(x), br.append(y)
+                if idx:
+                    cos[idx] = cos_rows(np.array(ar, dtype=np.float64),
+                                        np.array(br, dtype=np.float64))
+            with np.errstate(invalid="ignore"):
+                keep = cos >= threshold  # NaN (invalid rows) -> False
+            mask = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("id1").filter(mask),
+                 batch.column("id2").filter(mask),
+                 pa.array(cos[keep], type=pa.float64())],
+                ["id1", "id2", "cos_raw"])
+
+    scored = paired.select("id1", "id2", "v1", "v2").mapInArrow(
+        cos_batches, schema=f"id1 {id_t}, id2 {id_t}, cos_raw double")
+    return scored.select("id1", "id2",
+                         F.round("cos_raw", 6).alias("cosine_sim"))
 
 
 def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
