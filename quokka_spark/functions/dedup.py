@@ -33,17 +33,28 @@ _MERSENNE = (1 << 61) - 1
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
                    out: str = "__sh__") -> DataFrame:
-    """(id, distinct word-n-gram array). Stages the split-words array in
-    a column first — inlining it into the transform() lambda would
-    re-evaluate regexp+split per sequence element (O(words²) regex)."""
+    """(id, distinct word-n-gram array).
+
+    Shingles come from ``arrays_zip`` of n shifted slices of the words
+    array, NOT from ``transform(sequence(...), i -> slice(words, i, n))``:
+    in the slice-per-index form the words array sits inside the lambda
+    body, and once CollapseProject inlines the staged projection the
+    regexp+split re-evaluates PER SHINGLE — O(words x text) regex per
+    document (measured ~5s of the sf0.1 inverted-index gate). In the
+    zip form the lambda touches only the zipped struct, so the words
+    expression appears a constant n+1 times per ROW regardless of how
+    Catalyst collapses projections. Truncated-tail semantics match the
+    old form (arrays_zip NULL-pads, concat_ws skips NULLs)."""
     from ..util import ensure_parallelism
     from .text import normalize_text_sql
     words = F.split(F.expr(normalize_text_sql(text_col)), " ")
     staged = ensure_parallelism(df, id_col).select(F.col(id_col),
                                                    words.alias("__w__"))
-    sh = F.expr(
-        f"transform(sequence(1, greatest(size(__w__) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(__w__, i, {n})))")
+    m = f"greatest(size(__w__) - {n - 1}, 1)"
+    slices = ", ".join(f"slice(__w__, {k + 1}, {m})" for k in range(n))
+    fields = ", ".join(f"s.`{k}`" for k in range(n))
+    sh = F.expr(f"transform(arrays_zip({slices}), "
+                f"s -> concat_ws(' ', {fields}))")
     return staged.select(id_col, F.array_distinct(sh).alias(out))
 
 
@@ -87,6 +98,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
     else:
         sizes = shingled.select(id_col, F.size("__sh__").alias("__n__"))
+    # explicit-width repartition on the join key: the inverted-index
+    # self-join blows up (a shingle shared by d docs emits d²/2 pair
+    # rows) and AQE — which sizes partitions by map-side input bytes,
+    # not join multiplicity — would coalesce the whole blowup join
+    # into one task (measured 3x the query time at sf0.1); a
+    # user-specified count is exempt, and the self-join reuses the one
+    # exchange for both sides
+    inv = inv.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__s__")
     a, b = inv.alias("a"), inv.alias("b")
     shared = (a.join(b, (F.col("a.__s__") == F.col("b.__s__")) &
                      (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
