@@ -272,6 +272,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         F.posexplode(F.array(*[
             F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
             for i in range(4)])).alias("chunk_idx", "chunk"))
+    # explicit-width shuffle on the join key: AQE sizes partitions by
+    # map-side input bytes and would coalesce this blowup self-join
+    # into one task (same pathology as the embedding-LSH bucket join)
+    chunks = chunks.repartition(
+        df.sparkSession.sparkContext.defaultParallelism,
+        "chunk_idx", "chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk")) &
                    (F.col("a.chunk_idx") == F.col("b.chunk_idx")) &

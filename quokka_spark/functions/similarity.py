@@ -140,7 +140,12 @@ def vector_range_join(left: DataFrame, right: DataFrame,
                    left.columns[0], "id1")
     rs = with_sigs(right, right_vec, right_id if right_id in right.columns else
                    right.columns[0], "id2")
-    cand = (ls.join(rs, ["table", "sig"])
+    # explicit-width shuffle on the join key: AQE sizes partitions by
+    # map-side input bytes and would coalesce this blowup bucket join
+    # into one task (same pathology as the embedding-LSH bucket join)
+    cores = left.sparkSession.sparkContext.defaultParallelism
+    cand = (ls.repartition(cores, "table", "sig")
+            .join(rs.repartition(cores, "table", "sig"), ["table", "sig"])
             .dropDuplicates(["id1", "id2"]))
     dot = F.aggregate(F.zip_with("id1_vec", "id2_vec", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
