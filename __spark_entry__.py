@@ -1238,6 +1238,92 @@ FROM documents
 """
 
 
+def dedup_lines(spark, sf_dir):
+    """Corpus-wide line-level dedup (CCNet/RefinedWeb boilerplate pass,
+    functions/dedup.line_dedup). The synthetic corpus is single-line,
+    so the gate runs with delimiter=' ' — same global-first-occurrence
+    plan (explode → skew-safe groupBy(norm).min → join-back →
+    reassemble), exercised at one-segment-per-word fan-out."""
+    from quokka_spark.functions.dedup import line_dedup
+    qc = _qc(spark)
+    return line_dedup(_t(qc, sf_dir, "documents").df, delimiter=" ")
+
+
+_DEDUP_LINES_SQL = r"""
+WITH e AS (
+  SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+), l AS (
+  SELECT doc_id, i - 1 AS pos, ls[i] AS line, lower(trim(ls[i])) AS norm
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)
+), f AS (
+  SELECT norm, min(doc_id * 1048576 + pos) AS kmin
+  FROM l WHERE length(norm) > 0 GROUP BY norm
+), k AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (length(l.norm) = 0 OR l.doc_id * 1048576 + l.pos = f.kmin) AS keep
+  FROM l LEFT JOIN f ON l.norm = f.norm
+)
+SELECT doc_id,
+       coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep),
+                '') AS clean_text,
+       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+FROM k GROUP BY doc_id
+"""
+
+
+def text_gopher(spark, sf_dir):
+    """Gopher-rules quality signals (functions/text.gopher_quality_columns):
+    map-side JVM expressions only, zero exchanges."""
+    from quokka_spark.functions.text import gopher_quality_columns
+    qc = _qc(spark)
+    return _t(qc, sf_dir, "documents").df.select(
+        "doc_id", *gopher_quality_columns("text"))
+
+
+_GOPHER_SQL = r"""
+WITH g AS (
+  SELECT doc_id, trim(text) AS t,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+         length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN round(n_chars * 1.0 / n_words, 6) END AS mean_word_len,
+         CASE WHEN n_words > 0 THEN round(
+           (length(t) - length(replace(t, '#', ''))
+            + length(t) - length(replace(t, '…', ''))
+            + (length(t) - length(replace(t, '...', ''))) / 3
+           ) * 1.0 / n_words, 6) END AS symbol_word_ratio,
+         CASE WHEN n_words > 0 THEN round(
+           len(list_filter(string_split_regex(t, '\s+'),
+                           w -> regexp_matches(w, '[A-Za-z]')))
+           * 1.0 / n_words, 6) END AS alpha_word_ratio,
+         CAST(  (CASE WHEN contains(' ' || norm || ' ', ' the ') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(' ' || norm || ' ', ' be ') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(' ' || norm || ' ', ' to ') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(' ' || norm || ' ', ' of ') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(' ' || norm || ' ', ' and ') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(' ' || norm || ' ', ' that ') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(' ' || norm || ' ', ' have ') THEN 1 ELSE 0 END)
+              + (CASE WHEN contains(' ' || norm || ' ', ' with ') THEN 1 ELSE 0 END)
+           AS BIGINT) AS stop_hits
+  FROM g
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+       symbol_word_ratio, alpha_word_ratio, stop_hits,
+       coalesce(n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_word_ratio < 0.1
+                AND alpha_word_ratio >= 0.8
+                AND stop_hits >= 2, false) AS gopher_pass
+FROM m
+"""
+
+
 def pipeline_llm_data(spark, sf_dir):
     """End-to-end training-data pipeline composition: exact dedup →
     quality + language annotation → quality floor → per-language corpus
@@ -2225,6 +2311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_case_when_agg": op_case_when_agg,
         "src_lance": src_lance,
         "op_join_outer_condition": op_join_outer_condition,
+        "dedup_lines": dedup_lines,
+        "text_gopher": text_gopher,
     }
 
 
@@ -2283,4 +2371,6 @@ def oracle_sql() -> dict[str, str]:
         "ml_kmeans": _kmeans_oracle(),
         "src_lance": _SRC_LANCE_SQL,
         "op_join_outer_condition": _JOIN_OUTER_COND_SQL,
+        "dedup_lines": _DEDUP_LINES_SQL,
+        "text_gopher": _GOPHER_SQL,
     }

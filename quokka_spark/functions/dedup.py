@@ -539,3 +539,52 @@ def embedding_near_pairs(df: DataFrame, vec_col: str = "embedding",
             .select(F.col(f"a.{id_col}").alias("id1"),
                     F.col(f"b.{id_col}").alias("id2"),
                     "cosine_sim"))
+
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", delimiter: str = "\n") -> DataFrame:
+    """Corpus-wide line-level exact dedup (the CCNet / RefinedWeb
+    boilerplate-removal pass): split every document into lines, keep
+    each distinct normalized (lower+trim) line only at its globally
+    FIRST occurrence — ordered by (doc_id, position) — drop every
+    later occurrence, and reassemble the documents. Blank-normalized
+    lines are structural and always kept.
+
+    Returns (id_col, clean_text, n_kept bigint, n_dropped bigint);
+    every input document appears (possibly with clean_text = '').
+
+    Scale shape: posexplode is map-side; the global first-occurrence
+    is a groupBy(norm).min — partial aggregation absorbs hot
+    boilerplate lines map-side, so the shuffle carries one row per
+    distinct line per map task, not per occurrence. The join back on
+    norm is the one potentially skewed exchange (a line occurring in
+    10M docs routes to one partition) — AQE skew-join splits it.
+    Reassembly is a groupBy(id) collect_list bounded by document size.
+    The first-occurrence key packs (doc_id, pos) into one sortable
+    int64 (pos < 2^20 per document) so the oracle SQL can express the
+    identical min.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delimiter), -1))
+        .alias("__pos__", "__line__"))
+    lines = (lines
+             .withColumn("__norm__", F.lower(F.trim(F.col("__line__"))))
+             .withColumn("__k__", F.col(id_col) * F.lit(1 << 20)
+                         + F.col("__pos__")))
+    first = (lines.filter(F.length("__norm__") > 0)
+             .groupBy("__norm__").agg(F.min("__k__").alias("__kmin__")))
+    flagged = (lines.join(first, on="__norm__", how="left")
+               .withColumn("__keep__", (F.length("__norm__") == 0)
+                           | (F.col("__k__") == F.col("__kmin__"))))
+    # collect_list skips NULLs, so when(keep, struct) collects only
+    # survivors; array_sort on the (pos, line) struct restores order
+    kept_struct = F.when(F.col("__keep__"),
+                         F.struct(F.col("__pos__"), F.col("__line__")))
+    return (flagged.groupBy(id_col).agg(
+        F.concat_ws(delimiter,
+                    F.transform(F.array_sort(F.collect_list(kept_struct)),
+                                lambda s: s["__line__"])).alias("clean_text"),
+        F.sum(F.col("__keep__").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~F.col("__keep__")).cast("int")).cast("bigint")
+        .alias("n_dropped")))

@@ -128,3 +128,60 @@ def rolling_hash_fingerprint(col: str, window: int = 64) -> Column:
     return F.expr(
         f"transform(sequence(1, greatest(length({norm}) - {window - 1}, 1), "
         f"{window // 2}), i -> xxhash64(substring({norm}, i, {window})))")
+
+
+# Gopher quality-filter stopword set (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", app. A1.1: a document must contain at
+# least two of these to pass)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_columns(col: str) -> list:
+    """Gopher-rules document quality signals (Rae et al. 2021 A1.1),
+    as pure JVM expressions — zero exchanges, embarrassingly parallel:
+
+    - ``n_words``            whitespace word count
+    - ``mean_word_len``      total non-space chars / n_words
+    - ``symbol_word_ratio``  ('#' + ellipsis chars) / n_words
+    - ``alpha_word_ratio``   fraction of words containing [A-Za-z]
+    - ``stop_hits``          how many of the 8 Gopher stopwords occur
+    - ``gopher_pass``        the paper's thresholds: 50 <= n_words <=
+      100k, 3 <= mean_word_len <= 10, symbol ratio < 0.1, alpha ratio
+      >= 0.8, stop_hits >= 2
+
+    The per-LINE rules (bullet-start / ellipsis-end ratios) live in
+    line space — compose with dedup.line_dedup's exploded form when
+    the corpus has multi-line documents.
+
+    Ratios are NULL for empty documents (n_words = 0, which also
+    fails ``gopher_pass``). Every expression has a verbatim DuckDB
+    equivalent (oracle in __spark_entry__.py)."""
+    c = F.trim(F.col(col))
+    n_words = F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))).cast("bigint")
+    nw = n_words.cast("double")
+    n_chars = F.length(F.regexp_replace(c, r"\s+", "")).cast("double")
+    mean_wl = F.when(n_words > 0, F.round(n_chars / nw, 6))
+    n_sym = (F.length(c) - F.length(F.replace(c, F.lit("#")))
+             + F.length(c) - F.length(F.replace(c, F.lit("…")))
+             + (F.length(c) - F.length(F.replace(c, F.lit("...")))) / F.lit(3)
+             ).cast("double")
+    sym_ratio = F.when(n_words > 0, F.round(n_sym / nw, 6))
+    alpha_n = F.size(F.filter(F.split(c, r"\s+"),
+                              lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n_words > 0,
+                         F.round(alpha_n.cast("double") / nw, 6))
+    norm = normalize_text(col)
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    stop_hits = sum(
+        (F.contains(padded, F.lit(f" {w} "))).cast("int")
+        for w in GOPHER_STOPWORDS).cast("bigint")
+    passes = ((n_words >= 50) & (n_words <= 100000)
+              & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+              & (sym_ratio < 0.1) & (alpha_ratio >= 0.8)
+              & (stop_hits >= 2))
+    return [n_words.alias("n_words"), mean_wl.alias("mean_word_len"),
+            sym_ratio.alias("symbol_word_ratio"),
+            alpha_ratio.alias("alpha_word_ratio"),
+            stop_hits.alias("stop_hits"),
+            F.coalesce(passes, F.lit(False)).alias("gopher_pass")]

@@ -284,3 +284,46 @@ def test_bench_harness_survives_broken_query(spark):
     assert set(timings) == {"good", "also_good"}
     assert list(errors) == ["boom"]
     assert "injected failure" in errors["boom"]
+
+
+def test_line_dedup_global_first_occurrence(spark):
+    """Newline corpus: a boilerplate line survives only at its globally
+    first (doc_id, pos); blank lines always survive; a doc whose every
+    line is boilerplate comes back empty but present."""
+    from quokka_spark.functions.dedup import line_dedup
+    docs = spark.createDataFrame(
+        [(1, "Cookie notice\nreal content A\n\nCookie Notice"),
+         (2, "cookie notice\nreal content B"),
+         (3, "  COOKIE NOTICE  ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # doc 1: keeps line 0 (global first of the normalized dup), the
+    # unique line, the blank line; drops its own pos-3 repeat
+    assert out[1]["clean_text"] == "Cookie notice\nreal content A\n"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 1)
+    assert out[2]["clean_text"] == "real content B"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+
+
+def test_gopher_quality_pass_logic(spark):
+    from quokka_spark.functions.text import gopher_quality_columns
+    passing = " ".join(
+        ["the quick brown fox jumps over that lazy dog with grace and"] * 5)
+    docs = spark.createDataFrame(
+        [(1, passing),            # 55 words, stopword-rich, all alpha
+         (2, "too short to pass"),            # < 50 words
+         (3, ""),                             # empty: ratios NULL, fails
+         (4, " ".join(["####"] * 60))],       # symbols, no stopwords
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *gopher_quality_columns("text")).collect()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["n_words"] == 60 and rows[1]["stop_hits"] >= 4
+    assert rows[2]["gopher_pass"] is False
+    assert rows[3]["n_words"] == 0 and rows[3]["gopher_pass"] is False
+    assert rows[3]["mean_word_len"] is None
+    assert rows[4]["gopher_pass"] is False
+    assert rows[4]["symbol_word_ratio"] > 1.0
+    assert rows[4]["alpha_word_ratio"] == 0.0
