@@ -1238,6 +1238,36 @@ FROM documents
 """
 
 
+def src_iceberg(spark, sf_dir):
+    """read_iceberg end-to-end WITHOUT the runtime jar: a spec-shaped
+    local Iceberg v2 table (sources/iceberg_local.py — pure-Python
+    metadata: manifest-list/manifest Avro via the built-in avro_lite
+    codec) is laid over the existing lineitem parquet, data referenced
+    in place. Snapshot 1 = lineitem, snapshot 2 = lineitem doubled;
+    the gate TIME-TRAVELS to snapshot 1, so the oracle is plain
+    lineitem. Exercises: metadata resolution, manifest decode, time
+    travel, and the native parquet scan the file list feeds."""
+    import os
+    import tempfile
+    from quokka_spark.sources.iceberg_local import create_local_iceberg_table
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_iceberg_" + sf_dir.strip("/").replace("/", "_"))
+    create_local_iceberg_table(tbl, [[li], [li, li]])
+    ds = qc.read_iceberg(tbl, snapshot=1)
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_ICEBERG_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def dedup_lines(spark, sf_dir):
     """Corpus-wide line-level dedup (CCNet/RefinedWeb boilerplate pass,
     functions/dedup.line_dedup). The synthetic corpus is single-line,
@@ -2313,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_join_outer_condition": op_join_outer_condition,
         "dedup_lines": dedup_lines,
         "text_gopher": text_gopher,
+        "src_iceberg": src_iceberg,
     }
 
 
@@ -2373,4 +2404,5 @@ def oracle_sql() -> dict[str, str]:
         "op_join_outer_condition": _JOIN_OUTER_COND_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
         "text_gopher": _GOPHER_SQL,
+        "src_iceberg": _SRC_ICEBERG_SQL,
     }

@@ -41,7 +41,7 @@ BENCH_QUERIES = [
 
 
 def run_suite(spark, registry, names, sf_dir,
-              passes=(False, True, True)) -> tuple[dict, dict]:
+              passes=(False, True, True, True)) -> tuple[dict, dict]:
     """Run the suite; returns (timings, errors). Separated from main()
     so the crash-isolation contract is testable without a subprocess.
 
@@ -76,6 +76,14 @@ def run_suite(spark, registry, names, sf_dir,
             # revenue) would otherwise accumulate cached blocks across
             # passes and starve execution memory for later queries
             spark.catalog.clearCache()
+            # settle GC debt OUTSIDE the timed section: heap garbage
+            # from a preceding heavy query otherwise lands as GC pauses
+            # inside the next query's measurement (observed 2-4x
+            # inflation of light queries that follow the dedup suite)
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 - measurement aid only
+                pass
     return timings, errors
 
 

@@ -136,25 +136,37 @@ class QuokkaContext:
 
     def read_iceberg(self, table: str, snapshot: int | None = None) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).
-        Requires the iceberg-spark runtime jar on the classpath; without
-        it the failure mode is gated to a clean, actionable error
-        (the raw Spark error is an opaque ClassNotFound/DATA_SOURCE
-        failure mid-analysis)."""
+
+        Prefers the iceberg-spark runtime jar (full capability incl.
+        row-level deletes and manifest-level partition pruning). When
+        the jar is absent and ``table`` is a local Iceberg table
+        directory, falls back to the pure-Python metadata reader
+        (sources/iceberg_local.py): snapshot → manifest-list →
+        manifests → live parquet files → native Spark parquet scan.
+        Append-only v1/v2 tables only; delete files raise a clear
+        NotImplementedError rather than returning resurrected rows."""
+        import os
         reader = self.spark.read.format("iceberg")
         if snapshot is not None:
             reader = reader.option("snapshot-id", snapshot)
         try:
             return DataStream(self, reader.load(table))
         except Exception as e:
-            if "iceberg" in str(e).lower() or "DATA_SOURCE" in str(e):
-                raise RuntimeError(
-                    "read_iceberg needs the iceberg-spark-runtime jar on the "
-                    "Spark classpath (spark.jars.packages "
-                    "org.apache.iceberg:iceberg-spark-runtime-*). It is not "
-                    "present in this environment; export the table to "
-                    "parquet and use read_parquet, or add the jar."
-                ) from e
-            raise
+            if "iceberg" not in str(e).lower() and "DATA_SOURCE" not in str(e):
+                raise
+            if os.path.isdir(os.path.join(table.removeprefix("file://"),
+                                          "metadata")):
+                from .sources.iceberg_local import read_iceberg_local
+                return DataStream(
+                    self, read_iceberg_local(self.spark, table, snapshot))
+            raise RuntimeError(
+                "read_iceberg needs the iceberg-spark-runtime jar on the "
+                "Spark classpath (spark.jars.packages "
+                "org.apache.iceberg:iceberg-spark-runtime-*) for catalog "
+                "tables; local Iceberg table DIRECTORIES are readable "
+                "without it via the built-in metadata fallback. Neither "
+                "applies to this input."
+            ) from e
 
     def read_lance(self, path: str, vec_column: str = "vec",
                    pushdown: bool = False) -> DataStream:
