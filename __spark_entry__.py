@@ -1302,6 +1302,48 @@ FROM k GROUP BY doc_id
 """
 
 
+def dedup_spans(spark, sf_dir):
+    """Duplicated-substring spans (Lee et al. 2022 exact-substring
+    dedup at word-4-gram granularity, functions/dedup.duplicated_spans):
+    maximal merged intervals of corpus-repeated 4-grams per doc."""
+    from quokka_spark.functions.dedup import duplicated_spans
+    qc = _qc(spark)
+    return duplicated_spans(_t(qc, sf_dir, "documents").df, n=4)
+
+
+_DEDUP_SPANS_SQL = r"""
+WITH e AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+), l AS (
+  SELECT doc_id, i - 1 AS s, md5(array_to_string(ws[i:i+3], ' ')) AS h
+  FROM e, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i)
+), c AS (
+  SELECT h FROM l GROUP BY h HAVING count(*) >= 2
+), d AS (
+  SELECT l.doc_id, l.s, l.s + 4 AS e2 FROM l JOIN c USING (h)
+), fl AS (
+  SELECT doc_id, s, e2,
+         CASE WHEN s > coalesce(max(e2) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM d
+), isl AS (
+  SELECT doc_id, s, e2,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS island
+  FROM fl
+)
+SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(e2) AS BIGINT) AS span_end,
+       CAST(max(e2) - min(s) AS BIGINT) AS n_dup_words
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def text_gopher(spark, sf_dir):
     """Gopher-rules quality signals (functions/text.gopher_quality_columns):
     map-side JVM expressions only, zero exchanges."""
@@ -2344,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": dedup_lines,
         "text_gopher": text_gopher,
         "src_iceberg": src_iceberg,
+        "dedup_spans": dedup_spans,
     }
 
 
@@ -2405,4 +2448,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _DEDUP_LINES_SQL,
         "text_gopher": _GOPHER_SQL,
         "src_iceberg": _SRC_ICEBERG_SQL,
+        "dedup_spans": _DEDUP_SPANS_SQL,
     }

@@ -45,19 +45,20 @@ def run_suite(spark, registry, names, sf_dir,
     """Run the suite; returns (timings, errors). Separated from main()
     so the crash-isolation contract is testable without a subprocess.
 
-    Pass layout: entries of ``passes`` are one loop over the queries
-    each; False passes warm codegen/JIT/broadcast state (unrecorded),
-    True passes record the per-query MIN (standard bench practice; at
-    real scale one-time driver costs amortize to nothing, so steady
-    state is the number comparable to a 100 TB run — and min-of-N
-    suppresses GC/JIT noise that otherwise dominates at test scale)."""
+    ``passes`` is the per-query schedule, run CONSECUTIVELY per query:
+    False entries warm codegen/JIT/broadcast state (unrecorded), True
+    entries record the per-query MIN (standard bench practice; at real
+    scale one-time driver costs amortize to nothing, so steady state
+    is the number comparable to a 100 TB run, and min-of-N suppresses
+    GC/JIT noise that otherwise dominates at test scale). Back-to-back
+    repetition matters: interleaving all queries per pass re-pollutes
+    HotSpot call-site profiles between a query's own passes — measured
+    +70% on the as-of micro-bench vs consecutive runs."""
     timings: dict = {}
     errors: dict = {}
-    for measured in passes:
-        for name in names:
-            if name in errors:
-                continue
-            fn = registry[name]
+    for name in names:
+        fn = registry[name]
+        for measured in passes:
             t0 = time.perf_counter()
             # per-query isolation: one broken query must never abort the
             # suite (round-3 lesson: a single analysis error in warmup
@@ -68,7 +69,7 @@ def run_suite(spark, registry, names, sf_dir,
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 timings.pop(name, None)
-                continue
+                break
             if measured:
                 t = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
@@ -76,14 +77,14 @@ def run_suite(spark, registry, names, sf_dir,
             # revenue) would otherwise accumulate cached blocks across
             # passes and starve execution memory for later queries
             spark.catalog.clearCache()
-            # settle GC debt OUTSIDE the timed section: heap garbage
-            # from a preceding heavy query otherwise lands as GC pauses
-            # inside the next query's measurement (observed 2-4x
-            # inflation of light queries that follow the dedup suite)
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:  # noqa: BLE001 - measurement aid only
-                pass
+        # settle GC debt OUTSIDE the timed sections: heap garbage from
+        # a heavy query otherwise lands as GC pauses inside the next
+        # query's measurement (observed 2-4x inflation of light
+        # queries that follow the dedup suite)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - measurement aid only
+            pass
     return timings, errors
 
 

@@ -641,6 +641,27 @@ class DataStream:
         w.parquet(path, **options)
         return self._filename_stream(path)
 
+    def write_iceberg(self, path: str,
+                      output_line_limit: int = 5_000_000) -> int:
+        """Commit the stream as a new snapshot of a LOCAL Iceberg v2
+        table (parity-plus: the reference only reads Iceberg). Data is
+        written as parquet by Spark's distributed writer into a
+        per-snapshot subdirectory of ``path``/data, then committed via
+        the pure-Python metadata layer (sources/iceberg_local.py) —
+        append semantics, readable back (with time travel) through
+        ``read_iceberg``. Returns the new snapshot id. Single-writer
+        local tables only; concurrent commits need a real catalog."""
+        import glob
+        import os
+        import uuid
+        from .sources.iceberg_local import append_snapshot
+        data_dir = os.path.join(path, "data", uuid.uuid4().hex[:12])
+        (self.df.write.mode("errorifexists")
+         .option("maxRecordsPerFile", output_line_limit)
+         .parquet(data_dir))
+        files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        return append_snapshot(path, files)
+
     def _filename_stream(self, path: str) -> "DataStream":
         """The reference's sinks return a stream of written filenames
         (datastream.py:129-203)."""

@@ -588,3 +588,62 @@ def line_dedup(df: DataFrame, text_col: str = "text",
         F.sum(F.col("__keep__").cast("int")).cast("bigint").alias("n_kept"),
         F.sum((~F.col("__keep__")).cast("int")).cast("bigint")
         .alias("n_dropped")))
+
+
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 13,
+                     min_count: int = 2) -> DataFrame:
+    """Corpus-level duplicated-substring detection (the exact-substring
+    dedup pass of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", approximated at word-``n``-gram
+    granularity instead of a global suffix array): every word position
+    starting an ``n``-gram that occurs >= ``min_count`` times in the
+    ENTIRE corpus is a duplicated span; overlapping spans are merged
+    into maximal intervals per document.
+
+    Returns (id_col, span_start, span_end, n_dup_words) — word offsets
+    into the normalized text, end exclusive; one row per maximal
+    duplicated interval.
+
+    Scale shape: shingling is map-side (arrays_zip of shifted slices —
+    see _with_shingles for why not slice-per-index); the occurrence
+    count is groupBy(md5) with map-side partial aggregation, so hot
+    boilerplate n-grams collapse before the shuffle; the join back on
+    md5 is the one skewed exchange (AQE skew-join). Interval merge is
+    the classic gaps-and-islands: one window over (doc, start) —
+    per-document work, bounded by document length. A suffix array
+    finds variable-length duplicates exactly; fixed-``n`` shingles
+    find every duplicate of length >= n words with start/end rounded
+    to at most n-1 words — the standard large-scale trade."""
+    from .text import normalize_text_sql
+    words = F.split(F.expr(normalize_text_sql(text_col)), " ")
+    staged = df.select(F.col(id_col), words.alias("__w__"))
+    # only FULL n-grams: m = size-n+1 (m <= 0 → empty zip → no spans)
+    m = f"greatest(size(__w__) - {n - 1}, 0)"
+    slices = ", ".join(f"slice(__w__, {k + 1}, {m})" for k in range(n))
+    fields = ", ".join(f"col.`{k}`" for k in range(n))
+    sh = (staged
+          .select(id_col, F.posexplode(F.expr(f"arrays_zip({slices})")))
+          .select(id_col, F.col("pos").cast("bigint").alias("s"),
+                  F.md5(F.expr(f"cast(concat_ws(' ', {fields}) as binary)"))
+                  .alias("__h__")))
+    dup = (sh.groupBy("__h__").count()
+           .filter(F.col("count") >= min_count).select("__h__"))
+    spans = (sh.join(dup, on="__h__", how="left_semi")
+             .select(id_col, "s", (F.col("s") + n).alias("e")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("s")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "__brk__", F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)),
+                          1).otherwise(0))
+    islands = flagged.withColumn(
+        "__isl__", F.sum("__brk__").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islands.groupBy(id_col, "__isl__")
+            .agg(F.min("s").alias("span_start"),
+                 F.max("e").alias("span_end"))
+            .select(id_col, "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start"))
+                    .alias("n_dup_words")))

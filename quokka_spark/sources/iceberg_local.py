@@ -199,3 +199,26 @@ def create_local_iceberg_table(table_dir: str,
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(n))
     return [s["snapshot-id"] for s in snap_entries]
+
+
+def append_snapshot(table_dir: str, new_files: list[str]) -> int:
+    """Commit ``new_files`` as a new snapshot of a local table
+    (creating the table when absent). The new snapshot contains every
+    live file of the current snapshot plus ``new_files`` — Iceberg
+    append semantics. Returns the new snapshot id.
+
+    Metadata-only: rewrites KB of manifests; data files are referenced
+    in place. Driver-side by design — a real catalog commit is also a
+    single-writer metadata swap; concurrent writers need a catalog
+    (the jar path), not this."""
+    tdir = _local(table_dir)
+    prior: list[list[str]] = []
+    if os.path.isdir(os.path.join(tdir, "metadata")):
+        meta = _read_table_metadata(table_dir)
+        for s in meta.get("snapshots", []):
+            prior.append(snapshot_data_files(table_dir,
+                                             s.get("snapshot-id")))
+    current = prior[-1] if prior else []
+    ids = create_local_iceberg_table(table_dir,
+                                     prior + [current + list(new_files)])
+    return ids[-1]

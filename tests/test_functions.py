@@ -327,3 +327,21 @@ def test_gopher_quality_pass_logic(spark):
     assert rows[4]["gopher_pass"] is False
     assert rows[4]["symbol_word_ratio"] > 1.0
     assert rows[4]["alpha_word_ratio"] == 0.0
+
+
+def test_duplicated_spans_merges_overlaps(spark):
+    """Two docs sharing a 6-word run: with n=4 the run yields three
+    overlapping duplicated 4-grams that must merge into ONE maximal
+    interval per doc; unique text yields no spans."""
+    from quokka_spark.functions.dedup import duplicated_spans
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique tail words here"),
+         (2, "prefix words " + shared),
+         (3, "totally different content with no repeats at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_spans(docs, n=4).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["span_start"], out[1]["span_end"]) == (0, 6)
+    assert (out[2]["span_start"], out[2]["span_end"]) == (2, 8)
+    assert out[1]["n_dup_words"] == 6

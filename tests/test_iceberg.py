@@ -76,3 +76,17 @@ def test_predicate_pushdown_survives_fallback(qc, table):
     assert "PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,20)]" in plan \
         or "GreaterThanOrEqual(id,20)" in plan
     assert df.count() == 5
+
+
+def test_write_iceberg_roundtrip_and_append(qc, spark, tmp_path):
+    """write_iceberg commits snapshots readable back through
+    read_iceberg, with time travel isolating the first append."""
+    from quokka_spark.context import DataStream  # noqa: F401 (API check)
+    tbl = str(tmp_path / "wtbl")
+    ds1 = qc.from_pandas(__import__("pandas").DataFrame({"id": [1, 2, 3]}))
+    s1 = ds1.write_iceberg(tbl)
+    ds2 = qc.from_pandas(__import__("pandas").DataFrame({"id": [4, 5]}))
+    s2 = ds2.write_iceberg(tbl)
+    assert s2 > s1
+    assert qc.read_iceberg(tbl).count() == 5
+    assert qc.read_iceberg(tbl, snapshot=s1).count() == 3

@@ -31,7 +31,7 @@ SF001_SUBSET = [
     "dedup_simhash", "sim_topk", "agg_covariance", "ml_kmeans",
     "mm_features", "pipeline_llm_data",
     "src_lance", "op_join_outer_condition",
-    "dedup_lines", "text_gopher",
+    "dedup_lines", "text_gopher", "dedup_spans", "src_iceberg",
 ]
 
 
