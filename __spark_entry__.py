@@ -1344,6 +1344,23 @@ FROM isl GROUP BY doc_id, island
 """
 
 
+def op_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling (functions/sampling):
+    membership is a pure function of (salt, doc_id) — identical
+    expression runs in the oracle, so the sampled id set is
+    hash-exact, proving run/engine/cluster-size stability."""
+    from quokka_spark.functions.sampling import hash_sample
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return hash_sample(docs, "doc_id", 0.25, salt="s1").select("doc_id")
+
+
+_HASH_SAMPLE_SQL = """
+SELECT doc_id FROM documents
+WHERE substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 12) < '400000000000'
+"""
+
+
 def text_gopher(spark, sf_dir):
     """Gopher-rules quality signals (functions/text.gopher_quality_columns):
     map-side JVM expressions only, zero exchanges."""
@@ -1538,6 +1555,50 @@ def dedup_minhash(spark, sf_dir):
 
 _MINHASH_SQL = _JACCARD_SQL.replace(">= 0.5", ">= 0.6").replace(
     ", round(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard", "")
+
+
+def dedup_clusters(spark, sf_dir):
+    """The pairs→clusters→canonical step closing the near-dup pipeline:
+    verified minhash pairs (the dedup_minhash gate's output) become
+    edges; transitively connected docs form one duplicate group
+    (operators/graph.connected_components, min-label propagation);
+    the min id is the canonical survivor. Oracle: the same pair CTE +
+    a recursive transitive closure."""
+    from quokka_spark.operators.graph import dedup_components
+    pairs = dedup_minhash(spark, sf_dir)
+    return dedup_components(pairs)
+
+
+_DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                                for i in generate_series(1, greatest(len(w) - 2, 1))]) AS shingles
+  FROM docs
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id1, id2
+  FROM shared JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+), reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS canonical_id,
+       (a = min(b)) AS is_canonical
+FROM reach GROUP BY a
+"""
 
 
 def dedup_simhash(spark, sf_dir):
@@ -2387,6 +2448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": text_gopher,
         "src_iceberg": src_iceberg,
         "dedup_spans": dedup_spans,
+        "dedup_clusters": dedup_clusters,
+        "op_hash_sample": op_hash_sample,
     }
 
 
@@ -2449,4 +2512,6 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher": _GOPHER_SQL,
         "src_iceberg": _SRC_ICEBERG_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "op_hash_sample": _HASH_SAMPLE_SQL,
     }

@@ -1,0 +1,65 @@
+"""Deterministic content-hash sampling and splits.
+
+Corpus pipelines need subsets that are a pure function of the data —
+stable across runs, engines, and cluster sizes — so that (a) a
+sampled eval set never leaks into train when the pipeline re-runs,
+and (b) the same document always lands in the same split even after
+re-partitioning. ``df.sample()`` gives none of that (seeded per
+partition). These helpers hash the KEY instead: membership =
+md5(salt + key) below a threshold. Map-side only, zero exchanges;
+the md5 hex prefix is compared as a string, which both Spark and
+DuckDB order identically (the oracle runs the same expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 12  # 48 bits of hash → fraction resolution ~4e-15
+
+
+def _bucket(key_col: str, salt: str) -> Column:
+    """First 12 hex chars of md5(salt + key) — a uniform draw in
+    [0, 16^12) encoded as a fixed-width hex string."""
+    payload = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    return F.substring(F.md5(payload.cast("binary")), 1, _HEX_DIGITS)
+
+
+def _threshold(fraction: float) -> str:
+    return format(int(fraction * 16 ** _HEX_DIGITS), f"0{_HEX_DIGITS}x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key.
+    Different ``salt`` values give independent samples; the same
+    (key, salt) is in or out forever."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return df
+    return df.filter(_bucket(key_col, salt) < F.lit(_threshold(fraction)))
+
+
+def split_by_hash(df: DataFrame, key_col: str, fractions: dict,
+                  salt: str = "", out: str = "split") -> DataFrame:
+    """Add a ``split`` column assigning each row to one named split
+    (e.g. {"train": 0.9, "val": 0.05, "test": 0.05}) by consecutive
+    hash ranges — deterministic, disjoint, exhaustive (fractions must
+    sum to 1 within float tolerance)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = _bucket(key_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        branch = F.when(b < F.lit(_threshold(acc)), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            b < F.lit(_threshold(acc)), F.lit(name))
+    expr = (F.lit(names[0]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn(out, expr)

@@ -56,3 +56,60 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                           (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(d / n))
                           ).alias("rank")))
     return ranks
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iters: int = 50,
+                         checkpoint_every: int = 5) -> DataFrame:
+    """Connected components by iterative min-label propagation (the
+    "hash-to-min" family): every node's label starts as itself; each
+    round a node adopts the minimum label in its closed neighborhood;
+    stop when no label changed. Returns (node, component) with
+    component = min node id of the component.
+
+    Scale shape: the edge list persists once (symmetrized, deduped);
+    each round is one join (labels onto edges, shuffle on node) + one
+    min-aggregation (shuffle on neighbor). Per-round state is O(nodes)
+    label rows; rounds needed = graph diameter (near-dup clusters are
+    shallow — duplicate groups have tiny diameters, so 3-5 rounds
+    close real corpora). The convergence check is a count of changed
+    labels (cheap agg). Lineage is truncated every
+    ``checkpoint_every`` rounds like pagerank's loop."""
+    from pyspark.storagelevel import StorageLevel
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+         .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (e.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    for it in range(max_iters):
+        if it and it % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
+        # min label over closed neighborhood: own label ∪ neighbors'
+        nbr = (e.join(labels.withColumnRenamed("node", "a"), "a")
+               .select(F.col("b").alias("node"), "component"))
+        new = (labels.unionByName(nbr)
+               .groupBy("node").agg(F.min("component").alias("component")))
+        changed = (new.join(labels.withColumnRenamed("component", "old"),
+                            "node")
+                   .filter(F.col("component") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_components(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
+                     max_iters: int = 50) -> DataFrame:
+    """The pairs→clusters→canonical step that closes a production
+    near-dup pipeline: near-duplicate PAIRS (from minhash/simhash/
+    embedding LSH) are edges; transitively connected docs form one
+    duplicate group; the canonical survivor is the min id. Returns
+    (doc_id, canonical_id, is_canonical) for every doc that appears
+    in at least one pair (docs with no near-dup are trivially their
+    own canonical and never enter the shuffle)."""
+    comp = connected_components(pairs, src=id1, dst=id2,
+                                max_iters=max_iters)
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("canonical_id"),
+                       (F.col("node") == F.col("component"))
+                       .alias("is_canonical"))

@@ -345,3 +345,44 @@ def test_duplicated_spans_merges_overlaps(spark):
     assert (out[1]["span_start"], out[1]["span_end"]) == (0, 6)
     assert (out[2]["span_start"], out[2]["span_end"]) == (2, 8)
     assert out[1]["n_dup_words"] == 6
+
+
+def test_connected_components_two_clusters(spark):
+    """A 4-chain and a 2-pair must resolve to two components labeled
+    by their min node, converging via min-label propagation."""
+    from quokka_spark.operators.graph import (connected_components,
+                                              dedup_components)
+    edges = spark.createDataFrame(
+        [(3, 7), (7, 9), (9, 12), (20, 21)], "src long, dst long")
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {3: 3, 7: 3, 9: 3, 12: 3, 20: 20, 21: 20}
+    canon = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+             for r in dedup_components(edges, id1="src",
+                                       id2="dst").collect()}
+    assert canon[12] == (3, False) and canon[3] == (3, True)
+    assert canon[20] == (20, True) and canon[21] == (20, False)
+
+
+def test_split_by_hash_disjoint_exhaustive_stable(spark):
+    from quokka_spark.functions.sampling import hash_sample, split_by_hash
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = split_by_hash(df, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1}).toPandas()
+    counts = out["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts.sum() == 10_000                       # exhaustive
+    assert abs(counts["train"] - 8000) < 300            # ~binomial dev
+    assert abs(counts["val"] - 1000) < 150
+    # stability: re-running yields the identical assignment
+    again = split_by_hash(df, "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1}).toPandas()
+    assert (out.sort_values("doc_id")["split"].values
+            == again.sort_values("doc_id")["split"].values).all()
+    # independence: a different salt re-draws membership
+    s1 = set(hash_sample(df, "doc_id", 0.25, salt="a")
+             .toPandas()["doc_id"])
+    s2 = set(hash_sample(df, "doc_id", 0.25, salt="b")
+             .toPandas()["doc_id"])
+    inter = len(s1 & s2) / 10_000
+    assert 0.03 < inter < 0.10                          # ≈ 0.0625

@@ -32,6 +32,7 @@ SF001_SUBSET = [
     "mm_features", "pipeline_llm_data",
     "src_lance", "op_join_outer_condition",
     "dedup_lines", "text_gopher", "dedup_spans", "src_iceberg",
+    "dedup_clusters",
 ]
 
 
