@@ -125,3 +125,27 @@ def test_q17_single_scan_single_exchange(spark):
     s = explain(em.tpch_q17(spark, SF), mode="simple")
     assert s.count("lineitem.parquet") == 1, s
     assert s.count("Exchange hashpartitioning") <= 1, s
+
+
+def test_line_dedup_plan_partial_agg_no_cartesian(spark):
+    """line_dedup's first-occurrence groupBy must partial-aggregate
+    (hot boilerplate lines collapse map-side) and nothing in the plan
+    may be a cartesian/nested-loop product."""
+    s = explain(em.dedup_lines(spark, SF))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "partial_min" in s  # map-side combine of the min(__k__)
+
+
+def test_duplicated_spans_plan_partial_agg_semi_join(spark):
+    """duplicated_spans: the n-gram occurrence count partial-aggregates
+    and the join back to positions stays a semi join on the hash."""
+    s = explain(em.dedup_spans(spark, SF))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    assert "partial_count" in s
+    assert "LeftSemi" in s
+
+
+def test_hash_sample_no_exchange(spark):
+    """Deterministic sampling is a pure map-side filter."""
+    s = explain(em.op_hash_sample(spark, SF))
+    assert "Exchange" not in s

@@ -390,3 +390,103 @@ def test_random_dt_namespace_matches_duckdb(spark, qc, meth):
         f"FROM events GROUP BY v ORDER BY v").fetchdf())
     assert got["v"].tolist() == want["v"].tolist(), meth
     assert got["count"].tolist() == want["count"].tolist(), meth
+
+
+@pytest.mark.parametrize("seed", [11, 42, 99])
+def test_random_line_dedup_matches_bruteforce(spark, seed):
+    """Randomized multi-line corpora vs a pure-Python reference of the
+    global first-occurrence rule (blank lines always kept)."""
+    import random
+    from quokka_spark.functions.dedup import line_dedup
+    rng = random.Random(seed)
+    vocab = ["cookie notice", "real content", "menu", "footer", "",
+             "unique %d" % seed, "subscribe now", "  spaced  "]
+    docs = [(i, "\n".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 8))))
+            for i in range(12)]
+    # python reference
+    seen, ref = set(), {}
+    for did, text in docs:
+        kept, dropped = [], 0
+        for line in text.split("\n"):
+            norm = line.strip().lower()
+            if norm == "":
+                kept.append(line)
+            elif norm not in seen:
+                seen.add(norm)
+                kept.append(line)
+            else:
+                dropped += 1
+        ref[did] = ("\n".join(kept), len(kept), dropped)
+    out = line_dedup(spark.createDataFrame(
+        docs, "doc_id long, text string")).collect()
+    got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+           for r in out}
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed,n", [(5, 3), (17, 4), (23, 5)])
+def test_random_duplicated_spans_matches_bruteforce(spark, seed, n):
+    """Randomized small-vocab corpora vs a pure-Python reference:
+    count n-gram occurrences corpus-wide, mark positions whose n-gram
+    repeats, merge overlapping fixed-length intervals."""
+    import random
+    from collections import Counter
+    from quokka_spark.functions.dedup import duplicated_spans
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(n - 1, 20))))
+            for i in range(10)]
+    counts = Counter()
+    grams = {}
+    for did, text in docs:
+        ws = text.split(" ")
+        g = [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        grams[did] = g
+        counts.update(g)
+    ref = set()
+    for did, g in grams.items():
+        spans = [(i, i + n) for i, t in enumerate(g) if counts[t] >= 2]
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        ref |= {(did, s, e) for s, e in merged}
+    out = duplicated_spans(spark.createDataFrame(
+        docs, "doc_id long, text string"), n=n).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in out}
+    assert got == ref
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_avro_roundtrip_fuzz(seed):
+    """Random values through the avro_lite writer→reader must come
+    back exactly (drives the codec the iceberg metadata layer rides)."""
+    import random
+    from quokka_spark.sources.avro_lite import (read_container,
+                                                write_container)
+    rng = random.Random(seed)
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "o", "type": ["null", "long"]},
+        {"name": "d", "type": "double"},
+        {"name": "arr", "type": {"type": "array", "items": "string"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ]}
+    recs = [{
+        "l": rng.randint(-2**62, 2**62),
+        "s": "".join(chr(rng.randint(32, 0x2FA0)) for _ in range(rng.randint(0, 20))),
+        "o": None if rng.random() < 0.5 else rng.randint(-10**15, 10**15),
+        "d": rng.uniform(-1e300, 1e300),
+        "arr": [str(rng.random()) for _ in range(rng.randint(0, 5))],
+        "m": {f"k{j}": rng.randint(-5, 5) for j in range(rng.randint(0, 4))},
+    } for _ in range(rng.randint(1, 30))]
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+        write_container(f.name, schema, recs)
+        _, back = read_container(f.name)
+    assert back == recs
