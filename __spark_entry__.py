@@ -1413,6 +1413,198 @@ FROM m
 """
 
 
+def text_pii(spark, sf_dir):
+    """PII detection + redaction (functions/text.pii_columns /
+    redact_pii). The synthetic corpus has no organic PII, so the gate
+    injects deterministic email/phone/IPv4 strings derived from doc_id
+    (same injection expression in the oracle) — the regex counters and
+    the 3-pass redaction then have real matches to agree on. Map-side
+    only."""
+    from quokka_spark.functions.text import pii_columns, redact_pii
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" Contact user"), did.cast("string"),
+            F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" call 555-"), F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".17")))
+        .otherwise(F.lit("")))
+    staged = docs.select("doc_id", injected.alias("__p__"))
+    return staged.select(
+        "doc_id", *pii_columns("__p__"),
+        F.md5(redact_pii("__p__").cast("binary")).alias("redacted_md5"))
+
+
+def _pii_sql() -> str:
+    from quokka_spark.functions.text import PII_PATTERNS
+    em, ph, ip = (PII_PATTERNS["email"], PII_PATTERNS["phone"],
+                  PII_PATTERNS["ipv4"])
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' Contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ipv4,
+       len(regexp_extract_all(t, '{em}')) + len(regexp_extract_all(t, '{ph}'))
+         + len(regexp_extract_all(t, '{ip}')) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{em}', '<EMAIL>', 'g'), '{ph}', '<PHONE>', 'g'),
+           '{ip}', '<IP>', 'g')) AS redacted_md5
+FROM p"""
+
+
+def text_repetition(spark, sf_dir):
+    """Gopher repetition-removal signals (functions/text.
+    gopher_repetition): duplicate-segment fractions and repeated
+    2-gram character coverage. The synthetic corpus is single-line so
+    the gate segments on spaces — same two-explode / two-shuffle plan
+    as a newline corpus."""
+    from quokka_spark.functions.text import gopher_repetition
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return gopher_repetition(docs, delimiter=" ", top_n=2, dup_n=2)
+
+
+_REPETITION_SQL = r"""
+WITH seg AS (
+  SELECT doc_id, lower(trim(s)) AS s
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS u(s)
+  WHERE length(lower(trim(s))) > 0
+), per_seg AS (
+  SELECT doc_id, s, count(*) AS c, length(s) AS len
+  FROM seg GROUP BY doc_id, s
+), line_stats AS (
+  SELECT doc_id, sum(c) AS n_seg,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup,
+         sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars
+  FROM per_seg GROUP BY doc_id
+), w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws,
+         length(replace(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                        ' ', '')) AS nchars
+  FROM documents
+), g AS (
+  SELECT doc_id, nchars, array_to_string(ws[i:i+1], ' ') AS gr
+  FROM w, LATERAL (SELECT unnest(generate_series(
+       1, greatest(len(ws) - 1, 1))) AS i)
+  WHERE length(array_to_string(ws[i:i+1], ' ')) > 0
+), per_g AS (
+  SELECT doc_id, gr, count(*) AS c, max(nchars) AS nchars,
+         length(replace(gr, ' ', '')) AS glen
+  FROM g GROUP BY doc_id, gr
+), gstats AS (
+  SELECT doc_id, max(c * glen) AS top_chars,
+         sum((c - 1) * glen) AS dup_g_chars, max(nchars) AS nchars
+  FROM per_g GROUP BY doc_id
+)
+SELECT l.doc_id,
+       round(n_dup * 1.0 / n_seg, 6) AS dup_line_frac,
+       round(dup_chars * 1.0 / chars, 6) AS dup_line_char_frac,
+       round(top_chars * 1.0 / nchars, 6) AS top_2gram_char_frac,
+       round(least(dup_g_chars * 1.0 / nchars, 1.0), 6) AS dup_2gram_char_frac
+FROM line_stats l LEFT JOIN gstats USING (doc_id)
+"""
+
+
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.decontaminate): a
+    deterministic 10% hash-sample of the corpus plays the eval set;
+    every document sharing any word-4-gram with it is flagged. The
+    oracle rebuilds the same sample (same md5 threshold) and the same
+    truncated-tail shingles in SQL."""
+    from quokka_spark.functions.dedup import decontaminate
+    from quokka_spark.functions.sampling import hash_sample
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    bench = hash_sample(docs, "doc_id", 0.1, salt="bench").select(
+        "doc_id", "text")
+    return decontaminate(docs, bench, n=4).select("doc_id", "contaminated")
+
+
+def _decontaminate_sql() -> str:
+    from quokka_spark.functions.sampling import _threshold
+    return rf"""
+WITH nrm AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+), tsh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g
+  FROM nrm, LATERAL (SELECT unnest(generate_series(
+       1, greatest(len(ws) - 3, 1))) AS i)
+), b AS (
+  SELECT doc_id FROM documents
+  WHERE substring(md5('bench' || CAST(doc_id AS VARCHAR)), 1, 12)
+        < '{_threshold(0.1)}'
+), bsh AS (
+  SELECT DISTINCT g FROM tsh JOIN b USING (doc_id)
+), bad AS (
+  SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh USING (g)
+)
+SELECT d.doc_id, bad.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id"""
+
+
+def op_weighted_sample(spark, sf_dir):
+    """Deterministic importance sampling (functions/sampling.
+    weighted_hash_sample): acceptance probability = min(n_chars/1000,
+    1). Every term of the folded md5 uniform is an exact binary
+    double, so the oracle's identical expression admits the identical
+    row set — hash-exact membership for a WEIGHTED sample."""
+    from quokka_spark.functions.sampling import weighted_hash_sample
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    staged = docs.withColumn(
+        "__w__", F.least(F.col("n_chars") / 1000.0, F.lit(1.0)))
+    return weighted_hash_sample(staged, "doc_id", "__w__",
+                                salt="w1").select("doc_id")
+
+
+def _weighted_sample_sql() -> str:
+    u = " + ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1) / {16 ** i}.0"
+        for i in range(1, 13))
+    return f"""
+WITH p AS (
+  SELECT doc_id, n_chars,
+         substring(md5('w1' || CAST(doc_id AS VARCHAR)), 1, 12) AS h
+  FROM documents)
+SELECT doc_id FROM p
+WHERE ({u}) < least(n_chars / 1000.0, 1.0)"""
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (functions/dedup.semantic_dedup): k-means the
+    embeddings, drop within-cluster cosine near-dups keeping the lower
+    id. Deterministic end-to-end, so the oracle is the unrolled
+    Lloyd's CTEs (shared with ml_kmeans) plus a within-cluster pair
+    join — hash-exact for a clustering + dedup composition."""
+    from quokka_spark.functions.dedup import semantic_dedup
+    qc = _qc(spark)
+    emb = _t(qc, sf_dir, "embeddings").df
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.4).select("vec_id")
+
+
 def pipeline_llm_data(spark, sf_dir):
     """End-to-end training-data pipeline composition: exact dedup →
     quality + language annotation → quality floor → per-language corpus
@@ -1805,12 +1997,14 @@ def ml_kmeans(spark, sf_dir):
             .orderBy("cluster"))
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 5) -> str:
     """Lloyd's unrolled as CTEs: a_i assigns to nearest centroid
     (squared-L2 argmin == list_distance argmin; ties broken by cluster
     index, matching np.argmin first-min), m_i/c_i recompute means with
     COALESCE carrying forward emptied clusters — exactly
-    operators/linalg.kmeans with init = k lowest vec_ids."""
+    operators/linalg.kmeans with init = k lowest vec_ids. Returns the
+    WITH block ending at ``af`` (vec_id, cluster) so the kmeans and
+    semantic-dedup oracles share the unrolled iterations."""
     def assign(name, cents):
         return f"""{name} AS (
   SELECT vec_id, cluster FROM (
@@ -1837,9 +2031,30 @@ def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
         prev = f"c{i}"
     parts.append(assign("af", prev))
     return ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-            "FROM embeddings),\n" + ",\n".join(parts) +
+            "FROM embeddings),\n" + ",\n".join(parts))
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+    return (_kmeans_ctes(k, iters) +
             "\nSELECT CAST(cluster AS INT) AS cluster, count(*) AS n "
             "FROM af GROUP BY cluster ORDER BY cluster")
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 2,
+                           tau: float = 0.5) -> str:
+    """SemDeDup oracle: the same unrolled Lloyd's CTEs, then
+    within-cluster pairs above the cosine threshold (rounded to 6
+    digits on BOTH engines before comparing, the repo-wide
+    embedding-gate convention) drop the higher id."""
+    return (_kmeans_ctes(k, iters) + f""",
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= {tau}
+)
+SELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_id FROM drops)""")
 
 
 # ======================================================================
@@ -2450,6 +2665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
         "op_hash_sample": op_hash_sample,
+        "text_pii": text_pii,
+        "text_repetition": text_repetition,
+        "dedup_decontaminate": dedup_decontaminate,
+        "op_weighted_sample": op_weighted_sample,
+        "dedup_semantic": dedup_semantic,
     }
 
 
@@ -2514,4 +2734,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "op_hash_sample": _HASH_SAMPLE_SQL,
+        "text_pii": _pii_sql(),
+        "text_repetition": _REPETITION_SQL,
+        "dedup_decontaminate": _decontaminate_sql(),
+        "op_weighted_sample": _weighted_sample_sql(),
+        "dedup_semantic": _semantic_dedup_oracle(tau=0.4),
     }

@@ -647,3 +647,82 @@ def duplicated_spans(df: DataFrame, text_col: str = "text",
             .select(id_col, "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start"))
                     .alias("n_dup_words")))
+
+
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str = "text", n: int = 13) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Dolma
+    "decon" pass): flag every training document sharing ANY word
+    ``n``-gram with the evaluation/benchmark corpus, so eval data
+    can be excluded from training.
+
+    Returns the input rows plus a ``contaminated`` boolean column
+    (use ``.filter(~F.col("contaminated"))`` for the clean corpus).
+
+    Scale shape: both sides shingle map-side (arrays_zip of shifted
+    slices) and join on the md5 of the shingle — 32-byte keys, never
+    document text, so shuffle volume is O(positions × 32 B). The
+    benchmark side is DISTINCT shingles; eval corpora are ~10⁶ rows
+    against a 100 TB train side, so Catalyst/AQE broadcasts the bench
+    hash set and the train side never shuffles at all — the flag
+    reduces to a map-side semi probe. Contaminated-id dedup is a
+    groupBy on the id only.
+    """
+    t = _with_shingles(df, text_col, id_col, n)
+    b = _with_shingles(benchmark, bench_text_col,
+                       benchmark.columns[0], n, out="__sh__")
+    t_sh = t.select(F.col(id_col),
+                    F.explode("__sh__").alias("__s__")).withColumn(
+        "__h__", F.md5(F.col("__s__").cast("binary"))).drop("__s__")
+    b_sh = (b.select(F.explode("__sh__").alias("__s__"))
+            .select(F.md5(F.col("__s__").cast("binary")).alias("__h__"))
+            .distinct())
+    bad_ids = (t_sh.join(b_sh, on="__h__", how="left_semi")
+               .select(id_col).distinct()
+               .withColumn("contaminated", F.lit(True)))
+    return (df.join(bad_ids, on=id_col, how="left")
+            .withColumn("contaminated",
+                        F.coalesce(F.col("contaminated"), F.lit(False))))
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = 8, iters: int = 2,
+                   threshold: float = 0.5) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means the
+    embedding space, then drop near-duplicates WITHIN each cluster —
+    all-pairs cosine is quadratic, but only inside a cluster of n/k
+    rows, which is the paper's entire scaling argument (k grows with
+    the corpus so clusters stay bounded).
+
+    Keeps, per duplicate pair, the lower id (the repo-wide dedup
+    convention; the paper keeps the point farthest from the centroid —
+    swap the keep rule by ordering on centroid distance instead).
+    Returns the surviving rows of ``df``.
+
+    Scale shape: k-means is the broadcast-centroid Lloyd's of
+    operators/linalg.kmeans (vectors never shuffle; k×dim partials
+    do); the pair stage shuffles each row once on its cluster id and
+    the per-cluster self-join is bounded by the largest cluster —
+    monitor skew with plans/scaling.skew_report and raise ``k`` if one
+    cluster dominates. Deterministic end-to-end (lowest-id init,
+    double arithmetic), which is what makes the unrolled-CTE DuckDB
+    oracle (``dedup_semantic`` gate) hash-exact."""
+    from ..operators.linalg import kmeans
+    _, assign = kmeans(df, vec_col, id_col, k=k, iters=iters)
+    v = (df.select(F.col(id_col),
+                   F.transform(vec_col, lambda x: x.cast("double")).alias("__v__"))
+         .join(assign, id_col)
+         .withColumn("__norm__", F.sqrt(
+             F.aggregate("__v__", F.lit(0.0), lambda acc, x: acc + x * x))))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v__"), F.col("b.__v__"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("a.__norm__") * F.col("b.__norm__")), 6)
+    drops = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .filter(cos >= threshold)
+             .select(F.col(f"b.{id_col}").alias(id_col)).distinct())
+    return df.join(drops, on=id_col, how="left_anti")

@@ -63,3 +63,35 @@ def split_by_hash(df: DataFrame, key_col: str, fractions: dict,
     expr = (F.lit(names[0]) if expr is None
             else expr.otherwise(F.lit(names[-1])))
     return df.withColumn(out, expr)
+
+
+def hash_uniform(key_col: str, salt: str = "") -> Column:
+    """A deterministic uniform draw in [0, 1) from the key: the first
+    12 hex digits of md5(salt + key) folded positionally. Every term
+    digit × 16⁻ⁱ and every partial sum is an exact binary double
+    (denominators are powers of two, numerators < 2⁵³), so the SAME
+    expression in DuckDB produces the bit-identical double — the
+    weighted sampler's membership test is engine-portable."""
+    h = _bucket(key_col, salt)
+    u = F.lit(0.0)
+    for i in range(1, _HEX_DIGITS + 1):
+        digit = F.instr(F.lit("0123456789abcdef"),
+                        F.substring(h, i, 1)).cast("double") - 1.0
+        u = u + digit * (16.0 ** -i)
+    return u
+
+
+def weighted_hash_sample(df: DataFrame, key_col: str, weight_col: str,
+                         salt: str = "") -> DataFrame:
+    """Importance sampling with per-row acceptance probability =
+    ``weight_col`` (clamped to [0, 1]): keep a row iff its
+    deterministic uniform draw (pure function of salt + key) falls
+    below its weight. The standard corpus move — keep high-quality
+    documents with probability ∝ quality score — with hash-sampling's
+    stability guarantees: zero exchanges, membership independent of
+    partitioning/cluster size, re-runs keep the identical set. Rows
+    with NULL weight are dropped (null-rejecting filter, same as SQL
+    WHERE)."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    return df.filter(hash_uniform(key_col, salt) < w)

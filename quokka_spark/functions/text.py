@@ -12,7 +12,7 @@ take the source column as a SQL expression string and return a Column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Deterministic marker-word lists for the language-ID heuristic —
@@ -185,3 +185,128 @@ def gopher_quality_columns(col: str) -> list:
             alpha_ratio.alias("alpha_word_ratio"),
             stop_hits.alias("stop_hits"),
             F.coalesce(passes, F.lit(False)).alias("gopher_pass")]
+
+
+# PII regexes in the common Java-regex / RE2 subset so the identical
+# pattern runs in Spark (Java) and the DuckDB oracle (RE2): no
+# backrefs, no lookaround, ASCII classes only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_columns(col: str) -> list:
+    """PII detection signals (Dolma / RedPajama-style scrub pass) —
+    per-document counts of email addresses, NANP-style phone numbers,
+    and IPv4 literals, plus a ``has_pii`` flag. Pure map-side
+    ``regexp_count`` over the scan: zero exchanges, pipelines with the
+    parquet read at 100 TB. Patterns are intentionally high-precision /
+    ASCII (the standard corpus-scrub tradeoff — a looser phone pattern
+    floods on numeric tables).
+
+    NOTE on masking order (see :func:`redact_pii`): the ipv4 pattern
+    matches dotted-quads INSIDE email domains too; counts here count
+    raw matches per pattern independently, exactly like the oracle."""
+    c = F.col(col)
+    counts = [F.regexp_count(c, F.lit(p)).cast("bigint").alias(f"n_{name}")
+              for name, p in PII_PATTERNS.items()]
+    has = sum(F.regexp_count(c, F.lit(p)) for p in PII_PATTERNS.values()) > 0
+    return counts + [F.coalesce(has, F.lit(False)).alias("has_pii")]
+
+
+def redact_pii(col: str) -> Column:
+    """Replace PII matches with typed placeholder tokens
+    (``<EMAIL>``, ``<PHONE>``, ``<IP>``). Email first so dotted-quad
+    domains are consumed before the ipv4 pass; the same replacement
+    order runs in the oracle. Map-side only."""
+    out = F.regexp_replace(F.col(col), PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+    return F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
+
+
+def gopher_repetition(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", delimiter: str = "\n",
+                      top_n: int = 2, dup_n: int = 5) -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021 app. A1.1 —
+    the REPETITION half of the rules; the document-quality half is
+    :func:`gopher_quality_columns`). Per document:
+
+    - ``dup_line_frac``       fraction of segments whose content occurs
+      more than once in the document (all occurrences of a repeated
+      segment count, matching the paper's "duplicate line fraction")
+    - ``dup_line_char_frac``  fraction of segment characters inside
+      occurrences BEYOND the first of each repeated segment
+    - ``top_{top_n}gram_char_frac``  characters covered by the single
+      most frequent word-``top_n``-gram (count × gram length) over
+      total non-space characters
+    - ``dup_{dup_n}gram_char_frac``  characters inside occurrences
+      beyond the first of repeated word-``dup_n``-grams, counted
+      per-gram WITHOUT overlap-dedup (deterministic upper bound of the
+      paper's span measure — the exact span version is
+      ``dedup.duplicated_spans``), capped at 1.0
+
+    Scale shape: two explode pipelines (segments, n-grams) each
+    partial-agg → shuffle on (doc, key) → per-doc reduce — the same
+    two-shuffle profile as a word count, no driver materialization.
+    Every expression has a verbatim DuckDB mirror (oracle gate
+    ``text_repetition``)."""
+    doc = df.select(id_col, F.col(text_col).alias("__t__"))
+
+    segs = doc.select(
+        id_col, F.posexplode(F.split("__t__", delimiter)).alias("__p__", "__s__")
+    ).withColumn("__s__", F.trim(F.lower("__s__"))) \
+     .filter(F.length("__s__") > 0)
+    per_seg = segs.groupBy(id_col, "__s__").agg(
+        F.count(F.lit(1)).alias("__c__"),
+        F.length(F.first("__s__")).alias("__len__"))
+    line_stats = per_seg.groupBy(id_col).agg(
+        F.sum("__c__").alias("__n_seg__"),
+        F.sum(F.when(F.col("__c__") > 1, F.col("__c__")).otherwise(0))
+         .alias("__n_dup_seg__"),
+        F.sum(F.col("__c__") * F.col("__len__")).alias("__chars__"),
+        F.sum((F.col("__c__") - 1) * F.col("__len__")).alias("__dup_chars__"))
+
+    def gram_stats(n: int):
+        norm = F.expr(normalize_text_sql("__t__"))
+        words = F.split(norm, " ")
+        m = f"greatest(size(__w__) - {n - 1}, 1)"
+        slices = ", ".join(f"slice(__w__, {k + 1}, {m})" for k in range(n))
+        fields = ", ".join(f"s.`{k}`" for k in range(n))
+        grams = F.expr(f"transform(arrays_zip({slices}), "
+                       f"s -> concat_ws(' ', {fields}))")
+        g = (doc.select(id_col, words.alias("__w__"),
+                        F.length(F.regexp_replace(norm, " ", ""))
+                        .alias("__nchars__"))
+             .select(id_col, "__nchars__", F.explode(grams).alias("__g__"))
+             .filter(F.length("__g__") > 0))
+        return g.groupBy(id_col, "__g__").agg(
+            F.count(F.lit(1)).alias("__c__"),
+            F.first("__nchars__").alias("__nchars__"),
+            F.length(F.regexp_replace(F.first("__g__"), " ", ""))
+            .alias("__glen__"))
+
+    # the output is the max covered-chars VALUE itself, so ties need no
+    # break — equal keys yield the same max
+    top = gram_stats(top_n).groupBy(id_col).agg(
+        F.max(F.col("__c__") * F.col("__glen__")).alias("__top_chars__"),
+        F.first("__nchars__").alias("__nchars__"))
+    dup = gram_stats(dup_n).groupBy(id_col).agg(
+        F.sum((F.col("__c__") - 1) * F.col("__glen__")).alias("__dup_g_chars__"),
+        F.first("__nchars__").alias("__nchars2__"))
+
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    out = (line_stats.join(top, id_col, "left").join(dup, id_col, "left")
+           .select(
+               id_col,
+               r6(F.col("__n_dup_seg__") / F.col("__n_seg__"))
+               .alias("dup_line_frac"),
+               r6(F.col("__dup_chars__") / F.col("__chars__"))
+               .alias("dup_line_char_frac"),
+               r6(F.col("__top_chars__") / F.col("__nchars__"))
+               .alias(f"top_{top_n}gram_char_frac"),
+               r6(F.least(F.col("__dup_g_chars__") / F.col("__nchars2__"),
+                          F.lit(1.0)))
+               .alias(f"dup_{dup_n}gram_char_frac")))
+    return out

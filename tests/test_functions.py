@@ -386,3 +386,84 @@ def test_split_by_hash_disjoint_exhaustive_stable(spark):
              .toPandas()["doc_id"])
     inter = len(s1 & s2) / 10_000
     assert 0.03 < inter < 0.10                          # ≈ 0.0625
+
+
+def test_pii_detect_and_redact(spark):
+    from quokka_spark.functions.text import pii_columns, redact_pii
+    docs = spark.createDataFrame(
+        [(1, "write to bob@x.com or 555-123-4567 from 10.0.0.1 thanks"),
+         (2, "no pii whatsoever in this row"),
+         (3, "two mails: a@b.io c.d@e-f.org and 192.168.0.255")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *pii_columns("text"),
+        redact_pii("text").alias("red")).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (1, 1, 1)
+    assert rows[1]["has_pii"] is True
+    assert rows[1]["red"] == "write to <EMAIL> or <PHONE> from <IP> thanks"
+    assert rows[2]["has_pii"] is False and rows[2]["red"] == rows[2]["red"]
+    assert rows[3]["n_email"] == 2 and rows[3]["n_ipv4"] == 1
+    assert "<EMAIL>" in rows[3]["red"] and "<IP>" in rows[3]["red"]
+
+
+def test_gopher_repetition_logic(spark):
+    """Hand-computed fractions on 'a b a b c' (space segments, 2-grams):
+    4/5 repeated segments, 2/5 repeated chars, top 2-gram 'a b' covers
+    4 of 5 non-space chars, dup 2-gram chars 2/5."""
+    from quokka_spark.functions.text import gopher_repetition
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "all unique words here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition(
+        docs, delimiter=" ", top_n=2, dup_n=2).collect()}
+    r = out[1]
+    assert r["dup_line_frac"] == 0.8
+    assert r["dup_line_char_frac"] == 0.4
+    assert r["top_2gram_char_frac"] == 0.8
+    assert r["dup_2gram_char_frac"] == 0.4
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["dup_2gram_char_frac"] == 0.0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from quokka_spark.functions.dedup import decontaminate
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over fences"),
+         (2, "completely unrelated text goes right here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps high")],
+        "bid long, text string")
+    out = {r["doc_id"]: r["contaminated"]
+           for r in decontaminate(docs, bench, n=4).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_weighted_hash_sample_proportional_and_stable(spark):
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.sampling import weighted_hash_sample
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id") \
+        .withColumn("w", F.lit(0.3))
+    kept = weighted_hash_sample(df, "doc_id", "w", salt="t").toPandas()
+    assert abs(len(kept) - 3000) < 250
+    again = weighted_hash_sample(df, "doc_id", "w", salt="t").toPandas()
+    assert set(kept["doc_id"]) == set(again["doc_id"])   # deterministic
+    none = weighted_hash_sample(
+        df.withColumn("w", F.lit(0.0)), "doc_id", "w")
+    assert none.count() == 0
+    everything = weighted_hash_sample(
+        df.withColumn("w", F.lit(1.0)), "doc_id", "w")
+    assert everything.count() == 10_000
+    # weights outside [0,1] clamp rather than misbehave
+    clamped = weighted_hash_sample(
+        df.withColumn("w", F.lit(7.5)), "doc_id", "w")
+    assert clamped.count() == 10_000
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    from quokka_spark.functions.dedup import semantic_dedup
+    rows = [(1, [1.0, 0.0]), (2, [0.999, 0.02]), (3, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(r["vec_id"] for r in semantic_dedup(
+        emb, k=1, iters=1, threshold=0.9).collect())
+    assert kept == [1, 3]          # 2 is the higher-id near-dup of 1

@@ -33,6 +33,8 @@ SF001_SUBSET = [
     "src_lance", "op_join_outer_condition",
     "dedup_lines", "text_gopher", "dedup_spans", "src_iceberg",
     "dedup_clusters",
+    "text_pii", "text_repetition", "dedup_decontaminate",
+    "op_weighted_sample", "dedup_semantic",
 ]
 
 
