@@ -1605,6 +1605,192 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(emb, k=8, iters=2, threshold=0.4).select("vec_id")
 
 
+def ts_ohlcv(spark, sf_dir):
+    """Candlestick bars (operators/windows.candlestick — the
+    reference's apps/rottnest/candlestick.py as one declarative plan):
+    per-user hourly OHLC over the event stream, open/close made
+    deterministic by the event_id tiebreak."""
+    from quokka_spark.operators.windows import candlestick
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts")
+    bars = candlestick(ev.df, "ts", "user_id", "value",
+                       interval="1h", tiebreak="event_id")
+    return bars.select("user_id", "candle_start", "open", "close",
+                       "high", "low", "n_ticks")
+
+
+_OHLCV_SQL = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS candle_start, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events)
+SELECT user_id, candle_start,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       max(value) AS high, min(value) AS low,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM r GROUP BY user_id, candle_start
+"""
+
+
+def op_pivot(spark, sf_dir):
+    """Long→wide pivot (DataStream.pivot — the reference's transpose
+    app reshapes with a stateful Executor; here one groupBy.pivot
+    shuffle with the value list supplied so no schema-discovery job
+    runs)."""
+    qc = _qc(spark)
+    orders = _t(qc, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = orders.pivot("o_orderstatus", "o_orderpriority", "o_totalprice",
+                       agg_func="sum", values=prios).df
+    keep = [F.col("o_orderstatus")] + [
+        F.round(F.col(f"`{p}_sum`"), 2).alias(f"{p}_sum") for p in prios]
+    return out.select(*keep)
+
+
+_PIVOT_SQL = """
+SELECT o_orderstatus,
+       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT_sum",
+       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH_sum",
+       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM_sum",
+       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED_sum",
+       round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW_sum"
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def ml_matmul(spark, sf_dir):
+    """Distributed COO matrix multiply (operators/linalg.matmul_coo —
+    the reference's apps/unstable/matmul.py blocked TaskGraph as one
+    join-agg). Matrices are derived small-modulus aggregates of
+    lineitem and orders with INTEGER entries (scaled-avg rounded to a
+    long), so C is an exact int64 sum of products — no float rounding
+    anywhere, hash-exact regardless of summation order. (Rounding C
+    to decimals instead produced exact .xxxx5 ties from the
+    rounded-decimal inputs — a genuine cross-engine half-tie trap.)"""
+    from quokka_spark.operators.linalg import matmul_coo
+    qc = _qc(spark)
+    li = _t(qc, sf_dir, "lineitem").df
+    od = _t(qc, sf_dir, "orders").df
+    a = (li.groupBy((F.col("l_suppkey") % 20).alias("i"),
+                    (F.col("l_partkey") % 8).alias("k"))
+         .agg(F.round(F.avg("l_quantity") * 100, 0).cast("long").alias("val")))
+    b = (od.groupBy((F.col("o_custkey") % 8).alias("k"),
+                    (F.col("o_orderkey") % 15).alias("j"))
+         .agg(F.round(F.avg("o_totalprice") / 10, 0).cast("long").alias("val")))
+    return matmul_coo(a, b)
+
+
+_MATMUL_SQL = """
+WITH a AS (
+  SELECT l_suppkey % 20 AS i, l_partkey % 8 AS k,
+         CAST(round(avg(l_quantity) * 100, 0) AS BIGINT) AS val
+  FROM lineitem GROUP BY 1, 2),
+b AS (
+  SELECT o_custkey % 8 AS k, o_orderkey % 15 AS j,
+         CAST(round(avg(o_totalprice) / 10, 0) AS BIGINT) AS val
+  FROM orders GROUP BY 1, 2)
+SELECT a.i, b.j, CAST(sum(a.val * b.val) AS BIGINT) AS val
+FROM a JOIN b USING (k) GROUP BY a.i, b.j
+"""
+
+
+def text_chunks(spark, sf_dir):
+    """Overlapping word-window chunking (functions/text.
+    chunk_documents) — map-side sequence+slice+explode, zero
+    exchanges."""
+    from quokka_spark.functions.text import chunk_documents
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return chunk_documents(docs, max_words=40, overlap=10)
+
+
+_CHUNKS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+  WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0
+)
+SELECT doc_id, CAST(s / 30 AS BIGINT) AS chunk_id,
+       array_to_string(ws[s+1:s+40], ' ') AS chunk_text,
+       CAST(len(ws[s+1:s+40]) AS BIGINT) AS n_words
+FROM w, LATERAL (SELECT unnest(generate_series(
+     0, greatest(len(ws) - 11, 0), 30)) AS s)
+"""
+
+
+def text_unigram_lm(spark, sf_dir):
+    """Corpus-unigram LM scoring (functions/text.unigram_logprob, the
+    CCNet-style perplexity-filter proxy): per-doc mean negative log
+    probability under the corpus's own smoothed unigram model."""
+    from quokka_spark.functions.text import unigram_logprob
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return unigram_logprob(docs, smoothing=0.5)
+
+
+_UNIGRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(string_split(
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                   ' ')) AS t
+        FROM documents
+        WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0)
+  WHERE length(t) > 0
+), freq AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), s AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+  FROM freq
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln((c + 0.5) / (total + 0.5 * v))), 6) AS mean_neg_logprob
+FROM tok JOIN freq USING (t), s
+GROUP BY doc_id
+"""
+
+
+def op_pack_sequences(spark, sf_dir):
+    """Concatenative sequence packing (functions/packing.
+    pack_sequences): token-budget pack assignment from a two-level
+    distributed prefix sum — hash-exact against the oracle's global
+    window cumsum."""
+    from quokka_spark.functions.packing import pack_sequences
+    from quokka_spark.functions.text import token_count
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    staged = docs.select("doc_id", token_count("text").alias("n_tok"))
+    out = pack_sequences(staged, "n_tok", "doc_id", budget=1000)
+    return out.select("doc_id", "pack_id", "pack_offset")
+
+
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start
+  FROM t
+)
+SELECT doc_id, CAST(floor(start / 1000) AS BIGINT) AS pack_id,
+       CAST(start - CAST(floor(start / 1000) AS BIGINT) * 1000 AS BIGINT)
+         AS pack_offset
+FROM s
+"""
+
+
 def pipeline_llm_data(spark, sf_dir):
     """End-to-end training-data pipeline composition: exact dedup →
     quality + language annotation → quality floor → per-language corpus
@@ -2670,6 +2856,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": dedup_decontaminate,
         "op_weighted_sample": op_weighted_sample,
         "dedup_semantic": dedup_semantic,
+        "ts_ohlcv": ts_ohlcv,
+        "op_pivot": op_pivot,
+        "ml_matmul": ml_matmul,
+        "text_chunks": text_chunks,
+        "text_unigram_lm": text_unigram_lm,
+        "op_pack_sequences": op_pack_sequences,
     }
 
 
@@ -2739,4 +2931,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": _decontaminate_sql(),
         "op_weighted_sample": _weighted_sample_sql(),
         "dedup_semantic": _semantic_dedup_oracle(tau=0.4),
+        "ts_ohlcv": _OHLCV_SQL,
+        "op_pivot": _PIVOT_SQL,
+        "ml_matmul": _MATMUL_SQL,
+        "text_chunks": _CHUNKS_SQL,
+        "text_unigram_lm": _UNIGRAM_SQL,
+        "op_pack_sequences": _PACK_SQL,
     }

@@ -492,6 +492,28 @@ class DataStream:
 
     aggregate = agg
 
+    def pivot(self, index, pivot_col: str, value_col: str,
+              agg_func: str = "sum", values: list | None = None) -> "DataStream":
+        """Long→wide pivot (the reference's transpose app,
+        apps/rottnest/transpose.py, reshapes per-symbol columns with a
+        stateful Executor; declaratively this is groupBy(index)
+        .pivot(pivot_col).agg — one shuffle on the index key).
+
+        Pass ``values`` (the distinct pivot values) explicitly at
+        scale: without it Spark runs an extra distinct-collect job
+        over the whole input just to learn the output schema. Output
+        columns are named ``{value}_{agg_func}``. ``index`` may be one
+        column or a list."""
+        index = [index] if isinstance(index, str) else list(index)
+        agg_expr = getattr(F, agg_func)(value_col)
+        g = (self.df.groupBy(*index).pivot(pivot_col, values)
+             if values is not None else self.df.groupBy(*index).pivot(pivot_col))
+        out = g.agg(agg_expr)
+        for c in out.columns:
+            if c not in index:
+                out = out.withColumnRenamed(c, f"{c}_{agg_func}")
+        return self._with(out)
+
     def agg_sql(self, aggregations: str) -> "DataStream":
         return self.groupby([]).agg_sql(aggregations)
 

@@ -310,3 +310,69 @@ def gopher_repetition(df: DataFrame, text_col: str = "text",
                           F.lit(1.0)))
                .alias(f"dup_{dup_n}gram_char_frac")))
     return out
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_words: int = 100,
+                    overlap: int = 20) -> DataFrame:
+    """Split documents into overlapping word-window chunks (the
+    standard embedding/RAG ingest step): chunk ``c`` covers words
+    ``[c·step, c·step + max_words)`` of the normalized text with
+    ``step = max_words − overlap``. Start positions stop once a chunk
+    would add fewer than one new word beyond the overlap, so trailing
+    fully-contained chunks are never emitted; empty/whitespace-only
+    documents yield no chunks.
+
+    Returns (id, chunk_id, chunk_text, n_words). Map-side only —
+    sequence + slice + explode over the scan, zero exchanges at any
+    scale."""
+    assert 0 <= overlap < max_words
+    step = max_words - overlap
+    staged = (df.select(F.col(id_col),
+                        F.expr(normalize_text_sql(text_col)).alias("__n__"))
+              .filter(F.length("__n__") > 0)
+              .select(id_col, F.split("__n__", " ").alias("__w__")))
+    starts = F.expr(
+        f"sequence(0, greatest(size(__w__) - {overlap + 1}, 0), {step})")
+    return (staged.select(id_col, "__w__", F.explode(starts).alias("__s__"))
+            .select(F.col(id_col),
+                    (F.col("__s__") / step).cast("long").alias("chunk_id"),
+                    F.expr(f"concat_ws(' ', slice(__w__, __s__ + 1, {max_words}))")
+                    .alias("chunk_text"),
+                    F.expr(f"size(slice(__w__, __s__ + 1, {max_words}))")
+                    .cast("long").alias("n_words")))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    smoothing: float = 0.5) -> DataFrame:
+    """Language-model quality proxy (the CCNet/RedPajama perplexity
+    filter, with the corpus's own additive-smoothed unigram model
+    standing in for the external KenLM): per document, the mean
+    negative log-probability of its tokens under
+    p(t) = (count(t) + a) / (total + a·|V|). Lower = more typical of
+    the corpus; thresholding drops gibberish and boilerplate alike.
+
+    Returns (id, n_tokens, mean_neg_logprob).
+
+    Scale shape: one token-count shuffle with map-side partial agg
+    (hot tokens collapse before the exchange), one slim 2-scalar agg
+    to the driver (total, |V|), then a token→frequency join — AQE
+    broadcasts the frequency table when the vocabulary is small and
+    skew-splits the hot-token keys when it is not — and a final
+    per-doc mean. The model itself never materializes on the driver."""
+    norm = F.expr(normalize_text_sql(text_col))
+    toks = (df.select(F.col(id_col), norm.alias("__n__"))
+            .filter(F.length("__n__") > 0)
+            .select(id_col, F.explode(F.split("__n__", " ")).alias("__t__"))
+            .filter(F.length("__t__") > 0))
+    freq = toks.groupBy("__t__").agg(F.count(F.lit(1)).alias("__c__"))
+    row = freq.agg(F.sum("__c__").alias("t"),
+                   F.count(F.lit(1)).alias("v")).first()
+    total, vocab = int(row["t"] or 0), int(row["v"] or 0)
+    denom = float(total + smoothing * vocab)
+    logp = F.log((F.col("__c__") + F.lit(float(smoothing))) / F.lit(denom))
+    return (toks.join(freq, "__t__")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.round(F.avg(-logp), 6).alias("mean_neg_logprob")))

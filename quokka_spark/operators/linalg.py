@@ -262,3 +262,31 @@ def kmeans(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
     assign = df.select(id_col, vec_col).mapInArrow(
         make_kernel(b, False), schema=f"{id_col} long, cluster int")
     return cents, assign
+
+
+def matmul_coo(a: DataFrame, b: DataFrame,
+               i: str = "i", k: str = "k", j: str = "j",
+               val: str = "val") -> DataFrame:
+    """Distributed sparse matrix multiply over coordinate-form inputs:
+    ``A(i, k, val) × B(k, j, val) → C(i, j, val)``.
+
+    The reference implements matmul as a blocked TaskGraph with
+    hand-written range partition functions on both inputs
+    (apps/unstable/matmul.py:16-46). The Spark-first formulation is
+    the classic relational one: join on the contraction index, then
+    groupBy the output coordinates — C[i,j] = Σ_k A[i,k]·B[k,j].
+
+    Scale shape: one shuffle of each input on ``k`` for the join
+    (AQE picks broadcast when one matrix is small and handles hot-k
+    skew), one partial-agged shuffle on (i, j) for the sum. Dense
+    blocks stay dense inside partitions via whole-stage codegen — no
+    Python in the path. Zero entries should be pre-filtered from the
+    COO inputs; they only cost work, never correctness."""
+    an = a.select(F.col(i).alias("__i__"), F.col(k).alias("__k__"),
+                  F.col(val).alias("__va__"))
+    bn = b.select(F.col(k).alias("__k__"), F.col(j).alias("__j__"),
+                  F.col(val).alias("__vb__"))
+    return (an.join(bn, "__k__")
+            .groupBy("__i__", "__j__")
+            .agg(F.sum(F.col("__va__") * F.col("__vb__")).alias(val))
+            .withColumnRenamed("__i__", i).withColumnRenamed("__j__", j))

@@ -260,6 +260,50 @@ def sliding_window(df: DataFrame, time_col: str, by: list, size_before,
     return df.select(*by, time_col, *aggs)
 
 
+def candlestick(df: DataFrame, time_col: str, by, price_col: str,
+                volume_col: str | None = None, interval="1m",
+                tiebreak: str | None = None) -> DataFrame:
+    """OHLCV candlestick bars (reference apps/rottnest/candlestick.py
+    builds 1-minute bars per symbol with polars head/tail/max/min/sum
+    inside a per-date batch_func; here the same bars are one
+    declarative plan over the whole stream).
+
+    Returns (by…, candle_start, open, close, high, low, volume,
+    n_ticks). ``open``/``close`` are the price at the first/last tick
+    of the bar under the total order (time, tiebreak) — pass a unique
+    ``tiebreak`` column (e.g. an event id) to make ties deterministic,
+    which the oracle gate requires.
+
+    Scale shape: one shuffle on (by, candle) for the row_number
+    window; the groupBy that follows uses the same keys, so Catalyst
+    reuses the exchange — parallelism is keys × bars, not keys (the
+    low-key-count problem sliding windows have does not arise)."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    size_s = to_seconds(interval)
+    candle = F.window(F.col(time_col), _interval(size_s)).getField("start")
+    staged = df.withColumn("__c__", candle)
+    order_asc = [F.col(time_col).asc()] + \
+        ([F.col(tiebreak).asc()] if tiebreak else [])
+    order_desc = [F.col(time_col).desc()] + \
+        ([F.col(tiebreak).desc()] if tiebreak else [])
+    wa = W.partitionBy(*by, "__c__").orderBy(*order_asc)
+    wd = W.partitionBy(*by, "__c__").orderBy(*order_desc)
+    ranked = staged.select(
+        *by, "__c__", F.col(price_col).alias("__p__"),
+        (F.col(volume_col) if volume_col else F.lit(1)).alias("__v__"),
+        F.row_number().over(wa).alias("__ra__"),
+        F.row_number().over(wd).alias("__rd__"))
+    return (ranked.groupBy(*by, "__c__")
+            .agg(F.max(F.when(F.col("__ra__") == 1, F.col("__p__")))
+                 .alias("open"),
+                 F.max(F.when(F.col("__rd__") == 1, F.col("__p__")))
+                 .alias("close"),
+                 F.max("__p__").alias("high"), F.min("__p__").alias("low"),
+                 F.sum("__v__").alias("volume"),
+                 F.count(F.lit(1)).alias("n_ticks"))
+            .withColumnRenamed("__c__", "candle_start"))
+
+
 def session_window(df: DataFrame, time_col: str, by: list, timeout,
                    aggregation_dict: dict) -> DataFrame:
     """Gap-timeout sessions (reference ts_executors.py:197-288 builds

@@ -467,3 +467,103 @@ def test_semantic_dedup_drops_near_identical(spark):
     kept = sorted(r["vec_id"] for r in semantic_dedup(
         emb, k=1, iters=1, threshold=0.9).collect())
     assert kept == [1, 3]          # 2 is the higher-id near-dup of 1
+
+
+def test_candlestick_ohlcv_deterministic(spark):
+    """Two bars for one symbol; open/close resolved by (ts, id) ties."""
+    import datetime as dt
+    from quokka_spark.operators.windows import candlestick
+    t0 = dt.datetime(2024, 1, 1, 9, 30)
+    rows = [
+        (1, t0, "A", 10.0, 5), (2, t0, "A", 11.0, 3),     # tie on ts
+        (3, t0 + dt.timedelta(seconds=30), "A", 9.0, 2),
+        (4, t0 + dt.timedelta(minutes=1), "A", 20.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "eid long, ts timestamp, sym string, price double, vol long")
+    out = {r["candle_start"]: r for r in candlestick(
+        df, "ts", "sym", "price", volume_col="vol", interval="1m",
+        tiebreak="eid").collect()}
+    b1 = out[t0]
+    assert (b1["open"], b1["close"]) == (10.0, 9.0)   # eid 1 first, 3 last
+    assert (b1["high"], b1["low"], b1["volume"], b1["n_ticks"]) == (11.0, 9.0, 10, 3)
+    b2 = out[t0 + dt.timedelta(minutes=1)]
+    assert (b2["open"], b2["close"], b2["volume"]) == (20.0, 20.0, 7)
+
+
+def test_pivot_wide_counts(spark, qc):
+    from quokka_spark.datastream import DataStream
+    df = spark.createDataFrame(
+        [("x", "a", 1.0), ("x", "b", 2.0), ("y", "a", 3.0), ("x", "a", 4.0)],
+        "k string, p string, v double")
+    out = DataStream(qc, df).pivot("k", "p", "v", agg_func="sum",
+                                   values=["a", "b"]).df
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows["x"]["a_sum"] == 5.0 and rows["x"]["b_sum"] == 2.0
+    assert rows["y"]["a_sum"] == 3.0 and rows["y"]["b_sum"] is None
+
+
+def test_matmul_coo_exact(spark):
+    import numpy as np
+    from quokka_spark.operators.linalg import matmul_coo
+    rng = np.random.default_rng(3)
+    A = rng.integers(-5, 6, size=(4, 3))
+    B = rng.integers(-5, 6, size=(3, 5))
+    a = spark.createDataFrame(
+        [(i, k, int(A[i, k])) for i in range(4) for k in range(3)
+         if A[i, k] != 0], "i long, k long, val long")
+    b = spark.createDataFrame(
+        [(k, j, int(B[k, j])) for k in range(3) for j in range(5)
+         if B[k, j] != 0], "k long, j long, val long")
+    C = A @ B
+    got = {(r["i"], r["j"]): r["val"] for r in matmul_coo(a, b).collect()}
+    for i in range(4):
+        for j in range(5):
+            assert got.get((i, j), 0) == C[i, j]
+
+
+def test_chunk_documents_windows(spark):
+    from quokka_spark.functions.text import chunk_documents
+    words = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "   ")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, max_words=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: step 6, starts 0,6,12,18 (24 > 25-4-1=20 stops at 18)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert c1[3]["n_words"] == 7                      # words 18..24
+    assert by_doc[2][0]["chunk_text"] == "short doc"  # single chunk
+    assert 3 not in by_doc                            # whitespace-only: none
+
+
+def test_unigram_logprob_favors_common_tokens(spark):
+    from quokka_spark.functions.text import unigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zyzzyva qwerty")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 2
+    # common-token doc scores LOWER mean negative logprob
+    assert out[1]["mean_neg_logprob"] < out[2]["mean_neg_logprob"]
+
+
+def test_pack_sequences_contiguous(spark):
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.packing import pack_sequences
+    df = spark.range(100).withColumnRenamed("id", "doc_id") \
+        .withColumn("tok", F.lit(30))
+    out = pack_sequences(df, "tok", "doc_id", budget=100).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc d starts at 30d: pack floor(30d/100), offset 30d mod 100
+    assert (out["pack_id"] == (30 * out["doc_id"]) // 100).all()
+    assert (out["pack_offset"] == (30 * out["doc_id"]) % 100).all()
+    # stable under different input partitioning
+    again = pack_sequences(df.repartition(7), "tok", "doc_id",
+                           budget=100).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out["pack_id"] == again["pack_id"]).all()

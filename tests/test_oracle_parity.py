@@ -35,6 +35,8 @@ SF001_SUBSET = [
     "dedup_clusters",
     "text_pii", "text_repetition", "dedup_decontaminate",
     "op_weighted_sample", "dedup_semantic",
+    "ts_ohlcv", "op_pivot", "ml_matmul", "text_chunks",
+    "text_unigram_lm", "op_pack_sequences",
 ]
 
 
