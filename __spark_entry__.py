@@ -862,6 +862,32 @@ ON t.user_id = q.user_id AND t.ts >= q.ts
 """
 
 
+def ts_asof_forward(spark, sf_dir):
+    """direction="forward" as-of (operators/asof.py — the mirrored
+    window fill; parity-plus over the reference's backward-only
+    executor). Oracle: DuckDB native ASOF with the <= inequality."""
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts")
+    trades = ev.filter_sql("event_type = 'purchase'") \
+               .select(["event_id", "ts", "user_id", "value"])
+    quotes = ev.filter_sql("event_type = 'view'") \
+               .select(["ts", "user_id", "value"])
+    out = trades.join_asof(quotes, on="ts", by="user_id",
+                           direction="forward")
+    return out.df.select("event_id", "ts", "user_id",
+                         F.round("value", 4).alias("value"),
+                         F.round("value_2", 4).alias("value_2"))
+
+
+_ASOF_FWD_SQL = """
+SELECT t.event_id, t.ts, t.user_id, round(t.value, 4) AS value,
+       round(q.value, 4) AS value_2
+FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+ON t.user_id = q.user_id AND t.ts <= q.ts
+"""
+
+
 def ts_shift(spark, sf_dir):
     qc = _qc(spark)
     ev = _ts(qc, sf_dir, "events", sorted_by="ts") \
@@ -1754,6 +1780,26 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(avg(-ln((c + 0.5) / (total + 0.5 * v))), 6) AS mean_neg_logprob
 FROM tok JOIN freq USING (t), s
 GROUP BY doc_id
+"""
+
+
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-style pre-token accounting (functions/text.
+    bpe_token_columns): total + distinct pre-token counts under the
+    GPT-2-style run pattern. Map-side regexp, zero exchanges."""
+    from quokka_spark.functions.text import bpe_token_columns
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return docs.select("doc_id", *bpe_token_columns("text"))
+
+
+_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text),
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(lower(text),
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS n_unique_bpe
+FROM documents
 """
 
 
@@ -2856,12 +2902,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": dedup_decontaminate,
         "op_weighted_sample": op_weighted_sample,
         "dedup_semantic": dedup_semantic,
+        "ts_asof_forward": ts_asof_forward,
         "ts_ohlcv": ts_ohlcv,
         "op_pivot": op_pivot,
         "ml_matmul": ml_matmul,
         "text_chunks": text_chunks,
         "text_unigram_lm": text_unigram_lm,
         "op_pack_sequences": op_pack_sequences,
+        "text_bpe_tokens": text_bpe_tokens,
     }
 
 
@@ -2931,10 +2979,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_decontaminate": _decontaminate_sql(),
         "op_weighted_sample": _weighted_sample_sql(),
         "dedup_semantic": _semantic_dedup_oracle(tau=0.4),
+        "ts_asof_forward": _ASOF_FWD_SQL,
         "ts_ohlcv": _OHLCV_SQL,
         "op_pivot": _PIVOT_SQL,
         "ml_matmul": _MATMUL_SQL,
         "text_chunks": _CHUNKS_SQL,
         "text_unigram_lm": _UNIGRAM_SQL,
         "op_pack_sequences": _PACK_SQL,
+        "text_bpe_tokens": _BPE_SQL,
     }

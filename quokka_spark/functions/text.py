@@ -376,3 +376,22 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
                  F.round(F.avg(-logp), 6).alias("mean_neg_logprob")))
+
+
+# BPE-style pre-tokenization pattern (the GPT-2 regex's portable core:
+# letter runs, digit runs, punctuation runs — no lookarounds, so the
+# identical pattern runs in Spark's Java regex and DuckDB's RE2)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_columns(col: str, pattern: str = BPE_TOKEN_PATTERN) -> list:
+    """Sub-word-style token accounting: ``n_bpe_tokens`` (total
+    pre-token matches — the budget a BPE tokenizer would then split
+    further, a far better cost proxy than whitespace words for code
+    and punctuation-heavy text) and ``n_unique_bpe`` (distinct
+    pre-tokens, case-folded). Map-side regexp only, zero exchanges."""
+    c = F.lower(F.col(col))
+    toks = F.regexp_extract_all(c, F.lit(pattern), 0)
+    return [F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint")
+            .alias("n_unique_bpe")]

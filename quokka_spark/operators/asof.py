@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
               left_by: str | list, right_by: str | list,
-              suffix: str = "_2", bucket=None) -> DataFrame:
+              suffix: str = "_2", bucket=None,
+              direction: str = "backward") -> DataFrame:
     """``bucket`` (optional, seconds or duration string): time-bucketed
     two-level formulation. The default single-window plan gives one
     task per by-key — perfect until the key count is small relative to
@@ -39,11 +40,23 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     the SLIM per-bucket summaries (one row per key × bucket: the last
     right row of the bucket) carries state across bucket boundaries,
     classic two-level prefix scan. Same semantics, one extra slim
-    shuffle + broadcast-size join back."""
+    shuffle + broadcast-size join back.
+
+    ``direction`` (pandas merge_asof parity): "backward" (default,
+    latest right with right_on <= left_on), "forward" (earliest right
+    with right_on >= left_on — the mirrored window fill), or "nearest"
+    (closer of the two by |time delta|, ties resolved backward; both
+    fills run over the SAME single shuffle, and the bucketed plan is
+    not offered — pass bucket=None/auto only)."""
     left_by = [left_by] if isinstance(left_by, str) else list(left_by)
     right_by = [right_by] if isinstance(right_by, str) else list(right_by)
     assert len(left_by) == len(right_by)
 
+    assert direction in ("backward", "forward", "nearest"), direction
+    if direction == "nearest" and bucket is not None:
+        assert bucket == "auto", \
+            "nearest-direction as-of supports only the single-window plan"
+        bucket = None
     if bucket == "auto":
         # probe the left stream: bucket only when the key count is
         # small relative to the cluster (see windows.choose_bucket)
@@ -102,57 +115,100 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
         F.lit(0).alias("__side__"))
 
     unioned = tagged_left.unionByName(tagged_right)
+    ts_type = dict(unioned.dtypes)[left_on]
+    if "timestamp" in ts_type:
+        from .windows import epoch_us
+        ts_num = epoch_us(left_on)
+    else:
+        ts_num = F.col(left_on)
+
+    if direction == "nearest":
+        # both fills over ONE shuffle (same partition keys; the two
+        # orderings differ only in the tie column, so the exchange is
+        # shared and only a sort separates them). The right event time
+        # rides inside the struct so the pick is a pure projection.
+        rv = F.when(F.col("__side__") == 0,
+                    F.struct(ts_num.alias("__rts__"), *out_right_vals))
+        wb = (Window.partitionBy(*left_by)
+              .orderBy(F.col(left_on).asc(), F.col("__side__").asc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wf = (Window.partitionBy(*left_by)
+              .orderBy(F.col(left_on).asc(), F.col("__side__").desc())
+              .rowsBetween(0, Window.unboundedFollowing))
+        filled = unioned.select(
+            *left_cols, F.col("__side__"), ts_num.alias("__tn__"),
+            F.last(rv, ignorenulls=True).over(wb).alias("__bv__"),
+            F.first(rv, ignorenulls=True).over(wf).alias("__fv__"))
+        bd = F.col("__tn__") - F.col("__bv__.__rts__")
+        fd = F.col("__fv__.__rts__") - F.col("__tn__")
+        pick = (F.when(F.col("__bv__").isNull(), F.col("__fv__"))
+                .when(F.col("__fv__").isNull(), F.col("__bv__"))
+                .when(fd < bd, F.col("__fv__")).otherwise(F.col("__bv__")))
+        return (filled.filter(F.col("__side__") == 1)
+                .withColumn("__rv__", pick)
+                .select(*left_cols,
+                        *[F.col("__rv__")[c].alias(c)
+                          for c in out_right_vals]))
+
     rv = F.when(F.col("__side__") == 0, F.struct(*out_right_vals))
+    fwd = direction == "forward"
+    # ties: the right row at the same event time must be visible to the
+    # left row — right sorts before left when filling backward, after
+    # it when filling forward (merge_asof allow_exact_matches)
+    side_order = F.col("__side__").desc() if fwd else F.col("__side__").asc()
+
+    def fill(w):
+        w = (w.orderBy(F.col(left_on).asc(), side_order)
+             .rowsBetween(0, Window.unboundedFollowing) if fwd else
+             w.orderBy(F.col(left_on).asc(), side_order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+        agg = F.first(rv, ignorenulls=True) if fwd \
+            else F.last(rv, ignorenulls=True)
+        return agg.over(w)
 
     if bucket is None:
-        w = (Window.partitionBy(*left_by)
-             .orderBy(F.col(left_on).asc(), F.col("__side__").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
         filled = unioned.select(
             *left_cols, F.col("__side__"),
-            F.last(rv, ignorenulls=True).over(w).alias("__rv__"))
+            fill(Window.partitionBy(*left_by)).alias("__rv__"))
         return (filled.filter(F.col("__side__") == 1)
                 .select(*left_cols,
                         *[F.col("__rv__")[c].alias(c) for c in out_right_vals]))
 
     # ---- bucketed two-level formulation ------------------------------
-    ts_type = dict(unioned.dtypes)[left_on]
     if "timestamp" in ts_type:
-        from .windows import epoch_us, to_seconds
+        from .windows import to_seconds
         width = int(to_seconds(bucket) * 1_000_000)
-        ts_num = epoch_us(left_on)
     else:
         # numeric event time: bucket is a width in the column's units
         width = int(bucket)
-        ts_num = F.col(left_on)
     bucketed = unioned.withColumn("__b__", F.floor(ts_num / width))
 
     # level 1: fill within (key, bucket) — parallelism keys x buckets
-    w1 = (Window.partitionBy(*left_by, "__b__")
-          .orderBy(F.col(left_on).asc(), F.col("__side__").asc())
-          .rowsBetween(Window.unboundedPreceding, 0))
     filled = bucketed.select(
         *left_cols, "__b__", F.col("__side__"),
-        F.last(rv, ignorenulls=True).over(w1).alias("__rv__"))
+        fill(Window.partitionBy(*left_by, "__b__")).alias("__rv__"))
 
-    # level 2: slim per-(key, bucket) summaries — the LAST right row of
-    # each bucket — attached to EVERY bucket seen in the data (buckets
-    # holding only left rows still need a carry), then prefix-filled
-    # across buckets per key (excluding the current bucket: in-bucket
-    # fill wins there) and joined back. Summary volume is one slim row
-    # per key x bucket; the per-key prefix window runs over that slim
-    # set, not the event stream.
+    # level 2: slim per-(key, bucket) summaries — the LAST (backward) /
+    # FIRST (forward) right row of each bucket — attached to EVERY
+    # bucket seen in the data (buckets holding only left rows still
+    # need a carry), then prefix-filled across preceding (backward) or
+    # following (forward) buckets per key, excluding the current bucket
+    # (in-bucket fill wins there), and joined back. Summary volume is
+    # one slim row per key x bucket; the per-key prefix window runs
+    # over that slim set, not the event stream.
+    edge_agg = F.min_by(rv, ts_num) if fwd else F.max_by(rv, ts_num)
     summaries = (bucketed.filter(F.col("__side__") == 0)
                  .groupBy(*left_by, "__b__")
-                 .agg(F.max_by(rv, ts_num).alias("__last_rv__")))
+                 .agg(edge_agg.alias("__edge_rv__")))
     all_buckets = bucketed.select(*left_by, "__b__").distinct()
-    w2 = (Window.partitionBy(*left_by).orderBy(F.col("__b__").asc())
-          .rowsBetween(Window.unboundedPreceding, -1))
+    w2 = Window.partitionBy(*left_by).orderBy(F.col("__b__").asc())
+    carry = (F.first("__edge_rv__", ignorenulls=True)
+             .over(w2.rowsBetween(1, Window.unboundedFollowing)) if fwd else
+             F.last("__edge_rv__", ignorenulls=True)
+             .over(w2.rowsBetween(Window.unboundedPreceding, -1)))
     carried_all = (all_buckets
                    .join(summaries, [*left_by, "__b__"], "left")
-                   .select(*left_by, "__b__",
-                           F.last("__last_rv__", ignorenulls=True).over(w2)
-                           .alias("__carry__")))
+                   .select(*left_by, "__b__", carry.alias("__carry__")))
 
     out = (filled.join(carried_all, [*left_by, "__b__"], "left")
            .withColumn("__rv__", F.coalesce("__rv__", "__carry__")))

@@ -55,7 +55,8 @@ class OrderedStream(DataStream):
 
     def join_asof(self, right: "OrderedStream", on=None, left_on=None,
                   right_on=None, by=None, left_by=None, right_by=None,
-                  suffix: str = "_2", bucket="auto") -> "OrderedStream":
+                  suffix: str = "_2", bucket="auto",
+                  direction: str = "backward") -> "OrderedStream":
         """Backward as-of join per key group (reference
         orderedstream.py:114-191). See operators/asof.py for the
         union-tag formulation and its scale analysis. ``bucket``
@@ -63,7 +64,10 @@ class OrderedStream(DataStream):
         inputs (parallelism keys x buckets instead of keys); the
         default "auto" probes the left stream and buckets only when
         keys < 2 x defaultParallelism (operators/windows.choose_bucket);
-        pass ``bucket=None`` to force the single-window plan."""
+        pass ``bucket=None`` to force the single-window plan.
+        ``direction``: backward (default) / forward / nearest —
+        pandas merge_asof parity (parity-plus vs the reference, which
+        is backward-only)."""
         from .operators.asof import join_asof as _asof
         assert isinstance(right, DataStream)
         if on is not None:
@@ -74,7 +78,7 @@ class OrderedStream(DataStream):
         assert left_by is not None, \
             "non-grouped asof join not supported (reference orderedstream.py:127-128)"
         out = _asof(self.df, right.df, left_on, right_on, left_by, right_by,
-                    suffix=suffix, bucket=bucket)
+                    suffix=suffix, bucket=bucket, direction=direction)
         return OrderedStream(self.qc, out, sorted=self.sorted)
 
     def windowed_transform(self, window, by=None, time_col: str | None = None,

@@ -567,3 +567,16 @@ def test_pack_sequences_contiguous(spark):
                            budget=100).toPandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert (out["pack_id"] == again["pack_id"]).all()
+
+
+def test_bpe_token_columns(spark):
+    from quokka_spark.functions.text import bpe_token_columns
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! x2 x2"), (2, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *bpe_token_columns("text")).collect()}
+    # hello , world ! x 2 x 2  -> 8 tokens, 6 unique (x and 2 repeat)
+    assert rows[1]["n_bpe_tokens"] == 8
+    assert rows[1]["n_unique_bpe"] == 6
+    assert rows[2]["n_bpe_tokens"] == 0

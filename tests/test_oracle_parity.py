@@ -37,6 +37,7 @@ SF001_SUBSET = [
     "op_weighted_sample", "dedup_semantic",
     "ts_ohlcv", "op_pivot", "ml_matmul", "text_chunks",
     "text_unigram_lm", "op_pack_sequences",
+    "ts_asof_forward", "text_bpe_tokens",
 ]
 
 

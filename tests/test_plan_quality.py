@@ -149,3 +149,47 @@ def test_hash_sample_no_exchange(spark):
     """Deterministic sampling is a pure map-side filter."""
     s = explain(em.op_hash_sample(spark, SF))
     assert "Exchange" not in s
+
+
+def test_pii_and_chunks_no_shuffle(spark):
+    """PII scrub and chunking are map-side: zero exchanges."""
+    for fn in [em.text_pii, em.text_chunks]:
+        s = explain(fn(spark, SF))
+        assert "Exchange" not in s, f"{fn.__name__} plan shuffles:\n{s}"
+
+
+def test_weighted_sample_no_exchange(spark):
+    s = explain(em.op_weighted_sample(spark, SF))
+    assert "Exchange" not in s
+
+
+def test_decontaminate_no_cartesian_semi_probe(spark):
+    """The contamination check must be a (semi) join on the shingle
+    hash — never an all-pairs product."""
+    s = explain(em.dedup_decontaminate(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "LeftSemi" in s
+
+
+def test_candlestick_reuses_window_exchange(spark):
+    """The OHLCV groupBy keys (by, candle) match the window partition
+    keys, so the plan needs exactly ONE hash exchange and the final
+    aggregate partial-aggregates after the window."""
+    s = explain(em.ts_ohlcv(spark, SF))
+    assert s.count("Exchange hashpartitioning") <= 1, s
+    assert "partial_" in s
+
+
+def test_repetition_partial_aggregates(spark):
+    """Both explode pipelines must partial-aggregate before their
+    (doc, key) shuffles — hot segments/grams collapse map-side."""
+    s = explain(em.text_repetition(spark, SF))
+    assert "partial_count" in s
+    assert "CartesianProduct" not in s
+
+
+def test_matmul_partial_agg_no_cartesian(spark):
+    s = explain(em.ml_matmul(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "partial_sum" in s

@@ -570,3 +570,52 @@ def test_choose_bucket_numeric_event_time(spark):
                          on="ts", by="k", direction="backward") \
         .sort_values(["k", "ts"]).reset_index(drop=True)
     assert np.allclose(auto["x"].fillna(-9e9), want["x"].fillna(-9e9))
+
+
+def test_asof_forward_and_nearest_match_pandas(spark):
+    """direction=forward/nearest equal pandas merge_asof on random
+    data, for both the plain and (forward) bucketed plans."""
+    import numpy as np
+    import pandas as pd
+    from quokka_spark.operators.asof import join_asof
+    rng = np.random.default_rng(29)
+    lpdf = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 800),
+        "ts": np.sort(rng.choice(np.arange(100_000), 800, replace=False)),
+        "lv": rng.standard_normal(800)})
+    rpdf = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 300),
+        "ts": np.sort(rng.choice(np.arange(100_000), 300, replace=False)),
+        "x": rng.standard_normal(300)})
+    left, right = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+
+    for direction in ["forward", "nearest"]:
+        got = join_asof(left, right, "ts", "ts", "k", "k",
+                        direction=direction).toPandas() \
+            .sort_values(["k", "ts"]).reset_index(drop=True)
+        want = pd.merge_asof(lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+                             on="ts", by="k", direction=direction) \
+            .sort_values(["k", "ts"]).reset_index(drop=True)
+        assert np.allclose(got["x"].fillna(-9e9), want["x"].fillna(-9e9)), \
+            direction
+
+    bucketed = join_asof(left, right, "ts", "ts", "k", "k",
+                         direction="forward", bucket=10_000).toPandas() \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    want_f = pd.merge_asof(lpdf.sort_values("ts"), rpdf.sort_values("ts"),
+                           on="ts", by="k", direction="forward") \
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    assert np.allclose(bucketed["x"].fillna(-9e9), want_f["x"].fillna(-9e9))
+
+
+def test_asof_forward_exact_match_included(spark):
+    """A right row at the identical timestamp matches in every
+    direction (merge_asof allow_exact_matches=True default)."""
+    from quokka_spark.operators.asof import join_asof
+    left = spark.createDataFrame([("a", 100, 1.0)], "k string, ts long, lv double")
+    right = spark.createDataFrame([("a", 100, 7.0), ("a", 200, 9.0)],
+                                  "k string, ts long, x double")
+    for direction in ["backward", "forward", "nearest"]:
+        row = join_asof(left, right, "ts", "ts", "k", "k",
+                        direction=direction).collect()[0]
+        assert row["x"] == 7.0, direction
