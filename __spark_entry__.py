@@ -1619,6 +1619,57 @@ SELECT doc_id FROM p
 WHERE ({u}) < least(n_chars / 1000.0, 1.0)"""
 
 
+def op_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (functions/sampling.
+    stratified_hash_sample): rebalance the corpus by source — keep 80%
+    of books, 10% of web, 50% of everything else — with membership a
+    pure function of (salt, doc_id). The rate table is a literal CASE,
+    so the filter is map-side, zero exchanges; the oracle runs the
+    identical expression, hash-exact."""
+    from quokka_spark.functions.sampling import stratified_hash_sample
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return stratified_hash_sample(
+        docs, "doc_id", "source",
+        {"books": 0.8, "web": 0.1}, default=0.5,
+        salt="st1").select("doc_id", "source")
+
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE substring(md5('st1' || CAST(doc_id AS VARCHAR)), 1, 12) <
+      CASE WHEN source = 'books' THEN 'cccccccccccc'
+           WHEN source = 'web'   THEN '199999999999'
+           ELSE '800000000000' END
+"""
+
+
+def op_cap_per_key(spark, sf_dir):
+    """Per-key document capping (functions/sampling.cap_per_key): at
+    most 40 docs per source, chosen deterministically by hash order of
+    doc_id — the crawl pipeline's per-domain cap. Spark's
+    WindowGroupLimit rewrite runs a partial per-map-task top-k before
+    the key shuffle (plan-tested), so hot domains never ship their
+    full row count."""
+    from quokka_spark.functions.sampling import cap_per_key
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return cap_per_key(docs, "source", "doc_id", 40,
+                       salt="c1").select("doc_id", "source")
+
+
+_CAP_PER_KEY_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substring(md5('c1' || CAST(doc_id AS VARCHAR)), 1, 12),
+                    doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rn <= 40
+"""
+
+
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (functions/dedup.semantic_dedup): k-means the
     embeddings, drop within-cluster cosine near-dups keeping the lower
@@ -2910,6 +2961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": text_unigram_lm,
         "op_pack_sequences": op_pack_sequences,
         "text_bpe_tokens": text_bpe_tokens,
+        "op_stratified_sample": op_stratified_sample,
+        "op_cap_per_key": op_cap_per_key,
     }
 
 
@@ -2987,4 +3040,6 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_lm": _UNIGRAM_SQL,
         "op_pack_sequences": _PACK_SQL,
         "text_bpe_tokens": _BPE_SQL,
+        "op_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "op_cap_per_key": _CAP_PER_KEY_SQL,
     }

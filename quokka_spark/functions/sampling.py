@@ -27,6 +27,12 @@ def _bucket(key_col: str, salt: str) -> Column:
 
 
 def _threshold(fraction: float) -> str:
+    """Hex threshold s.t. bucket < threshold keeps ~fraction of keys.
+    fraction >= 1 returns 'g', which every hex-digit bucket sorts
+    below — a 13-char '1000000000000' would instead LOSE the string
+    comparison against most 12-char buckets ('4…' > '1…')."""
+    if fraction >= 1.0:
+        return "g"
     return format(int(fraction * 16 ** _HEX_DIGITS), f"0{_HEX_DIGITS}x")
 
 
@@ -79,6 +85,55 @@ def hash_uniform(key_col: str, salt: str = "") -> Column:
                         F.substring(h, i, 1)).cast("double") - 1.0
         u = u + digit * (16.0 ** -i)
     return u
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
+                           fractions: dict, default: float = 0.0,
+                           salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]``
+    of each stratum's rows (``default`` for unlisted strata), membership
+    a pure function of (salt, key). The corpus rebalancing move — e.g.
+    downsample an over-represented crawl source while keeping books at
+    full rate — with hash-sampling's stability guarantees. The rate
+    table compiles to a literal CASE expression, so the filter is
+    map-side, zero exchanges, and pushes into the scan."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], "
+                             f"got {frac}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    thr = None
+    for name, frac in fractions.items():
+        branch = (F.col(stratum_col) == F.lit(name), F.lit(_threshold(frac)))
+        thr = F.when(*branch) if thr is None else thr.when(*branch)
+    thr = (F.lit(_threshold(default)) if thr is None
+           else thr.otherwise(F.lit(_threshold(default))))
+    return df.filter(_bucket(key_col, salt) < thr)
+
+
+def cap_per_key(df: DataFrame, key_col: str, id_col: str, max_per_key: int,
+                salt: str = "") -> DataFrame:
+    """Keep at most ``max_per_key`` rows per key, chosen
+    deterministically by hash order of ``id_col`` (ties broken by id).
+    The per-domain capping rule of crawl pipelines (e.g. "at most
+    100k pages per registered domain") — which rows survive is a pure
+    function of the data, not of partitioning or run order.
+
+    Plan: one shuffle on ``key_col`` + a per-key row_number. Spark's
+    WindowGroupLimit rewrite (rank-limit pushdown) inserts a partial
+    per-map-task top-k BEFORE the exchange, so a hot domain ships at
+    most ``max_per_key`` rows per map task, not its full row count —
+    the same partial/final shape as a groupBy, safe for skewed keys
+    at 100 TB (plan-tested)."""
+    if max_per_key < 1:
+        raise ValueError(f"max_per_key must be >= 1, got {max_per_key}")
+    from pyspark.sql import Window
+    w = (Window.partitionBy(key_col)
+         .orderBy(_bucket(id_col, salt), F.col(id_col)))
+    rn = "__qs_cap_rn__"
+    return (df.withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) <= max_per_key).drop(rn))
 
 
 def weighted_hash_sample(df: DataFrame, key_col: str, weight_col: str,

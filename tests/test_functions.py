@@ -580,3 +580,46 @@ def test_bpe_token_columns(spark):
     assert rows[1]["n_bpe_tokens"] == 8
     assert rows[1]["n_unique_bpe"] == 6
     assert rows[2]["n_bpe_tokens"] == 0
+
+
+def test_stratified_hash_sample_rates_and_stability(spark):
+    from quokka_spark.functions.sampling import stratified_hash_sample
+    from pyspark.sql import functions as F
+    df = spark.range(30_000).selectExpr(
+        "id as doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'books' "
+        "WHEN id % 3 = 1 THEN 'web' ELSE 'code' END as source")
+    out = stratified_hash_sample(
+        df, "doc_id", "source", {"books": 0.8, "web": 0.1},
+        default=0.5, salt="s").toPandas()
+    counts = out["source"].value_counts()
+    assert abs(counts.get("books", 0) - 8000) < 350
+    assert abs(counts.get("web", 0) - 1000) < 200
+    assert abs(counts.get("code", 0) - 5000) < 350
+    again = stratified_hash_sample(
+        df, "doc_id", "source", {"books": 0.8, "web": 0.1},
+        default=0.5, salt="s").toPandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])    # deterministic
+    # a stratum at rate 0 is dropped entirely
+    none = stratified_hash_sample(
+        df, "doc_id", "source", {"books": 0.0}, default=1.0)
+    assert none.filter(F.col("source") == "books").count() == 0
+    assert none.count() == 20_000
+
+
+def test_cap_per_key_exact_and_deterministic(spark):
+    from quokka_spark.functions.sampling import cap_per_key
+    df = spark.range(5_000).selectExpr(
+        "id as doc_id", "cast(id % 7 as string) as source")
+    out = cap_per_key(df, "source", "doc_id", 11, salt="c").toPandas()
+    sizes = out.groupby("source").size()
+    assert (sizes == 11).all() and len(sizes) == 7       # exactly k per key
+    again = cap_per_key(df, "source", "doc_id", 11, salt="c").toPandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])    # deterministic
+    # keys with fewer than k rows keep everything
+    small = spark.range(3).selectExpr("id as doc_id", "'only' as source")
+    assert cap_per_key(small, "source", "doc_id", 10).count() == 3
+    # survivors are the hash-order minimum, independent of partitioning
+    one_part = cap_per_key(df.coalesce(1), "source", "doc_id", 11,
+                           salt="c").toPandas()
+    assert set(out["doc_id"]) == set(one_part["doc_id"])

@@ -193,3 +193,22 @@ def test_matmul_partial_agg_no_cartesian(spark):
     s = explain(em.ml_matmul(spark, SF))
     assert "CartesianProduct" not in s
     assert "partial_sum" in s
+
+
+def test_stratified_sample_no_exchange(spark):
+    """The per-stratum rate table compiles to a literal CASE inside a
+    map-side filter — zero exchanges, pipelines with the scan."""
+    s = explain(em.op_stratified_sample(spark, SF))
+    assert "Exchange" not in s
+
+
+def test_cap_per_key_partial_window_group_limit(spark):
+    """Per-key capping must run a PARTIAL WindowGroupLimit before the
+    key exchange (Spark's rank-limit pushdown): a hot domain ships at
+    most k rows per map task, never its full row count — the property
+    that makes the cap safe on skewed keys at 100 TB."""
+    s = explain(em.op_cap_per_key(spark, SF))
+    assert "WindowGroupLimit" in s, s
+    assert "Partial" in s, s
+    pre_exchange = s.split("Exchange")[-1]   # below the exchange in text
+    assert "WindowGroupLimit" in pre_exchange, s
