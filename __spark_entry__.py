@@ -1619,6 +1619,47 @@ SELECT doc_id FROM p
 WHERE ({u}) < least(n_chars / 1000.0, 1.0)"""
 
 
+def text_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (functions/text.tfidf_top_terms,
+    smooth scikit-style idf). Deterministic tie-break by term, so the
+    ranking is hash-exact against the oracle's identical expression.
+    One (doc, term) shuffle + slim vocab join + rank-limit top-n."""
+    from quokka_spark.functions.text import tfidf_top_terms
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return tfidf_top_terms(docs, "text", "doc_id", top_n=3)
+
+
+_TFIDF_SQL = r"""
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(string_split(
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                   ' ')) AS t
+        FROM documents
+        WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0)
+  WHERE length(t) > 0
+), dt AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, t
+), dfq AS (
+  SELECT term, count(*) AS dfc FROM dt GROUP BY term
+), s AS (
+  SELECT doc_id, term, tf * (ln((1.0 + nd) / (1.0 + dfc)) + 1.0) AS sc
+  FROM dt JOIN dfq USING (term), n
+), r AS (
+  SELECT doc_id, term, sc,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sc DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, round(sc, 6) AS tfidf
+FROM r WHERE rank <= 3
+"""
+
+
 def op_stratified_sample(spark, sf_dir):
     """Per-stratum deterministic sampling (functions/sampling.
     stratified_hash_sample): rebalance the corpus by source — keep 80%
@@ -2963,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "op_stratified_sample": op_stratified_sample,
         "op_cap_per_key": op_cap_per_key,
+        "text_tfidf": text_tfidf,
     }
 
 
@@ -3042,4 +3084,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _BPE_SQL,
         "op_stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "op_cap_per_key": _CAP_PER_KEY_SQL,
+        "text_tfidf": _TFIDF_SQL,
     }

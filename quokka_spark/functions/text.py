@@ -378,6 +378,43 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                  F.round(F.avg(-logp), 6).alias("mean_neg_logprob")))
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_n: int = 3) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document (smooth idf:
+    ln((1+N)/(1+df)) + 1, the scikit-learn formulation) — the standard
+    keyword/topic signal for corpus exploration, clustering labels,
+    and near-dup triage. Ties broken by term ascending, so the ranking
+    is fully deterministic. Returns (id, term, rank, tfidf).
+
+    Scale shape: tokenize map-side; ONE shuffle builds the (doc, term)
+    tf table with map-side partial agg; document frequency is a second
+    partial-agged groupBy over that already-slim table; N is a driver
+    scalar. The term→idf join AQE-broadcasts the vocabulary when small
+    and skew-splits hot terms when not. The per-doc top-n runs as a
+    rank-limit pushdown (WindowGroupLimit): each map task emits at
+    most top_n candidates per doc before the final per-doc sort."""
+    from pyspark.sql import Window
+    norm = F.expr(normalize_text_sql(text_col))
+    toks = (df.select(F.col(id_col), norm.alias("__n__"))
+            .filter(F.length("__n__") > 0)
+            .select(id_col, F.explode(F.split("__n__", " ")).alias("term"))
+            .filter(F.length("term") > 0))
+    dt = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf__"))
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
+    n_docs = df.count()
+    score = (F.col("__tf__")
+             * (F.log((1.0 + float(n_docs)) / (1.0 + F.col("__df__")))
+                + 1.0))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s__"), F.asc("term"))
+    return (dt.join(dfreq, "term")
+            .withColumn("__s__", score)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select(F.col(id_col), "term", F.col("rank").cast("bigint"),
+                    F.round("__s__", 6).alias("tfidf")))
+
+
 # BPE-style pre-tokenization pattern (the GPT-2 regex's portable core:
 # letter runs, digit runs, punctuation runs — no lookarounds, so the
 # identical pattern runs in Spark's Java regex and DuckDB's RE2)

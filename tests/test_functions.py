@@ -623,3 +623,27 @@ def test_cap_per_key_exact_and_deterministic(spark):
     one_part = cap_per_key(df.coalesce(1), "source", "doc_id", 11,
                            salt="c").toPandas()
     assert set(out["doc_id"]) == set(one_part["doc_id"])
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """3 docs: 'cat' appears in 1 doc (rare, high idf), 'the' in all 3
+    (idf floor = 1.0 smooth). doc 1 = 'the the cat': tf(the)=2,
+    tf(cat)=1; idf(the)=ln(4/4)+1=1 → score 2.0; idf(cat)=ln(4/2)+1
+    → score ~1.693 — 'the' must outrank 'cat' despite rarity."""
+    import math
+    from quokka_spark.functions.text import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the dog"), (3, "the bird")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+           for r in tfidf_top_terms(docs, top_n=2).collect()}
+    assert out[(1, 1)] == ("the", 2.0)
+    assert out[(1, 2)][0] == "cat"
+    assert abs(out[(1, 2)][1] - round(math.log(4 / 2) + 1, 6)) < 1e-9
+    # ties broken by term ascending: doc 2 has dog/the at distinct
+    # scores; bird < dog alphabetically is irrelevant here, but a
+    # same-score pair must order by term
+    tie = spark.createDataFrame([(9, "aa bb")], "doc_id long, text string")
+    t = [r["term"] for r in tfidf_top_terms(tie, top_n=2)
+         .orderBy("rank").collect()]
+    assert t == ["aa", "bb"]

@@ -38,7 +38,7 @@ SF001_SUBSET = [
     "ts_ohlcv", "op_pivot", "ml_matmul", "text_chunks",
     "text_unigram_lm", "op_pack_sequences",
     "ts_asof_forward", "text_bpe_tokens",
-    "op_stratified_sample", "op_cap_per_key",
+    "op_stratified_sample", "op_cap_per_key", "text_tfidf",
 ]
 
 

@@ -212,3 +212,12 @@ def test_cap_per_key_partial_window_group_limit(spark):
     assert "Partial" in s, s
     pre_exchange = s.split("Exchange")[-1]   # below the exchange in text
     assert "WindowGroupLimit" in pre_exchange, s
+
+
+def test_tfidf_partial_agg_and_rank_limit(spark):
+    """tf and df aggregations must partial-aggregate map-side, and the
+    per-doc top-n must run as a rank-limit pushdown — no cartesian."""
+    s = explain(em.text_tfidf(spark, SF))
+    assert "partial_count" in s
+    assert "WindowGroupLimit" in s
+    assert "CartesianProduct" not in s
