@@ -1672,15 +1672,15 @@ def op_stratified_sample(spark, sf_dir):
     docs = _t(qc, sf_dir, "documents").df
     return stratified_hash_sample(
         docs, "doc_id", "source",
-        {"books": 0.8, "web": 0.1}, default=0.5,
+        {"src1": 0.8, "src2": 0.1}, default=0.5,
         salt="st1").select("doc_id", "source")
 
 
 _STRATIFIED_SAMPLE_SQL = """
 SELECT doc_id, source FROM documents
 WHERE substring(md5('st1' || CAST(doc_id AS VARCHAR)), 1, 12) <
-      CASE WHEN source = 'books' THEN 'cccccccccccc'
-           WHEN source = 'web'   THEN '199999999999'
+      CASE WHEN source = 'src1' THEN 'cccccccccccc'
+           WHEN source = 'src2' THEN '199999999999'
            ELSE '800000000000' END
 """
 
@@ -2364,6 +2364,67 @@ def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
             "FROM af GROUP BY cluster ORDER BY cluster")
 
 
+def ml_logreg(spark, sf_dir):
+    """Trainable corpus quality classifier (operators/linalg.
+    logreg_train / logreg_score): full-batch logistic regression on
+    cheap text features (chars, words — scaled), weak label
+    lang = 'en'. Deterministic (zero init, fixed lr/iters, mean
+    gradient over all rows), so the oracle is the SAME gradient
+    descent unrolled as DuckDB CTEs — a hash-exact gate for a trained
+    model's scores. Train: one codegen'd aggregate per iteration
+    (k+1 scalars per partition cross the wire); score: map-side only."""
+    from quokka_spark.operators.linalg import logreg_train, logreg_score
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    c = F.trim(F.col("text"))
+    n_words = F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+")))
+    feats = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 500.0).alias("x1"),
+        (n_words / 100.0).alias("x2"),
+        (F.col("lang") == "en").cast("double").alias("y"))
+    w = logreg_train(feats, ["x1", "x2"], "y", lr=1.0, iters=4)
+    scored = logreg_score(feats, ["x1", "x2"], w)
+    return scored.select(
+        "doc_id", F.round("score", 6).alias("score"),
+        (F.round("score", 6) >= 0.5).alias("pred"))
+
+
+def _logreg_oracle(lr: float = 1.0, iters: int = 4) -> str:
+    """Gradient descent unrolled as CTEs: w{i} carries the weight
+    vector, g{i+1} is the mean-residual gradient against it — exactly
+    operators/linalg.logreg_train with zero init."""
+    def z(w):
+        return f"({w}.w0 + {w}.w1 * f.x1 + {w}.w2 * f.x2)"
+
+    parts = ["""f AS (
+  SELECT doc_id, n_chars / 500.0 AS x1,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END)
+           / 100.0 AS x2,
+         CAST(lang = 'en' AS DOUBLE) AS y
+  FROM documents)""",
+             "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    prev = "w0"
+    for i in range(1, iters + 1):
+        sig = f"(1.0 / (1.0 + exp(-{z(prev)})) - f.y)"
+        parts.append(f"""g{i} AS (
+  SELECT avg({sig}) AS g0, avg({sig} * f.x1) AS g1,
+         avg({sig} * f.x2) AS g2
+  FROM f, {prev})""")
+        parts.append(f"""w{i} AS (
+  SELECT {prev}.w0 - {lr} * g{i}.g0 AS w0,
+         {prev}.w1 - {lr} * g{i}.g1 AS w1,
+         {prev}.w2 - {lr} * g{i}.g2 AS w2
+  FROM {prev}, g{i})""")
+        prev = f"w{i}"
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT doc_id, round(1.0 / (1.0 + exp(-{z(prev)})), 6) AS score,
+       round(1.0 / (1.0 + exp(-{z(prev)})), 6) >= 0.5 AS pred
+FROM f, {prev}""")
+
+
 def _semantic_dedup_oracle(k: int = 8, iters: int = 2,
                            tau: float = 0.5) -> str:
     """SemDeDup oracle: the same unrolled Lloyd's CTEs, then
@@ -3005,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_stratified_sample": op_stratified_sample,
         "op_cap_per_key": op_cap_per_key,
         "text_tfidf": text_tfidf,
+        "ml_logreg": ml_logreg,
     }
 
 
@@ -3085,4 +3147,5 @@ def oracle_sql() -> dict[str, str]:
         "op_stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "op_cap_per_key": _CAP_PER_KEY_SQL,
         "text_tfidf": _TFIDF_SQL,
+        "ml_logreg": _logreg_oracle(),
     }

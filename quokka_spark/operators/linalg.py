@@ -290,3 +290,61 @@ def matmul_coo(a: DataFrame, b: DataFrame,
             .groupBy("__i__", "__j__")
             .agg(F.sum(F.col("__va__") * F.col("__vb__")).alias(val))
             .withColumnRenamed("__i__", i).withColumnRenamed("__j__", j))
+
+
+def _logreg_z(weights: "list[float]", feature_cols: "list[str]"):
+    z = F.lit(float(weights[0]))
+    for w, c in zip(weights[1:], feature_cols):
+        z = z + F.lit(float(w)) * F.col(c)
+    return z
+
+
+def logreg_train(df: DataFrame, feature_cols: "list[str]", label_col: str,
+                 lr: float = 1.0, iters: int = 5) -> "list[float]":
+    """Full-batch gradient descent for logistic regression — the
+    trainable half of a corpus quality classifier (fastText-style:
+    fit weak labels such as "looks like curated text" on cheap
+    features, then score and threshold the whole corpus).
+
+    Deterministic: zero-init weights, fixed learning rate and
+    iteration count; the gradient is a mean over ALL rows, so the
+    result is a pure function of the data (no sampling, no seed).
+
+    The idiomatic Spark iterative shape (same as kmeans): weights are
+    O(k) driver-side literals compiled into a JVM expression; each
+    iteration is ONE whole-stage-codegen aggregate with map-side
+    partial sums — k+1 scalars cross the wire per partition, the
+    feature stream itself never shuffles. Any iteration count works
+    at 100 TB. Returns [intercept, w_1, …, w_k]."""
+    n = len(feature_cols)
+    feats = df.select(
+        F.col(label_col).cast("double").alias("__y__"),
+        *[F.col(c).cast("double").alias(f"__x{i}__")
+          for i, c in enumerate(feature_cols)]).persist()
+    xcols = [f"__x{i}__" for i in range(n)]
+    try:
+        w = [0.0] * (n + 1)
+        for _ in range(iters):
+            resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-_logreg_z(w, xcols)))
+                     - F.col("__y__"))
+            row = feats.agg(
+                F.avg(resid).alias("g0"),
+                *[F.avg(resid * F.col(c)).alias(f"g{i + 1}")
+                  for i, c in enumerate(xcols)]).first()
+            w = [w[j] - lr * float(row[f"g{j}"]) for j in range(n + 1)]
+    finally:
+        feats.unpersist()
+    return w
+
+
+def logreg_score(df: DataFrame, feature_cols: "list[str]",
+                 weights: "list[float]", out: str = "score") -> DataFrame:
+    """Score rows with trained weights: sigmoid(w·[1, x]) as a pure
+    map-side JVM expression — zero exchanges, pipelines with the scan
+    at any scale (the corpus-filtering pass of the quality
+    classifier)."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(f"need {len(feature_cols) + 1} weights "
+                         f"(intercept first), got {len(weights)}")
+    z = _logreg_z(weights, feature_cols)
+    return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

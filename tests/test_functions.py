@@ -647,3 +647,30 @@ def test_tfidf_top_terms_hand_computed(spark):
     t = [r["term"] for r in tfidf_top_terms(tie, top_n=2)
          .orderBy("rank").collect()]
     assert t == ["aa", "bb"]
+
+
+def test_logreg_learns_separable_data(spark):
+    """1-d separable data: full-batch GD must reach perfect accuracy,
+    and the distributed gradient must track a numpy reference of the
+    identical recurrence to float tolerance."""
+    import numpy as np
+    from quokka_spark.operators.linalg import logreg_train, logreg_score
+    xs = np.arange(200) / 200.0
+    ys = (xs > 0.5).astype(float)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], "x double, y double")
+    w = logreg_train(df, ["x"], "y", lr=5.0, iters=60)
+    scored = logreg_score(df, ["x"], w).toPandas()
+    acc = ((scored["score"] >= 0.5) == (scored["y"] > 0.5)).mean()
+    assert acc >= 0.99, (acc, w)
+    # numpy reference of the same recurrence
+    wr = np.zeros(2)
+    X = np.column_stack([np.ones_like(xs), xs])
+    for _ in range(60):
+        r = 1.0 / (1.0 + np.exp(-(X @ wr))) - ys
+        wr = wr - 5.0 * (X.T @ r) / len(xs)
+    assert np.allclose(w, wr, atol=1e-9), (w, wr)
+    # weight-shape validation
+    import pytest
+    with pytest.raises(ValueError):
+        logreg_score(df, ["x"], [0.1])

@@ -221,3 +221,10 @@ def test_tfidf_partial_agg_and_rank_limit(spark):
     assert "partial_count" in s
     assert "WindowGroupLimit" in s
     assert "CartesianProduct" not in s
+
+
+def test_logreg_scoring_is_map_side(spark):
+    """The trained weights are literals; the corpus-wide scoring pass
+    must be a pure map-side expression — zero exchanges."""
+    s = explain(em.ml_logreg(spark, SF))
+    assert "Exchange" not in s
