@@ -2117,6 +2117,59 @@ FROM reach GROUP BY a
 """
 
 
+def op_split_safe(spark, sf_dir):
+    """Leakage-safe train/test split (functions/sampling.
+    split_leakage_safe): verified minhash near-dup pairs close into
+    clusters, and the 60/40 hash split draws on the cluster's
+    canonical id — near-duplicates can never straddle splits. Oracle:
+    the recursive transitive closure over the same pairs + the same
+    md5 threshold on coalesce(canonical, doc_id)."""
+    from quokka_spark.functions.sampling import split_leakage_safe
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    pairs = dedup_minhash(spark, sf_dir)
+    return split_leakage_safe(docs, "doc_id", pairs,
+                              {"train": 0.6, "test": 0.4},
+                              salt="sp1").select("doc_id", "split")
+
+
+_SPLIT_SAFE_SQL = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                                for i in generate_series(1, greatest(len(w) - 2, 1))]) AS shingles
+  FROM docs
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id1, id2
+  FROM shared JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION SELECT id2, id1 FROM pairs
+), reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS doc_id, min(b) AS canon FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       CASE WHEN substring(md5('sp1' ||
+                 CAST(coalesce(c.canon, d.doc_id) AS VARCHAR)), 1, 12)
+                 < '999999999999'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 10 on 64-bit shingle simhash;
     jaccard-0.9 doc pairs still flip ~10% of shingles → up to ~10 bits).
@@ -3067,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_cap_per_key": op_cap_per_key,
         "text_tfidf": text_tfidf,
         "ml_logreg": ml_logreg,
+        "op_split_safe": op_split_safe,
     }
 
 
@@ -3148,4 +3202,5 @@ def oracle_sql() -> dict[str, str]:
         "op_cap_per_key": _CAP_PER_KEY_SQL,
         "text_tfidf": _TFIDF_SQL,
         "ml_logreg": _logreg_oracle(),
+        "op_split_safe": _SPLIT_SAFE_SQL,
     }

@@ -150,3 +150,32 @@ def weighted_hash_sample(df: DataFrame, key_col: str, weight_col: str,
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
                 F.lit(1.0))
     return df.filter(hash_uniform(key_col, salt) < w)
+
+
+def split_leakage_safe(df: DataFrame, id_col: str, pairs: DataFrame,
+                       fractions: dict, salt: str = "",
+                       out: str = "split", id1: str = "id1",
+                       id2: str = "id2") -> DataFrame:
+    """Train/val/test split that can never leak near-duplicates across
+    splits: near-dup PAIRS (minhash/simhash/embedding LSH output) are
+    closed into clusters (connected components), and the hash split is
+    drawn on the cluster's canonical id — every member of a duplicate
+    group lands in the SAME split. Docs in no pair split by their own
+    id. The eval-set-contamination fix that plain per-doc splitting
+    (split_by_hash) cannot give.
+
+    Scale shape: components touch only docs that appear in a pair
+    (SCALE.md: min-label propagation, ~diameter rounds); the mapping
+    joins back once on the id (AQE broadcasts it when the duplicate
+    set is small); the split itself stays a map-side md5 threshold."""
+    from ..operators.graph import dedup_components
+    comp = dedup_components(pairs, id1=id1, id2=id2).select(
+        F.col("doc_id").alias(id_col),
+        F.col("canonical_id").alias("__qs_canon__"))
+    grp = "__qs_grp__"
+    staged = (df.join(comp, id_col, "left")
+              .withColumn(grp, F.coalesce(F.col("__qs_canon__"),
+                                          F.col(id_col)))
+              .drop("__qs_canon__"))
+    return split_by_hash(staged, grp, fractions, salt=salt,
+                         out=out).drop(grp)

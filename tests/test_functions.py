@@ -674,3 +674,23 @@ def test_logreg_learns_separable_data(spark):
     import pytest
     with pytest.raises(ValueError):
         logreg_score(df, ["x"], [0.1])
+
+
+def test_split_leakage_safe_keeps_clusters_together(spark):
+    """Docs 1-2-3 chain into one cluster via pairs; 10-11 another; the
+    cluster must share one split while isolated docs split freely."""
+    from quokka_spark.functions.sampling import split_leakage_safe
+    docs = spark.range(20).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id1 long, id2 long")
+    out = split_leakage_safe(
+        docs, "doc_id", pairs, {"train": 0.5, "test": 0.5},
+        salt="x").toPandas().set_index("doc_id")["split"]
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11]
+    assert len(out) == 20 and set(out.unique()) <= {"train", "test"}
+    # determinism across re-runs
+    again = split_leakage_safe(
+        docs, "doc_id", pairs, {"train": 0.5, "test": 0.5},
+        salt="x").toPandas().set_index("doc_id")["split"]
+    assert (out.sort_index() == again.sort_index()).all()
