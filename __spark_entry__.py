@@ -1660,6 +1660,65 @@ FROM r WHERE rank <= 3
 """
 
 
+def text_urls(spark, sf_dir):
+    """URL extraction + domain blocklist filtering (functions/text.
+    url_columns / flag_blocked_domains — the C4-style URL rules). The
+    synthetic corpus has no organic URLs, so the gate injects
+    deterministic doc_id-derived ones (same expression in the oracle,
+    the text_pii pattern). Exercises the DataFrame-blocklist scale
+    path: explode → broadcast semi-join → slim hit-id join-back."""
+    from quokka_spark.functions.text import url_columns, flag_blocked_domains
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 2 == 0, F.concat(
+            F.lit(" see http://site"), (did % 7).cast("string"),
+            F.lit(".example.com/p/"), did.cast("string"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.lit(" https://cdn.example.org/x")).otherwise(F.lit("")))
+    staged = docs.select("doc_id", injected.alias("tx"))
+    extracted = staged.select("doc_id", *url_columns("tx"))
+    bl = spark.createDataFrame(
+        [("site1.example.com",), ("site3.example.com",),
+         ("cdn.example.org",)], "domain string")
+    flagged = flag_blocked_domains(extracted, "doc_id", "domains", bl)
+    return flagged.select(
+        "doc_id", "n_urls",
+        F.size("domains").cast("bigint").alias("n_domains"),
+        "main_domain", "blocked")
+
+
+_URLS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 2 = 0
+         THEN ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' https://cdn.example.org/x'
+         ELSE '' END AS tx
+  FROM documents
+), u AS (
+  SELECT doc_id, regexp_extract_all(tx, 'https?://[^\s]+') AS urls FROM t
+), d AS (
+  SELECT doc_id, len(urls) AS n_urls,
+         list_sort(list_distinct(
+           [regexp_extract(x, 'https?://([^/\s:]+)', 1) FOR x IN urls]
+         )) AS domains
+  FROM u
+)
+SELECT doc_id, CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(len(domains) AS BIGINT) AS n_domains,
+       domains[1] AS main_domain,
+       coalesce(len(list_intersect(domains,
+         ['site1.example.com', 'site3.example.com', 'cdn.example.org']))
+         > 0, false) AS blocked
+FROM d
+"""
+
+
 def op_stratified_sample(spark, sf_dir):
     """Per-stratum deterministic sampling (functions/sampling.
     stratified_hash_sample): rebalance the corpus by source — keep 80%
@@ -3121,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": text_tfidf,
         "ml_logreg": ml_logreg,
         "op_split_safe": op_split_safe,
+        "text_urls": text_urls,
     }
 
 
@@ -3203,4 +3263,5 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": _TFIDF_SQL,
         "ml_logreg": _logreg_oracle(),
         "op_split_safe": _SPLIT_SAFE_SQL,
+        "text_urls": _URLS_SQL,
     }

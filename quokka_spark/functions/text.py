@@ -432,3 +432,49 @@ def bpe_token_columns(col: str, pattern: str = BPE_TOKEN_PATTERN) -> list:
     return [F.size(toks).cast("bigint").alias("n_bpe_tokens"),
             F.size(F.array_distinct(toks)).cast("bigint")
             .alias("n_unique_bpe")]
+
+
+# URL pattern in the shared Java-regex / RE2 subset (no lookarounds):
+# scheme + non-space run; the host is capture group 1 of HOST_PATTERN.
+URL_PATTERN = r"https?://[^\s]+"
+HOST_PATTERN = r"https?://([^/\s:]+)"
+
+
+def url_columns(col: str) -> list:
+    """URL accounting for crawl filtering (the C4/RefinedWeb URL
+    rules): ``n_urls`` (total matches), ``domains`` (distinct hosts,
+    sorted — deterministic), ``main_domain`` (first sorted host, NULL
+    when none). Map-side regexp only, zero exchanges; the identical
+    pattern runs in DuckDB's RE2 for the oracle."""
+    urls = F.regexp_extract_all(F.col(col), F.lit(URL_PATTERN), 0)
+    hosts = F.array_sort(F.array_distinct(
+        F.transform(urls, lambda u: F.regexp_extract(u, HOST_PATTERN, 1))))
+    return [F.size(urls).cast("bigint").alias("n_urls"),
+            hosts.alias("domains"),
+            F.get(hosts, 0).alias("main_domain")]
+
+
+def flag_blocked_domains(df: DataFrame, id_col: str, domains_col: str,
+                         blocklist, out: str = "blocked") -> DataFrame:
+    """Flag rows whose extracted ``domains`` hit a blocklist.
+
+    ``blocklist`` may be a Python list (compiled to a literal
+    ``arrays_overlap`` — fully map-side, zero exchanges; right size
+    for the usual 10²-10⁵-entry lists) or a single-column DataFrame —
+    the scale path when the list is itself a table: explode the
+    domains with the row id, broadcast semi-join against the list,
+    distinct the hit ids (slim), and left-join the flag back on the
+    id. Rows with an empty domain array are never blocked."""
+    if isinstance(blocklist, (list, tuple)):
+        return df.withColumn(
+            out, F.arrays_overlap(F.col(domains_col),
+                                  F.array(*[F.lit(d) for d in blocklist])))
+    bcol = blocklist.columns[0]
+    bl = blocklist.select(F.col(bcol).alias("__qs_bd__")).distinct()
+    marker = "__qs_blocked__"
+    hits = (df.select(id_col, F.explode(domains_col).alias("__qs_bd__"))
+            .join(F.broadcast(bl), "__qs_bd__", "left_semi")
+            .select(id_col).distinct().withColumn(marker, F.lit(True)))
+    return (df.join(hits, id_col, "left")
+            .withColumn(out, F.coalesce(F.col(marker), F.lit(False)))
+            .drop(marker))

@@ -694,3 +694,27 @@ def test_split_leakage_safe_keeps_clusters_together(spark):
         docs, "doc_id", pairs, {"train": 0.5, "test": 0.5},
         salt="x").toPandas().set_index("doc_id")["split"]
     assert (out.sort_index() == again.sort_index()).all()
+
+
+def test_url_columns_and_blocklist_paths(spark):
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.text import url_columns, flag_blocked_domains
+    docs = spark.createDataFrame(
+        [(1, "go to https://a.com/x and http://b.org:8080/y now"),
+         (2, "no links at all"),
+         (3, "dup https://a.com/1 https://a.com/2")],
+        "doc_id long, text string")
+    ext = docs.select("doc_id", *url_columns("text"))
+    rows = {r["doc_id"]: r for r in ext.collect()}
+    assert rows[1]["n_urls"] == 2 and rows[1]["domains"] == ["a.com", "b.org"]
+    assert rows[2]["n_urls"] == 0 and rows[2]["main_domain"] is None
+    assert rows[3]["domains"] == ["a.com"]          # distinct hosts
+    # literal-list path (map-side)
+    lit = {r["doc_id"]: r["blocked"] for r in flag_blocked_domains(
+        ext, "doc_id", "domains", ["b.org"]).collect()}
+    assert lit == {1: True, 2: False, 3: False}
+    # DataFrame path must agree with the literal path
+    bl = spark.createDataFrame([("b.org",)], "domain string")
+    dfp = {r["doc_id"]: r["blocked"] for r in flag_blocked_domains(
+        ext, "doc_id", "domains", bl).collect()}
+    assert dfp == lit

@@ -228,3 +228,12 @@ def test_logreg_scoring_is_map_side(spark):
     must be a pure map-side expression — zero exchanges."""
     s = explain(em.ml_logreg(spark, SF))
     assert "Exchange" not in s
+
+
+def test_url_blocklist_broadcast_no_cartesian(spark):
+    """The DataFrame-blocklist path must broadcast the list and never
+    build a nested-loop/cartesian join."""
+    s = explain(em.text_urls(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Broadcast" in s
