@@ -1084,6 +1084,36 @@ def mm_features(spark, sf_dir):
         F.size("embedding").alias("dim"))
 
 
+def mm_phash(spark, sf_dir):
+    """Image near-dup via perceptual hash (functions/multimodal.
+    image_phash + dedup.hamming_near_pairs — the visual twin of
+    simhash dedup). Payloads are injected deterministically with
+    duplicate groups (doc_id % 23 → same bytes). The fake decode
+    gives each DISTINCT payload independent random pixels, so
+    non-duplicate pairs sit at hamming ≈ 32 (P(≤6) ≈ 5e-12 per
+    pair) — the ≤6 output provably equals the exact payload-dup
+    pair set, which is the oracle. The pHash math itself (DCT,
+    median threshold, noise/brightness invariance) is unit-tested
+    in tests/test_functions.py."""
+    from quokka_spark.functions.multimodal import phash_near_pairs
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    payloads = docs.select(
+        "doc_id",
+        F.concat(F.lit("IMG"), (F.col("doc_id") % 23).cast("string"))
+        .cast("binary").alias("object"))
+    pairs = phash_near_pairs(payloads, "object", "doc_id", max_hamming=6)
+    return pairs.select("id1", "id2",
+                        F.col("hamming").cast("bigint").alias("hamming"))
+
+
+_MM_PHASH_SQL = """
+WITH p AS (SELECT doc_id, doc_id % 23 AS g FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(0 AS BIGINT) AS hamming
+FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+"""
+
+
 _MM_FEATURES_SQL = r"""
 WITH p AS (
   SELECT doc_id,
@@ -3181,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_logreg": ml_logreg,
         "op_split_safe": op_split_safe,
         "text_urls": text_urls,
+        "mm_phash": mm_phash,
     }
 
 
@@ -3264,4 +3295,5 @@ def oracle_sql() -> dict[str, str]:
         "ml_logreg": _logreg_oracle(),
         "op_split_safe": _SPLIT_SAFE_SQL,
         "text_urls": _URLS_SQL,
+        "mm_phash": _MM_PHASH_SQL,
     }

@@ -261,22 +261,40 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     return shingled.select(id_col, sig.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", n: int = 3,
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance ≤ k, bucketed by
-    16-bit chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal)."""
-    sigs = simhash_signatures(df, text_col, id_col, n)
+def hamming_near_pairs(sigs: DataFrame, id_col: str, sig_col: str,
+                       max_hamming: int = 3,
+                       n_chunks: int | None = None) -> DataFrame:
+    """Pairs of rows whose 64-bit signatures differ in ≤ ``max_hamming``
+    bits, bucketed by bit chunks (pigeonhole: with the signature split
+    into ``max_hamming + 1`` disjoint chunks, a pair within distance k
+    must agree on at least one chunk). Shared engine for simhash text
+    near-dup and perceptual-hash image near-dup. Returns
+    (id1, id2, hamming), id1 < id2.
+
+    Scale shape: candidates form only inside (chunk_idx, chunk value)
+    buckets — shuffle O(rows × n_chunks); the exact bit_count check
+    runs JVM-side on the candidates only."""
+    n_chunks = n_chunks or (max_hamming + 1)
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"n_chunks must be in [1, 64], got {n_chunks}")
+    base, rem = divmod(64, n_chunks)
+    offsets, off = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        offsets.append((off, width))
+        off += width
+    chunk_exprs = [
+        F.shiftrightunsigned(sig_col, o).bitwiseAND(
+            F.lit((1 << w) - 1 if w < 64 else -1))
+        for o, w in offsets]
     chunks = sigs.select(
-        id_col, "simhash",
-        F.posexplode(F.array(*[
-            F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)])).alias("chunk_idx", "chunk"))
+        id_col, sig_col,
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_idx", "chunk"))
     # explicit-width shuffle on the join key: AQE sizes partitions by
     # map-side input bytes and would coalesce this blowup self-join
     # into one task (same pathology as the embedding-LSH bucket join)
     chunks = chunks.repartition(
-        df.sparkSession.sparkContext.defaultParallelism,
+        sigs.sparkSession.sparkContext.defaultParallelism,
         "chunk_idx", "chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk")) &
@@ -284,13 +302,23 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id1"),
                     F.col(f"b.{id_col}").alias("id2"),
-                    F.col("a.simhash").alias("s1"),
-                    F.col("b.simhash").alias("s2"))
+                    F.col(f"a.{sig_col}").alias("s1"),
+                    F.col(f"b.{sig_col}").alias("s2"))
             .distinct())
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id1", "id2", "hamming"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ k, bucketed by
+    16-bit chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal)."""
+    sigs = simhash_signatures(df, text_col, id_col, n)
+    return hamming_near_pairs(sigs, id_col, "simhash", max_hamming,
+                              n_chunks=4)
 
 
 def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",

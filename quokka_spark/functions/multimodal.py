@@ -228,3 +228,74 @@ def repartition_by_payload_size(df: DataFrame, payload_col: str = "object",
     binned = ranked.withColumn("__key__", key)
     return (binned.repartitionByRange(n_bins, "__key__")
             .drop("__sz__", "__key__", "__pid__"))
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG/pHash transform)."""
+    k = np.arange(n)
+    c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    c[0] *= 1.0 / np.sqrt(2)
+    return c * np.sqrt(2.0 / n)
+
+
+def phash64(gray: np.ndarray) -> int:
+    """64-bit perceptual hash of a 32×32 grayscale image: 2-D DCT-II,
+    keep the 8×8 low-frequency block, threshold against the block's
+    median EXCLUDING the DC term (the standard pHash recipe — DC is
+    overall brightness and would otherwise dominate the median).
+    Returns a SIGNED 64-bit int (Spark ``long``); bit i set ⇔
+    coefficient i above the median. Pure function — visually similar
+    images (small noise, brightness shifts) land within a few bits."""
+    if gray.shape != (32, 32):
+        raise ValueError(f"phash64 expects 32x32 grayscale, got {gray.shape}")
+    c = _dct_matrix(32)
+    d = c @ gray.astype(np.float64) @ c.T
+    block = d[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    h = 0
+    for i, bit in enumerate(bits):
+        if bit:
+            h |= 1 << i
+    if h >= 1 << 63:                       # two's-complement → long
+        h -= 1 << 64
+    return h
+
+
+def image_phash(df: DataFrame, payload_col: str = "object",
+                id_col: str = "filename",
+                deterministic_stub: bool = True) -> DataFrame:
+    """binary payload → 64-bit perceptual hash. The decode is the
+    usual stub (deterministic md5-seeded fake pixels — no codec libs
+    in container); the DCT + median threshold is the REAL pHash math,
+    unit-tested against its noise/brightness invariances. Arrow-batched
+    mapInPandas; map-side only, zero exchanges."""
+    out_schema = StructType([
+        df.schema[id_col],
+        StructField("phash", LongType()),
+    ])
+
+    def run(it):
+        for pdf in it:
+            if not deterministic_stub:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv (not in container)")
+            hashes = [
+                phash64(_fake_pixels(b, 32, 32, 3).mean(axis=2))
+                for b in pdf[payload_col]]
+            yield pd.DataFrame({id_col: pdf[id_col], "phash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def phash_near_pairs(df: DataFrame, payload_col: str = "object",
+                     id_col: str = "filename",
+                     max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance —
+    the visual twin of simhash text dedup, sharing its pigeonhole
+    bucket join (dedup.hamming_near_pairs: ≤ k bits apart ⇒ the pair
+    agrees on one of k+1 signature chunks). Returns
+    (id1, id2, hamming)."""
+    from .dedup import hamming_near_pairs
+    sigs = image_phash(df, payload_col, id_col)
+    return hamming_near_pairs(sigs, id_col, "phash", max_hamming)

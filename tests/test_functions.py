@@ -718,3 +718,57 @@ def test_url_columns_and_blocklist_paths(spark):
     dfp = {r["doc_id"]: r["blocked"] for r in flag_blocked_domains(
         ext, "doc_id", "domains", bl).collect()}
     assert dfp == lit
+
+
+def test_phash64_invariances_and_pairs(spark):
+    """The pHash math: small noise and brightness shifts move ≤ a few
+    bits; an unrelated image sits near 32. The distributed pair search
+    (pigeonhole chunk buckets) finds exactly the duplicate groups."""
+    import numpy as np
+    from quokka_spark.functions.multimodal import phash64, phash_near_pairs
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32)).astype(float)
+    h = phash64(img)
+    noisy = phash64(np.clip(img + rng.normal(0, 4, (32, 32)), 0, 255))
+    bright = phash64(np.clip(img * 1.1 + 10, 0, 255))
+    other = phash64(rng.integers(0, 256, (32, 32)).astype(float))
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h, noisy) <= 6 and ham(h, bright) <= 6
+    assert ham(h, other) > 20
+    # distributed: payloads 0..19 with dup groups {i, i+10}
+    from pyspark.sql import functions as F
+    df = spark.range(20).select(
+        F.col("id").alias("fid"),
+        F.concat(F.lit("P"), (F.col("id") % 10).cast("string"))
+        .cast("binary").alias("object"))
+    pairs = {(r["id1"], r["id2"]): r["hamming"]
+             for r in phash_near_pairs(df, "object", "fid",
+                                       max_hamming=6).collect()}
+    assert pairs == {(i, i + 10): 0 for i in range(10)}
+
+
+def test_hamming_near_pairs_uneven_chunks(spark):
+    """64 bits over 7 chunks (max_hamming=6) — uneven widths must
+    still satisfy the pigeonhole guarantee: EVERY pair within distance
+    6 is found, none beyond."""
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.dedup import hamming_near_pairs
+    base = 0x123456789ABCDEF0
+    rows = [(0, base)]
+    # flip i lowest bits for i = 1..8
+    for i in range(1, 9):
+        rows.append((i, base ^ ((1 << i) - 1)))
+    sigs = spark.createDataFrame(
+        [(i, v - (1 << 64) if v >= 1 << 63 else v) for i, v in rows],
+        "fid long, sig long")
+    got = {(r["id1"], r["id2"]): r["hamming"]
+           for r in hamming_near_pairs(sigs, "fid", "sig",
+                                       max_hamming=6).collect()}
+    # pair (0, i) has distance i; (i, j>i) has distance j - i
+    expect = {}
+    for i in range(9):
+        for j in range(i + 1, 9):
+            d = j - i if i > 0 else j
+            if d <= 6:
+                expect[(i, j)] = d
+    assert got == expect
