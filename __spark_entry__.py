@@ -1749,6 +1749,49 @@ FROM d
 """
 
 
+def op_zorder(spark, sf_dir):
+    """Z-order layout key (plans/scaling.zorder_key): Morton interleave
+    of (o_custkey, order-date-days), each normalized to 8 bits by
+    exactly-rounded IEEE double steps — the multi-dimensional
+    clustering key behind cluster_by_zorder's write-side layout pass.
+    The oracle mirrors every double op verbatim, so the key is
+    hash-exact; the locality property (tight per-partition bounding
+    boxes on BOTH dims) is pinned in tests/test_scaling.py."""
+    from quokka_spark.plans.scaling import zorder_key
+    qc = _qc(spark)
+    orders = _t(qc, sf_dir, "orders").df
+    staged = orders.select(
+        "o_orderkey", F.col("o_custkey").alias("c0"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01")).alias("c1"))
+    return zorder_key(staged, ["c0", "c1"], bits=8) \
+        .select("o_orderkey", "zkey")
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    top = (1 << bits) - 1
+    terms = " + ".join(
+        f"((n{i} >> {b}) & 1) * {1 << (b * 2 + i)}"
+        for b in range(bits) for i in range(2))
+    return f"""
+WITH s AS (
+  SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS c0,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS DOUBLE) AS c1
+  FROM orders
+), b AS (
+  SELECT min(c0) AS mn0, max(c0) AS mx0, min(c1) AS mn1, max(c1) AS mx1
+  FROM s
+), n AS (
+  SELECT o_orderkey,
+         CAST(floor((c0 - mn0) * {top}.0 / (mx0 - mn0)) AS BIGINT) AS n0,
+         CAST(floor((c1 - mn1) * {top}.0 / (mx1 - mn1)) AS BIGINT) AS n1
+  FROM s, b
+)
+SELECT o_orderkey, CAST({terms} AS BIGINT) AS zkey FROM n
+"""
+
+
 def op_stratified_sample(spark, sf_dir):
     """Per-stratum deterministic sampling (functions/sampling.
     stratified_hash_sample): rebalance the corpus by source — keep 80%
@@ -3212,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_split_safe": op_split_safe,
         "text_urls": text_urls,
         "mm_phash": mm_phash,
+        "op_zorder": op_zorder,
     }
 
 
@@ -3296,4 +3340,5 @@ def oracle_sql() -> dict[str, str]:
         "op_split_safe": _SPLIT_SAFE_SQL,
         "text_urls": _URLS_SQL,
         "mm_phash": _MM_PHASH_SQL,
+        "op_zorder": _zorder_oracle(),
     }

@@ -86,3 +86,58 @@ def co_partition(left: DataFrame, right: DataFrame, left_key: str,
                 right.repartition(n_partitions, F.col(right_key)))
     return (left.repartition(F.col(left_key)),
             right.repartition(F.col(right_key)))
+
+
+def zorder_key(df: DataFrame, cols: list, bits: int = 16,
+               out: str = "zkey") -> DataFrame:
+    """Morton (Z-order) interleave key over numeric/date columns — the
+    multi-dimensional data-clustering layout (Delta OPTIMIZE ZORDER /
+    Iceberg sort-order style): rows close in EVERY dimension get close
+    keys, so files carry tight min/max on ALL the z-ordered columns
+    and parquet row-group pruning works for predicates on any of them
+    (a single-column sort gives pruning on that column only).
+
+    Each column is normalized to ``bits`` bits as
+    floor((v - min) · (2^bits - 1) / (max - min)) in IEEE double
+    arithmetic (one slim min/max agg job for the bounds) — every step
+    is an exactly-rounded double op, so any engine computes the
+    identical key (the DuckDB oracle mirrors the expression verbatim).
+    Exact for column ranges up to ~2^53 / 2^bits; beyond that the
+    rounding is still deterministic and engine-identical, only the
+    bucket boundary shifts by ulps. Dates/timestamps should be cast
+    to days/epoch by the caller. NULLs normalize to 0 (sort first)."""
+    n = len(cols)
+    if not 1 <= n * bits <= 63:
+        raise ValueError(f"{n} cols x {bits} bits must fit in 63 bits")
+    bounds = df.agg(*[f(c).alias(f"{tag}{i}")
+                      for i, c in enumerate(cols)
+                      for tag, f in (("mn", F.min), ("mx", F.max))]).first()
+    top = (1 << bits) - 1
+    norms = []
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn{i}"], bounds[f"mx{i}"]
+        if mn is None or mx is None or mx == mn:
+            norms.append(F.lit(0).cast("long"))
+        else:
+            v = F.coalesce(F.col(c).cast("double"), F.lit(float(mn)))
+            norms.append(F.floor(
+                (v - F.lit(float(mn))) * F.lit(float(top))
+                / F.lit(float(int(mx) - int(mn)))).cast("long"))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, nc in enumerate(norms):
+            z = z + F.shiftright(nc, b).bitwiseAND(F.lit(1)) \
+                * F.lit(1 << (b * n + i))
+    return df.withColumn(out, z)
+
+
+def cluster_by_zorder(df: DataFrame, cols: list, n_partitions: int,
+                      bits: int = 16) -> DataFrame:
+    """Range-partition + sort the stream by its Z-order key: the
+    write-side layout pass before ``write_parquet`` that gives every
+    output file a tight bounding box on all ``cols``. One slim bounds
+    job + one range shuffle — run at ingest/compaction boundaries,
+    not per-query."""
+    keyed = zorder_key(df, cols, bits, out="__qs_z__")
+    return (keyed.repartitionByRange(n_partitions, "__qs_z__")
+            .sortWithinPartitions("__qs_z__").drop("__qs_z__"))
