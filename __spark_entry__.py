@@ -1749,6 +1749,45 @@ FROM d
 """
 
 
+def op_quantize(spark, sf_dir):
+    """int8 embedding quantization (functions/similarity.
+    quantize_embeddings): global-scale symmetric codes, map-side JVM
+    transform. Every step is an exactly-rounded double op and both
+    engines round .5 away from zero, so the codes — and the
+    reconstruction error — are hash-exact against the oracle."""
+    from quokka_spark.functions.similarity import quantize_embeddings
+    qc = _qc(spark)
+    emb = _t(qc, sf_dir, "embeddings").df
+    q, scale = quantize_embeddings(emb, "embedding")
+    err = F.array_max(F.transform(
+        "embedding",
+        lambda x: F.abs(x.cast("double")
+                        - F.round(x.cast("double") * 127.0 / F.lit(scale))
+                        * F.lit(scale) / F.lit(127.0))))
+    return q.select(
+        "vec_id",
+        F.aggregate(F.transform("qvec", lambda c: c.cast("bigint")),
+                    F.lit(0).cast("bigint"),
+                    lambda a, b: a + b).alias("code_sum"),
+        F.round(err, 6).alias("max_err"))
+
+
+_QUANTIZE_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT max(m) AS scale
+      FROM (SELECT list_max(list_transform(v, x -> abs(x))) AS m FROM v)),
+q AS (
+  SELECT vec_id,
+         [CAST(round(x * 127.0 / scale) AS BIGINT) FOR x IN v] AS c,
+         [abs(x - round(x * 127.0 / scale) * scale / 127.0)
+          FOR x IN v] AS e
+  FROM v, s)
+SELECT vec_id, CAST(list_sum(c) AS BIGINT) AS code_sum,
+       round(list_max(e), 6) AS max_err
+FROM q
+"""
+
+
 def op_zorder(spark, sf_dir):
     """Z-order layout key (plans/scaling.zorder_key): Morton interleave
     of (o_custkey, order-date-days), each normalized to 8 bits by
@@ -3256,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_urls": text_urls,
         "mm_phash": mm_phash,
         "op_zorder": op_zorder,
+        "op_quantize": op_quantize,
     }
 
 
@@ -3341,4 +3381,5 @@ def oracle_sql() -> dict[str, str]:
         "text_urls": _URLS_SQL,
         "mm_phash": _MM_PHASH_SQL,
         "op_zorder": _zorder_oracle(),
+        "op_quantize": _QUANTIZE_SQL,
     }

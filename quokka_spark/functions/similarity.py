@@ -282,3 +282,41 @@ def lsh_bucket_topk(df: DataFrame, probe, vec_column: str, k: int,
         F.col("cosine_sim").desc(), F.col(id_column).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def quantize_embeddings(df: DataFrame, vec_column: str = "embedding",
+                        out: str = "qvec") -> "tuple[DataFrame, float]":
+    """Symmetric int8 quantization with one GLOBAL scale: code =
+    round(x · 127 / max|x|), stored as ``array<tinyint>`` — the 4×
+    (vs float32) storage/shuffle cut that makes a 100 TB embedding
+    store tractable, with reconstruction x̂ = code · scale / 127.
+
+    One slim agg finds the scale (max |element| over the corpus);
+    the encode itself is a map-side JVM transform, zero Python.
+    Every arithmetic step is an exactly-rounded double op (and both
+    engines round .5 away from zero), so codes are engine-portable —
+    the oracle gate is hash-exact. Returns (df + ``out`` column,
+    scale); scale 0 / all-NULL degenerates to zero codes."""
+    absmax = F.array_max(F.transform(
+        vec_column, lambda x: F.abs(x.cast("double"))))
+    scale = df.agg(F.max(absmax)).first()[0] or 0.0
+    if scale == 0.0:
+        code = F.transform(vec_column,
+                           lambda x: F.lit(0).cast("tinyint"))
+    else:
+        code = F.transform(
+            vec_column,
+            lambda x: F.round(x.cast("double") * 127.0 / F.lit(scale))
+            .cast("tinyint"))
+    return df.withColumn(out, code), float(scale)
+
+
+def dequantize_embeddings(df: DataFrame, qvec_column: str, scale: float,
+                          out: str = "embedding") -> DataFrame:
+    """Inverse of quantize_embeddings: x̂ = code · scale / 127 as
+    ``array<float>`` — map-side, zero exchanges; feeds any of the ANN
+    paths (brute force / LSH / IVF) unchanged."""
+    return df.withColumn(out, F.transform(
+        qvec_column,
+        lambda c: (c.cast("double") * F.lit(float(scale)) / F.lit(127.0))
+        .cast("float")))

