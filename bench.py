@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "text_tokens", "text_fingerprint", "text_quality",
     "dedup_exact", "dedup_minhash", "dedup_embedding", "sim_topk",
     "op_join_nonequi",
+    "text_tfidf", "op_cap_per_key", "dedup_lines", "ml_logreg",
 ]
 
 
