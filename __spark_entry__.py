@@ -1324,6 +1324,36 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def src_iceberg_deletes(spark, sf_dir):
+    """read_iceberg with v2 POSITION deletes applied — the fallback
+    reader's distributed anti-join on (_metadata.file_path,
+    row_index). The gate lays an Iceberg table over documents.parquet,
+    commits a position-delete snapshot for the rows where
+    doc_id % 7 = 0 (positions resolved driver-side with pyarrow —
+    parquet row order is well-defined within a file), and reads the
+    current snapshot; the oracle is the complementary filter."""
+    import os
+    import tempfile
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import (
+        add_position_deletes, create_local_iceberg_table)
+    qc = _qc(spark)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_iceberg_del_" + sf_dir.strip("/").replace("/", "_"))
+    create_local_iceberg_table(tbl, [[docs]])
+    ids = pq.read_table(docs, columns=["doc_id"])["doc_id"].to_pylist()
+    pos = [i for i, d in enumerate(ids) if d % 7 == 0]
+    add_position_deletes(tbl, {docs: pos})
+    ds = qc.read_iceberg(tbl)
+    return ds.df.select("doc_id", "source")
+
+
+_SRC_ICEBERG_DELETES_SQL = """
+SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
 def dedup_lines(spark, sf_dir):
     """Corpus-wide line-level dedup (CCNet/RefinedWeb boilerplate pass,
     functions/dedup.line_dedup). The synthetic corpus is single-line,
@@ -3296,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash": mm_phash,
         "op_zorder": op_zorder,
         "op_quantize": op_quantize,
+        "src_iceberg_deletes": src_iceberg_deletes,
     }
 
 
@@ -3382,4 +3413,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_phash": _MM_PHASH_SQL,
         "op_zorder": _zorder_oracle(),
         "op_quantize": _QUANTIZE_SQL,
+        "src_iceberg_deletes": _SRC_ICEBERG_DELETES_SQL,
     }

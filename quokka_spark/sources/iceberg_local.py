@@ -11,9 +11,11 @@ stays in Spark's vectorized parquet reader with full predicate
 pushdown / column pruning.
 
 Scope (documented, test-enforced):
-- format-version 1 and 2 append-only tables; row-level deletes
-  (v2 delete manifests / delete files) raise NotImplementedError —
-  correct results would require applying positional/equality deletes.
+- format-version 1 and 2 tables, including v2 POSITION deletes
+  (applied as a distributed anti-join on ``_metadata`` file/row
+  position — see read_iceberg_local); equality deletes raise
+  NotImplementedError (they need the schema's equality ids — the
+  runtime jar's job).
 - metadata must be locally readable (``file://`` or plain paths);
   data files pass through to Spark untouched, so remote data behind a
   mounted path works.
@@ -81,52 +83,113 @@ def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict:
                      f"(have {[s.get('snapshot-id') for s in snaps]})")
 
 
-def snapshot_data_files(table_path: str,
-                        snapshot_id: int | None = None) -> list[str]:
-    """Live parquet data-file paths of a snapshot (default: current).
+def snapshot_files(table_path: str,
+                   snapshot_id: int | None = None
+                   ) -> "tuple[list[str], list[str]]":
+    """(data files, position-delete files) of a snapshot (default:
+    current).
 
     Walks manifest-list → manifests, keeping entries whose status is
-    EXISTING(0) or ADDED(1) and dropping DELETED(2). Any delete
-    manifest (v2 ``content=1``) or non-data file content aborts with
-    NotImplementedError rather than returning rows that should have
-    been deleted."""
+    EXISTING(0) or ADDED(1) and dropping DELETED(2). Delete manifests
+    (v2 ``content=1``) contribute POSITION delete files (entry
+    content=1, spec §Position Delete Files: rows of (file_path, pos));
+    equality deletes (content=2) abort with NotImplementedError —
+    applying them needs the table schema's equality ids, which is the
+    jar path's job."""
     meta = _read_table_metadata(table_path)
     snap = _pick_snapshot(meta, snapshot_id)
     paths: list[str] = []
+    deletes: list[str] = []
     if "manifest-list" in snap:
         _, manifests = read_container(_local(snap["manifest-list"]))
     else:  # v1 inline manifest list
         manifests = [{"manifest_path": p, "content": 0}
                      for p in snap.get("manifests", [])]
     for mf in manifests:
-        if mf.get("content", 0) != 0:
-            raise NotImplementedError(
-                "Iceberg v2 delete manifests are not supported by the "
-                "pure-Python fallback reader; use the iceberg-spark "
-                "runtime jar for tables with row-level deletes")
+        is_delete_manifest = mf.get("content", 0) == 1
         _, entries = read_container(_local(mf["manifest_path"]))
         for e in entries:
             if e.get("status", 0) == 2:  # DELETED
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "delete files in a data manifest are not supported "
-                    "by the pure-Python fallback reader")
+            content = df.get("content", 0)
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
-                    f"data file format {fmt}: only PARQUET is supported")
-            paths.append(df["file_path"])
+                    f"file format {fmt}: only PARQUET is supported")
+            if is_delete_manifest:
+                if content == 2:
+                    raise NotImplementedError(
+                        "Iceberg equality deletes are not supported by "
+                        "the pure-Python fallback reader; use the "
+                        "iceberg-spark runtime jar")
+                if content != 1:
+                    raise ValueError(
+                        f"malformed table: delete manifest "
+                        f"{mf['manifest_path']} contains a file with "
+                        f"content={content} (expected position deletes)")
+                deletes.append(df["file_path"])
+            else:
+                if content != 0:
+                    raise ValueError(
+                        f"malformed table: data manifest "
+                        f"{mf['manifest_path']} contains a file with "
+                        f"content={content}")
+                paths.append(df["file_path"])
+    return paths, deletes
+
+
+def snapshot_data_files(table_path: str,
+                        snapshot_id: int | None = None) -> list[str]:
+    """Live parquet data-file paths of a snapshot — strict form for
+    callers that treat the file list as the full row set: refuses
+    delete-bearing snapshots (scanning the data files alone would
+    resurrect deleted rows). Use snapshot_files / read_iceberg_local
+    for delete-aware access."""
+    paths, deletes = snapshot_files(table_path, snapshot_id)
+    if deletes:
+        raise NotImplementedError(
+            "snapshot carries row-level delete files; the plain file "
+            "list would resurrect deleted rows — use snapshot_files() "
+            "or the delete-aware read_iceberg_local()")
     return paths
 
 
 def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None):
-    """Spark DataFrame over a local Iceberg table's live data files."""
-    paths = snapshot_data_files(table_path, snapshot_id)
+    """Spark DataFrame over a local Iceberg table's live data files,
+    with v2 POSITION deletes applied as an anti-join on
+    (file, row position).
+
+    The delete application is fully distributed: data files feed
+    Spark's native parquet scan with ``_metadata.file_path`` /
+    ``row_index`` (no Python, no driver materialization), delete files
+    are their own parquet scan, and the anti-join broadcasts the
+    delete set when small (AQE) or sort-merges on (path, pos) when
+    not — delete files never pass through the driver."""
+    paths, deletes = snapshot_files(table_path, snapshot_id)
     if not paths:
         raise ValueError(f"{table_path}: snapshot has no data files")
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if deletes:
+        from pyspark.sql import functions as F
+
+        def norm(c):
+            # manifests may store plain paths where Spark reports
+            # file:// URIs — normalize both to a bare absolute path
+            return F.regexp_replace(c, "^file:/*", "/")
+
+        dd = (spark.read.parquet(*[_local(p) for p in deletes])
+              .select(norm(F.col("file_path")).alias("__qs_dfp__"),
+                      F.col("pos").cast("long").alias("__qs_dpos__"))
+              .distinct())
+        df = (df.withColumn("__qs_fp__",
+                            norm(F.col("_metadata.file_path")))
+              .withColumn("__qs_pos__", F.col("_metadata.row_index"))
+              .join(dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                    & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                    "left_anti")
+              .drop("__qs_fp__", "__qs_pos__"))
+    return df
 
 
 # ----------------------------------------------------------------------
@@ -160,31 +223,48 @@ _MANIFEST_FILE_SCHEMA = {
 
 
 def create_local_iceberg_table(table_dir: str,
-                               snapshots: list[list[str]]) -> list[int]:
+                               snapshots: list) -> list[int]:
     """Write a spec-shaped unpartitioned Iceberg v2 table whose
-    snapshot N contains the parquet files ``snapshots[N]`` (absolute
-    paths; referenced in place, not copied — KB of metadata around
-    existing data). Returns the snapshot ids (1-based). Each snapshot
-    gets one manifest holding its full file list (append-only
-    semantics are the caller's concern)."""
+    snapshot N contains ``snapshots[N]`` — either a plain list of
+    parquet data-file paths, or a dict ``{"data": [...],
+    "deletes": [...]}`` where the deletes are position-delete parquet
+    files (columns file_path, pos). Files are referenced in place, not
+    copied — KB of metadata around existing data. Returns the snapshot
+    ids (1-based). Each snapshot gets one data manifest (plus one
+    delete manifest when it carries deletes)."""
     from .avro_lite import write_container
     meta_dir = os.path.join(_local(table_dir), "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     snap_entries = []
-    for i, files in enumerate(snapshots, start=1):
-        manifest = os.path.join(meta_dir, f"manifest-{i}.avro")
-        write_container(manifest, _MANIFEST_ENTRY_SCHEMA, [
-            {"status": 1, "snapshot_id": i, "data_file": {
-                "content": 0, "file_path": p, "file_format": "PARQUET",
-                "record_count": 0,
+    for i, spec in enumerate(snapshots, start=1):
+        if isinstance(spec, dict):
+            files, dels = spec.get("data", []), spec.get("deletes", [])
+        else:
+            files, dels = spec, []
+
+        def entry(p, content):
+            return {"status": 1, "snapshot_id": i, "data_file": {
+                "content": content, "file_path": p,
+                "file_format": "PARQUET", "record_count": 0,
                 "file_size_in_bytes": os.path.getsize(_local(p))}}
-            for p in files])
+
+        manifest = os.path.join(meta_dir, f"manifest-{i}.avro")
+        write_container(manifest, _MANIFEST_ENTRY_SCHEMA,
+                        [entry(p, 0) for p in files])
+        mlist_rows = [{"manifest_path": manifest,
+                       "manifest_length": os.path.getsize(manifest),
+                       "partition_spec_id": 0, "content": 0,
+                       "added_snapshot_id": i}]
+        if dels:
+            dmanifest = os.path.join(meta_dir, f"manifest-{i}-deletes.avro")
+            write_container(dmanifest, _MANIFEST_ENTRY_SCHEMA,
+                            [entry(p, 1) for p in dels])
+            mlist_rows.append({"manifest_path": dmanifest,
+                               "manifest_length": os.path.getsize(dmanifest),
+                               "partition_spec_id": 0, "content": 1,
+                               "added_snapshot_id": i})
         mlist = os.path.join(meta_dir, f"snap-{i}.avro")
-        write_container(mlist, _MANIFEST_FILE_SCHEMA, [
-            {"manifest_path": manifest,
-             "manifest_length": os.path.getsize(manifest),
-             "partition_spec_id": 0, "content": 0,
-             "added_snapshot_id": i}])
+        write_container(mlist, _MANIFEST_FILE_SCHEMA, mlist_rows)
         snap_entries.append({"snapshot-id": i, "sequence-number": i,
                              "timestamp-ms": 0, "manifest-list": mlist,
                              "summary": {"operation": "append"}})
@@ -212,13 +292,47 @@ def append_snapshot(table_dir: str, new_files: list[str]) -> int:
     single-writer metadata swap; concurrent writers need a catalog
     (the jar path), not this."""
     tdir = _local(table_dir)
-    prior: list[list[str]] = []
+    prior: list[dict] = []
     if os.path.isdir(os.path.join(tdir, "metadata")):
         meta = _read_table_metadata(table_dir)
         for s in meta.get("snapshots", []):
-            prior.append(snapshot_data_files(table_dir,
-                                             s.get("snapshot-id")))
-    current = prior[-1] if prior else []
-    ids = create_local_iceberg_table(table_dir,
-                                     prior + [current + list(new_files)])
+            d, dels = snapshot_files(table_dir, s.get("snapshot-id"))
+            prior.append({"data": d, "deletes": dels})
+    current = prior[-1] if prior else {"data": [], "deletes": []}
+    new_snap = {"data": current["data"] + list(new_files),
+                "deletes": list(current["deletes"])}
+    ids = create_local_iceberg_table(table_dir, prior + [new_snap])
+    return ids[-1]
+
+
+def add_position_deletes(table_dir: str,
+                         deletes: "dict[str, list[int]]") -> int:
+    """Commit a new snapshot that position-deletes the given rows:
+    ``deletes`` maps a data-file path to the 0-based row positions to
+    remove (Iceberg v2 position-delete semantics). Writes one
+    position-delete parquet (file_path, pos — spec-ordered) plus KB of
+    manifests; data files untouched. Returns the new snapshot id.
+
+    Same driver-side single-writer caveat as append_snapshot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tdir = _local(table_dir)
+    meta = _read_table_metadata(table_dir)
+    prior = []
+    for s in meta.get("snapshots", []):
+        d, dels = snapshot_files(table_dir, s.get("snapshot-id"))
+        prior.append({"data": d, "deletes": dels})
+    current = prior[-1]
+    n = len(prior) + 1
+    rows_fp, rows_pos = [], []
+    for path, positions in deletes.items():
+        for p in sorted(positions):
+            rows_fp.append(path)
+            rows_pos.append(int(p))
+    dpath = os.path.join(tdir, "metadata", f"delete-{n}.parquet")
+    pq.write_table(pa.table({"file_path": pa.array(rows_fp, pa.string()),
+                             "pos": pa.array(rows_pos, pa.int64())}), dpath)
+    new_snap = {"data": list(current["data"]),
+                "deletes": list(current["deletes"]) + [dpath]}
+    ids = create_local_iceberg_table(table_dir, prior + [new_snap])
     return ids[-1]

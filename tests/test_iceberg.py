@@ -51,15 +51,71 @@ def test_deleted_entry_status_excluded(tmp_path, spark, table):
     assert len(paths) == 1 and paths[0].endswith("a.parquet")
 
 
-def test_delete_manifest_raises(table):
+def test_malformed_delete_manifest_raises(table):
+    """A manifest marked content=1 whose entries are DATA files
+    (content=0) is malformed — must error, never silently scan."""
     tbl, _ = table
     meta_dir = os.path.join(tbl, "metadata")
     ml = os.path.join(meta_dir, "snap-2.avro")
     _, manifests = read_container(ml)
     manifests[0]["content"] = 1  # v2 delete manifest
     write_container(ml, _MANIFEST_FILE_SCHEMA, manifests)
-    with pytest.raises(NotImplementedError, match="delete manifests"):
+    with pytest.raises(ValueError, match="malformed"):
         snapshot_data_files(tbl)
+
+
+def test_position_deletes_applied_and_time_travel(qc, spark, table):
+    """v2 position deletes: add_position_deletes commits a delete
+    snapshot; the current read drops exactly those rows (distributed
+    anti-join on _metadata file/row_index), time travel to the
+    pre-delete snapshot still sees them, and the append path refuses
+    to build on a delete-bearing snapshot."""
+    from quokka_spark.sources.iceberg_local import (add_position_deletes,
+                                                    append_snapshot,
+                                                    snapshot_files)
+    tbl, (s1, s2) = table
+    (a_path,), _ = snapshot_files(tbl, s1)          # a.parquet: ids 0..9
+    s3 = add_position_deletes(tbl, {a_path: [0, 3, 7]})
+    got = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got == [1, 2] + [4, 5, 6] + [8, 9] + list(range(10, 25))
+    # time travel: the pre-delete snapshot is untouched
+    pre = sorted(r["id"] for r in qc.read_iceberg(tbl, snapshot=s2)
+                 .df.collect())
+    assert pre == list(range(25))
+    # deleting from the delete-bearing snapshot composes
+    s4 = add_position_deletes(tbl, {a_path: [1]})
+    got2 = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got2 == [2, 4, 5, 6, 8, 9] + list(range(10, 25))
+    assert s3 != s4
+    # append over a delete-bearing snapshot carries the deletes
+    # forward: new rows appear, deleted rows STAY deleted (appended
+    # files have distinct paths, so position deletes cannot touch them)
+    import os
+    c = os.path.join(os.path.dirname(a_path), "c.parquet")
+    spark.range(100, 103).coalesce(1).toPandas().to_parquet(c)
+    append_snapshot(tbl, [c])
+    got3 = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got3 == [2, 4, 5, 6, 8, 9] + list(range(10, 25)) + [100, 101, 102]
+
+
+def test_equality_deletes_still_gated(table):
+    """Equality deletes (content=2) need the schema's equality ids —
+    jar territory; the fallback must refuse, not mis-scan."""
+    from quokka_spark.sources.iceberg_local import (_MANIFEST_ENTRY_SCHEMA
+                                                    as ES, snapshot_files)
+    tbl, _ = table
+    meta_dir = os.path.join(tbl, "metadata")
+    m2 = os.path.join(meta_dir, "manifest-2.avro")
+    _, entries = read_container(m2)
+    for e in entries:
+        e["data_file"]["content"] = 2
+    write_container(m2, ES, entries)
+    ml = os.path.join(meta_dir, "snap-2.avro")
+    _, manifests = read_container(ml)
+    manifests[0]["content"] = 1
+    write_container(ml, _MANIFEST_FILE_SCHEMA, manifests)
+    with pytest.raises(NotImplementedError, match="equality deletes"):
+        snapshot_files(tbl)
 
 
 def test_non_iceberg_dir_keeps_gated_jar_error(qc, tmp_path):

@@ -40,7 +40,7 @@ SF001_SUBSET = [
     "ts_asof_forward", "text_bpe_tokens",
     "op_stratified_sample", "op_cap_per_key", "text_tfidf",
     "ml_logreg", "op_split_safe", "text_urls", "mm_phash",
-    "op_zorder", "op_quantize",
+    "op_zorder", "op_quantize", "src_iceberg_deletes",
 ]
 
 
