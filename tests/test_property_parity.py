@@ -490,3 +490,52 @@ def test_avro_roundtrip_fuzz(seed):
         write_container(f.name, schema, recs)
         _, back = read_container(f.name)
     assert back == recs
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frac=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+       cap=st.integers(1, 30),
+       salt=st.sampled_from(["", "a", "xyz"]))
+def test_random_sampling_matches_duckdb(spark, frac, cap, salt):
+    """hash_sample / stratified / cap_per_key with random rates, caps
+    and salts: membership must hash-match DuckDB's identical
+    expressions (the determinism contract the samplers sell)."""
+    from quokka_spark.functions.sampling import (cap_per_key, hash_sample,
+                                                 stratified_hash_sample)
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{docs_path}')")
+    thr = format(int(frac * 16 ** 12), "012x")
+
+    got = sorted(r["doc_id"] for r in
+                 hash_sample(docs, "doc_id", frac, salt=salt)
+                 .select("doc_id").collect())
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM documents WHERE substring(md5('{salt}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 12) < '{thr}'").fetchall())
+    assert got == want
+
+    got = sorted(r["doc_id"] for r in stratified_hash_sample(
+        docs, "doc_id", "source", {"src1": frac}, default=1.0 - frac,
+        salt=salt).select("doc_id").collect())
+    thr2 = format(int((1.0 - frac) * 16 ** 12), "012x")
+    want = sorted(r[0] for r in con.execute(
+        f"SELECT doc_id FROM documents WHERE substring(md5('{salt}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 12) < "
+        f"CASE WHEN source = 'src1' THEN '{thr}' ELSE '{thr2}' END")
+        .fetchall())
+    assert got == want
+
+    got = sorted(r["doc_id"] for r in
+                 cap_per_key(docs, "source", "doc_id", cap, salt=salt)
+                 .select("doc_id").collect())
+    want = sorted(r[0] for r in con.execute(
+        f"WITH r AS (SELECT doc_id, row_number() OVER (PARTITION BY source "
+        f"ORDER BY substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 12), "
+        f"doc_id) AS rn FROM documents) "
+        f"SELECT doc_id FROM r WHERE rn <= {cap}").fetchall())
+    assert got == want
+    con.close()
