@@ -664,19 +664,34 @@ class DataStream:
         return self._filename_stream(path)
 
     def write_iceberg(self, path: str,
-                      output_line_limit: int = 5_000_000) -> int:
+                      output_line_limit: int = 5_000_000,
+                      mode: str = "append", key=None) -> int:
         """Commit the stream as a new snapshot of a LOCAL Iceberg v2
         table (parity-plus: the reference only reads Iceberg). Data is
         written as parquet by Spark's distributed writer into a
         per-snapshot subdirectory of ``path``/data, then committed via
         the pure-Python metadata layer (sources/iceberg_local.py) —
-        append semantics, readable back (with time travel) through
-        ``read_iceberg``. Returns the new snapshot id. Single-writer
+        readable back (with time travel) through ``read_iceberg``.
+        Returns the new snapshot id.
+
+        ``mode="append"`` adds rows; ``mode="upsert"`` (requires
+        ``key=``) is the MERGE shape: live rows matching the stream's
+        keys are position-deleted and the stream appended in one
+        atomic snapshot — the delete set is computed by a distributed
+        semi-join and written by Spark, never the driver. Single-writer
         local tables only; concurrent commits need a real catalog."""
         import glob
         import os
         import uuid
-        from .sources.iceberg_local import append_snapshot
+        from .sources.iceberg_local import (append_snapshot,
+                                            upsert_iceberg_local)
+        if mode == "upsert":
+            if key is None:
+                raise ValueError('write_iceberg(mode="upsert") needs key=')
+            return upsert_iceberg_local(self.qc.spark, path, self.df, key,
+                                        output_line_limit)
+        if mode != "append":
+            raise ValueError(f"mode must be append or upsert, got {mode!r}")
         data_dir = os.path.join(path, "data", uuid.uuid4().hex[:12])
         (self.df.write.mode("errorifexists")
          .option("maxRecordsPerFile", output_line_limit)

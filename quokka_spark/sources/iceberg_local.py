@@ -155,6 +155,36 @@ def snapshot_data_files(table_path: str,
     return paths
 
 
+def _norm_path(c):
+    """Manifests may store plain paths where Spark reports file://
+    URIs — normalize both to a bare absolute path."""
+    from pyspark.sql import functions as F
+    return F.regexp_replace(c, "^file:/*", "/")
+
+
+def _live_df(spark, table_path: str, snapshot_id: int | None,
+             keep_position: bool = False):
+    """Live rows of a snapshot with position deletes applied; with
+    ``keep_position`` the normalized (__qs_fp__, __qs_pos__) columns
+    survive — the upsert path needs them to address matched rows."""
+    from pyspark.sql import functions as F
+    paths, deletes = snapshot_files(table_path, snapshot_id)
+    if not paths:
+        raise ValueError(f"{table_path}: snapshot has no data files")
+    df = (spark.read.parquet(*paths)
+          .withColumn("__qs_fp__", _norm_path(F.col("_metadata.file_path")))
+          .withColumn("__qs_pos__", F.col("_metadata.row_index")))
+    if deletes:
+        dd = (spark.read.parquet(*[_local(p) for p in deletes])
+              .select(_norm_path(F.col("file_path")).alias("__qs_dfp__"),
+                      F.col("pos").cast("long").alias("__qs_dpos__"))
+              .distinct())
+        df = df.join(dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                     & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                     "left_anti")
+    return df if keep_position else df.drop("__qs_fp__", "__qs_pos__")
+
+
 def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None):
     """Spark DataFrame over a local Iceberg table's live data files,
     with v2 POSITION deletes applied as an anti-join on
@@ -166,30 +196,40 @@ def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None):
     are their own parquet scan, and the anti-join broadcasts the
     delete set when small (AQE) or sort-merges on (path, pos) when
     not — delete files never pass through the driver."""
-    paths, deletes = snapshot_files(table_path, snapshot_id)
-    if not paths:
-        raise ValueError(f"{table_path}: snapshot has no data files")
-    df = spark.read.parquet(*paths)
-    if deletes:
-        from pyspark.sql import functions as F
+    return _live_df(spark, table_path, snapshot_id)
 
-        def norm(c):
-            # manifests may store plain paths where Spark reports
-            # file:// URIs — normalize both to a bare absolute path
-            return F.regexp_replace(c, "^file:/*", "/")
 
-        dd = (spark.read.parquet(*[_local(p) for p in deletes])
-              .select(norm(F.col("file_path")).alias("__qs_dfp__"),
-                      F.col("pos").cast("long").alias("__qs_dpos__"))
-              .distinct())
-        df = (df.withColumn("__qs_fp__",
-                            norm(F.col("_metadata.file_path")))
-              .withColumn("__qs_pos__", F.col("_metadata.row_index"))
-              .join(dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
-                    & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
-                    "left_anti")
-              .drop("__qs_fp__", "__qs_pos__"))
-    return df
+def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
+                         output_line_limit: int = 5_000_000) -> int:
+    """MERGE-style upsert, fully distributed: live rows whose key
+    matches a row of ``df`` are position-deleted, and ``df`` is
+    appended — both in ONE snapshot (readers see the swap atomically,
+    time travel sees the pre-upsert state). The matched (file, pos)
+    delete set is computed by a Spark semi-join on the _metadata
+    columns and written as position-delete parquet by Spark's
+    distributed writer — neither the table nor the delete set ever
+    passes through the driver; the driver commit is KB of manifests.
+
+    The standard corpus-refresh shape at 100 TB: re-crawled or
+    re-scored documents replace their previous versions by key."""
+    import glob
+    import uuid
+    from pyspark.sql import functions as F
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    tdir = _local(table_dir)
+    tag = uuid.uuid4().hex[:12]
+    live = _live_df(spark, table_dir, None, keep_position=True)
+    matched = (live.join(df.select(*keys).distinct(), keys, "left_semi")
+               .select(F.col("__qs_fp__").alias("file_path"),
+                       F.col("__qs_pos__").cast("long").alias("pos")))
+    ddir = os.path.join(tdir, "metadata", f"upsert-del-{tag}")
+    matched.write.mode("errorifexists").parquet(ddir)
+    delete_files = sorted(glob.glob(os.path.join(ddir, "*.parquet")))
+    adir = os.path.join(tdir, "data", f"upsert-{tag}")
+    (df.write.mode("errorifexists")
+     .option("maxRecordsPerFile", output_line_limit).parquet(adir))
+    add_files = sorted(glob.glob(os.path.join(adir, "*.parquet")))
+    return commit_snapshot(table_dir, add_files, delete_files)
 
 
 # ----------------------------------------------------------------------
@@ -291,16 +331,24 @@ def append_snapshot(table_dir: str, new_files: list[str]) -> int:
     in place. Driver-side by design — a real catalog commit is also a
     single-writer metadata swap; concurrent writers need a catalog
     (the jar path), not this."""
-    tdir = _local(table_dir)
+    return commit_snapshot(table_dir, add_files=list(new_files))
+
+
+def commit_snapshot(table_dir: str, add_files: list | None = None,
+                    add_delete_files: list | None = None) -> int:
+    """General single-writer commit: a new snapshot = current live
+    files + ``add_files``, current delete files + ``add_delete_files``
+    — appends, deletes, or both atomically (the one-snapshot upsert
+    shape). Metadata-only; returns the new snapshot id."""
     prior: list[dict] = []
-    if os.path.isdir(os.path.join(tdir, "metadata")):
+    if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
         meta = _read_table_metadata(table_dir)
         for s in meta.get("snapshots", []):
             d, dels = snapshot_files(table_dir, s.get("snapshot-id"))
             prior.append({"data": d, "deletes": dels})
     current = prior[-1] if prior else {"data": [], "deletes": []}
-    new_snap = {"data": current["data"] + list(new_files),
-                "deletes": list(current["deletes"])}
+    new_snap = {"data": current["data"] + list(add_files or []),
+                "deletes": current["deletes"] + list(add_delete_files or [])}
     ids = create_local_iceberg_table(table_dir, prior + [new_snap])
     return ids[-1]
 
@@ -313,17 +361,15 @@ def add_position_deletes(table_dir: str,
     position-delete parquet (file_path, pos — spec-ordered) plus KB of
     manifests; data files untouched. Returns the new snapshot id.
 
-    Same driver-side single-writer caveat as append_snapshot."""
+    Same driver-side single-writer caveat as append_snapshot. For
+    large delete sets produced by a distributed computation, write the
+    (file_path, pos) parquet with Spark and commit via
+    commit_snapshot(add_delete_files=...) instead (the upsert path)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     tdir = _local(table_dir)
     meta = _read_table_metadata(table_dir)
-    prior = []
-    for s in meta.get("snapshots", []):
-        d, dels = snapshot_files(table_dir, s.get("snapshot-id"))
-        prior.append({"data": d, "deletes": dels})
-    current = prior[-1]
-    n = len(prior) + 1
+    n = len(meta.get("snapshots", [])) + 1
     rows_fp, rows_pos = [], []
     for path, positions in deletes.items():
         for p in sorted(positions):
@@ -332,7 +378,4 @@ def add_position_deletes(table_dir: str,
     dpath = os.path.join(tdir, "metadata", f"delete-{n}.parquet")
     pq.write_table(pa.table({"file_path": pa.array(rows_fp, pa.string()),
                              "pos": pa.array(rows_pos, pa.int64())}), dpath)
-    new_snap = {"data": list(current["data"]),
-                "deletes": list(current["deletes"]) + [dpath]}
-    ids = create_local_iceberg_table(table_dir, prior + [new_snap])
-    return ids[-1]
+    return commit_snapshot(table_dir, add_delete_files=[dpath])

@@ -146,3 +146,33 @@ def test_write_iceberg_roundtrip_and_append(qc, spark, tmp_path):
     assert s2 > s1
     assert qc.read_iceberg(tbl).count() == 5
     assert qc.read_iceberg(tbl, snapshot=s1).count() == 3
+
+
+def test_upsert_replaces_matching_keys_atomically(qc, spark, tmp_path):
+    """MERGE-style upsert: matched keys swap to the new rows, unmatched
+    keys survive, new keys append — one snapshot; time travel sees the
+    pre-upsert table; a second upsert composes."""
+    from pyspark.sql import functions as F
+    tbl = str(tmp_path / "utbl")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    from quokka_spark.datastream import DataStream
+    s1 = DataStream(qc, base).write_iceberg(tbl)
+    upd = spark.createDataFrame(
+        [(3, 999), (7, 777), (42, 4242)], "k long, v long")
+    s2 = DataStream(qc, upd).write_iceberg(tbl, mode="upsert", key="k")
+    got = {r["k"]: r["v"] for r in qc.read_iceberg(tbl).df.collect()}
+    expect = {i: i * 10 for i in range(10)}
+    expect.update({3: 999, 7: 777, 42: 4242})
+    assert got == expect
+    # time travel: pre-upsert snapshot intact
+    pre = {r["k"]: r["v"]
+           for r in qc.read_iceberg(tbl, snapshot=s1).df.collect()}
+    assert pre == {i: i * 10 for i in range(10)}
+    # second upsert touches a previously-upserted key
+    DataStream(qc, spark.createDataFrame([(42, 1)], "k long, v long")) \
+        .write_iceberg(tbl, mode="upsert", key="k")
+    got2 = {r["k"]: r["v"] for r in qc.read_iceberg(tbl).df.collect()}
+    expect[42] = 1
+    assert got2 == expect
+    assert s2 > s1
