@@ -2096,6 +2096,75 @@ FROM documents
 """
 
 
+def text_bigram_lm(spark, sf_dir):
+    """Bigram-LM scoring (functions/text.bigram_logprob): word-order-
+    aware quality proxy, model trained on the corpus itself. Bigrams
+    assemble map-side (no self-join); the oracle unrolls the identical
+    smoothed conditional in DuckDB — hash-exact."""
+    from quokka_spark.functions.text import bigram_logprob
+    qc = _qc(spark)
+    return bigram_logprob(_t(qc, sf_dir, "documents").df)
+
+
+_BIGRAM_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS w
+  FROM documents
+  WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0
+), bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS b, w[i] AS a
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+), cb AS (
+  SELECT b, count(*) AS cb FROM bg GROUP BY b
+), ca AS (
+  SELECT a, count(*) AS ca FROM bg GROUP BY a
+), v AS (
+  SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(w) AS t FROM d) WHERE length(t) > 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((cb + 0.5) / (ca + 0.5 * v))), 6) AS mean_neg_logprob
+FROM bg JOIN cb USING (b) JOIN ca USING (a), v
+GROUP BY doc_id
+"""
+
+
+def text_hash_tf(spark, sf_dir):
+    """Feature-hashing TF vectors (functions/text.hashed_tf_vectors,
+    sparse form): the vocabulary-free text→vector bridge into the
+    k-means / ANN / LSH stack. The bucket hash is an engine-portable
+    md5 hex fold, so the histogram is hash-exact against the oracle;
+    the dense array assembly is unit-tested."""
+    from quokka_spark.functions.text import hashed_tf_vectors
+    qc = _qc(spark)
+    return hashed_tf_vectors(_t(qc, sf_dir, "documents").df,
+                             dim=32, dense=False)
+
+
+def _hash_tf_oracle(dim: int = 32) -> str:
+    val = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(t), {i + 1}, 1)) - 1) "
+        f"* {16 ** (3 - i)}"
+        for i in range(4))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id,
+               unnest(string_split(
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                   ' ')) AS t
+        FROM documents
+        WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0)
+  WHERE length(t) > 0
+)
+SELECT doc_id, CAST(({val}) % {dim} AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY doc_id, bucket
+"""
+
+
 def op_pack_sequences(spark, sf_dir):
     """Concatenative sequence packing (functions/packing.
     pack_sequences): token-budget pack assignment from a two-level
@@ -3327,6 +3396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_zorder": op_zorder,
         "op_quantize": op_quantize,
         "src_iceberg_deletes": src_iceberg_deletes,
+        "text_bigram_lm": text_bigram_lm,
+        "text_hash_tf": text_hash_tf,
     }
 
 
@@ -3414,4 +3485,6 @@ def oracle_sql() -> dict[str, str]:
         "op_zorder": _zorder_oracle(),
         "op_quantize": _QUANTIZE_SQL,
         "src_iceberg_deletes": _SRC_ICEBERG_DELETES_SQL,
+        "text_bigram_lm": _BIGRAM_SQL,
+        "text_hash_tf": _hash_tf_oracle(),
     }

@@ -478,3 +478,103 @@ def flag_blocked_domains(df: DataFrame, id_col: str, domains_col: str,
     return (df.join(hits, id_col, "left")
             .withColumn(out, F.coalesce(F.col(marker), F.lit(False)))
             .drop(marker))
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   smoothing: float = 0.5) -> DataFrame:
+    """Bigram-LM quality scoring — the sharper sibling of
+    unigram_logprob (word-order-aware: scrambled or boilerplate text
+    scores worse even when its word histogram is typical): per
+    document, the mean negative log of the additive-smoothed
+    conditional P(b|a) = (count(a b) + α) / (count(a ·) + α·|V|),
+    with the model trained ON the corpus itself. Documents with fewer
+    than two tokens are not scored (no bigrams).
+
+    Returns (id, n_bigrams, mean_neg_logprob).
+
+    Scale shape: bigrams assemble map-side (sequence + element_at —
+    no self-join); ONE partial-agged shuffle counts bigrams, a second
+    slim one counts contexts; |V| is a driver scalar; the two
+    frequency joins AQE-broadcast when the vocabulary is small and
+    skew-split hot tokens when not."""
+    norm = F.expr(normalize_text_sql(text_col))
+    d = (df.select(F.col(id_col), norm.alias("__n__"))
+         .filter(F.length("__n__") > 0)
+         .select(id_col, F.split("__n__", " ").alias("__w__")))
+    # sequence(1, 0) DESCENDS in Spark (it is not empty) — single-token
+    # docs must be dropped before building index sequences, or
+    # element_at(w, 0) throws under ANSI
+    bg_src = d.filter(F.size("__w__") >= 2)
+    bg_arr = F.expr(
+        "transform(sequence(1, size(__w__) - 1), "
+        "i -> struct(concat(element_at(__w__, i), ' ', "
+        "element_at(__w__, i + 1)) as b, element_at(__w__, i) as a))")
+    bg = (bg_src.select(id_col, F.explode(bg_arr).alias("__bg__"))
+          .select(id_col, F.col("__bg__.b").alias("__b__"),
+                  F.col("__bg__.a").alias("__a__")))
+    cb = bg.groupBy("__b__").agg(F.count(F.lit(1)).alias("__cb__"))
+    ca = bg.groupBy("__a__").agg(F.count(F.lit(1)).alias("__ca__"))
+    toks = (d.select(F.explode("__w__").alias("__t__"))
+            .filter(F.length("__t__") > 0))
+    vocab = float(toks.select("__t__").distinct().count())
+    a = float(smoothing)
+    logp = F.log((F.col("__cb__") + F.lit(a))
+                 / (F.col("__ca__") + F.lit(a * vocab)))
+    return (bg.join(cb, "__b__").join(ca, "__a__")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 F.round(F.avg(-logp), 6).alias("mean_neg_logprob")))
+
+
+def _portable_bucket(tok: Column, dim: int) -> Column:
+    """Hash a token into [0, dim) with engine-portable arithmetic:
+    fold the first 4 hex digits of md5 positionally (the same
+    instr-fold trick as sampling.hash_uniform) and take mod. Both
+    Spark and DuckDB evaluate the identical integer expression."""
+    h = F.md5(tok.cast("binary"))
+    val = F.lit(0)
+    for i in range(4):
+        digit = F.instr(F.lit("0123456789abcdef"),
+                        F.substring(h, i + 1, 1)) - 1
+        val = val + digit * (16 ** (3 - i))
+    return F.pmod(val, F.lit(dim))
+
+
+def hashed_tf_vectors(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", dim: int = 64,
+                      dense: bool = True) -> DataFrame:
+    """Feature-hashing TF vectors (the "hashing trick"): tokens hash
+    into ``dim`` buckets and the document becomes a term-frequency
+    vector — no vocabulary build, no model download; the bridge from
+    raw text into every vector op here (k-means topic clustering, ANN
+    similarity, embedding-LSH dedup) without an external encoder.
+
+    ``dense=False`` returns the sparse histogram (id, bucket, cnt);
+    ``dense=True`` assembles ``array<float>`` of length ``dim``.
+
+    Scale shape: tokenize + bucket map-side; ONE partial-agged shuffle
+    on (id, bucket) builds the histogram (hot buckets collapse
+    map-side); the dense form adds a per-id collect of ≤ dim entries —
+    bounded by dim, never by document length. The bucket hash is
+    engine-portable (md5 hex fold), so the oracle is hash-exact."""
+    norm = F.expr(normalize_text_sql(text_col))
+    toks = (df.select(F.col(id_col), norm.alias("__n__"))
+            .filter(F.length("__n__") > 0)
+            .select(id_col, F.explode(F.split("__n__", " ")).alias("__t__"))
+            .filter(F.length("__t__") > 0))
+    sparse = (toks.withColumn("__b__", _portable_bucket(F.col("__t__"), dim))
+              .groupBy(id_col, "__b__")
+              .agg(F.count(F.lit(1)).alias("__c__")))
+    if not dense:
+        return sparse.select(F.col(id_col),
+                             F.col("__b__").cast("int").alias("bucket"),
+                             F.col("__c__").cast("bigint").alias("cnt"))
+    m = (sparse.groupBy(id_col)
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("__b__", "__c__"))).alias("__m__")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m__", i), F.lit(0))
+        .cast("float"))
+    return m.select(F.col(id_col), vec.alias("tfvec"))

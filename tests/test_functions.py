@@ -801,3 +801,45 @@ def test_quantize_roundtrip_and_ann_recall(spark):
     ex = {(r["probe_id"], r["vec_id"]) for r in exact.collect()}
     ap = {(r["probe_id"], r["vec_id"]) for r in approx.collect()}
     assert len(ex & ap) / len(ex) >= 0.9
+
+
+def test_bigram_lm_orders_scrambled_text_worse(spark):
+    """The word-order property unigram scoring cannot see: a document
+    whose bigrams are common scores better than one with the same
+    words in an unseen order."""
+    from quokka_spark.functions.text import bigram_logprob
+    corpus = [(i, "the quick brown fox jumps") for i in range(1, 9)]
+    corpus.append((100, "fox the jumps quick brown"))   # scrambled
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r["mean_neg_logprob"]
+           for r in bigram_logprob(docs).collect()}
+    assert out[100] > out[1]
+    # single-token docs produce no bigram rows
+    one = spark.createDataFrame([(1, "word"), (2, "a b")],
+                                "doc_id long, text string")
+    assert sorted(r["doc_id"] for r in bigram_logprob(one).collect()) == [2]
+
+
+def test_hashed_tf_dense_matches_sparse_and_feeds_kmeans(spark):
+    """Dense assembly must equal the sparse histogram; the vectors
+    feed kmeans unchanged (the text→vector bridge), separating
+    disjoint-vocabulary doc groups into distinct clusters."""
+    from quokka_spark.functions.text import hashed_tf_vectors
+    from quokka_spark.operators.linalg import kmeans
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(5)]
+        + [(i, "one two three four five six") for i in range(5, 10)],
+        "doc_id long, text string")
+    dense = {r["doc_id"]: r["tfvec"]
+             for r in hashed_tf_vectors(docs, dim=16).collect()}
+    sparse = hashed_tf_vectors(docs, dim=16, dense=False).collect()
+    rebuilt = {d: [0.0] * 16 for d in dense}
+    for r in sparse:
+        rebuilt[r["doc_id"]][r["bucket"]] = float(r["cnt"])
+    assert rebuilt == {d: list(v) for d, v in dense.items()}
+    vecs = hashed_tf_vectors(docs, dim=16)
+    _, assign = kmeans(vecs, "tfvec", "doc_id", k=2, iters=3)
+    groups = {r["doc_id"]: r["cluster"] for r in assign.collect()}
+    first = {groups[i] for i in range(5)}
+    second = {groups[i] for i in range(5, 10)}
+    assert len(first) == 1 and len(second) == 1 and first != second
