@@ -2165,6 +2165,62 @@ FROM tok GROUP BY doc_id, bucket
 """
 
 
+def op_cms(spark, sf_dir):
+    """Count-Min sketch (functions/sketches): bounded-memory frequency
+    estimation for unbounded key cardinality — the whole corpus
+    compresses to depth×width counters. Hashes are the engine-portable
+    md5 fold, so the sketch AND the estimates are bit-identical in
+    DuckDB: a hash-exact oracle for a sketch. Probes the exact top-10
+    tokens (deterministic tiebreak)."""
+    from quokka_spark.functions.sketches import cms_build, cms_estimate
+    from quokka_spark.functions.text import normalize_text_sql
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    toks = (docs.select(F.expr(normalize_text_sql("text")).alias("__n__"))
+            .filter(F.length("__n__") > 0)
+            .select(F.explode(F.split("__n__", " ")).alias("t"))
+            .filter(F.length("t") > 0))
+    sketch = cms_build(toks, "t", depth=4, width=256)
+    top = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+           .orderBy(F.desc("c"), F.asc("t")).limit(10).select("t"))
+    return (cms_estimate(sketch, top, "t", depth=4, width=256)
+            .select(F.col("t").alias("token"), "est"))
+
+
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    def bucket(r):
+        val = " + ".join(
+            f"(strpos('0123456789abcdef', "
+            f"substring(md5('cms{r}:' || t), {i + 1}, 1)) - 1) "
+            f"* {16 ** (3 - i)}"
+            for i in range(4))
+        return f"(({val}) % {width})"
+
+    ins = " UNION ALL ".join(
+        f"SELECT t, {r} AS row, {bucket(r)} AS bucket FROM tok"
+        for r in range(depth))
+    probe = " UNION ALL ".join(
+        f"SELECT t, {r} AS row, {bucket(r)} AS bucket FROM top"
+        for r in range(depth))
+    return rf"""
+WITH tok AS (
+  SELECT t
+  FROM (SELECT unnest(string_split(
+          lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+        WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0)
+  WHERE length(t) > 0
+), ins AS ({ins}),
+sk AS (SELECT row, bucket, count(*) AS cnt FROM ins GROUP BY row, bucket),
+top AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t
+                       ORDER BY c DESC, t LIMIT 10)),
+probe AS ({probe})
+SELECT p.t AS token, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est
+FROM probe p LEFT JOIN sk ON p.row = sk.row AND p.bucket = sk.bucket
+GROUP BY p.t
+"""
+
+
 def op_pack_sequences(spark, sf_dir):
     """Concatenative sequence packing (functions/packing.
     pack_sequences): token-budget pack assignment from a two-level
@@ -3398,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_iceberg_deletes": src_iceberg_deletes,
         "text_bigram_lm": text_bigram_lm,
         "text_hash_tf": text_hash_tf,
+        "op_cms": op_cms,
     }
 
 
@@ -3487,4 +3544,5 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_deletes": _SRC_ICEBERG_DELETES_SQL,
         "text_bigram_lm": _BIGRAM_SQL,
         "text_hash_tf": _hash_tf_oracle(),
+        "op_cms": _cms_oracle(),
     }

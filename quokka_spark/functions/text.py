@@ -527,12 +527,14 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
                  F.round(F.avg(-logp), 6).alias("mean_neg_logprob")))
 
 
-def _portable_bucket(tok: Column, dim: int) -> Column:
+def _portable_bucket(tok: Column, dim: int, salt: str = "") -> Column:
     """Hash a token into [0, dim) with engine-portable arithmetic:
-    fold the first 4 hex digits of md5 positionally (the same
-    instr-fold trick as sampling.hash_uniform) and take mod. Both
-    Spark and DuckDB evaluate the identical integer expression."""
-    h = F.md5(tok.cast("binary"))
+    fold the first 4 hex digits of md5(salt + token) positionally (the
+    same instr-fold trick as sampling.hash_uniform) and take mod. Both
+    Spark and DuckDB evaluate the identical integer expression;
+    different salts give independent hash rows (the CMS sketch's d
+    rows)."""
+    h = F.md5(F.concat(F.lit(salt), tok).cast("binary"))
     val = F.lit(0)
     for i in range(4):
         digit = F.instr(F.lit("0123456789abcdef"),

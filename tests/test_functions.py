@@ -843,3 +843,33 @@ def test_hashed_tf_dense_matches_sparse_and_feeds_kmeans(spark):
     first = {groups[i] for i in range(5)}
     second = {groups[i] for i in range(5, 10)}
     assert len(first) == 1 and len(second) == 1 and first != second
+
+
+def test_cms_overestimate_and_merge(spark):
+    """Count-Min guarantees: estimate >= true count always; with a
+    roomy sketch the heavy keys estimate exactly; two partial sketches
+    merged by re-aggregation equal the sketch of the union."""
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.sketches import cms_build, cms_estimate
+    # keys k0..k19, key i appears (i+1)*5 times
+    rows = [(f"k{i}",) for i in range(20) for _ in range((i + 1) * 5)]
+    df = spark.createDataFrame(rows, "k string")
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(20)],
+                                 "k string")
+    sk = cms_build(df, "k", depth=4, width=1024)
+    est = {r["k"]: r["est"]
+           for r in cms_estimate(sk, keys, "k", 4, 1024).collect()}
+    true = {f"k{i}": (i + 1) * 5 for i in range(20)}
+    assert all(est[k] >= true[k] for k in true)          # never under
+    assert sum(est[k] == true[k] for k in true) >= 18    # roomy → exact
+    # unseen key estimates 0 (empty cells)
+    unseen = spark.createDataFrame([("nope",)], "k string")
+    assert cms_estimate(sk, unseen, "k", 4, 1024).first()["est"] == 0
+    # mergeability: sketch(a) ∪ sketch(b) re-agged == sketch(a+b)
+    a, b = df.limit(300), spark.createDataFrame(rows[300:], "k string")
+    merged = (cms_build(a, "k", 4, 1024)
+              .unionByName(cms_build(b, "k", 4, 1024))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    est2 = {r["k"]: r["est"]
+            for r in cms_estimate(merged, keys, "k", 4, 1024).collect()}
+    assert est2 == est
