@@ -2221,6 +2221,22 @@ GROUP BY p.t
 """
 
 
+def ml_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (functions/packing.
+    bpe_train): learn the merge table on the cluster over the corpus
+    the pipeline just cleaned. Greedy-argmax-per-round semantics are
+    inherently iterative (each round's pair counts depend on the
+    previous merge) — not SQL-expressible, so this gate is rows-only;
+    exact equality with a pure-Python reference BPE is pinned in
+    tests/test_functions.py."""
+    from quokka_spark.functions.packing import bpe_train
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    merges, _ = bpe_train(docs, num_merges=8)
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank long, left string, right string")
+
+
 def op_pack_sequences(spark, sf_dir):
     """Concatenative sequence packing (functions/packing.
     pack_sequences): token-budget pack assignment from a two-level
@@ -3455,6 +3471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": text_bigram_lm,
         "text_hash_tf": text_hash_tf,
         "op_cms": op_cms,
+        "ml_bpe_train": ml_bpe_train,
     }
 
 

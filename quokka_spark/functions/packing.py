@@ -56,3 +56,147 @@ def pack_sequences(df: DataFrame, token_col: str, id_col: str,
             .withColumn("pack_id", F.floor(start / budget))
             .withColumn("pack_offset", start - F.col("pack_id") * budget)
             .drop("__pid__"))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              num_merges: int = 50,
+              driver_vocab_limit: int = 500_000) -> "tuple[list, DataFrame]":
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): the
+    missing piece between corpus prep and model training — learn the
+    merge table ON the cluster, over the same corpus the pipeline just
+    cleaned.
+
+    Algorithm (classic BPE over whitespace words, </w> end marker):
+      1. ONE corpus-scale job: word → count (explode + partial agg).
+         Everything after runs on the DISTINCT-WORD table — the
+         Zipf collapse that makes BPE training tractable: the merge
+         loop's working set is the vocabulary, not the corpus.
+      2. Per merge round: count adjacent symbol pairs weighted by word
+         count (ALL adjacent positions, overlaps included — exactly
+         Sennrich's get_stats; only the merge APPLY is leftmost
+         non-overlapping), pick the max-count pair
+         (deterministic count-desc, pair-asc tiebreak), and apply the
+         merge to every word's symbol array in an Arrow-batched
+         kernel. The words table persists; lineage resets every few
+         rounds (localCheckpoint, the kmeans/pagerank loop pattern).
+
+    Returns (merges, vocab_df) — merges as [(left, right), ...] in
+    rank order; vocab_df = (word, symbols, count) after all merges.
+    Deterministic: pure function of the corpus. Matches a pure-Python
+    reference implementation exactly (test-pinned)."""
+    from pyspark.storagelevel import StorageLevel
+    norm = F.expr(
+        f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))")
+    words = (df.select(norm.alias("__n__"))
+             .filter(F.length("__n__") > 0)
+             .select(F.explode(F.split("__n__", " ")).alias("w"))
+             .filter(F.length("w") > 0)
+             .groupBy("w").agg(F.count(F.lit(1)).alias("count"))
+             .select("w",
+                     F.concat(F.split("w", ""), F.array(F.lit("</w>")))
+                     .alias("symbols"),
+                     "count"))
+    words = words.persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list = []
+
+    # Zipf collapse: after the one corpus-scale word count, the
+    # distinct-word table is tiny relative to the corpus (even
+    # 100 TB crawls have ~10^7-10^8 distinct words). When it fits the
+    # driver budget, run the merge loop locally over (word, count) —
+    # the same bounded-driver-training precedent as IVF's k-means
+    # sample — and return instantly; the fully distributed loop below
+    # is the overflow path (tested equal on a forced low limit).
+    if words.count() <= driver_vocab_limit:
+        rows = words.select("w", "count").collect()
+        wc = {r["w"]: int(r["count"]) for r in rows}
+        vocab = {w: list(w) + ["</w>"] for w in wc}
+        for _ in range(num_merges):
+            stats: dict = {}
+            for w, syms in vocab.items():
+                c = wc[w]
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    stats[p] = stats.get(p, 0) + c
+            if not stats:
+                break
+            m = max(stats.values())
+            if m < 2:
+                break
+            a, b = sorted(p for p, c in stats.items() if c == m)[0]
+            merges.append((a, b))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+        spark = df.sparkSession
+        out_df = spark.createDataFrame(
+            [(w, vocab[w], wc[w]) for w in wc],
+            "w string, symbols array<string>, count long")
+        words.unpersist()
+        return merges, out_df
+
+    def pair_counts(wdf):
+        # all adjacent pairs weighted by count (Sennrich get_stats),
+        # pre-combined into one dict per Arrow batch before the
+        # JVM-side partial agg
+        import pandas as pd
+
+        def kernel(it):
+            for pdf in it:
+                out: dict = {}
+                for syms, cnt in zip(pdf["symbols"], pdf["count"]):
+                    i = 0
+                    while i < len(syms) - 1:
+                        p = (syms[i], syms[i + 1])
+                        out[p] = out.get(p, 0) + int(cnt)
+                        i += 1
+                yield pd.DataFrame(
+                    {"left": [k[0] for k in out],
+                     "right": [k[1] for k in out],
+                     "c": list(out.values())})
+
+        return (wdf.mapInPandas(kernel, "left string, right string, c long")
+                .groupBy("left", "right").agg(F.sum("c").alias("c")))
+
+    for it in range(num_merges):
+        top = (pair_counts(words)
+               .orderBy(F.desc("c"), F.asc("left"), F.asc("right"))
+               .limit(1).collect())
+        if not top or top[0]["c"] < 2:
+            break
+        a, b = top[0]["left"], top[0]["right"]
+        merges.append((a, b))
+
+        def apply_merge(it, a=a, b=b):
+            import pandas as pd
+            for pdf in it:
+                merged = []
+                for syms in pdf["symbols"]:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (i < len(syms) - 1 and syms[i] == a
+                                and syms[i + 1] == b):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    merged.append(out)
+                yield pd.DataFrame({"w": pdf["w"], "symbols": merged,
+                                    "count": pdf["count"]})
+
+        new = words.mapInPandas(
+            apply_merge, "w string, symbols array<string>, count long")
+        if (it + 1) % 8 == 0:
+            new = new.localCheckpoint(eager=True)
+        new = new.persist(StorageLevel.MEMORY_AND_DISK)
+        words.unpersist()
+        words = new
+    return merges, words

@@ -873,3 +873,74 @@ def test_cms_overestimate_and_merge(spark):
     est2 = {r["k"]: r["est"]
             for r in cms_estimate(merged, keys, "k", 4, 1024).collect()}
     assert est2 == est
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed merge loop must reproduce the classic
+    single-machine BPE (Sennrich get_stats + leftmost non-overlapping
+    merge) exactly — same merge table, same final symbol sequences."""
+    import re
+    from collections import Counter
+    from quokka_spark.functions.packing import bpe_train
+    texts = ["low lower lowest low low", "new newer newest new",
+             "wider wide widest low new", "low low lower new newest"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+    # pure-Python reference
+    wc = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            wc[w] += 1
+    vocab = {w: list(w) + ["</w>"] for w in wc}
+    ref_merges = []
+    for _ in range(12):
+        stats = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += wc[w]
+        if not stats:
+            break
+        best = max(stats.items(),
+                   key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]]))
+        # deterministic tiebreak: count desc, pair asc — redo properly
+        m = max(stats.values())
+        best = sorted(p for p, c in stats.items() if c == m)[0]
+        if stats[best] < 2:
+            break
+        ref_merges.append(best)
+        a, b = best
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    merges, words = bpe_train(docs, num_merges=12)
+    assert merges == ref_merges, (merges, ref_merges)
+    got = {r["w"]: (list(r["symbols"]), r["count"])
+           for r in words.collect()}
+    assert got == {w: (vocab[w], wc[w]) for w in wc}
+
+
+def test_bpe_distributed_path_equals_driver_path(spark):
+    """Forcing driver_vocab_limit=0 exercises the fully distributed
+    merge loop — it must produce the identical merge table and final
+    vocabulary as the driver-side fast path."""
+    from quokka_spark.functions.packing import bpe_train
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low new newer newest"),
+         (2, "wide wider widest low new lower")],
+        "doc_id long, text string")
+    m_fast, v_fast = bpe_train(docs, num_merges=6)
+    m_dist, v_dist = bpe_train(docs, num_merges=6, driver_vocab_limit=0)
+    assert m_fast == m_dist
+    fast = {r["w"]: (list(r["symbols"]), r["count"])
+            for r in v_fast.collect()}
+    dist = {r["w"]: (list(r["symbols"]), r["count"])
+            for r in v_dist.collect()}
+    assert fast == dist
