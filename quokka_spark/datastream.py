@@ -655,8 +655,22 @@ class DataStream:
         return self._filename_stream(path)
 
     def write_parquet(self, path: str, output_line_limit: int = 5_000_000,
-                      partition_by: list | None = None, **options) -> "DataStream":
-        w = (self.df.write.mode("overwrite")
+                      partition_by: list | None = None,
+                      zorder: list | None = None,
+                      zorder_files: int | None = None,
+                      **options) -> "DataStream":
+        """``zorder=[cols]`` clusters the output by the Morton key
+        (plans/scaling.cluster_by_zorder) before writing, so every
+        file carries tight min/max stats on ALL the listed columns —
+        read-side row-group pruning for predicates on any of them.
+        ``zorder_files`` sets the output partition count (default:
+        current parallelism)."""
+        out = self.df
+        if zorder:
+            from .plans.scaling import cluster_by_zorder
+            n = zorder_files or out.rdd.getNumPartitions()
+            out = cluster_by_zorder(out, zorder, n)
+        w = (out.write.mode("overwrite")
              .option("maxRecordsPerFile", output_line_limit))
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -201,3 +201,37 @@ def test_zorder_clusters_both_dimensions(spark):
     assert zy < sy * 0.6                       # z-order beats it on y
     # the clustering is a pure layout op: no rows lost or changed
     assert cluster_by_zorder(df, ["x", "y"], 16, bits=7).count() == n
+
+
+def test_write_parquet_zorder_files_have_tight_stats(spark, qc, tmp_path):
+    """write_parquet(zorder=...) must produce files whose parquet
+    min/max stats are tight on BOTH z-ordered columns — the read-side
+    pruning property the layout pass exists for."""
+    import glob
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from quokka_spark.datastream import DataStream
+    n = 1 << 13
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.floor(F.col("id") / 64)).alias("y"))
+    out = str(tmp_path / "zo")
+    DataStream(qc, df).write_parquet(out, zorder=["x", "y"], zorder_files=8)
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        xs, ys = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                (xs if name == "x" else ys).append((st.min, st.max))
+        if xs and ys:
+            spans.append((max(m for _, m in xs) - min(m for m, _ in xs),
+                          max(m for _, m in ys) - min(m for m, _ in ys)))
+    assert spans
+    mean_x = sum(s[0] for s in spans) / len(spans)
+    mean_y = sum(s[1] for s in spans) / len(spans)
+    assert mean_x < 63 * 0.6 and mean_y < 127 * 0.6, (mean_x, mean_y)
+    # rows survive the layout pass intact
+    assert spark.read.parquet(out).count() == n
