@@ -619,3 +619,25 @@ def test_asof_forward_exact_match_included(spark):
         row = join_asof(left, right, "ts", "ts", "k", "k",
                         direction=direction).collect()[0]
         assert row["x"] == 7.0, direction
+
+
+def test_streaming_cms_equals_batch(spark, qc, tmp_path):
+    """The Count-Min sketch is a plain groupBy-count plan, so it runs
+    unchanged over readStream — the streaming sketch after availableNow
+    must equal the batch sketch cell-for-cell (mergeable aggregation =
+    streaming-safe by construction)."""
+    from quokka_spark.functions.sketches import cms_build
+    src = qc.read_parquet(f"{SF_SMOKE}/documents.parquet").df \
+        .select("doc_id", "source")
+    pq_dir = str(tmp_path / "cms_src")
+    src.write.parquet(pq_dir)
+    stream = spark.readStream.schema(src.schema).parquet(pq_dir)
+    q = (cms_build(stream, "source", depth=4, width=64)
+         .writeStream.format("memory").queryName("cms_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in spark.sql("select * from cms_stream").collect()}
+    want = {(r["row"], r["bucket"]): r["cnt"]
+            for r in cms_build(src, "source", depth=4, width=64).collect()}
+    assert got == want and len(want) > 0
