@@ -811,6 +811,34 @@ FROM events
 """
 
 
+def ts_rolling_corr(spark, sf_dir):
+    """Rolling Pearson correlation per key (the rottnest-style rolling
+    statistic family): trailing-30m corr(value, event_id) per user
+    through the SAME SlidingWindow machinery as ts_sliding — the
+    aggregation dict takes any SQL aggregate, two-column aggs
+    included. Zero-variance windows: Spark corr yields NaN where
+    DuckDB yields NULL — normalized to NULL on the Spark side."""
+    from quokka_spark.windowtypes import SlidingWindow
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts")
+    win = SlidingWindow("30m", {"c": "corr(value, event_id)"})
+    out = ev.windowed_transform(win, by="user_id").df
+    return out.select(
+        "user_id", "ts",
+        F.when(F.isnan("c"), F.lit(None)).otherwise(F.round("c", 6))
+        .alias("trend_corr"))
+
+
+_ROLLING_CORR_SQL = """
+SELECT user_id, ts,
+       round(corr(value, event_id) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW),
+             6) AS trend_corr
+FROM events
+"""
+
+
 def ts_session(spark, sf_dir):
     from quokka_spark.windowtypes import SessionWindow
     qc = _qc(spark)
@@ -3472,6 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_tf": text_hash_tf,
         "op_cms": op_cms,
         "ml_bpe_train": ml_bpe_train,
+        "ts_rolling_corr": ts_rolling_corr,
     }
 
 
@@ -3562,4 +3591,5 @@ def oracle_sql() -> dict[str, str]:
         "text_bigram_lm": _BIGRAM_SQL,
         "text_hash_tf": _hash_tf_oracle(),
         "op_cms": _cms_oracle(),
+        "ts_rolling_corr": _ROLLING_CORR_SQL,
     }
