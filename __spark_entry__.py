@@ -2265,6 +2265,59 @@ def ml_bpe_train(spark, sf_dir):
     return spark.createDataFrame(rows, "rank long, left string, right string")
 
 
+def pipeline_corpus_prep(spark, sf_dir):
+    """End-to-end training-batch prep proving the NEW operator
+    families compose in one lazy plan: per-source document cap
+    (cap_per_key) → minimum-length quality filter → deterministic
+    50% hash sample → whitespace token accounting → sequence packing
+    (two-level prefix sum). Every stage is individually oracle-gated;
+    this gate chains the identical SQL CTEs — hash-exact end to end."""
+    from quokka_spark.functions.packing import pack_sequences
+    from quokka_spark.functions.sampling import cap_per_key, hash_sample
+    from quokka_spark.functions.text import token_count
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    capped = cap_per_key(docs, "source", "doc_id", 40, salt="pp")
+    staged = capped.select("doc_id", token_count("text").alias("n_tok"))
+    kept = hash_sample(staged.filter(F.col("n_tok") >= 30),
+                       "doc_id", 0.5, salt="pp2")
+    out = pack_sequences(kept, "n_tok", "doc_id", budget=800)
+    return out.select("doc_id", "pack_id", "pack_offset")
+
+
+_PIPELINE_PREP_SQL = r"""
+WITH capped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY substring(md5('pp' || CAST(doc_id AS VARCHAR)), 1, 12),
+                      doc_id) AS rn
+    FROM documents) WHERE rn <= 40
+), t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM capped
+), kept AS (
+  SELECT doc_id, n_tok FROM t
+  WHERE n_tok >= 30
+    AND substring(md5('pp2' || CAST(doc_id AS VARCHAR)), 1, 12)
+        < '800000000000'
+), s AS (
+  SELECT doc_id,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start
+  FROM kept
+)
+SELECT doc_id, CAST(floor(start / 800) AS BIGINT) AS pack_id,
+       CAST(start - CAST(floor(start / 800) AS BIGINT) * 800 AS BIGINT)
+         AS pack_offset
+FROM s
+"""
+
+
 def op_pack_sequences(spark, sf_dir):
     """Concatenative sequence packing (functions/packing.
     pack_sequences): token-budget pack assignment from a two-level
@@ -3501,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_cms": op_cms,
         "ml_bpe_train": ml_bpe_train,
         "ts_rolling_corr": ts_rolling_corr,
+        "pipeline_corpus_prep": pipeline_corpus_prep,
     }
 
 
@@ -3592,4 +3646,5 @@ def oracle_sql() -> dict[str, str]:
         "text_hash_tf": _hash_tf_oracle(),
         "op_cms": _cms_oracle(),
         "ts_rolling_corr": _ROLLING_CORR_SQL,
+        "pipeline_corpus_prep": _PIPELINE_PREP_SQL,
     }

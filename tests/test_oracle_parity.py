@@ -41,7 +41,7 @@ SF001_SUBSET = [
     "op_stratified_sample", "op_cap_per_key", "text_tfidf",
     "ml_logreg", "op_split_safe", "text_urls", "mm_phash",
     "op_zorder", "op_quantize", "src_iceberg_deletes",
-    "text_bigram_lm", "text_hash_tf", "op_cms", "ts_rolling_corr",
+    "text_bigram_lm", "text_hash_tf", "op_cms", "ts_rolling_corr", "pipeline_corpus_prep",
 ]
 
 
