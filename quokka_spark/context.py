@@ -53,6 +53,7 @@ class QuokkaContext:
             cpus = cluster.cpus if cluster else None
             spark = build_spark(cpus=cpus, extra_conf=config)
         self.spark = spark
+        self._observations: dict = {}
         try:
             # read TIMESTAMP(NANOS) parquet columns (Spark has no ns type);
             # read_parquet converts them back to (truncated-to-µs) timestamps
@@ -66,6 +67,13 @@ class QuokkaContext:
     # ------------------------------------------------------------------
     # sources (SURVEY §2.1)
     # ------------------------------------------------------------------
+    def observed_metrics(self, name: str) -> dict:
+        """Metrics recorded by DataStream.observe(name, ...) — available
+        after any action has executed the observed stream (blocks until
+        one has). Free: computed by accumulators during the job itself,
+        no second scan."""
+        return dict(self._observations[name].get)
+
     def read_parquet(self, path: str, name_column: str | None = None,
                      **options) -> DataStream:
         """Parquet file/dir/prefix (reference df.py:413-562).

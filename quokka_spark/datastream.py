@@ -114,6 +114,24 @@ class DataStream:
     def explain(self, mode: str = "formatted"):
         return self.df.explain(mode=mode)
 
+    def observe(self, name: str, aggs: dict) -> "DataStream":
+        """Attach pipeline observability metrics (rows kept after a
+        filter stage, bytes scanned, null rates …) computed FOR FREE
+        during the job that executes this stream — no extra pass, the
+        accumulator-backed `Dataset.observe`. ``aggs`` is the usual
+        {"alias": "SQL aggregate"} dict; read results after an action
+        via ``qc.observed_metrics(name)`` / Spark's QueryExecution
+        listener. At 100 TB a second counting pass is a second scan —
+        this is the operational alternative."""
+        from pyspark.sql import Observation
+
+        from .sqldialect import duckdb_to_spark_sql
+        obs = Observation(name)
+        cols = [F.expr(duckdb_to_spark_sql(sql)).alias(alias)
+                for alias, sql in aggs.items()]
+        self.qc._observations[name] = obs
+        return self._with(self.df.observe(obs, *cols))
+
     def count(self, collect: bool = True):
         if collect:
             return self.df.count()

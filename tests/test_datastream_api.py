@@ -388,3 +388,18 @@ def test_read_ray_dataset_local_arrow_tables(qc):
     out = qc.read_ray_dataset(FakeRayDataset()).collect()
     assert list(out.columns) == ["a", "b"]
     assert sorted(out["a"].tolist()) == [1, 2, 3]
+
+
+def test_observe_metrics_free_during_action(spark, qc):
+    """observe() records stage metrics via accumulators during the
+    same job — no second scan; read back through the context."""
+    ds = qc.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    observed = ds.observe("prep", {"n_rows": "count(*)",
+                                   "total_chars": "sum(n_chars)"})
+    filtered = observed.filter_sql("n_chars > 100")
+    out = filtered.collect()
+    m = qc.observed_metrics("prep")
+    n_total = ds.count()
+    assert m["n_rows"] == n_total                  # pre-filter count
+    assert m["total_chars"] > 0
+    assert 0 < len(out) < n_total                  # filter applied after

@@ -237,3 +237,22 @@ def test_url_blocklist_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "Broadcast" in s
+
+
+def test_bigram_and_cms_partial_aggregates(spark):
+    """Both count shuffles must partial-aggregate map-side; no
+    cartesian anywhere."""
+    for fn in [em.text_bigram_lm, em.op_cms]:
+        s = explain(fn(spark, SF))
+        assert "partial_count" in s, fn.__name__
+        assert "CartesianProduct" not in s, fn.__name__
+
+
+def test_pipeline_corpus_prep_single_plan(spark):
+    """The composed prep pipeline's final plan (downstream of
+    pack_sequences' materialized prefix-sum stage — the cap's
+    rank-limit pushdown is pinned by its own test): no cartesian, and
+    the pack window is per-partition (no global single-task sort)."""
+    s = explain(em.pipeline_corpus_prep(spark, SF))
+    assert "CartesianProduct" not in s
+    assert s.count("Exchange SinglePartition") == 0, s
