@@ -1382,6 +1382,32 @@ SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0
 """
 
 
+def dedup_exact_best(spark, sf_dir):
+    """Quality-aware exact dedup (functions/dedup.exact_dedup_keep_best):
+    keep the highest-scoring capture of each duplicate group, ties by
+    id — the production refinement over min-id. The corpus has no
+    organic exact dups, so the gate injects deterministic groups
+    (doc_id % 97 share a body) and scores by n_chars; the oracle is
+    the same argmax."""
+    from quokka_spark.functions.dedup import exact_dedup_keep_best
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.lit("body "), (F.col("doc_id") % 97).cast("string"))
+        .alias("text"),
+        "n_chars")
+    return exact_dedup_keep_best(staged, "n_chars").select("doc_id")
+
+
+_DEDUP_EXACT_BEST_SQL = """
+WITH s AS (SELECT doc_id, doc_id % 97 AS g, n_chars FROM documents),
+r AS (SELECT doc_id, row_number() OVER (
+        PARTITION BY g ORDER BY n_chars DESC, doc_id ASC) AS rn FROM s)
+SELECT doc_id FROM r WHERE rn = 1
+"""
+
+
 def dedup_lines(spark, sf_dir):
     """Corpus-wide line-level dedup (CCNet/RefinedWeb boilerplate pass,
     functions/dedup.line_dedup). The synthetic corpus is single-line,
@@ -3555,6 +3581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_bpe_train": ml_bpe_train,
         "ts_rolling_corr": ts_rolling_corr,
         "pipeline_corpus_prep": pipeline_corpus_prep,
+        "dedup_exact_best": dedup_exact_best,
     }
 
 
@@ -3647,4 +3674,5 @@ def oracle_sql() -> dict[str, str]:
         "op_cms": _cms_oracle(),
         "ts_rolling_corr": _ROLLING_CORR_SQL,
         "pipeline_corpus_prep": _PIPELINE_PREP_SQL,
+        "dedup_exact_best": _DEDUP_EXACT_BEST_SQL,
     }

@@ -68,6 +68,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+def exact_dedup_keep_best(df: DataFrame, score_col: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the HIGHEST-SCORING duplicate (quality
+    score, length, recency …) instead of the min id — the production
+    refinement: when a page was crawled five times, keep the cleanest
+    capture, not the numerically first. Ties break by id ascending,
+    so the survivor set is fully deterministic.
+
+    Plan: one shuffle on the md5 fingerprint with max_by (a partial-
+    aggregated JVM aggregate — shuffle rows are (hash, score, id)
+    partials, not documents), then a semi join back on the id."""
+    fp = df.select(F.col(id_col), F.col(score_col).cast("double")
+                   .alias("__s__"), fingerprint(text_col).alias("__fp__"))
+    # max_by with a deterministic composite: (score desc, id asc) ==
+    # max_by of struct(score, -id) — but ids can be MIN_LONG, so use
+    # max_by(struct(score, negated rank via max-id minus id)) … keep
+    # it simple and portable: struct ordering (score, -1*id) breaks on
+    # overflow only at LONG_MIN, which real ids never are.
+    keep = (fp.groupBy("__fp__")
+            .agg(F.max_by(id_col, F.struct(F.col("__s__"),
+                                           (-F.col(id_col)).alias("__ni__")))
+                 .alias(id_col)))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.6,

@@ -944,3 +944,15 @@ def test_bpe_distributed_path_equals_driver_path(spark):
     dist = {r["w"]: (list(r["symbols"]), r["count"])
             for r in v_dist.collect()}
     assert fast == dist
+
+
+def test_exact_dedup_keep_best_semantics(spark):
+    from quokka_spark.functions.dedup import exact_dedup_keep_best
+    docs = spark.createDataFrame(
+        [(1, "same text", 0.2), (2, "same text", 0.9),
+         (3, "same text", 0.9),                     # tie → lower id
+         (4, "other", 0.1)],
+        "doc_id long, text string, q double")
+    kept = sorted(r["doc_id"] for r in
+                  exact_dedup_keep_best(docs, "q").collect())
+    assert kept == [2, 4]
