@@ -2163,8 +2163,9 @@ def text_bigram_lm(spark, sf_dir):
 _BIGRAM_SQL = r"""
 WITH d AS (
   SELECT doc_id,
-         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
-                      ' ') AS w
+         list_filter(
+           string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                        ' '), x -> length(x) > 0) AS w
   FROM documents
   WHERE length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) > 0
 ), bg AS (

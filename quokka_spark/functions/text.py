@@ -501,7 +501,12 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     norm = F.expr(normalize_text_sql(text_col))
     d = (df.select(F.col(id_col), norm.alias("__n__"))
          .filter(F.length("__n__") > 0)
-         .select(id_col, F.split("__n__", " ").alias("__w__")))
+         .select(id_col,
+                 F.filter(F.split("__n__", " "),
+                          lambda t: F.length(t) > 0).alias("__w__")))
+    # empty tokens are filtered from the word array (Spark trim()
+    # strips spaces only, so a tab-only doc normalizes to " " and
+    # would otherwise emit a phantom empty-token bigram); and
     # sequence(1, 0) DESCENDS in Spark (it is not empty) — single-token
     # docs must be dropped before building index sequences, or
     # element_at(w, 0) throws under ANSI

@@ -956,3 +956,45 @@ def test_exact_dedup_keep_best_semantics(spark):
     kept = sorted(r["doc_id"] for r in
                   exact_dedup_keep_best(docs, "q").collect())
     assert kept == [2, 4]
+
+
+def test_new_ops_empty_and_degenerate_inputs(spark):
+    """Empty/degenerate inputs must yield empty results, not crashes:
+    the difference between an operator and a demo."""
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.sketches import cms_build, cms_estimate
+    from quokka_spark.functions.text import (bigram_logprob,
+                                             hashed_tf_vectors,
+                                             tfidf_top_terms)
+    from quokka_spark.functions.sampling import cap_per_key
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert tfidf_top_terms(empty).count() == 0
+    assert bigram_logprob(empty).count() == 0
+    assert hashed_tf_vectors(empty).count() == 0
+    assert cap_per_key(empty.withColumn("source", F.lit("x")),
+                       "source", "doc_id", 3).count() == 0
+    sk = cms_build(spark.createDataFrame([], "k string"), "k")
+    assert sk.count() == 0
+    probe = spark.createDataFrame([("a",)], "k string")
+    assert cms_estimate(sk, probe, "k").first()["est"] == 0
+    # whitespace-only documents vanish from token pipelines
+    ws = spark.createDataFrame([(1, "   "), (2, "\t\n")],
+                               "doc_id long, text string")
+    assert tfidf_top_terms(ws).count() == 0
+    assert bigram_logprob(ws).count() == 0
+
+
+def test_text_ops_unicode_safe(spark):
+    """CJK + emoji + combining marks through the token pipelines:
+    counts follow whitespace segmentation, no mojibake crashes."""
+    from quokka_spark.functions.text import (bigram_logprob,
+                                             hashed_tf_vectors,
+                                             tfidf_top_terms)
+    docs = spark.createDataFrame(
+        [(1, "的 是 了 的 是"), (2, "héllo wörld héllo"), (3, "🎉 🎉 ok")],
+        "doc_id long, text string")
+    tf = {(r["doc_id"], r["term"]): 1
+          for r in tfidf_top_terms(docs, top_n=2).collect()}
+    assert (1, "的") in tf or (1, "是") in tf
+    assert {r["doc_id"] for r in bigram_logprob(docs).collect()} == {1, 2, 3}
+    assert hashed_tf_vectors(docs, dim=8).count() == 3
