@@ -539,3 +539,40 @@ def test_random_sampling_matches_duckdb(spark, frac, cap, salt):
         f"SELECT doc_id FROM r WHERE rn <= {cap}").fetchall())
     assert got == want
     con.close()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(bits=st.sampled_from([4, 6, 8, 12]),
+       lo=st.integers(-1000, 0), span=st.integers(1, 100000))
+def test_random_zorder_matches_python_reference(spark, bits, lo, span):
+    """zorder_key's Morton interleave must equal a direct Python
+    implementation of the same normalization over random ranges."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from quokka_spark.plans.scaling import zorder_key
+    n = 500
+    rng = np.random.default_rng(bits * 31 + span)
+    xs = rng.integers(lo, lo + span + 1, n)
+    ys = rng.integers(0, 3 * span + 1, n)
+    df = spark.createDataFrame(
+        [(i, int(x), int(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+        "rid long, x long, y long")
+    got = {r["rid"]: r["zkey"]
+           for r in zorder_key(df, ["x", "y"], bits=bits).collect()}
+    top = (1 << bits) - 1
+
+    def norm(v, mn, mx):
+        if mx == mn:
+            return 0
+        return int(np.floor((float(v) - float(mn)) * float(top)
+                            / float(int(mx) - int(mn))))
+
+    mnx, mxx, mny, mxy = xs.min(), xs.max(), ys.min(), ys.max()
+    for i, (x, y) in enumerate(zip(xs, ys)):
+        nx, ny = norm(x, mnx, mxx), norm(y, mny, mxy)
+        z = 0
+        for b in range(bits):
+            z |= ((nx >> b) & 1) << (2 * b)
+            z |= ((ny >> b) & 1) << (2 * b + 1)
+        assert got[i] == z, (i, x, y, got[i], z)
