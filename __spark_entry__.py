@@ -2620,6 +2620,76 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
+def dedup_hybrid(spark, sf_dir):
+    """Cross-modal near-dup clustering: TEXT pairs (verified minhash,
+    jaccard ≥ 0.6) unioned with EMBEDDING pairs (sign-bucket LSH,
+    cosine ≥ 0.4; vec_id aligns with doc_id in this corpus) close into
+    connected components — a page caught by EITHER signal joins the
+    duplicate group, the production shape for mixed-modality corpora.
+    Oracle: recursive closure over the union of both pair CTEs."""
+    from quokka_spark.functions.dedup import embedding_near_pairs_lsh
+    from quokka_spark.operators.graph import dedup_components
+    qc = _qc(spark)
+    emb = _t(qc, sf_dir, "embeddings").df
+    tp = dedup_minhash(spark, sf_dir)
+    ep = embedding_near_pairs_lsh(emb, threshold=0.4, bits_per_table=4,
+                                  n_tables=16, dim=64).select("id1", "id2")
+    pairs = tp.unionByName(ep).distinct()
+    return dedup_components(pairs)
+
+
+_DEDUP_HYBRID_SQL = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                                for i in generate_series(1, greatest(len(w) - 2, 1))]) AS shingles
+  FROM docs
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+shared AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), tpairs AS (
+  SELECT id1, id2
+  FROM shared JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), tabs AS (
+  SELECT vec_id, t,
+         CAST(v[CAST(t*4+1 AS INT)] > 0 AS INT)
+       + CAST(v[CAST(t*4+2 AS INT)] > 0 AS INT) * 2
+       + CAST(v[CAST(t*4+3 AS INT)] > 0 AS INT) * 4
+       + CAST(v[CAST(t*4+4 AS INT)] > 0 AS INT) * 8 AS bucket
+  FROM v, range(0, 16) r(t)
+), ecand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM tabs a JOIN tabs b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), epairs AS (
+  SELECT id1, id2
+  FROM ecand JOIN v v1 ON ecand.id1 = v1.vec_id
+             JOIN v v2 ON ecand.id2 = v2.vec_id
+  WHERE list_cosine_similarity(v1.v, v2.v) >= 0.4
+), allp AS (
+  SELECT id1, id2 FROM tpairs UNION SELECT id1, id2 FROM epairs
+), edges AS (
+  SELECT id1 AS a, id2 AS b FROM allp
+  UNION SELECT id2, id1 FROM allp
+), reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS canonical_id,
+       (a = min(b)) AS is_canonical
+FROM reach GROUP BY a
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 10 on 64-bit shingle simhash;
     jaccard-0.9 doc pairs still flip ~10% of shingles → up to ~10 bits).
@@ -3583,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rolling_corr": ts_rolling_corr,
         "pipeline_corpus_prep": pipeline_corpus_prep,
         "dedup_exact_best": dedup_exact_best,
+        "dedup_hybrid": dedup_hybrid,
     }
 
 
@@ -3676,4 +3747,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_rolling_corr": _ROLLING_CORR_SQL,
         "pipeline_corpus_prep": _PIPELINE_PREP_SQL,
         "dedup_exact_best": _DEDUP_EXACT_BEST_SQL,
+        "dedup_hybrid": _DEDUP_HYBRID_SQL,
     }

@@ -60,25 +60,59 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iters: int = 50,
-                         checkpoint_every: int = 5) -> DataFrame:
+                         checkpoint_every: int = 5,
+                         driver_edge_limit: int = 5_000_000) -> DataFrame:
     """Connected components by iterative min-label propagation (the
     "hash-to-min" family): every node's label starts as itself; each
     round a node adopts the minimum label in its closed neighborhood;
     stop when no label changed. Returns (node, component) with
     component = min node id of the component.
 
-    Scale shape: the edge list persists once (symmetrized, deduped);
-    each round is one join (labels onto edges, shuffle on node) + one
-    min-aggregation (shuffle on neighbor). Per-round state is O(nodes)
-    label rows; rounds needed = graph diameter (near-dup clusters are
-    shallow — duplicate groups have tiny diameters, so 3-5 rounds
-    close real corpora). The convergence check is a count of changed
-    labels (cheap agg). Lineage is truncated every
+    **Driver fast path**: only docs appearing in a near-dup PAIR enter
+    the computation, and that pair set is tiny relative to the corpus
+    (per-mille of rows even in dirty crawls). When the edge count fits
+    ``driver_edge_limit``, the edges collect to the driver and a
+    path-compressed union-find labels them in microseconds — the same
+    bounded-driver precedent as IVF training and BPE merges. The
+    distributed loop below is the overflow path (test-pinned equal).
+
+    Distributed scale shape: the edge list persists once (symmetrized,
+    deduped); each round is one join (labels onto edges, shuffle on
+    node) + one min-aggregation (shuffle on neighbor). Per-round state
+    is O(nodes) label rows; rounds needed = graph diameter (near-dup
+    clusters are shallow — duplicate groups have tiny diameters, so
+    3-5 rounds close real corpora). The convergence check is a count
+    of changed labels (cheap agg). Lineage is truncated every
     ``checkpoint_every`` rounds like pagerank's loop."""
     from pyspark.storagelevel import StorageLevel
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    if driver_edge_limit and e.count() <= driver_edge_limit:
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:       # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict = {}
+        for r in rows:
+            n = r["a"]
+            comp.setdefault(find(n), []).append(n)
+        out = [(n, min(members))
+               for root, members in comp.items() for n in set(members)]
+        spark = edges.sparkSession
+        e.unpersist()
+        return spark.createDataFrame(out, "node long, component long")
     labels = (e.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node")))
     for it in range(max_iters):

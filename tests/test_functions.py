@@ -998,3 +998,19 @@ def test_text_ops_unicode_safe(spark):
     assert (1, "的") in tf or (1, "是") in tf
     assert {r["doc_id"] for r in bigram_logprob(docs).collect()} == {1, 2, 3}
     assert hashed_tf_vectors(docs, dim=8).count() == 3
+
+
+def test_connected_components_distributed_equals_driver(spark):
+    """Forcing driver_edge_limit=0 exercises the distributed min-label
+    loop — identical labels to the union-find fast path."""
+    from quokka_spark.operators.graph import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "src long, dst long")
+    fast = {(r["node"], r["component"])
+            for r in connected_components(edges).collect()}
+    dist = {(r["node"], r["component"])
+            for r in connected_components(
+                edges, driver_edge_limit=0).collect()}
+    assert fast == dist
+    assert (1, 1) in fast and (3, 1) in fast and (12, 10) in fast
