@@ -1774,6 +1774,97 @@ FROM r WHERE rank <= 3
 """
 
 
+def op_pair_metrics(spark, sf_dir):
+    """Dedup evaluation as a first-class op (functions/dedup.
+    pair_metrics): precision/recall/F1 of the embedding-LSH pair set
+    against the exact all-pairs ground truth at the same threshold —
+    the report every recall dial is tuned by. Both pair sets are
+    SQL-expressible, so the metrics themselves are hash-exact."""
+    from quokka_spark.functions.dedup import (embedding_near_pairs,
+                                              embedding_near_pairs_lsh,
+                                              pair_metrics)
+    qc = _qc(spark)
+    emb = _t(qc, sf_dir, "embeddings").df
+    pred = embedding_near_pairs_lsh(emb, threshold=0.4, bits_per_table=4,
+                                    n_tables=16, dim=64)
+    truth = embedding_near_pairs(emb, threshold=0.4)
+    p, r, f1, n_pred, n_truth, n_hit = pair_metrics(pred, truth)
+    return spark.createDataFrame(
+        [(round(p, 6), round(r, 6), round(f1, 6),
+          n_pred, n_truth, n_hit)],
+        "precision double, recall double, f1 double, "
+        "n_pred long, n_truth long, n_hit long")
+
+
+_PAIR_METRICS_SQL = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), tabs AS (
+  SELECT vec_id, t,
+         CAST(v[CAST(t*4+1 AS INT)] > 0 AS INT)
+       + CAST(v[CAST(t*4+2 AS INT)] > 0 AS INT) * 2
+       + CAST(v[CAST(t*4+3 AS INT)] > 0 AS INT) * 4
+       + CAST(v[CAST(t*4+4 AS INT)] > 0 AS INT) * 8 AS bucket
+  FROM v, range(0, 16) r(t)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM tabs a JOIN tabs b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pred AS (
+  SELECT id1, id2
+  FROM cand JOIN v v1 ON cand.id1 = v1.vec_id
+            JOIN v v2 ON cand.id2 = v2.vec_id
+  WHERE list_cosine_similarity(v1.v, v2.v) >= 0.4
+), truth AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+), c AS (
+  SELECT (SELECT count(*) FROM pred) AS n_pred,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM pred JOIN truth USING (id1, id2)) AS n_hit
+)
+SELECT round(n_hit * 1.0 / n_pred, 6) AS precision,
+       round(n_hit * 1.0 / n_truth, 6) AS recall,
+       round(2.0 * (n_hit * 1.0 / n_pred) * (n_hit * 1.0 / n_truth)
+             / (n_hit * 1.0 / n_pred + n_hit * 1.0 / n_truth), 6) AS f1,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hit AS BIGINT) AS n_hit
+FROM c
+"""
+
+
+def text_entropy(spark, sf_dir):
+    """Character-entropy quality signal (functions/text.char_entropy):
+    the compressibility proxy separating natural language (~4 bits)
+    from base64 blobs and padding. Pure JVM higher-order expression,
+    zero exchanges; sorted-fold makes the float sum engine-identical."""
+    from quokka_spark.functions.text import char_entropy
+    qc = _qc(spark)
+    return _t(qc, sf_dir, "documents").df.select(
+        "doc_id", char_entropy("text").alias("entropy_bits"))
+
+
+_ENTROPY_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      '') AS cs,
+         length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN NULL ELSE round(-list_aggregate(
+         [len(list_filter(cs, x -> x = c)) / CAST(len(cs) AS DOUBLE)
+            * log2(len(list_filter(cs, x -> x = c))
+                   / CAST(len(cs) AS DOUBLE))
+          FOR c IN list_sort(list_distinct(cs))],
+         'sum'), 6) END AS entropy_bits
+FROM s
+"""
+
+
 def text_urls(spark, sf_dir):
     """URL extraction + domain blocklist filtering (functions/text.
     url_columns / flag_blocked_domains — the C4-style URL rules). The
@@ -3654,6 +3745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_corpus_prep": pipeline_corpus_prep,
         "dedup_exact_best": dedup_exact_best,
         "dedup_hybrid": dedup_hybrid,
+        "text_entropy": text_entropy,
+        "op_pair_metrics": op_pair_metrics,
     }
 
 
@@ -3748,4 +3841,6 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_corpus_prep": _PIPELINE_PREP_SQL,
         "dedup_exact_best": _DEDUP_EXACT_BEST_SQL,
         "dedup_hybrid": _DEDUP_HYBRID_SQL,
+        "text_entropy": _ENTROPY_SQL,
+        "op_pair_metrics": _PAIR_METRICS_SQL,
     }

@@ -11,6 +11,7 @@ from ..operators.graph import dedup_components
 from .dedup import (decontaminate, duplicated_spans, embedding_near_pairs,
                     embedding_near_pairs_lsh, exact_dedup,
                     exact_dedup_keep_best, hamming_near_pairs, line_dedup,
+                    pair_metrics,
                     minhash_dedup, ngram_jaccard_pairs, semantic_dedup,
                     simhash_near_pairs)
 from .multimodal import (decode_image, extract_image_features, image_phash,
@@ -24,7 +25,8 @@ from .similarity import (brute_force_topk, dequantize_embeddings, ivf_topk,
                          lsh_bucket_topk, nn_join, quantize_embeddings,
                          vector_range_join)
 from .sketches import cms_build, cms_estimate
-from .text import (bigram_logprob, bpe_token_columns, chunk_documents,
+from .text import (bigram_logprob, bpe_token_columns, char_entropy,
+                   chunk_documents,
                    fingerprint, flag_blocked_domains, gopher_quality_columns,
                    gopher_repetition, hashed_tf_vectors, lang_id, pii_columns,
                    quality_score, redact_pii, tfidf_top_terms, token_count,
@@ -46,6 +48,7 @@ __all__ = [
     "lsh_bucket_topk", "nn_join", "quantize_embeddings",
     "vector_range_join",
     "cms_build", "cms_estimate",
+    "pair_metrics", "char_entropy",
     "bigram_logprob", "bpe_token_columns", "chunk_documents", "fingerprint",
     "flag_blocked_domains", "gopher_quality_columns", "gopher_repetition",
     "hashed_tf_vectors", "lang_id", "pii_columns", "quality_score",

@@ -780,3 +780,32 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
              .filter(cos >= threshold)
              .select(F.col(f"b.{id_col}").alias(id_col)).distinct())
     return df.join(drops, on=id_col, how="left_anti")
+
+
+def pair_metrics(pred: DataFrame, truth: DataFrame,
+                 id1: str = "id1", id2: str = "id2") -> "tuple":
+    """Evaluation as a first-class pipeline op: (precision, recall,
+    f1, n_pred, n_truth, n_hit) of a predicted near-dup pair set
+    against ground truth — the numbers every dedup-recall dial
+    (bands, bits, hamming radius) is tuned by. Pairs canonicalize to
+    (min, max) and dedup before comparison, so orientation and
+    duplicates in either input don't distort the counts.
+
+    Plan: two distinct passes + one semi join — counts are driver
+    scalars (the metrics ARE scalars). Returns plain floats/ints."""
+    def canon(df):
+        return (df.select(F.least(F.col(id1), F.col(id2)).alias("i"),
+                          F.greatest(F.col(id1), F.col(id2)).alias("j"))
+                .distinct())
+    p, t = canon(pred).persist(), canon(truth).persist()
+    try:
+        n_pred, n_truth = p.count(), t.count()
+        n_hit = p.join(t, ["i", "j"], "left_semi").count()
+    finally:
+        p.unpersist(), t.unpersist()
+    precision = n_hit / n_pred if n_pred else None
+    recall = n_hit / n_truth if n_truth else None
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision and recall else
+          (0.0 if precision is not None and recall is not None else None))
+    return precision, recall, f1, n_pred, n_truth, n_hit

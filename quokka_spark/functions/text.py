@@ -585,3 +585,27 @@ def hashed_tf_vectors(df: DataFrame, text_col: str = "text",
         lambda i: F.coalesce(F.element_at("__m__", i), F.lit(0))
         .cast("float"))
     return m.select(F.col(id_col), vec.alias("tfvec"))
+
+
+def char_entropy(col: str) -> Column:
+    """Shannon entropy (bits/char) of the normalized text — the
+    compressibility proxy that separates natural language (~4 bits)
+    from base64/hex blobs (high) and boilerplate repetition (low);
+    the standard cheap filter for binary-junk and padding documents.
+
+    Pure JVM higher-order expression: per distinct character, count
+    occurrences via filter() over the char array — O(distinct × len)
+    per row, fine at document granularity — then -Σ p·log2(p). The
+    distinct characters are SORTED before the fold so the float
+    summation order (and hence the 6dp rounding) is engine-identical.
+    NULL for empty documents. Identical expression mirrors in DuckDB."""
+    norm = normalize_text_sql(col)
+    chars = f"split({norm}, '')"
+    # split('ab','') yields ['a','b'] in Spark; guard the empty string
+    n = f"size({chars})"
+    probs = (f"transform(array_sort(array_distinct({chars})), "
+             f"c -> size(filter({chars}, x -> x = c)) / cast({n} as double))")
+    ent = (f"-aggregate({probs}, cast(0.0 as double), "
+           f"(a, p) -> a + p * log2(p))")
+    return F.expr(f"case when length({norm}) = 0 then null "
+                  f"else round({ent}, 6) end")

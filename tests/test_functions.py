@@ -1014,3 +1014,19 @@ def test_connected_components_distributed_equals_driver(spark):
                 edges, driver_edge_limit=0).collect()}
     assert fast == dist
     assert (1, 1) in fast and (3, 1) in fast and (12, 10) in fast
+
+
+def test_pair_metrics_canonicalization_and_edges(spark):
+    from quokka_spark.functions.dedup import pair_metrics
+    pred = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 4), (5, 6)], "id1 long, id2 long")
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 3), (7, 8)], "id1 long, id2 long")
+    p, r, f1, n_pred, n_truth, n_hit = pair_metrics(pred, truth)
+    # pred canonicalizes to {12, 34, 56}; truth {12, 34, 78}; hits 2
+    assert (n_pred, n_truth, n_hit) == (3, 3, 2)
+    assert abs(p - 2 / 3) < 1e-12 and abs(r - 2 / 3) < 1e-12
+    assert abs(f1 - 2 / 3) < 1e-12
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    p2, r2, f2, *_ = pair_metrics(empty, truth)
+    assert p2 is None and r2 == 0.0
