@@ -1774,6 +1774,43 @@ FROM r WHERE rank <= 3
 """
 
 
+def text_accent_fold(spark, sf_dir):
+    """Accent folding (functions/text.strip_accents): per-codepoint
+    translate() table — engine-portable by construction. The synthetic
+    corpus is ASCII, so the gate injects accented forms derived from
+    doc_id (same expression in the oracle) and folds them back; the
+    fingerprints of folded-injected and original text must agree,
+    proving the fold inverts the injection — per-doc, hash-exact."""
+    from quokka_spark.functions.text import fingerprint, strip_accents
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    accented = F.translate(F.col("text"), "aeiouncAEIOUNC",
+                           "áéíóúñçÁÉÍÓÚÑÇ")
+    staged = docs.select(
+        "doc_id", F.col("text"), accented.alias("acc"))
+    return staged.select(
+        "doc_id",
+        fingerprint("text").alias("fp_orig"),
+        F.md5(F.lower(F.regexp_replace(F.trim(strip_accents(F.col("acc"))),
+                                       r"\s+", " "))).alias("fp_folded"),
+        (F.col("acc") != F.col("text")).alias("was_accented"))
+
+
+def _accent_fold_sql() -> str:
+    from quokka_spark.functions.text import _ACCENT_DST, _ACCENT_SRC
+    return rf"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_orig,
+       md5(lower(regexp_replace(trim(
+           translate(translate(text, 'aeiouncAEIOUNC', 'áéíóúñçÁÉÍÓÚÑÇ'),
+                     '{_ACCENT_SRC}', '{_ACCENT_DST}')),
+           '\s+', ' ', 'g'))) AS fp_folded,
+       translate(text, 'aeiouncAEIOUNC', 'áéíóúñçÁÉÍÓÚÑÇ') <> text
+         AS was_accented
+FROM documents
+"""
+
+
 def op_pair_metrics(spark, sf_dir):
     """Dedup evaluation as a first-class op (functions/dedup.
     pair_metrics): precision/recall/F1 of the embedding-LSH pair set
@@ -3747,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_hybrid": dedup_hybrid,
         "text_entropy": text_entropy,
         "op_pair_metrics": op_pair_metrics,
+        "text_accent_fold": text_accent_fold,
     }
 
 
@@ -3843,4 +3881,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_hybrid": _DEDUP_HYBRID_SQL,
         "text_entropy": _ENTROPY_SQL,
         "op_pair_metrics": _PAIR_METRICS_SQL,
+        "text_accent_fold": _accent_fold_sql(),
     }

@@ -609,3 +609,22 @@ def char_entropy(col: str) -> Column:
            f"(a, p) -> a + p * log2(p))")
     return F.expr(f"case when length({norm}) = 0 then null "
                   f"else round({ent}, 6) end")
+
+
+# Latin-1/Latin-Extended accent folding table (common European corpus
+# characters). Paired strings for translate(); both engines implement
+# translate identically (per-codepoint mapping), so the fold is
+# engine-portable by construction — unlike ICU-backed strip_accents.
+_ACCENT_SRC = 'áàâäãåāăÁÀÂÄÃÅĀĂéèêëēĕÉÈÊËĒĔíìîïīĭÍÌÎÏĪĬóòôöõøōŏÓÒÔÖÕØŌŎúùûüūŭÚÙÛÜŪŬñÑçćčÇĆČýÿÝŸžŽšŠđĐ'
+_ACCENT_DST = 'aaaaaaaaAAAAAAAAeeeeeeEEEEEEiiiiiiIIIIIIooooooooOOOOOOOOuuuuuuUUUUUUnNcccCCCyyYYzZsSdD'
+
+
+def strip_accents(col) -> Column:
+    """Accent folding for cross-lingual matching (dedup keys, search,
+    fingerprints): á→a, ñ→n, ç→c … via a fixed translate() table —
+    per-codepoint, zero exchanges, and the IDENTICAL expression runs
+    in DuckDB (engine-portable where locale-dependent strip_accents
+    implementations are not). Characters outside the table pass
+    through unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ACCENT_SRC, _ACCENT_DST)

@@ -1030,3 +1030,18 @@ def test_pair_metrics_canonicalization_and_edges(spark):
     empty = spark.createDataFrame([], "id1 long, id2 long")
     p2, r2, f2, *_ = pair_metrics(empty, truth)
     assert p2 is None and r2 == 0.0
+
+
+def test_strip_accents_folds_and_passes_through(spark):
+    from quokka_spark.functions.text import strip_accents
+    docs = spark.createDataFrame(
+        [(1, "café crème brûlée"), (2, "mañana ÊTRE Çà"),
+         (3, "plain ascii stays"), (4, "mixed 的中文 é ok")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["t"]
+           for r in docs.select("doc_id",
+                                strip_accents("text").alias("t")).collect()}
+    assert out[1] == "cafe creme brulee"
+    assert out[2] == "manana ETRE Ca"
+    assert out[3] == "plain ascii stays"
+    assert out[4] == "mixed 的中文 e ok"     # CJK untouched
