@@ -2404,6 +2404,58 @@ GROUP BY p.t
 """
 
 
+def op_bloom(spark, sf_dir):
+    """Bloom-filter membership (functions/sketches.bloom_build /
+    bloom_contains): no-false-negative prefilter for decontamination
+    and incremental dedup. Inserts even-doc_id tokensets' doc keys;
+    probes ALL doc keys plus synthetic absent keys — inserted keys
+    must ALL report present (the contract), absent keys mostly not
+    (false positives allowed and engine-identical). Hash-exact: the
+    bit set and every verdict replay in DuckDB."""
+    from quokka_spark.functions.sketches import bloom_build, bloom_contains
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    inserted = (docs.filter(F.col("doc_id") % 2 == 0)
+                .select(F.concat(F.lit("k"), F.col("doc_id").cast("string"))
+                        .alias("k")))
+    bloom = bloom_build(inserted, "k", n_hashes=5, width=4096)
+    probes = docs.select(
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("k"))
+    return (bloom_contains(bloom, probes, "k", n_hashes=5, width=4096)
+            .select("k", "maybe_present"))
+
+
+def _bloom_oracle(n_hashes: int = 5, width: int = 4096) -> str:
+    def bucket(h, src):
+        val = " + ".join(
+            f"(strpos('0123456789abcdef', "
+            f"substring(md5('bf{h}:' || {src}), {i + 1}, 1)) - 1) "
+            f"* {16 ** (3 - i)}"
+            for i in range(4))
+        return f"(({val}) % {width})"
+
+    ins = " UNION ALL ".join(
+        f"SELECT {bucket(h, 'k')} AS bit FROM ins" for h in range(n_hashes))
+    probe = " UNION ALL ".join(
+        f"SELECT k, {bucket(h, 'k')} AS bit FROM probes"
+        for h in range(n_hashes))
+    return f"""
+WITH ins AS (
+  SELECT 'k' || CAST(doc_id AS VARCHAR) AS k FROM documents
+  WHERE doc_id % 2 = 0
+), bloom AS (SELECT DISTINCT bit FROM ({ins})),
+probes AS (SELECT 'k' || CAST(doc_id AS VARCHAR) AS k FROM documents),
+pb AS ({probe}),
+dpb AS (SELECT DISTINCT k, bit FROM pb),
+need AS (SELECT k, count(*) AS n FROM dpb GROUP BY k),
+hits AS (
+  SELECT k, count(*) AS h FROM dpb JOIN bloom USING (bit) GROUP BY k
+)
+SELECT need.k, coalesce(h, 0) = n AS maybe_present
+FROM need LEFT JOIN hits ON need.k = hits.k
+"""
+
+
 def ml_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (functions/packing.
     bpe_train): learn the merge table on the cluster over the corpus
@@ -3785,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": text_entropy,
         "op_pair_metrics": op_pair_metrics,
         "text_accent_fold": text_accent_fold,
+        "op_bloom": op_bloom,
     }
 
 
@@ -3882,4 +3935,5 @@ def oracle_sql() -> dict[str, str]:
         "text_entropy": _ENTROPY_SQL,
         "op_pair_metrics": _PAIR_METRICS_SQL,
         "text_accent_fold": _accent_fold_sql(),
+        "op_bloom": _bloom_oracle(),
     }

@@ -24,7 +24,7 @@ from .sampling import (cap_per_key, hash_sample, split_by_hash,
 from .similarity import (brute_force_topk, dequantize_embeddings, ivf_topk,
                          lsh_bucket_topk, nn_join, quantize_embeddings,
                          vector_range_join)
-from .sketches import cms_build, cms_estimate
+from .sketches import bloom_build, bloom_contains, cms_build, cms_estimate
 from .text import (bigram_logprob, bpe_token_columns, char_entropy,
                    chunk_documents,
                    fingerprint, flag_blocked_domains, gopher_quality_columns,
@@ -47,7 +47,7 @@ __all__ = [
     "brute_force_topk", "dequantize_embeddings", "ivf_topk",
     "lsh_bucket_topk", "nn_join", "quantize_embeddings",
     "vector_range_join",
-    "cms_build", "cms_estimate",
+    "bloom_build", "bloom_contains", "cms_build", "cms_estimate",
     "pair_metrics", "char_entropy",
     "bigram_logprob", "bpe_token_columns", "chunk_documents", "fingerprint",
     "flag_blocked_domains", "gopher_quality_columns", "gopher_repetition",

@@ -59,3 +59,50 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("bigint").alias("est")))
+
+
+def _bloom_bits(key_col, n_hashes: int, width: int):
+    return F.array(*[
+        _portable_bucket(F.col(key_col), width, salt=f"bf{h}:")
+        for h in range(n_hashes)])
+
+
+def bloom_build(df: DataFrame, key_col: str, n_hashes: int = 5,
+                width: int = 1 << 20) -> DataFrame:
+    """Bloom filter as a DataFrame of SET BIT positions: each key sets
+    ``n_hashes`` salted bits in [0, width). One map-side explode + one
+    distinct — at most ``width`` slim rows regardless of input size,
+    mergeable across partitions/days by plain union+distinct.
+
+    The membership contract: a key inserted is ALWAYS found (no false
+    negatives — the guarantee decontamination prefilters need); an
+    absent key false-positives with rate ≈ (1 - e^(-kn/m))^k. Same
+    engine-portable md5-fold hashes as the CMS, so the bit set and
+    every probe verdict replay exactly in DuckDB."""
+    return (df.select(F.explode(_bloom_bits(key_col, n_hashes, width))
+                      .alias("bit"))
+            .distinct())
+
+
+def bloom_contains(bloom: DataFrame, keys: DataFrame, key_col: str,
+                   n_hashes: int = 5, width: int = 1 << 20) -> DataFrame:
+    """(key, maybe_present) per probe key: present iff ALL its bits are
+    set. The bit table is ≤ width slim rows — broadcast by AQE — and
+    the probe is one map-side explode + join + per-key count.
+    ``maybe_present = false`` is definitive absence (the prefilter can
+    safely skip the expensive exact check).
+
+    A key's hashes may collide among THEMSELVES (k draws into m bits),
+    so the check compares distinct-bit hits against the key's own
+    distinct-bit count — comparing against n_hashes would flip such
+    keys to absent and break the no-false-negative contract."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(_bloom_bits(key_col, n_hashes, width)).alias("bit"))         .distinct()
+    need = probes.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n__"))
+    hits = (probes.join(bloom, "bit", "left_semi")
+            .groupBy(key_col).agg(F.count(F.lit(1)).alias("__h__")))
+    return (need.join(hits, key_col, "left")
+            .select(F.col(key_col),
+                    (F.coalesce(F.col("__h__"), F.lit(0)) == F.col("__n__"))
+                    .alias("maybe_present")))

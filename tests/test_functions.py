@@ -1045,3 +1045,26 @@ def test_strip_accents_folds_and_passes_through(spark):
     assert out[2] == "manana ETRE Ca"
     assert out[3] == "plain ascii stays"
     assert out[4] == "mixed 的中文 e ok"     # CJK untouched
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.sketches import bloom_build, bloom_contains
+    inserted = spark.range(2000).select(
+        F.concat(F.lit("in"), F.col("id").cast("string")).alias("k"))
+    absent = spark.range(2000).select(
+        F.concat(F.lit("out"), F.col("id").cast("string")).alias("k"))
+    bloom = bloom_build(inserted, "k", n_hashes=5, width=1 << 15)
+    got_in = bloom_contains(bloom, inserted, "k", 5, 1 << 15).toPandas()
+    assert got_in["maybe_present"].all()            # NEVER a false negative
+    got_out = bloom_contains(bloom, absent, "k", 5, 1 << 15).toPandas()
+    fp = got_out["maybe_present"].mean()
+    assert fp < 0.05, fp                            # k=5, n/m≈0.06 → tiny
+    # mergeability: union of two half-blooms == bloom of the union
+    a = bloom_build(inserted.limit(1000), "k", 5, 1 << 15)
+    b_keys = spark.range(1000, 2000).select(
+        F.concat(F.lit("in"), F.col("id").cast("string")).alias("k"))
+    b = bloom_build(b_keys, "k", 5, 1 << 15)
+    merged = a.unionByName(b).distinct()
+    again = bloom_contains(merged, inserted, "k", 5, 1 << 15).toPandas()
+    assert again["maybe_present"].all()
