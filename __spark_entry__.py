@@ -2456,6 +2456,40 @@ FROM need LEFT JOIN hits ON need.k = hits.k
 """
 
 
+def dedup_incremental(spark, sf_dir):
+    """Daily-ingest dedup (functions/dedup.incremental_dedup): the new
+    batch (odd doc_ids) checks against the seen corpus (even ids)
+    through a Bloom prefilter + exact verify. Texts are injected so
+    one third of new docs are unique and the rest collide with seen.
+    The Bloom is correctness-invisible (false positives verified,
+    false negatives impossible), so the ORACLE is the plain anti-join
+    spec — implementation optimization, specification oracle."""
+    from quokka_spark.functions.dedup import incremental_dedup
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    tx = F.when(F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("U"), F.col("doc_id").cast("string"))) \
+        .otherwise(F.concat(F.lit("B"), (F.col("doc_id") % 7).cast("string")))
+    staged = docs.select("doc_id", tx.alias("text"))
+    new = staged.filter(F.col("doc_id") % 2 == 1)
+    seen = staged.filter(F.col("doc_id") % 2 == 0)
+    return incremental_dedup(new, seen, n_hashes=5,
+                             width=4096).select("doc_id")
+
+
+_DEDUP_INCREMENTAL_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'U' || CAST(doc_id AS VARCHAR)
+              ELSE 'B' || CAST(doc_id % 7 AS VARCHAR) END AS tx
+  FROM documents
+)
+SELECT doc_id FROM t
+WHERE doc_id % 2 = 1
+  AND tx NOT IN (SELECT tx FROM t WHERE doc_id % 2 = 0)
+"""
+
+
 def ml_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (functions/packing.
     bpe_train): learn the merge table on the cluster over the corpus
@@ -3838,6 +3872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_pair_metrics": op_pair_metrics,
         "text_accent_fold": text_accent_fold,
         "op_bloom": op_bloom,
+        "dedup_incremental": dedup_incremental,
     }
 
 
@@ -3936,4 +3971,5 @@ def oracle_sql() -> dict[str, str]:
         "op_pair_metrics": _PAIR_METRICS_SQL,
         "text_accent_fold": _accent_fold_sql(),
         "op_bloom": _bloom_oracle(),
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     }

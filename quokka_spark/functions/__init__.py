@@ -10,7 +10,8 @@ Flat re-exports so pipelines read as a vocabulary:
 from ..operators.graph import dedup_components
 from .dedup import (decontaminate, duplicated_spans, embedding_near_pairs,
                     embedding_near_pairs_lsh, exact_dedup,
-                    exact_dedup_keep_best, hamming_near_pairs, line_dedup,
+                    exact_dedup_keep_best, hamming_near_pairs,
+                    incremental_dedup, line_dedup,
                     pair_metrics,
                     minhash_dedup, ngram_jaccard_pairs, semantic_dedup,
                     simhash_near_pairs)
@@ -36,7 +37,8 @@ __all__ = [
     "decontaminate", "dedup_components", "duplicated_spans",
     "embedding_near_pairs", "embedding_near_pairs_lsh", "exact_dedup",
     "exact_dedup_keep_best", "hamming_near_pairs", "line_dedup",
-    "minhash_dedup", "ngram_jaccard_pairs", "semantic_dedup",
+    "incremental_dedup", "minhash_dedup", "ngram_jaccard_pairs",
+    "semantic_dedup",
     "simhash_near_pairs",
     "decode_image", "extract_image_features", "image_phash",
     "payload_metadata", "phash_near_pairs", "repartition_by_payload_size",

@@ -809,3 +809,29 @@ def pair_metrics(pred: DataFrame, truth: DataFrame,
           if precision and recall else
           (0.0 if precision is not None and recall is not None else None))
     return precision, recall, f1, n_pred, n_truth, n_hit
+
+
+def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 7, width: int = 1 << 20) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the daily-ingest
+    shape — without shuffling the corpus: the seen side compresses to
+    a Bloom filter of fingerprints (slim bit rows, buildable once and
+    reusable across batches); definitively-absent fingerprints skip
+    the corpus entirely, and only maybe-present candidates join the
+    seen fingerprint set for exact verification. Bloom false positives
+    are caught by the verify join, and false negatives are impossible,
+    so the result EQUALS the plain anti-join spec (the oracle) while
+    the corpus-side work is one fingerprint scan.
+
+    Returns the new rows whose text does not already exist in seen."""
+    from .sketches import bloom_build, bloom_contains
+    fp_new = new_df.withColumn("__fp__", fingerprint(text_col))
+    fp_seen = seen_df.select(fingerprint(text_col).alias("__fp__")).distinct()
+    bloom = bloom_build(fp_seen, "__fp__", n_hashes, width)
+    verdicts = bloom_contains(bloom, fp_new.select("__fp__").distinct(),
+                              "__fp__", n_hashes, width)
+    maybe = verdicts.filter(F.col("maybe_present")).select("__fp__")
+    confirmed = maybe.join(fp_seen, "__fp__", "left_semi")
+    return (fp_new.join(confirmed, "__fp__", "left_anti")
+            .drop("__fp__"))

@@ -1068,3 +1068,27 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     merged = a.unionByName(b).distinct()
     again = bloom_contains(merged, inserted, "k", 5, 1 << 15).toPandas()
     assert again["maybe_present"].all()
+
+
+def test_incremental_dedup_equals_plain_anti_join(spark):
+    """The bloom prefilter must be correctness-invisible: identical
+    survivors to a plain fingerprint anti-join, including when the
+    tiny width forces heavy false positives."""
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.dedup import incremental_dedup
+    from quokka_spark.functions.text import fingerprint
+    new = spark.createDataFrame(
+        [(i, f"text {i % 13}") for i in range(1, 200, 2)],
+        "doc_id long, text string")
+    seen = spark.createDataFrame(
+        [(i, f"text {i % 5}") for i in range(0, 200, 2)],
+        "doc_id long, text string")
+    # width=64 → fp rate near 1: every key exact-verifies, result same
+    for width in (64, 1 << 16):
+        got = sorted(r["doc_id"] for r in
+                     incremental_dedup(new, seen, width=width).collect())
+        spec = sorted(r["doc_id"] for r in new.withColumn(
+            "f", fingerprint("text")).join(
+                seen.select(fingerprint("text").alias("f")).distinct(),
+                "f", "left_anti").collect())
+        assert got == spec, width
