@@ -576,3 +576,56 @@ def test_random_zorder_matches_python_reference(spark, bits, lo, span):
             z |= ((nx >> b) & 1) << (2 * b)
             z |= ((ny >> b) & 1) << (2 * b + 1)
         assert got[i] == z, (i, x, y, got[i], z)
+
+
+_TEXT_ALPHABET = st.sampled_from(
+    list("ab c.#'\"\\%_()[]*+?^$|/-…") + ["的", "é", "ü", "\t", "\n", "🎉"])
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(st.lists(_TEXT_ALPHABET, min_size=0, max_size=40)
+                      .map("".join), min_size=1, max_size=8))
+def test_random_text_through_portable_ops_matches_duckdb(spark, texts):
+    """Random text — SQL quotes, regex metacharacters, CJK, emoji,
+    tabs — through the engine-portable text ops must match DuckDB
+    computing over the SAME rows (registered as a real table, no
+    literal-embedding escapes to get wrong)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.text import char_entropy, token_count
+    from quokka_spark.functions.sampling import hash_sample
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    got = {r["doc_id"]: (r["n"], r["e"]) for r in df.select(
+        "doc_id", token_count("text").cast("bigint").alias("n"),
+        char_entropy("text").alias("e")).collect()}
+    want = {r[0]: (r[1], r[2]) for r in con.execute(r"""
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END,
+               CASE WHEN length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) = 0
+                    THEN NULL ELSE round(-list_aggregate(
+                 [len(list_filter(cs, x -> x = c)) / CAST(len(cs) AS DOUBLE)
+                    * log2(len(list_filter(cs, x -> x = c))
+                           / CAST(len(cs) AS DOUBLE))
+                  FOR c IN list_sort(list_distinct(cs))], 'sum'), 6) END
+        FROM (SELECT doc_id, text,
+                     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '') AS cs
+              FROM documents)""").fetchall()}
+    assert got == want, (got, want)
+
+    # deterministic sampling membership on arbitrary-text KEYS
+    keyed = df.select(F.col("text").alias("k")).distinct()
+    got_s = sorted(r["k"] for r in
+                   hash_sample(keyed, "k", 0.5, salt="zz").collect())
+    want_s = sorted(r[0] for r in con.execute(
+        "SELECT DISTINCT text FROM documents "
+        "WHERE substring(md5('zz' || CAST(text AS VARCHAR)), 1, 12) "
+        "< '800000000000'").fetchall())
+    assert got_s == want_s
+    con.close()
