@@ -2094,6 +2094,40 @@ SELECT doc_id, source FROM r WHERE rn <= 40
 """
 
 
+def op_weighted_sample_k(spark, sf_dir):
+    """Fixed-size weighted sampling (functions/sampling.
+    weighted_sample_k, Efraimidis-Spirakis): exactly 10 docs per
+    source, inclusion ∝ n_chars, survivors a pure function of the
+    data. ln(u)/w over the exact md5-fold uniform is engine-portable,
+    so the oracle replays the identical top-k — hash-exact."""
+    from quokka_spark.functions.sampling import weighted_sample_k
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return weighted_sample_k(docs, "doc_id", "n_chars", 10,
+                             by="source", salt="es1") \
+        .select("doc_id", "source")
+
+
+def _weighted_sample_k_sql() -> str:
+    u = " + ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i}, 1)) - 1) / {16 ** i}.0"
+        for i in range(1, 13))
+    return f"""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         substring(md5('es1' || CAST(doc_id AS VARCHAR)), 1, 12) AS h
+  FROM documents WHERE n_chars > 0
+), s AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ln({u}) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+  FROM p
+)
+SELECT doc_id, source FROM s WHERE rn <= 10
+"""
+
+
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (functions/dedup.semantic_dedup): k-means the
     embeddings, drop within-cluster cosine near-dups keeping the lower
@@ -3873,6 +3907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_accent_fold": text_accent_fold,
         "op_bloom": op_bloom,
         "dedup_incremental": dedup_incremental,
+        "op_weighted_sample_k": op_weighted_sample_k,
     }
 
 
@@ -3972,4 +4007,5 @@ def oracle_sql() -> dict[str, str]:
         "text_accent_fold": _accent_fold_sql(),
         "op_bloom": _bloom_oracle(),
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "op_weighted_sample_k": _weighted_sample_k_sql(),
     }

@@ -21,7 +21,7 @@ from .multimodal import (decode_image, extract_image_features, image_phash,
 from .packing import bpe_train, pack_sequences
 from .sampling import (cap_per_key, hash_sample, split_by_hash,
                        split_leakage_safe, stratified_hash_sample,
-                       weighted_hash_sample)
+                       weighted_hash_sample, weighted_sample_k)
 from .similarity import (brute_force_topk, dequantize_embeddings, ivf_topk,
                          lsh_bucket_topk, nn_join, quantize_embeddings,
                          vector_range_join)
@@ -45,7 +45,7 @@ __all__ = [
     "sample_frames",
     "bpe_train", "pack_sequences",
     "cap_per_key", "hash_sample", "split_by_hash", "split_leakage_safe",
-    "stratified_hash_sample", "weighted_hash_sample",
+    "stratified_hash_sample", "weighted_hash_sample", "weighted_sample_k",
     "brute_force_topk", "dequantize_embeddings", "ivf_topk",
     "lsh_bucket_topk", "nn_join", "quantize_embeddings",
     "vector_range_join",

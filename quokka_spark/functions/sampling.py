@@ -179,3 +179,34 @@ def split_leakage_safe(df: DataFrame, id_col: str, pairs: DataFrame,
               .drop("__qs_canon__"))
     return split_by_hash(staged, grp, fractions, salt=salt,
                          out=out).drop(grp)
+
+
+def weighted_sample_k(df: DataFrame, key_col: str, weight_col: str,
+                      k: int, by=None, salt: str = "") -> DataFrame:
+    """FIXED-SIZE weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): keep the k rows with the largest u^(1/w), u the
+    deterministic hash uniform of the key — inclusion probability
+    ∝ weight, exactly k survivors (per group with ``by``), and the
+    usual hash-sampling stability: a pure function of the data.
+    Complements weighted_hash_sample (per-row acceptance, variable
+    size) when the budget is a COUNT — "the best 10k docs per source,
+    quality-weighted".
+
+    Ranking uses the monotone-equivalent ln(u)/w (avoids pow
+    underflow); rows with weight <= 0 or NULL never qualify. One
+    shuffle (on ``by`` or a constant); the rank-limit pushdown caps
+    every map task at k rows per group (the cap_per_key plan). Every
+    arithmetic step is an exactly-rounded double op over the exact
+    md5-fold uniform, so survivors are engine-portable — the oracle
+    replays them."""
+    from pyspark.sql import Window
+    w = F.col(weight_col).cast("double")
+    score = F.log(hash_uniform(key_col, salt)) / w
+    groups = ([by] if isinstance(by, str) else list(by)) if by else []
+    win = (Window.partitionBy(*groups)
+           .orderBy(F.desc("__qs_es__"), F.col(key_col)))
+    rn = "__qs_es_rn__"
+    return (df.filter(w > 0)
+            .withColumn("__qs_es__", score)
+            .withColumn(rn, F.row_number().over(win))
+            .filter(F.col(rn) <= k).drop(rn, "__qs_es__"))

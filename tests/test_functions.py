@@ -1092,3 +1092,28 @@ def test_incremental_dedup_equals_plain_anti_join(spark):
                 seen.select(fingerprint("text").alias("f")).distinct(),
                 "f", "left_anti").collect())
         assert got == spec, width
+
+
+def test_weighted_sample_k_proportional_and_exact_size(spark):
+    """A-ES properties: exactly k per group, deterministic, and heavy
+    weights are strongly over-represented across salts."""
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.sampling import weighted_sample_k
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.when(F.col("id") % 7 == 0, 100.0).otherwise(1.0).alias("w"))
+    out = weighted_sample_k(df, "doc_id", "w", 25, by="g",
+                            salt="a").toPandas()
+    assert (out.groupby("g").size() == 25).all()
+    again = weighted_sample_k(df, "doc_id", "w", 25, by="g",
+                              salt="a").toPandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])
+    # heavy rows are ~14% of every group but should dominate the sample
+    heavy_frac = (out["doc_id"] % 7 == 0).mean()
+    assert heavy_frac > 0.6, heavy_frac
+    # zero/NULL weights never sampled
+    z = df.withColumn("w", F.when(F.col("doc_id") < 900,
+                                  F.col("w")))  # 100 NULLs
+    zo = weighted_sample_k(z, "doc_id", "w", 25, by="g").toPandas()
+    assert (zo["doc_id"] < 900).all()
