@@ -839,6 +839,47 @@ FROM events
 """
 
 
+def ts_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (operators/windows.ewma, the
+    adjust=False recurrence truncated to a 20-row lookback): weights
+    and tail masses are exact shared literals and both engines LEFT-
+    fold the weighted terms (Spark aggregate / DuckDB list_reduce),
+    so the sum is bit-identical before rounding — hash-exact."""
+    from quokka_spark.operators.windows import ewma
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts")
+    out = ewma(ev.df, "ts", "user_id", "value", alpha=0.3, lookback=20,
+               tiebreak="event_id")
+    return out.select("user_id", "event_id", "ewma")
+
+
+def _ewma_oracle(alpha: float = 0.3, lookback: int = 20) -> str:
+    weights = [alpha * (1 - alpha) ** i for i in range(lookback)]
+    tails = [(1 - alpha) ** i for i in range(lookback)]
+    wlit = "[" + ", ".join(repr(float(x)) for x in weights) + "]"
+    tlit = "[" + ", ".join(repr(float(x)) for x in tails) + "]"
+    return f"""
+WITH w AS (
+  SELECT user_id, event_id,
+         list_reverse(list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {lookback - 1} PRECEDING AND CURRENT ROW)) AS vals
+  FROM events
+), b AS (
+  SELECT user_id, event_id, vals,
+         list_append({wlit}[1 : len(vals) - 1],
+                     {tlit}[len(vals)]) AS adj
+  FROM w
+)
+SELECT user_id, event_id,
+       round(list_reduce(
+         [CAST(vals[i] * adj[i] AS DOUBLE)
+          FOR i IN generate_series(1, len(vals))],
+         (a, b) -> a + b), 6) AS ewma
+FROM b
+"""
+
+
 def ts_session(spark, sf_dir):
     from quokka_spark.windowtypes import SessionWindow
     qc = _qc(spark)
@@ -3908,6 +3949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_bloom": op_bloom,
         "dedup_incremental": dedup_incremental,
         "op_weighted_sample_k": op_weighted_sample_k,
+        "ts_ewma": ts_ewma,
     }
 
 
@@ -4008,4 +4050,5 @@ def oracle_sql() -> dict[str, str]:
         "op_bloom": _bloom_oracle(),
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "op_weighted_sample_k": _weighted_sample_k_sql(),
+        "ts_ewma": _ewma_oracle(),
     }

@@ -317,3 +317,48 @@ def session_window(df: DataFrame, time_col: str, by: list, timeout,
         F.col("__session__.start").alias("session_start"),
         F.col("__session__.end").alias("session_end"),
         *aggregation_dict.keys())
+
+
+def ewma(df: DataFrame, time_col: str, by, value_col: str,
+         alpha: float = 0.2, lookback: int = 50,
+         out: str = "ewma", tiebreak: str | None = None) -> DataFrame:
+    """Exponentially weighted moving average per key — the classic
+    smoothing of the reference's finance domain (rottnest), truncated
+    to the trailing ``lookback`` rows (weight beyond that is
+    (1-α)^lookback ≈ 0 for any practical α):
+
+        ewma_t = Σ_{i=0..n-1} α·(1-α)^i · x_{t-i}   (+ tail weight of
+        the oldest row absorbing the remaining mass, so weights sum
+        to 1 — the standard ``adjust=False`` recurrence unrolled).
+
+    Formulation: collect the trailing values (newest-first) into the
+    row's window array, then one JVM higher-order fold — weights are
+    driver-computed exact literals, the fold order is the array order
+    on BOTH engines, so results are engine-identical and the oracle
+    replays them. One shuffle on the key; parallelism follows keys
+    like the plain sliding window."""
+    from pyspark.sql import Window
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    order = [F.col(time_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    groups = [by] if isinstance(by, str) else list(by)
+    w = (Window.partitionBy(*groups).orderBy(*order)
+         .rowsBetween(-(lookback - 1), 0))
+    # newest-first weights w_i = a(1-a)^i; the LAST position of the
+    # actual window absorbs the tail mass (1-a)^(n-1) — taken from a
+    # precomputed literal array (CLOSED FORM, no engine-side summation)
+    weights = [alpha * (1 - alpha) ** i for i in range(lookback)]
+    tails = [(1 - alpha) ** i for i in range(lookback)]
+    vals = F.reverse(F.collect_list(F.col(value_col).cast("double")).over(w))
+    wlit = F.array(*[F.lit(float(x)) for x in weights])
+    tlit = F.array(*[F.lit(float(x)) for x in tails])
+    n = F.size(vals)
+    adj = F.concat(F.slice(wlit, 1, n - 1),
+                   F.array(F.element_at(tlit, n)))
+    # strict LEFT fold (matched by list_reduce in the oracle): both
+    # engines add the weighted terms in the identical order, so the
+    # result is bit-identical before rounding — no midpoint hazards
+    folded = F.aggregate(
+        F.zip_with(vals, adj, lambda v, wt: v * wt),
+        F.lit(0.0), lambda a, x: a + x)
+    return df.withColumn(out, F.round(folded, 6))

@@ -641,3 +641,25 @@ def test_streaming_cms_equals_batch(spark, qc, tmp_path):
     want = {(r["row"], r["bucket"]): r["cnt"]
             for r in cms_build(src, "source", depth=4, width=64).collect()}
     assert got == want and len(want) > 0
+
+
+def test_ewma_matches_pandas_adjust_false(spark):
+    """Within the lookback horizon the truncated EWMA must equal
+    pandas ewm(adjust=False); per-key isolation and the NTZ-safe
+    time path come along for free."""
+    import numpy as np
+    import pandas as pd
+    from quokka_spark.operators.windows import ewma
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "k": [1] * 30 + [2] * 30,
+        "t": list(range(30)) * 2,
+        "v": rng.normal(0, 1, 60)})
+    out = (ewma(spark.createDataFrame(pdf), "t", "k", "v",
+                alpha=0.4, lookback=64)
+           .toPandas().sort_values(["k", "t"]).reset_index(drop=True))
+    want = (pdf.sort_values(["k", "t"])
+            .groupby("k")["v"]
+            .transform(lambda s: s.ewm(alpha=0.4, adjust=False).mean())
+            .reset_index(drop=True))
+    assert np.allclose(out["ewma"], want.round(6), atol=2e-6)
