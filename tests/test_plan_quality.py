@@ -256,3 +256,11 @@ def test_pipeline_corpus_prep_single_plan(spark):
     s = explain(em.pipeline_corpus_prep(spark, SF))
     assert "CartesianProduct" not in s
     assert s.count("Exchange SinglePartition") == 0, s
+
+
+def test_ewma_single_key_exchange(spark):
+    """The EWMA plan is one per-key window: a single hash exchange on
+    the key, no join, no cartesian."""
+    s = explain(em.ts_ewma(spark, SF))
+    assert s.count("Exchange hashpartitioning") == 1, s
+    assert "Join" not in s and "CartesianProduct" not in s
