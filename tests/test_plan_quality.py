@@ -262,5 +262,6 @@ def test_ewma_single_key_exchange(spark):
     """The EWMA plan is one per-key window: a single hash exchange on
     the key, no join, no cartesian."""
     s = explain(em.ts_ewma(spark, SF))
-    assert s.count("Exchange hashpartitioning") == 1, s
+    assert s.count("+- Exchange") == 1, s
+    assert "hashpartitioning(user_id" in s, s
     assert "Join" not in s and "CartesianProduct" not in s
