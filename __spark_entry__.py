@@ -839,6 +839,46 @@ FROM events
 """
 
 
+def ts_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flag per key: each event scored against
+    its own trailing 7-day window (avg, stddev_samp via the same
+    SlidingWindow machinery, passthrough columns via keep=), |z| > 1.8
+    flagged (threshold chosen so the flag actually fires on this
+    data's short windows). Degenerate windows (n < 2 or zero variance → NULL/0 std)
+    yield NULL z and false flag — identical semantics both engines."""
+    from quokka_spark.windowtypes import SlidingWindow
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts")
+    win = SlidingWindow("7d", {"m": "avg(value)",
+                               "s": "stddev_samp(value)"})
+    out = ev.windowed_transform(win, by="user_id",
+                                keep=["event_id", "value"]).df
+    z = (F.col("value") - F.col("m")) / F.col("s")
+    z = F.when(F.col("s") > 0, F.round(z, 6))
+    return out.select("user_id", "event_id", z.alias("z"),
+                      F.coalesce(F.abs(z) > 1.8, F.lit(False))
+                      .alias("anomaly"))
+
+
+_ZSCORE_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         avg(value) OVER win AS m,
+         stddev_samp(value) OVER win AS s
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       CASE WHEN s > 0 THEN round((value - m) / s, 6) END AS z,
+       coalesce(CASE WHEN s > 0
+                     THEN abs(round((value - m) / s, 6)) > 1.8 END,
+                false) AS anomaly
+FROM w
+"""
+
+
 def ts_ewma(spark, sf_dir):
     """Per-user EWMA of event values (operators/windows.ewma, the
     adjust=False recurrence truncated to a 20-row lookback): weights
@@ -3950,6 +3990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "op_weighted_sample_k": op_weighted_sample_k,
         "ts_ewma": ts_ewma,
+        "ts_zscore": ts_zscore,
     }
 
 
@@ -4051,4 +4092,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "op_weighted_sample_k": _weighted_sample_k_sql(),
         "ts_ewma": _ewma_oracle(),
+        "ts_zscore": _ZSCORE_SQL,
     }

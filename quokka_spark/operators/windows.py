@@ -136,8 +136,13 @@ def choose_bucket(df: DataFrame, time_col: str, by: list,
 
 
 def windowed_transform(df: DataFrame, window, time_col: str, by,
-                       trigger: Trigger | None = None) -> DataFrame:
-    """Dispatch on window type (reference datastream.py:1650-1700)."""
+                       trigger: Trigger | None = None,
+                       keep: list | None = None) -> DataFrame:
+    """Dispatch on window type (reference datastream.py:1650-1700).
+    ``keep`` (sliding windows only): passthrough source columns
+    carried into the output beside (by, time, aggs) — the per-event
+    scoring shape (z-score: the row's own value next to its window's
+    mean/std)."""
     by = [by] if isinstance(by, str) else list(by or [])
     trigger = trigger or OnCompletionTrigger()
 
@@ -158,9 +163,9 @@ def windowed_transform(df: DataFrame, window, time_col: str, by,
             return sliding_window_bucketed(df, time_col, by,
                                            window.size_before,
                                            window.aggregation_dict,
-                                           bucket)
+                                           bucket, keep=keep)
         return sliding_window(df, time_col, by, window.size_before,
-                              window.aggregation_dict)
+                              window.aggregation_dict, keep=keep)
     if isinstance(window, SessionWindow):
         if isinstance(trigger, OnEventTrigger):
             raise NotImplementedError(
@@ -205,7 +210,7 @@ def tumbling_window_running(df: DataFrame, time_col: str, by: list, size,
 
 def sliding_window_bucketed(df: DataFrame, time_col: str, by: list,
                             size_before, aggregation_dict: dict,
-                            bucket) -> DataFrame:
+                            bucket, keep: list | None = None) -> DataFrame:
     """Overlap-chunk (halo) formulation of the trailing window for
     LOW-KEY-COUNT streams: the plain sliding window partitions by key
     only — one task per key. Here each row lands in its time bucket,
@@ -233,12 +238,14 @@ def sliding_window_bucketed(df: DataFrame, time_col: str, by: list,
          .rangeBetween(-size_us, 0))
     aggs = [_over(sql, w).alias(alias)
             for alias, sql in aggregation_dict.items()]
-    return (unioned.select(*by, time_col, F.col("__halo__"), *aggs)
+    return (unioned.select(*by, time_col, *(keep or []),
+                           F.col("__halo__"), *aggs)
             .filter(~F.col("__halo__")).drop("__halo__"))
 
 
 def sliding_window(df: DataFrame, time_col: str, by: list, size_before,
-                   aggregation_dict: dict) -> DataFrame:
+                   aggregation_dict: dict,
+                   keep: list | None = None) -> DataFrame:
     """Trailing window of ``size_before`` per event (reference
     ts_executors.py:147-194, polars groupby_rolling): range frame
     [-size_before, 0] over event-time seconds.
@@ -257,7 +264,7 @@ def sliding_window(df: DataFrame, time_col: str, by: list, size_before,
          .rangeBetween(-size_us, 0))
     aggs = [_over(sql, w).alias(alias)
             for alias, sql in aggregation_dict.items()]
-    return df.select(*by, time_col, *aggs)
+    return df.select(*by, time_col, *(keep or []), *aggs)
 
 
 def candlestick(df: DataFrame, time_col: str, by, price_col: str,

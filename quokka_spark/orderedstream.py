@@ -82,12 +82,14 @@ class OrderedStream(DataStream):
         return OrderedStream(self.qc, out, sorted=self.sorted)
 
     def windowed_transform(self, window, by=None, time_col: str | None = None,
-                           trigger: Trigger | None = None) -> DataStream:
+                           trigger: Trigger | None = None,
+                           keep: list | None = None) -> DataStream:
         """Windowed aggregation dispatch (reference datastream.py:1650-1700);
-        see operators/windows.py."""
+        see operators/windows.py. ``keep``: sliding-window passthrough
+        columns (the per-event scoring shape)."""
         from .operators.windows import windowed_transform as _wt
         time_col = time_col or self._sort_key
-        out = _wt(self.df, window, time_col, by, trigger)
+        out = _wt(self.df, window, time_col, by, trigger, keep=keep)
         return DataStream(self.qc, out)
 
     def pattern_recognize(self, time_col: str, events: list, maxspan,
