@@ -839,6 +839,35 @@ FROM events
 """
 
 
+def ts_drawdown(spark, sf_dir):
+    """Running drawdown per key (the backtester risk metric beside
+    ts_backtest's equity curve): value / running-max − 1 over the
+    ordered stream — RANGE UNBOUNDED PRECEDING per user, one shuffle.
+    All values are positive in this data, so the ratio is well-defined;
+    hash-exact (single division + rounding, no summation order)."""
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts")
+    from pyspark.sql import Window
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts"), F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    peak = F.max("value").over(w)
+    return ev.df.select(
+        "user_id", "event_id",
+        F.round(F.col("value") / peak - 1.0, 6).alias("drawdown"),
+        (F.col("value") == peak).alias("at_peak"))
+
+
+_DRAWDOWN_SQL = """
+SELECT user_id, event_id,
+       round(value / max(value) OVER w - 1.0, 6) AS drawdown,
+       value = max(value) OVER w AS at_peak
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def ts_zscore(spark, sf_dir):
     """Rolling z-score anomaly flag per key: each event scored against
     its own trailing 7-day window (avg, stddev_samp via the same
@@ -3991,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_weighted_sample_k": op_weighted_sample_k,
         "ts_ewma": ts_ewma,
         "ts_zscore": ts_zscore,
+        "ts_drawdown": ts_drawdown,
     }
 
 
@@ -4093,4 +4123,5 @@ def oracle_sql() -> dict[str, str]:
         "op_weighted_sample_k": _weighted_sample_k_sql(),
         "ts_ewma": _ewma_oracle(),
         "ts_zscore": _ZSCORE_SQL,
+        "ts_drawdown": _DRAWDOWN_SQL,
     }
