@@ -1982,6 +1982,40 @@ FROM c
 """
 
 
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease (functions/text.readability_columns):
+    sentence/syllable proxies via portable regexp counts, map-side
+    only. The arithmetic is a fixed chain of exactly-rounded double
+    ops over small integers — hash-exact."""
+    from quokka_spark.functions.text import readability_columns
+    qc = _qc(spark)
+    return _t(qc, sf_dir, "documents").df.select(
+        "doc_id", *readability_columns("text"))
+
+
+_READABILITY_SQL = r"""
+WITH g AS (
+  SELECT doc_id, trim(text) AS t,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS nw
+  FROM documents
+), m AS (
+  SELECT doc_id, CAST(nw AS DOUBLE) AS w,
+         CAST(greatest(len(regexp_extract_all(t, '[.!?]+')), 1)
+              AS DOUBLE) AS s,
+         CAST(len(regexp_extract_all(norm, '[aeiouy]+')) AS DOUBLE) AS y
+  FROM g
+)
+SELECT doc_id, CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CASE WHEN w > 0
+            THEN round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 6)
+       END AS flesch
+FROM m
+"""
+
+
 def text_entropy(spark, sf_dir):
     """Character-entropy quality signal (functions/text.char_entropy):
     the compressibility proxy separating natural language (~4 bits)
@@ -4021,6 +4055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma": ts_ewma,
         "ts_zscore": ts_zscore,
         "ts_drawdown": ts_drawdown,
+        "text_readability": text_readability,
     }
 
 
@@ -4124,4 +4159,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_ewma": _ewma_oracle(),
         "ts_zscore": _ZSCORE_SQL,
         "ts_drawdown": _DRAWDOWN_SQL,
+        "text_readability": _READABILITY_SQL,
     }

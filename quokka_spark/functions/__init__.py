@@ -30,7 +30,7 @@ from .text import (bigram_logprob, bpe_token_columns, char_entropy,
                    chunk_documents,
                    fingerprint, flag_blocked_domains, gopher_quality_columns,
                    gopher_repetition, hashed_tf_vectors, lang_id, pii_columns,
-                   quality_score, redact_pii, strip_accents, tfidf_top_terms, token_count,
+                   quality_score, readability_columns, redact_pii, strip_accents, tfidf_top_terms, token_count,
                    unigram_logprob, url_columns)
 
 __all__ = [
@@ -54,7 +54,7 @@ __all__ = [
     "bigram_logprob", "bpe_token_columns", "chunk_documents", "fingerprint",
     "flag_blocked_domains", "gopher_quality_columns", "gopher_repetition",
     "hashed_tf_vectors", "lang_id", "pii_columns", "quality_score",
-    "redact_pii", "strip_accents", "tfidf_top_terms", "token_count",
+    "readability_columns", "redact_pii", "strip_accents", "tfidf_top_terms", "token_count",
     "unigram_logprob",
     "url_columns",
 ]

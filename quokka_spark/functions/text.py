@@ -628,3 +628,27 @@ def strip_accents(col) -> Column:
     through unchanged."""
     c = F.col(col) if isinstance(col, str) else col
     return F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+
+
+def readability_columns(col: str) -> list:
+    """Flesch reading-ease signals as portable expressions:
+    ``n_sentences`` ([.!?]+ runs, min 1 for non-empty text),
+    ``n_syllables`` ([aeiouy]+ vowel-group proxy, the standard cheap
+    estimator), and ``flesch`` = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words); NULL for empty documents. Everything is a
+    map-side regexp count in the shared Java/RE2 subset — zero
+    exchanges — and the identical expressions run in DuckDB."""
+    c = F.trim(F.col(col))
+    norm = normalize_text(col)
+    n_words = F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))).cast("double")
+    n_sent = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")),
+                        F.lit(1)).cast("double")
+    n_syl = F.regexp_count(norm, F.lit("[aeiouy]+")).cast("double")
+    flesch = F.when(
+        n_words > 0,
+        F.round(F.lit(206.835) - F.lit(1.015) * (n_words / n_sent)
+                - F.lit(84.6) * (n_syl / n_words), 6))
+    return [n_sent.cast("bigint").alias("n_sentences"),
+            n_syl.cast("bigint").alias("n_syllables"),
+            flesch.alias("flesch")]
