@@ -839,6 +839,36 @@ FROM events
 """
 
 
+def ts_vwap(spark, sf_dir):
+    """Volume-weighted average price per hourly bar (the candlestick
+    companion): weight = the JSON ``props.k`` field — exercising JSON
+    extraction inside a weighted aggregate. One shuffle on
+    (user, bar); partial aggregation absorbs the products map-side."""
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts")
+    k = F.get_json_object("props", "$.k").cast("double")
+    bar = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    sumk = F.sum(k)
+    return (ev.df.groupBy("user_id", bar.alias("bar"))
+            .agg(F.round(F.when(sumk > 0,
+                                F.sum(F.col("value") * k) / sumk), 4)
+                 .alias("vwap"),
+                 F.coalesce(sumk, F.lit(0.0)).cast("bigint")
+                 .alias("volume")))
+
+
+_VWAP_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS bar,
+       round(CASE WHEN sum(CAST(json_extract_string(props, 'k') AS DOUBLE)) > 0
+             THEN sum(value * CAST(json_extract_string(props, 'k') AS DOUBLE))
+                  / sum(CAST(json_extract_string(props, 'k') AS DOUBLE)) END,
+             4) AS vwap,
+       CAST(coalesce(sum(CAST(json_extract_string(props, 'k') AS DOUBLE)),
+                     0.0) AS BIGINT) AS volume
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
 def ts_drawdown(spark, sf_dir):
     """Running drawdown per key (the backtester risk metric beside
     ts_backtest's equity curve): value / running-max − 1 over the
@@ -4056,6 +4086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_zscore": ts_zscore,
         "ts_drawdown": ts_drawdown,
         "text_readability": text_readability,
+        "ts_vwap": ts_vwap,
     }
 
 
@@ -4160,4 +4191,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_zscore": _ZSCORE_SQL,
         "ts_drawdown": _DRAWDOWN_SQL,
         "text_readability": _READABILITY_SQL,
+        "ts_vwap": _VWAP_SQL,
     }
