@@ -3796,6 +3796,28 @@ FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
 """
 
 
+def op_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS through the SQL front end (§2.4
+    parity-plus beyond rollup/cube: a hand-picked set list) — per-
+    status, per-priority, and grand totals in one pass; Spark plans
+    one Expand + one aggregate, both engines share the semantics."""
+    qc = _qc(spark)
+    return qc.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM ord
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """, tables={"ord": _t(qc, sf_dir, "orders")}).df
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def op_sql_tpch(spark, sf_dir):
     """TPC-H Q1 SQL TEXT (DuckDB dialect, the oracle's own string) run
     through qc.sql() — proves the SQL front end executes real queries
@@ -4087,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_drawdown": ts_drawdown,
         "text_readability": text_readability,
         "ts_vwap": ts_vwap,
+        "op_grouping_sets": op_grouping_sets,
     }
 
 
@@ -4192,4 +4215,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_drawdown": _DRAWDOWN_SQL,
         "text_readability": _READABILITY_SQL,
         "ts_vwap": _VWAP_SQL,
+        "op_grouping_sets": _GROUPING_SETS_SQL,
     }
