@@ -2918,6 +2918,38 @@ WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5
 """
 
 
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dup (functions/dedup.
+    ngram_containment_pairs): |A∩B|/|A| ≥ 0.8 over 2-gram shingles —
+    catches short docs quoted inside long ones where Jaccard stays
+    small. Ordered pairs, hash-exact oracle."""
+    from quokka_spark.functions.dedup import ngram_containment_pairs
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    return ngram_containment_pairs(docs, n=2, threshold=0.8)
+
+
+_CONTAINMENT_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+1], ' ')
+                                for i in generate_series(1, greatest(len(w) - 1, 1))]) AS shingles
+  FROM docs
+), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+shared AS (
+  SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_sub, id_super, round(c * 1.0 / s1.n, 6) AS containment
+FROM shared JOIN sizes s1 ON id_sub = s1.doc_id
+WHERE c * 1.0 / s1.n >= 0.8
+"""
+
+
 def dedup_minhash(spark, sf_dir):
     """Banded minhash-LSH candidates verified by exact jaccard ≥ 0.6.
     The data's near-dup pairs all have jaccard ≥ 0.9 where 16-band/4-row
@@ -4110,6 +4142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": text_readability,
         "ts_vwap": ts_vwap,
         "op_grouping_sets": op_grouping_sets,
+        "dedup_containment": dedup_containment,
     }
 
 
@@ -4216,4 +4249,5 @@ def oracle_sql() -> dict[str, str]:
         "text_readability": _READABILITY_SQL,
         "ts_vwap": _VWAP_SQL,
         "op_grouping_sets": _GROUPING_SETS_SQL,
+        "dedup_containment": _CONTAINMENT_SQL,
     }

@@ -12,6 +12,7 @@ from .dedup import (decontaminate, duplicated_spans, embedding_near_pairs,
                     embedding_near_pairs_lsh, exact_dedup,
                     exact_dedup_keep_best, hamming_near_pairs,
                     incremental_dedup, line_dedup,
+                    ngram_containment_pairs,
                     pair_metrics,
                     minhash_dedup, ngram_jaccard_pairs, semantic_dedup,
                     simhash_near_pairs)
@@ -37,7 +38,8 @@ __all__ = [
     "decontaminate", "dedup_components", "duplicated_spans",
     "embedding_near_pairs", "embedding_near_pairs_lsh", "exact_dedup",
     "exact_dedup_keep_best", "hamming_near_pairs", "line_dedup",
-    "incremental_dedup", "minhash_dedup", "ngram_jaccard_pairs",
+    "incremental_dedup", "minhash_dedup", "ngram_containment_pairs",
+    "ngram_jaccard_pairs",
     "semantic_dedup",
     "simhash_near_pairs",
     "decode_image", "extract_image_features", "image_phash",

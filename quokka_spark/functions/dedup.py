@@ -835,3 +835,46 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
     confirmed = maybe.join(fp_seen, "__fp__", "left_semi")
     return (fp_new.join(confirmed, "__fp__", "left_anti")
             .drop("__fp__"))
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.8,
+                            max_df: int | None = None) -> DataFrame:
+    """ASYMMETRIC near-dup: containment(A in B) = |A∩B| / |A| — the
+    measure that catches a short document quoted/embedded inside a
+    longer one, where symmetric Jaccard stays small because the union
+    is dominated by the long side. Returns (id_sub, id_super,
+    containment) for ordered pairs with containment ≥ τ (both
+    directions are checked; a pair can appear twice when each side is
+    mostly contained in the other).
+
+    Same inverted-index plan (and ``max_df`` hot-shingle cap) as
+    ngram_jaccard_pairs — one shingle self-join, pair counts, per-doc
+    sizes; only the denominator changes."""
+    shingled = _with_shingles(df, text_col, id_col, n)
+    inv = shingled.select(id_col, F.explode("__sh__").alias("__s__"))
+    if max_df is not None:
+        keep = (inv.groupBy("__s__")
+                .agg(F.count(F.lit(1)).alias("__df__"))
+                .filter(F.col("__df__") <= max_df)
+                .select("__s__"))
+        inv = inv.join(keep, "__s__", "left_semi")
+        sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+    else:
+        sizes = shingled.select(id_col, F.size("__sh__").alias("__n__"))
+    inv = inv.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "__s__")
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (a.join(b, (F.col("a.__s__") == F.col("b.__s__")) &
+                     (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("id_sub"),
+                       F.col(f"b.{id_col}").alias("id_super"))
+              .agg(F.count(F.lit(1)).alias("__c__")))
+    s1 = sizes.select(F.col(id_col).alias("id_sub"),
+                      F.col("__n__").alias("__n1__"))
+    return (shared.join(s1, "id_sub")
+            .withColumn("containment",
+                        F.round(F.col("__c__") / F.col("__n1__"), 6))
+            .filter(F.col("containment") >= threshold)
+            .select("id_sub", "id_super", "containment"))

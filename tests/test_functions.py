@@ -1117,3 +1117,23 @@ def test_weighted_sample_k_proportional_and_exact_size(spark):
                                   F.col("w")))  # 100 NULLs
     zo = weighted_sample_k(z, "doc_id", "w", 25, by="g").toPandas()
     assert (zo["doc_id"] < 900).all()
+
+
+def test_containment_catches_quote_where_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment(sub in
+    super) = 1.0 while symmetric jaccard stays far below a near-dup
+    threshold — the asymmetric measure's reason to exist."""
+    from quokka_spark.functions.dedup import (ngram_containment_pairs,
+                                              ngram_jaccard_pairs)
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    short_doc = " ".join(f"w{i}" for i in range(20, 30))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, "completely different words")],
+        "doc_id long, text string")
+    cont = {(r["id_sub"], r["id_super"]): r["containment"]
+            for r in ngram_containment_pairs(docs, n=2,
+                                             threshold=0.8).collect()}
+    assert cont.get((2, 1)) == 1.0          # short contained in long
+    assert (1, 2) not in cont               # long not contained in short
+    jac = ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
+    assert not any({r["id1"], r["id2"]} == {1, 2} for r in jac)
