@@ -3940,6 +3940,37 @@ def op_approx_count_distinct(spark, sf_dir):
 _APPROX_CD_SQL = "SELECT TRUE AS within_bounds"
 
 
+def op_percentile_approx_group(spark, sf_dir):
+    """Per-group approximate quantiles (percentile_approx, the
+    mergeable-sketch scale path beside the exact op_percentile_group):
+    sketch outputs differ engine-to-engine, so the gate emits the
+    DETERMINISTIC rank-bound verdict per group — the approx median's
+    exact rank must sit within the sketch's guaranteed rank error
+    (1/accuracy) of n/2, plus 1 for ties. Oracle: every group TRUE."""
+    qc = _qc(spark)
+    li = _t(qc, sf_dir, "lineitem").df
+    acc = 100
+    approx = (li.groupBy("l_returnflag")
+              .agg(F.percentile_approx("l_extendedprice", 0.5, acc)
+                   .alias("apx"), F.count(F.lit(1)).alias("n")))
+    ranked = (li.join(approx, "l_returnflag")
+              .groupBy("l_returnflag")
+              .agg(F.sum(F.when(F.col("l_extendedprice")
+                                <= F.col("apx"), 1).otherwise(0))
+                   .alias("rank_le"),
+                   F.first("n").alias("n")))
+    tol = F.col("n") / acc + 1
+    return ranked.select(
+        "l_returnflag",
+        (F.abs(F.col("rank_le") - F.col("n") / 2) <= tol)
+        .alias("within_rank_bound"))
+
+
+def _percentile_approx_oracle() -> str:
+    return ("SELECT l_returnflag, TRUE AS within_rank_bound "
+            "FROM lineitem GROUP BY l_returnflag")
+
+
 def op_rollup(spark, sf_dir):
     """Hierarchical grouping sets (parity-plus; SURVEY §2.4 notes the
     reference lacks rollup/cube)."""
@@ -4143,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_vwap": ts_vwap,
         "op_grouping_sets": op_grouping_sets,
         "dedup_containment": dedup_containment,
+        "op_percentile_approx_group": op_percentile_approx_group,
     }
 
 
@@ -4250,4 +4282,5 @@ def oracle_sql() -> dict[str, str]:
         "ts_vwap": _VWAP_SQL,
         "op_grouping_sets": _GROUPING_SETS_SQL,
         "dedup_containment": _CONTAINMENT_SQL,
+        "op_percentile_approx_group": _percentile_approx_oracle(),
     }
