@@ -884,3 +884,67 @@ def _clone_executor(executor):
     per channel the same way)."""
     import copy
     return copy.deepcopy(executor)
+
+
+# ----------------------------------------------------------------------
+# LLM-data pipeline verbs (facade over quokka_spark.functions — the
+# reference-style ergonomics for the extension vocabulary: chain corpus
+# ops directly on the stream instead of importing function modules)
+# ----------------------------------------------------------------------
+def _llm_verbs():
+    """Attach thin delegating verbs. Each wraps the documented function
+    (same defaults, same scale shape — see functions/ docstrings and
+    SCALE.md); the stream's qc/sort metadata passes through _with."""
+    from .functions import dedup as _dedup
+    from .functions import sampling as _sampling
+    from .functions import text as _text
+
+    def dedup_exact(self, text_col="text", id_col="doc_id"):
+        return self._with(_dedup.exact_dedup(self.df, text_col, id_col))
+
+    def dedup_exact_keep_best(self, score_col, text_col="text",
+                              id_col="doc_id"):
+        return self._with(_dedup.exact_dedup_keep_best(
+            self.df, score_col, text_col, id_col))
+
+    def dedup_minhash(self, text_col="text", id_col="doc_id", **kw):
+        return self._with(_dedup.minhash_dedup(
+            self.df, text_col, id_col, **kw))
+
+    def hash_sample(self, key_col, fraction, salt=""):
+        return self._with(_sampling.hash_sample(
+            self.df, key_col, fraction, salt))
+
+    def stratified_sample(self, key_col, stratum_col, fractions,
+                          default=0.0, salt=""):
+        return self._with(_sampling.stratified_hash_sample(
+            self.df, key_col, stratum_col, fractions, default, salt))
+
+    def cap_per_key(self, key_col, id_col, max_per_key, salt=""):
+        return self._with(_sampling.cap_per_key(
+            self.df, key_col, id_col, max_per_key, salt))
+
+    def split_by_hash(self, key_col, fractions, salt="", out="split"):
+        return self._with(_sampling.split_by_hash(
+            self.df, key_col, fractions, salt, out))
+
+    def with_quality_columns(self, text_col="text"):
+        return self._with(self.df.select(
+            "*", *_text.gopher_quality_columns(text_col)))
+
+    def with_pii_columns(self, text_col="text"):
+        return self._with(self.df.select(
+            "*", *_text.pii_columns(text_col)))
+
+    def with_readability(self, text_col="text"):
+        return self._with(self.df.select(
+            "*", *_text.readability_columns(text_col)))
+
+    for f in (dedup_exact, dedup_exact_keep_best, dedup_minhash,
+              hash_sample, stratified_sample, cap_per_key, split_by_hash,
+              with_quality_columns, with_pii_columns, with_readability):
+        setattr(DataStream, f.__name__, f)
+
+
+_llm_verbs()
+del _llm_verbs

@@ -403,3 +403,22 @@ def test_observe_metrics_free_during_action(spark, qc):
     assert m["n_rows"] == n_total                  # pre-filter count
     assert m["total_chars"] > 0
     assert 0 < len(out) < n_total                  # filter applied after
+
+
+def test_llm_pipeline_verbs_chain_on_the_stream(spark, qc):
+    """The facade vocabulary chains reference-style: cap → quality
+    annotate → sample → split, one fluent expression, delegating to
+    the oracle-gated functions."""
+    ds = qc.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = (ds.cap_per_key("source", "doc_id", 10, salt="v")
+           .with_quality_columns()
+           .with_readability()
+           .hash_sample("doc_id", 0.5, salt="v2")
+           .split_by_hash("doc_id", {"train": 0.8, "test": 0.2}))
+    pdf = out.collect()
+    assert {"n_words", "gopher_pass", "flesch", "split"} <= set(pdf.columns)
+    assert 0 < len(pdf) < 200
+    assert set(pdf["split"].unique()) <= {"train", "test"}
+    # dedup verbs return streams too
+    assert qc.read_parquet("/root/testdata/sf0.001/documents.parquet") \
+        .dedup_exact().count() > 0
