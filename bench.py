@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_exact", "dedup_minhash", "dedup_embedding", "sim_topk",
     "op_join_nonequi",
     "text_tfidf", "op_cap_per_key", "dedup_lines", "ml_logreg",
+    "op_quantize", "op_zorder", "ts_ewma", "ts_vwap",
 ]
 
 
