@@ -853,7 +853,7 @@ def ts_vwap(spark, sf_dir):
             .agg(F.round(F.when(sumk > 0,
                                 F.sum(F.col("value") * k) / sumk), 4)
                  .alias("vwap"),
-                 F.coalesce(sumk, F.lit(0.0)).cast("bigint")
+                 F.round(F.coalesce(sumk, F.lit(0.0))).cast("bigint")
                  .alias("volume")))
 
 
@@ -863,8 +863,8 @@ SELECT user_id, date_trunc('hour', ts) AS bar,
              THEN sum(value * CAST(json_extract_string(props, 'k') AS DOUBLE))
                   / sum(CAST(json_extract_string(props, 'k') AS DOUBLE)) END,
              4) AS vwap,
-       CAST(coalesce(sum(CAST(json_extract_string(props, 'k') AS DOUBLE)),
-                     0.0) AS BIGINT) AS volume
+       CAST(round(coalesce(sum(CAST(json_extract_string(props, 'k') AS DOUBLE)),
+                           0.0), 0) AS BIGINT) AS volume
 FROM events GROUP BY user_id, date_trunc('hour', ts)
 """
 
@@ -2209,8 +2209,10 @@ WITH s AS (
   FROM s
 ), n AS (
   SELECT o_orderkey,
-         CAST(floor((c0 - mn0) * {top}.0 / (mx0 - mn0)) AS BIGINT) AS n0,
-         CAST(floor((c1 - mn1) * {top}.0 / (mx1 - mn1)) AS BIGINT) AS n1
+         CAST(least(greatest(
+           floor((c0 - mn0) * {top}.0 / (mx0 - mn0)), 0), {top}) AS BIGINT) AS n0,
+         CAST(least(greatest(
+           floor((c1 - mn1) * {top}.0 / (mx1 - mn1)), 0), {top}) AS BIGINT) AS n1
   FROM s, b
 )
 SELECT o_orderkey, CAST({terms} AS BIGINT) AS zkey FROM n

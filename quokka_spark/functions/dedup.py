@@ -77,19 +77,23 @@ def exact_dedup_keep_best(df: DataFrame, score_col: str,
     capture, not the numerically first. Ties break by id ascending,
     so the survivor set is fully deterministic.
 
-    Plan: one shuffle on the md5 fingerprint with max_by (a partial-
+    Plan: one shuffle on the md5 fingerprint with min_by (a partial-
     aggregated JVM aggregate — shuffle rows are (hash, score, id)
-    partials, not documents), then a semi join back on the id."""
-    fp = df.select(F.col(id_col), F.col(score_col).cast("double")
-                   .alias("__s__"), fingerprint(text_col).alias("__fp__"))
-    # max_by with a deterministic composite: (score desc, id asc) ==
-    # max_by of struct(score, -id) — but ids can be MIN_LONG, so use
-    # max_by(struct(score, negated rank via max-id minus id)) … keep
-    # it simple and portable: struct ordering (score, -1*id) breaks on
-    # overflow only at LONG_MIN, which real ids never are.
+    partials, not documents), then a semi join back on the id.
+
+    NULL scores coalesce to -infinity (an all-NULL-score group keeps
+    its min id instead of vanishing), and the tie-break is struct
+    ordering (-score, id) under min_by — no arithmetic on the id, so
+    any orderable id type (string ids included) works."""
+    s = F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
+    fp = df.select(F.col(id_col), s.alias("__s__"),
+                   fingerprint(text_col).alias("__fp__"))
+    # min of struct((-score), id): highest score first, then id
+    # ascending — deterministic for every id type, no negation overflow
     keep = (fp.groupBy("__fp__")
-            .agg(F.max_by(id_col, F.struct(F.col("__s__"),
-                                           (-F.col(id_col)).alias("__ni__")))
+            .agg(F.min_by(id_col,
+                          F.struct((-F.col("__s__")).alias("__neg__"),
+                                   F.col(id_col).alias("__id__")))
                  .alias(id_col)))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
 

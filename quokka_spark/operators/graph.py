@@ -118,8 +118,15 @@ def connected_components(edges: DataFrame, src: str = "src",
         out = [(n, min(members))
                for root, members in comp.items() for n in set(members)]
         spark = edges.sparkSession
+        # id-type-agnostic like the distributed loop: the output schema
+        # follows the (symmetrized) edge column type, so string doc ids
+        # (e.g. phash_near_pairs' filename default) work on this path too
+        from pyspark.sql.types import StructField, StructType
+        node_type = e.schema["a"].dataType
+        out_schema = StructType([StructField("node", node_type, False),
+                                 StructField("component", node_type, False)])
         e.unpersist()
-        return spark.createDataFrame(out, "node long, component long")
+        return spark.createDataFrame(out, out_schema)
     labels = (e.select(F.col("a").alias("node")).distinct()
               .withColumn("component", F.col("node")))
     for it in range(max_iters):

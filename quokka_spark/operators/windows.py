@@ -343,7 +343,15 @@ def ewma(df: DataFrame, time_col: str, by, value_col: str,
     driver-computed exact literals, the fold order is the array order
     on BOTH engines, so results are engine-identical and the oracle
     replays them. One shuffle on the key; parallelism follows keys
-    like the plain sliding window."""
+    like the plain sliding window.
+
+    DETERMINISM CONTRACT: results are engine-identical only when
+    (time_col[, tiebreak]) is a UNIQUE ordering within each key. With
+    duplicate timestamps and ``tiebreak=None``, collect_list's
+    encounter order is partition-dependent, so reruns may fold equal-
+    timestamp values in different order — pass ``tiebreak=`` (any
+    unique column, e.g. the event id) whenever the time column can
+    repeat within a key."""
     from pyspark.sql import Window
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")

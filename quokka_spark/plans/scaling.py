@@ -99,13 +99,18 @@ def zorder_key(df: DataFrame, cols: list, bits: int = 16,
 
     Each column is normalized to ``bits`` bits as
     floor((v - min) · (2^bits - 1) / (max - min)) in IEEE double
-    arithmetic (one slim min/max agg job for the bounds) — every step
-    is an exactly-rounded double op, so any engine computes the
-    identical key (the DuckDB oracle mirrors the expression verbatim).
-    Exact for column ranges up to ~2^53 / 2^bits; beyond that the
-    rounding is still deterministic and engine-identical, only the
-    bucket boundary shifts by ulps. Dates/timestamps should be cast
-    to days/epoch by the caller. NULLs normalize to 0 (sort first)."""
+    arithmetic (one slim min/max agg job for the bounds), clamped into
+    [0, 2^bits - 1] — every step is an exactly-rounded double op, so
+    any engine computes the identical key (the DuckDB oracle mirrors
+    the expression verbatim). The denominator is float(mx) - float(mn)
+    (NOT int-truncated), so fractional-ranged double columns normalize
+    correctly instead of dividing by a too-small (or zero) span; the
+    clamp guarantees the Morton key never wraps even at ulp
+    boundaries. Exact for column ranges up to ~2^53 / 2^bits; beyond
+    that the rounding is still deterministic and engine-identical,
+    only the bucket boundary shifts by ulps. Dates/timestamps should
+    be cast to days/epoch by the caller. NULLs normalize to 0 (sort
+    first)."""
     n = len(cols)
     if not 1 <= n * bits <= 63:
         raise ValueError(f"{n} cols x {bits} bits must fit in 63 bits")
@@ -120,9 +125,11 @@ def zorder_key(df: DataFrame, cols: list, bits: int = 16,
             norms.append(F.lit(0).cast("long"))
         else:
             v = F.coalesce(F.col(c).cast("double"), F.lit(float(mn)))
-            norms.append(F.floor(
+            scaled = F.floor(
                 (v - F.lit(float(mn))) * F.lit(float(top))
-                / F.lit(float(int(mx) - int(mn)))).cast("long"))
+                / F.lit(float(mx) - float(mn))).cast("long")
+            norms.append(F.least(F.greatest(scaled, F.lit(0).cast("long")),
+                                 F.lit(top).cast("long")))
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, nc in enumerate(norms):

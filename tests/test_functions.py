@@ -364,6 +364,34 @@ def test_connected_components_two_clusters(spark):
     assert canon[20] == (20, True) and canon[21] == (20, False)
 
 
+def test_connected_components_string_ids(spark):
+    """String node ids (e.g. phash_near_pairs' filename default) must
+    work on BOTH the driver union-find fast path and the distributed
+    min-label loop — the r4 ADVICE regression was a hardcoded
+    'node long' schema on the fast path. Components label by the
+    lexicographic-min id, matching F.min on strings."""
+    from quokka_spark.operators.graph import (connected_components,
+                                              dedup_components)
+    edges = spark.createDataFrame(
+        [("img_c.png", "img_a.png"), ("img_a.png", "img_b.png"),
+         ("zz.png", "yy.png")], "src string, dst string")
+    want = {"img_a.png": "img_a.png", "img_b.png": "img_a.png",
+            "img_c.png": "img_a.png", "yy.png": "yy.png",
+            "zz.png": "yy.png"}
+    fast = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert fast == want
+    dist = {r["node"]: r["component"]
+            for r in connected_components(
+                edges, driver_edge_limit=0).collect()}
+    assert dist == want
+    # the full phash-style pipeline shape: pairs -> canonical survivors
+    canon = {r["doc_id"]: r["canonical_id"]
+             for r in dedup_components(edges, id1="src",
+                                       id2="dst").collect()}
+    assert canon["img_c.png"] == "img_a.png" and canon["zz.png"] == "yy.png"
+
+
 def test_split_by_hash_disjoint_exhaustive_stable(spark):
     from quokka_spark.functions.sampling import hash_sample, split_by_hash
     df = spark.range(10_000).withColumnRenamed("id", "doc_id")
@@ -956,6 +984,29 @@ def test_exact_dedup_keep_best_semantics(spark):
     kept = sorted(r["doc_id"] for r in
                   exact_dedup_keep_best(docs, "q").collect())
     assert kept == [2, 4]
+
+
+def test_exact_dedup_keep_best_null_scores_and_string_ids(spark):
+    """r4 ADVICE regressions: (a) a duplicate group whose scores are
+    all NULL must keep its min id, not vanish (max_by over all-NULL
+    ordering structs dropped the whole group); (b) string ids must
+    work (the old tie-break arithmetically negated the id)."""
+    from quokka_spark.functions.dedup import exact_dedup_keep_best
+    docs = spark.createDataFrame(
+        [(1, "all null grp", None), (2, "all null grp", None),
+         (3, "mixed grp", None), (4, "mixed grp", 0.5),
+         (5, "solo", None)],
+        "doc_id long, text string, q double")
+    kept = sorted(r["doc_id"] for r in
+                  exact_dedup_keep_best(docs, "q").collect())
+    assert kept == [1, 4, 5]
+    sdocs = spark.createDataFrame(
+        [("b.txt", "dup", 0.3), ("a.txt", "dup", 0.3),
+         ("c.txt", "dup", 0.9), ("z.txt", "uniq", 0.1)],
+        "doc_id string, text string, q double")
+    kept = sorted(r["doc_id"] for r in
+                  exact_dedup_keep_best(sdocs, "q").collect())
+    assert kept == ["c.txt", "z.txt"]
 
 
 def test_new_ops_empty_and_degenerate_inputs(spark):

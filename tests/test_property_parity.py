@@ -565,8 +565,9 @@ def test_random_zorder_matches_python_reference(spark, bits, lo, span):
     def norm(v, mn, mx):
         if mx == mn:
             return 0
-        return int(np.floor((float(v) - float(mn)) * float(top)
-                            / float(int(mx) - int(mn))))
+        raw = int(np.floor((float(v) - float(mn)) * float(top)
+                           / (float(mx) - float(mn))))
+        return min(max(raw, 0), top)
 
     mnx, mxx, mny, mxy = xs.min(), xs.max(), ys.min(), ys.max()
     for i, (x, y) in enumerate(zip(xs, ys)):

@@ -235,3 +235,40 @@ def test_write_parquet_zorder_files_have_tight_stats(spark, qc, tmp_path):
     assert mean_x < 63 * 0.6 and mean_y < 127 * 0.6, (mean_x, mean_y)
     # rows survive the layout pass intact
     assert spark.read.parquet(out).count() == n
+
+
+def test_zorder_fractional_double_columns(spark):
+    """zorder_key over double columns whose range is fractional
+    (span < 1 or non-integral): must not divide by a truncated-to-int
+    span (the r4 ADVICE bug — int(0.65)-int(0.2) == 0 crashed with
+    DIVIDE_BY_ZERO under ANSI; wider fractional spans silently wrapped
+    the Morton key). Every normalized coordinate must stay inside
+    [0, 2^bits - 1] and the key must be monotone-consistent."""
+    from pyspark.sql import functions as F
+    from quokka_spark.plans.scaling import zorder_key
+    bits = 8
+    top = (1 << bits) - 1
+    rows = [(i, 0.2 + 0.45 * i / 99.0, -3.7 + 11.1 * i / 99.0)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, x double, y double")
+    out = {r["rid"]: r["zkey"]
+           for r in zorder_key(df, ["x", "y"], bits=bits).collect()}
+    assert len(out) == 100
+    # key must fit in 2*bits bits — no silent wrap
+    assert all(0 <= z < (1 << (2 * bits)) for z in out.values())
+    # exact parity with the clamped double-arithmetic reference
+    mnx, mxx = 0.2, 0.2 + 0.45 * 99 / 99.0
+    mny, mxy = -3.7, -3.7 + 11.1 * 99 / 99.0
+    import math
+
+    def norm(v, mn, mx):
+        raw = int(math.floor((v - mn) * float(top) / (float(mx) - float(mn))))
+        return min(max(raw, 0), top)
+
+    for rid, x, y in rows:
+        nx, ny = norm(x, mnx, mxx), norm(y, mny, mxy)
+        z = 0
+        for b in range(bits):
+            z |= ((nx >> b) & 1) << (2 * b)
+            z |= ((ny >> b) & 1) << (2 * b + 1)
+        assert out[rid] == z, (rid, x, y, out[rid], z)

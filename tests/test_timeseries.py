@@ -663,3 +663,29 @@ def test_ewma_matches_pandas_adjust_false(spark):
             .transform(lambda s: s.ewm(alpha=0.4, adjust=False).mean())
             .reset_index(drop=True))
     assert np.allclose(out["ewma"], want.round(6), atol=2e-6)
+
+
+def test_vwap_fractional_weight_sums_match_duckdb(spark):
+    """r4 ADVICE: Spark cast('bigint') truncates toward zero while
+    DuckDB CAST AS BIGINT rounds — ts_vwap now round()s before the
+    cast on both sides, so a FRACTIONAL weight sum (e.g. 2.7) must
+    produce the identical volume in both engines."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+    pdf = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "c"],
+        "value": [10.0, 20.0, 5.0, 7.0, 1.0],
+        "k": [1.2, 1.5, 0.3, 0.1, 2.5]})   # sums: 2.7, 0.4, 2.5
+    sumk = F.sum("k")
+    got = (spark.createDataFrame(pdf).groupBy("g")
+           .agg(F.round(F.coalesce(sumk, F.lit(0.0))).cast("bigint")
+                .alias("volume"))
+           .toPandas().set_index("g")["volume"].to_dict())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = dict(con.execute(
+        "SELECT g, CAST(round(coalesce(sum(k), 0.0), 0) AS BIGINT) "
+        "FROM t GROUP BY g").fetchall())
+    con.close()
+    assert got == want == {"a": 3, "b": 0, "c": 3}   # 2.7→3 not 2; 2.5→3
