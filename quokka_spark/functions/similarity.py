@@ -22,6 +22,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._arrow import list_column_to_matrix, rows_to_matrix
+
 
 def _collect_probes(probe, vec_column: str, id_column: str):
     if isinstance(probe, DataFrame):
@@ -29,8 +31,8 @@ def _collect_probes(probe, vec_column: str, id_column: str):
     else:
         pdf = probe[[id_column, vec_column]]
     ids = pdf[id_column].to_numpy()
-    mat = np.stack(pdf[vec_column].to_numpy()).astype(np.float64)
-    return ids, mat
+    mat, idx = rows_to_matrix(pdf[vec_column].to_numpy())
+    return ids[idx], mat
 
 
 def brute_force_topk(df: DataFrame, probe, vec_column: str, k: int,
@@ -50,7 +52,12 @@ def brute_force_topk(df: DataFrame, probe, vec_column: str, k: int,
         p_ids, p = b_probes.value
         for batch in it:
             vid = batch.column(id_column).to_numpy(zero_copy_only=False)
-            x = np.stack(batch.column(vec_column).to_pylist()).astype(np.float64)
+            # zero-copy reshape on clean batches; dirty rows dropped
+            x, ridx = list_column_to_matrix(batch.column(vec_column),
+                                            dim=p.shape[1])
+            if x.shape[0] == 0:
+                continue
+            vid = vid[ridx]
             x = x / np.linalg.norm(x, axis=1, keepdims=True)
             sims = x @ p.T  # (batch, probes)
             take = min(kk, sims.shape[0])
@@ -118,7 +125,11 @@ def vector_range_join(left: DataFrame, right: DataFrame,
             pow2 = 1 << np.arange(n_planes)
             for batch in it:
                 vid = batch.column(idc).to_numpy(zero_copy_only=False)
-                x = np.stack(batch.column(vec).to_pylist()).astype(np.float64)
+                x, ridx = list_column_to_matrix(batch.column(vec),
+                                                dim=pl.shape[2])
+                if x.shape[0] == 0:
+                    continue
+                vid = vid[ridx]
                 xn = x / np.linalg.norm(x, axis=1, keepdims=True)
                 s = ((np.einsum("tpd,nd->tnp", pl, xn) > 0) * pow2).sum(axis=2)
                 n = len(vid)
@@ -175,7 +186,8 @@ def ivf_topk(df: DataFrame, probe, vec_column: str, k: int,
 
     train = (df.select(id_column, vec_column).orderBy(id_column)
              .limit(train_size).toPandas())
-    x = np.stack(train[vec_column].to_numpy()).astype(np.float64)
+    x, _ = rows_to_matrix(train[vec_column].to_numpy(),
+                          dim=pmat.shape[1])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = x[:n_cells].copy()  # deterministic init: first sample points
     for _ in range(kmeans_iters):
@@ -197,7 +209,11 @@ def ivf_topk(df: DataFrame, probe, vec_column: str, k: int,
         p_ids, p, cc, pc = b.value
         for batch in it:
             vid = batch.column(id_column).to_numpy(zero_copy_only=False)
-            v = np.stack(batch.column(vec_column).to_pylist()).astype(np.float64)
+            v, ridx = list_column_to_matrix(batch.column(vec_column),
+                                            dim=cc.shape[1])
+            if v.shape[0] == 0:
+                continue
+            vid = vid[ridx]
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             cell = (vn @ cc.T).argmax(axis=1)  # (n,)
             match = (cell[:, None, None] == pc[None, :, :]).any(axis=2)  # (n, probes)
@@ -254,7 +270,11 @@ def lsh_bucket_topk(df: DataFrame, probe, vec_column: str, k: int,
         p_ids, p, pl, ps = b.value
         for batch in it:
             vid = batch.column(id_column).to_numpy(zero_copy_only=False)
-            x = np.stack(batch.column(vec_column).to_pylist()).astype(np.float64)
+            x, ridx = list_column_to_matrix(batch.column(vec_column),
+                                            dim=pl.shape[2])
+            if x.shape[0] == 0:
+                continue
+            vid = vid[ridx]
             xn = x / np.linalg.norm(x, axis=1, keepdims=True)
             sig = (np.einsum("tpd,nd->tnp", pl, xn) > 0)
             sig_int = (sig * pow2).sum(axis=2)  # (tables, n)

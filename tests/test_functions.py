@@ -1188,3 +1188,79 @@ def test_containment_catches_quote_where_jaccard_misses(spark):
     assert (1, 2) not in cont               # long not contained in short
     jac = ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()
     assert not any({r["id1"], r["id2"]} == {1, 2} for r in jac)
+
+
+def test_list_column_to_matrix_clean_and_dirty():
+    """The shared Arrow→NumPy ingestion helper: clean rectangular
+    batches reshape the flattened child buffer (no per-element Python
+    objects); dirty rows — NULL vector, NULL element, ragged length,
+    wrong dim — are dropped with their row indices reported."""
+    import numpy as np
+    import pyarrow as pa
+    from quokka_spark.functions._arrow import list_column_to_matrix
+    clean = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                     pa.list_(pa.float64()))
+    mat, idx = list_column_to_matrix(clean)
+    assert mat.shape == (3, 2) and idx.tolist() == [0, 1, 2]
+    assert np.allclose(mat, [[1, 2], [3, 4], [5, 6]])
+    # dim mismatch against an expected width: all rows invalid
+    mat, idx = list_column_to_matrix(clean, dim=3)
+    assert mat.shape == (0, 3) and len(idx) == 0
+    dirty = pa.array([[1.0, 2.0], None, [3.0, None], [4.0],
+                      [7.0, 8.0]], pa.list_(pa.float64()))
+    mat, idx = list_column_to_matrix(dirty, dim=2)
+    assert idx.tolist() == [0, 4]
+    assert np.allclose(mat, [[1, 2], [7, 8]])
+    # empty column
+    mat, idx = list_column_to_matrix(pa.array([], pa.list_(pa.float64())))
+    assert mat.shape[0] == 0 and len(idx) == 0
+    # sliced view of a list array must still reshape correctly
+    mat, idx = list_column_to_matrix(clean.slice(1, 2))
+    assert np.allclose(mat, [[3, 4], [5, 6]]) and idx.tolist() == [0, 1]
+
+
+def test_similarity_kernels_drop_dirty_vectors(spark):
+    """Every ANN kernel must survive a dirty vector stream (NULL
+    vector, NULL element, ragged length) by dropping the invalid rows:
+    a NULL embedding is never anyone's neighbor, and the kernel must
+    not crash the whole batch over it."""
+    import numpy as np
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    from quokka_spark.functions.similarity import (
+        brute_force_topk, ivf_topk, lsh_bucket_topk, vector_range_join)
+    rng = np.random.default_rng(7)
+    dim = 8
+    rows = []
+    for i in range(64):
+        rows.append((i, rng.standard_normal(dim).tolist()))
+    rows.append((100, None))                        # NULL vector
+    rows.append((101, [1.0, None] + [0.0] * (dim - 2)))  # NULL element
+    rows.append((102, [1.0, 2.0]))                  # ragged length
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding",
+                                     ArrayType(DoubleType()))])
+    df = spark.createDataFrame(rows, schema)
+    clean = df.filter(F.col("vec_id") < 100)
+    probes = clean.filter(F.col("vec_id") < 4)
+
+    got = brute_force_topk(df, probes, "embedding", k=3).toPandas()
+    want = brute_force_topk(clean, probes, "embedding", k=3).toPandas()
+    key = lambda d: sorted(zip(d["probe_id"], d["vec_id"]))
+    assert key(got) == key(want)
+    assert not set(got["vec_id"]) & {100, 101, 102}
+
+    got = ivf_topk(df, probes, "embedding", k=3,
+                   n_cells=4, n_probe=4).toPandas()
+    assert len(got) and not set(got["vec_id"]) & {100, 101, 102}
+
+    got = lsh_bucket_topk(df, probes, "embedding", k=3,
+                          n_planes=2, n_tables=8).toPandas()
+    assert len(got) and not set(got["vec_id"]) & {100, 101, 102}
+
+    rj = vector_range_join(df, df, left_vec="embedding",
+                           right_vec="embedding", left_id="vec_id",
+                           right_id="vec_id", threshold=0.0,
+                           n_planes=1, n_tables=2, dim=dim).toPandas()
+    assert len(rj)
+    assert not (set(rj["id1"]) | set(rj["id2"])) & {100, 101, 102}
