@@ -3239,6 +3239,61 @@ SELECT probe_id, vec_id, round(cs, 6) AS cosine_sim, rank FROM ranked WHERE rank
 """
 
 
+def _ann_indexed_layout(qc, sf_dir):
+    """Stage (once per source snapshot) the embeddings table as an
+    ANN-indexed lancelike fragment layout in tempdir; memoized on the
+    source file's (mtime, size) so repeated gate/bench runs skip the
+    one-time layout job — mirroring its real role as an
+    ingest/compaction-boundary pass."""
+    import json
+    import os
+    import tempfile
+    from quokka_spark.functions.ann_index import (has_ann_index,
+                                                  write_ann_index)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    # v2: sidecar gained plan-time pivot floors — tag bump forces a
+    # rebuild of any layout staged under an older sidecar format
+    tag = f"v2_{os.path.getmtime(src)}_{os.path.getsize(src)}"
+    d = os.path.join(tempfile.gettempdir(),
+                     "qs_ann_" + sf_dir.strip("/").replace("/", "_"))
+    marker = os.path.join(d, "_source_tag.json")
+    if os.path.isfile(marker) and has_ann_index(d):
+        try:
+            with open(marker) as fh:
+                if json.load(fh)["tag"] == tag:
+                    return d
+        except Exception:  # noqa: BLE001 — stale marker: rebuild
+            pass
+    emb = qc.read_parquet(src).df
+    write_ann_index(emb, d, vec_column="embedding", id_column="vec_id",
+                    n_fragments=16)
+    with open(marker, "w") as fh:
+        json.dump({"tag": tag}, fh)
+    return d
+
+
+def sim_topk_pushdown(spark, sf_dir):
+    """ANN probe pushdown into the lancelike source (reference
+    __push_ann__, df.py:1264-1352 + logical.py:615-656): the SAME
+    exact top-k as sim_topk, but run as read_lance(indexed layout) →
+    vector_nn_join, which pushes the probes into the source and reads
+    only the fragments whose cone bound can reach the answer
+    (functions/ann_index.ann_index_topk — two-phase floor-and-prune,
+    exact by construction). Hash-identical oracle to sim_topk; the
+    fewer-fragments-read property is pinned in tests/test_ann_index.py."""
+    qc = _qc(spark)
+    layout = _ann_indexed_layout(qc, sf_dir)
+    ds = qc.read_lance(layout, vec_column="embedding")
+    # probes load from the plain parquet table (JVM scan) — routing
+    # them through the Python DataSource would scan the whole layout
+    # through a Python worker just to collect 8 rows
+    probes = _t(qc, sf_dir, "embeddings").df.filter(F.col("vec_id") < 8)
+    out = ds.vector_nn_join(probes, "embedding", k=5)
+    return out.df.select("probe_id", "vec_id",
+                         F.round("cosine_sim", 6).alias("cosine_sim"),
+                         F.col("rank").cast("bigint").alias("rank"))
+
+
 def _ann_recall_verdict(approx, exact, floor: float):
     """Deterministic driver verdict for a seeded approximate ANN path:
     recall vs the exact brute-force set, thresholded (round-1 judge
@@ -4086,7 +4141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash, "dedup_embedding": dedup_embedding,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         # similarity (3)
-        "sim_topk": sim_topk, "sim_topk_lsh": sim_topk_lsh,
+        "sim_topk": sim_topk, "sim_topk_pushdown": sim_topk_pushdown,
+        "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
         # text analysis (3)
         "text_tokens": text_tokens, "text_lang_id": text_lang_id,
@@ -4228,6 +4284,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SIMHASH_SQL,
         "dedup_embedding": _EMB_DEDUP_SQL,
         "sim_topk": _SIM_TOPK_SQL,
+        "sim_topk_pushdown": _SIM_TOPK_SQL,
         "sim_topk_lsh": _SIM_LSH_SQL, "sim_topk_ivf": _SIM_IVF_SQL,
         "agg_gramian": _gramian_oracle(),
         "agg_covariance": _covariance_oracle(),

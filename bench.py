@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "bench_asof_micro", "bench_wide_quantile",
     "text_tokens", "text_fingerprint", "text_quality",
     "dedup_exact", "dedup_minhash", "dedup_embedding", "sim_topk",
+    "sim_topk_pushdown",
     "op_join_nonequi",
     "text_tfidf", "op_cap_per_key", "dedup_lines", "ml_logreg",
     "op_quantize", "op_zorder", "ts_ewma", "ts_vwap",

@@ -187,9 +187,12 @@ class QuokkaContext:
         the per-fragment parquet read — opt-in because the loaded
         relation caches its pushed-filter planning (see
         sources/lancelike.py), so use it load-scan-once. ANN top-k over
-        the result goes through DataStream.vector_nn_join (the
-        reference's __push_ann__ index probe has no index to push into
-        without lance itself)."""
+        the result goes through DataStream.vector_nn_join; when the
+        layout carries an ANN sidecar (functions/ann_index.
+        write_ann_index), the join pushes its probes into the source
+        and reads only index-selected fragments — the Spark
+        counterpart of the reference's __push_ann__ pass
+        (df.py:1264-1352)."""
         if not getattr(self, "_lancelike_registered", False):
             from .sources.lancelike import LanceLikeDataSource
             self.spark.dataSource.register(LanceLikeDataSource)
@@ -203,7 +206,14 @@ class QuokkaContext:
               .option("pushdown", str(bool(pushdown)).lower()).load(path))
         assert vec_column in df.columns, \
             f"vector column {vec_column!r} not in {df.columns}"
-        return DataStream(self, df)
+        ds = DataStream(self, df)
+        # provenance marker for the __push_ann__-style probe pushdown:
+        # survives only on the raw scan — every verb returns a fresh
+        # DataStream, so any transform invalidates it naturally
+        from .functions.ann_index import has_ann_index
+        if has_ann_index(path):
+            ds._ann_index_path = path
+        return ds
 
     def read_rest_get(self, url: str, params_list: list, headers: dict | None = None,
                       batch_size: int = 100) -> DataStream:

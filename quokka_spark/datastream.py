@@ -635,12 +635,30 @@ class DataStream:
     # vector ops (SURVEY §2.3 vector_nn_join)
     # ------------------------------------------------------------------
     def vector_nn_join(self, probe_df, vec_column: str, k: int = 1,
-                       probe_side: str = "left") -> "DataStream":
+                       probe_side: str = "left",
+                       scan_info: dict | None = None) -> "DataStream":
         """k-NN join of a small probe table against this vector stream
         (reference datastream.py:396-476). Broadcast probe matrix +
-        Arrow-batched NumPy dot + global top-k — see operators/similarity."""
+        Arrow-batched NumPy dot + global top-k — see operators/similarity.
+
+        PROBE PUSHDOWN (reference ``__push_ann__`` df.py:1264-1352):
+        when this stream is an unmodified ``read_lance`` scan of a
+        layout written by ``functions.ann_index.write_ann_index``, the
+        probes push into the source — only index-selected fragments
+        are read (exact answer, see ann_index.ann_index_topk). Any
+        intermediate transform drops the provenance and the full-scan
+        broadcast path runs. ``scan_info`` (a dict you pass in) is
+        filled with fragments_total/fragments_read when pushdown ran."""
+        ann_path = getattr(self, "_ann_index_path", None)
+        if ann_path is not None:
+            from .functions.ann_index import ann_index_topk
+            raw = probe_df.df if isinstance(probe_df, DataStream) else probe_df
+            return DataStream(self.qc, ann_index_topk(
+                self.qc.spark, ann_path, raw, k, vec_column=vec_column,
+                scan_info=scan_info))
         from .functions.similarity import nn_join
-        return DataStream(self.qc, nn_join(self.df, probe_df, vec_column, k,
+        raw = probe_df.df if isinstance(probe_df, DataStream) else probe_df
+        return DataStream(self.qc, nn_join(self.df, raw, vec_column, k,
                                            probe_side=probe_side))
 
     def vector_range_join(self, other: "DataStream", vec_column: str,

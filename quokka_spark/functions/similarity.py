@@ -35,6 +35,25 @@ def _collect_probes(probe, vec_column: str, id_column: str):
     return ids[idx], mat
 
 
+def _train_spherical_centroids(x: np.ndarray, n_cells: int,
+                               iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means on unit vectors: init = first
+    ``n_cells`` points, cosine assignment, renormalized mean update.
+    Shared by ivf_topk and the ANN fragment index writer so a layout
+    written by one is probed identically by the other."""
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
 def brute_force_topk(df: DataFrame, probe, vec_column: str, k: int,
                      id_column: str = "vec_id",
                      probe_id_column: str = "probe_id") -> DataFrame:
@@ -189,14 +208,7 @@ def ivf_topk(df: DataFrame, probe, vec_column: str, k: int,
     x, _ = rows_to_matrix(train[vec_column].to_numpy(),
                           dim=pmat.shape[1])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    cents = x[:n_cells].copy()  # deterministic init: first sample points
-    for _ in range(kmeans_iters):
-        assign = (x @ cents.T).argmax(axis=1)  # cosine k-means on unit sphere
-        for c in range(n_cells):
-            members = x[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                cents[c] = m / np.linalg.norm(m)
+    cents = _train_spherical_centroids(x, n_cells, kmeans_iters)
     # each probe's n_probe nearest cells
     pcells = np.argsort(-(pnorm @ cents.T), axis=1)[:, :n_probe]  # (probes, n_probe)
 
