@@ -24,6 +24,17 @@ then ``groupBy(by).applyInPandas`` runs the per-key NFA over
 time-sorted rows. Parallelism = number of keys; each key's rows must
 fit in a python worker (same contract as the reference's per-channel
 executor).
+
+LOW-KEY-COUNT plan (``bucket="auto"``, the same ``choose_bucket``
+dial as the sliding/as-of family): when the probed key count is small
+relative to the cluster, rows shuffle on (key, time-bucket) with
+bucket width ≥ maxspan and a one-maxspan HALO copy into the previous
+bucket. Because every event of a match lies within maxspan of its
+first event, a match starting inside bucket B is fully contained in
+B's rows plus the halo — each group confirms exactly the matches
+STARTING in its own range (halo-started matches are dropped, so no
+match is double-counted), and a final per-key window renumbers
+event_number globally. Parallelism becomes keys × buckets.
 """
 
 from __future__ import annotations
@@ -207,13 +218,31 @@ def match_pattern_pandas(pdf: pd.DataFrame, pattern: CompiledPattern) -> list:
     return matches
 
 
+def _span_seconds(maxspan) -> float:
+    """maxspan as seconds, accepting a number, a duration string, or
+    anything pandas parses as a Timedelta."""
+    from .windows import to_seconds
+    try:
+        return to_seconds(maxspan)
+    except Exception:  # noqa: BLE001 — e.g. pd.Timedelta / np.timedelta64
+        return pd.Timedelta(maxspan).total_seconds()
+
+
 def pattern_recognize(df, time_col: str, events: list, maxspan, by: str,
-                      schema: list | None = None):
-    """Spark entry: prefilter pushdown + per-key pandas NFA.
+                      schema: list | None = None, bucket="auto"):
+    """Spark entry: prefilter pushdown + per-key pandas NFA, with the
+    (key, time-bucket) halo plan for low-key-count streams.
 
     Output schema: (by, event_number, first_event_timestamp,
     last_event_timestamp) — reference orderedstream.py:50-53 plus the
-    key column."""
+    key column.
+
+    ``bucket``: ``"auto"`` (default) probes the key count like the
+    sliding/as-of family and buckets only when keys < 2 × cores; a
+    number forces that bucket width (native time units, floored at
+    maxspan); ``None`` forces the plain per-key plan. event_number is
+    deterministic per key when (by, time_col) has no duplicate rows —
+    the same contract as the plain plan's sort."""
     from pyspark.sql.types import StructType, StructField, LongType
 
     schema = schema or df.columns
@@ -232,6 +261,15 @@ def pattern_recognize(df, time_col: str, events: list, maxspan, by: str,
         StructField("last_event_timestamp", ts_field.dataType, True),
     ])
 
+    if bucket == "auto":
+        from .windows import choose_bucket
+        bucket = choose_bucket(df.select(*need), time_col, [by],
+                               size_before=_span_seconds(maxspan))
+    if bucket is not None:
+        return _pattern_recognize_bucketed(
+            df.select(*need), pattern, time_col, by, float(bucket),
+            out_schema)
+
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         found = match_pattern_pandas(pdf, pattern)
         if not found:
@@ -244,3 +282,65 @@ def pattern_recognize(df, time_col: str, events: list, maxspan, by: str,
         })
 
     return df.select(*need).groupBy(by).applyInPandas(run, schema=out_schema)
+
+
+def _pattern_recognize_bucketed(df, pattern: CompiledPattern, time_col: str,
+                                by: str, bucket: float, out_schema):
+    """(key, time-bucket) halo plan. Width W ≥ maxspan; every row lands
+    in its own bucket and rows in the first maxspan of a bucket are
+    COPIED into the previous one, so a match starting in bucket B
+    (events ⊆ [first_ts, first_ts+maxspan] ⊆ [B·W, (B+1)·W + maxspan))
+    is complete inside B's group. Each group keeps only matches whose
+    start lies in its own range — exactly-once by construction — and a
+    final per-key window assigns the global event_number. Shuffle: one
+    exchange of ≤ (1 + maxspan/W) × rows; parallelism keys × buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+    from .windows import epoch_us
+
+    import numpy as np
+
+    is_ts = "timestamp" in dict(df.dtypes)[time_col]
+    span = _span_seconds(pattern.max_span) * (1e6 if is_ts else 1.0)
+    W = max(float(bucket) * (1e6 if is_ts else 1.0), span)
+    tsnum = epoch_us(time_col) if is_ts else F.col(time_col).cast("double")
+    bcol = F.floor(tsnum / F.lit(W)).cast("long")
+    own = df.withColumn("__b__", bcol)
+    halo = (df.filter(F.pmod(tsnum, F.lit(W)) < F.lit(span))
+            .withColumn("__b__", bcol - 1))
+    staged = own.unionByName(halo)
+
+    inner_fields = [f for f in out_schema.fields
+                    if f.name != "event_number"]
+    inner_schema = StructType(inner_fields)
+    tc = time_col
+
+    def tsnum_py(v):
+        if is_ts:
+            return np.datetime64(v, "us").astype(np.int64)
+        return float(v)
+
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bnum = key[1]
+        lo, hi = bnum * W, (bnum + 1) * W
+        found = match_pattern_pandas(pdf.drop(columns=["__b__"]), pattern)
+        mine = [(f, l) for f, l in found if lo <= tsnum_py(f) < hi]
+        if not mine:
+            return pd.DataFrame(columns=[f.name for f in inner_fields])
+        return pd.DataFrame({
+            by: [key[0]] * len(mine),
+            "first_event_timestamp": [f for f, _ in mine],
+            "last_event_timestamp": [l for _, l in mine],
+        })
+
+    matched = (staged.groupBy(by, "__b__")
+               .applyInPandas(run, schema=inner_schema))
+    w = Window.partitionBy(by).orderBy("first_event_timestamp",
+                                       "last_event_timestamp")
+    return (matched
+            .withColumn("event_number", F.row_number().over(w) - F.lit(1))
+            .select(by,
+                    F.col("event_number").cast("long")
+                    .alias("event_number"),
+                    "first_event_timestamp", "last_event_timestamp"))

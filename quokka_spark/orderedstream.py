@@ -93,10 +93,14 @@ class OrderedStream(DataStream):
         return DataStream(self.qc, out)
 
     def pattern_recognize(self, time_col: str, events: list, maxspan,
-                          by: str) -> DataStream:
+                          by: str, bucket="auto") -> DataStream:
         """CEP sequence matching (reference orderedstream.py:37-53); see
-        operators/cep.py."""
+        operators/cep.py. ``bucket``: "auto" (default) probes the key
+        count and switches to the (key, time-bucket) halo plan when
+        keys alone can't saturate the cluster; a number forces the
+        bucket width; None forces the plain per-key plan."""
         from .operators.cep import pattern_recognize as _pr
         assert by is not None, "pattern_recognize requires a by key"
-        out = _pr(self.df, time_col, events, maxspan, by, schema=self.schema)
+        out = _pr(self.df, time_col, events, maxspan, by, schema=self.schema,
+                  bucket=bucket)
         return DataStream(self.qc, out)

@@ -689,3 +689,58 @@ def test_vwap_fractional_weight_sums_match_duckdb(spark):
         "FROM t GROUP BY g").fetchall())
     con.close()
     assert got == want == {"a": 3, "b": 0, "c": 3}   # 2.7→3 not 2; 2.5→3
+
+
+def test_cep_bucketed_equals_plain_and_brute_force(spark, qc):
+    """The (key, time-bucket) halo CEP plan (low-key-count path) must
+    produce EXACTLY the plain per-key NFA's matches on a dense 4-key
+    stream — including event_number — while creating many more groups
+    than keys (the parallelism the plan exists for)."""
+    from quokka_spark.orderedstream import OrderedStream
+    rng = np.random.default_rng(17)
+    n, keys = 6000, 4
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, keys, n),
+        "ts_sec": np.sort(rng.uniform(0, 20000.0, n)),
+        "event_type": rng.choice(["signup", "click", "purchase", "view"], n),
+        "value": rng.uniform(0, 10, n)})
+    pdf = pdf.drop_duplicates(["user_id", "ts_sec"])
+    df = spark.createDataFrame(pdf)
+    events = [("a", "a.event_type = 'signup'"),
+              ("b", "b.event_type = 'click' and b.value > a.value"),
+              ("c", "c.event_type = 'purchase'")]
+    maxspan = 300.0
+    ev = OrderedStream(qc, df, sorted={"ts_sec": "stride"})
+
+    def norm(frame):
+        return (frame.sort_values(["user_id", "event_number"])
+                .reset_index(drop=True))
+
+    plain = norm(ev.pattern_recognize("ts_sec", events, maxspan,
+                                      by="user_id", bucket=None)
+                 .df.toPandas())
+    bucketed = norm(ev.pattern_recognize("ts_sec", events, maxspan,
+                                         by="user_id", bucket=maxspan)
+                    .df.toPandas())
+    auto = norm(ev.pattern_recognize("ts_sec", events, maxspan,
+                                     by="user_id")      # auto-probe
+                .df.toPandas())
+    assert len(plain) > 20                               # dense enough
+    for col in ["user_id", "event_number",
+                "first_event_timestamp", "last_event_timestamp"]:
+        assert plain[col].tolist() == bucketed[col].tolist(), col
+        assert plain[col].tolist() == auto[col].tolist(), col
+    # per-key brute-force NFA equality (the semantic oracle)
+    want = []
+    for u in range(keys):
+        sub = pdf[pdf["user_id"] == u]
+        want += [(u, f, l) for f, l in brute_force_funnel_full(sub, maxspan)]
+    got = set(zip(plain["user_id"], plain["first_event_timestamp"],
+                  plain["last_event_timestamp"]))
+    assert got == set(want)
+    # the plan actually widens: (key, bucket) groups >> keys
+    W = maxspan
+    groups = (df.selectExpr("user_id", f"floor(ts_sec / {W}) as b")
+              .distinct().count())
+    cores = spark.sparkContext.defaultParallelism
+    assert groups > cores, (groups, cores)
