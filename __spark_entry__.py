@@ -1367,17 +1367,48 @@ FROM trades t ASOF JOIN quotes q ON t.sym = q.sym AND t.ts >= q.ts
 def bench_wide_quantile(spark, sf_dir):
     """BASELINE target 3 (blog/approxquant.md:19-31): wide approximate
     quantiles must COMPLETE (stock approxQuantile 'always crashes' at
-    width). 100 generated float columns, rows sized by sf; batched
-    percentile_approx sketches. Approximate → rows-only check; the
-    exact-quantile oracle gate is agg_quantile."""
-    from quokka_spark.operators.linalg import approximate_quantile_wide
+    width). 100 generated float columns, rows sized by sf; the NumPy
+    order-stat sketch (operators/linalg.approximate_quantile_wide).
+
+    VERDICT gate (was rows-only through r4): sketch values differ
+    engine-to-engine, but their RANKS are bounded — for each column
+    and each prob p, the approx quantile's exact rank interval
+    [count(<v), count(<=v)] must intersect [p·n ± tol] with
+    tol = 5·n/accuracy + 5 (two compression levels each bounded by
+    n/accuracy, with headroom; +5 absorbs integer edges). The 200 rank
+    counts come from ONE vectorized Arrow pass (rank_counts_wide — the
+    equivalent sum(when) JVM plan explodes codegen at this width); the
+    oracle replays the all-TRUE verdict."""
+    from quokka_spark.operators.linalg import (approximate_quantile_wide,
+                                               rank_counts_wide)
     sf = _sf_of(sf_dir)
     n = max(int(1_000_000 * sf), 1000)
+    width, acc, probs = 100, 1000, (0.5, 0.99)
+    names = [f"c{i}" for i in range(width)]
     cols = [(((F.col("id") * (i + 7)) % 10007) / 7.0).alias(f"c{i}")
-            for i in range(100)]
+            for i in range(width)]
     wide = spark.range(n).select(*cols)
-    return approximate_quantile_wide(wide, [f"c{i}" for i in range(100)],
-                                     [0.5, 0.99], accuracy=1000)
+    q = approximate_quantile_wide(wide, names, list(probs),
+                                  accuracy=acc).toPandas()
+    qcols = ["q0_5", "q0_99"]
+    apx = {r["column"]: [float(r[qc]) for qc in qcols]
+           for _, r in q.iterrows()}
+    counts = rank_counts_wide(wide, names, apx)
+    tol = 5.0 * n / acc + 5
+    verdicts = []
+    for c in names:
+        lt, le = counts[c]
+        ok = [bool(lt[pi] <= p * n + tol and le[pi] >= p * n - tol)
+              for pi, p in enumerate(probs)]
+        verdicts.append((c, ok[0], ok[1]))
+    return spark.createDataFrame(
+        verdicts, "col_name string, q50_ok boolean, q99_ok boolean")
+
+
+_WIDE_QUANTILE_SQL = """
+SELECT 'c' || CAST(i AS VARCHAR) AS col_name, TRUE AS q50_ok, TRUE AS q99_ok
+FROM range(100) t(i)
+"""
 
 
 def OrderedStreamFix(ds):
@@ -4259,6 +4290,7 @@ def oracle_sql() -> dict[str, str]:
         "op_array_agg": _ARRAY_AGG_SQL,
         "op_percentile_group": _PERCENTILE_GROUP_SQL,
         "op_approx_count_distinct": _APPROX_CD_SQL,
+        "bench_wide_quantile": _WIDE_QUANTILE_SQL,
         "op_rollup": _ROLLUP_SQL, "op_cube": _CUBE_SQL,
         "op_expression_dsl": _EXPR_DSL_SQL,
         "op_json_extract": _JSON_SQL,

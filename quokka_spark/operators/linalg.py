@@ -201,6 +201,60 @@ def approximate_quantile_wide(df: DataFrame, columns: list, probs: list,
     return partials.groupBy("column").applyInPandas(merge, out_schema)
 
 
+def rank_counts_wide(df: DataFrame, columns: list, thresholds: dict):
+    """Exact rank counts for many (column, threshold) pairs in ONE
+    vectorized Arrow pass — the verification companion to
+    ``approximate_quantile_wide`` (expressing 2·cols·probs conditional
+    aggregates as JVM ``sum(when(...))`` explodes codegen at width;
+    this kernel is a single NumPy broadcast compare per batch).
+
+    ``thresholds``: {column: [v0, v1, ...]} (same length per column).
+    Returns {column: (lt_counts, le_counts)} with counts as int lists
+    aligned to the threshold list. Partials are (partitions × cols)
+    tiny rows reduced driver-side — bounded regardless of row count.
+    NaN/NULL values compare False on both sides (excluded), matching
+    the sketch's valid-count semantics."""
+    k = len(columns)
+    m = len(next(iter(thresholds.values())))
+    V = np.asarray([[float(thresholds[c][j]) for j in range(m)]
+                    for c in columns])  # (k, m)
+
+    def part(it):
+        import pyarrow as pa
+        lt = np.zeros((k, m), np.int64)
+        le = np.zeros((k, m), np.int64)
+        got = False
+        for b in it:
+            got = True
+            x = np.column_stack(
+                [b.column(c).to_numpy(zero_copy_only=False)
+                 for c in columns])  # (n, k)
+            with np.errstate(invalid="ignore"):
+                lt += (x[:, :, None] < V[None, :, :]).sum(axis=0)
+                le += (x[:, :, None] <= V[None, :, :]).sum(axis=0)
+        if not got:
+            return
+        yield pa.RecordBatch.from_pydict({
+            "column": pa.array(columns, pa.string()),
+            "lt": pa.array([r.tolist() for r in lt],
+                           pa.list_(pa.int64())),
+            "le": pa.array([r.tolist() for r in le],
+                           pa.list_(pa.int64())),
+        })
+
+    rows = (df.select(*columns)
+            .mapInArrow(part,
+                        schema="column string, lt array<long>, le array<long>")
+            .collect())
+    out = {c: (np.zeros(m, np.int64), np.zeros(m, np.int64))
+           for c in columns}
+    for r in rows:
+        lt, le = out[r["column"]]
+        lt += np.asarray(r["lt"], np.int64)
+        le += np.asarray(r["le"], np.int64)
+    return {c: (lt.tolist(), le.tolist()) for c, (lt, le) in out.items()}
+
+
 def kmeans(df: DataFrame, vec_col: str, id_col: str, k: int = 8,
            iters: int = 5) -> "tuple[np.ndarray, DataFrame]":
     """Distributed Lloyd's k-means over a vector column (reference ships

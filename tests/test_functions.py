@@ -89,8 +89,8 @@ def test_rest_source_shape(spark, qc):
 
 
 def test_wide_quantile_accuracy(spark):
-    """The rows-only bench_wide_quantile gate is backed here: batched
-    percentile_approx medians must land within the sketch's rank-error
+    """The bench_wide_quantile verdict gate is backed here: batched
+    order-stat medians must land within the sketch's rank-error
     bound of the exact percentile."""
     import numpy as np
     from pyspark.sql import functions as F
@@ -1264,3 +1264,21 @@ def test_similarity_kernels_drop_dirty_vectors(spark):
                            n_planes=1, n_tables=2, dim=dim).toPandas()
     assert len(rj)
     assert not (set(rj["id1"]) | set(rj["id2"])) & {100, 101, 102}
+
+
+def test_rank_counts_wide_exact_and_nan_safe(spark):
+    """rank_counts_wide must return EXACT lt/le counts per (column,
+    threshold) and exclude NaN/NULL values on both sides — the
+    verification kernel behind the bench_wide_quantile verdict."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from quokka_spark.operators.linalg import rank_counts_wide
+    pdf_rows = [(float(i), float(i % 5)) for i in range(100)]
+    pdf_rows.append((None, 2.0))
+    df = spark.createDataFrame(pdf_rows, "a double, b double")
+    got = rank_counts_wide(df, ["a", "b"], {"a": [50.0, 0.0],
+                                            "b": [2.0, 10.0]})
+    assert got["a"][0] == [50, 0]        # lt: 50 values < 50; none < 0
+    assert got["a"][1] == [51, 1]        # le: 51 <= 50 (incl 50); 1 <= 0
+    assert got["b"][0] == [40, 101]      # 0s and 1s: 40 < 2; all 101 < 10
+    assert got["b"][1] == [61, 101]      # + the 21 exact 2.0s (incl NULL-a row)
