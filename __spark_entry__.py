@@ -3938,6 +3938,19 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+def op_grouping_sets_facade(spark, sf_dir):
+    """The DataStream facade for arbitrary grouping sets
+    (DataStream.grouping_sets — §2.4 parity-plus): the SAME query as
+    op_grouping_sets built verb-first instead of through the SQL front
+    end, lowering to the identical Expand + partial→final aggregate
+    plan; shares op_grouping_sets' oracle."""
+    qc = _qc(spark)
+    out = (_t(qc, sf_dir, "orders")
+           .grouping_sets([["o_orderstatus"], ["o_orderpriority"], []])
+           .agg_sql("count(*) AS n, round(sum(o_totalprice), 2) AS total"))
+    return out.df
+
+
 def op_sql_tpch(spark, sf_dir):
     """TPC-H Q1 SQL TEXT (DuckDB dialect, the oracle's own string) run
     through qc.sql() — proves the SQL front end executes real queries
@@ -4193,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": mm_features,
         "bench_asof_micro": bench_asof_micro,
         "bench_wide_quantile": bench_wide_quantile,
+        "op_grouping_sets_facade": op_grouping_sets_facade,
         # relational operators (redundant with TPC-H coverage)
         "op_topk": op_topk, "op_distinct": op_distinct,
         "op_count_distinct": op_count_distinct, "op_union": op_union,
@@ -4372,6 +4386,7 @@ def oracle_sql() -> dict[str, str]:
         "text_readability": _READABILITY_SQL,
         "ts_vwap": _VWAP_SQL,
         "op_grouping_sets": _GROUPING_SETS_SQL,
+        "op_grouping_sets_facade": _GROUPING_SETS_SQL,
         "dedup_containment": _CONTAINMENT_SQL,
         "op_percentile_approx_group": _percentile_approx_oracle(),
     }

@@ -505,6 +505,16 @@ class DataStream:
         """Parity-plus: all grouping-set combinations."""
         return GroupedDataStream(self, list(keys), orderby, mode="cube")
 
+    def grouping_sets(self, sets: list, orderby=None) -> "GroupedDataStream":
+        """Parity-plus: an ARBITRARY grouping-set list (beyond the
+        rollup/cube shapes), e.g. ``[["status"], ["priority"], []]``
+        for per-status, per-priority, and grand totals in one pass.
+        Lowers to the native groupingSets plan — one Expand + one
+        partial→final aggregate, identical to the SQL front end's
+        ``GROUP BY GROUPING SETS`` lowering."""
+        sets = [list(s) for s in sets]
+        return GroupedDataStream(self, sets, orderby, mode="grouping_sets")
+
     def agg(self, aggregations: dict) -> "DataStream":
         return self.groupby([]).agg(aggregations)
 
@@ -773,6 +783,15 @@ class GroupedDataStream:
             return df.rollup(*self.groupby)
         if self.mode == "cube":
             return df.cube(*self.groupby)
+        if self.mode == "grouping_sets":
+            # self.groupby holds the SET LIST; output grouping columns
+            # are the union in first-appearance order
+            cols: list = []
+            for s in self.groupby:
+                for c in s:
+                    if c not in cols:
+                        cols.append(c)
+            return df.groupingSets(self.groupby, *cols)
         return df.groupBy(*self.groupby)
 
     def _finish(self, df: DataFrame) -> DataStream:

@@ -422,3 +422,22 @@ def test_llm_pipeline_verbs_chain_on_the_stream(spark, qc):
     # dedup verbs return streams too
     assert qc.read_parquet("/root/testdata/sf0.001/documents.parquet") \
         .dedup_exact().count() > 0
+
+
+def test_grouping_sets_facade_matches_sql_plan(spark, qc):
+    """DataStream.grouping_sets must produce the same rows AND the
+    same physical plan shape (one Expand + partial->final aggregate,
+    one exchange) as the SQL front end's GROUP BY GROUPING SETS."""
+    import __spark_entry__ as em
+    from conftest import SF_SMOKE
+    facade = em.op_grouping_sets_facade(spark, SF_SMOKE)
+    via_sql = em.op_grouping_sets(spark, SF_SMOKE)
+    key = lambda pdf: sorted(
+        map(tuple, pdf.fillna("~").values.tolist()))
+    assert key(facade.toPandas()) == key(via_sql.toPandas())
+    plan = facade._jdf.queryExecution().executedPlan().toString()
+    # AQE repeats the tree under "== Initial Plan =="; pin the final one
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Expand") == 1
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") == 1          # one shuffle, no extras
