@@ -1553,6 +1553,39 @@ SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0
 """
 
 
+def src_iceberg_eq_deletes(spark, sf_dir):
+    """read_iceberg with v2 EQUALITY deletes applied — the fallback
+    reader's sequence-scoped null-safe anti-join on the delete file's
+    equality columns (the Flink-CDC write shape; previously the one
+    NotImplementedError in the pure-Python reader). The gate lays an
+    Iceberg table over documents.parquet, commits an equality-delete
+    snapshot for doc_id % 5 = 0, and reads the current snapshot; the
+    oracle is the complementary filter. Sequence scoping and field-id
+    resolution are pinned in tests/test_iceberg.py."""
+    import os
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import (
+        add_equality_deletes, create_local_iceberg_table)
+    qc = _qc(spark)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_iceberg_eq_" + sf_dir.strip("/").replace("/", "_"))
+    create_local_iceberg_table(tbl, [[docs]])
+    ids = pq.read_table(docs, columns=["doc_id"])["doc_id"].to_pylist()
+    kill = sorted({d for d in ids if d % 5 == 0})
+    add_equality_deletes(tbl, pa.table({"doc_id": pa.array(kill,
+                                                           pa.int64())}))
+    ds = qc.read_iceberg(tbl)
+    return ds.df.select("doc_id", "source")
+
+
+_SRC_ICEBERG_EQ_DELETES_SQL = """
+SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0
+"""
+
+
 def dedup_exact_best(spark, sf_dir):
     """Quality-aware exact dedup (functions/dedup.exact_dedup_keep_best):
     keep the highest-scoring capture of each duplicate group, ties by
@@ -4256,6 +4289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_zorder": op_zorder,
         "op_quantize": op_quantize,
         "src_iceberg_deletes": src_iceberg_deletes,
+        "src_iceberg_eq_deletes": src_iceberg_eq_deletes,
         "text_bigram_lm": text_bigram_lm,
         "text_hash_tf": text_hash_tf,
         "op_cms": op_cms,
@@ -4367,6 +4401,7 @@ def oracle_sql() -> dict[str, str]:
         "op_zorder": _zorder_oracle(),
         "op_quantize": _QUANTIZE_SQL,
         "src_iceberg_deletes": _SRC_ICEBERG_DELETES_SQL,
+        "src_iceberg_eq_deletes": _SRC_ICEBERG_EQ_DELETES_SQL,
         "text_bigram_lm": _BIGRAM_SQL,
         "text_hash_tf": _hash_tf_oracle(),
         "op_cms": _cms_oracle(),

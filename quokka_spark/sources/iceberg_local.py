@@ -13,9 +13,13 @@ pushdown / column pruning.
 Scope (documented, test-enforced):
 - format-version 1 and 2 tables, including v2 POSITION deletes
   (applied as a distributed anti-join on ``_metadata`` file/row
-  position — see read_iceberg_local); equality deletes raise
-  NotImplementedError (they need the schema's equality ids — the
-  runtime jar's job).
+  position — see read_iceberg_local) and v2 EQUALITY deletes
+  (content=2: each delete file's ``equality_ids`` columns anti-join
+  the data rows null-safely, restricted to data files with a LOWER
+  sequence number than the delete, per spec — the Flink-CDC write
+  shape). Field ids resolve through the table schema; when the
+  metadata carries no schema (minimal fixtures), the delete file's
+  own column names are used.
 - metadata must be locally readable (``file://`` or plain paths);
   data files pass through to Spark untouched, so remote data behind a
   mounted path works.
@@ -83,23 +87,25 @@ def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict:
                      f"(have {[s.get('snapshot-id') for s in snaps]})")
 
 
-def snapshot_files(table_path: str,
-                   snapshot_id: int | None = None
-                   ) -> "tuple[list[str], list[str]]":
-    """(data files, position-delete files) of a snapshot (default:
-    current).
+def snapshot_files_full(table_path: str,
+                        snapshot_id: int | None = None):
+    """Full file inventory of a snapshot (default: current):
+    ``(data_entries, position_delete_paths, equality_delete_entries)``
+    where data entries are ``{"path", "seq"}`` and equality entries
+    ``{"path", "seq", "equality_ids"}`` — ``seq`` is the entry's data
+    sequence number (committing snapshot id in this layout), which
+    scopes equality deletes to OLDER data files per the spec.
 
     Walks manifest-list → manifests, keeping entries whose status is
     EXISTING(0) or ADDED(1) and dropping DELETED(2). Delete manifests
     (v2 ``content=1``) contribute POSITION delete files (entry
-    content=1, spec §Position Delete Files: rows of (file_path, pos));
-    equality deletes (content=2) abort with NotImplementedError —
-    applying them needs the table schema's equality ids, which is the
-    jar path's job."""
+    content=1: rows of (file_path, pos)) and EQUALITY delete files
+    (entry content=2: rows of the ``equality_ids`` columns)."""
     meta = _read_table_metadata(table_path)
     snap = _pick_snapshot(meta, snapshot_id)
-    paths: list[str] = []
-    deletes: list[str] = []
+    data: list[dict] = []
+    pos_deletes: list[str] = []
+    eq_deletes: list[dict] = []
     if "manifest-list" in snap:
         _, manifests = read_container(_local(snap["manifest-list"]))
     else:  # v1 inline manifest list
@@ -117,26 +123,47 @@ def snapshot_files(table_path: str,
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"file format {fmt}: only PARQUET is supported")
+            seq = int(e.get("sequence_number")
+                      or e.get("snapshot_id")
+                      or mf.get("added_snapshot_id") or 0)
             if is_delete_manifest:
-                if content == 2:
-                    raise NotImplementedError(
-                        "Iceberg equality deletes are not supported by "
-                        "the pure-Python fallback reader; use the "
-                        "iceberg-spark runtime jar")
-                if content != 1:
+                if content == 1:
+                    pos_deletes.append(df["file_path"])
+                elif content == 2:
+                    eq_deletes.append(
+                        {"path": df["file_path"], "seq": seq,
+                         "equality_ids": list(df.get("equality_ids")
+                                              or [])})
+                else:
                     raise ValueError(
                         f"malformed table: delete manifest "
                         f"{mf['manifest_path']} contains a file with "
-                        f"content={content} (expected position deletes)")
-                deletes.append(df["file_path"])
+                        f"content={content} (expected deletes)")
             else:
                 if content != 0:
                     raise ValueError(
                         f"malformed table: data manifest "
                         f"{mf['manifest_path']} contains a file with "
                         f"content={content}")
-                paths.append(df["file_path"])
-    return paths, deletes
+                data.append({"path": df["file_path"], "seq": seq})
+    return data, pos_deletes, eq_deletes
+
+
+def snapshot_files(table_path: str,
+                   snapshot_id: int | None = None
+                   ) -> "tuple[list[str], list[str]]":
+    """(data files, position-delete files) of a snapshot (default:
+    current) — the historical two-list form; snapshots carrying
+    EQUALITY deletes refuse here because the caller would silently
+    resurrect rows. Use snapshot_files_full / read_iceberg_local for
+    equality-delete-aware access."""
+    data, pos_deletes, eq_deletes = snapshot_files_full(
+        table_path, snapshot_id)
+    if eq_deletes:
+        raise NotImplementedError(
+            "snapshot carries equality delete files; use "
+            "snapshot_files_full() or read_iceberg_local()")
+    return [d["path"] for d in data], pos_deletes
 
 
 def snapshot_data_files(table_path: str,
@@ -162,13 +189,36 @@ def _norm_path(c):
     return F.regexp_replace(c, "^file:/*", "/")
 
 
+def _field_names(table_path: str) -> dict:
+    """field-id → column-name map from the table metadata's current
+    schema ({} when the metadata carries no schema — minimal local
+    fixtures)."""
+    meta = _read_table_metadata(table_path)
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        return {}
+    cur = meta.get("current-schema-id")
+    schema = next((s for s in schemas if s.get("schema-id") == cur),
+                  schemas[0])
+    return {int(f["id"]): f["name"]
+            for f in schema.get("fields", []) if "id" in f and "name" in f}
+
+
+def _py_norm(p: str) -> str:
+    import re
+    return re.sub("^file:/+", "/", p)
+
+
 def _live_df(spark, table_path: str, snapshot_id: int | None,
              keep_position: bool = False):
-    """Live rows of a snapshot with position deletes applied; with
-    ``keep_position`` the normalized (__qs_fp__, __qs_pos__) columns
-    survive — the upsert path needs them to address matched rows."""
+    """Live rows of a snapshot with position AND equality deletes
+    applied; with ``keep_position`` the normalized (__qs_fp__,
+    __qs_pos__) columns survive — the upsert path needs them to
+    address matched rows."""
     from pyspark.sql import functions as F
-    paths, deletes = snapshot_files(table_path, snapshot_id)
+    entries, deletes, eq_deletes = snapshot_files_full(
+        table_path, snapshot_id)
+    paths = [d["path"] for d in entries]
     if not paths:
         raise ValueError(f"{table_path}: snapshot has no data files")
     df = (spark.read.parquet(*paths)
@@ -182,20 +232,53 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
         df = df.join(dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                      & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                      "left_anti")
+    if eq_deletes:
+        # each data row carries its file's sequence number (a tiny
+        # broadcast path→seq map): an equality delete only removes
+        # rows from files with a STRICTLY LOWER sequence (spec §Scan
+        # Planning — a delete never applies to rows committed with or
+        # after it)
+        names = _field_names(table_path)
+        seq_df = spark.createDataFrame(
+            [(_py_norm(d["path"]), int(d["seq"])) for d in entries],
+            "__qs_sfp__ string, __qs_seq__ long")
+        df = (df.join(F.broadcast(seq_df),
+                      F.col("__qs_fp__") == F.col("__qs_sfp__"), "left")
+              .drop("__qs_sfp__"))
+        # group delete files sharing (seq, equality_ids): one distinct
+        # + one null-safe anti-join per group, fully distributed
+        groups: dict = {}
+        for d in eq_deletes:
+            groups.setdefault(
+                (d["seq"], tuple(d["equality_ids"])), []).append(d["path"])
+        for (seq, ids), files in sorted(groups.items()):
+            dd = spark.read.parquet(*[_local(p) for p in files])
+            cols = [names[i] for i in ids] if ids and all(
+                i in names for i in ids) else list(dd.columns)
+            dd = dd.select(*[F.col(c).alias(f"__qs_eq_{c}__")
+                             for c in cols]).distinct()
+            cond = F.col("__qs_seq__") < F.lit(int(seq))
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__qs_eq_{c}__"))
+            df = df.join(dd, cond, "left_anti")
+        df = df.drop("__qs_seq__")
     return df if keep_position else df.drop("__qs_fp__", "__qs_pos__")
 
 
 def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None):
     """Spark DataFrame over a local Iceberg table's live data files,
-    with v2 POSITION deletes applied as an anti-join on
-    (file, row position).
+    with v2 POSITION deletes applied as an anti-join on (file, row
+    position) and v2 EQUALITY deletes as sequence-scoped null-safe
+    anti-joins on their ``equality_ids`` columns.
 
-    The delete application is fully distributed: data files feed
+    Both delete applications are fully distributed: data files feed
     Spark's native parquet scan with ``_metadata.file_path`` /
     ``row_index`` (no Python, no driver materialization), delete files
-    are their own parquet scan, and the anti-join broadcasts the
-    delete set when small (AQE) or sort-merges on (path, pos) when
-    not — delete files never pass through the driver."""
+    are their own parquet scans, and the anti-joins broadcast the
+    delete sets when small (AQE) or sort-merge when not — delete rows
+    never pass through the driver. The only driver-side piece is the
+    KB-scale (file path → sequence number) map equality scoping
+    needs."""
     return _live_df(spark, table_path, snapshot_id)
 
 
@@ -249,6 +332,9 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}],
+                 "field-id": 135},
             ]}},
     ]}
 
@@ -262,16 +348,22 @@ _MANIFEST_FILE_SCHEMA = {
     ]}
 
 
-def create_local_iceberg_table(table_dir: str,
-                               snapshots: list) -> list[int]:
+def create_local_iceberg_table(table_dir: str, snapshots: list,
+                               schema_fields: list | None = None
+                               ) -> list[int]:
     """Write a spec-shaped unpartitioned Iceberg v2 table whose
     snapshot N contains ``snapshots[N]`` — either a plain list of
     parquet data-file paths, or a dict ``{"data": [...],
-    "deletes": [...]}`` where the deletes are position-delete parquet
-    files (columns file_path, pos). Files are referenced in place, not
-    copied — KB of metadata around existing data. Returns the snapshot
-    ids (1-based). Each snapshot gets one data manifest (plus one
-    delete manifest when it carries deletes)."""
+    "deletes": [...], "eq_deletes": [...]}`` where ``deletes`` are
+    position-delete parquet files (columns file_path, pos) and
+    ``eq_deletes`` are ``{"path": ..., "equality_ids": [...],
+    "seq": N}`` equality-delete parquet files (``seq`` defaults to the
+    snapshot that introduces them; existing files keep their original
+    seq when carried forward by commit_snapshot). Files are referenced
+    in place, not copied — KB of metadata around existing data.
+    ``schema_fields``: optional ``[(field_id, name), ...]`` embedded
+    as the table schema so equality_ids resolve to column names.
+    Returns the snapshot ids (1-based)."""
     from .avro_lite import write_container
     meta_dir = os.path.join(_local(table_dir), "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -279,26 +371,41 @@ def create_local_iceberg_table(table_dir: str,
     for i, spec in enumerate(snapshots, start=1):
         if isinstance(spec, dict):
             files, dels = spec.get("data", []), spec.get("deletes", [])
+            eq_dels = spec.get("eq_deletes", [])
         else:
-            files, dels = spec, []
+            files, dels, eq_dels = spec, [], []
 
-        def entry(p, content):
-            return {"status": 1, "snapshot_id": i, "data_file": {
+        def entry(p, content, equality_ids=None, seq=None):
+            return {"status": 1, "snapshot_id": seq or i, "data_file": {
                 "content": content, "file_path": p,
                 "file_format": "PARQUET", "record_count": 0,
-                "file_size_in_bytes": os.path.getsize(_local(p))}}
+                "file_size_in_bytes": os.path.getsize(_local(p)),
+                "equality_ids": ([int(x) for x in equality_ids]
+                                 if equality_ids else None)}}
+
+        def data_entry(spec_item):
+            # plain path (seq = this snapshot) or {"path", "seq"} —
+            # carried-forward files keep their ORIGINAL sequence so
+            # equality-delete scoping stays correct across commits
+            if isinstance(spec_item, dict):
+                return entry(spec_item["path"], 0,
+                             seq=spec_item.get("seq"))
+            return entry(spec_item, 0)
 
         manifest = os.path.join(meta_dir, f"manifest-{i}.avro")
         write_container(manifest, _MANIFEST_ENTRY_SCHEMA,
-                        [entry(p, 0) for p in files])
+                        [data_entry(p) for p in files])
         mlist_rows = [{"manifest_path": manifest,
                        "manifest_length": os.path.getsize(manifest),
                        "partition_spec_id": 0, "content": 0,
                        "added_snapshot_id": i}]
-        if dels:
+        if dels or eq_dels:
             dmanifest = os.path.join(meta_dir, f"manifest-{i}-deletes.avro")
-            write_container(dmanifest, _MANIFEST_ENTRY_SCHEMA,
-                            [entry(p, 1) for p in dels])
+            write_container(
+                dmanifest, _MANIFEST_ENTRY_SCHEMA,
+                [entry(p, 1) for p in dels]
+                + [entry(d["path"], 2, d.get("equality_ids"),
+                         d.get("seq")) for d in eq_dels])
             mlist_rows.append({"manifest_path": dmanifest,
                                "manifest_length": os.path.getsize(dmanifest),
                                "partition_spec_id": 0, "content": 1,
@@ -309,11 +416,17 @@ def create_local_iceberg_table(table_dir: str,
                              "timestamp-ms": 0, "manifest-list": mlist,
                              "summary": {"operation": "append"}})
     n = len(snapshots)
+    schemas = []
+    if schema_fields:
+        schemas = [{"schema-id": 0, "type": "struct",
+                    "fields": [{"id": int(fid), "name": name,
+                                "required": False, "type": "string"}
+                               for fid, name in schema_fields]}]
     meta = {"format-version": 2, "table-uuid": "0" * 32,
             "location": table_dir, "last-sequence-number": n,
             "current-snapshot-id": n, "snapshots": snap_entries,
-            "schemas": [], "partition-specs": [{"spec-id": 0,
-                                                "fields": []}]}
+            "schemas": schemas, "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}]}
     with open(os.path.join(meta_dir, f"v{n}.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
@@ -335,21 +448,34 @@ def append_snapshot(table_dir: str, new_files: list[str]) -> int:
 
 
 def commit_snapshot(table_dir: str, add_files: list | None = None,
-                    add_delete_files: list | None = None) -> int:
+                    add_delete_files: list | None = None,
+                    add_eq_delete_files: list | None = None) -> int:
     """General single-writer commit: a new snapshot = current live
-    files + ``add_files``, current delete files + ``add_delete_files``
-    — appends, deletes, or both atomically (the one-snapshot upsert
-    shape). Metadata-only; returns the new snapshot id."""
+    files + ``add_files``, current position-delete files +
+    ``add_delete_files``, current equality-delete files +
+    ``add_eq_delete_files`` (dicts of ``{"path", "equality_ids"}``) —
+    appends, deletes, or both atomically (the one-snapshot upsert
+    shape). Carried-forward files keep their original sequence
+    numbers. Metadata-only; returns the new snapshot id."""
     prior: list[dict] = []
+    schema_fields = None
     if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
         meta = _read_table_metadata(table_dir)
+        names = _field_names(table_dir)
+        if names:
+            schema_fields = sorted(names.items())
         for s in meta.get("snapshots", []):
-            d, dels = snapshot_files(table_dir, s.get("snapshot-id"))
-            prior.append({"data": d, "deletes": dels})
-    current = prior[-1] if prior else {"data": [], "deletes": []}
+            d, dels, eqs = snapshot_files_full(table_dir,
+                                               s.get("snapshot-id"))
+            prior.append({"data": d, "deletes": dels, "eq_deletes": eqs})
+    current = prior[-1] if prior else {"data": [], "deletes": [],
+                                       "eq_deletes": []}
     new_snap = {"data": current["data"] + list(add_files or []),
-                "deletes": current["deletes"] + list(add_delete_files or [])}
-    ids = create_local_iceberg_table(table_dir, prior + [new_snap])
+                "deletes": current["deletes"] + list(add_delete_files or []),
+                "eq_deletes": (current["eq_deletes"]
+                               + list(add_eq_delete_files or []))}
+    ids = create_local_iceberg_table(table_dir, prior + [new_snap],
+                                     schema_fields=schema_fields)
     return ids[-1]
 
 
@@ -379,3 +505,30 @@ def add_position_deletes(table_dir: str,
     pq.write_table(pa.table({"file_path": pa.array(rows_fp, pa.string()),
                              "pos": pa.array(rows_pos, pa.int64())}), dpath)
     return commit_snapshot(table_dir, add_delete_files=[dpath])
+
+
+def add_equality_deletes(table_dir: str, rows: "pa.Table | dict",
+                         equality_ids: list | None = None) -> int:
+    """Commit a new snapshot that EQUALITY-deletes every live row (of
+    older sequence numbers) matching a row of ``rows`` on its columns
+    (Iceberg v2 equality-delete semantics — the Flink-CDC delete
+    shape). ``rows``: a pyarrow Table or a {column: values} dict of
+    the equality columns. ``equality_ids``: the matching field ids
+    when the table metadata carries a schema (resolved back to these
+    column names at read time); omitted → the reader falls back to
+    the delete file's column names. Returns the new snapshot id.
+
+    Same driver-side single-writer caveat as add_position_deletes;
+    large delete sets should be written by Spark and committed via
+    commit_snapshot(add_eq_delete_files=...)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tdir = _local(table_dir)
+    meta = _read_table_metadata(table_dir)
+    n = len(meta.get("snapshots", [])) + 1
+    table = rows if isinstance(rows, pa.Table) else pa.table(rows)
+    dpath = os.path.join(tdir, "metadata", f"eq-delete-{n}.parquet")
+    pq.write_table(table, dpath)
+    return commit_snapshot(table_dir, add_eq_delete_files=[
+        {"path": dpath,
+         "equality_ids": [int(x) for x in (equality_ids or [])]}])

@@ -98,24 +98,78 @@ def test_position_deletes_applied_and_time_travel(qc, spark, table):
     assert got3 == [2, 4, 5, 6, 8, 9] + list(range(10, 25)) + [100, 101, 102]
 
 
-def test_equality_deletes_still_gated(table):
-    """Equality deletes (content=2) need the schema's equality ids —
-    jar territory; the fallback must refuse, not mis-scan."""
-    from quokka_spark.sources.iceberg_local import (_MANIFEST_ENTRY_SCHEMA
-                                                    as ES, snapshot_files)
+def test_equality_deletes_applied_and_time_travel(qc, table):
+    """v2 equality deletes: add_equality_deletes commits a delete
+    snapshot; the current read drops every matching row (null-safe
+    anti-join on the delete file's columns), time travel to the
+    pre-delete snapshot still sees them, and the strict two-list
+    snapshot_files refuses the delete-bearing snapshot instead of
+    resurrecting rows."""
+    from quokka_spark.sources.iceberg_local import (add_equality_deletes,
+                                                    snapshot_files)
+    tbl, (s1, s2) = table                     # ids 0..24 at snapshot 2
+    s3 = add_equality_deletes(tbl, {"id": [3, 5, 17]})
+    got = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got == [i for i in range(25) if i not in (3, 5, 17)]
+    pre = sorted(r["id"] for r in qc.read_iceberg(tbl, snapshot=s2)
+                 .df.collect())
+    assert pre == list(range(25))
+    with pytest.raises(NotImplementedError, match="equality delete"):
+        snapshot_files(tbl, s3)
+    # a second equality delete composes with the first
+    add_equality_deletes(tbl, {"id": [0]})
+    got2 = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got2 == [i for i in range(1, 25) if i not in (3, 5, 17)]
+
+
+def test_equality_deletes_sequence_scoped(qc, spark, table, tmp_path):
+    """Spec scoping: an equality delete applies only to data files
+    with a LOWER sequence number — a row re-appended AFTER the delete
+    (same key value) must survive (the Flink-CDC delete-then-reinsert
+    shape)."""
+    from quokka_spark.sources.iceberg_local import (add_equality_deletes,
+                                                    append_snapshot)
     tbl, _ = table
-    meta_dir = os.path.join(tbl, "metadata")
-    m2 = os.path.join(meta_dir, "manifest-2.avro")
-    _, entries = read_container(m2)
-    for e in entries:
-        e["data_file"]["content"] = 2
-    write_container(m2, ES, entries)
-    ml = os.path.join(meta_dir, "snap-2.avro")
-    _, manifests = read_container(ml)
-    manifests[0]["content"] = 1
-    write_container(ml, _MANIFEST_FILE_SCHEMA, manifests)
-    with pytest.raises(NotImplementedError, match="equality deletes"):
-        snapshot_files(tbl)
+    add_equality_deletes(tbl, {"id": [4, 9]})
+    # re-insert id=4 in a LATER snapshot: the older delete must not
+    # touch it
+    c = str(tmp_path / "reinsert.parquet")
+    spark.createDataFrame([(4,)], "id long").coalesce(1) \
+        .toPandas().to_parquet(c)
+    append_snapshot(tbl, [c])
+    got = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got == sorted([i for i in range(25) if i not in (4, 9)] + [4])
+
+
+def test_equality_deletes_field_ids_resolve_via_schema(qc, spark, tmp_path):
+    """When the table metadata carries a schema, equality_ids resolve
+    to column names through it (the spec path) — even when the delete
+    file's own column set is wider than the id list."""
+    import pyarrow as pa
+    from quokka_spark.sources.iceberg_local import (add_equality_deletes,
+                                                    create_local_iceberg_table)
+    d = str(tmp_path / "d.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "a"), (4, None)],
+                         "k long, s string").coalesce(1) \
+        .toPandas().to_parquet(d)
+    tbl = str(tmp_path / "eqtbl")
+    create_local_iceberg_table(tbl, [[d]],
+                               schema_fields=[(1, "k"), (2, "s")])
+    # delete by field id 2 (column s) only — the extra k column in the
+    # delete file must be IGNORED because equality_ids says [2]
+    add_equality_deletes(
+        tbl, pa.table({"k": pa.array([999], pa.int64()),
+                       "s": pa.array(["a"], pa.string())}),
+        equality_ids=[2])
+    got = sorted((r["k"], r["s"])
+                 for r in qc.read_iceberg(tbl).df.collect())
+    assert got == [(2, "b"), (4, None)]
+    # null-safe matching: deleting s IS NULL removes the (4, None) row
+    add_equality_deletes(
+        tbl, pa.table({"s": pa.array([None], pa.string())}),
+        equality_ids=[2])
+    got2 = sorted(r["k"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got2 == [2]
 
 
 def test_non_iceberg_dir_keeps_gated_jar_error(qc, tmp_path):
