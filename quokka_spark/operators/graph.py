@@ -21,13 +21,19 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Dangling nodes (no out-edges) are supported: their rank mass is
     redistributed uniformly each iteration (standard formulation).
+    The dangling mass is folded INTO the iteration's plan — every
+    non-dangling node distributes exactly its rank across its
+    out-edges, so dangling mass = sum(ranks) − sum(contributions),
+    both tiny one-row aggregates cross-joined (broadcast) into the
+    rank update. No per-iteration driver collect, no re-execution of
+    the rank lineage: ONE job per checkpointed iteration (the r4
+    review's finding — the old formulation ran a second anti-join
+    job per iteration whose cost grew with lineage depth).
 
     The rank vector localCheckpoints every ``checkpoint_every``
-    iterations (default: every one). The vector is O(nodes) rows —
-    cheap to materialize at any scale — while the UNtruncated lineage
-    re-executes every prior iteration's join+agg inside each dangling
-    -mass collect: measured 6x on the sf0.01 bipartite gate (36s → 6s
-    going from every-10 to every-1)."""
+    iterations (default: every one) — the vector is O(nodes) rows,
+    cheap to materialize at any scale — truncating the plan so long
+    runs don't replan an ever-deeper tree."""
     from pyspark.storagelevel import StorageLevel
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
         .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -38,30 +44,38 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outd")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
     # dangling nodes (no out-edges) are a static property of the graph;
-    # only pay the per-iteration mass collect when they exist
+    # only carry the mass terms through the plan when they exist
     has_dangling = n > deg.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iters):
-        # each iteration stacks a join+agg on the rank lineage; truncate
-        # it periodically so long runs don't replan an ever-deeper tree
-        if it and it % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
         contrib = (e.join(deg, "src")
                    .join(ranks.withColumnRenamed("node", "src"), "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum(F.col("rank") / F.col("outd")).alias("c")))
-        d = 0.0
+        base = nodes.join(contrib, "node", "left")
         if has_dangling:
-            # rank mass held by dangling nodes, redistributed uniformly
-            d = (ranks.join(deg.withColumnRenamed("src", "node"),
-                            "node", "left_anti")
-                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
-                 .collect()[0]["d"])
-        ranks = (nodes.join(contrib, "node", "left")
-                 .select("node",
-                         (F.lit((1.0 - damping) / n) + F.lit(damping) *
-                          (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(d / n))
-                          ).alias("rank")))
+            # scalars stay in-plan: 1-row aggregates broadcast via
+            # cross join (Catalyst reuses contrib's shuffle between
+            # the agg and the join — one execution inside one job)
+            scalars = (ranks.agg(F.sum("rank").alias("__t__"))
+                       .crossJoin(contrib.agg(
+                           F.coalesce(F.sum("c"), F.lit(0.0))
+                           .alias("__sc__"))))
+            ranks = (base.crossJoin(F.broadcast(scalars))
+                     .select("node",
+                             (F.lit((1.0 - damping) / n) + F.lit(damping) *
+                              (F.coalesce(F.col("c"), F.lit(0.0))
+                               + (F.col("__t__") - F.col("__sc__"))
+                               / F.lit(float(n)))).alias("rank")))
+        else:
+            ranks = base.select(
+                "node",
+                (F.lit((1.0 - damping) / n) + F.lit(damping) *
+                 F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"))
+        # truncate lineage; this materialization is the iteration's
+        # ONLY job (nothing above collects)
+        if (it + 1) % checkpoint_every == 0 and it < iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

@@ -1282,3 +1282,55 @@ def test_rank_counts_wide_exact_and_nan_safe(spark):
     assert got["a"][1] == [51, 1]        # le: 51 <= 50 (incl 50); 1 <= 0
     assert got["b"][0] == [40, 101]      # 0s and 1s: 40 < 2; all 101 < 10
     assert got["b"][1] == [61, 101]      # + the 21 exact 2.0s (incl NULL-a row)
+
+
+def test_pagerank_dangling_in_plan_no_driver_collects(spark):
+    """Dangling-mass handling must be IN-PLAN (r4 review: the old
+    formulation ran a driver collect per iteration that re-executed
+    the rank lineage). Pinned two ways: (a) building the rank
+    DataFrame with checkpointing disabled triggers only the 2-3 setup
+    count jobs — zero per-iteration jobs; (b) the ranks match a dense
+    NumPy PageRank with uniform dangling redistribution."""
+    import numpy as np
+    from quokka_spark.operators.graph import pagerank
+    # dangling graph: 5 -> {0,1}, 0 -> 1, 2 -> 3; nodes 1, 3, 4?  (4
+    # absent) — nodes 1 and 3 have no out-edges (dangling)
+    edges = [(5, 0), (5, 1), (0, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tracker = spark.sparkContext.statusTracker()
+
+    def build_jobs(iters):
+        before = len(tracker.getJobIdsForGroup())
+        ranks = pagerank(df, iters=iters, checkpoint_every=1000)
+        return ranks, len(tracker.getJobIdsForGroup()) - before
+
+    build_jobs(1)                      # warm: AQE/persist first-run jobs
+    _, jobs2 = build_jobs(2)
+    _, jobs5 = build_jobs(5)
+    # setup (persist counts) costs a fixed number of AQE jobs; adding
+    # 3 iterations must add ZERO jobs at build time
+    assert jobs5 == jobs2, \
+        f"{jobs5} vs {jobs2} build jobs — a per-iteration driver " \
+        f"collect is back"
+    ranks_df = pagerank(df, iters=4, checkpoint_every=1000)
+    got = {r["node"]: r["rank"] for r in ranks_df.collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {v: [] for v in nodes}
+    for s, d in edges:
+        out[s].append(d)
+    r = np.full(n, 1.0 / n)
+    damping = 0.85
+    for _ in range(4):
+        nxt = np.full(n, (1.0 - damping) / n)
+        mass = sum(r[idx[v]] for v in nodes if not out[v])
+        for v in nodes:
+            for d in out[v]:
+                nxt[idx[d]] += damping * r[idx[v]] / len(out[v])
+        nxt += damping * mass / n
+        r = nxt
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-9   # mass conserved
