@@ -32,7 +32,8 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
-                   out: str = "__sh__") -> DataFrame:
+                   out: str = "__sh__", carry: list | None = None,
+                   parallelize: bool = True) -> DataFrame:
     """(id, distinct word-n-gram array).
 
     Shingles come from ``arrays_zip`` of n shifted slices of the words
@@ -47,15 +48,17 @@ def _with_shingles(df: DataFrame, text_col: str, id_col: str, n: int,
     old form (arrays_zip NULL-pads, concat_ws skips NULLs)."""
     from ..util import ensure_parallelism
     from .text import normalize_text_sql
+    carry = list(carry or [])
     words = F.split(F.expr(normalize_text_sql(text_col)), " ")
-    staged = ensure_parallelism(df, id_col).select(F.col(id_col),
-                                                   words.alias("__w__"))
+    base = ensure_parallelism(df, id_col) if parallelize else df
+    staged = base.select(F.col(id_col), *[F.col(c) for c in carry],
+                         words.alias("__w__"))
     m = f"greatest(size(__w__) - {n - 1}, 1)"
     slices = ", ".join(f"slice(__w__, {k + 1}, {m})" for k in range(n))
     fields = ", ".join(f"s.`{k}`" for k in range(n))
     sh = F.expr(f"transform(arrays_zip({slices}), "
                 f"s -> concat_ws(' ', {fields}))")
-    return staged.select(id_col, F.array_distinct(sh).alias(out))
+    return staged.select(id_col, *carry, F.array_distinct(sh).alias(out))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -157,12 +160,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
                        num_hashes: int = 64, seed: int = 42,
-                       shingled: DataFrame | None = None) -> DataFrame:
+                       shingled: DataFrame | None = None,
+                       carry: list | None = None,
+                       parallelize: bool = True) -> DataFrame:
     """MinHash signatures via vectorized NumPy over Arrow batches.
 
     Shingle base hash: xxhash64 (JVM-side); permutations h_i(x) =
     (a_i·x + b_i) mod p computed in one (num_hashes × shingles) NumPy
-    broadcast per doc batch."""
+    broadcast per doc batch.
+
+    ``carry``: extra columns passed through beside (id, signature) —
+    the streaming path carries its event-time column this way (a
+    post-hoc join would need stream-stream watermarks for nothing).
+    ``parallelize=False`` skips the small-input repartition probe,
+    which cannot run on a streaming plan."""
     rng = np.random.default_rng(seed)
     # odd multipliers, wraparound mod 2^64: vectorized uint64 permutation
     # family (a*x+b); min is taken over full 64-bit values so the weak
@@ -170,10 +181,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     a = (rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
+    carry = list(carry or [])
+    carry_types = {c: df.schema[c].dataType.simpleString() for c in carry}
     if shingled is None:
-        shingled = _with_shingles(df, text_col, id_col, n)
+        shingled = _with_shingles(df, text_col, id_col, n, carry=carry,
+                                  parallelize=parallelize)
     shingled = shingled.select(
-        id_col, F.transform("__sh__", lambda s: F.xxhash64(s)).alias("__h__"))
+        id_col, *carry,
+        F.transform("__sh__", lambda s: F.xxhash64(s)).alias("__h__"))
 
     def sign(it):
         import pyarrow as pa
@@ -189,13 +204,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                     x = np.asarray(hs, dtype=np.int64).view(np.uint64)
                     # (num_hashes, shingles) permuted hashes, min per row
                     sigs[i] = (a[:, None] * x[None, :] + b[:, None]).min(axis=1)
-                yield pa.RecordBatch.from_pydict({
-                    id_col: pa.array(ids.tolist(), pa.int64()),
-                    "signature": pa.array(sigs.view(np.int64).tolist(),
-                                          pa.list_(pa.int64())),
-                })
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids.tolist(), pa.int64())]
+                    + [batch.column(c) for c in carry]
+                    + [pa.array(sigs.view(np.int64).tolist(),
+                                pa.list_(pa.int64()))],
+                    [id_col] + carry + ["signature"])
 
-    return shingled.mapInArrow(sign, schema=f"{id_col} long, signature array<long>")
+    out_schema = ", ".join(
+        [f"{id_col} long"] + [f"{c} {carry_types[c]}" for c in carry]
+        + ["signature array<long>"])
+    return shingled.mapInArrow(sign, schema=out_schema)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",

@@ -64,6 +64,86 @@ def streaming_dedup_exact(df: DataFrame, key_cols, watermark_col: str,
                 [key_cols] if isinstance(key_cols, str) else list(key_cols)))
 
 
+def streaming_minhash_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            time_col: str = "event_time",
+                            delay: str = "10 minutes", n: int = 3,
+                            num_hashes: int = 64, bands: int = 16,
+                            seed: int = 42) -> DataFrame:
+    """Streaming banded minhash-LSH near-dup candidates with BOUNDED
+    state — the streaming face of functions/dedup.minhash_lsh_pairs.
+
+    Per micro-batch: signatures are the SAME stateless Arrow kernel as
+    batch (minhash_signatures, carrying the event-time column); bands
+    explode JVM-side into (band, bucket) keys; then one
+    ``applyInPandasWithState`` per (band, bucket) keeps the ids seen
+    within the watermark and emits a candidate pair (id1 < id2) for
+    every new member against every remembered one. EventTimeTimeout
+    evicts bucket state once the watermark passes ``delay`` beyond its
+    last update, so state is O(docs within the horizon), never O(all
+    docs) — the only shape that survives an unbounded stream.
+
+    Semantics vs batch: replaying a corpus whose event times all fit
+    one watermark horizon yields EXACTLY the batch candidate set
+    (test-pinned); docs arriving more than ``delay`` apart may miss
+    their pair — the standard watermark trade, identical to
+    streaming_dedup_exact's. A pair may emit once per shared band
+    (at-least-once): downstream exact-verify dedups, same as the
+    batch candidate pipeline."""
+    import pandas as pd
+    from pyspark.sql.types import TimestampNTZType
+    from ..functions.dedup import minhash_signatures
+    assert num_hashes % bands == 0
+    if isinstance(df.schema[time_col].dataType, TimestampNTZType):
+        df = df.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes, seed,
+                              carry=[time_col], parallelize=False)
+    r = num_hashes // bands
+    banded = sigs.select(
+        id_col, time_col,
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                        lambda i: F.slice("signature", i * r + 1, r))
+        ).alias("band", "band_sig"))
+    bucketed = banded.withColumn(
+        "bucket", F.xxhash64(F.col("band"), F.col("band_sig").cast("string")))
+    wm = bucketed.withWatermark(time_col, delay)
+    delay_ms = int(to_seconds(delay) * 1000)
+
+    def func(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"id1": pd.Series([], dtype="int64"),
+                                "id2": pd.Series([], dtype="int64")})
+            return
+        (stored,) = state.get if state.exists else ([],)
+        seen = list(stored)
+        out1, out2 = [], []
+        for pdf in pdfs:
+            for rid in sorted(int(x) for x in pdf[id_col]):
+                for s in seen:
+                    if s != rid:
+                        out1.append(min(s, rid))
+                        out2.append(max(s, rid))
+                if rid not in seen:
+                    seen.append(rid)
+        state.update((seen,))
+        try:  # evict once the watermark passes the horizon
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + delay_ms)
+        except Exception:  # noqa: BLE001 — watermark not yet initialized
+            pass
+        yield pd.DataFrame({"id1": pd.Series(out1, dtype="int64"),
+                            "id2": pd.Series(out2, dtype="int64")})
+
+    return (wm.groupBy("band", "bucket")
+            .applyInPandasWithState(func,
+                                    outputStructType="id1 long, id2 long",
+                                    stateStructType="seen array<long>",
+                                    outputMode="append",
+                                    timeoutConf="EventTimeTimeout"))
+
+
 def stateful_stream_transform(df: DataFrame, func, out_schema, state_schema,
                               by, timeout: str = "NoTimeout") -> DataFrame:
     """``applyInPandasWithState`` recipe — the streaming equivalent of

@@ -744,3 +744,37 @@ def test_cep_bucketed_equals_plain_and_brute_force(spark, qc):
               .distinct().count())
     cores = spark.sparkContext.defaultParallelism
     assert groups > cores, (groups, cores)
+
+
+def test_streaming_minhash_equals_batch(spark, qc, tmp_path):
+    """Streaming banded minhash-LSH (bounded state, watermark
+    eviction) must emit EXACTLY the batch minhash_lsh_pairs candidate
+    set when a corpus is replayed within one watermark horizon."""
+    from quokka_spark.functions.dedup import minhash_lsh_pairs
+    from quokka_spark.streaming.stream import (read_parquet_stream,
+                                               streaming_minhash_pairs)
+    docs = (qc.read_parquet(f"{SF_SMOKE}/documents.parquet").df
+            .select("doc_id", "text")
+            .withColumn(
+                "event_time",
+                F.expr("timestamp'2024-01-01 00:00:00' + "
+                       "make_interval(0,0,0,0,0,0, doc_id % 120)")))
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(3).write.mode("overwrite").parquet(src)
+
+    batch = minhash_lsh_pairs(spark.read.parquet(src),
+                              num_hashes=32, bands=8).toPandas()
+    want = set(zip(batch["id1"], batch["id2"]))
+    assert len(want) > 0                      # planted dups exist
+
+    stream = read_parquet_stream(
+        spark, src, "doc_id long, text string, event_time timestamp")
+    out = streaming_minhash_pairs(stream, time_col="event_time",
+                                  delay="1 hour", num_hashes=32, bands=8)
+    q = (out.writeStream.format("memory").queryName("mh_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got_pdf = spark.sql("SELECT id1, id2 FROM mh_stream").toPandas()
+    got = set(zip(got_pdf["id1"], got_pdf["id2"]))
+    assert got == want, (len(got), len(want),
+                         list(got - want)[:5], list(want - got)[:5])
