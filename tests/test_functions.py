@@ -1299,10 +1299,15 @@ def test_pagerank_dangling_in_plan_no_driver_collects(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     tracker = spark.sparkContext.statusTracker()
 
+    def max_job_id():
+        # job ids increase monotonically; len() of the retained-job
+        # list SHRINKS once the UI evicts old jobs in a long session
+        return max(tracker.getJobIdsForGroup(), default=0)
+
     def build_jobs(iters):
-        before = len(tracker.getJobIdsForGroup())
+        before = max_job_id()
         ranks = pagerank(df, iters=iters, checkpoint_every=1000)
-        return ranks, len(tracker.getJobIdsForGroup()) - before
+        return ranks, max_job_id() - before
 
     build_jobs(1)                      # warm: AQE/persist first-run jobs
     _, jobs2 = build_jobs(2)
