@@ -723,6 +723,33 @@ class DataStream:
         w.parquet(path, **options)
         return self._filename_stream(path)
 
+    def write_lance(self, path: str, vec_column: str = "vec",
+                    id_column: str | None = None, ann_index: bool = True,
+                    n_fragments: int = 16,
+                    output_line_limit: int = 5_000_000) -> "DataStream":
+        """Write this stream as a lancelike fragment layout readable
+        back through ``qc.read_lance`` — the materialization the
+        reference performs when a vector dataset needs an ANN index
+        (reference datastream.py:457-462: lance.write_dataset +
+        create_index(IVF_PQ); functions/ann_index.write_ann_index is
+        the Spark-first counterpart).
+
+        ``ann_index=True`` (requires ``id_column``) clusters vectors
+        into spherical-kmeans fragments and writes the centroid/cone/
+        pivot sidecar, so a later ``read_lance(path).vector_nn_join``
+        pushes its probes into the source and reads only the
+        fragments that can matter. ``ann_index=False`` writes a plain
+        parquet fragment directory (scan-only layout)."""
+        if ann_index:
+            assert id_column, "write_lance(ann_index=True) needs id_column"
+            from .functions.ann_index import write_ann_index
+            write_ann_index(self.df, path, vec_column=vec_column,
+                            id_column=id_column, n_fragments=n_fragments)
+        else:
+            (self.df.write.mode("overwrite")
+             .option("maxRecordsPerFile", output_line_limit).parquet(path))
+        return self._filename_stream(path)
+
     def write_iceberg(self, path: str,
                       output_line_limit: int = 5_000_000,
                       mode: str = "append", key=None) -> int:

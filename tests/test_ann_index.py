@@ -147,3 +147,34 @@ def test_ann_index_dirty_vectors_quarantined(spark, tmp_path):
     out = ann_index_topk(spark, path, probes, 25).toPandas()
     assert not set(out["vec_id"]) & {100, 101}
     assert len(out) == 40                            # 2 probes x 20 valid
+
+
+def test_write_lance_verb_roundtrip_and_pushdown(spark, tmp_path):
+    """DataStream.write_lance is the sink face of the index layout
+    (the reference materializes vector datasets with an IVF index the
+    same way): indexed writes must round-trip through read_lance with
+    probe pushdown active; ann_index=False writes a plain scan-only
+    fragment directory."""
+    from quokka_spark import QuokkaContext
+    from quokka_spark.datastream import DataStream
+    qc = QuokkaContext(spark=spark)
+    df = _clustered_df(spark, n_clusters=4, per_cluster=40)
+    path = str(tmp_path / "wl")
+    out = DataStream(qc, df).write_lance(
+        path, vec_column="embedding", id_column="vec_id", n_fragments=4)
+    assert out.df.count() >= 4                 # filename stream, >=1/frag
+    ds = qc.read_lance(path, vec_column="embedding")
+    assert getattr(ds, "_ann_index_path", None) == path
+    assert ds.df.count() == df.count()
+    probes = df.filter(F.col("vec_id") < 2)
+    info = {}
+    res = (ds.vector_nn_join(probes, "embedding", k=3, scan_info=info)
+           .df.toPandas())
+    assert len(res) == 6 and info["fragments_read"] <= info["fragments_total"]
+    # plain layout: readable, no index provenance
+    plain = str(tmp_path / "plain")
+    DataStream(qc, df).write_lance(plain, vec_column="embedding",
+                                   ann_index=False)
+    ds2 = qc.read_lance(plain, vec_column="embedding")
+    assert getattr(ds2, "_ann_index_path", None) is None
+    assert ds2.df.count() == df.count()
