@@ -2299,6 +2299,47 @@ def op_stratified_sample(spark, sf_dir):
         salt="st1").select("doc_id", "source")
 
 
+def op_token_budget_mix(spark, sf_dir):
+    """Corpus mixing by TOKEN budget (functions/sampling.
+    sample_by_token_budget): downsample src1 to ~500 tokens and src2
+    to ~200 (well under their ~1.4k totals, so the rate branch really
+    exercises) while unlisted sources keep everything — the
+    data-mixing step of a training pipeline. Rates derive from
+    per-source token totals IN-PLAN (one slim agg, broadcast back);
+    membership is the deterministic md5 draw, so the oracle replays
+    the survivor set hash-exactly including the data-dependent
+    thresholds."""
+    from quokka_spark.functions.sampling import sample_by_token_budget
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    out = sample_by_token_budget(
+        docs, {"src1": 500, "src2": 200}, salt="mx1")
+    return out.select("doc_id", "source")
+
+
+_TOKEN_BUDGET_MIX_SQL = r"""
+WITH tot AS (
+  SELECT source,
+         sum(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END) AS t
+  FROM documents GROUP BY source
+), thr AS (
+  SELECT source,
+         CASE WHEN rate >= 1.0 THEN 'g'
+              ELSE lpad(lower(to_hex(CAST(floor(rate * 281474976710656.0)
+                                          AS BIGINT))), 12, '0') END AS h
+  FROM (SELECT source,
+               CASE WHEN source = 'src1' THEN least(1.0, 500.0 / t)
+                    WHEN source = 'src2' THEN least(1.0, 200.0 / t)
+                    ELSE 1.0 END AS rate
+        FROM tot)
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE substring(md5('mx1' || CAST(d.doc_id AS VARCHAR)), 1, 12) < thr.h
+"""
+
+
 _STRATIFIED_SAMPLE_SQL = """
 SELECT doc_id, source FROM documents
 WHERE substring(md5('st1' || CAST(doc_id AS VARCHAR)), 1, 12) <
@@ -4280,6 +4321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_pack_sequences": op_pack_sequences,
         "text_bpe_tokens": text_bpe_tokens,
         "op_stratified_sample": op_stratified_sample,
+        "op_token_budget_mix": op_token_budget_mix,
         "op_cap_per_key": op_cap_per_key,
         "text_tfidf": text_tfidf,
         "ml_logreg": ml_logreg,
@@ -4392,6 +4434,7 @@ def oracle_sql() -> dict[str, str]:
         "op_pack_sequences": _PACK_SQL,
         "text_bpe_tokens": _BPE_SQL,
         "op_stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "op_token_budget_mix": _TOKEN_BUDGET_MIX_SQL,
         "op_cap_per_key": _CAP_PER_KEY_SQL,
         "text_tfidf": _TFIDF_SQL,
         "ml_logreg": _logreg_oracle(),

@@ -210,3 +210,47 @@ def weighted_sample_k(df: DataFrame, key_col: str, weight_col: str,
             .withColumn("__qs_es__", score)
             .withColumn(rn, F.row_number().over(win))
             .filter(F.col(rn) <= k).drop(rn, "__qs_es__"))
+
+
+def sample_by_token_budget(df: DataFrame, budgets: dict,
+                           text_col: str = "text",
+                           source_col: str = "source",
+                           id_col: str = "doc_id",
+                           salt: str = "") -> DataFrame:
+    """Downsample each source to a TOKEN budget — the corpus-mixing
+    step of a training-data pipeline ("20M tokens of web, 5M of
+    forums, books untouched"): per-source whitespace-token totals set
+    the keep rate ``min(1, budget / total_tokens)``, and membership is
+    the usual deterministic md5 draw on (salt, id). Sources without a
+    budget keep every row.
+
+    Plan: one slim (source → token total) aggregation, rates and hex
+    thresholds computed IN-PLAN from it, broadcast-joined back onto
+    the stream, map-side filter. No driver collect — the rate table
+    never leaves the cluster — and the survivor set is a pure function
+    of the data (stable across reruns/partitionings). Every arithmetic
+    step (ratio, least, ·16^12, floor) is an exactly-rounded double
+    op over engine-identical token counts, so the DuckDB oracle
+    replays the survivors hash-exactly."""
+    from .text import token_count
+    for name, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {name!r} must be >= 0, got {b}")
+    totals = (df.groupBy(source_col)
+              .agg(F.sum(token_count(text_col)).alias("__tok__")))
+    budget = None
+    for name, b in budgets.items():
+        branch = (F.col(source_col) == F.lit(name), F.lit(float(b)))
+        budget = F.when(*branch) if budget is None else budget.when(*branch)
+    budget = F.lit(None).cast("double") if budget is None else budget
+    rate = (F.when(budget.isNull() | (F.col("__tok__") <= 0), F.lit(1.0))
+            .otherwise(F.least(F.lit(1.0), budget / F.col("__tok__"))))
+    thr = (F.when(rate >= 1.0, F.lit("g"))
+           .otherwise(F.lpad(F.lower(F.hex(
+               F.floor(rate * F.lit(float(16 ** _HEX_DIGITS)))
+               .cast("bigint"))), _HEX_DIGITS, "0")))
+    rates = totals.select(source_col, thr.alias("__qs_thr__"))
+    return (df.join(F.broadcast(rates), source_col, "left")
+            .filter(_bucket(id_col, salt)
+                    < F.coalesce(F.col("__qs_thr__"), F.lit("g")))
+            .drop("__qs_thr__"))

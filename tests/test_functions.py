@@ -1339,3 +1339,35 @@ def test_pagerank_dangling_in_plan_no_driver_collects(spark):
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
     assert abs(sum(got.values()) - 1.0) < 1e-9   # mass conserved
+
+
+def test_sample_by_token_budget_semantics(spark, qc):
+    """Token-budget mixing: sampled sources land near their budget
+    (hash draw is uniform), unlisted sources keep every row, a zero
+    budget empties its source, and survivors are deterministic."""
+    from quokka_spark.functions.sampling import sample_by_token_budget
+    from quokka_spark.functions.text import token_count
+    docs = qc.read_parquet(f"{SF_SMOKE}/documents.parquet").df
+    tok = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("t")).toPandas().set_index("source")
+    budget = int(tok.loc["src1", "t"] * 0.3)
+    out = sample_by_token_budget(docs, {"src1": budget, "src2": 0},
+                                 salt="tb")
+    got = (out.groupBy("source").agg(F.sum(token_count("text")).alias("t"),
+                                     F.count(F.lit(1)).alias("n"))
+           .toPandas().set_index("source"))
+    assert "src2" not in got.index                    # zero budget
+    # ~30% of src1's tokens survive (hash variance at few hundred docs)
+    frac = got.loc["src1", "t"] / tok.loc["src1", "t"]
+    assert 0.15 < frac < 0.45, frac
+    # unlisted sources: untouched
+    others = [s for s in tok.index if s not in ("src1", "src2")]
+    for s in others:
+        full_n = docs.filter(F.col("source") == s).count()
+        assert got.loc[s, "n"] == full_n, s
+    # determinism: same survivors on rerun
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in sample_by_token_budget(
+        docs, {"src1": budget, "src2": 0}, salt="tb")
+        .select("doc_id").collect())
+    assert a == b
