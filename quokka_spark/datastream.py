@@ -992,6 +992,12 @@ def _llm_verbs():
         return self._with(_sampling.split_by_hash(
             self.df, key_col, fractions, salt, out))
 
+    def sample_by_token_budget(self, budgets, text_col="text",
+                               source_col="source", id_col="doc_id",
+                               salt=""):
+        return self._with(_sampling.sample_by_token_budget(
+            self.df, budgets, text_col, source_col, id_col, salt))
+
     def with_quality_columns(self, text_col="text"):
         return self._with(self.df.select(
             "*", *_text.gopher_quality_columns(text_col)))
@@ -1006,6 +1012,7 @@ def _llm_verbs():
 
     for f in (dedup_exact, dedup_exact_keep_best, dedup_minhash,
               hash_sample, stratified_sample, cap_per_key, split_by_hash,
+              sample_by_token_budget,
               with_quality_columns, with_pii_columns, with_readability):
         setattr(DataStream, f.__name__, f)
 

@@ -630,3 +630,42 @@ def test_random_text_through_portable_ops_matches_duckdb(spark, texts):
         "< '800000000000'").fetchall())
     assert got_s == want_s
     con.close()
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_clusters=st.integers(2, 6), dim=st.sampled_from([4, 8, 24]),
+       k=st.integers(1, 7), noise=st.sampled_from([0.02, 0.3, 1.5]))
+def test_random_ann_index_always_exact(spark, tmp_path_factory,
+                                       n_clusters, dim, k, noise):
+    """Property: whatever the cluster geometry (tight, loose, or
+    basically uniform), fragment count, or k, the index-pruned top-k
+    equals brute force over the full dataset — rank for rank."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from quokka_spark.functions.ann_index import (ann_index_topk,
+                                                  write_ann_index)
+    from quokka_spark.functions.similarity import brute_force_topk
+    rng = np.random.default_rng(n_clusters * 1000 + dim * 10 + k)
+    dirs = rng.standard_normal((n_clusters, dim))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    for i in range(120):
+        c = i % n_clusters
+        v = dirs[c] + noise * rng.standard_normal(dim)
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path_factory.mktemp("annprop") / "idx")
+    write_ann_index(df, path, "embedding", "vec_id",
+                    n_fragments=min(5, n_clusters + 1))
+    probes = df.filter(F.col("vec_id") < 3)
+    info = {}
+    got = (ann_index_topk(spark, path, probes, k, scan_info=info)
+           .toPandas().sort_values(["probe_id", "rank"])
+           .reset_index(drop=True))
+    want = (brute_force_topk(df, probes, "embedding", k)
+            .toPandas().sort_values(["probe_id", "rank"])
+            .reset_index(drop=True))
+    assert got["vec_id"].tolist() == want["vec_id"].tolist(), \
+        (info, n_clusters, dim, k, noise)
+    assert got["rank"].tolist() == want["rank"].tolist()
