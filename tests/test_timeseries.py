@@ -778,3 +778,74 @@ def test_streaming_minhash_equals_batch(spark, qc, tmp_path):
     got = set(zip(got_pdf["id1"], got_pdf["id2"]))
     assert got == want, (len(got), len(want),
                          list(got - want)[:5], list(want - got)[:5])
+
+
+def test_streaming_minhash_cross_batch_state(spark, qc, tmp_path):
+    """Pairs whose two documents arrive in DIFFERENT micro-batches
+    must still emit — the bucket state genuinely persists across
+    batches (maxFilesPerTrigger=1 forces one file per batch)."""
+    from quokka_spark.functions.dedup import minhash_lsh_pairs
+    from quokka_spark.streaming.stream import streaming_minhash_pairs
+    docs = (qc.read_parquet(f"{SF_SMOKE}/documents.parquet").df
+            .select("doc_id", "text")
+            .withColumn(
+                "event_time",
+                F.expr("timestamp'2024-01-01 00:00:00' + "
+                       "make_interval(0,0,0,0,0,0, doc_id % 120)")))
+    src = str(tmp_path / "docs_multi")
+    # split the corpus in half by doc parity -> two files -> two batches
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    batch = minhash_lsh_pairs(spark.read.parquet(src),
+                              num_hashes=32, bands=8).toPandas()
+    want = set(zip(batch["id1"], batch["id2"]))
+    cross = {(a, b) for a, b in want if a % 2 != b % 2}
+    assert cross, "corpus must contain odd/even near-dup pairs"
+
+    stream = (spark.readStream
+              .schema("doc_id long, text string, event_time timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_minhash_pairs(stream, time_col="event_time",
+                                  delay="1 hour", num_hashes=32, bands=8)
+    q = (out.writeStream.format("memory").queryName("mh_stream2")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    got_pdf = spark.sql("SELECT id1, id2 FROM mh_stream2").toPandas()
+    got = set(zip(got_pdf["id1"], got_pdf["id2"]))
+    assert got == want
+    assert cross <= got          # the cross-batch pairs specifically
+
+
+def test_rolling_corr_zero_variance_windows_yield_null(spark, qc):
+    """Spark 4 ANSI corr RAISES DIVIDE_BY_ZERO on single-row or
+    zero-variance windows (reproduced at sf0.1); the rolling-corr
+    formulation must yield NULL there instead — DuckDB corr
+    semantics."""
+    import __spark_entry__ as em
+    from quokka_spark.orderedstream import OrderedStream
+    from quokka_spark.windowtypes import SlidingWindow
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([10, 2000, 2100, 50, 60], unit="s"),
+        "event_id": [1, 2, 3, 4, 5],
+        # user 1: first window single-row; user 2: constant value
+        "value": [5.0, 1.0, 2.0, 7.0, 7.0]})
+    ev = OrderedStream(qc, spark.createDataFrame(pdf),
+                       sorted={"ts": "stride"})
+    win = SlidingWindow("30m", {"cv": "covar_samp(value, event_id)",
+                                "s1": "stddev_samp(value)",
+                                "s2": "stddev_samp(event_id)"})
+    out = ev.windowed_transform(win, by="user_id").df
+    c = F.try_divide(F.col("cv"), F.col("s1") * F.col("s2"))
+    got = (out.select("user_id", "ts",
+                      F.when(F.isnan(c), F.lit(None))
+                      .otherwise(F.round(c, 6)).alias("corr"))
+           .toPandas().sort_values(["user_id", "ts"])
+           .reset_index(drop=True))
+    assert len(got) == 5                       # no crash
+    assert pd.isna(got.loc[0, "corr"])         # single-row window
+    assert got.loc[2, "corr"] == 1.0           # (1,2),(2,3): perfect corr
+    assert pd.isna(got.loc[4, "corr"])         # zero variance (7.0, 7.0)
