@@ -818,21 +818,18 @@ def ts_rolling_corr(spark, sf_dir):
     aggregation dict takes any SQL aggregate, two-column aggs
     included. Zero-variance/single-row windows: Spark 4's ANSI `corr`
     RAISES DIVIDE_BY_ZERO there (reproduced at sf0.1 — sf0.01 happens
-    to have no such window), so the agg is the mathematically-equal
-    try_divide(covar_samp, stddev·stddev) composite, which yields NULL
-    exactly like DuckDB's corr. Residual NaN (both sides NULL-free but
-    0/0 via try_divide is NULL, so none expected) still normalizes."""
+    to have no such window), so the window machinery expands corr into
+    the mathematically-equal try_divide(covar_samp, stddev·stddev)
+    composite (operators/windows._over), which yields NULL exactly
+    like DuckDB's corr — the dialect the agg dict promises."""
     from quokka_spark.windowtypes import SlidingWindow
     qc = _qc(spark)
     ev = _ts(qc, sf_dir, "events", sorted_by="ts")
-    win = SlidingWindow("30m", {"cv": "covar_samp(value, event_id)",
-                                "s1": "stddev_samp(value)",
-                                "s2": "stddev_samp(event_id)"})
+    win = SlidingWindow("30m", {"c": "corr(value, event_id)"})
     out = ev.windowed_transform(win, by="user_id").df
-    c = F.try_divide(F.col("cv"), F.col("s1") * F.col("s2"))
     return out.select(
         "user_id", "ts",
-        F.when(F.isnan(c), F.lit(None)).otherwise(F.round(c, 6))
+        F.when(F.isnan("c"), F.lit(None)).otherwise(F.round("c", 6))
         .alias("trend_corr"))
 
 

@@ -65,16 +65,52 @@ _ROUND_RE = re.compile(r"^\s*round\s*\((.*),\s*(\d+)\s*\)\s*$",
                        re.IGNORECASE | re.DOTALL)
 
 
+_CORR_RE = re.compile(r"^\s*corr\s*\((.*)\)\s*$", re.I | re.S)
+
+
+def _split_top_args(s: str) -> list:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            depth += ch == "("
+            depth -= ch == ")"
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts] if depth == 0 else []
+
+
 def _over(sql: str, w) -> "F.Column":
     """Windowed form of an aggregate SQL fragment. ``round(agg, d)`` is
     peeled first — rounding is a post-step, not part of the window
-    aggregate (``round(x,4) OVER w`` is not valid)."""
+    aggregate (``round(x,4) OVER w`` is not valid).
+
+    ``corr(x, y)`` expands to try_divide(covar_samp, stddev·stddev):
+    Spark 4's ANSI corr RAISES DIVIDE_BY_ZERO on single-row or
+    zero-variance frames — routine in event-time windows — while the
+    composite yields NULL, matching DuckDB corr (the dialect this
+    surface promises)."""
     sql = duckdb_to_spark_sql(sql)
+
+    def build(inner_sql: str) -> "F.Column":
+        m2 = _CORR_RE.match(inner_sql)
+        if m2:
+            args = _split_top_args(m2.group(1))
+            if len(args) == 2:
+                x, y = args
+                return F.try_divide(
+                    F.expr(f"covar_samp({x}, {y})").over(w),
+                    F.expr(f"stddev_samp({x})").over(w)
+                    * F.expr(f"stddev_samp({y})").over(w))
+        return F.expr(inner_sql).over(w)
+
     m = _ROUND_RE.match(sql)
     if m:
         inner, digits = m.group(1), int(m.group(2))
-        return F.round(F.expr(inner).over(w), digits)
-    return F.expr(sql).over(w)
+        return F.round(build(inner), digits)
+    return build(sql)
 
 
 _BUCKET_DECISIONS: dict = {}

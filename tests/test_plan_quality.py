@@ -265,3 +265,14 @@ def test_ewma_single_key_exchange(spark):
     assert s.count("+- Exchange") == 1, s
     assert "hashpartitioning(user_id" in s, s
     assert "Join" not in s and "CartesianProduct" not in s
+
+
+def test_token_budget_mix_broadcast_rates_no_cartesian(spark):
+    """The token-budget mixer's rate table must come back as a
+    BROADCAST join (a tiny source->threshold frame), with one
+    partial-aggregated shuffle for the token totals and no cartesian;
+    the md5 membership filter stays row-local."""
+    s = explain(em.op_token_budget_mix(spark, SF))
+    assert "BroadcastHashJoin" in s or "BroadcastExchange" in s, s
+    assert "partial_sum" in s, s
+    assert "CartesianProduct" not in s and "SortMergeJoin" not in s, s

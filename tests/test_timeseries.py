@@ -835,14 +835,10 @@ def test_rolling_corr_zero_variance_windows_yield_null(spark, qc):
         "value": [5.0, 1.0, 2.0, 7.0, 7.0]})
     ev = OrderedStream(qc, spark.createDataFrame(pdf),
                        sorted={"ts": "stride"})
-    win = SlidingWindow("30m", {"cv": "covar_samp(value, event_id)",
-                                "s1": "stddev_samp(value)",
-                                "s2": "stddev_samp(event_id)"})
-    out = ev.windowed_transform(win, by="user_id").df
-    c = F.try_divide(F.col("cv"), F.col("s1") * F.col("s2"))
-    got = (out.select("user_id", "ts",
-                      F.when(F.isnan(c), F.lit(None))
-                      .otherwise(F.round(c, 6)).alias("corr"))
+    # the NATURAL spelling — the window machinery expands corr into
+    # the try_divide composite (_over), so this must not crash
+    win = SlidingWindow("30m", {"corr": "round(corr(value, event_id), 6)"})
+    got = (ev.windowed_transform(win, by="user_id").df
            .toPandas().sort_values(["user_id", "ts"])
            .reset_index(drop=True))
     assert len(got) == 5                       # no crash
