@@ -2114,6 +2114,90 @@ FROM m
 """
 
 
+def text_c4(spark, sf_dir):
+    """C4-style line + document filtering
+    (functions/text.c4_filter_columns — Raffel et al. 2020 §2.2):
+    line rules via an order-preserving higher-order filter() over the
+    split lines (no explode, zero exchanges), policy flags as plain
+    substring tests. The synthetic corpus is single-line prose with no
+    punctuation, so the gate deterministically injects structure from
+    doc_id (line breaks at ' table ', an unpunctuated break at
+    ' scan ', a doc_id-keyed tail, 'javascript' lines on doc_id%7=0,
+    '{' on %11=0, 'lorem ipsum' on %13=0) — the identical injection
+    expression runs in the oracle, so the rules have real hits to
+    agree on. Map-side only; clean_text compared by md5."""
+    from quokka_spark.functions.text import c4_filter_columns
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    did = F.col("doc_id")
+    p = F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    p = F.replace(p, F.lit(" scan "), F.lit("\n"))
+    p = F.concat(
+        p,
+        F.when(did % 5 == 0, F.lit(" and so it ends cleanly."))
+        .when(did % 5 == 1, F.lit(" trailing fragment"))
+        .otherwise(F.lit("!")),
+        F.when(did % 11 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+        .otherwise(F.lit("")))
+    p = F.when(did % 7 == 0,
+               F.replace(p, F.lit(" spark "), F.lit(" javascript ")))\
+         .otherwise(p)
+    staged = docs.select("doc_id", p.alias("__p__"))
+    cols = c4_filter_columns("__p__")
+    out = staged.select("doc_id", *cols)
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        "n_sentences", "has_brace", "has_lorem", "c4_keep")
+
+
+_C4_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN replace(inj, ' spark ', ' javascript ')
+              ELSE inj END AS t
+  FROM (
+    SELECT doc_id,
+           replace(replace(text, ' table ', '.' || chr(10)),
+                   ' scan ', chr(10))
+           || CASE WHEN doc_id % 5 = 0 THEN ' and so it ends cleanly.'
+                   WHEN doc_id % 5 = 1 THEN ' trailing fragment'
+                   ELSE '!' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                   ELSE '' END AS inj
+    FROM documents)
+), s AS (
+  SELECT doc_id, t,
+         string_split(t, chr(10)) AS all_lines,
+         list_filter(string_split(t, chr(10)), x ->
+             len(string_split_regex(trim(x), '\s+')) >= 5
+             AND regexp_matches(trim(x), '[.!?"''”]$')
+             AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM p
+), m AS (
+  SELECT doc_id,
+         CAST(len(all_lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         -- array_to_string([]) is NULL in DuckDB; Spark array_join is ''
+         coalesce(array_to_string(kept, chr(10)), '') AS clean,
+         contains(t, '{') AS has_brace,
+         contains(lower(t), 'lorem ipsum') AS has_lorem
+  FROM s
+)
+SELECT doc_id, n_lines, n_kept, md5(clean) AS clean_md5,
+       CAST(len(regexp_extract_all(clean, '[.!?]+')) AS BIGINT)
+         AS n_sentences,
+       has_brace, has_lorem,
+       coalesce(len(regexp_extract_all(clean, '[.!?]+')) >= 3
+                AND NOT has_brace AND NOT has_lorem, false) AS c4_keep
+FROM m
+"""
+
+
 def text_entropy(spark, sf_dir):
     """Character-entropy quality signal (functions/text.char_entropy):
     the compressibility proxy separating natural language (~4 bits)
@@ -4353,7 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ewma": ts_ewma,
         "ts_zscore": ts_zscore,
         "ts_drawdown": ts_drawdown,
-        "text_readability": text_readability,
+        "text_readability": text_readability, "text_c4": text_c4,
         "ts_vwap": ts_vwap,
         "op_grouping_sets": op_grouping_sets,
         "dedup_containment": dedup_containment,
@@ -4466,6 +4550,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_zscore": _ZSCORE_SQL,
         "ts_drawdown": _DRAWDOWN_SQL,
         "text_readability": _READABILITY_SQL,
+        "text_c4": _C4_SQL,
         "ts_vwap": _VWAP_SQL,
         "op_grouping_sets": _GROUPING_SETS_SQL,
         "op_grouping_sets_facade": _GROUPING_SETS_SQL,

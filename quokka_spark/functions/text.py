@@ -652,3 +652,58 @@ def readability_columns(col: str) -> list:
     return [n_sent.cast("bigint").alias("n_sentences"),
             n_syl.cast("bigint").alias("n_syllables"),
             flesch.alias("flesch")]
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/document filtering (Raffel et al. 2020, §2.2) — the
+# other canonical web-corpus rule set next to Gopher. Line-level rules
+# run as a higher-order filter() over the split lines (order-preserving
+# array ops, no explode, no shuffle); document-level policy flags are
+# plain substring/regexp tests. Everything mirrors verbatim into
+# DuckDB's list_filter/string_split for the oracle.
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+C4_TERMINAL_RE = "[.!?\"'”]$"
+
+
+def c4_filter_columns(col: str, min_line_words: int = C4_MIN_LINE_WORDS
+                      ) -> list:
+    """C4 cleaning signals for one document column:
+
+    - ``n_lines`` / ``n_kept`` — lines before/after the line rules:
+      keep a line iff it has >= ``min_line_words`` whitespace words,
+      ends in terminal punctuation (``. ! ? " ' ”``), and does not
+      mention 'javascript' (case-insensitive).
+    - ``clean_text`` — the kept lines re-joined with ``\\n`` in their
+      original order (filter() is order-preserving).
+    - ``n_sentences`` — terminal-punctuation runs in the CLEANED text.
+    - ``has_brace`` / ``has_lorem`` — the C4 policy triggers (source
+      code braces, boilerplate 'lorem ipsum').
+    - ``c4_keep`` — the paper's page rule: >= 3 sentences after line
+      cleaning and neither policy trigger fired.
+
+    All array/higher-order built-ins: one narrow map over the scan,
+    zero exchanges, pipelines with the parquet read at 100 TB. The
+    identical list_filter/string_split formulation runs in DuckDB
+    (oracle in __spark_entry__.py). Reference parity: extension op —
+    the reference ships Gopher-style filtering apps only.
+    """
+    lines = F.split(F.col(col), "\n")
+    keep = lambda x: (
+        (F.size(F.split(F.trim(x), r"\s+")) >= min_line_words)
+        & F.trim(x).rlike(C4_TERMINAL_RE)
+        & ~F.contains(F.lower(x), F.lit("javascript")))
+    kept = F.filter(lines, keep)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]+")).cast("bigint")
+    has_brace = F.contains(F.col(col), F.lit("{"))
+    has_lorem = F.contains(F.lower(F.col(col)), F.lit("lorem ipsum"))
+    c4_keep = (n_sent >= 3) & ~has_brace & ~has_lorem
+    return [F.size(lines).cast("bigint").alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            clean.alias("clean_text"),
+            n_sent.alias("n_sentences"),
+            F.coalesce(has_brace, F.lit(False)).alias("has_brace"),
+            F.coalesce(has_lorem, F.lit(False)).alias("has_lorem"),
+            F.coalesce(c4_keep, F.lit(False)).alias("c4_keep")]

@@ -1371,3 +1371,28 @@ def test_sample_by_token_budget_semantics(spark, qc):
         docs, {"src1": budget, "src2": 0}, salt="tb")
         .select("doc_id").collect())
     assert a == b
+
+
+def test_c4_filter_line_and_doc_rules(spark):
+    from quokka_spark.functions.text import c4_filter_columns
+    keepable = "This line has plenty of words and ends properly."
+    docs = spark.createDataFrame(
+        [(1, "\n".join([keepable, "short.", keepable.replace(".", ""),
+                        "Please enable javascript to continue here now.",
+                        keepable, keepable])),   # 3 kept of 6
+         (2, keepable + " { code }"),            # brace policy trigger
+         (3, "Lorem Ipsum dolor sit amet is boilerplate filler text."),
+         (4, "")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", *c4_filter_columns("text")).collect()}
+    r1 = rows[1]
+    assert (r1["n_lines"], r1["n_kept"]) == (6, 3)
+    # order-preserving rejoin of exactly the kept lines
+    assert r1["clean_text"] == "\n".join([keepable] * 3)
+    assert r1["c4_keep"] is True and r1["n_sentences"] == 3
+    assert rows[2]["has_brace"] is True and rows[2]["c4_keep"] is False
+    assert rows[3]["has_lorem"] is True and rows[3]["c4_keep"] is False
+    r4 = rows[4]
+    assert (r4["n_lines"], r4["n_kept"], r4["clean_text"]) == (1, 0, "")
+    assert r4["c4_keep"] is False
