@@ -2909,6 +2909,90 @@ def ml_bpe_train(spark, sf_dir):
     return spark.createDataFrame(rows, "rank long, left string, right string")
 
 
+# Fixture merge table for the ENCODE gate: bpe_train output
+# (num_merges=40) on the sf0.001 corpus — the synthetic vocabulary is
+# identical across SFs, so the table is meaningful at every scale. A
+# FIXED table is what makes encode oracle-replayable: unlike training
+# (iterative argmax), applying a known merge list is a pure chain of
+# leftmost-non-overlapping string replacements that DuckDB can mirror
+# verbatim.
+_BPE_FIXTURE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
+    ("w", "indow</w>"), ("d", "er</w>"), ("or", "der</w>"),
+    ("or", "t</w>"), ("s", "ort</w>"), ("p", "</w>"), ("par", "t</w>"),
+    ("u", "p</w>"), ("a", "g"), ("ag", "g</w>"), ("a", "lu"),
+    ("alu", "e</w>"),
+]
+
+
+def ml_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLY (functions/packing.bpe_encode): the fixed
+    fixture merge table compiled to a chain of nested JVM replace()
+    expressions over the delimiter-wrapped symbol string — map-side,
+    zero exchanges, whole-stage codegen. The oracle replays the
+    IDENTICAL staging + replacement chain in DuckDB (generated from
+    the same merge list), so the gate is hash-exact — the
+    tokenizer-family counterpart to rows-only ml_bpe_train."""
+    from quokka_spark.functions.packing import bpe_encode
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    enc = bpe_encode(docs, _BPE_FIXTURE_MERGES)
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.get("tokens", 0).alias("head_token"),
+        F.md5(F.array_join("tokens", " ").cast("binary"))
+        .alias("tokens_md5"))
+
+
+def _bpe_encode_sql() -> str:
+    def wrap(sym):
+        return "\\x02" + sym + "\\x03"
+
+    s = "s0"
+    chain = []
+    for i, (a, b) in enumerate(_BPE_FIXTURE_MERGES):
+        chain.append(
+            f"replace({s}, E'{wrap(a)}{wrap(b)}', E'{wrap(a + b)}') "
+            f"AS s{i + 1}")
+        s = f"s{i + 1}"
+    steps = ""
+    prev = "p"
+    for i, c in enumerate(chain):
+        steps += f", m{i} AS (SELECT doc_id, {c} FROM {prev})\n"
+        prev = f"m{i}"
+    return f"""
+WITH n AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) = 0 THEN '' ELSE
+           replace(
+             regexp_replace(replace(norm, ' ', chr(10)),
+                            '(?s)(.)', E'\\x02\\\\1\\x03', 'g'),
+             E'\\x02\\n\\x03', E'\\x02</w>\\x03') || E'\\x02</w>\\x03'
+         END AS s0
+  FROM n
+){steps}, t AS (
+  SELECT doc_id,
+         CASE WHEN {s} = '' THEN []
+              ELSE string_split(substring({s}, 2, length({s}) - 2),
+                                E'\\x03\\x02') END AS tokens
+  FROM {prev}
+)
+SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+       tokens[1] AS head_token,
+       md5(coalesce(array_to_string(tokens, ' '), '')) AS tokens_md5
+FROM t
+"""
+
+
 def pipeline_corpus_prep(spark, sf_dir):
     """End-to-end training-batch prep proving the NEW operator
     families compose in one lazy plan: per-source document cap
@@ -4423,7 +4507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": text_bigram_lm,
         "text_hash_tf": text_hash_tf,
         "op_cms": op_cms,
-        "ml_bpe_train": ml_bpe_train,
+        "ml_bpe_train": ml_bpe_train, "ml_bpe_encode": ml_bpe_encode,
         "ts_rolling_corr": ts_rolling_corr,
         "pipeline_corpus_prep": pipeline_corpus_prep,
         "dedup_exact_best": dedup_exact_best,
@@ -4550,7 +4634,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_zscore": _ZSCORE_SQL,
         "ts_drawdown": _DRAWDOWN_SQL,
         "text_readability": _READABILITY_SQL,
-        "text_c4": _C4_SQL,
+        "text_c4": _C4_SQL, "ml_bpe_encode": _bpe_encode_sql(),
         "ts_vwap": _VWAP_SQL,
         "op_grouping_sets": _GROUPING_SETS_SQL,
         "op_grouping_sets_facade": _GROUPING_SETS_SQL,

@@ -200,3 +200,100 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         words.unpersist()
         words = new
     return merges, words
+
+
+#: Symbol wrappers for the string form of a BPE symbol sequence. Every
+#: symbol is stored as ``STX symbol ETX``, so the merge pattern
+#: ``STX a ETX STX b ETX`` can only match two COMPLETE adjacent
+#: symbols: a neighbor that merely ends with ``a`` (or starts with
+#: ``b``) breaks the delimiter sandwich, and — unlike a space-padded
+#: pattern — a replacement never consumes the next pair's boundary, so
+#: leftmost-non-overlapping chains (``t t t t`` → ``tt tt``) behave
+#: exactly like the array kernel in :func:`bpe_train`. Control chars
+#: are safe: they cannot survive the ``\\s+`` whitespace collapse of
+#: any real text corpus.
+BPE_SYM_L = "\x02"
+BPE_SYM_R = "\x03"
+
+
+def bpe_symbol_expr(text_col: str) -> "F.Column":
+    """The BPE staging form of a document as ONE string: lowercase +
+    whitespace-collapse (identical to :func:`bpe_train`'s word norm),
+    every character wrapped as ``STX c ETX``, and a ``</w>``
+    end-of-word symbol closing each word. Built from portable string
+    ops (mark word breaks with a newline sentinel — impossible in the
+    collapsed text — wrap chars via one ``(?s)`` regexp, rewrite the
+    sentinel as the boundary symbol), so the IDENTICAL staging runs in
+    the DuckDB oracle. Empty documents stage to ''."""
+    L, R = BPE_SYM_L, BPE_SYM_R
+    norm = F.expr(
+        f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))")
+    marked = F.replace(norm, F.lit(" "), F.lit("\n"))
+    wrapped = F.regexp_replace(marked, "(?s)(.)", f"{L}$1{R}")
+    closed = F.concat(
+        F.replace(wrapped, F.lit(f"{L}\n{R}"), F.lit(f"{L}</w>{R}")),
+        F.lit(f"{L}</w>{R}"))
+    return F.when(F.length(norm) == 0, F.lit("")).otherwise(closed)
+
+
+def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
+               id_col: str = "doc_id",
+               compiled_limit: int = 256) -> DataFrame:
+    """Apply a trained BPE merge table (rank-ordered ``[(left, right),
+    ...]`` — :func:`bpe_train`'s output) to tokenize documents.
+
+    Each merge is a literal leftmost-non-overlapping string
+    replacement ``STX a ETX STX b ETX → STX ab ETX`` on the
+    delimiter-wrapped symbol string (see :data:`BPE_SYM_L`) — exactly
+    the semantics of bpe_train's apply kernel, so encoding the
+    corpus's distinct words reproduces the trained vocab's
+    segmentation (test-pinned). Word boundaries are safe by
+    construction: ``</w>`` is always a word's LAST symbol, so no
+    trained merge has it on the left, and a wrapped pattern can never
+    span two words.
+
+    Plan shape: for vocabularies up to ``compiled_limit`` merges the
+    whole chain compiles to nested JVM ``replace`` expressions — a
+    narrow map over the scan, zero exchanges, whole-stage codegen,
+    and an exact ANSI-SQL mirror for the oracle. Past the limit
+    (real tokenizers run 30k-100k merges; a 30k-deep codegen
+    expression is not a plan, it's a stack overflow) the same
+    replacement loop runs as an Arrow-batched kernel over
+    ``mapInPandas`` — still map-side, still zero exchanges; both
+    paths are pinned equal in tests.
+
+    Output: ``(id_col, tokens array<string>, n_tokens)``. Reference
+    parity: extension op — the reference ships no tokenizer-apply
+    operator (its pipelines stop at corpus prep)."""
+    for a, b in merges:
+        if a == "</w>":
+            raise ValueError(
+                "invalid merge table: '</w>' cannot be a LEFT symbol "
+                "(it is always word-final); refusing a merge that "
+                "would cross word boundaries")
+    L, R = BPE_SYM_L, BPE_SYM_R
+    staged = bpe_symbol_expr(text_col)
+    pairs = [(f"{L}{a}{R}{L}{b}{R}", f"{L}{a}{b}{R}") for a, b in merges]
+    if len(merges) <= compiled_limit:
+        s = staged
+        for pat, rep in pairs:
+            s = F.replace(s, F.lit(pat), F.lit(rep))
+        encoded = df.select(F.col(id_col), s.alias("__s__"))
+    else:
+        import pandas as pd
+
+        def kernel(it):
+            for pdf in it:
+                col = pdf["__s__"]
+                for pat, rep in pairs:
+                    col = col.str.replace(pat, rep, regex=False)
+                yield pd.DataFrame({id_col: pdf[id_col], "__s__": col})
+
+        encoded = df.select(F.col(id_col), staged.alias("__s__")) \
+                    .mapInPandas(kernel, f"{id_col} long, __s__ string")
+    inner = F.expr(f"substring(__s__, 2, length(__s__) - 2)")
+    toks = F.when(F.length("__s__") == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(F.split(inner, f"{R}{L}"))
+    return encoded.select(id_col, toks.alias("tokens"),
+                          F.size(toks).cast("bigint").alias("n_tokens"))

@@ -1396,3 +1396,53 @@ def test_c4_filter_line_and_doc_rules(spark):
     r4 = rows[4]
     assert (r4["n_lines"], r4["n_kept"], r4["clean_text"]) == (1, 0, "")
     assert r4["c4_keep"] is False
+
+
+def test_bpe_encode_reproduces_trained_vocab(spark):
+    """Encoding each distinct corpus WORD with the trained merge table
+    must reproduce bpe_train's own vocab segmentation exactly — the
+    compiled replace-chain and the train-side Arrow kernel are the
+    same algorithm."""
+    from quokka_spark.functions.packing import bpe_train, bpe_encode
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges, vocab = bpe_train(docs, "text", num_merges=25)
+    words = vocab.withColumn("rid", F.monotonically_increasing_id()) \
+                 .select(F.col("rid").alias("doc_id"),
+                         F.col("w").alias("text"), "symbols")
+    enc = bpe_encode(words, merges, text_col="text", id_col="doc_id")
+    j = enc.join(words, "doc_id")
+    assert j.filter(F.col("tokens") != F.col("symbols")).count() == 0
+    assert j.count() == vocab.count() > 0
+
+
+def test_bpe_encode_compiled_equals_kernel(spark):
+    from quokka_spark.functions.packing import bpe_encode
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = [("e", "r"), ("t", "h"), ("th", "e</w>"), ("e", "</w>")]
+    a = bpe_encode(docs, merges, compiled_limit=256).orderBy("doc_id").collect()
+    b = bpe_encode(docs, merges, compiled_limit=0).orderBy("doc_id").collect()
+    assert a == b and len(a) > 0
+
+
+def test_bpe_encode_symbol_boundary_no_bleed(spark):
+    """The delimiter-wrapped patterns must only match COMPLETE adjacent
+    symbols. Regression for the space-separated formulation, where
+    merge ('t','t') on symbols ['st','t'] falsely matched the tail of
+    'st' ('s t t' contains 't t'), and overlap chains lost pairs."""
+    from quokka_spark.functions.packing import bpe_encode
+    import pytest
+    docs = spark.createDataFrame(
+        [(1, "stt"),     # ('s','t')->'st' first; then ['st','t'] must NOT
+                         # fire ('t','t') across the symbol boundary
+         (2, "tttt"),    # overlap chain: leftmost pairs -> ['tt','tt',..]
+         (3, "")],
+        "doc_id long, text string")
+    merges = [("s", "t"), ("t", "t")]
+    rows = {r["doc_id"]: r for r in
+            bpe_encode(docs, merges).collect()}
+    assert rows[1]["tokens"] == ["st", "t", "</w>"]
+    assert rows[2]["tokens"] == ["tt", "tt", "</w>"]
+    assert rows[3]["tokens"] == [] and rows[3]["n_tokens"] == 0
+    with pytest.raises(ValueError):
+        bpe_encode(docs, [("</w>", "t")]).collect()

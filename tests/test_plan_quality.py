@@ -95,7 +95,7 @@ def test_nonequi_join_is_hash_join_with_residual(spark):
 def test_text_ops_no_shuffle(spark):
     """Row-wise text ops must pipeline with the scan — zero exchanges."""
     for fn in [em.text_tokens, em.text_fingerprint, em.text_quality,
-               em.text_lang_id]:
+               em.text_lang_id, em.text_c4, em.ml_bpe_encode]:
         s = explain(fn(spark, SF))
         assert "Exchange" not in s, f"{fn.__name__} plan shuffles:\n{s}"
 
