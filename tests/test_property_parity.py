@@ -669,3 +669,62 @@ def test_random_ann_index_always_exact(spark, tmp_path_factory,
     assert got["vec_id"].tolist() == want["vec_id"].tolist(), \
         (info, n_clusters, dim, k, noise)
     assert got["rank"].tolist() == want["rank"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: the compiled replace-chain must equal the classic
+# per-word array kernel (leftmost non-overlapping merge per rank) for
+# RANDOM corpora and RANDOM realistic merge tables — including
+# multi-char and '</w>'-right merges, adversarial repeats ('tttt'),
+# and symbols that are prefixes/suffixes of each other (the
+# boundary-bleed class the delimiter wrapping exists to kill).
+# ---------------------------------------------------------------------------
+
+def _ref_bpe_encode(text: str, merges: list) -> list:
+    toks = []
+    for w in text.lower().split():
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+@st.composite
+def bpe_case(draw):
+    alpha = "abt"
+    words = st.text(alphabet=alpha, min_size=0, max_size=6)
+    docs = draw(st.lists(st.lists(words, min_size=0, max_size=4),
+                         min_size=1, max_size=8))
+    texts = [" ".join(ws) for ws in docs]
+    symbols = list(alpha)
+    merges = []
+    n_merges = draw(st.integers(min_value=0, max_value=10))
+    for _ in range(n_merges):
+        a = draw(st.sampled_from(symbols))
+        b = draw(st.sampled_from(symbols + ["</w>"]))
+        merges.append((a, b))
+        symbols.append(a + b)
+    return texts, merges
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=bpe_case())
+def test_random_bpe_encode_matches_reference(spark, case):
+    from quokka_spark.functions.packing import bpe_encode
+    texts, merges = case
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_bpe_encode(t, merges), (t, merges)

@@ -845,3 +845,39 @@ def test_rolling_corr_zero_variance_windows_yield_null(spark, qc):
     assert pd.isna(got.loc[0, "corr"])         # single-row window
     assert got.loc[2, "corr"] == 1.0           # (1,2),(2,3): perfect corr
     assert pd.isna(got.loc[4, "corr"])         # zero variance (7.0, 7.0)
+
+
+def test_streaming_session_window_equals_batch(spark, qc, tmp_path):
+    """Replaying the corpus through the streaming session-window path
+    (availableNow) must reproduce the batch session_window sessions
+    exactly — both lower to F.session_window; the streaming side only
+    adds the watermark and the NTZ->timestamp cast (epoch-identity
+    under the pinned UTC session tz)."""
+    from quokka_spark.operators.windows import session_window
+    from quokka_spark.streaming.stream import streaming_windowed_agg
+    from quokka_spark.windowtypes import SessionWindow
+
+    src = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df \
+            .select("user_id", "ts", "value")
+    aggs = {"n": "count(*)", "v": "round(sum(value), 6)"}
+    batch = session_window(src, "ts", ["user_id"], "30m", aggs).toPandas()
+
+    pq_dir = str(tmp_path / "sess_src")
+    src.write.parquet(pq_dir)
+    stream = spark.readStream.schema(src.schema).parquet(pq_dir)
+    agg = streaming_windowed_agg(stream, SessionWindow("30m", aggs),
+                                 "ts", "user_id", watermark="1 hour")
+    q = (agg.writeStream.format("memory").queryName("sess_agg")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select user_id, window.start as session_start, "
+        "window.end as session_end, n, v from sess_agg").toPandas()
+
+    def key(df):
+        return set(zip(df["user_id"],
+                       df["session_start"].astype(str),
+                       df["session_end"].astype(str),
+                       df["n"], df["v"].round(6)))
+    assert len(batch) == len(got) > 0
+    assert key(batch) == key(got)
