@@ -403,7 +403,14 @@ def _nfa_over_sorted_partitions(df, group_cols: list, emit, out_schema):
         if carry is not None and len(carry):
             yield from flush(carry)
 
-    staged = (df.repartition(*[F.col(c) for c in group_cols])
+    # explicit-width shuffle: AQE sizes partitions by map-side input
+    # bytes and coalesces a small-looking exchange into ONE task —
+    # which serializes the entire Python NFA onto one core (measured
+    # 2.3 s -> one task for the whole sf0.1 funnel; the same pathology
+    # dedup.py defends against on its bucket joins). Python-kernel
+    # cost scales with ROWS, not bytes, so the width must be pinned.
+    staged = (df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                             *[F.col(c) for c in group_cols])
               .sortWithinPartitions(*group_cols))
     return staged.mapInPandas(run_parts, schema=out_schema)
 

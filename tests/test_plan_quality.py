@@ -276,3 +276,13 @@ def test_token_budget_mix_broadcast_rates_no_cartesian(spark):
     assert "BroadcastHashJoin" in s or "BroadcastExchange" in s, s
     assert "partial_sum" in s, s
     assert "CartesianProduct" not in s and "SortMergeJoin" not in s, s
+
+
+def test_cep_shuffle_pins_explicit_width(spark):
+    """The CEP kernel's exchange must carry REPARTITION_BY_NUM: an
+    unpinned repartition(col) lets AQE coalesce the small-BYTES
+    shuffle into one task, serializing the whole Python NFA onto one
+    core (measured 2.3s -> 0.66s at sf0.1 when pinned). Python-kernel
+    cost scales with rows, not bytes — the width must be explicit."""
+    s = explain(em.ts_cep_funnel(spark, SF))
+    assert "REPARTITION_BY_NUM" in s, s
