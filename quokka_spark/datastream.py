@@ -315,7 +315,14 @@ class DataStream:
                         out[b] = v
                 return out
 
+            # explicit-width pre-partition on the key: the groupBy
+            # reuses it (one exchange), and REPARTITION_BY_NUM stops
+            # AQE from coalescing the small-BYTES shuffle into one
+            # task — Python-kernel cost scales with rows, not bytes
+            # (same defense as the CEP/dedup kernels)
+            width = self.df.sparkSession.sparkContext.defaultParallelism
             df = (self.df.select(*sel)
+                  .repartition(width, *[F.col(b) for b in by])
                   .groupBy(*by).applyInPandas(run_group, schema=spark_schema))
         else:
             def run_partition(it):
@@ -484,7 +491,13 @@ class DataStream:
                 out[on] = key[0]
             return out
 
-        df = (self.df.groupBy(on).cogroup(right.df.groupBy(on))
+        # explicit-width pre-partition on both sides (see
+        # stateful_transform): keeps AQE from serializing the Python
+        # kernel onto one task when the shuffled BYTES look small
+        width = self.df.sparkSession.sparkContext.defaultParallelism
+        left_df = self.df.repartition(width, F.col(on))
+        right_df = right.df.repartition(width, F.col(on))
+        df = (left_df.groupBy(on).cogroup(right_df.groupBy(on))
               .applyInPandas(run, schema=spark_schema))
         return DataStream(self.qc, df)
 

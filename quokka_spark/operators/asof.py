@@ -252,6 +252,12 @@ def join_asof_pandas(left: DataFrame, right: DataFrame, left_on: str,
                              direction="backward").drop(
             columns=[right_on] if right_on != left_on else [])
 
-    return (left.groupBy(left_by)
-            .cogroup(right.groupBy(right_by))
+    # explicit-width pre-partition: in this formulation's own target
+    # regime (key count >> cores) the shuffled bytes can still look
+    # small to AQE, which would coalesce the Python merge onto one
+    # task (see the CEP kernel's pin)
+    width = left.sparkSession.sparkContext.defaultParallelism
+    return (left.repartition(width, F.col(left_by)).groupBy(left_by)
+            .cogroup(right.repartition(width, F.col(right_by))
+                     .groupBy(right_by))
             .applyInPandas(merge, schema=schema))
