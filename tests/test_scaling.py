@@ -272,3 +272,37 @@ def test_zorder_fractional_double_columns(spark):
             z |= ((nx >> b) & 1) << (2 * b)
             z |= ((ny >> b) & 1) << (2 * b + 1)
         assert out[rid] == z, (rid, x, y, out[rid], z)
+
+
+def test_write_bucketed_join_no_shuffle(spark, qc, tmp_path):
+    """Two tables bucketed on the join key with the SAME bucket count
+    must join with ZERO exchanges (broadcast off — the daily fact-fact
+    join at 100 TB): both sides read pre-partitioned, which is the
+    entire point of paying the bucketed write once."""
+    import contextlib, io
+    from quokka_spark.plans.scaling import write_bucketed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = qc.read_parquet(f"{SF_SMOKE}/orders.parquet").df \
+                   .select("o_orderkey", "o_custkey")
+        li = qc.read_parquet(f"{SF_SMOKE}/lineitem.parquet").df \
+               .select("l_orderkey", "l_quantity")
+        write_bucketed(li, "bkt_li", "l_orderkey", n_buckets=4,
+                       sort_by="l_orderkey", path=str(tmp_path / "li"))
+        write_bucketed(orders, "bkt_ord", "o_orderkey", n_buckets=4,
+                       sort_by="o_orderkey", path=str(tmp_path / "ord"))
+        l = spark.table("bkt_li")
+        r = spark.table("bkt_ord")
+        joined = l.join(r, l["l_orderkey"] == r["o_orderkey"])
+        assert joined.count() == li.count()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(mode="simple")
+        s = buf.getvalue()
+        assert "Exchange" not in s, s
+        assert "SortMergeJoin" in s or "ShuffledHashJoin" in s, s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_ord")
