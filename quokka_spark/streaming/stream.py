@@ -119,7 +119,12 @@ def streaming_minhash_pairs(df: DataFrame, text_col: str = "text",
         (stored,) = state.get if state.exists else ([],)
         seen = list(stored)
         out1, out2 = [], []
+        last_ms = 0
         for pdf in pdfs:
+            if len(pdf):
+                last_ms = max(last_ms,
+                              int(pdf[time_col].astype("int64").max()
+                                  // 1_000_000))
             for rid in sorted(int(x) for x in pdf[id_col]):
                 for s in seen:
                     if s != rid:
@@ -128,9 +133,11 @@ def streaming_minhash_pairs(df: DataFrame, text_col: str = "text",
                 if rid not in seen:
                     seen.append(rid)
         state.update((seen,))
-        try:  # evict once the watermark passes the horizon
-            state.setTimeoutTimestamp(
-                state.getCurrentWatermarkMs() + delay_ms)
+        try:  # evict once the watermark passes the horizon — anchored
+            # on the bucket's last EVENT time (watermark+delay alone is
+            # epoch-1970 in the first batch and fires immediately)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms, wm + 1) + delay_ms)
         except Exception:  # noqa: BLE001 — watermark not yet initialized
             pass
         yield pd.DataFrame({"id1": pd.Series(out1, dtype="int64"),
@@ -154,3 +161,157 @@ def stateful_stream_transform(df: DataFrame, func, out_schema, state_schema,
                                     stateStructType=state_schema,
                                     outputMode="append",
                                     timeoutConf=timeout))
+
+
+def streaming_asof_join(left: DataFrame, right: DataFrame,
+                        left_on: str, right_on: str,
+                        left_by: str, right_by: str,
+                        right_vals: list | None = None,
+                        horizon: str | None = "1 hour",
+                        delay: str = "10 minutes",
+                        suffix: str = "_2") -> DataFrame:
+    """Streaming backward as-of join with BOUNDED state — the
+    streaming face of operators/asof.join_asof, built on the SAME
+    union-tag formulation the batch engine uses: both streams union
+    with a side tag, shuffle once on the key, and a per-key
+    ``applyInPandasWithState`` kernel carries the right-side buffer
+    across micro-batches (the stateful mirror of the batch plan's
+    last-value window fill).
+
+    Per key the state holds the right rows inside ``horizon`` of the
+    newest event PLUS the single latest older one (exactly what any
+    future backward match can reference; with ``horizon=None`` that
+    degenerates to one row — last-value state, O(keys)). Each arriving
+    left row emits immediately, matched against the buffer via one
+    searchsorted. Within a micro-batch rows process in event-time
+    order (right before left on ties, matching backward-inclusive
+    semantics), so a single-batch replay reproduces batch join_asof
+    EXACTLY (test-pinned); across batches, a right row arriving in a
+    LATER batch than a left row it should have matched is missed —
+    the same documented watermark trade as streaming_dedup_exact.
+    EventTimeTimeout evicts idle keys ``delay`` past the watermark.
+
+    ``right_vals`` (default: every right column except key/time) must
+    be numeric — they cross the state boundary as double arrays; an
+    emitted column colliding with a left name gets ``suffix``
+    (batch join_asof's convention).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(left.schema[left_on].dataType, TimestampNTZType):
+        left = left.withColumn(left_on, F.col(left_on).cast("timestamp"))
+    if isinstance(right.schema[right_on].dataType, TimestampNTZType):
+        right = right.withColumn(right_on, F.col(right_on).cast("timestamp"))
+    if right_vals is None:
+        right_vals = [c for c in right.columns
+                      if c not in (right_on, right_by)]
+    left_cols = list(left.columns)
+    out_vals = [v + suffix if v in left_cols else v for v in right_vals]
+    horizon_s = to_seconds(horizon) if horizon is not None else None
+    delay_ms = int(to_seconds(delay) * 1000)
+
+    lt = left.select(
+        F.col(left_by).alias("__k__"),
+        F.col(left_on).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        *[F.col(c) for c in left_cols if c != left_by],
+        *[F.lit(None).cast("double").alias(f"__rv_{i}__")
+          for i in range(len(right_vals))])
+    rt = right.select(
+        F.col(right_by).alias("__k__"),
+        F.col(right_on).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        *[F.lit(None).cast(left.schema[c].dataType.simpleString()).alias(c)
+          for c in left_cols if c != left_by],
+        *[F.col(rv).cast("double").alias(f"__rv_{i}__")
+          for i, rv in enumerate(right_vals)])
+    unioned = lt.unionByName(rt).withWatermark("__ts__", delay)
+
+    out_fields = []
+    for c in left_cols:
+        src = left.schema[c].dataType.simpleString()
+        out_fields.append(f"`{c}` {src}")
+    out_fields += [f"`{v}` double" for v in out_vals]
+    out_schema = ", ".join(out_fields)
+    n_rv = len(right_vals)
+    state_schema = ("q_ts array<double>, "
+                    + ", ".join(f"q_v{i} array<double>" for i in range(n_rv)))
+    pass_cols = [c for c in left_cols if c != left_by]
+
+    def func(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=list(left_cols) + out_vals)
+            return
+        if state.exists:
+            st = state.get
+            q_ts = list(st[0])
+            q_vs = [list(st[1 + i]) for i in range(n_rv)]
+        else:
+            q_ts, q_vs = [], [[] for _ in range(n_rv)]
+        outs = []
+        for pdf in pdfs:
+            # event-time order; right (side 0) before left on ties —
+            # backward as-of includes a right row at the exact left ts
+            pdf = pdf.sort_values(["__ts__", "__side__"],
+                                  kind="stable").reset_index(drop=True)
+            ts_sec = pdf["__ts__"].astype("int64").to_numpy() / 1e9
+            sides = pdf["__side__"].to_numpy()
+            rvs = [pdf[f"__rv_{i}__"].to_numpy() for i in range(n_rv)]
+            for j in range(len(pdf)):
+                # plain Python floats: numpy scalars break the JVM-side
+                # state unpickler (ClassDict numpy.dtype)
+                t = float(ts_sec[j])
+                if sides[j] == 0:
+                    q_ts.append(t)
+                    for i in range(n_rv):
+                        q_vs[i].append(float(rvs[i][j])
+                                       if rvs[i][j] == rvs[i][j]
+                                       else float("nan"))
+                else:
+                    idx = np.searchsorted(q_ts, t, side="right") - 1
+                    row = {c: pdf[c].iloc[j] for c in pass_cols}
+                    row[left_by] = key[0]
+                    ok = idx >= 0 and (horizon_s is None
+                                       or t - q_ts[idx] <= horizon_s)
+                    for i, v in enumerate(out_vals):
+                        row[v] = q_vs[i][idx] if ok else None
+                    outs.append(row)
+            # evict: keep rows within horizon of the newest event,
+            # plus the latest older one (any future backward match
+            # can only reference those)
+            if q_ts and horizon_s is not None:
+                floor = max(q_ts[-1], ts_sec[-1] if len(ts_sec) else 0) \
+                    - horizon_s
+                cut = int(np.searchsorted(q_ts, floor, side="right"))
+                keep_from = max(cut - 1, 0)
+                if keep_from:
+                    q_ts = q_ts[keep_from:]
+                    q_vs = [v[keep_from:] for v in q_vs]
+            elif q_ts and horizon_s is None and len(q_ts) > 1:
+                q_ts = q_ts[-1:]
+                q_vs = [v[-1:] for v in q_vs]
+        state.update((q_ts, *q_vs))
+        # anchor the timeout on the key's LAST EVENT TIME, never on the
+        # current watermark alone: in the first micro-batch the
+        # watermark is still 0, so watermark+delay would be an
+        # epoch-1970 timeout that the next batch's advanced watermark
+        # immediately fires, evicting live state prematurely
+        try:
+            wm = state.getCurrentWatermarkMs()
+            last_ms = int(max(q_ts[-1] if q_ts else 0.0,
+                              float(ts_sec[-1]) if len(ts_sec) else 0.0)
+                          * 1000)
+            state.setTimeoutTimestamp(max(last_ms, wm + 1) + delay_ms)
+        except Exception:  # noqa: BLE001 — watermark not yet initialized
+            pass
+        if outs:
+            yield pd.DataFrame(outs, columns=left_cols + out_vals)
+
+    return (unioned.groupBy("__k__")
+            .applyInPandasWithState(func, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf="EventTimeTimeout"))

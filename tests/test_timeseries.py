@@ -881,3 +881,86 @@ def test_streaming_session_window_equals_batch(spark, qc, tmp_path):
                        df["n"], df["v"].round(6)))
     assert len(batch) == len(got) > 0
     assert key(batch) == key(got)
+
+
+def test_streaming_asof_join_equals_batch(spark, qc, tmp_path):
+    """A single-batch replay through streaming_asof_join must
+    reproduce batch join_asof exactly: same union-tag formulation,
+    the stateful kernel processing in event-time order."""
+    from quokka_spark.operators.asof import join_asof
+    from quokka_spark.streaming.stream import streaming_asof_join
+
+    ev = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df
+    trades = ev.filter(F.col("event_type") == "purchase") \
+               .select("event_id", "ts", "user_id", "value")
+    quotes = ev.filter(F.col("event_type") == "view") \
+               .select("ts", "user_id", "value")
+    batch = join_asof(trades, quotes, "ts", "ts", "user_id", "user_id",
+                      bucket=None).toPandas()
+
+    td, qd = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    trades.write.parquet(td)
+    quotes.write.parquet(qd)
+    ts_ = spark.readStream.schema(trades.schema).parquet(td)
+    qs_ = spark.readStream.schema(quotes.schema).parquet(qd)
+    out = streaming_asof_join(ts_, qs_, "ts", "ts", "user_id", "user_id",
+                              right_vals=["value"], horizon=None)
+    q = (out.writeStream.format("memory").queryName("sasof")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("select * from sasof").toPandas()
+
+    assert len(got) == len(batch) == trades.count()
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    g = got.sort_values("event_id").reset_index(drop=True)
+    # both APIs suffix the colliding right value as value_2
+    bv = b["value_2"].astype(float)
+    gv = g["value_2"].astype(float)
+    assert list(b["event_id"]) == list(g["event_id"])
+    import numpy as np
+    bnull, gnull = bv.isna(), gv.isna()
+    assert (bnull == gnull).all()
+    assert np.allclose(bv[~bnull], gv[~gnull])
+
+
+def test_streaming_asof_join_state_carries_across_batches(spark, qc,
+                                                          tmp_path):
+    """A quote written in file-batch 1 must match a trade arriving in
+    file-batch 2 (maxFilesPerTrigger=1): the per-key buffer survives
+    micro-batch boundaries."""
+    from quokka_spark.streaming.stream import streaming_asof_join
+    td, qd = str(tmp_path / "t"), str(tmp_path / "q")
+    tsch = "t_id long, ts timestamp, k string"
+    qsch = "ts timestamp, k string, px double"
+    from datetime import datetime
+    q1 = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 0, 0), "A", 7.0)], qsch)
+    t2 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 3, 0), "A")], tsch)
+    # batch 1: the quote only; batch 2: the trade only
+    q1.write.parquet(qd)
+    spark.createDataFrame([], tsch).write.parquet(td)
+    stream_t = spark.readStream.schema(t2.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(td)
+    stream_q = spark.readStream.schema(q1.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(qd)
+    out = streaming_asof_join(stream_t, stream_q, "ts", "ts", "k", "k",
+                              right_vals=["px"], horizon="1 hour")
+    chk = str(tmp_path / "chk")
+    rows = []
+
+    def sink(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    # memory sink cannot recover a checkpoint; foreachBatch can
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    t2.write.mode("append").parquet(td)
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(rows) == 1
+    assert rows[0]["px"] == 7.0
