@@ -1023,9 +1023,25 @@ def _llm_verbs():
         return self._with(self.df.select(
             "*", *_text.readability_columns(text_col)))
 
+    def c4_filter(self, text_col="text", min_line_words=None):
+        """C4 line+page cleaning: rows keep their cleaned text
+        (original column replaced) and only c4_keep pages survive."""
+        from .functions.text import C4_MIN_LINE_WORDS, c4_filter_columns
+        mlw = C4_MIN_LINE_WORDS if min_line_words is None else min_line_words
+        cols = c4_filter_columns(text_col, mlw)
+        keep = [c for c in self.df.columns if c != text_col]
+        staged = self.df.select(*keep, *cols)
+        return self._with(
+            staged.filter(F.col("c4_keep"))
+            .select(*keep, F.col("clean_text").alias(text_col)))
+
+    def bpe_encode(self, merges, text_col="text", id_col="doc_id", **kw):
+        from .functions.packing import bpe_encode as _enc
+        return self._with(_enc(self.df, merges, text_col, id_col, **kw))
+
     for f in (dedup_exact, dedup_exact_keep_best, dedup_minhash,
               hash_sample, stratified_sample, cap_per_key, split_by_hash,
-              sample_by_token_budget,
+              sample_by_token_budget, c4_filter, bpe_encode,
               with_quality_columns, with_pii_columns, with_readability):
         setattr(DataStream, f.__name__, f)
 

@@ -266,11 +266,14 @@ def bpe_encode(df: DataFrame, merges: list, text_col: str = "text",
     parity: extension op — the reference ships no tokenizer-apply
     operator (its pipelines stop at corpus prep)."""
     for a, b in merges:
-        if a == "</w>":
+        if a.endswith("</w>"):
             raise ValueError(
-                "invalid merge table: '</w>' cannot be a LEFT symbol "
-                "(it is always word-final); refusing a merge that "
-                "would cross word boundaries")
+                f"invalid merge table: left symbol {a!r} ends with "
+                "'</w>'. A '</w>'-suffixed symbol is always word-FINAL, "
+                "so it never has a right neighbor inside a word — no "
+                "real bpe_train output contains such a merge, and "
+                "applying one to the document-level symbol string would "
+                "merge across word boundaries")
     L, R = BPE_SYM_L, BPE_SYM_R
     staged = bpe_symbol_expr(text_col)
     pairs = [(f"{L}{a}{R}{L}{b}{R}", f"{L}{a}{b}{R}") for a, b in merges]

@@ -441,3 +441,24 @@ def test_grouping_sets_facade_matches_sql_plan(spark, qc):
     assert plan.count("Expand") == 1
     assert "HashAggregate" in plan
     assert plan.count("Exchange") == 1          # one shuffle, no extras
+
+
+def test_c4_filter_and_bpe_encode_verbs_chain(spark, qc):
+    """The new facade verbs compose with the rest of the vocabulary:
+    C4-clean (with injected line structure), then tokenize with a
+    trained merge table — one fluent expression."""
+    from quokka_spark.functions.packing import bpe_train
+    ds = qc.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    # the synthetic corpus is unpunctuated: give c4_filter real lines
+    staged = ds.with_columns_sql(
+        "replace(text, ' table ', '.' || chr(10)) as text2") \
+        .drop(["text"]).rename({"text2": "text"})
+    cleaned = staged.c4_filter()
+    pdf = cleaned.collect()
+    assert 0 < len(pdf) < 500 and "text" in pdf.columns
+    assert "clean_text" not in pdf.columns  # replaced in place
+
+    merges, _ = bpe_train(ds.df, "text", num_merges=10)
+    enc = cleaned.bpe_encode(merges).collect()
+    assert {"doc_id", "tokens", "n_tokens"} <= set(enc.columns)
+    assert (enc["n_tokens"] > 0).all()

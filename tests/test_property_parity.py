@@ -709,7 +709,11 @@ def bpe_case(draw):
     merges = []
     n_merges = draw(st.integers(min_value=0, max_value=10))
     for _ in range(n_merges):
-        a = draw(st.sampled_from(symbols))
+        # left symbols ending in '</w>' are word-FINAL: real BPE
+        # training never pairs them on the left (bpe_encode rejects
+        # such tables — covered by the boundary unit test)
+        lefts = [x for x in symbols if not x.endswith("</w>")]
+        a = draw(st.sampled_from(lefts))
         b = draw(st.sampled_from(symbols + ["</w>"]))
         merges.append((a, b))
         symbols.append(a + b)
@@ -728,3 +732,46 @@ def test_random_bpe_encode_matches_reference(spark, case):
            for r in bpe_encode(docs, merges).collect()}
     for i, t in enumerate(texts):
         assert got[i] == _ref_bpe_encode(t, merges), (t, merges)
+
+
+def _ref_c4(text: str, min_words: int = 5):
+    lines = text.split("\n")
+    import re as _re
+    kept = [x for x in lines
+            if len(_re.split(r"\s+", x.strip())) >= min_words
+            and _re.search(r'[.!?"\'”]$', x.strip())
+            and "javascript" not in x.lower()]
+    clean = "\n".join(kept)
+    n_sent = len(_re.findall(r"[.!?]+", clean))
+    has_brace = "{" in text
+    has_lorem = "lorem ipsum" in text.lower()
+    return (len(lines), len(kept), clean, n_sent, has_brace, has_lorem,
+            n_sent >= 3 and not has_brace and not has_lorem)
+
+
+@st.composite
+def c4_doc(draw):
+    word = st.sampled_from(["alpha", "beta", "x", "javascript", "lorem",
+                            "ipsum", "{", "#", ""])
+    line_end = st.sampled_from([".", "!", "?", '"', "'", "", " ", "..."])
+    lines = draw(st.lists(
+        st.tuples(st.lists(word, min_size=0, max_size=8), line_end),
+        min_size=0, max_size=6))
+    return "\n".join(" ".join(ws) + e for ws, e in lines)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(c4_doc(), min_size=1, max_size=8))
+def test_random_c4_filter_matches_reference(spark, docs):
+    from quokka_spark.functions.text import c4_filter_columns
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           sdf.select("doc_id", *c4_filter_columns("text")).collect()}
+    for i, t in enumerate(docs):
+        nl, nk, clean, ns, hb, hl, keep = _ref_c4(t)
+        r = got[i]
+        assert (r["n_lines"], r["n_kept"], r["clean_text"]) == (nl, nk, clean), t
+        assert (r["n_sentences"], r["has_brace"], r["has_lorem"],
+                r["c4_keep"]) == (ns, hb, hl, keep), t
