@@ -1527,6 +1527,44 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def src_delta(spark, sf_dir):
+    """read_delta end-to-end WITHOUT the delta-spark jar
+    (sources/delta_local.py — pure-Python JSON log replay): a local
+    Delta table is laid over the existing lineitem parquet, data
+    referenced in place. Version 0 = lineitem, version 1 adds a
+    second (symlinked) copy; the gate reads the LATEST version, so
+    the oracle is lineitem UNION ALL lineitem — exercising metadata
+    replay, multi-version adds, and the native parquet scan the live
+    file list feeds (pushdown plan-tested in tests/test_delta.py)."""
+    import os
+    import tempfile
+    from quokka_spark.sources.delta_local import create_local_delta_table
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_delta_" + sf_dir.strip("/").replace("/", "_"))
+    dup = os.path.join(tbl, "li_dup.parquet")
+    if not os.path.isdir(os.path.join(tbl, "_delta_log")):
+        os.makedirs(tbl, exist_ok=True)
+        if not os.path.exists(dup):
+            os.symlink(os.path.abspath(li), dup)
+        create_local_delta_table(tbl, [[li], [li, dup]])
+    ds = qc.read_delta(tbl)
+    return ds.df.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+_SRC_DELTA_SQL = """
+WITH doubled AS (
+  SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem
+)
+SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM doubled GROUP BY l_linestatus
+"""
+
+
 def src_iceberg_deletes(spark, sf_dir):
     """read_iceberg with v2 POSITION deletes applied — the fallback
     reader's distributed anti-join on (_metadata.file_path,
@@ -4475,7 +4513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_join_outer_condition": op_join_outer_condition,
         "dedup_lines": dedup_lines,
         "text_gopher": text_gopher,
-        "src_iceberg": src_iceberg,
+        "src_iceberg": src_iceberg, "src_delta": src_delta,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
         "op_hash_sample": op_hash_sample,
@@ -4588,7 +4626,7 @@ def oracle_sql() -> dict[str, str]:
         "op_join_outer_condition": _JOIN_OUTER_COND_SQL,
         "dedup_lines": _DEDUP_LINES_SQL,
         "text_gopher": _GOPHER_SQL,
-        "src_iceberg": _SRC_ICEBERG_SQL,
+        "src_iceberg": _SRC_ICEBERG_SQL, "src_delta": _SRC_DELTA_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "op_hash_sample": _HASH_SAMPLE_SQL,

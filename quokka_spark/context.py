@@ -142,6 +142,17 @@ class QuokkaContext:
         sorted dataset)."""
         return OrderedStream(self, df, sorted={sorted_by: mode})
 
+    def read_delta(self, table: str, version: int | None = None) -> DataStream:
+        """Delta Lake table, optional time travel by ``version``
+        (extension source — lakehouse parity next to read_iceberg).
+        Pure-Python log replay (sources/delta_local.py): the live file
+        set at the version feeds ONE native parquet scan, so pushdown
+        and pruning behave exactly as on raw parquet. Local
+        single-writer tables; checkpointed logs / partition columns /
+        deletion vectors raise clear NotImplementedErrors."""
+        from .sources.delta_local import read_delta_local
+        return DataStream(self, read_delta_local(self.spark, table, version))
+
     def read_iceberg(self, table: str, snapshot: int | None = None) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).
 

@@ -763,6 +763,15 @@ class DataStream:
              .option("maxRecordsPerFile", output_line_limit).parquet(path))
         return self._filename_stream(path)
 
+    def write_delta(self, path: str, mode: str = "append") -> int:
+        """Commit the stream as a new version of a LOCAL Delta table
+        (sources/delta_local.py): one distributed parquet write, one
+        atomic JSON commit; ``mode`` append/overwrite. Readable back
+        (with time travel) through ``qc.read_delta``. Returns the
+        committed version. Single-writer local tables only."""
+        from .sources.delta_local import write_delta_local
+        return write_delta_local(self.df, path, mode)
+
     def write_iceberg(self, path: str,
                       output_line_limit: int = 5_000_000,
                       mode: str = "append", key=None) -> int:
