@@ -763,12 +763,23 @@ class DataStream:
              .option("maxRecordsPerFile", output_line_limit).parquet(path))
         return self._filename_stream(path)
 
-    def write_delta(self, path: str, mode: str = "append") -> int:
+    def write_delta(self, path: str, mode: str = "append",
+                    key=None) -> int:
         """Commit the stream as a new version of a LOCAL Delta table
         (sources/delta_local.py): one distributed parquet write, one
-        atomic JSON commit; ``mode`` append/overwrite. Readable back
-        (with time travel) through ``qc.read_delta``. Returns the
-        committed version. Single-writer local tables only."""
+        atomic JSON commit. ``mode`` append/overwrite/upsert — upsert
+        (requires ``key=``) is the copy-on-write MERGE shape: files
+        containing matched keys are rewritten without those rows,
+        untouched files stay referenced, the stream appends, all in
+        ONE version. Readable back (with time travel) through
+        ``qc.read_delta``. Returns the committed version.
+        Single-writer local tables only."""
+        if mode == "upsert":
+            if key is None:
+                raise ValueError('write_delta(mode="upsert") needs key=')
+            from .sources.delta_local import upsert_delta_local
+            return upsert_delta_local(self.df.sparkSession, path,
+                                      self.df, key)
         from .sources.delta_local import write_delta_local
         return write_delta_local(self.df, path, mode)
 

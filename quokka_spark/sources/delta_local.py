@@ -97,9 +97,12 @@ def _replay(table: str, version: int | None) -> tuple[list, dict]:
                     live[a["path"]] = a
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-    files = [p if os.path.isabs(p) else os.path.join(root, p)
-             for p in live]
-    return sorted(files), meta, sorted(live)
+    pairs = sorted(
+        ((k if os.path.isabs(k) else os.path.join(root, k)), k)
+        for k in live)
+    # files and keys stay ALIGNED (same sort) — upsert removes by the
+    # exact key each file was added under
+    return [f for f, _ in pairs], meta, [k for _, k in pairs]
 
 
 def read_delta_local(spark, table: str, version: int | None = None):
@@ -206,5 +209,67 @@ def write_delta_local(df, table: str, mode: str = "append") -> int:
                                        "dataChange": True}})
     for p in new_files:
         actions.append(_add_action(root, p))
+    _commit(table, version, actions)
+    return version
+
+
+def upsert_delta_local(spark, table: str, df, key_cols) -> int:
+    """MERGE-style upsert without deletion vectors: Delta's row-level
+    replace is copy-on-write, so the files that CONTAIN a matched key
+    are rewritten without those rows, untouched files stay referenced
+    as-is, and ``df`` is appended — all in ONE commit (readers see the
+    swap atomically; time travel sees the pre-upsert state).
+
+    Distributed end to end: the affected-file set comes from a
+    semi-join of the live scan's ``_metadata.file_path`` against the
+    incoming keys (only file PATHS reach the driver, KBs); the
+    surviving-row rewrite is an anti-join executed by Spark's parquet
+    writer. The rewrite cost is proportional to the affected files —
+    the standard Delta copy-on-write trade; cluster the table by key
+    (write_parquet(zorder=...)) to keep that set small at 100 TB."""
+    import uuid
+    from pyspark.sql import functions as F
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    root = table.removeprefix("file://")
+    files, _, live_keys = _replay(table, None)
+    live = spark.read.parquet(*files) \
+        .withColumn("__qs_file__", F.col("_metadata.file_path"))
+    new_keys = df.select(*keys).distinct()
+    affected = [r["__qs_file__"]
+                for r in (live.join(new_keys, keys, "left_semi")
+                          .select("__qs_file__").distinct().collect())]
+
+    def _plain(u: str) -> str:
+        # _metadata.file_path is a URI ("file:/tmp/..." — scheme with
+        # a SINGLE slash); compare as filesystem paths
+        from urllib.parse import urlparse
+        return urlparse(u).path if u.startswith("file:") else u
+
+    affected_set = {_plain(a) for a in affected}
+    version = list_versions(table)[-1] + 1
+    ts = int(time.time() * 1000)
+    actions: list = []
+    tag = uuid.uuid4().hex[:12]
+    if affected_set:
+        survivors = (live.filter(F.col("__qs_file__").isin(list(affected)))
+                     .drop("__qs_file__")
+                     .join(new_keys, keys, "left_anti"))
+        sdir = os.path.join(root, f"data-{tag}-rewrite")
+        survivors.write.parquet(sdir)
+        for f in sorted(os.listdir(sdir)):
+            if f.endswith(".parquet"):
+                actions.append(_add_action(root, os.path.join(sdir, f)))
+        # remove by the exact key each file was added under
+        for k, fpath in zip(live_keys, files):
+            if _plain(fpath) in affected_set \
+                    or os.path.abspath(fpath) in affected_set:
+                actions.append({"remove": {"path": k,
+                                           "deletionTimestamp": ts,
+                                           "dataChange": True}})
+    adir = os.path.join(root, f"data-{tag}-append")
+    df.write.parquet(adir)
+    for f in sorted(os.listdir(adir)):
+        if f.endswith(".parquet"):
+            actions.append(_add_action(root, os.path.join(adir, f)))
     _commit(table, version, actions)
     return version

@@ -104,3 +104,37 @@ def test_delta_gated_unsupported_shapes(spark, qc, tmp_path):
 def test_delta_not_a_table_error(spark, qc, tmp_path):
     with pytest.raises(FileNotFoundError, match="_delta_log"):
         qc.read_delta(str(tmp_path / "nope"))
+
+
+def test_delta_upsert_merge_semantics(spark, qc, tmp_path):
+    """Copy-on-write MERGE: matched keys replaced, unmatched rows
+    survive, new keys appended — one atomic version; time travel sees
+    the pre-upsert state; untouched files stay referenced as-is."""
+    from quokka_spark.sources.delta_local import (list_versions,
+                                                  upsert_delta_local)
+    tbl = str(tmp_path / "u")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, v string")
+    qc.from_pandas(base.toPandas()).write_delta(tbl)
+    upd = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (42, "NEW42")], "k long, v string")
+    v = upsert_delta_local(spark, tbl, upd, "k")
+    assert v == 1 and list_versions(tbl) == [0, 1]
+    got = {r["k"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert len(got) == 11
+    assert got[3] == "NEW3" and got[7] == "NEW7" and got[42] == "NEW42"
+    assert got[0] == "v0" and got[9] == "v9"
+    # time travel: pre-upsert state intact
+    before = {r["k"]: r["v"] for r in qc.read_delta(tbl, version=0).df.collect()}
+    assert before[3] == "v3" and 42 not in before
+
+
+def test_delta_upsert_append_only_when_no_match(spark, qc, tmp_path):
+    from quokka_spark.sources.delta_local import upsert_delta_local
+    tbl = str(tmp_path / "u2")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    qc.from_pandas(base.toPandas()).write_delta(tbl)
+    upd = spark.createDataFrame([(2, "b")], "k long, v string")
+    upsert_delta_local(spark, tbl, upd, "k")
+    got = {r["k"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: "a", 2: "b"}
