@@ -4200,6 +4200,35 @@ FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
 """
 
 
+def op_sql_window(spark, sf_dir):
+    """Window functions + DuckDB-dialect QUALIFY through the SQL
+    front end: per-customer top-2 orders by price with a windowed
+    customer total. The dialect shim rewrites the top-level QUALIFY
+    into a subselect-WHERE (sqldialect._rewrite_qualify — Spark SQL
+    has no QUALIFY); DuckDB runs the same text natively, so the
+    oracle IS the query."""
+    qc = _qc(spark)
+    return qc.sql("""
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                 AS rk,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+                 AS cust_total
+        FROM ord QUALIFY rk <= 2
+    """, tables={"ord": _t(qc, sf_dir, "orders")}).df
+
+
+_SQL_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+         AS cust_total
+FROM orders QUALIFY rk <= 2
+"""
+
+
 def op_grouping_sets(spark, sf_dir):
     """Arbitrary GROUPING SETS through the SQL front end (§2.4
     parity-plus beyond rollup/cube: a hand-picked set list) — per-
@@ -4514,6 +4543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": dedup_lines,
         "text_gopher": text_gopher,
         "src_iceberg": src_iceberg, "src_delta": src_delta,
+        "op_sql_window": op_sql_window,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
         "op_hash_sample": op_hash_sample,
@@ -4627,6 +4657,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _DEDUP_LINES_SQL,
         "text_gopher": _GOPHER_SQL,
         "src_iceberg": _SRC_ICEBERG_SQL, "src_delta": _SRC_DELTA_SQL,
+        "op_sql_window": _SQL_WINDOW_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "op_hash_sample": _HASH_SAMPLE_SQL,

@@ -75,9 +75,72 @@ _SIMPLE_FN = [
 _EPOCH_MS = re.compile(r"\bepoch_ms\(([^()]*)\)", re.I)
 
 
+_QUALIFY_RE = re.compile(r"\bqualify\b", re.I)
+_TAIL_RE = re.compile(r"\b(order\s+by|limit)\b", re.I)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """DuckDB/Snowflake ``QUALIFY <pred>`` — filter on window results —
+    has no Spark SQL counterpart. Rewrite the query as a subselect:
+    ``SELECT ... QUALIFY p [ORDER BY/LIMIT tail]`` becomes
+    ``SELECT * FROM (SELECT ...) WHERE p [tail]`` (window aliases are
+    visible to the outer WHERE). Only a TOP-LEVEL qualify is
+    rewritten: occurrences inside parentheses or string literals are
+    left alone."""
+    if "qualify" not in sql.lower():
+        return sql
+    depth = 0
+    i, n = 0, len(sql)
+    pos = None
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "qQ":
+            m = _QUALIFY_RE.match(sql, i)
+            if m and (i == 0 or not (sql[i - 1].isalnum()
+                                     or sql[i - 1] == "_")):
+                pos = i
+                break
+        i += 1
+    if pos is None:
+        return sql
+    head, rest = sql[:pos], sql[pos + len("qualify"):]
+    # split the predicate from a trailing ORDER BY / LIMIT at depth 0
+    depth, j, cut = 0, 0, None
+    while j < len(rest):
+        c = rest[j]
+        if c == "'":
+            j += 1
+            while j < len(rest) and rest[j] != "'":
+                j += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _TAIL_RE.match(rest, j)
+            if m and not (j > 0 and (rest[j - 1].isalnum()
+                                     or rest[j - 1] == "_")):
+                cut = j
+                break
+        j += 1
+    pred = rest[:cut] if cut is not None else rest
+    tail = rest[cut:] if cut is not None else ""
+    return (f"SELECT * FROM ({head.strip()}) __qs_qualify__ "
+            f"WHERE {pred.strip()} {tail.strip()}").strip()
+
+
 def duckdb_to_spark_sql(sql: str) -> str:
     """Best-effort transpile of a DuckDB-dialect SQL fragment to Spark SQL."""
-    out = _rewrite_strftime(sql)
+    out = _rewrite_qualify(sql)
+    out = _rewrite_strftime(out)
     out = _rewrite_strptime(out)
     out = _rewrite_json_extract(out)
     for pat, repl in _SIMPLE_FN:

@@ -1446,3 +1446,16 @@ def test_bpe_encode_symbol_boundary_no_bleed(spark):
     assert rows[3]["tokens"] == [] and rows[3]["n_tokens"] == 0
     with pytest.raises(ValueError):
         bpe_encode(docs, [("</w>", "t")]).collect()
+
+
+def test_qualify_rewrites_to_subselect():
+    out = duckdb_to_spark_sql(
+        "select a, row_number() over (order by b) rk from t "
+        "qualify rk <= 2 order by a limit 5")
+    assert out.startswith("SELECT * FROM (")
+    assert "WHERE rk <= 2 order by a limit 5" in out
+    # nested/quoted occurrences are left alone (best-effort top-level)
+    assert duckdb_to_spark_sql("select 'qualify' from t") == \
+        "select 'qualify' from t"
+    inner = "select * from (select 1 as x from t qualify x = 1) s"
+    assert duckdb_to_spark_sql(inner) == inner
