@@ -138,3 +138,27 @@ def test_delta_upsert_append_only_when_no_match(spark, qc, tmp_path):
     upsert_delta_local(spark, tbl, upd, "k")
     got = {r["k"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_delta_replay_matches_simulation(tmp_path):
+    """Property: for random version lists, the replayed live-file set
+    equals a straightforward set simulation — no Spark needed, the
+    replay is pure Python."""
+    import random
+    from quokka_spark.sources.delta_local import (_replay,
+                                                  create_local_delta_table)
+    rng = random.Random(7)
+    pool = []
+    for i in range(6):
+        f = tmp_path / f"f{i}.parquet"
+        f.write_bytes(b"x")  # size only; never scanned here
+        pool.append(str(f))
+    for trial in range(10):
+        versions = [sorted(rng.sample(pool, rng.randint(0, len(pool))))
+                    for _ in range(rng.randint(1, 5))]
+        tbl = str(tmp_path / f"t{trial}")
+        create_local_delta_table(tbl, versions)
+        for v, expected in enumerate(versions):
+            files, _, _ = _replay(tbl, v)
+            assert sorted(files) == sorted(
+                os.path.abspath(p) for p in expected), (trial, v)
