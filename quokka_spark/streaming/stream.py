@@ -315,3 +315,153 @@ def streaming_asof_join(left: DataFrame, right: DataFrame,
                                     stateStructType=state_schema,
                                     outputMode="append",
                                     timeoutConf="EventTimeTimeout"))
+
+
+def streaming_pattern_recognize(df: DataFrame, time_col: str, events: list,
+                                maxspan, by: str,
+                                wm_col: str | None = None,
+                                delay: str = "10 minutes") -> DataFrame:
+    """Streaming CEP with BOUNDED state — the streaming face of
+    operators/cep.pattern_recognize, running the SAME tested NFA
+    kernel (match_pattern_pandas) per key per micro-batch.
+
+    Per key the state holds (a) the event rows still inside
+    ``watermark − maxspan`` — older rows cannot appear in any chain a
+    not-yet-arrived event completes, because a chain containing a row
+    at t ends by ``t + maxspan`` and the watermark guarantees no more
+    events below it — and (b) the start timestamps already emitted,
+    so re-running the NFA over the buffer emits each match
+    exactly once. The pattern's own-conjunct prefilter pushes into
+    the stream exactly as in batch, so the buffer holds only
+    candidate rows.
+
+    Semantics: a single-batch replay reproduces batch
+    pattern_recognize EXACTLY except for ``event_number``, which is
+    EMISSION-ordered (equal to the batch numbering when matches
+    complete in start order — always true within one batch); matches
+    are final on first emission, so a late event (within the
+    watermark) that would have produced an earlier chain for an
+    already-emitted start is not retroactively applied — the
+    standard watermark trade. Timestamps emit as double seconds.
+
+    ``wm_col``: TIMESTAMP column for the watermark; defaults to
+    ``time_col`` when that column is a timestamp (``time_col`` may
+    otherwise be numeric event-seconds, as in the batch gates)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from ..operators.cep import CompiledPattern, match_pattern_pandas
+    from ..sqldialect import duckdb_to_spark_sql
+
+    pattern = CompiledPattern(df.columns, events, time_col,
+                              float(to_seconds(maxspan)
+                                    if isinstance(maxspan, str) else maxspan))
+    span_s = pattern.max_span
+    if wm_col is None:
+        assert isinstance(df.schema[time_col].dataType,
+                          (TimestampType, TimestampNTZType)), \
+            "pass wm_col= when time_col is not a timestamp"
+        wm_col = time_col
+    if isinstance(df.schema[wm_col].dataType, TimestampNTZType):
+        df = df.withColumn(wm_col, F.col(wm_col).cast("timestamp"))
+    if pattern.prefilter_sql:
+        df = df.filter(duckdb_to_spark_sql(pattern.prefilter_sql))
+    need = sorted(pattern.touched_columns | {by, wm_col})
+    wm = df.select(*need).withWatermark(wm_col, delay)
+    delay_ms = int(to_seconds(delay) * 1000)
+    data_cols = [c for c in need if c not in (by, wm_col)] \
+        + ([wm_col] if wm_col == time_col else [])
+    ts_is_wm = wm_col == time_col
+
+    def _ts_sec(pdf):
+        if ts_is_wm:
+            return pdf[wm_col].astype("int64").to_numpy() / 1e9
+        return pdf[time_col].astype("float64").to_numpy()
+
+    out_cols = [by, "event_number", "first_event_timestamp",
+                "last_event_timestamp"]
+
+    def func(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=out_cols)
+            return
+        if state.exists:
+            buf_json, emitted, ctr = state.get
+            rows = [json.loads(x) for x in buf_json]
+            emitted = list(emitted)
+        else:
+            rows, emitted, ctr = [], [], 0
+        last_ms = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            last_ms = max(last_ms,
+                          int(pdf[wm_col].astype("int64").max() // 1_000_000))
+            ts = _ts_sec(pdf)
+            wm_sec = pdf[wm_col].astype("int64").to_numpy() / 1e9
+            for j in range(len(pdf)):
+                r = {c: pdf[c].iloc[j] for c in data_cols
+                     if c != wm_col}
+                r[time_col] = float(ts[j])
+                # the row's WATERMARK-axis time: eviction must compare
+                # on the watermark clock — a numeric time_col can sit
+                # on an arbitrary offset axis (e.g. seconds from t0)
+                r["__wm__"] = float(wm_sec[j])
+                # plain python types for JSON + state portability
+                rows.append({k: (v.item() if hasattr(v, "item") else v)
+                             for k, v in r.items()})
+        outs = []
+        if rows:
+            pdf_all = pd.DataFrame([{k: v for k, v in r.items()
+                                     if k != "__wm__"} for r in rows])
+            # plain python floats: numpy scalars break the JVM-side
+            # state unpickler
+            found = sorted((float(f), float(l))
+                           for f, l in match_pattern_pandas(pdf_all, pattern))
+            seen = set(emitted)
+            for f, l in found:
+                if f in seen:
+                    continue
+                outs.append((key[0], ctr, f, l))
+                ctr += 1
+                emitted.append(f)
+                seen.add(f)
+        # evict rows below watermark - maxspan ON THE WATERMARK AXIS:
+        # no event below the watermark will arrive, and a chain
+        # containing a row at wall-time w ends by w + maxspan (numeric
+        # time_col must be seconds on a constant offset from wm_col —
+        # the ts_sec shape the batch gates use). An emitted mark lives
+        # exactly as long as its START row: once the row is evicted
+        # the NFA can never find that start again.
+        try:
+            wm_s = state.getCurrentWatermarkMs() / 1000.0
+        except Exception:  # noqa: BLE001
+            wm_s = 0.0
+        floor = wm_s - span_s
+        if floor > 0:
+            rows = [r for r in rows if r["__wm__"] >= floor]
+            surviving = {r[time_col] for r in rows}
+            emitted = [e for e in emitted if e in surviving]
+        state.update(([json.dumps(r) for r in rows], emitted, ctr))
+        try:
+            wmms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms, wmms + 1) + delay_ms)
+        except Exception:  # noqa: BLE001 — watermark not initialized
+            pass
+        if outs:
+            yield pd.DataFrame(outs, columns=out_cols)
+
+    by_type = df.schema[by].dataType.simpleString()
+    out_schema = (f"`{by}` {by_type}, event_number long, "
+                  "first_event_timestamp double, "
+                  "last_event_timestamp double")
+    return (wm.groupBy(by)
+            .applyInPandasWithState(func, outputStructType=out_schema,
+                                    stateStructType=("buf array<string>, "
+                                                     "emitted array<double>, "
+                                                     "ctr long"),
+                                    outputMode="append",
+                                    timeoutConf="EventTimeTimeout"))

@@ -964,3 +964,90 @@ def test_streaming_asof_join_state_carries_across_batches(spark, qc,
     q.awaitTermination(120)
     assert len(rows) == 1
     assert rows[0]["px"] == 7.0
+
+
+def test_streaming_cep_equals_batch_single_replay(spark, qc, tmp_path):
+    """Single-batch replay through streaming CEP must reproduce the
+    batch NFA's match set exactly (same kernel, same prefilter
+    pushdown); event_number is emission-ordered, which within one
+    batch equals the batch numbering."""
+    from quokka_spark.streaming.stream import streaming_pattern_recognize
+    import __spark_entry__ as em
+
+    pat = [("a", "a.event_type = 'signup'"),
+           ("b", "b.event_type = 'click' and b.value > a.value"),
+           ("c", "c.event_type = 'purchase'")]
+    batch = em.ts_cep_funnel(spark, SF_SMOKE).toPandas()
+
+    src = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df \
+        .withColumn("ts_sec", F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 1e6) \
+        .select("user_id", "ts", "ts_sec", "event_type", "value")
+    pq_dir = str(tmp_path / "cep_src")
+    src.write.parquet(pq_dir)
+    stream = spark.readStream.schema(src.schema).parquet(pq_dir)
+    out = streaming_pattern_recognize(stream, "ts_sec", pat,
+                                      maxspan=7 * 86400.0, by="user_id",
+                                      wm_col="ts")
+    q = (out.writeStream.format("memory").queryName("scep")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("select * from scep").toPandas()
+
+    key = lambda df, f, l: set(
+        zip(df["user_id"], df[f].round(6), df[l].round(6)))
+    assert len(got) == len(batch) > 0
+    assert key(got, "first_event_timestamp", "last_event_timestamp") == \
+        key(batch, "first_event_timestamp", "last_event_timestamp")
+    # within one batch, numbering matches the batch plan
+    g = got.sort_values(["user_id", "event_number"])
+    b = batch.sort_values(["user_id", "event_number"])
+    assert list(g["event_number"]) == list(b["event_number"])
+
+
+def test_streaming_cep_chain_completes_across_batches(spark, qc, tmp_path):
+    """signup+click arrive in micro-batch 1, the purchase in batch 2:
+    the buffered rows must complete the chain exactly once."""
+    from quokka_spark.streaming.stream import streaming_pattern_recognize
+    from datetime import datetime
+    pat = [("a", "a.event_type = 'signup'"),
+           ("b", "b.event_type = 'click'"),
+           ("c", "c.event_type = 'purchase'")]
+    sch = "user_id long, ts timestamp, ts_sec double, event_type string"
+    rows1 = [(1, datetime(2024, 1, 1, 10, 0), 0.0, "signup"),
+             (1, datetime(2024, 1, 1, 10, 1), 60.0, "click")]
+    rows2 = [(1, datetime(2024, 1, 1, 10, 2), 120.0, "purchase")]
+    td = str(tmp_path / "src")
+    spark.createDataFrame(rows1, sch).write.parquet(td)
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows1, sch).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(td)
+    out = streaming_pattern_recognize(stream, "ts_sec", pat,
+                                      maxspan=3600.0, by="user_id",
+                                      wm_col="ts")
+    chk = str(tmp_path / "chk")
+    emitted = []
+
+    def sink(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert emitted == []          # chain incomplete after batch 1
+    spark.createDataFrame(rows2, sch).write.mode("append").parquet(td)
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(emitted) == 1
+    r = emitted[0]
+    assert (r["user_id"], r["first_event_timestamp"],
+            r["last_event_timestamp"]) == (1, 0.0, 120.0)
+    # replaying again must NOT re-emit (emitted-start dedup)
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(emitted) == 1
