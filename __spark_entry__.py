@@ -3031,6 +3031,62 @@ FROM t
 """
 
 
+def ts_resample(spark, sf_dir):
+    """Per-key resampling onto a regular grid with LINEAR
+    interpolation (operators/windows.resample — the gap-fill verb):
+    grid generated JVM-side from one slim per-key min/max agg, values
+    filled by a backward + forward as-of pair over the union-tag
+    machinery, interpolation as the identical IEEE expression chain
+    in both engines (hash-exact at 6dp). Events resampled hourly on
+    the epoch-seconds axis per user."""
+    from quokka_spark.operators.windows import resample
+    qc = _qc(spark)
+    ev = _t(qc, sf_dir, "events").df.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6))
+        .alias("ts_sec"),
+        "value")
+    out = resample(ev, "ts_sec", "user_id", ["value"], 3600.0,
+                   method="linear")
+    return out.select("user_id", "tick",
+                      F.round("value", 6).alias("value"))
+
+
+_RESAMPLE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_sec,
+         value
+  FROM events
+), b AS (
+  SELECT user_id, min(ts_sec) AS mn, max(ts_sec) AS mx
+  FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, 3600.0 * g AS tick
+  FROM b, unnest(generate_series(CAST(ceil(mn / 3600.0) AS BIGINT),
+                                 CAST(floor(mx / 3600.0) AS BIGINT)))
+          AS t(g)
+  WHERE mx >= mn
+), back AS (
+  SELECT g.user_id, g.tick, o.ts_sec AS t0, o.value AS v0
+  FROM grid g ASOF LEFT JOIN e o
+    ON g.user_id = o.user_id AND o.ts_sec <= g.tick
+), bb AS (
+  SELECT bk.user_id, bk.tick, bk.t0, bk.v0,
+         o2.ts_sec AS t1, o2.value AS v1
+  FROM back bk ASOF LEFT JOIN e o2
+    ON bk.user_id = o2.user_id AND o2.ts_sec >= bk.tick
+)
+SELECT user_id, tick,
+       round(CASE WHEN v0 IS NULL THEN v1
+                  WHEN v1 IS NULL THEN v0
+                  ELSE v0 + (v1 - v0) *
+                       (CASE WHEN t1 = t0 THEN 0.0
+                             ELSE (tick - t0) / (t1 - t0) END)
+             END, 6) AS value
+FROM bb
+"""
+
+
 def pipeline_corpus_prep(spark, sf_dir):
     """End-to-end training-batch prep proving the NEW operator
     families compose in one lazy plan: per-source document cap
@@ -4543,7 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": dedup_lines,
         "text_gopher": text_gopher,
         "src_iceberg": src_iceberg, "src_delta": src_delta,
-        "op_sql_window": op_sql_window,
+        "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
         "op_hash_sample": op_hash_sample,
@@ -4657,7 +4713,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _DEDUP_LINES_SQL,
         "text_gopher": _GOPHER_SQL,
         "src_iceberg": _SRC_ICEBERG_SQL, "src_delta": _SRC_DELTA_SQL,
-        "op_sql_window": _SQL_WINDOW_SQL,
+        "op_sql_window": _SQL_WINDOW_SQL, "ts_resample": _RESAMPLE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "op_hash_sample": _HASH_SAMPLE_SQL,

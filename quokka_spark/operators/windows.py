@@ -413,3 +413,72 @@ def ewma(df: DataFrame, time_col: str, by, value_col: str,
         F.zip_with(vals, adj, lambda v, wt: v * wt),
         F.lit(0.0), lambda a, x: a + x)
     return df.withColumn(out, F.round(folded, 6))
+
+
+def resample(df: "DataFrame", time_col: str, by, value_cols: list,
+             every, method: str = "ffill", origin: float = 0.0
+             ) -> "DataFrame":
+    """Per-key resampling onto a regular time grid — the gap-fill /
+    downsample verb of every time-series engine (extension op; the
+    reference's windows aggregate but do not regularize).
+
+    Grid: per key, ticks at ``origin + k·every`` (seconds) covering
+    [ceil(min ts), floor(max ts)] — generated JVM-side with
+    ``sequence`` + ``explode`` from one slim per-key min/max
+    aggregate, so grid size is data-spread/every per key, never a
+    driver loop. ``method``:
+
+    - ``"ffill"``   — value at tick = latest observation ≤ tick
+      (one backward as-of join, operators/asof.join_asof: a second
+      shuffle on the key).
+    - ``"linear"``  — linear interpolation between the neighboring
+      observations (backward + forward as-of over the SAME union
+      shape; ticks outside the observed range take the boundary
+      value — the standard clamp).
+
+    Numeric ``time_col`` (seconds) only — the batch gates' ts_sec
+    shape; timestamps convert via ``unix_micros(...)/1e6`` first.
+    Output: (by, tick, one column per value col) — exactly SQL-
+    replayable (DuckDB ASOF JOIN oracle), hash-gated in
+    __spark_entry__.ts_resample."""
+    from .asof import join_asof
+    every = float(to_seconds(every) if isinstance(every, str) else every)
+    assert method in ("ffill", "linear"), method
+    groups = [by] if isinstance(by, str) else list(by)
+    bounds = df.groupBy(*groups).agg(
+        F.min(time_col).alias("__mn__"), F.max(time_col).alias("__mx__"))
+    first = (F.ceil((F.col("__mn__") - F.lit(origin)) / F.lit(every))
+             .cast("long"))
+    last = (F.floor((F.col("__mx__") - F.lit(origin)) / F.lit(every))
+            .cast("long"))
+    grid = (bounds.filter(F.col("__mx__") >= F.col("__mn__"))
+            .select(*groups,
+                    F.explode(F.sequence(first, last)).alias("__k__"))
+            .select(*groups,
+                    (F.lit(origin) + F.col("__k__") * F.lit(every))
+                    .alias("tick")))
+    # join_asof emits right VALUE columns only; carry the matched
+    # observation time as a value so linear can interpolate on it
+    obs = df.select(*groups, time_col,
+                    F.col(time_col).alias("__rt__"), *value_cols)
+    back = join_asof(grid, obs, "tick", time_col, groups, groups,
+                     bucket=None)
+    if method == "ffill":
+        return back.select(*groups, "tick", *value_cols)
+    back = back.select(
+        *groups, "tick",
+        F.col("__rt__").alias("__t0__"),
+        *[F.col(c).alias(f"__b_{c}__") for c in value_cols])
+    fwd = join_asof(back, obs, "tick", time_col, groups, groups,
+                    bucket=None, direction="forward")
+    frac = F.when(F.col("__rt__") == F.col("__t0__"), F.lit(0.0)) \
+        .otherwise((F.col("tick") - F.col("__t0__"))
+                   / (F.col("__rt__") - F.col("__t0__")))
+    out_cols = []
+    for c in value_cols:
+        b, f = F.col(f"__b_{c}__"), F.col(c)
+        # clamp: missing side takes the present side's value
+        interp = F.when(b.isNull(), f).when(f.isNull(), b) \
+            .otherwise(b + (f - b) * frac)
+        out_cols.append(interp.alias(c))
+    return fwd.select(*groups, "tick", *out_cols)

@@ -1051,3 +1051,37 @@ def test_streaming_cep_chain_completes_across_batches(spark, qc, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert len(emitted) == 1
+
+
+def test_resample_matches_pandas_reference(spark):
+    """resample (ffill + linear) vs a straightforward numpy reference
+    on irregular per-key data, including boundary clamps."""
+    from quokka_spark.operators.windows import resample
+    rng = np.random.default_rng(5)
+    rows = []
+    for k in ["a", "b", "c"]:
+        ts = np.sort(rng.choice(np.arange(0, 500), size=12, replace=False))
+        for t in ts:
+            rows.append((k, float(t), float(rng.normal())))
+    df = spark.createDataFrame(rows, "k string, t double, v double")
+    for method in ("ffill", "linear"):
+        got = resample(df, "t", "k", ["v"], 50.0, method=method) \
+            .toPandas().sort_values(["k", "tick"]).reset_index(drop=True)
+        exp = []
+        by_k = {}
+        for k, t, v in rows:
+            by_k.setdefault(k, []).append((t, v))
+        for k, obs in by_k.items():
+            ts = np.array([t for t, _ in obs])
+            vs = np.array([v for _, v in obs])
+            for tick in np.arange(np.ceil(ts.min() / 50) * 50,
+                                  np.floor(ts.max() / 50) * 50 + 1, 50.0):
+                if method == "ffill":
+                    val = vs[ts <= tick][-1]
+                else:
+                    val = float(np.interp(tick, ts, vs))
+                exp.append((k, float(tick), val))
+        epdf = pd.DataFrame(exp, columns=["k", "tick", "v"]) \
+            .sort_values(["k", "tick"]).reset_index(drop=True)
+        assert len(got) == len(epdf), method
+        assert np.allclose(got["v"], epdf["v"]), method
