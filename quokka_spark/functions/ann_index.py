@@ -226,8 +226,13 @@ def ann_index_topk(spark, path: str, probe, k: int,
     # a fragment survives when ANY probe's bound ties-or-beats that
     # probe's floor; strictly-below-floor fragments cannot contribute
     # even via the id tie-break (every member strictly loses to k
-    # real candidates)
-    needed = (ub >= floors[:, None]).any(axis=0)
+    # real candidates). The 1e-9 slack covers cross-engine float
+    # drift: the cone stats are JVM sums, the bounds NumPy sums, and
+    # at an EXACT tie (a probe that IS an indexed vector makes
+    # floor = 1.0) a ulp of difference otherwise prunes the fragment
+    # holding the true answer (hypothesis-found). 1e-9 in cosine
+    # space is orders above the drift and below any real gap.
+    needed = (ub >= floors[:, None] - 1e-9).any(axis=0)
     keep = [int(fi) for fi in np.nonzero(needed)[0]]
     pruned = [frags[fi]["frag"] for fi in range(len(frags))
               if fi not in set(keep)]

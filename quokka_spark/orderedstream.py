@@ -92,6 +92,18 @@ class OrderedStream(DataStream):
         out = _wt(self.df, window, time_col, by, trigger, keep=keep)
         return DataStream(self.qc, out)
 
+    def resample(self, by, value_cols: list, every,
+                 method: str = "ffill", time_col: str | None = None,
+                 origin: float = 0.0) -> DataStream:
+        """Per-key regularization onto a tick grid (gap-fill /
+        downsample); see operators/windows.resample. Numeric
+        (seconds) time axis — derive one with ``with_columns`` when
+        the sort key is a timestamp."""
+        from .operators.windows import resample as _rs
+        out = _rs(self.df, time_col or self._sort_key, by, value_cols,
+                  every, method=method, origin=origin)
+        return DataStream(self.qc, out)
+
     def pattern_recognize(self, time_col: str, events: list, maxspan,
                           by: str, bucket="auto") -> DataStream:
         """CEP sequence matching (reference orderedstream.py:37-53); see

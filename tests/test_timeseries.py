@@ -1085,3 +1085,14 @@ def test_resample_matches_pandas_reference(spark):
             .sort_values(["k", "tick"]).reset_index(drop=True)
         assert len(got) == len(epdf), method
         assert np.allclose(got["v"], epdf["v"]), method
+
+
+def test_resample_verb_on_ordered_stream(spark, qc):
+    import __spark_entry__ as em
+    ev = em._ts(qc, SF_SMOKE, "events", sorted_by="ts") \
+        .with_columns({"ts_sec": "unix_micros(cast(ts as timestamp)) / 1e6"})
+    ev = em.OrderedStreamFix(ev)
+    out = ev.resample("user_id", ["value"], 3600.0, method="ffill",
+                      time_col="ts_sec").df
+    assert out.columns == ["user_id", "tick", "value"]
+    assert out.count() > 0
