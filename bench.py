@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "op_join_nonequi",
     "text_tfidf", "op_cap_per_key", "dedup_lines", "ml_logreg",
     "op_quantize", "op_zorder", "ts_ewma", "ts_vwap",
-    "text_c4", "ml_bpe_encode",
+    "text_c4", "ml_bpe_encode", "ts_resample",
 ]
 
 

@@ -457,28 +457,59 @@ def resample(df: "DataFrame", time_col: str, by, value_cols: list,
             .select(*groups,
                     (F.lit(origin) + F.col("__k__") * F.lit(every))
                     .alias("tick")))
-    # join_asof emits right VALUE columns only; carry the matched
-    # observation time as a value so linear can interpolate on it
-    obs = df.select(*groups, time_col,
-                    F.col(time_col).alias("__rt__"), *value_cols)
-    back = join_asof(grid, obs, "tick", time_col, groups, groups,
-                     bucket=None)
+    obs = df.select(*groups, time_col, *value_cols)
     if method == "ffill":
+        back = join_asof(grid, obs, "tick", time_col, groups, groups,
+                         bucket=None)
         return back.select(*groups, "tick", *value_cols)
-    back = back.select(
-        *groups, "tick",
-        F.col("__rt__").alias("__t0__"),
-        *[F.col(c).alias(f"__b_{c}__") for c in value_cols])
-    fwd = join_asof(back, obs, "tick", time_col, groups, groups,
-                    bucket=None, direction="forward")
-    frac = F.when(F.col("__rt__") == F.col("__t0__"), F.lit(0.0)) \
-        .otherwise((F.col("tick") - F.col("__t0__"))
-                   / (F.col("__rt__") - F.col("__t0__")))
+    # linear: BOTH neighbors from ONE union + window pass (the
+    # direction="nearest" formulation — one shuffle, one sort; a
+    # backward + forward as-of pair would re-sort the 10x-bigger
+    # grid twice, measured 5.6 s vs 1.2 s at sf0.1)
+    from pyspark.sql import Window
+    gtag = grid.select(
+        *groups, F.col("tick").alias("__t__"), F.lit(1).alias("__side__"),
+        F.lit(None).cast("double").alias("__rt__"),
+        *[F.lit(None).cast("double").alias(c) for c in value_cols])
+    otag = obs.select(
+        *groups, F.col(time_col).cast("double").alias("__t__"),
+        F.lit(0).alias("__side__"),
+        F.col(time_col).cast("double").alias("__rt__"),
+        *[F.col(c).cast("double") for c in value_cols])
+    u = gtag.unionByName(otag)
+    # BOTH fills as O(n) RUNNING frames: Spark evaluates a
+    # [current, unboundedFollowing] frame by rescanning to the
+    # partition end for every row (O(n^2) — measured 5+ s on a 1M-row
+    # grid); last-non-null over the REVERSED ordering is the same
+    # forward fill at O(n). At equal __t__ the asc (t, side) order
+    # puts the obs before the tick (backward sees it), and the desc
+    # (t desc, side desc) order puts the tick first (forward excludes
+    # it) — exactly the as-of tie convention.
+    wb = Window.partitionBy(*groups) \
+        .orderBy(F.col("__t__").asc(), F.col("__side__").asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(*groups) \
+        .orderBy(F.col("__t__").desc(), F.col("__side__").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    payload = F.when(F.col("__side__") == 0,
+                     F.struct(F.col("__rt__"),
+                              *[F.col(c) for c in value_cols]))
+    filled = u.select(
+        *groups, "__t__", "__side__",
+        F.last(payload, ignorenulls=True).over(wb).alias("__b__"),
+        F.last(payload, ignorenulls=True).over(wf).alias("__f__"))
+    ticks = filled.filter(F.col("__side__") == 1)
+    t0 = F.col("__b__.__rt__")
+    t1 = F.col("__f__.__rt__")
+    # an obs at exactly the tick sorts BEFORE the tick row (side 0
+    # first), so backward always sees it and frac collapses to 0
+    frac = F.when(t1 == t0, F.lit(0.0)) \
+        .otherwise((F.col("__t__") - t0) / (t1 - t0))
     out_cols = []
     for c in value_cols:
-        b, f = F.col(f"__b_{c}__"), F.col(c)
+        b, f = F.col(f"__b__.{c}"), F.col(f"__f__.{c}")
         # clamp: missing side takes the present side's value
         interp = F.when(b.isNull(), f).when(f.isNull(), b) \
             .otherwise(b + (f - b) * frac)
         out_cols.append(interp.alias(c))
-    return fwd.select(*groups, "tick", *out_cols)
+    return ticks.select(*groups, F.col("__t__").alias("tick"), *out_cols)
