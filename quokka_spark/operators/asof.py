@@ -132,13 +132,18 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
         wb = (Window.partitionBy(*left_by)
               .orderBy(F.col(left_on).asc(), F.col("__side__").asc())
               .rowsBetween(Window.unboundedPreceding, 0))
+        # forward fill as a RUNNING frame over the REVERSED ordering:
+        # Spark evaluates [current, unboundedFollowing] by rescanning
+        # to the partition end per row — O(n^2); last-non-null over
+        # (ts desc, side asc) with [unboundedPreceding, current] is
+        # the same fill at O(n), same tie visibility
         wf = (Window.partitionBy(*left_by)
-              .orderBy(F.col(left_on).asc(), F.col("__side__").desc())
-              .rowsBetween(0, Window.unboundedFollowing))
+              .orderBy(F.col(left_on).desc(), F.col("__side__").asc())
+              .rowsBetween(Window.unboundedPreceding, 0))
         filled = unioned.select(
             *left_cols, F.col("__side__"), ts_num.alias("__tn__"),
             F.last(rv, ignorenulls=True).over(wb).alias("__bv__"),
-            F.first(rv, ignorenulls=True).over(wf).alias("__fv__"))
+            F.last(rv, ignorenulls=True).over(wf).alias("__fv__"))
         bd = F.col("__tn__") - F.col("__bv__.__rts__")
         fd = F.col("__fv__.__rts__") - F.col("__tn__")
         pick = (F.when(F.col("__bv__").isNull(), F.col("__fv__"))
@@ -158,13 +163,15 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     side_order = F.col("__side__").desc() if fwd else F.col("__side__").asc()
 
     def fill(w):
-        w = (w.orderBy(F.col(left_on).asc(), side_order)
-             .rowsBetween(0, Window.unboundedFollowing) if fwd else
+        # forward runs as last-non-null over the REVERSED ordering
+        # with a running frame: a [current, unboundedFollowing] frame
+        # is O(n^2) in Spark (rescan-to-end per row). Reversing flips
+        # the tie column too, so the equal-ts right row stays visible.
+        w = (w.orderBy(F.col(left_on).desc(), F.col("__side__").asc())
+             .rowsBetween(Window.unboundedPreceding, 0) if fwd else
              w.orderBy(F.col(left_on).asc(), side_order)
              .rowsBetween(Window.unboundedPreceding, 0))
-        agg = F.first(rv, ignorenulls=True) if fwd \
-            else F.last(rv, ignorenulls=True)
-        return agg.over(w)
+        return F.last(rv, ignorenulls=True).over(w)
 
     if bucket is None:
         filled = unioned.select(
@@ -201,11 +208,13 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
                  .groupBy(*left_by, "__b__")
                  .agg(edge_agg.alias("__edge_rv__")))
     all_buckets = bucketed.select(*left_by, "__b__").distinct()
-    w2 = Window.partitionBy(*left_by).orderBy(F.col("__b__").asc())
-    carry = (F.first("__edge_rv__", ignorenulls=True)
-             .over(w2.rowsBetween(1, Window.unboundedFollowing)) if fwd else
-             F.last("__edge_rv__", ignorenulls=True)
-             .over(w2.rowsBetween(Window.unboundedPreceding, -1)))
+    # forward carry = last-non-null over DESC bucket order with a
+    # running frame (O(buckets), not the O(buckets^2) following-frame
+    # form); -1 end excludes the current bucket on both directions
+    w2 = Window.partitionBy(*left_by).orderBy(
+        F.col("__b__").desc() if fwd else F.col("__b__").asc())
+    carry = F.last("__edge_rv__", ignorenulls=True) \
+        .over(w2.rowsBetween(Window.unboundedPreceding, -1))
     carried_all = (all_buckets
                    .join(summaries, [*left_by, "__b__"], "left")
                    .select(*left_by, "__b__", carry.alias("__carry__")))
