@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "op_count_distinct", "op_window_rank",
     "ts_tumbling", "ts_sliding", "ts_session", "ts_asof_join",
+    "ts_asof_forward",
     "ts_cep_funnel",
     "bench_asof_micro", "bench_wide_quantile",
     "text_tokens", "text_fingerprint", "text_quality",
