@@ -2152,6 +2152,80 @@ FROM m
 """
 
 
+def text_url_canon(spark, sf_dir):
+    """URL canonicalization (functions/text.canonicalize_url): the
+    crawl-dedup normalization — lowercase scheme+host, drop fragments,
+    strip tracking params with well-formed separators, trim trailing
+    slashes. URLs synthesized deterministically from doc_id (mixed
+    case, utm/fbclid params in every position, fragments, trailing
+    slashes); the IDENTICAL regexp_replace chain replays in DuckDB's
+    RE2. Map-side, zero exchanges."""
+    from quokka_spark.functions.text import canonicalize_url
+    qc = _qc(spark)
+    docs = _t(qc, sf_dir, "documents").df
+    did = F.col("doc_id")
+    host = F.concat(F.lit("EXample"), (did % 5).cast("string"),
+                    F.lit(".Com"))
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("http://")),
+        host, F.lit("/Page/"), (did % 97).cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit("?utm_source=s"), (did % 7).cast("string"),
+                        F.lit("&q="), (did % 11).cast("string")))
+        .when(did % 4 == 1,
+              F.concat(F.lit("?q="), (did % 11).cast("string"),
+                       F.lit("&fbclid=f"), (did % 13).cast("string")))
+        .when(did % 4 == 2, F.lit("?gclid=g1&utm_medium=m"))
+        .otherwise(F.lit("")),
+        F.when(did % 6 == 0, F.lit("#Section-2")).otherwise(F.lit("")))
+    staged = docs.select("doc_id", url.alias("url"))
+    return staged.select(
+        "doc_id", "url",
+        canonicalize_url("url").alias("canon"),
+        (canonicalize_url("url") != F.col("url")).alias("changed"))
+
+
+def _url_canon_sql() -> str:
+    from quokka_spark.functions.text import _TRACKING_PARAM_RE
+    t = _TRACKING_PARAM_RE
+    return rf"""
+WITH p AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+         || 'EXample' || CAST(doc_id % 5 AS VARCHAR) || '.Com'
+         || '/Page/' || CAST(doc_id % 97 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+                      || '&q=' || CAST(doc_id % 11 AS VARCHAR)
+                 WHEN doc_id % 4 = 1
+                 THEN '?q=' || CAST(doc_id % 11 AS VARCHAR)
+                      || '&fbclid=f' || CAST(doc_id % 13 AS VARCHAR)
+                 WHEN doc_id % 4 = 2 THEN '?gclid=g1&utm_medium=m'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              lower(regexp_extract(url, '^((?i:https?)://[^/?#]*)', 1))
+              || regexp_replace(url, '^(?i:https?)://[^/?#]*', '')
+              , '#.*$', '')
+            , '&{t}', '', 'g')
+          , '\?{t}&', '?', 'g')
+        , '\?{t}$', '')
+      , '(https?://[^/?#]+/[^?#]*?)/+(\?|$)', '\1\2') AS canon
+  FROM p
+)
+SELECT doc_id, url, canon, canon != url AS changed FROM c
+"""
+
+
 def text_c4(spark, sf_dir):
     """C4-style line + document filtering
     (functions/text.c4_filter_columns — Raffel et al. 2020 §2.2):
@@ -4646,6 +4720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_zscore": ts_zscore,
         "ts_drawdown": ts_drawdown,
         "text_readability": text_readability, "text_c4": text_c4,
+        "text_url_canon": text_url_canon,
         "ts_vwap": ts_vwap,
         "op_grouping_sets": op_grouping_sets,
         "dedup_containment": dedup_containment,
@@ -4759,7 +4834,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_zscore": _ZSCORE_SQL,
         "ts_drawdown": _DRAWDOWN_SQL,
         "text_readability": _READABILITY_SQL,
-        "text_c4": _C4_SQL, "ml_bpe_encode": _bpe_encode_sql(),
+        "text_c4": _C4_SQL, "text_url_canon": _url_canon_sql(), "ml_bpe_encode": _bpe_encode_sql(),
         "ts_vwap": _VWAP_SQL,
         "op_grouping_sets": _GROUPING_SETS_SQL,
         "op_grouping_sets_facade": _GROUPING_SETS_SQL,

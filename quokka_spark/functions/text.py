@@ -707,3 +707,44 @@ def c4_filter_columns(col: str, min_line_words: int = C4_MIN_LINE_WORDS
             F.coalesce(has_brace, F.lit(False)).alias("has_brace"),
             F.coalesce(has_lorem, F.lit(False)).alias("has_lorem"),
             F.coalesce(c4_keep, F.lit(False)).alias("c4_keep")]
+
+
+# Tracking query parameters stripped by URL canonicalization — the
+# standard crawl-dedup list (utm_* et al.). Kept literal so the
+# identical regexes run in DuckDB's RE2.
+_TRACKING_PARAM_RE = (
+    r"(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|igshid)"
+    r"=[^&#\s]*")
+
+
+def canonicalize_url(col) -> Column:
+    """URL canonicalization for crawl-level dedup keys — the
+    normalization every web pipeline runs before grouping by URL:
+
+    1. lowercase scheme+host (path stays case-sensitive per RFC 3986),
+    2. drop the fragment (``#...``),
+    3. strip tracking query parameters (utm_*, fbclid, gclid, ...),
+       then tidy separators (``?&``→``?``, trailing ``?``/``&``),
+    4. drop a trailing slash on a non-root path.
+
+    A fixed chain of portable regexp_replace passes in the shared
+    Java/RE2 subset — map-side, zero exchanges, and the IDENTICAL
+    chain replays in DuckDB (oracle). Input must be a bare URL value
+    (compose with url_columns' extractor for free text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # 1: lowercase the scheme://host prefix only ((?i) — the scheme
+    # itself may arrive uppercased)
+    head = F.lower(F.regexp_extract(c, r"^((?i:https?)://[^/?#]*)", 1))
+    tail = F.regexp_replace(c, r"^(?i:https?)://[^/?#]*", "")
+    u = F.concat(head, tail)
+    # 2: fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3: tracking params — three passes so separators stay well-formed
+    # regardless of position: "&p=v" anywhere drops; a leading "?p=v&"
+    # hands "?" to the next param; a lone "?p=v" disappears
+    u = F.regexp_replace(u, r"&" + _TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM_RE + r"&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACKING_PARAM_RE + r"$", "")
+    # 4: trailing slash on a non-root path
+    u = F.regexp_replace(u, r"(https?://[^/?#]+/[^?#]*?)/+(\?|$)", r"$1$2")
+    return u

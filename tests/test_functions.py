@@ -1459,3 +1459,24 @@ def test_qualify_rewrites_to_subselect():
         "select 'qualify' from t"
     inner = "select * from (select 1 as x from t qualify x = 1) s"
     assert duckdb_to_spark_sql(inner) == inner
+
+
+def test_canonicalize_url_rules(spark):
+    from quokka_spark.functions.text import canonicalize_url
+    cases = {
+        "HTTPS://Example.COM/Path/?utm_source=x&q=1#frag":
+            "https://example.com/Path?q=1",
+        "http://a.com/p/?utm_campaign=z": "http://a.com/p",
+        "http://a.com/p?q=1&utm_medium=m&r=2": "http://a.com/p?q=1&r=2",
+        "http://A.com/": "http://a.com/",      # root slash stays
+        "http://a.com/x/y/": "http://a.com/x/y",
+        "http://a.com/?fbclid=abc": "http://a.com/",
+        "http://a.com/p?utm_source=1&utm_medium=2": "http://a.com/p",
+        "http://a.com/clean?q=1": "http://a.com/clean?q=1",  # untouched
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "i int, u string")
+    got = {r["u"]: r["c"] for r in
+           df.select("u", canonicalize_url("u").alias("c")).collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
