@@ -713,6 +713,22 @@ class DataStream:
          .csv(path, **options))
         return self._filename_stream(path)
 
+    def write_jsonl(self, path: str, output_line_limit: int = 1_000_000,
+                    compression: str | None = None,
+                    **options) -> "DataStream":
+        """Sharded newline-delimited JSON — the LLM-corpus exchange
+        format (extension sink next to write_csv/write_parquet): one
+        distributed write, ``output_line_limit`` docs per shard,
+        optional ``compression`` ("gzip"/"zstd"/...). Returns the
+        filename stream like the other sinks; read back with
+        ``qc.read_json``."""
+        w = (self.df.write.mode("overwrite")
+             .option("maxRecordsPerFile", output_line_limit))
+        if compression:
+            w = w.option("compression", compression)
+        w.json(path, **options)
+        return self._filename_stream(path)
+
     def write_parquet(self, path: str, output_line_limit: int = 5_000_000,
                       partition_by: list | None = None,
                       zorder: list | None = None,

@@ -445,6 +445,14 @@ def resample(df: "DataFrame", time_col: str, by, value_cols: list,
     every = float(to_seconds(every) if isinstance(every, str) else every)
     assert method in ("ffill", "linear"), method
     groups = [by] if isinstance(by, str) else list(by)
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+    if isinstance(df.schema[time_col].dataType,
+                  (TimestampType, TimestampNTZType)):
+        # timestamp axis: convert to epoch seconds (ticks emit as
+        # double epoch seconds; µs truncation matches read_parquet)
+        df = df.withColumn(
+            time_col,
+            F.unix_micros(F.col(time_col).cast("timestamp")) / F.lit(1e6))
     bounds = df.groupBy(*groups).agg(
         F.min(time_col).alias("__mn__"), F.max(time_col).alias("__mx__"))
     first = (F.ceil((F.col("__mn__") - F.lit(origin)) / F.lit(every))

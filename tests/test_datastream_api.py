@@ -462,3 +462,23 @@ def test_c4_filter_and_bpe_encode_verbs_chain(spark, qc):
     enc = cleaned.bpe_encode(merges).collect()
     assert {"doc_id", "tokens", "n_tokens"} <= set(enc.columns)
     assert (enc["n_tokens"] > 0).all()
+
+
+def test_write_jsonl_roundtrip_and_sharding(spark, qc, tmp_path):
+    """write_jsonl: newline-JSON roundtrip through read_json, shard
+    size bounded by output_line_limit, gzip variant readable."""
+    import glob
+    ds = qc.read_parquet("/root/testdata/sf0.001/documents.parquet") \
+           .select(["doc_id", "source", "lang"])
+    out = str(tmp_path / "jl")
+    files = ds.write_jsonl(out, output_line_limit=100)
+    assert files.count() >= 1
+    back = qc.read_json(out).collect()
+    orig = ds.collect()
+    assert len(back) == len(orig)
+    assert set(back["doc_id"]) == set(orig["doc_id"])
+    for f in glob.glob(out + "/*.json"):
+        assert sum(1 for _ in open(f)) <= 100
+    gz = str(tmp_path / "jlgz")
+    ds.write_jsonl(gz, compression="gzip")
+    assert len(qc.read_json(gz).collect()) == len(orig)
