@@ -100,10 +100,18 @@ def _over(sql: str, w) -> "F.Column":
             args = _split_top_args(m2.group(1))
             if len(args) == 2:
                 x, y = args
+                # pairwise deletion throughout: corr drops a row when
+                # EITHER argument is null, so the stddevs must run over
+                # pairwise-complete values too — stddev_samp over each
+                # column's own non-nulls diverges from Spark's and
+                # DuckDB's corr whenever nulls are asymmetric
+                both = f"({x}) IS NOT NULL AND ({y}) IS NOT NULL"
+                px = f"CASE WHEN {both} THEN ({x}) END"
+                py = f"CASE WHEN {both} THEN ({y}) END"
                 return F.try_divide(
                     F.expr(f"covar_samp({x}, {y})").over(w),
-                    F.expr(f"stddev_samp({x})").over(w)
-                    * F.expr(f"stddev_samp({y})").over(w))
+                    F.expr(f"stddev_samp({px})").over(w)
+                    * F.expr(f"stddev_samp({py})").over(w))
         return F.expr(inner_sql).over(w)
 
     m = _ROUND_RE.match(sql)
@@ -459,9 +467,17 @@ def resample(df: "DataFrame", time_col: str, by, value_cols: list,
              .cast("long"))
     last = (F.floor((F.col("__mx__") - F.lit(origin)) / F.lit(every))
             .cast("long"))
-    grid = (bounds.filter(F.col("__mx__") >= F.col("__mn__"))
+    # a key whose span lies strictly between two ticks has
+    # ceil(min) > floor(max); sequence(first, last) would then step
+    # BACKWARD (default step -1) and emit two spurious out-of-range
+    # ticks — such keys must emit zero rows (DuckDB's
+    # generate_series(first, last) is empty there)
+    grid = (bounds.select(*groups, first.alias("__f__"),
+                          last.alias("__l__"))
+            .filter(F.col("__l__") >= F.col("__f__"))
             .select(*groups,
-                    F.explode(F.sequence(first, last)).alias("__k__"))
+                    F.explode(F.sequence(F.col("__f__"), F.col("__l__")))
+                    .alias("__k__"))
             .select(*groups,
                     (F.lit(origin) + F.col("__k__") * F.lit(every))
                     .alias("tick")))

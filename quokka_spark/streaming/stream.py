@@ -188,7 +188,9 @@ def streaming_asof_join(left: DataFrame, right: DataFrame,
     semantics), so a single-batch replay reproduces batch join_asof
     EXACTLY (test-pinned); across batches, a right row arriving in a
     LATER batch than a left row it should have matched is missed —
-    the same documented watermark trade as streaming_dedup_exact.
+    the same documented watermark trade as streaming_dedup_exact —
+    but it DOES insert into the buffer in sorted position, so every
+    left row from then on matches correctly (test-pinned).
     EventTimeTimeout evicts idle keys ``delay`` past the watermark.
 
     ``right_vals`` (default: every right column except key/time) must
@@ -196,6 +198,8 @@ def streaming_asof_join(left: DataFrame, right: DataFrame,
     emitted column colliding with a left name gets ``suffix``
     (batch join_asof's convention).
     """
+    import bisect
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import TimestampNTZType
@@ -265,9 +269,19 @@ def streaming_asof_join(left: DataFrame, right: DataFrame,
                 # state unpickler (ClassDict numpy.dtype)
                 t = float(ts_sec[j])
                 if sides[j] == 0:
-                    q_ts.append(t)
+                    # SORTED insert, not append: a right row may arrive
+                    # in a later micro-batch with an older timestamp
+                    # (legal within the watermark delay); appending
+                    # would leave q_ts unsorted, making searchsorted
+                    # match the WRONG right value and the horizon
+                    # eviction cut drop the wrong rows. bisect_right
+                    # keeps the newest-inserted among equal timestamps
+                    # last — the same "latest" convention as in-batch
+                    # append order.
+                    pos = bisect.bisect_right(q_ts, t)
+                    q_ts.insert(pos, t)
                     for i in range(n_rv):
-                        q_vs[i].append(float(rvs[i][j])
+                        q_vs[i].insert(pos, float(rvs[i][j])
                                        if rvs[i][j] == rvs[i][j]
                                        else float("nan"))
                 else:
@@ -329,9 +343,10 @@ def streaming_pattern_recognize(df: DataFrame, time_col: str, events: list,
     ``watermark − maxspan`` — older rows cannot appear in any chain a
     not-yet-arrived event completes, because a chain containing a row
     at t ends by ``t + maxspan`` and the watermark guarantees no more
-    events below it — and (b) the start timestamps already emitted,
-    so re-running the NFA over the buffer emits each match
-    exactly once. The pattern's own-conjunct prefilter pushes into
+    events below it — and (b) a multiset of the (first, last)
+    timestamp pairs already emitted, so re-running the NFA over the
+    buffer emits each match exactly once — including two distinct
+    same-timestamp start rows, which are two matches, as in batch. The pattern's own-conjunct prefilter pushes into
     the stream exactly as in batch, so the buffer holds only
     candidate rows.
 
@@ -348,6 +363,7 @@ def streaming_pattern_recognize(df: DataFrame, time_col: str, events: list,
     ``time_col`` when that column is a timestamp (``time_col`` may
     otherwise be numeric event-seconds, as in the batch gates)."""
     import json
+    from collections import Counter
 
     import pandas as pd
     from pyspark.sql.types import TimestampNTZType, TimestampType
@@ -421,14 +437,21 @@ def streaming_pattern_recognize(df: DataFrame, time_col: str, events: list,
             # state unpickler
             found = sorted((float(f), float(l))
                            for f, l in match_pattern_pandas(pdf_all, pattern))
-            seen = set(emitted)
+            # exactly-once via a MULTISET keyed on the (first, last)
+            # PAIR: keying on first_ts alone collapses two distinct
+            # same-timestamp start rows into one emission (batch emits
+            # one match per start row), and the per-batch NFA re-run
+            # re-finds every prior match, so multiplicity must be
+            # subtracted, not set-tested
+            prev = Counter(emitted)
             for f, l in found:
-                if f in seen:
+                k = json.dumps([f, l])
+                if prev[k] > 0:
+                    prev[k] -= 1
                     continue
                 outs.append((key[0], ctr, f, l))
                 ctr += 1
-                emitted.append(f)
-                seen.add(f)
+                emitted.append(k)
         # evict rows below watermark - maxspan ON THE WATERMARK AXIS:
         # no event below the watermark will arrive, and a chain
         # containing a row at wall-time w ends by w + maxspan (numeric
@@ -444,7 +467,8 @@ def streaming_pattern_recognize(df: DataFrame, time_col: str, events: list,
         if floor > 0:
             rows = [r for r in rows if r["__wm__"] >= floor]
             surviving = {r[time_col] for r in rows}
-            emitted = [e for e in emitted if e in surviving]
+            emitted = [e for e in emitted
+                       if json.loads(e)[0] in surviving]
         state.update(([json.dumps(r) for r in rows], emitted, ctr))
         try:
             wmms = state.getCurrentWatermarkMs()
@@ -461,7 +485,7 @@ def streaming_pattern_recognize(df: DataFrame, time_col: str, events: list,
     return (wm.groupBy(by)
             .applyInPandasWithState(func, outputStructType=out_schema,
                                     stateStructType=("buf array<string>, "
-                                                     "emitted array<double>, "
+                                                     "emitted array<string>, "
                                                      "ctr long"),
                                     outputMode="append",
                                     timeoutConf="EventTimeTimeout"))

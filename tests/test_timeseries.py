@@ -1096,3 +1096,146 @@ def test_resample_verb_on_ordered_stream(spark, qc):
                       time_col="ts_sec").df
     assert out.columns == ["user_id", "tick", "value"]
     assert out.count() > 0
+
+def test_resample_key_between_ticks_emits_zero_rows(spark):
+    """A key whose data span lies strictly between two grid ticks has
+    ceil(min) > floor(max); sequence() would step BACKWARD and emit
+    two spurious out-of-range ticks (ADVICE r5) — such keys must emit
+    zero rows, matching DuckDB generate_series(11, 10) = empty."""
+    from quokka_spark.operators.windows import resample
+    df = spark.createDataFrame(
+        [("a", 10.2, 1.0), ("a", 10.7, 2.0),
+         ("b", 0.5, 5.0), ("b", 3.5, 8.0)],
+        "k string, t double, v double")
+    for method in ("ffill", "linear"):
+        got = resample(df, "t", "k", ["v"], 1.0, method=method) \
+            .toPandas().sort_values(["k", "tick"]).reset_index(drop=True)
+        assert not (got["k"] == "a").any(), method
+        assert list(got[got["k"] == "b"]["tick"]) == [1.0, 2.0, 3.0], method
+        if method == "ffill":
+            assert list(got[got["k"] == "b"]["v"]) == [5.0, 5.0, 5.0]
+        else:
+            assert np.allclose(got[got["k"] == "b"]["v"],
+                               [5.5, 6.5, 7.5])
+
+
+def test_streaming_asof_late_right_row_inserts_sorted(spark, tmp_path):
+    """A right row arriving in a LATER micro-batch with an OLDER
+    timestamp (legal within the watermark delay) must insert into the
+    buffer in sorted position (ADVICE r5): appending leaves q_ts
+    unsorted and searchsorted then matches the older row instead of
+    the newer one."""
+    from datetime import datetime
+    from quokka_spark.streaming.stream import streaming_asof_join
+    td, qd = str(tmp_path / "t"), str(tmp_path / "q")
+    tsch = "t_id long, ts timestamp, k string"
+    qsch = "ts timestamp, k string, px double"
+    q_new = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10, 0, 0), "A", 7.0)], qsch)
+    q_late = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 9, 58, 0), "A", 5.0)], qsch)
+    trade = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 5, 0), "A")], tsch)
+    # batch 1: the 10:00 quote only
+    q_new.write.parquet(qd)
+    spark.createDataFrame([], tsch).write.parquet(td)
+    stream_t = spark.readStream.schema(trade.schema).parquet(td)
+    stream_q = spark.readStream.schema(q_new.schema).parquet(qd)
+    out = streaming_asof_join(stream_t, stream_q, "ts", "ts", "k", "k",
+                              right_vals=["px"], horizon="1 hour",
+                              delay="10 minutes")
+    chk = str(tmp_path / "chk")
+    rows = []
+
+    def sink(bdf, _bid):
+        rows.extend(bdf.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert rows == []
+    # batch 2: the LATE 9:58 quote plus the 10:05 trade — the trade
+    # must match the 10:00 quote (7.0), not the late older one
+    q_late.write.mode("append").parquet(qd)
+    trade.write.mode("append").parquet(td)
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(rows) == 1
+    assert rows[0]["px"] == 7.0
+
+
+def test_rolling_corr_asymmetric_nulls_pairwise_deletion(spark, qc):
+    """corr() with a null in only ONE argument must use pairwise
+    deletion throughout (ADVICE r5): the stddevs run over
+    pairwise-complete values, matching Spark's and DuckDB's corr —
+    not each column's own non-nulls (which can yield |corr| > 1)."""
+    from quokka_spark.orderedstream import OrderedStream
+    from quokka_spark.windowtypes import SlidingWindow
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": pd.to_datetime([0, 60, 120], unit="s"),
+        "event_id": [10.0, 20.0, 30.0],
+        "value": [1.0, None, 3.0]})
+    ev = OrderedStream(qc, spark.createDataFrame(pdf),
+                       sorted={"ts": "stride"})
+    win = SlidingWindow("30m", {"c": "round(corr(value, event_id), 6)"})
+    got = (ev.windowed_transform(win, by="user_id").df
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    # frame at ts=120 holds all three rows; pairwise-complete points
+    # are (1,10),(3,30) -> corr exactly 1.0 (buggy form gave 1.414)
+    assert got.loc[2, "c"] == 1.0
+    # DuckDB concurs on the full-frame value
+    import duckdb
+    exp = duckdb.sql(
+        "select corr(x, y) from (values (1.0, 10.0), (NULL, 20.0), "
+        "(3.0, 30.0)) t(x, y)").fetchone()[0]
+    assert round(exp, 6) == 1.0
+
+
+def test_streaming_cep_duplicate_start_timestamps(spark, qc, tmp_path):
+    """Two distinct same-timestamp rows that both start valid chains
+    are TWO matches in batch; the streaming emitted-set must key on
+    the match identity with multiplicity, not on first_ts alone
+    (ADVICE r5) — and still not re-emit on replay."""
+    from datetime import datetime
+    from quokka_spark.streaming.stream import streaming_pattern_recognize
+    from quokka_spark.operators.cep import pattern_recognize
+    pat = [("a", "a.event_type = 'signup'"),
+           ("b", "b.event_type = 'purchase'")]
+    sch = "user_id long, ts timestamp, ts_sec double, event_type string"
+    rows1 = [(1, datetime(2024, 1, 1, 10, 0), 0.0, "signup"),
+             (1, datetime(2024, 1, 1, 10, 0), 0.0, "signup"),
+             (1, datetime(2024, 1, 1, 10, 1), 60.0, "purchase")]
+    batch_df = spark.createDataFrame(rows1, sch)
+    batch = pattern_recognize(batch_df, "ts_sec", pat, 3600.0,
+                              "user_id").toPandas()
+    assert len(batch) == 2          # one match per start ROW
+
+    td = str(tmp_path / "src")
+    batch_df.write.parquet(td)
+    stream = spark.readStream.schema(batch_df.schema).parquet(td)
+    out = streaming_pattern_recognize(stream, "ts_sec", pat,
+                                      maxspan=3600.0, by="user_id",
+                                      wm_col="ts")
+    chk = str(tmp_path / "chk")
+    emitted = []
+
+    def sink(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(emitted) == 2
+    assert {(r["first_event_timestamp"], r["last_event_timestamp"])
+            for r in emitted} == {(0.0, 60.0)}
+    # replay: the multiset already accounts for both — no re-emission
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(emitted) == 2
