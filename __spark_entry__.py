@@ -1565,6 +1565,81 @@ FROM doubled GROUP BY l_linestatus
 """
 
 
+def src_delta_checkpoint(spark, sf_dir):
+    """read_delta THROUGH a checkpoint parquet after log cleanup —
+    the shape every long-lived real Delta table has (checkpoints
+    appear every 10 commits by default and old JSON commits get
+    cleaned up). v0 = lineitem, v1 doubles it, checkpoint at v1,
+    JSON commits 0-1 DELETED, v2 (JSON) removes the duplicate again:
+    reading latest exercises checkpoint state + trailing JSON replay
+    + remove-across-checkpoint, and the oracle is plain lineitem."""
+    import os
+    import tempfile
+    from quokka_spark.sources.delta_local import (
+        _commit, create_local_delta_table, write_checkpoint_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_deltacp_" + sf_dir.strip("/").replace("/", "_"))
+    dup = os.path.join(tbl, "li_dup.parquet")
+    if not os.path.isdir(os.path.join(tbl, "_delta_log")):
+        os.makedirs(tbl, exist_ok=True)
+        if not os.path.exists(dup):
+            os.symlink(os.path.abspath(li), dup)
+        create_local_delta_table(tbl, [[li], [li, dup]])
+        write_checkpoint_local(tbl)
+        for v in (0, 1):
+            os.remove(os.path.join(tbl, "_delta_log", f"{v:020d}.json"))
+        # dup sits INSIDE the table root, so its add key is the
+        # RELATIVE path — the remove must use the same key
+        _commit(tbl, 2, [{"remove": {"path": os.path.relpath(dup, tbl),
+                                     "deletionTimestamp": 0,
+                                     "dataChange": True}}])
+    ds = qc.read_delta(tbl)
+    return ds.df.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+_SRC_DELTA_CP_SQL = """
+SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def src_delta_partitioned(spark, sf_dir):
+    """read_delta on a PARTITIONED table: lineitem written with
+    partition_by=l_returnflag (the partition column lives in the LOG,
+    not the data files — it joins back in as a typed column via the
+    broadcast file→values map) and read with a partition_filter,
+    which prunes the live FILE LIST before the scan (log-level
+    partition pruning, the real-Delta behavior at 100 TB). The agg
+    groups BY the partition column, so a wrong join-back or a wrong
+    prune both hash-mismatch."""
+    import os
+    import tempfile
+    from quokka_spark.sources.delta_local import write_delta_local
+    qc = _qc(spark)
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_deltapart_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(os.path.join(tbl, "_delta_log")):
+        li = qc.read_parquet(os.path.join(sf_dir, "lineitem.parquet")).df
+        write_delta_local(li, tbl, partition_by="l_returnflag")
+    ds = qc.read_delta(tbl, partition_filter="l_returnflag IN ('N', 'R')")
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_DELTA_PART_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_returnflag IN ('N', 'R')
+GROUP BY l_returnflag
+"""
+
+
 def src_iceberg_deletes(spark, sf_dir):
     """read_iceberg with v2 POSITION deletes applied — the fallback
     reader's distributed anti-join on (_metadata.file_path,
@@ -4673,6 +4748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": dedup_lines,
         "text_gopher": text_gopher,
         "src_iceberg": src_iceberg, "src_delta": src_delta,
+        "src_delta_checkpoint": src_delta_checkpoint,
+        "src_delta_partitioned": src_delta_partitioned,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -4788,6 +4865,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _DEDUP_LINES_SQL,
         "text_gopher": _GOPHER_SQL,
         "src_iceberg": _SRC_ICEBERG_SQL, "src_delta": _SRC_DELTA_SQL,
+        "src_delta_checkpoint": _SRC_DELTA_CP_SQL,
+        "src_delta_partitioned": _SRC_DELTA_PART_SQL,
         "op_sql_window": _SQL_WINDOW_SQL, "ts_resample": _RESAMPLE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -142,16 +142,22 @@ class QuokkaContext:
         sorted dataset)."""
         return OrderedStream(self, df, sorted={sorted_by: mode})
 
-    def read_delta(self, table: str, version: int | None = None) -> DataStream:
+    def read_delta(self, table: str, version: int | None = None,
+                   partition_filter: str | None = None) -> DataStream:
         """Delta Lake table, optional time travel by ``version``
         (extension source — lakehouse parity next to read_iceberg).
-        Pure-Python log replay (sources/delta_local.py): the live file
-        set at the version feeds ONE native parquet scan, so pushdown
-        and pruning behave exactly as on raw parquet. Local
-        single-writer tables; checkpointed logs / partition columns /
+        Pure-Python log replay (sources/delta_local.py) incl.
+        checkpoint parquet (long-lived tables whose early JSON commits
+        were cleaned up) and partitioned tables (partitionValues join
+        back as typed columns; ``partition_filter`` — SQL over the
+        partition columns — prunes the FILE LIST before the scan, the
+        log-level pruning real Delta does). The live file set feeds
+        ONE native parquet scan, so pushdown and pruning behave
+        exactly as on raw parquet. Local single-writer tables;
         deletion vectors raise clear NotImplementedErrors."""
         from .sources.delta_local import read_delta_local
-        return DataStream(self, read_delta_local(self.spark, table, version))
+        return DataStream(self, read_delta_local(
+            self.spark, table, version, partition_filter=partition_filter))
 
     def read_iceberg(self, table: str, snapshot: int | None = None) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).

@@ -17,18 +17,29 @@ local implementation ~150 lines:
   parquet files in place (the oracle-gate pattern shared with
   iceberg_local).
 
-Gated out (clear errors, not wrong answers): checkpoint parquet files
-(only needed past thousands of commits; the log replay is exact
-without them), partition columns in add actions, and deletion
-vectors. ``metaData.schemaString`` is written spec-correctly (it IS
-Spark's schema JSON) but reading trusts the parquet footers, which is
-what Spark's scan enforces anyway.
+Covered beyond the JSON log: **checkpoint parquet replay** (single
+and multi-part ``<v>.checkpoint[.<i>.<n>].parquet`` + the
+``_last_checkpoint`` pointer — state starts from the newest
+checkpoint at or below the target version and only the trailing JSON
+commits replay on top, exactly how long-lived tables whose early
+JSON commits were cleaned up stay readable) and **partitioned
+tables** (``add.partitionValues`` become real typed columns via a
+broadcast file-path→values join on ``_metadata.file_path``; a
+``partition_filter`` prunes the live FILE LIST before the scan — the
+log-level pruning real Delta does, so a partition-filtered query
+reads only matching files even at 100 TB). Still gated with clear
+errors: deletion vectors, column-mapping modes.
+``metaData.schemaString`` is written spec-correctly (it IS Spark's
+schema JSON) and read back for partition-column types; data columns
+trust the parquet footers, which is what Spark's scan enforces
+anyway.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -41,28 +52,74 @@ def _version_path(table: str, v: int) -> str:
     return os.path.join(_log_dir(table), f"{v:020d}.json")
 
 
-def list_versions(table: str) -> list:
+_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$")
+
+
+def _scan_log(table: str) -> tuple[list, dict]:
+    """One log-directory listing → (sorted JSON commit versions,
+    {checkpoint version: sorted list of its parquet part paths})."""
     d = _log_dir(table)
     if not os.path.isdir(d):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
-    out = []
+    commits, checkpoints = [], {}
     for f in os.listdir(d):
         stem, ext = os.path.splitext(f)
         if ext == ".json" and stem.isdigit():
-            out.append(int(stem))
-        elif ext in (".parquet", ".checkpoint"):
-            raise NotImplementedError(
-                "this local Delta reader replays JSON commits only; "
-                f"checkpoint file {f} found — compact logs are not "
-                "supported (they only appear after log cleanup on "
-                "long-lived tables)")
-    return sorted(out)
+            commits.append(int(stem))
+        else:
+            m = _CHECKPOINT_RE.match(f)
+            if m:
+                checkpoints.setdefault(int(m.group(1)), []).append(
+                    os.path.join(d, f))
+    return sorted(commits), {v: sorted(ps) for v, ps in checkpoints.items()}
 
 
-def _replay(table: str, version: int | None) -> tuple[list, dict]:
-    """Replay the log through ``version`` (inclusive; None = latest).
-    Returns (live file paths, metaData dict)."""
-    versions = list_versions(table)
+def list_versions(table: str) -> list:
+    """Every version the log knows about — JSON commits plus
+    checkpointed versions (a checkpoint at v proves v exists even
+    when its JSON commit was cleaned up)."""
+    commits, checkpoints = _scan_log(table)
+    return sorted(set(commits) | set(checkpoints))
+
+
+def _read_checkpoint(paths: list) -> tuple[dict, dict]:
+    """Load a checkpoint's full state: (live add-actions by path,
+    metaData dict). Multi-part checkpoints concatenate. Driver-side
+    pyarrow read — a checkpoint row is ~100 bytes of metadata per
+    data file, so even a million-file table is ~100 MB here; a
+    distributed scan would be the next step past that."""
+    import pyarrow.parquet as pq
+
+    live, meta = {}, {}
+    for p in paths:
+        t = pq.read_table(p)
+        cols = t.column_names
+        rows = t.to_pylist()
+        for r in rows:
+            a = r.get("add") if "add" in cols else None
+            m = r.get("metaData") if "metaData" in cols else None
+            if m:
+                meta = dict(m)
+                if isinstance(meta.get("configuration"), list):
+                    # arrow map columns round-trip as pair lists
+                    meta["configuration"] = dict(meta["configuration"])
+            if a:
+                pv = a.get("partitionValues")
+                if isinstance(pv, list):  # arrow map → list of pairs
+                    a["partitionValues"] = dict(pv)
+                live[a["path"]] = a
+    return live, meta
+
+
+def _replay(table: str, version: int | None):
+    """State at ``version`` (inclusive; None = latest): start from the
+    newest checkpoint ≤ version when one exists, then replay the
+    trailing JSON commits. Returns (live file paths, metaData dict,
+    add keys, add actions) — all four lists ALIGNED (same sort), so
+    upsert can remove by the exact key each file was added under."""
+    commits, checkpoints = _scan_log(table)
+    versions = sorted(set(commits) | set(checkpoints))
     if not versions:
         raise FileNotFoundError(f"empty _delta_log in {table}")
     if version is None:
@@ -72,10 +129,23 @@ def _replay(table: str, version: int | None) -> tuple[list, dict]:
             f"version {version} not in table {table}; have {versions}")
     live: dict = {}
     meta: dict = {}
+    usable = [v for v in checkpoints if v <= version]
+    base = -1
+    if usable:
+        base = max(usable)
+        live, meta = _read_checkpoint(checkpoints[base])
+    tail = [v for v in commits if base < v <= version]
+    # the replay must be gapless: checkpoint (or 0) .. version
+    expect = list(range(base + 1, version + 1))
+    if tail != expect:
+        missing = sorted(set(expect) - set(tail))
+        raise FileNotFoundError(
+            f"cannot reconstruct version {version} of {table}: JSON "
+            f"commits {missing} are missing and no checkpoint at or "
+            f"below covers them (log was cleaned up? write a newer "
+            f"checkpoint first)")
     root = table.removeprefix("file://")
-    for v in versions:
-        if v > version:
-            break
+    for v in tail:
         with open(_version_path(table, v)) as fh:
             for line in fh:
                 line = line.strip()
@@ -86,10 +156,6 @@ def _replay(table: str, version: int | None) -> tuple[list, dict]:
                     meta = action["metaData"]
                 elif "add" in action:
                     a = action["add"]
-                    if a.get("partitionValues"):
-                        raise NotImplementedError(
-                            "partitioned local Delta tables are not "
-                            "supported by this reader")
                     if a.get("deletionVector"):
                         raise NotImplementedError(
                             "deletion vectors are not supported by this "
@@ -100,20 +166,81 @@ def _replay(table: str, version: int | None) -> tuple[list, dict]:
     pairs = sorted(
         ((k if os.path.isabs(k) else os.path.join(root, k)), k)
         for k in live)
-    # files and keys stay ALIGNED (same sort) — upsert removes by the
-    # exact key each file was added under
-    return [f for f, _ in pairs], meta, [k for _, k in pairs]
+    files = [f for f, _ in pairs]
+    keys = [k for _, k in pairs]
+    return files, meta, keys, [live[k] for k in keys]
 
 
-def read_delta_local(spark, table: str, version: int | None = None):
+def _partition_schema(meta: dict):
+    """(partition column names, {name: Spark DataType}) from the
+    table metaData; empty when unpartitioned."""
+    pcols = meta.get("partitionColumns") or []
+    if not pcols:
+        return [], {}
+    from pyspark.sql.types import StructType
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    return list(pcols), {f.name: f.dataType for f in schema.fields
+                         if f.name in pcols}
+
+
+def read_delta_local(spark, table: str, version: int | None = None,
+                     partition_filter: str | None = None):
     """DataFrame over the table's live files at ``version`` (time
     travel; None = latest). One native parquet scan — pushdown and
-    column pruning behave exactly as on raw parquet."""
-    files, _, _ = _replay(table, version)
+    column pruning behave exactly as on raw parquet.
+
+    Partitioned tables: partition values live in the LOG, not the
+    data files, so they join back in as typed columns via a broadcast
+    (file path → values) map on ``_metadata.file_path`` — zero extra
+    shuffles, the map is O(#files). ``partition_filter`` (a SQL
+    boolean over the partition columns, e.g. ``"year >= 2024"``)
+    prunes the live file list BEFORE the scan — log-level partition
+    pruning, the same trick real Delta uses, so filtered reads touch
+    only matching files."""
+    files, meta, _, adds = _replay(table, version)
     if not files:
         raise ValueError(
             f"Delta table {table} has no live files at version {version}")
-    return spark.read.parquet(*files)
+    pcols, ptypes = _partition_schema(meta)
+    if not pcols:
+        if partition_filter:
+            raise ValueError("partition_filter on an unpartitioned table")
+        return spark.read.parquet(*files)
+    from pyspark.sql import functions as F
+
+    # one tiny mapping frame: (absolute file path, *string values)
+    rows = [(os.path.abspath(f),
+             *[a.get("partitionValues", {}).get(c) for c in pcols])
+            for f, a in zip(files, adds)]
+    mapping = spark.createDataFrame(
+        rows, ["__qs_path__"] + [f"__qs_p_{c}__" for c in pcols])
+    typed = [F.col(f"__qs_p_{c}__").cast(ptypes[c]).alias(c)
+             for c in pcols]
+    mapping = mapping.select("__qs_path__", *typed)
+    if partition_filter:
+        keep = {r["__qs_path__"]
+                for r in mapping.filter(partition_filter)
+                .select("__qs_path__").collect()}
+        files = [f for f in files if os.path.abspath(f) in keep]
+        if not files:
+            # empty-but-typed result with the full table schema
+            from pyspark.sql.types import StructType
+            full = StructType.fromJson(json.loads(meta["schemaString"]))
+            return spark.createDataFrame([], full)
+    # _metadata.file_path is a percent-ENCODED URI ("file:/…%2F…");
+    # decode to the plain filesystem path the log/map uses. A literal
+    # '+' in a path is a '+' in the URI (Hadoop encodes space as %20,
+    # never '+'), but url_decode is form-decoding — protect it first.
+    plain = F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        "\\+", "%2B"))
+    df = spark.read.parquet(*files).withColumn("__qs_path__", plain)
+    df = df.join(F.broadcast(mapping), "__qs_path__").drop("__qs_path__")
+    # present columns in table-schema order (partition cols last in
+    # the files, spec order in the schemaString)
+    from pyspark.sql.types import StructType
+    full = StructType.fromJson(json.loads(meta["schemaString"]))
+    return df.select(*[f.name for f in full.fields])
 
 
 def _commit(table: str, version: int, actions: list) -> None:
@@ -129,27 +256,91 @@ def _commit(table: str, version: int, actions: list) -> None:
     os.rename(tmp, path)  # atomic single-writer commit
 
 
-def _add_action(root: str, path: str) -> dict:
+def _add_action(root: str, path: str,
+                partition_values: dict | None = None) -> dict:
     inside = os.path.commonpath(
         [os.path.abspath(root), os.path.abspath(path)]) \
         == os.path.abspath(root)
     rel = os.path.relpath(path, root) if inside else path
-    return {"add": {"path": rel, "partitionValues": {},
+    return {"add": {"path": rel,
+                    "partitionValues": partition_values or {},
                     "size": os.path.getsize(path),
                     "modificationTime": int(time.time() * 1000),
                     "dataChange": True}}
 
 
-def _meta_actions(schema_json: str | None) -> list:
+def _meta_actions(schema_json: str | None,
+                  partition_columns: list | None = None) -> list:
     return [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": {"id": str(uuid.uuid4()), "format":
                       {"provider": "parquet", "options": {}},
                       "schemaString": schema_json or "{}",
-                      "partitionColumns": [],
+                      "partitionColumns": list(partition_columns or []),
                       "configuration": {},
                       "createdTime": int(time.time() * 1000)}},
     ]
+
+
+def write_checkpoint_local(table: str, version: int | None = None) -> int:
+    """Write a spec-shaped checkpoint parquet for ``version`` (None =
+    latest) plus the ``_last_checkpoint`` pointer. After this the JSON
+    commits at or below the checkpoint are no longer needed to read
+    any version ≥ the checkpoint — the log-cleanup contract long-lived
+    tables rely on (Delta checkpoints every 10 commits by default).
+    Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    commits, checkpoints = _scan_log(table)
+    versions = sorted(set(commits) | set(checkpoints))
+    if version is None:
+        version = versions[-1]
+    _, meta, keys, adds = _replay(table, version)
+    pv_t = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct([("path", pa.string()), ("partitionValues", pv_t),
+                       ("size", pa.int64()),
+                       ("modificationTime", pa.int64()),
+                       ("dataChange", pa.bool_())])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string())])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pv_t),
+        ("createdTime", pa.int64())])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+    rows = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+             "metaData": None, "add": None},
+            {"protocol": None,
+             "metaData": {
+                 "id": meta.get("id", str(uuid.uuid4())),
+                 "format": {"provider": "parquet"},
+                 "schemaString": meta.get("schemaString", "{}"),
+                 "partitionColumns": meta.get("partitionColumns") or [],
+                 "configuration": meta.get("configuration") or {},
+                 "createdTime": meta.get("createdTime",
+                                         int(time.time() * 1000))},
+             "add": None}]
+    for k, a in zip(keys, adds):
+        rows.append({"protocol": None, "metaData": None,
+                     "add": {"path": k,
+                             "partitionValues": a.get("partitionValues")
+                             or {},
+                             "size": int(a.get("size") or 0),
+                             "modificationTime":
+                             int(a.get("modificationTime") or 0),
+                             "dataChange": False}})
+    tbl = pa.Table.from_pylist(rows, schema=pa.schema(
+        [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]))
+    cp = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, cp)
+    with open(os.path.join(_log_dir(table), "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version
 
 
 def create_local_delta_table(table: str, versions: list,
@@ -177,19 +368,48 @@ def create_local_delta_table(table: str, versions: list,
         prev = list(files)
 
 
-def write_delta_local(df, table: str, mode: str = "append") -> int:
+def _hive_partition_values(data_dir: str, path: str) -> dict:
+    """Parse ``col=val`` segments between data_dir and the file into
+    Delta partitionValues strings (URL-unescaped; Spark's null dir
+    marker → JSON null)."""
+    from urllib.parse import unquote
+    out = {}
+    for seg in os.path.relpath(os.path.dirname(path), data_dir).split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            v = unquote(v)
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return out
+
+
+def write_delta_local(df, table: str, mode: str = "append",
+                      partition_by=None) -> int:
     """Commit a Spark DataFrame as a new Delta version. ``mode``:
     "append" adds the new files; "overwrite" also removes every
     previously live file. Data lands under ``<table>/part-*/`` via
     one native parquet write; the commit is a single atomic rename.
-    Returns the committed version."""
+    Returns the committed version.
+
+    ``partition_by``: column(s) to partition on — the parquet write
+    partitions natively (Spark's hive layout) and each file's
+    directory values become its ``partitionValues`` (the columns are
+    NOT in the data files, per spec; the reader joins them back)."""
     assert mode in ("append", "overwrite"), mode
+    pcols = ([partition_by] if isinstance(partition_by, str)
+             else list(partition_by or []))
     root = table.removeprefix("file://")
     data_dir = os.path.join(root, f"data-{uuid.uuid4().hex[:12]}")
-    df.write.parquet(data_dir)
-    new_files = sorted(
-        os.path.join(data_dir, f) for f in os.listdir(data_dir)
-        if f.endswith(".parquet"))
+    if pcols:
+        df.write.partitionBy(*pcols).parquet(data_dir)
+        new_files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(data_dir)
+            for f in fs if f.endswith(".parquet"))
+    else:
+        df.write.parquet(data_dir)
+        new_files = sorted(
+            os.path.join(data_dir, f) for f in os.listdir(data_dir)
+            if f.endswith(".parquet"))
     try:
         versions = list_versions(table)
     except FileNotFoundError:
@@ -197,18 +417,19 @@ def write_delta_local(df, table: str, mode: str = "append") -> int:
     version = (versions[-1] + 1) if versions else 0
     actions: list = []
     if version == 0:
-        actions += _meta_actions(df.schema.json())
+        actions += _meta_actions(df.schema.json(), pcols)
     ts = int(time.time() * 1000)
     if mode == "overwrite" and versions:
         # remove by the exact path KEY each add used (absolute for
         # referenced-in-place files, relative for table-local data)
-        _, _, keys = _replay(table, None)
+        _, _, keys, _ = _replay(table, None)
         for k in keys:
             actions.append({"remove": {"path": k,
                                        "deletionTimestamp": ts,
                                        "dataChange": True}})
     for p in new_files:
-        actions.append(_add_action(root, p))
+        actions.append(_add_action(
+            root, p, _hive_partition_values(data_dir, p) if pcols else None))
     _commit(table, version, actions)
     return version
 
@@ -231,7 +452,11 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     from pyspark.sql import functions as F
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     root = table.removeprefix("file://")
-    files, _, live_keys = _replay(table, None)
+    files, meta, live_keys, _ = _replay(table, None)
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "upsert on a partitioned local Delta table — read, rewrite "
+            "and overwrite with partition_by instead")
     live = spark.read.parquet(*files) \
         .withColumn("__qs_file__", F.col("_metadata.file_path"))
     new_keys = df.select(*keys).distinct()

@@ -4,6 +4,7 @@ roundtrips, and the gated unsupported shapes."""
 
 import os
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -79,26 +80,103 @@ def test_delta_pushdown_reaches_scan(spark, qc, tmp_path):
 
 def test_delta_gated_unsupported_shapes(spark, qc, tmp_path):
     import json
-    from quokka_spark.sources.delta_local import (create_local_delta_table,
-                                                  list_versions)
+    from quokka_spark.sources.delta_local import create_local_delta_table
     li = os.path.join(SF_SMOKE, "lineitem.parquet")
     tbl = str(tmp_path / "g")
     create_local_delta_table(tbl, [[li]])
-    # a checkpoint file in the log → clear gate, not wrong answers
-    open(os.path.join(tbl, "_delta_log",
-                      f"{0:020d}.checkpoint.parquet"), "w").close()
-    with pytest.raises(NotImplementedError, match="checkpoint"):
-        list_versions(tbl)
-    os.remove(os.path.join(tbl, "_delta_log",
-                           f"{0:020d}.checkpoint.parquet"))
-    # partitioned add action → gate
+    # deletion vectors → clear gate, not wrong answers
     with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"add": {"path": li, "size": 1,
                                      "modificationTime": 0,
                                      "dataChange": True,
-                                     "partitionValues": {"d": "1"}}}) + "\n")
-    with pytest.raises(NotImplementedError, match="partitioned"):
+                                     "partitionValues": {},
+                                     "deletionVector": {"storageType": "u"}}})
+                 + "\n")
+    with pytest.raises(NotImplementedError, match="deletion vector"):
         qc.read_delta(tbl)
+
+
+def test_delta_checkpoint_replay_and_log_cleanup(spark, qc, tmp_path):
+    """Checkpoint parquet replay (VERDICT r5 #1): state reconstructs
+    from the newest checkpoint ≤ target plus trailing JSON commits —
+    including after the pre-checkpoint JSON commits are cleaned up,
+    the shape every long-lived real-world Delta table has."""
+    import json as _json
+    from quokka_spark.sources.delta_local import (
+        _commit, create_local_delta_table, write_checkpoint_local)
+    li = os.path.join(SF_SMOKE, "lineitem.parquet")
+    tbl = str(tmp_path / "cp")
+    dup = str(tmp_path / "li_dup.parquet")
+    os.symlink(os.path.abspath(li), dup)
+    create_local_delta_table(tbl, [[li], [li, dup]])
+    base = qc.read_delta(tbl).df.count()          # v1 = doubled
+    single = qc.read_delta(tbl, version=0).df.count()
+    assert base == 2 * single
+
+    assert write_checkpoint_local(tbl) == 1
+    log = os.path.join(tbl, "_delta_log")
+    assert os.path.exists(os.path.join(log, "_last_checkpoint"))
+    # log cleanup: drop every JSON commit the checkpoint covers
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    # latest still reads — state comes entirely from the checkpoint
+    assert qc.read_delta(tbl).df.count() == base
+    # a JSON commit ON TOP of the checkpoint replays too (remove dup)
+    _commit(tbl, 2, [{"remove": {"path": os.path.abspath(dup),
+                                 "deletionTimestamp": 0,
+                                 "dataChange": True}}])
+    assert qc.read_delta(tbl).df.count() == single
+    assert qc.read_delta(tbl, version=1).df.count() == base  # time travel
+    # pre-checkpoint versions are genuinely gone → clear error
+    with pytest.raises(ValueError, match="version 0 not in table"):
+        qc.read_delta(tbl, version=0)
+
+
+def test_delta_partitioned_write_read_roundtrip(spark, qc, tmp_path):
+    """Partitioned tables (VERDICT r5 #1): partitionValues live in
+    the log, join back as TYPED columns, survive escaping and nulls,
+    and partition_filter prunes the file list before the scan."""
+    from quokka_spark.sources.delta_local import write_delta_local
+    rows = [(2023, "a", 1.0), (2023, "a/b c", 2.0), (2024, "a", 3.0),
+            (2024, "a/b c", 4.0), (None, "a", 5.0)]
+    df = spark.createDataFrame(rows, "year bigint, tag string, v double")
+    tbl = str(tmp_path / "p")
+    assert write_delta_local(df, tbl, partition_by=["year", "tag"]) == 0
+    got = qc.read_delta(tbl).df
+    assert [f.name for f in got.schema.fields] == ["year", "tag", "v"]
+    assert dict(got.dtypes)["year"] == "bigint"   # typed, not string
+    gp = got.toPandas().sort_values("v").reset_index(drop=True)
+    assert list(gp["v"]) == [1.0, 2.0, 3.0, 4.0, 5.0]
+    assert list(gp["tag"]) == ["a", "a/b c", "a", "a/b c", "a"]
+    assert gp["year"].isna().tolist() == [False] * 4 + [True]
+    # log-level pruning: only the matching files are scanned
+    pruned = qc.read_delta(tbl, partition_filter="year = 2024").df
+    assert sorted(r["v"] for r in pruned.collect()) == [3.0, 4.0]
+    assert len(pruned.inputFiles()) < len(got.inputFiles())
+    # empty partition selection → empty but correctly-typed result
+    none = qc.read_delta(tbl, partition_filter="year = 1999").df
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["year", "tag", "v"]
+
+
+def test_delta_partitioned_checkpoint_roundtrip(spark, qc, tmp_path):
+    """partitionValues survive the checkpoint parquet (arrow map
+    round-trip) — read after cleanup still yields typed columns."""
+    from quokka_spark.sources.delta_local import (write_checkpoint_local,
+                                                  write_delta_local)
+    df = spark.createDataFrame([(2023, 1.0), (2024, 2.0)], "year int, v double")
+    tbl = str(tmp_path / "pc")
+    write_delta_local(df, tbl, partition_by="year")
+    write_delta_local(df.withColumn("v", df.v * 10), tbl, partition_by="year")
+    write_checkpoint_local(tbl)
+    log = os.path.join(tbl, "_delta_log")
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = qc.read_delta(tbl).df.toPandas().sort_values("v")
+    assert list(got["v"]) == [1.0, 2.0, 10.0, 20.0]
+    assert list(got["year"]) == [2023, 2024, 2023, 2024]
+    pruned = qc.read_delta(tbl, partition_filter="year = 2023").df
+    assert sorted(r["v"] for r in pruned.collect()) == [1.0, 10.0]
 
 
 def test_delta_not_a_table_error(spark, qc, tmp_path):
@@ -159,6 +237,6 @@ def test_delta_replay_matches_simulation(tmp_path):
         tbl = str(tmp_path / f"t{trial}")
         create_local_delta_table(tbl, versions)
         for v, expected in enumerate(versions):
-            files, _, _ = _replay(tbl, v)
+            files, _, _, _ = _replay(tbl, v)
             assert sorted(files) == sorted(
                 os.path.abspath(p) for p in expected), (trial, v)
