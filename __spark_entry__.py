@@ -3083,17 +3083,71 @@ WHERE doc_id % 2 = 1
 def ml_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (functions/packing.
     bpe_train): learn the merge table on the cluster over the corpus
-    the pipeline just cleaned. Greedy-argmax-per-round semantics are
-    inherently iterative (each round's pair counts depend on the
-    previous merge) — not SQL-expressible, so this gate is rows-only;
-    exact equality with a pure-Python reference BPE is pinned in
-    tests/test_functions.py."""
+    the pipeline just cleaned. The greedy argmax loop IS
+    oracle-replayable for a fixed round count: each round is
+    pair-count → (count DESC, pair ASC) argmax → one literal
+    leftmost-non-overlapping replace on the STX/ETX-wrapped symbol
+    strings, so the DuckDB oracle (_bpe_train_sql) chains 8
+    MATERIALIZED CTE rounds of exactly that — the hash-exact
+    upgrade of what was a rows-only gate through round 5. Exact
+    equality with a pure-Python reference BPE is additionally pinned
+    in tests/test_functions.py."""
     from quokka_spark.functions.packing import bpe_train
     qc = _qc(spark)
     docs = _t(qc, sf_dir, "documents").df
     merges, _ = bpe_train(docs, num_merges=8)
     rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(rows, "rank long, left string, right string")
+
+
+def _bpe_train_sql(n_rounds: int = 8) -> str:
+    """DuckDB replay of bpe_train's first ``n_rounds`` greedy rounds.
+    Word counts → STX/ETX symbol strings (the bpe_encode staging),
+    then per round: adjacent-pair counts via positional unnest
+    (overlaps included — Sennrich get_stats), argmax with the
+    (count DESC, left ASC, right ASC) tiebreak, and the merge as ONE
+    literal replace. MATERIALIZED CTEs keep the chain linear (each
+    w{i} feeds both p{i} and w{i+1}; inlining would re-derive it
+    exponentially)."""
+    parts = []
+    for i in range(n_rounds):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+  FROM (SELECT unnest(generate_series(1, len(syms) - 1)) AS i, syms, cnt
+        FROM (SELECT string_split(substring(s, 2, length(s) - 2),
+                                  E'\\x03\\x02') AS syms, cnt FROM w{i}))
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT l, r FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+), w{i + 1} AS MATERIALIZED (
+  SELECT replace(s,
+      (SELECT E'\\x02' || l || E'\\x03\\x02' || r || E'\\x03' FROM b{i}),
+      (SELECT E'\\x02' || l || r || E'\\x03' FROM b{i})) AS s, cnt
+  FROM w{i}
+)""")
+    rounds = ",\n".join(parts)
+    sel = "\nUNION ALL ".join(
+        f'SELECT CAST({i} AS BIGINT) AS rank, l AS "left", '
+        f'r AS "right" FROM b{i}'
+        for i in range(n_rounds))
+    return f"""
+WITH norm AS (
+  SELECT lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS n
+  FROM documents
+), wc AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(n, ' ')) AS w
+        FROM norm WHERE length(n) > 0)
+  WHERE length(w) > 0
+  GROUP BY w
+), w0 AS MATERIALIZED (
+  SELECT regexp_replace(w, '(?s)(.)', E'\\x02\\\\1\\x03', 'g')
+         || E'\\x02</w>\\x03' AS s, cnt
+  FROM wc
+),
+{rounds}
+SELECT * FROM ({sel}) ORDER BY rank
+"""
 
 
 # Fixture merge table for the ENCODE gate: bpe_train output
@@ -4914,6 +4968,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_drawdown": _DRAWDOWN_SQL,
         "text_readability": _READABILITY_SQL,
         "text_c4": _C4_SQL, "text_url_canon": _url_canon_sql(), "ml_bpe_encode": _bpe_encode_sql(),
+        "ml_bpe_train": _bpe_train_sql(),
         "ts_vwap": _VWAP_SQL,
         "op_grouping_sets": _GROUPING_SETS_SQL,
         "op_grouping_sets_facade": _GROUPING_SETS_SQL,
