@@ -17,8 +17,11 @@ Spark-first formulation — the union-tag trick (scalable default):
 Cost at scale: ONE shuffle of (|L|+|R|) rows on the by-key — same
 lower bound as the reference's hash-partitioned streaming executor.
 No per-key pandas materialization; whole-stage codegen applies. Skewed
-by-keys inherit AQE skew handling on the shuffle; if one key dominates,
-pre-split by time range and merge (not automated here).
+by-keys inherit AQE skew handling on the shuffle; with ``bucket="auto"``
+a per-key skew probe (windows.choose_hot_keys) additionally routes any
+DOMINANT key through the bucketed two-level plan and unions it with the
+plain plan for the rest, so one hot symbol among thousands no longer
+serializes into a single task.
 """
 
 from __future__ import annotations
@@ -60,8 +63,28 @@ def join_asof(left: DataFrame, right: DataFrame, left_on: str, right_on: str,
     if bucket == "auto":
         # probe the left stream: bucket only when the key count is
         # small relative to the cluster (see windows.choose_bucket)
-        from .windows import choose_bucket
+        from .windows import choose_bucket, choose_hot_keys, skew_key_expr
         bucket = choose_bucket(left, left_on, left_by)
+        if bucket is None and direction != "nearest":
+            # global key count is fine, but a single HOT key among
+            # many still serializes into one task — split: hot keys
+            # take the bucketed two-level plan, the rest the plain
+            # plan, union (semantically identical, test-pinned)
+            hot, hot_bucket = choose_hot_keys(left, left_on, left_by)
+            if hot:
+                lk = skew_key_expr(left_by)
+                rk = skew_key_expr(right_by)
+                cold = join_asof(left.filter(~lk.isin(hot)),
+                                 right.filter(~rk.isin(hot)),
+                                 left_on, right_on, left_by, right_by,
+                                 suffix=suffix, bucket=None,
+                                 direction=direction)
+                hotj = join_asof(left.filter(lk.isin(hot)),
+                                 right.filter(rk.isin(hot)),
+                                 left_on, right_on, left_by, right_by,
+                                 suffix=suffix, bucket=hot_bucket,
+                                 direction=direction)
+                return cold.unionByName(hotj)
 
     # right value columns (everything but key/time), suffix-renamed on
     # collision with left — reference orderedstream.py:160-175

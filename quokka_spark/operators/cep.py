@@ -451,9 +451,27 @@ def pattern_recognize(df, time_col: str, events: list, maxspan, by: str,
     ])
 
     if bucket == "auto":
-        from .windows import choose_bucket
+        from .windows import choose_bucket, choose_hot_keys, skew_key_expr
         bucket = choose_bucket(df.select(*need), time_col, [by],
                                size_before=_span_seconds(maxspan))
+        if bucket is None:
+            # one hot key among many serializes the per-key NFA —
+            # route the hot keys through the bucketed halo plan and
+            # union with the plain plan for the rest (hash-equal,
+            # test-pinned; see windows.choose_hot_keys)
+            hot, hot_bucket = choose_hot_keys(df.select(*need),
+                                              time_col, [by])
+            if hot:
+                k = skew_key_expr([by])
+                cold = pattern_recognize(df.filter(~k.isin(hot)),
+                                         time_col, events, maxspan, by,
+                                         schema=schema, bucket=None)
+                hotm = pattern_recognize(
+                    df.filter(k.isin(hot)), time_col, events, maxspan,
+                    by, schema=schema,
+                    bucket=max(float(hot_bucket),
+                               _span_seconds(maxspan) or 1.0))
+                return cold.unionByName(hotm)
     if bucket is not None:
         return _pattern_recognize_bucketed(
             df.select(*need), pattern, time_col, by, float(bucket),

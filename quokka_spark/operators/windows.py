@@ -179,6 +179,79 @@ def choose_bucket(df: DataFrame, time_col: str, by: list,
     return result
 
 
+_HOT_KEY_DECISIONS: dict = {}
+
+
+def skew_key_expr(by: list) -> "F.Column":
+    """The canonical composite-key string the skew machinery probes
+    and splits on (NUL separator — outside any real key alphabet)."""
+    return F.concat_ws("\x00", *[F.col(c).cast("string") for c in by])
+
+
+def choose_hot_keys(df: DataFrame, time_col: str, by: list,
+                    parallelism: int | None = None):
+    """Per-key skew probe for the per-key Python/window plans — the
+    complement of :func:`choose_bucket`, which only fires on GLOBAL
+    key count: a stream with thousands of keys where one key holds
+    90% of the rows passes the global test yet still serializes that
+    key into one task.
+
+    One slim job (column-pruned scan of by + time) computes per-key
+    counts; keys holding more than ``total / (2 x cores)`` rows are
+    "hot" — by pigeonhole at most 2 x cores of them exist, so the
+    collected list is driver-bounded. Returns ``(hot_key_strings,
+    bucket)`` — the composite-key strings (see :func:`skew_key_expr`)
+    and the time-bucket width (native units: seconds for timestamps,
+    column units for numeric time) sized like choose_bucket's
+    (span / (4 x cores)) so each hot key spreads over ≥ 4 x cores
+    buckets — or ``([], None)`` when no key is pathological. Callers
+    run the bucketed plan on the hot keys only and union with the
+    plain plan for the rest (hash-equal by construction,
+    test-pinned)."""
+    cores = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    cache_key = None
+    try:
+        cache_key = ("hot", df.semanticHash(), time_col,
+                     tuple(by or []), cores)
+    except Exception:  # noqa: BLE001 — hash is best-effort
+        pass
+    if cache_key in _HOT_KEY_DECISIONS:
+        return _HOT_KEY_DECISIONS[cache_key]
+    is_ts = "timestamp" in dict(df.dtypes)[time_col]
+    tsnum = epoch_us(time_col) if is_ts else F.col(time_col)
+    counts = (df.select(skew_key_expr(by).alias("__k__"),
+                        tsnum.alias("__t__"))
+              .groupBy("__k__")
+              .agg(F.count(F.lit(1)).alias("__c__"),
+                   F.min("__t__").alias("__lo__"),
+                   F.max("__t__").alias("__hi__")))
+    counts.persist()
+    try:
+        stats = counts.agg(F.sum("__c__").alias("total"),
+                           F.max("__c__").alias("mx"),
+                           F.min("__lo__").alias("lo"),
+                           F.max("__hi__").alias("hi")).first()
+        result = ([], None)
+        if stats and stats["total"]:
+            thresh = stats["total"] / (2 * cores)
+            if stats["mx"] is not None and stats["mx"] > thresh:
+                hot = [r["__k__"] for r in
+                       counts.filter(F.col("__c__") > thresh)
+                       .select("__k__").collect()]
+                span = float(stats["hi"] - stats["lo"])
+                bucket = max(1.0, span / (4 * cores))
+                if is_ts:
+                    bucket = bucket / 1_000_000
+                result = (hot, bucket)
+    finally:
+        counts.unpersist()
+    if cache_key is not None:
+        if len(_HOT_KEY_DECISIONS) > 512:
+            _HOT_KEY_DECISIONS.clear()
+        _HOT_KEY_DECISIONS[cache_key] = result
+    return result
+
+
 def windowed_transform(df: DataFrame, window, time_col: str, by,
                        trigger: Trigger | None = None,
                        keep: list | None = None) -> DataFrame:
@@ -203,6 +276,22 @@ def windowed_transform(df: DataFrame, window, time_col: str, by,
         if bucket == "auto":
             bucket = choose_bucket(df, time_col, by,
                                    size_before=window.size_before)
+            if bucket is None and by:
+                # a hot key among many serializes the per-key sort —
+                # split it onto the bucketed plan (choose_hot_keys)
+                hot, hot_bucket = choose_hot_keys(df, time_col, by)
+                if hot:
+                    k = skew_key_expr(by)
+                    sb = to_seconds(window.size_before)
+                    cold = sliding_window(
+                        df.filter(~k.isin(hot)), time_col, by,
+                        window.size_before, window.aggregation_dict,
+                        keep=keep)
+                    hotw = sliding_window_bucketed(
+                        df.filter(k.isin(hot)), time_col, by,
+                        window.size_before, window.aggregation_dict,
+                        max(float(hot_bucket), sb), keep=keep)
+                    return cold.unionByName(hotw)
         if bucket is not None:
             return sliding_window_bucketed(df, time_col, by,
                                            window.size_before,

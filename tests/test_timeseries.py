@@ -1239,3 +1239,85 @@ def test_streaming_cep_duplicate_start_timestamps(spark, qc, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert len(emitted) == 2
+
+def test_asof_auto_splits_hot_key_across_buckets(spark, qc):
+    """VERDICT r5 #3: global key count passes choose_bucket (keys >=
+    2 x cores) yet ONE key holds ~90% of rows — bucket='auto' must
+    route that key through the bucketed plan (>1 task for it) and
+    stay hash-equal with the plain plan."""
+    from quokka_spark.operators.asof import join_asof
+    from quokka_spark.operators.windows import choose_hot_keys
+    rng = np.random.default_rng(11)
+    cores = spark.sparkContext.defaultParallelism
+    n_cold_keys = 4 * cores          # passes the global probe
+    rows = [("hot", float(t), float(rng.normal()))
+            for t in rng.uniform(0, 1e6, size=30_000)]
+    for k in range(n_cold_keys):
+        for t in rng.uniform(0, 1e6, size=12):
+            rows.append((f"c{k}", float(t), float(rng.normal())))
+    left = spark.createDataFrame(rows, "k string, t double, lv double")
+    right = spark.createDataFrame(
+        [(k, t + 0.5, v * 2) for k, t, v in rows[::3]],
+        "k string, t double, rv double")
+
+    hot, bucket = choose_hot_keys(left, "t", ["k"])
+    assert hot == ["hot"]
+    # the hot key's span covers many buckets -> many tasks, not one
+    assert 1e6 / bucket >= 4
+
+    auto = join_asof(left, right, "t", "t", "k", "k", bucket="auto") \
+        .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    plain = join_asof(left, right, "t", "t", "k", "k", bucket=None) \
+        .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    assert len(auto) == len(plain) == len(rows)
+    assert (auto["rv"].isna() == plain["rv"].isna()).all()
+    assert np.allclose(auto["rv"].dropna(), plain["rv"].dropna())
+
+
+def test_sliding_auto_hot_key_split_equals_plain(spark, qc):
+    from quokka_spark.operators.windows import windowed_transform
+    from quokka_spark.windowtypes import SlidingWindow
+    rng = np.random.default_rng(12)
+    cores = spark.sparkContext.defaultParallelism
+    rows = [("hot", float(t), float(rng.normal()))
+            for t in rng.uniform(0, 500_000, size=20_000)]
+    for k in range(4 * cores):
+        for t in rng.uniform(0, 500_000, size=10):
+            rows.append((f"c{k}", float(t), float(rng.normal())))
+    pdf = pd.DataFrame(rows, columns=["k", "ts_sec", "v"])
+    pdf["ts"] = pd.to_datetime(pdf["ts_sec"], unit="s")
+    df = spark.createDataFrame(pdf[["k", "ts", "v"]])
+    aggs = {"s": "round(sum(v), 6)", "n": "count(*)"}
+    auto = windowed_transform(
+        df, SlidingWindow("300s", aggs, bucket="auto"), "ts", "k") \
+        .toPandas().sort_values(["k", "ts", "s"]).reset_index(drop=True)
+    plain = windowed_transform(
+        df, SlidingWindow("300s", aggs, bucket=None), "ts", "k") \
+        .toPandas().sort_values(["k", "ts", "s"]).reset_index(drop=True)
+    assert len(auto) == len(plain) == len(rows)
+    assert list(auto["n"]) == list(plain["n"])
+    assert np.allclose(auto["s"], plain["s"])
+
+
+def test_cep_auto_hot_key_split_equals_plain(spark, qc):
+    from quokka_spark.operators.cep import pattern_recognize
+    rng = np.random.default_rng(13)
+    cores = spark.sparkContext.defaultParallelism
+    pat = [("a", "a.et = 'x'"), ("b", "b.et = 'y'")]
+    evs = ["x", "y", "z"]
+    rows = [("hot", float(t), evs[int(rng.integers(0, 3))])
+            for t in np.sort(rng.uniform(0, 100_000, size=8_000))]
+    for k in range(4 * cores):
+        for t in np.sort(rng.uniform(0, 100_000, size=8)):
+            rows.append((f"c{k}", float(t), evs[int(rng.integers(0, 3))]))
+    df = spark.createDataFrame(rows, "user string, ts_sec double, et string")
+    auto = pattern_recognize(df, "ts_sec", pat, 600.0, "user",
+                             bucket="auto").toPandas()
+    plain = pattern_recognize(df, "ts_sec", pat, 600.0, "user",
+                              bucket=None).toPandas()
+    key = ["user", "first_event_timestamp", "last_event_timestamp"]
+    a = auto.sort_values(key).reset_index(drop=True)
+    p = plain.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(p) > 0
+    for c in key:
+        assert (a[c] == p[c]).all()
