@@ -194,21 +194,48 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         import pyarrow as pa
         with np.errstate(over="ignore"):
             for batch in it:
-                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-                hlists = batch.column("__h__").to_pylist()
-                sigs = np.empty((len(hlists), num_hashes), dtype=np.uint64)
-                for i, hs in enumerate(hlists):
-                    if not hs:
-                        sigs[i] = 0
-                        continue
-                    x = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                    # (num_hashes, shingles) permuted hashes, min per row
-                    sigs[i] = (a[:, None] * x[None, :] + b[:, None]).min(axis=1)
+                n = batch.num_rows
+                col = batch.column("__h__")
+                sigs = np.zeros((n, num_hashes), dtype=np.uint64)
+                flat = col.flatten() if col.null_count == 0 else None
+                if flat is not None and flat.null_count == 0:
+                    # fast path: offsets + ONE flattened numpy view,
+                    # per-doc math on zero-copy slices. The former
+                    # ``to_pylist`` staging materialized a Python int
+                    # per SHINGLE (measured 4x the whole kernel).
+                    # Fully segment-vectorized forms (minimum.reduceat
+                    # over the offsets — single (H × shingles)
+                    # broadcast — and length-sorted padded blocks) were
+                    # ALL measured 2-20x SLOWER here: reduceat's inner
+                    # loop is scalar and uint64 multiply has no SIMD
+                    # path, while the per-doc (H × L) tile stays in L2.
+                    off = np.asarray(col.offsets, dtype=np.int64)
+                    off = off - off[0]
+                    x = (flat.to_numpy(zero_copy_only=False)
+                         .astype(np.int64, copy=False).view(np.uint64))
+                    for i in range(n):
+                        s, e = off[i], off[i + 1]
+                        if e > s:
+                            xs = x[s:e]
+                            sigs[i] = (a[:, None] * xs[None, :]
+                                       + b[:, None]).min(axis=1)
+                else:
+                    # dirty batch (NULL lists/elements): row loop
+                    for i, hs in enumerate(col.to_pylist()):
+                        if not hs or any(h is None for h in hs):
+                            continue
+                        xr = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                        sigs[i] = (a[:, None] * xr[None, :]
+                                   + b[:, None]).min(axis=1)
+                flat_sig = pa.array(sigs.view(np.int64).ravel(),
+                                    pa.int64())
+                offs = pa.array(
+                    np.arange(0, (n + 1) * num_hashes, num_hashes,
+                              dtype=np.int32))
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array(ids.tolist(), pa.int64())]
+                    [batch.column(id_col).cast(pa.int64())]
                     + [batch.column(c) for c in carry]
-                    + [pa.array(sigs.view(np.int64).tolist(),
-                                pa.list_(pa.int64()))],
+                    + [pa.ListArray.from_arrays(offs, flat_sig)],
                     [id_col] + carry + ["signature"])
 
     out_schema = ", ".join(
