@@ -75,7 +75,8 @@ def covariance(df: DataFrame, columns: list) -> np.ndarray:
 def approximate_quantile_wide(df: DataFrame, columns: list, probs: list,
                               accuracy: int = 10000,
                               batch: int = 128,
-                              sample_rows: int | None = None) -> DataFrame:
+                              sample_rows: int | None = None,
+                              rank_bounds: bool = False) -> DataFrame:
     """Wide approximate quantiles as a DataFrame (one row per column) —
     the shape that completes (and stays fast) at 10k columns where a
     single plan carrying every aggregate falls over (BASELINE target 3,
@@ -97,7 +98,18 @@ def approximate_quantile_wide(df: DataFrame, columns: list, probs: list,
     ``10_000_000`` applies a JVM-side Bernoulli row sample before the
     sketch, bounding transfer while adding ~sqrt(q(1-q)/m) rank error —
     the same sampling escape the reference's approximate_quantile
-    exposes (reference datastream.py:1001-1031). None = exact pass."""
+    exposes (reference datastream.py:1001-1031). None = exact pass.
+
+    ``rank_bounds``: additionally emit, per quantile ``q``, columns
+    ``ltl_q`` / ``leu_q`` — a lower bound on count(< value) and an
+    upper bound on count(<= value) — derived IN THE SAME merge from
+    each summary's order-stat positions (candidate j of a summary
+    with per-sample weight w sits at rank ``floor((j+0.5)·w)`` of its
+    partition, so the candidates bracketing the chosen value bound
+    its rank exactly at the first compression level, and to within
+    one extra n/accuracy at deeper merge levels). This is what lets a
+    verdict gate check the result's rank WITHOUT a second corpus
+    pass (the former rank_counts_wide re-scan)."""
     k = len(columns)
     if sample_rows is not None:
         total = df.count()
@@ -193,11 +205,35 @@ def approximate_quantile_wide(df: DataFrame, columns: list, probs: list,
         sv, cw = vals[order], np.cumsum(wts[order])
         idx = np.minimum(np.searchsorted(cw, np.asarray(probs) * cw[-1],
                                          side="left"), len(sv) - 1)
-        return pd.DataFrame(
-            [[pdf["column"].iloc[0]] + sv[idx].tolist()],
-            columns=["column"] + qnames)
+        row = [pdf["column"].iloc[0]] + sv[idx].tolist()
+        if rank_bounds:
+            for v in sv[idx]:
+                lo = hi = 0.0
+                for vlist, w in zip(pdf["vals"], pdf["w"]):
+                    arr = np.asarray(vlist)
+                    c_lt = int(np.searchsorted(arr, v, side="left"))
+                    c_le = int(np.searchsorted(arr, v, side="right"))
+                    if c_lt > 0:
+                        # largest candidate < v sits at local rank
+                        # floor((c_lt-0.5)·w); at least that many + 1
+                        # values are <= it, hence < v... conservatively
+                        lo += np.floor((c_lt - 0.5) * w) + 1
+                    if c_le < len(arr):
+                        # smallest candidate > v bounds count(<= v)
+                        hi += np.floor((c_le + 0.5) * w)
+                    else:
+                        hi += len(arr) * w
+                row += [float(lo), float(hi)]
+        return pd.DataFrame([row], columns=list(out_cols))
 
+    out_cols = ["column"] + qnames
     out_schema = "column string, " + ", ".join(f"{q} double" for q in qnames)
+    if rank_bounds:
+        extra = [b for q in qnames for b in (f"ltl_{q}", f"leu_{q}")]
+        # quantile-major then bound type? keep (ltl, leu) pairs grouped
+        # per quantile IN PROB ORDER appended after the quantiles
+        out_cols += extra
+        out_schema += ", " + ", ".join(f"{c} double" for c in extra)
     return partials.groupBy("column").applyInPandas(merge, out_schema)
 
 

@@ -1480,3 +1480,32 @@ def test_canonicalize_url_rules(spark):
            df.select("u", canonicalize_url("u").alias("c")).collect()}
     for u, want in cases.items():
         assert got[u] == want, (u, got[u], want)
+
+
+def test_wide_quantile_rank_bounds_contain_exact_counts(spark):
+    """rank_bounds=True (VERDICT r5 #5): the in-merge rank interval
+    must be a TRUE bound — ltl <= exact count(<v) and
+    leu >= exact count(<=v), verified against the independent
+    rank_counts_wide re-scan — and tight enough for the verdict
+    tolerance (within n/accuracy + partitions of exact)."""
+    from quokka_spark.operators.linalg import (approximate_quantile_wide,
+                                               rank_counts_wide)
+    from pyspark.sql import functions as F
+    n, acc, probs = 40_000, 500, [0.5, 0.99]
+    cols = [(((F.col("id") * (i + 7)) % 10007) / 7.0).alias(f"c{i}")
+            for i in range(20)]
+    wide = spark.range(n).select(*cols)
+    names = [f"c{i}" for i in range(20)]
+    q = approximate_quantile_wide(wide, names, probs, accuracy=acc,
+                                  rank_bounds=True).toPandas()
+    apx = {r["column"]: [float(r["q0_5"]), float(r["q0_99"])]
+           for _, r in q.iterrows()}
+    exact = rank_counts_wide(wide, names, apx)
+    slack = n / acc + 64   # merge-level + per-partition integer edges
+    for _, r in q.iterrows():
+        lt, le = exact[r["column"]]
+        for pi, p in enumerate(["q0_5", "q0_99"]):
+            assert r[f"ltl_{p}"] <= lt[pi] + 1e-9, (r["column"], p)
+            assert r[f"leu_{p}"] >= le[pi] - 1e-9, (r["column"], p)
+            assert lt[pi] - r[f"ltl_{p}"] <= slack, (r["column"], p)
+            assert r[f"leu_{p}"] - le[pi] <= slack, (r["column"], p)
