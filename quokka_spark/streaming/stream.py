@@ -489,3 +489,255 @@ def streaming_pattern_recognize(df: DataFrame, time_col: str, events: list,
                                                      "ctr long"),
                                     outputMode="append",
                                     timeoutConf="EventTimeTimeout"))
+
+
+def streaming_resample(df: DataFrame, time_col: str, by: str,
+                       value_cols: list, every, origin: float = 0.0,
+                       wm_col: str | None = None,
+                       delay: str = "10 minutes") -> DataFrame:
+    """Streaming ffill-resample with BOUNDED state — the streaming
+    face of operators/windows.resample(method="ffill"), completing
+    the regularization family (VERDICT r5 #6).
+
+    Per key the state holds the next grid index and the observation
+    buffer a future tick could still reference (everything above the
+    latest observation at-or-below the next tick — older rows are
+    dominated forever). A tick ``origin + k·every`` emits once it is
+    FINAL: strictly below the watermark (translated onto the event
+    axis) so no admissible late observation can land at-or-below it,
+    and at-or-below the key's max observation (the batch grid's upper
+    clamp). The grid starts at ceil((first observation − origin) /
+    every), exactly the batch grid; a late observation older than the
+    key's first-seen row cannot retroactively open earlier ticks —
+    the same documented watermark trade as the other streaming verbs.
+    Emission advances on watermark progress (Spark's no-data
+    micro-batches), so a replay's final ticks appear once the
+    watermark passes them.
+
+    ``time_col``: numeric event seconds or timestamp; ``wm_col``: the
+    TIMESTAMP watermark column (defaults to time_col when it is a
+    timestamp; a numeric time_col must sit on a constant offset from
+    wm_col — the ts_sec shape, same contract as streaming CEP).
+    Ticks emit as double seconds; values as doubles."""
+    import bisect
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    every = float(to_seconds(every) if isinstance(every, str) else every)
+    if wm_col is None:
+        assert isinstance(df.schema[time_col].dataType,
+                          (TimestampType, TimestampNTZType)), \
+            "pass wm_col= when time_col is not a timestamp"
+        wm_col = time_col
+    if isinstance(df.schema[wm_col].dataType, TimestampNTZType):
+        df = df.withColumn(wm_col, F.col(wm_col).cast("timestamp"))
+    ts_is_wm = wm_col == time_col
+    need = [by, wm_col] + ([time_col] if not ts_is_wm else []) + value_cols
+    wm = df.select(*need).withWatermark(wm_col, delay)
+    delay_ms = int(to_seconds(delay) * 1000)
+    n_v = len(value_cols)
+    UNSET = -(1 << 62)
+
+    by_type = df.schema[by].dataType.simpleString()
+    out_schema = (f"`{by}` {by_type}, tick double, "
+                  + ", ".join(f"`{v}` double" for v in value_cols))
+    state_schema = ("next_k long, max_t double, off double, last_ms long, "
+                    "q_ts array<double>, "
+                    + ", ".join(f"q_v{i} array<double>" for i in range(n_v)))
+
+    def func(key, pdfs, state):
+        # the timeout is armed at watermark+1 so EVERY watermark
+        # advance (incl. Spark's no-data micro-batches) wakes the key
+        # to flush newly-final ticks — emission here is
+        # watermark-driven, unlike the event-driven kernels
+        if state.exists:
+            st = state.get
+            next_k, max_t, off, last_ms = (st[0], st[1], st[2],
+                                           int(st[3]))
+            q_ts = list(st[4])
+            q_vs = [list(st[5 + i]) for i in range(n_v)]
+        else:
+            next_k, max_t, off, last_ms = UNSET, float("-inf"), 0.0, 0
+            q_ts, q_vs = [], [[] for _ in range(n_v)]
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            wm_sec = pdf[wm_col].astype("int64").to_numpy() / 1e9
+            ts = wm_sec if ts_is_wm \
+                else pdf[time_col].astype("float64").to_numpy()
+            last_ms = max(last_ms, int(wm_sec.max() * 1000))
+            vals = [pdf[v].astype("float64").to_numpy()
+                    for v in value_cols]
+            for j in range(len(pdf)):
+                t = float(ts[j])
+                # SORTED insert (late rows land in position — the
+                # streaming_asof_join convention); plain floats only
+                # (numpy scalars break the JVM state unpickler)
+                pos = bisect.bisect_right(q_ts, t)
+                q_ts.insert(pos, t)
+                for i in range(n_v):
+                    q_vs[i].insert(pos, float(vals[i][j]))
+                max_t = max(max_t, t)
+                off = t - float(wm_sec[j])
+        try:
+            wmms = state.getCurrentWatermarkMs()
+        except Exception:  # noqa: BLE001
+            wmms = 0
+        w = wmms / 1000.0
+        outs = []
+        if q_ts:
+            if next_k == UNSET:
+                next_k = int(np.ceil((q_ts[0] - origin) / every))
+            while w > 0:
+                t_k = origin + next_k * every
+                # final = STRICTLY below the watermark on the event
+                # axis (an obs at exactly the watermark may still
+                # arrive), clamped to the key's max observation (the
+                # batch grid's upper edge)
+                if not (t_k <= max_t and t_k < w + off):
+                    break
+                idx = bisect.bisect_right(q_ts, t_k) - 1
+                outs.append((key[0], float(t_k),
+                             *[q_vs[i][idx] for i in range(n_v)]))
+                next_k += 1
+            # evict: rows older than the latest obs <= the NEXT tick
+            # are dominated for every future tick
+            t_next = origin + next_k * every
+            cut = bisect.bisect_right(q_ts, t_next) - 1
+            if cut > 0:
+                q_ts = q_ts[cut:]
+                q_vs = [v[cut:] for v in q_vs]
+        grid_done = (next_k != UNSET and bool(q_ts)
+                     and origin + next_k * every > max_t)
+        idle = wmms > 0 and wmms - last_ms > delay_ms
+        if idle and (grid_done or not q_ts):
+            state.remove()
+        else:
+            state.update((int(next_k), float(max_t), float(off),
+                          int(last_ms), q_ts, *q_vs))
+            state.setTimeoutTimestamp(wmms + 1)
+        if outs:
+            yield pd.DataFrame(outs, columns=[by, "tick"] + value_cols)
+
+    return (wm.groupBy(by)
+            .applyInPandasWithState(func, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf="EventTimeTimeout"))
+
+
+def streaming_ewma(df: DataFrame, time_col: str, by: str, value_col: str,
+                   alpha: float = 0.2, lookback: int = 50,
+                   out: str = "ewma", wm_col: str | None = None,
+                   delay: str = "10 minutes") -> DataFrame:
+    """Streaming EWMA with BOUNDED state — the streaming face of
+    operators/windows.ewma (VERDICT r5 #6). Each arriving event emits
+    immediately with its trailing adjust=False fold over the last
+    ``lookback`` values; the per-key buffer holds the ``lookback − 1``
+    rows a future or late-but-admissible row could still reference
+    (everything at-or-above the watermark plus the lookback−1 latest
+    below it). The fold runs newest-first with the SAME weight
+    literals and LEFT-fold order as the batch formulation, so a
+    single-batch replay matches batch ewma to the shared round(·, 6)
+    (test-pinned). Late rows insert in sorted position and fold
+    correctly themselves; rows already emitted are not retro-smoothed
+    — the standard watermark trade. Duplicate timestamps within a key
+    follow arrival order (batch requires ``tiebreak=`` there too)."""
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if wm_col is None:
+        assert isinstance(df.schema[time_col].dataType,
+                          (TimestampType, TimestampNTZType)), \
+            "pass wm_col= when time_col is not a timestamp"
+        wm_col = time_col
+    if isinstance(df.schema[wm_col].dataType, TimestampNTZType):
+        df = df.withColumn(wm_col, F.col(wm_col).cast("timestamp"))
+    ts_is_wm = wm_col == time_col
+    need = [by, wm_col] + ([time_col] if not ts_is_wm else []) + [value_col]
+    wm = df.select(*need).withWatermark(wm_col, delay)
+    delay_ms = int(to_seconds(delay) * 1000)
+    # identical literals to the batch plan (windows.ewma)
+    weights = [alpha * (1 - alpha) ** i for i in range(lookback)]
+    tails = [(1 - alpha) ** i for i in range(lookback)]
+
+    by_type = df.schema[by].dataType.simpleString()
+    tcol_type = "double" if not ts_is_wm else "timestamp"
+    out_schema = (f"`{by}` {by_type}, `{time_col}` {tcol_type}, "
+                  f"`{value_col}` double, `{out}` double")
+
+    def func(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[by, time_col, value_col, out])
+            return
+        if state.exists:
+            st = state.get
+            q_ts, q_vs = list(st[0]), list(st[1])
+        else:
+            q_ts, q_vs = [], []
+        outs = []
+        last_ms = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(time_col, kind="stable") \
+                     .reset_index(drop=True)
+            wm_sec = pdf[wm_col].astype("int64").to_numpy() / 1e9
+            ts = wm_sec if ts_is_wm \
+                else pdf[time_col].astype("float64").to_numpy()
+            vals = pdf[value_col].astype("float64").to_numpy()
+            last_ms = max(last_ms, int(wm_sec.max() * 1000))
+            off = float(ts[-1] - wm_sec[-1])
+            for j in range(len(pdf)):
+                t, v = float(ts[j]), float(vals[j])
+                pos = bisect.bisect_right(q_ts, t)
+                q_ts.insert(pos, t)
+                q_vs.insert(pos, v)
+                # newest-first trailing fold, batch weight layout:
+                # first n-1 weights a(1-a)^i, tail absorbs the mass
+                lo = max(0, pos - lookback + 1)
+                seq = q_vs[lo:pos + 1][::-1]
+                n = len(seq)
+                acc = 0.0
+                for i in range(n - 1):
+                    acc = acc + seq[i] * weights[i]
+                acc = acc + seq[n - 1] * tails[n - 1]
+                outs.append((key[0],
+                             t if not ts_is_wm
+                             else pd.Timestamp(t, unit="s"),
+                             v, round(acc, 6)))
+            # evict: keep rows >= watermark axis plus the lookback-1
+            # latest below it (any admissible late row needs at most
+            # those as its trailing window)
+            try:
+                w = state.getCurrentWatermarkMs() / 1000.0
+            except Exception:  # noqa: BLE001
+                w = 0.0
+            if w > 0:
+                cut = bisect.bisect_left(q_ts, w + off)
+                keep_from = max(0, cut - (lookback - 1))
+                if keep_from:
+                    q_ts = q_ts[keep_from:]
+                    q_vs = q_vs[keep_from:]
+        state.update((q_ts, q_vs))
+        try:
+            wmms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms, wmms + 1) + delay_ms)
+        except Exception:  # noqa: BLE001 — watermark not initialized
+            pass
+        if outs:
+            yield pd.DataFrame(outs, columns=[by, time_col, value_col, out])
+
+    return (wm.groupBy(by)
+            .applyInPandasWithState(func, outputStructType=out_schema,
+                                    stateStructType=("q_ts array<double>, "
+                                                     "q_vs array<double>"),
+                                    outputMode="append",
+                                    timeoutConf="EventTimeTimeout"))

@@ -1321,3 +1321,150 @@ def test_cep_auto_hot_key_split_equals_plain(spark, qc):
     assert len(a) == len(p) > 0
     for c in key:
         assert (a[c] == p[c]).all()
+
+def test_streaming_resample_equals_batch_final_ticks(spark, qc, tmp_path):
+    """Replaying the corpus through streaming_resample must reproduce
+    batch resample(ffill) exactly on every FINAL tick (ticks strictly
+    below the replay's final watermark; later ticks are legitimately
+    still open when the stream ends)."""
+    from quokka_spark.operators.windows import resample, to_seconds
+    from quokka_spark.streaming.stream import streaming_resample
+    src = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df \
+        .withColumn("ts_sec", F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 1e6) \
+        .select("user_id", "ts", "ts_sec", "value")
+    batch = resample(src, "ts_sec", "user_id", ["value"], 3600.0,
+                     method="ffill").toPandas()
+    pq_dir = str(tmp_path / "rs_src")
+    src.write.parquet(pq_dir)
+    stream = spark.readStream.schema(src.schema).parquet(pq_dir)
+    out = streaming_resample(stream, "ts_sec", "user_id", ["value"],
+                             3600.0, wm_col="ts", delay="10 minutes")
+    q = (out.writeStream.format("memory").queryName("sres")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("select * from sres").toPandas()
+
+    final_w = (src.agg(F.max("ts_sec")).first()[0]
+               - to_seconds("10 minutes"))
+    exp = batch[batch["tick"] < final_w]
+    g = got.sort_values(["user_id", "tick"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "tick"]).reset_index(drop=True)
+    assert len(g) == len(e) > 0
+    assert (g["user_id"].values == e["user_id"].values).all()
+    assert np.allclose(g["tick"], e["tick"])
+    gn, en = g["value"].isna(), e["value"].isna()
+    assert (gn.values == en.values).all()
+    assert np.allclose(g["value"][~gn], e["value"][~en])
+
+
+def test_streaming_resample_state_carries_across_batches(spark, qc,
+                                                         tmp_path):
+    """Ticks whose fill value arrived in an earlier micro-batch must
+    emit once the watermark passes them — and a checkpoint restart
+    must not re-emit or skip any tick."""
+    from datetime import datetime
+    from quokka_spark.streaming.stream import streaming_resample
+    sch = "k long, ts timestamp, ts_sec double, v double"
+    rows1 = [(1, datetime(2024, 1, 1, 10, 0), 36000.0, 5.0)]
+    rows2 = [(1, datetime(2024, 1, 1, 13, 0), 46800.0, 9.0)]
+    td = str(tmp_path / "src")
+    spark.createDataFrame(rows1, sch).write.parquet(td)
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows1, sch).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(td)
+    out = streaming_resample(stream, "ts_sec", "k", ["v"], 3600.0,
+                             wm_col="ts", delay="30 minutes")
+    chk = str(tmp_path / "chk")
+    emitted = []
+
+    def sink(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert emitted == []           # watermark still below the grid
+    spark.createDataFrame(rows2, sch).write.mode("append").parquet(td)
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # final watermark = 13:00 - 30min = 12:30 -> ticks 10:00, 11:00,
+    # 12:00 are final; all ffill from the 10:00 observation
+    assert [(r["tick"], r["v"]) for r in
+            sorted(emitted, key=lambda r: r["tick"])] == \
+        [(36000.0, 5.0), (39600.0, 5.0), (43200.0, 5.0)]
+    # restart replay: nothing new, nothing duplicated
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(emitted) == 3
+
+
+def test_streaming_ewma_equals_batch(spark, qc, tmp_path):
+    """Single-batch replay through streaming_ewma must reproduce batch
+    ewma row for row (same weight literals, same fold order)."""
+    from quokka_spark.operators.windows import ewma
+    from quokka_spark.streaming.stream import streaming_ewma
+    src = qc.read_parquet(f"{SF_SMOKE}/events.parquet").df \
+        .withColumn("ts_sec", F.unix_micros(F.col("ts").cast("timestamp"))
+                    / 1e6) \
+        .select("user_id", "ts", "ts_sec", "value")
+    batch = ewma(src, "ts_sec", "user_id", "value", alpha=0.3,
+                 lookback=20).toPandas()
+    pq_dir = str(tmp_path / "ew_src")
+    src.write.parquet(pq_dir)
+    stream = spark.readStream.schema(src.schema).parquet(pq_dir)
+    out = streaming_ewma(stream, "ts_sec", "user_id", "value",
+                         alpha=0.3, lookback=20, wm_col="ts")
+    q = (out.writeStream.format("memory").queryName("sewma")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("select * from sewma").toPandas()
+    key = ["user_id", "ts_sec"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch[["user_id", "ts_sec", "value", "ewma"]] \
+        .sort_values(key).reset_index(drop=True)
+    assert len(g) == len(b) > 0
+    assert np.allclose(g["ts_sec"], b["ts_sec"])
+    # shared round(.,6): engines may differ by one ulp AT the midpoint
+    assert np.allclose(g["ewma"], b["ewma"], atol=2e-6)
+
+
+def test_streaming_ewma_state_carries_across_batches(spark, qc, tmp_path):
+    """The trailing window must span micro-batch boundaries: an event
+    in batch 2 folds values buffered from batch 1."""
+    from datetime import datetime
+    from quokka_spark.streaming.stream import streaming_ewma
+    sch = "k long, ts timestamp, ts_sec double, v double"
+    rows1 = [(1, datetime(2024, 1, 1, 10, 0), 0.0, 10.0),
+             (1, datetime(2024, 1, 1, 10, 1), 60.0, 20.0)]
+    rows2 = [(1, datetime(2024, 1, 1, 10, 2), 120.0, 30.0)]
+    td = str(tmp_path / "src")
+    spark.createDataFrame(rows1, sch).write.parquet(td)
+    stream = spark.readStream.schema(
+        spark.createDataFrame(rows1, sch).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(td)
+    out = streaming_ewma(stream, "ts_sec", "k", "v", alpha=0.5,
+                         lookback=10, wm_col="ts")
+    chk = str(tmp_path / "chk")
+    emitted = []
+
+    def sink(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r["ewma"] for r in emitted] == [10.0, 15.0]
+    spark.createDataFrame(rows2, sch).write.mode("append").parquet(td)
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # 30*0.5 + 20*0.25 + 10*0.25 = 22.5 (tail weight on the oldest)
+    assert [r["ewma"] for r in emitted] == [10.0, 15.0, 22.5]
