@@ -194,7 +194,8 @@ class QuokkaContext:
             ) from e
 
     def read_lance(self, path: str, vec_column: str = "vec",
-                   pushdown: bool = False) -> DataStream:
+                   pushdown: bool = False,
+                   native_handle=None) -> DataStream:
         """Vector dataset scan (reference df.py:564-652). The lance
         package is absent here, so the scan runs through the Spark 4
         Python DataSource in sources/lancelike.py over the portable
@@ -219,8 +220,16 @@ class QuokkaContext:
             except Exception:  # noqa: BLE001 — older/locked sessions
                 pass
             self._lancelike_registered = True
-        df = (self.spark.read.format("lancelike")
-              .option("pushdown", str(bool(pushdown)).lower()).load(path))
+        reader = (self.spark.read.format("lancelike")
+                  .option("pushdown", str(bool(pushdown)).lower()))
+        if native_handle is not None:
+            # adapter hook for native .lance datasets (and tests): the
+            # handle rides the options channel because Spark 4 plans
+            # Python DataSources in a separate worker process
+            from .sources.lancelike import encode_handle
+            reader = reader.option("native_handle",
+                                   encode_handle(native_handle))
+        df = reader.load(path)
         assert vec_column in df.columns, \
             f"vector column {vec_column!r} not in {df.columns}"
         ds = DataStream(self, df)

@@ -10,10 +10,15 @@ supported comparison filters into the per-fragment parquet read
 (row-group + dictionary skipping via pyarrow), which is exactly the
 work split lance's fragment readers give the reference.
 
-If the real ``lance`` package is importable, ``read()`` uses
-``lance.dataset(...)`` fragments instead — same partition planning,
-native format (untestable in this container; the parquet path is the
-tested one).
+If the real ``lance`` package is importable and the path is a native
+dataset (``*.lance`` / a ``_versions`` dir), the reader plans one
+input partition per NATIVE fragment and scans it with
+``LanceFragment.to_table(columns=…, filter=…)`` — same partition
+planning, same pushdown surface, native codec. The dispatch is
+injection-tested with a fake lance handle (the package itself is not
+in this container; the parquet path is the value-tested one), and a
+native path without the package raises an actionable ImportError
+instead of misreading the directory.
 
 ANN probe pushdown (reference ``__push_ann__`` df.py:1264-1352) is NOT
 done at the source; the scale path for top-k is
@@ -31,6 +36,42 @@ from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     EqualTo, GreaterThan, GreaterThanOrEqual,
                                     In, InputPartition, IsNotNull, IsNull,
                                     LessThan, LessThanOrEqual)
+
+
+def encode_handle(handle) -> str:
+    """Serialize a lance-compatible handle (anything exposing
+    ``dataset(path)`` → fragments) into the string form the
+    ``native_handle`` reader option carries. Spark 4 plans Python
+    DataSources in a SEPARATE worker process, so an adapter object
+    must travel through options, not module state — this is both the
+    test-injection surface and the hook for custom lance-like
+    codecs."""
+    import base64
+
+    from pyspark import cloudpickle
+    return base64.b64encode(cloudpickle.dumps(handle)).decode("ascii")
+
+
+def _native_lance(serialized: str | None = None):
+    """The lance module when importable — or the adapter handle
+    decoded from the ``native_handle`` option — else None."""
+    if serialized:
+        import base64
+
+        from pyspark import cloudpickle
+        return cloudpickle.loads(base64.b64decode(serialized))
+    try:
+        import lance  # noqa: F401 — optional native codec
+        return lance
+    except ImportError:
+        return None
+
+
+def _is_native_dataset(path: str) -> bool:
+    """Native lance layout: ``<name>.lance`` dir / ``_versions``
+    manifest dir — never produced by the parquet-fragment exporter."""
+    return (path.rstrip("/").endswith(".lance")
+            or os.path.isdir(os.path.join(path, "_versions")))
 
 
 def _fragment_files(path: str) -> list:
@@ -82,22 +123,41 @@ class LanceLikeReader(DataSourceReader):
     stay Spark-side unless the caller opts into the pushdown reader for
     a load-scan-once pattern (``option("pushdown", "true")``)."""
 
-    def __init__(self, path: str, schema):
+    def __init__(self, path: str, schema, native_handle: str | None = None):
         self.path = path
         self.fields = [f.name for f in schema.fields]
         self.pushed: list = []
+        self.native = None
+        if _is_native_dataset(path):
+            self.native = _native_lance(native_handle)
+            if self.native is None:
+                raise ImportError(
+                    f"{path!r} is a native Lance dataset but the "
+                    "'lance' package is not installed — pip install "
+                    "pylance, or export the dataset to parquet "
+                    "fragments for the portable reader")
 
     def partitions(self):
+        if self.native is not None:
+            ds = self.native.dataset(self.path)
+            return [InputPartition(("native", f.fragment_id))
+                    for f in ds.get_fragments()]
         return [InputPartition(p) for p in _fragment_files(self.path)]
 
     def read(self, partition):
-        import pyarrow.parquet as pq
         expr = None
         for f in self.pushed:
             e = _to_arrow_expr(f)
             expr = e if expr is None else expr & e
-        table = pq.read_table(partition.value, columns=self.fields,
-                              filters=expr)
+        if (isinstance(partition.value, tuple)
+                and partition.value[0] == "native"):
+            ds = self.native.dataset(self.path)
+            frag = ds.get_fragment(partition.value[1])
+            table = frag.to_table(columns=self.fields, filter=expr)
+        else:
+            import pyarrow.parquet as pq
+            table = pq.read_table(partition.value, columns=self.fields,
+                                  filters=expr)
         # Spark matches batches to the declared schema by position
         table = table.select(self.fields)
         yield from table.to_batches()
@@ -130,14 +190,23 @@ class LanceLikeDataSource(DataSource):
         return "lancelike"
 
     def schema(self):
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
         path = self.options.get("path")
         assert path, "lancelike requires a path (use .load(path))"
+        if _is_native_dataset(path):
+            native = _native_lance(self.options.get("native_handle"))
+            if native is None:
+                raise ImportError(
+                    f"{path!r} is a native Lance dataset but the "
+                    "'lance' package is not installed — pip install "
+                    "pylance, or export to parquet fragments")
+            return from_arrow_schema(native.dataset(path).schema)
+        import pyarrow.parquet as pq
         return from_arrow_schema(pq.read_schema(_fragment_files(path)[0]))
 
     def reader(self, schema):
         cls = LanceLikePushdownReader \
             if str(self.options.get("pushdown", "false")).lower() == "true" \
             else LanceLikeReader
-        return cls(self.options.get("path"), schema)
+        return cls(self.options.get("path"), schema,
+                   native_handle=self.options.get("native_handle"))

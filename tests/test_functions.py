@@ -1509,3 +1509,62 @@ def test_wide_quantile_rank_bounds_contain_exact_counts(spark):
             assert r[f"leu_{p}"] >= le[pi] - 1e-9, (r["column"], p)
             assert lt[pi] - r[f"ltl_{p}"] <= slack, (r["column"], p)
             assert r[f"leu_{p}"] - le[pi] <= slack, (r["column"], p)
+
+
+def test_read_lance_native_dispatch_via_injected_handle(spark, qc,
+                                                        tmp_path):
+    """VERDICT r5 #7: a native .lance path dispatches to the lance
+    package's fragment scan (one partition per NATIVE fragment,
+    same columns/filter surface). The package is absent in this
+    container, so a fake handle is injected at the documented point —
+    values, fragment parallelism, and the no-package gate are all
+    asserted."""
+    import pyarrow as pa
+
+    # defined INSIDE the test so cloudpickle ships them BY VALUE to
+    # the DataSource planning worker (tests/ is not on its sys.path)
+    class FakeLanceFragment:
+        def __init__(self, fragment_id, table):
+            self.fragment_id = fragment_id
+            self._table = table
+
+        def to_table(self, columns=None, filter=None):  # noqa: A002
+            t = self._table
+            if filter is not None:
+                t = t.filter(filter)
+            if columns is not None:
+                t = t.select(columns)
+            return t
+
+    class FakeLance:
+        def __init__(self, tables):
+            self._frags = [FakeLanceFragment(i, t)
+                           for i, t in enumerate(tables)]
+            self.schema = tables[0].schema
+
+        def dataset(self, path):
+            return self
+
+        def get_fragments(self):
+            return self._frags
+
+        def get_fragment(self, fid):
+            return self._frags[fid]
+
+    t1 = pa.table({"doc_id": [1, 2], "vec": [[1.0, 0.0], [0.0, 1.0]]})
+    t2 = pa.table({"doc_id": [3], "vec": [[0.5, 0.5]]})
+    fake = FakeLance([t1, t2])
+    native_dir = tmp_path / "emb.lance"
+    native_dir.mkdir()
+    ds = qc.read_lance(str(native_dir), vec_column="vec",
+                       native_handle=fake)
+    got = ds.df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [1, 2, 3]
+    assert list(got["vec"][0]) == [1.0, 0.0]
+    assert ds.df.rdd.getNumPartitions() == 2      # one per fragment
+
+    # without the package (or an injected handle) the native layout is
+    # GATED, never misread
+    import pytest
+    with pytest.raises(Exception, match="lance"):
+        qc.read_lance(str(tmp_path / "other.lance"), vec_column="vec")
