@@ -77,12 +77,41 @@ def _sql_to_pandas_expr(pred: str) -> str:
 class CompiledPattern:
     """Compiles the event spec into prefilters + dependent filters —
     the sqlglot logic of reference cep_executors.py:44-84, regex-based
-    (sqlglot unavailable here)."""
+    (sqlglot unavailable here).
+
+    Quantifiers (parity-plus; the reference's fixed event list is the
+    all-"1" case): an event may be ``(name, pred, quant)`` with quant
+    ``"1"`` (default, exactly once), ``"+"`` (one or more), ``"*"``
+    (zero or more) or ``"?"`` (zero or one) — the MATCH_RECOGNIZE
+    repetition forms. Semantics are RELUCTANT under the engine's
+    earliest-first DFS: the earliest completion with the fewest
+    repetitions wins, one match per start row as always; a dependent
+    predicate referencing a quantified event sees its LATEST bound
+    instance. Structural limits (asserted): the first and last events
+    must be non-skippable ("1"/"+" — a match needs a concrete start
+    and end row), and an event referenced by a later dependent
+    predicate cannot be skippable ("?"/"*")."""
 
     def __init__(self, schema: list, events: list, time_col: str, max_span):
         self.time_col = time_col
         self.max_span = max_span
-        self.events = events
+        norm, quants = [], []
+        for ev in events:
+            if len(ev) == 2:
+                name, pred = ev
+                qt = "1"
+            else:
+                name, pred, qt = ev
+            assert qt in ("1", "+", "*", "?"), f"bad quantifier {qt!r}"
+            norm.append((name, pred))
+            quants.append(qt)
+        assert quants[0] in ("1", "+"), \
+            "the first event cannot be skippable (one match per start row)"
+        assert quants[-1] in ("1", "+"), \
+            "the last event cannot be skippable (a match needs an end row)"
+        self.events = norm
+        self.quants = quants
+        events = norm
         self.names = [name for name, _ in events]
         assert len(set(self.names)) == len(self.names), "repeated event names"
         self.touched_columns = {time_col}
@@ -129,6 +158,18 @@ class CompiledPattern:
             seen.add(name)
         self.prefilter_sql = (" or ".join(prefilter_terms)
                               if prefilter_terms else None)
+        # a skippable event must not be referenced by a LATER event's
+        # dependent predicate — a skipped binding has no row to read
+        for i, (name, _p) in enumerate(events):
+            dep = self.event_dep_filters[name]
+            if not dep:
+                continue
+            refs = {m.group(1) for m in _QUAL.finditer(dep)} - {name}
+            for r in refs:
+                j = self.names.index(r)
+                assert self.quants[j] in ("1", "+"), \
+                    (f"event {r!r} is skippable ({self.quants[j]}) but "
+                     f"referenced by {name!r}'s dependent predicate")
 
 
 _CMP_RE = re.compile(
