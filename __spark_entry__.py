@@ -1128,6 +1128,52 @@ FROM m WHERE last_event_timestamp IS NOT NULL
 """
 
 
+def ts_cep_quantified(spark, sf_dir):
+    """CEP with quantifiers: signup → zero-or-more clicks → one-or-more
+    purchases with value above the signup's, within 7 days. Reluctant
+    semantics collapse this to SQL exactly: the "*" level is always
+    skippable and no later predicate references it, so the winning
+    (earliest, fewest-repetitions) match is the earliest qualifying
+    purchase directly after the signup; the final "+" completes at its
+    first binding. The pre-fix engine (round-6 defect: quantifiers
+    parsed but unexecuted) required exactly one click between the two,
+    so this gate distinguishes executed quantifiers from the broken
+    surface. General quantifier semantics (loops, latest-binding deps)
+    are pinned against a brute-force NFA in tests/test_cep_quantifiers.py."""
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts") \
+        .with_columns({"ts_sec": "unix_micros(cast(ts as timestamp)) / 1e6"})
+    ev = OrderedStreamFix(ev)
+    out = ev.pattern_recognize(
+        "ts_sec",
+        [("a", "a.event_type = 'signup'"),
+         ("b", "b.event_type = 'click'", "*"),
+         ("c", "c.event_type = 'purchase' and c.value > a.value", "+")],
+        maxspan=7 * 86400.0, by="user_id")
+    return out.df
+
+
+_CEP_QUANT_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_sec,
+         event_type, value
+  FROM events
+), m AS (
+  SELECT user_id, ts_sec AS first_event_timestamp,
+         (SELECT min(c.ts_sec) FROM e c
+          WHERE c.user_id = a.user_id AND c.event_type = 'purchase'
+            AND c.value > a.value AND c.ts_sec > a.ts_sec
+            AND c.ts_sec <= a.ts_sec + 604800.0) AS last_event_timestamp
+  FROM e a WHERE a.event_type = 'signup'
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY first_event_timestamp) - 1 AS event_number,
+       first_event_timestamp, last_event_timestamp
+FROM m WHERE last_event_timestamp IS NOT NULL
+"""
+
+
 def ts_backtest(spark, sf_dir):
     """Backtester-style stateful executor (reference flagship app
     apps/rottnest/backtester.py:31-87): per-key running position/cash
@@ -4731,9 +4777,14 @@ FROM l FULL JOIN r ON l.k = r.k AND r.y > l.x
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
-    inside that window (TPC-H 22, time-series 8, dedup 5, similarity 3,
-    text 3, pipeline/multimodal 2, linalg/ML 5, non-equi join 1,
-    fingerprint 1 = 50). Redundant relational micro-gates (covered by
+    inside that window (TPC-H 22, time-series 9 incl. the quantified
+    CEP gate, dedup 4, similarity 2, text 3, pipeline/multimodal 2,
+    linalg/ML 5, sources 1, tokenizer 1, non-equi join 1 = 50).
+    Round-7 rotation (round-6 verdict #9): the three bounds-check
+    gates (`sim_topk_lsh`, `sim_topk_ivf`, `dedup_simhash` — verdict
+    oracles, weaker driver signal) moved past the window in favor of
+    hash-exact `ts_cep_quantified`, `src_delta_checkpoint` and
+    `ml_bpe_train`. Redundant relational micro-gates (covered by
     TPC-H) and perf-focused bench gates sit past the window; all 80+
     entries stay pytest-oracle-checked in tests/test_oracle_parity.py."""
     return {
@@ -4747,19 +4798,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": tpch_q18, "tpch_q19": tpch_q19, "tpch_q22": tpch_q22,
         "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
         "tpch_q21": tpch_q21,
-        # time series (8)
+        # time series (9)
         "ts_tumbling": ts_tumbling, "ts_hopping": ts_hopping,
         "ts_sliding": ts_sliding, "ts_session": ts_session,
         "ts_asof_join": ts_asof_join, "ts_shift": ts_shift,
-        "ts_cep_funnel": ts_cep_funnel, "ts_backtest": ts_backtest,
-        # dedup (5)
+        "ts_cep_funnel": ts_cep_funnel,
+        "ts_cep_quantified": ts_cep_quantified,
+        "ts_backtest": ts_backtest,
+        # dedup (4)
         "dedup_exact": dedup_exact, "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash, "dedup_embedding": dedup_embedding,
+        "dedup_embedding": dedup_embedding,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        # similarity (3)
+        # similarity (2)
         "sim_topk": sim_topk, "sim_topk_pushdown": sim_topk_pushdown,
-        "sim_topk_lsh": sim_topk_lsh,
-        "sim_topk_ivf": sim_topk_ivf,
         # text analysis (3)
         "text_tokens": text_tokens, "text_lang_id": text_lang_id,
         "text_quality": text_quality,
@@ -4769,10 +4820,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gramian": agg_gramian, "agg_covariance": agg_covariance,
         "agg_quantile": agg_quantile, "ml_kmeans": ml_kmeans,
         "graph_pagerank": graph_pagerank,
-        # non-equi join verb (1) + fingerprint (1)
+        # sources (1) + tokenizer (1) + non-equi join verb (1)
+        "src_delta_checkpoint": src_delta_checkpoint,
+        "ml_bpe_train": ml_bpe_train,
         "op_join_nonequi": op_join_nonequi,
-        "text_fingerprint": text_fingerprint,
         # ---- past the driver window (pytest-oracle-checked) -----------
+        "dedup_simhash": dedup_simhash,
+        "sim_topk_lsh": sim_topk_lsh,
+        "sim_topk_ivf": sim_topk_ivf,
+        "text_fingerprint": text_fingerprint,
         "text_heavy_hitters": text_heavy_hitters,
         "ts_tumbling_running": ts_tumbling_running,
         "mm_features": mm_features,
@@ -4802,7 +4858,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": dedup_lines,
         "text_gopher": text_gopher,
         "src_iceberg": src_iceberg, "src_delta": src_delta,
-        "src_delta_checkpoint": src_delta_checkpoint,
         "src_delta_partitioned": src_delta_partitioned,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
@@ -4836,7 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": text_bigram_lm,
         "text_hash_tf": text_hash_tf,
         "op_cms": op_cms,
-        "ml_bpe_train": ml_bpe_train, "ml_bpe_encode": ml_bpe_encode,
+        "ml_bpe_encode": ml_bpe_encode,
         "ts_rolling_corr": ts_rolling_corr,
         "pipeline_corpus_prep": pipeline_corpus_prep,
         "dedup_exact_best": dedup_exact_best,
@@ -4895,6 +4950,7 @@ def oracle_sql() -> dict[str, str]:
         "bench_asof_micro": _ASOF_MICRO_SQL,
         "ts_tumbling_running": _TUMBLING_RUNNING_SQL,
         "ts_cep_funnel": _CEP_SQL,
+        "ts_cep_quantified": _CEP_QUANT_SQL,
         "text_tokens": _TOKENS_SQL, "text_fingerprint": _FINGERPRINT_SQL,
         "text_lang_id": _lang_id_duckdb_sql(), "text_quality": _QUALITY_SQL,
         "text_heavy_hitters": _HEAVY_HITTERS_SQL,

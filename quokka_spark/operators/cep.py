@@ -355,6 +355,10 @@ def match_pattern_pandas(pdf: pd.DataFrame, pattern: CompiledPattern) -> list:
         return q(pdf.loc[cand_idx],
                  dep_expr(name, bound_idx)).index.to_numpy()
 
+    quants = pattern.quants
+    any_quant = any(q != "1" for q in quants)
+    n_levels = len(events)
+
     matches = []
     for start_idx in own_idx[first_name]:
         first_ts = ts_arr[start_idx]
@@ -364,28 +368,64 @@ def match_pattern_pandas(pdf: pd.DataFrame, pattern: CompiledPattern) -> list:
         if hi <= start_idx + 1:
             continue
         # DFS, earliest-first; one match per start (reference :146);
-        # bound events are row INDICES — values read lazily from arrs
-        stack = [({first_name: int(start_idx)}, 1, int(start_idx))]
+        # bound events are row INDICES — values read lazily from arrs.
+        # A frame is (bound, level, after, entered): fill levels
+        # [level, end); `entered` marks a loop re-entry of `level`
+        # after ≥1 instance is already bound ("+"/"*"), where the
+        # advance-without-binding successor was ALREADY pushed (at
+        # higher preference) by the frame that bound the instance.
+        # Push order is reverse preference, so the reluctant winner —
+        # earliest completion, fewest repetitions — is found first:
+        # skip ("*"/"?") > bind earliest candidate > ... > loop.
+        b0 = {first_name: int(start_idx)}
+        stack = []
+        if quants[0] == "+":
+            stack.append((b0, 0, int(start_idx), True))
+        stack.append((b0, 1, int(start_idx), False))
+        # loop states reached via different repetition histories
+        # collapse to the same (level, after, latest-bindings) key —
+        # dedupe them or a no-match "+" over k candidates explores
+        # O(2^k) paths. Only quantified patterns pay for the set.
+        visited = set() if any_quant else None
         found = None
         while stack:
-            bound_idx, level, after_idx = stack.pop()
+            bound_idx, level, after_idx, entered = stack.pop()
+            if visited is not None:
+                key = (level, after_idx, entered,
+                       tuple(sorted(bound_idx.items())))
+                if key in visited:
+                    continue
+                visited.add(key)
             name = events[level][0]
+            quant = quants[level]
             arr = own_idx[name]
             lo_i = int(np.searchsorted(arr, after_idx, side="right"))
             hi_i = int(np.searchsorted(arr, hi, side="left"))
             cand_idx = arr[lo_i:hi_i]
             if len(cand_idx) and pattern.event_dep_filters[name] is not None:
                 cand_idx = dep_filter(name, cand_idx, bound_idx)
-            if len(cand_idx) == 0:
+            if level == n_levels - 1:
+                # the last event is never skippable ("1"/"+", asserted)
+                # and never loops — more repetitions only end later, so
+                # the reluctant match ends at the first valid candidate
+                if len(cand_idx):
+                    found = (first_ts, ts_arr[cand_idx[0]])
+                    break
                 continue
-            if name == last_name:
-                found = (first_ts, ts_arr[cand_idx[0]])
-                break
-            # push candidates latest-first so earliest is explored first
+            # push candidates latest-first so earliest is explored
+            # first; per candidate the advance successor outranks the
+            # loop successor (fewest repetitions)
             for idx in cand_idx[::-1]:
                 nb = dict(bound_idx)
                 nb[name] = int(idx)
-                stack.append((nb, level + 1, int(idx)))
+                if quant in ("+", "*"):
+                    stack.append((nb, level, int(idx), True))
+                stack.append((nb, level + 1, int(idx), False))
+            # zero-occurrence skip for "*"/"?" — most preferred, so
+            # pushed last; only on first entry (a loop frame's advance
+            # was already pushed by whoever bound the instance)
+            if not entered and quant in ("*", "?"):
+                stack.append((bound_idx, level + 1, after_idx, False))
         if found:
             matches.append(found)
     return matches
