@@ -1018,7 +1018,8 @@ def test_streaming_cep_chain_completes_across_batches(spark, qc, tmp_path):
              (1, datetime(2024, 1, 1, 10, 1), 60.0, "click")]
     rows2 = [(1, datetime(2024, 1, 1, 10, 2), 120.0, "purchase")]
     td = str(tmp_path / "src")
-    spark.createDataFrame(rows1, sch).write.parquet(td)
+    # one file per intended batch (see the streaming-EWMA note)
+    spark.createDataFrame(rows1, sch).coalesce(1).write.parquet(td)
     stream = spark.readStream.schema(
         spark.createDataFrame(rows1, sch).schema) \
         .option("maxFilesPerTrigger", 1).parquet(td)
@@ -1036,7 +1037,8 @@ def test_streaming_cep_chain_completes_across_batches(spark, qc, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert emitted == []          # chain incomplete after batch 1
-    spark.createDataFrame(rows2, sch).write.mode("append").parquet(td)
+    spark.createDataFrame(rows2, sch).coalesce(1) \
+        .write.mode("append").parquet(td)
     q = (out.writeStream.foreachBatch(sink)
          .option("checkpointLocation", chk)
          .outputMode("append").trigger(availableNow=True).start())
@@ -1444,7 +1446,11 @@ def test_streaming_ewma_state_carries_across_batches(spark, qc, tmp_path):
              (1, datetime(2024, 1, 1, 10, 1), 60.0, 20.0)]
     rows2 = [(1, datetime(2024, 1, 1, 10, 2), 120.0, 30.0)]
     td = str(tmp_path / "src")
-    spark.createDataFrame(rows1, sch).write.parquet(td)
+    # ONE file per intended micro-batch: without coalesce(1) the two
+    # rows1 rows land in two part files and maxFilesPerTrigger=1 splits
+    # them into two batches in nondeterministic listing order (the
+    # round-6 full-suite flake)
+    spark.createDataFrame(rows1, sch).coalesce(1).write.parquet(td)
     stream = spark.readStream.schema(
         spark.createDataFrame(rows1, sch).schema) \
         .option("maxFilesPerTrigger", 1).parquet(td)
@@ -1461,10 +1467,61 @@ def test_streaming_ewma_state_carries_across_batches(spark, qc, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert [r["ewma"] for r in emitted] == [10.0, 15.0]
-    spark.createDataFrame(rows2, sch).write.mode("append").parquet(td)
+    spark.createDataFrame(rows2, sch).coalesce(1) \
+        .write.mode("append").parquet(td)
     q = (out.writeStream.foreachBatch(sink)
          .option("checkpointLocation", chk)
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     # 30*0.5 + 20*0.25 + 10*0.25 = 22.5 (tail weight on the oldest)
     assert [r["ewma"] for r in emitted] == [10.0, 15.0, 22.5]
+
+
+def test_streaming_ewma_late_row_folds_only_its_past(spark, qc, tmp_path):
+    """Late-arrival semantics (the scenario behind the round-6 flake,
+    now pinned on purpose): a row arriving AFTER a later-timestamped
+    row was already emitted folds only values at-or-before its own
+    timestamp — never the future value — and still joins the trailing
+    window of subsequent rows."""
+    from datetime import datetime
+    from quokka_spark.streaming.stream import streaming_ewma
+    sch = "k long, ts timestamp, ts_sec double, v double"
+    td = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 1), 60.0, 20.0)], sch) \
+        .coalesce(1).write.parquet(td)
+    stream = spark.readStream.schema(sch) \
+        .option("maxFilesPerTrigger", 1).parquet(td)
+    out = streaming_ewma(stream, "ts_sec", "k", "v", alpha=0.5,
+                         lookback=10, wm_col="ts")
+    chk = str(tmp_path / "chk")
+    emitted = []
+
+    def sink(bdf, _bid):
+        emitted.extend(bdf.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r["ewma"] for r in emitted] == [20.0]
+    # the ts=0 row is LATE (inside the 10-minute delay): its own fold
+    # sees only itself
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 0.0, 10.0)], sch) \
+        .coalesce(1).write.mode("append").parquet(td)
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r["ewma"] for r in emitted] == [20.0, 10.0]
+    # a subsequent row folds BOTH buffered values in timestamp order:
+    # 30*0.5 + 20*0.25 + 10*0.25 = 22.5
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 2), 120.0, 30.0)], sch) \
+        .coalesce(1).write.mode("append").parquet(td)
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r["ewma"] for r in emitted] == [20.0, 10.0, 22.5]
