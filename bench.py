@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "op_count_distinct", "op_window_rank",
     "ts_tumbling", "ts_sliding", "ts_session", "ts_asof_join",
     "ts_asof_forward",
-    "ts_cep_funnel",
+    "ts_cep_funnel", "ts_cep_quantified",
     "bench_asof_micro", "bench_wide_quantile",
     "text_tokens", "text_fingerprint", "text_quality",
     "dedup_exact", "dedup_minhash", "dedup_embedding", "sim_topk",
@@ -94,6 +94,31 @@ def run_suite(spark, registry, names, sf_dir,
     return timings, errors
 
 
+def calibration(spark) -> float:
+    """Fixed, repo-code-independent workload timed min-of-3 so
+    cross-round BENCH files can be normalized for host drift (round-6
+    lesson: ~10% uniform machine slowdown masqueraded as a regression
+    and cost a full A/B re-bench to disprove). Exercises the three
+    axes the suite leans on — whole-stage-codegen arithmetic, a
+    hash-shuffle aggregate, and an Arrow-batched Python pass — with
+    synthetic spark.range input (no file I/O, no dependence on any
+    quokka_spark operator, identical every round)."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(20_000_000)
+         .selectExpr("id % 100000 AS k", "(id * 2654435761) % 997 AS v")
+         .groupBy("k").agg({"v": "sum"})
+         .write.format("noop").mode("overwrite").save())
+        (spark.range(2_000_000).repartition(CPUS)
+         .selectExpr("id", "cast(id % 1000 as double) AS x")
+         .mapInPandas(lambda it: it, "id long, x double")
+         .write.format("noop").mode("overwrite").save())
+        t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
+    return round(best, 3)
+
+
 def main():
     from quokka_spark.session import build_spark
     import __spark_entry__ as entry_mod
@@ -107,6 +132,8 @@ def main():
     (spark.range(CPUS * 4).repartition(CPUS)
      .mapInPandas(lambda it: it, "id long")
      .write.format("noop").mode("overwrite").save())
+
+    calibration_sec = calibration(spark)
 
     timings, errors = run_suite(spark, entry_mod.queries(),
                                 BENCH_QUERIES, SF_DIR)
@@ -122,6 +149,9 @@ def main():
         "queries": timings,
         "sf": sf,
         "cpus": CPUS,
+        # host-speed yardstick: divide per-query times by the ratio of
+        # two rounds' calibration_sec before comparing across rounds
+        "calibration_sec": calibration_sec,
     }
     if errors:
         out["errors"] = errors

@@ -111,8 +111,55 @@ class DataStream:
         cached.count()  # force materialization
         return DataStream(self.qc, cached, sorted=self.sorted, materialized=True)
 
-    def explain(self, mode: str = "formatted"):
-        return self.df.explain(mode=mode)
+    def explain(self, mode: str = "formatted", skew=False):
+        """Print the physical plan. ``skew`` additionally profiles
+        shuffle-key distribution (round-5 verdict #10): ``True``
+        auto-discovers every ``hashpartitioning`` key set in the plan;
+        a list of column names probes those columns directly. Each key
+        set is probed with the sampled ~1% share estimate
+        (plans/scaling.sampled_skew_share) and a ``SKEW WARNING`` is
+        printed when one value holds more than ``1 / (2 x cores)`` of
+        THIS stream's rows — the share at which a single task
+        serializes the exchange; the remedies are salt_keys /
+        salted_aggregate (plans/scaling.py) or the windowed family's
+        ``bucket="auto"`` hot-key split. Returns the warning strings.
+        Caveats: the probe is an extra (sampled) job, run only on
+        demand, and it profiles this stream's OUTPUT rows — to
+        diagnose an upstream aggregation's shuffle input, call
+        ``explain(skew=[...])`` on the pre-aggregation stream. Keys
+        that are expressions rather than plain columns of this stream
+        are skipped."""
+        out = self.df.explain(mode=mode)
+        if skew is False or skew is None:
+            return out
+        import re as _re
+
+        from .plans.scaling import sampled_skew_share
+        if skew is True:
+            plan = self.df._jdf.queryExecution().executedPlan().toString()
+            key_sets = []
+            for m in _re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+                cols = _re.findall(r"([A-Za-z_]\w*)#\d+", m.group(1))
+                cols = [c for c in dict.fromkeys(cols)
+                        if c in self.df.columns]
+                if cols and cols not in key_sets:
+                    key_sets.append(cols)
+        else:
+            key_sets = [[skew]] if isinstance(skew, str) else [list(skew)]
+        cores = self.df.sparkSession.sparkContext.defaultParallelism
+        tau = 1.0 / (2 * cores)
+        warnings = []
+        for cols in key_sets:
+            share = sampled_skew_share(self.df, cols)
+            if share > tau:
+                w = (f"SKEW WARNING: shuffle key {cols}: hottest value "
+                     f"holds {share:.1%} of rows (> 1/(2*cores) = "
+                     f"{tau:.1%}) — one task serializes this exchange; "
+                     f"consider plans.scaling.salt_keys / "
+                     f"salted_aggregate or the bucket='auto' plans")
+                print(w)
+                warnings.append(w)
+        return warnings
 
     def observe(self, name: str, aggs: dict) -> "DataStream":
         """Attach pipeline observability metrics (rows kept after a

@@ -188,6 +188,14 @@ def skew_key_expr(by: list) -> "F.Column":
     return F.concat_ws("\x00", *[F.col(c).cast("string") for c in by])
 
 
+# introspection for tests/diagnostics: how the LAST (uncached) probe
+# decided — {"mode": "sampled"|"exact", "rows_aggregated": int}
+last_hot_key_probe: dict = {}
+
+_SAMPLE_FRACTION = 0.01
+_SAMPLE_FLOOR = 1_000  # below this many sampled rows the estimate is noise
+
+
 def choose_hot_keys(df: DataFrame, time_col: str, by: list,
                     parallelism: int | None = None):
     """Per-key skew probe for the per-key Python/window plans — the
@@ -196,18 +204,29 @@ def choose_hot_keys(df: DataFrame, time_col: str, by: list,
     90% of the rows passes the global test yet still serializes that
     key into one task.
 
-    One slim job (column-pruned scan of by + time) computes per-key
-    counts; keys holding more than ``total / (2 x cores)`` rows are
-    "hot" — by pigeonhole at most 2 x cores of them exist, so the
-    collected list is driver-bounded. Returns ``(hot_key_strings,
-    bucket)`` — the composite-key strings (see :func:`skew_key_expr`)
-    and the time-bucket width (native units: seconds for timestamps,
-    column units for numeric time) sized like choose_bucket's
+    Two stages (round-6 verdict #4 — the exact probe was a full
+    O(data) aggregation per novel plan). Stage 1 Bernoulli-samples
+    ~1% of rows (fixed seed, so the semanticHash-cached decision is
+    deterministic) and estimates the max per-key share; when the
+    estimate clears the ``1 / (2 x cores)`` threshold by a 4-sigma
+    binomial margin in either direction, the sample alone decides —
+    the aggregation/shuffle input shrinks ~100x and the scan stays
+    column-pruned. Only the ambiguous band (or a sample under
+    ``_SAMPLE_FLOOR`` rows — e.g. unit-test fixtures, which therefore
+    keep exact decisions) pays stage 2, the exact per-key count.
+    A borderline key the sample misclassifies costs nothing in
+    correctness: callers union a bucketed plan over the "hot" list
+    with the plain plan for the rest, hash-equal for ANY split
+    (test-pinned).
+
+    Keys holding more than ``total / (2 x cores)`` rows are "hot" —
+    by pigeonhole at most 2 x cores of them exist, so the collected
+    list is driver-bounded. Returns ``(hot_key_strings, bucket)`` —
+    the composite-key strings (see :func:`skew_key_expr`) and the
+    time-bucket width (native units: seconds for timestamps, column
+    units for numeric time) sized like choose_bucket's
     (span / (4 x cores)) so each hot key spreads over ≥ 4 x cores
-    buckets — or ``([], None)`` when no key is pathological. Callers
-    run the bucketed plan on the hot keys only and union with the
-    plain plan for the rest (hash-equal by construction,
-    test-pinned)."""
+    buckets — or ``([], None)`` when no key is pathological."""
     cores = parallelism or df.sparkSession.sparkContext.defaultParallelism
     cache_key = None
     try:
@@ -219,32 +238,72 @@ def choose_hot_keys(df: DataFrame, time_col: str, by: list,
         return _HOT_KEY_DECISIONS[cache_key]
     is_ts = "timestamp" in dict(df.dtypes)[time_col]
     tsnum = epoch_us(time_col) if is_ts else F.col(time_col)
-    counts = (df.select(skew_key_expr(by).alias("__k__"),
-                        tsnum.alias("__t__"))
-              .groupBy("__k__")
-              .agg(F.count(F.lit(1)).alias("__c__"),
-                   F.min("__t__").alias("__lo__"),
-                   F.max("__t__").alias("__hi__")))
-    counts.persist()
+    slim = df.select(skew_key_expr(by).alias("__k__"),
+                     tsnum.alias("__t__"))
+    tau = 1.0 / (2 * cores)
+
+    result = None
+    sampled = (slim.sample(fraction=_SAMPLE_FRACTION, seed=42)
+               .groupBy("__k__")
+               .agg(F.count(F.lit(1)).alias("__c__"),
+                    F.min("__t__").alias("__lo__"),
+                    F.max("__t__").alias("__hi__")))
+    sampled.persist()
     try:
-        stats = counts.agg(F.sum("__c__").alias("total"),
-                           F.max("__c__").alias("mx"),
-                           F.min("__lo__").alias("lo"),
-                           F.max("__hi__").alias("hi")).first()
-        result = ([], None)
-        if stats and stats["total"]:
-            thresh = stats["total"] / (2 * cores)
-            if stats["mx"] is not None and stats["mx"] > thresh:
+        st = sampled.agg(F.sum("__c__").alias("total"),
+                         F.max("__c__").alias("mx"),
+                         F.min("__lo__").alias("lo"),
+                         F.max("__hi__").alias("hi")).first()
+        n_s = int(st["total"] or 0)
+        if n_s >= _SAMPLE_FLOOR:
+            share = float(st["mx"]) / n_s
+            margin = 4.0 * (tau * (1.0 - tau) / n_s) ** 0.5
+            if share > tau + margin:
                 hot = [r["__k__"] for r in
-                       counts.filter(F.col("__c__") > thresh)
+                       sampled.filter(F.col("__c__") > F.lit(tau * n_s))
                        .select("__k__").collect()]
-                span = float(stats["hi"] - stats["lo"])
+                span = float(st["hi"] - st["lo"])
                 bucket = max(1.0, span / (4 * cores))
                 if is_ts:
                     bucket = bucket / 1_000_000
                 result = (hot, bucket)
+            elif share < tau - margin:
+                result = ([], None)
+        if result is not None:
+            last_hot_key_probe.clear()
+            last_hot_key_probe.update(mode="sampled", rows_aggregated=n_s)
     finally:
-        counts.unpersist()
+        sampled.unpersist()
+
+    if result is None:  # ambiguous or tiny sample → exact probe
+        counts = (slim.groupBy("__k__")
+                  .agg(F.count(F.lit(1)).alias("__c__"),
+                       F.min("__t__").alias("__lo__"),
+                       F.max("__t__").alias("__hi__")))
+        counts.persist()
+        try:
+            stats = counts.agg(F.sum("__c__").alias("total"),
+                               F.max("__c__").alias("mx"),
+                               F.min("__lo__").alias("lo"),
+                               F.max("__hi__").alias("hi")).first()
+            result = ([], None)
+            if stats and stats["total"]:
+                thresh = stats["total"] / (2 * cores)
+                if stats["mx"] is not None and stats["mx"] > thresh:
+                    hot = [r["__k__"] for r in
+                           counts.filter(F.col("__c__") > thresh)
+                           .select("__k__").collect()]
+                    span = float(stats["hi"] - stats["lo"])
+                    bucket = max(1.0, span / (4 * cores))
+                    if is_ts:
+                        bucket = bucket / 1_000_000
+                    result = (hot, bucket)
+                last_hot_key_probe.clear()
+                last_hot_key_probe.update(
+                    mode="exact", rows_aggregated=int(stats["total"]))
+        finally:
+            counts.unpersist()
+
     if cache_key is not None:
         if len(_HOT_KEY_DECISIONS) > 512:
             _HOT_KEY_DECISIONS.clear()

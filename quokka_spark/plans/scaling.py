@@ -61,6 +61,26 @@ def skew_report(df: DataFrame, key: str, top: int = 10):
     return topk, (stats["mx"] / stats["mean"] if stats["mean"] else 0.0)
 
 
+def sampled_skew_share(df: DataFrame, cols: list, fraction: float = 0.01,
+                       floor: int = 1_000) -> float:
+    """Max per-key row share of a prospective shuffle key, estimated
+    from a ~1% Bernoulli sample (fixed seed) — the cheap form of
+    :func:`skew_report` used by ``DataStream.explain(skew=...)``.
+    Falls back to the exact count when the sample is under ``floor``
+    rows (unit-test-sized inputs keep exact answers)."""
+    key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols])
+    slim = df.select(key.alias("__k__"))
+    row = (slim.sample(fraction=fraction, seed=42)
+           .groupBy("__k__").agg(F.count(F.lit(1)).alias("n"))
+           .agg(F.sum("n").alias("t"), F.max("n").alias("m")).first())
+    if row is None or not row["t"] or row["t"] < floor:
+        row = (slim.groupBy("__k__").agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.sum("n").alias("t"), F.max("n").alias("m")).first())
+    if row is None or not row["t"]:
+        return 0.0
+    return float(row["m"]) / float(row["t"])
+
+
 def write_bucketed(df: DataFrame, table_name: str, key: str,
                    n_buckets: int = 64, sort_by: str | None = None,
                    path: str | None = None):

@@ -286,3 +286,26 @@ def test_cep_shuffle_pins_explicit_width(spark):
     cost scales with rows, not bytes — the width must be explicit."""
     s = explain(em.ts_cep_funnel(spark, SF))
     assert "REPARTITION_BY_NUM" in s, s
+
+
+def test_explain_skew_warning_on_pathological_key(spark, qc, capsys):
+    """Round-5 verdict #10: explain(skew=...) must surface a shuffle
+    key whose hottest value serializes the exchange, and stay silent
+    on a uniform key."""
+    from quokka_spark.datastream import DataStream
+    skewed = spark.range(20_000).selectExpr(
+        "case when id % 10 < 9 then 'hot' else concat('c', id % 37) end "
+        "AS k",
+        "cast(id as double) AS v")
+    ds = DataStream(qc, skewed.repartition(8, "k"))
+    warnings = ds.explain(skew=True)
+    out = capsys.readouterr().out
+    assert len(warnings) == 1 and "SKEW WARNING" in warnings[0]
+    assert "['k']" in warnings[0] and "SKEW WARNING" in out
+
+    flat = spark.range(20_000).selectExpr(
+        "concat('u', id % 503) AS k", "cast(id as double) AS v")
+    ds2 = DataStream(qc, flat.repartition(8, "k"))
+    assert ds2.explain(skew=True) == []
+    # explicit-column form probes without needing a shuffle in the plan
+    assert DataStream(qc, skewed).explain(skew=["k"]) != []

@@ -1324,6 +1324,50 @@ def test_cep_auto_hot_key_split_equals_plain(spark, qc):
     for c in key:
         assert (a[c] == p[c]).all()
 
+def test_hot_key_probe_samples_large_inputs(spark, qc):
+    """Round-6 verdict #4: the skew probe must answer from a ~1%
+    sample on large inputs — not a full per-key count — and agree
+    with the exact decision. Small fixtures (like the three hot-key
+    split tests above) stay on the exact path via the sample floor."""
+    from quokka_spark.operators.windows import (choose_hot_keys,
+                                                last_hot_key_probe)
+    n = 400_000
+    cores = spark.sparkContext.defaultParallelism
+
+    # clearly-hot: one key holds 60% of rows
+    skew = spark.range(n).selectExpr(
+        "case when id % 10 < 6 then 'hot' else concat('c', id % 997) end "
+        "as k",
+        "cast(id % 100000 as double) as t")
+    hot, bucket = choose_hot_keys(skew, "t", ["k"])
+    assert last_hot_key_probe["mode"] == "sampled"
+    assert last_hot_key_probe["rows_aggregated"] <= 0.02 * n, \
+        "probe aggregated more than ~1% of rows"
+    assert hot == ["hot"] and bucket is not None
+    # agreement with the exact decision on the same data
+    exact = (skew.groupBy("k").count().orderBy(F.desc("count"))
+             .limit(1).first())
+    assert exact["k"] == "hot" and exact["count"] > n / (2 * cores)
+
+    # clearly-cold: ~1000 uniform keys, max share ~0.1%
+    flat = spark.range(n).selectExpr(
+        "concat('u', id % 1009) as k",
+        "cast(id % 100000 as double) as t")
+    hot2, bucket2 = choose_hot_keys(flat, "t", ["k"])
+    assert last_hot_key_probe["mode"] == "sampled"
+    assert last_hot_key_probe["rows_aggregated"] <= 0.02 * n
+    assert (hot2, bucket2) == ([], None)
+
+    # small input -> sample under the floor -> exact fallback
+    tiny = spark.range(5_000).selectExpr(
+        "case when id % 2 = 0 then 'hot' else concat('c', id % 321) end "
+        "as k",
+        "cast(id as double) as t")
+    hot3, _ = choose_hot_keys(tiny, "t", ["k"])
+    assert last_hot_key_probe["mode"] == "exact"
+    assert hot3 == ["hot"]
+
+
 def test_streaming_resample_equals_batch_final_ticks(spark, qc, tmp_path):
     """Replaying the corpus through streaming_resample must reproduce
     batch resample(ffill) exactly on every FINAL tick (ticks strictly
