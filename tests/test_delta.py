@@ -240,3 +240,66 @@ def test_delta_replay_matches_simulation(tmp_path):
             files, _, _, _ = _replay(tbl, v)
             assert sorted(files) == sorted(
                 os.path.abspath(p) for p in expected), (trial, v)
+
+
+def test_delta_checkpoint_deletion_vector_gated(spark, qc, tmp_path):
+    """A DV add arriving via the CHECKPOINT path (not the JSON replay)
+    must hit the same NotImplementedError gate — a real long-lived
+    table whose checkpoint carries DV adds would otherwise silently
+    resurface deleted rows (round-6 ADVICE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import create_local_delta_table
+    li = os.path.join(SF_SMOKE, "lineitem.parquet")
+    tbl = str(tmp_path / "cpdv")
+    create_local_delta_table(tbl, [[li]])
+    dv_t = pa.struct([("storageType", pa.string())])
+    add_t = pa.struct([("path", pa.string()),
+                       ("partitionValues", pa.map_(pa.string(), pa.string())),
+                       ("size", pa.int64()), ("modificationTime", pa.int64()),
+                       ("dataChange", pa.bool_()), ("deletionVector", dv_t)])
+    rows = [{"add": {"path": li, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": False,
+                     "deletionVector": {"storageType": "u"}}}]
+    cp = os.path.join(tbl, "_delta_log", f"{0:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, pa.schema([("add", add_t)])), cp)
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        qc.read_delta(tbl)
+
+
+def test_delta_column_mapping_gated(spark, qc, tmp_path):
+    """delta.columnMapping.mode != 'none' means the parquet column
+    names are physical ids, not the logical schema — must gate, not
+    return wrongly-named columns (round-6 ADVICE)."""
+    import json
+    from quokka_spark.sources.delta_local import create_local_delta_table
+    li = os.path.join(SF_SMOKE, "lineitem.parquet")
+    tbl = str(tmp_path / "cm")
+    create_local_delta_table(tbl, [[li]])
+    v0 = os.path.join(tbl, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(ln) for ln in open(v0) if ln.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "name"}
+    with open(v0, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        qc.read_delta(tbl)
+
+
+def test_delta_all_null_partition_column_reads(spark, qc, tmp_path):
+    """Every live file null for a partition column: the mapping frame
+    must not depend on type inference (round-6 ADVICE — inference
+    raises 'Some of types cannot be determined' on an all-None
+    column)."""
+    from quokka_spark.sources.delta_local import write_delta_local
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)], "year int, v double")
+    tbl = str(tmp_path / "allnull")
+    write_delta_local(df, tbl, partition_by="year")
+    got = qc.read_delta(tbl).df.toPandas().sort_values("v")
+    assert list(got["v"]) == [1.0, 2.0]
+    assert got["year"].isna().all()
+    assert dict(qc.read_delta(tbl).df.dtypes)["year"] == "int"

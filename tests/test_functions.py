@@ -1568,3 +1568,55 @@ def test_read_lance_native_dispatch_via_injected_handle(spark, qc,
     import pytest
     with pytest.raises(Exception, match="lance"):
         qc.read_lance(str(tmp_path / "other.lance"), vec_column="vec")
+
+
+def test_lance_native_pushdown_reaches_injected_fragments(spark, qc,
+                                                          tmp_path):
+    """VERDICT r6 #8: with pushdown=True, an accepted comparison
+    filter must arrive at the injected handle's fragment scan
+    (to_table(filter=...)). Spark REMOVES its own Filter for filters
+    pushFilters accepts, so this is end-to-end: if the reader dropped
+    the filter on the way to the fragment, the violating rows below
+    would leak into the result."""
+    import pyarrow as pa
+
+    class FakeLanceFragment:
+        def __init__(self, fragment_id, table):
+            self.fragment_id = fragment_id
+            self._table = table
+
+        def to_table(self, columns=None, filter=None):  # noqa: A002
+            # loud vacuity guard: this test exists to pin that the
+            # accepted filter ARRIVES here — Spark-side filtering
+            # would otherwise mask a dropped pushdown
+            assert filter is not None, \
+                "pushed filter did not reach the fragment scan"
+            t = self._table.filter(filter)
+            if columns is not None:
+                t = t.select(columns)
+            return t
+
+    class FakeLance:
+        def __init__(self, tables):
+            self._frags = [FakeLanceFragment(i, t)
+                           for i, t in enumerate(tables)]
+            self.schema = tables[0].schema
+
+        def dataset(self, path):
+            return self
+
+        def get_fragments(self):
+            return self._frags
+
+        def get_fragment(self, fid):
+            return self._frags[fid]
+
+    t1 = pa.table({"doc_id": [1, 2], "vec": [[1.0, 0.0], [0.0, 1.0]]})
+    t2 = pa.table({"doc_id": [3, 4], "vec": [[0.5, 0.5], [0.2, 0.8]]})
+    native_dir = tmp_path / "push.lance"
+    native_dir.mkdir()
+    ds = qc.read_lance(str(native_dir), vec_column="vec", pushdown=True,
+                       native_handle=FakeLance([t1, t2]))
+    got = ds.df.filter("doc_id >= 2").toPandas()
+    assert sorted(got["doc_id"]) == [2, 3, 4]
+    assert all(len(v) == 2 for v in got["vec"])
