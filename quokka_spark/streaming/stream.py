@@ -163,6 +163,113 @@ def stateful_stream_transform(df: DataFrame, func, out_schema, state_schema,
                                     timeoutConf=timeout))
 
 
+def _make_asof_kernel(left_cols: list, pass_cols: list, out_vals: list,
+                      left_by: str, n_rv: int, horizon_s, delay_ms: int):
+    """Per-key applyInPandasWithState kernel for streaming_asof_join,
+    factored to module level so tests can drive it directly (the
+    100k-row micro-benchmark pinning the vectorized merge + probe)."""
+    import numpy as np
+    import pandas as pd
+
+    def func(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=list(left_cols) + out_vals)
+            return
+        if state.exists:
+            st = state.get
+            q_ts = list(st[0])
+            q_vs = [list(st[1 + i]) for i in range(n_rv)]
+        else:
+            q_ts, q_vs = [], [[] for _ in range(n_rv)]
+        outs = []
+        for pdf in pdfs:
+            # event-time order; right (side 0) before left on ties —
+            # backward as-of includes a right row at the exact left ts
+            pdf = pdf.sort_values(["__ts__", "__side__"],
+                                  kind="stable").reset_index(drop=True)
+            ts_sec = pdf["__ts__"].astype("int64").to_numpy() / 1e9
+            sides = pdf["__side__"].to_numpy()
+            is_r = sides == 0
+            # 1) merge the batch's right rows into the buffer in ONE
+            # stable merge — equivalent to the per-row bisect_right
+            # sorted insert (a late right may carry an older ts, legal
+            # within the watermark delay): stable argsort with buffer
+            # rows FIRST keeps existing equal-ts entries before new
+            # ones and new equal-ts rows in arrival order, the same
+            # "latest inserted last" convention. Vectorized (round-6
+            # verdict #7) — the per-row Python loop capped micro-batch
+            # throughput. .tolist() hands back plain Python floats:
+            # numpy scalars break the JVM-side state unpickler.
+            if is_r.any():
+                r_ts = ts_sec[is_r]
+                merged_ts = np.concatenate(
+                    [np.asarray(q_ts, dtype="float64"), r_ts])
+                order = np.argsort(merged_ts, kind="stable")
+                q_ts = merged_ts[order].tolist()
+                for i in range(n_rv):
+                    rv = pdf[f"__rv_{i}__"].to_numpy(dtype="float64")[is_r]
+                    q_vs[i] = np.concatenate(
+                        [np.asarray(q_vs[i], dtype="float64"),
+                         rv])[order].tolist()
+            # 2) probe ALL left rows in one searchsorted over the
+            # merged buffer. Equivalent to interleaved processing:
+            # a left row at t only reads buffer entries with ts <= t,
+            # and every such right row is already merged (ties sort
+            # rights first); rights with ts > t can't affect its match.
+            is_l = ~is_r
+            if is_l.any():
+                l_ts = ts_sec[is_l]
+                qa = np.asarray(q_ts, dtype="float64")
+                idx = np.searchsorted(qa, l_ts, side="right") - 1
+                safe = np.clip(idx, 0, max(len(qa) - 1, 0))
+                ok = idx >= 0
+                if horizon_s is not None and len(qa):
+                    ok &= (l_ts - qa[safe]) <= horizon_s
+                out_pdf = pdf.loc[is_l, pass_cols].reset_index(drop=True)
+                out_pdf[left_by] = key[0]
+                for i, v in enumerate(out_vals):
+                    va = np.asarray(q_vs[i], dtype="float64")
+                    vals = va[safe] if len(va) else \
+                        np.full(len(l_ts), np.nan)
+                    # NaN at the Arrow boundary emits as null — the
+                    # same visible result as the old None rows
+                    out_pdf[v] = np.where(ok, vals, np.nan)
+                outs.append(out_pdf[left_cols + out_vals])
+            # evict: keep rows within horizon of the newest event,
+            # plus the latest older one (any future backward match
+            # can only reference those)
+            if q_ts and horizon_s is not None:
+                floor = max(q_ts[-1], ts_sec[-1] if len(ts_sec) else 0) \
+                    - horizon_s
+                cut = int(np.searchsorted(q_ts, floor, side="right"))
+                keep_from = max(cut - 1, 0)
+                if keep_from:
+                    q_ts = q_ts[keep_from:]
+                    q_vs = [v[keep_from:] for v in q_vs]
+            elif q_ts and horizon_s is None and len(q_ts) > 1:
+                q_ts = q_ts[-1:]
+                q_vs = [v[-1:] for v in q_vs]
+        state.update((q_ts, *q_vs))
+        # anchor the timeout on the key's LAST EVENT TIME, never on the
+        # current watermark alone: in the first micro-batch the
+        # watermark is still 0, so watermark+delay would be an
+        # epoch-1970 timeout that the next batch's advanced watermark
+        # immediately fires, evicting live state prematurely
+        try:
+            wm = state.getCurrentWatermarkMs()
+            last_ms = int(max(q_ts[-1] if q_ts else 0.0,
+                              float(ts_sec[-1]) if len(ts_sec) else 0.0)
+                          * 1000)
+            state.setTimeoutTimestamp(max(last_ms, wm + 1) + delay_ms)
+        except Exception:  # noqa: BLE001 — watermark not yet initialized
+            pass
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return func
+
+
 def streaming_asof_join(left: DataFrame, right: DataFrame,
                         left_on: str, right_on: str,
                         left_by: str, right_by: str,
@@ -198,8 +305,6 @@ def streaming_asof_join(left: DataFrame, right: DataFrame,
     emitted column colliding with a left name gets ``suffix``
     (batch join_asof's convention).
     """
-    import bisect
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import TimestampNTZType
@@ -244,85 +349,8 @@ def streaming_asof_join(left: DataFrame, right: DataFrame,
                     + ", ".join(f"q_v{i} array<double>" for i in range(n_rv)))
     pass_cols = [c for c in left_cols if c != left_by]
 
-    def func(key, pdfs, state):
-        if state.hasTimedOut:
-            state.remove()
-            yield pd.DataFrame(columns=list(left_cols) + out_vals)
-            return
-        if state.exists:
-            st = state.get
-            q_ts = list(st[0])
-            q_vs = [list(st[1 + i]) for i in range(n_rv)]
-        else:
-            q_ts, q_vs = [], [[] for _ in range(n_rv)]
-        outs = []
-        for pdf in pdfs:
-            # event-time order; right (side 0) before left on ties —
-            # backward as-of includes a right row at the exact left ts
-            pdf = pdf.sort_values(["__ts__", "__side__"],
-                                  kind="stable").reset_index(drop=True)
-            ts_sec = pdf["__ts__"].astype("int64").to_numpy() / 1e9
-            sides = pdf["__side__"].to_numpy()
-            rvs = [pdf[f"__rv_{i}__"].to_numpy() for i in range(n_rv)]
-            for j in range(len(pdf)):
-                # plain Python floats: numpy scalars break the JVM-side
-                # state unpickler (ClassDict numpy.dtype)
-                t = float(ts_sec[j])
-                if sides[j] == 0:
-                    # SORTED insert, not append: a right row may arrive
-                    # in a later micro-batch with an older timestamp
-                    # (legal within the watermark delay); appending
-                    # would leave q_ts unsorted, making searchsorted
-                    # match the WRONG right value and the horizon
-                    # eviction cut drop the wrong rows. bisect_right
-                    # keeps the newest-inserted among equal timestamps
-                    # last — the same "latest" convention as in-batch
-                    # append order.
-                    pos = bisect.bisect_right(q_ts, t)
-                    q_ts.insert(pos, t)
-                    for i in range(n_rv):
-                        q_vs[i].insert(pos, float(rvs[i][j])
-                                       if rvs[i][j] == rvs[i][j]
-                                       else float("nan"))
-                else:
-                    idx = np.searchsorted(q_ts, t, side="right") - 1
-                    row = {c: pdf[c].iloc[j] for c in pass_cols}
-                    row[left_by] = key[0]
-                    ok = idx >= 0 and (horizon_s is None
-                                       or t - q_ts[idx] <= horizon_s)
-                    for i, v in enumerate(out_vals):
-                        row[v] = q_vs[i][idx] if ok else None
-                    outs.append(row)
-            # evict: keep rows within horizon of the newest event,
-            # plus the latest older one (any future backward match
-            # can only reference those)
-            if q_ts and horizon_s is not None:
-                floor = max(q_ts[-1], ts_sec[-1] if len(ts_sec) else 0) \
-                    - horizon_s
-                cut = int(np.searchsorted(q_ts, floor, side="right"))
-                keep_from = max(cut - 1, 0)
-                if keep_from:
-                    q_ts = q_ts[keep_from:]
-                    q_vs = [v[keep_from:] for v in q_vs]
-            elif q_ts and horizon_s is None and len(q_ts) > 1:
-                q_ts = q_ts[-1:]
-                q_vs = [v[-1:] for v in q_vs]
-        state.update((q_ts, *q_vs))
-        # anchor the timeout on the key's LAST EVENT TIME, never on the
-        # current watermark alone: in the first micro-batch the
-        # watermark is still 0, so watermark+delay would be an
-        # epoch-1970 timeout that the next batch's advanced watermark
-        # immediately fires, evicting live state prematurely
-        try:
-            wm = state.getCurrentWatermarkMs()
-            last_ms = int(max(q_ts[-1] if q_ts else 0.0,
-                              float(ts_sec[-1]) if len(ts_sec) else 0.0)
-                          * 1000)
-            state.setTimeoutTimestamp(max(last_ms, wm + 1) + delay_ms)
-        except Exception:  # noqa: BLE001 — watermark not yet initialized
-            pass
-        if outs:
-            yield pd.DataFrame(outs, columns=left_cols + out_vals)
+    func = _make_asof_kernel(left_cols, pass_cols, out_vals,
+                             left_by, n_rv, horizon_s, delay_ms)
 
     return (unioned.groupBy("__k__")
             .applyInPandasWithState(func, outputStructType=out_schema,
@@ -568,19 +596,24 @@ def streaming_resample(df: DataFrame, time_col: str, by: str,
             ts = wm_sec if ts_is_wm \
                 else pdf[time_col].astype("float64").to_numpy()
             last_ms = max(last_ms, int(wm_sec.max() * 1000))
-            vals = [pdf[v].astype("float64").to_numpy()
-                    for v in value_cols]
-            for j in range(len(pdf)):
-                t = float(ts[j])
-                # SORTED insert (late rows land in position — the
-                # streaming_asof_join convention); plain floats only
-                # (numpy scalars break the JVM state unpickler)
-                pos = bisect.bisect_right(q_ts, t)
-                q_ts.insert(pos, t)
-                for i in range(n_v):
-                    q_vs[i].insert(pos, float(vals[i][j]))
-                max_t = max(max_t, t)
-                off = t - float(wm_sec[j])
+            # SORTED merge in one stable argsort (late rows land in
+            # position — the streaming_asof_join convention; existing
+            # equal-ts buffer entries stay before new ones, new ones
+            # keep arrival order — exactly the old per-row
+            # bisect_right insert, vectorized per round-6 verdict #7).
+            # .tolist() hands back plain Python floats: numpy scalars
+            # break the JVM state unpickler.
+            merged = np.concatenate(
+                [np.asarray(q_ts, dtype="float64"), ts])
+            order = np.argsort(merged, kind="stable")
+            q_ts = merged[order].tolist()
+            for i in range(n_v):
+                q_vs[i] = np.concatenate(
+                    [np.asarray(q_vs[i], dtype="float64"),
+                     pdf[value_cols[i]].astype("float64").to_numpy()
+                     ])[order].tolist()
+            max_t = max(max_t, float(ts.max()))
+            off = float(ts[-1] - wm_sec[-1])
         try:
             wmms = state.getCurrentWatermarkMs()
         except Exception:  # noqa: BLE001
@@ -590,6 +623,7 @@ def streaming_resample(df: DataFrame, time_col: str, by: str,
         if q_ts:
             if next_k == UNSET:
                 next_k = int(np.ceil((q_ts[0] - origin) / every))
+            ticks = []
             while w > 0:
                 t_k = origin + next_k * every
                 # final = STRICTLY below the watermark on the event
@@ -598,10 +632,17 @@ def streaming_resample(df: DataFrame, time_col: str, by: str,
                 # batch grid's upper edge)
                 if not (t_k <= max_t and t_k < w + off):
                     break
-                idx = bisect.bisect_right(q_ts, t_k) - 1
-                outs.append((key[0], float(t_k),
-                             *[q_vs[i][idx] for i in range(n_v)]))
+                ticks.append(float(t_k))
                 next_k += 1
+            if ticks:
+                # one searchsorted for every final tick's fill value
+                idxs = np.searchsorted(np.asarray(q_ts, dtype="float64"),
+                                       np.asarray(ticks),
+                                       side="right") - 1
+                qv = [np.asarray(v, dtype="float64") for v in q_vs]
+                outs = [(key[0], t_k,
+                         *[float(qv[i][ix]) for i in range(n_v)])
+                        for t_k, ix in zip(ticks, idxs)]
             # evict: rows older than the latest obs <= the NEXT tick
             # are dominated for every future tick
             t_next = origin + next_k * every

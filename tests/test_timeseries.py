@@ -1569,3 +1569,70 @@ def test_streaming_ewma_late_row_folds_only_its_past(spark, qc, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert [r["ewma"] for r in emitted] == [20.0, 10.0, 22.5]
+
+
+def test_streaming_asof_kernel_100k_batch_under_1s():
+    """Round-6 verdict #7: the as-of kernel's merge + probe is
+    vectorized — a 100k-row interleaved micro-batch must clear in
+    well under a second (the old per-row dict loop took several), and
+    the output must equal pandas merge_asof on the same data."""
+    import time
+    from quokka_spark.streaming.stream import _make_asof_kernel
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+        def remove(self):
+            self._v = None
+
+    rng = np.random.default_rng(3)
+    n = 100_000
+    ts = np.sort(rng.uniform(0, 1e6, n))
+    side = rng.integers(0, 2, n)
+    pdf = pd.DataFrame({
+        "__ts__": pd.to_datetime(ts, unit="s"),
+        "__side__": side,
+        "t": ts,
+        "lv": rng.normal(size=n),
+        "__rv_0__": rng.normal(size=n),
+    })
+    kernel = _make_asof_kernel(["k", "t", "lv"], ["t", "lv"], ["px"],
+                               "k", 1, 3600.0, 600_000)
+    state = FakeState()
+    t0 = time.time()
+    outs = list(kernel(("A",), iter([pdf]), state))
+    elapsed = time.time() - t0
+    assert elapsed < 1.0, f"kernel took {elapsed:.2f}s on a 100k batch"
+    got = pd.concat(outs, ignore_index=True)
+
+    sec = pdf["__ts__"].astype("int64").to_numpy() / 1e9
+    lefts = pd.DataFrame({"sec": sec[side == 1],
+                          "lv": pdf["lv"].to_numpy()[side == 1]})
+    rights = pd.DataFrame({"sec": sec[side == 0],
+                           "px": pdf["__rv_0__"].to_numpy()[side == 0]})
+    want = pd.merge_asof(lefts, rights, on="sec",
+                         direction="backward", tolerance=3600.0)
+    assert len(got) == len(want) > 0
+    assert (got["px"].isna().to_numpy() == want["px"].isna().to_numpy()).all()
+    assert np.allclose(got["px"].dropna(), want["px"].dropna())
+    assert (got["k"] == "A").all()
