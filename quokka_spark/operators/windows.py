@@ -161,9 +161,32 @@ def choose_bucket(df: DataFrame, time_col: str, by: list,
     tsnum = epoch_us(time_col) if is_ts else F.col(time_col)
     key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in by]) \
         if by else F.lit("")
+    # stage 1 (round-7, the choose_hot_keys treatment): a ~1% sample
+    # can PROVE the plain plan saturates — distinct(sample) lower-
+    # bounds distinct(full), so sampled keys >= threshold (with 5%
+    # HLL-error headroom) decides None without the full pass. The
+    # few-key answer (and its exact span) still takes stage 2; tiny
+    # inputs fall through via the sample floor, keeping unit-test
+    # decisions exact.
+    srow = (df.select(key.alias("__k__"))
+            .sample(fraction=_SAMPLE_FRACTION, seed=42)
+            .agg(F.approx_count_distinct("__k__").alias("k"),
+                 F.count(F.lit(1)).alias("n")).first())
+    if srow and srow["n"] and srow["n"] >= _SAMPLE_FLOOR \
+            and srow["k"] >= 2 * cores * 1.05:
+        last_bucket_probe.clear()
+        last_bucket_probe.update(mode="sampled",
+                                 rows_aggregated=int(srow["n"]))
+        if cache_key is not None:
+            if len(_BUCKET_DECISIONS) > 512:
+                _BUCKET_DECISIONS.clear()
+            _BUCKET_DECISIONS[cache_key] = None
+        return None
     row = df.select(F.approx_count_distinct(key).alias("k"),
                     F.min(tsnum).alias("lo"),
                     F.max(tsnum).alias("hi")).first()
+    last_bucket_probe.clear()
+    last_bucket_probe.update(mode="exact")
     result = None
     if row and row["k"] is not None and row["lo"] is not None \
             and row["k"] < 2 * cores:
@@ -180,6 +203,10 @@ def choose_bucket(df: DataFrame, time_col: str, by: list,
 
 
 _HOT_KEY_DECISIONS: dict = {}
+
+# introspection for tests/diagnostics: how the LAST (uncached)
+# choose_bucket probe decided
+last_bucket_probe: dict = {}
 
 
 def skew_key_expr(by: list) -> "F.Column":

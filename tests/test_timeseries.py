@@ -1368,6 +1368,28 @@ def test_hot_key_probe_samples_large_inputs(spark, qc):
     assert hot3 == ["hot"]
 
 
+def test_bucket_probe_samples_many_key_inputs(spark, qc):
+    """choose_bucket's many-key answer (plain plan saturates) must
+    come from the ~1% sample — distinct(sample) lower-bounds
+    distinct(full), so the sample alone PROVES keys >= 2*cores. The
+    few-key (bucketing) answer still takes the exact probe for its
+    span."""
+    from quokka_spark.operators.windows import (choose_bucket,
+                                                last_bucket_probe)
+    n = 400_000
+    many = spark.range(n).selectExpr(
+        "concat('u', id % 5009) as k", "cast(id % 10000 as double) as t")
+    assert choose_bucket(many, "t", ["k"]) is None
+    assert last_bucket_probe["mode"] == "sampled"
+    assert last_bucket_probe["rows_aggregated"] <= 0.02 * n
+
+    few = spark.range(n).selectExpr(
+        "concat('u', id % 3) as k", "cast(id % 10000 as double) as t")
+    b = choose_bucket(few, "t", ["k"])
+    assert last_bucket_probe["mode"] == "exact"
+    assert b is not None
+
+
 def test_streaming_resample_equals_batch_final_ticks(spark, qc, tmp_path):
     """Replaying the corpus through streaming_resample must reproduce
     batch resample(ffill) exactly on every FINAL tick (ticks strictly
