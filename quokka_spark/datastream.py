@@ -184,6 +184,27 @@ class DataStream:
             return self.df.count()
         return self._with(self.df.agg(F.count(F.lit(1)).alias("count")))
 
+    def windowed_transform(self, window, trigger=None,
+                           keep: list | None = None) -> "DataStream":
+        """Windowed aggregation straight off a DataStream — the
+        reference's datastream.py:1650 signature, where the window
+        spec itself carries ``order_by``/``partition_by`` (the
+        reference form of the windowtypes constructors). The repo's
+        operators sort within the plan, so no pre-sorted contract is
+        required here; OrderedStream.windowed_transform remains the
+        compact-form entry. ``keep``: sliding-window passthrough
+        columns."""
+        assert getattr(window, "order_by", None) is not None \
+            and getattr(window, "partition_by", None) is not None, \
+            ("this window spec carries no order_by/partition_by — "
+             "build it with the reference form, e.g. "
+             "TumblingWindow(order_by, partition_by, size, aggs), or "
+             "use OrderedStream.windowed_transform(window, by=...)")
+        from .operators.windows import windowed_transform as _wt
+        out = _wt(self.df, window, window.order_by, window.partition_by,
+                  trigger, keep=keep)
+        return DataStream(self.qc, out)
+
     # ------------------------------------------------------------------
     # row-wise ops (SURVEY §2.2)
     # ------------------------------------------------------------------

@@ -88,7 +88,10 @@ class OrderedStream(DataStream):
         see operators/windows.py. ``keep``: sliding-window passthrough
         columns (the per-event scoring shape)."""
         from .operators.windows import windowed_transform as _wt
-        time_col = time_col or self._sort_key
+        time_col = (time_col or getattr(window, "order_by", None)
+                    or self._sort_key)
+        if by is None:
+            by = getattr(window, "partition_by", None)
         out = _wt(self.df, window, time_col, by, trigger, keep=keep)
         return DataStream(self.qc, out)
 

@@ -1658,3 +1658,50 @@ def test_streaming_asof_kernel_100k_batch_under_1s():
     assert (got["px"].isna().to_numpy() == want["px"].isna().to_numpy()).all()
     assert np.allclose(got["px"].dropna(), want["px"].dropna())
     assert (got["k"] == "A").all()
+
+
+def test_windowtypes_reference_form_and_datastream_entry(spark, qc):
+    """Drop-in parity with reference windowtypes.py:59-82 and
+    datastream.py:1650: window specs built with the leading
+    (order_by, partition_by) form run via DataStream.windowed_transform
+    with no extra args and equal the compact-form OrderedStream plan;
+    add_aggregation and the aggs-less constructor also work."""
+    from quokka_spark.orderedstream import OrderedStream
+    from quokka_spark.windowtypes import (SessionWindow, SlidingWindow,
+                                          TumblingWindow)
+    pdf = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "a"],
+        "ts": pd.to_datetime([0.0, 30.0, 40.0, 100.0, 4000.0], unit="s"),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    df = spark.createDataFrame(pdf)
+
+    def norm(out):
+        p = out.df.toPandas() if hasattr(out, "df") else out.toPandas()
+        return sorted(map(tuple, p.fillna(-1).astype(str).values.tolist()))
+
+    from quokka_spark.datastream import DataStream
+    stream = DataStream(qc, df)
+    ordered = OrderedStream(qc, df, sorted={"ts": "stride"})
+
+    ref_win = TumblingWindow("ts", "k", "60s", {"s": "sum(v)"})
+    compact = TumblingWindow("60s", {"s": "sum(v)"})
+    assert ref_win.order_by == "ts" and ref_win.partition_by == "k"
+    got = norm(stream.windowed_transform(ref_win))
+    want = norm(ordered.windowed_transform(compact, by="k"))
+    assert got == want and len(got) > 0
+
+    # aggs-less reference construction + add_aggregation
+    w2 = SessionWindow("ts", "k", "120s")
+    w2.add_aggregation("n", "count(*)")
+    got2 = norm(stream.windowed_transform(w2))
+    want2 = norm(ordered.windowed_transform(
+        SessionWindow("120s", {"n": "count(*)"}), by="k"))
+    assert got2 == want2 and len(got2) > 0
+
+    # sliding: reference form with keyword aggregation_dict
+    w3 = SlidingWindow("ts", "k", "50s",
+                       aggregation_dict={"m": "max(v)"}, bucket=None)
+    got3 = norm(stream.windowed_transform(w3))
+    want3 = norm(ordered.windowed_transform(
+        SlidingWindow("50s", {"m": "max(v)"}, bucket=None), by="k"))
+    assert got3 == want3 and len(got3) > 0
