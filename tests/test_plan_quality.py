@@ -309,3 +309,16 @@ def test_explain_skew_warning_on_pathological_key(spark, qc, capsys):
     assert ds2.explain(skew=True) == []
     # explicit-column form probes without needing a shuffle in the plan
     assert DataStream(qc, skewed).explain(skew=["k"]) != []
+
+
+def test_cep_quantified_shuffle_and_prefilter(spark):
+    """The quantified gate keeps the funnel's plan properties: the
+    explicit-width NFA shuffle (AQE must not coalesce the Python
+    kernel to one task) and the OR-of-own-conjuncts prefilter pushed
+    ahead of the kernel (quantified levels contribute their
+    own-conjuncts to the OR exactly like '1' levels)."""
+    s = explain(em.ts_cep_quantified(spark, SF))
+    assert "REPARTITION_BY_NUM" in s, s
+    assert "BatchEvalPython" not in s, "row-at-a-time Python UDF in plan"
+    assert "signup" in s and "purchase" in s, \
+        "prefilter did not reach the plan"
