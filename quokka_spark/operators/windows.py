@@ -162,31 +162,50 @@ def choose_bucket(df: DataFrame, time_col: str, by: list,
     key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in by]) \
         if by else F.lit("")
     # stage 1 (round-7, the choose_hot_keys treatment): a ~1% sample
-    # can PROVE the plain plan saturates — distinct(sample) lower-
-    # bounds distinct(full), so sampled keys >= threshold (with 5%
-    # HLL-error headroom) decides None without the full pass. The
-    # few-key answer (and its exact span) still takes stage 2; tiny
-    # inputs fall through via the sample floor, keeping unit-test
-    # decisions exact.
-    srow = (df.select(key.alias("__k__"))
+    # decides both clear cases without the full pass. Many-key:
+    # distinct(sample) lower-bounds distinct(full), so sampled keys >=
+    # threshold (with 5% HLL-error headroom) PROVES the plain plan
+    # saturates. Few-key: sampled keys under HALF the threshold
+    # decides the bucketed plan with the sampled span (an undercounted
+    # long tail of sub-sample-rate keys could make this a false
+    # positive, but bucketing a many-key stream is hash-equal and its
+    # halo overhead is floor-capped — a perf-only, bounded mistake;
+    # the sampled span only narrows, which narrows the bucket and
+    # raises parallelism). The ambiguous band [cores, 2.1*cores] and
+    # sub-floor samples (unit-test-sized inputs, which therefore keep
+    # exact decisions) take stage 2, the original exact probe.
+    srow = (df.select(key.alias("__k__"), tsnum.alias("__t__"))
             .sample(fraction=_SAMPLE_FRACTION, seed=42)
             .agg(F.approx_count_distinct("__k__").alias("k"),
-                 F.count(F.lit(1)).alias("n")).first())
-    if srow and srow["n"] and srow["n"] >= _SAMPLE_FLOOR \
-            and srow["k"] >= 2 * cores * 1.05:
-        last_bucket_probe.clear()
-        last_bucket_probe.update(mode="sampled",
-                                 rows_aggregated=int(srow["n"]))
-        if cache_key is not None:
-            if len(_BUCKET_DECISIONS) > 512:
-                _BUCKET_DECISIONS.clear()
-            _BUCKET_DECISIONS[cache_key] = None
-        return None
+                 F.count(F.lit(1)).alias("n"),
+                 F.min("__t__").alias("lo"),
+                 F.max("__t__").alias("hi")).first())
+    if srow and srow["n"] and srow["n"] >= _SAMPLE_FLOOR:
+        decided = False
+        result = None
+        if srow["k"] >= 2 * cores * 1.05:
+            decided = True
+        elif srow["k"] < cores and srow["lo"] is not None:
+            span = float(srow["hi"] - srow["lo"])
+            floor = to_seconds(size_before) * (1_000_000 if is_ts else 1) \
+                if size_before is not None else 1.0
+            bucket = max(floor, span / (4 * cores), 1.0)
+            result = bucket / 1_000_000 if is_ts else bucket
+            decided = True
+        if decided:
+            last_bucket_probe.clear()
+            last_bucket_probe.update(mode="sampled",
+                                     rows_aggregated=int(srow["n"]))
+            if cache_key is not None:
+                if len(_BUCKET_DECISIONS) > 512:
+                    _BUCKET_DECISIONS.clear()
+                _BUCKET_DECISIONS[cache_key] = result
+            return result
     row = df.select(F.approx_count_distinct(key).alias("k"),
                     F.min(tsnum).alias("lo"),
                     F.max(tsnum).alias("hi")).first()
     last_bucket_probe.clear()
-    last_bucket_probe.update(mode="exact")
+    last_bucket_probe.update(mode="exact", rows_aggregated=None)
     result = None
     if row and row["k"] is not None and row["lo"] is not None \
             and row["k"] < 2 * cores:
@@ -216,11 +235,13 @@ def skew_key_expr(by: list) -> "F.Column":
 
 
 # introspection for tests/diagnostics: how the LAST (uncached) probe
-# decided — {"mode": "sampled"|"exact", "rows_aggregated": int}
+# decided — {"mode": "sampled"|"exact", "rows_aggregated": int|None}
 last_hot_key_probe: dict = {}
 
-_SAMPLE_FRACTION = 0.01
-_SAMPLE_FLOOR = 1_000  # below this many sampled rows the estimate is noise
+# single-sourced sampling policy (shared with explain(skew=...)'s
+# sampled_skew_share — tune in one place)
+from ..plans.scaling import (SAMPLE_FLOOR as _SAMPLE_FLOOR,  # noqa: E402
+                             SAMPLE_FRACTION as _SAMPLE_FRACTION)
 
 
 def choose_hot_keys(df: DataFrame, time_col: str, by: list,
@@ -314,6 +335,13 @@ def choose_hot_keys(df: DataFrame, time_col: str, by: list,
                                F.min("__lo__").alias("lo"),
                                F.max("__hi__").alias("hi")).first()
             result = ([], None)
+            # record the probe identity even for empty/zero-row inputs
+            # — a stale entry from a previous call misattributes the
+            # decision to the wrong probe
+            last_hot_key_probe.clear()
+            last_hot_key_probe.update(
+                mode="exact",
+                rows_aggregated=int(stats["total"] or 0) if stats else 0)
             if stats and stats["total"]:
                 thresh = stats["total"] / (2 * cores)
                 if stats["mx"] is not None and stats["mx"] > thresh:
@@ -325,9 +353,6 @@ def choose_hot_keys(df: DataFrame, time_col: str, by: list,
                     if is_ts:
                         bucket = bucket / 1_000_000
                     result = (hot, bucket)
-                last_hot_key_probe.clear()
-                last_hot_key_probe.update(
-                    mode="exact", rows_aggregated=int(stats["total"]))
         finally:
             counts.unpersist()
 

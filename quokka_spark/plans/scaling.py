@@ -18,6 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# the one sampling policy every probe shares (choose_bucket /
+# choose_hot_keys in operators/windows.py, sampled_skew_share here):
+# ~1% Bernoulli with a fixed seed for deterministic cached decisions,
+# and a floor below which a sample is noise and the exact pass runs
+SAMPLE_FRACTION = 0.01
+SAMPLE_FLOOR = 1_000
+
 
 def salt_keys(df: DataFrame, key: str, n_salts: int = 16,
               salt_col: str = "__salt__") -> DataFrame:
@@ -61,8 +68,9 @@ def skew_report(df: DataFrame, key: str, top: int = 10):
     return topk, (stats["mx"] / stats["mean"] if stats["mean"] else 0.0)
 
 
-def sampled_skew_share(df: DataFrame, cols: list, fraction: float = 0.01,
-                       floor: int = 1_000) -> float:
+def sampled_skew_share(df: DataFrame, cols: list,
+                       fraction: float = SAMPLE_FRACTION,
+                       floor: int = SAMPLE_FLOOR) -> float:
     """Max per-key row share of a prospective shuffle key, estimated
     from a ~1% Bernoulli sample (fixed seed) — the cheap form of
     :func:`skew_report` used by ``DataStream.explain(skew=...)``.

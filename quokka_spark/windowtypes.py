@@ -66,12 +66,20 @@ def _split_ref_form(args: tuple, n_native: int, kwargs: dict):
     if len(args) == n_native + 2:
         order_by, partition_by = args[0], args[1]
         rest = tuple(args[2:])
+        # the reference form's leading args are COLUMN NAMES — a
+        # non-string here means a misplaced positional (e.g. a dict
+        # where a column belongs); fail loudly, never misparse
+        assert isinstance(order_by, str) and isinstance(partition_by, str), \
+            f"bad window spec args {tuple(args)!r} — expected " \
+            f"(order_by, partition_by, ...) column names"
     else:
         assert len(args) == n_native, \
             f"bad window spec args {tuple(args)!r} " \
             f"(+aggregation_dict={aggs!r})"
         order_by = partition_by = None
         rest = tuple(args)
+    assert aggs is None or isinstance(aggs, dict), \
+        f"aggregation_dict must be a dict, got {aggs!r}"
     return order_by, partition_by, rest, aggs
 
 
@@ -113,8 +121,18 @@ class SlidingWindow(Window):
     ``SlidingWindow(order_by, partition_by, size_before, aggs)``."""
 
     def __init__(self, *args, bucket="auto", **kwargs):
-        order_by, partition_by, (size_before,), aggs = \
-            _split_ref_form(args, 1, kwargs)
+        # legacy positional-bucket form, SlidingWindow(size, aggs,
+        # bucket): the dict sits in the MIDDLE, which the generic
+        # trailing-dict peel would misparse as the reference form
+        if len(args) in (2, 3) and isinstance(args[1], dict):
+            size_before, aggs = args[0], args[1]
+            if len(args) == 3:
+                bucket = args[2]
+            order_by = partition_by = None
+            assert not kwargs, f"unexpected window kwargs {sorted(kwargs)}"
+        else:
+            order_by, partition_by, (size_before,), aggs = \
+                _split_ref_form(args, 1, kwargs)
         super().__init__(size_before, aggs, order_by, partition_by)
         self.size_before = size_before
         self.bucket = bucket

@@ -1368,15 +1368,16 @@ def test_hot_key_probe_samples_large_inputs(spark, qc):
     assert hot3 == ["hot"]
 
 
-def test_bucket_probe_samples_many_key_inputs(spark, qc):
-    """choose_bucket's many-key answer (plain plan saturates) must
-    come from the ~1% sample — distinct(sample) lower-bounds
-    distinct(full), so the sample alone PROVES keys >= 2*cores. The
-    few-key (bucketing) answer still takes the exact probe for its
-    span."""
+def test_bucket_probe_samples_large_inputs(spark, qc):
+    """choose_bucket decides BOTH clear cases from the ~1% sample:
+    many keys (distinct(sample) lower-bounds distinct(full), proving
+    the plain plan saturates) and clearly-few keys (bucket sized from
+    the sampled span). The ambiguous band and sub-floor inputs take
+    the exact probe."""
     from quokka_spark.operators.windows import (choose_bucket,
                                                 last_bucket_probe)
     n = 400_000
+    cores = spark.sparkContext.defaultParallelism
     many = spark.range(n).selectExpr(
         "concat('u', id % 5009) as k", "cast(id % 10000 as double) as t")
     assert choose_bucket(many, "t", ["k"]) is None
@@ -1386,8 +1387,22 @@ def test_bucket_probe_samples_many_key_inputs(spark, qc):
     few = spark.range(n).selectExpr(
         "concat('u', id % 3) as k", "cast(id % 10000 as double) as t")
     b = choose_bucket(few, "t", ["k"])
-    assert last_bucket_probe["mode"] == "exact"
+    assert last_bucket_probe["mode"] == "sampled"
     assert b is not None
+
+    # key count inside the ambiguous band [cores, 2.1*cores] -> exact
+    band = spark.range(n).selectExpr(
+        f"concat('u', id % {int(1.5 * cores)}) as k",
+        "cast(id % 10000 as double) as t")
+    b2 = choose_bucket(band, "t", ["k"])
+    assert last_bucket_probe["mode"] == "exact"
+    assert b2 is not None  # 1.5*cores < 2*cores -> bucketed
+
+    # small input -> sample under the floor -> exact fallback
+    tiny = spark.range(2_000).selectExpr(
+        "concat('u', id % 3) as k", "cast(id as double) as t")
+    assert choose_bucket(tiny, "t", ["k"]) is not None
+    assert last_bucket_probe["mode"] == "exact"
 
 
 def test_streaming_resample_equals_batch_final_ticks(spark, qc, tmp_path):
@@ -1644,7 +1659,10 @@ def test_streaming_asof_kernel_100k_batch_under_1s():
     t0 = time.time()
     outs = list(kernel(("A",), iter([pdf]), state))
     elapsed = time.time() - t0
-    assert elapsed < 1.0, f"kernel took {elapsed:.2f}s on a 100k batch"
+    # generous absolute bound (loaded-CI headroom; typically ~50 ms):
+    # the old per-row loop took well over this, the vectorized kernel
+    # far under — the round-6 lesson says don't pin tight wall-clocks
+    assert elapsed < 5.0, f"kernel took {elapsed:.2f}s on a 100k batch"
     got = pd.concat(outs, ignore_index=True)
 
     sec = pdf["__ts__"].astype("int64").to_numpy() / 1e9
@@ -1705,3 +1723,16 @@ def test_windowtypes_reference_form_and_datastream_entry(spark, qc):
     want3 = norm(ordered.windowed_transform(
         SlidingWindow("50s", {"m": "max(v)"}, bucket=None), by="k"))
     assert got3 == want3 and len(got3) > 0
+
+    # legacy positional-bucket form (pre-round-7 signature) must keep
+    # parsing — its mid-position dict would otherwise be misread as
+    # the reference form (round-7 review finding)
+    w4 = SlidingWindow("50s", {"m": "max(v)"}, None)
+    assert (w4.bucket is None and w4.size_before == "50s"
+            and w4.order_by is None)
+    assert SlidingWindow("50s", {"m": "max(v)"}, "4h").bucket == "4h"
+    # misplaced positionals fail loudly, never misparse
+    with pytest.raises(AssertionError):
+        TumblingWindow("60s", "oops", {"s": "sum(v)"})
+    with pytest.raises(AssertionError):
+        TumblingWindow(60, "k", "60s", {"s": "sum(v)"})
