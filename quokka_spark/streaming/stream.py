@@ -707,6 +707,9 @@ def streaming_ewma(df: DataFrame, time_col: str, by: str, value_col: str,
     # identical literals to the batch plan (windows.ewma)
     weights = [alpha * (1 - alpha) ** i for i in range(lookback)]
     tails = [(1 - alpha) ** i for i in range(lookback)]
+    import numpy as np
+    # newest-first weight vector for the full-window matrix fold
+    _wfull = np.array(weights[:lookback - 1] + [tails[lookback - 1]])
 
     by_type = df.schema[by].dataType.simpleString()
     tcol_type = "double" if not ts_is_wm else "timestamp"
@@ -736,24 +739,61 @@ def streaming_ewma(df: DataFrame, time_col: str, by: str, value_col: str,
             vals = pdf[value_col].astype("float64").to_numpy()
             last_ms = max(last_ms, int(wm_sec.max() * 1000))
             off = float(ts[-1] - wm_sec[-1])
-            for j in range(len(pdf)):
-                t, v = float(ts[j]), float(vals[j])
-                pos = bisect.bisect_right(q_ts, t)
-                q_ts.insert(pos, t)
-                q_vs.insert(pos, v)
-                # newest-first trailing fold, batch weight layout:
-                # first n-1 weights a(1-a)^i, tail absorbs the mass
-                lo = max(0, pos - lookback + 1)
-                seq = q_vs[lo:pos + 1][::-1]
-                n = len(seq)
-                acc = 0.0
-                for i in range(n - 1):
-                    acc = acc + seq[i] * weights[i]
-                acc = acc + seq[n - 1] * tails[n - 1]
-                outs.append((key[0],
-                             t if not ts_is_wm
-                             else pd.Timestamp(t, unit="s"),
-                             v, round(acc, 6)))
+            if (not q_ts) or float(ts[0]) >= q_ts[-1]:
+                # FAST PATH (the common in-order batch): every row
+                # appends, so all trailing windows live in one
+                # concatenated array — the folds become one (rows x
+                # lookback) matrix product over zero-padded sliding
+                # windows. Ties append in arrival order, exactly the
+                # bisect_right convention. Rows whose available
+                # history is shorter than lookback put the tail
+                # weight on their OLDEST real value — those few
+                # (at most lookback-1, only near stream start) take
+                # the scalar fold.
+                buf = np.asarray(q_vs, dtype="float64")
+                all_vals = np.concatenate([buf, vals])
+                start = len(buf)
+                L = lookback
+                padded = np.concatenate([np.zeros(L - 1), all_vals])
+                win = np.lib.stride_tricks.sliding_window_view(padded, L)
+                wrev = win[start:, ::-1]
+                accs = wrev @ _wfull
+                n_avail = np.arange(start + 1, start + len(vals) + 1)
+                for jj in np.flatnonzero(n_avail < L):
+                    n = int(n_avail[jj])
+                    seq = all_vals[start + jj - n + 1:
+                                   start + jj + 1][::-1]
+                    acc = 0.0
+                    for i in range(n - 1):
+                        acc = acc + seq[i] * weights[i]
+                    acc = acc + seq[n - 1] * tails[n - 1]
+                    accs[jj] = acc
+                q_ts = q_ts + [float(x) for x in ts]
+                q_vs = q_vs + [float(x) for x in vals]
+                tvals = ([pd.Timestamp(float(t), unit="s") for t in ts]
+                         if ts_is_wm else [float(t) for t in ts])
+                outs.extend(
+                    (key[0], tv, float(v), round(float(a), 6))
+                    for tv, v, a in zip(tvals, vals, accs))
+            else:
+                for j in range(len(pdf)):
+                    t, v = float(ts[j]), float(vals[j])
+                    pos = bisect.bisect_right(q_ts, t)
+                    q_ts.insert(pos, t)
+                    q_vs.insert(pos, v)
+                    # newest-first trailing fold, batch weight layout:
+                    # first n-1 weights a(1-a)^i, tail absorbs the mass
+                    lo = max(0, pos - lookback + 1)
+                    seq = q_vs[lo:pos + 1][::-1]
+                    n = len(seq)
+                    acc = 0.0
+                    for i in range(n - 1):
+                        acc = acc + seq[i] * weights[i]
+                    acc = acc + seq[n - 1] * tails[n - 1]
+                    outs.append((key[0],
+                                 t if not ts_is_wm
+                                 else pd.Timestamp(t, unit="s"),
+                                 v, round(acc, 6)))
             # evict: keep rows >= watermark axis plus the lookback-1
             # latest below it (any admissible late row needs at most
             # those as its trailing window)
