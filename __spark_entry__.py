@@ -1174,6 +1174,59 @@ FROM m WHERE last_event_timestamp IS NOT NULL
 """
 
 
+def ts_cep_plus_dep(spark, sf_dir):
+    """CEP '+' with a dependent predicate on the quantified event:
+    signup → one-or-more clicks → purchase with value above the LATEST
+    bound click's. Collapses to SQL: the reluctant DFS explores click
+    bindings in ascending latest-instance order (advance before loop,
+    candidates earliest-first; repetition histories dedupe to the same
+    latest-instance state), so the winning match belongs to the
+    EARLIEST click that has any qualifying purchase, ending at that
+    click's earliest qualifying purchase — arg_min over a correlated
+    min. Randomized brute-force equality for this exact pattern shape
+    is pinned in tests/test_cep_quantifiers.py ("plus_dep_latest")."""
+    qc = _qc(spark)
+    ev = _ts(qc, sf_dir, "events", sorted_by="ts") \
+        .with_columns({"ts_sec": "unix_micros(cast(ts as timestamp)) / 1e6"})
+    ev = OrderedStreamFix(ev)
+    out = ev.pattern_recognize(
+        "ts_sec",
+        [("a", "a.event_type = 'signup'"),
+         ("b", "b.event_type = 'click'", "+"),
+         ("c", "c.event_type = 'purchase' and c.value > b.value")],
+        maxspan=7 * 86400.0, by="user_id")
+    return out.df
+
+
+_CEP_PLUS_DEP_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_sec,
+         event_type, value
+  FROM events
+), b AS (
+  SELECT a.user_id, a.ts_sec AS a_ts, bb.ts_sec AS b_ts,
+         (SELECT min(p.ts_sec) FROM e p
+          WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+            AND p.ts_sec > bb.ts_sec AND p.ts_sec <= a.ts_sec + 604800.0
+            AND p.value > bb.value) AS pmin
+  FROM e a JOIN e bb
+    ON bb.user_id = a.user_id AND bb.event_type = 'click'
+   AND bb.ts_sec > a.ts_sec AND bb.ts_sec <= a.ts_sec + 604800.0
+  WHERE a.event_type = 'signup'
+), m AS (
+  SELECT user_id, a_ts AS first_event_timestamp,
+         arg_min(pmin, b_ts) AS last_event_timestamp
+  FROM b WHERE pmin IS NOT NULL
+  GROUP BY user_id, a_ts
+)
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY first_event_timestamp) - 1 AS event_number,
+       first_event_timestamp, last_event_timestamp
+FROM m
+"""
+
+
 def ts_backtest(spark, sf_dir):
     """Backtester-style stateful executor (reference flagship app
     apps/rottnest/backtester.py:31-87): per-key running position/cash
@@ -4831,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_bpe_train": ml_bpe_train,
         "op_join_nonequi": op_join_nonequi,
         # ---- past the driver window (pytest-oracle-checked) -----------
+        "ts_cep_plus_dep": ts_cep_plus_dep,
         "dedup_simhash": dedup_simhash,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
@@ -4957,6 +5011,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_tumbling_running": _TUMBLING_RUNNING_SQL,
         "ts_cep_funnel": _CEP_SQL,
         "ts_cep_quantified": _CEP_QUANT_SQL,
+        "ts_cep_plus_dep": _CEP_PLUS_DEP_SQL,
         "text_tokens": _TOKENS_SQL, "text_fingerprint": _FINGERPRINT_SQL,
         "text_lang_id": _lang_id_duckdb_sql(), "text_quality": _QUALITY_SQL,
         "text_heavy_hitters": _HEAVY_HITTERS_SQL,

@@ -333,3 +333,69 @@ def test_quantified_streaming_matches_batch(spark, qc, tmp_path):
     assert (sorted(map(tuple, got[key].values.tolist()))
             == sorted(map(tuple, batch[key].values.tolist())))
     assert len(got) > 0
+
+
+# ----------------------------------------------------------------------
+# hypothesis: random patterns (random quantifier assignment + optional
+# dependent last predicate) on random streams vs the brute force
+# ----------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TYPES = ["signup", "click", "view", "purchase"]
+
+
+@st.composite
+def _pattern_and_stream(draw):
+    n_events = draw(st.integers(2, 4))
+    quants = [draw(st.sampled_from(["1", "+"]))]
+    quants += [draw(st.sampled_from(["1", "+", "*", "?"]))
+               for _ in range(n_events - 2)]
+    if n_events > 1:
+        quants.append(draw(st.sampled_from(["1", "+"])))
+    ev_types = [draw(st.sampled_from(_TYPES)) for _ in range(n_events)]
+    use_dep = draw(st.booleans())
+    engine, brute = [], []
+    for i, (t, q) in enumerate(zip(ev_types, quants)):
+        nm = f"e{i}"
+        pred = f"{nm}.event_type = '{t}'"
+
+        def bfn(r, b, rows, tt=t):
+            return r.event_type == tt
+
+        if use_dep and i == n_events - 1:
+            # the first event is always bindable ('1'/'+') so a dep on
+            # it is structurally legal for any generated pattern
+            pred += f" and {nm}.value > e0.value"
+
+            def bfn(r, b, rows, tt=t):  # noqa: F811
+                return (r.event_type == tt
+                        and r.value > rows.iloc[b["e0"]].value)
+
+        engine.append((nm, pred, q))
+        brute.append((nm, bfn, q))
+    n = draw(st.integers(3, 22))
+    types_stream = [draw(st.sampled_from(_TYPES)) for _ in range(n)]
+    values = [float(draw(st.integers(0, 5))) for _ in range(n)]
+    maxspan = float(draw(st.sampled_from([4.0, 10.0, 100.0])))
+    pdf = pd.DataFrame({
+        "user_id": [1] * n,
+        "ts_sec": np.arange(n, dtype="float64"),
+        "event_type": types_stream,
+        "value": values})
+    return engine, brute, pdf, maxspan
+
+
+@settings(deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_pattern_and_stream())
+def test_random_quantified_patterns_match_brute_force(case):
+    from quokka_spark.operators.cep import (CompiledPattern,
+                                            match_pattern_pandas)
+    engine, brute, pdf, maxspan = case
+    pattern = CompiledPattern(
+        ["user_id", "ts_sec", "event_type", "value"],
+        engine, "ts_sec", maxspan)
+    got = match_pattern_pandas(pdf, pattern)
+    want = brute_force_quant(pdf, brute, maxspan)
+    assert got == want, (engine, maxspan, pdf.to_string(), got, want)
