@@ -1184,7 +1184,7 @@ def ts_cep_plus_dep(spark, sf_dir):
     EARLIEST click that has any qualifying purchase, ending at that
     click's earliest qualifying purchase — arg_min over a correlated
     min. Randomized brute-force equality for this exact pattern shape
-    is pinned in tests/test_cep_quantifiers.py ("plus_dep_latest")."""
+    is pinned in tests/test_cep_quantifiers.py ("plus_plain_dep")."""
     qc = _qc(spark)
     ev = _ts(qc, sf_dir, "events", sorted_by="ts") \
         .with_columns({"ts_sec": "unix_micros(cast(ts as timestamp)) / 1e6"})

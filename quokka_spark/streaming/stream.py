@@ -708,8 +708,19 @@ def streaming_ewma(df: DataFrame, time_col: str, by: str, value_col: str,
     weights = [alpha * (1 - alpha) ** i for i in range(lookback)]
     tails = [(1 - alpha) ** i for i in range(lookback)]
     import numpy as np
-    # newest-first weight vector for the full-window matrix fold
+    # newest-first weight vector for the full-window vectorized fold
     _wfull = np.array(weights[:lookback - 1] + [tails[lookback - 1]])
+
+    def _fold(seq):
+        """The one scalar fold both paths share: newest-first,
+        sequential left fold, tail weight on the OLDEST value — the
+        exact summation order of the batch plan's compiled expression
+        (bit-identical before rounding; no midpoint hazards)."""
+        n = len(seq)
+        acc = 0.0
+        for i in range(n - 1):
+            acc = acc + seq[i] * weights[i]
+        return acc + seq[n - 1] * tails[n - 1]
 
     by_type = df.schema[by].dataType.simpleString()
     tcol_type = "double" if not ts_is_wm else "timestamp"
@@ -757,17 +768,23 @@ def streaming_ewma(df: DataFrame, time_col: str, by: str, value_col: str,
                 padded = np.concatenate([np.zeros(L - 1), all_vals])
                 win = np.lib.stride_tricks.sliding_window_view(padded, L)
                 wrev = win[start:, ::-1]
-                accs = wrev @ _wfull
+                # term-by-term accumulation in ascending index order —
+                # NOT a BLAS matvec, whose pairwise/SIMD summation
+                # could diverge from the scalar left fold at the
+                # round(.,6) midpoint (the rounds-4/6 float-parity
+                # failure class). Each element sees exactly the
+                # scalar fold's operation sequence (zero-padded terms
+                # add 0.0, preserving bit identity for short rows too
+                # — but their tail weight sits wrong, so they redo
+                # the scalar fold below).
+                accs = np.zeros(wrev.shape[0])
+                for i in range(L):
+                    accs += wrev[:, i] * _wfull[i]
                 n_avail = np.arange(start + 1, start + len(vals) + 1)
                 for jj in np.flatnonzero(n_avail < L):
                     n = int(n_avail[jj])
-                    seq = all_vals[start + jj - n + 1:
-                                   start + jj + 1][::-1]
-                    acc = 0.0
-                    for i in range(n - 1):
-                        acc = acc + seq[i] * weights[i]
-                    acc = acc + seq[n - 1] * tails[n - 1]
-                    accs[jj] = acc
+                    accs[jj] = _fold(all_vals[start + jj - n + 1:
+                                              start + jj + 1][::-1])
                 q_ts = q_ts + [float(x) for x in ts]
                 q_vs = q_vs + [float(x) for x in vals]
                 tvals = ([pd.Timestamp(float(t), unit="s") for t in ts]
@@ -781,15 +798,8 @@ def streaming_ewma(df: DataFrame, time_col: str, by: str, value_col: str,
                     pos = bisect.bisect_right(q_ts, t)
                     q_ts.insert(pos, t)
                     q_vs.insert(pos, v)
-                    # newest-first trailing fold, batch weight layout:
-                    # first n-1 weights a(1-a)^i, tail absorbs the mass
                     lo = max(0, pos - lookback + 1)
-                    seq = q_vs[lo:pos + 1][::-1]
-                    n = len(seq)
-                    acc = 0.0
-                    for i in range(n - 1):
-                        acc = acc + seq[i] * weights[i]
-                    acc = acc + seq[n - 1] * tails[n - 1]
+                    acc = _fold(q_vs[lo:pos + 1][::-1])
                     outs.append((key[0],
                                  t if not ts_is_wm
                                  else pd.Timestamp(t, unit="s"),

@@ -87,6 +87,16 @@ PATTERNS = {
           and r.value > rows.iloc[b["a"]].value, "+"),
          ("c", lambda r, b, rows: r.event_type == "purchase"
           and r.value > rows.iloc[b["b"]].value, "1")]),
+    # the exact shape of the ts_cep_plus_dep driver gate: plain '+'
+    # click, purchase above the LATEST bound click
+    "plus_plain_dep": (
+        [("a", "a.event_type = 'signup'"),
+         ("b", "b.event_type = 'click'", "+"),
+         ("c", "c.event_type = 'purchase' and c.value > b.value")],
+        [("a", _is("signup"), "1"),
+         ("b", _is("click"), "+"),
+         ("c", lambda r, b, rows: r.event_type == "purchase"
+          and r.value > rows.iloc[b["b"]].value, "1")]),
     "opt_mid": (
         [("a", "a.event_type = 'signup'"),
          ("b", "b.event_type = 'click'", "?"),
