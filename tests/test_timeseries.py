@@ -1367,6 +1367,18 @@ def test_hot_key_probe_samples_large_inputs(spark, qc):
     assert last_hot_key_probe["mode"] == "exact"
     assert hot3 == ["hot"]
 
+    # max share sitting INSIDE the 4-sigma band around 1/(2*cores)
+    # -> the sample must decline and the exact probe decides
+    share = 1.0 / (2 * cores)  # exactly at the threshold
+    hot_n = int(n * share)
+    edge = spark.range(n).selectExpr(
+        f"case when id < {hot_n} then 'hot' "
+        f"else concat('c', id % 997) end as k",
+        "cast(id % 100000 as double) as t")
+    hot4, _ = choose_hot_keys(edge, "t", ["k"])
+    assert last_hot_key_probe["mode"] == "exact"
+    assert hot4 == []  # exact count: share == threshold, not above it
+
 
 def test_bucket_probe_samples_large_inputs(spark, qc):
     """choose_bucket decides BOTH clear cases from the ~1% sample:
