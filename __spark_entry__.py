@@ -1670,6 +1670,35 @@ FROM doubled GROUP BY l_linestatus
 """
 
 
+def src_orc(spark, sf_dir):
+    """read_orc/write_orc roundtrip (parity-plus source — ORC is
+    Spark-native, zero extra dependencies): lineitem is written once
+    to a local ORC copy, read back through the facade, filtered (the
+    predicate pushes into the ORC scan — plan-tested) and aggregated;
+    the oracle runs the identical query on the parquet lineitem, so a
+    value drift anywhere in the ORC write→read path hash-fails."""
+    import os
+    import tempfile
+    qc = _qc(spark)
+    dst = os.path.join(tempfile.gettempdir(),
+                       "qs_orc_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(dst):
+        qc.read_parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+            .write_orc(dst)
+    ds = qc.read_orc(dst)
+    return (ds.filter_sql("l_quantity > 25").df
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+_SRC_ORC_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
+"""
+
+
 def src_delta_checkpoint(spark, sf_dir):
     """read_delta THROUGH a checkpoint parquet after log cleanup —
     the shape every long-lived real Delta table has (checkpoints
@@ -4919,6 +4948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": text_gopher,
         "src_iceberg": src_iceberg, "src_delta": src_delta,
         "src_delta_partitioned": src_delta_partitioned,
+        "src_orc": src_orc,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -5037,6 +5067,7 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher": _GOPHER_SQL,
         "src_iceberg": _SRC_ICEBERG_SQL, "src_delta": _SRC_DELTA_SQL,
         "src_delta_checkpoint": _SRC_DELTA_CP_SQL,
+        "src_orc": _SRC_ORC_SQL,
         "src_delta_partitioned": _SRC_DELTA_PART_SQL,
         "op_sql_window": _SQL_WINDOW_SQL, "ts_resample": _RESAMPLE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,

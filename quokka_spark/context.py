@@ -104,6 +104,15 @@ class QuokkaContext:
         """Newline-delimited JSON (reference unordered_readers.py:445-594)."""
         return DataStream(self, self.spark.read.options(**options).json(path))
 
+    def read_orc(self, path: str, **options) -> DataStream:
+        """ORC file/dir (parity-plus source — the reference reads
+        csv/parquet/iceberg/lance; ORC rounds out Spark's native
+        columnar formats with zero extra dependencies). Predicate
+        pushdown and column pruning work exactly as on parquet
+        (ORC carries row-group min/max + bloom stats; plan-tested in
+        tests/test_functions.py)."""
+        return DataStream(self, self.spark.read.options(**options).orc(path))
+
     def read_files(self, path: str, **options) -> DataStream:
         """Whole files as (filename, object) rows (reference df.py:213-253).
         At scale: binaryFile splits per file; combine with

@@ -820,6 +820,19 @@ class DataStream:
         w.parquet(path, **options)
         return self._filename_stream(path)
 
+    def write_orc(self, path: str, output_line_limit: int = 5_000_000,
+                  partition_by: list | None = None,
+                  **options) -> "DataStream":
+        """ORC sink (parity-plus next to write_parquet; same native
+        writer contract — one distributed write, hive-layout
+        partition_by)."""
+        w = (self.df.write.mode("overwrite")
+             .option("maxRecordsPerFile", output_line_limit))
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path, **options)
+        return self._filename_stream(path)
+
     def write_lance(self, path: str, vec_column: str = "vec",
                     id_column: str | None = None, ann_index: bool = True,
                     n_fragments: int = 16,

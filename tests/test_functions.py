@@ -1620,3 +1620,29 @@ def test_lance_native_pushdown_reaches_injected_fragments(spark, qc,
     got = ds.df.filter("doc_id >= 2").toPandas()
     assert sorted(got["doc_id"]) == [2, 3, 4]
     assert all(len(v) == 2 for v in got["vec"])
+
+
+def test_orc_roundtrip_and_pushdown(spark, qc, tmp_path):
+    """read_orc/write_orc: values survive the roundtrip, the filter
+    reaches the ORC scan (searchArgument/PushedFilters), and the
+    projection prunes the read schema — the same plan contract as
+    parquet."""
+    import contextlib
+    import io
+    src = qc.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    dst = str(tmp_path / "li_orc")
+    out = src.write_orc(dst, partition_by=["l_linestatus"])
+    assert out.df.count() > 0  # filename stream
+    back = qc.read_orc(dst)
+    assert back.df.count() == src.df.count()
+    a = src.df.agg(F.round(F.sum("l_extendedprice"), 2)).first()[0]
+    b = back.df.agg(F.round(F.sum("l_extendedprice"), 2)).first()[0]
+    assert a == b
+    plan_df = back.filter_sql("l_quantity > 25").df \
+        .select("l_orderkey", "l_quantity")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain(mode="formatted")
+    s = buf.getvalue()
+    assert "PushedFilters" in s and "l_quantity" in s.split("PushedFilters")[1].split("\n")[0], s
+    assert "l_extendedprice" not in s.split("ReadSchema")[1].split("\n")[0]
