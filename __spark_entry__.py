@@ -1699,6 +1699,41 @@ FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag
 """
 
 
+def src_avro(spark, sf_dir):
+    """read_avro/write_avro roundtrip WITHOUT the spark-avro jar
+    (sources/avro_source.py — binaryFile scan + the avro_lite codec):
+    a lineitem projection incl. a DATE column (exercising the
+    logical-type mapping) is written once to local Avro containers,
+    read back through the facade and aggregated; the oracle runs the
+    identical query on the parquet lineitem, so any drift in the
+    encode→decode path hash-fails."""
+    import os
+    import tempfile
+    qc = _qc(spark)
+    dst = os.path.join(tempfile.gettempdir(),
+                       "qs_avro_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(dst):
+        qc.read_parquet(os.path.join(sf_dir, "lineitem.parquet")) \
+            .select(["l_returnflag", "l_quantity", "l_extendedprice",
+                     "l_shipdate"]) \
+            .write_avro(dst)
+    ds = qc.read_avro(dst)
+    return (ds.filter_sql("l_shipdate >= DATE '1995-01-01'").df
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
+_SRC_AVRO_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag
+"""
+
+
 def src_delta_checkpoint(spark, sf_dir):
     """read_delta THROUGH a checkpoint parquet after log cleanup —
     the shape every long-lived real Delta table has (checkpoints
@@ -4949,6 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_iceberg": src_iceberg, "src_delta": src_delta,
         "src_delta_partitioned": src_delta_partitioned,
         "src_orc": src_orc,
+        "src_avro": src_avro,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -5068,6 +5104,7 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg": _SRC_ICEBERG_SQL, "src_delta": _SRC_DELTA_SQL,
         "src_delta_checkpoint": _SRC_DELTA_CP_SQL,
         "src_orc": _SRC_ORC_SQL,
+        "src_avro": _SRC_AVRO_SQL,
         "src_delta_partitioned": _SRC_DELTA_PART_SQL,
         "op_sql_window": _SQL_WINDOW_SQL, "ts_resample": _RESAMPLE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,

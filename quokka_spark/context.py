@@ -104,6 +104,16 @@ class QuokkaContext:
         """Newline-delimited JSON (reference unordered_readers.py:445-594)."""
         return DataStream(self, self.spark.read.options(**options).json(path))
 
+    def read_avro(self, path: str) -> DataStream:
+        """Avro object-container files (file or directory) WITHOUT the
+        spark-avro jar: a binaryFile scan (one task per container)
+        feeding the pure-Python avro_lite codec, Arrow-batched per
+        file — the same codec the Iceberg manifest reader uses. Type
+        mapping incl. date / timestamp-micros logical types; richer
+        shapes raise clear NotImplementedErrors (sources/avro_source.py)."""
+        from .sources.avro_source import spark_read_avro
+        return DataStream(self, spark_read_avro(self.spark, path))
+
     def read_orc(self, path: str, **options) -> DataStream:
         """ORC file/dir (parity-plus source — the reference reads
         csv/parquet/iceberg/lance; ORC rounds out Spark's native

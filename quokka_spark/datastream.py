@@ -833,6 +833,19 @@ class DataStream:
         w.orc(path, **options)
         return self._filename_stream(path)
 
+    def write_avro(self, path: str,
+                   output_line_limit: int = 500_000) -> "DataStream":
+        """Avro container sink without the spark-avro jar: executors
+        write one container per non-empty partition (splitting at
+        ``output_line_limit`` rows) via the pure-Python codec —
+        local/shared-filesystem contract like the delta/iceberg local
+        writers. Read back with ``qc.read_avro``. Returns the filename
+        stream."""
+        from .sources.avro_source import spark_write_avro
+        spark_write_avro(self.df, path,
+                         output_line_limit=output_line_limit)
+        return self._filename_stream(path)
+
     def write_lance(self, path: str, vec_column: str = "vec",
                     id_column: str | None = None, ann_index: bool = True,
                     n_fragments: int = 16,

@@ -120,9 +120,16 @@ def read_container(path: str) -> tuple[dict, list]:
     """Read an Avro object container file → (file metadata, records)."""
     with open(path, "rb") as f:
         data = f.read()
+    return read_container_bytes(data, name=path)
+
+
+def read_container_bytes(data: bytes, name: str = "<bytes>") \
+        -> tuple[dict, list]:
+    """Decode an in-memory Avro container (the executor-side entry for
+    the distributed binaryFile scan in avro_source.py)."""
     r = _Reader(data)
     if r.read(4) != MAGIC:
-        raise ValueError(f"{path}: not an avro container file")
+        raise ValueError(f"{name}: not an avro container file")
     meta_schema = {"type": "map", "values": "bytes"}
     meta = _decode(r, meta_schema)
     sync = r.read(16)
@@ -143,7 +150,7 @@ def read_container(path: str) -> tuple[dict, list]:
         for _ in range(count):
             records.append(_decode(br, schema))
         if r.read(16) != sync:
-            raise ValueError(f"{path}: sync marker mismatch")
+            raise ValueError(f"{name}: sync marker mismatch")
     return {(k.decode() if isinstance(k, bytes) else k): v
             for k, v in meta.items()}, records
 

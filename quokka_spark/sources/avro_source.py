@@ -1,0 +1,280 @@
+"""Distributed Avro container source/sink on the pure-Python codec.
+
+Parity-plus source (the reference reads csv/parquet/iceberg/lance;
+this rounds out the lake-exchange formats next to the ORC and Delta
+extensions). Spark's own Avro support lives in the external
+spark-avro jar, which this container does not ship — so the portable
+plan is a ``binaryFile`` scan (one input split per container file;
+Avro containers are file-sized units by construction) feeding the
+same avro_lite codec the Iceberg manifest reader uses, Arrow-batched
+per file inside ``mapInPandas``. Column pruning happens after decode
+(the container is row-major, so a narrower projection saves Arrow
+transfer, not I/O — the format's own limitation, not the plan's).
+
+Type mapping (both directions):
+
+  boolean/int/long/float/double/string/enum/bytes/fixed → the obvious
+  Spark primitive; ``["null", X]`` unions → nullable X;
+  ``{"type": "array", "items": prim}`` → ArrayType;
+  logicalType ``date`` (int days) ↔ DateType and
+  ``timestamp-micros`` (long) ↔ TimestampType.
+  Nested records decode to StructType on READ; richer shapes (maps,
+  non-null unions, decimal logical types, struct WRITES) raise
+  NotImplementedError with the exact offending field — never a silent
+  misread.
+
+At 100 TB: one task per file is the natural Avro parallelism (files
+are the format's split unit under a sync-marker scan too); the decode
+is the Python-side cost and is why parquet/ORC remain the preferred
+lake formats — this source exists so Avro event dumps can enter the
+engine without a jar, not to be the hot path.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import uuid
+
+from .avro_lite import read_container, read_container_bytes, write_container
+
+_PRIM_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "bytes": "binary", "enum": "string", "fixed": "binary",
+}
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+
+def _strip_null(sch):
+    """``["null", X]`` / ``[X, "null"]`` → (X, nullable)."""
+    if isinstance(sch, list):
+        rest = [s for s in sch if s != "null"]
+        if len(rest) != 1:
+            raise NotImplementedError(
+                f"avro union {sch!r} is not a simple nullable union")
+        return rest[0], True
+    return sch, False
+
+
+def _avro_to_spark_type(sch, field: str):
+    from pyspark.sql import types as T
+    sch, _ = _strip_null(sch)
+    if isinstance(sch, str):
+        if sch not in _PRIM_TO_SPARK:
+            raise NotImplementedError(
+                f"avro type {sch!r} of field {field!r} is not supported")
+        return getattr(T, {
+            "boolean": "BooleanType", "int": "IntegerType",
+            "long": "LongType", "float": "FloatType",
+            "double": "DoubleType", "string": "StringType",
+            "bytes": "BinaryType",
+        }[sch])()
+    t = sch.get("type")
+    lt = sch.get("logicalType")
+    if lt == "date" and t == "int":
+        return T.DateType()
+    if lt in ("timestamp-micros", "timestamp-millis") and t == "long":
+        return T.TimestampType()
+    if lt == "decimal":
+        raise NotImplementedError(
+            f"avro decimal logical type (field {field!r}) — read the "
+            "column as bytes and decode explicitly")
+    if t in ("enum",):
+        return T.StringType()
+    if t in ("fixed",):
+        return T.BinaryType()
+    if t == "array":
+        return T.ArrayType(_avro_to_spark_type(sch["items"], field))
+    if t == "record":
+        return T.StructType([
+            T.StructField(f["name"],
+                          _avro_to_spark_type(f["type"], f["name"]),
+                          True)
+            for f in sch["fields"]])
+    if t in _PRIM_TO_SPARK:
+        return _avro_to_spark_type(t, field)
+    raise NotImplementedError(
+        f"avro type {sch!r} of field {field!r} is not supported")
+
+
+def avro_spark_schema(record_schema: dict):
+    """Top-level Avro record schema → Spark StructType."""
+    from pyspark.sql import types as T
+    assert record_schema.get("type") == "record", record_schema
+    return T.StructType([
+        T.StructField(f["name"],
+                      _avro_to_spark_type(f["type"], f["name"]), True)
+        for f in record_schema["fields"]])
+
+
+def _logical_converters(record_schema: dict) -> dict:
+    """{field: fn} decoding raw logical-type values to Python objects
+    Arrow accepts for the mapped Spark type."""
+    out = {}
+    for f in record_schema["fields"]:
+        sch, _ = _strip_null(f["type"])
+        if isinstance(sch, dict):
+            lt = sch.get("logicalType")
+            if lt == "date":
+                out[f["name"]] = \
+                    lambda v: None if v is None \
+                    else _EPOCH + datetime.timedelta(days=int(v))
+            elif lt == "timestamp-micros":
+                out[f["name"]] = \
+                    lambda v: None if v is None \
+                    else datetime.datetime(1970, 1, 1) \
+                    + datetime.timedelta(microseconds=int(v))
+            elif lt == "timestamp-millis":
+                out[f["name"]] = \
+                    lambda v: None if v is None \
+                    else datetime.datetime(1970, 1, 1) \
+                    + datetime.timedelta(milliseconds=int(v))
+    return out
+
+
+def _avro_files(path: str) -> list:
+    if os.path.isfile(path):
+        return [path]
+    files = sorted(glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        files = sorted(glob.glob(os.path.join(path, "**", "*.avro"),
+                                 recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no .avro container files under {path!r}")
+    return files
+
+
+def spark_read_avro(spark, path: str):
+    """DataFrame over the container files at ``path`` (file or dir).
+    Schema comes from the FIRST file's writer schema (the avro_lite
+    contract); every file must carry a compatible record layout."""
+    import json as _json
+
+    import pandas as pd
+
+    files = _avro_files(path)
+    meta, _ = read_container(files[0])  # validates magic + codec
+    record_schema = _json.loads(meta["avro.schema"])
+    sstruct = avro_spark_schema(record_schema)
+    names = [f.name for f in sstruct.fields]
+    convs = _logical_converters(record_schema)
+
+    binf = (spark.read.format("binaryFile")
+            .load([f"file://{os.path.abspath(f)}" for f in files])
+            .select("content"))
+
+    def decode(it):
+        for pdf in it:
+            for content in pdf["content"]:
+                _, records = read_container_bytes(bytes(content))
+                out = pd.DataFrame.from_records(records, columns=names)
+                for col, fn in convs.items():
+                    out[col] = out[col].map(fn)
+                yield out
+
+    return binf.mapInPandas(decode, schema=sstruct)
+
+
+# ---------------------------------------------------------------- write
+
+def _spark_to_avro_field(field) -> tuple:
+    """StructField → (avro schema, row-value converter)."""
+    from pyspark.sql import types as T
+    dt = field.dataType
+    if isinstance(dt, T.BooleanType):
+        sch, fn = "boolean", lambda v: bool(v)
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        sch, fn = "int", lambda v: int(v)
+    elif isinstance(dt, T.LongType):
+        sch, fn = "long", lambda v: int(v)
+    elif isinstance(dt, T.FloatType):
+        sch, fn = "float", lambda v: float(v)
+    elif isinstance(dt, (T.DoubleType,)):
+        sch, fn = "double", lambda v: float(v)
+    elif isinstance(dt, T.StringType):
+        sch, fn = "string", lambda v: str(v)
+    elif isinstance(dt, T.BinaryType):
+        sch, fn = "bytes", lambda v: bytes(v)
+    elif isinstance(dt, T.DateType):
+        sch = {"type": "int", "logicalType": "date"}
+        fn = (lambda v: (v.date() if hasattr(v, "date") else v)
+              .toordinal() - _EPOCH.toordinal())
+    elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        sch = {"type": "long", "logicalType": "timestamp-micros"}
+        fn = (lambda v: int(v.value // 1000) if hasattr(v, "value")
+              else int(v.timestamp() * 1e6))
+    elif isinstance(dt, T.ArrayType):
+        inner = T.StructField("item", dt.elementType)
+        isch, ifn = _spark_to_avro_field(inner)
+        sch = {"type": "array", "items": isch}
+        fn = (lambda v, _ifn=ifn: [None if x is None else _ifn(x)
+                                   for x in v])
+    else:
+        raise NotImplementedError(
+            f"write_avro: column {field.name!r} of type "
+            f"{dt.simpleString()} is not supported — cast it or write "
+            "parquet/orc instead")
+    return ["null", sch], fn
+
+
+def spark_write_avro(df, path: str,
+                     output_line_limit: int = 500_000):
+    """Distributed write: one container file per non-empty partition
+    (plus ``output_line_limit`` splits within a partition), written by
+    the executors straight into ``path`` (local/shared filesystem —
+    the same contract as the delta/iceberg local writers). Returns the
+    written filenames. Overwrites ``path``."""
+    import shutil
+
+    import pandas as pd
+
+    fields = [(f.name, *_spark_to_avro_field(f)) for f in df.schema.fields]
+    avro_schema = {
+        "type": "record", "name": "row",
+        "fields": [{"name": n, "type": sch} for n, sch, _ in fields]}
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(it):
+        buf = []
+        written = []
+
+        def flush():
+            if buf:
+                fn = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+                write_container(fn, avro_schema, buf)
+                written.append(fn)
+                buf.clear()
+
+        import numpy as np
+
+        def safe(v, fn):
+            if v is None:
+                return None
+            if isinstance(v, (list, np.ndarray)):
+                return fn(list(v))
+            try:
+                if v != v:  # NaN / NaT
+                    return None
+            except Exception:  # noqa: BLE001 — non-comparable value
+                pass
+            return fn(v)
+
+        for pdf in it:
+            cols = {name: [safe(v, fn) for v in pdf[name].tolist()]
+                    for name, _sch, fn in fields}
+            for rec in (dict(zip(cols, vals))
+                        for vals in zip(*cols.values())):
+                buf.append(rec)
+                if len(buf) >= output_line_limit:
+                    flush()
+        flush()
+        yield pd.DataFrame({"filename": written})
+
+    out = df.mapInPandas(write_part, "filename string")
+    files = [r["filename"] for r in out.collect()]
+    return files
