@@ -90,7 +90,14 @@ class QuokkaContext:
     def read_csv(self, path: str, schema: list | None = None,
                  has_header: bool = False, sep: str = ",", **options) -> DataStream:
         """CSV file/dir/prefix (reference df.py:264-411). ``schema`` is a
-        name list (reference-style, untyped → types inferred)."""
+        name list (reference-style, untyped → types inferred).
+
+        Scale note: inference (`inferSchema`) is an EXTRA full scan of
+        the CSV before the real read. At lake scale either pass
+        ``samplingRatio=0.001`` (rides through ``**options``) to infer
+        from a sample, or land the data as parquet/ORC once and read
+        that — CSV re-parsing per query is the anti-pattern, not just
+        the inference pass."""
         reader = (self.spark.read.option("header", str(has_header).lower())
                   .option("sep", sep).option("inferSchema", "true")
                   .options(**options))
