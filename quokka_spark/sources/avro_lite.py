@@ -123,6 +123,31 @@ def read_container(path: str) -> tuple[dict, list]:
     return read_container_bytes(data, name=path)
 
 
+def read_container_meta(path: str, chunk: int = 65536) -> dict:
+    """Read ONLY the container header (magic + file metadata map) —
+    O(KB) regardless of file size. Used for schema inference so the
+    driver never pays a full pure-Python decode of the first file
+    (avro_source.py reads the header here, then decodes records on
+    executors)."""
+    with open(path, "rb") as f:
+        data = f.read(chunk)
+        while True:
+            try:
+                r = _Reader(data)
+                if r.read(4) != MAGIC:
+                    raise ValueError(f"{path}: not an avro container file")
+                meta = _decode(r, {"type": "map", "values": "bytes"})
+                r.read(16)  # sync marker must be present too
+                return {(k.decode() if isinstance(k, bytes) else k):
+                        (v.decode() if isinstance(v, bytes) else v)
+                        for k, v in meta.items()}
+            except (EOFError, IndexError):
+                more = f.read(max(chunk, len(data)))
+                if not more:
+                    raise EOFError(f"{path}: truncated avro header")
+                data += more
+
+
 def read_container_bytes(data: bytes, name: str = "<bytes>") \
         -> tuple[dict, list]:
     """Decode an in-memory Avro container (the executor-side entry for

@@ -17,7 +17,8 @@ Type mapping (both directions):
   Spark primitive; ``["null", X]`` unions → nullable X;
   ``{"type": "array", "items": prim}`` → ArrayType;
   logicalType ``date`` (int days) ↔ DateType and
-  ``timestamp-micros`` (long) ↔ TimestampType.
+  ``timestamp-micros`` (long) ↔ TimestampType — converted at any
+  nesting depth (array items, nested-record fields) and null-safe.
   Nested records decode to StructType on READ; richer shapes (maps,
   non-null unions, decimal logical types, struct WRITES) raise
   NotImplementedError with the exact offending field — never a silent
@@ -37,12 +38,15 @@ import glob
 import os
 import uuid
 
-from .avro_lite import read_container, read_container_bytes, write_container
+from .avro_lite import read_container_bytes, read_container_meta, \
+    write_container
 
+# bare-string primitives only; enum/fixed are dicts in valid Avro, so a
+# bare "enum"/"fixed" string falls through to the loud-gate path below
 _PRIM_TO_SPARK = {
     "boolean": "boolean", "int": "int", "long": "bigint",
     "float": "float", "double": "double", "string": "string",
-    "bytes": "binary", "enum": "string", "fixed": "binary",
+    "bytes": "binary",
 }
 
 _EPOCH = datetime.date(1970, 1, 1)
@@ -110,29 +114,57 @@ def avro_spark_schema(record_schema: dict):
         for f in record_schema["fields"]])
 
 
+def _is_missing(v) -> bool:
+    """None, or the float NaN that ``pd.DataFrame.from_records``
+    substitutes for None in numeric columns."""
+    if v is None:
+        return True
+    return isinstance(v, float) and v != v
+
+
+def _value_converter(sch):
+    """Converter from a decoded raw value to what Arrow accepts for
+    the mapped Spark type, or None when the raw value is already
+    right. Recurses into arrays and nested records so logical types
+    convert at any depth, matching the read-schema mapping in
+    ``_avro_to_spark_type``."""
+    sch, _ = _strip_null(sch)
+    if not isinstance(sch, dict):
+        return None
+    t, lt = sch.get("type"), sch.get("logicalType")
+    if lt == "date" and t == "int":
+        return (lambda v: None if _is_missing(v)
+                else _EPOCH + datetime.timedelta(days=int(v)))
+    if lt == "timestamp-micros" and t == "long":
+        return (lambda v: None if _is_missing(v)
+                else datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=int(v)))
+    if lt == "timestamp-millis" and t == "long":
+        return (lambda v: None if _is_missing(v)
+                else datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(milliseconds=int(v)))
+    if t == "array":
+        ifn = _value_converter(sch["items"])
+        if ifn is not None:
+            return (lambda v, _ifn=ifn:
+                    None if v is None else [_ifn(x) for x in v])
+        return None
+    if t == "record":
+        fns = {f["name"]: c for f in sch["fields"]
+               if (c := _value_converter(f["type"])) is not None}
+        if fns:
+            return (lambda v, _fns=fns: None if v is None else
+                    {**v, **{k: fn(v.get(k)) for k, fn in _fns.items()}})
+        return None
+    return None
+
+
 def _logical_converters(record_schema: dict) -> dict:
-    """{field: fn} decoding raw logical-type values to Python objects
-    Arrow accepts for the mapped Spark type."""
-    out = {}
-    for f in record_schema["fields"]:
-        sch, _ = _strip_null(f["type"])
-        if isinstance(sch, dict):
-            lt = sch.get("logicalType")
-            if lt == "date":
-                out[f["name"]] = \
-                    lambda v: None if v is None \
-                    else _EPOCH + datetime.timedelta(days=int(v))
-            elif lt == "timestamp-micros":
-                out[f["name"]] = \
-                    lambda v: None if v is None \
-                    else datetime.datetime(1970, 1, 1) \
-                    + datetime.timedelta(microseconds=int(v))
-            elif lt == "timestamp-millis":
-                out[f["name"]] = \
-                    lambda v: None if v is None \
-                    else datetime.datetime(1970, 1, 1) \
-                    + datetime.timedelta(milliseconds=int(v))
-    return out
+    """{field: fn} decoding raw logical-type values (at any nesting
+    depth) to Python objects Arrow accepts for the mapped Spark
+    type."""
+    return {f["name"]: c for f in record_schema["fields"]
+            if (c := _value_converter(f["type"])) is not None}
 
 
 def _avro_files(path: str) -> list:
@@ -156,7 +188,7 @@ def spark_read_avro(spark, path: str):
     import pandas as pd
 
     files = _avro_files(path)
-    meta, _ = read_container(files[0])  # validates magic + codec
+    meta = read_container_meta(files[0])  # header-only: O(KB), not O(file)
     record_schema = _json.loads(meta["avro.schema"])
     sstruct = avro_spark_schema(record_schema)
     names = [f.name for f in sstruct.fields]
@@ -223,10 +255,14 @@ def _spark_to_avro_field(field) -> tuple:
 def spark_write_avro(df, path: str,
                      output_line_limit: int = 500_000):
     """Distributed write: one container file per non-empty partition
-    (plus ``output_line_limit`` splits within a partition), written by
-    the executors straight into ``path`` (local/shared filesystem —
-    the same contract as the delta/iceberg local writers). Returns the
-    written filenames. Overwrites ``path``."""
+    (plus ``output_line_limit`` splits within a partition), on a
+    local/shared filesystem — the same contract as the delta/iceberg
+    local writers. Commit protocol: tasks write into a sibling staging
+    directory and the driver moves EXACTLY the filenames returned by
+    successful task attempts into ``path`` — orphans from failed or
+    speculative attempts are discarded, and the old ``path`` contents
+    are replaced only after the job succeeds. Returns the committed
+    filenames. Overwrites ``path`` (directory or regular file)."""
     import shutil
 
     import pandas as pd
@@ -235,9 +271,9 @@ def spark_write_avro(df, path: str,
     avro_schema = {
         "type": "record", "name": "row",
         "fields": [{"name": n, "type": sch} for n, sch, _ in fields]}
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.makedirs(path, exist_ok=True)
+    staging = (os.path.abspath(path).rstrip("/")
+               + f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
 
     def write_part(it):
         buf = []
@@ -245,7 +281,7 @@ def spark_write_avro(df, path: str,
 
         def flush():
             if buf:
-                fn = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+                fn = os.path.join(staging, f"part-{uuid.uuid4().hex}.avro")
                 write_container(fn, avro_schema, buf)
                 written.append(fn)
                 buf.clear()
@@ -275,6 +311,19 @@ def spark_write_avro(df, path: str,
         flush()
         yield pd.DataFrame({"filename": written})
 
-    out = df.mapInPandas(write_part, "filename string")
-    files = [r["filename"] for r in out.collect()]
-    return files
+    try:
+        out = df.mapInPandas(write_part, "filename string")
+        staged = [r["filename"] for r in out.collect()]
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.isfile(path):
+            os.unlink(path)
+        os.makedirs(path)
+        files = []
+        for f in staged:
+            dst = os.path.join(path, os.path.basename(f))
+            os.replace(f, dst)
+            files.append(dst)
+        return files
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -1,5 +1,7 @@
 """Unit tests: SQL-dialect shim, vector_range_join, approx sketches."""
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -1691,3 +1693,104 @@ def test_avro_roundtrip_types_and_nulls(spark, qc, tmp_path):
     with pytest.raises(NotImplementedError, match="not supported"):
         DataStream(qc, spark.sql(
             "select map('a', 1) as m")).write_avro(str(tmp_path / "bad"))
+
+
+def test_avro_null_logicals_nesting_and_commit(spark, qc, tmp_path):
+    """Review-pass regressions for the avro source: null dates and
+    timestamps survive the from_records NaN coercion; array<date>
+    converts elementwise; nested-record logical fields convert on
+    read; bare enum/fixed schema strings gate loudly; a regular-file
+    target is overwritten; overwrite discards stray files; schema
+    inference is header-only."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from quokka_spark.datastream import DataStream
+    from quokka_spark.sources.avro_lite import read_container_meta, \
+        write_container
+    from quokka_spark.sources.avro_source import _avro_to_spark_type
+
+    pdf = pd.DataFrame({
+        "id": np.arange(20, dtype="int64"),
+        "d": [datetime.date(2024, 1, 1 + i) if i % 3 else None
+              for i in range(20)],
+        "ts": [pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i)
+               if i % 4 else None for i in range(20)],
+        "ds": [[datetime.date(2024, 2, 1 + i), None] if i % 2 else None
+               for i in range(20)],
+    })
+    sch = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("ds", T.ArrayType(T.DateType())),
+    ])
+    df = spark.createDataFrame(pdf, schema=sch).repartition(3)
+    dst = str(tmp_path / "avro_nulls")
+    DataStream(qc, df).write_avro(dst)
+    back = qc.read_avro(dst).df
+    assert dict(back.dtypes) == {
+        "id": "bigint", "d": "date", "ts": "timestamp",
+        "ds": "array<date>"}
+    b = back.toPandas().sort_values("id").reset_index(drop=True)
+    assert list(b["d"].isna()) == list(pdf["d"].isna())
+    assert list(b["d"].dropna()) == list(pdf["d"].dropna())
+    assert list(b["ts"].isna()) == list(pdf["ts"].isna())
+    assert (b["ts"].dropna().values == pdf["ts"].dropna().values).all()
+    for got, want in zip(b["ds"], pdf["ds"]):
+        if want is None:
+            assert got is None or (isinstance(got, float) and got != got)
+        else:
+            assert list(got) == want
+
+    # nested-record logical field converts on read (read-only shape)
+    rec_sch = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "info", "type": ["null", {
+            "type": "record", "name": "info", "fields": [
+                {"name": "when",
+                 "type": ["null", {"type": "int", "logicalType": "date"}]},
+                {"name": "n", "type": "long"}]}]},
+    ]}
+    nested = str(tmp_path / "nested.avro")
+    write_container(nested, rec_sch, [
+        {"id": 1, "info": {"when": 19723, "n": 5}},
+        {"id": 2, "info": None},
+        {"id": 3, "info": {"when": None, "n": 7}},
+    ])
+    nb = qc.read_avro(nested).df
+    assert dict(nb.dtypes)["info"] == "struct<when:date,n:bigint>"
+    rows = {r["id"]: r["info"] for r in nb.collect()}
+    assert rows[1]["when"] == datetime.date(1970, 1, 1) \
+        + datetime.timedelta(days=19723)
+    assert rows[2] is None
+    assert rows[3]["when"] is None and rows[3]["n"] == 7
+
+    # bare enum/fixed schema strings (invalid Avro) gate loudly
+    for bad in ("enum", "fixed"):
+        with pytest.raises(NotImplementedError, match="not supported"):
+            _avro_to_spark_type(bad, "f")
+
+    # schema inference reads the header only
+    meta = read_container_meta(nested)
+    assert "row" in meta["avro.schema"]
+
+    # regular-file target is overwritten, not FileExistsError
+    filedst = str(tmp_path / "as_file.avro")
+    with open(filedst, "w") as f:
+        f.write("not avro")
+    DataStream(qc, df.select("id")).write_avro(filedst)
+    assert os.path.isdir(filedst)
+    assert qc.read_avro(filedst).df.count() == 20
+
+    # overwrite discards stray files in the target directory
+    import shutil as _sh
+    part = sorted(os.listdir(dst))[0]
+    _sh.copy(os.path.join(dst, part), os.path.join(dst, "stray.avro"))
+    DataStream(qc, df).write_avro(dst)
+    assert not os.path.exists(os.path.join(dst, "stray.avro"))
+    assert qc.read_avro(dst).df.count() == 20
+    # and no staging residue next to the target
+    assert not [p for p in os.listdir(tmp_path) if ".staging-" in p]
