@@ -1872,6 +1872,56 @@ SELECT doc_id, source FROM documents WHERE doc_id % 5 <> 0
 """
 
 
+def src_iceberg_partitioned(spark, sf_dir):
+    """read_iceberg on an identity-PARTITIONED table with
+    manifest-level pruning: lineitem split into one file set per
+    l_returnflag value, the manifests carrying each file's partition
+    record (sources/iceberg_local.py:_prune_entries). The
+    partition_filter prunes the FILE LIST from the manifests before
+    the scan — the capability a jar/catalog read gets from manifest
+    partition summaries. The agg groups BY the partition column, so a
+    wrong prune or a wrong filter both hash-mismatch; file-level
+    pruning itself is pinned in tests/test_iceberg.py via
+    inputFiles()."""
+    import glob
+    import os
+    import tempfile
+    from quokka_spark.sources.iceberg_local import \
+        create_local_iceberg_table
+    qc = _qc(spark)
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_icepart_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(os.path.join(tbl, "metadata")):
+        li = qc.read_parquet(os.path.join(sf_dir, "lineitem.parquet")).df
+        flags = [r["l_returnflag"] for r in
+                 li.select("l_returnflag").distinct().collect()]
+        entries = []
+        for v in sorted(flags):
+            d = os.path.join(tbl, "data", f"flag={v}")
+            li.filter(F.col("l_returnflag") == v).write \
+              .mode("overwrite").parquet(d)
+            entries += [{"path": p, "partition": {"l_returnflag": v}}
+                        for p in sorted(glob.glob(
+                            os.path.join(d, "*.parquet")))]
+        create_local_iceberg_table(
+            tbl, [entries],
+            schema_fields=[(1, "l_returnflag", "string")],
+            partition_spec=[{"name": "l_returnflag", "type": "string"}])
+    ds = qc.read_iceberg(tbl,
+                         partition_filter="l_returnflag IN ('N', 'R')")
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_ICEBERG_PART_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_returnflag IN ('N', 'R')
+GROUP BY l_returnflag
+"""
+
+
 def dedup_exact_best(spark, sf_dir):
     """Quality-aware exact dedup (functions/dedup.exact_dedup_keep_best):
     keep the highest-scoring capture of each duplicate group, ties by
@@ -5014,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_quantize": op_quantize,
         "src_iceberg_deletes": src_iceberg_deletes,
         "src_iceberg_eq_deletes": src_iceberg_eq_deletes,
+        "src_iceberg_partitioned": src_iceberg_partitioned,
         "text_bigram_lm": text_bigram_lm,
         "text_hash_tf": text_hash_tf,
         "op_cms": op_cms,
@@ -5135,6 +5186,7 @@ def oracle_sql() -> dict[str, str]:
         "op_quantize": _QUANTIZE_SQL,
         "src_iceberg_deletes": _SRC_ICEBERG_DELETES_SQL,
         "src_iceberg_eq_deletes": _SRC_ICEBERG_EQ_DELETES_SQL,
+        "src_iceberg_partitioned": _SRC_ICEBERG_PART_SQL,
         "text_bigram_lm": _BIGRAM_SQL,
         "text_hash_tf": _hash_tf_oracle(),
         "op_cms": _cms_oracle(),

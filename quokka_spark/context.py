@@ -185,23 +185,30 @@ class QuokkaContext:
         return DataStream(self, read_delta_local(
             self.spark, table, version, partition_filter=partition_filter))
 
-    def read_iceberg(self, table: str, snapshot: int | None = None) -> DataStream:
+    def read_iceberg(self, table: str, snapshot: int | None = None,
+                     partition_filter: str | None = None) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).
 
-        Prefers the iceberg-spark runtime jar (full capability incl.
-        row-level deletes and manifest-level partition pruning). When
-        the jar is absent and ``table`` is a local Iceberg table
-        directory, falls back to the pure-Python metadata reader
-        (sources/iceberg_local.py): snapshot → manifest-list →
-        manifests → live parquet files → native Spark parquet scan.
-        Append-only v1/v2 tables only; delete files raise a clear
-        NotImplementedError rather than returning resurrected rows."""
+        Prefers the iceberg-spark runtime jar. When the jar is absent
+        and ``table`` is a local Iceberg table directory, falls back
+        to the pure-Python metadata reader (sources/iceberg_local.py):
+        snapshot → manifest-list → manifests → live parquet files →
+        native Spark parquet scan, with v2 position AND equality
+        deletes applied as distributed anti-joins.
+        ``partition_filter`` (SQL over identity-partition columns)
+        prunes the FILE LIST from the manifests' per-file partition
+        values before the scan — manifest-level pruning, so filtered
+        reads open only matching files (on the jar path the same
+        filter is pushed down and the jar prunes natively)."""
         import os
         reader = self.spark.read.format("iceberg")
         if snapshot is not None:
             reader = reader.option("snapshot-id", snapshot)
         try:
-            return DataStream(self, reader.load(table))
+            df = reader.load(table)
+            if partition_filter:
+                df = df.filter(partition_filter)
+            return DataStream(self, df)
         except Exception as e:
             if "iceberg" not in str(e).lower() and "DATA_SOURCE" not in str(e):
                 raise
@@ -209,7 +216,9 @@ class QuokkaContext:
                                           "metadata")):
                 from .sources.iceberg_local import read_iceberg_local
                 return DataStream(
-                    self, read_iceberg_local(self.spark, table, snapshot))
+                    self, read_iceberg_local(
+                        self.spark, table, snapshot,
+                        partition_filter=partition_filter))
             raise RuntimeError(
                 "read_iceberg needs the iceberg-spark-runtime jar on the "
                 "Spark classpath (spark.jars.packages "

@@ -23,11 +23,16 @@ Scope (documented, test-enforced):
 - metadata must be locally readable (``file://`` or plain paths);
   data files pass through to Spark untouched, so remote data behind a
   mounted path works.
-- partition pruning is not re-implemented: Spark still prunes
-  row-groups/pages via parquet stats after predicate pushdown. At
-  100 TB a jar-based catalog read also prunes entire files via
-  manifest partition summaries — that is the one capability this
-  fallback trades away, and read_iceberg prefers the jar when present.
+- manifest-level partition pruning: ``partition_filter`` (a SQL
+  boolean over identity-partitioned columns) prunes the live FILE
+  LIST from the manifests' per-file partition values BEFORE the scan
+  — the capability a jar-based catalog read gets from manifest
+  partition summaries, so filtered reads touch only matching files
+  even at 100 TB. Non-identity transforms (bucket/truncate/days/…)
+  raise NotImplementedError — evaluating a column predicate against
+  transformed values needs the transform inverse, the jar's job.
+  Spark still prunes row-groups/pages via parquet stats after
+  predicate pushdown, as on raw parquet.
 
 Format reference: the public Iceberg table spec
 (https://iceberg.apache.org/spec/); Avro decoding via avro_lite.
@@ -145,8 +150,120 @@ def snapshot_files_full(table_path: str,
                         f"malformed table: data manifest "
                         f"{mf['manifest_path']} contains a file with "
                         f"content={content}")
-                data.append({"path": df["file_path"], "seq": seq})
+                data.append({"path": df["file_path"], "seq": seq,
+                             "partition": df.get("partition")})
     return data, pos_deletes, eq_deletes
+
+
+def _partition_spec_fields(meta: dict) -> list:
+    """Fields of the table's default partition spec, each
+    ``{"name", "transform", "source-id"}`` — [] when unpartitioned.
+    Reads the v2 ``partition-specs``/``default-spec-id`` shape with
+    the v1 flat ``partition-spec`` as fallback."""
+    specs = meta.get("partition-specs")
+    if specs:
+        want = meta.get("default-spec-id", specs[0].get("spec-id", 0))
+        spec = next((s for s in specs if s.get("spec-id") == want),
+                    specs[0])
+        return list(spec.get("fields", []))
+    return list(meta.get("partition-spec", []))
+
+
+_ICEBERG_TO_SPARK_TYPE = {
+    "boolean": "boolean", "int": "int", "long": "bigint",
+    "float": "float", "double": "double", "string": "string",
+    "date": "date", "timestamp": "timestamp",
+    "timestamptz": "timestamp",
+}
+
+
+def _schema_types(meta: dict) -> dict:
+    """field-id → iceberg type string from the current schema ({}
+    when the metadata carries no schema)."""
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        return {}
+    cur = meta.get("current-schema-id")
+    schema = next((s for s in schemas if s.get("schema-id") == cur),
+                  schemas[0])
+    return {int(f["id"]): f.get("type") for f in schema.get("fields", [])
+            if "id" in f and isinstance(f.get("type"), str)}
+
+
+def _prune_entries(spark, entries: list, meta: dict,
+                   partition_filter: str) -> list:
+    """Manifest-level pruning: evaluate ``partition_filter`` (SQL over
+    the identity-partition columns) against each live file's manifest
+    partition values and return only matching entries. Driver cost is
+    one O(#files) KB-scale local job — the manifests already carry
+    the values, no data file is opened."""
+    import datetime
+
+    fields = _partition_spec_fields(meta)
+    if not fields:
+        raise ValueError("partition_filter on an unpartitioned table")
+    for f in fields:
+        if f.get("transform", "identity") != "identity":
+            raise NotImplementedError(
+                f"partition_filter over transform "
+                f"{f.get('transform')!r} (field {f.get('name')!r}) — "
+                "only identity partitions are prunable without the "
+                "transform inverse; use the iceberg runtime jar")
+    types = _schema_types(meta)
+    cast_to = {}
+    for f in fields:
+        it = types.get(int(f.get("source-id", -1)), "string")
+        if it not in _ICEBERG_TO_SPARK_TYPE:
+            raise NotImplementedError(
+                f"partition column {f['name']!r} has iceberg type "
+                f"{it!r} — not supported for pruning")
+        cast_to[f["name"]] = _ICEBERG_TO_SPARK_TYPE[it]
+
+    def as_str(name, v):
+        # manifests store raw avro values; normalize to the string
+        # form Spark's cast accepts for the schema type
+        if v is None:
+            return None
+        if cast_to[name] == "date" and isinstance(v, int):
+            return (datetime.date(1970, 1, 1)
+                    + datetime.timedelta(days=v)).isoformat()
+        if cast_to[name] == "timestamp" and isinstance(v, int):
+            return (datetime.datetime(1970, 1, 1)
+                    + datetime.timedelta(microseconds=v)
+                    ).isoformat(sep=" ")
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    names = [f["name"] for f in fields]
+    rows = []
+    keep = set()
+    for i, e in enumerate(entries):
+        part = e.get("partition")
+        if part is None:
+            # a manifest entry with no partition record can't be
+            # judged — keep the file (pruning is an optimization; the
+            # defensive row filter in _live_df preserves semantics)
+            keep.add(i)
+        else:
+            rows.append((i, *[as_str(n, part.get(n)) for n in names]))
+    if rows:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (IntegerType, StringType,
+                                       StructField, StructType)
+        # explicit schema: values are spec strings; inference would
+        # crash on an all-null column
+        map_schema = StructType(
+            [StructField("__qs_i__", IntegerType(), False)]
+            + [StructField(f"__qs_p_{n}__", StringType(), True)
+               for n in names])
+        mapping = spark.createDataFrame(rows, map_schema).select(
+            "__qs_i__",
+            *[F.col(f"__qs_p_{n}__").cast(cast_to[n]).alias(n)
+              for n in names])
+        keep |= {r["__qs_i__"] for r in mapping.filter(partition_filter)
+                 .select("__qs_i__").collect()}
+    return [e for i, e in enumerate(entries) if i in keep]
 
 
 def snapshot_files(table_path: str,
@@ -210,20 +327,41 @@ def _py_norm(p: str) -> str:
 
 
 def _live_df(spark, table_path: str, snapshot_id: int | None,
-             keep_position: bool = False):
+             keep_position: bool = False,
+             partition_filter: str | None = None):
     """Live rows of a snapshot with position AND equality deletes
     applied; with ``keep_position`` the normalized (__qs_fp__,
     __qs_pos__) columns survive — the upsert path needs them to
-    address matched rows."""
+    address matched rows. ``partition_filter`` prunes the data-file
+    list from the manifests' partition values before the scan."""
     from pyspark.sql import functions as F
     entries, deletes, eq_deletes = snapshot_files_full(
         table_path, snapshot_id)
+    spec_names = []
+    if partition_filter:
+        meta = _read_table_metadata(table_path)
+        entries = _prune_entries(spark, entries, meta, partition_filter)
+        spec_names = [f["name"] for f in _partition_spec_fields(meta)]
     paths = [d["path"] for d in entries]
     if not paths:
-        raise ValueError(f"{table_path}: snapshot has no data files")
+        raise ValueError(f"{table_path}: snapshot has no data files"
+                         + (f" matching {partition_filter!r}"
+                            if partition_filter else ""))
     df = (spark.read.parquet(*paths)
           .withColumn("__qs_fp__", _norm_path(F.col("_metadata.file_path")))
           .withColumn("__qs_pos__", F.col("_metadata.row_index")))
+    if partition_filter:
+        if all(n in df.columns for n in spec_names):
+            # identity partition source columns live in the data files
+            # (spec), so the filter also applies row-level — pruning
+            # stays a pure optimization even for files kept
+            # conservatively (no manifest partition record)
+            df = df.filter(partition_filter)
+        elif any(e.get("partition") is None for e in entries):
+            raise NotImplementedError(
+                "partition_filter: some manifest entries carry no "
+                "partition record and the partition columns are not "
+                "in the data files — cannot evaluate the filter")
     if deletes:
         dd = (spark.read.parquet(*[_local(p) for p in deletes])
               .select(_norm_path(F.col("file_path")).alias("__qs_dfp__"),
@@ -265,11 +403,18 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
     return df if keep_position else df.drop("__qs_fp__", "__qs_pos__")
 
 
-def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None):
+def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
+                       partition_filter: str | None = None):
     """Spark DataFrame over a local Iceberg table's live data files,
     with v2 POSITION deletes applied as an anti-join on (file, row
     position) and v2 EQUALITY deletes as sequence-scoped null-safe
     anti-joins on their ``equality_ids`` columns.
+
+    ``partition_filter`` (SQL over identity-partition columns) prunes
+    the file list from the MANIFESTS' per-file partition values before
+    the scan — manifest-level pruning, so a filtered read opens only
+    matching data files (identity partition source columns are stored
+    in the data files per spec, so no value join-back is needed).
 
     Both delete applications are fully distributed: data files feed
     Spark's native parquet scan with ``_metadata.file_path`` /
@@ -279,7 +424,8 @@ def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None):
     never pass through the driver. The only driver-side piece is the
     KB-scale (file path → sequence number) map equality scoping
     needs."""
-    return _live_df(spark, table_path, snapshot_id)
+    return _live_df(spark, table_path, snapshot_id,
+                    partition_filter=partition_filter)
 
 
 def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
@@ -347,26 +493,59 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
     ]}
 
+_AVRO_PART_TYPES = {
+    "int": "int", "long": "long", "string": "string",
+    "float": "float", "double": "double", "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+def _manifest_entry_schema(partition_spec: list | None) -> dict:
+    """The manifest-entry avro schema, with a ``partition`` record
+    matching ``partition_spec`` (``[{"name", "type", ...}]``) spliced
+    into data_file when the table is partitioned — raw values use the
+    spec's avro single-value encoding (dates as int days etc.)."""
+    sch = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    if partition_spec:
+        pf = {"name": "partition", "field-id": 102, "type": ["null", {
+            "type": "record", "name": "partition_rec", "fields": [
+                {"name": f["name"],
+                 "type": ["null",
+                          _AVRO_PART_TYPES[f.get("type", "string")]],
+                 "field-id": f.get("field-id", 1000 + i)}
+                for i, f in enumerate(partition_spec)]}]}
+        sch["fields"][2]["type"]["fields"].insert(2, pf)
+    return sch
+
 
 def create_local_iceberg_table(table_dir: str, snapshots: list,
-                               schema_fields: list | None = None
+                               schema_fields: list | None = None,
+                               partition_spec: list | None = None
                                ) -> list[int]:
-    """Write a spec-shaped unpartitioned Iceberg v2 table whose
-    snapshot N contains ``snapshots[N]`` — either a plain list of
-    parquet data-file paths, or a dict ``{"data": [...],
-    "deletes": [...], "eq_deletes": [...]}`` where ``deletes`` are
-    position-delete parquet files (columns file_path, pos) and
-    ``eq_deletes`` are ``{"path": ..., "equality_ids": [...],
-    "seq": N}`` equality-delete parquet files (``seq`` defaults to the
-    snapshot that introduces them; existing files keep their original
-    seq when carried forward by commit_snapshot). Files are referenced
-    in place, not copied — KB of metadata around existing data.
-    ``schema_fields``: optional ``[(field_id, name), ...]`` embedded
-    as the table schema so equality_ids resolve to column names.
+    """Write a spec-shaped Iceberg v2 table whose snapshot N contains
+    ``snapshots[N]`` — either a plain list of parquet data-file paths,
+    or a dict ``{"data": [...], "deletes": [...], "eq_deletes":
+    [...]}`` where ``deletes`` are position-delete parquet files
+    (columns file_path, pos) and ``eq_deletes`` are ``{"path": ...,
+    "equality_ids": [...], "seq": N}`` equality-delete parquet files
+    (``seq`` defaults to the snapshot that introduces them; existing
+    files keep their original seq when carried forward by
+    commit_snapshot). Files are referenced in place, not copied — KB
+    of metadata around existing data.
+    ``schema_fields``: optional ``[(field_id, name)]`` or
+    ``[(field_id, name, iceberg_type)]`` embedded as the table schema
+    so equality_ids and partition types resolve.
+    ``partition_spec``: optional ``[{"name", "type", "source-id"?,
+    "transform"?}]`` — data spec items then carry their manifest
+    partition values as ``{"path", "partition": {name: value}}``
+    (raw avro single-value encoding: dates as int days).
     Returns the snapshot ids (1-based)."""
     from .avro_lite import write_container
     meta_dir = os.path.join(_local(table_dir), "metadata")
     os.makedirs(meta_dir, exist_ok=True)
+    entry_schema = _manifest_entry_schema(partition_spec)
     snap_entries = []
     for i, spec in enumerate(snapshots, start=1):
         if isinstance(spec, dict):
@@ -375,25 +554,29 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
         else:
             files, dels, eq_dels = spec, [], []
 
-        def entry(p, content, equality_ids=None, seq=None):
+        def entry(p, content, equality_ids=None, seq=None,
+                  partition=None):
             return {"status": 1, "snapshot_id": seq or i, "data_file": {
                 "content": content, "file_path": p,
                 "file_format": "PARQUET", "record_count": 0,
                 "file_size_in_bytes": os.path.getsize(_local(p)),
+                "partition": partition,
                 "equality_ids": ([int(x) for x in equality_ids]
                                  if equality_ids else None)}}
 
         def data_entry(spec_item):
-            # plain path (seq = this snapshot) or {"path", "seq"} —
-            # carried-forward files keep their ORIGINAL sequence so
-            # equality-delete scoping stays correct across commits
+            # plain path (seq = this snapshot) or {"path", "seq",
+            # "partition"} — carried-forward files keep their ORIGINAL
+            # sequence so equality-delete scoping stays correct across
+            # commits, and their partition values
             if isinstance(spec_item, dict):
                 return entry(spec_item["path"], 0,
-                             seq=spec_item.get("seq"))
+                             seq=spec_item.get("seq"),
+                             partition=spec_item.get("partition"))
             return entry(spec_item, 0)
 
         manifest = os.path.join(meta_dir, f"manifest-{i}.avro")
-        write_container(manifest, _MANIFEST_ENTRY_SCHEMA,
+        write_container(manifest, entry_schema,
                         [data_entry(p) for p in files])
         mlist_rows = [{"manifest_path": manifest,
                        "manifest_length": os.path.getsize(manifest),
@@ -402,7 +585,7 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
         if dels or eq_dels:
             dmanifest = os.path.join(meta_dir, f"manifest-{i}-deletes.avro")
             write_container(
-                dmanifest, _MANIFEST_ENTRY_SCHEMA,
+                dmanifest, entry_schema,
                 [entry(p, 1) for p in dels]
                 + [entry(d["path"], 2, d.get("equality_ids"),
                          d.get("seq")) for d in eq_dels])
@@ -419,14 +602,25 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
     schemas = []
     if schema_fields:
         schemas = [{"schema-id": 0, "type": "struct",
-                    "fields": [{"id": int(fid), "name": name,
-                                "required": False, "type": "string"}
-                               for fid, name in schema_fields]}]
+                    "fields": [{"id": int(t[0]), "name": t[1],
+                                "required": False,
+                                "type": (t[2] if len(t) > 2
+                                         else "string")}
+                               for t in schema_fields]}]
+    name_to_fid = {t[1]: int(t[0]) for t in (schema_fields or [])}
+    spec_fields = [
+        {"name": f["name"],
+         "transform": f.get("transform", "identity"),
+         "source-id": f.get("source-id",
+                            name_to_fid.get(f["name"], 1000 + i)),
+         "field-id": f.get("field-id", 1000 + i)}
+        for i, f in enumerate(partition_spec or [])]
     meta = {"format-version": 2, "table-uuid": "0" * 32,
             "location": table_dir, "last-sequence-number": n,
             "current-snapshot-id": n, "snapshots": snap_entries,
             "schemas": schemas, "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}]}
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}]}
     with open(os.path.join(meta_dir, f"v{n}.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
@@ -459,11 +653,24 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
     numbers. Metadata-only; returns the new snapshot id."""
     prior: list[dict] = []
     schema_fields = None
+    partition_spec = None
     if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
         meta = _read_table_metadata(table_dir)
         names = _field_names(table_dir)
+        types = _schema_types(meta)
         if names:
-            schema_fields = sorted(names.items())
+            schema_fields = [(fid, name, types.get(fid, "string"))
+                             for fid, name in sorted(names.items())]
+        spec = _partition_spec_fields(meta)
+        if spec:
+            partition_spec = [
+                {"name": f["name"],
+                 "transform": f.get("transform", "identity"),
+                 "source-id": f.get("source-id"),
+                 "field-id": f.get("field-id"),
+                 "type": types.get(int(f.get("source-id", -1)),
+                                   "string")}
+                for f in spec]
         for s in meta.get("snapshots", []):
             d, dels, eqs = snapshot_files_full(table_dir,
                                                s.get("snapshot-id"))
@@ -475,7 +682,8 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                 "eq_deletes": (current["eq_deletes"]
                                + list(add_eq_delete_files or []))}
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
-                                     schema_fields=schema_fields)
+                                     schema_fields=schema_fields,
+                                     partition_spec=partition_spec)
     return ids[-1]
 
 

@@ -230,3 +230,130 @@ def test_upsert_replaces_matching_keys_atomically(qc, spark, tmp_path):
     expect[42] = 1
     assert got2 == expect
     assert s2 > s1
+
+
+# ----------------------------------------------------------------------
+# manifest-level partition pruning (round 7)
+# ----------------------------------------------------------------------
+
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    """Identity-partitioned table: r in {EU, US}, one data file per
+    partition value, manifests carrying the partition records."""
+    import pandas as pd
+    eu, us = str(tmp_path / "eu.parquet"), str(tmp_path / "us.parquet")
+    pd.DataFrame({"id": range(0, 10), "r": ["EU"] * 10}).to_parquet(eu)
+    pd.DataFrame({"id": range(10, 25), "r": ["US"] * 15}).to_parquet(us)
+    tbl = str(tmp_path / "ptbl")
+    create_local_iceberg_table(
+        tbl,
+        [[{"path": eu, "partition": {"r": "EU"}},
+          {"path": us, "partition": {"r": "US"}}]],
+        schema_fields=[(1, "id", "long"), (2, "r", "string")],
+        partition_spec=[{"name": "r", "type": "string"}])
+    return tbl, eu, us
+
+
+def test_partition_filter_prunes_file_list(qc, ptable):
+    """The scan must OPEN only files whose manifest partition values
+    match — manifest-level pruning, not just a row filter."""
+    tbl, eu, us = ptable
+    df = qc.read_iceberg(tbl, partition_filter="r = 'EU'").df
+    assert sorted(r["id"] for r in df.collect()) == list(range(10))
+    files = df.inputFiles()
+    assert len(files) == 1 and files[0].endswith("eu.parquet")
+    # unfiltered read still sees both
+    assert len(qc.read_iceberg(tbl).df.inputFiles()) == 2
+
+
+def test_partition_filter_on_unpartitioned_raises(qc, table):
+    tbl, _ = table
+    with pytest.raises(ValueError, match="unpartitioned"):
+        qc.read_iceberg(tbl, partition_filter="id > 3").df.count()
+
+
+def test_partition_filter_nothing_matches_is_clear_error(qc, ptable):
+    tbl, _, _ = ptable
+    with pytest.raises(ValueError, match="no data files matching"):
+        qc.read_iceberg(tbl, partition_filter="r = 'JP'")
+
+
+def test_partition_filter_non_identity_transform_gated(spark, qc,
+                                                       tmp_path):
+    """bucket/truncate/days transforms cannot be pruned without the
+    transform inverse — loud gate, never a silent misread."""
+    import pandas as pd
+    f = str(tmp_path / "f.parquet")
+    pd.DataFrame({"id": [1], "r": ["EU"]}).to_parquet(f)
+    tbl = str(tmp_path / "btbl")
+    create_local_iceberg_table(
+        tbl, [[{"path": f, "partition": {"r_bucket": 3}}]],
+        schema_fields=[(1, "id", "long"), (2, "r", "string")],
+        partition_spec=[{"name": "r_bucket", "type": "int",
+                         "source-id": 2, "transform": "bucket[4]"}])
+    with pytest.raises(NotImplementedError, match="bucket"):
+        qc.read_iceberg(tbl, partition_filter="r_bucket = 3")
+
+
+def test_partition_filter_date_typed(spark, qc, tmp_path):
+    """Date partition values are stored as raw int days in manifests;
+    pruning must cast them back before evaluating the filter."""
+    import datetime
+
+    import pandas as pd
+    d1 = datetime.date(2024, 1, 1)
+    d2 = datetime.date(2024, 1, 2)
+    f1, f2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    pd.DataFrame({"id": [1, 2], "d": [d1, d1]}).to_parquet(f1)
+    pd.DataFrame({"id": [3], "d": [d2]}).to_parquet(f2)
+    tbl = str(tmp_path / "dtbl")
+    epoch = datetime.date(1970, 1, 1)
+    create_local_iceberg_table(
+        tbl,
+        [[{"path": f1, "partition": {"d": (d1 - epoch).days}},
+          {"path": f2, "partition": {"d": (d2 - epoch).days}}]],
+        schema_fields=[(1, "id", "long"), (2, "d", "date")],
+        partition_spec=[{"name": "d", "type": "date"}])
+    df = qc.read_iceberg(
+        tbl, partition_filter="d >= date'2024-01-02'").df
+    assert [r["id"] for r in df.collect()] == [3]
+    assert len(df.inputFiles()) == 1
+
+
+def test_partition_filter_composes_with_deletes_and_travel(qc, spark,
+                                                           ptable):
+    """Pruning + position deletes + time travel stack: the delete
+    hides a row in the kept file; travel to the pre-delete snapshot
+    restores it — filter active throughout."""
+    from quokka_spark.sources.iceberg_local import add_position_deletes
+    tbl, eu, us = ptable
+    s2 = add_position_deletes(tbl, {eu: [0]})  # delete id=0
+    df = qc.read_iceberg(tbl, partition_filter="r = 'EU'").df
+    assert sorted(r["id"] for r in df.collect()) == list(range(1, 10))
+    pre = qc.read_iceberg(tbl, snapshot=1,
+                          partition_filter="r = 'EU'").df
+    assert sorted(r["id"] for r in pre.collect()) == list(range(10))
+    assert s2 == 2
+
+
+def test_partition_spec_survives_commits_and_unknown_files_kept(
+        qc, spark, ptable, tmp_path):
+    """append_snapshot rewrites the metadata through commit_snapshot —
+    the partition spec must survive; a file appended WITHOUT manifest
+    partition values is kept conservatively and the defensive row
+    filter preserves exact semantics."""
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import append_snapshot
+    tbl, eu, us = ptable
+    extra = str(tmp_path / "extra.parquet")
+    pd.DataFrame({"id": [100, 101], "r": ["EU", "US"]}).to_parquet(extra)
+    append_snapshot(tbl, [extra])
+    df = qc.read_iceberg(tbl, partition_filter="r = 'EU'").df
+    # pruned to eu.parquet + the unknown-partition file; row filter
+    # then drops the US row inside it
+    assert sorted(r["id"] for r in df.collect()) == \
+        list(range(10)) + [100]
+    files = df.inputFiles()
+    assert len(files) == 2
+    assert not any(f.endswith("us.parquet") for f in files)
