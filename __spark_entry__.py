@@ -1922,6 +1922,50 @@ GROUP BY l_returnflag
 """
 
 
+def src_iceberg_bounds(spark, sf_dir):
+    """read_iceberg with scan_filter file skipping: lineitem is
+    range-split on l_orderkey into disjoint files and the manifests
+    carry footer-derived lower/upper bounds
+    (iceberg_local.create_local_iceberg_table(collect_bounds=...),
+    the values a real writer records). The scan_filter then skips
+    whole files whose bounds refute it BEFORE the scan — min/max
+    manifest pruning, the 100 TB capability that avoids even opening
+    non-matching files' footers — and applies row-level for exact
+    semantics (pruning is provably-empty-only, so any predicate
+    shape stays correct). File-level skipping itself is pinned in
+    tests/test_iceberg.py via inputFiles()."""
+    import glob
+    import os
+    import tempfile
+    from quokka_spark.sources.iceberg_local import \
+        create_local_iceberg_table
+    qc = _qc(spark)
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_icebounds_" + sf_dir.strip("/").replace("/", "_"))
+    d = os.path.join(tbl, "data")
+    if not os.path.isdir(os.path.join(tbl, "metadata")):
+        li = qc.read_parquet(os.path.join(sf_dir, "lineitem.parquet")).df
+        (li.repartitionByRange(4, F.col("l_orderkey"))
+           .write.mode("overwrite").parquet(d))
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        create_local_iceberg_table(
+            tbl, [files],
+            schema_fields=[(1, "l_orderkey", "long")],
+            collect_bounds=["l_orderkey"])
+    ds = qc.read_iceberg(tbl, scan_filter="l_orderkey <= 15000")
+    return ds.df.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+_SRC_ICEBERG_BOUNDS_SQL = """
+SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_orderkey <= 15000
+GROUP BY l_linestatus
+"""
+
+
 def dedup_exact_best(spark, sf_dir):
     """Quality-aware exact dedup (functions/dedup.exact_dedup_keep_best):
     keep the highest-scoring capture of each duplicate group, ties by
@@ -5065,6 +5109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_iceberg_deletes": src_iceberg_deletes,
         "src_iceberg_eq_deletes": src_iceberg_eq_deletes,
         "src_iceberg_partitioned": src_iceberg_partitioned,
+        "src_iceberg_bounds": src_iceberg_bounds,
         "text_bigram_lm": text_bigram_lm,
         "text_hash_tf": text_hash_tf,
         "op_cms": op_cms,
@@ -5187,6 +5232,7 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_deletes": _SRC_ICEBERG_DELETES_SQL,
         "src_iceberg_eq_deletes": _SRC_ICEBERG_EQ_DELETES_SQL,
         "src_iceberg_partitioned": _SRC_ICEBERG_PART_SQL,
+        "src_iceberg_bounds": _SRC_ICEBERG_BOUNDS_SQL,
         "text_bigram_lm": _BIGRAM_SQL,
         "text_hash_tf": _hash_tf_oracle(),
         "op_cms": _cms_oracle(),

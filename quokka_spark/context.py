@@ -186,7 +186,8 @@ class QuokkaContext:
             self.spark, table, version, partition_filter=partition_filter))
 
     def read_iceberg(self, table: str, snapshot: int | None = None,
-                     partition_filter: str | None = None) -> DataStream:
+                     partition_filter: str | None = None,
+                     scan_filter: str | None = None) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).
 
         Prefers the iceberg-spark runtime jar. When the jar is absent
@@ -197,9 +198,12 @@ class QuokkaContext:
         deletes applied as distributed anti-joins.
         ``partition_filter`` (SQL over identity-partition columns)
         prunes the FILE LIST from the manifests' per-file partition
-        values before the scan — manifest-level pruning, so filtered
-        reads open only matching files (on the jar path the same
-        filter is pushed down and the jar prunes natively)."""
+        values before the scan; ``scan_filter`` (SQL over any column)
+        applies row-level AND skips files whose manifest column
+        bounds refute simple ``col op literal`` conjunctions —
+        manifest-level pruning, so filtered reads open only matching
+        files (on the jar path both filters are pushed down and the
+        jar prunes natively)."""
         import os
         reader = self.spark.read.format("iceberg")
         if snapshot is not None:
@@ -208,6 +212,8 @@ class QuokkaContext:
             df = reader.load(table)
             if partition_filter:
                 df = df.filter(partition_filter)
+            if scan_filter:
+                df = df.filter(scan_filter)
             return DataStream(self, df)
         except Exception as e:
             if "iceberg" not in str(e).lower() and "DATA_SOURCE" not in str(e):
@@ -218,7 +224,8 @@ class QuokkaContext:
                 return DataStream(
                     self, read_iceberg_local(
                         self.spark, table, snapshot,
-                        partition_filter=partition_filter))
+                        partition_filter=partition_filter,
+                        scan_filter=scan_filter))
             raise RuntimeError(
                 "read_iceberg needs the iceberg-spark-runtime jar on the "
                 "Spark classpath (spark.jars.packages "

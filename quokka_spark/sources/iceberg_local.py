@@ -40,8 +40,11 @@ Format reference: the public Iceberg table spec
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import re
+import struct
 
 from .avro_lite import read_container
 
@@ -151,8 +154,23 @@ def snapshot_files_full(table_path: str,
                         f"{mf['manifest_path']} contains a file with "
                         f"content={content}")
                 data.append({"path": df["file_path"], "seq": seq,
-                             "partition": df.get("partition")})
+                             "partition": df.get("partition"),
+                             "lower_bounds":
+                                 _bounds_map(df.get("lower_bounds")),
+                             "upper_bounds":
+                                 _bounds_map(df.get("upper_bounds"))})
     return data, pos_deletes, eq_deletes
+
+
+def _bounds_map(raw) -> dict:
+    """Manifest column bounds → {field-id: bytes}. Real manifests
+    encode the int-keyed map as an avro array of {key, value}
+    records; fixtures may carry a plain dict."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    return {int(e["key"]): e["value"] for e in raw}
 
 
 def _partition_spec_fields(meta: dict) -> list:
@@ -188,6 +206,109 @@ def _schema_types(meta: dict) -> dict:
                   schemas[0])
     return {int(f["id"]): f.get("type") for f in schema.get("fields", [])
             if "id" in f and isinstance(f.get("type"), str)}
+
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_TS = datetime.datetime(1970, 1, 1)
+
+# Iceberg single-value binary serialization (spec Appendix D) —
+# little-endian numbers, UTF-8 strings
+_BOUND_DECODERS = {
+    "boolean": lambda b: b != b"\x00",
+    "int": lambda b: struct.unpack("<i", b)[0],
+    "long": lambda b: struct.unpack("<q", b)[0],
+    "float": lambda b: struct.unpack("<f", b)[0],
+    "double": lambda b: struct.unpack("<d", b)[0],
+    "string": lambda b: b.decode("utf-8"),
+    "date": lambda b: _EPOCH_DATE + datetime.timedelta(
+        days=struct.unpack("<i", b)[0]),
+    "timestamp": lambda b: _EPOCH_TS + datetime.timedelta(
+        microseconds=struct.unpack("<q", b)[0]),
+    "timestamptz": lambda b: _EPOCH_TS + datetime.timedelta(
+        microseconds=struct.unpack("<q", b)[0]),
+}
+
+
+def _parse_literal(s: str):
+    """A single SQL literal → Python value, or None when ``s`` is not
+    exactly one supported literal (the conservative answer)."""
+    s = s.strip()
+    m = re.fullmatch(r"(?i:date)\s*'([^']*)'", s)
+    if m:
+        return datetime.date.fromisoformat(m.group(1))
+    m = re.fullmatch(r"(?i:timestamp)\s*'([^']*)'", s)
+    if m:
+        return datetime.datetime.fromisoformat(m.group(1))
+    m = re.fullmatch(r"'([^']*)'", s)
+    if m:
+        return m.group(1)
+    if re.fullmatch(r"[-+]?\d+", s):
+        return int(s)
+    if re.fullmatch(r"[-+]?(\d*\.\d+|\d+\.?)([eE][-+]?\d+)?", s):
+        return float(s)
+    return None
+
+
+def _parse_conjuncts(expr: str):
+    """``col op literal AND ...`` → [(col, op, value)], or None when
+    any part is not that shape (OR, parens, functions, IN, ... —
+    pruning then simply doesn't happen; the row filter still runs)."""
+    atoms = []
+    for part in re.split(r"(?i)\s+and\s+", expr.strip()):
+        m = re.fullmatch(
+            r"\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)\s*(.+?)\s*", part)
+        if not m:
+            return None
+        col, op, lit = m.groups()
+        v = _parse_literal(lit)
+        if v is None:
+            return None
+        atoms.append((col, "=" if op == "==" else op, v))
+    return atoms or None
+
+
+def _prune_by_bounds(entries: list, meta: dict,
+                     scan_filter: str) -> list:
+    """Keep only files whose manifest column bounds ADMIT the filter —
+    sound file skipping: a file is dropped only when a supported
+    conjunct is provably false over its [lower, upper] range; any
+    unsupported shape, missing bound, or type surprise keeps the file
+    (the scan_filter is always applied row-level too, so pruning is a
+    pure optimization)."""
+    atoms = _parse_conjuncts(scan_filter)
+    if not atoms:
+        return entries
+    name_to_fid = {name: fid
+                   for fid, name in _field_names_of(meta).items()}
+    types = _schema_types(meta)
+
+    def may_match(e) -> bool:
+        for col, op, v in atoms:
+            fid = name_to_fid.get(col)
+            dec = _BOUND_DECODERS.get(types.get(fid, ""))
+            if fid is None or dec is None:
+                continue
+            blo = (e.get("lower_bounds") or {}).get(fid)
+            bhi = (e.get("upper_bounds") or {}).get(fid)
+            try:
+                lo = dec(blo) if blo is not None else None
+                hi = dec(bhi) if bhi is not None else None
+                if op == "=" and ((lo is not None and v < lo)
+                                  or (hi is not None and v > hi)):
+                    return False
+                if op == "<" and lo is not None and lo >= v:
+                    return False
+                if op == "<=" and lo is not None and lo > v:
+                    return False
+                if op == ">" and hi is not None and hi <= v:
+                    return False
+                if op == ">=" and hi is not None and hi < v:
+                    return False
+            except (TypeError, ValueError, struct.error):
+                continue  # incomparable literal/bound → keep
+        return True
+
+    return [e for e in entries if may_match(e)]
 
 
 def _prune_entries(spark, entries: list, meta: dict,
@@ -310,7 +431,10 @@ def _field_names(table_path: str) -> dict:
     """field-id → column-name map from the table metadata's current
     schema ({} when the metadata carries no schema — minimal local
     fixtures)."""
-    meta = _read_table_metadata(table_path)
+    return _field_names_of(_read_table_metadata(table_path))
+
+
+def _field_names_of(meta: dict) -> dict:
     schemas = meta.get("schemas") or []
     if not schemas:
         return {}
@@ -328,25 +452,31 @@ def _py_norm(p: str) -> str:
 
 def _live_df(spark, table_path: str, snapshot_id: int | None,
              keep_position: bool = False,
-             partition_filter: str | None = None):
+             partition_filter: str | None = None,
+             scan_filter: str | None = None):
     """Live rows of a snapshot with position AND equality deletes
     applied; with ``keep_position`` the normalized (__qs_fp__,
     __qs_pos__) columns survive — the upsert path needs them to
     address matched rows. ``partition_filter`` prunes the data-file
-    list from the manifests' partition values before the scan."""
+    list from the manifests' partition values before the scan;
+    ``scan_filter`` skips files whose manifest column bounds refute it
+    and then applies row-level."""
     from pyspark.sql import functions as F
     entries, deletes, eq_deletes = snapshot_files_full(
         table_path, snapshot_id)
     spec_names = []
-    if partition_filter:
+    if partition_filter or scan_filter:
         meta = _read_table_metadata(table_path)
+    if partition_filter:
         entries = _prune_entries(spark, entries, meta, partition_filter)
         spec_names = [f["name"] for f in _partition_spec_fields(meta)]
+    if scan_filter:
+        entries = _prune_by_bounds(entries, meta, scan_filter)
     paths = [d["path"] for d in entries]
     if not paths:
         raise ValueError(f"{table_path}: snapshot has no data files"
-                         + (f" matching {partition_filter!r}"
-                            if partition_filter else ""))
+                         + (f" matching {partition_filter or scan_filter!r}"
+                            if (partition_filter or scan_filter) else ""))
     df = (spark.read.parquet(*paths)
           .withColumn("__qs_fp__", _norm_path(F.col("_metadata.file_path")))
           .withColumn("__qs_pos__", F.col("_metadata.row_index")))
@@ -362,6 +492,11 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
                 "partition_filter: some manifest entries carry no "
                 "partition record and the partition columns are not "
                 "in the data files — cannot evaluate the filter")
+    if scan_filter:
+        # always row-level too: bounds skipping is a pure optimization
+        # (files are dropped only on a proven-empty range), so the
+        # filter's exact semantics come from here
+        df = df.filter(scan_filter)
     if deletes:
         dd = (spark.read.parquet(*[_local(p) for p in deletes])
               .select(_norm_path(F.col("file_path")).alias("__qs_dfp__"),
@@ -404,7 +539,8 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
 
 
 def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
-                       partition_filter: str | None = None):
+                       partition_filter: str | None = None,
+                       scan_filter: str | None = None):
     """Spark DataFrame over a local Iceberg table's live data files,
     with v2 POSITION deletes applied as an anti-join on (file, row
     position) and v2 EQUALITY deletes as sequence-scoped null-safe
@@ -416,6 +552,13 @@ def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
     matching data files (identity partition source columns are stored
     in the data files per spec, so no value join-back is needed).
 
+    ``scan_filter`` (SQL over ANY column) is applied row-level AND,
+    for ``col op literal [AND ...]`` shapes, skips whole files whose
+    manifest ``lower_bounds``/``upper_bounds`` prove the filter false
+    — sound min/max file skipping, the other half of manifest-level
+    pruning. Unsupported predicate shapes just skip the file-level
+    step (the row filter still runs).
+
     Both delete applications are fully distributed: data files feed
     Spark's native parquet scan with ``_metadata.file_path`` /
     ``row_index`` (no Python, no driver materialization), delete files
@@ -425,7 +568,8 @@ def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
     KB-scale (file path → sequence number) map equality scoping
     needs."""
     return _live_df(spark, table_path, snapshot_id,
-                    partition_filter=partition_filter)
+                    partition_filter=partition_filter,
+                    scan_filter=scan_filter)
 
 
 def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
@@ -466,6 +610,15 @@ def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
 # snapshotting existing parquet into a time-travelable layout)
 # ----------------------------------------------------------------------
 
+def _kv_bytes(name: str, kid: int, vid: int) -> dict:
+    """Avro shape of an int-keyed bytes map (array of key/value
+    records — the spec's encoding for non-string-keyed maps)."""
+    return {"type": "array", "items": {
+        "type": "record", "name": name, "fields": [
+            {"name": "key", "type": "int", "field-id": kid},
+            {"name": "value", "type": "bytes", "field-id": vid}]}}
+
+
 _MANIFEST_ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
@@ -478,11 +631,85 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                {"name": "lower_bounds",
+                 "type": ["null", _kv_bytes("kv_lower", 126, 127)],
+                 "field-id": 125},
+                {"name": "upper_bounds",
+                 "type": ["null", _kv_bytes("kv_upper", 129, 130)],
+                 "field-id": 128},
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}],
                  "field-id": 135},
             ]}},
     ]}
+
+
+def _enc_date(v) -> bytes:
+    if isinstance(v, datetime.datetime):
+        v = v.date()
+    if isinstance(v, datetime.date):
+        return struct.pack("<i", (v - _EPOCH_DATE).days)
+    return struct.pack("<i", int(v))
+
+
+def _enc_timestamp(v) -> bytes:
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        td = v.replace(tzinfo=None) - _EPOCH_TS
+        micros = (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                  + td.microseconds)
+        return struct.pack("<q", micros)
+    return struct.pack("<q", int(v))
+
+
+_BOUND_ENCODERS = {
+    "boolean": lambda v: b"\x01" if v else b"\x00",
+    "int": lambda v: struct.pack("<i", int(v)),
+    "long": lambda v: struct.pack("<q", int(v)),
+    "float": lambda v: struct.pack("<f", float(v)),
+    "double": lambda v: struct.pack("<d", float(v)),
+    "string": lambda v: str(v).encode("utf-8"),
+    "date": _enc_date,
+    "timestamp": _enc_timestamp,
+    "timestamptz": _enc_timestamp,
+}
+
+
+def _footer_bounds(path: str, wanted: dict) -> tuple:
+    """(lower, upper) bounds maps ``{field-id: bytes}`` for the
+    columns in ``wanted`` (``{name: (field-id, iceberg type)}``),
+    aggregated over the parquet file's row-group statistics — the
+    values a real writer puts in the manifest, sourced the same way
+    (footer stats), no data read."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(_local(path)).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if name not in wanted:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mins[name] = st.min if name not in mins \
+                else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs \
+                else max(maxs[name], st.max)
+    lo, hi = {}, {}
+    for name, (fid, ityp) in wanted.items():
+        enc = _BOUND_ENCODERS.get(ityp)
+        if enc is None:
+            continue
+        if name in mins:
+            lo[fid] = enc(mins[name])
+        if name in maxs:
+            hi[fid] = enc(maxs[name])
+    return lo, hi
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record", "name": "manifest_file", "fields": [
@@ -522,7 +749,8 @@ def _manifest_entry_schema(partition_spec: list | None) -> dict:
 
 def create_local_iceberg_table(table_dir: str, snapshots: list,
                                schema_fields: list | None = None,
-                               partition_spec: list | None = None
+                               partition_spec: list | None = None,
+                               collect_bounds: list | None = None
                                ) -> list[int]:
     """Write a spec-shaped Iceberg v2 table whose snapshot N contains
     ``snapshots[N]`` — either a plain list of parquet data-file paths,
@@ -541,11 +769,33 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
     "transform"?}]`` — data spec items then carry their manifest
     partition values as ``{"path", "partition": {name: value}}``
     (raw avro single-value encoding: dates as int days).
+    ``collect_bounds``: optional column names whose per-file min/max
+    are read from the parquet FOOTER statistics and written into the
+    manifests as lower_bounds/upper_bounds (requires typed
+    ``schema_fields``) — what a real writer records, enabling
+    scan_filter file skipping. Spec items may instead carry explicit
+    ``{"lower_bounds": {fid: bytes}, "upper_bounds": ...}``.
     Returns the snapshot ids (1-based)."""
     from .avro_lite import write_container
     meta_dir = os.path.join(_local(table_dir), "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     entry_schema = _manifest_entry_schema(partition_spec)
+    wanted_bounds = {}
+    if collect_bounds:
+        by_name = {t[1]: (int(t[0]), t[2] if len(t) > 2 else "string")
+                   for t in (schema_fields or [])}
+        missing = [c for c in collect_bounds if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"collect_bounds columns {missing} not in schema_fields")
+        wanted_bounds = {c: by_name[c] for c in collect_bounds}
+    bounds_cache: dict = {}
+
+    def bounds_of(path):
+        if path not in bounds_cache:
+            bounds_cache[path] = _footer_bounds(path, wanted_bounds)
+        return bounds_cache[path]
+
     snap_entries = []
     for i, spec in enumerate(snapshots, start=1):
         if isinstance(spec, dict):
@@ -555,25 +805,38 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             files, dels, eq_dels = spec, [], []
 
         def entry(p, content, equality_ids=None, seq=None,
-                  partition=None):
+                  partition=None, lower=None, upper=None):
+            def kv(m):
+                if not m:
+                    return None
+                return [{"key": int(k), "value": v}
+                        for k, v in sorted(_bounds_map(m).items())]
             return {"status": 1, "snapshot_id": seq or i, "data_file": {
                 "content": content, "file_path": p,
                 "file_format": "PARQUET", "record_count": 0,
                 "file_size_in_bytes": os.path.getsize(_local(p)),
                 "partition": partition,
+                "lower_bounds": kv(lower), "upper_bounds": kv(upper),
                 "equality_ids": ([int(x) for x in equality_ids]
                                  if equality_ids else None)}}
 
         def data_entry(spec_item):
             # plain path (seq = this snapshot) or {"path", "seq",
-            # "partition"} — carried-forward files keep their ORIGINAL
-            # sequence so equality-delete scoping stays correct across
-            # commits, and their partition values
+            # "partition", "lower_bounds"/"upper_bounds"} —
+            # carried-forward files keep their ORIGINAL sequence so
+            # equality-delete scoping stays correct across commits,
+            # plus their partition values and column bounds
             if isinstance(spec_item, dict):
+                lo = spec_item.get("lower_bounds")
+                hi = spec_item.get("upper_bounds")
+                if wanted_bounds and not (lo or hi):
+                    lo, hi = bounds_of(spec_item["path"])
                 return entry(spec_item["path"], 0,
                              seq=spec_item.get("seq"),
-                             partition=spec_item.get("partition"))
-            return entry(spec_item, 0)
+                             partition=spec_item.get("partition"),
+                             lower=lo, upper=hi)
+            lo, hi = bounds_of(spec_item) if wanted_bounds else (None, None)
+            return entry(spec_item, 0, lower=lo, upper=hi)
 
         manifest = os.path.join(meta_dir, f"manifest-{i}.avro")
         write_container(manifest, entry_schema,

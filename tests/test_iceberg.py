@@ -357,3 +357,106 @@ def test_partition_spec_survives_commits_and_unknown_files_kept(
     files = df.inputFiles()
     assert len(files) == 2
     assert not any(f.endswith("us.parquet") for f in files)
+
+
+# ----------------------------------------------------------------------
+# manifest column-bounds file skipping (scan_filter, round 7)
+# ----------------------------------------------------------------------
+
+@pytest.fixture()
+def btable(spark, tmp_path):
+    """Two files with disjoint id ranges and string/date columns,
+    manifests carrying footer-derived lower/upper bounds."""
+    import datetime
+
+    import pandas as pd
+    lo, hi = str(tmp_path / "lo.parquet"), str(tmp_path / "hi.parquet")
+    pd.DataFrame({
+        "id": range(0, 10),
+        "name": [f"a{i}" for i in range(10)],
+        "d": [datetime.date(2024, 1, 1)] * 10,
+    }).to_parquet(lo)
+    pd.DataFrame({
+        "id": range(100, 110),
+        "name": [f"z{i}" for i in range(10)],
+        "d": [datetime.date(2024, 6, 1)] * 10,
+    }).to_parquet(hi)
+    tbl = str(tmp_path / "btbl")
+    create_local_iceberg_table(
+        tbl, [[lo, hi]],
+        schema_fields=[(1, "id", "long"), (2, "name", "string"),
+                       (3, "d", "date")],
+        collect_bounds=["id", "name", "d"])
+    return tbl
+
+
+def test_scan_filter_skips_files_on_bounds(qc, btable):
+    """A provably-out-of-range file is never opened; the kept file is
+    row-filtered exactly."""
+    df = qc.read_iceberg(btable, scan_filter="id >= 100 AND id < 105").df
+    assert sorted(r["id"] for r in df.collect()) == list(range(100, 105))
+    files = df.inputFiles()
+    assert len(files) == 1 and files[0].endswith("hi.parquet")
+
+
+def test_scan_filter_string_and_date_bounds(qc, btable):
+    df = qc.read_iceberg(btable, scan_filter="name <= 'a9'").df
+    assert df.count() == 10
+    assert len(df.inputFiles()) == 1
+    df2 = qc.read_iceberg(btable,
+                          scan_filter="d >= date'2024-03-01'").df
+    assert df2.count() == 10
+    files = df2.inputFiles()
+    assert len(files) == 1 and files[0].endswith("hi.parquet")
+
+
+def test_scan_filter_unsupported_shape_row_filters_only(qc, btable):
+    """OR predicates can't be bounds-pruned — both files open, rows
+    still exact (the filter always applies row-level)."""
+    df = qc.read_iceberg(btable, scan_filter="id = 5 OR id = 101").df
+    assert sorted(r["id"] for r in df.collect()) == [5, 101]
+    assert len(df.inputFiles()) == 2
+
+
+def test_scan_filter_without_bounds_keeps_files(qc, table):
+    """Tables whose manifests carry no bounds (the pre-round-7 fixture
+    shape) keep every file and fall back to the row filter."""
+    tbl, _ = table
+    df = qc.read_iceberg(tbl, scan_filter="id >= 20").df
+    assert df.count() == 5
+    assert len(df.inputFiles()) == 2
+
+
+def test_scan_filter_nothing_matches_is_clear_error(qc, btable):
+    with pytest.raises(ValueError, match="no data files matching"):
+        qc.read_iceberg(btable, scan_filter="id > 1000")
+
+
+def test_scan_filter_bounds_survive_commits(qc, btable, tmp_path):
+    """commit_snapshot rewrites manifests — carried-forward files must
+    keep their bounds so pruning still works after appends."""
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import append_snapshot
+    extra = str(tmp_path / "extra.parquet")
+    pd.DataFrame({"id": [500], "name": ["q"],
+                  "d": [__import__("datetime").date(2025, 1, 1)]}
+                 ).to_parquet(extra)
+    append_snapshot(btable, [extra])
+    df = qc.read_iceberg(btable, scan_filter="id < 50").df
+    assert df.count() == 10
+    files = df.inputFiles()
+    # lo.parquet kept by bounds; extra.parquet kept conservatively
+    # (no bounds recorded for it on this append path)
+    assert not any(f.endswith("hi.parquet") for f in files)
+
+
+def test_scan_filter_composes_with_partition_filter(qc, ptable):
+    """partition_filter prunes on partition values, scan_filter row-
+    filters (that fixture writes no bounds) — both active at once."""
+    tbl, eu, us = ptable
+    df = qc.read_iceberg(tbl, partition_filter="r = 'EU'",
+                         scan_filter="id >= 5").df
+    assert sorted(r["id"] for r in df.collect()) == list(range(5, 10))
+    files = df.inputFiles()
+    assert len(files) == 1 and files[0].endswith("eu.parquet")
