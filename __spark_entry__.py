@@ -1809,6 +1809,39 @@ GROUP BY l_returnflag
 """
 
 
+def src_delta_skipping(spark, sf_dir):
+    """read_delta with stats-based data skipping: write_delta_local
+    records per-file footer stats (numRecords/minValues/maxValues —
+    what a real Delta writer logs with every add action) on a
+    range-split lineitem, and scan_filter skips files whose stats
+    refute it BEFORE the scan, then applies row-level — Delta data
+    skipping, the 100 TB capability that turns a selective query on a
+    million-file table into a handful of file opens. File-level
+    skipping is pinned via inputFiles() in tests/test_delta.py."""
+    import os
+    import tempfile
+    from quokka_spark.sources.delta_local import write_delta_local
+    qc = _qc(spark)
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_deltaskip_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(os.path.join(tbl, "_delta_log")):
+        li = qc.read_parquet(os.path.join(sf_dir, "lineitem.parquet")).df
+        write_delta_local(li.repartitionByRange(4, F.col("l_orderkey")),
+                          tbl)
+    ds = qc.read_delta(tbl, scan_filter="l_orderkey <= 15000")
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"))
+
+
+_SRC_DELTA_SKIP_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_discount), 4) AS sum_disc
+FROM lineitem WHERE l_orderkey <= 15000
+GROUP BY l_returnflag
+"""
+
+
 def src_iceberg_deletes(spark, sf_dir):
     """read_iceberg with v2 POSITION deletes applied — the fallback
     reader's distributed anti-join on (_metadata.file_path,
@@ -5077,6 +5110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": text_gopher,
         "src_iceberg": src_iceberg, "src_delta": src_delta,
         "src_delta_partitioned": src_delta_partitioned,
+        "src_delta_skipping": src_delta_skipping,
         "src_orc": src_orc,
         "src_avro": src_avro,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
@@ -5202,6 +5236,7 @@ def oracle_sql() -> dict[str, str]:
         "src_orc": _SRC_ORC_SQL,
         "src_avro": _SRC_AVRO_SQL,
         "src_delta_partitioned": _SRC_DELTA_PART_SQL,
+        "src_delta_skipping": _SRC_DELTA_SKIP_SQL,
         "op_sql_window": _SQL_WINDOW_SQL, "ts_resample": _RESAMPLE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,

@@ -169,7 +169,8 @@ class QuokkaContext:
         return OrderedStream(self, df, sorted={sorted_by: mode})
 
     def read_delta(self, table: str, version: int | None = None,
-                   partition_filter: str | None = None) -> DataStream:
+                   partition_filter: str | None = None,
+                   scan_filter: str | None = None) -> DataStream:
         """Delta Lake table, optional time travel by ``version``
         (extension source — lakehouse parity next to read_iceberg).
         Pure-Python log replay (sources/delta_local.py) incl.
@@ -177,13 +178,18 @@ class QuokkaContext:
         were cleaned up) and partitioned tables (partitionValues join
         back as typed columns; ``partition_filter`` — SQL over the
         partition columns — prunes the FILE LIST before the scan, the
-        log-level pruning real Delta does). The live file set feeds
-        ONE native parquet scan, so pushdown and pruning behave
+        log-level pruning real Delta does). ``scan_filter`` (SQL over
+        any column) is Delta data skipping: files whose add-action
+        stats (minValues/maxValues) refute a ``col op literal``
+        conjunction are skipped before the scan, and the filter also
+        applies row-level so any shape stays exact. The live file set
+        feeds ONE native parquet scan, so pushdown and pruning behave
         exactly as on raw parquet. Local single-writer tables;
         deletion vectors raise clear NotImplementedErrors."""
         from .sources.delta_local import read_delta_local
         return DataStream(self, read_delta_local(
-            self.spark, table, version, partition_filter=partition_filter))
+            self.spark, table, version, partition_filter=partition_filter,
+            scan_filter=scan_filter))
 
     def read_iceberg(self, table: str, snapshot: int | None = None,
                      partition_filter: str | None = None,

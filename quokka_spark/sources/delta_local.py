@@ -37,6 +37,7 @@ anyway.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -189,6 +190,113 @@ def _replay(table: str, version: int | None):
     return files, meta, keys, [live[k] for k in keys]
 
 
+def _footer_stats(path: str) -> str | None:
+    """Spec-shaped per-file ``stats`` JSON (numRecords, minValues,
+    maxValues) from the parquet FOOTER statistics — what a real Delta
+    writer records with every add action, enabling data-skipping
+    reads. Top-level primitive columns only; dates/timestamps as ISO
+    strings (the JSON forms real stats use)."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — top-level stats only
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mins[name] = st.min if name not in mins \
+                else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs \
+                else max(maxs[name], st.max)
+
+    def enc(v):
+        if isinstance(v, datetime.datetime):
+            return v.isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        return None
+
+    mins = {k: e for k, v in mins.items() if (e := enc(v)) is not None}
+    maxs = {k: e for k, v in maxs.items() if (e := enc(v)) is not None}
+    return json.dumps({"numRecords": md.num_rows,
+                       "minValues": mins, "maxValues": maxs})
+
+
+def _stats_of(add: dict):
+    """An add action's stats as a dict, or None (missing/unparseable
+    — the conservative answer)."""
+    st = add.get("stats")
+    if isinstance(st, str):
+        try:
+            st = json.loads(st)
+        except ValueError:
+            return None
+    return st if isinstance(st, dict) else None
+
+
+def _coerce_stat(stat, lit):
+    """A stats-JSON value coerced to the literal's comparison type, or
+    None when the pair is incomparable (keep the file). Handles the
+    ISO-string date/timestamp forms real stats use."""
+    if stat is None:
+        return None
+    if isinstance(lit, datetime.datetime) and isinstance(stat, str):
+        return datetime.datetime.fromisoformat(
+            stat.replace("Z", "+00:00")).replace(tzinfo=None)
+    if isinstance(lit, datetime.date) \
+            and not isinstance(lit, datetime.datetime) \
+            and isinstance(stat, str):
+        return datetime.date.fromisoformat(stat[:10])
+    if isinstance(lit, (int, float)) and not isinstance(lit, bool) \
+            and isinstance(stat, (int, float)) \
+            and not isinstance(stat, bool):
+        return stat
+    if isinstance(lit, str) and isinstance(stat, str):
+        return stat
+    return None
+
+
+def _prune_by_stats(files: list, adds: list, scan_filter: str):
+    """Data skipping: keep only (file, add) pairs whose stats ADMIT
+    the filter — a file drops only when a supported ``col op
+    literal`` conjunct is provably false over its [min, max]; missing
+    stats, unsupported shapes, or incomparable types keep the file
+    (the caller always row-filters too, so this is a pure
+    optimization)."""
+    from .pruning import interval_refutes, parse_conjuncts
+    atoms = parse_conjuncts(scan_filter)
+    if not atoms:
+        return files, adds
+    out_f, out_a = [], []
+    for f, a in zip(files, adds):
+        st = _stats_of(a)
+        keep = True
+        if st:
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            for col, op, v in atoms:
+                try:
+                    if interval_refutes(op, v,
+                                        _coerce_stat(mins.get(col), v),
+                                        _coerce_stat(maxs.get(col), v)):
+                        keep = False
+                        break
+                except (TypeError, ValueError):
+                    continue
+        if keep:
+            out_f.append(f)
+            out_a.append(a)
+    return out_f, out_a
+
+
 def _partition_schema(meta: dict):
     """(partition column names, {name: Spark DataType}) from the
     table metaData; empty when unpartitioned."""
@@ -202,7 +310,8 @@ def _partition_schema(meta: dict):
 
 
 def read_delta_local(spark, table: str, version: int | None = None,
-                     partition_filter: str | None = None):
+                     partition_filter: str | None = None,
+                     scan_filter: str | None = None):
     """DataFrame over the table's live files at ``version`` (time
     travel; None = latest). One native parquet scan — pushdown and
     column pruning behave exactly as on raw parquet.
@@ -214,16 +323,43 @@ def read_delta_local(spark, table: str, version: int | None = None,
     boolean over the partition columns, e.g. ``"year >= 2024"``)
     prunes the live file list BEFORE the scan — log-level partition
     pruning, the same trick real Delta uses, so filtered reads touch
-    only matching files."""
+    only matching files.
+
+    ``scan_filter`` (SQL over any column) is Delta data skipping: for
+    ``col op literal [AND ...]`` shapes, files whose add-action
+    ``stats`` (minValues/maxValues) refute the predicate are skipped
+    before the scan; the filter then also applies row-level, so any
+    predicate shape stays exact and stats-less files are simply
+    kept."""
     files, meta, _, adds = _replay(table, version)
     if not files:
         raise ValueError(
             f"Delta table {table} has no live files at version {version}")
+
+    def _empty_typed():
+        from pyspark.sql.types import StructType
+        try:
+            full = StructType.fromJson(json.loads(meta["schemaString"]))
+        except (KeyError, ValueError):
+            return None
+        return spark.createDataFrame([], full) if full.fields else None
+
+    if scan_filter:
+        pf, pa_ = _prune_by_stats(files, adds, scan_filter)
+        if pf:
+            files, adds = pf, pa_
+        else:
+            empty = _empty_typed()
+            if empty is not None:
+                return empty
+            # schema unknown: keep the files; the row filter below
+            # still yields the correct (empty) result
     pcols, ptypes = _partition_schema(meta)
     if not pcols:
         if partition_filter:
             raise ValueError("partition_filter on an unpartitioned table")
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        return df.filter(scan_filter) if scan_filter else df
     from pyspark.sql import functions as F
 
     # one tiny mapping frame: (absolute file path, *string values)
@@ -265,7 +401,8 @@ def read_delta_local(spark, table: str, version: int | None = None,
     # the files, spec order in the schemaString)
     from pyspark.sql.types import StructType
     full = StructType.fromJson(json.loads(meta["schemaString"]))
-    return df.select(*[f.name for f in full.fields])
+    df = df.select(*[f.name for f in full.fields])
+    return df.filter(scan_filter) if scan_filter else df
 
 
 def _commit(table: str, version: int, actions: list) -> None:
@@ -282,16 +419,20 @@ def _commit(table: str, version: int, actions: list) -> None:
 
 
 def _add_action(root: str, path: str,
-                partition_values: dict | None = None) -> dict:
+                partition_values: dict | None = None,
+                stats: str | None = None) -> dict:
     inside = os.path.commonpath(
         [os.path.abspath(root), os.path.abspath(path)]) \
         == os.path.abspath(root)
     rel = os.path.relpath(path, root) if inside else path
-    return {"add": {"path": rel,
-                    "partitionValues": partition_values or {},
-                    "size": os.path.getsize(path),
-                    "modificationTime": int(time.time() * 1000),
-                    "dataChange": True}}
+    a = {"path": rel,
+         "partitionValues": partition_values or {},
+         "size": os.path.getsize(path),
+         "modificationTime": int(time.time() * 1000),
+         "dataChange": True}
+    if stats:
+        a["stats"] = stats
+    return {"add": a}
 
 
 def _meta_actions(schema_json: str | None,
@@ -326,7 +467,8 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
     add_t = pa.struct([("path", pa.string()), ("partitionValues", pv_t),
                        ("size", pa.int64()),
                        ("modificationTime", pa.int64()),
-                       ("dataChange", pa.bool_())])
+                       ("dataChange", pa.bool_()),
+                       ("stats", pa.string())])
     meta_t = pa.struct([
         ("id", pa.string()),
         ("format", pa.struct([("provider", pa.string())])),
@@ -356,7 +498,8 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
                              "size": int(a.get("size") or 0),
                              "modificationTime":
                              int(a.get("modificationTime") or 0),
-                             "dataChange": False}})
+                             "dataChange": False,
+                             "stats": a.get("stats")}})
     tbl = pa.Table.from_pylist(rows, schema=pa.schema(
         [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]))
     cp = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
@@ -454,7 +597,8 @@ def write_delta_local(df, table: str, mode: str = "append",
                                        "dataChange": True}})
     for p in new_files:
         actions.append(_add_action(
-            root, p, _hive_partition_values(data_dir, p) if pcols else None))
+            root, p, _hive_partition_values(data_dir, p) if pcols else None,
+            stats=_footer_stats(p)))
     _commit(table, version, actions)
     return version
 
@@ -508,7 +652,9 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         survivors.write.parquet(sdir)
         for f in sorted(os.listdir(sdir)):
             if f.endswith(".parquet"):
-                actions.append(_add_action(root, os.path.join(sdir, f)))
+                p = os.path.join(sdir, f)
+                actions.append(_add_action(root, p,
+                                           stats=_footer_stats(p)))
         # remove by the exact key each file was added under
         for k, fpath in zip(live_keys, files):
             if _plain(fpath) in affected_set \
@@ -520,6 +666,7 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     df.write.parquet(adir)
     for f in sorted(os.listdir(adir)):
         if f.endswith(".parquet"):
-            actions.append(_add_action(root, os.path.join(adir, f)))
+            p = os.path.join(adir, f)
+            actions.append(_add_action(root, p, stats=_footer_stats(p)))
     _commit(table, version, actions)
     return version

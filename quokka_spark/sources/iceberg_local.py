@@ -229,44 +229,6 @@ _BOUND_DECODERS = {
 }
 
 
-def _parse_literal(s: str):
-    """A single SQL literal → Python value, or None when ``s`` is not
-    exactly one supported literal (the conservative answer)."""
-    s = s.strip()
-    m = re.fullmatch(r"(?i:date)\s*'([^']*)'", s)
-    if m:
-        return datetime.date.fromisoformat(m.group(1))
-    m = re.fullmatch(r"(?i:timestamp)\s*'([^']*)'", s)
-    if m:
-        return datetime.datetime.fromisoformat(m.group(1))
-    m = re.fullmatch(r"'([^']*)'", s)
-    if m:
-        return m.group(1)
-    if re.fullmatch(r"[-+]?\d+", s):
-        return int(s)
-    if re.fullmatch(r"[-+]?(\d*\.\d+|\d+\.?)([eE][-+]?\d+)?", s):
-        return float(s)
-    return None
-
-
-def _parse_conjuncts(expr: str):
-    """``col op literal AND ...`` → [(col, op, value)], or None when
-    any part is not that shape (OR, parens, functions, IN, ... —
-    pruning then simply doesn't happen; the row filter still runs)."""
-    atoms = []
-    for part in re.split(r"(?i)\s+and\s+", expr.strip()):
-        m = re.fullmatch(
-            r"\s*([A-Za-z_]\w*)\s*(<=|>=|==|=|<|>)\s*(.+?)\s*", part)
-        if not m:
-            return None
-        col, op, lit = m.groups()
-        v = _parse_literal(lit)
-        if v is None:
-            return None
-        atoms.append((col, "=" if op == "==" else op, v))
-    return atoms or None
-
-
 def _prune_by_bounds(entries: list, meta: dict,
                      scan_filter: str) -> list:
     """Keep only files whose manifest column bounds ADMIT the filter —
@@ -275,7 +237,8 @@ def _prune_by_bounds(entries: list, meta: dict,
     unsupported shape, missing bound, or type surprise keeps the file
     (the scan_filter is always applied row-level too, so pruning is a
     pure optimization)."""
-    atoms = _parse_conjuncts(scan_filter)
+    from .pruning import interval_refutes, parse_conjuncts
+    atoms = parse_conjuncts(scan_filter)
     if not atoms:
         return entries
     name_to_fid = {name: fid
@@ -293,16 +256,7 @@ def _prune_by_bounds(entries: list, meta: dict,
             try:
                 lo = dec(blo) if blo is not None else None
                 hi = dec(bhi) if bhi is not None else None
-                if op == "=" and ((lo is not None and v < lo)
-                                  or (hi is not None and v > hi)):
-                    return False
-                if op == "<" and lo is not None and lo >= v:
-                    return False
-                if op == "<=" and lo is not None and lo > v:
-                    return False
-                if op == ">" and hi is not None and hi <= v:
-                    return False
-                if op == ">=" and hi is not None and hi < v:
+                if interval_refutes(op, v, lo, hi):
                     return False
             except (TypeError, ValueError, struct.error):
                 continue  # incomparable literal/bound → keep

@@ -303,3 +303,105 @@ def test_delta_all_null_partition_column_reads(spark, qc, tmp_path):
     assert list(got["v"]) == [1.0, 2.0]
     assert got["year"].isna().all()
     assert dict(qc.read_delta(tbl).df.dtypes)["year"] == "int"
+
+
+# ----------------------------------------------------------------------
+# stats-based data skipping (scan_filter, round 7)
+# ----------------------------------------------------------------------
+
+def test_delta_scan_filter_skips_files_on_stats(spark, qc, tmp_path):
+    """write_delta_local records per-file footer stats; a scan_filter
+    that a file's min/max refute skips the file entirely (inputFiles
+    pin), and the kept file is row-filtered exactly."""
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "stbl")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v"))
+    write_delta_local(df.repartitionByRange(4, F.col("id")), tbl)
+    got = qc.read_delta(tbl, scan_filter="id >= 900").df
+    assert got.count() == 100
+    assert sorted(r["id"] for r in got.collect()) == list(range(900, 1000))
+    assert len(got.inputFiles()) == 1
+    assert len(qc.read_delta(tbl).df.inputFiles()) == 4
+
+
+def test_delta_scan_filter_unsupported_shape_rows_exact(spark, qc,
+                                                        tmp_path):
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "stbl2")
+    df = spark.range(0, 100)
+    write_delta_local(df.repartitionByRange(2, F.col("id")), tbl)
+    got = qc.read_delta(tbl, scan_filter="id = 5 OR id = 95").df
+    assert sorted(r["id"] for r in got.collect()) == [5, 95]
+    assert len(got.inputFiles()) == 2  # OR is not bounds-pruned
+
+
+def test_delta_scan_filter_statless_table_row_filters(spark, qc,
+                                                      tmp_path):
+    """create_local_delta_table writes no stats — every file kept,
+    row filter still exact."""
+    import pandas as pd
+
+    from quokka_spark.sources.delta_local import create_local_delta_table
+    a = str(tmp_path / "a.parquet")
+    pd.DataFrame({"id": range(10)}).to_parquet(a)
+    tbl = str(tmp_path / "ntbl")
+    create_local_delta_table(tbl, [[a]])
+    got = qc.read_delta(tbl, scan_filter="id >= 8").df
+    assert got.count() == 2
+
+
+def test_delta_scan_filter_all_pruned_empty_typed(spark, qc, tmp_path):
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "etbl")
+    write_delta_local(spark.range(0, 100), tbl)
+    got = qc.read_delta(tbl, scan_filter="id > 100000").df
+    assert got.count() == 0
+    assert dict(got.dtypes)["id"] == "bigint"
+
+
+def test_delta_scan_filter_survives_checkpoint(spark, qc, tmp_path):
+    """Checkpoints must carry stats, or skipping would silently stop
+    working on long-lived tables after log cleanup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import (write_checkpoint_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "ctbl")
+    write_delta_local(
+        spark.range(0, 1000).repartitionByRange(4, F.col("id")), tbl)
+    write_checkpoint_local(tbl)
+    os.remove(os.path.join(tbl, "_delta_log", f"{0:020d}.json"))
+    got = qc.read_delta(tbl, scan_filter="id < 250").df
+    assert got.count() == 250
+    assert len(got.inputFiles()) == 1
+
+
+def test_delta_scan_filter_with_dates_and_partitions(spark, qc,
+                                                     tmp_path):
+    """Date-typed stats (ISO strings in the JSON) compare against
+    date literals; composes with partition_filter on a partitioned
+    table."""
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "dtbl")
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+        (F.col("id") % 2).cast("string").alias("p"))
+    write_delta_local(df.repartitionByRange(4, F.col("id")), tbl,
+                      partition_by="p")
+    got = qc.read_delta(tbl, partition_filter="p = '0'",
+                        scan_filter="d >= date'2024-03-01'").df
+    want = [i for i in range(100) if i % 2 == 0 and i >= 60]
+    assert sorted(r["id"] for r in got.collect()) == want
