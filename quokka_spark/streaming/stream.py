@@ -64,6 +64,62 @@ def streaming_dedup_exact(df: DataFrame, key_cols, watermark_col: str,
                 [key_cols] if isinstance(key_cols, str) else list(key_cols)))
 
 
+def streaming_join(left: DataFrame, right: DataFrame, on,
+                   how: str = "inner",
+                   left_time: str | None = None,
+                   right_time: str | None = None,
+                   watermark: str = "10 minutes",
+                   max_delay: str | None = None) -> DataFrame:
+    """Stream-stream equi-join on Spark's native join state store —
+    the streaming face of ``DataStream.join`` (the reference's
+    push-based runtime joins streams by construction; Structured
+    Streaming needs the state bounded explicitly, which is the whole
+    API here).
+
+    With ``left_time``/``right_time`` + ``max_delay``, both sides get
+    ``watermark`` and the join adds the time-range condition
+    ``left_time BETWEEN right_time - max_delay AND right_time +
+    max_delay`` — then Spark can EVICT buffered rows once the
+    watermark passes, so state is O(rows within the horizon), the
+    only shape that survives an unbounded stream. Without them the
+    inner join runs with unbounded state (correct, but a 100 TB/day
+    anti-pattern — and outer joins REQUIRE the bounds, enforced
+    here). Right-side columns that collide (join keys, the time
+    column) are suffixed ``_r`` per the batch join's convention."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if how != "inner" and not (left_time and right_time and max_delay):
+        raise ValueError(
+            f"streaming {how} join needs left_time/right_time + "
+            "max_delay (Spark cannot emit unmatched rows without a "
+            "watermark bound)")
+    bounded = bool(left_time and right_time and max_delay)
+    if bounded:
+        left = left.withWatermark(left_time, watermark)
+        right = right.withWatermark(right_time, watermark)
+    # rename colliding right columns so the range condition and the
+    # output are unambiguous (batch join suffix convention)
+    collide = [c for c in right.columns
+               if c in left.columns and (c in keys or bounded)]
+    ren = {c: (f"{c}_r" if c not in keys else f"__qs_k_{c}__")
+           for c in collide}
+    for old, new in ren.items():
+        right = right.withColumnRenamed(old, new)
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(ren.get(k, k))
+        cond = c if cond is None else cond & c
+    if bounded:
+        rt = ren.get(right_time, right_time)
+        cond = cond \
+            & (F.col(left_time) >= F.col(rt)
+               - F.expr(f"INTERVAL {max_delay}")) \
+            & (F.col(left_time) <= F.col(rt)
+               + F.expr(f"INTERVAL {max_delay}"))
+    out = left.join(right, cond, how)
+    return out.drop(*[v for v in ren.values()
+                      if v.startswith("__qs_k_")])
+
+
 def streaming_minhash_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             time_col: str = "event_time",

@@ -1748,3 +1748,93 @@ def test_windowtypes_reference_form_and_datastream_entry(spark, qc):
         TumblingWindow("60s", "oops", {"s": "sum(v)"})
     with pytest.raises(AssertionError):
         TumblingWindow(60, "k", "60s", {"s": "sum(v)"})
+
+
+def test_streaming_join_bounded_matches_batch(spark, qc, tmp_path):
+    """Stream-stream equi-join with watermark + time-range bound:
+    single-batch replay equals the batch join under the identical
+    condition; colliding right columns get the batch suffix."""
+    from quokka_spark.streaming.stream import streaming_join
+    lrows = [(k, f"2024-01-01 10:{m:02d}:00", float(k * 10 + m))
+             for k in (1, 2) for m in (0, 5, 30)]
+    rrows = [(k, f"2024-01-01 10:{m:02d}:00", float(k * 100 + m))
+             for k in (1, 2) for m in (2, 7, 50)]
+    ldf = spark.createDataFrame(lrows, "k long, ts string, lv double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    rdf = spark.createDataFrame(rrows, "k long, ts string, rv double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf.coalesce(1).write.parquet(ldir)
+    rdf.coalesce(1).write.parquet(rdir)
+    ls = spark.readStream.schema(ldf.schema).parquet(ldir)
+    rs = spark.readStream.schema(rdf.schema).parquet(rdir)
+    out = streaming_join(ls, rs, "k", left_time="ts", right_time="ts",
+                         watermark="1 minute", max_delay="10 minutes")
+    q = (out.writeStream.format("memory").queryName("sj_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from sj_out").toPandas() \
+        .sort_values(["k", "ts", "ts_r"]).reset_index(drop=True)
+    want = (ldf.alias("l").join(
+        rdf.withColumnRenamed("ts", "ts_r").alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & (F.col("l.ts") >= F.col("ts_r") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("l.ts") <= F.col("ts_r") + F.expr("INTERVAL 10 minutes")))
+        .select("l.k", "l.ts", "lv", "ts_r", "rv").toPandas()
+        .sort_values(["k", "ts", "ts_r"]).reset_index(drop=True))
+    assert list(got.columns) == ["k", "ts", "lv", "ts_r", "rv"]
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
+
+
+def test_streaming_join_outer_requires_bounds_and_emits(spark, qc,
+                                                        tmp_path):
+    """Outer stream-stream joins demand watermark bounds (gated);
+    with bounds, an unmatched left row flushes once a later batch
+    advances the watermark past its horizon."""
+    import pytest
+
+    from quokka_spark.streaming.stream import streaming_join
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    sch = "k long, ts string, v double"
+    mk = lambda rows: (spark.createDataFrame(rows, sch)
+                       .withColumn("ts", F.to_timestamp("ts")))
+    # batch 1: k=1 matches, k=2 has no right row. Batch 2 (a day
+    # later) advances the watermark past k=2's join horizon, and
+    # unmatched rows evict one batch AFTER the advance — so batch 3
+    # (later again) is what flushes k=2. The batch-2/3 rows
+    # themselves stay in state when the availableNow drain ends (the
+    # documented Structured Streaming outer-join caveat).
+    mk([(1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 10:00:00", 2.0)]).coalesce(1).write.parquet(ldir)
+    mk([(8, "2024-01-02 10:00:00", 8.0)]).coalesce(1) \
+        .write.mode("append").parquet(ldir)
+    mk([(9, "2024-01-03 10:00:00", 9.0)]).coalesce(1) \
+        .write.mode("append").parquet(ldir)
+    # the GLOBAL watermark is the min over both inputs, so the right
+    # stream needs late rows too or it pins the watermark at batch 1
+    mk([(1, "2024-01-01 10:01:00", 10.0),
+        (80, "2024-01-02 10:00:00", 80.0),
+        (90, "2024-01-03 10:00:00", 90.0)]).coalesce(1) \
+        .write.parquet(rdir)
+    ls = spark.readStream.schema(mk([]).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(ldir)
+    rs = spark.readStream.schema(mk([]).schema).parquet(rdir)
+    with pytest.raises(ValueError, match="left join needs"):
+        streaming_join(ls, rs, "k", how="left")
+    out = streaming_join(ls, rs, "k", how="left", left_time="ts",
+                         right_time="ts", watermark="1 minute",
+                         max_delay="5 minutes")
+    q = (out.writeStream.format("memory").queryName("sj_outer")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select k, v, v_r from sj_outer order by k").toPandas()
+    # guaranteed: the match and the watermark-flushed unmatched row.
+    # The trailing late rows (8, 9) may or may not flush before the
+    # availableNow drain ends (how many tail batches run is a Spark
+    # scheduling detail) — but if they appear they MUST be unmatched.
+    ks = list(got["k"])
+    assert ks[:2] == [1, 2] and set(ks) <= {1, 2, 8, 9}
+    assert got["v_r"].isna().tolist() == [False] + [True] * (len(ks) - 1)
