@@ -307,6 +307,44 @@ class QuokkaContext:
         return DataStream(self, rest_post_stream(self.spark, url, params_list,
                                                  headers, batch_size))
 
+    # ------------------------------------------------------- maintenance
+
+    def compact_delta(self, table: str,
+                      target_file_rows: int = 5_000_000) -> int:
+        """OPTIMIZE-style small-file compaction for a local Delta
+        table (sources/delta_local.compact_delta_local): live rows
+        rewritten into right-sized files, swapped in one atomic
+        commit with fresh data-skipping stats. Returns the version."""
+        from .sources.delta_local import compact_delta_local
+        return compact_delta_local(self.spark, table, target_file_rows)
+
+    def vacuum_delta(self, table: str, keep_last: int = 1) -> int:
+        """Reclaim table-local files referenced only by versions older
+        than the last ``keep_last`` (delta_local.vacuum_delta_local).
+        Returns the number of files deleted."""
+        from .sources.delta_local import vacuum_delta_local
+        return vacuum_delta_local(table, keep_last)
+
+    def compact_iceberg(self, table: str,
+                        target_file_rows: int = 5_000_000) -> int:
+        """rewrite_data_files-style compaction for a local Iceberg
+        table: live rows (deletes APPLIED) rewritten and committed as
+        one delete-free snapshot with fresh column bounds
+        (iceberg_local.rewrite_data_files_local). Returns the new
+        snapshot id."""
+        from .sources.iceberg_local import rewrite_data_files_local
+        return rewrite_data_files_local(self.spark, table,
+                                        target_file_rows)
+
+    def expire_iceberg_snapshots(self, table: str, keep_last: int = 1,
+                                 delete_orphans: bool = False) -> list:
+        """Drop all but the last ``keep_last`` snapshots; with
+        ``delete_orphans`` also delete table-local files no kept
+        snapshot references (iceberg_local.expire_snapshots_local).
+        Returns the kept snapshot ids."""
+        from .sources.iceberg_local import expire_snapshots_local
+        return expire_snapshots_local(table, keep_last, delete_orphans)
+
     def from_pandas(self, pdf) -> DataStream:
         return DataStream(self, self.spark.createDataFrame(pdf), materialized=True)
 

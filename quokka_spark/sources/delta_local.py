@@ -603,6 +603,84 @@ def write_delta_local(df, table: str, mode: str = "append",
     return version
 
 
+def compact_delta_local(spark, table: str,
+                        target_file_rows: int = 5_000_000) -> int:
+    """OPTIMIZE-style compaction: rewrite the live rows into
+    ``ceil(rows / target_file_rows)`` right-sized files and commit the
+    swap as ONE new version (removes for every old file, adds with
+    fresh footer stats for the new ones). The small-file problem is
+    the canonical lakehouse failure at 100 TB — a streaming or
+    per-partition writer leaves thousands of KB-files whose per-file
+    task overhead dominates the scan; compaction restores full-scan
+    throughput while time travel still sees the pre-compaction
+    layout (old files stay on disk until vacuum).
+
+    Partitioned tables rewrite with the same partitionBy so the
+    log-level pruning contract survives."""
+    import math
+    files, meta, keys, _ = _replay(table, None)
+    if not files:
+        raise ValueError(f"Delta table {table} has no live files")
+    root = table.removeprefix("file://")
+    pcols = meta.get("partitionColumns") or []
+    df = read_delta_local(spark, table)
+    n = df.count()
+    parts = max(1, math.ceil(n / target_file_rows))
+    data_dir = os.path.join(root, f"data-compact-{uuid.uuid4().hex[:12]}")
+    w = df.repartition(parts).write
+    if pcols:
+        w = w.partitionBy(*pcols)
+    w.parquet(data_dir)
+    new_files = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(data_dir)
+        for f in fs if f.endswith(".parquet"))
+    version = list_versions(table)[-1] + 1
+    ts = int(time.time() * 1000)
+    actions: list = []
+    for k in keys:
+        actions.append({"remove": {"path": k, "deletionTimestamp": ts,
+                                   "dataChange": False}})
+    for p in new_files:
+        actions.append(_add_action(
+            root, p,
+            _hive_partition_values(data_dir, p) if pcols else None,
+            stats=_footer_stats(p)))
+    _commit(table, version, actions)
+    return version
+
+
+def vacuum_delta_local(table: str, keep_last: int = 1) -> int:
+    """Delete table-local data files referenced ONLY by versions older
+    than the last ``keep_last`` — the disk-reclaim half of compaction
+    / overwrite. Files outside the table root (referenced-in-place
+    fixtures) are never touched; the log itself is kept, so
+    time-travel reads of vacuumed versions fail at scan time (the
+    real VACUUM trade — retention is version-count-based here, the
+    local single-writer analog of the retention window). Returns the
+    number of files deleted."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    root = os.path.abspath(table.removeprefix("file://"))
+    versions = list_versions(table)
+    kept = versions[-keep_last:]
+    referenced = set()
+    for v in kept:
+        files, _, _, _ = _replay(table, v)
+        referenced |= {os.path.abspath(f) for f in files}
+    deleted = 0
+    for dp, _, fs in os.walk(root):
+        if "_delta_log" in dp:
+            continue
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.abspath(os.path.join(dp, f))
+            if p not in referenced:
+                os.unlink(p)
+                deleted += 1
+    return deleted
+
+
 def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     """MERGE-style upsert without deletion vectors: Delta's row-level
     replace is copy-on-write, so the files that CONTAIN a matched key

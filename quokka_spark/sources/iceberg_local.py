@@ -860,14 +860,17 @@ def append_snapshot(table_dir: str, new_files: list[str]) -> int:
 
 def commit_snapshot(table_dir: str, add_files: list | None = None,
                     add_delete_files: list | None = None,
-                    add_eq_delete_files: list | None = None) -> int:
+                    add_eq_delete_files: list | None = None,
+                    replace: bool = False) -> int:
     """General single-writer commit: a new snapshot = current live
     files + ``add_files``, current position-delete files +
     ``add_delete_files``, current equality-delete files +
     ``add_eq_delete_files`` (dicts of ``{"path", "equality_ids"}``) —
     appends, deletes, or both atomically (the one-snapshot upsert
     shape). Carried-forward files keep their original sequence
-    numbers. Metadata-only; returns the new snapshot id."""
+    numbers. With ``replace`` the new snapshot is EXACTLY
+    ``add_files`` with no delete files — the compaction commit shape.
+    Metadata-only; returns the new snapshot id."""
     prior: list[dict] = []
     schema_fields = None
     partition_spec = None
@@ -894,14 +897,109 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
             prior.append({"data": d, "deletes": dels, "eq_deletes": eqs})
     current = prior[-1] if prior else {"data": [], "deletes": [],
                                        "eq_deletes": []}
-    new_snap = {"data": current["data"] + list(add_files or []),
-                "deletes": current["deletes"] + list(add_delete_files or []),
-                "eq_deletes": (current["eq_deletes"]
-                               + list(add_eq_delete_files or []))}
+    if replace:
+        new_snap = {"data": list(add_files or []), "deletes": [],
+                    "eq_deletes": []}
+    else:
+        new_snap = {
+            "data": current["data"] + list(add_files or []),
+            "deletes": current["deletes"] + list(add_delete_files or []),
+            "eq_deletes": (current["eq_deletes"]
+                           + list(add_eq_delete_files or []))}
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
                                      partition_spec=partition_spec)
     return ids[-1]
+
+
+def rewrite_data_files_local(spark, table_dir: str,
+                             target_file_rows: int = 5_000_000) -> int:
+    """OPTIMIZE/rewrite_data_files-style compaction: the snapshot's
+    live rows (position AND equality deletes APPLIED) are rewritten
+    into right-sized files and committed as one new snapshot that
+    carries NO delete files — compaction both fixes the small-file
+    problem and materializes accumulated deletes, the two costs that
+    degrade a long-lived table at 100 TB. Fresh footer bounds are
+    recorded for every typed schema column so scan_filter skipping
+    keeps working on the compacted files. Time travel still sees the
+    old layout (expire_snapshots_local reclaims it). Partitioned
+    tables are refused — rewriting would drop the manifest partition
+    records the pruning path relies on."""
+    import glob
+    import math
+    import uuid as _uuid
+    meta = _read_table_metadata(table_dir)
+    if _partition_spec_fields(meta):
+        raise NotImplementedError(
+            "compaction of a partitioned local Iceberg table — rewrite "
+            "per partition and commit explicit partition records instead")
+    df = _live_df(spark, table_dir, None)
+    n = df.count()
+    parts = max(1, math.ceil(n / target_file_rows))
+    tdir = _local(table_dir)
+    adir = os.path.join(tdir, "data",
+                        f"compact-{_uuid.uuid4().hex[:12]}")
+    df.repartition(parts).write.parquet(adir)
+    new_files = sorted(glob.glob(os.path.join(adir, "*.parquet")))
+    types = _schema_types(meta)
+    names = _field_names_of(meta)
+    wanted = {names[fid]: (fid, t) for fid, t in types.items()
+              if fid in names and t in _BOUND_ENCODERS}
+    entries = []
+    for p in new_files:
+        lo, hi = _footer_bounds(p, wanted) if wanted else ({}, {})
+        entries.append({"path": p, "lower_bounds": lo,
+                        "upper_bounds": hi})
+    return commit_snapshot(table_dir, add_files=entries, replace=True)
+
+
+def expire_snapshots_local(table_dir: str, keep_last: int = 1,
+                           delete_orphans: bool = False) -> list:
+    """Drop all but the last ``keep_last`` snapshots from the table
+    metadata (snapshot ids preserved — only the history shrinks).
+    With ``delete_orphans``, parquet files under the table root that
+    no KEPT snapshot references (old data files, materialized delete
+    files) are deleted from disk — the reclaim half. Files outside
+    the root (referenced-in-place fixtures) are never touched.
+    Returns the kept snapshot ids."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    tdir = _local(table_dir)
+    meta_dir = os.path.join(tdir, "metadata")
+    meta = _read_table_metadata(table_dir)
+    snaps = meta.get("snapshots", [])
+    kept = snaps[-keep_last:]
+    referenced: set = set()
+    if delete_orphans:
+        for s in kept:
+            d, dels, eqs = snapshot_files_full(table_dir,
+                                               s.get("snapshot-id"))
+            referenced |= {os.path.abspath(_local(e["path"])) for e in d}
+            referenced |= {os.path.abspath(_local(p)) for p in dels}
+            referenced |= {os.path.abspath(_local(e["path"]))
+                           for e in eqs}
+    meta["snapshots"] = kept
+    if kept and meta.get("current-snapshot-id") not in \
+            [s.get("snapshot-id") for s in kept]:
+        meta["current-snapshot-id"] = kept[-1]["snapshot-id"]
+    vs = [int(m.group(1))
+          for f in os.listdir(meta_dir)
+          if (m := re.match(r"v(\d+)\.metadata\.json$", f))]
+    nv = (max(vs) + 1) if vs else 1
+    with open(os.path.join(meta_dir, f"v{nv}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(nv))
+    if delete_orphans:
+        root = os.path.abspath(tdir)
+        for dp, _, fs in os.walk(root):
+            for fn in fs:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.abspath(os.path.join(dp, fn))
+                if p not in referenced:
+                    os.unlink(p)
+    return [s["snapshot-id"] for s in kept]
 
 
 def add_position_deletes(table_dir: str,

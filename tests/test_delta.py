@@ -405,3 +405,50 @@ def test_delta_scan_filter_with_dates_and_partitions(spark, qc,
                         scan_filter="d >= date'2024-03-01'").df
     want = [i for i in range(100) if i % 2 == 0 and i >= 60]
     assert sorted(r["id"] for r in got.collect()) == want
+
+
+# ----------------------------------------------------------------------
+# maintenance: compaction + vacuum (round 7)
+# ----------------------------------------------------------------------
+
+def test_delta_compact_and_vacuum(spark, qc, tmp_path):
+    """Compaction rewrites 8 small files into 1 (atomic swap, stats
+    refreshed), time travel still sees the old layout, and vacuum
+    then reclaims the orphaned small files."""
+    import os
+
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  vacuum_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "ctbl")
+    write_delta_local(spark.range(0, 1000).repartition(8), tbl)
+    assert len(qc.read_delta(tbl).df.inputFiles()) == 8
+    v = compact_delta_local(spark, tbl, target_file_rows=10_000)
+    df = qc.read_delta(tbl).df
+    assert df.count() == 1000
+    assert len(df.inputFiles()) == 1
+    # pre-compaction version intact
+    old = qc.read_delta(tbl, version=v - 1).df
+    assert old.count() == 1000 and len(old.inputFiles()) == 8
+    # stats on the compacted file still drive skipping semantics
+    assert qc.read_delta(tbl, scan_filter="id < 10").df.count() == 10
+    deleted = vacuum_delta_local(tbl, keep_last=1)
+    assert deleted == 8
+    assert qc.read_delta(tbl).df.count() == 1000
+
+
+def test_delta_compact_partitioned_keeps_pruning(spark, qc, tmp_path):
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "ptbl")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p"))
+    write_delta_local(df.repartition(6), tbl, partition_by="p")
+    n_before = len(qc.read_delta(tbl).df.inputFiles())
+    compact_delta_local(spark, tbl, target_file_rows=10_000)
+    got = qc.read_delta(tbl, partition_filter="p = '1'").df
+    assert got.count() == 200
+    assert len(got.inputFiles()) < n_before
+    assert all(r["p"] == "1" for r in got.select("p").distinct().collect())

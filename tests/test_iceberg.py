@@ -460,3 +460,52 @@ def test_scan_filter_composes_with_partition_filter(qc, ptable):
     assert sorted(r["id"] for r in df.collect()) == list(range(5, 10))
     files = df.inputFiles()
     assert len(files) == 1 and files[0].endswith("eu.parquet")
+
+
+# ----------------------------------------------------------------------
+# maintenance: compaction + snapshot expiry (round 7)
+# ----------------------------------------------------------------------
+
+def test_iceberg_compact_materializes_deletes_and_expire(
+        qc, spark, tmp_path):
+    """rewrite_data_files applies accumulated deletes into a
+    delete-free snapshot with fresh bounds; expire_snapshots then
+    drops history and reclaims table-local orphans (referenced-in-
+    place files outside the root are never touched)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import (
+        add_position_deletes, expire_snapshots_local,
+        rewrite_data_files_local, snapshot_files_full)
+    a = str(tmp_path / "a.parquet")
+    pd.DataFrame({"id": range(10)}).to_parquet(a)
+    tbl = str(tmp_path / "mtbl")
+    create_local_iceberg_table(tbl, [[a]],
+                               schema_fields=[(1, "id", "long")])
+    add_position_deletes(tbl, {a: [0]})
+    s3 = rewrite_data_files_local(spark, tbl, target_file_rows=10_000)
+    data, dels, eqs = snapshot_files_full(tbl, s3)
+    assert len(data) == 1 and not dels and not eqs
+    got = qc.read_iceberg(tbl).df
+    assert sorted(r["id"] for r in got.collect()) == list(range(1, 10))
+    # fresh bounds drive scan_filter on the compacted file
+    assert qc.read_iceberg(tbl, scan_filter="id >= 5").df.count() == 5
+    # expire history; delete-file orphan (under metadata/) reclaimed,
+    # referenced-in-place a.parquet untouched
+    kept = expire_snapshots_local(tbl, keep_last=1, delete_orphans=True)
+    assert kept == [s3]
+    assert os.path.exists(a)
+    assert not glob.glob(os.path.join(tbl, "metadata", "delete-*.parquet"))
+    assert qc.read_iceberg(tbl).df.count() == 9
+    with pytest.raises(Exception, match="snapshot"):
+        qc.read_iceberg(tbl, snapshot=1)
+
+
+def test_iceberg_compact_partitioned_gated(qc, spark, ptable):
+    from quokka_spark.sources.iceberg_local import rewrite_data_files_local
+    tbl, _, _ = ptable
+    with pytest.raises(NotImplementedError, match="partitioned"):
+        rewrite_data_files_local(spark, tbl)
