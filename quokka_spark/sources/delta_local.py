@@ -197,23 +197,9 @@ def _footer_stats(path: str) -> str | None:
     reads. Top-level primitive columns only; dates/timestamps as ISO
     strings (the JSON forms real stats use)."""
     import pyarrow.parquet as pq
+    from .pruning import footer_minmax
     md = pq.ParquetFile(path).metadata
-    mins: dict = {}
-    maxs: dict = {}
-    for rg in range(md.num_row_groups):
-        row_group = md.row_group(rg)
-        for ci in range(row_group.num_columns):
-            col = row_group.column(ci)
-            name = col.path_in_schema
-            if "." in name:  # nested leaf — top-level stats only
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            mins[name] = st.min if name not in mins \
-                else min(mins[name], st.min)
-            maxs[name] = st.max if name not in maxs \
-                else max(maxs[name], st.max)
+    mins, maxs = footer_minmax(path)
 
     def enc(v):
         if isinstance(v, datetime.datetime):
@@ -242,25 +228,41 @@ def _stats_of(add: dict):
     return st if isinstance(st, dict) else None
 
 
-def _coerce_stat(stat, lit):
-    """A stats-JSON value coerced to the literal's comparison type, or
-    None when the pair is incomparable (keep the file). Handles the
-    ISO-string date/timestamp forms real stats use."""
+def _coerce_pair(stat, lit):
+    """(stat, literal) lifted to ONE comparison type, or None when the
+    pair is incomparable (keep the file). Handles the ISO-string
+    date/timestamp forms real stats use. A date literal against a
+    timestamp-string stat compares in DATETIME space with the literal
+    at midnight — Spark's own cast for ``ts > date'...'`` — never by
+    truncating the stat, which would move a max bound DOWN and make
+    ``>`` pruning drop files that contain matching rows."""
     if stat is None:
         return None
     if isinstance(lit, datetime.datetime) and isinstance(stat, str):
-        return datetime.datetime.fromisoformat(
-            stat.replace("Z", "+00:00")).replace(tzinfo=None)
+        try:
+            return (datetime.datetime.fromisoformat(
+                stat.replace("Z", "+00:00")).replace(tzinfo=None), lit)
+        except ValueError:
+            return None
     if isinstance(lit, datetime.date) \
             and not isinstance(lit, datetime.datetime) \
             and isinstance(stat, str):
-        return datetime.date.fromisoformat(stat[:10])
+        try:
+            return (datetime.date.fromisoformat(stat), lit)
+        except ValueError:
+            pass
+        try:
+            return (datetime.datetime.fromisoformat(
+                stat.replace("Z", "+00:00")).replace(tzinfo=None),
+                datetime.datetime.combine(lit, datetime.time.min))
+        except ValueError:
+            return None
     if isinstance(lit, (int, float)) and not isinstance(lit, bool) \
             and isinstance(stat, (int, float)) \
             and not isinstance(stat, bool):
-        return stat
+        return (stat, lit)
     if isinstance(lit, str) and isinstance(stat, str):
-        return stat
+        return (stat, lit)
     return None
 
 
@@ -283,10 +285,17 @@ def _prune_by_stats(files: list, adds: list, scan_filter: str):
             mins = st.get("minValues") or {}
             maxs = st.get("maxValues") or {}
             for col, op, v in atoms:
+                # each bound coerced with ITS OWN lifted literal, so a
+                # date-vs-timestamp pair compares soundly per bound
+                lo_p = _coerce_pair(mins.get(col), v)
+                hi_p = _coerce_pair(maxs.get(col), v)
                 try:
-                    if interval_refutes(op, v,
-                                        _coerce_stat(mins.get(col), v),
-                                        _coerce_stat(maxs.get(col), v)):
+                    if (lo_p is not None
+                            and interval_refutes(op, lo_p[1], lo_p[0],
+                                                 None)) \
+                        or (hi_p is not None
+                            and interval_refutes(op, hi_p[1], None,
+                                                 hi_p[0])):
                         keep = False
                         break
                 except (TypeError, ValueError):
@@ -335,6 +344,11 @@ def read_delta_local(spark, table: str, version: int | None = None,
     if not files:
         raise ValueError(
             f"Delta table {table} has no live files at version {version}")
+    pcols, ptypes = _partition_schema(meta)
+    # validate BEFORE any stats-pruning early return, so a bogus
+    # partition_filter errors regardless of what scan_filter prunes
+    if partition_filter and not pcols:
+        raise ValueError("partition_filter on an unpartitioned table")
 
     def _empty_typed():
         from pyspark.sql.types import StructType
@@ -354,10 +368,7 @@ def read_delta_local(spark, table: str, version: int | None = None,
                 return empty
             # schema unknown: keep the files; the row filter below
             # still yields the correct (empty) result
-    pcols, ptypes = _partition_schema(meta)
     if not pcols:
-        if partition_filter:
-            raise ValueError("partition_filter on an unpartitioned table")
         df = spark.read.parquet(*files)
         return df.filter(scan_filter) if scan_filter else df
     from pyspark.sql import functions as F

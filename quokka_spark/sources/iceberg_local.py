@@ -272,8 +272,6 @@ def _prune_entries(spark, entries: list, meta: dict,
     partition values and return only matching entries. Driver cost is
     one O(#files) KB-scale local job — the manifests already carry
     the values, no data file is opened."""
-    import datetime
-
     fields = _partition_spec_fields(meta)
     if not fields:
         raise ValueError("partition_filter on an unpartitioned table")
@@ -315,10 +313,12 @@ def _prune_entries(spark, entries: list, meta: dict,
     keep = set()
     for i, e in enumerate(entries):
         part = e.get("partition")
-        if part is None:
-            # a manifest entry with no partition record can't be
-            # judged — keep the file (pruning is an optimization; the
-            # defensive row filter in _live_df preserves semantics)
+        if part is None or any(n not in part for n in names):
+            # no partition record, or a field ABSENT from an
+            # older-spec manifest record (spec evolution): the value
+            # is unknown — not null — so the file can't be judged;
+            # keep it (pruning is an optimization; the defensive row
+            # filter in _live_df preserves semantics)
             keep.add(i)
         else:
             rows.append((i, *[as_str(n, part.get(n)) for n in names]))
@@ -636,24 +636,8 @@ def _footer_bounds(path: str, wanted: dict) -> tuple:
     aggregated over the parquet file's row-group statistics — the
     values a real writer puts in the manifest, sourced the same way
     (footer stats), no data read."""
-    import pyarrow.parquet as pq
-    md = pq.ParquetFile(_local(path)).metadata
-    mins: dict = {}
-    maxs: dict = {}
-    for rg in range(md.num_row_groups):
-        row_group = md.row_group(rg)
-        for ci in range(row_group.num_columns):
-            col = row_group.column(ci)
-            name = col.path_in_schema
-            if name not in wanted:
-                continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            mins[name] = st.min if name not in mins \
-                else min(mins[name], st.min)
-            maxs[name] = st.max if name not in maxs \
-                else max(maxs[name], st.max)
+    from .pruning import footer_minmax
+    mins, maxs = footer_minmax(_local(path), set(wanted))
     lo, hi = {}, {}
     for name, (fid, ityp) in wanted.items():
         enc = _BOUND_ENCODERS.get(ityp)
@@ -681,6 +665,23 @@ _AVRO_PART_TYPES = {
     "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
     "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
 }
+
+
+def _partition_result_type(transform: str, source_type: str) -> str:
+    """Iceberg type of a partition field's VALUE in the manifest —
+    the transform's result type, per spec §Partition Transforms:
+    bucket[N] → int, year/month/hour → int, day → date,
+    identity/truncate[W] → the source type, void → any (null)."""
+    t = (transform or "identity").lower()
+    if t.startswith("bucket"):
+        return "int"
+    if t in ("year", "month", "hour"):
+        return "int"
+    if t == "day":
+        return "date"
+    if t == "void":
+        return "string"  # value is always null; any nullable type
+    return source_type  # identity, truncate[W]
 
 
 def _manifest_entry_schema(partition_spec: list | None) -> dict:
@@ -751,12 +752,24 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
         return bounds_cache[path]
 
     snap_entries = []
+    last_sid = 0
     for i, spec in enumerate(snapshots, start=1):
         if isinstance(spec, dict):
             files, dels = spec.get("data", []), spec.get("deletes", [])
             eq_dels = spec.get("eq_deletes", [])
+            # explicit id: commit_snapshot preserves ORIGINAL snapshot
+            # ids/sequence numbers across rebuilds — after
+            # expire_snapshots_local, positional renumbering would
+            # shift new data files BELOW carried equality deletes'
+            # seq and wrongly delete their rows
+            sid = int(spec.get("snapshot_id") or max(i, last_sid + 1))
         else:
             files, dels, eq_dels = spec, [], []
+            sid = max(i, last_sid + 1)
+        if sid <= last_sid:
+            raise ValueError(
+                f"snapshot ids must be increasing: {sid} after {last_sid}")
+        last_sid = sid
 
         def entry(p, content, equality_ids=None, seq=None,
                   partition=None, lower=None, upper=None):
@@ -765,7 +778,7 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                     return None
                 return [{"key": int(k), "value": v}
                         for k, v in sorted(_bounds_map(m).items())]
-            return {"status": 1, "snapshot_id": seq or i, "data_file": {
+            return {"status": 1, "snapshot_id": seq or sid, "data_file": {
                 "content": content, "file_path": p,
                 "file_format": "PARQUET", "record_count": 0,
                 "file_size_in_bytes": os.path.getsize(_local(p)),
@@ -792,15 +805,16 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             lo, hi = bounds_of(spec_item) if wanted_bounds else (None, None)
             return entry(spec_item, 0, lower=lo, upper=hi)
 
-        manifest = os.path.join(meta_dir, f"manifest-{i}.avro")
+        manifest = os.path.join(meta_dir, f"manifest-{sid}.avro")
         write_container(manifest, entry_schema,
                         [data_entry(p) for p in files])
         mlist_rows = [{"manifest_path": manifest,
                        "manifest_length": os.path.getsize(manifest),
                        "partition_spec_id": 0, "content": 0,
-                       "added_snapshot_id": i}]
+                       "added_snapshot_id": sid}]
         if dels or eq_dels:
-            dmanifest = os.path.join(meta_dir, f"manifest-{i}-deletes.avro")
+            dmanifest = os.path.join(meta_dir,
+                                     f"manifest-{sid}-deletes.avro")
             write_container(
                 dmanifest, entry_schema,
                 [entry(p, 1) for p in dels]
@@ -809,13 +823,13 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             mlist_rows.append({"manifest_path": dmanifest,
                                "manifest_length": os.path.getsize(dmanifest),
                                "partition_spec_id": 0, "content": 1,
-                               "added_snapshot_id": i})
-        mlist = os.path.join(meta_dir, f"snap-{i}.avro")
+                               "added_snapshot_id": sid})
+        mlist = os.path.join(meta_dir, f"snap-{sid}.avro")
         write_container(mlist, _MANIFEST_FILE_SCHEMA, mlist_rows)
-        snap_entries.append({"snapshot-id": i, "sequence-number": i,
+        snap_entries.append({"snapshot-id": sid, "sequence-number": sid,
                              "timestamp-ms": 0, "manifest-list": mlist,
                              "summary": {"operation": "append"}})
-    n = len(snapshots)
+    n = last_sid or len(snapshots)
     schemas = []
     if schema_fields:
         schemas = [{"schema-id": 0, "type": "struct",
@@ -838,10 +852,16 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             "schemas": schemas, "current-schema-id": 0,
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}]}
-    with open(os.path.join(meta_dir, f"v{n}.metadata.json"), "w") as f:
+    # metadata version: never collide with an existing file (e.g. the
+    # one expire_snapshots_local just wrote) — version-hint points at
+    # whatever we write
+    vs = [int(m.group(1)) for f in os.listdir(meta_dir)
+          if (m := re.match(r"v(\d+)\.metadata\.json$", f))]
+    nv = max([n] + [v + 1 for v in vs])
+    with open(os.path.join(meta_dir, f"v{nv}.metadata.json"), "w") as f:
         json.dump(meta, f)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(n))
+        f.write(str(nv))
     return [s["snapshot-id"] for s in snap_entries]
 
 
@@ -888,24 +908,37 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                  "transform": f.get("transform", "identity"),
                  "source-id": f.get("source-id"),
                  "field-id": f.get("field-id"),
-                 "type": types.get(int(f.get("source-id", -1)),
-                                   "string")}
+                 # the manifest stores the TRANSFORM RESULT, not the
+                 # source value — bucket[N] yields int whatever the
+                 # source type
+                 "type": _partition_result_type(
+                     f.get("transform", "identity"),
+                     types.get(int(f.get("source-id", -1)), "string"))}
                 for f in spec]
         for s in meta.get("snapshots", []):
             d, dels, eqs = snapshot_files_full(table_dir,
                                                s.get("snapshot-id"))
-            prior.append({"data": d, "deletes": dels, "eq_deletes": eqs})
+            # keep the ORIGINAL snapshot id — positional renumbering
+            # after expire_snapshots_local would assign new data files
+            # a sequence BELOW carried equality deletes and silently
+            # delete their rows (and break time travel to kept ids)
+            prior.append({"data": d, "deletes": dels, "eq_deletes": eqs,
+                          "snapshot_id": s.get("snapshot-id")})
     current = prior[-1] if prior else {"data": [], "deletes": [],
                                        "eq_deletes": []}
+    new_id = 1 + max(
+        [int(p["snapshot_id"]) for p in prior if p.get("snapshot_id")],
+        default=0)
     if replace:
         new_snap = {"data": list(add_files or []), "deletes": [],
-                    "eq_deletes": []}
+                    "eq_deletes": [], "snapshot_id": new_id}
     else:
         new_snap = {
             "data": current["data"] + list(add_files or []),
             "deletes": current["deletes"] + list(add_delete_files or []),
             "eq_deletes": (current["eq_deletes"]
-                           + list(add_eq_delete_files or []))}
+                           + list(add_eq_delete_files or [])),
+            "snapshot_id": new_id}
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
                                      partition_spec=partition_spec)
@@ -1024,7 +1057,11 @@ def add_position_deletes(table_dir: str,
         for p in sorted(positions):
             rows_fp.append(path)
             rows_pos.append(int(p))
-    dpath = os.path.join(tdir, "metadata", f"delete-{n}.parquet")
+    import uuid as _uuid
+    # uuid suffix: after expire_snapshots_local the count-based name
+    # could collide with (and overwrite) a KEPT snapshot's delete file
+    dpath = os.path.join(tdir, "metadata",
+                         f"delete-{n}-{_uuid.uuid4().hex[:8]}.parquet")
     pq.write_table(pa.table({"file_path": pa.array(rows_fp, pa.string()),
                              "pos": pa.array(rows_pos, pa.int64())}), dpath)
     return commit_snapshot(table_dir, add_delete_files=[dpath])
@@ -1050,7 +1087,9 @@ def add_equality_deletes(table_dir: str, rows: "pa.Table | dict",
     meta = _read_table_metadata(table_dir)
     n = len(meta.get("snapshots", [])) + 1
     table = rows if isinstance(rows, pa.Table) else pa.table(rows)
-    dpath = os.path.join(tdir, "metadata", f"eq-delete-{n}.parquet")
+    import uuid as _uuid
+    dpath = os.path.join(tdir, "metadata",
+                         f"eq-delete-{n}-{_uuid.uuid4().hex[:8]}.parquet")
     pq.write_table(table, dpath)
     return commit_snapshot(table_dir, add_eq_delete_files=[
         {"path": dpath,

@@ -16,6 +16,36 @@ import datetime
 import re
 
 
+def footer_minmax(path: str, names=None) -> tuple[dict, dict]:
+    """({col: min}, {col: max}) aggregated over a parquet file's
+    row-group FOOTER statistics — no data pages read. Top-level leaf
+    columns only; columns without min/max stats are absent (the
+    conservative answer). ``names``: optional set of columns to keep.
+    Shared by both lakehouse writers/readers (Iceberg manifest bounds,
+    Delta add-action stats) so stat-handling fixes land once."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf — top-level stats only
+                continue
+            if names is not None and name not in names:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mins[name] = st.min if name not in mins \
+                else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs \
+                else max(maxs[name], st.max)
+    return mins, maxs
+
+
 def parse_literal(s: str):
     """A single SQL literal → Python value, or None when ``s`` is not
     exactly one supported literal (the conservative answer)."""

@@ -84,8 +84,9 @@ def streaming_join(left: DataFrame, right: DataFrame, on,
     only shape that survives an unbounded stream. Without them the
     inner join runs with unbounded state (correct, but a 100 TB/day
     anti-pattern — and outer joins REQUIRE the bounds, enforced
-    here). Right-side columns that collide (join keys, the time
-    column) are suffixed ``_r`` per the batch join's convention."""
+    here). EVERY right-side column that collides with a left name is
+    suffixed ``_2`` (the batch ``DataStream.join`` convention), so
+    the output never carries ambiguous references."""
     keys = [on] if isinstance(on, str) else list(on)
     if how != "inner" and not (left_time and right_time and max_delay):
         raise ValueError(
@@ -96,11 +97,11 @@ def streaming_join(left: DataFrame, right: DataFrame, on,
     if bounded:
         left = left.withWatermark(left_time, watermark)
         right = right.withWatermark(right_time, watermark)
-    # rename colliding right columns so the range condition and the
-    # output are unambiguous (batch join suffix convention)
-    collide = [c for c in right.columns
-               if c in left.columns and (c in keys or bounded)]
-    ren = {c: (f"{c}_r" if c not in keys else f"__qs_k_{c}__")
+    # rename EVERY colliding right column so the range condition and
+    # the output are unambiguous (batch join suffix convention);
+    # join keys get a temp name that is dropped after the join
+    collide = [c for c in right.columns if c in left.columns]
+    ren = {c: (f"{c}_2" if c not in keys else f"__qs_k_{c}__")
            for c in collide}
     for old, new in ren.items():
         right = right.withColumnRenamed(old, new)

@@ -452,3 +452,62 @@ def test_delta_compact_partitioned_keeps_pruning(spark, qc, tmp_path):
     assert got.count() == 200
     assert len(got.inputFiles()) < n_before
     assert all(r["p"] == "1" for r in got.select("p").distinct().collect())
+
+
+def test_delta_scan_filter_timestamp_stats_vs_date_literal(
+        spark, qc, tmp_path):
+    """A date literal against a TIMESTAMP column compares in datetime
+    space (literal at midnight — Spark's own cast), never by
+    truncating the stat string to a date: truncation lowered the max
+    bound and `ts > date'...'` silently skipped files whose matching
+    rows fall later that same day."""
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import (_prune_by_stats,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "tstbl")
+    df = spark.createDataFrame(
+        [("2024-02-01 10:00:00",), ("2024-02-15 10:00:00",),
+         ("2024-03-01 23:00:00",)], "s string") \
+        .select(F.to_timestamp("s").alias("ts"))
+    # INT96 (Spark's default parquet timestamp) carries no footer
+    # stats; real Delta writers use int64 micros, which do
+    old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        write_delta_local(df.repartitionByRange(2, F.col("ts")), tbl)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+    got = qc.read_delta(tbl, scan_filter="ts > date'2024-03-01'").df
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["ts"].hour == 23
+    # pruning still active: the all-February file is skipped
+    assert len(got.inputFiles()) == 1
+    # the exact review scenario, pinned at the decision level: a file
+    # whose max is 23:00 of the literal's day MUST be kept
+    adds = [{"stats": {"numRecords": 1,
+                       "minValues": {"ts": "2024-03-01T05:00:00"},
+                       "maxValues": {"ts": "2024-03-01T23:00:00"}}},
+            {"stats": {"numRecords": 1,
+                       "minValues": {"ts": "2024-02-01T00:00:00"},
+                       "maxValues": {"ts": "2024-02-15T10:00:00"}}}]
+    pf, _ = _prune_by_stats(["match.parquet", "feb.parquet"], adds,
+                            "ts > date'2024-03-01'")
+    assert pf == ["match.parquet"]
+
+
+def test_delta_partition_filter_validated_even_when_all_pruned(
+        spark, qc, tmp_path):
+    """A bogus partition_filter on an unpartitioned table errors even
+    when scan_filter stats-prunes every file — regression: the
+    empty-prune early return skipped the validation, so the error
+    depended on the data distribution."""
+    import pytest
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "vtbl")
+    write_delta_local(spark.range(0, 100), tbl)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        qc.read_delta(tbl, partition_filter="year = 2024",
+                      scan_filter="id > 1000000")

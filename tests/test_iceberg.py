@@ -509,3 +509,87 @@ def test_iceberg_compact_partitioned_gated(qc, spark, ptable):
     tbl, _, _ = ptable
     with pytest.raises(NotImplementedError, match="partitioned"):
         rewrite_data_files_local(spark, tbl)
+
+
+# ----------------------------------------------------------------------
+# maintenance soundness regressions (round 7 review)
+# ----------------------------------------------------------------------
+
+def test_expire_then_commit_preserves_ids_and_eq_delete_scope(
+        qc, spark, tmp_path):
+    """After expire_snapshots_local, a new commit must NOT renumber
+    snapshots: a carried equality delete keeps its original sequence,
+    so data files committed AFTER it (higher seq) stay untouched, and
+    time travel to the kept id still resolves — regression:
+    positional renumbering gave new files a sequence below the
+    carried delete and silently removed their rows."""
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import (add_equality_deletes,
+                                                    append_snapshot,
+                                                    expire_snapshots_local)
+    a = str(tmp_path / "a.parquet")
+    pd.DataFrame({"id": [1, 2, 3]}).to_parquet(a)
+    tbl = str(tmp_path / "etbl")
+    create_local_iceberg_table(tbl, [[a]],
+                               schema_fields=[(1, "id", "long")])
+    append_snapshot(tbl, [])  # middle snapshot → the delete is snap 3
+    s3 = add_equality_deletes(tbl, {"id": [2]})
+    assert s3 == 3
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg(tbl).df.collect()) == [1, 3]
+    assert expire_snapshots_local(tbl, keep_last=1) == [s3]
+    # new data containing id=2, committed AFTER the delete
+    b = str(tmp_path / "b.parquet")
+    pd.DataFrame({"id": [2, 9]}).to_parquet(b)
+    s4 = append_snapshot(tbl, [b])
+    assert s4 == s3 + 1
+    got = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got == [1, 2, 3, 9]  # old id=2 deleted, NEW id=2 alive
+    # the kept original id still time-travels
+    pre = qc.read_iceberg(tbl, snapshot=s3).df
+    assert sorted(r["id"] for r in pre.collect()) == [1, 3]
+
+
+def test_commit_to_transform_partitioned_table(qc, spark, tmp_path):
+    """Committing to a bucket-partitioned table must encode the
+    TRANSFORM RESULT type (int) in the manifest avro schema —
+    regression: the source column type (string) was used and the
+    int partition value crashed the encoder."""
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import append_snapshot
+    f = str(tmp_path / "f.parquet")
+    pd.DataFrame({"id": [1], "r": ["EU"]}).to_parquet(f)
+    tbl = str(tmp_path / "btbl")
+    create_local_iceberg_table(
+        tbl, [[{"path": f, "partition": {"r_bucket": 3}}]],
+        schema_fields=[(1, "id", "long"), (2, "r", "string")],
+        partition_spec=[{"name": "r_bucket", "type": "int",
+                         "source-id": 2, "transform": "bucket[4]"}])
+    g = str(tmp_path / "g.parquet")
+    pd.DataFrame({"id": [2], "r": ["US"]}).to_parquet(g)
+    append_snapshot(tbl, [{"path": g, "partition": {"r_bucket": 1}}])
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg(tbl).df.collect()) == [1, 2]
+
+
+def test_prune_entries_absent_field_kept_null_prunable(spark):
+    """Partition pruning distinguishes a genuine NULL partition value
+    (prunable) from a field ABSENT under an older spec (unknown —
+    must keep the file) — regression: both mapped to SQL NULL and
+    the absent-field file was wrongly dropped."""
+    from quokka_spark.sources.iceberg_local import _prune_entries
+    meta = {"partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "x", "transform": "identity",
+                 "source-id": 1, "field-id": 1000}]}],
+            "default-spec-id": 0,
+            "schemas": [{"schema-id": 0, "fields": [
+                {"id": 1, "name": "x", "type": "int"}]}],
+            "current-schema-id": 0}
+    entries = [{"partition": {"x": 5}},    # matches → kept
+               {"partition": {"x": 7}},    # refuted → pruned
+               {"partition": {"x": None}},  # genuine null → pruned
+               {"partition": {}}]          # absent (old spec) → kept
+    got = _prune_entries(spark, entries, meta, "x = 5")
+    assert got == [entries[0], entries[3]]

@@ -1774,18 +1774,40 @@ def test_streaming_join_bounded_matches_batch(spark, qc, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     got = spark.sql("select * from sj_out").toPandas() \
-        .sort_values(["k", "ts", "ts_r"]).reset_index(drop=True)
+        .sort_values(["k", "ts", "ts_2"]).reset_index(drop=True)
     want = (ldf.alias("l").join(
-        rdf.withColumnRenamed("ts", "ts_r").alias("r"),
+        rdf.withColumnRenamed("ts", "ts_2").alias("r"),
         (F.col("l.k") == F.col("r.k"))
-        & (F.col("l.ts") >= F.col("ts_r") - F.expr("INTERVAL 10 minutes"))
-        & (F.col("l.ts") <= F.col("ts_r") + F.expr("INTERVAL 10 minutes")))
-        .select("l.k", "l.ts", "lv", "ts_r", "rv").toPandas()
-        .sort_values(["k", "ts", "ts_r"]).reset_index(drop=True))
-    assert list(got.columns) == ["k", "ts", "lv", "ts_r", "rv"]
+        & (F.col("l.ts") >= F.col("ts_2") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("l.ts") <= F.col("ts_2") + F.expr("INTERVAL 10 minutes")))
+        .select("l.k", "l.ts", "lv", "ts_2", "rv").toPandas()
+        .sort_values(["k", "ts", "ts_2"]).reset_index(drop=True))
+    assert list(got.columns) == ["k", "ts", "lv", "ts_2", "rv"]
     assert len(got) == len(want) > 0
     for c in got.columns:
         assert list(got[c]) == list(want[c]), c
+
+
+def test_streaming_join_unbounded_renames_all_collisions(spark, qc,
+                                                         tmp_path):
+    """An UNBOUNDED inner stream-stream join must still suffix
+    non-key colliding right columns — regression: they used to pass
+    through unrenamed, leaving ambiguous duplicate names."""
+    from quokka_spark.streaming.stream import streaming_join
+    sch = "k long, v double"
+    ldf = spark.createDataFrame([(1, 1.0)], sch)
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    ldf.coalesce(1).write.parquet(ldir)
+    spark.createDataFrame([(1, 9.0)], sch).coalesce(1).write.parquet(rdir)
+    ls = spark.readStream.schema(ldf.schema).parquet(ldir)
+    rs = spark.readStream.schema(ldf.schema).parquet(rdir)
+    out = streaming_join(ls, rs, "k")
+    assert out.columns == ["k", "v", "v_2"]
+    q = (out.writeStream.format("memory").queryName("sj_unb")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select k, v, v_2 from sj_unb").collect()
+    assert [(r.k, r.v, r.v_2) for r in got] == [(1, 1.0, 9.0)]
 
 
 def test_streaming_join_outer_requires_bounds_and_emits(spark, qc,
@@ -1830,11 +1852,11 @@ def test_streaming_join_outer_requires_bounds_and_emits(spark, qc,
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     got = spark.sql(
-        "select k, v, v_r from sj_outer order by k").toPandas()
+        "select k, v, v_2 from sj_outer order by k").toPandas()
     # guaranteed: the match and the watermark-flushed unmatched row.
     # The trailing late rows (8, 9) may or may not flush before the
     # availableNow drain ends (how many tail batches run is a Spark
     # scheduling detail) — but if they appear they MUST be unmatched.
     ks = list(got["k"])
     assert ks[:2] == [1, 2] and set(ks) <= {1, 2, 8, 9}
-    assert got["v_r"].isna().tolist() == [False] + [True] * (len(ks) - 1)
+    assert got["v_2"].isna().tolist() == [False] + [True] * (len(ks) - 1)
