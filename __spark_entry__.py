@@ -4971,6 +4971,136 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 # ======================================================================
+# streaming gates: the Structured Streaming verbs replayed to
+# completion over the events corpus and compared to the batch/SQL
+# answer — the driver-checkable face of streaming/stream.py (the
+# pytest suite additionally pins multi-batch, late-data, and restart
+# behavior that a replay-to-completion gate cannot).
+# ======================================================================
+
+def _stream_events_dir(spark, qc, sf_dir, tag="one"):
+    """The events table written ONCE as a single parquet file — the
+    deterministic streaming source (one file → one availableNow
+    micro-batch, so batch composition never depends on file
+    listing order)."""
+    import os
+    import tempfile
+    d = os.path.join(tempfile.gettempdir(),
+                     f"qs_stream_{tag}_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(d):
+        qc.read_parquet(os.path.join(sf_dir, "events.parquet")) \
+            .df.coalesce(1).write.parquet(d)
+    return d
+
+
+def _drain(df, mode="append"):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink; returns the sink table (static once
+    the query terminates)."""
+    import uuid
+    name = "qs_sink_" + uuid.uuid4().hex[:10]
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+def stream_tumbling(spark, sf_dir):
+    """Streaming tumbling-window aggregation: the full events corpus
+    replayed through withWatermark + window() under availableNow
+    equals the batch GROUP BY hour — streaming/stream.py:25
+    streaming_windowed_agg (complete mode: every window emitted
+    regardless of final-watermark position, which is what makes a
+    bounded replay comparable to batch)."""
+    from quokka_spark.streaming.stream import streaming_windowed_agg
+    from quokka_spark.windowtypes import TumblingWindow
+    qc = _qc(spark)
+    d = _stream_events_dir(spark, qc, sf_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema).parquet(d)
+    agg = streaming_windowed_agg(
+        stream, TumblingWindow("1h", {"n_events": "count(*)",
+                                      "sum_value": "round(sum(value), 4)"}),
+        "ts", "user_id", watermark="1 hour")
+    out = _drain(agg, mode="complete")
+    return out.select("user_id",
+                      F.col("window.start").alias("window_start"),
+                      "n_events", "sum_value")
+
+
+_STREAM_TUMBLING_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark, streaming/stream.py:48): over a
+    single-batch replay the kept set is exactly one row per
+    (user_id, event_type), so the key-level summary equals batch
+    DISTINCT — while state stays O(keys within the watermark) on an
+    unbounded stream."""
+    from quokka_spark.streaming.stream import streaming_dedup_exact
+    qc = _qc(spark)
+    d = _stream_events_dir(spark, qc, sf_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema).parquet(d)
+    kept = streaming_dedup_exact(stream, ["user_id", "event_type"],
+                                 "ts", delay="10 minutes")
+    out = _drain(kept)
+    return out.groupBy("event_type") \
+        .agg(F.count("*").alias("n_keys")) \
+        .select("event_type", "n_keys")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+"""
+
+
+def stream_join(spark, sf_dir):
+    """Watermarked stream-stream equi-join (streaming/stream.py:67
+    streaming_join): views join purchases per user within ±10
+    minutes; the time-range bound is what lets Spark evict join state
+    behind the watermark on an unbounded stream. Single-batch replay
+    → every qualifying pair is emitted, so the per-user pair count
+    equals the batch range-join."""
+    from quokka_spark.streaming.stream import streaming_join
+    qc = _qc(spark)
+    d = _stream_events_dir(spark, qc, sf_dir)
+    schema = spark.read.parquet(d).schema
+    views = spark.readStream.schema(schema).parquet(d) \
+        .where("event_type = 'view'") \
+        .select("user_id", "ts", "value")
+    purchases = spark.readStream.schema(schema).parquet(d) \
+        .where("event_type = 'purchase'") \
+        .select("user_id", "ts", "value")
+    joined = streaming_join(views, purchases, "user_id",
+                            left_time="ts", right_time="ts",
+                            watermark="1 minute",
+                            max_delay="10 minutes")
+    out = _drain(joined)
+    return out.groupBy("user_id") \
+        .agg(F.count("*").alias("n_pairs")) \
+        .select("user_id", "n_pairs")
+
+
+_STREAM_JOIN_SQL = """
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts BETWEEN v.ts - INTERVAL 10 MINUTE
+              AND v.ts + INTERVAL 10 MINUTE
+GROUP BY v.user_id
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 
@@ -5167,6 +5297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_grouping_sets": op_grouping_sets,
         "dedup_containment": dedup_containment,
         "op_percentile_approx_group": op_percentile_approx_group,
+        "stream_tumbling": stream_tumbling,
+        "stream_dedup": stream_dedup,
+        "stream_join": stream_join,
     }
 
 
@@ -5292,4 +5425,7 @@ def oracle_sql() -> dict[str, str]:
         "op_grouping_sets_facade": _GROUPING_SETS_SQL,
         "dedup_containment": _CONTAINMENT_SQL,
         "op_percentile_approx_group": _percentile_approx_oracle(),
+        "stream_tumbling": _STREAM_TUMBLING_SQL,
+        "stream_dedup": _STREAM_DEDUP_SQL,
+        "stream_join": _STREAM_JOIN_SQL,
     }

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "text_tfidf", "op_cap_per_key", "dedup_lines", "ml_logreg",
     "op_quantize", "op_zorder", "ts_ewma", "ts_vwap",
     "text_c4", "ml_bpe_encode", "ts_resample",
+    "stream_tumbling", "stream_join",
 ]
 
 

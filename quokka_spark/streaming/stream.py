@@ -88,6 +88,15 @@ def streaming_join(left: DataFrame, right: DataFrame, on,
     suffixed ``_2`` (the batch ``DataStream.join`` convention), so
     the output never carries ambiguous references."""
     keys = [on] if isinstance(on, str) else list(on)
+    from pyspark.sql.types import TimestampNTZType
+    if left_time and isinstance(left.schema[left_time].dataType,
+                                TimestampNTZType):
+        left = left.withColumn(left_time,
+                               F.col(left_time).cast("timestamp"))
+    if right_time and isinstance(right.schema[right_time].dataType,
+                                 TimestampNTZType):
+        right = right.withColumn(right_time,
+                                 F.col(right_time).cast("timestamp"))
     if how != "inner" and not (left_time and right_time and max_delay):
         raise ValueError(
             f"streaming {how} join needs left_time/right_time + "
