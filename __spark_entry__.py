@@ -5178,21 +5178,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": tpch_q18, "tpch_q19": tpch_q19, "tpch_q22": tpch_q22,
         "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
         "tpch_q21": tpch_q21,
-        # time series (9)
+        # time series (8) + streaming (2)
         "ts_tumbling": ts_tumbling, "ts_hopping": ts_hopping,
         "ts_sliding": ts_sliding, "ts_session": ts_session,
-        "ts_asof_join": ts_asof_join, "ts_shift": ts_shift,
+        "ts_asof_join": ts_asof_join,
         "ts_cep_funnel": ts_cep_funnel,
         "ts_cep_quantified": ts_cep_quantified,
         "ts_backtest": ts_backtest,
+        "stream_tumbling": stream_tumbling,
+        "stream_join": stream_join,
         # dedup (4)
         "dedup_exact": dedup_exact, "dedup_minhash": dedup_minhash,
         "dedup_embedding": dedup_embedding,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         # similarity (2)
         "sim_topk": sim_topk, "sim_topk_pushdown": sim_topk_pushdown,
-        # text analysis (3)
-        "text_tokens": text_tokens, "text_lang_id": text_lang_id,
+        # text analysis (2)
+        "text_tokens": text_tokens,
         "text_quality": text_quality,
         # pipeline / multimodal (2)
         "pipeline_llm_data": pipeline_llm_data, "mm_metadata": mm_metadata,
@@ -5205,6 +5207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_bpe_train": ml_bpe_train,
         "op_join_nonequi": op_join_nonequi,
         # ---- past the driver window (pytest-oracle-checked) -----------
+        "ts_shift": ts_shift, "text_lang_id": text_lang_id,
         "ts_cep_plus_dep": ts_cep_plus_dep,
         "dedup_simhash": dedup_simhash,
         "sim_topk_lsh": sim_topk_lsh,
@@ -5297,9 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_grouping_sets": op_grouping_sets,
         "dedup_containment": dedup_containment,
         "op_percentile_approx_group": op_percentile_approx_group,
-        "stream_tumbling": stream_tumbling,
         "stream_dedup": stream_dedup,
-        "stream_join": stream_join,
     }
 
 
