@@ -306,6 +306,26 @@ def _prune_by_stats(files: list, adds: list, scan_filter: str):
     return out_f, out_a
 
 
+def _log_read_schema(meta: dict, pcols: list):
+    """The table's Spark read schema from the log's ``schemaString``,
+    MINUS partition columns (they live in the log, not the files), or
+    None when the log carries no usable schema (minimal fixtures —
+    fall back to inference). Reading with the LOG's schema, not a
+    sampled file's, is what makes schema evolution sound: a column
+    added in a later version must surface (null for older files)
+    even when inference happens to sample an old file — and it skips
+    the footer-sampling pass entirely, which is not free at 100 TB
+    file counts."""
+    from pyspark.sql.types import StructType
+    try:
+        full = StructType.fromJson(json.loads(meta["schemaString"]))
+    except (KeyError, ValueError, TypeError):
+        return None
+    drop = set(pcols or [])
+    fields = [f for f in full.fields if f.name not in drop]
+    return StructType(fields) if fields else None
+
+
 def _partition_schema(meta: dict):
     """(partition column names, {name: Spark DataType}) from the
     table metaData; empty when unpartitioned."""
@@ -368,8 +388,10 @@ def read_delta_local(spark, table: str, version: int | None = None,
                 return empty
             # schema unknown: keep the files; the row filter below
             # still yields the correct (empty) result
+    rs = _log_read_schema(meta, pcols)
     if not pcols:
-        df = spark.read.parquet(*files)
+        df = (spark.read.schema(rs).parquet(*files)
+              if rs is not None else spark.read.parquet(*files))
         return df.filter(scan_filter) if scan_filter else df
     from pyspark.sql import functions as F
 
@@ -406,7 +428,9 @@ def read_delta_local(spark, table: str, version: int | None = None,
     plain = F.url_decode(F.regexp_replace(
         F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
         "\\+", "%2B"))
-    df = spark.read.parquet(*files).withColumn("__qs_path__", plain)
+    df = (spark.read.schema(rs).parquet(*files)
+          if rs is not None else spark.read.parquet(*files)) \
+        .withColumn("__qs_path__", plain)
     df = df.join(F.broadcast(mapping), "__qs_path__").drop("__qs_path__")
     # present columns in table-schema order (partition cols last in
     # the files, spec order in the schemaString)
@@ -561,6 +585,52 @@ def _hive_partition_values(data_dir: str, path: str) -> dict:
     return out
 
 
+def _evolve_schema_actions(table: str, df, mode: str,
+                           pcols: list) -> list:
+    """Schema-evolution metaData action(s) for a non-initial commit:
+    on append, NEW nullable columns merge into the table schema
+    (Delta's mergeSchema) while a type conflict on an existing column
+    errors; columns the frame omits are fine (the log-schema read
+    yields null for them). On overwrite, the frame's schema replaces
+    the table schema when different (overwriteSchema). Returns [] when
+    the schema is unchanged."""
+    from pyspark.sql.types import StructType
+    _, meta, _, _ = _replay(table, None)
+    try:
+        cur = StructType.fromJson(json.loads(meta["schemaString"]))
+    except (KeyError, ValueError, TypeError):
+        return []
+    if meta.get("partitionColumns") != list(pcols or []) and pcols:
+        raise ValueError(
+            f"partition_by {pcols} differs from the table's "
+            f"partitionColumns {meta.get('partitionColumns')}")
+    cur_types = {f.name: f.dataType for f in cur.fields}
+    new_fields = []
+    for f in df.schema.fields:
+        have = cur_types.get(f.name)
+        if have is None:
+            new_fields.append(f)
+        elif have != f.dataType and mode == "append":
+            raise ValueError(
+                f"column {f.name!r}: incoming type "
+                f"{f.dataType.simpleString()} conflicts with the "
+                f"table's {have.simpleString()} (append never "
+                "rewrites history; use overwrite to replace the "
+                "schema)")
+    if mode == "overwrite":
+        merged = df.schema
+        if merged == cur:
+            return []
+    else:
+        if not new_fields:
+            return []
+        merged = StructType(list(cur.fields) + new_fields)
+    md = _meta_actions(merged.json(),
+                       meta.get("partitionColumns") or [])[1]
+    md["metaData"]["id"] = meta.get("id") or md["metaData"]["id"]
+    return [md]
+
+
 def write_delta_local(df, table: str, mode: str = "append",
                       partition_by=None) -> int:
     """Commit a Spark DataFrame as a new Delta version. ``mode``:
@@ -597,6 +667,8 @@ def write_delta_local(df, table: str, mode: str = "append",
     actions: list = []
     if version == 0:
         actions += _meta_actions(df.schema.json(), pcols)
+    else:
+        actions += _evolve_schema_actions(table, df, mode, pcols)
     ts = int(time.time() * 1000)
     if mode == "overwrite" and versions:
         # remove by the exact path KEY each add used (absolute for

@@ -404,6 +404,73 @@ def _py_norm(p: str) -> str:
     return re.sub("^file:/+", "/", p)
 
 
+def _table_read_schema(meta: dict, probe_path: str):
+    """The table's Spark read schema built from the metadata's current
+    Iceberg schema (fields in field-id order), or None — then the
+    scan falls back to parquet inference. Scanning with the TABLE
+    schema, not a sampled file's, is what makes schema evolution
+    sound: a column added in a later snapshot surfaces (null for
+    pre-evolution files) regardless of which file inference would
+    have sampled.
+
+    Applied only when the table schema is a STRICT superset of
+    ``probe_path``'s footer columns (one KB-scale driver read) and
+    every overlapping column's physical arrow type matches its
+    declared type. Anything else falls back to inference: the
+    local-fixture convention passes a PARTIAL (or loosely-typed)
+    schema_fields just to resolve equality ids, and when no column
+    was ever added, inference already yields the file schema."""
+    from pyspark.sql.types import StructType
+    names = _field_names_of(meta)
+    types = _schema_types(meta)
+    if not names or set(names) - set(types):
+        return None
+    if any(types[fid] not in _ICEBERG_TO_SPARK_TYPE for fid in names):
+        return None
+    by_name = {names[fid]: types[fid] for fid in names}
+    try:
+        import pyarrow.parquet as pq
+        fsch = pq.read_schema(_local(probe_path))
+        file_cols = set(fsch.names)
+    except Exception:
+        return None
+    if file_cols - set(by_name) or not set(by_name) - file_cols:
+        return None  # partial fixture schema / no evolution benefit
+    for c in file_cols:
+        if not _arrow_type_ok(by_name[c], fsch.field(c).type):
+            return None
+    ddl = ", ".join(
+        f"`{names[fid]}` {_ICEBERG_TO_SPARK_TYPE[types[fid]]}"
+        for fid in sorted(names))
+    try:
+        return StructType.fromDDL(ddl)
+    except Exception:  # unexpected name/type spelling — infer instead
+        return None
+
+
+def _arrow_type_ok(ityp: str, at) -> bool:
+    """True when a parquet column of physical arrow type ``at`` reads
+    losslessly under the declared iceberg primitive ``ityp``."""
+    import pyarrow as pa
+    if ityp == "boolean":
+        return pa.types.is_boolean(at)
+    if ityp == "int":
+        return pa.types.is_integer(at) and at.bit_width <= 32
+    if ityp == "long":
+        return pa.types.is_int64(at)
+    if ityp == "float":
+        return pa.types.is_float32(at)
+    if ityp == "double":
+        return pa.types.is_float64(at)
+    if ityp == "string":
+        return pa.types.is_string(at) or pa.types.is_large_string(at)
+    if ityp == "date":
+        return pa.types.is_date(at)
+    if ityp in ("timestamp", "timestamptz"):
+        return pa.types.is_timestamp(at)
+    return False
+
+
 def _live_df(spark, table_path: str, snapshot_id: int | None,
              keep_position: bool = False,
              partition_filter: str | None = None,
@@ -418,9 +485,8 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
     from pyspark.sql import functions as F
     entries, deletes, eq_deletes = snapshot_files_full(
         table_path, snapshot_id)
+    meta = _read_table_metadata(table_path)
     spec_names = []
-    if partition_filter or scan_filter:
-        meta = _read_table_metadata(table_path)
     if partition_filter:
         entries = _prune_entries(spark, entries, meta, partition_filter)
         spec_names = [f["name"] for f in _partition_spec_fields(meta)]
@@ -431,7 +497,9 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
         raise ValueError(f"{table_path}: snapshot has no data files"
                          + (f" matching {partition_filter or scan_filter!r}"
                             if (partition_filter or scan_filter) else ""))
-    df = (spark.read.parquet(*paths)
+    rs = _table_read_schema(meta, paths[0])
+    df = ((spark.read.schema(rs).parquet(*paths)
+           if rs is not None else spark.read.parquet(*paths))
           .withColumn("__qs_fp__", _norm_path(F.col("_metadata.file_path")))
           .withColumn("__qs_pos__", F.col("_metadata.row_index")))
     if partition_filter:

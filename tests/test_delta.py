@@ -511,3 +511,36 @@ def test_delta_partition_filter_validated_even_when_all_pruned(
     with pytest.raises(ValueError, match="unpartitioned"):
         qc.read_delta(tbl, partition_filter="year = 2024",
                       scan_filter="id > 1000000")
+
+
+def test_delta_schema_evolution_append_and_travel(spark, qc, tmp_path):
+    """An appended frame with a NEW column commits a merged metaData
+    (mergeSchema); the read scans with the LOG's schema, so the new
+    column surfaces with nulls for pre-evolution files regardless of
+    which file inference would have sampled. Time travel to the
+    pre-evolution version sees the original schema; a type conflict
+    on append is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "evo")
+    write_delta_local(spark.range(0, 3).select("id"), tbl)
+    write_delta_local(
+        spark.range(3, 6).select("id", (F.col("id") * 1.5).alias("score")),
+        tbl)
+    got = qc.read_delta(tbl).df
+    assert got.columns == ["id", "score"]
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert len(rows) == 6
+    assert rows[1] is None and rows[4] == 6.0
+    assert qc.read_delta(tbl, version=0).df.columns == ["id"]
+    with pytest.raises(ValueError, match="conflicts"):
+        write_delta_local(
+            spark.range(0, 1).select(F.col("id").cast("string").alias("id")),
+            tbl)
+    # overwrite replaces the schema outright
+    write_delta_local(spark.range(0, 2).select(
+        F.col("id").cast("string").alias("id")), tbl, mode="overwrite")
+    out = qc.read_delta(tbl).df
+    assert dict(out.dtypes) == {"id": "string"} and out.count() == 2

@@ -593,3 +593,36 @@ def test_prune_entries_absent_field_kept_null_prunable(spark):
                {"partition": {}}]          # absent (old spec) → kept
     got = _prune_entries(spark, entries, meta, "x = 5")
     assert got == [entries[0], entries[3]]
+
+
+def test_iceberg_schema_evolution_added_column(qc, spark, tmp_path):
+    """A column added by schema evolution surfaces (typed, null for
+    pre-evolution files) because the scan uses the TABLE schema when
+    it strictly extends the files — not whichever file parquet
+    inference sampled."""
+    import pandas as pd
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pd.DataFrame({"id": [1, 2]}).to_parquet(a)
+    pd.DataFrame({"id": [3], "score": [1.5]}).to_parquet(b)
+    tbl = str(tmp_path / "evo")
+    create_local_iceberg_table(
+        tbl, [[a], [a, b]],
+        schema_fields=[(1, "id", "long"), (2, "score", "double")])
+    got = qc.read_iceberg(tbl).df
+    assert got.columns == ["id", "score"]
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+
+
+def test_iceberg_partial_fixture_schema_keeps_inference(qc, spark,
+                                                        tmp_path):
+    """A schema_fields list NARROWER than the files (the equality-id
+    hint convention) must NOT become the read schema — all file
+    columns stay readable."""
+    import pandas as pd
+    d = str(tmp_path / "d.parquet")
+    pd.DataFrame({"k": [1, 2], "s": ["a", "b"]}).to_parquet(d)
+    tbl = str(tmp_path / "ptbl2")
+    create_local_iceberg_table(tbl, [[d]], schema_fields=[(2, "s")])
+    got = qc.read_iceberg(tbl).df
+    assert set(got.columns) == {"k", "s"} and got.count() == 2
