@@ -1670,6 +1670,47 @@ FROM doubled GROUP BY l_linestatus
 """
 
 
+def src_hudi(spark, sf_dir):
+    """read_hudi end-to-end WITHOUT the hudi-spark bundle jar
+    (sources/hudi_local.py — pure-Python timeline replay): a local
+    Copy-on-Write table is laid over the existing lineitem parquet,
+    data referenced in place. Instant 1 = group g1 → lineitem;
+    instant 2 SUPERSEDES g1 (new slice, same file) and adds group g2
+    (a symlinked copy) — the gate reads the latest state, so the
+    oracle is lineitem UNION ALL lineitem, exercising timeline
+    ordering, newest-slice-per-group resolution, and the native
+    parquet scan the live file list feeds."""
+    import os
+    import tempfile
+    from quokka_spark.sources.hudi_local import commit_hudi_local
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_hudi_" + sf_dir.strip("/").replace("/", "_"))
+    dup = os.path.join(tbl, "li_dup.parquet")
+    if not os.path.isdir(os.path.join(tbl, ".hoodie")):
+        os.makedirs(tbl, exist_ok=True)
+        if not os.path.exists(dup):
+            os.symlink(os.path.abspath(li), dup)
+        commit_hudi_local(tbl, {"": [("g1", li)]}, instant="1")
+        commit_hudi_local(tbl, {"": [("g1", li), ("g2", dup)]},
+                          instant="2")
+    ds = qc.read_hudi(tbl)
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+_SRC_HUDI_SQL = """
+WITH doubled AS (
+  SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM doubled GROUP BY l_returnflag
+"""
+
+
 def src_orc(spark, sf_dir):
     """read_orc/write_orc roundtrip (parity-plus source — ORC is
     Spark-native, zero extra dependencies): lineitem is written once
@@ -5246,6 +5287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_skipping": src_delta_skipping,
         "src_orc": src_orc,
         "src_avro": src_avro,
+        "src_hudi": src_hudi,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -5426,6 +5468,7 @@ def oracle_sql() -> dict[str, str]:
         "op_grouping_sets_facade": _GROUPING_SETS_SQL,
         "dedup_containment": _CONTAINMENT_SQL,
         "op_percentile_approx_group": _percentile_approx_oracle(),
+        "src_hudi": _SRC_HUDI_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_join": _STREAM_JOIN_SQL,

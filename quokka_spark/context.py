@@ -191,6 +191,18 @@ class QuokkaContext:
             self.spark, table, version, partition_filter=partition_filter,
             scan_filter=scan_filter))
 
+    def read_hudi(self, table: str, as_of: str | None = None) -> DataStream:
+        """Apache Hudi COPY-ON-WRITE table, optional time travel by
+        instant timestamp (extension source — completes the lakehouse
+        trio next to read_delta/read_iceberg). Pure-Python timeline
+        replay (sources/hudi_local.py): the ``.hoodie/*.commit`` JSONs
+        resolve the newest base file per file group driver-side, then
+        ONE native parquet scan — pushdown and pruning as on raw
+        parquet. MERGE_ON_READ tables raise NotImplementedError (base
+        files alone would serve stale rows)."""
+        from .sources.hudi_local import read_hudi_local
+        return DataStream(self, read_hudi_local(self.spark, table, as_of))
+
     def read_iceberg(self, table: str, snapshot: int | None = None,
                      partition_filter: str | None = None,
                      scan_filter: str | None = None) -> DataStream:

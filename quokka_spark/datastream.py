@@ -893,6 +893,16 @@ class DataStream:
         from .sources.delta_local import write_delta_local
         return write_delta_local(self.df, path, mode)
 
+    def write_hudi(self, path: str, mode: str = "append") -> str:
+        """Commit the stream as a new instant of a LOCAL Hudi
+        Copy-on-Write table (sources/hudi_local.py): one distributed
+        parquet write, one atomic timeline commit ("overwrite" is a
+        replacecommit — the insert_overwrite shape). Readable back
+        (with as-of time travel) through ``qc.read_hudi``. Returns the
+        instant timestamp. Single-writer local tables only."""
+        from .sources.hudi_local import write_hudi_local
+        return write_hudi_local(self.df, path, mode)
+
     def write_iceberg(self, path: str,
                       output_line_limit: int = 5_000_000,
                       mode: str = "append", key=None) -> int:
