@@ -787,7 +787,12 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         raise NotImplementedError(
             "upsert on a partitioned local Delta table — read, rewrite "
             "and overwrite with partition_by instead")
-    live = spark.read.parquet(*files) \
+    # scan with the LOG's schema: after schema evolution, inference
+    # could sample a pre-evolution file and the survivor rewrite
+    # would silently drop the newer columns from rewritten files
+    rs = _log_read_schema(meta, [])
+    live = (spark.read.schema(rs).parquet(*files)
+            if rs is not None else spark.read.parquet(*files)) \
         .withColumn("__qs_file__", F.col("_metadata.file_path"))
     new_keys = df.select(*keys).distinct()
     affected = [r["__qs_file__"]

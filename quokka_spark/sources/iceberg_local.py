@@ -1023,35 +1023,100 @@ def rewrite_data_files_local(spark, table_dir: str,
     degrade a long-lived table at 100 TB. Fresh footer bounds are
     recorded for every typed schema column so scan_filter skipping
     keeps working on the compacted files. Time travel still sees the
-    old layout (expire_snapshots_local reclaims it). Partitioned
-    tables are refused — rewriting would drop the manifest partition
-    records the pruning path relies on."""
+    old layout (expire_snapshots_local reclaims it).
+
+    Identity-partitioned tables rewrite WITH the partitioning (one
+    hive-style write on shadow copies of the partition columns so the
+    source columns stay in the data files, per spec) and commit fresh
+    manifest partition records parsed back from the directory values
+    — partition_filter pruning keeps working on the compacted files.
+    Non-identity transforms (bucket/truncate/…) stay gated: the
+    transform result can't be recomputed without the transform
+    implementation (the jar's job)."""
     import glob
     import math
     import uuid as _uuid
+    from pyspark.sql import functions as F
     meta = _read_table_metadata(table_dir)
-    if _partition_spec_fields(meta):
+    spec = _partition_spec_fields(meta)
+    types = _schema_types(meta)
+    if spec and any(f.get("transform", "identity") != "identity"
+                    for f in spec):
         raise NotImplementedError(
-            "compaction of a partitioned local Iceberg table — rewrite "
-            "per partition and commit explicit partition records instead")
+            "compaction of a table partitioned by a non-identity "
+            "transform — the manifest partition values are transform "
+            "RESULTS this reader cannot recompute; use the runtime jar")
     df = _live_df(spark, table_dir, None)
     n = df.count()
     parts = max(1, math.ceil(n / target_file_rows))
     tdir = _local(table_dir)
     adir = os.path.join(tdir, "data",
                         f"compact-{_uuid.uuid4().hex[:12]}")
-    df.repartition(parts).write.parquet(adir)
-    new_files = sorted(glob.glob(os.path.join(adir, "*.parquet")))
-    types = _schema_types(meta)
     names = _field_names_of(meta)
     wanted = {names[fid]: (fid, t) for fid, t in types.items()
               if fid in names and t in _BOUND_ENCODERS}
+    if not spec:
+        df.repartition(parts).write.parquet(adir)
+        new_files = sorted(glob.glob(os.path.join(adir, "*.parquet")))
+        entries = []
+        for p in new_files:
+            lo, hi = _footer_bounds(p, wanted) if wanted else ({}, {})
+            entries.append({"path": p, "lower_bounds": lo,
+                            "upper_bounds": hi})
+        return commit_snapshot(table_dir, add_files=entries, replace=True)
+    pnames = [f["name"] for f in spec]
+    ptypes = {f["name"]: types.get(int(f.get("source-id", -1)), "string")
+              for f in spec}
+    missing = [c for c in pnames if c not in df.columns]
+    if missing:
+        raise NotImplementedError(
+            f"identity partition source columns {missing} are not in "
+            "the data files — cannot rewrite per partition")
+    # shadow copies drive the hive layout; the real source columns
+    # stay inside the files, as the spec requires for identity
+    # partitions
+    shadows = {c: f"__qs_hp_{c}__" for c in pnames}
+    out = df
+    for c, sc in shadows.items():
+        out = out.withColumn(sc, F.col(c).cast("string"))
+    (out.repartition(max(parts, len(pnames)), *pnames)
+        .write.partitionBy(*shadows.values()).parquet(adir))
+    new_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(adir)
+        for f in fs if f.endswith(".parquet"))
+    from .delta_local import _hive_partition_values
     entries = []
     for p in new_files:
+        vals = _hive_partition_values(adir, p)
+        part = {c: _spec_string_to_raw(ptypes[c], vals.get(shadows[c]))
+                for c in pnames}
         lo, hi = _footer_bounds(p, wanted) if wanted else ({}, {})
-        entries.append({"path": p, "lower_bounds": lo,
-                        "upper_bounds": hi})
+        entries.append({"path": p, "partition": part,
+                        "lower_bounds": lo, "upper_bounds": hi})
     return commit_snapshot(table_dir, add_files=entries, replace=True)
+
+
+def _spec_string_to_raw(ityp: str, s):
+    """A hive-directory partition value string → the raw avro value a
+    manifest partition record stores (dates as int days, timestamps
+    as int micros — the single-value encoding _prune_entries casts
+    back)."""
+    if s is None:
+        return None
+    if ityp in ("int", "long"):
+        return int(s)
+    if ityp in ("float", "double"):
+        return float(s)
+    if ityp == "boolean":
+        return s == "true"
+    if ityp == "date":
+        return (datetime.date.fromisoformat(s) - _EPOCH_DATE).days
+    if ityp in ("timestamp", "timestamptz"):
+        dt = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+        return int((dt.replace(tzinfo=None) - _EPOCH_TS)
+                   .total_seconds() * 1_000_000)
+    return s
 
 
 def expire_snapshots_local(table_dir: str, keep_last: int = 1,

@@ -544,3 +544,26 @@ def test_delta_schema_evolution_append_and_travel(spark, qc, tmp_path):
         F.col("id").cast("string").alias("id")), tbl, mode="overwrite")
     out = qc.read_delta(tbl).df
     assert dict(out.dtypes) == {"id": "string"} and out.count() == 2
+
+
+def test_delta_upsert_after_schema_evolution_keeps_columns(
+        spark, qc, tmp_path):
+    """Upsert's survivor rewrite scans with the LOG schema — after
+    evolution, a pre-evolution file's survivors are rewritten WITH
+    the new column (null), never dropping it from the table."""
+    from pyspark.sql import functions as F
+
+    from quokka_spark.sources.delta_local import (upsert_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "ue")
+    write_delta_local(spark.range(0, 3).select("id"), tbl)
+    write_delta_local(
+        spark.range(3, 6).select("id", (F.col("id") * 1.5).alias("score")),
+        tbl)
+    up = spark.createDataFrame([(1, 9.9)], "id long, score double")
+    upsert_delta_local(spark, tbl, up, "id")
+    got = qc.read_delta(tbl).df
+    assert got.columns == ["id", "score"]
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert len(rows) == 6
+    assert rows[1] == 9.9 and rows[0] is None and rows[4] == 6.0

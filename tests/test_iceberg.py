@@ -504,10 +504,46 @@ def test_iceberg_compact_materializes_deletes_and_expire(
         qc.read_iceberg(tbl, snapshot=1)
 
 
-def test_iceberg_compact_partitioned_gated(qc, spark, ptable):
+def test_iceberg_compact_partitioned_keeps_pruning(qc, spark, ptable):
+    """Identity-partitioned compaction rewrites per partition (hive
+    write on shadow columns so the source columns stay in the files)
+    and commits fresh manifest partition records + column bounds —
+    partition_filter pruning and scan_filter skipping keep working on
+    the compacted layout, deletes materialized."""
+    from quokka_spark.sources.iceberg_local import (add_position_deletes,
+                                                    rewrite_data_files_local,
+                                                    snapshot_files_full)
+    tbl, eu, us = ptable
+    add_position_deletes(tbl, {eu: [0]})   # delete id=0 (EU)
+    s = rewrite_data_files_local(spark, tbl, target_file_rows=10_000)
+    data, dels, eqs = snapshot_files_full(tbl, s)
+    assert not dels and not eqs
+    got = qc.read_iceberg(tbl).df
+    assert sorted(r["id"] for r in got.collect()) == list(range(1, 25))
+    assert got.columns == ["id", "r"]  # source cols stay in the files
+    pruned = qc.read_iceberg(tbl, partition_filter="r = 'EU'").df
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(1, 10))
+    assert len(pruned.inputFiles()) < len(got.inputFiles())
+    assert qc.read_iceberg(tbl, scan_filter="id >= 20").df.count() == 5
+
+
+def test_iceberg_compact_transform_partitioned_gated(qc, spark,
+                                                     tmp_path):
+    """bucket/truncate-partitioned compaction stays gated — the
+    manifest partition values are transform results this reader
+    cannot recompute."""
+    import pandas as pd
+
     from quokka_spark.sources.iceberg_local import rewrite_data_files_local
-    tbl, _, _ = ptable
-    with pytest.raises(NotImplementedError, match="partitioned"):
+    f = str(tmp_path / "f.parquet")
+    pd.DataFrame({"id": [1], "r": ["EU"]}).to_parquet(f)
+    tbl = str(tmp_path / "btbl")
+    create_local_iceberg_table(
+        tbl, [[{"path": f, "partition": {"r_bucket": 3}}]],
+        schema_fields=[(1, "id", "long"), (2, "r", "string")],
+        partition_spec=[{"name": "r_bucket", "type": "int",
+                         "source-id": 2, "transform": "bucket[4]"}])
+    with pytest.raises(NotImplementedError, match="transform"):
         rewrite_data_files_local(spark, tbl)
 
 
