@@ -5042,7 +5042,11 @@ def _drain(df, mode="append"):
     name = "qs_sink_" + uuid.uuid4().hex[:10]
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        # NEVER read a half-filled sink — that would surface as a
+        # flaky oracle mismatch instead of a loud timeout
+        q.stop()
+        raise TimeoutError("streaming gate drain exceeded 600s")
     return df.sparkSession.table(name)
 
 

@@ -196,10 +196,8 @@ def _footer_stats(path: str) -> str | None:
     writer records with every add action, enabling data-skipping
     reads. Top-level primitive columns only; dates/timestamps as ISO
     strings (the JSON forms real stats use)."""
-    import pyarrow.parquet as pq
     from .pruning import footer_minmax
-    md = pq.ParquetFile(path).metadata
-    mins, maxs = footer_minmax(path)
+    mins, maxs, num_rows = footer_minmax(path)
 
     def enc(v):
         if isinstance(v, datetime.datetime):
@@ -212,7 +210,7 @@ def _footer_stats(path: str) -> str | None:
 
     mins = {k: e for k, v in mins.items() if (e := enc(v)) is not None}
     maxs = {k: e for k, v in maxs.items() if (e := enc(v)) is not None}
-    return json.dumps({"numRecords": md.num_rows,
+    return json.dumps({"numRecords": num_rows,
                        "minValues": mins, "maxValues": maxs})
 
 
@@ -585,25 +583,24 @@ def _hive_partition_values(data_dir: str, path: str) -> dict:
     return out
 
 
-def _evolve_schema_actions(table: str, df, mode: str,
+def _evolve_schema_actions(meta: dict, df, mode: str,
                            pcols: list) -> list:
-    """Schema-evolution metaData action(s) for a non-initial commit:
-    on append, NEW nullable columns merge into the table schema
-    (Delta's mergeSchema) while a type conflict on an existing column
-    errors; columns the frame omits are fine (the log-schema read
-    yields null for them). On overwrite, the frame's schema replaces
-    the table schema when different (overwriteSchema). Returns [] when
-    the schema is unchanged."""
+    """Schema-evolution metaData action(s) for a non-initial commit
+    (``meta`` = the replayed table metaData; the caller has already
+    resolved/validated ``pcols``): on append, NEW nullable columns
+    merge into the table schema (Delta's mergeSchema) while a type
+    conflict on an existing column errors; columns the frame omits
+    are fine (the log-schema read yields null for them). On
+    overwrite, the frame's schema AND ``pcols`` replace the table's
+    when different (overwriteSchema — the metaData must record the
+    new partitionColumns or later reads crash joining back partition
+    values that no longer exist). Returns [] when nothing changed."""
     from pyspark.sql.types import StructType
-    _, meta, _, _ = _replay(table, None)
     try:
         cur = StructType.fromJson(json.loads(meta["schemaString"]))
     except (KeyError, ValueError, TypeError):
         return []
-    if meta.get("partitionColumns") != list(pcols or []) and pcols:
-        raise ValueError(
-            f"partition_by {pcols} differs from the table's "
-            f"partitionColumns {meta.get('partitionColumns')}")
+    table_pcols = meta.get("partitionColumns") or []
     cur_types = {f.name: f.dataType for f in cur.fields}
     new_fields = []
     for f in df.schema.fields:
@@ -619,14 +616,15 @@ def _evolve_schema_actions(table: str, df, mode: str,
                 "schema)")
     if mode == "overwrite":
         merged = df.schema
-        if merged == cur:
+        out_pcols = list(pcols or [])
+        if merged == cur and out_pcols == table_pcols:
             return []
     else:
+        out_pcols = table_pcols
         if not new_fields:
             return []
         merged = StructType(list(cur.fields) + new_fields)
-    md = _meta_actions(merged.json(),
-                       meta.get("partitionColumns") or [])[1]
+    md = _meta_actions(merged.json(), out_pcols)[1]
     md["metaData"]["id"] = meta.get("id") or md["metaData"]["id"]
     return [md]
 
@@ -642,11 +640,36 @@ def write_delta_local(df, table: str, mode: str = "append",
     ``partition_by``: column(s) to partition on — the parquet write
     partitions natively (Spark's hive layout) and each file's
     directory values become its ``partitionValues`` (the columns are
-    NOT in the data files, per spec; the reader joins them back)."""
+    NOT in the data files, per spec; the reader joins them back).
+    Appends to a partitioned table INHERIT the table's partitioning
+    when ``partition_by`` is omitted (and refuse a different one —
+    unpartitioned adds would read back null partition values);
+    overwrite may change the partitioning, and its metaData records
+    the new ``partitionColumns``."""
     assert mode in ("append", "overwrite"), mode
     pcols = ([partition_by] if isinstance(partition_by, str)
              else list(partition_by or []))
     root = table.removeprefix("file://")
+    try:
+        versions = list_versions(table)
+    except FileNotFoundError:
+        versions = []
+    version = (versions[-1] + 1) if versions else 0
+    # validate + resolve schema/partition evolution BEFORE the
+    # distributed write: a refused commit must not burn a full data
+    # write and orphan its directory
+    live_keys: list = []
+    evolve: list = []
+    if version > 0:
+        _, meta, live_keys, _ = _replay(table, None)
+        table_pcols = meta.get("partitionColumns") or []
+        if mode == "append":
+            if pcols and pcols != table_pcols:
+                raise ValueError(
+                    f"partition_by {pcols} differs from the table's "
+                    f"partitionColumns {table_pcols}")
+            pcols = table_pcols
+        evolve = _evolve_schema_actions(meta, df, mode, pcols)
     data_dir = os.path.join(root, f"data-{uuid.uuid4().hex[:12]}")
     if pcols:
         df.write.partitionBy(*pcols).parquet(data_dir)
@@ -659,22 +682,16 @@ def write_delta_local(df, table: str, mode: str = "append",
         new_files = sorted(
             os.path.join(data_dir, f) for f in os.listdir(data_dir)
             if f.endswith(".parquet"))
-    try:
-        versions = list_versions(table)
-    except FileNotFoundError:
-        versions = []
-    version = (versions[-1] + 1) if versions else 0
     actions: list = []
     if version == 0:
         actions += _meta_actions(df.schema.json(), pcols)
     else:
-        actions += _evolve_schema_actions(table, df, mode, pcols)
+        actions += evolve
     ts = int(time.time() * 1000)
     if mode == "overwrite" and versions:
         # remove by the exact path KEY each add used (absolute for
         # referenced-in-place files, relative for table-local data)
-        _, _, keys, _ = _replay(table, None)
-        for k in keys:
+        for k in live_keys:
             actions.append({"remove": {"path": k,
                                        "deletionTimestamp": ts,
                                        "dataChange": True}})

@@ -65,10 +65,13 @@ def _table_type(table: str) -> str:
 
 
 def completed_instants(table: str) -> list:
-    """Sorted [(instant_ts, action, path)] of COMPLETED timeline
-    instants. Write actions only — clean/rollback/savepoint don't
-    change the live file set this reader computes (cleans delete
-    files only older than every live slice)."""
+    """[(instant_ts, action, path)] of COMPLETED timeline instants in
+    NUMERIC instant order (real instants are fixed-width
+    yyyyMMddHHmmssSSS where lexicographic == numeric, but the API
+    accepts any digit string — '10' must replay after '2'). Write
+    actions only — clean/rollback/savepoint don't change the live
+    file set this reader computes (cleans delete files only older
+    than every live slice)."""
     tdir = _timeline_dir(table)
     if not os.path.isdir(tdir):
         raise FileNotFoundError(
@@ -78,7 +81,7 @@ def completed_instants(table: str) -> list:
         m = re.fullmatch(r"(\d+)\.(commit|replacecommit|deltacommit)", f)
         if m:
             out.append((m.group(1), m.group(2), os.path.join(tdir, f)))
-    return sorted(out)
+    return sorted(out, key=lambda t: int(t[0]))
 
 
 def hudi_live_files(table: str, as_of: str | None = None) -> list[str]:
@@ -96,7 +99,7 @@ def hudi_live_files(table: str, as_of: str | None = None) -> list[str]:
     latest: dict = {}          # (partition, fileId) -> path
     seen_any = False
     for ts, action, path in completed_instants(table):
-        if as_of is not None and ts > str(as_of):
+        if as_of is not None and int(ts) > int(as_of):
             continue
         if action == "deltacommit":
             raise NotImplementedError(
@@ -153,13 +156,13 @@ def _write_properties(table: str) -> None:
 
 
 def _next_instant(table: str) -> str:
-    """A strictly increasing instant timestamp (Hudi uses
-    yyyyMMddHHmmssSSS; monotonicity is what matters here)."""
-    prev = [ts for ts, _, _ in completed_instants(table)] \
+    """A strictly increasing (NUMERICALLY — the ordering replay uses)
+    instant timestamp (Hudi uses yyyyMMddHHmmssSSS)."""
+    prev = [int(ts) for ts, _, _ in completed_instants(table)] \
         if os.path.isdir(_timeline_dir(table)) else []
-    now = time.strftime("%Y%m%d%H%M%S") + "000"
-    top = max(prev) if prev else ""
-    return now if now > top else str(int(top) + 1)
+    now = int(time.strftime("%Y%m%d%H%M%S") + "000")
+    top = max(prev) if prev else 0
+    return str(now if now > top else top + 1)
 
 
 def commit_hudi_local(table: str, writes: dict, replaces: dict | None = None,
@@ -169,12 +172,18 @@ def commit_hudi_local(table: str, writes: dict, replaces: dict | None = None,
     fileId means the group's previous base file is superseded),
     ``replaces`` maps partition → [fileId] whose groups die without a
     successor (insert_overwrite / clustering → ``replacecommit``).
-    Files are referenced in place. Returns the instant timestamp."""
+    Files are referenced in place (paths stored ABSOLUTE, so reads
+    don't depend on the caller's cwd). Returns the instant
+    timestamp."""
     _write_properties(table)
+    if _table_type(table) != "COPY_ON_WRITE":
+        raise NotImplementedError(
+            "writing to a MERGE_ON_READ table — this writer commits "
+            "CoW base files only")
     ts = instant or _next_instant(table)
     action = "replacecommit" if replaces else "commit"
     doc = {"partitionToWriteStats": {
-        part: [{"fileId": fid, "path": p,
+        part: [{"fileId": fid, "path": os.path.abspath(_local(p)),
                 "numWrites": None, "prevCommit": None}
                for fid, p in items]
         for part, items in (writes or {}).items()}}
@@ -198,6 +207,10 @@ def write_hudi_local(df, table: str, mode: str = "append") -> str:
     assert mode in ("append", "overwrite"), mode
     root = _local(table)
     _write_properties(table)
+    if _table_type(table) != "COPY_ON_WRITE":
+        raise NotImplementedError(
+            "writing to a MERGE_ON_READ table — this writer commits "
+            "CoW base files only")
     ts = _next_instant(table)
     data_dir = os.path.join(root, f"data-{ts}")
     df.write.parquet(data_dir)
@@ -214,7 +227,11 @@ def write_hudi_local(df, table: str, mode: str = "append") -> str:
         live: dict = {}
         try:
             for ts0, action, path in completed_instants(table):
-                if ts0 >= ts:
+                if action == "deltacommit":
+                    raise NotImplementedError(
+                        "deltacommit in the timeline: MERGE_ON_READ "
+                        "write — this writer is CoW-only")
+                if int(ts0) >= int(ts):
                     continue
                 with open(path) as fh:
                     c = json.load(fh)

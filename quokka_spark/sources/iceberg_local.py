@@ -413,13 +413,15 @@ def _table_read_schema(meta: dict, probe_path: str):
     pre-evolution files) regardless of which file inference would
     have sampled.
 
-    Applied only when the table schema is a STRICT superset of
-    ``probe_path``'s footer columns (one KB-scale driver read) and
-    every overlapping column's physical arrow type matches its
-    declared type. Anything else falls back to inference: the
-    local-fixture convention passes a PARTIAL (or loosely-typed)
-    schema_fields just to resolve equality ids, and when no column
-    was ever added, inference already yields the file schema."""
+    Applied when the table schema COVERS ``probe_path``'s footer
+    columns (one KB-scale driver read) and every overlapping column's
+    physical arrow type matches its declared type — covering, not
+    strictly extending: the probe file may be a post-evolution (wide)
+    file while OTHER files in the list are narrow, and falling back
+    to inference there could sample a narrow file and lose the added
+    column. Fallback cases: no/partial schema (the local-fixture
+    convention passes schema_fields just to resolve equality ids) or
+    a type mismatch (loosely-typed fixtures)."""
     from pyspark.sql.types import StructType
     names = _field_names_of(meta)
     types = _schema_types(meta)
@@ -434,8 +436,8 @@ def _table_read_schema(meta: dict, probe_path: str):
         file_cols = set(fsch.names)
     except Exception:
         return None
-    if file_cols - set(by_name) or not set(by_name) - file_cols:
-        return None  # partial fixture schema / no evolution benefit
+    if file_cols - set(by_name):
+        return None  # partial fixture schema — infer instead
     for c in file_cols:
         if not _arrow_type_ok(by_name[c], fsch.field(c).type):
             return None
@@ -705,7 +707,7 @@ def _footer_bounds(path: str, wanted: dict) -> tuple:
     values a real writer puts in the manifest, sourced the same way
     (footer stats), no data read."""
     from .pruning import footer_minmax
-    mins, maxs = footer_minmax(_local(path), set(wanted))
+    mins, maxs, _ = footer_minmax(_local(path), set(wanted))
     lo, hi = {}, {}
     for name, (fid, ityp) in wanted.items():
         enc = _BOUND_ENCODERS.get(ityp)
@@ -1079,7 +1081,12 @@ def rewrite_data_files_local(spark, table_dir: str,
     out = df
     for c, sc in shadows.items():
         out = out.withColumn(sc, F.col(c).cast("string"))
-    (out.repartition(max(parts, len(pnames)), *pnames)
+    # deterministic row salt: clustering on the partition columns
+    # alone would land each partition on ONE task → one oversized
+    # file per partition, recreating the problem compaction fixes
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                  F.lit(parts))
+    (out.repartition(parts, *pnames, salt)
         .write.partitionBy(*shadows.values()).parquet(adir))
     new_files = sorted(
         os.path.join(dp, f)

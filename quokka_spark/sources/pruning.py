@@ -16,13 +16,14 @@ import datetime
 import re
 
 
-def footer_minmax(path: str, names=None) -> tuple[dict, dict]:
-    """({col: min}, {col: max}) aggregated over a parquet file's
-    row-group FOOTER statistics — no data pages read. Top-level leaf
-    columns only; columns without min/max stats are absent (the
-    conservative answer). ``names``: optional set of columns to keep.
-    Shared by both lakehouse writers/readers (Iceberg manifest bounds,
-    Delta add-action stats) so stat-handling fixes land once."""
+def footer_minmax(path: str, names=None) -> tuple[dict, dict, int]:
+    """({col: min}, {col: max}, num_rows) aggregated over a parquet
+    file's row-group FOOTER statistics — one footer parse, no data
+    pages read. Top-level leaf columns only; columns without min/max
+    stats are absent (the conservative answer). ``names``: optional
+    set of columns to keep. Shared by both lakehouse writers/readers
+    (Iceberg manifest bounds, Delta add-action stats) so stat-handling
+    fixes land once."""
     import pyarrow.parquet as pq
     md = pq.ParquetFile(path).metadata
     mins: dict = {}
@@ -43,7 +44,7 @@ def footer_minmax(path: str, names=None) -> tuple[dict, dict]:
                 else min(mins[name], st.min)
             maxs[name] = st.max if name not in maxs \
                 else max(maxs[name], st.max)
-    return mins, maxs
+    return mins, maxs, md.num_rows
 
 
 def parse_literal(s: str):

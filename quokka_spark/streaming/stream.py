@@ -112,6 +112,12 @@ def streaming_join(left: DataFrame, right: DataFrame, on,
     collide = [c for c in right.columns if c in left.columns]
     ren = {c: (f"{c}_2" if c not in keys else f"__qs_k_{c}__")
            for c in collide}
+    taken = set(left.columns) | set(right.columns)
+    for old, new in ren.items():
+        if new in taken:  # same guard as the batch join's assert
+            raise ValueError(
+                f"suffix '_2' insufficient: renaming {old!r} to "
+                f"{new!r} collides with an existing column")
     for old, new in ren.items():
         right = right.withColumnRenamed(old, new)
     cond = None

@@ -567,3 +567,40 @@ def test_delta_upsert_after_schema_evolution_keeps_columns(
     rows = {r["id"]: r["score"] for r in got.collect()}
     assert len(rows) == 6
     assert rows[1] == 9.9 and rows[0] is None and rows[4] == 6.0
+
+
+def test_delta_partitioned_append_inherits_partitioning(
+        spark, qc, tmp_path):
+    """Appending to a partitioned table WITHOUT partition_by inherits
+    the table's partitioning (regression: the rows committed with
+    empty partitionValues and read back null partition columns);
+    a DIFFERENT partition_by is refused; overwrite may change the
+    partitioning and the metaData records it."""
+    import pytest
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "pin")
+    df = spark.createDataFrame([(2023, 1.0), (2024, 2.0)],
+                               "year bigint, v double")
+    write_delta_local(df, tbl, partition_by="year")
+    write_delta_local(
+        spark.createDataFrame([(2025, 3.0)], "year bigint, v double"),
+        tbl)  # no partition_by — must inherit
+    got = qc.read_delta(tbl).df
+    gp = {r["year"]: r["v"] for r in got.collect()}
+    assert gp == {2023: 1.0, 2024: 2.0, 2025: 3.0}
+    pruned = qc.read_delta(tbl, partition_filter="year = 2025").df
+    assert [r["v"] for r in pruned.collect()] == [3.0]
+    with pytest.raises(ValueError, match="differs from the table's"):
+        write_delta_local(
+            spark.createDataFrame([(1, 1.0)], "year bigint, v double"),
+            tbl, partition_by="v")
+    # overwrite drops the partitioning; metaData must follow or every
+    # later read crashes joining back a gone partition column
+    write_delta_local(spark.createDataFrame([(9, 9.0)],
+                                            "year bigint, v double"),
+                      tbl, mode="overwrite")
+    out = qc.read_delta(tbl).df
+    assert [(r["year"], r["v"]) for r in out.collect()] == [(9, 9.0)]
+    with pytest.raises(ValueError, match="unpartitioned"):
+        qc.read_delta(tbl, partition_filter="year = 9")

@@ -112,3 +112,36 @@ def test_hudi_merge_on_read_gated(spark, qc, tmp_path):
 def test_hudi_not_a_table_is_clear_error(qc, tmp_path):
     with pytest.raises(FileNotFoundError, match="not a Hudi table"):
         qc.read_hudi(str(tmp_path / "nope"))
+
+
+def test_hudi_instants_order_numerically(spark, qc, tmp_path):
+    """Instant '10' replays AFTER instant '2' (numeric order, not
+    lexicographic) — regression: sorted() put '10' first, so the
+    older slice won the group and latest disagreed with as_of."""
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pd.DataFrame({"id": [1]}).to_parquet(a)
+    pd.DataFrame({"id": [2]}).to_parquet(b)
+    tbl = str(tmp_path / "tbl")
+    commit_hudi_local(tbl, {"": [("g1", a)]}, instant="2")
+    commit_hudi_local(tbl, {"": [("g1", b)]}, instant="10")
+    assert [r["id"] for r in qc.read_hudi(tbl).df.collect()] == [2]
+    assert [r["id"] for r in
+            qc.read_hudi(tbl, as_of="10").df.collect()] == [2]
+    assert [r["id"] for r in
+            qc.read_hudi(tbl, as_of="2").df.collect()] == [1]
+
+
+def test_hudi_writer_refuses_mor(spark, qc, tmp_path):
+    """The WRITER gates MERGE_ON_READ too — committing CoW instants
+    into a MoR timeline would corrupt it for real readers."""
+    a = str(tmp_path / "a.parquet")
+    pd.DataFrame({"id": [1]}).to_parquet(a)
+    tbl = str(tmp_path / "mor2")
+    commit_hudi_local(tbl, {"": [("g1", a)]})
+    with open(os.path.join(tbl, ".hoodie", "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.type=MERGE_ON_READ\n")
+    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+        commit_hudi_local(tbl, {"": [("g2", a)]})
+    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+        write_hudi_local(spark.range(1), tbl)

@@ -662,3 +662,24 @@ def test_iceberg_partial_fixture_schema_keeps_inference(qc, spark,
     create_local_iceberg_table(tbl, [[d]], schema_fields=[(2, "s")])
     got = qc.read_iceberg(tbl).df
     assert set(got.columns) == {"k", "s"} and got.count() == 2
+
+
+def test_iceberg_schema_evolution_wide_probe_file_first(qc, spark,
+                                                        tmp_path):
+    """The table schema applies when it COVERS the probe file even
+    with no extra columns — a wide (post-evolution) file listed first
+    must not push the scan back to inference, which could sample a
+    narrow file and lose the added column."""
+    import pandas as pd
+    wide = str(tmp_path / "wide.parquet")
+    narrow = str(tmp_path / "narrow.parquet")
+    pd.DataFrame({"id": [3], "score": [1.5]}).to_parquet(wide)
+    pd.DataFrame({"id": [1, 2]}).to_parquet(narrow)
+    tbl = str(tmp_path / "evo2")
+    create_local_iceberg_table(
+        tbl, [[wide, narrow]],
+        schema_fields=[(1, "id", "long"), (2, "score", "double")])
+    got = qc.read_iceberg(tbl).df
+    assert got.columns == ["id", "score"]
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
