@@ -5145,6 +5145,108 @@ GROUP BY v.user_id
 """
 
 
+def stream_asof(spark, sf_dir):
+    """Streaming backward as-of join (streaming/stream.py:330
+    streaming_asof_join — the stateful union-tag kernel): purchases
+    match the latest prior view per user. horizon=None keeps
+    last-value state only; a single-batch replay reproduces batch
+    join_asof exactly, so the oracle is the SAME DuckDB ASOF JOIN the
+    batch gate uses."""
+    from quokka_spark.streaming.stream import streaming_asof_join
+    qc = _qc(spark)
+    d = _stream_events_dir(spark, qc, sf_dir)
+    schema = spark.read.parquet(d).schema
+    trades = spark.readStream.schema(schema).parquet(d) \
+        .where("event_type = 'purchase'") \
+        .select("event_id", "ts", "user_id", "value")
+    quotes = spark.readStream.schema(schema).parquet(d) \
+        .where("event_type = 'view'") \
+        .select("ts", "user_id", "value")
+    out = streaming_asof_join(trades, quotes, "ts", "ts",
+                              "user_id", "user_id",
+                              right_vals=["value"], horizon=None)
+    got = _drain(out)
+    return got.select("event_id", "ts", "user_id",
+                      F.round("value", 4).alias("value"),
+                      F.round("value_2", 4).alias("value_2"))
+
+
+def stream_cep(spark, sf_dir):
+    """Streaming CEP (streaming/stream.py:419
+    streaming_pattern_recognize — the batch NFA kernel run per key
+    over a watermark-bounded buffer): the ts_cep_funnel pattern
+    replayed as a stream emits the identical match set and numbering
+    (exactly-once via start-row marks), so the oracle is the same
+    collapsed correlated-min SQL."""
+    from quokka_spark.streaming.stream import streaming_pattern_recognize
+    qc = _qc(spark)
+    d = _stream_events_dir(spark, qc, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d) \
+        .withColumn("ts_sec",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / F.lit(1e6)) \
+        .select("user_id", "ts", "ts_sec", "event_type", "value")
+    pat = [("a", "a.event_type = 'signup'"),
+           ("b", "b.event_type = 'click' and b.value > a.value"),
+           ("c", "c.event_type = 'purchase'")]
+    out = streaming_pattern_recognize(stream, "ts_sec", pat,
+                                      maxspan=7 * 86400.0,
+                                      by="user_id", wm_col="ts")
+    got = _drain(out)
+    return got.select("user_id", "event_number",
+                      "first_event_timestamp", "last_event_timestamp")
+
+
+def stream_resample(spark, sf_dir):
+    """Streaming ffill-resample (streaming/stream.py:594
+    streaming_resample — watermark-driven grid flush): ticks strictly
+    below the replay's FINAL watermark (max event time − delay) have
+    flushed when the availableNow drain ends, and each equals the
+    batch backward-as-of fill; the oracle computes the same grid with
+    the same cutoff."""
+    from quokka_spark.streaming.stream import streaming_resample
+    qc = _qc(spark)
+    d = _stream_events_dir(spark, qc, sf_dir)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d) \
+        .withColumn("ts_sec",
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    / F.lit(1e6)) \
+        .select("user_id", "ts", "ts_sec", "value")
+    out = streaming_resample(stream, "ts_sec", "user_id", ["value"],
+                             3600.0, wm_col="ts", delay="10 minutes")
+    got = _drain(out)
+    return got.select("user_id",
+                      F.round("tick", 6).alias("tick"),
+                      F.round("value", 6).alias("value"))
+
+
+_STREAM_RESAMPLE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_sec,
+         value
+  FROM events
+), b AS (
+  SELECT user_id, min(ts_sec) AS mn, max(ts_sec) AS mx
+  FROM e GROUP BY user_id
+), grid AS (
+  SELECT user_id, 3600.0 * g AS tick
+  FROM b, unnest(generate_series(CAST(ceil(mn / 3600.0) AS BIGINT),
+                                 CAST(floor(mx / 3600.0) AS BIGINT)))
+          AS t(g)
+  WHERE mx >= mn
+), back AS (
+  SELECT g.user_id, g.tick, o.value AS v0
+  FROM grid g ASOF LEFT JOIN e o
+    ON g.user_id = o.user_id AND o.ts_sec <= g.tick
+)
+SELECT user_id, round(tick, 6) AS tick, round(v0, 6) AS value
+FROM back
+WHERE tick < (SELECT max(ts_sec) FROM e) - 600.0
+"""
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -5347,6 +5449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": dedup_containment,
         "op_percentile_approx_group": op_percentile_approx_group,
         "stream_dedup": stream_dedup,
+        "stream_asof": stream_asof,
+        "stream_cep": stream_cep,
+        "stream_resample": stream_resample,
     }
 
 
@@ -5476,4 +5581,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_tumbling": _STREAM_TUMBLING_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_join": _STREAM_JOIN_SQL,
+        "stream_asof": _ASOF_SQL,
+        "stream_cep": _CEP_SQL,
+        "stream_resample": _STREAM_RESAMPLE_SQL,
     }
