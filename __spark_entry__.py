@@ -1670,6 +1670,45 @@ FROM doubled GROUP BY l_linestatus
 """
 
 
+def src_delta_dv(spark, sf_dir):
+    """Delta DELETION VECTORS end-to-end (sources/dv.py — pure-Python
+    RoaringBitmapArray decode per the public protocol): a local table
+    is laid over lineitem in place, every row whose l_orderkey is a
+    multiple of 7 is deleted by ROW POSITION via a committed DV .bin
+    (positions computed from the parquet itself, so the check is
+    order-independent), and the scan's (file, row-index) anti-join
+    must reproduce the predicate exactly — the oracle is plain
+    lineitem WHERE l_orderkey % 7 <> 0."""
+    import os
+    import tempfile
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import (create_local_delta_table,
+                                                  delete_rows_delta_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    tbl = os.path.join(tempfile.gettempdir(),
+                       "qs_deltadv_" + sf_dir.strip("/").replace("/", "_"))
+    if not os.path.isdir(os.path.join(tbl, "_delta_log")):
+        os.makedirs(tbl, exist_ok=True)
+        create_local_delta_table(tbl, [[li]])
+        keys = pq.read_table(li, columns=["l_orderkey"]) \
+            .column("l_orderkey").to_pylist()
+        pos = [i for i, v in enumerate(keys) if v % 7 == 0]
+        delete_rows_delta_local(tbl, {li: pos})
+    ds = qc.read_delta(tbl)
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_DELTA_DV_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_orderkey % 7 <> 0
+GROUP BY l_returnflag
+"""
+
+
 def src_hudi(spark, sf_dir):
     """read_hudi end-to-end WITHOUT the hudi-spark bundle jar
     (sources/hudi_local.py — pure-Python timeline replay): a local
@@ -5394,6 +5433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_orc": src_orc,
         "src_avro": src_avro,
         "src_hudi": src_hudi,
+        "src_delta_dv": src_delta_dv,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -5578,6 +5618,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": _CONTAINMENT_SQL,
         "op_percentile_approx_group": _percentile_approx_oracle(),
         "src_hudi": _SRC_HUDI_SQL,
+        "src_delta_dv": _SRC_DELTA_DV_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_join": _STREAM_JOIN_SQL,

@@ -27,8 +27,12 @@ tables** (``add.partitionValues`` become real typed columns via a
 broadcast file-path→values join on ``_metadata.file_path``; a
 ``partition_filter`` prunes the live FILE LIST before the scan — the
 log-level pruning real Delta does, so a partition-filtered query
-reads only matching files even at 100 TB). Still gated with clear
-errors: deletion vectors, column-mapping modes.
+reads only matching files even at 100 TB) and **deletion vectors**
+(inline Z85 and ``.bin`` storage per the protocol, decoded by
+sources/dv.py's pure-Python RoaringBitmapArray reader and applied as
+a distributed (file, row-index) anti-join; delete_rows_delta_local
+commits them, merging per-file with any existing DV). Still gated
+with clear errors: column-mapping modes.
 ``metaData.schemaString`` is written spec-correctly (it IS Spark's
 schema JSON) and read back for partition-column types; data columns
 trust the parquet footers, which is what Spark's scan enforces
@@ -106,12 +110,6 @@ def _read_checkpoint(paths: list) -> tuple[dict, dict]:
                     # arrow map columns round-trip as pair lists
                     meta["configuration"] = dict(meta["configuration"])
             if a:
-                if a.get("deletionVector"):
-                    # same gate as the JSON replay path: silently
-                    # resurfacing DV-deleted rows would be wrong data
-                    raise NotImplementedError(
-                        "deletion vectors are not supported by this "
-                        "reader (checkpoint add carries one)")
                 pv = a.get("partitionValues")
                 if isinstance(pv, list):  # arrow map → list of pairs
                     a["partitionValues"] = dict(pv)
@@ -162,11 +160,11 @@ def _replay(table: str, version: int | None):
                 if "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
+                    # an add carrying a deletionVector REPLACES the
+                    # path's previous add (the DV-update commit shape);
+                    # the scan applies the DV as a row-position
+                    # anti-join (see _apply_deletion_vectors)
                     a = action["add"]
-                    if a.get("deletionVector"):
-                        raise NotImplementedError(
-                            "deletion vectors are not supported by this "
-                            "reader")
                     live[a["path"]] = a
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
@@ -336,6 +334,48 @@ def _partition_schema(meta: dict):
                          if f.name in pcols}
 
 
+def _plain_path_col():
+    """``_metadata.file_path`` (a percent-encoded URI) → the plain
+    filesystem path the log/map uses. A literal '+' in a path is a
+    '+' in the URI (Hadoop encodes space as %20, never '+'), but
+    url_decode is form-decoding — protect it first."""
+    from pyspark.sql import functions as F
+    return F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        "\\+", "%2B"))
+
+
+def _apply_deletion_vectors(spark, df, files, adds, root):
+    """Drop each file's DV-marked row positions: decode every add's
+    deletionVector (sources/dv.py — inline Z85 or .bin file per the
+    protocol) driver-side and anti-join on (file path, row index),
+    the same distributed mechanism as Iceberg position deletes. The
+    driver cost is O(sum of DV cardinalities) — bounded by the rows
+    deleted-but-not-yet-compacted, which compaction (and this
+    module's compact_delta_local, which reads through this very
+    path) resets to zero."""
+    from pyspark.sql import functions as F
+
+    from .dv import dv_row_indexes
+    pairs = []
+    for f, a in zip(files, adds):
+        dv = a.get("deletionVector")
+        if not dv:
+            continue
+        fp = os.path.abspath(f)
+        pairs.extend((fp, int(p)) for p in dv_row_indexes(root, dv))
+    if not pairs:
+        return df
+    dd = spark.createDataFrame(pairs, "__qs_dfp__ string, __qs_dpos__ long")
+    return (df.withColumn("__qs_fp__", _plain_path_col())
+            .withColumn("__qs_pos__", F.col("_metadata.row_index"))
+            .join(F.broadcast(dd),
+                  (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                  & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                  "left_anti")
+            .drop("__qs_fp__", "__qs_pos__"))
+
+
 def read_delta_local(spark, table: str, version: int | None = None,
                      partition_filter: str | None = None,
                      scan_filter: str | None = None):
@@ -386,10 +426,12 @@ def read_delta_local(spark, table: str, version: int | None = None,
                 return empty
             # schema unknown: keep the files; the row filter below
             # still yields the correct (empty) result
+    root = table.removeprefix("file://")
     rs = _log_read_schema(meta, pcols)
     if not pcols:
         df = (spark.read.schema(rs).parquet(*files)
               if rs is not None else spark.read.parquet(*files))
+        df = _apply_deletion_vectors(spark, df, files, adds, root)
         return df.filter(scan_filter) if scan_filter else df
     from pyspark.sql import functions as F
 
@@ -413,7 +455,10 @@ def read_delta_local(spark, table: str, version: int | None = None,
         keep = {r["__qs_path__"]
                 for r in mapping.filter(partition_filter)
                 .select("__qs_path__").collect()}
-        files = [f for f in files if os.path.abspath(f) in keep]
+        kept_pairs = [(f, a) for f, a in zip(files, adds)
+                      if os.path.abspath(f) in keep]
+        files = [f for f, _ in kept_pairs]
+        adds = [a for _, a in kept_pairs]
         if not files:
             # empty-but-typed result with the full table schema
             from pyspark.sql.types import StructType
@@ -423,12 +468,10 @@ def read_delta_local(spark, table: str, version: int | None = None,
     # decode to the plain filesystem path the log/map uses. A literal
     # '+' in a path is a '+' in the URI (Hadoop encodes space as %20,
     # never '+'), but url_decode is form-decoding — protect it first.
-    plain = F.url_decode(F.regexp_replace(
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
-        "\\+", "%2B"))
     df = (spark.read.schema(rs).parquet(*files)
-          if rs is not None else spark.read.parquet(*files)) \
-        .withColumn("__qs_path__", plain)
+          if rs is not None else spark.read.parquet(*files))
+    df = _apply_deletion_vectors(spark, df, files, adds, root)
+    df = df.withColumn("__qs_path__", _plain_path_col())
     df = df.join(F.broadcast(mapping), "__qs_path__").drop("__qs_path__")
     # present columns in table-schema order (partition cols last in
     # the files, spec order in the schemaString)
@@ -481,6 +524,47 @@ def _meta_actions(schema_json: str | None,
     ]
 
 
+def delete_rows_delta_local(table: str, deletes: dict) -> int:
+    """Commit DELETION VECTORS for the given rows: ``deletes`` maps a
+    live data-file path to the 0-based row positions to delete. Each
+    touched file gets remove + re-add with a fresh DV ``.bin``
+    (sources/dv.py) whose positions are the UNION of its existing DV
+    (per protocol, a new DV replaces the old one — forgetting the
+    merge would resurrect earlier deletions). Data files untouched —
+    the row-level delete without a copy-on-write rewrite, which is
+    the whole point of DVs at 100 TB. Returns the committed version;
+    compact_delta_local materializes accumulated DVs away."""
+    from .dv import dv_row_indexes, write_dv_file
+    files, meta, keys, adds = _replay(table, None)
+    root = table.removeprefix("file://")
+    by_abs = {os.path.abspath(f): (k, a)
+              for f, k, a in zip(files, keys, adds)}
+    dv_dir = os.path.join(root, "_dv")
+    os.makedirs(dv_dir, exist_ok=True)
+    ts = int(time.time() * 1000)
+    actions: list = []
+    for p, positions in deletes.items():
+        ap = os.path.abspath(p)
+        if ap not in by_abs:
+            raise ValueError(f"{p}: not a live file of {table}")
+        k, a = by_abs[ap]
+        merged = set(int(x) for x in positions)
+        if a.get("deletionVector"):
+            merged |= set(dv_row_indexes(root, a["deletionVector"]))
+        dvp = os.path.join(dv_dir,
+                           f"deletion_vector_{uuid.uuid4().hex}.bin")
+        desc = write_dv_file(dvp, sorted(merged))
+        na = dict(a)
+        na["deletionVector"] = desc
+        na["dataChange"] = True
+        actions.append({"remove": {"path": k, "deletionTimestamp": ts,
+                                   "dataChange": True}})
+        actions.append({"add": na})
+    version = list_versions(table)[-1] + 1
+    _commit(table, version, actions)
+    return version
+
+
 def write_checkpoint_local(table: str, version: int | None = None) -> int:
     """Write a spec-shaped checkpoint parquet for ``version`` (None =
     latest) plus the ``_last_checkpoint`` pointer. After this the JSON
@@ -497,11 +581,17 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
         version = versions[-1]
     _, meta, keys, adds = _replay(table, version)
     pv_t = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct([("storageType", pa.string()),
+                      ("pathOrInlineDv", pa.string()),
+                      ("offset", pa.int64()),
+                      ("sizeInBytes", pa.int64()),
+                      ("cardinality", pa.int64())])
     add_t = pa.struct([("path", pa.string()), ("partitionValues", pv_t),
                        ("size", pa.int64()),
                        ("modificationTime", pa.int64()),
                        ("dataChange", pa.bool_()),
-                       ("stats", pa.string())])
+                       ("stats", pa.string()),
+                       ("deletionVector", dv_t)])
     meta_t = pa.struct([
         ("id", pa.string()),
         ("format", pa.struct([("provider", pa.string())])),
@@ -524,6 +614,7 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
                                          int(time.time() * 1000))},
              "add": None}]
     for k, a in zip(keys, adds):
+        dv = a.get("deletionVector")
         rows.append({"protocol": None, "metaData": None,
                      "add": {"path": k,
                              "partitionValues": a.get("partitionValues")
@@ -532,7 +623,16 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
                              "modificationTime":
                              int(a.get("modificationTime") or 0),
                              "dataChange": False,
-                             "stats": a.get("stats")}})
+                             "stats": a.get("stats"),
+                             "deletionVector": (
+                                 {"storageType": dv.get("storageType"),
+                                  "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                                  "offset": int(dv.get("offset") or 0),
+                                  "sizeInBytes": int(dv.get("sizeInBytes")
+                                                     or 0),
+                                  "cardinality": int(dv.get("cardinality")
+                                                     or 0)}
+                                 if dv else None)}})
     tbl = pa.Table.from_pylist(rows, schema=pa.schema(
         [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]))
     cp = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
@@ -765,14 +865,20 @@ def vacuum_delta_local(table: str, keep_last: int = 1) -> int:
     kept = versions[-keep_last:]
     referenced = set()
     for v in kept:
-        files, _, _, _ = _replay(table, v)
+        files, _, _, adds = _replay(table, v)
         referenced |= {os.path.abspath(f) for f in files}
+        for a in adds:
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") in ("u", "p"):
+                from .dv import dv_file_path
+                referenced.add(os.path.abspath(dv_file_path(root, dv)))
     deleted = 0
     for dp, _, fs in os.walk(root):
         if "_delta_log" in dp:
             continue
         for f in fs:
-            if not f.endswith(".parquet"):
+            # data parquet AND superseded deletion-vector bins
+            if not (f.endswith(".parquet") or f.endswith(".bin")):
                 continue
             p = os.path.abspath(os.path.join(dp, f))
             if p not in referenced:
@@ -782,8 +888,8 @@ def vacuum_delta_local(table: str, keep_last: int = 1) -> int:
 
 
 def upsert_delta_local(spark, table: str, df, key_cols) -> int:
-    """MERGE-style upsert without deletion vectors: Delta's row-level
-    replace is copy-on-write, so the files that CONTAIN a matched key
+    """MERGE-style copy-on-write upsert: Delta's row-level
+    replace here rewrites files, so the files that CONTAIN a matched key
     are rewritten without those rows, untouched files stay referenced
     as-is, and ``df`` is appended — all in ONE commit (readers see the
     swap atomically; time travel sees the pre-upsert state).
@@ -799,7 +905,7 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     from pyspark.sql import functions as F
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     root = table.removeprefix("file://")
-    files, meta, live_keys, _ = _replay(table, None)
+    files, meta, live_keys, adds = _replay(table, None)
     if meta.get("partitionColumns"):
         raise NotImplementedError(
             "upsert on a partitioned local Delta table — read, rewrite "
@@ -809,7 +915,9 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     # would silently drop the newer columns from rewritten files
     rs = _log_read_schema(meta, [])
     live = (spark.read.schema(rs).parquet(*files)
-            if rs is not None else spark.read.parquet(*files)) \
+            if rs is not None else spark.read.parquet(*files))
+    # DV-deleted rows must not survive into rewritten files
+    live = _apply_deletion_vectors(spark, live, files, adds, root) \
         .withColumn("__qs_file__", F.col("_metadata.file_path"))
     new_keys = df.select(*keys).distinct()
     affected = [r["__qs_file__"]

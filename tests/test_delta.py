@@ -84,16 +84,16 @@ def test_delta_gated_unsupported_shapes(spark, qc, tmp_path):
     li = os.path.join(SF_SMOKE, "lineitem.parquet")
     tbl = str(tmp_path / "g")
     create_local_delta_table(tbl, [[li]])
-    # deletion vectors → clear gate, not wrong answers
+    # an unknown DV storage type → clear gate, not wrong answers
     with open(os.path.join(tbl, "_delta_log", f"{1:020d}.json"), "w") as fh:
         fh.write(json.dumps({"add": {"path": li, "size": 1,
                                      "modificationTime": 0,
                                      "dataChange": True,
                                      "partitionValues": {},
-                                     "deletionVector": {"storageType": "u"}}})
+                                     "deletionVector": {"storageType": "x"}}})
                  + "\n")
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        qc.read_delta(tbl)
+    with pytest.raises(NotImplementedError, match="storageType"):
+        qc.read_delta(tbl).df.collect()
 
 
 def test_delta_checkpoint_replay_and_log_cleanup(spark, qc, tmp_path):
@@ -242,11 +242,13 @@ def test_delta_replay_matches_simulation(tmp_path):
                 os.path.abspath(p) for p in expected), (trial, v)
 
 
-def test_delta_checkpoint_deletion_vector_gated(spark, qc, tmp_path):
-    """A DV add arriving via the CHECKPOINT path (not the JSON replay)
-    must hit the same NotImplementedError gate — a real long-lived
-    table whose checkpoint carries DV adds would otherwise silently
-    resurface deleted rows (round-6 ADVICE)."""
+def test_delta_checkpoint_deletion_vector_malformed_is_loud(
+        spark, qc, tmp_path):
+    """A MALFORMED DV add arriving via the CHECKPOINT path (missing
+    pathOrInlineDv) must error loudly — never silently resurface
+    deleted rows (round-6 ADVICE; DVs themselves are now supported,
+    see test_delta_dv_checkpoint_compact_vacuum for the positive
+    path)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from quokka_spark.sources.delta_local import create_local_delta_table
@@ -263,7 +265,7 @@ def test_delta_checkpoint_deletion_vector_gated(spark, qc, tmp_path):
                      "deletionVector": {"storageType": "u"}}}]
     cp = os.path.join(tbl, "_delta_log", f"{0:020d}.checkpoint.parquet")
     pq.write_table(pa.Table.from_pylist(rows, pa.schema([("add", add_t)])), cp)
-    with pytest.raises(NotImplementedError, match="deletion vector"):
+    with pytest.raises((KeyError, ValueError, NotImplementedError)):
         qc.read_delta(tbl)
 
 
@@ -604,3 +606,122 @@ def test_delta_partitioned_append_inherits_partitioning(
     assert [(r["year"], r["v"]) for r in out.collect()] == [(9, 9.0)]
     with pytest.raises(ValueError, match="unpartitioned"):
         qc.read_delta(tbl, partition_filter="year = 9")
+
+
+# ----------------------------------------------------------------------
+# deletion vectors (round 7): pure-Python decode + scan anti-join
+# ----------------------------------------------------------------------
+
+def test_dv_codec_matches_hand_built_spec_bytes():
+    """The roaring decode is pinned against BYTES CONSTRUCTED BY HAND
+    from the public RoaringFormatSpec — not just the module's own
+    encoder — so an encoder/decoder pair that is wrong the same way
+    cannot pass."""
+    import struct
+
+    from quokka_spark.sources.dv import decode_rbm_array, encode_rbm_array
+    # cookie 12347, one array container key=1 holding {1, 4}
+    rb = struct.pack("<I", 12347) + struct.pack("<I", 1)
+    rb += struct.pack("<HH", 1, 1)
+    rb += struct.pack("<I", 16)          # offset from cookie start
+    rb += struct.pack("<HH", 1, 4)
+    data = struct.pack("<I", 1681511377) + struct.pack("<q", 1) \
+        + struct.pack("<I", 0) + rb
+    assert decode_rbm_array(data) == [65537, 65540]
+    # cookie 12346 with a run container: runs (10, len-1=2) -> 10..12
+    rb = struct.pack("<I", 12346) + b"\x01" + struct.pack("<HH", 0, 2)
+    rb += struct.pack("<H", 1) + struct.pack("<HH", 10, 2)
+    data = struct.pack("<I", 1681511377) + struct.pack("<q", 1) \
+        + struct.pack("<I", 0) + rb
+    assert decode_rbm_array(data) == [10, 11, 12]
+    # encoder output decodes (array + bitmap + multi-key)
+    vals = list(range(5000)) + [(7 << 32) + 3]
+    assert decode_rbm_array(encode_rbm_array(vals)) == sorted(vals)
+
+
+def test_dv_z85_spec_vector():
+    from quokka_spark.sources.dv import z85_decode, z85_encode
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"   # ZeroMQ RFC 32 vector
+    assert z85_decode("HelloWorld") == raw
+
+
+def test_delta_deletion_vectors_read_and_travel(spark, qc, tmp_path):
+    """DV adds (file and inline storage) drop exactly the marked row
+    positions; time travel to the pre-DV version restores them; a
+    second delete MERGES with the file's existing DV."""
+    from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  write_delta_local)
+    from quokka_spark.sources.dv import inline_dv_descriptor
+    tbl = str(tmp_path / "dvt")
+    spark.range(0, 10).coalesce(1).write.parquet(str(tmp_path / "seed"))
+    write_delta_local(
+        spark.read.parquet(str(tmp_path / "seed")).coalesce(1), tbl)
+    files = qc.read_delta(tbl).df.inputFiles()
+    assert len(files) == 1
+    f = files[0].removeprefix("file:")
+    v1 = delete_rows_delta_local(tbl, {f: [0, 3]})
+    got = sorted(r["id"] for r in qc.read_delta(tbl).df.collect())
+    assert got == [1, 2] + list(range(4, 10))
+    # merge: deleting more positions keeps the earlier ones deleted
+    delete_rows_delta_local(tbl, {f: [7]})
+    got = sorted(r["id"] for r in qc.read_delta(tbl).df.collect())
+    assert got == [1, 2, 4, 5, 6, 8, 9]
+    # pre-DV time travel
+    assert qc.read_delta(tbl, version=v1 - 1).df.count() == 10
+    # inline storage: hand-commit an inline descriptor over the
+    # existing add (replacing the file DV)
+    import json
+    from quokka_spark.sources.delta_local import _commit, _replay
+    _, _, keys, adds = _replay(tbl, None)
+    a = dict(adds[0])
+    a["deletionVector"] = inline_dv_descriptor([9])
+    _commit(tbl, 3, [{"add": a}])
+    got = sorted(r["id"] for r in qc.read_delta(tbl).df.collect())
+    assert got == list(range(9))  # only position 9 deleted now
+
+
+def test_delta_dv_checkpoint_compact_vacuum(spark, qc, tmp_path):
+    """DVs survive the checkpoint parquet; compaction materializes
+    them into a delete-free layout; vacuum reclaims superseded DV
+    bins."""
+    import glob
+    import os as _os
+
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  delete_rows_delta_local,
+                                                  vacuum_delta_local,
+                                                  write_checkpoint_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "dvc")
+    write_delta_local(spark.range(0, 100).coalesce(1), tbl)
+    f = qc.read_delta(tbl).df.inputFiles()[0].removeprefix("file:")
+    delete_rows_delta_local(tbl, {f: list(range(0, 50))})
+    cp = write_checkpoint_local(tbl)
+    _os.remove(_os.path.join(tbl, "_delta_log", f"{0:020d}.json"))
+    _os.remove(_os.path.join(tbl, "_delta_log", f"{1:020d}.json"))
+    got = qc.read_delta(tbl).df
+    assert got.count() == 50
+    assert sorted(r["id"] for r in got.collect()) == list(range(50, 100))
+    compact_delta_local(spark, tbl, target_file_rows=1000)
+    assert qc.read_delta(tbl).df.count() == 50
+    vacuum_delta_local(tbl, keep_last=1)
+    # superseded DV bin reclaimed with the old data file
+    assert not glob.glob(_os.path.join(tbl, "_dv", "*.bin"))
+    assert qc.read_delta(tbl).df.count() == 50
+
+
+def test_delta_dv_upsert_does_not_resurrect(spark, qc, tmp_path):
+    """Upsert's survivor rewrite reads THROUGH the DVs — rewritten
+    files must not resurrect DV-deleted rows."""
+    from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "dvu")
+    write_delta_local(spark.range(0, 10).coalesce(1), tbl)
+    f = qc.read_delta(tbl).df.inputFiles()[0].removeprefix("file:")
+    delete_rows_delta_local(tbl, {f: [2]})          # id=2 deleted
+    up = spark.createDataFrame([(5,)], "id long")   # rewrite the file
+    upsert_delta_local(spark, tbl, up, "id")
+    got = sorted(r["id"] for r in qc.read_delta(tbl).df.collect())
+    assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9]       # 2 stays deleted
