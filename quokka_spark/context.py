@@ -357,6 +357,31 @@ class QuokkaContext:
         from .sources.iceberg_local import expire_snapshots_local
         return expire_snapshots_local(table, keep_last, delete_orphans)
 
+    def compact_hudi(self, table: str,
+                     target_file_rows: int = 5_000_000) -> str:
+        """Clustering-style compaction for a local Hudi CoW table:
+        live rows rewritten into right-sized file groups via one
+        replacecommit (hudi_local.compact_hudi_local). Returns the
+        instant timestamp."""
+        from .sources.hudi_local import compact_hudi_local
+        return compact_hudi_local(self.spark, table, target_file_rows)
+
+    def clean_hudi(self, table: str, keep_last: int = 1) -> int:
+        """Reclaim table-local base files referenced only by instants
+        older than the last ``keep_last``
+        (hudi_local.clean_hudi_local). Returns the number of files
+        deleted."""
+        from .sources.hudi_local import clean_hudi_local
+        return clean_hudi_local(table, keep_last)
+
+    def delete_delta_rows(self, table: str, deletes: dict) -> int:
+        """Row-level delete WITHOUT rewriting data files: commit
+        deletion vectors for ``{file path: [row positions]}``
+        (delta_local.delete_rows_delta_local — merges with each
+        file's existing DV per protocol). Returns the version."""
+        from .sources.delta_local import delete_rows_delta_local
+        return delete_rows_delta_local(table, deletes)
+
     def from_pandas(self, pdf) -> DataStream:
         return DataStream(self, self.spark.createDataFrame(pdf), materialized=True)
 

@@ -198,6 +198,54 @@ def commit_hudi_local(table: str, writes: dict, replaces: dict | None = None,
     return ts
 
 
+def compact_hudi_local(spark, table: str,
+                       target_file_rows: int = 5_000_000) -> str:
+    """Clustering-style compaction: the live rows rewrite into
+    ``ceil(rows / target_file_rows)`` right-sized base files committed
+    as ONE replacecommit that retires every previous file group — the
+    same small-file fix as compact_delta/compact_iceberg, in Hudi's
+    native commit shape. Time travel still sees the old layout.
+    Returns the instant timestamp."""
+    import math
+    df = read_hudi_local(spark, table)
+    n = df.count()
+    parts = max(1, math.ceil(n / target_file_rows))
+    return write_hudi_local(df.repartition(parts), table,
+                            mode="overwrite")
+
+
+def clean_hudi_local(table: str, keep_last: int = 1) -> int:
+    """Hudi clean: delete table-local base files referenced ONLY by
+    instants older than the last ``keep_last`` — the disk-reclaim
+    half of compaction. Files outside the table root (referenced-in-
+    place fixtures) are never touched; the timeline is kept, so
+    time-travel reads of cleaned instants fail at scan time (the real
+    cleaner's retention trade). Returns the number of files
+    deleted."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    root = os.path.abspath(_local(table))
+    instants = [ts for ts, _, _ in completed_instants(table)]
+    if not instants:
+        return 0
+    referenced: set = set()
+    for ts in instants[-keep_last:]:
+        referenced |= {os.path.abspath(p)
+                       for p in hudi_live_files(table, as_of=ts)}
+    deleted = 0
+    for dp, _, fs in os.walk(root):
+        if ".hoodie" in dp:
+            continue
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.abspath(os.path.join(dp, f))
+            if p not in referenced:
+                os.unlink(p)
+                deleted += 1
+    return deleted
+
+
 def write_hudi_local(df, table: str, mode: str = "append") -> str:
     """Commit a Spark DataFrame as a new CoW instant: "append" adds
     the rows as new file groups; "overwrite" replaces every live

@@ -145,3 +145,26 @@ def test_hudi_writer_refuses_mor(spark, qc, tmp_path):
         commit_hudi_local(tbl, {"": [("g2", a)]})
     with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
         write_hudi_local(spark.range(1), tbl)
+
+
+def test_hudi_compact_and_clean(spark, qc, tmp_path):
+    """Compaction rewrites the live rows into right-sized groups via
+    ONE replacecommit (time travel still sees the old layout); clean
+    then reclaims table-local files no kept instant references."""
+    from quokka_spark.sources.hudi_local import (clean_hudi_local,
+                                                 compact_hudi_local,
+                                                 hudi_live_files)
+    tbl = str(tmp_path / "c")
+    base = qc.read_parquet(os.path.join(SF_SMOKE, "region.parquet"))
+    write_hudi_local(base.df.repartition(4), tbl)       # 4 small groups
+    t2 = write_hudi_local(base.df.repartition(3), tbl)  # + 3 more
+    assert len(hudi_live_files(tbl)) == 7
+    tc = compact_hudi_local(spark, tbl, target_file_rows=10_000)
+    assert int(tc) > int(t2)
+    assert len(hudi_live_files(tbl)) == 1
+    assert qc.read_hudi(tbl).count() == 2 * base.count()
+    # time travel pre-compaction still sees the old layout
+    assert len(hudi_live_files(tbl, as_of=t2)) == 7
+    n = clean_hudi_local(tbl, keep_last=1)
+    assert n == 7
+    assert qc.read_hudi(tbl).count() == 2 * base.count()
