@@ -923,7 +923,7 @@ class DataStream:
         import glob
         import os
         import uuid
-        from .sources.iceberg_local import (append_snapshot,
+        from .sources.iceberg_local import (commit_snapshot,
                                             upsert_iceberg_local)
         if mode == "upsert":
             if key is None:
@@ -937,7 +937,10 @@ class DataStream:
          .option("maxRecordsPerFile", output_line_limit)
          .parquet(data_dir))
         files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
-        return append_snapshot(path, files)
+        # evolve_from_df: new columns extend the table schema, so the
+        # log-schema scan surfaces them (null for older files)
+        return commit_snapshot(path, add_files=files,
+                               evolve_from_df=self.df)
 
     def _filename_stream(self, path: str) -> "DataStream":
         """The reference's sinks return a stream of written filenames

@@ -626,7 +626,8 @@ def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
     (df.write.mode("errorifexists")
      .option("maxRecordsPerFile", output_line_limit).parquet(adir))
     add_files = sorted(glob.glob(os.path.join(adir, "*.parquet")))
-    return commit_snapshot(table_dir, add_files, delete_files)
+    return commit_snapshot(table_dir, add_files, delete_files,
+                           evolve_from_df=df)
 
 
 # ----------------------------------------------------------------------
@@ -948,10 +949,43 @@ def append_snapshot(table_dir: str, new_files: list[str]) -> int:
     return commit_snapshot(table_dir, add_files=list(new_files))
 
 
+_SPARK_TO_ICEBERG = {
+    "bigint": "long", "int": "int", "double": "double",
+    "float": "float", "string": "string", "boolean": "boolean",
+    "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _evolved_schema_fields(schema_fields, df):
+    """schema_fields triples extended with ``df``'s NEW columns
+    (fresh field ids) — the write-side half of schema evolution.
+    Best-effort by design: unmappable Spark types and name collisions
+    with a different declared type are skipped, never raised — the
+    read side only applies the table schema when it matches the
+    files' physical types (_table_read_schema), so a skipped
+    evolution degrades to inference, not to wrong answers."""
+    if df is None:
+        return schema_fields
+    out = list(schema_fields or [])
+    existing = {t[1] for t in out}
+    next_fid = max([int(t[0]) for t in out], default=0) + 1
+    for f in df.schema.fields:
+        if f.name in existing:
+            continue
+        it = _SPARK_TO_ICEBERG.get(f.dataType.simpleString())
+        if it is None:
+            continue
+        out.append((next_fid, f.name, it))
+        next_fid += 1
+    return out or None
+
+
 def commit_snapshot(table_dir: str, add_files: list | None = None,
                     add_delete_files: list | None = None,
                     add_eq_delete_files: list | None = None,
-                    replace: bool = False) -> int:
+                    replace: bool = False,
+                    evolve_from_df=None) -> int:
     """General single-writer commit: a new snapshot = current live
     files + ``add_files``, current position-delete files +
     ``add_delete_files``, current equality-delete files +
@@ -960,6 +994,9 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
     shape). Carried-forward files keep their original sequence
     numbers. With ``replace`` the new snapshot is EXACTLY
     ``add_files`` with no delete files — the compaction commit shape.
+    ``evolve_from_df``: a Spark DataFrame whose new columns extend
+    the table schema (write-side schema evolution; see
+    _evolved_schema_fields for the best-effort contract).
     Metadata-only; returns the new snapshot id."""
     prior: list[dict] = []
     schema_fields = None
@@ -1009,6 +1046,7 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
             "eq_deletes": (current["eq_deletes"]
                            + list(add_eq_delete_files or [])),
             "snapshot_id": new_id}
+    schema_fields = _evolved_schema_fields(schema_fields, evolve_from_df)
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
                                      partition_spec=partition_spec)

@@ -683,3 +683,19 @@ def test_iceberg_schema_evolution_wide_probe_file_first(qc, spark,
     assert got.columns == ["id", "score"]
     rows = {r["id"]: r["score"] for r in got.collect()}
     assert rows == {1: None, 2: None, 3: 1.5}
+
+
+def test_iceberg_write_evolves_schema(qc, spark, tmp_path):
+    """write_iceberg appends carrying NEW columns extend the table
+    schema (fresh field ids), so the evolved column surfaces — typed,
+    null for pre-evolution files — through the table-schema scan."""
+    tbl = str(tmp_path / "wevo")
+    qc.from_pandas(__import__("pandas").DataFrame({"id": [1, 2]})) \
+        .write_iceberg(tbl)
+    import pandas as pd
+    qc.from_pandas(pd.DataFrame({"id": [3], "score": [1.5]})) \
+        .write_iceberg(tbl)
+    got = qc.read_iceberg(tbl).df
+    assert set(got.columns) == {"id", "score"}
+    rows = {r["id"]: r["score"] for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
