@@ -524,6 +524,59 @@ def _meta_actions(schema_json: str | None,
     ]
 
 
+def _txn_state(table: str, version: int | None = None) -> dict:
+    """{appId: highest committed txn version} at ``version`` — the
+    idempotence handshake streaming sinks use. Starts from the newest
+    checkpoint's ``txn`` rows (persisted by write_checkpoint_local,
+    so log cleanup cannot forget a sink's progress) and applies the
+    trailing JSON commits' txn actions on top."""
+    commits, checkpoints = _scan_log(table)
+    versions = sorted(set(commits) | set(checkpoints))
+    if not versions:
+        return {}
+    if version is None:
+        version = versions[-1]
+    txns: dict = {}
+    usable = [v for v in checkpoints if v <= version]
+    base = -1
+    if usable:
+        base = max(usable)
+        import pyarrow.parquet as pq
+        for p in checkpoints[base]:
+            t = pq.read_table(p)
+            if "txn" not in t.column_names:
+                continue
+            for r in t.to_pylist():
+                x = r.get("txn")
+                if x and x.get("appId") is not None:
+                    txns[x["appId"]] = max(
+                        txns.get(x["appId"], -1), int(x["version"]))
+    for v in commits:
+        if not (base < v <= version):
+            continue
+        with open(_version_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                x = action.get("txn")
+                if x and x.get("appId") is not None:
+                    txns[x["appId"]] = max(
+                        txns.get(x["appId"], -1), int(x["version"]))
+    return txns
+
+
+def last_txn_version(table: str, app_id: str):
+    """The highest ``{"txn": {"appId", "version"}}`` committed for
+    ``app_id``, or None — how an idempotent writer decides whether a
+    redelivered micro-batch was already committed."""
+    try:
+        return _txn_state(table).get(app_id)
+    except FileNotFoundError:
+        return None
+
+
 def delete_rows_delta_local(table: str, deletes: dict) -> int:
     """Commit DELETION VECTORS for the given rows: ``deletes`` maps a
     live data-file path to the 0-based row positions to delete. Each
@@ -601,8 +654,10 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
         ("createdTime", pa.int64())])
     proto_t = pa.struct([("minReaderVersion", pa.int32()),
                          ("minWriterVersion", pa.int32())])
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64()),
+                       ("lastUpdated", pa.int64())])
     rows = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
-             "metaData": None, "add": None},
+             "metaData": None, "add": None, "txn": None},
             {"protocol": None,
              "metaData": {
                  "id": meta.get("id", str(uuid.uuid4())),
@@ -612,7 +667,14 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
                  "configuration": meta.get("configuration") or {},
                  "createdTime": meta.get("createdTime",
                                          int(time.time() * 1000))},
-             "add": None}]
+             "add": None, "txn": None}]
+    # persist sink progress: without these rows, log cleanup would
+    # erase an idempotent writer's high-water mark and a restarted
+    # stream could double-commit
+    for app_id, tv in sorted(_txn_state(table, version).items()):
+        rows.append({"protocol": None, "metaData": None, "add": None,
+                     "txn": {"appId": app_id, "version": int(tv),
+                             "lastUpdated": 0}})
     for k, a in zip(keys, adds):
         dv = a.get("deletionVector")
         rows.append({"protocol": None, "metaData": None,
@@ -634,7 +696,8 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
                                                      or 0)}
                                  if dv else None)}})
     tbl = pa.Table.from_pylist(rows, schema=pa.schema(
-        [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]))
+        [("protocol", proto_t), ("metaData", meta_t), ("add", add_t),
+         ("txn", txn_t)]))
     cp = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
     tmp = cp + f".tmp-{uuid.uuid4().hex}"
     pq.write_table(tbl, tmp)
@@ -730,7 +793,7 @@ def _evolve_schema_actions(meta: dict, df, mode: str,
 
 
 def write_delta_local(df, table: str, mode: str = "append",
-                      partition_by=None) -> int:
+                      partition_by=None, txn: tuple | None = None) -> int:
     """Commit a Spark DataFrame as a new Delta version. ``mode``:
     "append" adds the new files; "overwrite" also removes every
     previously live file. Data lands under ``<table>/part-*/`` via
@@ -745,7 +808,12 @@ def write_delta_local(df, table: str, mode: str = "append",
     when ``partition_by`` is omitted (and refuse a different one —
     unpartitioned adds would read back null partition values);
     overwrite may change the partitioning, and its metaData records
-    the new ``partitionColumns``."""
+    the new ``partitionColumns``.
+
+    ``txn``: an ``(appId, version)`` pair committed as a ``txn``
+    action alongside the adds — the protocol's idempotent-writer
+    handshake (check ``last_txn_version`` before writing; see
+    streaming/stream.streaming_write_delta)."""
     assert mode in ("append", "overwrite"), mode
     pcols = ([partition_by] if isinstance(partition_by, str)
              else list(partition_by or []))
@@ -799,6 +867,11 @@ def write_delta_local(df, table: str, mode: str = "append",
         actions.append(_add_action(
             root, p, _hive_partition_values(data_dir, p) if pcols else None,
             stats=_footer_stats(p)))
+    if txn is not None:
+        app_id, tv = txn
+        actions.append({"txn": {"appId": str(app_id),
+                                "version": int(tv),
+                                "lastUpdated": ts}})
     _commit(table, version, actions)
     return version
 

