@@ -1688,7 +1688,13 @@ def src_delta_dv(spark, sf_dir):
     li = os.path.join(sf_dir, "lineitem.parquet")
     tbl = os.path.join(tempfile.gettempdir(),
                        "qs_deltadv_" + sf_dir.strip("/").replace("/", "_"))
-    if not os.path.isdir(os.path.join(tbl, "_delta_log")):
+    # init-complete marker is the DV commit itself (version 1): a
+    # crash between the two commits must rebuild, not serve the
+    # half-built table forever
+    if not os.path.exists(os.path.join(tbl, "_delta_log",
+                                       f"{1:020d}.json")):
+        import shutil
+        shutil.rmtree(tbl, ignore_errors=True)
         os.makedirs(tbl, exist_ok=True)
         create_local_delta_table(tbl, [[li]])
         keys = pq.read_table(li, columns=["l_orderkey"]) \

@@ -529,7 +529,14 @@ def _txn_state(table: str, version: int | None = None) -> dict:
     idempotence handshake streaming sinks use. Starts from the newest
     checkpoint's ``txn`` rows (persisted by write_checkpoint_local,
     so log cleanup cannot forget a sink's progress) and applies the
-    trailing JSON commits' txn actions on top."""
+    trailing JSON commits' txn actions on top.
+
+    Loud on unknowable state (the same gapless contract as _replay):
+    a missing JSON tail, or a checkpoint without a ``txn`` column
+    hiding cleaned commits, raises instead of returning a mark that
+    may be too low — an under-reported high-water mark makes an
+    "exactly-once" sink double-commit."""
+    import pyarrow.parquet as pq
     commits, checkpoints = _scan_log(table)
     versions = sorted(set(commits) | set(checkpoints))
     if not versions:
@@ -541,19 +548,33 @@ def _txn_state(table: str, version: int | None = None) -> dict:
     base = -1
     if usable:
         base = max(usable)
-        import pyarrow.parquet as pq
-        for p in checkpoints[base]:
-            t = pq.read_table(p)
-            if "txn" not in t.column_names:
-                continue
-            for r in t.to_pylist():
-                x = r.get("txn")
-                if x and x.get("appId") is not None:
-                    txns[x["appId"]] = max(
-                        txns.get(x["appId"], -1), int(x["version"]))
-    for v in commits:
-        if not (base < v <= version):
-            continue
+        if any("txn" not in pq.read_schema(p).names
+               for p in checkpoints[base]):
+            # foreign checkpoint without txn rows: usable only when
+            # the full JSON history below it still exists
+            if all(v in commits for v in range(0, base + 1)):
+                base = -1
+            else:
+                raise ValueError(
+                    f"checkpoint {base} of {table} carries no txn "
+                    "column but covers cleaned commits — the sink "
+                    "high-water mark is unknowable; rewrite the "
+                    "checkpoint with write_checkpoint_local")
+        else:
+            for p in checkpoints[base]:
+                # column-pruned read: txn rows are a handful among
+                # potentially a million add rows
+                for x in pq.read_table(p, columns=["txn"]) \
+                        .column("txn").to_pylist():
+                    if x and x.get("appId") is not None:
+                        txns[x["appId"]] = max(
+                            txns.get(x["appId"], -1), int(x["version"]))
+    tail = [v for v in commits if base < v <= version]
+    if tail != list(range(base + 1, version + 1)):
+        raise FileNotFoundError(
+            f"cannot reconstruct txn state of {table} at {version}: "
+            "JSON commits are missing and no checkpoint covers them")
+    for v in tail:
         with open(_version_path(table, v)) as fh:
             for line in fh:
                 line = line.strip()
@@ -565,6 +586,42 @@ def _txn_state(table: str, version: int | None = None) -> dict:
                     txns[x["appId"]] = max(
                         txns.get(x["appId"], -1), int(x["version"]))
     return txns
+
+
+def _protocol_state(table: str, version: int | None = None) -> dict:
+    """The table's current ``protocol`` action (default reader 1 /
+    writer 2): newest checkpoint's protocol row, then any later JSON
+    protocol actions win."""
+    import pyarrow.parquet as pq
+    commits, checkpoints = _scan_log(table)
+    versions = sorted(set(commits) | set(checkpoints))
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if not versions:
+        return proto
+    if version is None:
+        version = versions[-1]
+    usable = [v for v in checkpoints if v <= version]
+    base = -1
+    if usable:
+        base = max(usable)
+        for p in checkpoints[base]:
+            if "protocol" not in pq.read_schema(p).names:
+                continue
+            for x in pq.read_table(p, columns=["protocol"]) \
+                    .column("protocol").to_pylist():
+                if x and x.get("minReaderVersion") is not None:
+                    proto = {k: v for k, v in x.items() if v is not None}
+    for v in commits:
+        if not (base < v <= version):
+            continue
+        with open(_version_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        proto = action["protocol"]
+    return proto
 
 
 def last_txn_version(table: str, app_id: str):
@@ -596,12 +653,42 @@ def delete_rows_delta_local(table: str, deletes: dict) -> int:
     os.makedirs(dv_dir, exist_ok=True)
     ts = int(time.time() * 1000)
     actions: list = []
+    # the protocol requires reader 3 + readerFeatures for DV tables —
+    # without the upgrade, spec-compliant external readers accept the
+    # table at protocol 1, IGNORE the deletionVector field, and
+    # silently resurrect every deleted row
+    proto = _protocol_state(table)
+    if "deletionVectors" not in (proto.get("readerFeatures") or []):
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(set(
+                (proto.get("readerFeatures") or [])
+                + ["deletionVectors"])),
+            "writerFeatures": sorted(set(
+                (proto.get("writerFeatures") or [])
+                + ["deletionVectors"]))}})
     for p, positions in deletes.items():
         ap = os.path.abspath(p)
         if ap not in by_abs:
             raise ValueError(f"{p}: not a live file of {table}")
         k, a = by_abs[ap]
         merged = set(int(x) for x in positions)
+        if any(x < 0 for x in merged):
+            raise ValueError(f"{p}: negative row position")
+        # validate against the file's row count (stats when present,
+        # else one footer read) — an out-of-range position is a
+        # caller bug (1-based indexes, wrong file) that would
+        # otherwise commit a DV that silently deletes nothing
+        st = _stats_of(a)
+        nrec = st.get("numRecords") if st else None
+        if nrec is None:
+            import pyarrow.parquet as pq
+            nrec = pq.ParquetFile(ap).metadata.num_rows
+        bad = [x for x in merged if x >= int(nrec)]
+        if bad:
+            raise ValueError(
+                f"{p}: row positions {sorted(bad)[:5]} out of range "
+                f"(file has {nrec} rows; positions are 0-based)")
         if a.get("deletionVector"):
             merged |= set(dv_row_indexes(root, a["deletionVector"]))
         dvp = os.path.join(dv_dir,
@@ -653,10 +740,19 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
         ("configuration", pv_t),
         ("createdTime", pa.int64())])
     proto_t = pa.struct([("minReaderVersion", pa.int32()),
-                         ("minWriterVersion", pa.int32())])
+                         ("minWriterVersion", pa.int32()),
+                         ("readerFeatures", pa.list_(pa.string())),
+                         ("writerFeatures", pa.list_(pa.string()))])
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64()),
                        ("lastUpdated", pa.int64())])
-    rows = [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+    cur_proto = _protocol_state(table, version)
+    rows = [{"protocol": {
+                "minReaderVersion": int(cur_proto.get("minReaderVersion",
+                                                      1)),
+                "minWriterVersion": int(cur_proto.get("minWriterVersion",
+                                                      2)),
+                "readerFeatures": cur_proto.get("readerFeatures"),
+                "writerFeatures": cur_proto.get("writerFeatures")},
              "metaData": None, "add": None, "txn": None},
             {"protocol": None,
              "metaData": {

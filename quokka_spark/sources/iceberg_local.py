@@ -952,7 +952,10 @@ def append_snapshot(table_dir: str, new_files: list[str]) -> int:
 _SPARK_TO_ICEBERG = {
     "bigint": "long", "int": "int", "double": "double",
     "float": "float", "string": "string", "boolean": "boolean",
-    "date": "date", "timestamp": "timestamp",
+    "date": "date",
+    # Spark TimestampType is an INSTANT (UTC-adjusted) → timestamptz;
+    # labeling it zone-less would shift values for external readers
+    "timestamp": "timestamptz",
     "timestamp_ntz": "timestamp",
 }
 

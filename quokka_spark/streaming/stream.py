@@ -924,16 +924,26 @@ def streaming_write_delta(df: DataFrame, table: str,
     trigger (``availableNow`` for backfills, processingTime for
     continuous ingestion) and call ``.start()``."""
     import os
+    # the FULL checkpoint path: two pipelines with same-named
+    # checkpoint dirs must not share a high-water mark (one would
+    # silently drop its batches)
     aid = app_id or ("quokka-spark-"
-                     + os.path.basename(checkpoint_dir.rstrip("/")))
+                     + os.path.abspath(checkpoint_dir.rstrip("/")))
 
     def _sink(bdf, bid: int):
-        from ..sources.delta_local import (last_txn_version,
-                                           write_delta_local)
-        last = last_txn_version(table, aid)
-        if last is not None and int(bid) <= int(last):
+        from ..sources.delta_local import write_delta_local
+        if not _should_commit_batch(table, aid, bid):
             return  # already committed — redelivery is a no-op
         write_delta_local(bdf, table, mode="append", txn=(aid, int(bid)))
 
     return (df.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", checkpoint_dir))
+
+
+def _should_commit_batch(table: str, app_id: str, bid: int) -> bool:
+    """The sink's idempotence guard, exposed for direct testing:
+    False when ``bid`` is at or below the table's committed txn
+    high-water mark for ``app_id``."""
+    from ..sources.delta_local import last_txn_version
+    last = last_txn_version(table, app_id)
+    return last is None or int(bid) > int(last)

@@ -765,18 +765,17 @@ def test_streaming_write_delta_exactly_once(spark, qc, tmp_path):
     q.awaitTermination(120)
     assert sorted(r["id"] for r in qc.read_delta(tbl).df.collect()) == \
         [1, 2, 3]
-    # simulate a failure redelivery of an already-committed batch id:
-    # the sink's guard (batch id <= committed high-water mark) must
-    # skip the write entirely
+    # drive the sink's REAL guard with a redelivered batch id: it
+    # must refuse, and must accept the next fresh id
     from quokka_spark.sources.delta_local import list_versions
+    from quokka_spark.streaming.stream import _should_commit_batch
     nv = len(list_versions(tbl))
     last = last_txn_version(tbl, "t")
     assert last is not None and last >= 0   # batch 0 committed
-    bdf = spark.createDataFrame([(99, 9.9)], sch)
-    if not (last is not None and 0 <= last):    # the sink's exact guard
-        from quokka_spark.sources.delta_local import write_delta_local
-        write_delta_local(bdf, tbl, mode="append", txn=("t", 0))
-    assert len(list_versions(tbl)) == nv  # nothing committed
+    assert _should_commit_batch(tbl, "t", 0) is False
+    assert _should_commit_batch(tbl, "t", last) is False
+    assert _should_commit_batch(tbl, "t", last + 1) is True
+    assert len(list_versions(tbl)) == nv
     assert sorted(r["id"] for r in qc.read_delta(tbl).df.collect()) == \
         [1, 2, 3]
     # txn mark survives checkpoint + log cleanup
@@ -786,3 +785,25 @@ def test_streaming_write_delta_exactly_once(spark, qc, tmp_path):
         if v <= cp and _os.path.exists(p):
             _os.remove(p)
     assert last_txn_version(tbl, "t") == last
+
+
+def test_dv_codec_property_roundtrip():
+    """Property sweep: any set of row indexes survives the portable
+    RoaringBitmapArray encode→decode, across container-type and
+    32-bit-key boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from quokka_spark.sources.dv import decode_rbm_array, encode_rbm_array
+
+    @given(st.sets(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**16 + 8),   # container edge
+            st.integers(min_value=2**32 - 4, max_value=2**32 + 4),  # key edge
+            st.integers(min_value=0, max_value=2**40)),
+        max_size=300))
+    @settings(deadline=None)
+    def check(vals):
+        assert decode_rbm_array(encode_rbm_array(vals)) == sorted(vals)
+
+    check()
