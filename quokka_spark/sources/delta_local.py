@@ -31,8 +31,12 @@ reads only matching files even at 100 TB) and **deletion vectors**
 (inline Z85 and ``.bin`` storage per the protocol, decoded by
 sources/dv.py's pure-Python RoaringBitmapArray reader and applied as
 a distributed (file, row-index) anti-join; delete_rows_delta_local
-commits them, merging per-file with any existing DV). Still gated
-with clear errors: column-mapping modes.
+commits them, merging per-file with any existing DV) and
+**columnMapping.mode=name** (the scan reads PHYSICAL parquet names
+via the schema's physicalName metadata and renames to the logical
+schema; stats keys translate; partitioned mapped tables and all
+LOCAL WRITES to mapped tables stay gated). Still gated with clear
+errors: columnMapping.mode=id (parquet columns match by field id).
 ``metaData.schemaString`` is written spec-correctly (it IS Spark's
 schema JSON) and read back for partition-column types; data columns
 trust the parquet footers, which is what Spark's scan enforces
@@ -171,15 +175,17 @@ def _replay(table: str, version: int | None):
     conf = meta.get("configuration") or {}
     if isinstance(conf, list):  # arrow map → list of pairs
         conf = dict(conf)
+        meta = dict(meta)
+        meta["configuration"] = conf
     cm = conf.get("delta.columnMapping.mode")
-    if cm and cm != "none":
-        # under id/name mapping the parquet column names are NOT the
-        # logical names in schemaString — a plain scan would return
-        # wrongly-named (or missing) columns
+    if cm and cm not in ("none", "name"):
+        # under id mapping the parquet columns match by FIELD ID, not
+        # name — a name-based scan would return wrongly-named (or
+        # missing) columns; name mode is handled via the schema's
+        # physicalName metadata (see _column_mapping)
         raise NotImplementedError(
             f"delta.columnMapping.mode={cm!r} is not supported by this "
-            "reader (physical parquet names differ from the logical "
-            "schema)")
+            "reader (parquet columns match by field id, not name)")
     pairs = sorted(
         ((k if os.path.isabs(k) else os.path.join(root, k)), k)
         for k in live)
@@ -262,7 +268,8 @@ def _coerce_pair(stat, lit):
     return None
 
 
-def _prune_by_stats(files: list, adds: list, scan_filter: str):
+def _prune_by_stats(files: list, adds: list, scan_filter: str,
+                    cmap: dict | None = None):
     """Data skipping: keep only (file, add) pairs whose stats ADMIT
     the filter — a file drops only when a supported ``col op
     literal`` conjunct is provably false over its [min, max]; missing
@@ -281,6 +288,9 @@ def _prune_by_stats(files: list, adds: list, scan_filter: str):
             mins = st.get("minValues") or {}
             maxs = st.get("maxValues") or {}
             for col, op, v in atoms:
+                if cmap:
+                    # stats keys are PHYSICAL names under mapping
+                    col = cmap.get(col, col)
                 # each bound coerced with ITS OWN lifted literal, so a
                 # date-vs-timestamp pair compares soundly per bound
                 lo_p = _coerce_pair(mins.get(col), v)
@@ -302,7 +312,37 @@ def _prune_by_stats(files: list, adds: list, scan_filter: str):
     return out_f, out_a
 
 
-def _log_read_schema(meta: dict, pcols: list):
+def _column_mapping(meta: dict):
+    """{logical name: physical parquet name} when the table uses
+    ``delta.columnMapping.mode=name`` (each schema field carries its
+    ``delta.columnMapping.physicalName`` metadata, per protocol),
+    else None. Malformed name-mode schemas (a field without the
+    metadata) error loudly — guessing a physical name would read the
+    wrong column."""
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    if conf.get("delta.columnMapping.mode") != "name":
+        return None
+    from pyspark.sql.types import StructType
+    try:
+        full = StructType.fromJson(json.loads(meta["schemaString"]))
+    except (KeyError, ValueError, TypeError) as e:
+        raise NotImplementedError(
+            "columnMapping.mode=name without a parseable schemaString "
+            "— physical names are unknowable") from e
+    out = {}
+    for f in full.fields:
+        phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not phys:
+            raise ValueError(
+                f"column {f.name!r}: columnMapping.mode=name but the "
+                "schema field carries no physicalName metadata")
+        out[f.name] = phys
+    return out
+
+
+def _log_read_schema(meta: dict, pcols: list, cmap: dict | None = None):
     """The table's Spark read schema from the log's ``schemaString``,
     MINUS partition columns (they live in the log, not the files), or
     None when the log carries no usable schema (minimal fixtures —
@@ -311,14 +351,18 @@ def _log_read_schema(meta: dict, pcols: list):
     added in a later version must surface (null for older files)
     even when inference happens to sample an old file — and it skips
     the footer-sampling pass entirely, which is not free at 100 TB
-    file counts."""
-    from pyspark.sql.types import StructType
+    file counts. With ``cmap`` (columnMapping name mode) the read
+    schema uses the PHYSICAL parquet names; the caller renames back
+    to logical after the scan."""
+    from pyspark.sql.types import StructField, StructType
     try:
         full = StructType.fromJson(json.loads(meta["schemaString"]))
     except (KeyError, ValueError, TypeError):
         return None
     drop = set(pcols or [])
-    fields = [f for f in full.fields if f.name not in drop]
+    fields = [StructField(cmap[f.name] if cmap else f.name,
+                          f.dataType, f.nullable)
+              for f in full.fields if f.name not in drop]
     return StructType(fields) if fields else None
 
 
@@ -407,6 +451,11 @@ def read_delta_local(spark, table: str, version: int | None = None,
     # partition_filter errors regardless of what scan_filter prunes
     if partition_filter and not pcols:
         raise ValueError("partition_filter on an unpartitioned table")
+    cmap = _column_mapping(meta)
+    if cmap and pcols:
+        raise NotImplementedError(
+            "columnMapping.mode=name on a PARTITIONED table — "
+            "partitionValues key by physical name; unsupported here")
 
     def _empty_typed():
         from pyspark.sql.types import StructType
@@ -417,7 +466,7 @@ def read_delta_local(spark, table: str, version: int | None = None,
         return spark.createDataFrame([], full) if full.fields else None
 
     if scan_filter:
-        pf, pa_ = _prune_by_stats(files, adds, scan_filter)
+        pf, pa_ = _prune_by_stats(files, adds, scan_filter, cmap=cmap)
         if pf:
             files, adds = pf, pa_
         else:
@@ -427,11 +476,17 @@ def read_delta_local(spark, table: str, version: int | None = None,
             # schema unknown: keep the files; the row filter below
             # still yields the correct (empty) result
     root = table.removeprefix("file://")
-    rs = _log_read_schema(meta, pcols)
+    rs = _log_read_schema(meta, pcols, cmap=cmap)
     if not pcols:
         df = (spark.read.schema(rs).parquet(*files)
               if rs is not None else spark.read.parquet(*files))
         df = _apply_deletion_vectors(spark, df, files, adds, root)
+        if cmap:
+            # physical parquet names → the logical schema the user
+            # queries; the row filter below then sees logical names
+            from pyspark.sql import functions as F
+            df = df.select(*[F.col(phys).alias(logical)
+                             for logical, phys in cmap.items()])
         return df.filter(scan_filter) if scan_filter else df
     from pyspark.sql import functions as F
 
@@ -926,6 +981,11 @@ def write_delta_local(df, table: str, mode: str = "append",
     evolve: list = []
     if version > 0:
         _, meta, live_keys, _ = _replay(table, None)
+        if _column_mapping(meta):
+            raise NotImplementedError(
+                "writing to a columnMapping.mode=name table — new "
+                "files would carry LOGICAL column names the mapped "
+                "schema cannot resolve")
         table_pcols = meta.get("partitionColumns") or []
         if mode == "append":
             if pcols and pcols != table_pcols:
@@ -990,6 +1050,10 @@ def compact_delta_local(spark, table: str,
     files, meta, keys, _ = _replay(table, None)
     if not files:
         raise ValueError(f"Delta table {table} has no live files")
+    if _column_mapping(meta):
+        raise NotImplementedError(
+            "compacting a columnMapping.mode=name table — rewritten "
+            "files would carry logical names the schema cannot resolve")
     root = table.removeprefix("file://")
     pcols = meta.get("partitionColumns") or []
     df = read_delta_local(spark, table)
@@ -1079,6 +1143,10 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         raise NotImplementedError(
             "upsert on a partitioned local Delta table — read, rewrite "
             "and overwrite with partition_by instead")
+    if _column_mapping(meta):
+        raise NotImplementedError(
+            "upsert on a columnMapping.mode=name table — rewritten "
+            "files would carry logical names the schema cannot resolve")
     # scan with the LOG's schema: after schema evolution, inference
     # could sample a pre-evolution file and the survivor rewrite
     # would silently drop the newer columns from rewritten files

@@ -807,3 +807,68 @@ def test_dv_codec_property_roundtrip():
         assert decode_rbm_array(encode_rbm_array(vals)) == sorted(vals)
 
     check()
+
+
+def test_delta_column_mapping_name_mode(spark, qc, tmp_path):
+    """columnMapping.mode=name: parquet columns carry PHYSICAL names;
+    the scan reads them via the schema's physicalName metadata and
+    renames to the logical schema; stats skipping translates the
+    filter's logical column to the physical stats key; id mode stays
+    gated."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import _commit
+    f1, f2 = str(tmp_path / "f1.parquet"), str(tmp_path / "f2.parquet")
+    pd.DataFrame({"col-a1": [1, 2, 3],
+                  "col-b2": [1.0, 2.0, 3.0]}).to_parquet(f1)
+    pd.DataFrame({"col-a1": [100, 200],
+                  "col-b2": [10.0, 20.0]}).to_parquet(f2)
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b2",
+                      "delta.columnMapping.id": 2}}]}
+    tbl = str(tmp_path / "cm")
+    import os as _os
+    _os.makedirs(tbl)
+
+    def add(p, mn, mx, n):
+        return {"add": {"path": p, "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True,
+                        "stats": _json.dumps({
+                            "numRecords": n,
+                            "minValues": {"col-a1": mn},
+                            "maxValues": {"col-a1": mx}})}}
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "2"},
+                      "createdTime": 0}},
+        add(f1, 1, 3, 3), add(f2, 100, 200, 2)])
+    got = qc.read_delta(tbl).df
+    assert got.columns == ["id", "v"]
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows == {1: 1.0, 2: 2.0, 3: 3.0, 100: 10.0, 200: 20.0}
+    # stats skipping translates logical -> physical stats keys
+    pruned = qc.read_delta(tbl, scan_filter="id >= 100").df
+    assert sorted(r["id"] for r in pruned.collect()) == [100, 200]
+    assert len(pruned.inputFiles()) == 1
+    # id mode stays gated
+    with open(_os.path.join(tbl, "_delta_log", f"{1:020d}.json"),
+              "w") as fh:
+        meta2 = {"id": "t", "format": {"provider": "parquet",
+                                       "options": {}},
+                 "schemaString": _json.dumps(schema),
+                 "partitionColumns": [],
+                 "configuration": {"delta.columnMapping.mode": "id"},
+                 "createdTime": 0}
+        fh.write(_json.dumps({"metaData": meta2}) + "\n")
+    with pytest.raises(NotImplementedError, match="field id"):
+        qc.read_delta(tbl)
