@@ -5267,6 +5267,52 @@ def stream_resample(spark, sf_dir):
                       F.round("value", 6).alias("value"))
 
 
+def stream_sink_delta(spark, sf_dir):
+    """Streaming ingestion INTO the lakehouse: the purchase events
+    stream lands in a local Delta table through the exactly-once
+    foreachBatch sink (streaming/stream.streaming_write_delta — txn
+    handshake, redelivered batches skip), and the table read back
+    must equal the batch filter. A _done marker written only after
+    the drain finishes makes the cached fixture crash-safe."""
+    import os
+    import tempfile
+    from quokka_spark.streaming.stream import streaming_write_delta
+    qc = _qc(spark)
+    d = _stream_events_dir(spark, qc, sf_dir)
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_sinkdelta_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        stream = spark.readStream.schema(
+            spark.read.parquet(d).schema).parquet(d) \
+            .where("event_type = 'purchase'") \
+            .select("event_id", "ts", "user_id", "value")
+        q = streaming_write_delta(stream, tbl,
+                                  os.path.join(base, "chk")) \
+            .trigger(availableNow=True).start()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("stream_sink_delta drain exceeded 600s")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_delta(tbl)
+    return ds.df.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+_STREAM_SINK_DELTA_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 _STREAM_RESAMPLE_SQL = """
 WITH e AS (
   SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_sec,
@@ -5498,6 +5544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof": stream_asof,
         "stream_cep": stream_cep,
         "stream_resample": stream_resample,
+        "stream_sink_delta": stream_sink_delta,
     }
 
 
@@ -5631,4 +5678,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_asof": _ASOF_SQL,
         "stream_cep": _CEP_SQL,
         "stream_resample": _STREAM_RESAMPLE_SQL,
+        "stream_sink_delta": _STREAM_SINK_DELTA_SQL,
     }
