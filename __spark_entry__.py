@@ -1715,6 +1715,70 @@ GROUP BY l_returnflag
 """
 
 
+def src_delta_cm(spark, sf_dir):
+    """Delta columnMapping.mode=name read (delta_local._column_mapping):
+    a physical-named copy of lineitem's three gate columns sits under
+    a log whose schema fields carry physicalName metadata; the scan
+    must resolve physical → logical names and translate the
+    scan_filter's stats lookup — the oracle is the logical-named
+    filter+aggregate on plain lineitem."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import _commit, _footer_stats
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_deltacm_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    phys = os.path.join(base, "phys.parquet")
+    done = os.path.join(base, "_done")
+    logical = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    physical = ["col-r1", "col-q2", "col-p3"]
+    types = ["string", "double", "double"]
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(tbl, exist_ok=True)
+        t = pq.read_table(li, columns=logical)
+        pq.write_table(t.rename_columns(physical), phys)
+        schema = {"type": "struct", "fields": [
+            {"name": ln, "type": ty, "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": pn,
+                          "delta.columnMapping.id": i + 1}}
+            for i, (ln, pn, ty) in enumerate(zip(logical, physical,
+                                                 types))]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "cm", "format": {"provider": "parquet",
+                                                 "options": {}},
+                          "schemaString": _json.dumps(schema),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+                          "createdTime": 0}},
+            {"add": {"path": phys, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "stats": _footer_stats(phys)}}])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_delta(tbl, scan_filter="l_quantity > 25")
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+_SRC_DELTA_CM_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_quantity > 25
+GROUP BY l_returnflag
+"""
+
+
 def src_hudi(spark, sf_dir):
     """read_hudi end-to-end WITHOUT the hudi-spark bundle jar
     (sources/hudi_local.py — pure-Python timeline replay): a local
@@ -5486,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_avro": src_avro,
         "src_hudi": src_hudi,
         "src_delta_dv": src_delta_dv,
+        "src_delta_cm": src_delta_cm,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -5672,6 +5737,7 @@ def oracle_sql() -> dict[str, str]:
         "op_percentile_approx_group": _percentile_approx_oracle(),
         "src_hudi": _SRC_HUDI_SQL,
         "src_delta_dv": _SRC_DELTA_DV_SQL,
+        "src_delta_cm": _SRC_DELTA_CM_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_join": _STREAM_JOIN_SQL,
