@@ -579,7 +579,8 @@ def _meta_actions(schema_json: str | None,
     ]
 
 
-def _txn_state(table: str, version: int | None = None) -> dict:
+def _txn_state(table: str, version: int | None = None,
+               _scan=None) -> dict:
     """{appId: highest committed txn version} at ``version`` — the
     idempotence handshake streaming sinks use. Starts from the newest
     checkpoint's ``txn`` rows (persisted by write_checkpoint_local,
@@ -592,7 +593,7 @@ def _txn_state(table: str, version: int | None = None) -> dict:
     may be too low — an under-reported high-water mark makes an
     "exactly-once" sink double-commit."""
     import pyarrow.parquet as pq
-    commits, checkpoints = _scan_log(table)
+    commits, checkpoints = _scan or _scan_log(table)
     versions = sorted(set(commits) | set(checkpoints))
     if not versions:
         return {}
@@ -607,14 +608,16 @@ def _txn_state(table: str, version: int | None = None) -> dict:
                for p in checkpoints[base]):
             # foreign checkpoint without txn rows: usable only when
             # the full JSON history below it still exists
-            if all(v in commits for v in range(0, base + 1)):
+            if set(commits).issuperset(range(base + 1)):
                 base = -1
             else:
                 raise ValueError(
                     f"checkpoint {base} of {table} carries no txn "
                     "column but covers cleaned commits — the sink "
-                    "high-water mark is unknowable; rewrite the "
-                    "checkpoint with write_checkpoint_local")
+                    "high-water mark is unknowable (idempotent sinks "
+                    "on this table may double-commit; "
+                    "write_checkpoint_local resets the marks to "
+                    "empty)")
         else:
             for p in checkpoints[base]:
                 # column-pruned read: txn rows are a handful among
@@ -643,12 +646,13 @@ def _txn_state(table: str, version: int | None = None) -> dict:
     return txns
 
 
-def _protocol_state(table: str, version: int | None = None) -> dict:
+def _protocol_state(table: str, version: int | None = None,
+                    _scan=None) -> dict:
     """The table's current ``protocol`` action (default reader 1 /
     writer 2): newest checkpoint's protocol row, then any later JSON
     protocol actions win."""
     import pyarrow.parquet as pq
-    commits, checkpoints = _scan_log(table)
+    commits, checkpoints = _scan or _scan_log(table)
     versions = sorted(set(commits) | set(checkpoints))
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
     if not versions:
@@ -679,14 +683,43 @@ def _protocol_state(table: str, version: int | None = None) -> dict:
     return proto
 
 
+def _legacy_features(proto: dict) -> tuple[list, list]:
+    """(readerFeatures, writerFeatures) IMPLIED by a legacy protocol's
+    version numbers (spec §Protocol Evolution) — needed when
+    upgrading to table features (reader 3 / writer 7), where only
+    listed features are honored."""
+    r = int(proto.get("minReaderVersion", 1))
+    w = int(proto.get("minWriterVersion", 2))
+    rf: list = []
+    wf: list = []
+    if w >= 2:
+        wf += ["appendOnly", "invariants"]
+    if w >= 3:
+        wf += ["checkConstraints"]
+    if w >= 4:
+        wf += ["generatedColumns", "changeDataFeed"]
+    if w >= 5:
+        wf += ["columnMapping"]
+    if w >= 6:
+        wf += ["identityColumns"]
+    if r >= 2:
+        rf += ["columnMapping"]
+    return rf, wf
+
+
 def last_txn_version(table: str, app_id: str):
     """The highest ``{"txn": {"appId", "version"}}`` committed for
     ``app_id``, or None — how an idempotent writer decides whether a
-    redelivered micro-batch was already committed."""
+    redelivered micro-batch was already committed. Only a
+    NOT-YET-EXISTING table maps to None; an unknowable state (gapped
+    log, txn-less foreign checkpoint) propagates _txn_state's loud
+    error — swallowing it would re-enable the double-commit the loud
+    contract exists to prevent."""
     try:
-        return _txn_state(table).get(app_id)
+        _scan_log(table)
     except FileNotFoundError:
-        return None
+        return None  # table does not exist yet — first commit
+    return _txn_state(table).get(app_id)
 
 
 def delete_rows_delta_local(table: str, deletes: dict) -> int:
@@ -714,14 +747,19 @@ def delete_rows_delta_local(table: str, deletes: dict) -> int:
     # silently resurrect every deleted row
     proto = _protocol_state(table)
     if "deletionVectors" not in (proto.get("readerFeatures") or []):
+        # crossing to reader 3 / writer 7: ONLY listed features are
+        # honored there, so features the old legacy version numbers
+        # implied (e.g. columnMapping at reader 2) must be folded in
+        # or external readers stop honoring them
+        legacy_r, legacy_w = _legacy_features(proto)
         actions.append({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": sorted(set(
                 (proto.get("readerFeatures") or [])
-                + ["deletionVectors"])),
+                + legacy_r + ["deletionVectors"])),
             "writerFeatures": sorted(set(
                 (proto.get("writerFeatures") or [])
-                + ["deletionVectors"]))}})
+                + legacy_w + ["deletionVectors"]))}})
     for p, positions in deletes.items():
         ap = os.path.abspath(p)
         if ap not in by_abs:
@@ -770,7 +808,8 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    commits, checkpoints = _scan_log(table)
+    scan = _scan_log(table)
+    commits, checkpoints = scan
     versions = sorted(set(commits) | set(checkpoints))
     if version is None:
         version = versions[-1]
@@ -800,7 +839,7 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
                          ("writerFeatures", pa.list_(pa.string()))])
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64()),
                        ("lastUpdated", pa.int64())])
-    cur_proto = _protocol_state(table, version)
+    cur_proto = _protocol_state(table, version, _scan=scan)
     rows = [{"protocol": {
                 "minReaderVersion": int(cur_proto.get("minReaderVersion",
                                                       1)),
@@ -821,8 +860,16 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
              "add": None, "txn": None}]
     # persist sink progress: without these rows, log cleanup would
     # erase an idempotent writer's high-water mark and a restarted
-    # stream could double-commit
-    for app_id, tv in sorted(_txn_state(table, version).items()):
+    # stream could double-commit. An UNKNOWABLE prior state (txn-less
+    # foreign checkpoint over cleaned commits) resets to empty — the
+    # marks are already lost; a fresh checkpoint at least
+    # re-establishes a consistent state going forward.
+    try:
+        txn_rows = sorted(_txn_state(table, version,
+                                    _scan=scan).items())
+    except ValueError:
+        txn_rows = []
+    for app_id, tv in txn_rows:
         rows.append({"protocol": None, "metaData": None, "add": None,
                      "txn": {"appId": app_id, "version": int(tv),
                              "lastUpdated": 0}})

@@ -872,3 +872,52 @@ def test_delta_column_mapping_name_mode(spark, qc, tmp_path):
         fh.write(_json.dumps({"metaData": meta2}) + "\n")
     with pytest.raises(NotImplementedError, match="field id"):
         qc.read_delta(tbl)
+
+
+def test_delta_dv_protocol_upgrade_folds_legacy_features(
+        spark, qc, tmp_path):
+    """The first DV commit's protocol upgrade to reader 3 / writer 7
+    folds features IMPLIED by the previous legacy versions (reader 2
+    -> columnMapping): at table-features protocol only listed
+    features are honored, so dropping one would make external
+    readers stop honoring it."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit, _protocol_state,
+                                                  delete_rows_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "pf")
+    write_delta_local(spark.range(0, 5).coalesce(1), tbl)
+    _commit(tbl, 1, [{"protocol": {"minReaderVersion": 2,
+                                   "minWriterVersion": 5}}])
+    f = qc.read_delta(tbl).df.inputFiles()[0].removeprefix("file:")
+    delete_rows_delta_local(tbl, {f: [0]})
+    proto = _protocol_state(tbl)
+    assert proto["minReaderVersion"] == 3
+    assert set(proto["readerFeatures"]) >= {"columnMapping",
+                                            "deletionVectors"}
+    assert set(proto["writerFeatures"]) >= {"columnMapping",
+                                            "deletionVectors",
+                                            "appendOnly"}
+
+
+def test_last_txn_version_gap_is_loud_missing_table_is_none(
+        spark, qc, tmp_path):
+    """A gapped log raises from last_txn_version (an under-reported
+    mark would double-commit); only a not-yet-existing table maps to
+    None."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from quokka_spark.sources.delta_local import (last_txn_version,
+                                                  write_delta_local)
+    assert last_txn_version(str(tmp_path / "nope"), "a") is None
+    tbl = str(tmp_path / "g")
+    write_delta_local(spark.range(2).coalesce(1), tbl)
+    write_delta_local(spark.range(2).coalesce(1), tbl, txn=("a", 7))
+    write_delta_local(spark.range(2).coalesce(1), tbl)
+    assert last_txn_version(tbl, "a") == 7
+    _os.remove(_os.path.join(tbl, "_delta_log", f"{1:020d}.json"))
+    with _pytest.raises(FileNotFoundError, match="txn state"):
+        last_txn_version(tbl, "a")
