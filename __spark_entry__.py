@@ -712,6 +712,25 @@ FROM events GROUP BY event_type
 """
 
 
+def op_explode(spark, sf_dir):
+    """DataStream.explode (unnest): one row per element of an array
+    column — p_type split on spaces, word frequencies. JVM generator,
+    no Python in the row path; outer mode pytest-covered."""
+    qc = _qc(spark)
+    p = _t(qc, sf_dir, "part") \
+        .with_columns({"word": "split(p_type, ' ')"}) \
+        .select(["word"]) \
+        .explode("word")
+    return p.df.groupBy("word").agg(F.count("*").alias("n"))
+
+
+_EXPLODE_SQL = """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+GROUP BY word
+"""
+
+
 def op_case_when_agg(spark, sf_dir):
     qc = _qc(spark)
     out = _t(qc, sf_dir, "orders").groupby(["o_orderstatus"]).agg_sql(
@@ -5539,6 +5558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_expression_dsl": op_expression_dsl,
         "op_json_extract": op_json_extract,
         "op_case_when_agg": op_case_when_agg,
+        "op_explode": op_explode,
         "src_lance": src_lance,
         "op_join_outer_condition": op_join_outer_condition,
         "dedup_lines": dedup_lines,
@@ -5641,6 +5661,7 @@ def oracle_sql() -> dict[str, str]:
         "op_expression_dsl": _EXPR_DSL_SQL,
         "op_json_extract": _JSON_SQL,
         "op_case_when_agg": _CASE_WHEN_SQL,
+        "op_explode": _EXPLODE_SQL,
         "op_join_nonequi": _JOIN_NONEQUI_SQL,
         "ts_tumbling": _TUMBLING_SQL, "ts_hopping": _HOPPING_SQL,
         "ts_sliding": _SLIDING_SQL, "ts_session": _SESSION_SQL,

@@ -310,6 +310,18 @@ class DataStream:
             exprs[col] = F.greatest(F.least(F.col(col), F.lit(hi)), F.lit(lo))
         return self._with(self.df.withColumns(exprs), sorted=self.sorted)
 
+    def explode(self, column: str, alias: str | None = None,
+                outer: bool = False) -> "DataStream":
+        """One output row per element of an array/map column
+        (parity-plus verb — the reference reaches this through SQL
+        list functions): ``outer`` keeps rows whose array is
+        null/empty with a null element, like SQL's LEFT JOIN UNNEST.
+        JVM-side generator — no Python in the row path, and the
+        pre-explode filter/pruning still push into the scan."""
+        gen = F.explode_outer if outer else F.explode
+        out = self.df.withColumn(alias or column, gen(F.col(column)))
+        return self._with(out, sorted=None)
+
     def transform(self, f: Callable, new_schema, required_columns: list | set,
                   foldable: bool = True, by: str | None = None) -> "DataStream":
         """Arbitrary batch→batch UDF replacing the schema (reference

@@ -1794,3 +1794,20 @@ def test_avro_null_logicals_nesting_and_commit(spark, qc, tmp_path):
     assert qc.read_avro(dst).df.count() == 20
     # and no staging residue next to the target
     assert not [p for p in os.listdir(tmp_path) if ".staging-" in p]
+
+
+def test_explode_verb_inner_and_outer(spark, qc):
+    """DataStream.explode: one row per array element; outer keeps
+    null/empty arrays with a null element (LEFT JOIN UNNEST)."""
+    ds = qc.from_pandas(__import__("pandas").DataFrame({
+        "k": [1, 2, 3],
+        "xs": [[10, 20], [], None]}))
+    inner = ds.explode("xs").df.collect()
+    assert sorted((r["k"], r["xs"]) for r in inner) == [(1, 10), (1, 20)]
+    outer = ds.explode("xs", outer=True).df.collect()
+    got = sorted(((r["k"], r["xs"]) for r in outer),
+                 key=lambda t: (t[0], t[1] is None, t[1] or 0))
+    assert got == [(1, 10), (1, 20), (2, None), (3, None)]
+    # alias keeps the array column alongside
+    al = ds.explode("xs", alias="x").df
+    assert set(al.columns) == {"k", "xs", "x"}
