@@ -194,6 +194,21 @@ def spark_read_avro(spark, path: str):
     names = [f.name for f in sstruct.fields]
     convs = _logical_converters(record_schema)
 
+    def _plain_int(t) -> bool:
+        # a nullable plain int/long field: from_records would coerce
+        # a None-bearing column to float64, silently rounding longs
+        # above 2^53 — build those as pandas nullable Int64 instead
+        if isinstance(t, list):
+            t = [x for x in t if x != "null"]
+            t = t[0] if len(t) == 1 else None
+        if isinstance(t, dict):
+            return t.get("type") in ("int", "long") \
+                and "logicalType" not in t
+        return t in ("int", "long")
+
+    int_cols = {f["name"] for f in record_schema["fields"]
+                if _plain_int(f["type"]) and f["name"] not in convs}
+
     binf = (spark.read.format("binaryFile")
             .load([f"file://{os.path.abspath(f)}" for f in files])
             .select("content"))
@@ -202,7 +217,13 @@ def spark_read_avro(spark, path: str):
         for pdf in it:
             for content in pdf["content"]:
                 _, records = read_container_bytes(bytes(content))
-                out = pd.DataFrame.from_records(records, columns=names)
+                cols = {}
+                for name in names:
+                    vals = [r.get(name) for r in records]
+                    cols[name] = (pd.array(vals, dtype="Int64")
+                                  if name in int_cols
+                                  else pd.Series(vals, dtype="object"))
+                out = pd.DataFrame(cols, columns=names)
                 for col, fn in convs.items():
                     out[col] = out[col].map(fn)
                 yield out
@@ -236,8 +257,15 @@ def _spark_to_avro_field(field) -> tuple:
               .toordinal() - _EPOCH.toordinal())
     elif isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         sch = {"type": "long", "logicalType": "timestamp-micros"}
-        fn = (lambda v: int(v.value // 1000) if hasattr(v, "value")
-              else int(v.timestamp() * 1e6))
+
+        def fn(v):
+            if hasattr(v, "value"):           # pd.Timestamp: exact ns
+                return int(v.value // 1000)
+            # plain datetime (arrow to_pydict): exact integer µs —
+            # timestamp()*1e6 goes through float64 seconds and can
+            # round the microsecond
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return (v - epoch) // datetime.timedelta(microseconds=1)
     elif isinstance(dt, T.ArrayType):
         inner = T.StructField("item", dt.elementType)
         isch, ifn = _spark_to_avro_field(inner)
@@ -276,6 +304,12 @@ def spark_write_avro(df, path: str,
     os.makedirs(staging)
 
     def write_part(it):
+        # mapInArrow, NOT mapInPandas: the pandas conversion coerces
+        # a None-bearing int/long column to float64, silently rounding
+        # longs above 2^53 before this code ever sees them. Arrow
+        # batches keep nullable int64 exact; to_pydict() yields plain
+        # Python ints and Nones.
+        import pyarrow as pa
         buf = []
         written = []
 
@@ -300,8 +334,9 @@ def spark_write_avro(df, path: str,
                 pass
             return fn(v)
 
-        for pdf in it:
-            cols = {name: [safe(v, fn) for v in pdf[name].tolist()]
+        for batch in it:
+            raw = batch.to_pydict()
+            cols = {name: [safe(v, fn) for v in raw[name]]
                     for name, _sch, fn in fields}
             for rec in (dict(zip(cols, vals))
                         for vals in zip(*cols.values())):
@@ -309,10 +344,11 @@ def spark_write_avro(df, path: str,
                 if len(buf) >= output_line_limit:
                     flush()
         flush()
-        yield pd.DataFrame({"filename": written})
+        yield pa.RecordBatch.from_pydict(
+            {"filename": pa.array(written, type=pa.string())})
 
     try:
-        out = df.mapInPandas(write_part, "filename string")
+        out = df.mapInArrow(write_part, "filename string")
         staged = [r["filename"] for r in out.collect()]
         if os.path.isdir(path):
             shutil.rmtree(path)

@@ -155,6 +155,14 @@ def _replay(table: str, version: int | None):
             f"checkpoint first)")
     root = table.removeprefix("file://")
     for v in tail:
+        # a commit is reconciled ATOMICALLY: buffer its file actions
+        # and apply removes before adds. The spec keys reconciliation
+        # by (path, dv uniqueId), so a DV-update commit may serialize
+        # the add (new DV) BEFORE the remove (old DV) of the same
+        # path — applied in file order that would pop the freshly
+        # added entry and silently drop every row of the file.
+        commit_adds: list = []
+        commit_removes: list = []
         with open(_version_path(table, v)) as fh:
             for line in fh:
                 line = line.strip()
@@ -168,10 +176,13 @@ def _replay(table: str, version: int | None):
                     # path's previous add (the DV-update commit shape);
                     # the scan applies the DV as a row-position
                     # anti-join (see _apply_deletion_vectors)
-                    a = action["add"]
-                    live[a["path"]] = a
+                    commit_adds.append(action["add"])
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    commit_removes.append(action["remove"])
+        for r in commit_removes:
+            live.pop(r["path"], None)
+        for a in commit_adds:
+            live[a["path"]] = a
     conf = meta.get("configuration") or {}
     if isinstance(conf, list):  # arrow map → list of pairs
         conf = dict(conf)
@@ -390,30 +401,72 @@ def _plain_path_col():
 
 
 def _apply_deletion_vectors(spark, df, files, adds, root):
-    """Drop each file's DV-marked row positions: decode every add's
-    deletionVector (sources/dv.py — inline Z85 or .bin file per the
-    protocol) driver-side and anti-join on (file path, row index),
-    the same distributed mechanism as Iceberg position deletes. The
-    driver cost is O(sum of DV cardinalities) — bounded by the rows
-    deleted-but-not-yet-compacted, which compaction (and this
-    module's compact_delta_local, which reads through this very
-    path) resets to zero."""
-    from pyspark.sql import functions as F
+    """Drop each file's DV-marked row positions via an anti-join on
+    (file path, row index) — the same distributed mechanism as
+    Iceberg position deletes (iceberg_local position-delete scans).
 
-    from .dv import dv_row_indexes
-    pairs = []
+    The driver handles only DESCRIPTORS (one small JSON dict per
+    DV'd file, KBs each); the Z85/roaring DECODE — O(deleted rows)
+    — runs executor-side in a mapInPandas kernel (sources/dv.py is
+    pure Python, shipped with the package), so a GDPR-scale delete
+    wave (10^9 positions) never materializes on the driver. The
+    anti-join is left un-hinted: AQE broadcasts the position side
+    when it is small and falls back to a shuffled join when the
+    deleted set is genuinely huge."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    rows = []
     for f, a in zip(files, adds):
         dv = a.get("deletionVector")
         if not dv:
             continue
-        fp = os.path.abspath(f)
-        pairs.extend((fp, int(p)) for p in dv_row_indexes(root, dv))
-    if not pairs:
+        # descriptor-level validation stays on the driver (O(#files)
+        # metadata, no position decode) so an unsupported storage
+        # type gates LOUDLY at plan time, not mid-job in an executor
+        if dv.get("storageType") not in ("i", "u", "p"):
+            raise NotImplementedError(
+                f"deletion vector storageType "
+                f"{dv.get('storageType')!r}")
+        if not dv.get("pathOrInlineDv"):
+            raise ValueError(
+                f"{f}: deletionVector descriptor has no pathOrInlineDv"
+                " — the deleted positions are unknowable (refusing to"
+                " resurrect deleted rows)")
+        if dv["storageType"] in ("u", "p") and dv.get("offset") is None:
+            raise ValueError(
+                f"{f}: file-storage deletionVector descriptor has no"
+                " offset")
+        rows.append((os.path.abspath(f), _json.dumps(dv)))
+    if not rows:
         return df
-    dd = spark.createDataFrame(pairs, "__qs_dfp__ string, __qs_dpos__ long")
+    dd = spark.createDataFrame(
+        rows, "__qs_dfp__ string, __qs_dvj__ string")
+    # one task per descriptor (bounded by parallelism): each file's
+    # DV decodes independently, so a wide delete wave decodes across
+    # the cluster instead of serially in one task
+    par = min(len(rows), spark.sparkContext.defaultParallelism)
+    if par > 1:
+        dd = dd.repartition(par)
+    abs_root = os.path.abspath(root)
+
+    def _decode(batches):
+        import pandas as pd
+
+        from quokka_spark.sources.dv import dv_row_indexes
+        for pdf in batches:
+            for fp, dj in zip(pdf["__qs_dfp__"], pdf["__qs_dvj__"]):
+                idx = dv_row_indexes(abs_root, _json.loads(dj))
+                yield pd.DataFrame(
+                    {"__qs_dfp__": pd.Series([fp] * len(idx),
+                                             dtype="object"),
+                     "__qs_dpos__": pd.array(idx, dtype="int64")})
+
+    positions = dd.mapInPandas(
+        _decode, "__qs_dfp__ string, __qs_dpos__ long")
     return (df.withColumn("__qs_fp__", _plain_path_col())
             .withColumn("__qs_pos__", F.col("_metadata.row_index"))
-            .join(F.broadcast(dd),
+            .join(positions,
                   (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                   & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                   "left_anti")
@@ -551,7 +604,8 @@ def _commit(table: str, version: int, actions: list) -> None:
 
 def _add_action(root: str, path: str,
                 partition_values: dict | None = None,
-                stats: str | None = None) -> dict:
+                stats: str | None = None,
+                data_change: bool = True) -> dict:
     inside = os.path.commonpath(
         [os.path.abspath(root), os.path.abspath(path)]) \
         == os.path.abspath(root)
@@ -560,7 +614,7 @@ def _add_action(root: str, path: str,
          "partitionValues": partition_values or {},
          "size": os.path.getsize(path),
          "modificationTime": int(time.time() * 1000),
-         "dataChange": True}
+         "dataChange": data_change}
     if stats:
         a["stats"] = stats
     return {"add": a}
@@ -1121,10 +1175,13 @@ def compact_delta_local(spark, table: str,
         actions.append({"remove": {"path": k, "deletionTimestamp": ts,
                                    "dataChange": False}})
     for p in new_files:
+        # a compaction rearranges rows without changing the data: per
+        # protocol BOTH sides mark dataChange=false, else a streaming
+        # consumer re-reads the compacted rows as fresh appends
         actions.append(_add_action(
             root, p,
             _hive_partition_values(data_dir, p) if pcols else None,
-            stats=_footer_stats(p)))
+            stats=_footer_stats(p), data_change=False))
     _commit(table, version, actions)
     return version
 

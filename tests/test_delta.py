@@ -727,6 +727,164 @@ def test_delta_dv_upsert_does_not_resurrect(spark, qc, tmp_path):
     assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9]       # 2 stays deleted
 
 
+def test_delta_foreign_dv_update_commit_any_action_order(
+        spark, qc, tmp_path):
+    """A spec-compliant FOREIGN writer may serialize a DV-update
+    commit with the add (new DV) BEFORE the remove (old DV) of the
+    same path — reconciliation is per-commit, not per-line (round-7
+    ADVICE, medium). Applied in file order that popped the fresh add
+    and silently dropped the whole file."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit, _replay,
+                                                  write_delta_local)
+    from quokka_spark.sources.dv import inline_dv_descriptor
+    tbl = str(tmp_path / "ooo")
+    write_delta_local(spark.range(0, 10).coalesce(1), tbl)
+    _, _, keys, adds = _replay(tbl, None)
+    assert len(keys) == 1
+    new_add = dict(adds[0])
+    new_add["deletionVector"] = inline_dv_descriptor([4])
+    # ADD FIRST, REMOVE SECOND — the foreign serialization order
+    _commit(tbl, 1, [
+        {"add": new_add},
+        {"remove": {"path": keys[0], "deletionTimestamp": 0,
+                     "dataChange": True}}])
+    got = sorted(r["id"] for r in qc.read_delta(tbl).df.collect())
+    assert got == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+
+
+def test_delta_compaction_commits_data_change_false(spark, qc, tmp_path):
+    """OPTIMIZE rearranges rows without changing data: BOTH the
+    removes and the adds of the compaction commit must carry
+    dataChange=false, else a spec-compliant incremental consumer
+    re-reads the compacted rows as fresh appends (round-7 ADVICE)."""
+    import json as _json
+    import os as _os
+
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "dcf")
+    write_delta_local(spark.range(0, 100).repartition(4), tbl)
+    v = compact_delta_local(spark, tbl, target_file_rows=1000)
+    path = _os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+    acts = [_json.loads(ln) for ln in open(path) if ln.strip()]
+    file_acts = [a for a in acts if "add" in a or "remove" in a]
+    assert file_acts, "compaction commit carries no file actions?"
+    for a in file_acts:
+        body = a.get("add") or a.get("remove")
+        assert body["dataChange"] is False, a
+    assert qc.read_delta(tbl).df.count() == 100
+
+
+def test_delta_dv_decode_never_runs_on_driver(spark, qc, tmp_path,
+                                              monkeypatch):
+    """The SCAN must ship DV *descriptors* and decode positions in
+    executor tasks (round-7 verdict: driver-side decode is O(deleted
+    rows) driver memory — the last 100x scale-killer). Pin: poison
+    dv_row_indexes in the DRIVER process; the read still succeeds
+    because the mapInPandas workers import their own unpatched
+    module — if the driver ever decodes again, this test explodes."""
+    from quokka_spark.sources import dv as dv_mod
+    from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "dvx")
+    write_delta_local(spark.range(0, 20).coalesce(1), tbl)
+    f = qc.read_delta(tbl).df.inputFiles()[0].removeprefix("file:")
+    delete_rows_delta_local(tbl, {f: [0, 5, 19]})
+
+    def boom(*a, **k):
+        raise AssertionError("DV positions decoded on the DRIVER")
+
+    monkeypatch.setattr(dv_mod, "dv_row_indexes", boom)
+    got = sorted(r["id"] for r in qc.read_delta(tbl).df.collect())
+    assert got == sorted(set(range(20)) - {0, 5, 19})
+
+
+def test_delta_dv_many_deleted_rows(spark, qc, tmp_path):
+    """A wide delete wave (120k positions across 4 files) reads back
+    exactly — the distributed-decode path at a cardinality where a
+    broadcast of every position would already be silly."""
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "dvbig")
+    write_delta_local(spark.range(0, 240_000).repartition(4), tbl)
+    deletes = {}
+    for uri in qc.read_delta(tbl).df.inputFiles():
+        f = uri.removeprefix("file:")
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        deletes[f] = [i for i, v in enumerate(ids) if v % 2 == 0]
+    delete_rows_delta_local(tbl, deletes)
+    out = qc.read_delta(tbl).df
+    assert out.count() == 120_000
+    assert out.filter("id % 2 = 0").count() == 0
+    agg = out.agg(F.sum("id").alias("s")).collect()[0]["s"]
+    assert agg == sum(v for v in range(240_000) if v % 2)
+
+
+def test_delta_dv_with_column_mapping(spark, qc, tmp_path):
+    """DV + columnMapping.mode=name COMPOSED (round-7 verdict task):
+    the anti-join keys on the physical scan's file/row-index while
+    stats skipping translates logical->physical keys — both features
+    on one table must still read exactly."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import _commit
+    from quokka_spark.sources.dv import inline_dv_descriptor
+    f1, f2 = str(tmp_path / "f1.parquet"), str(tmp_path / "f2.parquet")
+    pd.DataFrame({"col-a1": [1, 2, 3],
+                  "col-b2": [1.0, 2.0, 3.0]}).to_parquet(f1)
+    pd.DataFrame({"col-a1": [100, 200],
+                  "col-b2": [10.0, 20.0]}).to_parquet(f2)
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b2",
+                      "delta.columnMapping.id": 2}}]}
+    tbl = str(tmp_path / "cmdv")
+    import os as _os
+    _os.makedirs(tbl)
+
+    def add(p, mn, mx, n, dv=None):
+        a = {"path": p, "partitionValues": {}, "size": 1,
+             "modificationTime": 0, "dataChange": True,
+             "stats": _json.dumps({"numRecords": n,
+                                   "minValues": {"col-a1": mn},
+                                   "maxValues": {"col-a1": mx}})}
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping",
+                                         "deletionVectors"],
+                      "writerFeatures": ["columnMapping",
+                                         "deletionVectors"]}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "2"},
+                      "createdTime": 0}},
+        add(f1, 1, 3, 3, dv=inline_dv_descriptor([0])),   # drops id=1
+        add(f2, 100, 200, 2, dv=inline_dv_descriptor([1]))])  # 200
+    got = qc.read_delta(tbl).df
+    assert got.columns == ["id", "v"]
+    assert {r["id"]: r["v"] for r in got.collect()} == \
+        {2: 2.0, 3: 3.0, 100: 10.0}
+    # stats skipping still prunes by the TRANSLATED physical key,
+    # and the surviving file still applies its DV
+    pruned = qc.read_delta(tbl, scan_filter="id >= 100").df
+    assert sorted(r["id"] for r in pruned.collect()) == [100]
+    assert len(pruned.inputFiles()) == 1
+
+
 # ----------------------------------------------------------------------
 # streaming ingestion: exactly-once Delta sink (round 7)
 # ----------------------------------------------------------------------

@@ -1695,6 +1695,21 @@ def test_avro_roundtrip_types_and_nulls(spark, qc, tmp_path):
             "select map('a', 1) as m")).write_avro(str(tmp_path / "bad"))
 
 
+def test_avro_nullable_long_keeps_precision(spark, qc, tmp_path):
+    """A nullable long column holding values above 2^53 must survive
+    the read exactly — from_records used to coerce a None-bearing int
+    column to float64, silently rounding big longs (round-7 ADVICE).
+    Built column-wise as pandas Int64 now."""
+    from quokka_spark.datastream import DataStream
+    big = (1 << 53) + 1          # not representable in float64
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, big + 4)], "id long, v long")
+    dst = str(tmp_path / "bigavro")
+    DataStream(qc, df.coalesce(1)).write_avro(dst)
+    back = {r["id"]: r["v"] for r in qc.read_avro(dst).df.collect()}
+    assert back == {1: big, 2: None, 3: big + 4}
+
+
 def test_avro_null_logicals_nesting_and_commit(spark, qc, tmp_path):
     """Review-pass regressions for the avro source: null dates and
     timestamps survive the from_records NaN coercion; array<date>

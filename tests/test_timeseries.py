@@ -1860,3 +1860,43 @@ def test_streaming_join_outer_requires_bounds_and_emits(spark, qc,
     ks = list(got["k"])
     assert ks[:2] == [1, 2] and set(ks) <= {1, 2, 8, 9}
     assert got["v_2"].isna().tolist() == [False] + [True] * (len(ks) - 1)
+
+
+def test_streaming_join_right_outer_key_not_null(spark, qc, tmp_path):
+    """right_outer: an unmatched RIGHT row carries its key only in
+    the renamed right key column — regression (round-7 ADVICE): the
+    rename-drop used to surface it with a NULL key; the key must
+    coalesce into the surviving column."""
+    from quokka_spark.streaming.stream import streaming_join
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    sch = "k long, ts string, v double"
+    mk = lambda rows: (spark.createDataFrame(rows, sch)
+                       .withColumn("ts", F.to_timestamp("ts")))
+    # mirror of the left-outer test with the sides swapped
+    mk([(1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 10:00:00", 2.0)]).coalesce(1).write.parquet(rdir)
+    mk([(8, "2024-01-02 10:00:00", 8.0)]).coalesce(1) \
+        .write.mode("append").parquet(rdir)
+    mk([(9, "2024-01-03 10:00:00", 9.0)]).coalesce(1) \
+        .write.mode("append").parquet(rdir)
+    mk([(1, "2024-01-01 10:01:00", 10.0),
+        (80, "2024-01-02 10:00:00", 80.0),
+        (90, "2024-01-03 10:00:00", 90.0)]).coalesce(1) \
+        .write.parquet(ldir)
+    rs = spark.readStream.schema(mk([]).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(rdir)
+    ls = spark.readStream.schema(mk([]).schema).parquet(ldir)
+    out = streaming_join(ls, rs, "k", how="right", left_time="ts",
+                         right_time="ts", watermark="1 minute",
+                         max_delay="5 minutes")
+    q = (out.writeStream.format("memory").queryName("sj_router")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select k, v, v_2 from sj_router order by k").toPandas()
+    assert not got["k"].isna().any()          # the fix under test
+    ks = list(got["k"])
+    assert ks[:2] == [1, 2] and set(ks) <= {1, 2, 8, 9}
+    # unmatched right rows: left value null, right value present
+    assert got["v"].isna().tolist() == [False] + [True] * (len(ks) - 1)
+    assert not got["v_2"].isna().any()
