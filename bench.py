@@ -63,12 +63,22 @@ def run_suite(spark, registry, names, sf_dir,
     GC/JIT noise that otherwise dominates at test scale). Back-to-back
     repetition matters: interleaving all queries per pass re-pollutes
     HotSpot call-site profiles between a query's own passes — measured
-    +70% on the as-of micro-bench vs consecutive runs."""
+    +70% on the as-of micro-bench vs consecutive runs.
+
+    Sub-second queries get TWO EXTRA measured passes (5 total): at
+    0.2-0.5s a single JIT recompile or GC pause is a 1.2-1.4x phantom
+    swing that survives even min-of-3 (seven false regressions
+    adjudicated in round 7); min-of-5 on the cheap queries costs ~2s
+    of suite wall-clock and kills the noise where it actually lives."""
     timings: dict = {}
     errors: dict = {}
     for name in names:
         fn = registry[name]
-        for measured in passes:
+        schedule = list(passes)
+        i = 0
+        while i < len(schedule):
+            measured = schedule[i]
+            i += 1
             t0 = time.perf_counter()
             # per-query isolation: one broken query must never abort the
             # suite (round-3 lesson: a single analysis error in warmup
@@ -83,6 +93,9 @@ def run_suite(spark, registry, names, sf_dir,
             if measured:
                 t = round(time.perf_counter() - t0, 3)
                 timings[name] = min(timings.get(name, t), t)
+                if (i == len(schedule) and len(schedule) == len(passes)
+                        and timings[name] < 1.5):
+                    schedule += [True, True]
             # queries that persist intermediates (minhash shingles, q15
             # revenue) would otherwise accumulate cached blocks across
             # passes and starve execution memory for later queries
@@ -156,6 +169,10 @@ def main():
         # host-speed yardstick: divide per-query times by the ratio of
         # two rounds' calibration_sec before comparing across rounds
         "calibration_sec": calibration_sec,
+        # methodology (for cross-round adjudication): each query runs
+        # 1 warmup + 3 measured passes back-to-back, +2 extra measured
+        # passes when min < 1.5s; reported value is the per-query MIN
+        "passes": "warmup + min-of-3 (min-of-5 when <1.5s)",
     }
     if errors:
         out["errors"] = errors
