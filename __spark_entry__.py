@@ -1839,6 +1839,63 @@ FROM doubled GROUP BY l_returnflag
 """
 
 
+def src_hudi_mor(spark, sf_dir):
+    """Hudi MERGE_ON_READ end-to-end (sources/hudi_local.py — file
+    slices, deltacommits, Avro log payloads, the single-shuffle
+    record-key merge): lineitem bulk-loads into a MoR table, then a
+    deltacommit UPDATES every row with l_orderkey % 10 = 0 (quantity
+    + 100, full-row Avro log records written from the executors) and
+    a second deltacommit DELETES every row with l_orderkey % 7 = 0
+    (tombstone log records) — the merged scan must reproduce both
+    predicates exactly against plain lineitem."""
+    import os
+    import tempfile
+    from quokka_spark.sources.hudi_local import (upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_hudimor_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        # the synthetic lineitem carries full-row duplicates at some
+        # SFs, so no natural column set satisfies Hudi's unique-key
+        # contract — stamp a surrogate record id at bulk load (what a
+        # real ingest does) and key the upserts/deletes off the
+        # TABLE's own rows
+        src = spark.read.parquet(li) \
+            .withColumn("_qs_rid", F.monotonically_increasing_id())
+        write_hudi_mor_local(src.repartition(4), tbl,
+                             recordkey="_qs_rid")
+        live = qc.read_hudi(tbl).df
+        upd = live.where("l_orderkey % 10 = 0") \
+            .withColumn("l_quantity", F.col("l_quantity") + 100)
+        upsert_hudi_mor_local(spark, tbl, upd)
+        dels = qc.read_hudi(tbl).df.where("l_orderkey % 7 = 0") \
+            .select("_qs_rid")
+        upsert_hudi_mor_local(spark, tbl, dels, delete=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_hudi(tbl)
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_HUDI_MOR_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN l_orderkey % 10 = 0
+                      THEN l_quantity + 100 ELSE l_quantity END),
+             2) AS sum_qty
+FROM lineitem WHERE l_orderkey % 7 <> 0
+GROUP BY l_returnflag
+"""
+
+
 def src_orc(spark, sf_dir):
     """read_orc/write_orc roundtrip (parity-plus source — ORC is
     Spark-native, zero extra dependencies): lineitem is written once
@@ -5581,6 +5638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_orc": src_orc,
         "src_avro": src_avro,
         "src_hudi": src_hudi,
+        "src_hudi_mor": src_hudi_mor,
         "src_delta_cm": src_delta_cm,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
@@ -5767,6 +5825,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": _CONTAINMENT_SQL,
         "op_percentile_approx_group": _percentile_approx_oracle(),
         "src_hudi": _SRC_HUDI_SQL,
+        "src_hudi_mor": _SRC_HUDI_MOR_SQL,
         "src_delta_dv": _SRC_DELTA_DV_SQL,
         "src_delta_cm": _SRC_DELTA_CM_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,

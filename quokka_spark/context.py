@@ -192,14 +192,16 @@ class QuokkaContext:
             scan_filter=scan_filter))
 
     def read_hudi(self, table: str, as_of: str | None = None) -> DataStream:
-        """Apache Hudi COPY-ON-WRITE table, optional time travel by
-        instant timestamp (extension source — completes the lakehouse
-        trio next to read_delta/read_iceberg). Pure-Python timeline
-        replay (sources/hudi_local.py): the ``.hoodie/*.commit`` JSONs
-        resolve the newest base file per file group driver-side, then
-        ONE native parquet scan — pushdown and pruning as on raw
-        parquet. MERGE_ON_READ tables raise NotImplementedError (base
-        files alone would serve stale rows)."""
+        """Apache Hudi table (COPY_ON_WRITE and MERGE_ON_READ),
+        optional time travel by instant timestamp (extension source —
+        completes the lakehouse trio next to read_delta/read_iceberg).
+        Pure-Python timeline replay (sources/hudi_local.py): the
+        ``.hoodie/*`` instants resolve the live file slice per file
+        group driver-side. CoW: ONE native parquet scan — pushdown
+        and pruning as on raw parquet. MoR: base scan + distributed
+        Avro log scan + a single-shuffle record-key merge
+        (deltacommit updates/deletes served exactly; foreign
+        HoodieLogFormat-framed logs raise loudly)."""
         from .sources.hudi_local import read_hudi_local
         return DataStream(self, read_hudi_local(self.spark, table, as_of))
 

@@ -179,15 +179,20 @@ def _avro_files(path: str) -> list:
     return files
 
 
-def spark_read_avro(spark, path: str):
-    """DataFrame over the container files at ``path`` (file or dir).
-    Schema comes from the FIRST file's writer schema (the avro_lite
-    contract); every file must carry a compatible record layout."""
+def spark_read_avro(spark, path):
+    """DataFrame over the container files at ``path`` (file, dir, or
+    an explicit list of file paths — the Hudi MoR log scan passes the
+    timeline's log-file list directly). Schema comes from the FIRST
+    file's writer schema (the avro_lite contract); every file must
+    carry a compatible record layout."""
     import json as _json
 
     import pandas as pd
 
-    files = _avro_files(path)
+    files = (list(path) if isinstance(path, (list, tuple))
+             else _avro_files(path))
+    if not files:
+        raise FileNotFoundError("spark_read_avro: empty file list")
     meta = read_container_meta(files[0])  # header-only: O(KB), not O(file)
     record_schema = _json.loads(meta["avro.schema"])
     sstruct = avro_spark_schema(record_schema)
@@ -209,14 +214,22 @@ def spark_read_avro(spark, path: str):
     int_cols = {f["name"] for f in record_schema["fields"]
                 if _plain_int(f["type"]) and f["name"] not in convs}
 
-    binf = (spark.read.format("binaryFile")
-            .load([f"file://{os.path.abspath(f)}" for f in files])
-            .select("content"))
+    # one row per file, decoded in the executors (shared-filesystem
+    # contract, same as every local-lakehouse scan). NOT binaryFile:
+    # Spark's file index silently drops hidden files, and Hudi MoR log
+    # files are dot-named per spec — "all paths were ignored" would
+    # serve a stale merge.
+    paths = spark.createDataFrame(
+        [(os.path.abspath(f),) for f in files], "__qs_path string")
+    par = min(len(files), spark.sparkContext.defaultParallelism)
+    if par > 1:
+        paths = paths.repartition(par)
 
     def decode(it):
         for pdf in it:
-            for content in pdf["content"]:
-                _, records = read_container_bytes(bytes(content))
+            for p in pdf["__qs_path"]:
+                with open(p, "rb") as fh:
+                    _, records = read_container_bytes(fh.read())
                 cols = {}
                 for name in names:
                     vals = [r.get(name) for r in records]
@@ -228,7 +241,7 @@ def spark_read_avro(spark, path: str):
                     out[col] = out[col].map(fn)
                 yield out
 
-    return binf.mapInPandas(decode, schema=sstruct)
+    return paths.mapInPandas(decode, schema=sstruct)
 
 
 # ---------------------------------------------------------------- write

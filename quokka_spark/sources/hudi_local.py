@@ -1,31 +1,50 @@
-"""Pure-Python Apache Hudi COPY-ON-WRITE table reader (metadata layer
-only) — the third lakehouse format next to delta_local and
-iceberg_local, same design: resolve the table's live base files from
-the ``.hoodie/`` timeline driver-side (KB-scale JSON), then hand the
-file list to Spark's native parquet scan with full predicate pushdown
-and column pruning. No hudi-spark bundle jar needed.
+"""Pure-Python Apache Hudi table reader (metadata layer only) — the
+third lakehouse format next to delta_local and iceberg_local, same
+design: resolve the table's live file slices from the ``.hoodie/``
+timeline driver-side (KB-scale JSON), then hand the file lists to
+distributed Spark scans with full predicate pushdown and column
+pruning. No hudi-spark bundle jar needed.
 
 Hudi model (public spec, hudi.apache.org/docs — timeline + file
 layout): a table is a set of FILE GROUPS (stable ``fileId``), each a
 sequence of FILE SLICES written by successive commits; Copy-on-Write
 rewrites a group's base parquet on every update, so the live table is
 exactly "the newest base file per surviving group as of an instant".
-The timeline under ``.hoodie/`` records one ``<instant>.commit`` JSON
-per completed write whose ``partitionToWriteStats`` lists the
-(partition, fileId, path) of every base file written;
-``<instant>.replacecommit`` additionally lists
-``partitionToReplaceFileIds`` — groups whose previous slices are
-dead (clustering / insert_overwrite). Reading therefore never lists
-data directories: the timeline IS the source of truth, exactly like
-the Delta log replay in delta_local.
+MERGE_ON_READ instead appends LOG FILES to a slice (cheap writes) and
+merges them onto the base at read time; a later compaction ``commit``
+or clustering ``replacecommit`` starts a fresh slice. The timeline
+under ``.hoodie/`` records one ``<instant>.commit`` JSON per completed
+write whose ``partitionToWriteStats`` lists the (partition, fileId,
+path) of every file written; ``<instant>.replacecommit`` additionally
+lists ``partitionToReplaceFileIds`` — groups whose previous slices
+are dead (clustering / insert_overwrite); ``<instant>.deltacommit``
+is the MoR write action (new base files for inserts, log files for
+updates/deletes). Reading therefore never lists data directories:
+the timeline IS the source of truth, exactly like the Delta log
+replay in delta_local.
+
+MoR read = one distributed union-merge, Spark-first: base parquet
+rows (version 0) union the log records (version = commit instant,
+carried in each record's ``_hoodie_commit_time`` per the payload
+convention), then ``row_number() OVER (PARTITION BY record key ORDER
+BY version DESC) = 1`` keeps the newest and ``_hoodie_is_deleted``
+markers drop tombstoned keys — a single shuffle on the record key,
+no driver materialization, the exact shape of the Delta DV / Iceberg
+position-delete anti-joins. Record keys come from
+``hoodie.table.recordkey.fields`` and must be unique per the Hudi
+contract.
 
 Scope (documented, test-enforced):
-- COPY_ON_WRITE tables; MERGE_ON_READ (log files that must be merged
-  into the base) raises NotImplementedError — silently scanning base
-  files would serve stale rows.
-- completed instants only (``*.commit`` / ``*.replacecommit``);
-  inflight/requested markers are ignored per the timeline contract.
-- time travel: ``as_of`` keeps only instants ≤ the given timestamp.
+- log-file PAYLOADS are Avro object container files (the spec's data
+  blocks are Avro-serialized too); the outer HoodieLogFormat block
+  framing (#HUDI# magic, rollback blocks, compacted blocks) is NOT
+  parsed — a log file carrying that magic raises loudly. Fixtures
+  from this module's MoR writer roundtrip end-to-end.
+- completed instants only (``*.commit`` / ``*.replacecommit`` /
+  ``*.deltacommit``); inflight/requested markers are ignored per the
+  timeline contract.
+- time travel: ``as_of`` keeps only instants ≤ the given timestamp
+  (through deltacommits too: an earlier ``as_of`` sees fewer logs).
 - the ``_hoodie_*`` meta columns travel with the data files untouched
   (drop them with a select, as on a real Hudi scan).
 """
@@ -49,7 +68,7 @@ def _timeline_dir(table: str) -> str:
     return os.path.join(_local(table), ".hoodie")
 
 
-def _table_type(table: str) -> str:
+def _table_props(table: str) -> dict:
     props = os.path.join(_timeline_dir(table), "hoodie.properties")
     if not os.path.exists(props):
         raise FileNotFoundError(
@@ -61,7 +80,15 @@ def _table_type(table: str) -> str:
             if line and not line.startswith("#") and "=" in line:
                 k, v = line.split("=", 1)
                 out[k.strip()] = v.strip()
-    return out.get("hoodie.table.type", "COPY_ON_WRITE")
+    return out
+
+
+def _table_type(table: str) -> str:
+    return _table_props(table).get("hoodie.table.type", "COPY_ON_WRITE")
+
+
+def _is_log(path: str) -> bool:
+    return ".log." in os.path.basename(path)
 
 
 def completed_instants(table: str) -> list:
@@ -84,27 +111,26 @@ def completed_instants(table: str) -> list:
     return sorted(out, key=lambda t: int(t[0]))
 
 
-def hudi_live_files(table: str, as_of: str | None = None) -> list[str]:
-    """Live base-file paths of a CoW table at ``as_of`` (an instant
-    timestamp string; None = latest): replay the completed write
-    instants in timeline order, keeping the NEWEST base file per
-    (partition, fileId) group and dropping groups a replacecommit
-    replaced."""
-    if _table_type(table) != "COPY_ON_WRITE":
-        raise NotImplementedError(
-            "MERGE_ON_READ tables need log-file merging (the hudi "
-            "runtime bundle's job) — scanning base files alone would "
-            "serve stale rows")
+def _file_slices(table: str, as_of: str | None = None) -> dict:
+    """(partition, fileId) → {"base": path|None, "base_instant": ts,
+    "logs": [path, ...]} — the live file slice per group at ``as_of``
+    (None = latest): replay the completed write instants in timeline
+    order; a parquet write starts a FRESH slice (superseding the
+    group's previous base AND its logs — the compaction contract), a
+    log write appends to the current slice, a replacecommit kills the
+    group."""
+    ttype = _table_type(table)
     root = _local(table)
-    latest: dict = {}          # (partition, fileId) -> path
+    slices: dict = {}
     seen_any = False
     for ts, action, path in completed_instants(table):
         if as_of is not None and int(ts) > int(as_of):
             continue
-        if action == "deltacommit":
+        if action == "deltacommit" and ttype != "MERGE_ON_READ":
             raise NotImplementedError(
-                "deltacommit in the timeline: MERGE_ON_READ write — "
-                "this reader is CoW-only")
+                "deltacommit in a COPY_ON_WRITE timeline — a CoW "
+                "table has no log files to merge; the table's "
+                "hoodie.properties and its timeline disagree")
         seen_any = True
         with open(path) as fh:
             commit = json.load(fh)
@@ -112,47 +138,148 @@ def hudi_live_files(table: str, as_of: str | None = None) -> list[str]:
             for part, fids in (commit.get("partitionToReplaceFileIds")
                                or {}).items():
                 for fid in fids:
-                    latest.pop((part, fid), None)
+                    slices.pop((part, fid), None)
         for part, stats in (commit.get("partitionToWriteStats")
                             or {}).items():
             for st in stats:
                 p = st["path"]
-                latest[(part, st["fileId"])] = (
-                    p if os.path.isabs(p) else os.path.join(root, p))
+                p = p if os.path.isabs(p) else os.path.join(root, p)
+                key = (part, st["fileId"])
+                if _is_log(p):
+                    slices.setdefault(
+                        key, {"base": None, "base_instant": ts,
+                              "logs": []})["logs"].append(p)
+                else:
+                    slices[key] = {"base": p, "base_instant": ts,
+                                   "logs": []}
     if not seen_any:
         raise ValueError(
             f"{table}: no completed commit at or before {as_of!r}"
             if as_of is not None else
             f"{table}: timeline has no completed commits (empty table)")
-    return sorted(latest.values())
+    return slices
+
+
+def hudi_live_files(table: str, as_of: str | None = None) -> list[str]:
+    """Every live file path (base parquet AND log files) at ``as_of``
+    — the reference set the cleaner must not delete."""
+    out = []
+    for s in _file_slices(table, as_of).values():
+        if s["base"]:
+            out.append(s["base"])
+        out.extend(s["logs"])
+    return sorted(out)
+
+
+def _recordkey_fields(table: str) -> list[str]:
+    rk = _table_props(table).get("hoodie.table.recordkey.fields", "")
+    keys = [k.strip() for k in rk.split(",") if k.strip()]
+    if not keys:
+        raise ValueError(
+            f"{table}: MERGE_ON_READ merge needs "
+            "hoodie.table.recordkey.fields in hoodie.properties — "
+            "without the record key, log records cannot be matched "
+            "to base rows")
+    return keys
+
+
+def _merge_logs(spark, base_df, log_files: list[str], keys: list[str]):
+    """Merge MoR log records onto the base rows, Spark-first: union
+    the base (version 0) with the log records (version = the
+    ``_hoodie_commit_time`` each record carries), keep the newest row
+    per record key via one window, drop ``_hoodie_is_deleted``
+    tombstones. ONE shuffle on the record key; the log scan is its
+    own distributed read (avro_source.spark_read_avro). Filters on
+    the key columns still prune below the window (Catalyst pushes
+    predicates through matching PARTITION BY)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .avro_source import spark_read_avro
+    for p in log_files:
+        with open(p, "rb") as fh:
+            if fh.read(6) == b"#HUDI#":
+                raise NotImplementedError(
+                    f"{p}: HoodieLogFormat block framing (a real "
+                    "hudi-writer log) — this reader decodes Avro "
+                    "container log payloads only")
+    log_df = spark_read_avro(spark, log_files)
+    data_cols = base_df.columns
+    missing = [c for c in data_cols + ["_hoodie_commit_time"]
+               if c not in log_df.columns]
+    if missing:
+        raise ValueError(
+            f"log files are missing columns {missing} — every log "
+            "record must carry the full row payload plus "
+            "_hoodie_commit_time")
+    base_types = {f.name: f.dataType for f in base_df.schema.fields}
+    lg = log_df.select(
+        *[F.col(c).cast(base_types[c]).alias(c) for c in data_cols],
+        F.col("_hoodie_commit_time").cast("long").alias("__qs_ord"),
+        (F.coalesce(F.col("_hoodie_is_deleted"), F.lit(False))
+         if "_hoodie_is_deleted" in log_df.columns
+         else F.lit(False)).alias("__qs_del"))
+    bs = base_df.select(
+        *data_cols,
+        F.lit(0).cast("long").alias("__qs_ord"),
+        F.lit(False).alias("__qs_del"))
+    w = Window.partitionBy(*[F.col(k) for k in keys]) \
+        .orderBy(F.desc("__qs_ord"))
+    return (bs.unionByName(lg)
+            .withColumn("__qs_rn", F.row_number().over(w))
+            .where((F.col("__qs_rn") == 1) & ~F.col("__qs_del"))
+            .drop("__qs_rn", "__qs_ord", "__qs_del"))
 
 
 def read_hudi_local(spark, table: str, as_of: str | None = None):
-    """DataFrame over the CoW table's live base files at ``as_of``
-    (None = latest). One native parquet scan — pushdown and column
-    pruning behave exactly as on raw parquet; at 100 TB the timeline
-    replay stays a KB-scale driver step while the scan is fully
-    distributed."""
-    files = hudi_live_files(table, as_of)
-    if not files:
+    """DataFrame over the table's live data at ``as_of`` (None =
+    latest). CoW (or an all-base MoR snapshot): one native parquet
+    scan — pushdown and column pruning behave exactly as on raw
+    parquet. MoR with live logs: base scan + distributed log scan +
+    the single-shuffle record-key merge (_merge_logs). Either way the
+    timeline replay stays a KB-scale driver step; at 100 TB every
+    row-bearing path is distributed."""
+    slices = _file_slices(table, as_of)
+    bases = sorted(s["base"] for s in slices.values() if s["base"])
+    logs = sorted(p for s in slices.values() for p in s["logs"])
+    log_only = [k for k, s in slices.items()
+                if s["logs"] and not s["base"]]
+    if log_only:
+        raise NotImplementedError(
+            f"file groups {log_only[:3]} have log files but no base "
+            "file (log-only first slice) — this module's MoR writer "
+            "routes inserts to base parquet, so a log-only group "
+            "means a foreign layout this reader has not been "
+            "validated on")
+    if not bases:
         raise ValueError(f"Hudi table {table} has no live files "
                          f"(everything replaced) at {as_of!r}")
-    return spark.read.parquet(*files)
+    df = spark.read.parquet(*bases)
+    if not logs:
+        return df
+    return _merge_logs(spark, df, logs, _recordkey_fields(table))
 
 
 # ----------------------------------------------------------------------
 # writer — spec-shaped fixtures + a working local CoW write path
 # ----------------------------------------------------------------------
 
-def _write_properties(table: str) -> None:
+def _write_properties(table: str, table_type: str = "COPY_ON_WRITE",
+                      recordkey: str | None = None,
+                      precombine: str | None = None) -> None:
     tdir = _timeline_dir(table)
     os.makedirs(tdir, exist_ok=True)
     props = os.path.join(tdir, "hoodie.properties")
     if not os.path.exists(props):
+        lines = [f"hoodie.table.type={table_type}",
+                 "hoodie.table.name=%s"
+                 % os.path.basename(_local(table).rstrip("/"))]
+        if recordkey:
+            lines.append(f"hoodie.table.recordkey.fields={recordkey}")
+        if precombine:
+            lines.append(f"hoodie.table.precombine.field={precombine}")
         with open(props, "w") as fh:
-            fh.write("hoodie.table.type=COPY_ON_WRITE\n"
-                     "hoodie.table.name=%s\n"
-                     % os.path.basename(_local(table).rstrip("/")))
+            fh.write("\n".join(lines) + "\n")
 
 
 def _next_instant(table: str) -> str:
@@ -178,10 +305,15 @@ def commit_hudi_local(table: str, writes: dict, replaces: dict | None = None,
     _write_properties(table)
     if _table_type(table) != "COPY_ON_WRITE":
         raise NotImplementedError(
-            "writing to a MERGE_ON_READ table — this writer commits "
-            "CoW base files only")
+            "committing CoW instants into a MERGE_ON_READ timeline — "
+            "use upsert_hudi_mor_local / write_hudi_mor_local")
     ts = instant or _next_instant(table)
     action = "replacecommit" if replaces else "commit"
+    return _commit_instant(table, writes, replaces, ts, action)
+
+
+def _commit_instant(table: str, writes: dict, replaces: dict | None,
+                    ts: str, action: str) -> str:
     doc = {"partitionToWriteStats": {
         part: [{"fileId": fid, "path": os.path.abspath(_local(p)),
                 "numWrites": None, "prevCommit": None}
@@ -210,17 +342,20 @@ def compact_hudi_local(spark, table: str,
     df = read_hudi_local(spark, table)
     n = df.count()
     parts = max(1, math.ceil(n / target_file_rows))
-    return write_hudi_local(df.repartition(parts), table,
-                            mode="overwrite")
+    # MoR included: a clustering replacecommit folds base+log slices
+    # into fresh right-sized base groups (the read above already
+    # merged the logs), exactly the spec's clustering service
+    return _write_base_files(df.repartition(parts), table,
+                             "overwrite", "commit")
 
 
 def clean_hudi_local(table: str, keep_last: int = 1) -> int:
-    """Hudi clean: delete table-local base files referenced ONLY by
-    instants older than the last ``keep_last`` — the disk-reclaim
-    half of compaction. Files outside the table root (referenced-in-
-    place fixtures) are never touched; the timeline is kept, so
-    time-travel reads of cleaned instants fail at scan time (the real
-    cleaner's retention trade). Returns the number of files
+    """Hudi clean: delete table-local base AND log files referenced
+    ONLY by instants older than the last ``keep_last`` — the
+    disk-reclaim half of compaction. Files outside the table root
+    (referenced-in-place fixtures) are never touched; the timeline is
+    kept, so time-travel reads of cleaned instants fail at scan time
+    (the real cleaner's retention trade). Returns the number of files
     deleted."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -237,7 +372,7 @@ def clean_hudi_local(table: str, keep_last: int = 1) -> int:
         if ".hoodie" in dp:
             continue
         for f in fs:
-            if not f.endswith(".parquet"):
+            if not (f.endswith(".parquet") or _is_log(f)):
                 continue
             p = os.path.abspath(os.path.join(dp, f))
             if p not in referenced:
@@ -253,12 +388,21 @@ def write_hudi_local(df, table: str, mode: str = "append") -> str:
     distributed parquet write + a KB-scale driver commit. Returns the
     instant timestamp."""
     assert mode in ("append", "overwrite"), mode
-    root = _local(table)
     _write_properties(table)
     if _table_type(table) != "COPY_ON_WRITE":
         raise NotImplementedError(
-            "writing to a MERGE_ON_READ table — this writer commits "
-            "CoW base files only")
+            "CoW-append into a MERGE_ON_READ table — use "
+            "write_hudi_mor_local / upsert_hudi_mor_local")
+    return _write_base_files(df, table, mode, "commit")
+
+
+def _write_base_files(df, table: str, mode: str, base_action: str) -> str:
+    """Write ``df`` as new parquet file groups committed under
+    ``base_action`` ("commit" for CoW, "deltacommit" for MoR bulk
+    insert); mode="overwrite" retires every previously live group via
+    a replacecommit (insert_overwrite / clustering — legal on both
+    table types)."""
+    root = _local(table)
     ts = _next_instant(table)
     data_dir = os.path.join(root, f"data-{ts}")
     df.write.parquet(data_dir)
@@ -272,30 +416,196 @@ def write_hudi_local(df, table: str, mode: str = "append") -> str:
             items.append((fid, named))
     replaces = None
     if mode == "overwrite":
-        live: dict = {}
         try:
-            for ts0, action, path in completed_instants(table):
-                if action == "deltacommit":
-                    raise NotImplementedError(
-                        "deltacommit in the timeline: MERGE_ON_READ "
-                        "write — this writer is CoW-only")
-                if int(ts0) >= int(ts):
-                    continue
-                with open(path) as fh:
-                    c = json.load(fh)
-                for part, fids in (c.get("partitionToReplaceFileIds")
-                                   or {}).items():
-                    for fid in fids:
-                        live.pop((part, fid), None)
-                for part, stats in (c.get("partitionToWriteStats")
-                                    or {}).items():
-                    for st in stats:
-                        live[(part, st["fileId"])] = True
-        except FileNotFoundError:
-            pass
+            live = _file_slices(table, as_of=str(int(ts) - 1))
+        except ValueError:          # empty timeline: nothing to retire
+            live = {}
         replaces = {}
         for part, fid in live:
             replaces.setdefault(part, []).append(fid)
         replaces = replaces or None
-    return commit_hudi_local(table, {"": items}, replaces=replaces,
-                             instant=ts)
+    action = "replacecommit" if replaces else base_action
+    return _commit_instant(table, {"": items}, replaces, ts, action)
+
+# ----------------------------------------------------------------------
+# MERGE_ON_READ write path (deltacommits: log files + insert bases)
+# ----------------------------------------------------------------------
+
+def write_hudi_mor_local(df, table: str, recordkey: str,
+                         mode: str = "append") -> str:
+    """Create/bulk-load a MERGE_ON_READ table: the rows land as new
+    parquet file groups committed under a DELTACOMMIT (the MoR write
+    action — inserts go to base files, per the spec's writer).
+    ``recordkey`` (comma-separated column names, unique per row — the
+    Hudi record-key contract) is stamped into hoodie.properties on
+    first write and is what read-time log merging joins on. Returns
+    the instant timestamp."""
+    assert mode in ("append", "overwrite"), mode
+    _write_properties(table, "MERGE_ON_READ", recordkey=recordkey)
+    if _table_type(table) != "MERGE_ON_READ":
+        raise ValueError(
+            f"{table} exists as a {_table_type(table)} table — "
+            "write_hudi_mor_local is for MERGE_ON_READ")
+    have = _recordkey_fields(table)
+    want = [k.strip() for k in recordkey.split(",") if k.strip()]
+    if have != want:
+        raise ValueError(
+            f"{table}: recordkey {want} does not match the table's "
+            f"established {have}")
+    return _write_base_files(df, table, mode, "deltacommit")
+
+
+def upsert_hudi_mor_local(spark, table: str, df,
+                          delete: bool = False) -> str:
+    """Distributed MoR upsert (or delete, with ``delete=True``):
+    route each input row to the file group owning its record key (the
+    base scan's ``_metadata.file_path`` joined to a broadcast of the
+    KB-scale path→group map), write ONE Avro-container log file per
+    touched group FROM THE EXECUTORS (mapInArrow — nullable longs
+    stay exact), route unmatched keys (inserts) to new parquet base
+    groups, and commit everything as one deltacommit. Every
+    row-bearing step is distributed; the driver only sees file names.
+
+    Log records carry the full row payload plus the spec's payload
+    meta fields ``_hoodie_commit_time`` (this instant — the version
+    read-time merging orders by) and ``_hoodie_is_deleted``
+    (tombstone marker). For ``delete=True`` pass just the key
+    columns; unknown keys are ignored (the Hudi delete semantics).
+    The input batch must be key-unique — precombine your updates
+    first, exactly as a real Hudi writer's preCombine step does.
+
+    Returns the instant timestamp."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .avro_source import _spark_to_avro_field
+    if _table_type(table) != "MERGE_ON_READ":
+        raise ValueError(f"{table} is not a MERGE_ON_READ table")
+    keys = _recordkey_fields(table)
+    root = _local(table)
+    ts = _next_instant(table)
+    slices = _file_slices(table)
+    bases = {s["base"]: (part_fid, s["base_instant"])
+             for part_fid, s in slices.items() if s["base"]}
+    if not bases:
+        raise ValueError(f"{table}: no base files — bulk-load with "
+                         "write_hudi_mor_local first")
+
+    base_df = spark.read.parquet(*sorted(bases))
+    data_schema = base_df.schema
+    data_cols = base_df.columns
+    missing_keys = [k for k in keys if k not in df.columns]
+    if missing_keys:
+        raise ValueError(f"input is missing key columns {missing_keys}")
+    if delete:
+        # tombstones: keys + nulls for every payload column
+        types = {f.name: f.dataType for f in data_schema.fields}
+        df = df.select(*keys, *[
+            F.lit(None).cast(types[c]).alias(c)
+            for c in data_cols if c not in keys])
+    extra = set(df.columns) - set(data_cols)
+    lost = set(data_cols) - set(df.columns)
+    if extra or lost:
+        raise ValueError(
+            f"upsert payload columns must match the table "
+            f"(unexpected {sorted(extra)}, missing {sorted(lost)})")
+    df = df.select(*data_cols)
+
+    dup = df.groupBy(*keys).count().where("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"input batch is not key-unique (e.g. {dup[0]}) — "
+            "precombine duplicates before upserting")
+
+    # KB-scale (one row per live base file) → broadcast; the scan's
+    # _metadata.file_path is a URI — normalize to the plain path the
+    # timeline stores (same trick as delta_local._plain_path_col)
+    from .delta_local import _plain_path_col
+    mapping = spark.createDataFrame(
+        [(os.path.abspath(p), pf[1], bi)
+         for p, (pf, bi) in bases.items()],
+        "__qs_bf string, __qs_fid string, __qs_bi string")
+    keyed = (base_df
+             .select(*keys, _plain_path_col().alias("__qs_bf"))
+             .join(F.broadcast(mapping), "__qs_bf")
+             .select(*keys, "__qs_fid", "__qs_bi"))
+    matched = df.join(keyed, keys, "inner")
+
+    fields = [(f.name, *_spark_to_avro_field(f))
+              for f in data_schema.fields]
+    avro_schema = {
+        "type": "record", "name": "row",
+        "fields": ([{"name": n, "type": sch} for n, sch, _ in fields]
+                   + [{"name": "_hoodie_commit_time",
+                       "type": ["null", "string"]},
+                      {"name": "_hoodie_is_deleted",
+                       "type": ["null", "boolean"]}])}
+    log_dir = os.path.join(root, f"delta-{ts}")
+    os.makedirs(log_dir, exist_ok=True)
+    schema_json = _json.dumps(avro_schema)
+    tombstone = bool(delete)
+
+    def _write_logs(batches):
+        import pyarrow as pa
+
+        from quokka_spark.sources.avro_lite import write_container
+        sch = _json.loads(schema_json)
+
+        def safe(v, fn):
+            if v is None:
+                return None
+            if isinstance(v, list):
+                return fn(v)
+            try:
+                if v != v:           # NaN / NaT
+                    return None
+            except Exception:  # noqa: BLE001 — non-comparable value
+                pass
+            return fn(v)
+
+        groups: dict = {}            # (fid, base_instant) -> [records]
+        for batch in batches:
+            raw = batch.to_pydict()
+            n = len(raw["__qs_fid"])
+            for i in range(n):
+                rec = {name: safe(raw[name][i], fn)
+                       for name, _s, fn in fields}
+                rec["_hoodie_commit_time"] = ts
+                rec["_hoodie_is_deleted"] = tombstone or None
+                groups.setdefault(
+                    (raw["__qs_fid"][i], raw["__qs_bi"][i]),
+                    []).append(rec)
+        out_fid, out_path = [], []
+        for (fid, bi), recs in groups.items():
+            # spec-shaped log name: .<fileId>_<baseInstant>.log.<v>_<token>
+            p = os.path.join(log_dir, f".{fid}_{bi}.log.{ts}_0-0-0")
+            write_container(p, sch, recs)
+            out_fid.append(fid)
+            out_path.append(p)
+        yield pa.RecordBatch.from_pydict(
+            {"fid": pa.array(out_fid, type=pa.string()),
+             "path": pa.array(out_path, type=pa.string())})
+
+    # hash-partition on fid so each group's log is written by exactly
+    # one task (wide upserts parallelize across groups)
+    log_items = [(r["fid"], r["path"])
+                 for r in matched.repartition(F.col("__qs_fid"))
+                 .mapInArrow(_write_logs, "fid string, path string")
+                 .collect()]
+
+    items = list(log_items)
+    if not delete:
+        inserts = df.join(keyed.select(*keys), keys, "left_anti")
+        ins_dir = os.path.join(root, f"data-{ts}")
+        inserts.write.parquet(ins_dir)
+        for f in sorted(os.listdir(ins_dir)):
+            if f.endswith(".parquet"):
+                fid = uuid.uuid4().hex[:12]
+                named = os.path.join(ins_dir,
+                                     f"{fid}_0-0-0_{ts}.parquet")
+                os.rename(os.path.join(ins_dir, f), named)
+                items.append((fid, named))
+    if not items:
+        raise ValueError("upsert matched no rows and inserted none")
+    return _commit_instant(table, {"": items}, None, ts, "deltacommit")

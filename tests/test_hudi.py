@@ -87,24 +87,48 @@ def test_hudi_pushdown_reaches_scan(spark, qc, tmp_path):
     assert "o_orderdate" not in read_schema
 
 
-def test_hudi_merge_on_read_gated(spark, qc, tmp_path):
-    """MoR tables must refuse loudly — scanning base files without
-    merging the log files would silently serve stale rows."""
+def test_hudi_mor_edges_gated(spark, qc, tmp_path):
+    """The MoR edges that can't be served correctly refuse loudly:
+    a deltacommit inside a CoW-marked timeline (properties and
+    timeline disagree), a real hudi-writer log (HoodieLogFormat
+    #HUDI# block framing), and a log-only file group (no base to
+    merge onto). A base-only MoR snapshot, by contrast, reads fine —
+    with no logs there is nothing stale to serve."""
+    import json as _json
     a = str(tmp_path / "a.parquet")
     pd.DataFrame({"id": [1]}).to_parquet(a)
     tbl = str(tmp_path / "mor")
     commit_hudi_local(tbl, {"": [("g1", a)]})
     props = os.path.join(tbl, ".hoodie", "hoodie.properties")
     with open(props, "w") as fh:
-        fh.write("hoodie.table.type=MERGE_ON_READ\n")
-    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
-        qc.read_hudi(tbl)
-    # a deltacommit in a CoW-marked timeline is also refused
-    with open(props, "w") as fh:
-        fh.write("hoodie.table.type=COPY_ON_WRITE\n")
+        fh.write("hoodie.table.type=MERGE_ON_READ\n"
+                 "hoodie.table.recordkey.fields=id\n")
+    # base-only MoR: plain scan, no gate
+    assert [r["id"] for r in qc.read_hudi(tbl).df.collect()] == [1]
+    # a foreign HoodieLogFormat log file is refused at merge time
+    # (instant must sort AFTER the base commit's real timestamp, else
+    # the replay's fresh-slice rule discards the log)
+    late = "99999999999999998"
+    foreign = str(tmp_path / ".g1_1.log.2_0-0-0")
+    with open(foreign, "wb") as fh:
+        fh.write(b"#HUDI#" + b"\x00" * 32)
+    with open(os.path.join(tbl, ".hoodie", f"{late}.deltacommit"),
+              "w") as fh:
+        _json.dump({"partitionToWriteStats":
+                    {"": [{"fileId": "g1", "path": foreign}]}}, fh)
+    with pytest.raises(NotImplementedError, match="HoodieLogFormat"):
+        qc.read_hudi(tbl).df.collect()
+    # a log-only group (no base) is refused at plan time
+    os.unlink(os.path.join(tbl, ".hoodie", f"{late}.deltacommit"))
     with open(os.path.join(tbl, ".hoodie", "99999999999999999.deltacommit"),
               "w") as fh:
-        fh.write("{}")
+        _json.dump({"partitionToWriteStats":
+                    {"": [{"fileId": "gNEW", "path": foreign}]}}, fh)
+    with pytest.raises(NotImplementedError, match="log-only"):
+        qc.read_hudi(tbl)
+    # a deltacommit in a CoW-marked timeline is refused
+    with open(props, "w") as fh:
+        fh.write("hoodie.table.type=COPY_ON_WRITE\n")
     with pytest.raises(NotImplementedError, match="deltacommit"):
         qc.read_hudi(tbl)
 
@@ -168,3 +192,153 @@ def test_hudi_compact_and_clean(spark, qc, tmp_path):
     n = clean_hudi_local(tbl, keep_last=1)
     assert n == 7
     assert qc.read_hudi(tbl).count() == 2 * base.count()
+
+
+# ----------------------------------------------------------------------
+# MERGE_ON_READ: log-file merge, upserts, deletes, compaction (round 8)
+# ----------------------------------------------------------------------
+
+def _mor_table(spark, tmp_path, n=20):
+    from quokka_spark.sources.hudi_local import write_hudi_mor_local
+    tbl = str(tmp_path / "mor")
+    df = spark.range(0, n).selectExpr(
+        "id", "cast(id * 10 as double) as v", "concat('u', id % 3) as tag")
+    write_hudi_mor_local(df.repartition(2), tbl, recordkey="id")
+    return tbl
+
+
+def test_hudi_mor_upsert_updates_rows(spark, qc, tmp_path):
+    """Updates land as Avro log files; the read-time record-key merge
+    serves the new values while the base files stay untouched."""
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    tbl = _mor_table(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(3, 999.0, "UP"), (7, 777.0, "UP")], "id long, v double, tag string")
+    upsert_hudi_mor_local(spark, tbl, upd)
+    got = {r["id"]: (r["v"], r["tag"])
+           for r in qc.read_hudi(tbl).df.collect()}
+    assert len(got) == 20
+    assert got[3] == (999.0, "UP") and got[7] == (777.0, "UP")
+    assert got[4] == (40.0, "u1")           # untouched row intact
+
+
+def test_hudi_mor_upsert_inserts_new_keys(spark, qc, tmp_path):
+    """Keys not present in any base file route to NEW parquet base
+    groups inside the same deltacommit (the spec's insert path)."""
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    tbl = _mor_table(spark, tmp_path, n=5)
+    mixed = spark.createDataFrame(
+        [(2, 22.0, "UP"), (100, 1.0, "NEW")],
+        "id long, v double, tag string")
+    upsert_hudi_mor_local(spark, tbl, mixed)
+    got = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert len(got) == 6
+    assert got[2] == 22.0 and got[100] == 1.0
+
+
+def test_hudi_mor_delete_tombstones(spark, qc, tmp_path):
+    """delete=True writes _hoodie_is_deleted tombstones; deleted keys
+    vanish, unknown keys are ignored (Hudi delete semantics)."""
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    tbl = _mor_table(spark, tmp_path, n=10)
+    dels = spark.createDataFrame([(4,), (8,), (404,)], "id long")
+    upsert_hudi_mor_local(spark, tbl, dels, delete=True)
+    got = sorted(r["id"] for r in qc.read_hudi(tbl).df.collect())
+    assert got == [0, 1, 2, 3, 5, 6, 7, 9]
+
+
+def test_hudi_mor_latest_instant_wins(spark, qc, tmp_path):
+    """Two upserts of the same key across deltacommits: the higher
+    _hoodie_commit_time wins; a later delete beats both; and time
+    travel THROUGH the deltacommits replays each state exactly."""
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    tbl = _mor_table(spark, tmp_path, n=4)
+    mk = lambda v: spark.createDataFrame(
+        [(1, v, "X")], "id long, v double, tag string")
+    t1 = upsert_hudi_mor_local(spark, tbl, mk(111.0))
+    t2 = upsert_hudi_mor_local(spark, tbl, mk(222.0))
+    t3 = upsert_hudi_mor_local(
+        spark, tbl, spark.createDataFrame([(1,)], "id long"), delete=True)
+    read = lambda as_of=None: {
+        r["id"]: r["v"]
+        for r in qc.read_hudi(tbl, as_of=as_of).df.collect()}
+    assert 1 not in read()                       # delete wins at latest
+    assert read(t2)[1] == 222.0                  # through 2 deltacommits
+    assert read(t1)[1] == 111.0                  # through 1
+    assert len(read(t3)) == 3
+
+
+def test_hudi_mor_compaction_folds_logs(spark, qc, tmp_path):
+    """compact_hudi on a MoR table folds base+log slices into fresh
+    right-sized base groups: same rows back, no live log files, and
+    time travel still sees the pre-compaction layout."""
+    from quokka_spark.sources.hudi_local import (hudi_live_files,
+                                                 upsert_hudi_mor_local)
+    tbl = _mor_table(spark, tmp_path, n=12)
+    upd = spark.createDataFrame(
+        [(i, float(1000 + i), "C") for i in range(0, 12, 3)],
+        "id long, v double, tag string")
+    t_up = upsert_hudi_mor_local(spark, tbl, upd)
+    assert any(".log." in f for f in hudi_live_files(tbl))
+    qc.compact_hudi(tbl, target_file_rows=1000)
+    live = hudi_live_files(tbl)
+    assert len(live) == 1 and not any(".log." in f for f in live)
+    got = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert len(got) == 12 and got[3] == 1003.0 and got[4] == 40.0
+    # pre-compaction slice still replays (logs merged)
+    old = {r["id"]: r["v"]
+           for r in qc.read_hudi(tbl, as_of=t_up).df.collect()}
+    assert old == got
+
+
+def test_hudi_mor_clean_keeps_live_logs(spark, qc, tmp_path):
+    """clean_hudi must treat live LOG files as referenced — deleting
+    them would lose committed updates."""
+    from quokka_spark.sources.hudi_local import (clean_hudi_local,
+                                                 upsert_hudi_mor_local)
+    tbl = _mor_table(spark, tmp_path, n=6)
+    upsert_hudi_mor_local(spark, tbl, spark.createDataFrame(
+        [(2, 22.0, "UP")], "id long, v double, tag string"))
+    assert clean_hudi_local(tbl, keep_last=1) == 0   # everything live
+    got = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert got[2] == 22.0
+    # after compaction the old base+logs ARE reclaimable
+    qc.compact_hudi(tbl, target_file_rows=1000)
+    assert clean_hudi_local(tbl, keep_last=1) >= 3   # 2 bases + 1 log
+    assert {r["id"]: r["v"]
+            for r in qc.read_hudi(tbl).df.collect()}[2] == 22.0
+
+
+def test_hudi_mor_upsert_validations(spark, qc, tmp_path):
+    """Loud-gate contract of the upsert writer: key-duplicate batches,
+    mismatched payload columns, and upserting a CoW table all raise
+    with actionable messages."""
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    tbl = _mor_table(spark, tmp_path, n=3)
+    dup = spark.createDataFrame(
+        [(1, 1.0, "a"), (1, 2.0, "b")], "id long, v double, tag string")
+    with pytest.raises(ValueError, match="key-unique"):
+        upsert_hudi_mor_local(spark, tbl, dup)
+    bad_cols = spark.createDataFrame([(1, 1.0)], "id long, nope double")
+    with pytest.raises(ValueError, match="columns must match"):
+        upsert_hudi_mor_local(spark, tbl, bad_cols)
+    cow = str(tmp_path / "cow")
+    write_hudi_local(spark.range(3), cow)
+    with pytest.raises(ValueError, match="not a MERGE_ON_READ"):
+        upsert_hudi_mor_local(spark, cow, spark.range(1))
+
+
+def test_hudi_mor_nullable_long_payload_exact(spark, qc, tmp_path):
+    """Log payloads go through the Avro writer's exact-int path: a
+    nullable long above 2^53 survives the upsert-merge roundtrip."""
+    from quokka_spark.sources.hudi_local import (upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+    big = (1 << 53) + 1
+    tbl = str(tmp_path / "morbig")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None)], "id long, v long")
+    write_hudi_mor_local(base.coalesce(1), tbl, recordkey="id")
+    upsert_hudi_mor_local(spark, tbl, spark.createDataFrame(
+        [(2, big), (3, None)], "id long, v long"))
+    got = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert got == {1: 10, 2: big, 3: None}
