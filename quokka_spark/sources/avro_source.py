@@ -229,7 +229,13 @@ def spark_read_avro(spark, path):
         for pdf in it:
             for p in pdf["__qs_path"]:
                 with open(p, "rb") as fh:
-                    _, records = read_container_bytes(fh.read())
+                    data = fh.read()
+                if data[:6] == b"#HUDI#":
+                    raise NotImplementedError(
+                        f"{p}: HoodieLogFormat block framing (a real "
+                        "hudi-writer log) — this reader decodes Avro "
+                        "container files only")
+                _, records = read_container_bytes(data, name=p)
                 cols = {}
                 for name in names:
                     vals = [r.get(name) for r in records]
@@ -245,6 +251,21 @@ def spark_read_avro(spark, path):
 
 
 # ---------------------------------------------------------------- write
+
+def record_value(v, fn):
+    """Apply a field converter to one Arrow-sourced Python value:
+    None passes through, sequences convert elementwise via ``fn``.
+    NaN doubles are PRESERVED — NaN and null are distinguishable in
+    Spark (isnan vs isNull), and the Arrow ``to_pydict`` path already
+    yields real None for nulls, so coercing NaN would destroy
+    legitimate data (it did, in an earlier pandas-based writer)."""
+    import numpy as np
+    if v is None:
+        return None
+    if isinstance(v, (list, np.ndarray)):
+        return fn(list(v))
+    return fn(v)
+
 
 def _spark_to_avro_field(field) -> tuple:
     """StructField → (avro schema, row-value converter)."""
@@ -333,23 +354,9 @@ def spark_write_avro(df, path: str,
                 written.append(fn)
                 buf.clear()
 
-        import numpy as np
-
-        def safe(v, fn):
-            if v is None:
-                return None
-            if isinstance(v, (list, np.ndarray)):
-                return fn(list(v))
-            try:
-                if v != v:  # NaN / NaT
-                    return None
-            except Exception:  # noqa: BLE001 — non-comparable value
-                pass
-            return fn(v)
-
         for batch in it:
             raw = batch.to_pydict()
-            cols = {name: [safe(v, fn) for v in raw[name]]
+            cols = {name: [record_value(v, fn) for v in raw[name]]
                     for name, _sch, fn in fields}
             for rec in (dict(zip(cols, vals))
                         for vals in zip(*cols.values())):

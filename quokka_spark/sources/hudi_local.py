@@ -196,7 +196,11 @@ def _merge_logs(spark, base_df, log_files: list[str], keys: list[str]):
     from pyspark.sql import functions as F
 
     from .avro_source import spark_read_avro
-    for p in log_files:
+    # plan-time sniff of a BOUNDED sample (a homogeneous foreign table
+    # gates instantly with a typed error); the full per-file check
+    # runs executor-side inside spark_read_avro's decode, so the
+    # driver never does O(#logs) filesystem round-trips
+    for p in log_files[:16]:
         with open(p, "rb") as fh:
             if fh.read(6) == b"#HUDI#":
                 raise NotImplementedError(
@@ -396,6 +400,20 @@ def write_hudi_local(df, table: str, mode: str = "append") -> str:
     return _write_base_files(df, table, mode, "commit")
 
 
+def _stamp_base_files(data_dir: str, ts: str) -> list:
+    """Rename a parquet write's part files to spec-shaped base-file
+    names (<fileId>_<token>_<instant>.parquet) with fresh fileIds;
+    returns [(fileId, path)]."""
+    items = []
+    for f in sorted(os.listdir(data_dir)):
+        if f.endswith(".parquet"):
+            fid = uuid.uuid4().hex[:12]
+            named = os.path.join(data_dir, f"{fid}_0-0-0_{ts}.parquet")
+            os.rename(os.path.join(data_dir, f), named)
+            items.append((fid, named))
+    return items
+
+
 def _write_base_files(df, table: str, mode: str, base_action: str) -> str:
     """Write ``df`` as new parquet file groups committed under
     ``base_action`` ("commit" for CoW, "deltacommit" for MoR bulk
@@ -406,14 +424,7 @@ def _write_base_files(df, table: str, mode: str, base_action: str) -> str:
     ts = _next_instant(table)
     data_dir = os.path.join(root, f"data-{ts}")
     df.write.parquet(data_dir)
-    items = []
-    for f in sorted(os.listdir(data_dir)):
-        if f.endswith(".parquet"):
-            fid = uuid.uuid4().hex[:12]
-            # spec-shaped base-file name: <fileId>_<token>_<instant>
-            named = os.path.join(data_dir, f"{fid}_0-0-0_{ts}.parquet")
-            os.rename(os.path.join(data_dir, f), named)
-            items.append((fid, named))
+    items = _stamp_base_files(data_dir, ts)
     replaces = None
     if mode == "overwrite":
         try:
@@ -452,11 +463,49 @@ def write_hudi_mor_local(df, table: str, recordkey: str,
         raise ValueError(
             f"{table}: recordkey {want} does not match the table's "
             f"established {have}")
+    _check_no_reserved_cols(df.columns)
+    # the unique-key contract is enforced at WRITE time (loud gate —
+    # duplicate or null keys would read fine until the first upsert,
+    # then the merge window silently collapses them): null keys, dups
+    # within the batch, and (for append) overlap with live rows
+    from pyspark.sql import functions as F
+    null_pred = " OR ".join(f"{k} IS NULL" for k in have)
+    if df.where(null_pred).limit(1).count():
+        raise ValueError(f"record key columns {have} contain NULLs")
+    dup = df.groupBy(*have).count().where("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"bulk-load batch is not key-unique (e.g. {dup[0]})")
+    if mode == "append":
+        try:
+            slices = _file_slices(table)
+        except ValueError:           # empty timeline: first load
+            slices = {}
+        bases = sorted(s["base"] for s in slices.values() if s["base"])
+        if bases:
+            existing = (df.sparkSession.read.parquet(*bases)
+                        .select(*have))
+            clash = df.select(*have).join(existing, have, "inner") \
+                .limit(1).count()
+            if clash:
+                raise ValueError(
+                    "append batch overlaps live record keys — "
+                    "upsert_hudi_mor_local is the update path")
     return _write_base_files(df, table, mode, "deltacommit")
 
 
+def _check_no_reserved_cols(cols) -> None:
+    bad = [c for c in cols if c.startswith("_hoodie_")]
+    if bad:
+        raise ValueError(
+            f"payload columns {bad} collide with the reserved "
+            "_hoodie_* meta namespace — the log schema appends "
+            "_hoodie_commit_time/_hoodie_is_deleted and duplicate "
+            "field names would brick every later read")
+
+
 def upsert_hudi_mor_local(spark, table: str, df,
-                          delete: bool = False) -> str:
+                          delete: bool = False) -> str | None:
     """Distributed MoR upsert (or delete, with ``delete=True``):
     route each input row to the file group owning its record key (the
     base scan's ``_metadata.file_path`` joined to a broadcast of the
@@ -470,11 +519,12 @@ def upsert_hudi_mor_local(spark, table: str, df,
     meta fields ``_hoodie_commit_time`` (this instant — the version
     read-time merging orders by) and ``_hoodie_is_deleted``
     (tombstone marker). For ``delete=True`` pass just the key
-    columns; unknown keys are ignored (the Hudi delete semantics).
+    columns; unknown keys are ignored (the Hudi delete semantics) —
+    a delete batch matching NOTHING is a no-op and returns None.
     The input batch must be key-unique — precombine your updates
     first, exactly as a real Hudi writer's preCombine step does.
 
-    Returns the instant timestamp."""
+    Returns the instant timestamp (None for a no-op delete)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -495,14 +545,15 @@ def upsert_hudi_mor_local(spark, table: str, df,
     base_df = spark.read.parquet(*sorted(bases))
     data_schema = base_df.schema
     data_cols = base_df.columns
+    _check_no_reserved_cols(data_cols)
+    base_types = {f.name: f.dataType for f in data_schema.fields}
     missing_keys = [k for k in keys if k not in df.columns]
     if missing_keys:
         raise ValueError(f"input is missing key columns {missing_keys}")
     if delete:
         # tombstones: keys + nulls for every payload column
-        types = {f.name: f.dataType for f in data_schema.fields}
         df = df.select(*keys, *[
-            F.lit(None).cast(types[c]).alias(c)
+            F.lit(None).cast(base_types[c]).alias(c)
             for c in data_cols if c not in keys])
     extra = set(df.columns) - set(data_cols)
     lost = set(data_cols) - set(df.columns)
@@ -510,7 +561,15 @@ def upsert_hudi_mor_local(spark, table: str, df,
         raise ValueError(
             f"upsert payload columns must match the table "
             f"(unexpected {sorted(extra)}, missing {sorted(lost)})")
-    df = df.select(*data_cols)
+    # cast to the BASE types: name-matched-but-type-drifted inserts
+    # would otherwise land as mixed-physical-type parquet and brick
+    # every later read of the table
+    df = df.select([F.col(c).cast(base_types[c]).alias(c)
+                    for c in data_cols])
+    # snapshot the batch: the dup check, the log write and the insert
+    # write are three separate jobs — a nondeterministic input could
+    # pass the gate then produce same-key log records
+    df = df.localCheckpoint()
 
     dup = df.groupBy(*keys).count().where("count > 1").limit(1).collect()
     if dup:
@@ -550,39 +609,40 @@ def upsert_hudi_mor_local(spark, table: str, df,
         import pyarrow as pa
 
         from quokka_spark.sources.avro_lite import write_container
+        from quokka_spark.sources.avro_source import record_value
         sch = _json.loads(schema_json)
-
-        def safe(v, fn):
-            if v is None:
-                return None
-            if isinstance(v, list):
-                return fn(v)
-            try:
-                if v != v:           # NaN / NaT
-                    return None
-            except Exception:  # noqa: BLE001 — non-comparable value
-                pass
-            return fn(v)
-
+        flush_rows = 500_000         # same bound as spark_write_avro
         groups: dict = {}            # (fid, base_instant) -> [records]
+        out_fid, out_path = [], []
+        seq: dict = {}               # (fid, bi) -> next log version
+
+        def flush(key):
+            fid, bi = key
+            recs = groups.pop(key)
+            n = seq[key] = seq.get(key, 0) + 1
+            # spec-shaped log name: .<fileId>_<baseInstant>.log.<v>_<tok>
+            p = os.path.join(log_dir, f".{fid}_{bi}.log.{ts}.{n}_0-0-0")
+            write_container(p, sch, recs)
+            out_fid.append(fid)
+            out_path.append(p)
+
         for batch in batches:
             raw = batch.to_pydict()
             n = len(raw["__qs_fid"])
             for i in range(n):
-                rec = {name: safe(raw[name][i], fn)
+                rec = {name: record_value(raw[name][i], fn)
                        for name, _s, fn in fields}
                 rec["_hoodie_commit_time"] = ts
                 rec["_hoodie_is_deleted"] = tombstone or None
-                groups.setdefault(
-                    (raw["__qs_fid"][i], raw["__qs_bi"][i]),
-                    []).append(rec)
-        out_fid, out_path = [], []
-        for (fid, bi), recs in groups.items():
-            # spec-shaped log name: .<fileId>_<baseInstant>.log.<v>_<token>
-            p = os.path.join(log_dir, f".{fid}_{bi}.log.{ts}_0-0-0")
-            write_container(p, sch, recs)
-            out_fid.append(fid)
-            out_path.append(p)
+                key = (raw["__qs_fid"][i], raw["__qs_bi"][i])
+                recs = groups.setdefault(key, [])
+                recs.append(rec)
+                # bound the Python heap: a huge upsert funneling into
+                # few groups flushes as multiple logs per group
+                if len(recs) >= flush_rows:
+                    flush(key)
+        for key in list(groups):
+            flush(key)
         yield pa.RecordBatch.from_pydict(
             {"fid": pa.array(out_fid, type=pa.string()),
              "path": pa.array(out_path, type=pa.string())})
@@ -599,13 +659,10 @@ def upsert_hudi_mor_local(spark, table: str, df,
         inserts = df.join(keyed.select(*keys), keys, "left_anti")
         ins_dir = os.path.join(root, f"data-{ts}")
         inserts.write.parquet(ins_dir)
-        for f in sorted(os.listdir(ins_dir)):
-            if f.endswith(".parquet"):
-                fid = uuid.uuid4().hex[:12]
-                named = os.path.join(ins_dir,
-                                     f"{fid}_0-0-0_{ts}.parquet")
-                os.rename(os.path.join(ins_dir, f), named)
-                items.append((fid, named))
+        items.extend(_stamp_base_files(ins_dir, ts))
     if not items:
-        raise ValueError("upsert matched no rows and inserted none")
+        if delete:
+            return None      # every key unknown: documented no-op
+        raise ValueError("upsert matched no rows and inserted none "
+                         "(empty input batch?)")
     return _commit_instant(table, {"": items}, None, ts, "deltacommit")

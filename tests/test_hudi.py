@@ -342,3 +342,52 @@ def test_hudi_mor_nullable_long_payload_exact(spark, qc, tmp_path):
         [(2, big), (3, None)], "id long, v long"))
     got = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
     assert got == {1: 10, 2: big, 3: None}
+
+
+def test_hudi_mor_review_pass_regressions(spark, qc, tmp_path):
+    """Round-8 review-pass pins: (1) a type-drifted insert payload is
+    CAST to the base schema instead of writing mixed-physical-type
+    parquet that bricks later reads; (2) a delete batch matching no
+    keys is a documented no-op returning None; (3) payload columns in
+    the reserved _hoodie_* namespace refuse at bulk load; (4) a
+    duplicate- or null-keyed bulk load refuses (the merge window
+    would silently collapse it after the first upsert); (5) an
+    appended bulk load overlapping live keys refuses."""
+    from quokka_spark.sources.hudi_local import (upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+    tbl = _mor_table(spark, tmp_path, n=5)
+    # (1) v int / tag ok -> cast to double on the way in
+    drift = spark.createDataFrame([(100, 7, "NEW")],
+                                  "id long, v int, tag string")
+    upsert_hudi_mor_local(spark, tbl, drift)
+    got = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert got[100] == 7.0 and got[2] == 20.0      # table still reads
+    # (2) all-unknown delete: no-op, no new instant
+    from quokka_spark.sources.hudi_local import completed_instants
+    before = len(completed_instants(tbl))
+    assert upsert_hudi_mor_local(
+        spark, tbl, spark.createDataFrame([(999,)], "id long"),
+        delete=True) is None
+    assert len(completed_instants(tbl)) == before
+    # (3) reserved meta names refuse
+    with pytest.raises(ValueError, match="_hoodie_"):
+        write_hudi_mor_local(
+            spark.range(2).selectExpr("id", "id as _hoodie_commit_time"),
+            str(tmp_path / "resv"), recordkey="id")
+    # (4) duplicate and null keys refuse at bulk load
+    with pytest.raises(ValueError, match="key-unique"):
+        write_hudi_mor_local(
+            spark.createDataFrame([(1, 1.0, "a"), (1, 2.0, "b")],
+                                  "id long, v double, tag string"),
+            str(tmp_path / "dup"), recordkey="id")
+    with pytest.raises(ValueError, match="NULL"):
+        write_hudi_mor_local(
+            spark.createDataFrame([(None, 1.0, "a")],
+                                  "id long, v double, tag string"),
+            str(tmp_path / "nulls"), recordkey="id")
+    # (5) append overlapping live keys refuses
+    with pytest.raises(ValueError, match="overlaps live"):
+        write_hudi_mor_local(
+            spark.createDataFrame([(2, 0.0, "x")],
+                                  "id long, v double, tag string"),
+            tbl, recordkey="id", mode="append")
