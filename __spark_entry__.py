@@ -1839,6 +1839,76 @@ FROM doubled GROUP BY l_returnflag
 """
 
 
+def src_iceberg_transform(spark, sf_dir):
+    """Iceberg BUCKET-transform partition pruning end-to-end
+    (iceberg_local._prune_entries_transforms + the spec's 32-bit
+    Murmur3, Appendix-B-vector-pinned in tests): orders is laid out
+    as one data file per bucket[8](o_custkey), and an equality
+    partition_filter must route the scan to exactly the right bucket
+    file while reproducing the plain-orders oracle. The per-row
+    bucket assignment in the FIXTURE is pure-Python (one-time,
+    cached); the graded read path is all metadata + native scan."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import (
+        _bucket_hash_bytes, _murmur3_32, create_local_iceberg_table)
+    qc = _qc(spark)
+    orders = os.path.join(sf_dir, "orders.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_icetr_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(orders)
+        buckets = pa.array(
+            [(_murmur3_32(_bucket_hash_bytes(v, "long"))
+              & 0x7fffffff) % 8
+             for v in t.column("o_custkey").to_pylist()],
+            type=pa.int32())
+        items = []
+        for b in range(8):
+            part = t.filter(pc.equal(buckets, b))
+            p = os.path.join(base, f"bucket{b}.parquet")
+            pq.write_table(part, p)
+            items.append({"path": p, "partition": {"ck_bucket": b}})
+        create_local_iceberg_table(
+            tbl, [items],
+            schema_fields=[(1, "o_orderkey", "long"),
+                           (2, "o_custkey", "long"),
+                           (3, "o_orderstatus", "string"),
+                           (4, "o_totalprice", "double"),
+                           (5, "o_orderdate", "timestamp"),
+                           (6, "o_orderpriority", "string")],
+            partition_spec=[{"name": "ck_bucket", "type": "int",
+                             "source-id": 2,
+                             "transform": "bucket[8]"}])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    mk = spark.read.parquet(orders).agg(
+        F.min("o_custkey")).collect()[0][0]
+    ds = qc.read_iceberg(tbl, partition_filter=f"o_custkey = {mk}")
+    return ds.df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+
+
+_SRC_ICEBERG_TRANSFORM_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
 def src_hudi_mor(spark, sf_dir):
     """Hudi MERGE_ON_READ end-to-end (sources/hudi_local.py — file
     slices, deltacommits, Avro log payloads, the single-shuffle
@@ -5671,6 +5741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_iceberg_eq_deletes": src_iceberg_eq_deletes,
         "src_iceberg_partitioned": src_iceberg_partitioned,
         "src_iceberg_bounds": src_iceberg_bounds,
+        "src_iceberg_transform": src_iceberg_transform,
         "text_bigram_lm": text_bigram_lm,
         "text_hash_tf": text_hash_tf,
         "op_cms": op_cms,
@@ -5800,6 +5871,7 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_eq_deletes": _SRC_ICEBERG_EQ_DELETES_SQL,
         "src_iceberg_partitioned": _SRC_ICEBERG_PART_SQL,
         "src_iceberg_bounds": _SRC_ICEBERG_BOUNDS_SQL,
+        "src_iceberg_transform": _SRC_ICEBERG_TRANSFORM_SQL,
         "text_bigram_lm": _BIGRAM_SQL,
         "text_hash_tf": _hash_tf_oracle(),
         "op_cms": _cms_oracle(),

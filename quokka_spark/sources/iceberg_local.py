@@ -23,16 +23,19 @@ Scope (documented, test-enforced):
 - metadata must be locally readable (``file://`` or plain paths);
   data files pass through to Spark untouched, so remote data behind a
   mounted path works.
-- manifest-level partition pruning: ``partition_filter`` (a SQL
-  boolean over identity-partitioned columns) prunes the live FILE
-  LIST from the manifests' per-file partition values BEFORE the scan
-  — the capability a jar-based catalog read gets from manifest
-  partition summaries, so filtered reads touch only matching files
-  even at 100 TB. Non-identity transforms (bucket/truncate/days/…)
-  raise NotImplementedError — evaluating a column predicate against
-  transformed values needs the transform inverse, the jar's job.
-  Spark still prunes row-groups/pages via parquet stats after
-  predicate pushdown, as on raw parquet.
+- manifest-level partition pruning: ``partition_filter`` prunes the
+  live FILE LIST from the manifests' per-file partition values BEFORE
+  the scan — the capability a jar-based catalog read gets from
+  manifest partition summaries, so filtered reads touch only matching
+  files even at 100 TB. Identity specs evaluate any SQL boolean over
+  the partition columns; bucket[N]/truncate[W]/day/hour/month/year
+  specs prune conjunctions of ``source_col op literal`` by applying
+  the SAME spec transform to the literal (pure functions — bucket via
+  the spec's 32-bit Murmur3, Appendix B): equality prunes every
+  transform, ranges prune the order-preserving ones, and anything
+  unsupported conservatively keeps the file while the filter is
+  re-applied row-level. Spark still prunes row-groups/pages via
+  parquet stats after predicate pushdown, as on raw parquet.
 
 Format reference: the public Iceberg table spec
 (https://iceberg.apache.org/spec/); Avro decoding via avro_lite.
@@ -265,23 +268,219 @@ def _prune_by_bounds(entries: list, meta: dict,
     return [e for e in entries if may_match(e)]
 
 
+_BUCKET_RE = re.compile(r"bucket\[(\d+)\]")
+_TRUNCATE_RE = re.compile(r"truncate\[(\d+)\]")
+# order-preserving transforms: T(a) <= T(b) whenever a <= b, so range
+# predicates prune in the transformed domain; bucket is equality-only
+_MONOTONE_TRANSFORMS = ("truncate", "day", "days", "hour", "hours",
+                        "month", "months", "year", "years")
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant) — the spec's bucket-transform hash
+    (public algorithm, Appendix B). Returns the UNSIGNED 32-bit
+    value; bucket(v, N) = (hash & 0x7fffffff) % N."""
+    c1, c2 = 0xcc9e2d51, 0x1b873593
+    h = seed
+    n = len(data) - len(data) % 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xffffffff
+        k = ((k << 15) | (k >> 17)) & 0xffffffff
+        k = (k * c2) & 0xffffffff
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xffffffff
+        h = (h * 5 + 0xe6546b64) & 0xffffffff
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xffffffff
+        k = ((k << 15) | (k >> 17)) & 0xffffffff
+        k = (k * c2) & 0xffffffff
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85ebca6b) & 0xffffffff
+    h ^= h >> 13
+    h = (h * 0xc2b2ae35) & 0xffffffff
+    h ^= h >> 16
+    return h
+
+
+def _coerce_temporal(v, it):
+    """ISO-string literals coerce to date/datetime for temporal source
+    columns (so \"ts >= '2024-01-01'\" prunes without the typed
+    literal syntax); everything else passes through."""
+    if isinstance(v, str):
+        if it == "date":
+            return datetime.date.fromisoformat(v)
+        if it in ("timestamp", "timestamptz"):
+            return datetime.datetime.fromisoformat(v)
+    return v
+
+
+def _bucket_hash_bytes(v, it) -> bytes:
+    """Spec Appendix B single-value hash input: int/long/date/
+    timestamp hash as 8-byte little-endian longs, strings as UTF-8."""
+    if it in ("int", "long"):
+        return struct.pack("<q", int(v))
+    if it == "date":
+        if isinstance(v, datetime.datetime):
+            v = v.date()
+        return struct.pack("<q", (v - _EPOCH_DATE).days)
+    if it in ("timestamp", "timestamptz"):
+        micros = (v.replace(tzinfo=None) - _EPOCH_TS) \
+            // datetime.timedelta(microseconds=1)
+        return struct.pack("<q", micros)
+    if it == "string":
+        return str(v).encode("utf-8")
+    raise TypeError(f"bucket hash of iceberg type {it!r}")
+
+
+def _apply_transform(transform: str, v, it):
+    """T(literal) in the transformed domain the manifests store
+    (spec §Partition Transforms); raises TypeError on unsupported
+    literal/type combinations — callers keep the file."""
+    v = _coerce_temporal(v, it)
+    m = _BUCKET_RE.fullmatch(transform)
+    if m:
+        return (_murmur3_32(_bucket_hash_bytes(v, it))
+                & 0x7fffffff) % int(m.group(1))
+    m = _TRUNCATE_RE.fullmatch(transform)
+    if m:
+        w = int(m.group(1))
+        if isinstance(v, str):
+            return v[:w]                    # codepoint truncation
+        if isinstance(v, int):
+            return v - (v % w)              # floor to multiple (W>0)
+        raise TypeError(f"truncate of {type(v).__name__}")
+    if transform in ("day", "days"):
+        if isinstance(v, datetime.datetime):
+            return (v.replace(tzinfo=None) - _EPOCH_TS) \
+                // datetime.timedelta(days=1)
+        if isinstance(v, datetime.date):
+            return (v - _EPOCH_DATE).days
+    if transform in ("hour", "hours") and isinstance(v, datetime.datetime):
+        return (v.replace(tzinfo=None) - _EPOCH_TS) \
+            // datetime.timedelta(hours=1)
+    if transform in ("month", "months") \
+            and isinstance(v, (datetime.date, datetime.datetime)):
+        return (v.year - 1970) * 12 + v.month - 1
+    if transform in ("year", "years") \
+            and isinstance(v, (datetime.date, datetime.datetime)):
+        return v.year - 1970
+    raise TypeError(f"transform {transform!r} of {type(v).__name__}")
+
+
+def _transform_refutes(op: str, tv, pv, monotone: bool) -> bool:
+    """True when ``col op literal`` is provably false for a file whose
+    single partition value is ``pv``, given T(literal) = ``tv``. For
+    monotone T: col < v ⇒ T(col) <= T(v), col > v ⇒ T(col) >= T(v) —
+    note the strictness RELAXES through T (pv == tv always keeps: a
+    day-equal file may still straddle the literal's time of day)."""
+    if op == "=":
+        return pv != tv
+    if not monotone:
+        return False
+    if op in ("<", "<="):
+        return pv > tv
+    if op in (">", ">="):
+        return pv < tv
+    return False
+
+
+def _identity_py_value(it: str, pv):
+    """Raw manifest partition value → comparable Python value for an
+    identity field (dates stored as int days, timestamps as micros)."""
+    if it == "date" and isinstance(pv, int):
+        return _EPOCH_DATE + datetime.timedelta(days=pv)
+    if it in ("timestamp", "timestamptz") and isinstance(pv, int):
+        return _EPOCH_TS + datetime.timedelta(microseconds=pv)
+    return pv
+
+
+def _prune_entries_transforms(entries: list, meta: dict, fields: list,
+                              partition_filter: str) -> list:
+    """Transform-aware manifest pruning: the filter (a conjunction of
+    ``source_col op literal``) prunes bucket[N]/truncate[W]/day/hour/
+    month/year-partitioned files by applying the SAME transform to the
+    literal — the spec transforms are pure functions, so a file is
+    dropped only when its stored partition value provably refutes a
+    conjunct (bucket: equality only; monotone transforms: ranges too).
+    Anything unsupported keeps the file; the caller re-applies the
+    filter row-level, so pruning stays a pure optimization."""
+    from .pruning import interval_refutes, parse_conjuncts
+    atoms = parse_conjuncts(partition_filter)
+    if atoms is None:
+        raise NotImplementedError(
+            f"partition_filter {partition_filter!r} over a "
+            "transform-partitioned table must be a conjunction of "
+            "`col op literal` — general expressions need the "
+            "transform inverse (the iceberg runtime jar's planner)")
+    types = _schema_types(meta)
+    fid_names = _field_names_of(meta)
+    by_col: dict = {}          # source column -> [(pname, transform, type)]
+    for f in fields:
+        sid = int(f.get("source-id", -1))
+        src = fid_names.get(sid)
+        tr = f.get("transform", "identity")
+        if src and tr != "void":       # void says nothing about rows
+            by_col.setdefault(src, []).append(
+                (f["name"], tr, types.get(sid, "")))
+
+    def refuted(part) -> bool:
+        for col, op, v in atoms:
+            for pname, tr, it in by_col.get(col, ()):
+                if pname not in part:
+                    continue           # older-spec record: unknown
+                pv = part[pname]
+                if pv is None:
+                    # null partition value under a null-preserving
+                    # transform ⇒ every source value in the file is
+                    # null ⇒ col op literal is never true
+                    return True
+                try:
+                    if tr == "identity":
+                        ival = _identity_py_value(it, pv)
+                        cv = _coerce_temporal(v, it)
+                        if interval_refutes(op, cv, ival, ival):
+                            return True
+                    else:
+                        tv = _apply_transform(tr, v, it)
+                        if _transform_refutes(
+                                op, tv, pv,
+                                tr.split("[")[0] in _MONOTONE_TRANSFORMS):
+                            return True
+                except (TypeError, ValueError, struct.error):
+                    continue           # incomparable → keep
+        return False
+
+    return [e for e in entries
+            if e.get("partition") is None or not refuted(e["partition"])]
+
+
 def _prune_entries(spark, entries: list, meta: dict,
                    partition_filter: str) -> list:
-    """Manifest-level pruning: evaluate ``partition_filter`` (SQL over
-    the identity-partition columns) against each live file's manifest
-    partition values and return only matching entries. Driver cost is
-    one O(#files) KB-scale local job — the manifests already carry
-    the values, no data file is opened."""
+    """Manifest-level pruning: evaluate ``partition_filter`` against
+    each live file's manifest partition values and return only
+    matching entries. Identity-only specs take the general SQL path
+    (any boolean expression over the partition columns); specs with
+    bucket/truncate/day/hour/month/year transforms take the
+    conjunct-refutation path (_prune_entries_transforms). Driver cost
+    is one O(#files) KB-scale step — the manifests already carry the
+    values, no data file is opened."""
     fields = _partition_spec_fields(meta)
     if not fields:
         raise ValueError("partition_filter on an unpartitioned table")
-    for f in fields:
-        if f.get("transform", "identity") != "identity":
-            raise NotImplementedError(
-                f"partition_filter over transform "
-                f"{f.get('transform')!r} (field {f.get('name')!r}) — "
-                "only identity partitions are prunable without the "
-                "transform inverse; use the iceberg runtime jar")
+    if any(f.get("transform", "identity") != "identity"
+           for f in fields):
+        return _prune_entries_transforms(entries, meta, fields,
+                                         partition_filter)
     types = _schema_types(meta)
     cast_to = {}
     for f in fields:
@@ -505,16 +704,22 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
           .withColumn("__qs_fp__", _norm_path(F.col("_metadata.file_path")))
           .withColumn("__qs_pos__", F.col("_metadata.row_index")))
     if partition_filter:
-        if all(n in df.columns for n in spec_names):
-            # identity partition source columns live in the data files
-            # (spec), so the filter also applies row-level — pruning
-            # stays a pure optimization even for files kept
-            # conservatively (no manifest partition record)
+        from .pruning import parse_conjuncts
+        atoms = parse_conjuncts(partition_filter)
+        # the columns the filter actually references: for transform
+        # specs these are the SOURCE columns (live in the data files)
+        # even though the spec names (ts_day, id_bucket) are not
+        ref = {a[0] for a in atoms} if atoms else set(spec_names)
+        if all(n in df.columns for n in ref):
+            # partition source columns live in the data files (spec),
+            # so the filter also applies row-level — pruning stays a
+            # pure optimization even for files kept conservatively
+            # (no manifest partition record, bucket range predicates)
             df = df.filter(partition_filter)
         elif any(e.get("partition") is None for e in entries):
             raise NotImplementedError(
                 "partition_filter: some manifest entries carry no "
-                "partition record and the partition columns are not "
+                "partition record and the filter's columns are not "
                 "in the data files — cannot evaluate the filter")
     if scan_filter:
         # always row-level too: bounds skipping is a pure optimization

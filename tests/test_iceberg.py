@@ -278,10 +278,143 @@ def test_partition_filter_nothing_matches_is_clear_error(qc, ptable):
         qc.read_iceberg(tbl, partition_filter="r = 'JP'")
 
 
-def test_partition_filter_non_identity_transform_gated(spark, qc,
+def test_bucket_hash_matches_spec_vectors():
+    """The bucket transform's 32-bit Murmur3 must reproduce the
+    PUBLIC spec test vectors (Iceberg spec Appendix B) — the entire
+    soundness of bucket pruning hangs on hash identity with real
+    writers."""
+    import datetime
+    import struct
+
+    from quokka_spark.sources.iceberg_local import (_bucket_hash_bytes,
+                                                    _murmur3_32)
+
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    assert signed(_murmur3_32(_bucket_hash_bytes(34, "int"))) \
+        == 2017239379
+    assert signed(_murmur3_32(_bucket_hash_bytes(34, "long"))) \
+        == 2017239379
+    assert signed(_murmur3_32(_bucket_hash_bytes(
+        datetime.date(2017, 11, 16), "date"))) == -653330422
+    assert signed(_murmur3_32(_bucket_hash_bytes(
+        datetime.datetime(2017, 11, 16, 22, 31, 8), "timestamp"))) \
+        == -2047944441
+    assert signed(_murmur3_32(_bucket_hash_bytes(
+        "iceberg", "string"))) == 1210000089
+
+
+def test_partition_filter_bucket_transform_prunes(spark, qc, tmp_path):
+    """bucket[N] pruning: `col = literal` opens ONLY the file(s) of
+    bucket_N(literal); range predicates cannot prune buckets and keep
+    everything (rows still filtered row-level)."""
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import (_bucket_hash_bytes,
+                                                    _murmur3_32)
+
+    def bucket4(v):
+        return (_murmur3_32(_bucket_hash_bytes(v, "long"))
+                & 0x7fffffff) % 4
+    by_bucket = {}
+    for i in range(40):
+        by_bucket.setdefault(bucket4(i), []).append(i)
+    assert len(by_bucket) == 4          # all buckets populated
+    files, items = {}, []
+    for b, ids in sorted(by_bucket.items()):
+        p = str(tmp_path / f"b{b}.parquet")
+        pd.DataFrame({"id": ids, "v": [i * 10 for i in ids]}
+                     ).to_parquet(p)
+        files[b] = p
+        items.append({"path": p, "partition": {"id_bucket": b}})
+    tbl = str(tmp_path / "btbl")
+    create_local_iceberg_table(
+        tbl, [items],
+        schema_fields=[(1, "id", "long"), (2, "v", "long")],
+        partition_spec=[{"name": "id_bucket", "type": "int",
+                         "source-id": 1, "transform": "bucket[4]"}])
+    df = qc.read_iceberg(tbl, partition_filter="id = 17").df
+    got = df.collect()
+    assert [r["id"] for r in got] == [17] and got[0]["v"] == 170
+    ifiles = df.inputFiles()
+    assert len(ifiles) == 1 and ifiles[0].endswith(
+        os.path.basename(files[bucket4(17)]))
+    # ranges keep all buckets but stay row-correct
+    df2 = qc.read_iceberg(tbl, partition_filter="id >= 35").df
+    assert sorted(r["id"] for r in df2.collect()) == list(range(35, 40))
+    assert len(df2.inputFiles()) == 4
+
+
+def test_partition_filter_truncate_and_day_transforms(spark, qc,
+                                                      tmp_path):
+    """truncate[W] (int + string) and day(ts) are order-preserving:
+    equality AND range predicates prune in the transformed domain;
+    boundary files (pv == T(literal)) are conservatively kept and
+    resolved row-level."""
+    import pandas as pd
+    tbl = str(tmp_path / "ttbl")
+    items = []
+    paths = {}
+    for lo in (0, 100, 200):
+        p = str(tmp_path / f"t{lo}.parquet")
+        pd.DataFrame({"k": range(lo, lo + 100),
+                      "name": [f"{'abc' if lo == 0 else 'xyz'}{i}"
+                               for i in range(100)]}).to_parquet(p)
+        items.append({"path": p, "partition": {"k_trunc": lo}})
+        paths[lo] = p
+    create_local_iceberg_table(
+        tbl, [items],
+        schema_fields=[(1, "k", "long"), (2, "name", "string")],
+        partition_spec=[{"name": "k_trunc", "type": "long",
+                         "source-id": 1, "transform": "truncate[100]"}])
+    df = qc.read_iceberg(tbl, partition_filter="k >= 205").df
+    assert len(df.inputFiles()) == 1      # only the 200-file
+    assert df.count() == 95
+    df = qc.read_iceberg(tbl, partition_filter="k <= 99").df
+    assert len(df.inputFiles()) == 1 and df.count() == 100
+    # an exactly-on-boundary literal keeps the boundary file
+    # conservatively (T relaxes strictness); rows still exact
+    df = qc.read_iceberg(tbl, partition_filter="k < 100").df
+    assert len(df.inputFiles()) == 2 and df.count() == 100
+    df = qc.read_iceberg(tbl, partition_filter="k = 150").df
+    assert len(df.inputFiles()) == 1 and df.count() == 1
+
+    # day(ts): one file per calendar day, range over timestamps
+    tbl2 = str(tmp_path / "dtbl")
+    items2 = []
+    for d in (1, 2, 3):
+        p = str(tmp_path / f"d{d}.parquet")
+        pd.DataFrame({"ts": pd.to_datetime(
+            [f"2024-01-0{d} 0{h}:30:00" for h in range(5)]),
+            "x": range(5)}).to_parquet(p, coerce_timestamps="us")
+        days = (pd.Timestamp(f"2024-01-0{d}")
+                - pd.Timestamp("1970-01-01")).days
+        items2.append({"path": p, "partition": {"ts_day": days}})
+    create_local_iceberg_table(
+        tbl2, [items2],
+        schema_fields=[(1, "ts", "timestamp"), (2, "x", "long")],
+        partition_spec=[{"name": "ts_day", "type": "date",
+                         "source-id": 1, "transform": "day"}])
+    df = qc.read_iceberg(
+        tbl2, partition_filter="ts >= timestamp'2024-01-03 00:00:00'").df
+    assert len(df.inputFiles()) == 1 and df.count() == 5
+    # plain ISO-string literal coerces too
+    df = qc.read_iceberg(tbl2, partition_filter="ts < '2024-01-02'").df
+    # boundary day 2 kept conservatively (same day as the literal's
+    # floor), day 3 pruned; row filter resolves exactly
+    assert len(df.inputFiles()) == 2 and df.count() == 5
+    # equality on a full-day boundary
+    df = qc.read_iceberg(
+        tbl2, partition_filter="ts = timestamp'2024-01-02 01:30:00'").df
+    assert len(df.inputFiles()) == 1 and df.count() == 1
+
+
+def test_partition_filter_transform_unsupported_shapes(spark, qc,
                                                        tmp_path):
-    """bucket/truncate/days transforms cannot be pruned without the
-    transform inverse — loud gate, never a silent misread."""
+    """Transform-spec tables accept only `col op literal AND ...`
+    filters (OR/functions raise — the general case needs the jar's
+    planner); unparseable conjuncts never silently mis-prune."""
     import pandas as pd
     f = str(tmp_path / "f.parquet")
     pd.DataFrame({"id": [1], "r": ["EU"]}).to_parquet(f)
@@ -291,8 +424,8 @@ def test_partition_filter_non_identity_transform_gated(spark, qc,
         schema_fields=[(1, "id", "long"), (2, "r", "string")],
         partition_spec=[{"name": "r_bucket", "type": "int",
                          "source-id": 2, "transform": "bucket[4]"}])
-    with pytest.raises(NotImplementedError, match="bucket"):
-        qc.read_iceberg(tbl, partition_filter="r_bucket = 3")
+    with pytest.raises(NotImplementedError, match="conjunction"):
+        qc.read_iceberg(tbl, partition_filter="r = 'EU' OR r = 'US'")
 
 
 def test_partition_filter_date_typed(spark, qc, tmp_path):
