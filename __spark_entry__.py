@@ -1798,6 +1798,80 @@ GROUP BY l_returnflag
 """
 
 
+def src_delta_cm_write(spark, sf_dir):
+    """Delta columnMapping.mode=name WRITE-then-READ roundtrip
+    (delta_local.write_delta_local's logical→physical rename): the
+    even-orderkey half of lineitem sits in the mapped table as a
+    physical-named fixture file; the odd half is APPENDED through the
+    write path with ordinary logical column names — the engine must
+    rename to physical, record physical-keyed footer stats, and read
+    the mixed table back as one logical whole. Oracle: plain
+    lineitem."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import (_commit, _footer_stats,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_deltacmw_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    phys = os.path.join(base, "phys.parquet")
+    done = os.path.join(base, "_done")
+    logical = ["l_orderkey", "l_returnflag", "l_quantity",
+               "l_extendedprice"]
+    physical = ["col-k0", "col-r1", "col-q2", "col-p3"]
+    types = ["long", "string", "double", "double"]
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(tbl, exist_ok=True)
+        t = pq.read_table(li, columns=logical)
+        even = t.filter(pc.equal(pc.bit_wise_and(
+            t.column("l_orderkey"), 1), 0))
+        pq.write_table(even.rename_columns(physical), phys)
+        schema = {"type": "struct", "fields": [
+            {"name": ln, "type": ty, "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": pn,
+                          "delta.columnMapping.id": i + 1}}
+            for i, (ln, pn, ty) in enumerate(zip(logical, physical,
+                                                 types))]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "cmw", "format": {"provider": "parquet",
+                                                  "options": {}},
+                          "schemaString": _json.dumps(schema),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"},
+                          "createdTime": 0}},
+            {"add": {"path": phys, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True,
+                     "stats": _footer_stats(phys)}}])
+        odd = spark.read.parquet(li).where("l_orderkey % 2 = 1") \
+            .select(*logical)
+        write_delta_local(odd, tbl, mode="append")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_delta(tbl, scan_filter="l_quantity > 25")
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+_SRC_DELTA_CM_WRITE_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_quantity > 25
+GROUP BY l_returnflag
+"""
+
+
 def src_hudi(spark, sf_dir):
     """read_hudi end-to-end WITHOUT the hudi-spark bundle jar
     (sources/hudi_local.py — pure-Python timeline replay): a local
@@ -5710,6 +5784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_hudi": src_hudi,
         "src_hudi_mor": src_hudi_mor,
         "src_delta_cm": src_delta_cm,
+        "src_delta_cm_write": src_delta_cm_write,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -5900,6 +5975,7 @@ def oracle_sql() -> dict[str, str]:
         "src_hudi_mor": _SRC_HUDI_MOR_SQL,
         "src_delta_dv": _SRC_DELTA_DV_SQL,
         "src_delta_cm": _SRC_DELTA_CM_SQL,
+        "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_join": _STREAM_JOIN_SQL,

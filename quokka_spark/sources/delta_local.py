@@ -34,9 +34,16 @@ a distributed (file, row-index) anti-join; delete_rows_delta_local
 commits them, merging per-file with any existing DV) and
 **columnMapping.mode=name** (the scan reads PHYSICAL parquet names
 via the schema's physicalName metadata and renames to the logical
-schema; stats keys translate; partitioned mapped tables and all
-LOCAL WRITES to mapped tables stay gated). Still gated with clear
-errors: columnMapping.mode=id (parquet columns match by field id).
+schema; stats keys translate; APPENDS and compaction rename the
+batch logical→physical so new files carry physical names and
+physical-keyed footer stats) and **columnMapping.mode=id reads**
+(columns resolve by the PARQUET FIELD IDS in each file's footer —
+files may disagree on physical names; the scan groups files by
+resolved layout and unions). Still gated with clear errors:
+partitioned mapped tables (partitionValues key by physical name),
+schema changes on mapped tables (need physicalName/id assignment +
+maxColumnId bump), and id-mode writes (the native writer does not
+stamp field ids).
 ``metaData.schemaString`` is written spec-correctly (it IS Spark's
 schema JSON) and read back for partition-column types; data columns
 trust the parquet footers, which is what Spark's scan enforces
@@ -189,14 +196,13 @@ def _replay(table: str, version: int | None):
         meta = dict(meta)
         meta["configuration"] = conf
     cm = conf.get("delta.columnMapping.mode")
-    if cm and cm not in ("none", "name"):
-        # under id mapping the parquet columns match by FIELD ID, not
-        # name — a name-based scan would return wrongly-named (or
-        # missing) columns; name mode is handled via the schema's
-        # physicalName metadata (see _column_mapping)
+    if cm and cm not in ("none", "name", "id"):
+        # name mode resolves via the schema's physicalName metadata
+        # (_column_mapping); id mode via per-file parquet field ids
+        # (_id_mapping + the grouped scan in read_delta_local)
         raise NotImplementedError(
-            f"delta.columnMapping.mode={cm!r} is not supported by this "
-            "reader (parquet columns match by field id, not name)")
+            f"delta.columnMapping.mode={cm!r} is not a protocol mode "
+            "this reader knows (none/name/id)")
     pairs = sorted(
         ((k if os.path.isabs(k) else os.path.join(root, k)), k)
         for k in live)
@@ -353,6 +359,86 @@ def _column_mapping(meta: dict):
     return out
 
 
+def _cm_mode(meta: dict) -> str:
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    return conf.get("delta.columnMapping.mode") or "none"
+
+
+def _id_mapping(meta: dict):
+    """{field id: (logical name, Spark DataType)} when the table uses
+    ``delta.columnMapping.mode=id`` (each schema field carries its
+    ``delta.columnMapping.id``, per protocol; parquet columns match
+    by the field ids stored in the file schemas), else None."""
+    if _cm_mode(meta) != "id":
+        return None
+    from pyspark.sql.types import StructType
+    try:
+        full = StructType.fromJson(json.loads(meta["schemaString"]))
+    except (KeyError, ValueError, TypeError) as e:
+        raise NotImplementedError(
+            "columnMapping.mode=id without a parseable schemaString "
+            "— field ids are unknowable") from e
+    out = {}
+    for f in full.fields:
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"column {f.name!r}: columnMapping.mode=id but the "
+                "schema field carries no delta.columnMapping.id")
+        out[int(fid)] = (f.name, f.dataType)
+    return out
+
+
+def _id_mode_scan(spark, files, adds, idmap, root):
+    """id-mode scan: resolve each file's columns by the PARQUET FIELD
+    IDS in its footer (one KB-scale footer read per file — the same
+    metadata class as footer-stats collection), group files sharing a
+    resolved id→name layout, scan each group natively, rename to the
+    logical schema and union. Files may legitimately disagree on
+    physical names (id mode exists for exactly that); a file missing
+    a schema field id refuses loudly — guessing by name would read
+    the wrong column."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructField, StructType
+
+    from pyspark.sql import functions as F
+    groups: dict = {}
+    for f, a in zip(files, adds):
+        sch = pq.read_schema(f)
+        id2name = {}
+        for fld in sch:
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                id2name[int(fid)] = fld.name
+        missing = [i for i in idmap if i not in id2name]
+        if missing:
+            raise ValueError(
+                f"{f}: parquet schema carries no field id(s) "
+                f"{missing} — id-mode column resolution is "
+                "impossible for this file")
+        key = tuple(sorted((i, id2name[i]) for i in idmap))
+        groups.setdefault(key, []).append((f, a))
+    parts = []
+    for key, pairs in sorted(groups.items()):
+        phys = dict(key)
+        gf = [f for f, _ in pairs]
+        ga = [a for _, a in pairs]
+        rs = StructType([StructField(phys[i], dt, True)
+                         for i, (_n, dt) in sorted(idmap.items())])
+        d = spark.read.schema(rs).parquet(*gf)
+        d = _apply_deletion_vectors(spark, d, gf, ga, root)
+        parts.append(d.select(
+            *[F.col(phys[i]).alias(n)
+              for i, (n, _dt) in sorted(idmap.items())]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _log_read_schema(meta: dict, pcols: list, cmap: dict | None = None):
     """The table's Spark read schema from the log's ``schemaString``,
     MINUS partition columns (they live in the log, not the files), or
@@ -505,10 +591,19 @@ def read_delta_local(spark, table: str, version: int | None = None,
     if partition_filter and not pcols:
         raise ValueError("partition_filter on an unpartitioned table")
     cmap = _column_mapping(meta)
-    if cmap and pcols:
+    idmap = _id_mapping(meta)
+    if (cmap or idmap) and pcols:
         raise NotImplementedError(
-            "columnMapping.mode=name on a PARTITIONED table — "
-            "partitionValues key by physical name; unsupported here")
+            f"columnMapping.mode={_cm_mode(meta)} on a PARTITIONED "
+            "table — partitionValues key by physical name; "
+            "unsupported here")
+    if idmap:
+        root = table.removeprefix("file://")
+        # stats skipping is SKIPPED under id mode: stats keys are each
+        # file's own physical names, which id mode allows to differ
+        # per file — the row-level filter below keeps semantics exact
+        df = _id_mode_scan(spark, files, adds, idmap, root)
+        return df.filter(scan_filter) if scan_filter else df
 
     def _empty_typed():
         from pyspark.sql.types import StructType
@@ -1082,11 +1177,11 @@ def write_delta_local(df, table: str, mode: str = "append",
     evolve: list = []
     if version > 0:
         _, meta, live_keys, _ = _replay(table, None)
-        if _column_mapping(meta):
+        if _cm_mode(meta) == "id":
             raise NotImplementedError(
-                "writing to a columnMapping.mode=name table — new "
-                "files would carry LOGICAL column names the mapped "
-                "schema cannot resolve")
+                "writing to a columnMapping.mode=id table — new files "
+                "must stamp parquet field ids, which the native Spark "
+                "writer does not do from here")
         table_pcols = meta.get("partitionColumns") or []
         if mode == "append":
             if pcols and pcols != table_pcols:
@@ -1094,7 +1189,30 @@ def write_delta_local(df, table: str, mode: str = "append",
                     f"partition_by {pcols} differs from the table's "
                     f"partitionColumns {table_pcols}")
             pcols = table_pcols
-        evolve = _evolve_schema_actions(meta, df, mode, pcols)
+        cmap = _column_mapping(meta)
+        if cmap:
+            # name mode: data files carry PHYSICAL names — rename the
+            # batch before the write; footer stats then key by
+            # physical name automatically, exactly what the mapped
+            # reader's stats-skipping translation expects
+            if pcols:
+                raise NotImplementedError(
+                    "writing to a PARTITIONED columnMapping table — "
+                    "partitionValues key by physical name; "
+                    "unsupported here")
+            if sorted(df.columns) != sorted(cmap.keys()):
+                raise NotImplementedError(
+                    f"schema change on a columnMapping table (batch "
+                    f"{sorted(df.columns)} vs table "
+                    f"{sorted(cmap.keys())}) — new columns need fresh "
+                    "physicalName/id assignments and a maxColumnId "
+                    "bump")
+            from pyspark.sql import functions as F
+            df = df.select(*[F.col(c).alias(cmap[c])
+                             for c in df.columns])
+            evolve = []
+        else:
+            evolve = _evolve_schema_actions(meta, df, mode, pcols)
     data_dir = os.path.join(root, f"data-{uuid.uuid4().hex[:12]}")
     if pcols:
         df.write.partitionBy(*pcols).parquet(data_dir)
@@ -1151,13 +1269,19 @@ def compact_delta_local(spark, table: str,
     files, meta, keys, _ = _replay(table, None)
     if not files:
         raise ValueError(f"Delta table {table} has no live files")
-    if _column_mapping(meta):
+    if _cm_mode(meta) == "id":
         raise NotImplementedError(
-            "compacting a columnMapping.mode=name table — rewritten "
-            "files would carry logical names the schema cannot resolve")
+            "compacting a columnMapping.mode=id table — rewritten "
+            "files must stamp parquet field ids")
     root = table.removeprefix("file://")
     pcols = meta.get("partitionColumns") or []
     df = read_delta_local(spark, table)
+    cmap = _column_mapping(meta)
+    if cmap:
+        # the mapped read surfaced LOGICAL names; rewritten files must
+        # carry the physical ones (footer stats then key physically)
+        from pyspark.sql import functions as F
+        df = df.select(*[F.col(c).alias(cmap[c]) for c in df.columns])
     n = df.count()
     parts = max(1, math.ceil(n / target_file_rows))
     data_dir = os.path.join(root, f"data-compact-{uuid.uuid4().hex[:12]}")

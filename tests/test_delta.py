@@ -1018,18 +1018,24 @@ def test_delta_column_mapping_name_mode(spark, qc, tmp_path):
     pruned = qc.read_delta(tbl, scan_filter="id >= 100").df
     assert sorted(r["id"] for r in pruned.collect()) == [100, 200]
     assert len(pruned.inputFiles()) == 1
-    # id mode stays gated
+    # id mode resolves via parquet field ids — THESE files carry
+    # none, so the scan refuses loudly instead of guessing by name
+    # (full id-mode reads: test_delta_id_mode_reads_by_field_id)
     with open(_os.path.join(tbl, "_delta_log", f"{1:020d}.json"),
               "w") as fh:
+        schema_id = {"type": "struct", "fields": [
+            dict(f, metadata={**f["metadata"],
+                              "delta.columnMapping.id": i + 1})
+            for i, f in enumerate(schema["fields"])]}
         meta2 = {"id": "t", "format": {"provider": "parquet",
                                        "options": {}},
-                 "schemaString": _json.dumps(schema),
+                 "schemaString": _json.dumps(schema_id),
                  "partitionColumns": [],
                  "configuration": {"delta.columnMapping.mode": "id"},
                  "createdTime": 0}
         fh.write(_json.dumps({"metaData": meta2}) + "\n")
-    with pytest.raises(NotImplementedError, match="field id"):
-        qc.read_delta(tbl)
+    with pytest.raises(ValueError, match="field id"):
+        qc.read_delta(tbl).df.collect()
 
 
 def test_delta_dv_protocol_upgrade_folds_legacy_features(
@@ -1079,3 +1085,167 @@ def test_last_txn_version_gap_is_loud_missing_table_is_none(
     _os.remove(_os.path.join(tbl, "_delta_log", f"{1:020d}.json"))
     with _pytest.raises(FileNotFoundError, match="txn state"):
         last_txn_version(tbl, "a")
+
+
+# ----------------------------------------------------------------------
+# columnMapping: id-mode reads + name-mode writes (round 8)
+# ----------------------------------------------------------------------
+
+def _id_mode_table(tmp_path, file_specs):
+    """Build an id-mapped table whose files carry parquet FIELD IDS:
+    file_specs = [(filename, {field_id: (parquet_col_name, values)})].
+    Logical schema: id->1 (long), v->2 (double)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import _commit
+    tbl = str(tmp_path / "idtbl")
+    os.makedirs(tbl, exist_ok=True)
+    adds = []
+    for fname, cols in file_specs:
+        fields, arrays = [], []
+        for fid, (pname, vals) in sorted(cols.items()):
+            typ = pa.int64() if isinstance(vals[0], int) else pa.float64()
+            fields.append(pa.field(
+                pname, typ, metadata={b"PARQUET:field_id": str(fid).encode()}))
+            arrays.append(pa.array(vals, type=typ))
+        p = str(tmp_path / fname)
+        pq.write_table(pa.Table.from_arrays(arrays, schema=pa.schema(fields)), p)
+        adds.append({"add": {"path": p, "partitionValues": {}, "size": 1,
+                             "modificationTime": 0, "dataChange": True}})
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "whatever-1"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "whatever-2"}}]}
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {"delta.columnMapping.mode": "id",
+                                        "delta.columnMapping.maxColumnId":
+                                            "2"},
+                      "createdTime": 0}}] + adds)
+    return tbl
+
+
+def test_delta_id_mode_reads_by_field_id(spark, qc, tmp_path):
+    """id mode resolves columns by PARQUET FIELD ID, not name: two
+    files whose physical names disagree (and one whose name order is
+    swapped) read back as one logical table."""
+    tbl = _id_mode_table(tmp_path, [
+        ("a.parquet", {1: ("c_one", [1, 2]), 2: ("c_two", [1.0, 2.0])}),
+        ("b.parquet", {1: ("renamed", [3]), 2: ("other", [30.0])}),
+        # name-swapped file: ids point the OPPOSITE way names suggest
+        ("c.parquet", {1: ("v", [4]), 2: ("id", [40.0])}),
+    ])
+    got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 30.0, 4: 40.0}
+    # scan_filter applies row-level (stats skipping is bypassed)
+    f = qc.read_delta(tbl, scan_filter="id >= 3").df
+    assert sorted(r["id"] for r in f.collect()) == [3, 4]
+
+
+def test_delta_id_mode_missing_field_id_refuses(spark, qc, tmp_path):
+    """A file without parquet field ids cannot be resolved — loud
+    gate, never a name-based guess."""
+    import pyarrow.parquet as pq
+    tbl = _id_mode_table(
+        tmp_path, [("a.parquet", {1: ("x", [1]), 2: ("y", [1.0])})])
+    # strip the ids by rewriting the file without metadata
+    p = str(tmp_path / "a.parquet")
+    t = pq.read_table(p)
+    pq.write_table(t.cast(t.schema.remove_metadata()), p)
+    import pyarrow as pa
+    t2 = pq.read_table(p)
+    bare = pa.schema([pa.field(f.name, f.type) for f in t2.schema])
+    pq.write_table(t2.cast(bare), p)
+    with pytest.raises(ValueError, match="field id"):
+        qc.read_delta(tbl).df.collect()
+
+
+def test_delta_id_mode_writes_refuse(spark, qc, tmp_path):
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  write_delta_local)
+    tbl = _id_mode_table(
+        tmp_path, [("a.parquet", {1: ("x", [1]), 2: ("y", [1.0])})])
+    with pytest.raises(NotImplementedError, match="mode=id"):
+        write_delta_local(spark.createDataFrame([(9, 9.0)],
+                                                "id long, v double"),
+                          tbl, mode="append")
+    with pytest.raises(NotImplementedError, match="mode=id"):
+        compact_delta_local(spark, tbl)
+
+
+def test_delta_cm_name_write_roundtrip_and_compact(spark, qc, tmp_path):
+    """Appends to a name-mapped table write PHYSICAL column names and
+    physical-keyed stats; compaction rewrites mapped tables without
+    losing the mapping; a schema-changing batch refuses."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit, _footer_stats,
+                                                  compact_delta_local,
+                                                  write_delta_local)
+    f1 = str(tmp_path / "f1.parquet")
+    pd.DataFrame({"col-a1": [1, 2], "col-b2": [1.0, 2.0]}).to_parquet(f1)
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b2",
+                      "delta.columnMapping.id": 2}}]}
+    tbl = str(tmp_path / "cmw")
+    os.makedirs(tbl)
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "2"},
+                      "createdTime": 0}},
+        {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": _footer_stats(f1)}}])
+    write_delta_local(
+        spark.createDataFrame([(3, 30.0), (4, 40.0)],
+                              "id long, v double").coalesce(1),
+        tbl, mode="append")
+    got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 30.0, 4: 40.0}
+    # the new files carry PHYSICAL names + physical-keyed stats
+    from quokka_spark.sources.delta_local import _replay
+    files, _, _, adds = _replay(tbl, None)
+    new = [(f, a) for f, a in zip(files, adds) if f != f1]
+    assert new
+    for f, a in new:
+        assert set(pq.read_schema(f).names) == {"col-a1", "col-b2"}
+        st = _json.loads(a["stats"])
+        assert "col-a1" in st["minValues"] and "id" not in st["minValues"]
+    # physical-keyed stats skip correctly through the logical filter
+    pruned = qc.read_delta(tbl, scan_filter="id >= 3").df
+    assert sorted(r["id"] for r in pruned.collect()) == [3, 4]
+    assert all(f != f1 for f in pruned.inputFiles())
+    # schema-changing batch refuses
+    with pytest.raises(NotImplementedError, match="maxColumnId"):
+        write_delta_local(spark.createDataFrame([(5, 5.0, "x")],
+                                                "id long, v double, s string"),
+                          tbl, mode="append")
+    # compaction keeps the mapping
+    compact_delta_local(spark, tbl, target_file_rows=100)
+    got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 30.0, 4: 40.0}
+    files2, _, _, _ = _replay(tbl, None)
+    assert len(files2) == 1
+    assert set(pq.read_schema(files2[0]).names) == {"col-a1", "col-b2"}
