@@ -329,34 +329,38 @@ def _prune_by_stats(files: list, adds: list, scan_filter: str,
     return out_f, out_a
 
 
-def _column_mapping(meta: dict):
-    """{logical name: physical parquet name} when the table uses
-    ``delta.columnMapping.mode=name`` (each schema field carries its
-    ``delta.columnMapping.physicalName`` metadata, per protocol),
-    else None. Malformed name-mode schemas (a field without the
-    metadata) error loudly — guessing a physical name would read the
-    wrong column."""
-    conf = meta.get("configuration") or {}
-    if isinstance(conf, list):
-        conf = dict(conf)
-    if conf.get("delta.columnMapping.mode") != "name":
-        return None
+def _mapped_fields(meta: dict, mode: str, key: str) -> list:
+    """[(StructField, field metadata value of ``key``)] for a mapped
+    table's schema — the shared parse for both mapping modes; a field
+    missing its mapping metadata errors loudly (guessing would read
+    the wrong column)."""
     from pyspark.sql.types import StructType
     try:
         full = StructType.fromJson(json.loads(meta["schemaString"]))
     except (KeyError, ValueError, TypeError) as e:
         raise NotImplementedError(
-            "columnMapping.mode=name without a parseable schemaString "
-            "— physical names are unknowable") from e
-    out = {}
+            f"columnMapping.mode={mode} without a parseable "
+            "schemaString — the column mapping is unknowable") from e
+    out = []
     for f in full.fields:
-        phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
-        if not phys:
+        v = (f.metadata or {}).get(key)
+        if v is None or v == "":
             raise ValueError(
-                f"column {f.name!r}: columnMapping.mode=name but the "
-                "schema field carries no physicalName metadata")
-        out[f.name] = phys
+                f"column {f.name!r}: columnMapping.mode={mode} but "
+                f"the schema field carries no {key}")
+        out.append((f, v))
     return out
+
+
+def _column_mapping(meta: dict):
+    """{logical name: physical parquet name} when the table uses
+    ``delta.columnMapping.mode=name`` (each schema field carries its
+    ``delta.columnMapping.physicalName`` metadata, per protocol),
+    else None."""
+    if _cm_mode(meta) != "name":
+        return None
+    return {f.name: phys for f, phys in _mapped_fields(
+        meta, "name", "delta.columnMapping.physicalName")}
 
 
 def _cm_mode(meta: dict) -> str:
@@ -373,22 +377,8 @@ def _id_mapping(meta: dict):
     by the field ids stored in the file schemas), else None."""
     if _cm_mode(meta) != "id":
         return None
-    from pyspark.sql.types import StructType
-    try:
-        full = StructType.fromJson(json.loads(meta["schemaString"]))
-    except (KeyError, ValueError, TypeError) as e:
-        raise NotImplementedError(
-            "columnMapping.mode=id without a parseable schemaString "
-            "— field ids are unknowable") from e
-    out = {}
-    for f in full.fields:
-        fid = (f.metadata or {}).get("delta.columnMapping.id")
-        if fid is None:
-            raise ValueError(
-                f"column {f.name!r}: columnMapping.mode=id but the "
-                "schema field carries no delta.columnMapping.id")
-        out[int(fid)] = (f.name, f.dataType)
-    return out
+    return {int(fid): (f.name, f.dataType) for f, fid in _mapped_fields(
+        meta, "id", "delta.columnMapping.id")}
 
 
 def _id_mode_scan(spark, files, adds, idmap, root):
@@ -1195,7 +1185,11 @@ def write_delta_local(df, table: str, mode: str = "append",
             # batch before the write; footer stats then key by
             # physical name automatically, exactly what the mapped
             # reader's stats-skipping translation expects
-            if pcols:
+            if table_pcols or pcols:
+                # table_pcols too: an overwrite WITHOUT partition_by
+                # on a partitioned mapped table would otherwise slip
+                # through with pcols=[] and commit unpartitioned
+                # files under metadata still declaring partitions
                 raise NotImplementedError(
                     "writing to a PARTITIONED columnMapping table — "
                     "partitionValues key by physical name; "
@@ -1371,6 +1365,11 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         raise NotImplementedError(
             "upsert on a partitioned local Delta table — read, rewrite "
             "and overwrite with partition_by instead")
+    if _cm_mode(meta) == "id":
+        raise NotImplementedError(
+            "upsert on a columnMapping.mode=id table — a logical-name "
+            "scan would match nothing and rewritten files would carry "
+            "no parquet field ids, bricking the table")
     if _column_mapping(meta):
         raise NotImplementedError(
             "upsert on a columnMapping.mode=name table — rewritten "

@@ -315,12 +315,17 @@ def _murmur3_32(data: bytes, seed: int = 0) -> int:
 def _coerce_temporal(v, it):
     """ISO-string literals coerce to date/datetime for temporal source
     columns (so \"ts >= '2024-01-01'\" prunes without the typed
-    literal syntax); everything else passes through."""
+    literal syntax); tz-AWARE datetimes normalize to naive UTC —
+    transforming the local wall time would compute the wrong
+    day/hour/month/year (and bucket hash) for any non-UTC offset.
+    Everything else passes through."""
     if isinstance(v, str):
         if it == "date":
             return datetime.date.fromisoformat(v)
         if it in ("timestamp", "timestamptz"):
-            return datetime.datetime.fromisoformat(v)
+            v = datetime.datetime.fromisoformat(v)
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     return v
 
 
@@ -334,8 +339,9 @@ def _bucket_hash_bytes(v, it) -> bytes:
             v = v.date()
         return struct.pack("<q", (v - _EPOCH_DATE).days)
     if it in ("timestamp", "timestamptz"):
-        micros = (v.replace(tzinfo=None) - _EPOCH_TS) \
-            // datetime.timedelta(microseconds=1)
+        if v.tzinfo is not None:       # aware → the UTC instant
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        micros = (v - _EPOCH_TS) // datetime.timedelta(microseconds=1)
         return struct.pack("<q", micros)
     if it == "string":
         return str(v).encode("utf-8")
@@ -360,14 +366,14 @@ def _apply_transform(transform: str, v, it):
             return v - (v % w)              # floor to multiple (W>0)
         raise TypeError(f"truncate of {type(v).__name__}")
     if transform in ("day", "days"):
+        # v is naive UTC here (_coerce_temporal normalized any
+        # tz-aware literal before dispatch)
         if isinstance(v, datetime.datetime):
-            return (v.replace(tzinfo=None) - _EPOCH_TS) \
-                // datetime.timedelta(days=1)
+            return (v - _EPOCH_TS) // datetime.timedelta(days=1)
         if isinstance(v, datetime.date):
             return (v - _EPOCH_DATE).days
     if transform in ("hour", "hours") and isinstance(v, datetime.datetime):
-        return (v.replace(tzinfo=None) - _EPOCH_TS) \
-            // datetime.timedelta(hours=1)
+        return (v - _EPOCH_TS) // datetime.timedelta(hours=1)
     if transform in ("month", "months") \
             and isinstance(v, (datetime.date, datetime.datetime)):
         return (v.year - 1970) * 12 + v.month - 1
@@ -382,8 +388,20 @@ def _transform_refutes(op: str, tv, pv, monotone: bool) -> bool:
     single partition value is ``pv``, given T(literal) = ``tv``. For
     monotone T: col < v ⇒ T(col) <= T(v), col > v ⇒ T(col) >= T(v) —
     note the strictness RELAXES through T (pv == tv always keeps: a
-    day-equal file may still straddle the literal's time of day)."""
+    day-equal file may still straddle the literal's time of day).
+    Equality refutes only over type-compatible operands — a str/int
+    representation mismatch raises (the caller keeps the file)
+    instead of silently pruning on pv != tv."""
     if op == "=":
+        nums = (int, float)
+        compatible = (type(pv) is type(tv)
+                      or (isinstance(pv, nums) and isinstance(tv, nums)
+                          and not isinstance(pv, bool)
+                          and not isinstance(tv, bool)))
+        if not compatible:
+            raise TypeError(
+                f"incomparable partition value {pv!r} vs "
+                f"transformed literal {tv!r}")
         return pv != tv
     if not monotone:
         return False
@@ -432,6 +450,18 @@ def _prune_entries_transforms(entries: list, meta: dict, fields: list,
         if src and tr != "void":       # void says nothing about rows
             by_col.setdefault(src, []).append(
                 (f["name"], tr, types.get(sid, "")))
+    # a filter column that is no SCHEMA column at all (a typo, or the
+    # partition FIELD name like 'id_bucket' instead of its source) is
+    # a loud error — it would silently prune nothing AND never apply
+    # row-level, returning the unfiltered table as if it matched
+    known = set(fid_names.values())
+    if known:
+        bad = [c for c, _op, _v in atoms if c not in known]
+        if bad:
+            raise ValueError(
+                f"partition_filter references unknown column(s) {bad}"
+                f" — transform-spec filters address the SOURCE "
+                f"columns (schema columns: {sorted(known)})")
 
     def refuted(part) -> bool:
         for col, op, v in atoms:

@@ -1158,14 +1158,13 @@ def test_delta_id_mode_missing_field_id_refuses(spark, qc, tmp_path):
     import pyarrow.parquet as pq
     tbl = _id_mode_table(
         tmp_path, [("a.parquet", {1: ("x", [1]), 2: ("y", [1.0])})])
-    # strip the ids by rewriting the file without metadata
+    # strip the ids: rebuild the schema without FIELD-level metadata
+    # (schema.remove_metadata() would only drop schema-level metadata)
+    import pyarrow as pa
     p = str(tmp_path / "a.parquet")
     t = pq.read_table(p)
-    pq.write_table(t.cast(t.schema.remove_metadata()), p)
-    import pyarrow as pa
-    t2 = pq.read_table(p)
-    bare = pa.schema([pa.field(f.name, f.type) for f in t2.schema])
-    pq.write_table(t2.cast(bare), p)
+    bare = pa.schema([pa.field(f.name, f.type) for f in t.schema])
+    pq.write_table(t.cast(bare), p)
     with pytest.raises(ValueError, match="field id"):
         qc.read_delta(tbl).df.collect()
 
@@ -1249,3 +1248,51 @@ def test_delta_cm_name_write_roundtrip_and_compact(spark, qc, tmp_path):
     files2, _, _, _ = _replay(tbl, None)
     assert len(files2) == 1
     assert set(pq.read_schema(files2[0]).names) == {"col-a1", "col-b2"}
+
+
+def test_delta_cm_review_regressions(spark, qc, tmp_path):
+    """Round-8 review pins: an id-mode table refuses upserts (a
+    logical-name scan would match nothing and committed rewrites
+    would brick the table), and an OVERWRITE without partition_by on
+    a partitioned name-mapped table refuses instead of committing
+    unpartitioned files under partition-declaring metadata."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    tbl = _id_mode_table(
+        tmp_path, [("a.parquet", {1: ("x", [1]), 2: ("y", [1.0])})])
+    with pytest.raises(NotImplementedError, match="mode=id"):
+        upsert_delta_local(spark, tbl,
+                           spark.createDataFrame([(1, 9.0)],
+                                                 "id long, v double"),
+                           "id")
+    # partitioned + name-mapped: overwrite without partition_by gates
+    f1 = str(tmp_path / "p1.parquet")
+    pd.DataFrame({"col-b2": [1.0]}).to_parquet(f1)
+    schema = {"type": "struct", "fields": [
+        {"name": "p", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b2",
+                      "delta.columnMapping.id": 2}}]}
+    ptbl = str(tmp_path / "pcm")
+    os.makedirs(ptbl)
+    _commit(ptbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": ["p"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "2"},
+                      "createdTime": 0}},
+        {"add": {"path": f1, "partitionValues": {"col-a1": "A"},
+                 "size": 1, "modificationTime": 0, "dataChange": True}}])
+    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+        write_delta_local(
+            spark.createDataFrame([("B", 2.0)], "p string, v double"),
+            ptbl, mode="overwrite")

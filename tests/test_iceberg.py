@@ -832,3 +832,36 @@ def test_iceberg_write_evolves_schema(qc, spark, tmp_path):
     assert set(got.columns) == {"id", "score"}
     rows = {r["id"]: r["score"] for r in got.collect()}
     assert rows == {1: None, 2: None, 3: 1.5}
+
+
+def test_transform_pruning_review_regressions(spark, qc, tmp_path):
+    """Round-8 review pins: (1) a tz-aware timestamp literal prunes by
+    its UTC INSTANT, not its wall time; (2) equality refutation keeps
+    the file on a type-representation mismatch instead of silently
+    pruning; (3) a filter column that is no schema column raises."""
+    import datetime
+
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import (_apply_transform,
+                                                    _transform_refutes)
+    # (1) +05:00 02:00 on Jan 1 is Dec 31 21:00 UTC → day 19722
+    aware = datetime.datetime.fromisoformat("2024-01-01 02:00:00+05:00")
+    assert _apply_transform("day", aware, "timestamptz") == 19722
+    assert _apply_transform("year", aware, "timestamptz") == 53
+    # (2) str partition value vs int literal: incomparable → keep
+    with pytest.raises(TypeError):
+        _transform_refutes("=", 4, "4", True)
+    # (3) unknown column (e.g. the partition FIELD name) raises
+    f = str(tmp_path / "f.parquet")
+    pd.DataFrame({"id": [1], "r": ["EU"]}).to_parquet(f)
+    tbl = str(tmp_path / "btbl")
+    create_local_iceberg_table(
+        tbl, [[{"path": f, "partition": {"r_bucket": 3}}]],
+        schema_fields=[(1, "id", "long"), (2, "r", "string")],
+        partition_spec=[{"name": "r_bucket", "type": "int",
+                         "source-id": 2, "transform": "bucket[4]"}])
+    with pytest.raises(ValueError, match="unknown column"):
+        qc.read_iceberg(tbl, partition_filter="r_bucket = 3")
+    with pytest.raises(ValueError, match="unknown column"):
+        qc.read_iceberg(tbl, partition_filter="typo = 'EU'")
