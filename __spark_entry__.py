@@ -5366,17 +5366,35 @@ def _stream_events_dir(spark, qc, sf_dir, tag="one"):
 def _drain(df, mode="append"):
     """Run a streaming DataFrame to completion (availableNow) into a
     uniquely-named memory sink; returns the sink table (static once
-    the query terminates)."""
+    the query terminates).
+
+    Shuffle partitions are TRIMMED to 8 around query start: a
+    streaming query pins its state-partition count at first start,
+    and per-partition state-store open/commit dominates these bounded
+    replays (measured at sf0.1: stream_join 4.7s at 32 partitions →
+    2.4s at 8; RocksDB provider does NOT help — its JNI store startup
+    costs what the HDFS-backed one does). At production scale the
+    partition count should instead be sized to the key cardinality —
+    this trim is a test-scale fit, results are partition-invariant."""
     import uuid
+    spark = df.sparkSession
     name = "qs_sink_" + uuid.uuid4().hex[:10]
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode(mode).trigger(availableNow=True).start())
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    trim = str(min(int(old), 8))
+    spark.conf.set("spark.sql.shuffle.partitions", trim)
+    try:
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(mode).trigger(availableNow=True).start())
+    finally:
+        # the running query captured its partition count at start;
+        # restore immediately so concurrent batch plans are untouched
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     if not q.awaitTermination(600):
         # NEVER read a half-filled sink — that would surface as a
         # flaky oracle mismatch instead of a loud timeout
         q.stop()
         raise TimeoutError("streaming gate drain exceeded 600s")
-    return df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def stream_tumbling(spark, sf_dir):

@@ -43,10 +43,10 @@ BENCH_QUERIES = [
     "text_tfidf", "op_cap_per_key", "dedup_lines", "ml_logreg",
     "op_quantize", "op_zorder", "ts_ewma", "ts_vwap",
     "text_c4", "ml_bpe_encode", "ts_resample",
-    # streaming replay gates: tumbling agg + bounded-state dedup
-    # (stream_join stays a correctness gate only — the stream-stream
-    # state store's fixed per-batch cost dominates at bench scale)
-    "stream_tumbling", "stream_dedup",
+    # streaming replay gates: tumbling agg, bounded-state dedup, and
+    # (since round 8) the stream-stream join — the 8-partition state
+    # trim in _drain cut its fixed store-startup cost under 3s
+    "stream_tumbling", "stream_dedup", "stream_join",
 ]
 
 
