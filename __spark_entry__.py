@@ -4418,7 +4418,10 @@ def dedup_embedding(spark, sf_dir):
     only inside (table, bucket), no cartesian in the plan (plan-tested).
     The oracle mirrors the same deterministic bucketing, so the gate is
     hash-exact; recall vs the exact all-pairs set is covered by a
-    separate pytest (exact path kept as embedding_near_pairs)."""
+    separate pytest (exact path kept as embedding_near_pairs). The
+    gate PINS 4-bit buckets for oracle identity — the production
+    default instead auto-sizes bits with the corpus (SCALE.md round-8
+    probe: fixed bits were the one super-linear term found)."""
     from quokka_spark.functions.dedup import embedding_near_pairs_lsh
     qc = _qc(spark)
     emb = _t(qc, sf_dir, "embeddings").df

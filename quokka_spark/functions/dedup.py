@@ -400,7 +400,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id",
                              threshold: float = 0.8,
-                             bits_per_table: int = 4,
+                             bits_per_table: int | None = None,
                              n_tables: int | None = None,
                              dim: int | None = None,
                              broadcast_bytes: int = 64 << 20) -> DataFrame:
@@ -439,6 +439,21 @@ def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
     similarity.vector_range_join."""
     if dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if bits_per_table is None:
+        # AUTO-SIZE with the corpus: fixed-width buckets make the
+        # within-bucket pair term quadratic in n (the round-8 sf0.1→
+        # sf1 probe measured 29x work for 10x vectors at 4 bits) —
+        # target ~200 rows per (table, bucket) so candidate counts
+        # grow ~linearly; the recall loss per extra bit is bounded
+        # (cos 0.8 → per-bit agreement ~0.8, and n_tables = dim/bits
+        # ORs the tables). Capped at 10 bits: past that the
+        # axis-group scheme runs out of distinct dims and a bucket
+        # CAP (drop over-full buckets, documented recall trade) is
+        # the production lever.
+        import math
+        n = df.count()
+        bits_per_table = max(4, min(10, math.ceil(
+            math.log2(max(n, 1) / 200)) if n > 200 else 4))
     if n_tables is None:
         n_tables = dim // bits_per_table
     assert n_tables * bits_per_table <= dim
