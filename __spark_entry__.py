@@ -5709,12 +5709,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-exact `ts_cep_quantified`, `src_delta_checkpoint` and
     `ml_bpe_train`. Round-8 rotation (round-7 verdict #6): this
     round's headline machinery — `src_delta_dv` (executor-side DV
-    decode) and `stream_sink_delta` (exactly-once streaming sink) —
-    moved INTO the window; out went `dedup_ngram_jaccard` (the
-    documented quadratic oracle mode — `dedup_minhash`, the
-    production path, keeps the window seat) and `agg_covariance`
-    (same mapInArrow-partials machinery as the retained
-    `agg_gramian`). Redundant relational micro-gates (covered by
+    decode), `stream_sink_delta` (exactly-once streaming sink) and
+    `src_hudi_mor` (MoR log merge) — moved INTO the window; out went
+    `dedup_ngram_jaccard` (the documented quadratic oracle mode —
+    `dedup_minhash`, the production path, keeps the window seat),
+    `agg_covariance` (same mapInArrow-partials machinery as the
+    retained `agg_gramian`) and `ts_hopping` (same windows.py
+    dispatch as the retained tumbling/sliding pair). Redundant relational micro-gates (covered by
     TPC-H) and perf-focused bench gates sit past the window; all 80+
     entries stay pytest-oracle-checked in tests/test_oracle_parity.py."""
     return {
@@ -5728,8 +5729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": tpch_q18, "tpch_q19": tpch_q19, "tpch_q22": tpch_q22,
         "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
         "tpch_q21": tpch_q21,
-        # time series (8) + streaming (2)
-        "ts_tumbling": ts_tumbling, "ts_hopping": ts_hopping,
+        # time series (7) + streaming (2)
+        "ts_tumbling": ts_tumbling,
         "ts_sliding": ts_sliding, "ts_session": ts_session,
         "ts_asof_join": ts_asof_join,
         "ts_cep_funnel": ts_cep_funnel,
@@ -5751,9 +5752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gramian": agg_gramian,
         "agg_quantile": agg_quantile, "ml_kmeans": ml_kmeans,
         "graph_pagerank": graph_pagerank,
-        # sources (2: checkpoint replay + executor-side DV decode)
+        # sources (3: checkpoint replay, executor-side DV decode,
+        # Hudi MoR log merge — the round-8 headline)
         "src_delta_checkpoint": src_delta_checkpoint,
         "src_delta_dv": src_delta_dv,
+        "src_hudi_mor": src_hudi_mor,
         # streaming sink (exactly-once Delta ingestion)
         "stream_sink_delta": stream_sink_delta,
         # tokenizer (1) + non-equi join verb (1)
@@ -5762,6 +5765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver window (pytest-oracle-checked) -----------
         "agg_covariance": agg_covariance,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "ts_hopping": ts_hopping,
         "ts_shift": ts_shift, "text_lang_id": text_lang_id,
         "ts_cep_plus_dep": ts_cep_plus_dep,
         "dedup_simhash": dedup_simhash,
@@ -5803,7 +5807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_orc": src_orc,
         "src_avro": src_avro,
         "src_hudi": src_hudi,
-        "src_hudi_mor": src_hudi_mor,
         "src_delta_cm": src_delta_cm,
         "src_delta_cm_write": src_delta_cm_write,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,

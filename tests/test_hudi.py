@@ -391,3 +391,64 @@ def test_hudi_mor_review_pass_regressions(spark, qc, tmp_path):
             spark.createDataFrame([(2, 0.0, "x")],
                                   "id long, v double, tag string"),
             tbl, recordkey="id", mode="append")
+
+
+def test_hudi_mor_random_ops_match_dict_model(spark, qc, tmp_path):
+    """Model-based sweep: a random sequence of upsert / delete /
+    compact ops against a plain Python dict model — after every op
+    the merged read must equal the model exactly, and a time-travel
+    read at each recorded instant must reproduce the model's history.
+    Deterministic seed; exercises multi-log accumulation, tombstone
+    chains, insert routing and compaction folding together."""
+    import random
+
+    from quokka_spark.sources.hudi_local import (compact_hudi_local,
+                                                 upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+    rng = random.Random(8)
+    tbl = str(tmp_path / "model")
+    model = {i: float(i) for i in range(30)}
+    write_hudi_mor_local(
+        spark.createDataFrame(sorted(model.items()), "id long, v double")
+        .repartition(3), tbl, recordkey="id")
+    history = []          # (instant, snapshot of model)
+
+    def read_as(as_of=None):
+        return {r["id"]: r["v"]
+                for r in qc.read_hudi(tbl, as_of=as_of).df.collect()}
+
+    next_new = 1000
+    for step in range(8):
+        op = rng.choice(["upsert", "delete", "upsert", "compact"])
+        if op == "upsert":
+            ups = {}
+            for _ in range(rng.randint(1, 6)):
+                if model and rng.random() < 0.7:
+                    k = rng.choice(sorted(model))
+                else:
+                    k = next_new
+                    next_new += 1
+                ups[k] = round(rng.uniform(0, 1e6), 3)
+            ts = upsert_hudi_mor_local(
+                spark, tbl,
+                spark.createDataFrame(sorted(ups.items()),
+                                      "id long, v double"))
+            model.update(ups)
+        elif op == "delete":
+            ks = [k for k in sorted(model) if rng.random() < 0.3]
+            ks.append(99999999)          # always one unknown key
+            ts = upsert_hudi_mor_local(
+                spark, tbl,
+                spark.createDataFrame([(k,) for k in ks], "id long"),
+                delete=True)
+            for k in ks:
+                model.pop(k, None)
+            if ts is None:               # only-unknown no-op
+                continue
+        else:
+            ts = compact_hudi_local(spark, tbl, target_file_rows=1000)
+        history.append((ts, dict(model)))
+        assert read_as() == model, f"step {step} ({op})"
+    # time travel replays every recorded state
+    for ts, snap in history:
+        assert read_as(ts) == snap, f"as_of {ts}"
