@@ -1913,6 +1913,69 @@ FROM doubled GROUP BY l_returnflag
 """
 
 
+def src_delta_cdf(spark, sf_dir):
+    """Incremental / CDF-style Delta read (delta_local.
+    read_delta_changes — inserts from dataChange adds, deletes from
+    DV deltas, all derived from the log): v0 bulk-loads the
+    even-orderkey half of lineitem, v1 appends the odd half, v2
+    DV-deletes every l_orderkey % 7 = 0 row — the change stream from
+    version 1 must carry exactly the v1 inserts and the v2 deletes,
+    which the oracle reproduces from plain lineitem."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_deltacdf_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(li)
+        write_delta_local(src.where("l_orderkey % 2 = 0"), tbl)
+        write_delta_local(src.where("l_orderkey % 2 = 1"), tbl,
+                          mode="append")
+        deletes = {}
+        for uri in qc.read_delta(tbl).df.inputFiles():
+            f = uri.removeprefix("file:")
+            keys = pq.read_table(f, columns=["l_orderkey"]) \
+                .column("l_orderkey").to_pylist()
+            pos = [i for i, v in enumerate(keys) if v % 7 == 0]
+            if pos:
+                deletes[f] = pos
+        delete_rows_delta_local(tbl, deletes)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ch = qc.read_delta_changes(tbl, 1).df
+    return ch.groupBy("_commit_version", "_change_type",
+                      "l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_DELTA_CDF_SQL = """
+WITH ch AS (
+  SELECT 1 AS _commit_version, 'insert' AS _change_type,
+         l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 2 = 1
+  UNION ALL
+  SELECT 2, 'delete', l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 7 = 0
+)
+SELECT CAST(_commit_version AS BIGINT) AS _commit_version,
+       _change_type, l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM ch GROUP BY _commit_version, _change_type, l_returnflag
+"""
+
+
 def src_iceberg_transform(spark, sf_dir):
     """Iceberg BUCKET-transform partition pruning end-to-end
     (iceberg_local._prune_entries_transforms + the spec's 32-bit
@@ -5809,6 +5872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_hudi": src_hudi,
         "src_delta_cm": src_delta_cm,
         "src_delta_cm_write": src_delta_cm_write,
+        "src_delta_cdf": src_delta_cdf,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -6000,6 +6064,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_dv": _SRC_DELTA_DV_SQL,
         "src_delta_cm": _SRC_DELTA_CM_SQL,
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,
+        "src_delta_cdf": _SRC_DELTA_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_join": _STREAM_JOIN_SQL,

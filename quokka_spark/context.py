@@ -191,6 +191,20 @@ class QuokkaContext:
             self.spark, table, version, partition_filter=partition_filter,
             scan_filter=scan_filter))
 
+    def read_delta_changes(self, table: str, from_version: int,
+                           to_version: int | None = None) -> DataStream:
+        """CDF-style incremental read of a local Delta table: the
+        row-level changes of versions [from_version, to_version]
+        (inclusive), derived entirely from the log — data columns
+        plus `_change_type` ('insert'/'delete') and
+        `_commit_version`. Inserts come from dataChange add actions,
+        deletes from removed files and deletion-vector deltas;
+        compaction (dataChange=false) contributes nothing. See
+        sources/delta_local.read_delta_changes."""
+        from .sources.delta_local import read_delta_changes
+        return DataStream(self, read_delta_changes(
+            self.spark, table, from_version, to_version))
+
     def read_hudi(self, table: str, as_of: str | None = None) -> DataStream:
         """Apache Hudi table (COPY_ON_WRITE and MERGE_ON_READ),
         optional time travel by instant timestamp (extension source —

@@ -1425,3 +1425,186 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
             actions.append(_add_action(root, p, stats=_footer_stats(p)))
     _commit(table, version, actions)
     return version
+
+
+# ----------------------------------------------------------------------
+# incremental / CDF-style reads (round 8)
+# ----------------------------------------------------------------------
+
+def read_delta_changes(spark, table: str, from_version: int,
+                       to_version: int | None = None):
+    """Row-level changes committed in versions ``[from_version,
+    to_version]`` (inclusive, like Delta CDF's startingVersion) —
+    the incremental-consumer read, derived ENTIRELY from the log, no
+    _change_data files needed. Output = the table's data columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+
+    Per commit, exactly the protocol's change semantics for non-CDC
+    writers:
+    - an add of a NEW path with dataChange=true → its surviving rows
+      (minus the add's own DV) are inserts;
+    - an add RE-ADDing a live path (the DV-update commit shape) →
+      the NEW-minus-OLD deletion-vector positions are deletes, rows
+      fetched by a distributed (path, pos) semi-join with both DVs
+      decoded executor-side;
+    - a remove with dataChange=true whose path is not re-added in the
+      same commit → the file's pre-commit surviving rows are deletes;
+    - dataChange=false actions (compaction/clustering) contribute
+      NOTHING — exactly why the writer marks them false.
+    An upsert's rewrite therefore surfaces as delete(old rows) +
+    insert(new rows), the standard CDF decomposition when the writer
+    records no CDC files.
+
+    Driver cost is the usual KB-scale log replay; every row-bearing
+    step is a distributed scan. Partitioned and columnMapping tables
+    are gated (their adds need value/namespace translation here)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    versions = list_versions(table)
+    if to_version is None:
+        to_version = versions[-1]
+    if from_version > to_version:
+        raise ValueError(f"from_version {from_version} > to_version "
+                         f"{to_version}")
+    missing = [v for v in range(from_version, to_version + 1)
+               if v not in versions]
+    if missing:
+        raise ValueError(
+            f"versions {missing[:5]} are not in the log (cleaned up?) "
+            "— the change stream would be incomplete")
+
+    # pre-state for DV diffs and remove-row reconstruction
+    if from_version > 0:
+        _, meta, pre_keys, pre_adds = _replay(table, from_version - 1)
+        pre_live = dict(zip(pre_keys, pre_adds))
+    else:
+        _, meta, _, _ = _replay(table, to_version)
+        pre_live = {}
+    if meta.get("partitionColumns"):
+        raise NotImplementedError(
+            "read_delta_changes on a PARTITIONED table — add actions "
+            "carry partitionValues this reader does not rejoin here")
+    if _cm_mode(meta) != "none":
+        raise NotImplementedError(
+            "read_delta_changes on a columnMapping table — physical-"
+            "name translation is not wired into the change scan")
+    root = table.removeprefix("file://")
+
+    def _abs(k):
+        return k if os.path.isabs(k) else os.path.join(root, k)
+
+    parts = []
+
+    def _tag(df, ctype, v):
+        return df.select(
+            "*", F.lit(ctype).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"))
+
+    def _dv_delta_rows(v, pairs):
+        """pairs: [(path key, new add, old add|None)] → 'delete' rows
+        at positions new-DV minus old-DV, decoded executor-side."""
+        rows = [(_abs(k),
+                 _json.dumps(na.get("deletionVector")),
+                 _json.dumps((oa or {}).get("deletionVector")))
+                for k, na, oa in pairs]
+        dd = spark.createDataFrame(
+            rows, "__qs_dfp__ string, __qs_new__ string, __qs_old__ string")
+        par = min(len(rows), spark.sparkContext.defaultParallelism)
+        if par > 1:
+            dd = dd.repartition(par)
+        abs_root = os.path.abspath(root)
+
+        def _decode(batches):
+            import pandas as pd
+
+            from quokka_spark.sources.dv import dv_row_indexes
+            for pdf in batches:
+                for fp, nj, oj in zip(pdf["__qs_dfp__"],
+                                      pdf["__qs_new__"],
+                                      pdf["__qs_old__"]):
+                    new = _json.loads(nj)
+                    old = _json.loads(oj)
+                    npos = set(dv_row_indexes(abs_root, new)) if new \
+                        else set()
+                    opos = set(dv_row_indexes(abs_root, old)) if old \
+                        else set()
+                    delta = sorted(npos - opos)
+                    yield pd.DataFrame(
+                        {"__qs_dfp__": pd.Series([fp] * len(delta),
+                                                 dtype="object"),
+                         "__qs_dpos__": pd.array(delta, dtype="int64")})
+
+        positions = dd.mapInPandas(
+            _decode, "__qs_dfp__ string, __qs_dpos__ long")
+        files = [r[0] for r in rows]
+        scan = (spark.read.parquet(*files)
+                .withColumn("__qs_fp__", _plain_path_col())
+                .withColumn("__qs_pos__", F.col("_metadata.row_index"))
+                .join(positions,
+                      (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                      & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                      "left_semi")
+                .drop("__qs_fp__", "__qs_pos__"))
+        parts.append(_tag(scan, "delete", v))
+
+    for v in range(from_version, to_version + 1):
+        adds, removes = {}, {}
+        with open(_version_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    removes[action["remove"]["path"]] = action["remove"]
+        ins_files, ins_adds = [], []
+        dv_pairs = []
+        for k, a in adds.items():
+            if not a.get("dataChange", True):
+                continue
+            if k in pre_live:
+                dv_pairs.append((k, a, pre_live[k]))
+            else:
+                ins_files.append(_abs(k))
+                ins_adds.append(a)
+        del_files, del_adds = [], []
+        for k, r in removes.items():
+            if not r.get("dataChange", True) or k in adds:
+                continue
+            old = pre_live.get(k)
+            if old is None:
+                raise ValueError(
+                    f"version {v} removes {k!r} which is not live at "
+                    f"version {v - 1} — malformed log")
+            del_files.append(_abs(k))
+            del_adds.append(old)
+        if ins_files:
+            df = spark.read.parquet(*ins_files)
+            df = _apply_deletion_vectors(spark, df, ins_files,
+                                         ins_adds, root)
+            parts.append(_tag(df, "insert", v))
+        if del_files:
+            df = spark.read.parquet(*del_files)
+            df = _apply_deletion_vectors(spark, df, del_files,
+                                         del_adds, root)
+            parts.append(_tag(df, "delete", v))
+        if dv_pairs:
+            _dv_delta_rows(v, dv_pairs)
+        # roll the pre-state forward (removes before adds, the
+        # per-commit reconcile rule)
+        for k in removes:
+            pre_live.pop(k, None)
+        for k, a in adds.items():
+            pre_live[k] = a
+    if not parts:
+        # typed empty frame: data schema + the two change columns
+        base = read_delta_local(spark, table, to_version)
+        return _tag(base, "insert", 0).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1296,3 +1296,57 @@ def test_delta_cm_review_regressions(spark, qc, tmp_path):
         write_delta_local(
             spark.createDataFrame([("B", 2.0)], "p string, v double"),
             ptbl, mode="overwrite")
+
+
+# ----------------------------------------------------------------------
+# incremental / CDF-style reads (round 8)
+# ----------------------------------------------------------------------
+
+def test_delta_changes_inserts_deletes_dv_and_compaction(spark, qc,
+                                                         tmp_path):
+    """read_delta_changes over a full lifecycle: v0 bulk insert, v1
+    append, v2 DV delete (delta positions only), v3 compaction
+    (dataChange=false — NO changes), v4 overwrite (delete-all +
+    insert). Every slice of the version range reproduces exactly the
+    change rows the log implies."""
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  delete_rows_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "cdf")
+    write_delta_local(spark.range(0, 10).coalesce(1), tbl)            # v0
+    write_delta_local(spark.range(10, 15).coalesce(1), tbl,
+                      mode="append")                                  # v1
+    f = [p.removeprefix("file:")
+         for p in qc.read_delta(tbl).df.inputFiles()
+         if "data-" in p][0]
+    import pyarrow.parquet as pq
+    ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+    delete_rows_delta_local(
+        tbl, {f: [i for i, v in enumerate(ids) if v in (2, 7)]})      # v2
+    compact_delta_local(spark, tbl, target_file_rows=1000)            # v3
+    write_delta_local(spark.range(100, 103).coalesce(1), tbl,
+                      mode="overwrite")                               # v4
+
+    def rows(a, b=None):
+        return sorted(
+            (r["_commit_version"], r["_change_type"], r["id"])
+            for r in qc.read_delta_changes(tbl, a, b).df.collect())
+
+    assert rows(0, 0) == [(0, "insert", i) for i in range(10)]
+    assert rows(1, 1) == [(1, "insert", i) for i in range(10, 15)]
+    # v2: ONLY the newly deleted positions
+    assert rows(2, 2) == [(2, "delete", 2), (2, "delete", 7)]
+    # v3 compaction: dataChange=false -> zero change rows
+    assert rows(3, 3) == []
+    # v4 overwrite: deletes the live rows (2 and 7 already gone),
+    # inserts the new ones
+    assert rows(4, 4) == sorted(
+        [(4, "delete", i) for i in range(15) if i not in (2, 7)]
+        + [(4, "insert", i) for i in (100, 101, 102)])
+    # a multi-version slice unions exactly
+    assert rows(1, 3) == rows(1, 1) + rows(2, 2)
+    got = qc.read_delta_changes(tbl, 0).df
+    assert got.columns == ["id", "_change_type", "_commit_version"]
+    # missing version in the range errors loudly
+    with pytest.raises(ValueError, match="from_version"):
+        qc.read_delta_changes(tbl, 4, 2)
