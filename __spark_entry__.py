@@ -1913,6 +1913,62 @@ FROM doubled GROUP BY l_returnflag
 """
 
 
+def src_hudi_incr(spark, sf_dir):
+    """Hudi INCREMENTAL query (hudi_local.read_hudi_incremental —
+    the consumption mode real Hudi pipelines chain on): documents
+    bulk-loads into a MoR table, one deltacommit UPDATES every
+    doc_id % 10 = 0 row (lang → 'xx'), one deltacommit DELETES every
+    doc_id % 7 = 0 row; the incremental read from the first update
+    instant must carry exactly those change rows — upserts with the
+    new payload, tombstones keyed by doc_id — which the oracle
+    reproduces from plain documents."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.hudi_local import (completed_instants,
+                                                 upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+    qc = _qc(spark)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_hudincr_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(docs)
+        write_hudi_mor_local(src.repartition(2), tbl, recordkey="doc_id")
+        upd = src.where("doc_id % 10 = 0").withColumn("lang", F.lit("xx"))
+        upsert_hudi_mor_local(spark, tbl, upd)
+        dels = src.where("doc_id % 7 = 0").select("doc_id")
+        upsert_hudi_mor_local(spark, tbl, dels, delete=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    t_upd = completed_instants(tbl)[1][0]
+    ch = qc.read_hudi_incremental(tbl, t_upd).df
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+_SRC_HUDI_INCR_SQL = """
+WITH ch AS (
+  SELECT 'upsert' AS _change_type, 'xx' AS lang, doc_id, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'delete', NULL, doc_id, NULL
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT _change_type, lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM ch GROUP BY _change_type, lang
+"""
+
+
 def src_delta_cdf(spark, sf_dir):
     """Incremental / CDF-style Delta read (delta_local.
     read_delta_changes — inserts from dataChange adds, deletes from
@@ -5873,6 +5929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm": src_delta_cm,
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cdf": src_delta_cdf,
+        "src_hudi_incr": src_hudi_incr,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -6065,6 +6122,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_cm": _SRC_DELTA_CM_SQL,
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,
         "src_delta_cdf": _SRC_DELTA_CDF_SQL,
+        "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_join": _STREAM_JOIN_SQL,

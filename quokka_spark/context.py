@@ -219,6 +219,18 @@ class QuokkaContext:
         from .sources.hudi_local import read_hudi_local
         return DataStream(self, read_hudi_local(self.spark, table, as_of))
 
+    def read_hudi_incremental(self, table: str, begin: str,
+                              end: str | None = None) -> DataStream:
+        """Hudi incremental query: rows written in instants
+        [begin, end] (inclusive) — data columns plus `_change_type`
+        ('upsert'/'delete') and `_commit_instant`. New base files are
+        upserts, deltacommit log records carry their own tombstone
+        flag, clustering replacecommits contribute nothing. See
+        sources/hudi_local.read_hudi_incremental."""
+        from .sources.hudi_local import read_hudi_incremental
+        return DataStream(self, read_hudi_incremental(
+            self.spark, table, begin, end))
+
     def read_iceberg(self, table: str, snapshot: int | None = None,
                      partition_filter: str | None = None,
                      scan_filter: str | None = None) -> DataStream:

@@ -452,3 +452,75 @@ def test_hudi_mor_random_ops_match_dict_model(spark, qc, tmp_path):
     # time travel replays every recorded state
     for ts, snap in history:
         assert read_as(ts) == snap, f"as_of {ts}"
+
+
+def test_hudi_incremental_reads(spark, qc, tmp_path):
+    """Incremental query over the MoR lifecycle: bulk load, upsert,
+    delete, compaction — each instant's slice carries exactly the
+    rows that instant wrote (tombstones flagged), compaction yields
+    nothing, and foreign/unreconstructible shapes refuse."""
+    from quokka_spark.sources.hudi_local import (compact_hudi_local,
+                                                 completed_instants,
+                                                 upsert_hudi_mor_local)
+    tbl = _mor_table(spark, tmp_path, n=6)            # t0: bulk insert
+    t1 = upsert_hudi_mor_local(spark, tbl, spark.createDataFrame(
+        [(2, 222.0, "UP"), (100, 1.0, "NEW")],
+        "id long, v double, tag string"))             # t1: upsert+insert
+    t2 = upsert_hudi_mor_local(
+        spark, tbl, spark.createDataFrame([(4,)], "id long"),
+        delete=True)                                  # t2: tombstone
+    t3 = compact_hudi_local(spark, tbl, target_file_rows=1000)  # t3
+
+    def rows(a, b=None):
+        return sorted(
+            (r["_commit_instant"], r["_change_type"], r["id"])
+            for r in qc.read_hudi_incremental(tbl, a, b).df.collect())
+
+    t0 = completed_instants(tbl)[0][0]
+    assert rows(t0, t0) == [(t0, "upsert", i) for i in range(6)]
+    # t1: the update AND the routed insert, both upserts
+    assert rows(t1, t1) == [(t1, "upsert", 2), (t1, "upsert", 100)]
+    got = {r["id"]: (r["v"], r["tag"])
+           for r in qc.read_hudi_incremental(tbl, t1, t1).df.collect()}
+    assert got[2] == (222.0, "UP") and got[100] == (1.0, "NEW")
+    # t2: tombstone flagged as delete, key present
+    assert rows(t2, t2) == [(t2, "delete", 4)]
+    # t3 clustering: no changes
+    assert rows(t3, t3) == []
+    # the full range unions exactly
+    assert rows(t0) == rows(t0, t0) + rows(t1, t1) + rows(t2, t2)
+    # foreign replacecommit without operationType refuses
+    import json as _json
+    import os as _os
+    late = "99999999999999999"
+    with open(_os.path.join(tbl, ".hoodie", f"{late}.replacecommit"),
+              "w") as fh:
+        _json.dump({"partitionToWriteStats": {}}, fh)
+    with pytest.raises(NotImplementedError, match="operationType"):
+        qc.read_hudi_incremental(tbl, t0)
+
+
+def test_hudi_incremental_cow_append_and_overwrite(spark, qc, tmp_path):
+    """CoW incremental: appends are upserts; insert_overwrite
+    surfaces the new rows; a rewritten live group (supersession
+    fixture without meta columns) refuses."""
+    from quokka_spark.sources.hudi_local import write_hudi_local
+    tbl = str(tmp_path / "cowi")
+    t0 = write_hudi_local(spark.range(0, 3).coalesce(1), tbl)
+    t1 = write_hudi_local(spark.range(10, 12).coalesce(1), tbl,
+                          mode="append")
+    t2 = write_hudi_local(spark.range(100, 101).coalesce(1), tbl,
+                          mode="overwrite")
+    rows = sorted(
+        (r["_commit_instant"], r["_change_type"], r["id"])
+        for r in qc.read_hudi_incremental(tbl, t1).df.collect())
+    assert rows == [(t1, "upsert", 10), (t1, "upsert", 11),
+                    (t2, "upsert", 100)]
+    # supersession (re-add of a live group) refuses
+    a = str(tmp_path / "a.parquet")
+    pd.DataFrame({"id": [1]}).to_parquet(a)
+    sup = str(tmp_path / "sup")
+    commit_hudi_local(sup, {"": [("g1", a)]}, instant="1")
+    commit_hudi_local(sup, {"": [("g1", a)]}, instant="2")
+    with pytest.raises(NotImplementedError, match="rewritten"):
+        qc.read_hudi_incremental(sup, "1")
