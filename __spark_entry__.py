@@ -1913,6 +1913,72 @@ FROM doubled GROUP BY l_returnflag
 """
 
 
+def src_iceberg_cdf(spark, sf_dir):
+    """Iceberg incremental read (iceberg_local.read_iceberg_changes —
+    manifest diffs per snapshot, no changelog files): snapshot 1
+    holds the even-orderkey half of lineitem, snapshot 2 appends the
+    odd half, snapshot 3 position-deletes every l_orderkey % 7 = 0
+    row — the change stream from snapshot 2 carries exactly the
+    appends and the deleted rows, which the oracle reproduces from
+    plain lineitem."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import (
+        add_position_deletes, create_local_iceberg_table)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_icecdf_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(li)
+        odd = pc.equal(pc.bit_wise_and(t.column("l_orderkey"), 1), 1)
+        even_f = os.path.join(base, "even.parquet")
+        odd_f = os.path.join(base, "odd.parquet")
+        pq.write_table(t.filter(pc.invert(odd)), even_f)
+        pq.write_table(t.filter(odd), odd_f)
+        create_local_iceberg_table(tbl, [[even_f], [even_f, odd_f]])
+        deletes = {}
+        for f in (even_f, odd_f):
+            keys = pq.read_table(f, columns=["l_orderkey"]) \
+                .column("l_orderkey").to_pylist()
+            pos = [i for i, v in enumerate(keys) if v % 7 == 0]
+            if pos:
+                deletes[f] = pos
+        add_position_deletes(tbl, deletes)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ch = qc.read_iceberg_changes(tbl, 2).df
+    return ch.groupBy("_snapshot_id", "_change_type",
+                      "l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_ICEBERG_CDF_SQL = """
+WITH ch AS (
+  SELECT 2 AS _snapshot_id, 'insert' AS _change_type,
+         l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 2 = 1
+  UNION ALL
+  SELECT 3, 'delete', l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 7 = 0
+)
+SELECT CAST(_snapshot_id AS BIGINT) AS _snapshot_id,
+       _change_type, l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM ch GROUP BY _snapshot_id, _change_type, l_returnflag
+"""
+
+
 def src_hudi_incr(spark, sf_dir):
     """Hudi INCREMENTAL query (hudi_local.read_hudi_incremental —
     the consumption mode real Hudi pipelines chain on): documents
@@ -5930,6 +5996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cdf": src_delta_cdf,
         "src_hudi_incr": src_hudi_incr,
+        "src_iceberg_cdf": src_iceberg_cdf,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -6123,6 +6190,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,
         "src_delta_cdf": _SRC_DELTA_CDF_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
+        "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
         "stream_dedup": _STREAM_DEDUP_SQL,
         "stream_join": _STREAM_JOIN_SQL,

@@ -191,6 +191,19 @@ class QuokkaContext:
             self.spark, table, version, partition_filter=partition_filter,
             scan_filter=scan_filter))
 
+    def read_iceberg_changes(self, table: str, from_snapshot: int,
+                             to_snapshot: int | None = None) -> DataStream:
+        """CDF-style incremental read of a local Iceberg table:
+        row-level changes of snapshots [from_snapshot, to_snapshot]
+        (inclusive) — data columns plus `_change_type`
+        ('insert'/'delete') and `_snapshot_id`. Added data files are
+        inserts, added position/equality delete files surface their
+        deleted rows, `replace` (compaction) snapshots contribute
+        nothing. See sources/iceberg_local.read_iceberg_changes."""
+        from .sources.iceberg_local import read_iceberg_changes
+        return DataStream(self, read_iceberg_changes(
+            self.spark, table, from_snapshot, to_snapshot))
+
     def read_delta_changes(self, table: str, from_version: int,
                            to_version: int | None = None) -> DataStream:
         """CDF-style incremental read of a local Delta table: the

@@ -1060,9 +1060,11 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
     snap_entries = []
     last_sid = 0
     for i, spec in enumerate(snapshots, start=1):
+        operation = "append"
         if isinstance(spec, dict):
             files, dels = spec.get("data", []), spec.get("deletes", [])
             eq_dels = spec.get("eq_deletes", [])
+            operation = spec.get("operation") or "append" 
             # explicit id: commit_snapshot preserves ORIGINAL snapshot
             # ids/sequence numbers across rebuilds — after
             # expire_snapshots_local, positional renumbering would
@@ -1134,7 +1136,7 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
         write_container(mlist, _MANIFEST_FILE_SCHEMA, mlist_rows)
         snap_entries.append({"snapshot-id": sid, "sequence-number": sid,
                              "timestamp-ms": 0, "manifest-list": mlist,
-                             "summary": {"operation": "append"}})
+                             "summary": {"operation": operation}})
     n = last_sid or len(snapshots)
     schemas = []
     if schema_fields:
@@ -1268,22 +1270,30 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
             # a sequence BELOW carried equality deletes and silently
             # delete their rows (and break time travel to kept ids)
             prior.append({"data": d, "deletes": dels, "eq_deletes": eqs,
-                          "snapshot_id": s.get("snapshot-id")})
+                          "snapshot_id": s.get("snapshot-id"),
+                          "operation": (s.get("summary") or {})
+                          .get("operation")})
     current = prior[-1] if prior else {"data": [], "deletes": [],
                                        "eq_deletes": []}
     new_id = 1 + max(
         [int(p["snapshot_id"]) for p in prior if p.get("snapshot_id")],
         default=0)
     if replace:
+        # real writers stamp rewrite commits "replace" — incremental
+        # readers use it to skip pure rearrangements
         new_snap = {"data": list(add_files or []), "deletes": [],
-                    "eq_deletes": [], "snapshot_id": new_id}
+                    "eq_deletes": [], "snapshot_id": new_id,
+                    "operation": "replace"}
     else:
         new_snap = {
             "data": current["data"] + list(add_files or []),
             "deletes": current["deletes"] + list(add_delete_files or []),
             "eq_deletes": (current["eq_deletes"]
                            + list(add_eq_delete_files or [])),
-            "snapshot_id": new_id}
+            "snapshot_id": new_id,
+            "operation": ("overwrite"
+                          if (add_delete_files or add_eq_delete_files)
+                          else "append")}
     schema_fields = _evolved_schema_fields(schema_fields, evolve_from_df)
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
@@ -1510,3 +1520,138 @@ def add_equality_deletes(table_dir: str, rows: "pa.Table | dict",
     return commit_snapshot(table_dir, add_eq_delete_files=[
         {"path": dpath,
          "equality_ids": [int(x) for x in (equality_ids or [])]}])
+
+
+# ----------------------------------------------------------------------
+# incremental / CDF-style reads (round 8) — completes the trio next to
+# delta_local.read_delta_changes and hudi_local.read_hudi_incremental
+# ----------------------------------------------------------------------
+
+def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
+                         to_snapshot: int | None = None):
+    """Row-level changes committed in snapshots ``[from_snapshot,
+    to_snapshot]`` (inclusive, metadata order) — derived entirely
+    from manifests, no changelog files. Output = the table's data
+    columns plus ``_change_type`` ('insert' | 'delete') and
+    ``_snapshot_id``.
+
+    Per snapshot, against its predecessor:
+    - newly added DATA files → inserts;
+    - newly added POSITION-delete files → their (file_path, pos) rows
+      fetched by a distributed semi-join over the targeted files;
+    - newly added EQUALITY-delete files → the matching rows of
+      strictly-older data files (sequence-scoped, null-safe);
+    - snapshots stamped ``replace`` (compaction/rewrite) → NOTHING;
+    - data files REMOVED by a non-replace snapshot (overwrite /
+      truncate) → their rows as deletes, gated when the parent
+      snapshot carries delete files (the survivors would need the
+      full anti-join stack reconstructed per removed file).
+    An upsert commit (new files + position deletes in one snapshot)
+    therefore decomposes into delete(old rows) + insert(new rows),
+    the standard CDF shape for writers without changelogs.
+
+    Driver cost: manifest reads per snapshot in the range (KB-scale);
+    every row-bearing step is a distributed scan."""
+    from pyspark.sql import functions as F
+
+    meta = _read_table_metadata(table_path)
+    snaps = meta.get("snapshots", [])
+    ids = [s.get("snapshot-id") for s in snaps]
+    if to_snapshot is None:
+        to_snapshot = ids[-1] if ids else None
+    if from_snapshot not in ids or to_snapshot not in ids:
+        raise ValueError(
+            f"snapshot range [{from_snapshot}, {to_snapshot}] not in "
+            f"the table's snapshots {ids}")
+    i0, i1 = ids.index(from_snapshot), ids.index(to_snapshot)
+    if i0 > i1:
+        raise ValueError(f"from_snapshot {from_snapshot} is newer than "
+                         f"to_snapshot {to_snapshot}")
+    names = _field_names_of(meta)
+    parts = []
+
+    def _tag(df, ctype, sid):
+        return df.select(
+            "*", F.lit(ctype).alias("_change_type"),
+            F.lit(int(sid)).cast("long").alias("_snapshot_id"))
+
+    for pos in range(i0, i1 + 1):
+        sid = ids[pos]
+        op = (snaps[pos].get("summary") or {}).get("operation")
+        cur_d, cur_p, cur_e = snapshot_files_full(table_path, sid)
+        if pos > 0:
+            par_d, par_p, par_e = snapshot_files_full(table_path,
+                                                      ids[pos - 1])
+        else:
+            par_d, par_p, par_e = [], [], []
+        cur_paths = {d["path"]: d for d in cur_d}
+        par_paths = {d["path"]: d for d in par_d}
+        added = [p for p in cur_paths if p not in par_paths]
+        removed = [p for p in par_paths if p not in cur_paths]
+        new_pos = [p for p in cur_p if p not in set(par_p)]
+        par_eq_paths = {d["path"] for d in par_e}
+        new_eq = [d for d in cur_e if d["path"] not in par_eq_paths]
+        if op == "replace":
+            if new_pos or new_eq:
+                raise ValueError(
+                    f"snapshot {sid}: stamped 'replace' but adds "
+                    "delete files — malformed rewrite")
+            continue
+        if removed:
+            if par_p or par_e:
+                raise NotImplementedError(
+                    f"snapshot {sid} removes data files while the "
+                    "parent carries delete files — reconstructing "
+                    "each removed file's surviving rows is not "
+                    "supported here (compact first)")
+            parts.append(_tag(
+                spark.read.parquet(*[_local(p) for p in sorted(removed)]),
+                "delete", sid))
+        if added:
+            parts.append(_tag(
+                spark.read.parquet(*[_local(p) for p in sorted(added)]),
+                "insert", sid))
+        if new_pos:
+            dd = (spark.read.parquet(*[_local(p) for p in new_pos])
+                  .select(_norm_path(F.col("file_path"))
+                          .alias("__qs_dfp__"),
+                          F.col("pos").cast("long").alias("__qs_dpos__"))
+                  .distinct())
+            targets = sorted(cur_paths) + sorted(
+                p for p in par_paths if p not in cur_paths)
+            scan = (spark.read.parquet(*[_local(p) for p in targets])
+                    .withColumn("__qs_fp__",
+                                _norm_path(F.col("_metadata.file_path")))
+                    .withColumn("__qs_pos__",
+                                F.col("_metadata.row_index"))
+                    .join(dd,
+                          (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                          & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                          "left_semi")
+                    .drop("__qs_fp__", "__qs_pos__"))
+            parts.append(_tag(scan, "delete", sid))
+        for d in new_eq:
+            older = [e["path"] for e in par_d
+                     if int(e["seq"]) < int(d["seq"])]
+            if not older:
+                continue
+            dd = spark.read.parquet(_local(d["path"]))
+            ids_ = d.get("equality_ids") or []
+            cols = [names[i] for i in ids_] if ids_ and all(
+                i in names for i in ids_) else list(dd.columns)
+            dd = dd.select(*[F.col(c).alias(f"__qs_eq_{c}__")
+                             for c in cols]).distinct()
+            scan = spark.read.parquet(*[_local(p) for p in sorted(older)])
+            cond = None
+            for c in cols:
+                eq = F.col(c).eqNullSafe(F.col(f"__qs_eq_{c}__"))
+                cond = eq if cond is None else cond & eq
+            parts.append(_tag(scan.join(dd, cond, "left_semi"),
+                              "delete", sid))
+    if not parts:
+        cur = _live_df(spark, table_path, to_snapshot)
+        return _tag(cur, "insert", 0).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -865,3 +865,64 @@ def test_transform_pruning_review_regressions(spark, qc, tmp_path):
         qc.read_iceberg(tbl, partition_filter="r_bucket = 3")
     with pytest.raises(ValueError, match="unknown column"):
         qc.read_iceberg(tbl, partition_filter="typo = 'EU'")
+
+
+def test_iceberg_changes_lifecycle(spark, qc, tmp_path):
+    """read_iceberg_changes over append → position delete → equality
+    delete → compaction → append: each snapshot slice carries exactly
+    its change rows, compaction yields nothing, and the
+    removed-files-under-deletes shape gates."""
+    from quokka_spark.sources.iceberg_local import (
+        add_equality_deletes, add_position_deletes, append_snapshot,
+        commit_snapshot, rewrite_data_files_local, snapshot_files)
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(0, 10).coalesce(1).toPandas().to_parquet(a)
+    spark.range(10, 15).coalesce(1).toPandas().to_parquet(b)
+    tbl = str(tmp_path / "tbl")
+    s1, s2 = create_local_iceberg_table(
+        tbl, [[a], [a, b]], schema_fields=[(1, "id", "long")])
+    (a_path, _), _ = snapshot_files(tbl, s2)
+    s3 = add_position_deletes(tbl, {a_path: [0, 3]})     # ids 0, 3
+    s4 = add_equality_deletes(tbl, {"id": [12]})
+    s5 = rewrite_data_files_local(spark, tbl, target_file_rows=1000)
+    c = str(tmp_path / "c.parquet")
+    spark.range(100, 102).coalesce(1).toPandas().to_parquet(c)
+    s6 = append_snapshot(tbl, [c])
+
+    def rows(x, y=None):
+        return sorted(
+            (r["_snapshot_id"], r["_change_type"], r["id"])
+            for r in qc.read_iceberg_changes(tbl, x, y).df.collect())
+
+    assert rows(s1, s1) == [(s1, "insert", i) for i in range(10)]
+    assert rows(s2, s2) == [(s2, "insert", i) for i in range(10, 15)]
+    assert rows(s3, s3) == [(s3, "delete", 0), (s3, "delete", 3)]
+    assert rows(s4, s4) == [(s4, "delete", 12)]
+    assert rows(s5, s5) == []                       # compaction
+    assert rows(s6, s6) == [(s6, "insert", 100), (s6, "insert", 101)]
+    assert rows(s3) == rows(s3, s3) + rows(s4, s4) + rows(s6, s6)
+    got = qc.read_iceberg_changes(tbl, s1).df
+    assert got.columns == ["id", "_change_type", "_snapshot_id"]
+    # an upsert commit decomposes: new file + pos-deletes in ONE snap
+    d = str(tmp_path / "d.parquet")
+    spark.range(200, 202).coalesce(1).toPandas().to_parquet(d)
+    (files, _) = snapshot_files(tbl, s6)[0], None
+    tgt = [f for f in snapshot_files(tbl, s6)[0] if "compact" in f][0]
+    import pyarrow.parquet as pq
+    first_id = pq.read_table(tgt, columns=["id"]).column("id")[0].as_py()
+    s7 = commit_snapshot(
+        tbl, add_files=[d],
+        add_delete_files=[_mk_posdel(tmp_path, spark, tgt, [0])])
+    assert rows(s7, s7) == sorted(
+        [(s7, "insert", 200), (s7, "insert", 201),
+         (s7, "delete", first_id)])
+    with pytest.raises(ValueError, match="not in"):
+        qc.read_iceberg_changes(tbl, 99999)
+
+
+def _mk_posdel(tmp_path, spark, target, positions):
+    import pandas as pd
+    p = str(tmp_path / f"pd_{abs(hash(target)) % 99999}.parquet")
+    pd.DataFrame({"file_path": [target] * len(positions),
+                  "pos": positions}).to_parquet(p)
+    return p
