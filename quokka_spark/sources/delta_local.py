@@ -476,6 +476,25 @@ def _plain_path_col():
         "\\+", "%2B"))
 
 
+def _check_dv_descriptor(f: str, dv: dict) -> None:
+    """Descriptor-level validation, driver-side (O(#files) metadata,
+    no position decode) so an unsupported storage type gates LOUDLY
+    at plan time, not mid-job in an executor — shared by the scan's
+    DV application and the change stream's DV-delta path."""
+    if dv.get("storageType") not in ("i", "u", "p"):
+        raise NotImplementedError(
+            f"deletion vector storageType {dv.get('storageType')!r}")
+    if not dv.get("pathOrInlineDv"):
+        raise ValueError(
+            f"{f}: deletionVector descriptor has no pathOrInlineDv — "
+            "the deleted positions are unknowable (refusing to "
+            "resurrect deleted rows)")
+    if dv["storageType"] in ("u", "p") and dv.get("offset") is None:
+        raise ValueError(
+            f"{f}: file-storage deletionVector descriptor has no "
+            "offset")
+
+
 def _apply_deletion_vectors(spark, df, files, adds, root):
     """Drop each file's DV-marked row positions via an anti-join on
     (file path, row index) — the same distributed mechanism as
@@ -497,22 +516,7 @@ def _apply_deletion_vectors(spark, df, files, adds, root):
         dv = a.get("deletionVector")
         if not dv:
             continue
-        # descriptor-level validation stays on the driver (O(#files)
-        # metadata, no position decode) so an unsupported storage
-        # type gates LOUDLY at plan time, not mid-job in an executor
-        if dv.get("storageType") not in ("i", "u", "p"):
-            raise NotImplementedError(
-                f"deletion vector storageType "
-                f"{dv.get('storageType')!r}")
-        if not dv.get("pathOrInlineDv"):
-            raise ValueError(
-                f"{f}: deletionVector descriptor has no pathOrInlineDv"
-                " — the deleted positions are unknowable (refusing to"
-                " resurrect deleted rows)")
-        if dv["storageType"] in ("u", "p") and dv.get("offset") is None:
-            raise ValueError(
-                f"{f}: file-storage deletionVector descriptor has no"
-                " offset")
+        _check_dv_descriptor(f, dv)
         rows.append((os.path.abspath(f), _json.dumps(dv)))
     if not rows:
         return df
@@ -1468,12 +1472,16 @@ def read_delta_changes(spark, table: str, from_version: int,
     if from_version > to_version:
         raise ValueError(f"from_version {from_version} > to_version "
                          f"{to_version}")
+    # the replay needs the JSON commit BODIES — a checkpoint-only
+    # version (its commit cleaned up) cannot contribute change rows
+    json_commits = set(_scan_log(table)[0])
     missing = [v for v in range(from_version, to_version + 1)
-               if v not in versions]
+               if v not in json_commits]
     if missing:
         raise ValueError(
-            f"versions {missing[:5]} are not in the log (cleaned up?) "
-            "— the change stream would be incomplete")
+            f"versions {missing[:5]} have no JSON commit in the log "
+            "(cleaned up after checkpointing?) — the change stream "
+            "would be incomplete")
 
     # pre-state for DV diffs and remove-row reconstruction
     if from_version > 0:
@@ -1505,10 +1513,18 @@ def read_delta_changes(spark, table: str, from_version: int,
     def _dv_delta_rows(v, pairs):
         """pairs: [(path key, new add, old add|None)] → 'delete' rows
         at positions new-DV minus old-DV, decoded executor-side."""
-        rows = [(_abs(k),
-                 _json.dumps(na.get("deletionVector")),
-                 _json.dumps((oa or {}).get("deletionVector")))
-                for k, na, oa in pairs]
+        rows = []
+        for k, na, oa in pairs:
+            # abspath, NOT _abs: the semi-join compares against
+            # _plain_path_col()'s absolute scan paths — a relative
+            # table path would silently match nothing
+            for side in (na, oa or {}):
+                dv = side.get("deletionVector")
+                if dv:
+                    _check_dv_descriptor(k, dv)
+            rows.append((os.path.abspath(_abs(k)),
+                         _json.dumps(na.get("deletionVector")),
+                         _json.dumps((oa or {}).get("deletionVector"))))
         dd = spark.createDataFrame(
             rows, "__qs_dfp__ string, __qs_new__ string, __qs_old__ string")
         par = min(len(rows), spark.sparkContext.defaultParallelism)

@@ -719,6 +719,10 @@ def read_hudi_incremental(spark, table: str, begin: str,
         raise ValueError(f"{table}: empty timeline")
     if end is None:
         end = instants[-1][0]
+    if int(begin) > int(end):
+        raise ValueError(f"begin {begin} is newer than end {end} — a "
+                         "reversed range would silently return no "
+                         "changes")
     live_groups: set = set()
     parts = []
 

@@ -1575,6 +1575,15 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
             "*", F.lit(ctype).alias("_change_type"),
             F.lit(int(sid)).cast("long").alias("_snapshot_id"))
 
+    def _scan(paths):
+        # the TABLE read schema, not per-file inference: pre-evolution
+        # files surface evolved columns as null, exactly like the
+        # normal read path, and the parts union cleanly
+        fs = [_local(p) for p in sorted(paths)]
+        rs = _table_read_schema(meta, fs[0])
+        return (spark.read.schema(rs).parquet(*fs)
+                if rs is not None else spark.read.parquet(*fs))
+
     for pos in range(i0, i1 + 1):
         sid = ids[pos]
         op = (snaps[pos].get("summary") or {}).get("operation")
@@ -1604,35 +1613,70 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
                     "parent carries delete files — reconstructing "
                     "each removed file's surviving rows is not "
                     "supported here (compact first)")
-            parts.append(_tag(
-                spark.read.parquet(*[_local(p) for p in sorted(removed)]),
-                "delete", sid))
+            parts.append(_tag(_scan(removed), "delete", sid))
         if added:
-            parts.append(_tag(
-                spark.read.parquet(*[_local(p) for p in sorted(added)]),
-                "insert", sid))
+            parts.append(_tag(_scan(added), "insert", sid))
+        # parent LIVE rows (full delete stack applied) are the match
+        # target whenever the parent carries delete files — matching
+        # raw files would re-report rows already deleted earlier
+        # (phantom deletes); when the parent is delete-free, a raw
+        # scan bounded to the referenced files is cheaper and equal
+        par_live = None
+        if (new_pos or new_eq) and pos > 0 and (par_p or par_e):
+            par_live = _live_df(spark, table_path, ids[pos - 1],
+                                keep_position=True)
+        added_norm = {_py_norm(_local(p)): p for p in added}
         if new_pos:
+            import pyarrow.parquet as pq
+            referenced = set()
+            for p in new_pos:
+                referenced |= set(
+                    pq.read_table(_local(p), columns=["file_path"])
+                    .column("file_path").to_pylist())
+            ref_norm = {_py_norm(_local(p)) for p in referenced}
             dd = (spark.read.parquet(*[_local(p) for p in new_pos])
                   .select(_norm_path(F.col("file_path"))
                           .alias("__qs_dfp__"),
                           F.col("pos").cast("long").alias("__qs_dpos__"))
                   .distinct())
-            targets = sorted(cur_paths) + sorted(
-                p for p in par_paths if p not in cur_paths)
-            scan = (spark.read.parquet(*[_local(p) for p in targets])
-                    .withColumn("__qs_fp__",
-                                _norm_path(F.col("_metadata.file_path")))
+            targets = []
+            old_refs = ref_norm - set(added_norm)
+            if old_refs:
+                if par_live is not None:
+                    targets.append(par_live.where(
+                        F.col("__qs_fp__").isin(sorted(old_refs))))
+                else:
+                    old_files = [p for p in par_paths
+                                 if _py_norm(_local(p)) in old_refs]
+                    if old_files:
+                        targets.append(
+                            _scan(old_files)
+                            .withColumn("__qs_fp__", _norm_path(
+                                F.col("_metadata.file_path")))
+                            .withColumn("__qs_pos__",
+                                        F.col("_metadata.row_index")))
+            new_refs = [added_norm[n] for n in ref_norm
+                        if n in added_norm]
+            if new_refs:
+                # brand-new files can carry no prior deletes: raw scan
+                targets.append(
+                    _scan(new_refs)
+                    .withColumn("__qs_fp__", _norm_path(
+                        F.col("_metadata.file_path")))
                     .withColumn("__qs_pos__",
-                                F.col("_metadata.row_index"))
-                    .join(dd,
-                          (F.col("__qs_fp__") == F.col("__qs_dfp__"))
-                          & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
-                          "left_semi")
-                    .drop("__qs_fp__", "__qs_pos__"))
-            parts.append(_tag(scan, "delete", sid))
+                                F.col("_metadata.row_index")))
+            if targets:
+                tgt = targets[0]
+                for t in targets[1:]:
+                    tgt = tgt.unionByName(t)
+                scan = (tgt.join(
+                    dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                    & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                    "left_semi").drop("__qs_fp__", "__qs_pos__"))
+                parts.append(_tag(scan, "delete", sid))
         for d in new_eq:
-            older = [e["path"] for e in par_d
-                     if int(e["seq"]) < int(d["seq"])]
+            older = {_py_norm(_local(e["path"])) for e in par_d
+                     if int(e["seq"]) < int(d["seq"])}
             if not older:
                 continue
             dd = spark.read.parquet(_local(d["path"]))
@@ -1641,13 +1685,23 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
                 i in names for i in ids_) else list(dd.columns)
             dd = dd.select(*[F.col(c).alias(f"__qs_eq_{c}__")
                              for c in cols]).distinct()
-            scan = spark.read.parquet(*[_local(p) for p in sorted(older)])
+            if par_live is not None:
+                tgt = par_live.where(F.col("__qs_fp__")
+                                     .isin(sorted(older)))
+            else:
+                tgt = (_scan([p for p in par_paths
+                              if _py_norm(_local(p)) in older])
+                       .withColumn("__qs_fp__", _norm_path(
+                           F.col("_metadata.file_path")))
+                       .withColumn("__qs_pos__",
+                                   F.col("_metadata.row_index")))
             cond = None
             for c in cols:
                 eq = F.col(c).eqNullSafe(F.col(f"__qs_eq_{c}__"))
                 cond = eq if cond is None else cond & eq
-            parts.append(_tag(scan.join(dd, cond, "left_semi"),
-                              "delete", sid))
+            parts.append(_tag(
+                tgt.join(dd, cond, "left_semi")
+                .drop("__qs_fp__", "__qs_pos__"), "delete", sid))
     if not parts:
         cur = _live_df(spark, table_path, to_snapshot)
         return _tag(cur, "insert", 0).limit(0)

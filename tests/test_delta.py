@@ -1316,11 +1316,16 @@ def test_delta_changes_inserts_deletes_dv_and_compaction(spark, qc,
     write_delta_local(spark.range(0, 10).coalesce(1), tbl)            # v0
     write_delta_local(spark.range(10, 15).coalesce(1), tbl,
                       mode="append")                                  # v1
-    f = [p.removeprefix("file:")
-         for p in qc.read_delta(tbl).df.inputFiles()
-         if "data-" in p][0]
     import pyarrow.parquet as pq
-    ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+    # pick the v0 file (the one holding ids 2 and 7) — inputFiles()
+    # order is not deterministic
+    f = ids = None
+    for p in qc.read_delta(tbl).df.inputFiles():
+        cand = p.removeprefix("file:")
+        vals = pq.read_table(cand, columns=["id"]).column("id").to_pylist()
+        if 2 in vals:
+            f, ids = cand, vals
+            break
     delete_rows_delta_local(
         tbl, {f: [i for i, v in enumerate(ids) if v in (2, 7)]})      # v2
     compact_delta_local(spark, tbl, target_file_rows=1000)            # v3
@@ -1350,3 +1355,39 @@ def test_delta_changes_inserts_deletes_dv_and_compaction(spark, qc,
     # missing version in the range errors loudly
     with pytest.raises(ValueError, match="from_version"):
         qc.read_delta_changes(tbl, 4, 2)
+
+
+def test_delta_changes_review_regressions(spark, qc, tmp_path,
+                                          monkeypatch):
+    """Round-8 review pins: (1) DV-delta change rows survive a
+    RELATIVE table path (the semi-join key is absolute); (2) a
+    version whose JSON commit was cleaned up after checkpointing
+    refuses with a loud ValueError, not a FileNotFoundError
+    mid-replay."""
+    import os as _os
+
+    from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  write_checkpoint_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "dtbl")
+    write_delta_local(spark.range(0, 6).coalesce(1), tbl)
+    f = qc.read_delta(tbl).df.inputFiles()[0].removeprefix("file:")
+    delete_rows_delta_local(tbl, {f: [2]})
+    # a NON-NORMALIZED table path: absolute, so the old code passed
+    # it through un-abspath'd and the semi-join key never matched the
+    # scan's normalized file paths — silently empty change stream
+    _os.makedirs(str(tmp_path / "x"), exist_ok=True)
+    alias = str(tmp_path / "x" / ".." / "dtbl")
+    got = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                 for r in qc.read_delta_changes(alias, 1, 1)
+                 .df.collect())
+    assert got == [(1, "delete", 2)]
+    # (2) checkpoint then clean the JSON commits at/below it
+    tbl2 = str(tmp_path / "chk")
+    write_delta_local(spark.range(3).coalesce(1), tbl2)
+    write_delta_local(spark.range(3, 6).coalesce(1), tbl2, mode="append")
+    write_checkpoint_local(tbl2)
+    for v in (0, 1):
+        _os.unlink(_os.path.join(tbl2, "_delta_log", f"{v:020d}.json"))
+    with pytest.raises(ValueError, match="no JSON commit"):
+        qc.read_delta_changes(tbl2, 0)

@@ -926,3 +926,38 @@ def _mk_posdel(tmp_path, spark, target, positions):
     pd.DataFrame({"file_path": [target] * len(positions),
                   "pos": positions}).to_parquet(p)
     return p
+
+
+def test_iceberg_changes_review_regressions(spark, qc, tmp_path):
+    """Round-8 review pins: (1) an equality delete of a row ALREADY
+    position-deleted earlier emits no phantom delete row; (2)
+    schema-evolved tables read through the change stream with the
+    TABLE schema (pre-evolution slices carry the evolved column as
+    null instead of crashing the union)."""
+    from quokka_spark.sources.iceberg_local import (add_equality_deletes,
+                                                    add_position_deletes,
+                                                    commit_snapshot,
+                                                    snapshot_files)
+    a = str(tmp_path / "a.parquet")
+    spark.range(0, 5).coalesce(1).toPandas().to_parquet(a)
+    tbl = str(tmp_path / "tbl")
+    (s1,) = create_local_iceberg_table(tbl, [[a]],
+                                       schema_fields=[(1, "id", "long")])
+    (a_path,), _ = snapshot_files(tbl, s1)
+    s2 = add_position_deletes(tbl, {a_path: [0]})        # deletes id 0
+    s3 = add_equality_deletes(tbl, {"id": [0, 2]})       # 0 already gone
+    got = sorted((r["_snapshot_id"], r["_change_type"], r["id"])
+                 for r in qc.read_iceberg_changes(tbl, s3, s3)
+                 .df.collect())
+    assert got == [(s3, "delete", 2)]                    # no phantom 0
+    # (2) schema evolution: add a file with an extra column
+    w = str(tmp_path / "wide.parquet")
+    wdf = spark.createDataFrame([(10, 1.5)], "id long, v double")
+    wdf.coalesce(1).toPandas().to_parquet(w)
+    s4 = commit_snapshot(tbl, add_files=[w], evolve_from_df=wdf)
+    ch = qc.read_iceberg_changes(tbl, s1).df
+    assert set(ch.columns) == {"id", "v", "_change_type", "_snapshot_id"}
+    rows = {(r["_snapshot_id"], r["_change_type"], r["id"]): r["v"]
+            for r in ch.collect()}
+    assert rows[(s4, "insert", 10)] == 1.5
+    assert rows[(s1, "insert", 1)] is None               # pre-evolution
