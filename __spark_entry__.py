@@ -5757,6 +5757,47 @@ def stream_resample(spark, sf_dir):
                       F.round("value", 6).alias("value"))
 
 
+def stream_src_delta(spark, sf_dir):
+    """Streaming SOURCE from the lakehouse (streaming/delta_source —
+    the reverse of the exactly-once sink): lineitem lands in a local
+    Delta table as two append versions, the stream tails the log
+    through the Python DataSource offsets (one per version, files
+    read executor-side as Arrow batches) under availableNow, and the
+    drained aggregate must equal plain lineitem."""
+    import os
+    import tempfile
+    from quokka_spark.sources.delta_local import write_delta_local
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_srcstream_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(li)
+        write_delta_local(src.where("l_orderkey % 2 = 0"), tbl)
+        write_delta_local(src.where("l_orderkey % 2 = 1"), tbl,
+                          mode="append")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    stream = qc.read_delta_stream(tbl) \
+        .select("l_returnflag", "l_quantity")
+    out = _drain(stream)
+    return out.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_STREAM_SRC_DELTA_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def stream_sink_delta(spark, sf_dir):
     """Streaming ingestion INTO the lakehouse: the purchase events
     stream lands in a local Delta table through the exactly-once
@@ -6056,6 +6097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_asof": stream_asof,
         "stream_cep": stream_cep,
         "stream_resample": stream_resample,
+        "stream_src_delta": stream_src_delta,
     }
 
 
@@ -6198,4 +6240,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_cep": _CEP_SQL,
         "stream_resample": _STREAM_RESAMPLE_SQL,
         "stream_sink_delta": _STREAM_SINK_DELTA_SQL,
+        "stream_src_delta": _STREAM_SRC_DELTA_SQL,
     }

@@ -204,6 +204,29 @@ class QuokkaContext:
         return DataStream(self, read_iceberg_changes(
             self.spark, table, from_snapshot, to_snapshot))
 
+    def read_delta_stream(self, table: str,
+                          starting_version: int = 0,
+                          ignore_deletes: bool = False,
+                          ignore_changes: bool = False):
+        """Streaming SOURCE over a local Delta table (the reverse of
+        the exactly-once streaming sink): a STREAMING DataFrame whose
+        micro-batches tail the log's dataChange appends, one offset
+        per version. Append-only contract: delete / DV-rewrite
+        versions refuse unless ignore_deletes/ignore_changes opt in
+        (skipped WITHOUT duplicate re-transmission). Returns a plain
+        streaming DataFrame — chain watermarks/windows/writeStream as
+        usual. See streaming/delta_source.py."""
+        from .streaming.delta_source import DeltaStreamDataSource
+        try:
+            self.spark.dataSource.register(DeltaStreamDataSource)
+        except Exception:  # noqa: BLE001 — already registered
+            pass
+        r = (self.spark.readStream.format("delta_local_stream")
+             .option("starting_version", str(starting_version))
+             .option("ignore_deletes", str(ignore_deletes).lower())
+             .option("ignore_changes", str(ignore_changes).lower()))
+        return r.load(table)
+
     def read_delta_changes(self, table: str, from_version: int,
                            to_version: int | None = None) -> DataStream:
         """CDF-style incremental read of a local Delta table: the

@@ -1900,3 +1900,73 @@ def test_streaming_join_right_outer_key_not_null(spark, qc, tmp_path):
     # unmatched right rows: left value null, right value present
     assert got["v"].isna().tolist() == [False] + [True] * (len(ks) - 1)
     assert not got["v_2"].isna().any()
+
+
+# ----------------------------------------------------------------------
+# streaming SOURCE from a local Delta table (round 8)
+# ----------------------------------------------------------------------
+
+def test_delta_stream_source_tails_appends(spark, qc, tmp_path):
+    """A bounded availableNow drain of the Delta streaming source
+    equals the batch read (full-history replay), and a SECOND drain
+    from a checkpoint picks up only the rows appended in between —
+    the tailing contract."""
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "srcTbl")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    write_delta_local(spark.range(0, 5).coalesce(1), tbl)
+    write_delta_local(spark.range(5, 8).coalesce(1), tbl, mode="append")
+
+    def drain():
+        # a FILE sink (memory sinks cannot recover from checkpoints):
+        # each drain appends only the new offsets' rows
+        s = qc.read_delta_stream(tbl)
+        q = (s.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(8))
+    # append more; a new drain from the SAME checkpoint adds ONLY the
+    # new rows (each row streamed exactly once)
+    write_delta_local(spark.range(100, 103).coalesce(1), tbl,
+                      mode="append")
+    assert drain() == list(range(8)) + [100, 101, 102]
+
+
+def test_delta_stream_source_append_only_contract(spark, qc, tmp_path):
+    """Delete and DV-rewrite versions refuse by default; with the
+    ignore options they are skipped WITHOUT duplicate re-transmission;
+    compaction (dataChange=false) is invisible."""
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  delete_rows_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "srcTbl")
+    write_delta_local(spark.range(0, 6).coalesce(1), tbl)
+    f = qc.read_delta(tbl).df.inputFiles()[0].removeprefix("file:")
+    ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+    delete_rows_delta_local(tbl, {f: [ids.index(3)]})     # v1: DV
+    compact_delta_local(spark, tbl, target_file_rows=1000)  # v2: noop
+    write_delta_local(spark.range(10, 12).coalesce(1), tbl,
+                      mode="append")                        # v3
+
+    def drain(qname, **kw):
+        s = qc.read_delta_stream(tbl, **kw)
+        q = (s.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.table(qname).collect())
+
+    with pytest.raises(Exception, match="append-only"):
+        drain("dfail")
+    # ignore_changes: the DV rewrite is skipped, the pre-delete rows
+    # stay streamed once, compaction contributes nothing, appends flow
+    got = drain("dok", ignore_changes=True)
+    assert got == [0, 1, 2, 3, 4, 5, 10, 11]
+    # starting_version skips history; a new file's own DV applies
+    got2 = drain("dv3", starting_version=3, ignore_changes=True)
+    assert got2 == [10, 11]
