@@ -211,16 +211,17 @@ class QuokkaContext:
         """Streaming SOURCE over a local Delta table (the reverse of
         the exactly-once streaming sink): a STREAMING DataFrame whose
         micro-batches tail the log's dataChange appends, one offset
-        per version. Append-only contract: delete / DV-rewrite
-        versions refuse unless ignore_deletes/ignore_changes opt in
-        (skipped WITHOUT duplicate re-transmission). Returns a plain
+        per version. Append-only contract: ignore_deletes skips pure
+        delete versions; ignore_changes additionally skips DV
+        rewrites (no re-transmission — they add no rows) and streams
+        rewrite versions' new files in full (surviving rows ARE
+        re-transmitted, the ignoreChanges contract). Returns a plain
         streaming DataFrame — chain watermarks/windows/writeStream as
         usual. See streaming/delta_source.py."""
         from .streaming.delta_source import DeltaStreamDataSource
-        try:
-            self.spark.dataSource.register(DeltaStreamDataSource)
-        except Exception:  # noqa: BLE001 — already registered
-            pass
+        # register() replaces an existing registration, so repeated
+        # calls are safe; real failures must surface
+        self.spark.dataSource.register(DeltaStreamDataSource)
         r = (self.spark.readStream.format("delta_local_stream")
              .option("starting_version", str(starting_version))
              .option("ignore_deletes", str(ignore_deletes).lower())

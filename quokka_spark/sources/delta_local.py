@@ -211,6 +211,26 @@ def _replay(table: str, version: int | None):
     return files, meta, keys, [live[k] for k in keys]
 
 
+def _commit_actions(table: str, v: int) -> tuple[dict, dict]:
+    """One commit's file actions, buffered: ({path: add}, {path:
+    remove}) — the per-commit parse shared by _replay, the change
+    stream and the streaming source (reconciliation is per-commit,
+    never per-line)."""
+    adds: dict = {}
+    removes: dict = {}
+    with open(_version_path(table, v)) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                removes[action["remove"]["path"]] = action["remove"]
+    return adds, removes
+
+
 def _footer_stats(path: str) -> str | None:
     """Spec-shaped per-file ``stats`` JSON (numRecords, minValues,
     maxValues) from the parquet FOOTER statistics — what a real Delta
@@ -1566,17 +1586,7 @@ def read_delta_changes(spark, table: str, from_version: int,
         parts.append(_tag(scan, "delete", v))
 
     for v in range(from_version, to_version + 1):
-        adds, removes = {}, {}
-        with open(_version_path(table, v)) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    adds[action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    removes[action["remove"]["path"]] = action["remove"]
+        adds, removes = _commit_actions(table, v)
         ins_files, ins_adds = [], []
         dv_pairs = []
         for k, a in adds.items():

@@ -7,21 +7,32 @@ Offsets are LOG VERSIONS: each micro-batch covers the dataChange add
 actions of the commit versions in ``(start, end]`` — one input
 partition per data file, read executor-side as Arrow batches (the
 file's own deletion vector applied), so a growing table tails
-incrementally with the driver touching only KB-scale JSON per trigger.
+incrementally with the driver touching only the batch's JSON commits
+per trigger (the pre-batch live set is carried forward in reader
+state; a full replay happens once per (re)start).
 
-Delta's streaming-source contract is append-only: a version that
-REMOVES data (or rewrites a live file's deletion vector) refuses by
-default — silently skipping it would desynchronize the consumer.
-``ignore_deletes=true`` / ``ignore_changes=true`` opt into skipping
-delete-only / DV-rewrite versions (the rows already streamed stay
-streamed; a DV re-add contributes no new rows, so unlike the jar's
-``ignoreChanges`` re-transmission there are NO duplicates to
-deduplicate downstream). dataChange=false versions (compaction,
-clustering) are invisible, exactly why writers mark them false.
+Delta's streaming-source contract is append-only. Versions that
+change existing data refuse by default, with the REAL semantics per
+shape:
+- a PURE DELETE version (data removes, no adds): ``ignore_deletes=
+  true`` skips it — the removed rows were already streamed and stay
+  streamed, no duplicates;
+- a DV REWRITE (re-add of a live path with a new deletion vector):
+  ``ignore_changes=true`` skips it — the file contributes no new
+  rows, so unlike the jar's ignoreChanges there is nothing to
+  re-transmit;
+- a REWRITE version (removes + new-path adds: upsert/overwrite):
+  ``ignore_changes=true`` streams the NEW files in full — surviving
+  rows ARE re-transmitted, exactly the documented contract of real
+  Delta's ignoreChanges; deduplicate downstream if that matters.
+dataChange=false versions (compaction, clustering) are invisible,
+exactly why writers mark them false.
 
 ``starting_version=N`` begins the stream at version N (default 0 —
 the full-history replay that makes a bounded availableNow drain equal
-the batch read, which is what the oracle gate checks)."""
+the batch read, which is what the oracle gate checks). A
+starting_version beyond the latest log version refuses, matching the
+jar."""
 
 from __future__ import annotations
 
@@ -36,19 +47,29 @@ def _table_of(options: dict) -> str:
     path = options.get("path")
     if not path:
         raise ValueError("delta_local_stream needs .load(<table path>)")
-    return path.removeprefix("file://")
+    # resolve ONCE, driver-side: executors must not re-resolve a
+    # relative path against their own cwd
+    return os.path.abspath(path.removeprefix("file://"))
 
 
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, table: str, schema, options: dict):
-        from quokka_spark.sources.delta_local import _cm_mode, _replay
+        from quokka_spark.sources.delta_local import (_cm_mode, _replay,
+                                                      list_versions)
         self.table = table
         self.fields = [f.name for f in schema.fields]
+        self.field_types = {f.name: f.dataType for f in schema.fields}
         self.ignore_deletes = str(
             options.get("ignore_deletes", "false")).lower() == "true"
         self.ignore_changes = str(
             options.get("ignore_changes", "false")).lower() == "true"
         self.start_version = int(options.get("starting_version", 0))
+        latest = list_versions(table)[-1]
+        if self.start_version > latest:
+            raise ValueError(
+                f"starting_version {self.start_version} is beyond the "
+                f"log's latest version {latest} — refusing (the "
+                "committed offset would regress below it)")
         _, meta, _, _ = _replay(table, None)
         if meta.get("partitionColumns"):
             raise NotImplementedError(
@@ -57,6 +78,10 @@ class DeltaStreamReader(DataSourceStreamReader):
         if _cm_mode(meta) != "none":
             raise NotImplementedError(
                 "delta_local_stream on a columnMapping table")
+        # pre-batch live set, carried forward across triggers so the
+        # full _replay happens once per (re)start, not per trigger
+        self._live_at: int | None = None
+        self._live: set = set()
 
     # ---- offsets: {"version": last PROCESSED version} -----------------
     def initialOffset(self) -> dict:
@@ -66,9 +91,22 @@ class DeltaStreamReader(DataSourceStreamReader):
         from quokka_spark.sources.delta_local import list_versions
         return {"version": list_versions(self.table)[-1]}
 
+    def _live_before(self, v0: int) -> set:
+        if self._live_at == v0:
+            return self._live
+        if v0 >= 0:
+            from quokka_spark.sources.delta_local import _replay
+            _, _, live_keys, _ = _replay(self.table, v0)
+            live = set(live_keys)
+        else:
+            live = set()
+        self._live_at, self._live = v0, live
+        return live
+
     def partitions(self, start: dict, end: dict):
-        from quokka_spark.sources.delta_local import (_replay, _scan_log,
-                                                      _version_path)
+        from quokka_spark.sources.delta_local import (_check_dv_descriptor,
+                                                      _commit_actions,
+                                                      _scan_log)
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return []
@@ -78,70 +116,78 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"versions {missing[:5]} have no JSON commit (cleaned "
                 "up?) — the stream would lose changes")
-        # live set BEFORE the batch, to tell new files from DV re-adds
-        if v0 >= 0:
-            _, _, live_keys, _ = _replay(self.table, v0)
-            live = set(live_keys)
-        else:
-            live = set()
-        root = self.table
+        live = set(self._live_before(v0))
         parts = []
         for v in range(v0 + 1, v1 + 1):
-            adds, removes = {}, {}
-            with open(_version_path(self.table, v)) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "add" in action:
-                        adds[action["add"]["path"]] = action["add"]
-                    elif "remove" in action:
-                        removes[action["remove"]["path"]] = \
-                            action["remove"]
+            adds, removes = _commit_actions(self.table, v)
             data_removes = [k for k, r in removes.items()
                             if r.get("dataChange", True) and k not in adds]
+            new_adds, dv_readds = [], []
             for k, a in adds.items():
                 if not a.get("dataChange", True):
                     continue
-                if k in live:
-                    # DV rewrite of an already-streamed file: no new
-                    # rows exist to emit
-                    if not self.ignore_changes:
-                        raise ValueError(
-                            f"version {v} rewrites live file {k!r} "
-                            "(deletion-vector update) — a streaming "
-                            "source is append-only; pass "
-                            "ignore_changes=true to skip such versions")
-                    continue
-                p = k if os.path.isabs(k) else os.path.join(root, k)
-                parts.append(InputPartition(
-                    (p, json.dumps(a.get("deletionVector"))
-                     if a.get("deletionVector") else None)))
-            if data_removes and not (self.ignore_deletes
-                                     or self.ignore_changes):
+                (dv_readds if k in live else new_adds).append((k, a))
+            if dv_readds and not self.ignore_changes:
                 raise ValueError(
-                    f"version {v} removes data files — a streaming "
-                    "source is append-only; pass ignore_deletes=true "
-                    "to skip delete versions")
+                    f"version {v} rewrites live file(s) "
+                    f"{[k for k, _ in dv_readds[:2]]!r} (deletion-"
+                    "vector update) — a streaming source is "
+                    "append-only; pass ignore_changes=true to skip "
+                    "such versions (no rows are re-transmitted)")
+            if data_removes:
+                if new_adds and not self.ignore_changes:
+                    raise ValueError(
+                        f"version {v} rewrites data (removes + new "
+                        "files: upsert/overwrite) — pass "
+                        "ignore_changes=true to stream the new files "
+                        "(surviving rows WILL be re-transmitted, the "
+                        "ignoreChanges contract)")
+                if not new_adds and not (self.ignore_deletes
+                                         or self.ignore_changes):
+                    raise ValueError(
+                        f"version {v} removes data files — a streaming "
+                        "source is append-only; pass "
+                        "ignore_deletes=true to skip delete versions")
+            for k, a in new_adds:
+                dv = a.get("deletionVector")
+                if dv:
+                    _check_dv_descriptor(k, dv)
+                p = k if os.path.isabs(k) else os.path.join(self.table, k)
+                parts.append(InputPartition(
+                    (p, json.dumps(dv) if dv else None)))
             for k in removes:
                 live.discard(k)
-            for k, a in adds.items():
+            for k in adds:
                 live.add(k)
+        # carry forward for the next trigger
+        self._live_at, self._live = v1, live
         return parts
 
     def read(self, partition):
         import pyarrow as pa
         import pyarrow.parquet as pq
         path, dvj = partition.value
-        t = pq.read_table(path, columns=self.fields).select(self.fields)
+        have = set(pq.read_schema(path).names)
+        want = [c for c in self.fields if c in have]
+        t = pq.read_table(path, columns=want)
         if dvj:
             from quokka_spark.sources.dv import dv_row_indexes
-            dead = set(dv_row_indexes(
-                os.path.abspath(self.table), json.loads(dvj)))
+            dead = set(dv_row_indexes(self.table, json.loads(dvj)))
             keep = [i for i in range(t.num_rows) if i not in dead]
             t = t.take(pa.array(keep, type=pa.int64()))
-        yield from t.to_batches()
+        # schema evolution: files written before a column was added
+        # null-fill it, matching the batch reader's log-schema read
+        cols = []
+        for c in self.fields:
+            if c in have:
+                cols.append(t.column(c))
+            else:
+                from pyspark.sql.pandas.types import to_arrow_type
+                cols.append(pa.nulls(t.num_rows,
+                                     type=to_arrow_type(
+                                         self.field_types[c])))
+        yield from pa.Table.from_arrays(cols, names=self.fields) \
+            .to_batches()
 
     def commit(self, end: dict) -> None:
         pass

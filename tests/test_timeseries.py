@@ -1970,3 +1970,48 @@ def test_delta_stream_source_append_only_contract(spark, qc, tmp_path):
     # starting_version skips history; a new file's own DV applies
     got2 = drain("dv3", starting_version=3, ignore_changes=True)
     assert got2 == [10, 11]
+
+
+def test_delta_stream_source_review_regressions(spark, qc, tmp_path):
+    """Round-8 review pins: (1) a REWRITE version (upsert: removes +
+    new files) refuses even under ignore_deletes, and under
+    ignore_changes streams the new files in full (the documented
+    re-transmission contract); (2) schema-evolved tables stream with
+    pre-evolution files null-filling the added column; (3) a
+    starting_version beyond the latest log version refuses."""
+    from quokka_spark.sources.delta_local import (upsert_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "rw")
+    write_delta_local(spark.range(0, 5).coalesce(1), tbl)
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(2,), (100,)], "id long"), "id")
+
+    def drain(qname, **kw):
+        s = qc.read_delta_stream(tbl, **kw)
+        q = (s.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.table(qname).collect())
+
+    with pytest.raises(Exception, match="append-only|rewrites data"):
+        drain("rw1", ignore_deletes=True)
+    # ignore_changes: v0 rows + the rewrite's files IN FULL (0..4
+    # survivors re-transmitted + upserted 2 + inserted 100)
+    got = drain("rw2", ignore_changes=True)
+    assert got == [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 100]
+    # (3) starting_version beyond latest refuses at plan time
+    with pytest.raises(Exception, match="beyond"):
+        drain("rw3", starting_version=99)
+    # (2) schema evolution null-fills older files
+    tbl2 = str(tmp_path / "evo")
+    write_delta_local(spark.range(0, 3).coalesce(1), tbl2)
+    write_delta_local(
+        spark.createDataFrame([(10, 1.5)], "id long, v double")
+        .coalesce(1), tbl2, mode="append")
+    s = qc.read_delta_stream(tbl2)
+    q = (s.writeStream.format("memory").queryName("evo1")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = {r["id"]: r["v"] for r in spark.table("evo1").collect()}
+    assert rows == {0: None, 1: None, 2: None, 10: 1.5}
