@@ -5798,6 +5798,65 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def stream_src_iceberg(spark, sf_dir):
+    """Streaming SOURCE from an Iceberg table (streaming/
+    iceberg_source — snapshot-position offsets, one partition per
+    added data file): lineitem lands as two append snapshots, the
+    stream tails them under availableNow, and the drained aggregate
+    must equal plain lineitem."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import \
+        create_local_iceberg_table
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_icesrc_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(li)
+        odd = pc.equal(pc.bit_wise_and(t.column("l_orderkey"), 1), 1)
+        even_f = os.path.join(base, "even.parquet")
+        odd_f = os.path.join(base, "odd.parquet")
+        pq.write_table(t.filter(pc.invert(odd)), even_f)
+        pq.write_table(t.filter(odd), odd_f)
+        create_local_iceberg_table(
+            tbl, [[even_f], [even_f, odd_f]],
+            schema_fields=[(1, "l_orderkey", "long"),
+                           (2, "l_partkey", "long"),
+                           (3, "l_suppkey", "long"),
+                           (4, "l_linenumber", "int"),
+                           (5, "l_quantity", "double"),
+                           (6, "l_extendedprice", "double"),
+                           (7, "l_discount", "double"),
+                           (8, "l_tax", "double"),
+                           (9, "l_returnflag", "string"),
+                           (10, "l_linestatus", "string"),
+                           (11, "l_shipdate", "timestamp")])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    stream = qc.read_iceberg_stream(tbl) \
+        .select("l_returnflag", "l_quantity")
+    out = _drain(stream)
+    return out.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_STREAM_SRC_ICEBERG_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def stream_sink_delta(spark, sf_dir):
     """Streaming ingestion INTO the lakehouse: the purchase events
     stream lands in a local Delta table through the exactly-once
@@ -6098,6 +6157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep": stream_cep,
         "stream_resample": stream_resample,
         "stream_src_delta": stream_src_delta,
+        "stream_src_iceberg": stream_src_iceberg,
     }
 
 
@@ -6241,4 +6301,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_resample": _STREAM_RESAMPLE_SQL,
         "stream_sink_delta": _STREAM_SINK_DELTA_SQL,
         "stream_src_delta": _STREAM_SRC_DELTA_SQL,
+        "stream_src_iceberg": _STREAM_SRC_ICEBERG_SQL,
     }

@@ -191,6 +191,26 @@ class QuokkaContext:
             self.spark, table, version, partition_filter=partition_filter,
             scan_filter=scan_filter))
 
+    def read_iceberg_stream(self, table: str,
+                            starting_snapshot: int | None = None,
+                            ignore_deletes: bool = False,
+                            ignore_changes: bool = False):
+        """Streaming SOURCE over a local Iceberg table: a STREAMING
+        DataFrame tailing the snapshot list's added data files, one
+        offset per snapshot. Append-only contract mirroring
+        read_delta_stream: delete-adding snapshots need
+        ignore_deletes, overwrites need ignore_changes (new files
+        streamed in full), `replace` compactions are invisible. See
+        streaming/iceberg_source.py."""
+        from .streaming.iceberg_source import IcebergStreamDataSource
+        self.spark.dataSource.register(IcebergStreamDataSource)
+        r = (self.spark.readStream.format("iceberg_local_stream")
+             .option("ignore_deletes", str(ignore_deletes).lower())
+             .option("ignore_changes", str(ignore_changes).lower()))
+        if starting_snapshot is not None:
+            r = r.option("starting_snapshot", str(starting_snapshot))
+        return r.load(table)
+
     def read_iceberg_changes(self, table: str, from_snapshot: int,
                              to_snapshot: int | None = None) -> DataStream:
         """CDF-style incremental read of a local Iceberg table:

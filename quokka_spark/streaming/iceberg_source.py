@@ -1,0 +1,174 @@
+"""Streaming SOURCE over a local Iceberg table — the Iceberg sibling
+of streaming/delta_source.py, same Spark 4 Python DataSource
+machinery, no runtime jar.
+
+Offsets are SNAPSHOT POSITIONS in the metadata's snapshot list (not
+raw snapshot ids — ids are arbitrary; the list order is the commit
+order this layout maintains): each micro-batch covers the DATA FILES
+ADDED by the snapshots in ``(start, end]``, one input partition per
+file, read executor-side as Arrow batches. Append-only contract:
+- snapshots stamped ``replace`` (compaction/rewrite) are invisible;
+- snapshots that add POSITION/EQUALITY DELETE files refuse unless
+  ``ignore_deletes=true`` (the rows already streamed stay streamed);
+- snapshots that REMOVE data files (overwrite) refuse unless
+  ``ignore_changes=true``, which streams the snapshot's new files in
+  full (surviving rows re-transmitted — the ignoreChanges contract).
+
+``starting_snapshot=<id>`` begins the stream AT that snapshot
+(default: the first), refusing ids the table does not have."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
+
+
+def _table_of(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("iceberg_local_stream needs .load(<table path>)")
+    return os.path.abspath(path.removeprefix("file://"))
+
+
+def _snapshot_ids(table: str) -> tuple:
+    from quokka_spark.sources.iceberg_local import _read_table_metadata
+    meta = _read_table_metadata(table)
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        raise ValueError(f"{table}: no snapshots (empty table)")
+    return [s.get("snapshot-id") for s in snaps], snaps
+
+
+class IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, table: str, schema, options: dict):
+        self.table = table
+        self.fields = [f.name for f in schema.fields]
+        self.field_types = {f.name: f.dataType for f in schema.fields}
+        self.ignore_deletes = str(
+            options.get("ignore_deletes", "false")).lower() == "true"
+        self.ignore_changes = str(
+            options.get("ignore_changes", "false")).lower() == "true"
+        start = options.get("starting_snapshot")
+        ids, _ = _snapshot_ids(table)
+        if start is not None:
+            sid = int(start)
+            if sid not in ids:
+                raise ValueError(
+                    f"starting_snapshot {sid} is not in the table's "
+                    f"snapshots {ids}")
+            self.start_pos = ids.index(sid) - 1
+        else:
+            self.start_pos = -1
+
+    # offsets: {"pos": index of last PROCESSED snapshot in the list}
+    def initialOffset(self) -> dict:
+        return {"pos": self.start_pos}
+
+    def latestOffset(self) -> dict:
+        ids, _ = _snapshot_ids(self.table)
+        return {"pos": len(ids) - 1}
+
+    def partitions(self, start: dict, end: dict):
+        from quokka_spark.sources.iceberg_local import snapshot_files_full
+        p0, p1 = int(start["pos"]), int(end["pos"])
+        if p1 <= p0:
+            return []
+        ids, snaps = _snapshot_ids(self.table)
+        if p1 >= len(ids):
+            raise ValueError(
+                f"offset pos {p1} is beyond the snapshot list "
+                f"({len(ids)} snapshots) — metadata rewritten?")
+        parts = []
+        par_d, par_p, par_e = ([], [], []) if p0 < 0 else \
+            snapshot_files_full(self.table, ids[p0])
+        for pos in range(p0 + 1, p1 + 1):
+            sid = ids[pos]
+            op = (snaps[pos].get("summary") or {}).get("operation")
+            cur_d, cur_p, cur_e = snapshot_files_full(self.table, sid)
+            cur_paths = {d["path"] for d in cur_d}
+            par_paths = {d["path"] for d in par_d}
+            added = sorted(cur_paths - par_paths)
+            removed = sorted(par_paths - cur_paths)
+            new_pos_files = [p for p in cur_p if p not in set(par_p)]
+            par_eq = {d["path"] for d in par_e}
+            new_eq = [d for d in cur_e if d["path"] not in par_eq]
+            if op == "replace":
+                pass                       # rearrangement: invisible
+            else:
+                if (new_pos_files or new_eq) and not (
+                        self.ignore_deletes or self.ignore_changes):
+                    raise ValueError(
+                        f"snapshot {sid} adds delete files — a "
+                        "streaming source is append-only; pass "
+                        "ignore_deletes=true to skip row deletions")
+                if removed and not self.ignore_changes:
+                    raise ValueError(
+                        f"snapshot {sid} removes data files "
+                        "(overwrite) — pass ignore_changes=true to "
+                        "stream its new files (surviving rows WILL "
+                        "be re-transmitted)")
+                for p in added:
+                    parts.append(InputPartition(p))
+            par_d, par_p, par_e = cur_d, cur_p, cur_e
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        path = partition.value
+        path = path.removeprefix("file://")
+        have = set(pq.read_schema(path).names)
+        t = pq.read_table(path,
+                          columns=[c for c in self.fields if c in have])
+        cols = []
+        for c in self.fields:
+            if c in have:
+                cols.append(t.column(c))
+            else:
+                # schema evolution: pre-evolution files null-fill,
+                # TYPED so Spark's positional batch mapping holds
+                from pyspark.sql.pandas.types import to_arrow_type
+                cols.append(pa.nulls(
+                    t.num_rows, type=to_arrow_type(self.field_types[c])))
+        yield from pa.Table.from_arrays(cols, names=self.fields) \
+            .to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergStreamDataSource(DataSource):
+    """``spark.readStream.format("iceberg_local_stream").load(table)``
+    after registration — or the ``QuokkaContext.read_iceberg_stream``
+    facade."""
+
+    @classmethod
+    def name(cls):
+        return "iceberg_local_stream"
+
+    def schema(self):
+        from quokka_spark.sources.iceberg_local import (
+            _field_names_of, _read_table_metadata, _schema_types,
+            _ICEBERG_TO_SPARK_TYPE)
+        meta = _read_table_metadata(_table_of(self.options))
+        names = _field_names_of(meta)
+        types = _schema_types(meta)
+        if not names:
+            raise ValueError(
+                "iceberg_local_stream needs a table whose metadata "
+                "carries a schema")
+        fields = []
+        for fid, name in sorted(names.items()):
+            it = types.get(fid, "string")
+            if it not in _ICEBERG_TO_SPARK_TYPE:
+                raise NotImplementedError(
+                    f"column {name!r}: iceberg type {it!r} is not "
+                    "supported by the streaming source")
+            fields.append(f"{name} {_ICEBERG_TO_SPARK_TYPE[it]}")
+        return ", ".join(fields)
+
+    def streamReader(self, schema):
+        return IcebergStreamReader(_table_of(self.options), schema,
+                                   self.options)

@@ -2015,3 +2015,48 @@ def test_delta_stream_source_review_regressions(spark, qc, tmp_path):
     assert q.awaitTermination(120)
     rows = {r["id"]: r["v"] for r in spark.table("evo1").collect()}
     assert rows == {0: None, 1: None, 2: None, 10: 1.5}
+
+
+def test_iceberg_stream_source(spark, qc, tmp_path):
+    """Streaming source over a local Iceberg table: full-history
+    availableNow drain equals the batch read; compaction (replace)
+    snapshots are invisible; delete-adding snapshots refuse without
+    ignore_deletes; overwrites refuse without ignore_changes."""
+    from quokka_spark.sources.iceberg_local import (
+        add_position_deletes, append_snapshot, create_local_iceberg_table,
+        rewrite_data_files_local, snapshot_files)
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(0, 5).coalesce(1).toPandas().to_parquet(a)
+    spark.range(5, 8).coalesce(1).toPandas().to_parquet(b)
+    tbl = str(tmp_path / "tbl")
+    s1, s2 = create_local_iceberg_table(
+        tbl, [[a], [a, b]], schema_fields=[(1, "id", "long")])
+
+    def drain(qname, **kw):
+        s = qc.read_iceberg_stream(tbl, **kw)
+        q = (s.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.table(qname).collect())
+
+    assert drain("isrc1") == list(range(8))
+    # compaction: invisible; the table still streams its history
+    rewrite_data_files_local(spark, tbl, target_file_rows=1000)
+    assert drain("isrc2") == list(range(8))
+    # a delete snapshot refuses without the option, skips with it
+    (files, _) = snapshot_files(tbl)
+    add_position_deletes(tbl, {files[0]: [0]})
+    with pytest.raises(Exception, match="append-only"):
+        drain("isrc3")
+    assert drain("isrc4", ignore_deletes=True) == list(range(8))
+    # appends keep flowing after the delete snapshot
+    c = str(tmp_path / "c.parquet")
+    spark.range(100, 102).coalesce(1).toPandas().to_parquet(c)
+    append_snapshot(tbl, [c])
+    assert drain("isrc5", ignore_deletes=True) == \
+        list(range(8)) + [100, 101]
+    # starting_snapshot bounds the replay; bogus ids refuse
+    assert drain("isrc6", starting_snapshot=s2,
+                 ignore_deletes=True) == [5, 6, 7, 100, 101]
+    with pytest.raises(Exception, match="not in the table"):
+        drain("isrc7", starting_snapshot=424242)
