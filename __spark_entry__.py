@@ -5857,6 +5857,56 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def stream_src_hudi(spark, sf_dir):
+    """Streaming SOURCE from a Hudi MoR table (streaming/hudi_source
+    — timeline-position offsets; base files + deltacommit log
+    upserts, Hudi's incremental semantics fed into Structured
+    Streaming): documents bulk-loads, one deltacommit updates every
+    doc_id % 10 = 0 row (lang → 'xx'), and the drained stream carries
+    the bases PLUS the log upserts — append-only, so updated keys
+    appear twice, which the oracle reproduces with a UNION ALL."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.hudi_local import (upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+    qc = _qc(spark)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_hudisrc_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(docs)
+        write_hudi_mor_local(src.repartition(2), tbl, recordkey="doc_id")
+        upd = src.where("doc_id % 10 = 0").withColumn("lang", F.lit("xx"))
+        upsert_hudi_mor_local(spark, tbl, upd)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    stream = qc.read_hudi_stream(tbl).select("doc_id", "lang", "n_chars")
+    out = _drain(stream)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+_STREAM_SRC_HUDI_SQL = """
+WITH s AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id, 'xx', n_chars FROM documents WHERE doc_id % 10 = 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY lang
+"""
+
+
 def stream_sink_delta(spark, sf_dir):
     """Streaming ingestion INTO the lakehouse: the purchase events
     stream lands in a local Delta table through the exactly-once
@@ -6158,6 +6208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_resample": stream_resample,
         "stream_src_delta": stream_src_delta,
         "stream_src_iceberg": stream_src_iceberg,
+        "stream_src_hudi": stream_src_hudi,
     }
 
 
@@ -6302,4 +6353,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_sink_delta": _STREAM_SINK_DELTA_SQL,
         "stream_src_delta": _STREAM_SRC_DELTA_SQL,
         "stream_src_iceberg": _STREAM_SRC_ICEBERG_SQL,
+        "stream_src_hudi": _STREAM_SRC_HUDI_SQL,
     }

@@ -288,6 +288,26 @@ class QuokkaContext:
         return DataStream(self, read_hudi_incremental(
             self.spark, table, begin, end))
 
+    def read_hudi_stream(self, table: str,
+                         starting_instant: str | None = None,
+                         ignore_deletes: bool = False,
+                         ignore_changes: bool = False):
+        """Streaming SOURCE over a local Hudi table: a STREAMING
+        DataFrame tailing the timeline — new base files plus
+        deltacommit log upserts per instant (Hudi's incremental-query
+        semantics fed into Structured Streaming). Clustering is
+        invisible; delete deltacommits need ignore_deletes;
+        insert_overwrite needs ignore_changes. See
+        streaming/hudi_source.py."""
+        from .streaming.hudi_source import HudiStreamDataSource
+        self.spark.dataSource.register(HudiStreamDataSource)
+        r = (self.spark.readStream.format("hudi_local_stream")
+             .option("ignore_deletes", str(ignore_deletes).lower())
+             .option("ignore_changes", str(ignore_changes).lower()))
+        if starting_instant is not None:
+            r = r.option("starting_instant", str(starting_instant))
+        return r.load(table)
+
     def read_iceberg(self, table: str, snapshot: int | None = None,
                      partition_filter: str | None = None,
                      scan_filter: str | None = None) -> DataStream:

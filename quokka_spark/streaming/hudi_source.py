@@ -1,0 +1,210 @@
+"""Streaming SOURCE over a local Hudi table — completes the
+lakehouse-streaming trio next to delta_source.py/iceberg_source.py,
+same Spark 4 Python DataSource machinery.
+
+Offsets are TIMELINE POSITIONS over the completed write instants:
+each micro-batch streams the rows WRITTEN by the instants in
+``(start, end]`` — new parquet base files as one Arrow partition
+each, deltacommit LOG files decoded from their Avro container
+payloads (upsert records flow; tombstones are SKIPPED — an
+append-only stream cannot signal deletes; pass nothing to refuse
+instead). This is exactly Hudi's incremental-query semantics fed
+into Structured Streaming.
+
+Append-only contract per instant shape:
+- clustering ``replacecommit`` (operationType "cluster") → invisible;
+- ``insert_overwrite`` replacecommits → refuse unless
+  ``ignore_changes=true`` (new files streamed in full — survivors
+  re-transmitted, the ignoreChanges contract);
+- deltacommit log files containing TOMBSTONES → refuse unless
+  ``ignore_deletes=true`` (upsert records still flow; the tombstoned
+  rows simply stay streamed);
+- a base file rewritten for a live group (no meta columns to filter
+  by) → refuse always, like read_hudi_incremental.
+
+``starting_instant=<ts>`` begins the stream AT that instant."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (DataSource, DataSourceStreamReader,
+                                    InputPartition)
+
+
+def _table_of(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("hudi_local_stream needs .load(<table path>)")
+    return os.path.abspath(path.removeprefix("file://"))
+
+
+class HudiStreamReader(DataSourceStreamReader):
+    def __init__(self, table: str, schema, options: dict):
+        from quokka_spark.sources.hudi_local import completed_instants
+        self.table = table
+        self.fields = [f.name for f in schema.fields]
+        self.field_types = {f.name: f.dataType for f in schema.fields}
+        self.ignore_deletes = str(
+            options.get("ignore_deletes", "false")).lower() == "true"
+        self.ignore_changes = str(
+            options.get("ignore_changes", "false")).lower() == "true"
+        instants = completed_instants(table)
+        if not instants:
+            raise ValueError(f"{table}: empty timeline")
+        start = options.get("starting_instant")
+        if start is not None:
+            ts_list = [ts for ts, _, _ in instants]
+            if str(start) not in ts_list:
+                raise ValueError(
+                    f"starting_instant {start!r} is not a completed "
+                    f"instant (have {ts_list})")
+            self.start_pos = ts_list.index(str(start)) - 1
+        else:
+            self.start_pos = -1
+
+    def initialOffset(self) -> dict:
+        return {"pos": self.start_pos}
+
+    def latestOffset(self) -> dict:
+        from quokka_spark.sources.hudi_local import completed_instants
+        return {"pos": len(completed_instants(self.table)) - 1}
+
+    def partitions(self, start: dict, end: dict):
+        from quokka_spark.sources.hudi_local import (_is_log,
+                                                     completed_instants)
+        p0, p1 = int(start["pos"]), int(end["pos"])
+        if p1 <= p0:
+            return []
+        instants = completed_instants(self.table)
+        if p1 >= len(instants):
+            raise ValueError(
+                f"offset pos {p1} is beyond the timeline "
+                f"({len(instants)} instants) — timeline rewritten?")
+        # groups live BEFORE the batch (to spot rewrites of live bases)
+        live: set = set()
+        for ts, action, path in instants[:p0 + 1]:
+            with open(path) as fh:
+                commit = json.load(fh)
+            if action == "replacecommit":
+                for part, fids in (commit.get("partitionToReplaceFileIds")
+                                   or {}).items():
+                    live -= {(part, f) for f in fids}
+            for part, stats in (commit.get("partitionToWriteStats")
+                                or {}).items():
+                live |= {(part, st["fileId"]) for st in stats}
+        parts = []
+        for pos in range(p0 + 1, p1 + 1):
+            ts, action, path = instants[pos]
+            with open(path) as fh:
+                commit = json.load(fh)
+            op = commit.get("operationType")
+            bases, logs, touched = [], [], []
+            for part, stats in (commit.get("partitionToWriteStats")
+                                or {}).items():
+                for st in stats:
+                    p = st["path"]
+                    p = p if os.path.isabs(p) \
+                        else os.path.join(self.table, p)
+                    key = (part, st["fileId"])
+                    if _is_log(p):
+                        logs.append(p)
+                    elif key in live:
+                        touched.append(key)
+                    else:
+                        bases.append(p)
+                    live.add(key)
+            if action == "replacecommit":
+                for part, fids in (commit.get("partitionToReplaceFileIds")
+                                   or {}).items():
+                    live -= {(part, f) for f in fids}
+                live |= set(touched)
+                if op == "cluster":
+                    continue
+                if op != "insert_overwrite":
+                    raise ValueError(
+                        f"instant {ts}: replacecommit without a known "
+                        "operationType — cannot tell clustering from "
+                        "insert_overwrite")
+                if not self.ignore_changes:
+                    raise ValueError(
+                        f"instant {ts}: insert_overwrite — pass "
+                        "ignore_changes=true to stream its new files "
+                        "(surviving rows WILL be re-transmitted)")
+            elif touched:
+                raise ValueError(
+                    f"instant {ts}: a base file was rewritten for "
+                    f"live group(s) {touched[:3]} — changed rows are "
+                    "not reconstructible without meta columns")
+            if op == "delete" and not self.ignore_deletes:
+                raise ValueError(
+                    f"instant {ts}: a delete deltacommit — a "
+                    "streaming source is append-only; pass "
+                    "ignore_deletes=true to skip the tombstones")
+            for p in sorted(bases):
+                parts.append(InputPartition(("base", p)))
+            for p in sorted(logs):
+                parts.append(InputPartition(("log", p)))
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+        kind, path = partition.value
+        if kind == "base":
+            import pyarrow.parquet as pq
+            t = pq.read_table(path, columns=self.fields)
+            yield from t.select(self.fields).to_batches()
+            return
+        # deltacommit log: Avro container payload; tombstones skipped
+        # (ignore_deletes gated them at plan time), upserts flow
+        from quokka_spark.sources.avro_lite import read_container
+        _, records = read_container(path)
+        rows = []
+        for r in records:
+            if r.get("_hoodie_is_deleted"):
+                continue
+            rows.append(tuple(r.get(c) for c in self.fields))
+        if not rows:
+            return
+        from pyspark.sql.pandas.types import to_arrow_type
+        arrays = []
+        for i, c in enumerate(self.fields):
+            at = to_arrow_type(self.field_types[c])
+            vals = [row[i] for row in rows]
+            # avro logical values decode raw where the schema says so;
+            # the writer stamps micros/days ints — let arrow cast
+            try:
+                arrays.append(pa.array(vals, type=at))
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                arrays.append(pa.array(vals).cast(at))
+        yield pa.RecordBatch.from_arrays(arrays, names=self.fields)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class HudiStreamDataSource(DataSource):
+    """``spark.readStream.format("hudi_local_stream").load(table)``
+    after registration — or ``QuokkaContext.read_hudi_stream``."""
+
+    @classmethod
+    def name(cls):
+        return "hudi_local_stream"
+
+    def schema(self):
+        from quokka_spark.sources.hudi_local import _file_slices
+        table = _table_of(self.options)
+        slices = _file_slices(table)
+        bases = sorted(s["base"] for s in slices.values() if s["base"])
+        if not bases:
+            raise ValueError(
+                f"{table}: no base files — the streaming source "
+                "derives its schema from them")
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        return from_arrow_schema(pq.read_schema(bases[0]))
+
+    def streamReader(self, schema):
+        return HudiStreamReader(_table_of(self.options), schema,
+                                self.options)

@@ -524,3 +524,41 @@ def test_hudi_incremental_cow_append_and_overwrite(spark, qc, tmp_path):
     commit_hudi_local(sup, {"": [("g1", a)]}, instant="2")
     with pytest.raises(NotImplementedError, match="rewritten"):
         qc.read_hudi_incremental(sup, "1")
+
+
+def test_hudi_stream_source(spark, qc, tmp_path):
+    """Streaming source over a MoR table: the availableNow drain
+    carries the bulk-load bases plus every log upsert (tombstones
+    gated behind ignore_deletes), clustering is invisible, and
+    starting_instant bounds the replay."""
+    from quokka_spark.sources.hudi_local import (compact_hudi_local,
+                                                 completed_instants,
+                                                 upsert_hudi_mor_local)
+    tbl = _mor_table(spark, tmp_path, n=4)
+    t1 = upsert_hudi_mor_local(spark, tbl, spark.createDataFrame(
+        [(1, 111.0, "UP"), (50, 5.0, "NEW")],
+        "id long, v double, tag string"))
+    t2 = upsert_hudi_mor_local(
+        spark, tbl, spark.createDataFrame([(2,)], "id long"),
+        delete=True)
+    compact_hudi_local(spark, tbl, target_file_rows=1000)
+
+    def drain(qname, **kw):
+        s = qc.read_hudi_stream(tbl, **kw)
+        q = (s.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted((r["id"], r["v"])
+                      for r in spark.table(qname).collect())
+
+    with pytest.raises(Exception, match="append-only"):
+        drain("hfail")
+    got = drain("hok", ignore_deletes=True)
+    # bulk bases (0..3) + the upsert log records (1 and 50); the
+    # tombstone for 2 is skipped; clustering contributes nothing
+    assert got == sorted([(i, i * 10.0) for i in range(4)]
+                         + [(1, 111.0), (50, 5.0)])
+    assert drain("hstart", starting_instant=t1,
+                 ignore_deletes=True) == [(1, 111.0), (50, 5.0)]
+    with pytest.raises(Exception, match="not a completed instant"):
+        drain("hbogus", starting_instant="42")
