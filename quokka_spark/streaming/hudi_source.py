@@ -53,6 +53,10 @@ class HudiStreamReader(DataSourceStreamReader):
         instants = completed_instants(table)
         if not instants:
             raise ValueError(f"{table}: empty timeline")
+        # pre-batch live set carried across triggers (full timeline
+        # replay once per (re)start, matching the Delta sibling)
+        self._live_at: int | None = None
+        self._live: set = set()
         start = options.get("starting_instant")
         if start is not None:
             ts_list = [ts for ts, _, _ in instants]
@@ -82,18 +86,24 @@ class HudiStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"offset pos {p1} is beyond the timeline "
                 f"({len(instants)} instants) — timeline rewritten?")
-        # groups live BEFORE the batch (to spot rewrites of live bases)
-        live: set = set()
-        for ts, action, path in instants[:p0 + 1]:
-            with open(path) as fh:
-                commit = json.load(fh)
-            if action == "replacecommit":
-                for part, fids in (commit.get("partitionToReplaceFileIds")
-                                   or {}).items():
-                    live -= {(part, f) for f in fids}
-            for part, stats in (commit.get("partitionToWriteStats")
-                                or {}).items():
-                live |= {(part, st["fileId"]) for st in stats}
+        # groups live BEFORE the batch (to spot rewrites of live
+        # bases), carried forward so the replay runs once per
+        # (re)start, not per trigger
+        if self._live_at == p0:
+            live = set(self._live)
+        else:
+            live = set()
+            for ts, action, path in instants[:p0 + 1]:
+                with open(path) as fh:
+                    commit = json.load(fh)
+                if action == "replacecommit":
+                    for part, fids in (
+                            commit.get("partitionToReplaceFileIds")
+                            or {}).items():
+                        live -= {(part, f) for f in fids}
+                for part, stats in (commit.get("partitionToWriteStats")
+                                    or {}).items():
+                    live |= {(part, st["fileId"]) for st in stats}
         parts = []
         for pos in range(p0 + 1, p1 + 1):
             ts, action, path = instants[pos]
@@ -137,7 +147,8 @@ class HudiStreamReader(DataSourceStreamReader):
                     f"instant {ts}: a base file was rewritten for "
                     f"live group(s) {touched[:3]} — changed rows are "
                     "not reconstructible without meta columns")
-            if op == "delete" and not self.ignore_deletes:
+            if op == "delete" and not (self.ignore_deletes
+                                        or self.ignore_changes):
                 raise ValueError(
                     f"instant {ts}: a delete deltacommit — a "
                     "streaming source is append-only; pass "
@@ -146,28 +157,50 @@ class HudiStreamReader(DataSourceStreamReader):
                 parts.append(InputPartition(("base", p)))
             for p in sorted(logs):
                 parts.append(InputPartition(("log", p)))
+        self._live_at, self._live = p1, live
         return parts
 
     def read(self, partition):
         import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
         kind, path = partition.value
         if kind == "base":
             import pyarrow.parquet as pq
-            t = pq.read_table(path, columns=self.fields)
-            yield from t.select(self.fields).to_batches()
+            have = set(pq.read_schema(path).names)
+            t = pq.read_table(path,
+                              columns=[c for c in self.fields
+                                       if c in have])
+            cols = []
+            for c in self.fields:
+                at = to_arrow_type(self.field_types[c])
+                if c in have:
+                    col = t.column(c)
+                    cols.append(col.cast(at) if col.type != at else col)
+                else:
+                    # schema drift across bulk loads: null-fill,
+                    # matching the Delta/Iceberg siblings
+                    cols.append(pa.nulls(t.num_rows, type=at))
+            yield from pa.Table.from_arrays(
+                cols, names=self.fields).to_batches()
             return
-        # deltacommit log: Avro container payload; tombstones skipped
-        # (ignore_deletes gated them at plan time), upserts flow
+        # deltacommit log: Avro container payload; upserts flow.
+        # Tombstones are gated by CONTENT here, not just the commit's
+        # operationType — a mixed or unstamped deltacommit must not
+        # silently drop deletions
         from quokka_spark.sources.avro_lite import read_container
         _, records = read_container(path)
         rows = []
         for r in records:
             if r.get("_hoodie_is_deleted"):
+                if not (self.ignore_deletes or self.ignore_changes):
+                    raise ValueError(
+                        f"{path}: log record carries a tombstone — a "
+                        "streaming source is append-only; pass "
+                        "ignore_deletes=true to skip deletions")
                 continue
             rows.append(tuple(r.get(c) for c in self.fields))
         if not rows:
             return
-        from pyspark.sql.pandas.types import to_arrow_type
         arrays = []
         for i, c in enumerate(self.fields):
             at = to_arrow_type(self.field_types[c])

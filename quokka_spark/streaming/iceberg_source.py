@@ -62,24 +62,40 @@ class IcebergStreamReader(DataSourceStreamReader):
         else:
             self.start_pos = -1
 
-    # offsets: {"pos": index of last PROCESSED snapshot in the list}
+    # offsets: {"pos": index of last PROCESSED snapshot, "sid": its
+    # snapshot id} — the id makes positional drift DETECTABLE: if
+    # expire_snapshots_local shrinks the list from the front, a bare
+    # index would silently skip unstreamed snapshots
     def initialOffset(self) -> dict:
-        return {"pos": self.start_pos}
+        ids, _ = _snapshot_ids(self.table)
+        sid = ids[self.start_pos] if self.start_pos >= 0 else None
+        return {"pos": self.start_pos, "sid": sid}
 
     def latestOffset(self) -> dict:
         ids, _ = _snapshot_ids(self.table)
-        return {"pos": len(ids) - 1}
+        return {"pos": len(ids) - 1, "sid": ids[-1]}
+
+    def _check_offset(self, off: dict, ids: list) -> None:
+        pos, sid = int(off["pos"]), off.get("sid")
+        if pos < 0:
+            return
+        if pos >= len(ids) or (sid is not None and ids[pos] != sid):
+            raise ValueError(
+                f"checkpointed offset (pos {pos}, snapshot {sid}) no "
+                "longer aligns with the table's snapshot list "
+                f"{ids} — snapshots were expired past the stream's "
+                "position; restart the stream from a fresh checkpoint")
 
     def partitions(self, start: dict, end: dict):
         from quokka_spark.sources.iceberg_local import snapshot_files_full
         p0, p1 = int(start["pos"]), int(end["pos"])
+        ids, snaps = _snapshot_ids(self.table)
+        # alignment BEFORE the empty-range early return: an expired
+        # list can shift the same position onto a different snapshot
+        self._check_offset(start, ids)
+        self._check_offset(end, ids)
         if p1 <= p0:
             return []
-        ids, snaps = _snapshot_ids(self.table)
-        if p1 >= len(ids):
-            raise ValueError(
-                f"offset pos {p1} is beyond the snapshot list "
-                f"({len(ids)} snapshots) — metadata rewritten?")
         parts = []
         par_d, par_p, par_e = ([], [], []) if p0 < 0 else \
             snapshot_files_full(self.table, ids[p0])
@@ -91,24 +107,33 @@ class IcebergStreamReader(DataSourceStreamReader):
             par_paths = {d["path"] for d in par_d}
             added = sorted(cur_paths - par_paths)
             removed = sorted(par_paths - cur_paths)
-            new_pos_files = [p for p in cur_p if p not in set(par_p)]
+            par_pos = set(par_p)
+            new_pos_files = [p for p in cur_p if p not in par_pos]
             par_eq = {d["path"] for d in par_e}
             new_eq = [d for d in cur_e if d["path"] not in par_eq]
             if op == "replace":
                 pass                       # rearrangement: invisible
             else:
-                if (new_pos_files or new_eq) and not (
+                has_del = bool(new_pos_files or new_eq)
+                # per-shape contract, aligned with the Delta sibling:
+                # - pure delete (delete files or file drops, NO new
+                #   data) → ignore_deletes (or ignore_changes) skips;
+                # - anything adding data alongside deletes/removals
+                #   (the upsert/overwrite shapes) → ignore_changes,
+                #   because the added files re-transmit updated rows
+                if (has_del or removed) and added \
+                        and not self.ignore_changes:
+                    raise ValueError(
+                        f"snapshot {sid} rewrites data (new files + "
+                        "deletes/removals: upsert/overwrite) — pass "
+                        "ignore_changes=true to stream the new files "
+                        "(updated rows WILL appear twice)")
+                if (has_del or removed) and not added and not (
                         self.ignore_deletes or self.ignore_changes):
                     raise ValueError(
-                        f"snapshot {sid} adds delete files — a "
+                        f"snapshot {sid} only deletes rows/files — a "
                         "streaming source is append-only; pass "
-                        "ignore_deletes=true to skip row deletions")
-                if removed and not self.ignore_changes:
-                    raise ValueError(
-                        f"snapshot {sid} removes data files "
-                        "(overwrite) — pass ignore_changes=true to "
-                        "stream its new files (surviving rows WILL "
-                        "be re-transmitted)")
+                        "ignore_deletes=true to skip delete snapshots")
                 for p in added:
                     parts.append(InputPartition(p))
             par_d, par_p, par_e = cur_d, cur_p, cur_e
@@ -122,16 +147,22 @@ class IcebergStreamReader(DataSourceStreamReader):
         have = set(pq.read_schema(path).names)
         t = pq.read_table(path,
                           columns=[c for c in self.fields if c in have])
+        from pyspark.sql.pandas.types import to_arrow_type
         cols = []
         for c in self.fields:
+            at = to_arrow_type(self.field_types[c])
             if c in have:
-                cols.append(t.column(c))
+                col = t.column(c)
+                if col.type != at:
+                    # loosely-typed files (int32 under a declared
+                    # long, the _table_read_schema fallback case):
+                    # cast so the batch matches the declared schema
+                    col = col.cast(at)
+                cols.append(col)
             else:
                 # schema evolution: pre-evolution files null-fill,
                 # TYPED so Spark's positional batch mapping holds
-                from pyspark.sql.pandas.types import to_arrow_type
-                cols.append(pa.nulls(
-                    t.num_rows, type=to_arrow_type(self.field_types[c])))
+                cols.append(pa.nulls(t.num_rows, type=at))
         yield from pa.Table.from_arrays(cols, names=self.fields) \
             .to_batches()
 

@@ -2060,3 +2060,64 @@ def test_iceberg_stream_source(spark, qc, tmp_path):
                  ignore_deletes=True) == [5, 6, 7, 100, 101]
     with pytest.raises(Exception, match="not in the table"):
         drain("isrc7", starting_snapshot=424242)
+
+
+def test_iceberg_stream_source_review_regressions(spark, qc, tmp_path):
+    """Round-8 review pins for the Iceberg stream: (1) an offset
+    checkpointed before expire_snapshots_local shrank the snapshot
+    list refuses loudly instead of silently skipping snapshots; (2)
+    an upsert-shaped snapshot (new files + delete files) requires
+    ignore_changes, not just ignore_deletes."""
+    from quokka_spark.sources.iceberg_local import (
+        commit_snapshot, create_local_iceberg_table,
+        expire_snapshots_local, snapshot_files)
+    a = str(tmp_path / "a.parquet")
+    spark.range(0, 4).coalesce(1).toPandas().to_parquet(a)
+    tbl = str(tmp_path / "tbl")
+    (s1,) = create_local_iceberg_table(tbl, [[a]],
+                                       schema_fields=[(1, "id", "long")])
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    def drain(**kw):
+        s = qc.read_iceberg_stream(tbl, **kw)
+        q = (s.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    assert drain() == [0, 1, 2, 3]
+    # append twice, expire the older snapshots, then resume: the
+    # checkpointed position no longer aligns -> loud refusal
+    b = str(tmp_path / "b.parquet")
+    spark.range(10, 12).coalesce(1).toPandas().to_parquet(b)
+    from quokka_spark.sources.iceberg_local import append_snapshot
+    append_snapshot(tbl, [b])
+    expire_snapshots_local(tbl, keep_last=1)
+    with pytest.raises(Exception, match="no longer aligns"):
+        drain()
+    # (2) upsert shape: new file + delete file in one snapshot
+    tbl2 = str(tmp_path / "up")
+    c = str(tmp_path / "c.parquet")
+    spark.range(0, 3).coalesce(1).toPandas().to_parquet(c)
+    create_local_iceberg_table(tbl2, [[c]],
+                               schema_fields=[(1, "id", "long")])
+    (files, _) = snapshot_files(tbl2)
+    d = str(tmp_path / "d.parquet")
+    spark.createDataFrame([(1,)], "id long").coalesce(1) \
+        .toPandas().to_parquet(d)
+    pdel = str(tmp_path / "pd.parquet")
+    pd.DataFrame({"file_path": [files[0]], "pos": [1]}).to_parquet(pdel)
+    commit_snapshot(tbl2, add_files=[d], add_delete_files=[pdel])
+
+    def drain2(qname, **kw):
+        s = qc.read_iceberg_stream(tbl2, **kw)
+        q = (s.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return sorted(r["id"] for r in spark.table(qname).collect())
+
+    with pytest.raises(Exception, match="rewrites data"):
+        drain2("iu1", ignore_deletes=True)
+    assert drain2("iu2", ignore_changes=True) == [0, 1, 1, 2]
