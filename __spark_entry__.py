@@ -6035,9 +6035,11 @@ FROM l FULL JOIN r ON l.k = r.k AND r.y > l.x
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
-    inside that window (TPC-H 22, time-series 9 incl. the quantified
-    CEP gate, dedup 4, similarity 2, text 3, pipeline/multimodal 2,
-    linalg/ML 5, sources 1, tokenizer 1, non-equi join 1 = 50).
+    inside that window (TPC-H 22, time-series 7 + streaming 3 incl.
+    the exactly-once Delta sink, dedup 3, similarity 2, text 2,
+    pipeline/multimodal 2, linalg/ML 4, sources 3 incl. the
+    executor-side DV scan and the MoR log merge, tokenizer 1,
+    non-equi join 1 = 50).
     Round-7 rotation (round-6 verdict #9): the three bounds-check
     gates (`sim_topk_lsh`, `sim_topk_ivf`, `dedup_simhash` — verdict
     oracles, weaker driver signal) moved past the window in favor of
@@ -6050,8 +6052,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `dedup_minhash`, the production path, keeps the window seat),
     `agg_covariance` (same mapInArrow-partials machinery as the
     retained `agg_gramian`) and `ts_hopping` (same windows.py
-    dispatch as the retained tumbling/sliding pair). Redundant relational micro-gates (covered by
-    TPC-H) and perf-focused bench gates sit past the window; all 80+
+    dispatch as the retained tumbling/sliding pair). Redundant
+    relational micro-gates (covered by TPC-H), perf-focused bench
+    gates, and this round's incremental-read/streaming-source gates
+    (`src_delta_cdf`, `src_iceberg_cdf`, `src_hudi_incr`,
+    `stream_src_{delta,iceberg,hudi}`) sit past the window; all 170+
     entries stay pytest-oracle-checked in tests/test_oracle_parity.py."""
     return {
         # ---- driver-checked window (first 50) -------------------------
