@@ -1391,3 +1391,71 @@ def test_delta_changes_review_regressions(spark, qc, tmp_path,
         _os.unlink(_os.path.join(tbl2, "_delta_log", f"{v:020d}.json"))
     with pytest.raises(ValueError, match="no JSON commit"):
         qc.read_delta_changes(tbl2, 0)
+
+
+def test_delta_changes_random_ops_reconstruct_state(spark, qc, tmp_path):
+    """Model-based sweep for the change stream: after a seeded random
+    sequence of appends, DV deletes, compactions and overwrites,
+    APPLYING the change rows version-by-version to a plain Python
+    multiset reconstructs the table's state at every version — the
+    exact contract an incremental consumer depends on."""
+    import random
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  delete_rows_delta_local,
+                                                  list_versions,
+                                                  write_delta_local)
+    rng = random.Random(88)
+    tbl = str(tmp_path / "prop")
+    nxt = 0
+
+    def fresh(n):
+        nonlocal nxt
+        vals = list(range(nxt, nxt + n))
+        nxt += n
+        return vals
+
+    write_delta_local(
+        spark.createDataFrame([(v,) for v in fresh(8)], "id long")
+        .coalesce(1), tbl)
+    for _ in range(6):
+        op = rng.choice(["append", "delete", "compact", "overwrite"])
+        if op == "append":
+            write_delta_local(
+                spark.createDataFrame([(v,) for v in fresh(rng.randint(1, 5))],
+                                      "id long").coalesce(1),
+                tbl, mode="append")
+        elif op == "delete":
+            deletes = {}
+            for uri in qc.read_delta(tbl).df.inputFiles():
+                f = uri.removeprefix("file:")
+                vals = pq.read_table(f, columns=["id"]) \
+                    .column("id").to_pylist()
+                pos = [i for i, v in enumerate(vals)
+                       if rng.random() < 0.3]
+                if pos:
+                    deletes[f] = pos
+            if deletes:
+                delete_rows_delta_local(tbl, deletes)
+        elif op == "compact":
+            compact_delta_local(spark, tbl, target_file_rows=1000)
+        else:
+            write_delta_local(
+                spark.createDataFrame([(v,) for v in fresh(3)], "id long")
+                .coalesce(1), tbl, mode="overwrite")
+    # replay: fold each version's change rows into a multiset and
+    # compare against the table state AT that version
+    state: Counter = Counter()
+    for v in list_versions(tbl):
+        ch = qc.read_delta_changes(tbl, v, v).df.collect()
+        for r in ch:
+            if r["_change_type"] == "insert":
+                state[r["id"]] += 1
+            else:
+                state[r["id"]] -= 1
+        want = Counter(r["id"] for r in
+                       qc.read_delta(tbl, version=v).df.collect())
+        assert +state == want, f"diverged at version {v}"
