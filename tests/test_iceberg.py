@@ -961,3 +961,69 @@ def test_iceberg_changes_review_regressions(spark, qc, tmp_path):
             for r in ch.collect()}
     assert rows[(s4, "insert", 10)] == 1.5
     assert rows[(s1, "insert", 1)] is None               # pre-evolution
+
+
+def test_iceberg_changes_random_ops_reconstruct_state(spark, qc,
+                                                      tmp_path):
+    """Model-based sweep for the Iceberg change stream: a seeded
+    random sequence of appends, position deletes, equality deletes
+    and compactions — folding each snapshot's change rows into a
+    multiset equals the table's time-travel state at that snapshot."""
+    import random
+    from collections import Counter
+
+    from quokka_spark.sources.iceberg_local import (
+        add_equality_deletes, add_position_deletes, append_snapshot,
+        create_local_iceberg_table, rewrite_data_files_local,
+        snapshot_files_full)
+    rng = random.Random(77)
+    tbl = str(tmp_path / "prop")
+    nxt = 0
+
+    def fresh_file(n, tag):
+        nonlocal nxt
+        vals = list(range(nxt, nxt + n))
+        nxt += n
+        p = str(tmp_path / f"f{tag}.parquet")
+        spark.createDataFrame([(v,) for v in vals], "id long") \
+            .coalesce(1).toPandas().to_parquet(p)
+        return p
+
+    create_local_iceberg_table(tbl, [[fresh_file(6, 0)]],
+                               schema_fields=[(1, "id", "long")])
+    for step in range(6):
+        op = rng.choice(["append", "posdel", "eqdel", "compact"])
+        live = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+        if op == "append" or not live:
+            append_snapshot(tbl, [fresh_file(rng.randint(1, 4),
+                                             step + 1)])
+        elif op == "posdel":
+            data, _, _ = snapshot_files_full(tbl)
+            import pyarrow.parquet as pq
+            deletes = {}
+            for d in data:
+                vals = pq.read_table(d["path"], columns=["id"]) \
+                    .column("id").to_pylist()
+                pos = [i for i, v in enumerate(vals)
+                       if v in live and rng.random() < 0.3]
+                if pos:
+                    deletes[d["path"]] = pos
+            if deletes:
+                add_position_deletes(tbl, deletes)
+        elif op == "eqdel":
+            ks = [k for k in live if rng.random() < 0.25]
+            if ks:
+                add_equality_deletes(tbl, {"id": ks})
+        else:
+            rewrite_data_files_local(spark, tbl, target_file_rows=1000)
+    from quokka_spark.sources.iceberg_local import _read_table_metadata
+    ids = [s["snapshot-id"]
+           for s in _read_table_metadata(tbl)["snapshots"]]
+    state: Counter = Counter()
+    for sid in ids:
+        for r in qc.read_iceberg_changes(tbl, sid, sid).df.collect():
+            state[r["id"]] += 1 if r["_change_type"] == "insert" else -1
+        want = Counter(
+            r["id"] for r in qc.read_iceberg(tbl, snapshot=sid)
+            .df.collect())
+        assert +state == want, f"diverged at snapshot {sid}"
