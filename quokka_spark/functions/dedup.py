@@ -454,9 +454,17 @@ def embedding_near_pairs_lsh(df: DataFrame, vec_col: str = "embedding",
         n = df.count()
         bits_per_table = max(4, min(10, math.ceil(
             math.log2(max(n, 1) / 200)) if n > 200 else 4))
+        # never exceed the vector dimension: dim // bits must stay
+        # >= 1 or the table set would be EMPTY (silent zero recall)
+        bits_per_table = min(bits_per_table, dim)
     if n_tables is None:
         n_tables = dim // bits_per_table
     assert n_tables * bits_per_table <= dim
+    if n_tables < 1:
+        raise ValueError(
+            f"n_tables={n_tables} with bits_per_table="
+            f"{bits_per_table} over dim={dim}: no hash table fits — "
+            "lower bits_per_table")
 
     v = df.select(F.col(id_col).alias("id"),
                   F.transform(vec_col, lambda x: x.cast("double")).alias("v"))

@@ -582,6 +582,12 @@ def upsert_hudi_mor_local(spark, table: str, df,
     # pass the gate then produce same-key log records
     df = df.localCheckpoint()
 
+    null_pred = " OR ".join(f"{k} IS NULL" for k in keys)
+    if df.where(null_pred).limit(1).count():
+        raise ValueError(
+            f"record key columns {keys} contain NULLs — null-keyed "
+            "rows would route to new groups unmatchably and later "
+            "collapse in the merge window")
     dup = df.groupBy(*keys).count().where("count > 1").limit(1).collect()
     if dup:
         raise ValueError(

@@ -1627,18 +1627,18 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
                                 keep_position=True)
         added_norm = {_py_norm(_local(p)): p for p in added}
         if new_pos:
-            import pyarrow.parquet as pq
-            referenced = set()
-            for p in new_pos:
-                referenced |= set(
-                    pq.read_table(_local(p), columns=["file_path"])
-                    .column("file_path").to_pylist())
-            ref_norm = {_py_norm(_local(p)) for p in referenced}
             dd = (spark.read.parquet(*[_local(p) for p in new_pos])
                   .select(_norm_path(F.col("file_path"))
                           .alias("__qs_dfp__"),
                           F.col("pos").cast("long").alias("__qs_dpos__"))
                   .distinct())
+            # the referenced-path set bounds the target scan; it comes
+            # from a distributed distinct (KB-scale: one row per
+            # referenced file), NOT a driver read of the delete files
+            # — a GDPR-scale wave would otherwise materialize one
+            # Python string per deleted row on the driver
+            ref_norm = {r["__qs_dfp__"] for r in
+                        dd.select("__qs_dfp__").distinct().collect()}
             targets = []
             old_refs = ref_norm - set(added_norm)
             if old_refs:

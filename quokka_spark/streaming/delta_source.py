@@ -176,16 +176,18 @@ class DeltaStreamReader(DataSourceStreamReader):
             keep = [i for i in range(t.num_rows) if i not in dead]
             t = t.take(pa.array(keep, type=pa.int64()))
         # schema evolution: files written before a column was added
-        # null-fill it, matching the batch reader's log-schema read
+        # null-fill it, matching the batch reader's log-schema read;
+        # present columns CAST to the declared type (a file may store
+        # int32 under a declared long — the batch schema read upcasts)
+        from pyspark.sql.pandas.types import to_arrow_type
         cols = []
         for c in self.fields:
+            at = to_arrow_type(self.field_types[c])
             if c in have:
-                cols.append(t.column(c))
+                col = t.column(c)
+                cols.append(col.cast(at) if col.type != at else col)
             else:
-                from pyspark.sql.pandas.types import to_arrow_type
-                cols.append(pa.nulls(t.num_rows,
-                                     type=to_arrow_type(
-                                         self.field_types[c])))
+                cols.append(pa.nulls(t.num_rows, type=at))
         yield from pa.Table.from_arrays(cols, names=self.fields) \
             .to_batches()
 

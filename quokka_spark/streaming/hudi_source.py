@@ -229,14 +229,19 @@ class HudiStreamDataSource(DataSource):
         from quokka_spark.sources.hudi_local import _file_slices
         table = _table_of(self.options)
         slices = _file_slices(table)
-        bases = sorted(s["base"] for s in slices.values() if s["base"])
+        bases = [(s["base_instant"], s["base"])
+                 for s in slices.values() if s["base"]]
         if not bases:
             raise ValueError(
                 f"{table}: no base files — the streaming source "
                 "derives its schema from them")
+        # the NEWEST base file is authoritative (base names start
+        # with a random fileId, so a lexicographic pick would be
+        # arbitrary when bulk loads drifted); older files null-fill
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
-        return from_arrow_schema(pq.read_schema(bases[0]))
+        newest = max(bases, key=lambda t: (int(t[0]), t[1]))[1]
+        return from_arrow_schema(pq.read_schema(newest))
 
     def streamReader(self, schema):
         return HudiStreamReader(_table_of(self.options), schema,

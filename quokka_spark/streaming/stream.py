@@ -135,10 +135,11 @@ def streaming_join(left: DataFrame, right: DataFrame, on,
     # right_outer/full_outer: an unmatched right row carries its key
     # ONLY in the renamed right column — coalesce into the surviving
     # left-named key before dropping, else the key surfaces as null
+    right_ish = how.lower().replace("_", "") in (
+        "right", "rightouter", "full", "fullouter", "outer")
     for k in keys:
         rk = ren.get(k)
-        if rk is not None and how in ("right", "right_outer", "full",
-                                      "full_outer", "outer"):
+        if rk is not None and right_ish:
             out = out.withColumn(k, F.coalesce(F.col(k), F.col(rk)))
     return out.drop(*[v for v in ren.values()
                       if v.startswith("__qs_k_")])
