@@ -1826,3 +1826,29 @@ def test_explode_verb_inner_and_outer(spark, qc):
     # alias keeps the array column alongside
     al = ds.explode("xs", alias="x").df
     assert set(al.columns) == {"k", "xs", "x"}
+
+
+def test_embedding_lsh_auto_bits_small_dim(spark):
+    """Round-8 review pin: auto-sized bucket width is capped by the
+    vector DIMENSION — dim-8 vectors at a corpus size that computes 9
+    bits previously produced ZERO hash tables and a silent empty pair
+    set. Planted near-identical pairs must still surface."""
+    import numpy as np
+
+    from quokka_spark.functions.dedup import embedding_near_pairs_lsh
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(300, 8)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # a planted near-dup for every 10th vector
+        if i % 10 == 0:
+            w = v + rng.normal(scale=0.01, size=8).astype("float32")
+            rows.append((10_000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # corpus bigger than 200 so auto-sizing kicks in; dim=8 caps it
+    got = embedding_near_pairs_lsh(df, threshold=0.95).toPandas()
+    planted = {(i, 10_000 + i) for i in range(0, 300, 10)}
+    found = {(min(a, b), max(a, b))
+             for a, b in zip(got["id1"], got["id2"])}
+    assert planted <= found          # every planted pair surfaces
