@@ -5857,6 +5857,120 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def stream_src_delta_partitioned(spark, sf_dir):
+    """Streaming SOURCE from a PARTITIONED local Delta table (round
+    9): partition values live in the LOG, not the files, so the
+    stream rebuilds them per input partition as typed constant
+    columns — the streaming twin of the batch reader's broadcast
+    rejoin. lineitem lands partitioned by l_returnflag in two append
+    versions; the availableNow drain aggregates BY THE PARTITION
+    COLUMN, so a wrong/null rejoin cannot hash-match the oracle."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_srcpart_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(li)
+        write_delta_local(src.where("l_orderkey % 2 = 0"), tbl,
+                          partition_by="l_returnflag")
+        write_delta_local(src.where("l_orderkey % 2 = 1"), tbl,
+                          mode="append")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    stream = qc.read_delta_stream(tbl) \
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+    out = _drain(stream)
+    return out.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_STREAM_SRC_DELTA_PARTITIONED_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def stream_src_delta_cm(spark, sf_dir):
+    """Streaming SOURCE from a columnMapping.mode=name local Delta
+    table (round 9): data files carry PHYSICAL column names ("c-1"
+    style); the stream resolves them through the schema's
+    physicalName metadata and yields the LOGICAL schema. The fixture
+    writes lineitem's (l_returnflag, l_quantity, l_orderkey) under
+    physical names via the mapped write path, then appends a second
+    mapped version; drain == plain lineitem aggregate."""
+    import json as _json
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import _commit, write_delta_local
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_srccm_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        os.makedirs(tbl)
+        schema = {"type": "struct", "fields": [
+            {"name": "l_returnflag", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-1",
+                          "delta.columnMapping.id": 1}},
+            {"name": "l_quantity", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-2",
+                          "delta.columnMapping.id": 2}},
+            {"name": "l_orderkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-3",
+                          "delta.columnMapping.id": 3}}]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "qs-cm-src",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": _json.dumps(schema),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+                          "createdTime": 0}}])
+        src = spark.read.parquet(li) \
+            .select("l_returnflag", "l_quantity", "l_orderkey")
+        # the mapped write path renames logical→physical itself
+        write_delta_local(src.where("l_orderkey % 2 = 0"), tbl,
+                          mode="append")
+        write_delta_local(src.where("l_orderkey % 2 = 1"), tbl,
+                          mode="append")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    stream = qc.read_delta_stream(tbl)
+    out = _drain(stream)
+    return out.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum("l_orderkey").alias("sum_ok"))
+
+
+_STREAM_SRC_DELTA_CM_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def stream_src_hudi(spark, sf_dir):
     """Streaming SOURCE from a Hudi MoR table (streaming/hudi_source
     — timeline-position offsets; base files + deltacommit log
@@ -6212,6 +6326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep": stream_cep,
         "stream_resample": stream_resample,
         "stream_src_delta": stream_src_delta,
+        "stream_src_delta_partitioned": stream_src_delta_partitioned,
+        "stream_src_delta_cm": stream_src_delta_cm,
         "stream_src_iceberg": stream_src_iceberg,
         "stream_src_hudi": stream_src_hudi,
     }
@@ -6357,6 +6473,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_resample": _STREAM_RESAMPLE_SQL,
         "stream_sink_delta": _STREAM_SINK_DELTA_SQL,
         "stream_src_delta": _STREAM_SRC_DELTA_SQL,
+        "stream_src_delta_partitioned": _STREAM_SRC_DELTA_PARTITIONED_SQL,
+        "stream_src_delta_cm": _STREAM_SRC_DELTA_CM_SQL,
         "stream_src_iceberg": _STREAM_SRC_ICEBERG_SQL,
         "stream_src_hudi": _STREAM_SRC_HUDI_SQL,
     }

@@ -297,8 +297,16 @@ def _spark_to_avro_field(field) -> tuple:
                 return int(v.value // 1000)
             # plain datetime (arrow to_pydict): exact integer µs —
             # timestamp()*1e6 goes through float64 seconds and can
-            # round the microsecond
-            epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            # round the microsecond. Aware values subtract the UTC
+            # epoch (the spec says timestamp-micros is a UTC instant;
+            # an epoch built at v.tzinfo's 1970 offset would encode
+            # session-local wall time and shift by the DST delta);
+            # naive values keep the naive epoch, the NTZ wall-clock
+            # convention shared with the reader.
+            epoch = (datetime.datetime(1970, 1, 1,
+                                       tzinfo=datetime.timezone.utc)
+                     if v.tzinfo is not None
+                     else datetime.datetime(1970, 1, 1))
             return (v - epoch) // datetime.timedelta(microseconds=1)
     elif isinstance(dt, T.ArrayType):
         inner = T.StructField("item", dt.elementType)

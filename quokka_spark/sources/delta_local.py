@@ -485,6 +485,47 @@ def _partition_schema(meta: dict):
                          if f.name in pcols}
 
 
+def partition_value_py(s, dtype, tz_name: str = "UTC"):
+    """One Delta-spec partition-value STRING → a Python value of the
+    declared Spark type — the pure-Python (executor-side) twin of the
+    batch reader's ``F.col(...).cast(ptypes[c])``, used where a typed
+    value is needed outside a Spark plan (the streaming source builds
+    Arrow arrays per file). Timestamps parse as wall time in
+    ``tz_name`` (the session timezone, matching Spark's string→
+    timestamp cast) and come back as aware-UTC datetimes, ready for
+    Arrow's ``timestamp[us, tz=UTC]``."""
+    from pyspark.sql import types as T
+    if s is None:
+        return None
+    if isinstance(dtype, T.StringType):
+        return s
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return int(s)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(s)
+    if isinstance(dtype, T.BooleanType):
+        return s.lower() == "true"
+    if isinstance(dtype, T.DecimalType):
+        import decimal
+        return decimal.Decimal(s)
+    if isinstance(dtype, T.DateType):
+        import datetime
+        return datetime.date.fromisoformat(s)
+    if isinstance(dtype, T.TimestampNTZType):
+        import datetime
+        return datetime.datetime.fromisoformat(s)
+    if isinstance(dtype, T.TimestampType):
+        import datetime
+        from zoneinfo import ZoneInfo
+        return (datetime.datetime.fromisoformat(s)
+                .replace(tzinfo=ZoneInfo(tz_name))
+                .astimezone(datetime.timezone.utc))
+    raise NotImplementedError(
+        f"partition column of type {dtype.simpleString()} — no "
+        "spec string decoding wired up")
+
+
 def _plain_path_col():
     """``_metadata.file_path`` (a percent-encoded URI) → the plain
     filesystem path the log/map uses. A literal '+' in a path is a
@@ -1503,12 +1544,16 @@ def read_delta_changes(spark, table: str, from_version: int,
             "(cleaned up after checkpointing?) — the change stream "
             "would be incomplete")
 
-    # pre-state for DV diffs and remove-row reconstruction
+    # pre-state for DV diffs and remove-row reconstruction; metadata
+    # is taken at TO_VERSION — a change range spanning a schema
+    # evolution must scan with the newest log schema so added columns
+    # surface (null-filled for pre-evolution files), exactly like the
+    # batch reader and the streaming source
+    _, meta, _, _ = _replay(table, to_version)
     if from_version > 0:
-        _, meta, pre_keys, pre_adds = _replay(table, from_version - 1)
+        _, _, pre_keys, pre_adds = _replay(table, from_version - 1)
         pre_live = dict(zip(pre_keys, pre_adds))
     else:
-        _, meta, _, _ = _replay(table, to_version)
         pre_live = {}
     if meta.get("partitionColumns"):
         raise NotImplementedError(
@@ -1519,6 +1564,14 @@ def read_delta_changes(spark, table: str, from_version: int,
             "read_delta_changes on a columnMapping table — physical-"
             "name translation is not wired into the change scan")
     root = table.removeprefix("file://")
+    # the log's declared schema (None for minimal fixtures → infer):
+    # scanning with it is what makes the change feed sound across
+    # schema evolution inside the range
+    rs = _log_read_schema(meta, [])
+
+    def _scan(files):
+        return (spark.read.schema(rs).parquet(*files)
+                if rs is not None else spark.read.parquet(*files))
 
     def _abs(k):
         return k if os.path.isabs(k) else os.path.join(root, k)
@@ -1575,7 +1628,7 @@ def read_delta_changes(spark, table: str, from_version: int,
         positions = dd.mapInPandas(
             _decode, "__qs_dfp__ string, __qs_dpos__ long")
         files = [r[0] for r in rows]
-        scan = (spark.read.parquet(*files)
+        scan = (_scan(files)
                 .withColumn("__qs_fp__", _plain_path_col())
                 .withColumn("__qs_pos__", F.col("_metadata.row_index"))
                 .join(positions,
@@ -1609,14 +1662,12 @@ def read_delta_changes(spark, table: str, from_version: int,
             del_files.append(_abs(k))
             del_adds.append(old)
         if ins_files:
-            df = spark.read.parquet(*ins_files)
-            df = _apply_deletion_vectors(spark, df, ins_files,
-                                         ins_adds, root)
+            df = _apply_deletion_vectors(spark, _scan(ins_files),
+                                         ins_files, ins_adds, root)
             parts.append(_tag(df, "insert", v))
         if del_files:
-            df = spark.read.parquet(*del_files)
-            df = _apply_deletion_vectors(spark, df, del_files,
-                                         del_adds, root)
+            df = _apply_deletion_vectors(spark, _scan(del_files),
+                                         del_files, del_adds, root)
             parts.append(_tag(df, "delete", v))
         if dv_pairs:
             _dv_delta_rows(v, dv_pairs)

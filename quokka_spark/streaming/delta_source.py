@@ -32,7 +32,15 @@ exactly why writers mark them false.
 the full-history replay that makes a bounded availableNow drain equal
 the batch read, which is what the oracle gate checks). A
 starting_version beyond the latest log version refuses, matching the
-jar."""
+jar.
+
+PARTITIONED tables stream: each input partition ships its file's
+``partitionValues`` and read() rebuilds them as typed constant
+columns (the streaming twin of the batch reader's broadcast rejoin,
+timestamp values cast in the session timezone). columnMapping tables
+stream too — name mode via the schema's physicalName metadata, id
+mode by each file's own parquet field ids; partitioned+mapped keeps
+the batch reader's refusal."""
 
 from __future__ import annotations
 
@@ -54,7 +62,11 @@ def _table_of(options: dict) -> str:
 
 class DeltaStreamReader(DataSourceStreamReader):
     def __init__(self, table: str, schema, options: dict):
-        from quokka_spark.sources.delta_local import (_cm_mode, _replay,
+        from quokka_spark.sources.delta_local import (_cm_mode,
+                                                      _column_mapping,
+                                                      _id_mapping,
+                                                      _partition_schema,
+                                                      _replay,
                                                       list_versions)
         self.table = table
         self.fields = [f.name for f in schema.fields]
@@ -71,13 +83,33 @@ class DeltaStreamReader(DataSourceStreamReader):
                 f"log's latest version {latest} — refusing (the "
                 "committed offset would regress below it)")
         _, meta, _, _ = _replay(table, None)
-        if meta.get("partitionColumns"):
+        # partitioned tables: partition values live in the LOG; each
+        # input partition ships its file's partitionValues and read()
+        # rebuilds them as typed constant columns — the streaming twin
+        # of the batch reader's broadcast value rejoin
+        self.pcols, _ptypes = _partition_schema(meta)
+        # columnMapping: name mode reads each file by the schema's
+        # physicalName metadata; id mode resolves per-file by parquet
+        # field ids (the footer is read executor-side, where the file
+        # is being read anyway). Partitioned+mapped matches the batch
+        # reader's refusal (partitionValues key by physical name).
+        self.cmap = _column_mapping(meta)
+        self.idmap = ({fid: name for fid, (name, _dt) in
+                       _id_mapping(meta).items()}
+                      if _cm_mode(meta) == "id" else None)
+        if (self.cmap or self.idmap) and self.pcols:
             raise NotImplementedError(
-                "delta_local_stream on a PARTITIONED table — partition "
-                "values live in the log and are not rejoined here")
-        if _cm_mode(meta) != "none":
-            raise NotImplementedError(
-                "delta_local_stream on a columnMapping table")
+                f"delta_local_stream: columnMapping.mode="
+                f"{_cm_mode(meta)} on a PARTITIONED table — "
+                "partitionValues key by physical name; unsupported "
+                "here (matches the batch reader)")
+        # session timezone, captured driver-side: timestamp-typed
+        # partition values are wall-time strings the batch reader
+        # casts in session tz — read() must agree
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+        self.tz = (sess.conf.get("spark.sql.session.timeZone")
+                   if sess else "UTC")
         # pre-batch live set, carried forward across triggers so the
         # full _replay happens once per (re)start, not per trigger
         self._live_at: int | None = None
@@ -153,8 +185,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if dv:
                     _check_dv_descriptor(k, dv)
                 p = k if os.path.isabs(k) else os.path.join(self.table, k)
+                pv = a.get("partitionValues") if self.pcols else None
                 parts.append(InputPartition(
-                    (p, json.dumps(dv) if dv else None)))
+                    (p, json.dumps(dv) if dv else None,
+                     json.dumps(pv) if pv is not None else None)))
             for k in removes:
                 live.discard(k)
             for k in adds:
@@ -166,9 +200,34 @@ class DeltaStreamReader(DataSourceStreamReader):
     def read(self, partition):
         import pyarrow as pa
         import pyarrow.parquet as pq
-        path, dvj = partition.value
-        have = set(pq.read_schema(path).names)
-        want = [c for c in self.fields if c in have]
+        path, dvj, pvj = partition.value
+        fsch = pq.read_schema(path)
+        have = set(fsch.names)
+        # physical name of each LOGICAL data column in THIS file:
+        # identity (no mapping), the schema's physicalName metadata
+        # (name mode), or this file's parquet field ids (id mode —
+        # files may legitimately disagree on physical names)
+        data_fields = [c for c in self.fields if c not in self.pcols]
+        if self.idmap is not None:
+            id2name = {}
+            for fld in fsch:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    id2name[int(fid)] = fld.name
+            missing = [i for i in self.idmap if i not in id2name]
+            if missing:
+                raise ValueError(
+                    f"{path}: parquet schema carries no field id(s) "
+                    f"{missing} — id-mode column resolution is "
+                    "impossible for this file")
+            phys_of = {name: id2name[fid]
+                       for fid, name in self.idmap.items()}
+        elif self.cmap:
+            phys_of = dict(self.cmap)
+        else:
+            phys_of = {c: c for c in data_fields}
+        want = [phys_of[c] for c in data_fields
+                if phys_of.get(c) in have]
         t = pq.read_table(path, columns=want)
         if dvj:
             from quokka_spark.sources.dv import dv_row_indexes
@@ -180,11 +239,20 @@ class DeltaStreamReader(DataSourceStreamReader):
         # present columns CAST to the declared type (a file may store
         # int32 under a declared long — the batch schema read upcasts)
         from pyspark.sql.pandas.types import to_arrow_type
+
+        from quokka_spark.sources.delta_local import partition_value_py
+        pvals = json.loads(pvj) if pvj else {}
         cols = []
         for c in self.fields:
             at = to_arrow_type(self.field_types[c])
-            if c in have:
-                col = t.column(c)
+            if c in self.pcols:
+                # typed constant column from the add's partitionValues
+                v = partition_value_py(pvals.get(c),
+                                       self.field_types[c], self.tz)
+                cols.append(pa.nulls(t.num_rows, type=at) if v is None
+                            else pa.array([v] * t.num_rows, type=at))
+            elif phys_of.get(c) in have:
+                col = t.column(phys_of[c])
                 cols.append(col.cast(at) if col.type != at else col)
             else:
                 cols.append(pa.nulls(t.num_rows, type=at))

@@ -67,21 +67,46 @@ class HudiStreamReader(DataSourceStreamReader):
             self.start_pos = ts_list.index(str(start)) - 1
         else:
             self.start_pos = -1
+        self.start_ts = (instants[self.start_pos][0]
+                         if self.start_pos >= 0 else None)
 
+    # offsets carry the instant TIMESTAMP next to the timeline
+    # position (like the Iceberg sibling's pos+sid): positions are
+    # only meaningful against the timeline they were minted on, so a
+    # foreign table whose timeline was archived/rewritten refuses
+    # instead of silently shifting
     def initialOffset(self) -> dict:
-        return {"pos": self.start_pos}
+        return {"pos": self.start_pos, "ts": self.start_ts}
 
     def latestOffset(self) -> dict:
         from quokka_spark.sources.hudi_local import completed_instants
-        return {"pos": len(completed_instants(self.table)) - 1}
+        instants = completed_instants(self.table)
+        return {"pos": len(instants) - 1,
+                "ts": instants[-1][0] if instants else None}
+
+    @staticmethod
+    def _check_offset(off: dict, instants: list) -> int:
+        pos = int(off["pos"])
+        ts = off.get("ts")
+        if pos >= 0 and ts is not None:
+            if pos >= len(instants) or instants[pos][0] != str(ts):
+                have = (instants[pos][0] if pos < len(instants)
+                        else "<beyond timeline>")
+                raise ValueError(
+                    f"offset (pos={pos}, ts={ts}) no longer matches "
+                    f"the timeline (instant at pos {pos} is {have}) — "
+                    "archived/rewritten timeline; restart the stream "
+                    "from a fresh checkpoint")
+        return pos
 
     def partitions(self, start: dict, end: dict):
         from quokka_spark.sources.hudi_local import (_is_log,
                                                      completed_instants)
-        p0, p1 = int(start["pos"]), int(end["pos"])
+        instants = completed_instants(self.table)
+        p0 = self._check_offset(start, instants)
+        p1 = self._check_offset(end, instants)
         if p1 <= p0:
             return []
-        instants = completed_instants(self.table)
         if p1 >= len(instants):
             raise ValueError(
                 f"offset pos {p1} is beyond the timeline "
@@ -188,7 +213,24 @@ class HudiStreamReader(DataSourceStreamReader):
         # operationType — a mixed or unstamped deltacommit must not
         # silently drop deletions
         from quokka_spark.sources.avro_lite import read_container
-        _, records = read_container(path)
+        meta, records = read_container(path)
+        # validate the container SCHEMA carries every payload column
+        # before yielding anything — the batch path (_merge_logs)
+        # refuses loudly on missing columns, and a foreign/truncated
+        # log must not silently stream nulls where data belongs
+        try:
+            declared = {f["name"] for f in
+                        json.loads(meta["avro.schema"])["fields"]}
+        except (KeyError, ValueError, TypeError) as e:
+            raise ValueError(
+                f"{path}: log container carries no parseable "
+                "avro.schema record — cannot verify the payload") from e
+        missing = [c for c in self.fields if c not in declared]
+        if missing:
+            raise ValueError(
+                f"{path}: log records are missing columns {missing} — "
+                "every log record must carry the full row payload "
+                "(matching the batch reader's refusal)")
         rows = []
         for r in records:
             if r.get("_hoodie_is_deleted"):

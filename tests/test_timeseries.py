@@ -2017,6 +2017,140 @@ def test_delta_stream_source_review_regressions(spark, qc, tmp_path):
     assert rows == {0: None, 1: None, 2: None, 10: 1.5}
 
 
+def test_delta_stream_source_partitioned(spark, qc, tmp_path):
+    """Partitioned tables stream (round-9): partition values come
+    back as typed constant columns from each add's partitionValues —
+    including an int key, a date key, and a NULL partition value —
+    and a checkpointed second drain tails only the new rows."""
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "ptbl")
+    chk, out = str(tmp_path / "chk"), str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(1, "a", 7, "2024-03-01", 1.0),
+         (2, "b", 7, "2024-03-02", 2.0),
+         (3, None, 8, "2024-03-01", 3.0)],
+        "id long, cat string, bucket int, d string, v double") \
+        .withColumn("d", F.to_date("d"))
+    write_delta_local(df.coalesce(1), tbl,
+                      partition_by=["cat", "bucket", "d"])
+
+    def drain():
+        s = qc.read_delta_stream(tbl)
+        q = (s.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = drain()
+    # the streamed schema equals the batch reader's (logical order)
+    batch = qc.read_delta(tbl).df
+    assert got.schema == batch.schema
+    rows = {r["id"]: (r["cat"], r["bucket"], str(r["d"]), r["v"])
+            for r in got.collect()}
+    assert rows == {1: ("a", 7, "2024-03-01", 1.0),
+                    2: ("b", 7, "2024-03-02", 2.0),
+                    3: (None, 8, "2024-03-01", 3.0)}
+    # appends inherit the partitioning and tail incrementally
+    df2 = spark.createDataFrame(
+        [(9, "z", 9, "2024-04-01", 9.0)],
+        "id long, cat string, bucket int, d string, v double") \
+        .withColumn("d", F.to_date("d"))
+    write_delta_local(df2.coalesce(1), tbl, mode="append")
+    got2 = drain()
+    assert sorted(r["id"] for r in got2.collect()) == [1, 2, 3, 9]
+    assert {r["cat"] for r in got2.collect() if r["id"] == 9} == {"z"}
+
+
+def test_delta_stream_source_column_mapping(spark, qc, tmp_path):
+    """columnMapping tables stream (round-9): name mode resolves via
+    the schema's physicalName metadata; id mode resolves by each
+    file's own parquet field ids (files may disagree on physical
+    names); partitioned+mapped keeps the batch reader's refusal."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import _commit
+
+    def cm_schema(mode_fields):
+        return {"type": "struct", "fields": [
+            {"name": n, "type": t, "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": pn,
+                          "delta.columnMapping.id": fid}}
+            for n, t, pn, fid in mode_fields]}
+
+    def mk_table(name, mode, adds_files, schema, pcols=()):
+        tbl = str(tmp_path / name)
+        _os.makedirs(tbl)
+        adds = [{"add": {"path": p, "partitionValues": pv, "size": 1,
+                         "modificationTime": 0, "dataChange": True}}
+                for p, pv in adds_files]
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "t",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": _json.dumps(schema),
+                          "partitionColumns": list(pcols),
+                          "configuration": {
+                              "delta.columnMapping.mode": mode,
+                              "delta.columnMapping.maxColumnId": "9"},
+                          "createdTime": 0}}] + adds)
+        return tbl
+
+    def drain(tbl, qname):
+        s = qc.read_delta_stream(tbl)
+        q = (s.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        return spark.table(qname)
+
+    # ---- name mode ---------------------------------------------------
+    f1 = str(tmp_path / "n1.parquet")
+    pd.DataFrame({"col-a1": [1, 2], "col-b2": [1.0, 2.0]}).to_parquet(f1)
+    sch = cm_schema([("id", "long", "col-a1", 1),
+                     ("v", "double", "col-b2", 2)])
+    tname = mk_table("cmname", "name", [(f1, {})], sch)
+    got = drain(tname, "cmn")
+    assert got.columns == ["id", "v"]
+    assert {r["id"]: r["v"] for r in got.collect()} == {1: 1.0, 2: 2.0}
+
+    # ---- id mode: physical names DISAGREE across files ---------------
+    def idfile(name, cols):
+        fields, arrays = [], []
+        for fid, (pn, vals) in sorted(cols.items()):
+            typ = pa.int64() if isinstance(vals[0], int) else pa.float64()
+            fields.append(pa.field(
+                pn, typ,
+                metadata={b"PARQUET:field_id": str(fid).encode()}))
+            arrays.append(pa.array(vals, type=typ))
+        p = str(tmp_path / name)
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)), p)
+        return p
+    a = idfile("i1.parquet", {1: ("c_one", [1, 2]),
+                              2: ("c_two", [1.0, 2.0])})
+    b = idfile("i2.parquet", {1: ("v", [4]), 2: ("id", [40.0])})
+    tid = mk_table("cmid", "id", [(a, {}), (b, {})], sch)
+    got = drain(tid, "cmi")
+    assert {r["id"]: r["v"] for r in got.collect()} == \
+        {1: 1.0, 2: 2.0, 4: 40.0}
+
+    # ---- partitioned + mapped refuses like the batch reader ----------
+    psch = {"type": "struct",
+            "fields": sch["fields"] + [
+                {"name": "p", "type": "string", "nullable": True,
+                 "metadata": {"delta.columnMapping.physicalName": "c-p",
+                              "delta.columnMapping.id": 3}}]}
+    tp = mk_table("cmpart", "name", [(f1, {"c-p": "x"})], psch,
+                  pcols=["p"])
+    with pytest.raises(Exception, match="PARTITIONED"):
+        drain(tp, "cmp")
+
+
 def test_iceberg_stream_source(spark, qc, tmp_path):
     """Streaming source over a local Iceberg table: full-history
     availableNow drain equals the batch read; compaction (replace)
