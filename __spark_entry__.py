@@ -1872,6 +1872,89 @@ GROUP BY l_returnflag
 """
 
 
+def src_delta_cm_id_write(spark, sf_dir):
+    """Delta columnMapping.mode=id WRITE roundtrip + mapped schema
+    EVOLUTION (round 9): the even-orderkey half of lineitem sits in
+    the id-mode table as a fixture file whose PHYSICAL names are
+    arbitrary (resolution is by parquet field id); the odd half is
+    APPENDED through write_delta_local with an extra column `half` —
+    the engine assigns the new column a fresh physicalName/id, bumps
+    maxColumnId, stamps field ids into the new files via the native
+    writer, and the read resolves both layouts into one logical
+    table (even rows null-fill `half`). Oracle derives `half` from
+    the orderkey parity."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import _commit, write_delta_local
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_deltacmidw_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    phys = os.path.join(base, "phys.parquet")
+    done = os.path.join(base, "_done")
+    logical = ["l_orderkey", "l_returnflag", "l_quantity"]
+    physical = ["col-k0", "col-r1", "col-q2"]
+    types = ["long", "string", "double"]
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(tbl, exist_ok=True)
+        t = pq.read_table(li, columns=logical)
+        even = t.filter(pc.equal(pc.bit_wise_and(
+            t.column("l_orderkey"), 1), 0))
+        # fixture file: ARBITRARY physical names, field ids attached
+        fields = [pa.field(pn, even.schema.field(i).type,
+                           metadata={b"PARQUET:field_id":
+                                     str(i + 1).encode()})
+                  for i, pn in enumerate(physical)]
+        pq.write_table(
+            pa.Table.from_arrays(list(even.columns),
+                                 schema=pa.schema(fields)), phys)
+        schema = {"type": "struct", "fields": [
+            {"name": ln, "type": ty, "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": pn,
+                          "delta.columnMapping.id": i + 1}}
+            for i, (ln, pn, ty) in enumerate(zip(logical, physical,
+                                                 types))]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "cmidw",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": _json.dumps(schema),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "3"},
+                          "createdTime": 0}},
+            {"add": {"path": phys, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}}])
+        odd = spark.read.parquet(li).where("l_orderkey % 2 = 1") \
+            .select(*logical).withColumn("half", F.lit("odd"))
+        write_delta_local(odd, tbl, mode="append")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_delta(tbl)
+    return ds.df.groupBy("l_returnflag", "half").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_DELTA_CM_ID_WRITE_SQL = """
+SELECT l_returnflag,
+       CASE WHEN l_orderkey % 2 = 1 THEN 'odd' END AS half,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, half
+"""
+
+
 def src_hudi(spark, sf_dir):
     """read_hudi end-to-end WITHOUT the hudi-spark bundle jar
     (sources/hudi_local.py — pure-Python timeline replay): a local
@@ -6263,6 +6346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_hudi": src_hudi,
         "src_delta_cm": src_delta_cm,
         "src_delta_cm_write": src_delta_cm_write,
+        "src_delta_cm_id_write": src_delta_cm_id_write,
         "src_delta_cdf": src_delta_cdf,
         "src_hudi_incr": src_hudi_incr,
         "src_iceberg_cdf": src_iceberg_cdf,
@@ -6462,6 +6546,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_dv": _SRC_DELTA_DV_SQL,
         "src_delta_cm": _SRC_DELTA_CM_SQL,
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,
+        "src_delta_cm_id_write": _SRC_DELTA_CM_ID_WRITE_SQL,
         "src_delta_cdf": _SRC_DELTA_CDF_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,

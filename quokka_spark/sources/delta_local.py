@@ -401,48 +401,77 @@ def _id_mapping(meta: dict):
         meta, "id", "delta.columnMapping.id")}
 
 
+# session-scoped memo of each data file's resolved field-id layout,
+# keyed by (absolute path, mtime_ns, size) so an overwritten file
+# re-resolves: at extreme file counts the per-file driver footer read
+# is the id-mode scan's only super-constant metadata term, and Delta
+# data files are immutable once committed — a repeat scan (time
+# travel, retries, dashboards) should pay one os.stat per file, not
+# one footer read. Entries are a handful of (int, str) pairs — KBs
+# per 10k files, no eviction needed driver-side.
+_ID_LAYOUT_CACHE: dict = {}
+
+
+def _file_id_layout(f: str) -> dict:
+    """{parquet field id: column name} for one data file, memoized
+    per session (see _ID_LAYOUT_CACHE)."""
+    import pyarrow.parquet as pq
+    st = os.stat(f)
+    key = (os.path.abspath(f), st.st_mtime_ns, st.st_size)
+    hit = _ID_LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    id2name = {}
+    for fld in pq.read_schema(f):
+        md = fld.metadata or {}
+        fid = md.get(b"PARQUET:field_id")
+        if fid is not None:
+            id2name[int(fid)] = fld.name
+    _ID_LAYOUT_CACHE[key] = id2name
+    return id2name
+
+
 def _id_mode_scan(spark, files, adds, idmap, root):
     """id-mode scan: resolve each file's columns by the PARQUET FIELD
-    IDS in its footer (one KB-scale footer read per file — the same
-    metadata class as footer-stats collection), group files sharing a
-    resolved id→name layout, scan each group natively, rename to the
-    logical schema and union. Files may legitimately disagree on
-    physical names (id mode exists for exactly that); a file missing
-    a schema field id refuses loudly — guessing by name would read
-    the wrong column."""
-    import pyarrow.parquet as pq
+    IDS in its footer (one KB-scale footer read per file on FIRST
+    touch — repeat scans hit the session layout cache and pay only an
+    os.stat), group files sharing a resolved id→name layout, scan
+    each group natively, rename to the logical schema and union.
+    Files may legitimately disagree on physical names (id mode exists
+    for exactly that); a file missing a schema field id refuses
+    loudly — guessing by name would read the wrong column."""
     from pyspark.sql.types import StructField, StructType
 
     from pyspark.sql import functions as F
     groups: dict = {}
     for f, a in zip(files, adds):
-        sch = pq.read_schema(f)
-        id2name = {}
-        for fld in sch:
-            md = fld.metadata or {}
-            fid = md.get(b"PARQUET:field_id")
-            if fid is not None:
-                id2name[int(fid)] = fld.name
-        missing = [i for i in idmap if i not in id2name]
-        if missing:
+        id2name = _file_id_layout(f)
+        if not id2name:
             raise ValueError(
-                f"{f}: parquet schema carries no field id(s) "
-                f"{missing} — id-mode column resolution is "
-                "impossible for this file")
-        key = tuple(sorted((i, id2name[i]) for i in idmap))
+                f"{f}: parquet schema carries no field ids at all — "
+                "id-mode column resolution is impossible for this "
+                "file (foreign writer?)")
+        # a file may lack SOME schema ids — that is ordinary schema
+        # evolution (the column was added after the file was written)
+        # and null-fills, exactly like unmapped evolution; only an
+        # id-less file refuses above
+        key = tuple(sorted((i, id2name.get(i)) for i in idmap))
         groups.setdefault(key, []).append((f, a))
     parts = []
-    for key, pairs in sorted(groups.items()):
+    for key, pairs in sorted(groups.items(),
+                             key=lambda kv: str(kv[0])):
         phys = dict(key)
         gf = [f for f, _ in pairs]
         ga = [a for _, a in pairs]
         rs = StructType([StructField(phys[i], dt, True)
-                         for i, (_n, dt) in sorted(idmap.items())])
+                         for i, (_n, dt) in sorted(idmap.items())
+                         if phys[i] is not None])
         d = spark.read.schema(rs).parquet(*gf)
         d = _apply_deletion_vectors(spark, d, gf, ga, root)
         parts.append(d.select(
-            *[F.col(phys[i]).alias(n)
-              for i, (n, _dt) in sorted(idmap.items())]))
+            *[(F.col(phys[i]) if phys[i] is not None
+               else F.lit(None).cast(dt)).alias(n)
+              for i, (n, dt) in sorted(idmap.items())]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1194,6 +1223,53 @@ def _evolve_schema_actions(meta: dict, df, mode: str,
     return [md]
 
 
+def _evolve_mapped_schema_actions(meta: dict, df, mode: str):
+    """Schema evolution on a columnMapping table (round 9): a NEW
+    column gets a fresh ``delta.columnMapping.id`` (maxColumnId+1…)
+    and a fresh opaque ``physicalName`` (``col-<uuid>``, the same
+    convention real Delta uses — physical names never derive from
+    logical ones, that is the whole point of mapping), and the
+    metaData action bumps ``maxColumnId``. Existing columns must
+    type-match on append, the same rule as unmapped evolution.
+    Returns (metaData actions, the updated meta dict) — the caller
+    renames against the UPDATED schema so the new column lands under
+    its assigned physical name."""
+    from pyspark.sql.types import StructField, StructType
+    cur = StructType.fromJson(json.loads(meta["schemaString"]))
+    cur_types = {f.name: f.dataType for f in cur.fields}
+    new_fields = []
+    for f in df.schema.fields:
+        have = cur_types.get(f.name)
+        if have is None:
+            new_fields.append(f)
+        elif have != f.dataType and mode == "append":
+            raise ValueError(
+                f"column {f.name!r}: incoming type "
+                f"{f.dataType.simpleString()} conflicts with the "
+                f"table's {have.simpleString()} (append never "
+                "rewrites history)")
+    if not new_fields:
+        return [], meta
+    conf = dict(meta.get("configuration") or {})
+    ids = [int((f.metadata or {}).get("delta.columnMapping.id") or 0)
+           for f in cur.fields]
+    maxid = max([int(conf.get("delta.columnMapping.maxColumnId") or 0)]
+                + ids)
+    out_fields = list(cur.fields)
+    for f in new_fields:
+        maxid += 1
+        md = dict(f.metadata or {})
+        md["delta.columnMapping.id"] = maxid
+        md["delta.columnMapping.physicalName"] = \
+            f"col-{uuid.uuid4().hex[:16]}"
+        out_fields.append(StructField(f.name, f.dataType, True, md))
+    conf["delta.columnMapping.maxColumnId"] = str(maxid)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(out_fields).json()
+    new_meta["configuration"] = conf
+    return [{"metaData": new_meta}], new_meta
+
+
 def write_delta_local(df, table: str, mode: str = "append",
                       partition_by=None, txn: tuple | None = None) -> int:
     """Commit a Spark DataFrame as a new Delta version. ``mode``:
@@ -1232,11 +1308,6 @@ def write_delta_local(df, table: str, mode: str = "append",
     evolve: list = []
     if version > 0:
         _, meta, live_keys, _ = _replay(table, None)
-        if _cm_mode(meta) == "id":
-            raise NotImplementedError(
-                "writing to a columnMapping.mode=id table — new files "
-                "must stamp parquet field ids, which the native Spark "
-                "writer does not do from here")
         table_pcols = meta.get("partitionColumns") or []
         if mode == "append":
             if pcols and pcols != table_pcols:
@@ -1244,12 +1315,16 @@ def write_delta_local(df, table: str, mode: str = "append",
                     f"partition_by {pcols} differs from the table's "
                     f"partitionColumns {table_pcols}")
             pcols = table_pcols
-        cmap = _column_mapping(meta)
-        if cmap:
-            # name mode: data files carry PHYSICAL names — rename the
-            # batch before the write; footer stats then key by
-            # physical name automatically, exactly what the mapped
-            # reader's stats-skipping translation expects
+        cm = _cm_mode(meta)
+        if cm != "none":
+            # mapped tables: data files carry PHYSICAL names — rename
+            # the batch before the write (footer stats then key by
+            # physical name automatically, what the mapped reader's
+            # stats-skipping translation expects); id mode also
+            # stamps each column's parquet field id via the native
+            # writer's ``parquet.field.id`` column metadata. A batch
+            # with NEW columns evolves the mapped schema first
+            # (fresh physicalName/id + maxColumnId bump).
             if table_pcols or pcols:
                 # table_pcols too: an overwrite WITHOUT partition_by
                 # on a partitioned mapped table would otherwise slip
@@ -1259,17 +1334,27 @@ def write_delta_local(df, table: str, mode: str = "append",
                     "writing to a PARTITIONED columnMapping table — "
                     "partitionValues key by physical name; "
                     "unsupported here")
-            if sorted(df.columns) != sorted(cmap.keys()):
-                raise NotImplementedError(
-                    f"schema change on a columnMapping table (batch "
-                    f"{sorted(df.columns)} vs table "
-                    f"{sorted(cmap.keys())}) — new columns need fresh "
-                    "physicalName/id assignments and a maxColumnId "
-                    "bump")
+            evolve, meta = _evolve_mapped_schema_actions(meta, df, mode)
+            from pyspark.sql.types import StructType
+            mapping = {}
+            for f in StructType.fromJson(
+                    json.loads(meta["schemaString"])).fields:
+                md = f.metadata or {}
+                phys = md.get("delta.columnMapping.physicalName")
+                fid = md.get("delta.columnMapping.id")
+                if not phys or fid in (None, ""):
+                    raise ValueError(
+                        f"column {f.name!r}: columnMapping.mode={cm} "
+                        "but the schema field carries no physicalName/"
+                        "id — refusing to guess a physical layout")
+                mapping[f.name] = (phys, int(fid))
             from pyspark.sql import functions as F
-            df = df.select(*[F.col(c).alias(cmap[c])
-                             for c in df.columns])
-            evolve = []
+            df = df.select(*[
+                F.col(c).alias(mapping[c][0],
+                               metadata={"parquet.field.id":
+                                         mapping[c][1]})
+                if cm == "id" else F.col(c).alias(mapping[c][0])
+                for c in df.columns])
         else:
             evolve = _evolve_schema_actions(meta, df, mode, pcols)
     data_dir = os.path.join(root, f"data-{uuid.uuid4().hex[:12]}")

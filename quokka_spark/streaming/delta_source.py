@@ -214,13 +214,14 @@ class DeltaStreamReader(DataSourceStreamReader):
                 fid = (fld.metadata or {}).get(b"PARQUET:field_id")
                 if fid is not None:
                     id2name[int(fid)] = fld.name
-            missing = [i for i in self.idmap if i not in id2name]
-            if missing:
+            if not id2name:
                 raise ValueError(
-                    f"{path}: parquet schema carries no field id(s) "
-                    f"{missing} — id-mode column resolution is "
-                    "impossible for this file")
-            phys_of = {name: id2name[fid]
+                    f"{path}: parquet schema carries no field ids at "
+                    "all — id-mode column resolution is impossible "
+                    "for this file (foreign writer?)")
+            # ids missing from THIS file are ordinary schema
+            # evolution — null-filled below like the batch scan
+            phys_of = {name: id2name.get(fid)
                        for fid, name in self.idmap.items()}
         elif self.cmap:
             phys_of = dict(self.cmap)
