@@ -2308,6 +2308,75 @@ GROUP BY l_returnflag
 """
 
 
+def src_hudi_logfmt(spark, sf_dir):
+    """Hudi MoR with REAL HoodieLogFormat block framing (round 9 —
+    sources/hudi_logfmt.py): the table's deltacommit logs are spec-
+    framed (#HUDI# magic, block size/version/type, header metadata
+    with INSTANT_TIME + SCHEMA, length-prefixed Avro binary records),
+    exactly what a real hudi writer produces — the merge scan, the
+    driver schema sniff, and the record-key window must read them
+    identically to the engine's own container logs. Fixture:
+    documents bulk-loads, one deltacommit updates lang of doc_id%10=0
+    and one deletes doc_id%7=0; every log file is then reframed to
+    the spec layout before the read."""
+    import json as _json
+    import os
+    import tempfile
+
+    from quokka_spark.sources.avro_lite import read_container
+    from quokka_spark.sources.hudi_local import (upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+    from quokka_spark.sources.hudi_logfmt import write_log_file
+    qc = _qc(spark)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_hudilf_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(docs)
+        write_hudi_mor_local(src.repartition(2), tbl,
+                             recordkey="doc_id")
+        upd = src.where("doc_id % 10 = 0").withColumn("lang",
+                                                      F.lit("xx"))
+        upsert_hudi_mor_local(spark, tbl, upd)
+        dels = src.where("doc_id % 7 = 0").select("doc_id")
+        upsert_hudi_mor_local(spark, tbl, dels, delete=True)
+        # reframe every container log into spec framing, in place
+        for dp, _, fs in os.walk(tbl):
+            if ".hoodie" in dp:
+                continue
+            for f in fs:
+                if ".log." not in f:
+                    continue
+                p = os.path.join(dp, f)
+                meta, records = read_container(p)
+                schema = _json.loads(meta["avro.schema"])
+                ts = str(records[0].get("_hoodie_commit_time", "0")) \
+                    if records else "0"
+                write_log_file(p, schema, records, ts)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_hudi(tbl)
+    return ds.df.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+_SRC_HUDI_LOGFMT_SQL = """
+SELECT CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY 1
+"""
+
+
 def src_orc(spark, sf_dir):
     """read_orc/write_orc roundtrip (parity-plus source — ORC is
     Spark-native, zero extra dependencies): lineitem is written once
@@ -6294,6 +6363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_checkpoint": src_delta_checkpoint,
         "src_delta_dv": src_delta_dv,
         "src_hudi_mor": src_hudi_mor,
+        "src_hudi_logfmt": src_hudi_logfmt,
         # streaming sink (exactly-once Delta ingestion)
         "stream_sink_delta": stream_sink_delta,
         # tokenizer (1) + non-equi join verb (1)
@@ -6543,6 +6613,7 @@ def oracle_sql() -> dict[str, str]:
         "op_percentile_approx_group": _percentile_approx_oracle(),
         "src_hudi": _SRC_HUDI_SQL,
         "src_hudi_mor": _SRC_HUDI_MOR_SQL,
+        "src_hudi_logfmt": _SRC_HUDI_LOGFMT_SQL,
         "src_delta_dv": _SRC_DELTA_DV_SQL,
         "src_delta_cm": _SRC_DELTA_CM_SQL,
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,

@@ -193,8 +193,20 @@ def spark_read_avro(spark, path):
              else _avro_files(path))
     if not files:
         raise FileNotFoundError("spark_read_avro: empty file list")
-    meta = read_container_meta(files[0])  # header-only: O(KB), not O(file)
-    record_schema = _json.loads(meta["avro.schema"])
+    # header-only sniffs: O(KB) regardless of file size. A file may be
+    # a plain Avro container OR a HoodieLogFormat-framed hudi-writer
+    # log (sources/hudi_logfmt) — both carry their writer schema up
+    # front, and the executor decode dispatches per file, so mixed
+    # log directories (this engine's containers next to a real hudi
+    # writer's framed logs) read as one scan.
+    with open(files[0], "rb") as _fh:
+        _head = _fh.read(6)
+    if _head == b"#HUDI#":
+        from .hudi_logfmt import read_log_schema
+        record_schema = read_log_schema(files[0])
+    else:
+        meta = read_container_meta(files[0])
+        record_schema = _json.loads(meta["avro.schema"])
     sstruct = avro_spark_schema(record_schema)
     names = [f.name for f in sstruct.fields]
     convs = _logical_converters(record_schema)
@@ -231,11 +243,11 @@ def spark_read_avro(spark, path):
                 with open(p, "rb") as fh:
                     data = fh.read()
                 if data[:6] == b"#HUDI#":
-                    raise NotImplementedError(
-                        f"{p}: HoodieLogFormat block framing (a real "
-                        "hudi-writer log) — this reader decodes Avro "
-                        "container files only")
-                _, records = read_container_bytes(data, name=p)
+                    from quokka_spark.sources.hudi_logfmt import \
+                        read_log_records_bytes
+                    _, records = read_log_records_bytes(data, name=p)
+                else:
+                    _, records = read_container_bytes(data, name=p)
                 cols = {}
                 for name in names:
                     vals = [r.get(name) for r in records]

@@ -196,17 +196,10 @@ def _merge_logs(spark, base_df, log_files: list[str], keys: list[str]):
     from pyspark.sql import functions as F
 
     from .avro_source import spark_read_avro
-    # plan-time sniff of a BOUNDED sample (a homogeneous foreign table
-    # gates instantly with a typed error); the full per-file check
-    # runs executor-side inside spark_read_avro's decode, so the
-    # driver never does O(#logs) filesystem round-trips
-    for p in log_files[:16]:
-        with open(p, "rb") as fh:
-            if fh.read(6) == b"#HUDI#":
-                raise NotImplementedError(
-                    f"{p}: HoodieLogFormat block framing (a real "
-                    "hudi-writer log) — this reader decodes Avro "
-                    "container log payloads only")
+    # spark_read_avro dispatches per file between plain Avro
+    # containers (this engine's own logs) and HoodieLogFormat block
+    # framing (real hudi-writer logs, sources/hudi_logfmt) — both
+    # shapes merge through the same window plan
     log_df = spark_read_avro(spark, log_files)
     data_cols = base_df.columns
     missing = [c for c in data_cols + ["_hoodie_commit_time"]

@@ -212,19 +212,31 @@ class HudiStreamReader(DataSourceStreamReader):
         # Tombstones are gated by CONTENT here, not just the commit's
         # operationType — a mixed or unstamped deltacommit must not
         # silently drop deletions
-        from quokka_spark.sources.avro_lite import read_container
-        meta, records = read_container(path)
-        # validate the container SCHEMA carries every payload column
-        # before yielding anything — the batch path (_merge_logs)
-        # refuses loudly on missing columns, and a foreign/truncated
-        # log must not silently stream nulls where data belongs
-        try:
-            declared = {f["name"] for f in
-                        json.loads(meta["avro.schema"])["fields"]}
-        except (KeyError, ValueError, TypeError) as e:
-            raise ValueError(
-                f"{path}: log container carries no parseable "
-                "avro.schema record — cannot verify the payload") from e
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if data[:6] == b"#HUDI#":
+            # real hudi-writer framing (sources/hudi_logfmt)
+            from quokka_spark.sources.hudi_logfmt import \
+                read_log_records_bytes
+            lsch, records = read_log_records_bytes(data, name=path)
+            declared = {f["name"] for f in lsch["fields"]}
+        else:
+            from quokka_spark.sources.avro_lite import \
+                read_container_bytes
+            meta, records = read_container_bytes(data, name=path)
+            # validate the container SCHEMA carries every payload
+            # column before yielding anything — the batch path
+            # (_merge_logs) refuses loudly on missing columns, and a
+            # foreign/truncated log must not silently stream nulls
+            # where data belongs
+            try:
+                declared = {f["name"] for f in
+                            json.loads(meta["avro.schema"])["fields"]}
+            except (KeyError, ValueError, TypeError) as e:
+                raise ValueError(
+                    f"{path}: log container carries no parseable "
+                    "avro.schema record — cannot verify the "
+                    "payload") from e
         missing = [c for c in self.fields if c not in declared]
         if missing:
             raise ValueError(
