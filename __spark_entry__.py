@@ -2181,6 +2181,68 @@ FROM ch GROUP BY _commit_version, _change_type, l_returnflag
 """
 
 
+def src_delta_cdf_upsert(spark, sf_dir):
+    """CDF UPDATE pairing (round 9 — delta_local.read_delta_changes):
+    an upsert commit stamped with its MERGE keys (commitInfo.
+    operationParameters.keyColumns) surfaces as paired
+    update_preimage/update_postimage rows for changed keys and plain
+    inserts for new keys, with byte-identical survivor
+    re-transmissions cancelled. Fixture: documents bulk-loads, one
+    upsert bumps n_chars of doc_id%10=0 rows AND inserts fresh keys
+    (doc_id+10M) for doc_id%10=1; the change feed of that single
+    version must match the oracle's three-way decomposition — any
+    survivor leakage or mis-pairing breaks the hash."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import (upsert_delta_local,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_cdfup_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(docs) \
+            .select("doc_id", "lang", "n_chars")
+        write_delta_local(src, tbl)
+        changed = src.where("doc_id % 10 = 0") \
+            .withColumn("n_chars", F.col("n_chars") + 1000)
+        fresh = src.where("doc_id % 10 = 1") \
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        upsert_delta_local(spark, tbl, changed.unionByName(fresh),
+                           "doc_id")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ch = qc.read_delta_changes(tbl, 1).df
+    return ch.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+_SRC_DELTA_CDF_UPSERT_SQL = """
+WITH ch AS (
+  SELECT 'update_preimage' AS _change_type, doc_id, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'update_postimage', doc_id, n_chars + 1000
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT 'insert', doc_id + 10000000, n_chars
+  FROM documents WHERE doc_id % 10 = 1
+)
+SELECT _change_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM ch GROUP BY _change_type
+"""
+
+
 def src_iceberg_transform(spark, sf_dir):
     """Iceberg BUCKET-transform partition pruning end-to-end
     (iceberg_local._prune_entries_transforms + the spec's 32-bit
@@ -6418,6 +6480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
         "src_delta_cdf": src_delta_cdf,
+        "src_delta_cdf_upsert": src_delta_cdf_upsert,
         "src_hudi_incr": src_hudi_incr,
         "src_iceberg_cdf": src_iceberg_cdf,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
@@ -6619,6 +6682,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,
         "src_delta_cm_id_write": _SRC_DELTA_CM_ID_WRITE_SQL,
         "src_delta_cdf": _SRC_DELTA_CDF_SQL,
+        "src_delta_cdf_upsert": _SRC_DELTA_CDF_UPSERT_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,

@@ -231,6 +231,21 @@ def _commit_actions(table: str, v: int) -> tuple[dict, dict]:
     return adds, removes
 
 
+def _commit_info(table: str, v: int) -> dict:
+    """The commit's first ``commitInfo`` action (real writers put it
+    on the first line), or {} — carries operation/operationParameters
+    metadata like the MERGE key columns."""
+    with open(_version_path(table, v)) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                return action["commitInfo"] or {}
+    return {}
+
+
 def _footer_stats(path: str) -> str | None:
     """Spec-shaped per-file ``stats`` JSON (numRecords, minValues,
     maxValues) from the parquet FOOTER statistics — what a real Delta
@@ -1573,6 +1588,13 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         if f.endswith(".parquet"):
             p = os.path.join(adir, f)
             actions.append(_add_action(root, p, stats=_footer_stats(p)))
+    # commitInfo with the MERGE keys (what real writers record in
+    # operationParameters): read_delta_changes uses it to pair this
+    # version's removes+adds into update_preimage/update_postimage
+    # rows instead of the raw delete+insert decomposition
+    actions.insert(0, {"commitInfo": {
+        "timestamp": ts, "operation": "MERGE",
+        "operationParameters": {"keyColumns": json.dumps(keys)}}})
     _commit(table, version, actions)
     return version
 
@@ -1601,9 +1623,13 @@ def read_delta_changes(spark, table: str, from_version: int,
       same commit → the file's pre-commit surviving rows are deletes;
     - dataChange=false actions (compaction/clustering) contribute
       NOTHING — exactly why the writer marks them false.
-    An upsert's rewrite therefore surfaces as delete(old rows) +
-    insert(new rows), the standard CDF decomposition when the writer
-    records no CDC files.
+    An upsert whose commit declares its MERGE key columns
+    (commitInfo.operationParameters.keyColumns — upsert_delta_local
+    stamps them) surfaces as PAIRED ``update_preimage``/
+    ``update_postimage`` rows for changed keys, with byte-identical
+    survivor re-transmissions cancelled (exceptAll) — the CDC-grade
+    decomposition. A rewrite without key metadata keeps the standard
+    delete(old rows) + insert(new rows) form.
 
     Driver cost is the usual KB-scale log replay; every row-bearing
     step is a distributed scan. Partitioned and columnMapping tables
@@ -1746,14 +1772,50 @@ def read_delta_changes(spark, table: str, from_version: int,
                     f"version {v - 1} — malformed log")
             del_files.append(_abs(k))
             del_adds.append(old)
-        if ins_files:
-            df = _apply_deletion_vectors(spark, _scan(ins_files),
-                                         ins_files, ins_adds, root)
-            parts.append(_tag(df, "insert", v))
-        if del_files:
-            df = _apply_deletion_vectors(spark, _scan(del_files),
-                                         del_files, del_adds, root)
-            parts.append(_tag(df, "delete", v))
+        ins_df = (_apply_deletion_vectors(spark, _scan(ins_files),
+                                          ins_files, ins_adds, root)
+                  if ins_files else None)
+        del_df = (_apply_deletion_vectors(spark, _scan(del_files),
+                                          del_files, del_adds, root)
+                  if del_files else None)
+        # UPDATE pairing (round 9): when the commit declares its
+        # MERGE key columns (commitInfo.operationParameters.
+        # keyColumns — upsert_delta_local stamps them) and the
+        # version both removes and adds rows, refine the raw
+        # delete+insert decomposition: byte-identical survivor rows
+        # (a rewrite re-transmits them) cancel via exceptAll; rows
+        # whose key appears on BOTH remaining sides pair as
+        # update_preimage/update_postimage; the rest stay
+        # delete/insert. All distributed set ops — no driver rows.
+        kc = None
+        if ins_df is not None and del_df is not None:
+            raw = (_commit_info(table, v).get("operationParameters")
+                   or {}).get("keyColumns")
+            if raw:
+                try:
+                    kc = list(json.loads(raw))
+                except (ValueError, TypeError):
+                    kc = None
+                if kc and not all(k in ins_df.columns for k in kc):
+                    kc = None          # schema drift: fall back
+        if kc:
+            real_pre = del_df.exceptAll(ins_df)
+            real_post = ins_df.exceptAll(del_df)
+            mk = (real_pre.select(*kc)
+                  .intersect(real_post.select(*kc)))
+            parts.append(_tag(real_pre.join(mk, kc, "left_semi"),
+                              "update_preimage", v))
+            parts.append(_tag(real_pre.join(mk, kc, "left_anti"),
+                              "delete", v))
+            parts.append(_tag(real_post.join(mk, kc, "left_semi"),
+                              "update_postimage", v))
+            parts.append(_tag(real_post.join(mk, kc, "left_anti"),
+                              "insert", v))
+        else:
+            if ins_df is not None:
+                parts.append(_tag(ins_df, "insert", v))
+            if del_df is not None:
+                parts.append(_tag(del_df, "delete", v))
         if dv_pairs:
             _dv_delta_rows(v, dv_pairs)
         # roll the pre-state forward (removes before adds, the

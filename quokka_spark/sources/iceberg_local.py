@@ -124,7 +124,21 @@ def snapshot_files_full(table_path: str,
                      for p in snap.get("manifests", [])]
     for mf in manifests:
         is_delete_manifest = mf.get("content", 0) == 1
-        _, entries = read_container(_local(mf["manifest_path"]))
+        mmeta, entries = read_container(_local(mf["manifest_path"]))
+        # the spec the manifest's partition records were written
+        # under: manifest-list field 502, falling back to the
+        # manifest container's own header metadata. Pruning must
+        # judge each file by ITS spec (spec evolution can reuse a
+        # field name under a different transform), never the default
+        spec_id = mf.get("partition_spec_id")
+        if spec_id is None:
+            raw = mmeta.get("partition-spec-id")
+            if raw is not None:
+                try:
+                    spec_id = int(raw.decode()
+                                  if isinstance(raw, bytes) else raw)
+                except (ValueError, UnicodeDecodeError):
+                    spec_id = None
         for e in entries:
             if e.get("status", 0) == 2:  # DELETED
                 continue
@@ -157,6 +171,7 @@ def snapshot_files_full(table_path: str,
                         f"{mf['manifest_path']} contains a file with "
                         f"content={content}")
                 data.append({"path": df["file_path"], "seq": seq,
+                             "spec_id": spec_id,
                              "partition": df.get("partition"),
                              "lower_bounds":
                                  _bounds_map(df.get("lower_bounds")),
@@ -498,19 +513,60 @@ def _prune_entries(spark, entries: list, meta: dict,
                    partition_filter: str) -> list:
     """Manifest-level pruning: evaluate ``partition_filter`` against
     each live file's manifest partition values and return only
-    matching entries. Identity-only specs take the general SQL path
-    (any boolean expression over the partition columns); specs with
-    bucket/truncate/day/hour/month/year transforms take the
-    conjunct-refutation path (_prune_entries_transforms). Driver cost
-    is one O(#files) KB-scale step — the manifests already carry the
-    values, no data file is opened."""
-    fields = _partition_spec_fields(meta)
-    if not fields:
+    matching entries. Driver cost is one O(#files) KB-scale step —
+    the manifests already carry the values, no data file is opened.
+
+    Partition-spec EVOLUTION (round 9): entries are judged under the
+    spec of THEIR OWN manifest (``spec_id``, manifest-list field 502)
+    — a table whose spec evolved may reuse a partition field name
+    under a different transform (bucket[8] → bucket[16]), and pruning
+    a spec-0 file with spec-1's transform would silently drop live
+    rows. Per spec group: identity-only fields take the general SQL
+    path (any boolean expression); transform fields take the
+    conjunct-refutation path (_prune_entries_transforms); files under
+    an UNKNOWN spec id, an unpartitioned spec, or with no recorded
+    spec-defaulting possible are KEPT — the caller's row-level filter
+    preserves semantics, so pruning stays a pure optimization."""
+    default_fields = _partition_spec_fields(meta)
+    if not default_fields:
         raise ValueError("partition_filter on an unpartitioned table")
-    if any(f.get("transform", "identity") != "identity"
-           for f in fields):
-        return _prune_entries_transforms(entries, meta, fields,
-                                         partition_filter)
+    by_id = {int(s.get("spec-id", 0)): list(s.get("fields", []))
+             for s in (meta.get("partition-specs") or [])}
+    groups: dict = {}
+    for e in entries:
+        groups.setdefault(e.get("spec_id"), []).append(e)
+    kept_ids: set = set()
+    for sid, sub in groups.items():
+        if sid is None:
+            fields = default_fields    # legacy manifests: default spec
+        elif int(sid) in by_id:
+            fields = by_id[int(sid)]
+        else:
+            # unknown spec id: the partition record is
+            # uninterpretable — keep (refusing would brick time
+            # travel over tables whose old specs were pruned from
+            # metadata; the row filter keeps results exact)
+            kept_ids |= {id(e) for e in sub}
+            continue
+        if not fields:
+            kept_ids |= {id(e) for e in sub}   # unpartitioned spec
+            continue
+        if any(f.get("transform", "identity") != "identity"
+               for f in fields):
+            kept = _prune_entries_transforms(sub, meta, fields,
+                                             partition_filter)
+        else:
+            kept = _prune_entries_identity(spark, sub, meta, fields,
+                                           partition_filter)
+        kept_ids |= {id(e) for e in kept}
+    return [e for e in entries if id(e) in kept_ids]
+
+
+def _prune_entries_identity(spark, entries: list, meta: dict,
+                            fields: list, partition_filter: str) -> list:
+    """Identity-spec pruning for ONE spec's entries: any SQL boolean
+    over the partition columns, evaluated on a tiny driver-built
+    mapping frame."""
     types = _schema_types(meta)
     cast_to = {}
     for f in fields:
@@ -861,8 +917,12 @@ def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
     (df.write.mode("errorifexists")
      .option("maxRecordsPerFile", output_line_limit).parquet(adir))
     add_files = sorted(glob.glob(os.path.join(adir, "*.parquet")))
+    # merge-keys in the snapshot summary: read_iceberg_changes pairs
+    # this snapshot's deletes+inserts into update_pre/postimage rows
     return commit_snapshot(table_dir, add_files, delete_files,
-                           evolve_from_df=df)
+                           evolve_from_df=df,
+                           summary_extra={"merge-keys":
+                                          json.dumps(keys)})
 
 
 # ----------------------------------------------------------------------
@@ -1011,7 +1071,9 @@ def _manifest_entry_schema(partition_spec: list | None) -> dict:
 def create_local_iceberg_table(table_dir: str, snapshots: list,
                                schema_fields: list | None = None,
                                partition_spec: list | None = None,
-                               collect_bounds: list | None = None
+                               collect_bounds: list | None = None,
+                               partition_specs: list | None = None,
+                               default_spec_id: int | None = None
                                ) -> list[int]:
     """Write a spec-shaped Iceberg v2 table whose snapshot N contains
     ``snapshots[N]`` — either a plain list of parquet data-file paths,
@@ -1036,11 +1098,29 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
     ``schema_fields``) — what a real writer records, enabling
     scan_filter file skipping. Spec items may instead carry explicit
     ``{"lower_bounds": {fid: bytes}, "upper_bounds": ...}``.
+    ``partition_specs``: optional MULTI-SPEC table (partition-spec
+    evolution) — ``[{"spec-id": N, "fields": [same shape as
+    partition_spec]}]``; snapshot dicts may then carry ``"spec_id"``
+    to write that snapshot's manifest under a non-default spec
+    (manifest-list field 502 records it). ``default_spec_id``
+    defaults to the LAST spec's id (the evolved spec, like a real
+    table).
     Returns the snapshot ids (1-based)."""
     from .avro_lite import write_container
     meta_dir = os.path.join(_local(table_dir), "metadata")
     os.makedirs(meta_dir, exist_ok=True)
-    entry_schema = _manifest_entry_schema(partition_spec)
+    if partition_specs is not None:
+        specs_in = [{"spec-id": int(s.get("spec-id", j)),
+                     "fields": list(s.get("fields") or [])}
+                    for j, s in enumerate(partition_specs)]
+    else:
+        specs_in = ([{"spec-id": 0, "fields": list(partition_spec)}]
+                    if partition_spec else [])
+    default_sid = (int(default_spec_id) if default_spec_id is not None
+                   else (specs_in[-1]["spec-id"] if specs_in else 0))
+    entry_schemas = {s["spec-id"]:
+                     _manifest_entry_schema(s["fields"] or None)
+                     for s in specs_in} or {0: _manifest_entry_schema(None)}
     wanted_bounds = {}
     if collect_bounds:
         by_name = {t[1]: (int(t[0]), t[2] if len(t) > 2 else "string")
@@ -1113,12 +1193,20 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             lo, hi = bounds_of(spec_item) if wanted_bounds else (None, None)
             return entry(spec_item, 0, lower=lo, upper=hi)
 
+        snap_spec = (int(spec.get("spec_id", default_sid))
+                     if isinstance(spec, dict) else default_sid)
+        entry_schema = entry_schemas.get(snap_spec)
+        if entry_schema is None:
+            raise ValueError(
+                f"snapshot {i}: spec_id {snap_spec} not among the "
+                f"declared partition_specs {sorted(entry_schemas)}")
         manifest = os.path.join(meta_dir, f"manifest-{sid}.avro")
         write_container(manifest, entry_schema,
-                        [data_entry(p) for p in files])
+                        [data_entry(p) for p in files],
+                        extra_meta={"partition-spec-id": snap_spec})
         mlist_rows = [{"manifest_path": manifest,
                        "manifest_length": os.path.getsize(manifest),
-                       "partition_spec_id": 0, "content": 0,
+                       "partition_spec_id": snap_spec, "content": 0,
                        "added_snapshot_id": sid}]
         if dels or eq_dels:
             dmanifest = os.path.join(meta_dir,
@@ -1130,13 +1218,16 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                          d.get("seq")) for d in eq_dels])
             mlist_rows.append({"manifest_path": dmanifest,
                                "manifest_length": os.path.getsize(dmanifest),
-                               "partition_spec_id": 0, "content": 1,
+                               "partition_spec_id": snap_spec, "content": 1,
                                "added_snapshot_id": sid})
         mlist = os.path.join(meta_dir, f"snap-{sid}.avro")
         write_container(mlist, _MANIFEST_FILE_SCHEMA, mlist_rows)
+        summary = {"operation": operation}
+        if isinstance(spec, dict) and spec.get("summary_extra"):
+            summary.update(spec["summary_extra"])
         snap_entries.append({"snapshot-id": sid, "sequence-number": sid,
                              "timestamp-ms": 0, "manifest-list": mlist,
-                             "summary": {"operation": operation}})
+                             "summary": summary})
     n = last_sid or len(snapshots)
     schemas = []
     if schema_fields:
@@ -1147,19 +1238,26 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                                          else "string")}
                                for t in schema_fields]}]
     name_to_fid = {t[1]: int(t[0]) for t in (schema_fields or [])}
-    spec_fields = [
-        {"name": f["name"],
-         "transform": f.get("transform", "identity"),
-         "source-id": f.get("source-id",
-                            name_to_fid.get(f["name"], 1000 + i)),
-         "field-id": f.get("field-id", 1000 + i)}
-        for i, f in enumerate(partition_spec or [])]
+
+    def _meta_spec_fields(fields):
+        return [
+            {"name": f["name"],
+             "transform": f.get("transform", "identity"),
+             "source-id": f.get("source-id",
+                                name_to_fid.get(f["name"], 1000 + i)),
+             "field-id": f.get("field-id", 1000 + i)}
+            for i, f in enumerate(fields)]
+
+    meta_specs = ([{"spec-id": s["spec-id"],
+                    "fields": _meta_spec_fields(s["fields"])}
+                   for s in specs_in]
+                  or [{"spec-id": 0, "fields": []}])
     meta = {"format-version": 2, "table-uuid": "0" * 32,
             "location": table_dir, "last-sequence-number": n,
             "current-snapshot-id": n, "snapshots": snap_entries,
             "schemas": schemas, "current-schema-id": 0,
-            "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": spec_fields}]}
+            "default-spec-id": default_sid,
+            "partition-specs": meta_specs}
     # metadata version: never collide with an existing file (e.g. the
     # one expire_snapshots_local just wrote) — version-hint points at
     # whatever we write
@@ -1225,7 +1323,8 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                     add_delete_files: list | None = None,
                     add_eq_delete_files: list | None = None,
                     replace: bool = False,
-                    evolve_from_df=None) -> int:
+                    evolve_from_df=None,
+                    summary_extra: dict | None = None) -> int:
     """General single-writer commit: a new snapshot = current live
     files + ``add_files``, current position-delete files +
     ``add_delete_files``, current equality-delete files +
@@ -1243,6 +1342,17 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
     partition_spec = None
     if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
         meta = _read_table_metadata(table_dir)
+        if len(meta.get("partition-specs") or []) > 1:
+            # the rebuild re-encodes every carried manifest under the
+            # DEFAULT spec's record shape; older-spec partition values
+            # would come back null and pruning would then silently
+            # drop their rows — refuse until per-spec manifest
+            # rewrites exist (reads and pruning of multi-spec tables
+            # are fully supported; this gates only local WRITES)
+            raise NotImplementedError(
+                "commit_snapshot on a table with EVOLVED partition "
+                "specs (multiple partition-specs in metadata) — the "
+                "local rebuild cannot re-encode older-spec manifests")
         names = _field_names(table_dir)
         types = _schema_types(meta)
         if names:
@@ -1269,10 +1379,14 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
             # after expire_snapshots_local would assign new data files
             # a sequence BELOW carried equality deletes and silently
             # delete their rows (and break time travel to kept ids)
+            summ = dict(s.get("summary") or {})
             prior.append({"data": d, "deletes": dels, "eq_deletes": eqs,
                           "snapshot_id": s.get("snapshot-id"),
-                          "operation": (s.get("summary") or {})
-                          .get("operation")})
+                          "operation": summ.pop("operation", None),
+                          # summary extras (e.g. merge-keys) survive
+                          # the rebuild — losing them would strip the
+                          # change stream's update pairing
+                          "summary_extra": summ})
     current = prior[-1] if prior else {"data": [], "deletes": [],
                                        "eq_deletes": []}
     new_id = 1 + max(
@@ -1294,6 +1408,8 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
             "operation": ("overwrite"
                           if (add_delete_files or add_eq_delete_files)
                           else "append")}
+    if summary_extra:
+        new_snap["summary_extra"] = dict(summary_extra)
     schema_fields = _evolved_schema_fields(schema_fields, evolve_from_df)
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
@@ -1547,8 +1663,11 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
       snapshot carries delete files (the survivors would need the
       full anti-join stack reconstructed per removed file).
     An upsert commit (new files + position deletes in one snapshot)
-    therefore decomposes into delete(old rows) + insert(new rows),
-    the standard CDF shape for writers without changelogs.
+    whose summary declares its MERGE keys ("merge-keys", stamped by
+    upsert_iceberg_local) pairs into ``update_preimage``/
+    ``update_postimage`` rows for keys on both sides; without the
+    key metadata it keeps the standard delete(old rows) +
+    insert(new rows) decomposition.
 
     Driver cost: manifest reads per snapshot in the range (KB-scale);
     every row-bearing step is a distributed scan."""
@@ -1606,6 +1725,23 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
                     f"snapshot {sid}: stamped 'replace' but adds "
                     "delete files — malformed rewrite")
             continue
+        # UPDATE pairing (round 9): an upsert snapshot that declares
+        # its MERGE keys in the summary (upsert_iceberg_local stamps
+        # "merge-keys") pairs its position-delete rows with its new
+        # rows by key — update_preimage/update_postimage instead of
+        # the raw delete+insert. Only the clean upsert shape
+        # (adds + position deletes, nothing else) pairs; anything
+        # mixed keeps the raw decomposition.
+        pair_kc = None
+        mk_raw = (snaps[pos].get("summary") or {}).get("merge-keys")
+        if mk_raw and added and new_pos and not removed and not new_eq:
+            try:
+                pair_kc = list(json.loads(mk_raw))
+            except (ValueError, TypeError):
+                pair_kc = None
+        ins_df = _scan(added) if added else None
+        if pair_kc and not all(k in ins_df.columns for k in pair_kc):
+            pair_kc = None             # schema drift: fall back
         if removed:
             if par_p or par_e:
                 raise NotImplementedError(
@@ -1614,8 +1750,8 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
                     "each removed file's surviving rows is not "
                     "supported here (compact first)")
             parts.append(_tag(_scan(removed), "delete", sid))
-        if added:
-            parts.append(_tag(_scan(added), "insert", sid))
+        if added and not pair_kc:
+            parts.append(_tag(ins_df, "insert", sid))
         # parent LIVE rows (full delete stack applied) are the match
         # target whenever the parent carries delete files — matching
         # raw files would re-report rows already deleted earlier
@@ -1673,7 +1809,26 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
                     dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                     & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                     "left_semi").drop("__qs_fp__", "__qs_pos__"))
-                parts.append(_tag(scan, "delete", sid))
+                if pair_kc:
+                    kc = pair_kc
+                    mk = (scan.select(*kc)
+                          .intersect(ins_df.select(*kc)))
+                    parts.append(_tag(scan.join(mk, kc, "left_semi"),
+                                      "update_preimage", sid))
+                    parts.append(_tag(scan.join(mk, kc, "left_anti"),
+                                      "delete", sid))
+                    parts.append(_tag(ins_df.join(mk, kc, "left_semi"),
+                                      "update_postimage", sid))
+                    parts.append(_tag(ins_df.join(mk, kc, "left_anti"),
+                                      "insert", sid))
+                    pair_kc = None     # consumed
+                else:
+                    parts.append(_tag(scan, "delete", sid))
+        if pair_kc:
+            # pairing armed but the delete side produced no target
+            # scan (e.g. every referenced file vanished) — fall back
+            # to the plain insert so no rows are lost
+            parts.append(_tag(ins_df, "insert", sid))
         for d in new_eq:
             older = {_py_norm(_local(e["path"])) for e in par_d
                      if int(e["seq"]) < int(d["seq"])}

@@ -1527,6 +1527,38 @@ def test_delta_changes_review_regressions(spark, qc, tmp_path,
         qc.read_delta_changes(tbl2, 0)
 
 
+def test_delta_changes_upsert_pairs_updates(spark, qc, tmp_path):
+    """Round 9: an upsert commit (keyColumns stamped in commitInfo's
+    operationParameters) surfaces as PAIRED update_preimage/
+    update_postimage rows for changed keys and plain inserts for new
+    keys — byte-identical survivor re-transmissions cancel entirely
+    (exceptAll), so the rewrite artifact never reaches consumers."""
+    from quokka_spark.sources.delta_local import (upsert_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "updt")
+    write_delta_local(
+        spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)],
+                              "id long, v double").coalesce(1), tbl)
+    v = upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(2, 99.0), (7, 70.0)],
+                              "id long, v double"), "id")
+    ch = qc.read_delta_changes(tbl, v, v).df.collect()
+    rows = sorted((r["_change_type"], r["id"], r["v"]) for r in ch)
+    assert rows == [("insert", 7, 70.0),
+                    ("update_postimage", 2, 99.0),
+                    ("update_preimage", 2, 20.0)]
+    # the earlier versions keep their plain decomposition
+    v0 = qc.read_delta_changes(tbl, 0, 0).df.collect()
+    assert sorted(r["id"] for r in v0) == [1, 2, 3]
+    assert {r["_change_type"] for r in v0} == {"insert"}
+    # an upsert that changes NOTHING (same values) emits no rows
+    v2 = upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(3, 30.0)], "id long, v double"), "id")
+    assert qc.read_delta_changes(tbl, v2, v2).df.count() == 0
+
+
 def test_delta_changes_random_ops_reconstruct_state(spark, qc, tmp_path):
     """Model-based sweep for the change stream: after a seeded random
     sequence of appends, DV deletes, compactions and overwrites,

@@ -305,6 +305,95 @@ def test_bucket_hash_matches_spec_vectors():
         "iceberg", "string"))) == 1210000089
 
 
+def test_partition_spec_evolution_pruning_sound(spark, qc, tmp_path):
+    """Partition-spec EVOLUTION (round 9): a table carrying files
+    under spec-0 (bucket[4]) AND spec-1 (bucket[8], reusing the field
+    name 'id_bucket') prunes each file under ITS OWN manifest's spec
+    — judging a spec-0 file with the default spec's transform would
+    silently drop live rows. Files under a spec id MISSING from
+    metadata are kept and resolved row-level; local commits on
+    multi-spec tables refuse with a typed error."""
+    import json as _json
+
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import (_bucket_hash_bytes,
+                                                    _murmur3_32,
+                                                    commit_snapshot)
+
+    def bucket(v, n):
+        return (_murmur3_32(_bucket_hash_bytes(v, "long"))
+                & 0x7fffffff) % n
+
+    # probe: an id whose bucket4 and bucket8 values DIFFER, so the
+    # old bug (judging the spec-0 file under the default bucket[8])
+    # would mis-prune it; other: lands in a different bucket8 so the
+    # spec-1 file IS prunable
+    probe = next(i for i in range(1, 1000)
+                 if bucket(i, 4) != bucket(i, 8))
+    other = next(i for i in range(1, 1000)
+                 if i != probe and bucket(i, 8) != bucket(probe, 8))
+    f0 = str(tmp_path / "s0.parquet")
+    f1 = str(tmp_path / "s1.parquet")
+    pd.DataFrame({"id": [probe], "v": [1]}).to_parquet(f0)
+    pd.DataFrame({"id": [other], "v": [2]}).to_parquet(f1)
+    tbl = str(tmp_path / "evo")
+    bfield = {"name": "id_bucket", "type": "int", "source-id": 1}
+    create_local_iceberg_table(
+        tbl,
+        [{"data": [{"path": f0,
+                    "partition": {"id_bucket": bucket(probe, 4)}}],
+          "spec_id": 0},
+         {"data": [{"path": f1,
+                    "partition": {"id_bucket": bucket(other, 8)}}],
+          "spec_id": 1}],
+        schema_fields=[(1, "id", "long"), (2, "v", "long")],
+        partition_specs=[
+            {"spec-id": 0, "fields": [
+                {**bfield, "transform": "bucket[4]", "field-id": 1000}]},
+            {"spec-id": 1, "fields": [
+                {**bfield, "transform": "bucket[8]", "field-id": 1001}]}])
+    # stitch snapshot 2's manifest list to reference BOTH manifests
+    # (a real evolved table's current snapshot spans specs)
+    meta_dir = os.path.join(tbl, "metadata")
+    _, rows1 = read_container(os.path.join(meta_dir, "snap-1.avro"))
+    _, rows2 = read_container(os.path.join(meta_dir, "snap-2.avro"))
+    write_container(os.path.join(meta_dir, "snap-2.avro"),
+                    _MANIFEST_FILE_SCHEMA, rows1 + rows2)
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
+        == sorted([probe, other])
+    # the pin: the spec-0 file survives its own bucket[4] judgment
+    # (the default spec says bucket[8], whose value differs), while
+    # the spec-1 file prunes under bucket[8]
+    df = qc.read_iceberg(tbl, partition_filter=f"id = {probe}").df
+    assert [(r["id"], r["v"]) for r in df.collect()] == [(probe, 1)]
+    assert len(df.inputFiles()) == 1
+    # local commits refuse on multi-spec tables (the rebuild would
+    # re-encode older-spec partition values as nulls)
+    extra = str(tmp_path / "x.parquet")
+    pd.DataFrame({"id": [999], "v": [9]}).to_parquet(extra)
+    with pytest.raises(NotImplementedError, match="EVOLVED"):
+        commit_snapshot(tbl, add_files=[extra])
+    # UNKNOWN spec id: drop spec-0 from metadata (archived) — the
+    # spec-0 file can no longer be judged, so it is KEPT and the
+    # row-level filter stays exact
+    hint = open(os.path.join(meta_dir, "version-hint.text")).read()
+    mpath = os.path.join(meta_dir, f"v{hint.strip()}.metadata.json")
+    with open(mpath) as fh:
+        meta = _json.load(fh)
+    meta["partition-specs"] = [s for s in meta["partition-specs"]
+                               if s["spec-id"] != 0]
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    df3 = qc.read_iceberg(tbl, partition_filter=f"id = {probe}").df
+    assert [r["id"] for r in df3.collect()] == [probe]
+    # and a filter matching NOTHING still prunes the known-spec file
+    # while keeping (then row-filtering) the unknown-spec one
+    df4 = qc.read_iceberg(tbl,
+                          partition_filter=f"id = {probe}").df
+    assert len(df4.inputFiles()) == 1
+
+
 def test_partition_filter_bucket_transform_prunes(spark, qc, tmp_path):
     """bucket[N] pruning: `col = literal` opens ONLY the file(s) of
     bucket_N(literal); range predicates cannot prune buckets and keep
@@ -926,6 +1015,42 @@ def _mk_posdel(tmp_path, spark, target, positions):
     pd.DataFrame({"file_path": [target] * len(positions),
                   "pos": positions}).to_parquet(p)
     return p
+
+
+def test_iceberg_changes_upsert_pairs_updates(spark, qc, tmp_path):
+    """Round 9: an upsert snapshot (merge-keys stamped in the
+    snapshot summary) surfaces as PAIRED update_preimage/
+    update_postimage rows for matched keys and plain inserts for new
+    keys; a keyless commit of the same shape keeps the raw
+    delete+insert decomposition (pinned above in the lifecycle
+    test)."""
+    from quokka_spark.sources.iceberg_local import upsert_iceberg_local
+    a = str(tmp_path / "a.parquet")
+    spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)],
+                          "id long, v double") \
+        .coalesce(1).toPandas().to_parquet(a)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[a]], schema_fields=[(1, "id", "long"),
+                                   (2, "v", "double")])
+    sid = upsert_iceberg_local(
+        spark, tbl,
+        spark.createDataFrame([(2, 99.0), (7, 70.0)],
+                              "id long, v double"), "id")
+    ch = qc.read_iceberg_changes(tbl, sid, sid).df.collect()
+    rows = sorted((r["_change_type"], r["id"], r["v"]) for r in ch)
+    assert rows == [("insert", 7, 70.0),
+                    ("update_postimage", 2, 99.0),
+                    ("update_preimage", 2, 20.0)]
+    # the pairing survives a rebuild-style commit (summary extras are
+    # carried forward): append once more, then re-read the upsert
+    b = str(tmp_path / "b.parquet")
+    spark.range(100, 101).coalesce(1).toPandas().to_parquet(b)
+    from quokka_spark.sources.iceberg_local import append_snapshot
+    append_snapshot(tbl, [b])
+    ch2 = qc.read_iceberg_changes(tbl, sid, sid).df.collect()
+    assert sorted((r["_change_type"], r["id"]) for r in ch2) == \
+        [("insert", 7), ("update_postimage", 2), ("update_preimage", 2)]
 
 
 def test_iceberg_changes_review_regressions(spark, qc, tmp_path):
