@@ -2439,6 +2439,129 @@ GROUP BY 1
 """
 
 
+def src_delta_ts_travel(spark, sf_dir):
+    """Delta timestampAsOf (round 9 — delta_local.
+    version_at_timestamp): two commits with PINNED commit-file
+    mtimes (the jar's timestamp source); a timestamp between them
+    must resolve to version 0, i.e. the even-partkey half of part —
+    a wrong resolution reads the whole table and breaks the hash."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    qc = _qc(spark)
+    pt = os.path.join(sf_dir, "part.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_dtts_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(pt)
+        write_delta_local(src.where("p_partkey % 2 = 0"), tbl)
+        write_delta_local(src.where("p_partkey % 2 = 1"), tbl,
+                          mode="append")
+        log = os.path.join(tbl, "_delta_log")
+        os.utime(os.path.join(log, f"{0:020d}.json"), (1_000_000,) * 2)
+        os.utime(os.path.join(log, f"{1:020d}.json"), (2_000_000,) * 2)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_delta(tbl, timestamp_as_of=1_500_000_000)
+    return ds.df.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"))
+
+
+_TS_TRAVEL_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       round(sum(p_retailprice), 2) AS sum_price
+FROM part WHERE p_partkey % 2 = 0
+GROUP BY p_brand
+"""
+
+
+def src_iceberg_ts_travel(spark, sf_dir):
+    """Iceberg as-of-timestamp (round 9 — iceberg_local.
+    snapshot_at_timestamp): snapshots stamped timestamp-ms 1000 and
+    2000; as_of_timestamp=1500 must serve snapshot 1 (the even
+    half). Same oracle as the Delta twin."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import \
+        create_local_iceberg_table
+    qc = _qc(spark)
+    pt = os.path.join(sf_dir, "part.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_icets_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(pt, columns=["p_partkey", "p_brand",
+                                       "p_retailprice"])
+        odd = pc.equal(pc.bit_wise_and(t.column("p_partkey"), 1), 1)
+        even_f = os.path.join(base, "even.parquet")
+        odd_f = os.path.join(base, "odd.parquet")
+        pq.write_table(t.filter(pc.invert(odd)), even_f)
+        pq.write_table(t.filter(odd), odd_f)
+        create_local_iceberg_table(
+            tbl,
+            [{"data": [even_f], "timestamp_ms": 1000},
+             {"data": [even_f, odd_f], "timestamp_ms": 2000}],
+            schema_fields=[(1, "p_partkey", "long"),
+                           (2, "p_brand", "string"),
+                           (3, "p_retailprice", "double")])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_iceberg(tbl, as_of_timestamp=1500)
+    return ds.df.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"))
+
+
+def src_hudi_ts_travel(spark, sf_dir):
+    """Hudi as-of by timestamp (round 9 — hudi_local.
+    instant_at_timestamp): two commits; reading at the FIRST commit's
+    instant timestamp (persisted by the fixture) serves the even
+    half. Same oracle as the Delta/Iceberg twins."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.hudi_local import (completed_instants,
+                                                 write_hudi_local)
+    qc = _qc(spark)
+    pt = os.path.join(sf_dir, "part.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_hudits_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(pt) \
+            .select("p_partkey", "p_brand", "p_retailprice")
+        write_hudi_local(src.where("p_partkey % 2 = 0"), tbl)
+        write_hudi_local(src.where("p_partkey % 2 = 1"), tbl,
+                         mode="append")
+        t1 = completed_instants(tbl)[0][0]
+        with open(done, "w") as fh:
+            fh.write(t1)
+    with open(done) as fh:
+        t1 = fh.read().strip()
+    ds = qc.read_hudi(tbl, as_of_timestamp=int(t1))
+    return ds.df.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"))
+
+
 def src_orc(spark, sf_dir):
     """read_orc/write_orc roundtrip (parity-plus source — ORC is
     Spark-native, zero extra dependencies): lineitem is written once
@@ -6426,6 +6549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_dv": src_delta_dv,
         "src_hudi_mor": src_hudi_mor,
         "src_hudi_logfmt": src_hudi_logfmt,
+        "src_delta_ts_travel": src_delta_ts_travel,
+        "src_iceberg_ts_travel": src_iceberg_ts_travel,
+        "src_hudi_ts_travel": src_hudi_ts_travel,
         # streaming sink (exactly-once Delta ingestion)
         "stream_sink_delta": stream_sink_delta,
         # tokenizer (1) + non-equi join verb (1)
@@ -6677,6 +6803,9 @@ def oracle_sql() -> dict[str, str]:
         "src_hudi": _SRC_HUDI_SQL,
         "src_hudi_mor": _SRC_HUDI_MOR_SQL,
         "src_hudi_logfmt": _SRC_HUDI_LOGFMT_SQL,
+        "src_delta_ts_travel": _TS_TRAVEL_SQL,
+        "src_iceberg_ts_travel": _TS_TRAVEL_SQL,
+        "src_hudi_ts_travel": _TS_TRAVEL_SQL,
         "src_delta_dv": _SRC_DELTA_DV_SQL,
         "src_delta_cm": _SRC_DELTA_CM_SQL,
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,

@@ -170,7 +170,8 @@ class QuokkaContext:
 
     def read_delta(self, table: str, version: int | None = None,
                    partition_filter: str | None = None,
-                   scan_filter: str | None = None) -> DataStream:
+                   scan_filter: str | None = None,
+                   timestamp_as_of=None) -> DataStream:
         """Delta Lake table, optional time travel by ``version``
         (extension source — lakehouse parity next to read_iceberg).
         Pure-Python log replay (sources/delta_local.py) incl.
@@ -185,11 +186,15 @@ class QuokkaContext:
         applies row-level so any shape stays exact. The live file set
         feeds ONE native parquet scan, so pushdown and pruning behave
         exactly as on raw parquet. Local single-writer tables;
-        deletion vectors raise clear NotImplementedErrors."""
+        deletion vectors raise clear NotImplementedErrors.
+        ``timestamp_as_of`` (epoch ms, ISO string, or datetime) time
+        travels to the latest version committed at-or-before that
+        instant — the jar's timestampAsOf rule (commitInfo timestamp
+        when recorded, else the commit file's mtime)."""
         from .sources.delta_local import read_delta_local
         return DataStream(self, read_delta_local(
             self.spark, table, version, partition_filter=partition_filter,
-            scan_filter=scan_filter))
+            scan_filter=scan_filter, timestamp_as_of=timestamp_as_of))
 
     def read_iceberg_stream(self, table: str,
                             starting_snapshot: int | None = None,
@@ -262,7 +267,8 @@ class QuokkaContext:
         return DataStream(self, read_delta_changes(
             self.spark, table, from_version, to_version))
 
-    def read_hudi(self, table: str, as_of: str | None = None) -> DataStream:
+    def read_hudi(self, table: str, as_of: str | None = None,
+                  as_of_timestamp=None) -> DataStream:
         """Apache Hudi table (COPY_ON_WRITE and MERGE_ON_READ),
         optional time travel by instant timestamp (extension source —
         completes the lakehouse trio next to read_delta/read_iceberg).
@@ -271,9 +277,16 @@ class QuokkaContext:
         group driver-side. CoW: ONE native parquet scan — pushdown
         and pruning as on raw parquet. MoR: base scan + distributed
         Avro log scan + a single-shuffle record-key merge
-        (deltacommit updates/deletes served exactly; foreign
-        HoodieLogFormat-framed logs raise loudly)."""
-        from .sources.hudi_local import read_hudi_local
+        (deltacommit updates/deletes served exactly; real
+        HoodieLogFormat-framed logs decode via sources/hudi_logfmt).
+        ``as_of_timestamp`` (datetime / ISO string / instant-shaped
+        number) time travels to the latest completed instant at-or-
+        before that moment; ``as_of`` takes an exact instant."""
+        from .sources.hudi_local import instant_at_timestamp, read_hudi_local
+        if as_of_timestamp is not None:
+            if as_of is not None:
+                raise ValueError("pass as_of OR as_of_timestamp, not both")
+            as_of = instant_at_timestamp(table, as_of_timestamp)
         return DataStream(self, read_hudi_local(self.spark, table, as_of))
 
     def read_hudi_incremental(self, table: str, begin: str,
@@ -310,7 +323,8 @@ class QuokkaContext:
 
     def read_iceberg(self, table: str, snapshot: int | None = None,
                      partition_filter: str | None = None,
-                     scan_filter: str | None = None) -> DataStream:
+                     scan_filter: str | None = None,
+                     as_of_timestamp=None) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).
 
         Prefers the iceberg-spark runtime jar. When the jar is absent
@@ -328,9 +342,15 @@ class QuokkaContext:
         files (on the jar path both filters are pushed down and the
         jar prunes natively)."""
         import os
+        if as_of_timestamp is not None and snapshot is not None:
+            raise ValueError("pass snapshot OR as_of_timestamp, not both")
         reader = self.spark.read.format("iceberg")
         if snapshot is not None:
             reader = reader.option("snapshot-id", snapshot)
+        if as_of_timestamp is not None:
+            from .sources.delta_local import _to_epoch_ms
+            reader = reader.option("as-of-timestamp",
+                                   str(_to_epoch_ms(as_of_timestamp)))
         try:
             df = reader.load(table)
             if partition_filter:
@@ -348,7 +368,8 @@ class QuokkaContext:
                     self, read_iceberg_local(
                         self.spark, table, snapshot,
                         partition_filter=partition_filter,
-                        scan_filter=scan_filter))
+                        scan_filter=scan_filter,
+                        as_of_timestamp=as_of_timestamp))
             raise RuntimeError(
                 "read_iceberg needs the iceberg-spark-runtime jar on the "
                 "Spark classpath (spark.jars.packages "

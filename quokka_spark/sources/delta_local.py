@@ -231,6 +231,64 @@ def _commit_actions(table: str, v: int) -> tuple[dict, dict]:
     return adds, removes
 
 
+def _to_epoch_ms(ts) -> int:
+    """timestamp-as-of input → epoch milliseconds: int/float epoch
+    ms pass through; ISO-8601 strings and datetimes convert (naive
+    values count as UTC — the convention every engine's
+    timestampAsOf shares)."""
+    import datetime as _dt
+    if isinstance(ts, bool):
+        raise TypeError("timestamp_as_of: bool is not a timestamp")
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    raise TypeError(f"unsupported timestamp_as_of value {ts!r}")
+
+
+def _commit_timestamp(table: str, v: int) -> int:
+    """One version's commit timestamp in epoch ms: the commitInfo
+    timestamp when the writer recorded one, else the commit file's
+    modification time — exactly the jar's timestampAsOf source."""
+    p = _version_path(table, v)
+    if not os.path.exists(p):
+        raise FileNotFoundError(p)
+    ci = _commit_info(table, v)
+    if ci.get("timestamp") is not None:
+        return int(ci["timestamp"])
+    return int(os.path.getmtime(p) * 1000)
+
+
+def version_at_timestamp(table: str, ts) -> int:
+    """Delta ``timestampAsOf`` resolution: the LATEST version whose
+    commit timestamp is <= ``ts`` (epoch ms, ISO string, or
+    datetime). A timestamp before the earliest available commit
+    refuses, matching the jar; checkpoint-only versions (JSON commit
+    cleaned up) carry no timestamp and are skipped — they are always
+    the oldest, so this only narrows the refusal window honestly."""
+    ts_ms = _to_epoch_ms(ts)
+    best = None
+    earliest = None
+    for v in list_versions(table):
+        try:
+            ct = _commit_timestamp(table, v)
+        except FileNotFoundError:
+            continue
+        earliest = ct if earliest is None else min(earliest, ct)
+        if ct <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"timestamp_as_of {ts!r} is before the table's earliest "
+            f"available commit"
+            + (f" ({earliest} ms)" if earliest is not None else ""))
+    return best
+
+
 def _commit_info(table: str, v: int) -> dict:
     """The commit's first ``commitInfo`` action (real writers put it
     on the first line), or {} — carries operation/operationParameters
@@ -660,7 +718,8 @@ def _apply_deletion_vectors(spark, df, files, adds, root):
 
 def read_delta_local(spark, table: str, version: int | None = None,
                      partition_filter: str | None = None,
-                     scan_filter: str | None = None):
+                     scan_filter: str | None = None,
+                     timestamp_as_of=None):
     """DataFrame over the table's live files at ``version`` (time
     travel; None = latest). One native parquet scan — pushdown and
     column pruning behave exactly as on raw parquet.
@@ -680,6 +739,11 @@ def read_delta_local(spark, table: str, version: int | None = None,
     before the scan; the filter then also applies row-level, so any
     predicate shape stays exact and stats-less files are simply
     kept."""
+    if timestamp_as_of is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version OR timestamp_as_of, not both")
+        version = version_at_timestamp(table, timestamp_as_of)
     files, meta, _, adds = _replay(table, version)
     if not files:
         raise ValueError(

@@ -228,6 +228,36 @@ def _merge_logs(spark, base_df, log_files: list[str], keys: list[str]):
             .drop("__qs_rn", "__qs_ord", "__qs_del"))
 
 
+def instant_at_timestamp(table: str, ts) -> str:
+    """Hudi as-of by TIMESTAMP: the latest completed instant whose
+    timeline timestamp is <= ``ts``. ``ts`` may be a datetime / ISO
+    string (compared in the writer's wall-clock convention — the
+    same ``yyyyMMddHHmmssSSS`` rendering ``_next_instant`` stamps)
+    or a raw instant-shaped number/string (14 digits pad to the
+    inclusive end of that second). A timestamp before the first
+    instant refuses."""
+    import datetime as _dt
+    if isinstance(ts, str):
+        try:
+            ts = _dt.datetime.fromisoformat(ts)
+        except ValueError:
+            pass                       # raw instant string
+    if isinstance(ts, _dt.datetime):
+        key = int(ts.strftime("%Y%m%d%H%M%S") + "999")
+    else:
+        s = str(int(ts))
+        if len(s) > 17:
+            raise ValueError(f"not an instant timestamp: {ts!r}")
+        key = int(s + "9" * (17 - len(s)))
+    cands = [t for t, _, _ in completed_instants(table)
+             if int(t) <= key]
+    if not cands:
+        raise ValueError(
+            f"as_of_timestamp {ts!r} is before the table's first "
+            "completed instant")
+    return max(cands, key=int)
+
+
 def read_hudi_local(spark, table: str, as_of: str | None = None):
     """DataFrame over the table's live data at ``as_of`` (None =
     latest). CoW (or an all-base MoR snapshot): one native parquet

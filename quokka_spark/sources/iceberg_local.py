@@ -48,6 +48,7 @@ import json
 import os
 import re
 import struct
+import time
 
 from .avro_lite import read_container
 
@@ -853,9 +854,41 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
     return df if keep_position else df.drop("__qs_fp__", "__qs_pos__")
 
 
+def snapshot_at_timestamp(table_path: str, ts) -> int:
+    """Iceberg ``as-of-timestamp`` resolution: the LATEST snapshot
+    whose ``timestamp-ms`` is <= ``ts`` (epoch ms, ISO string, or
+    datetime) — the same rule the runtime jar applies. A timestamp
+    before the first snapshot refuses."""
+    from .delta_local import _to_epoch_ms
+    ts_ms = _to_epoch_ms(ts)
+    meta = _read_table_metadata(table_path)
+    best = None
+    for s in meta.get("snapshots", []):
+        if int(s.get("timestamp-ms") or 0) <= ts_ms:
+            best = s.get("snapshot-id")
+    if best is None:
+        raise ValueError(
+            f"as_of_timestamp {ts!r} is before the table's first "
+            "snapshot")
+    return int(best)
+
+
 def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
                        partition_filter: str | None = None,
-                       scan_filter: str | None = None):
+                       scan_filter: str | None = None,
+                       as_of_timestamp=None):
+    if as_of_timestamp is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id OR as_of_timestamp, not both")
+        snapshot_id = snapshot_at_timestamp(table_path, as_of_timestamp)
+    return _read_iceberg_local(spark, table_path, snapshot_id,
+                               partition_filter, scan_filter)
+
+
+def _read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
+                        partition_filter: str | None = None,
+                        scan_filter: str | None = None):
     """Spark DataFrame over a local Iceberg table's live data files,
     with v2 POSITION deletes applied as an anti-join on (file, row
     position) and v2 EQUALITY deletes as sequence-scoped null-safe
@@ -1225,8 +1258,10 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
         summary = {"operation": operation}
         if isinstance(spec, dict) and spec.get("summary_extra"):
             summary.update(spec["summary_extra"])
+        ts_ms = (int(spec.get("timestamp_ms", 0))
+                 if isinstance(spec, dict) else 0)
         snap_entries.append({"snapshot-id": sid, "sequence-number": sid,
-                             "timestamp-ms": 0, "manifest-list": mlist,
+                             "timestamp-ms": ts_ms, "manifest-list": mlist,
                              "summary": summary})
     n = last_sid or len(snapshots)
     schemas = []
@@ -1383,10 +1418,12 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
             prior.append({"data": d, "deletes": dels, "eq_deletes": eqs,
                           "snapshot_id": s.get("snapshot-id"),
                           "operation": summ.pop("operation", None),
-                          # summary extras (e.g. merge-keys) survive
-                          # the rebuild — losing them would strip the
-                          # change stream's update pairing
-                          "summary_extra": summ})
+                          # summary extras (e.g. merge-keys) and the
+                          # commit timestamp survive the rebuild —
+                          # losing them would strip update pairing
+                          # and timestamp time travel
+                          "summary_extra": summ,
+                          "timestamp_ms": s.get("timestamp-ms", 0)})
     current = prior[-1] if prior else {"data": [], "deletes": [],
                                        "eq_deletes": []}
     new_id = 1 + max(
@@ -1410,6 +1447,11 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                           else "append")}
     if summary_extra:
         new_snap["summary_extra"] = dict(summary_extra)
+    # real commit timestamp (monotone vs priors even under clock skew)
+    new_snap["timestamp_ms"] = max(
+        int(time.time() * 1000),
+        max([int(p.get("timestamp_ms") or 0) for p in prior],
+            default=0))
     schema_fields = _evolved_schema_fields(schema_fields, evolve_from_df)
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,

@@ -1527,6 +1527,45 @@ def test_delta_changes_review_regressions(spark, qc, tmp_path,
         qc.read_delta_changes(tbl2, 0)
 
 
+def test_delta_timestamp_time_travel(spark, qc, tmp_path):
+    """timestampAsOf (round 9): resolve a timestamp to the LATEST
+    version committed at-or-before it — commit file mtime by
+    default, commitInfo.timestamp when the writer recorded one
+    (upserts do)."""
+    import os as _os
+
+    from quokka_spark.sources.delta_local import (upsert_delta_local,
+                                                  version_at_timestamp,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "ts")
+    write_delta_local(spark.range(0, 3).coalesce(1), tbl)
+    write_delta_local(spark.range(10, 12).coalesce(1), tbl,
+                      mode="append")
+    log = _os.path.join(tbl, "_delta_log")
+    _os.utime(_os.path.join(log, f"{0:020d}.json"), (1_000_000,) * 2)
+    _os.utime(_os.path.join(log, f"{1:020d}.json"), (2_000_000,) * 2)
+    # between the commits → v0; at/after v1 → v1 (epoch MS inputs)
+    assert version_at_timestamp(tbl, 1_500_000_000) == 0
+    assert version_at_timestamp(tbl, 2_000_000_000) == 1
+    got = qc.read_delta(tbl, timestamp_as_of=1_500_000_000).df
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2]
+    # ISO-string input (UTC): 1970-01-12 ≈ 1e9 ms
+    assert sorted(r["id"] for r in qc.read_delta(
+        tbl, timestamp_as_of="1970-01-18T00:00:00+00:00")
+        .df.collect()) == [0, 1, 2]
+    with pytest.raises(ValueError, match="before"):
+        version_at_timestamp(tbl, 999)
+    with pytest.raises(ValueError, match="not both"):
+        qc.read_delta(tbl, version=0, timestamp_as_of=1)
+    # commitInfo timestamp (stamped by upserts) beats file mtime
+    upsert_delta_local(spark, tbl,
+                       spark.createDataFrame([(0,)], "id long"), "id")
+    _os.utime(_os.path.join(log, f"{2:020d}.json"), (3,) * 2)
+    import time as _time
+    now_ms = int(_time.time() * 1000)
+    assert version_at_timestamp(tbl, now_ms + 60_000) == 2
+
+
 def test_delta_changes_upsert_pairs_updates(spark, qc, tmp_path):
     """Round 9: an upsert commit (keyColumns stamped in commitInfo's
     operationParameters) surfaces as PAIRED update_preimage/

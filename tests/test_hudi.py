@@ -454,6 +454,36 @@ def test_hudi_mor_random_ops_match_dict_model(spark, qc, tmp_path):
         assert read_as(ts) == snap, f"as_of {ts}"
 
 
+def test_hudi_timestamp_time_travel(spark, qc, tmp_path):
+    """as-of by timestamp (round 9): resolve to the latest completed
+    instant at-or-before the asked moment — raw instant-shaped
+    numbers, datetimes, and ISO strings all accepted."""
+    import datetime as _dt
+
+    from quokka_spark.sources.hudi_local import (completed_instants,
+                                                 instant_at_timestamp,
+                                                 write_hudi_local)
+    tbl = str(tmp_path / "tt")
+    write_hudi_local(spark.range(0, 4).coalesce(1), tbl)
+    write_hudi_local(spark.range(10, 12).coalesce(1), tbl,
+                     mode="append")
+    t1, t2 = [ts for ts, _, _ in completed_instants(tbl)]
+    assert instant_at_timestamp(tbl, int(t1)) == t1
+    assert instant_at_timestamp(tbl, int(t2)) == t2
+    got = qc.read_hudi(tbl, as_of_timestamp=int(t1)).df
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3]
+    # a datetime far in the future resolves to the latest instant
+    future = _dt.datetime.now() + _dt.timedelta(days=365)
+    assert instant_at_timestamp(tbl, future) == t2
+    assert sorted(r["id"] for r in qc.read_hudi(
+        tbl, as_of_timestamp=future).df.collect()) \
+        == [0, 1, 2, 3, 10, 11]
+    with pytest.raises(ValueError, match="before"):
+        instant_at_timestamp(tbl, int(t1) - 1)
+    with pytest.raises(ValueError, match="not both"):
+        qc.read_hudi(tbl, as_of=t1, as_of_timestamp=int(t1))
+
+
 def test_hudi_logfmt_codec_roundtrip():
     """Byte-level HoodieLogFormat framing (round 9): write → read
     roundtrip; a ROLLBACK command removes its target instant's

@@ -1017,6 +1017,40 @@ def _mk_posdel(tmp_path, spark, target, positions):
     return p
 
 
+def test_iceberg_timestamp_time_travel(spark, qc, tmp_path):
+    """as-of-timestamp (round 9): resolve to the LATEST snapshot with
+    timestamp-ms at-or-before the asked instant; commit_snapshot
+    stamps real times on new snapshots and PRESERVES prior
+    timestamps across its rebuild."""
+    from quokka_spark.sources.iceberg_local import (append_snapshot,
+                                                    snapshot_at_timestamp)
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    spark.range(0, 5).coalesce(1).toPandas().to_parquet(a)
+    spark.range(5, 8).coalesce(1).toPandas().to_parquet(b)
+    tbl = str(tmp_path / "tbl")
+    s1, s2 = create_local_iceberg_table(
+        tbl,
+        [{"data": [a], "timestamp_ms": 1000},
+         {"data": [a, b], "timestamp_ms": 2000}],
+        schema_fields=[(1, "id", "long")])
+    assert snapshot_at_timestamp(tbl, 1500) == s1
+    assert snapshot_at_timestamp(tbl, 2000) == s2
+    got = qc.read_iceberg(tbl, as_of_timestamp=1500).df
+    assert sorted(r["id"] for r in got.collect()) == list(range(5))
+    with pytest.raises(ValueError, match="before"):
+        snapshot_at_timestamp(tbl, 999)
+    with pytest.raises(ValueError, match="not both"):
+        qc.read_iceberg(tbl, snapshot=s1, as_of_timestamp=1500)
+    # a rebuild-style commit keeps prior timestamps and stamps now
+    c = str(tmp_path / "c.parquet")
+    spark.range(100, 102).coalesce(1).toPandas().to_parquet(c)
+    s3 = append_snapshot(tbl, [c])
+    assert snapshot_at_timestamp(tbl, 1500) == s1
+    import time as _time
+    assert snapshot_at_timestamp(tbl, int(_time.time() * 1000)
+                                 + 60_000) == s3
+
+
 def test_iceberg_changes_upsert_pairs_updates(spark, qc, tmp_path):
     """Round 9: an upsert snapshot (merge-keys stamped in the
     snapshot summary) surfaces as PAIRED update_preimage/
