@@ -84,14 +84,10 @@ def build_sf1(src_dir: str) -> str:
 
 def main():
     names = sys.argv[1:] or TIER2
-    from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master(
-        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from quokka_spark.session import build_spark
+    spark = build_spark("sf1_probe")        # bench.py's exact session
+    spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as em
     q = em.queries()
     sf01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -266,19 +266,23 @@ def _commit_timestamp(table: str, v: int) -> int:
 def version_at_timestamp(table: str, ts) -> int:
     """Delta ``timestampAsOf`` resolution: the LATEST version whose
     commit timestamp is <= ``ts`` (epoch ms, ISO string, or
-    datetime). A timestamp before the earliest available commit
-    refuses, matching the jar; checkpoint-only versions (JSON commit
-    cleaned up) carry no timestamp and are skipped — they are always
-    the oldest, so this only narrows the refusal window honestly."""
+    datetime). A timestamp before the earliest available commit OR
+    after the latest commit refuses, exactly the jar's two error
+    shapes (an after-latest ask is usually a units typo — seconds
+    where ms belong — and silently serving the full table would hide
+    it); checkpoint-only versions (JSON commit cleaned up) carry no
+    timestamp and are skipped — they are always the oldest, so this
+    only narrows the refusal window honestly."""
     ts_ms = _to_epoch_ms(ts)
     best = None
-    earliest = None
+    earliest = latest = None
     for v in list_versions(table):
         try:
             ct = _commit_timestamp(table, v)
         except FileNotFoundError:
             continue
         earliest = ct if earliest is None else min(earliest, ct)
+        latest = ct if latest is None else max(latest, ct)
         if ct <= ts_ms:
             best = v
     if best is None:
@@ -286,13 +290,22 @@ def version_at_timestamp(table: str, ts) -> int:
             f"timestamp_as_of {ts!r} is before the table's earliest "
             f"available commit"
             + (f" ({earliest} ms)" if earliest is not None else ""))
+    if latest is not None and ts_ms > latest:
+        raise ValueError(
+            f"timestamp_as_of {ts!r} is after the table's latest "
+            f"commit ({latest} ms) — pass that timestamp or read "
+            "the table without time travel (matches the jar's "
+            "refusal; a huge value here is usually seconds vs ms)")
     return best
 
 
 def _commit_info(table: str, v: int) -> dict:
-    """The commit's first ``commitInfo`` action (real writers put it
-    on the first line), or {} — carries operation/operationParameters
-    metadata like the MERGE key columns."""
+    """The commit's ``commitInfo`` action or {}. Only the FIRST
+    non-empty line is examined: the protocol convention (and both
+    this writer and the jar) put commitInfo first, and scanning the
+    whole file would make per-version metadata lookups O(total log
+    bytes) on a 100k-add commit — timestamp resolution and CDF
+    pairing call this once per version."""
     with open(_version_path(table, v)) as fh:
         for line in fh:
             line = line.strip()
@@ -301,6 +314,7 @@ def _commit_info(table: str, v: int) -> dict:
             action = json.loads(line)
             if "commitInfo" in action:
                 return action["commitInfo"] or {}
+            return {}
     return {}
 
 
@@ -1309,26 +1323,42 @@ def _evolve_mapped_schema_actions(meta: dict, df, mode: str):
     convention real Delta uses — physical names never derive from
     logical ones, that is the whole point of mapping), and the
     metaData action bumps ``maxColumnId``. Existing columns must
-    type-match on append, the same rule as unmapped evolution.
-    Returns (metaData actions, the updated meta dict) — the caller
-    renames against the UPDATED schema so the new column lands under
-    its assigned physical name."""
+    type-match on append, the same rule as unmapped evolution; on
+    OVERWRITE a type change updates the schema field in place
+    (physicalName/id kept) — the new files carry the new type under
+    the same physical name, so metadata must follow or a successful
+    write would leave the table unreadable. Returns (metaData
+    actions, the updated meta dict) — the caller renames against the
+    UPDATED schema so the new column lands under its assigned
+    physical name."""
     from pyspark.sql.types import StructField, StructType
     cur = StructType.fromJson(json.loads(meta["schemaString"]))
     cur_types = {f.name: f.dataType for f in cur.fields}
     new_fields = []
+    retyped = {}
     for f in df.schema.fields:
         have = cur_types.get(f.name)
         if have is None:
             new_fields.append(f)
-        elif have != f.dataType and mode == "append":
-            raise ValueError(
-                f"column {f.name!r}: incoming type "
-                f"{f.dataType.simpleString()} conflicts with the "
-                f"table's {have.simpleString()} (append never "
-                "rewrites history)")
-    if not new_fields:
+        elif have != f.dataType:
+            if mode == "append":
+                raise ValueError(
+                    f"column {f.name!r}: incoming type "
+                    f"{f.dataType.simpleString()} conflicts with the "
+                    f"table's {have.simpleString()} (append never "
+                    "rewrites history)")
+            # overwrite: the new files carry the new type under the
+            # SAME physicalName/id, so the schema must follow —
+            # keeping the old type would leave the table unreadable
+            # (scan schema vs parquet type mismatch)
+            retyped[f.name] = f.dataType
+    if not new_fields and not retyped:
         return [], meta
+    if retyped:
+        cur = StructType([
+            StructField(f.name, retyped.get(f.name, f.dataType),
+                        f.nullable, f.metadata)
+            for f in cur.fields])
     conf = dict(meta.get("configuration") or {})
     ids = [int((f.metadata or {}).get("delta.columnMapping.id") or 0)
            for f in cur.fields]

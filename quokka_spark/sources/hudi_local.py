@@ -35,11 +35,13 @@ position-delete anti-joins. Record keys come from
 contract.
 
 Scope (documented, test-enforced):
-- log-file PAYLOADS are Avro object container files (the spec's data
-  blocks are Avro-serialized too); the outer HoodieLogFormat block
-  framing (#HUDI# magic, rollback blocks, compacted blocks) is NOT
-  parsed — a log file carrying that magic raises loudly. Fixtures
-  from this module's MoR writer roundtrip end-to-end.
+- log files decode per file in EITHER shape, dispatched on the
+  leading bytes: plain Avro object container files (this module's
+  own MoR writer) or REAL HoodieLogFormat block framing (#HUDI#
+  magic, version-1 blocks — sources/hudi_logfmt.py, round 9).
+  Framed rollback command blocks apply within their file; delete/
+  hfile/parquet/cdc blocks and cross-file rollbacks refuse with
+  typed errors rather than risking a silent misread.
 - completed instants only (``*.commit`` / ``*.replacecommit`` /
   ``*.deltacommit``); inflight/requested markers are ignored per the
   timeline contract.
@@ -232,30 +234,42 @@ def instant_at_timestamp(table: str, ts) -> str:
     """Hudi as-of by TIMESTAMP: the latest completed instant whose
     timeline timestamp is <= ``ts``. ``ts`` may be a datetime / ISO
     string (compared in the writer's wall-clock convention — the
-    same ``yyyyMMddHHmmssSSS`` rendering ``_next_instant`` stamps)
-    or a raw instant-shaped number/string (14 digits pad to the
-    inclusive end of that second). A timestamp before the first
-    instant refuses."""
+    same ``yyyyMMddHHmmssSSS`` rendering ``_next_instant`` stamps,
+    millisecond precision) or a raw instant-shaped number/string (14
+    digits pad to the inclusive end of that second). Instants are
+    normalized to a COMMON 17-digit width before comparison — a
+    pre-0.x 14-digit instant would otherwise compare three orders of
+    magnitude below any 17-digit key and time travel would serve
+    future commits. A timestamp before the first instant refuses."""
     import datetime as _dt
+
+    def norm(s: str) -> int:
+        if not s.isdigit() or len(s) > 17:
+            raise ValueError(f"not an instant timestamp: {s!r}")
+        return int(s + "0" * (17 - len(s)))   # second → start-of-sec
+
     if isinstance(ts, str):
         try:
             ts = _dt.datetime.fromisoformat(ts)
         except ValueError:
             pass                       # raw instant string
     if isinstance(ts, _dt.datetime):
-        key = int(ts.strftime("%Y%m%d%H%M%S") + "999")
+        # millisecond precision, at-or-before: truncate micros → ms
+        key = int(ts.strftime("%Y%m%d%H%M%S")
+                  + f"{ts.microsecond // 1000:03d}")
     else:
         s = str(int(ts))
         if len(s) > 17:
             raise ValueError(f"not an instant timestamp: {ts!r}")
+        # a second-precision ask means "anything within that second"
         key = int(s + "9" * (17 - len(s)))
     cands = [t for t, _, _ in completed_instants(table)
-             if int(t) <= key]
+             if norm(t) <= key]
     if not cands:
         raise ValueError(
             f"as_of_timestamp {ts!r} is before the table's first "
             "completed instant")
-    return max(cands, key=int)
+    return max(cands, key=lambda t: norm(t))
 
 
 def read_hudi_local(spark, table: str, as_of: str | None = None):

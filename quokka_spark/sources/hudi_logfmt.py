@@ -102,12 +102,10 @@ def _read_meta_map(r: _BytesIn) -> dict:
     return out
 
 
-def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
-    """Parse the framing → [{type, header, footer, content}], with
-    ROLLBACK_PREVIOUS_BLOCK commands already applied (rolled-back
-    blocks removed)."""
+def _iter_frames(data: bytes, name: str):
+    """Walk the raw framing → yields {type, header, footer, content}
+    per block, validating sizes; no rollback semantics applied."""
     r = _BytesIn(data, name)
-    blocks: list[dict] = []
     while not r.at_end():
         if r.take(6) != MAGIC:
             raise ValueError(
@@ -132,6 +130,18 @@ def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
                 f"{name}: block at offset {body_start - 14} declares "
                 f"{declared} bytes but parses to "
                 f"{r.pos - body_start} — corrupt framing")
+        yield {"type": btype, "header": header, "footer": footer,
+               "content": content}
+
+
+def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
+    """Parse the framing → [{type, header, footer, content}], with
+    ROLLBACK_PREVIOUS_BLOCK commands already applied (rolled-back
+    blocks removed)."""
+    blocks: list[dict] = []
+    for frame in _iter_frames(data, name):
+        btype = frame["type"]
+        header = frame["header"]
         if btype == "command":
             ctype = header.get("COMMAND_BLOCK_TYPE", "")
             if ctype not in ("0", "ROLLBACK_PREVIOUS_BLOCK",
@@ -139,19 +149,34 @@ def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
                 raise NotImplementedError(
                     f"{name}: command block type {ctype!r}")
             target = header.get("TARGET_INSTANT_TIME")
-            if target:
-                blocks = [b for b in blocks
-                          if b["header"].get("INSTANT_TIME") != target]
-            elif blocks:
-                blocks.pop()
+            if not target:
+                raise ValueError(
+                    f"{name}: rollback command block carries no "
+                    "TARGET_INSTANT_TIME — guessing which block to "
+                    "invalidate would risk serving rolled-back rows")
+            survivors = [b for b in blocks
+                         if b["header"].get("INSTANT_TIME") != target]
+            if len(survivors) == len(blocks):
+                # the target sits in ANOTHER log file of the slice
+                # (writers roll to .log.N+1 on size, so crash-recovery
+                # rollbacks routinely land one file over). This
+                # per-file reader cannot invalidate across files —
+                # rolled-back records would WIN the record-key merge
+                # with the newest commit time, a silent wrong answer;
+                # refuse loudly instead.
+                raise NotImplementedError(
+                    f"{name}: rollback command targets instant "
+                    f"{target!r} which has no block in THIS log file "
+                    "— cross-file rollback (rolled-over logs) is not "
+                    "supported by the per-file decode")
+            blocks = survivors
             continue
         if btype in ("delete", "hfile_data", "parquet_data", "cdc_data",
                      "corrupt") or btype.startswith("unknown_"):
             raise NotImplementedError(
                 f"{name}: HoodieLogFormat {btype} block — only "
                 "avro_data and rollback command blocks are supported")
-        blocks.append({"type": btype, "header": header,
-                       "footer": footer, "content": content})
+        blocks.append(frame)
     return blocks
 
 
@@ -190,6 +215,13 @@ def read_log_records_bytes(data: bytes, name: str = "<bytes>") \
         schema = schema or s
         records.extend(recs)
     if schema is None:
+        # every data block was rolled back (a crash-recovery shape):
+        # the file legitimately contributes ZERO rows — sniff the
+        # schema from the raw frames so the empty result stays typed
+        for frame in _iter_frames(data, name):
+            sj = frame["header"].get("SCHEMA")
+            if frame["type"] == "avro_data" and sj:
+                return json.loads(sj), []
         raise ValueError(f"{name}: log file contains no data blocks")
     return schema, records
 

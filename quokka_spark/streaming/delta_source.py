@@ -201,19 +201,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
         path, dvj, pvj = partition.value
-        fsch = pq.read_schema(path)
-        have = set(fsch.names)
+        have = set(pq.read_schema(path).names)
         # physical name of each LOGICAL data column in THIS file:
         # identity (no mapping), the schema's physicalName metadata
         # (name mode), or this file's parquet field ids (id mode —
-        # files may legitimately disagree on physical names)
+        # files may legitimately disagree on physical names; the
+        # batch reader's per-process layout cache is shared, so a
+        # file's footer ids resolve once per executor, not per
+        # micro-batch)
         data_fields = [c for c in self.fields if c not in self.pcols]
         if self.idmap is not None:
-            id2name = {}
-            for fld in fsch:
-                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
-                if fid is not None:
-                    id2name[int(fid)] = fld.name
+            from quokka_spark.sources.delta_local import _file_id_layout
+            id2name = _file_id_layout(path)
             if not id2name:
                 raise ValueError(
                     f"{path}: parquet schema carries no field ids at "

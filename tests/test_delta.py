@@ -1315,6 +1315,19 @@ def test_delta_mapped_schema_evolution(spark, qc, tmp_path):
         write_delta_local(
             spark.createDataFrame([("s", 1.0)], "id string, v double"),
             ntbl, mode="append")
+    # ... but an OVERWRITE retypes the mapped schema field in place
+    # (same physicalName/id) — round-9 review pin: keeping the old
+    # type would leave the table unreadable after a successful write
+    write_delta_local(
+        spark.createDataFrame([("s1", 1.0)], "id string, v double")
+        .coalesce(1), ntbl, mode="overwrite")
+    got = qc.read_delta(ntbl).df
+    assert dict(got.dtypes)["id"] == "string"
+    assert [r["id"] for r in got.collect()] == ["s1"]
+    _, m3, _, _ = _replay(ntbl, None)
+    s3 = StructType.fromJson(_json.loads(m3["schemaString"]))
+    idf = [f for f in s3.fields if f.name == "id"][0]
+    assert idf.metadata["delta.columnMapping.physicalName"] == "col-a1"
 
 
 def test_delta_cm_name_write_roundtrip_and_compact(spark, qc, tmp_path):
@@ -1558,12 +1571,16 @@ def test_delta_timestamp_time_travel(spark, qc, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         qc.read_delta(tbl, version=0, timestamp_as_of=1)
     # commitInfo timestamp (stamped by upserts) beats file mtime
+    from quokka_spark.sources.delta_local import _commit_info
     upsert_delta_local(spark, tbl,
                        spark.createDataFrame([(0,)], "id long"), "id")
     _os.utime(_os.path.join(log, f"{2:020d}.json"), (3,) * 2)
-    import time as _time
-    now_ms = int(_time.time() * 1000)
-    assert version_at_timestamp(tbl, now_ms + 60_000) == 2
+    ci_ts = int(_commit_info(tbl, 2)["timestamp"])
+    assert version_at_timestamp(tbl, ci_ts) == 2
+    # after the LATEST commit refuses, matching the jar (a huge
+    # value is usually a seconds-vs-ms units typo)
+    with pytest.raises(ValueError, match="after"):
+        version_at_timestamp(tbl, ci_ts + 60_000)
 
 
 def test_delta_changes_upsert_pairs_updates(spark, qc, tmp_path):

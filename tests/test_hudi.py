@@ -484,6 +484,33 @@ def test_hudi_timestamp_time_travel(spark, qc, tmp_path):
         qc.read_hudi(tbl, as_of=t1, as_of_timestamp=int(t1))
 
 
+def test_hudi_instant_at_timestamp_width_and_precision(monkeypatch):
+    """Round-9 review pins: (1) 14-digit (old-writer) instants
+    normalize to the common 17-digit width before comparison — raw
+    int comparison would rank every 14-digit instant below any
+    17-digit key and serve FUTURE commits; (2) a datetime's
+    sub-second part participates (ms precision) so at-or-before is
+    honored against same-second instants."""
+    import datetime as dt
+
+    import quokka_spark.sources.hudi_local as hl
+    fake = [("20200101120000", "commit", "x"),       # 14-digit
+            ("20240101120000500", "commit", "y")]    # 17-digit
+    monkeypatch.setattr(hl, "completed_instants", lambda t: fake)
+    # (1) a 2020-06 ask picks the 2020 instant, never the 2024 one
+    assert hl.instant_at_timestamp("t", dt.datetime(2020, 6, 1)) \
+        == "20200101120000"
+    # (2) 200 ms into the second: the .500 instant is in the FUTURE
+    assert hl.instant_at_timestamp(
+        "t", dt.datetime(2024, 1, 1, 12, 0, 0, 200_000)) \
+        == "20200101120000"
+    assert hl.instant_at_timestamp(
+        "t", dt.datetime(2024, 1, 1, 12, 0, 0, 500_000)) \
+        == "20240101120000500"
+    with pytest.raises(ValueError, match="before"):
+        hl.instant_at_timestamp("t", dt.datetime(2019, 1, 1))
+
+
 def test_hudi_logfmt_codec_roundtrip():
     """Byte-level HoodieLogFormat framing (round 9): write → read
     roundtrip; a ROLLBACK command removes its target instant's
@@ -506,6 +533,22 @@ def test_hudi_logfmt_codec_roundtrip():
     # rollback removes ONLY the target instant's blocks
     _, recs = read_log_records_bytes(data + rollback_block("200"))
     assert recs == recs1
+    # a file whose only data block was rolled back yields ZERO rows
+    # (not an error — the schema still sniffs from the raw frames)
+    s2, recs = read_log_records_bytes(
+        avro_data_block(schema, recs1, "100") + rollback_block("100"))
+    assert s2 == schema and recs == []
+    # a rollback targeting an instant with no block in THIS file is a
+    # cross-file rollback (rolled-over logs): refuse loudly — the
+    # rolled-back records would otherwise win the record-key merge
+    with pytest.raises(NotImplementedError, match="cross-file"):
+        read_log_records_bytes(data + rollback_block("999"))
+    # a rollback with no target refuses (never guess which block)
+    from quokka_spark.sources.hudi_logfmt import _block_bytes as _bb
+    naked = _bb("command", {"INSTANT_TIME": "1",
+                            "COMMAND_BLOCK_TYPE": "0"}, b"")
+    with pytest.raises(ValueError, match="TARGET_INSTANT_TIME"):
+        read_log_records_bytes(data + naked)
     with pytest.raises(ValueError, match="truncated"):
         read_log_records_bytes(data[:-5])
     with pytest.raises(ValueError, match="magic|framing"):
