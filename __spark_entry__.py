@@ -1872,6 +1872,77 @@ GROUP BY l_returnflag
 """
 
 
+def src_delta_cm_partitioned(spark, sf_dir):
+    """PARTITIONED columnMapping.mode=name Delta table end-to-end
+    (round 9): hive directories and partitionValues key by the
+    PHYSICAL partition-column name; the write path renames
+    logical→physical (inheriting the table's partitioning), the scan
+    rejoins partition values as typed LOGICAL columns, and
+    partition_filter prunes at the log level. Aggregating BY the
+    partition column makes a wrong/missing rejoin hash-visible."""
+    import json as _json
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import _commit, write_delta_local
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_cmpart_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        os.makedirs(tbl)
+        schema = {"type": "struct", "fields": [
+            {"name": "l_returnflag", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-1",
+                          "delta.columnMapping.id": 1}},
+            {"name": "l_quantity", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-2",
+                          "delta.columnMapping.id": 2}},
+            {"name": "l_orderkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-3",
+                          "delta.columnMapping.id": 3}}]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "qs-cm-part",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": _json.dumps(schema),
+                          "partitionColumns": ["l_returnflag"],
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+                          "createdTime": 0}}])
+        src = spark.read.parquet(li) \
+            .select("l_returnflag", "l_quantity", "l_orderkey")
+        write_delta_local(src.where("l_orderkey % 2 = 0"), tbl,
+                          mode="append")
+        write_delta_local(src.where("l_orderkey % 2 = 1"), tbl,
+                          mode="append")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    # prune to two flags at the log level, then aggregate by the
+    # rejoined partition column
+    ds = qc.read_delta(tbl, partition_filter="l_returnflag IN ('A','R')")
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum("l_orderkey").alias("sum_ok"))
+
+
+_SRC_DELTA_CM_PARTITIONED_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+FROM lineitem WHERE l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag
+"""
+
+
 def src_delta_cm_id_write(spark, sf_dir):
     """Delta columnMapping.mode=id WRITE roundtrip + mapped schema
     EVOLUTION (round 9): the even-orderkey half of lineitem sits in
@@ -6611,6 +6682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm": src_delta_cm,
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
+        "src_delta_cm_partitioned": src_delta_cm_partitioned,
         "src_delta_cdf_upsert": src_delta_cdf_upsert,
         "src_hudi_incr": src_hudi_incr,
         "src_iceberg_cdf": src_iceberg_cdf,
@@ -6813,6 +6885,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_cm": _SRC_DELTA_CM_SQL,
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,
         "src_delta_cm_id_write": _SRC_DELTA_CM_ID_WRITE_SQL,
+        "src_delta_cm_partitioned": _SRC_DELTA_CM_PARTITIONED_SQL,
         "src_delta_cdf": _SRC_DELTA_CDF_SQL,
         "src_delta_cdf_upsert": _SRC_DELTA_CDF_UPSERT_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,

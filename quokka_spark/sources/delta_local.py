@@ -769,11 +769,12 @@ def read_delta_local(spark, table: str, version: int | None = None,
         raise ValueError("partition_filter on an unpartitioned table")
     cmap = _column_mapping(meta)
     idmap = _id_mapping(meta)
-    if (cmap or idmap) and pcols:
+    if idmap and pcols:
         raise NotImplementedError(
-            f"columnMapping.mode={_cm_mode(meta)} on a PARTITIONED "
-            "table — partitionValues key by physical name; "
-            "unsupported here")
+            "columnMapping.mode=id on a PARTITIONED table — "
+            "partitionValues key by physical name but id-mode files "
+            "may each use different ones; unsupported here (name "
+            "mode IS supported)")
     if idmap:
         root = table.removeprefix("file://")
         # stats skipping is SKIPPED under id mode: stats keys are each
@@ -815,9 +816,14 @@ def read_delta_local(spark, table: str, version: int | None = None,
         return df.filter(scan_filter) if scan_filter else df
     from pyspark.sql import functions as F
 
-    # one tiny mapping frame: (absolute file path, *string values)
+    # one tiny mapping frame: (absolute file path, *string values).
+    # On a name-mapped table the partitionValues map keys by the
+    # PHYSICAL partition-column name, per the protocol's column-
+    # mapping rules — fetch by it, alias logical below.
+    pv_key = {c: (cmap[c] if cmap else c) for c in pcols}
     rows = [(os.path.abspath(f),
-             *[a.get("partitionValues", {}).get(c) for c in pcols])
+             *[a.get("partitionValues", {}).get(pv_key[c])
+               for c in pcols])
             for f, a in zip(files, adds)]
     # explicit all-string schema: the spec stores partition values as
     # strings, and inference would crash on an all-null column (e.g.
@@ -852,6 +858,12 @@ def read_delta_local(spark, table: str, version: int | None = None,
           if rs is not None else spark.read.parquet(*files))
     df = _apply_deletion_vectors(spark, df, files, adds, root)
     df = df.withColumn("__qs_path__", _plain_path_col())
+    if cmap:
+        # physical parquet names → logical for the DATA columns
+        # (partition columns join back under logical names below)
+        df = df.select("__qs_path__",
+                       *[F.col(cmap[l]).alias(l)
+                         for l in cmap if l not in pcols])
     df = df.join(F.broadcast(mapping), "__qs_path__").drop("__qs_path__")
     # present columns in table-schema order (partition cols last in
     # the files, spec order in the schemaString)
@@ -1434,15 +1446,24 @@ def write_delta_local(df, table: str, mode: str = "append",
             # writer's ``parquet.field.id`` column metadata. A batch
             # with NEW columns evolves the mapped schema first
             # (fresh physicalName/id + maxColumnId bump).
+            # PARTITIONED name-mode tables write too (round 9): the
+            # hive directories — and therefore partitionValues keys —
+            # use the PHYSICAL partition-column names per the
+            # protocol; id mode and partitioning CHANGES stay gated.
             if table_pcols or pcols:
-                # table_pcols too: an overwrite WITHOUT partition_by
-                # on a partitioned mapped table would otherwise slip
-                # through with pcols=[] and commit unpartitioned
-                # files under metadata still declaring partitions
-                raise NotImplementedError(
-                    "writing to a PARTITIONED columnMapping table — "
-                    "partitionValues key by physical name; "
-                    "unsupported here")
+                if cm == "id":
+                    raise NotImplementedError(
+                        "writing to a PARTITIONED columnMapping.mode="
+                        "id table — per-file physical names make the "
+                        "partitionValues keys ambiguous")
+                if mode == "overwrite" and pcols != table_pcols:
+                    # includes overwrite WITHOUT partition_by, which
+                    # would otherwise commit unpartitioned files
+                    # under metadata still declaring partitions
+                    raise NotImplementedError(
+                        "changing the partitioning of a mapped table "
+                        "on overwrite — metaData partitionColumns "
+                        "rewrite for mapped specs is not wired up")
             evolve, meta = _evolve_mapped_schema_actions(meta, df, mode)
             from pyspark.sql.types import StructType
             mapping = {}
@@ -1464,6 +1485,11 @@ def write_delta_local(df, table: str, mode: str = "append",
                                          mapping[c][1]})
                 if cm == "id" else F.col(c).alias(mapping[c][0])
                 for c in df.columns])
+            # the batch now carries physical names: partition under
+            # the PHYSICAL partition-column names so hive directory
+            # values (and the partitionValues keys extracted from
+            # them) follow the protocol's mapped-table convention
+            pcols = [mapping[c][0] for c in pcols]
         else:
             evolve = _evolve_schema_actions(meta, df, mode, pcols)
     data_dir = os.path.join(root, f"data-{uuid.uuid4().hex[:12]}")
@@ -1532,9 +1558,12 @@ def compact_delta_local(spark, table: str,
     cmap = _column_mapping(meta)
     if cmap:
         # the mapped read surfaced LOGICAL names; rewritten files must
-        # carry the physical ones (footer stats then key physically)
+        # carry the physical ones (footer stats then key physically),
+        # and a partitioned mapped table re-partitions under the
+        # PHYSICAL partition-column names (round 9)
         from pyspark.sql import functions as F
         df = df.select(*[F.col(c).alias(cmap[c]) for c in df.columns])
+        pcols = [cmap[c] for c in pcols]
     n = df.count()
     parts = max(1, math.ceil(n / target_file_rows))
     data_dir = os.path.join(root, f"data-compact-{uuid.uuid4().hex[:12]}")

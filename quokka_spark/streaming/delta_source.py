@@ -97,12 +97,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.idmap = ({fid: name for fid, (name, _dt) in
                        _id_mapping(meta).items()}
                       if _cm_mode(meta) == "id" else None)
-        if (self.cmap or self.idmap) and self.pcols:
+        if self.idmap and self.pcols:
             raise NotImplementedError(
-                f"delta_local_stream: columnMapping.mode="
-                f"{_cm_mode(meta)} on a PARTITIONED table — "
-                "partitionValues key by physical name; unsupported "
-                "here (matches the batch reader)")
+                "delta_local_stream: columnMapping.mode=id on a "
+                "PARTITIONED table — per-file physical names make "
+                "the partitionValues keys ambiguous (matches the "
+                "batch reader; name mode IS supported)")
+        # partitionValues key by the PHYSICAL partition-column name
+        # on name-mapped tables, per the protocol
+        self.pv_key = {c: (self.cmap[c] if self.cmap else c)
+                       for c in self.pcols}
         # session timezone, captured driver-side: timestamp-typed
         # partition values are wall-time strings the batch reader
         # casts in session tz — read() must agree
@@ -247,7 +251,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             at = to_arrow_type(self.field_types[c])
             if c in self.pcols:
                 # typed constant column from the add's partitionValues
-                v = partition_value_py(pvals.get(c),
+                v = partition_value_py(pvals.get(self.pv_key[c]),
                                        self.field_types[c], self.tz)
                 cols.append(pa.nulls(t.num_rows, type=at) if v is None
                             else pa.array([v] * t.num_rows, type=at))

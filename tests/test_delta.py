@@ -1397,6 +1397,63 @@ def test_delta_cm_name_write_roundtrip_and_compact(spark, qc, tmp_path):
     assert set(pq.read_schema(files2[0]).names) == {"col-a1", "col-b2"}
 
 
+def test_delta_cm_partitioned_name_mode_roundtrip(spark, qc, tmp_path):
+    """Round 9: PARTITIONED name-mapped tables read, append, prune
+    and compact — hive directories and partitionValues key by the
+    PHYSICAL partition-column name per the protocol; the scan rejoins
+    them as typed LOGICAL columns."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  _replay,
+                                                  compact_delta_local,
+                                                  write_delta_local)
+    schema = {"type": "struct", "fields": [
+        {"name": "p", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-p1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a2",
+                      "delta.columnMapping.id": 2}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b3",
+                      "delta.columnMapping.id": 3}}]}
+    tbl = str(tmp_path / "pcm")
+    os.makedirs(tbl)
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": ["p"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "3"},
+                      "createdTime": 0}}])
+    write_delta_local(
+        spark.createDataFrame([("A", 1, 1.0), ("A", 2, 2.0),
+                               ("B", 3, 3.0)],
+                              "p string, id long, v double").coalesce(1),
+        tbl, mode="append")
+    # partitionValues key by the PHYSICAL name
+    _, _, _, adds = _replay(tbl, None)
+    assert all(set(a["partitionValues"]) == {"col-p1"} for a in adds)
+    got = {r["id"]: (r["p"], r["v"])
+           for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: ("A", 1.0), 2: ("A", 2.0), 3: ("B", 3.0)}
+    # log-level pruning on the LOGICAL partition column
+    pruned = qc.read_delta(tbl, partition_filter="p = 'B'").df
+    assert [(r["id"], r["p"]) for r in pruned.collect()] == [(3, "B")]
+    assert len(pruned.inputFiles()) == 1
+    # compaction keeps the mapped+partitioned layout
+    compact_delta_local(spark, tbl, target_file_rows=100)
+    got2 = {r["id"]: (r["p"], r["v"])
+            for r in qc.read_delta(tbl).df.collect()}
+    assert got2 == got
+    pruned2 = qc.read_delta(tbl, partition_filter="p = 'A'").df
+    assert sorted(r["id"] for r in pruned2.collect()) == [1, 2]
+
+
 def test_delta_cm_review_regressions(spark, qc, tmp_path):
     """Round-8 review pins: an id-mode table refuses upserts (a
     logical-name scan would match nothing and committed rewrites
@@ -1439,7 +1496,8 @@ def test_delta_cm_review_regressions(spark, qc, tmp_path):
                       "createdTime": 0}},
         {"add": {"path": f1, "partitionValues": {"col-a1": "A"},
                  "size": 1, "modificationTime": 0, "dataChange": True}}])
-    with pytest.raises(NotImplementedError, match="PARTITIONED"):
+    with pytest.raises(NotImplementedError,
+                       match="changing the partitioning"):
         write_delta_local(
             spark.createDataFrame([("B", 2.0)], "p string, v double"),
             ptbl, mode="overwrite")

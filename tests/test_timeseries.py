@@ -2139,7 +2139,8 @@ def test_delta_stream_source_column_mapping(spark, qc, tmp_path):
     assert {r["id"]: r["v"] for r in got.collect()} == \
         {1: 1.0, 2: 2.0, 4: 40.0}
 
-    # ---- partitioned + mapped refuses like the batch reader ----------
+    # ---- partitioned + NAME-mapped streams (round 9): the
+    # partitionValues key by the PHYSICAL partition-column name ------
     psch = {"type": "struct",
             "fields": sch["fields"] + [
                 {"name": "p", "type": "string", "nullable": True,
@@ -2147,8 +2148,19 @@ def test_delta_stream_source_column_mapping(spark, qc, tmp_path):
                               "delta.columnMapping.id": 3}}]}
     tp = mk_table("cmpart", "name", [(f1, {"c-p": "x"})], psch,
                   pcols=["p"])
+    got = drain(tp, "cmp")
+    assert {(r["id"], r["p"]) for r in got.collect()} == \
+        {(1, "x"), (2, "x")}
+    # ... and matches the batch reader
+    batch = qc.read_delta(tp).df
+    assert {(r["id"], r["p"]) for r in batch.collect()} == \
+        {(1, "x"), (2, "x")}
+    # partitioned + ID-mapped keeps the refusal (per-file physical
+    # names make the partitionValues keys ambiguous)
+    tpi = mk_table("cmpartid", "id", [(a, {"c-p": "x"})], psch,
+                   pcols=["p"])
     with pytest.raises(Exception, match="PARTITIONED"):
-        drain(tp, "cmp")
+        drain(tpi, "cmpi")
 
 
 def test_iceberg_stream_source(spark, qc, tmp_path):
