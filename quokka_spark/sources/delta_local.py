@@ -39,11 +39,15 @@ batch logical→physical so new files carry physical names and
 physical-keyed footer stats) and **columnMapping.mode=id reads**
 (columns resolve by the PARQUET FIELD IDS in each file's footer —
 files may disagree on physical names; the scan groups files by
-resolved layout and unions). Still gated with clear errors:
-partitioned mapped tables (partitionValues key by physical name),
-schema changes on mapped tables (need physicalName/id assignment +
-maxColumnId bump), and id-mode writes (the native writer does not
-stamp field ids).
+resolved layout and unions). Round 9 closes the remaining mapped
+gaps: id-mode WRITES stamp parquet field ids via the native writer's
+``parquet.field.id`` column metadata, mapped schema EVOLUTION
+assigns fresh physicalName/id + maxColumnId in both modes, and
+PARTITIONED name-mapped tables read/write/compact/stream (hive
+directories and partitionValues key by the PHYSICAL partition-column
+name). Still gated with clear errors: id-mode + partitioned
+(per-file physical names make the partitionValues keys ambiguous)
+and upserts on mapped tables.
 ``metaData.schemaString`` is written spec-correctly (it IS Spark's
 schema JSON) and read back for partition-column types; data columns
 trust the parquet footers, which is what Spark's scan enforces
@@ -316,6 +320,22 @@ def _commit_info(table: str, v: int) -> dict:
                 return action["commitInfo"] or {}
             return {}
     return {}
+
+
+def _commit_meta(table: str, v: int) -> dict | None:
+    """The commit's ``metaData`` action when it carries one (schema /
+    partitioning / configuration change), else None — the per-commit
+    metadata fold the change feed uses to track the ACTIVE partition
+    spec across a range."""
+    with open(_version_path(table, v)) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                return action["metaData"]
+    return None
 
 
 def _footer_stats(path: str) -> str | None:
@@ -642,6 +662,34 @@ def partition_value_py(s, dtype, tz_name: str = "UTC"):
         "spec string decoding wired up")
 
 
+def _partition_values_frame(spark, files, adds, pcols, ptypes,
+                            pv_key=None):
+    """Tiny broadcast-side frame (``__qs_path__``, *typed LOGICAL
+    partition columns*) mapping each file's absolute path to its add
+    action's partitionValues — the partition rejoin shared by the
+    partitioned scan, the change feed, and the upsert rewrite.
+    ``pv_key`` maps logical → the partitionValues KEY (physical name
+    on mapped tables); identity by default. O(#files) driver rows,
+    all string-typed then cast (inference would crash on an all-null
+    column, e.g. every file under __HIVE_DEFAULT_PARTITION__)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+    pv_key = pv_key or {c: c for c in pcols}
+    rows = [(os.path.abspath(f),
+             *[a.get("partitionValues", {}).get(pv_key[c])
+               for c in pcols])
+            for f, a in zip(files, adds)]
+    map_schema = StructType(
+        [StructField("__qs_path__", StringType(), False)]
+        + [StructField(f"__qs_p_{c}__", StringType(), True)
+           for c in pcols])
+    mapping = spark.createDataFrame(rows, map_schema)
+    return mapping.select(
+        "__qs_path__",
+        *[F.col(f"__qs_p_{c}__").cast(ptypes[c]).alias(c)
+          for c in pcols])
+
+
 def _plain_path_col():
     """``_metadata.file_path`` (a percent-encoded URI) → the plain
     filesystem path the log/map uses. A literal '+' in a path is a
@@ -816,27 +864,13 @@ def read_delta_local(spark, table: str, version: int | None = None,
         return df.filter(scan_filter) if scan_filter else df
     from pyspark.sql import functions as F
 
-    # one tiny mapping frame: (absolute file path, *string values).
+    # one tiny mapping frame: (absolute file path, *typed values).
     # On a name-mapped table the partitionValues map keys by the
     # PHYSICAL partition-column name, per the protocol's column-
-    # mapping rules — fetch by it, alias logical below.
+    # mapping rules — fetch by it, alias logical.
     pv_key = {c: (cmap[c] if cmap else c) for c in pcols}
-    rows = [(os.path.abspath(f),
-             *[a.get("partitionValues", {}).get(pv_key[c])
-               for c in pcols])
-            for f, a in zip(files, adds)]
-    # explicit all-string schema: the spec stores partition values as
-    # strings, and inference would crash on an all-null column (e.g.
-    # every live file under __HIVE_DEFAULT_PARTITION__)
-    from pyspark.sql.types import StringType, StructField, StructType
-    map_schema = StructType(
-        [StructField("__qs_path__", StringType(), False)]
-        + [StructField(f"__qs_p_{c}__", StringType(), True)
-           for c in pcols])
-    mapping = spark.createDataFrame(rows, map_schema)
-    typed = [F.col(f"__qs_p_{c}__").cast(ptypes[c]).alias(c)
-             for c in pcols]
-    mapping = mapping.select("__qs_path__", *typed)
+    mapping = _partition_values_frame(spark, files, adds, pcols,
+                                      ptypes, pv_key)
     if partition_filter:
         keep = {r["__qs_path__"]
                 for r in mapping.filter(partition_filter)
@@ -1643,16 +1677,24 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     surviving-row rewrite is an anti-join executed by Spark's parquet
     writer. The rewrite cost is proportional to the affected files —
     the standard Delta copy-on-write trade; cluster the table by key
-    (write_parquet(zorder=...)) to keep that set small at 100 TB."""
+    (write_parquet(zorder=...)) to keep that set small at 100 TB.
+
+    PARTITIONED tables upsert too (round 9): the live scan rejoins
+    log partition values so the key match sees the full logical row,
+    and the survivor rewrite + append re-partition under the table's
+    partitionColumns (putting the partition columns in ``key_cols``
+    keeps the affected-file set partition-local — the natural MERGE
+    shape). Mapped (columnMapping) tables stay gated."""
     import uuid
     from pyspark.sql import functions as F
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     root = table.removeprefix("file://")
     files, meta, live_keys, adds = _replay(table, None)
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            "upsert on a partitioned local Delta table — read, rewrite "
-            "and overwrite with partition_by instead")
+    pcols, ptypes = _partition_schema(meta)
+    if pcols and not all(c in df.columns for c in pcols):
+        raise ValueError(
+            f"upsert batch is missing partition column(s) "
+            f"{[c for c in pcols if c not in df.columns]}")
     if _cm_mode(meta) == "id":
         raise NotImplementedError(
             "upsert on a columnMapping.mode=id table — a logical-name "
@@ -1665,12 +1707,20 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     # scan with the LOG's schema: after schema evolution, inference
     # could sample a pre-evolution file and the survivor rewrite
     # would silently drop the newer columns from rewritten files
-    rs = _log_read_schema(meta, [])
+    rs = _log_read_schema(meta, pcols)
     live = (spark.read.schema(rs).parquet(*files)
             if rs is not None else spark.read.parquet(*files))
     # DV-deleted rows must not survive into rewritten files
     live = _apply_deletion_vectors(spark, live, files, adds, root) \
         .withColumn("__qs_file__", F.col("_metadata.file_path"))
+    if pcols:
+        # partitioned tables (round 9): rejoin the log's partition
+        # values so the key match and the survivor rewrite see the
+        # full logical row (survivors re-partition by them below)
+        live = (live.withColumn("__qs_path__", _plain_path_col())
+                .join(F.broadcast(_partition_values_frame(
+                    spark, files, adds, pcols, ptypes)), "__qs_path__")
+                .drop("__qs_path__"))
     new_keys = df.select(*keys).distinct()
     affected = [r["__qs_file__"]
                 for r in (live.join(new_keys, keys, "left_semi")
@@ -1687,17 +1737,29 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     ts = int(time.time() * 1000)
     actions: list = []
     tag = uuid.uuid4().hex[:12]
+    def _write_and_add(frame, dirname):
+        """Write a rewrite/append frame (partitionBy on partitioned
+        tables — the hive directory values become each file's
+        partitionValues) and append its add actions."""
+        d = os.path.join(root, dirname)
+        w = frame.write
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(d)
+        out = sorted(
+            os.path.join(dp, f) for dp, _, fs in os.walk(d)
+            for f in fs if f.endswith(".parquet"))
+        for p in out:
+            actions.append(_add_action(
+                root, p,
+                _hive_partition_values(d, p) if pcols else None,
+                stats=_footer_stats(p)))
+
     if affected_set:
         survivors = (live.filter(F.col("__qs_file__").isin(list(affected)))
                      .drop("__qs_file__")
                      .join(new_keys, keys, "left_anti"))
-        sdir = os.path.join(root, f"data-{tag}-rewrite")
-        survivors.write.parquet(sdir)
-        for f in sorted(os.listdir(sdir)):
-            if f.endswith(".parquet"):
-                p = os.path.join(sdir, f)
-                actions.append(_add_action(root, p,
-                                           stats=_footer_stats(p)))
+        _write_and_add(survivors, f"data-{tag}-rewrite")
         # remove by the exact key each file was added under
         for k, fpath in zip(live_keys, files):
             if _plain(fpath) in affected_set \
@@ -1705,12 +1767,7 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
                 actions.append({"remove": {"path": k,
                                            "deletionTimestamp": ts,
                                            "dataChange": True}})
-    adir = os.path.join(root, f"data-{tag}-append")
-    df.write.parquet(adir)
-    for f in sorted(os.listdir(adir)):
-        if f.endswith(".parquet"):
-            p = os.path.join(adir, f)
-            actions.append(_add_action(root, p, stats=_footer_stats(p)))
+    _write_and_add(df, f"data-{tag}-append")
     # commitInfo with the MERGE keys (what real writers record in
     # operationParameters): read_delta_changes uses it to pair this
     # version's removes+adds into update_preimage/update_postimage
@@ -1755,8 +1812,12 @@ def read_delta_changes(spark, table: str, from_version: int,
     delete(old rows) + insert(new rows) form.
 
     Driver cost is the usual KB-scale log replay; every row-bearing
-    step is a distributed scan. Partitioned and columnMapping tables
-    are gated (their adds need value/namespace translation here)."""
+    step is a distributed scan. PARTITIONED tables rejoin their log
+    partition values on every part (round 9), tracking the ACTIVE
+    partition spec per version — a repartitioning overwrite scans its
+    removed files under the pre-commit scheme and its new files under
+    the post-commit one. columnMapping tables stay gated (physical-
+    name translation is not wired into the change scan)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1778,37 +1839,79 @@ def read_delta_changes(spark, table: str, from_version: int,
             "(cleaned up after checkpointing?) — the change stream "
             "would be incomplete")
 
-    # pre-state for DV diffs and remove-row reconstruction; metadata
-    # is taken at TO_VERSION — a change range spanning a schema
-    # evolution must scan with the newest log schema so added columns
-    # surface (null-filled for pre-evolution files), exactly like the
-    # batch reader and the streaming source
+    # pre-state for DV diffs and remove-row reconstruction; the OUTPUT
+    # schema is taken at TO_VERSION — a change range spanning a schema
+    # evolution must surface the newest columns (null-filled for
+    # pre-evolution files), exactly like the batch reader and the
+    # streaming source
     _, meta, _, _ = _replay(table, to_version)
     if from_version > 0:
-        _, _, pre_keys, pre_adds = _replay(table, from_version - 1)
+        _, cur_meta, pre_keys, pre_adds = _replay(table,
+                                                  from_version - 1)
         pre_live = dict(zip(pre_keys, pre_adds))
     else:
-        pre_live = {}
-    if meta.get("partitionColumns"):
-        raise NotImplementedError(
-            "read_delta_changes on a PARTITIONED table — add actions "
-            "carry partitionValues this reader does not rejoin here")
+        cur_meta, pre_live = None, {}
     if _cm_mode(meta) != "none":
         raise NotImplementedError(
             "read_delta_changes on a columnMapping table — physical-"
             "name translation is not wired into the change scan")
     root = table.removeprefix("file://")
-    # the log's declared schema (None for minimal fixtures → infer):
-    # scanning with it is what makes the change feed sound across
-    # schema evolution inside the range
-    rs = _log_read_schema(meta, [])
+    # output column order: the to_version schema (None for minimal
+    # fixtures → whatever the scans infer)
+    try:
+        from pyspark.sql.types import StructType
+        schema_cols = [f.name for f in StructType.fromJson(
+            json.loads(meta["schemaString"])).fields]
+    except (KeyError, ValueError, TypeError):
+        schema_cols = None
+    # PER-VERSION partition metadata (round 9): partition values live
+    # in the LOG and the active partitionColumns can CHANGE inside the
+    # range (an overwrite may repartition), so each version's scan
+    # reads with the columns ITS files store and rejoins the rest as
+    # typed columns from its adds' partitionValues — tracked by
+    # folding metaData actions forward, one KB-scale check per commit
+    state = {"pcols": [], "ptypes": {}, "rs": None}
 
-    def _scan(files):
+    def _set_meta(m):
+        if m is None:
+            return
+        if _cm_mode(m) != "none":
+            raise NotImplementedError(
+                "read_delta_changes: the range crosses a columnMapping "
+                "metadata change — unsupported")
+        pc, pt = _partition_schema(m)
+        state["pcols"], state["ptypes"] = pc, pt
+        # scan with the to_version schema MINUS this version's
+        # partition columns — evolution null-fill + no rejoin clash
+        state["rs"] = _log_read_schema(meta, pc)
+
+    _set_meta(cur_meta)
+
+    def _scan_raw(files, st):
+        rs = st["rs"]
         return (spark.read.schema(rs).parquet(*files)
                 if rs is not None else spark.read.parquet(*files))
 
     def _abs(k):
         return k if os.path.isabs(k) else os.path.join(root, k)
+
+    def _part(files_, adds_, st):
+        """One change part: DV filter FIRST (it reads _metadata off
+        the raw scan), then the partition rejoin projects the full
+        logical schema. ``st`` is the partition scheme the part's
+        FILES were written under — the post-commit scheme for the
+        insert side, the PRE-commit scheme for the delete/DV sides
+        (a repartitioning overwrite removes files whose
+        partitionValues key by the old scheme)."""
+        df = _apply_deletion_vectors(spark, _scan_raw(files_, st),
+                                     files_, adds_, root)
+        if not st["pcols"]:
+            return df
+        mapping = _partition_values_frame(spark, files_, adds_,
+                                          st["pcols"], st["ptypes"])
+        return (df.withColumn("__qs_path__", _plain_path_col())
+                .join(F.broadcast(mapping), "__qs_path__")
+                .select(*schema_cols))
 
     parts = []
 
@@ -1817,9 +1920,11 @@ def read_delta_changes(spark, table: str, from_version: int,
             "*", F.lit(ctype).alias("_change_type"),
             F.lit(v).cast("long").alias("_commit_version"))
 
-    def _dv_delta_rows(v, pairs):
+    def _dv_delta_rows(v, pairs, st):
         """pairs: [(path key, new add, old add|None)] → 'delete' rows
-        at positions new-DV minus old-DV, decoded executor-side."""
+        at positions new-DV minus old-DV, decoded executor-side;
+        ``st``: the partition scheme the DV'd files live under (the
+        pre-commit scheme — a DV rewrite never repartitions)."""
         rows = []
         for k, na, oa in pairs:
             # abspath, NOT _abs: the semi-join compares against
@@ -1862,17 +1967,32 @@ def read_delta_changes(spark, table: str, from_version: int,
         positions = dd.mapInPandas(
             _decode, "__qs_dfp__ string, __qs_dpos__ long")
         files = [r[0] for r in rows]
-        scan = (_scan(files)
+        scan = (_scan_raw(files, st)
                 .withColumn("__qs_fp__", _plain_path_col())
                 .withColumn("__qs_pos__", F.col("_metadata.row_index"))
                 .join(positions,
                       (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                       & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
-                      "left_semi")
-                .drop("__qs_fp__", "__qs_pos__"))
+                      "left_semi"))
+        if st["pcols"]:
+            mapping = _partition_values_frame(
+                spark, files, [na for _, na, _ in pairs],
+                st["pcols"], st["ptypes"]).withColumnRenamed(
+                    "__qs_path__", "__qs_fp__")
+            scan = (scan.join(F.broadcast(mapping), "__qs_fp__")
+                    .select(*schema_cols))
+        else:
+            scan = scan.drop("__qs_fp__", "__qs_pos__")
         parts.append(_tag(scan, "delete", v))
 
     for v in range(from_version, to_version + 1):
+        # fold this commit's metaData forward BEFORE scanning it (a
+        # commit that changes the partitioning writes its new files
+        # under the new scheme in the same version), keeping the
+        # PRE-commit scheme for the delete/DV sides whose files
+        # predate the change
+        prev_state = dict(state)
+        _set_meta(_commit_meta(table, v))
         adds, removes = _commit_actions(table, v)
         ins_files, ins_adds = [], []
         dv_pairs = []
@@ -1895,12 +2015,10 @@ def read_delta_changes(spark, table: str, from_version: int,
                     f"version {v - 1} — malformed log")
             del_files.append(_abs(k))
             del_adds.append(old)
-        ins_df = (_apply_deletion_vectors(spark, _scan(ins_files),
-                                          ins_files, ins_adds, root)
-                  if ins_files else None)
-        del_df = (_apply_deletion_vectors(spark, _scan(del_files),
-                                          del_files, del_adds, root)
-                  if del_files else None)
+        ins_df = _part(ins_files, ins_adds, state) if ins_files \
+            else None
+        del_df = _part(del_files, del_adds, prev_state) if del_files \
+            else None
         # UPDATE pairing (round 9): when the commit declares its
         # MERGE key columns (commitInfo.operationParameters.
         # keyColumns — upsert_delta_local stamps them) and the
@@ -1940,7 +2058,7 @@ def read_delta_changes(spark, table: str, from_version: int,
             if del_df is not None:
                 parts.append(_tag(del_df, "delete", v))
         if dv_pairs:
-            _dv_delta_rows(v, dv_pairs)
+            _dv_delta_rows(v, dv_pairs, prev_state)
         # roll the pre-state forward (removes before adds, the
         # per-commit reconcile rule)
         for k in removes:

@@ -1673,6 +1673,101 @@ def test_delta_changes_upsert_pairs_updates(spark, qc, tmp_path):
     assert qc.read_delta_changes(tbl, v2, v2).df.count() == 0
 
 
+def test_delta_upsert_partitioned_table(spark, qc, tmp_path):
+    """Round 9: MERGE-style upsert on a PARTITIONED table — the live
+    scan rejoins log partition values for the key match, only files
+    containing matched keys rewrite, survivors and the new batch
+    re-partition under the table's partitionColumns, and the change
+    feed pairs the updates."""
+    from quokka_spark.sources.delta_local import (_replay,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "pup")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "c", 4.0)],
+        "id long, cat string, v double")
+    write_delta_local(df.repartition(1), tbl, partition_by="cat")
+    pre_files = set(qc.read_delta(tbl).df.inputFiles())
+    v = upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(2, "a", 99.0), (9, "z", 9.0)],
+                              "id long, cat string, v double"), "id")
+    got = {r["id"]: (r["cat"], r["v"])
+           for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: ("a", 1.0), 2: ("a", 99.0), 3: ("b", 3.0),
+                   4: ("c", 4.0), 9: ("z", 9.0)}
+    # untouched partitions keep their files (only cat=a rewrote)
+    post_files = set(qc.read_delta(tbl).df.inputFiles())
+    untouched = {f for f in pre_files
+                 if "cat=b" in f or "cat=c" in f}
+    assert untouched and untouched <= post_files
+    # every add carries partitionValues (rewrite + append alike)
+    _, _, _, adds = _replay(tbl, None)
+    assert all(set(a["partitionValues"]) == {"cat"} for a in adds)
+    # partition pruning still routes after the upsert
+    pr = qc.read_delta(tbl, partition_filter="cat = 'z'").df
+    assert [(r["id"], r["v"]) for r in pr.collect()] == [(9, 9.0)]
+    # the change feed pairs the update and rejoins partition values
+    ch = qc.read_delta_changes(tbl, v, v).df.collect()
+    rows = sorted((r["_change_type"], r["id"], r["cat"], r["v"])
+                  for r in ch)
+    assert rows == [("insert", 9, "z", 9.0),
+                    ("update_postimage", 2, "a", 99.0),
+                    ("update_preimage", 2, "a", 2.0)]
+    # time travel still sees the pre-upsert state
+    old = {r["id"]: r["v"]
+           for r in qc.read_delta(tbl, version=0).df.collect()}
+    assert old == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+
+def test_delta_changes_partitioned_table(spark, qc, tmp_path):
+    """Round 9: the change feed on a PARTITIONED table rejoins
+    partition values as typed logical columns on every part — plain
+    inserts, remove-derived deletes, and DV-delta deletes — so
+    change rows carry the full schema."""
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "pch")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "id long, cat string, v double")
+    write_delta_local(df.coalesce(1), tbl, partition_by="cat")
+    write_delta_local(
+        spark.createDataFrame([(9, "b", 9.0)],
+                              "id long, cat string, v double")
+        .coalesce(1), tbl, mode="append")                        # v1
+    # v2: DV-delete id=1 (sits in the cat=a file)
+    f = [u.removeprefix("file:") for u in
+         qc.read_delta(tbl).df.inputFiles()]
+    target = next(p for p in f
+                  if 1 in pq.read_table(p, columns=["id"])
+                  .column("id").to_pylist())
+    pos = pq.read_table(target, columns=["id"]) \
+        .column("id").to_pylist().index(1)
+    delete_rows_delta_local(tbl, {target: [pos]})
+    # v3: overwrite (removes everything, adds one row)
+    write_delta_local(
+        spark.createDataFrame([(100, "z", 0.5)],
+                              "id long, cat string, v double")
+        .coalesce(1), tbl, mode="overwrite")
+    ch = qc.read_delta_changes(tbl, 0).df
+    assert set(ch.columns) == {"id", "cat", "v", "_change_type",
+                               "_commit_version"}
+    rows = sorted((r["_commit_version"], r["_change_type"], r["id"],
+                   r["cat"]) for r in ch.collect())
+    assert rows == sorted(
+        [(0, "insert", 1, "a"), (0, "insert", 2, "a"),
+         (0, "insert", 3, "b"),
+         (1, "insert", 9, "b"),
+         (2, "delete", 1, "a"),                     # DV delta
+         # v3 overwrite: pre-commit SURVIVORS of removed files delete
+         (3, "delete", 2, "a"), (3, "delete", 3, "b"),
+         (3, "delete", 9, "b"),
+         (3, "insert", 100, "z")])
+
+
 def test_delta_changes_random_ops_reconstruct_state(spark, qc, tmp_path):
     """Model-based sweep for the change stream: after a seeded random
     sequence of appends, DV deletes, compactions and overwrites,
