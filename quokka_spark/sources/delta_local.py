@@ -1816,8 +1816,9 @@ def read_delta_changes(spark, table: str, from_version: int,
     partition values on every part (round 9), tracking the ACTIVE
     partition spec per version — a repartitioning overwrite scans its
     removed files under the pre-commit scheme and its new files under
-    the post-commit one. columnMapping tables stay gated (physical-
-    name translation is not wired into the change scan)."""
+    the post-commit one. columnMapping NAME-mode tables translate
+    physical→logical on every part (round 9); id mode and mid-range
+    mapping-MODE changes stay gated."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1851,10 +1852,16 @@ def read_delta_changes(spark, table: str, from_version: int,
         pre_live = dict(zip(pre_keys, pre_adds))
     else:
         cur_meta, pre_live = None, {}
-    if _cm_mode(meta) != "none":
+    end_cm = _cm_mode(meta)
+    if end_cm == "id":
         raise NotImplementedError(
-            "read_delta_changes on a columnMapping table — physical-"
-            "name translation is not wired into the change scan")
+            "read_delta_changes on a columnMapping.mode=id table — "
+            "per-file field-id layouts are not wired into the change "
+            "scan")
+    # name-mode mapping (round 9): the END meta's mapping is a
+    # superset of every version's (physical names never change for an
+    # existing column; later columns null-fill in older files)
+    cmap = _column_mapping(meta)
     root = table.removeprefix("file://")
     # output column order: the to_version schema (None for minimal
     # fixtures → whatever the scans infer)
@@ -1875,15 +1882,16 @@ def read_delta_changes(spark, table: str, from_version: int,
     def _set_meta(m):
         if m is None:
             return
-        if _cm_mode(m) != "none":
+        if _cm_mode(m) != end_cm:
             raise NotImplementedError(
                 "read_delta_changes: the range crosses a columnMapping "
-                "metadata change — unsupported")
+                "MODE change — unsupported")
         pc, pt = _partition_schema(m)
         state["pcols"], state["ptypes"] = pc, pt
         # scan with the to_version schema MINUS this version's
-        # partition columns — evolution null-fill + no rejoin clash
-        state["rs"] = _log_read_schema(meta, pc)
+        # partition columns — evolution null-fill + no rejoin clash;
+        # physical names on mapped tables
+        state["rs"] = _log_read_schema(meta, pc, cmap=cmap)
 
     _set_meta(cur_meta)
 
@@ -1897,21 +1905,30 @@ def read_delta_changes(spark, table: str, from_version: int,
 
     def _part(files_, adds_, st):
         """One change part: DV filter FIRST (it reads _metadata off
-        the raw scan), then the partition rejoin projects the full
-        logical schema. ``st`` is the partition scheme the part's
-        FILES were written under — the post-commit scheme for the
-        insert side, the PRE-commit scheme for the delete/DV sides
-        (a repartitioning overwrite removes files whose
-        partitionValues key by the old scheme)."""
+        the raw scan), then the name-mapping rename and the partition
+        rejoin project the full logical schema. ``st`` is the
+        partition scheme the part's FILES were written under — the
+        post-commit scheme for the insert side, the PRE-commit scheme
+        for the delete/DV sides (a repartitioning overwrite removes
+        files whose partitionValues key by the old scheme)."""
         df = _apply_deletion_vectors(spark, _scan_raw(files_, st),
                                      files_, adds_, root)
-        if not st["pcols"]:
+        if not st["pcols"] and not cmap:
             return df
-        mapping = _partition_values_frame(spark, files_, adds_,
-                                          st["pcols"], st["ptypes"])
-        return (df.withColumn("__qs_path__", _plain_path_col())
-                .join(F.broadcast(mapping), "__qs_path__")
-                .select(*schema_cols))
+        df = df.withColumn("__qs_path__", _plain_path_col())
+        if cmap:
+            df = df.select("__qs_path__",
+                           *[F.col(cmap[l]).alias(l) for l in cmap
+                             if l not in st["pcols"]])
+        if st["pcols"]:
+            pv_key = {c: (cmap[c] if cmap else c)
+                      for c in st["pcols"]}
+            mapping = _partition_values_frame(
+                spark, files_, adds_, st["pcols"], st["ptypes"],
+                pv_key)
+            df = df.join(F.broadcast(mapping), "__qs_path__")
+        df = df.drop("__qs_path__")
+        return df.select(*schema_cols) if schema_cols else df
 
     parts = []
 
@@ -1974,15 +1991,20 @@ def read_delta_changes(spark, table: str, from_version: int,
                       (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                       & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                       "left_semi"))
+        if cmap:
+            scan = scan.select(
+                "__qs_fp__", *[F.col(cmap[l]).alias(l) for l in cmap
+                               if l not in st["pcols"]])
         if st["pcols"]:
+            pv_key = {c: (cmap[c] if cmap else c) for c in st["pcols"]}
             mapping = _partition_values_frame(
                 spark, files, [na for _, na, _ in pairs],
-                st["pcols"], st["ptypes"]).withColumnRenamed(
+                st["pcols"], st["ptypes"], pv_key).withColumnRenamed(
                     "__qs_path__", "__qs_fp__")
-            scan = (scan.join(F.broadcast(mapping), "__qs_fp__")
-                    .select(*schema_cols))
-        else:
-            scan = scan.drop("__qs_fp__", "__qs_pos__")
+            scan = scan.join(F.broadcast(mapping), "__qs_fp__")
+        scan = scan.drop("__qs_fp__", "__qs_pos__")
+        if schema_cols and (cmap or st["pcols"]):
+            scan = scan.select(*schema_cols)
         parts.append(_tag(scan, "delete", v))
 
     for v in range(from_version, to_version + 1):

@@ -1768,6 +1768,73 @@ def test_delta_changes_partitioned_table(spark, qc, tmp_path):
          (3, "insert", 100, "z")])
 
 
+def test_delta_changes_column_mapping_name_mode(spark, qc, tmp_path):
+    """Round 9: the change feed on a name-mapped table translates
+    physical→logical on every part — appends, DV-delta deletes, and
+    the PARTITIONED+mapped combination (partitionValues keyed by the
+    physical name); id mode refuses."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  delete_rows_delta_local,
+                                                  write_delta_local)
+
+    def mk(name, pcols, extra_field=None):
+        fields = [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-a1",
+                          "delta.columnMapping.id": 1}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-b2",
+                          "delta.columnMapping.id": 2}}]
+        if extra_field:
+            fields.append(extra_field)
+        tbl = str(tmp_path / name)
+        os.makedirs(tbl)
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": _json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": pcols,
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "9"},
+                          "createdTime": 0}}])
+        return tbl
+
+    # plain name-mode: append (v1), DV delete (v2)
+    tbl = mk("cmch", [])
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+        .coalesce(1), tbl, mode="append")
+    f = qc.read_delta(tbl).df.inputFiles()[0].removeprefix("file:")
+    ids = pq.read_table(f).column("col-a1").to_pylist()
+    delete_rows_delta_local(tbl, {f: [ids.index(2)]})
+    ch = qc.read_delta_changes(tbl, 1).df
+    assert set(ch.columns) == {"id", "v", "_change_type",
+                               "_commit_version"}
+    rows = sorted((r["_commit_version"], r["_change_type"], r["id"],
+                   r["v"]) for r in ch.collect())
+    assert rows == [(1, "insert", 1, 1.0), (1, "insert", 2, 2.0),
+                    (2, "delete", 2, 2.0)]
+    # partitioned + mapped: partition values come back logical
+    ptbl = mk("cmchp", ["p"], extra_field={
+        "name": "p", "type": "string", "nullable": True,
+        "metadata": {"delta.columnMapping.physicalName": "col-p3",
+                     "delta.columnMapping.id": 3}})
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "b")],
+                              "id long, v double, p string")
+        .coalesce(1), ptbl, mode="append")
+    ch2 = qc.read_delta_changes(ptbl, 1).df
+    got = sorted((r["id"], r["p"]) for r in ch2.collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
 def test_delta_changes_random_ops_reconstruct_state(spark, qc, tmp_path):
     """Model-based sweep for the change stream: after a seeded random
     sequence of appends, DV deletes, compactions and overwrites,
