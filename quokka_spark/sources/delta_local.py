@@ -215,13 +215,17 @@ def _replay(table: str, version: int | None):
     return files, meta, keys, [live[k] for k in keys]
 
 
-def _commit_actions(table: str, v: int) -> tuple[dict, dict]:
-    """One commit's file actions, buffered: ({path: add}, {path:
-    remove}) — the per-commit parse shared by _replay, the change
-    stream and the streaming source (reconciliation is per-commit,
-    never per-line)."""
+def _commit_parsed(table: str, v: int) -> tuple[dict, dict,
+                                                dict | None, dict]:
+    """ONE pass over a commit file → ({path: add}, {path: remove},
+    metaData | None, commitInfo) — the change feed and streaming
+    source need all four per version, and separate helpers would
+    re-parse a 100k-add commit once per question."""
     adds: dict = {}
     removes: dict = {}
+    md = None
+    ci: dict = {}
+    first = True
     with open(_version_path(table, v)) as fh:
         for line in fh:
             line = line.strip()
@@ -232,6 +236,21 @@ def _commit_actions(table: str, v: int) -> tuple[dict, dict]:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 removes[action["remove"]["path"]] = action["remove"]
+            elif "metaData" in action:
+                md = action["metaData"]
+            elif first and "commitInfo" in action:
+                # first-line convention only — see _commit_info
+                ci = action["commitInfo"] or {}
+            first = False
+    return adds, removes, md, ci
+
+
+def _commit_actions(table: str, v: int) -> tuple[dict, dict]:
+    """One commit's file actions, buffered: ({path: add}, {path:
+    remove}) — the per-commit parse shared by _replay, the change
+    stream and the streaming source (reconciliation is per-commit,
+    never per-line)."""
+    adds, removes, _, _ = _commit_parsed(table, v)
     return adds, removes
 
 
@@ -320,22 +339,6 @@ def _commit_info(table: str, v: int) -> dict:
                 return action["commitInfo"] or {}
             return {}
     return {}
-
-
-def _commit_meta(table: str, v: int) -> dict | None:
-    """The commit's ``metaData`` action when it carries one (schema /
-    partitioning / configuration change), else None — the per-commit
-    metadata fold the change feed uses to track the ACTIVE partition
-    spec across a range."""
-    with open(_version_path(table, v)) as fh:
-        for line in fh:
-            line = line.strip()
-            if not line:
-                continue
-            action = json.loads(line)
-            if "metaData" in action:
-                return action["metaData"]
-    return None
 
 
 def _footer_stats(path: str) -> str | None:
@@ -2014,8 +2017,8 @@ def read_delta_changes(spark, table: str, from_version: int,
         # PRE-commit scheme for the delete/DV sides whose files
         # predate the change
         prev_state = dict(state)
-        _set_meta(_commit_meta(table, v))
-        adds, removes = _commit_actions(table, v)
+        adds, removes, commit_md, commit_ci = _commit_parsed(table, v)
+        _set_meta(commit_md)
         ins_files, ins_adds = [], []
         dv_pairs = []
         for k, a in adds.items():
@@ -2052,7 +2055,7 @@ def read_delta_changes(spark, table: str, from_version: int,
         # delete/insert. All distributed set ops — no driver rows.
         kc = None
         if ins_df is not None and del_df is not None:
-            raw = (_commit_info(table, v).get("operationParameters")
+            raw = (commit_ci.get("operationParameters")
                    or {}).get("keyColumns")
             if raw:
                 try:

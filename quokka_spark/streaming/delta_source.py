@@ -35,12 +35,16 @@ starting_version beyond the latest log version refuses, matching the
 jar.
 
 PARTITIONED tables stream: each input partition ships its file's
-``partitionValues`` and read() rebuilds them as typed constant
-columns (the streaming twin of the batch reader's broadcast rejoin,
-timestamp values cast in the session timezone). columnMapping tables
-stream too — name mode via the schema's physicalName metadata, id
-mode by each file's own parquet field ids; partitioned+mapped keeps
-the batch reader's refusal."""
+partition values (LOGICAL-keyed, resolved driver-side under the spec
+ACTIVE at that commit — metaData actions fold forward, so histories
+whose partitioning changed stream every version correctly) and
+read() rebuilds them as typed constant columns (the streaming twin
+of the batch reader's broadcast rejoin, timestamp values cast in the
+session timezone). columnMapping tables stream too — name mode via
+the schema's physicalName metadata (including PARTITIONED name-mode
+tables, whose partitionValues key by the physical name), id mode by
+each file's own parquet field ids; id-mode + partitioned keeps the
+batch reader's refusal."""
 
 from __future__ import annotations
 
@@ -84,10 +88,14 @@ class DeltaStreamReader(DataSourceStreamReader):
                 "committed offset would regress below it)")
         _, meta, _, _ = _replay(table, None)
         # partitioned tables: partition values live in the LOG; each
-        # input partition ships its file's partitionValues and read()
-        # rebuilds them as typed constant columns — the streaming twin
-        # of the batch reader's broadcast value rejoin
+        # input partition ships its file's values (LOGICAL-keyed,
+        # resolved driver-side under the partition spec ACTIVE at that
+        # version — the spec can change across history, so using the
+        # latest one would stream older versions with silent nulls)
+        # and read() rebuilds them as typed constant columns — the
+        # streaming twin of the batch reader's broadcast rejoin
         self.pcols, _ptypes = _partition_schema(meta)
+        self._cm = _cm_mode(meta)
         # columnMapping: name mode reads each file by the schema's
         # physicalName metadata; id mode resolves per-file by parquet
         # field ids (the footer is read executor-side, where the file
@@ -103,10 +111,6 @@ class DeltaStreamReader(DataSourceStreamReader):
                 "PARTITIONED table — per-file physical names make "
                 "the partitionValues keys ambiguous (matches the "
                 "batch reader; name mode IS supported)")
-        # partitionValues key by the PHYSICAL partition-column name
-        # on name-mapped tables, per the protocol
-        self.pv_key = {c: (self.cmap[c] if self.cmap else c)
-                       for c in self.pcols}
         # session timezone, captured driver-side: timestamp-typed
         # partition values are wall-time strings the batch reader
         # casts in session tz — read() must agree
@@ -114,10 +118,18 @@ class DeltaStreamReader(DataSourceStreamReader):
         sess = SparkSession.getActiveSession()
         self.tz = (sess.conf.get("spark.sql.session.timeZone")
                    if sess else "UTC")
-        # pre-batch live set, carried forward across triggers so the
-        # full _replay happens once per (re)start, not per trigger
+        # pre-batch live set + ACTIVE partition columns, carried
+        # forward across triggers so the full _replay happens once
+        # per (re)start, not per trigger
         self._live_at: int | None = None
         self._live: set = set()
+        self._cur_pcols: list = []
+
+    def _pv_key(self, c: str) -> str:
+        # partitionValues key by the PHYSICAL name on mapped tables;
+        # .get(c, c): a DROPPED old partition column has no mapping
+        # and is not in the read schema either — passthrough is inert
+        return self.cmap.get(c, c) if self.cmap else c
 
     # ---- offsets: {"version": last PROCESSED version} -----------------
     def initialOffset(self) -> dict:
@@ -131,17 +143,22 @@ class DeltaStreamReader(DataSourceStreamReader):
         if self._live_at == v0:
             return self._live
         if v0 >= 0:
-            from quokka_spark.sources.delta_local import _replay
-            _, _, live_keys, _ = _replay(self.table, v0)
+            from quokka_spark.sources.delta_local import (
+                _partition_schema, _replay)
+            _, m0, live_keys, _ = _replay(self.table, v0)
             live = set(live_keys)
+            self._cur_pcols = _partition_schema(m0)[0]
         else:
             live = set()
+            self._cur_pcols = []
         self._live_at, self._live = v0, live
         return live
 
     def partitions(self, start: dict, end: dict):
         from quokka_spark.sources.delta_local import (_check_dv_descriptor,
-                                                      _commit_actions,
+                                                      _cm_mode,
+                                                      _commit_parsed,
+                                                      _partition_schema,
                                                       _scan_log)
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
@@ -153,9 +170,18 @@ class DeltaStreamReader(DataSourceStreamReader):
                 f"versions {missing[:5]} have no JSON commit (cleaned "
                 "up?) — the stream would lose changes")
         live = set(self._live_before(v0))
+        cur_pcols = list(self._cur_pcols)
         parts = []
         for v in range(v0 + 1, v1 + 1):
-            adds, removes = _commit_actions(self.table, v)
+            adds, removes, md, _ci = _commit_parsed(self.table, v)
+            if md is not None:
+                # fold the ACTIVE partition spec forward — this
+                # commit's files already follow the new scheme
+                if _cm_mode(md) != self._cm:
+                    raise NotImplementedError(
+                        f"version {v} changes columnMapping.mode — "
+                        "restart the stream past it")
+                cur_pcols = _partition_schema(md)[0]
             data_removes = [k for k, r in removes.items()
                             if r.get("dataChange", True) and k not in adds]
             new_adds, dv_readds = [], []
@@ -189,7 +215,10 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if dv:
                     _check_dv_descriptor(k, dv)
                 p = k if os.path.isabs(k) else os.path.join(self.table, k)
-                pv = a.get("partitionValues") if self.pcols else None
+                # LOGICAL-keyed values under the version's ACTIVE spec
+                pv = ({c: a.get("partitionValues", {})
+                       .get(self._pv_key(c)) for c in cur_pcols}
+                      if cur_pcols else None)
                 parts.append(InputPartition(
                     (p, json.dumps(dv) if dv else None,
                      json.dumps(pv) if pv is not None else None)))
@@ -199,12 +228,16 @@ class DeltaStreamReader(DataSourceStreamReader):
                 live.add(k)
         # carry forward for the next trigger
         self._live_at, self._live = v1, live
+        self._cur_pcols = cur_pcols
         return parts
 
     def read(self, partition):
         import pyarrow as pa
         import pyarrow.parquet as pq
         path, dvj, pvj = partition.value
+        # LOGICAL-keyed partition values, resolved driver-side under
+        # the spec ACTIVE at the file's commit version
+        pvals = json.loads(pvj) if pvj else {}
         have = set(pq.read_schema(path).names)
         # physical name of each LOGICAL data column in THIS file:
         # identity (no mapping), the schema's physicalName metadata
@@ -213,7 +246,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         # batch reader's per-process layout cache is shared, so a
         # file's footer ids resolve once per executor, not per
         # micro-batch)
-        data_fields = [c for c in self.fields if c not in self.pcols]
+        data_fields = [c for c in self.fields if c not in pvals]
         if self.idmap is not None:
             from quokka_spark.sources.delta_local import _file_id_layout
             id2name = _file_id_layout(path)
@@ -245,13 +278,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_type
 
         from quokka_spark.sources.delta_local import partition_value_py
-        pvals = json.loads(pvj) if pvj else {}
         cols = []
         for c in self.fields:
             at = to_arrow_type(self.field_types[c])
-            if c in self.pcols:
+            if c in pvals:
                 # typed constant column from the add's partitionValues
-                v = partition_value_py(pvals.get(self.pv_key[c]),
+                v = partition_value_py(pvals[c],
                                        self.field_types[c], self.tz)
                 cols.append(pa.nulls(t.num_rows, type=at) if v is None
                             else pa.array([v] * t.num_rows, type=at))

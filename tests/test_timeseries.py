@@ -2062,6 +2062,30 @@ def test_delta_stream_source_partitioned(spark, qc, tmp_path):
     assert {r["cat"] for r in got2.collect() if r["id"] == 9} == {"z"}
 
 
+def test_delta_stream_source_partition_spec_change(spark, qc, tmp_path):
+    """Round-9 review pin: a table whose PARTITIONING changed across
+    history streams every version under the spec ACTIVE at its
+    commit — resolving with only the latest metaData would stream the
+    older versions' partition columns as silent nulls."""
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "specchg")
+    write_delta_local(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)],
+                              "id long, cat string, v double")
+        .coalesce(1), tbl, partition_by="cat")          # v0: by cat
+    write_delta_local(
+        spark.createDataFrame([(10, "z", 10.0)],
+                              "id long, cat string, v double")
+        .coalesce(1), tbl, mode="overwrite")            # v1: UNpart.
+    s = qc.read_delta_stream(tbl, ignore_changes=True)
+    q = (s.writeStream.format("memory").queryName("specchg")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r["id"], r["cat"]) for r in spark.table("specchg").collect()}
+    # v0 rows carry cat from the LOG (spec-0); v1's from the file
+    assert got == {(1, "a"), (2, "b"), (10, "z")}
+
+
 def test_delta_stream_source_column_mapping(spark, qc, tmp_path):
     """columnMapping tables stream (round-9): name mode resolves via
     the schema's physicalName metadata; id mode resolves by each
