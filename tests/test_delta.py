@@ -1835,6 +1835,93 @@ def test_delta_changes_column_mapping_name_mode(spark, qc, tmp_path):
     assert got == [(1, "a"), (2, "b")]
 
 
+def test_delta_changes_random_ops_partitioned(spark, qc, tmp_path):
+    """Model-based sweep for the PARTITIONED change feed (round 9):
+    a seeded random sequence of partitioned appends, DV deletes,
+    compactions, upserts (update pairing!) and repartitioning
+    overwrites — folding each version's change rows into a multiset
+    of FULL rows (id, cat, v) reconstructs the table's time-travel
+    state at every version, partition values included."""
+    import random
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  delete_rows_delta_local,
+                                                  list_versions,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    rng = random.Random(99)
+    tbl = str(tmp_path / "pprop")
+    nxt = 0
+    cats = ["a", "b", "c"]
+
+    def fresh(n):
+        nonlocal nxt
+        rows = [(v, rng.choice(cats), float(v) * 0.5)
+                for v in range(nxt, nxt + n)]
+        nxt += n
+        return rows
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id long, cat string, v double").coalesce(1)
+
+    write_delta_local(frame(fresh(8)), tbl, partition_by="cat")
+    for _ in range(7):
+        op = rng.choice(["append", "delete", "compact", "upsert",
+                         "overwrite"])
+        if op == "append":
+            write_delta_local(frame(fresh(rng.randint(1, 4))), tbl,
+                              mode="append")
+        elif op == "delete":
+            deletes = {}
+            for uri in qc.read_delta(tbl).df.inputFiles():
+                f = uri.removeprefix("file:")
+                n = pq.ParquetFile(f).metadata.num_rows
+                pos = [i for i in range(n) if rng.random() < 0.25]
+                if pos:
+                    deletes[f] = pos
+            if deletes:
+                delete_rows_delta_local(tbl, deletes)
+        elif op == "compact":
+            compact_delta_local(spark, tbl, target_file_rows=1000)
+        elif op == "upsert":
+            live = [(r["id"], r["cat"], r["v"])
+                    for r in qc.read_delta(tbl).df.collect()]
+            upd = [(i, c, v + 100.0) for i, c, v in
+                   rng.sample(live, min(2, len(live)))] if live else []
+            upsert_delta_local(spark, tbl,
+                               frame(upd + fresh(1)), "id")
+        else:
+            # repartitioning overwrite: sometimes by cat, sometimes
+            # unpartitioned — the spec-change case
+            pb = rng.choice(["cat", None])
+            write_delta_local(frame(fresh(3)), tbl, mode="overwrite",
+                              partition_by=pb)
+    state: Counter = Counter()
+    for ver in list_versions(tbl):
+        for r in qc.read_delta_changes(tbl, ver, ver).df.collect():
+            key = (r["id"], r["cat"], r["v"])
+            ct = r["_change_type"]
+            if ct in ("insert", "update_postimage"):
+                state[key] += 1
+            else:                       # delete / update_preimage
+                state[key] -= 1
+                if state[key] == 0:
+                    del state[key]
+        try:
+            want = Counter((r["id"], r["cat"], r["v"]) for r in
+                           qc.read_delta(tbl, version=ver).df.collect())
+        except ValueError:
+            want = Counter()            # no live files at this version
+        assert state == want, f"diverged at version {ver}"
+    # partition values never null anywhere in the stream
+    allch = qc.read_delta_changes(tbl, 0).df
+    assert allch.where("cat IS NULL").count() == 0
+
+
 def test_delta_changes_random_ops_reconstruct_state(spark, qc, tmp_path):
     """Model-based sweep for the change stream: after a seeded random
     sequence of appends, DV deletes, compactions and overwrites,
