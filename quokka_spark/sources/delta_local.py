@@ -1365,6 +1365,33 @@ def _evolve_schema_actions(meta: dict, df, mode: str,
     return [md]
 
 
+def _physical_projection(df, meta: dict, cm: str):
+    """Rename a LOGICAL-schema batch to the table's physical layout
+    (the schema metadata's physicalName per column); id mode also
+    stamps each column's parquet field id via the native writer's
+    ``parquet.field.id`` column metadata. Shared by the mapped write
+    path and mapped compaction."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+    mapping = {}
+    for f in StructType.fromJson(json.loads(meta["schemaString"])).fields:
+        md = f.metadata or {}
+        phys = md.get("delta.columnMapping.physicalName")
+        fid = md.get("delta.columnMapping.id")
+        if not phys or fid in (None, ""):
+            raise ValueError(
+                f"column {f.name!r}: columnMapping.mode={cm} but the "
+                "schema field carries no physicalName/id — refusing "
+                "to guess a physical layout")
+        mapping[f.name] = (phys, int(fid))
+    out = df.select(*[
+        F.col(c).alias(mapping[c][0],
+                       metadata={"parquet.field.id": mapping[c][1]})
+        if cm == "id" else F.col(c).alias(mapping[c][0])
+        for c in df.columns])
+    return out, mapping
+
+
 def _evolve_mapped_schema_actions(meta: dict, df, mode: str):
     """Schema evolution on a columnMapping table (round 9): a NEW
     column gets a fresh ``delta.columnMapping.id`` (maxColumnId+1…)
@@ -1502,26 +1529,7 @@ def write_delta_local(df, table: str, mode: str = "append",
                         "on overwrite — metaData partitionColumns "
                         "rewrite for mapped specs is not wired up")
             evolve, meta = _evolve_mapped_schema_actions(meta, df, mode)
-            from pyspark.sql.types import StructType
-            mapping = {}
-            for f in StructType.fromJson(
-                    json.loads(meta["schemaString"])).fields:
-                md = f.metadata or {}
-                phys = md.get("delta.columnMapping.physicalName")
-                fid = md.get("delta.columnMapping.id")
-                if not phys or fid in (None, ""):
-                    raise ValueError(
-                        f"column {f.name!r}: columnMapping.mode={cm} "
-                        "but the schema field carries no physicalName/"
-                        "id — refusing to guess a physical layout")
-                mapping[f.name] = (phys, int(fid))
-            from pyspark.sql import functions as F
-            df = df.select(*[
-                F.col(c).alias(mapping[c][0],
-                               metadata={"parquet.field.id":
-                                         mapping[c][1]})
-                if cm == "id" else F.col(c).alias(mapping[c][0])
-                for c in df.columns])
+            df, mapping = _physical_projection(df, meta, cm)
             # the batch now carries physical names: partition under
             # the PHYSICAL partition-column names so hive directory
             # values (and the partitionValues keys extracted from
@@ -1585,22 +1593,18 @@ def compact_delta_local(spark, table: str,
     files, meta, keys, _ = _replay(table, None)
     if not files:
         raise ValueError(f"Delta table {table} has no live files")
-    if _cm_mode(meta) == "id":
-        raise NotImplementedError(
-            "compacting a columnMapping.mode=id table — rewritten "
-            "files must stamp parquet field ids")
     root = table.removeprefix("file://")
     pcols = meta.get("partitionColumns") or []
     df = read_delta_local(spark, table)
-    cmap = _column_mapping(meta)
-    if cmap:
+    cm = _cm_mode(meta)
+    if cm != "none":
         # the mapped read surfaced LOGICAL names; rewritten files must
-        # carry the physical ones (footer stats then key physically),
-        # and a partitioned mapped table re-partitions under the
-        # PHYSICAL partition-column names (round 9)
-        from pyspark.sql import functions as F
-        df = df.select(*[F.col(c).alias(cmap[c]) for c in df.columns])
-        pcols = [cmap[c] for c in pcols]
+        # carry the physical ones (footer stats then key physically —
+        # id mode additionally stamps field ids, round 9), and a
+        # partitioned mapped table re-partitions under the PHYSICAL
+        # partition-column names
+        df, mapping = _physical_projection(df, meta, cm)
+        pcols = [mapping[c][0] for c in pcols]
     n = df.count()
     parts = max(1, math.ceil(n / target_file_rows))
     data_dir = os.path.join(root, f"data-compact-{uuid.uuid4().hex[:12]}")

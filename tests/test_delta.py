@@ -1230,8 +1230,19 @@ def test_delta_id_mode_write_roundtrip(spark, qc, tmp_path):
     # time travel still sees the appended state
     assert {r["id"] for r in qc.read_delta(tbl, version=1).df.collect()} \
         == {1, 9}
-    with pytest.raises(NotImplementedError, match="mode=id"):
-        compact_delta_local(spark, tbl)
+    # compaction rewrites id-mode tables WITH field ids (round 9)
+    write_delta_local(spark.createDataFrame([(6, 0.6)],
+                                            "id long, v double")
+                      .coalesce(1), tbl, mode="append")
+    compact_delta_local(spark, tbl, target_file_rows=1000)
+    assert {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()} \
+        == {5: 0.5, 6: 0.6}
+    live = [f.removeprefix("file:")
+            for f in qc.read_delta(tbl).df.inputFiles()]
+    assert len(live) == 1
+    ids2 = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in pq.read_schema(live[0])}
+    assert ids2 == {"whatever-1": b"1", "whatever-2": b"2"}
 
 
 def test_delta_mapped_schema_evolution(spark, qc, tmp_path):
