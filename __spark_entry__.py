@@ -6475,6 +6475,60 @@ GROUP BY user_id
 """
 
 
+def _sink_gate(spark, sf_dir, tag, sink_fn, read_back):
+    """Shared fixture driver for the exactly-once sink trio: the
+    purchase stream lands through ``sink_fn`` (foreachBatch +
+    idempotence handshake), and the table read back must equal the
+    batch filter — same oracle as stream_sink_delta."""
+    import os
+    import tempfile
+    qc = _qc(spark)
+    d = _stream_events_dir(spark, qc, sf_dir)
+    base = os.path.join(tempfile.gettempdir(),
+                        f"qs_{tag}_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        stream = spark.readStream.schema(
+            spark.read.parquet(d).schema).parquet(d) \
+            .where("event_type = 'purchase'") \
+            .select("event_id", "user_id", "value")
+        q = sink_fn(stream, tbl, os.path.join(base, "chk")) \
+            .trigger(availableNow=True).start()
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{tag} drain exceeded 600s")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return read_back(qc, tbl).groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"))
+
+
+def stream_sink_iceberg(spark, sf_dir):
+    """Exactly-once streaming ingestion INTO a local Iceberg table
+    (round 9 — streaming/stream.streaming_write_iceberg): the
+    idempotence handshake rides each snapshot's summary map; the
+    first batch creates the table. Read-back must equal the batch
+    filter."""
+    from quokka_spark.streaming.stream import streaming_write_iceberg
+    return _sink_gate(spark, sf_dir, "sinkice", streaming_write_iceberg,
+                      lambda qc, t: qc.read_iceberg(t).df)
+
+
+def stream_sink_hudi(spark, sf_dir):
+    """Exactly-once streaming ingestion INTO a local Hudi CoW table
+    (round 9 — streaming/stream.streaming_write_hudi): the handshake
+    rides the commit extraMetadata map, where real Hudi writers store
+    streaming checkpoints. Read-back must equal the batch filter."""
+    from quokka_spark.streaming.stream import streaming_write_hudi
+    return _sink_gate(spark, sf_dir, "sinkhudi", streaming_write_hudi,
+                      lambda qc, t: qc.read_hudi(t).df)
+
+
 _STREAM_RESAMPLE_SQL = """
 WITH e AS (
   SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) / 1000000.0 AS ts_sec,
@@ -6746,6 +6800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep": stream_cep,
         "stream_resample": stream_resample,
         "stream_src_delta_cm": stream_src_delta_cm,
+        "stream_sink_iceberg": stream_sink_iceberg,
+        "stream_sink_hudi": stream_sink_hudi,
         "stream_src_iceberg": stream_src_iceberg,
         "stream_src_hudi": stream_src_hudi,
     }
@@ -6900,6 +6956,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_src_delta": _STREAM_SRC_DELTA_SQL,
         "stream_src_delta_partitioned": _STREAM_SRC_DELTA_PARTITIONED_SQL,
         "stream_src_delta_cm": _STREAM_SRC_DELTA_CM_SQL,
+        "stream_sink_iceberg": _STREAM_SINK_DELTA_SQL,
+        "stream_sink_hudi": _STREAM_SINK_DELTA_SQL,
         "stream_src_iceberg": _STREAM_SRC_ICEBERG_SQL,
         "stream_src_hudi": _STREAM_SRC_HUDI_SQL,
     }

@@ -355,7 +355,8 @@ def commit_hudi_local(table: str, writes: dict, replaces: dict | None = None,
 
 def _commit_instant(table: str, writes: dict, replaces: dict | None,
                     ts: str, action: str,
-                    operation: str | None = None) -> str:
+                    operation: str | None = None,
+                    extra_meta: dict | None = None) -> str:
     doc = {"partitionToWriteStats": {
         part: [{"fileId": fid, "path": os.path.abspath(_local(p)),
                 "numWrites": None, "prevCommit": None}
@@ -364,6 +365,12 @@ def _commit_instant(table: str, writes: dict, replaces: dict | None,
     if replaces:
         doc["partitionToReplaceFileIds"] = {
             part: list(fids) for part, fids in replaces.items()}
+    if extra_meta:
+        # Hudi's commit metadata carries an extensible extraMetadata
+        # map (real writers store streaming checkpoints there) — the
+        # idempotent streaming sink records its high-water mark here
+        doc["extraMetadata"] = {str(k): str(v)
+                                for k, v in extra_meta.items()}
     if operation:
         # the real writer's commit metadata carries the operation type
         # (insert/upsert/delete/cluster/insert_overwrite) — incremental
@@ -429,19 +436,44 @@ def clean_hudi_local(table: str, keep_last: int = 1) -> int:
     return deleted
 
 
-def write_hudi_local(df, table: str, mode: str = "append") -> str:
+def write_hudi_local(df, table: str, mode: str = "append",
+                     extra_meta: dict | None = None) -> str:
     """Commit a Spark DataFrame as a new CoW instant: "append" adds
     the rows as new file groups; "overwrite" replaces every live
     group (a replacecommit, the insert_overwrite shape). One native
     distributed parquet write + a KB-scale driver commit. Returns the
-    instant timestamp."""
+    instant timestamp. ``extra_meta`` lands in the commit's
+    extraMetadata map (the streaming sink's idempotence handshake)."""
     assert mode in ("append", "overwrite"), mode
     _write_properties(table)
     if _table_type(table) != "COPY_ON_WRITE":
         raise NotImplementedError(
             "CoW-append into a MERGE_ON_READ table — use "
             "write_hudi_mor_local / upsert_hudi_mor_local")
-    return _write_base_files(df, table, mode, "commit")
+    return _write_base_files(df, table, mode, "commit",
+                             extra_meta=extra_meta)
+
+
+def last_txn_version(table: str, app_id: str):
+    """Latest committed writer version for ``app_id`` from the
+    timeline's extraMetadata maps (``qs.txn.appId`` /
+    ``qs.txn.version``) or None — the Hudi twin of
+    delta_local.last_txn_version, backing the exactly-once streaming
+    sink. O(#instants) KB-scale driver reads; long-lived streams
+    archive their timeline, so this stays metadata-class."""
+    try:
+        instants = completed_instants(table)
+    except (FileNotFoundError, ValueError):
+        return None
+    last = None
+    for _ts, _action, path in instants:
+        with open(path) as fh:
+            doc = json.load(fh)
+        em = doc.get("extraMetadata") or {}
+        if em.get("qs.txn.appId") == str(app_id) \
+                and em.get("qs.txn.version") is not None:
+            last = int(em["qs.txn.version"])
+    return last
 
 
 def _stamp_base_files(data_dir: str, ts: str) -> list:
@@ -459,7 +491,8 @@ def _stamp_base_files(data_dir: str, ts: str) -> list:
 
 
 def _write_base_files(df, table: str, mode: str, base_action: str,
-                      operation: str | None = None) -> str:
+                      operation: str | None = None,
+                      extra_meta: dict | None = None) -> str:
     """Write ``df`` as new parquet file groups committed under
     ``base_action`` ("commit" for CoW, "deltacommit" for MoR bulk
     insert); mode="overwrite" retires every previously live group via
@@ -484,7 +517,7 @@ def _write_base_files(df, table: str, mode: str, base_action: str,
     if operation is None:
         operation = "insert_overwrite" if mode == "overwrite" else "insert"
     return _commit_instant(table, {"": items}, replaces, ts, action,
-                           operation=operation)
+                           operation=operation, extra_meta=extra_meta)
 
 # ----------------------------------------------------------------------
 # MERGE_ON_READ write path (deltacommits: log files + insert bases)

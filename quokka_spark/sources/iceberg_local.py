@@ -854,6 +854,26 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
     return df if keep_position else df.drop("__qs_fp__", "__qs_pos__")
 
 
+def last_txn_version(table_path: str, app_id: str):
+    """Latest committed writer version for ``app_id`` from snapshot
+    summaries (``qs-txn-app`` / ``qs-txn-version``) or None — the
+    Iceberg twin of delta_local.last_txn_version. Iceberg has no txn
+    action; the summary is the spec's extensible string map, where
+    real engines record streaming checkpoints the same way. One
+    metadata-JSON read, O(#snapshots) dict lookups."""
+    try:
+        meta = _read_table_metadata(table_path)
+    except (FileNotFoundError, ValueError):
+        return None
+    last = None
+    for s in meta.get("snapshots", []):
+        sm = s.get("summary") or {}
+        if sm.get("qs-txn-app") == str(app_id) \
+                and sm.get("qs-txn-version") is not None:
+            last = int(sm["qs-txn-version"])
+    return last
+
+
 def snapshot_at_timestamp(table_path: str, ts) -> int:
     """Iceberg ``as-of-timestamp`` resolution: the LATEST snapshot
     whose ``timestamp-ms`` is <= ``ts`` (epoch ms, ISO string, or

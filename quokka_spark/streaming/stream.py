@@ -956,3 +956,75 @@ def _should_commit_batch(table: str, app_id: str, bid: int) -> bool:
     from ..sources.delta_local import last_txn_version
     last = last_txn_version(table, app_id)
     return last is None or int(bid) > int(last)
+
+
+def _sink_app_id(checkpoint_dir: str, app_id: str | None) -> str:
+    """The FULL checkpoint path by default: two pipelines with
+    same-named checkpoint dirs must not share a high-water mark (one
+    would silently drop its batches)."""
+    import os
+    return app_id or ("quokka-spark-"
+                      + os.path.abspath(checkpoint_dir.rstrip("/")))
+
+
+def streaming_write_iceberg(df: DataFrame, table: str,
+                            checkpoint_dir: str,
+                            app_id: str | None = None):
+    """EXACTLY-ONCE micro-batch ingestion into a local Iceberg table
+    — streaming_write_delta's twin. Iceberg has no txn action, so the
+    idempotent-writer handshake rides each snapshot's SUMMARY map
+    (``qs-txn-app``/``qs-txn-version`` — the spec's extensible
+    metadata, where real engines record streaming checkpoints too); a
+    redelivered batch at or below the committed high-water mark for
+    this ``app_id`` is a no-op (iceberg_local.last_txn_version). The
+    first batch creates the table, later batches append one snapshot
+    each; empty batches still advance the mark. Returns an un-started
+    DataStreamWriter — pick the trigger and .start()."""
+    aid = _sink_app_id(checkpoint_dir, app_id)
+
+    def _sink(bdf, bid: int):
+        import glob
+        import os
+        import uuid
+
+        from ..sources.iceberg_local import (commit_snapshot,
+                                             last_txn_version)
+        last = last_txn_version(table, aid)
+        if last is not None and int(bid) <= last:
+            return  # already committed — redelivery is a no-op
+        tdir = table.removeprefix("file://")
+        d = os.path.join(tdir, "data",
+                         f"stream-{int(bid)}-{uuid.uuid4().hex[:8]}")
+        bdf.write.mode("errorifexists").parquet(d)
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        commit_snapshot(table, add_files=files, evolve_from_df=bdf,
+                        summary_extra={"qs-txn-app": aid,
+                                       "qs-txn-version": str(int(bid))})
+
+    return (df.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def streaming_write_hudi(df: DataFrame, table: str,
+                         checkpoint_dir: str,
+                         app_id: str | None = None):
+    """EXACTLY-ONCE micro-batch ingestion into a local Hudi CoW table
+    — the third sink of the trio. The handshake rides the commit's
+    ``extraMetadata`` map (``qs.txn.appId``/``qs.txn.version`` —
+    exactly where real Hudi writers store streaming checkpoints);
+    redelivered batches at or below the high-water mark for this
+    ``app_id`` are no-ops (hudi_local.last_txn_version). Returns an
+    un-started DataStreamWriter."""
+    aid = _sink_app_id(checkpoint_dir, app_id)
+
+    def _sink(bdf, bid: int):
+        from ..sources.hudi_local import last_txn_version, write_hudi_local
+        last = last_txn_version(table, aid)
+        if last is not None and int(bid) <= last:
+            return
+        write_hudi_local(bdf, table, mode="append",
+                         extra_meta={"qs.txn.appId": aid,
+                                     "qs.txn.version": str(int(bid))})
+
+    return (df.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir))

@@ -484,6 +484,47 @@ def test_hudi_timestamp_time_travel(spark, qc, tmp_path):
         qc.read_hudi(tbl, as_of=t1, as_of_timestamp=int(t1))
 
 
+def test_streaming_write_hudi_exactly_once(spark, qc, tmp_path):
+    """foreachBatch sink with the extraMetadata handshake (round 9):
+    restart with the same checkpoint appends only NEW batches;
+    redelivered batch ids are no-ops; unrelated commits don't
+    disturb the mark."""
+    from quokka_spark.sources.hudi_local import (last_txn_version,
+                                                 write_hudi_local)
+    from quokka_spark.streaming.stream import streaming_write_hudi
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    tbl = str(tmp_path / "sink")
+    sch = "id long, v double"
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], sch) \
+        .coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], sch).schema).parquet(src)
+    q = streaming_write_hudi(stream, tbl, chk, app_id="t") \
+        .trigger(availableNow=True).start()
+    assert q.awaitTermination(120)
+    assert sorted(r["id"] for r in qc.read_hudi(tbl).df.collect()) \
+        == [1, 2]
+    last = last_txn_version(tbl, "t")
+    assert last is not None and last >= 0
+    spark.createDataFrame([(3, 3.0)], sch).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], sch).schema).parquet(src)
+    q = streaming_write_hudi(stream, tbl, chk, app_id="t") \
+        .trigger(availableNow=True).start()
+    assert q.awaitTermination(120)
+    assert sorted(r["id"] for r in qc.read_hudi(tbl).df.collect()) \
+        == [1, 2, 3]
+    last2 = last_txn_version(tbl, "t")
+    assert last2 is not None and last2 > last
+    # an unrelated (non-sink) commit leaves the mark untouched
+    write_hudi_local(spark.createDataFrame([(9, 9.0)], sch)
+                     .coalesce(1), tbl, mode="append")
+    assert last_txn_version(tbl, "t") == last2
+    assert last_txn_version(tbl, "other") is None
+
+
 def test_hudi_instant_at_timestamp_width_and_precision(monkeypatch):
     """Round-9 review pins: (1) 14-digit (old-writer) instants
     normalize to the common 17-digit width before comparison — raw

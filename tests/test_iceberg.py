@@ -1017,6 +1017,50 @@ def _mk_posdel(tmp_path, spark, target, positions):
     return p
 
 
+def test_streaming_write_iceberg_exactly_once(spark, qc, tmp_path):
+    """foreachBatch sink with the snapshot-summary handshake (round
+    9): the first batch creates the table, a restarted stream with
+    the same checkpoint appends only NEW batches, a redelivered batch
+    id is a no-op, and the mark survives rebuild-style commits."""
+    from quokka_spark.sources.iceberg_local import (append_snapshot,
+                                                    last_txn_version)
+    from quokka_spark.streaming.stream import streaming_write_iceberg
+    src = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    tbl = str(tmp_path / "sink")
+    sch = "id long, v double"
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], sch) \
+        .coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], sch).schema).parquet(src)
+    q = streaming_write_iceberg(stream, tbl, chk, app_id="t") \
+        .trigger(availableNow=True).start()
+    assert q.awaitTermination(120)
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
+        == [1, 2]
+    last = last_txn_version(tbl, "t")
+    assert last is not None and last >= 0
+    # restart with the SAME checkpoint after more data arrives
+    spark.createDataFrame([(3, 3.0)], sch).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], sch).schema).parquet(src)
+    q = streaming_write_iceberg(stream, tbl, chk, app_id="t") \
+        .trigger(availableNow=True).start()
+    assert q.awaitTermination(120)
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
+        == [1, 2, 3]
+    last2 = last_txn_version(tbl, "t")
+    assert last2 is not None and last2 > last
+    # the mark survives a rebuild-style commit (summary carry)
+    extra = str(tmp_path / "x.parquet")
+    spark.range(100, 101).coalesce(1).toPandas().to_parquet(extra)
+    append_snapshot(tbl, [extra])
+    assert last_txn_version(tbl, "t") == last2
+    # wrong app id sees no mark
+    assert last_txn_version(tbl, "other") is None
+
+
 def test_iceberg_timestamp_time_travel(spark, qc, tmp_path):
     """as-of-timestamp (round 9): resolve to the LATEST snapshot with
     timestamp-ms at-or-before the asked instant; commit_snapshot
