@@ -459,21 +459,23 @@ def last_txn_version(table: str, app_id: str):
     timeline's extraMetadata maps (``qs.txn.appId`` /
     ``qs.txn.version``) or None — the Hudi twin of
     delta_local.last_txn_version, backing the exactly-once streaming
-    sink. O(#instants) KB-scale driver reads; long-lived streams
-    archive their timeline, so this stays metadata-class."""
+    sink. Walks the timeline NEWEST-first with early exit: the sink's
+    own commit is almost always the latest instant, so the common
+    case is one KB-scale read, not O(#instants) per micro-batch. A
+    missing table maps to None; corrupt commit JSON propagates loudly
+    (mapping it to None would re-commit committed batches)."""
     try:
         instants = completed_instants(table)
-    except (FileNotFoundError, ValueError):
+    except FileNotFoundError:
         return None
-    last = None
-    for _ts, _action, path in instants:
+    for _ts, _action, path in reversed(instants):
         with open(path) as fh:
             doc = json.load(fh)
         em = doc.get("extraMetadata") or {}
         if em.get("qs.txn.appId") == str(app_id) \
                 and em.get("qs.txn.version") is not None:
-            last = int(em["qs.txn.version"])
-    return last
+            return int(em["qs.txn.version"])
+    return None
 
 
 def _stamp_base_files(data_dir: str, ts: str) -> list:

@@ -856,21 +856,23 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
 
 def last_txn_version(table_path: str, app_id: str):
     """Latest committed writer version for ``app_id`` from snapshot
-    summaries (``qs-txn-app`` / ``qs-txn-version``) or None — the
-    Iceberg twin of delta_local.last_txn_version. Iceberg has no txn
-    action; the summary is the spec's extensible string map, where
-    real engines record streaming checkpoints the same way. One
-    metadata-JSON read, O(#snapshots) dict lookups."""
+    summaries (one ``qs-txn:<app>`` → version key per writer) or None
+    — the Iceberg twin of delta_local.last_txn_version. Iceberg has
+    no txn action; the summary is the spec's extensible string map,
+    where real engines record streaming checkpoints the same way.
+    One metadata-JSON read, O(#snapshots) dict lookups. A MISSING
+    table maps to None; a corrupt metadata JSON propagates loudly
+    (mapping it to None would re-commit already-committed batches)."""
     try:
         meta = _read_table_metadata(table_path)
-    except (FileNotFoundError, ValueError):
+    except FileNotFoundError:
         return None
+    key = f"qs-txn:{app_id}"
     last = None
     for s in meta.get("snapshots", []):
-        sm = s.get("summary") or {}
-        if sm.get("qs-txn-app") == str(app_id) \
-                and sm.get("qs-txn-version") is not None:
-            last = int(sm["qs-txn-version"])
+        v = (s.get("summary") or {}).get(key)
+        if v is not None:
+            last = int(v)
     return last
 
 
@@ -1374,6 +1376,64 @@ def _evolved_schema_fields(schema_fields, df):
     return out or None
 
 
+def _append_snapshot_fast(table_dir: str, add_files: list,
+                          summary_extra: dict | None = None) -> int:
+    """O(1) APPEND commit — real Iceberg's append shape: write ONE
+    new manifest for the added files, a new manifest LIST that is the
+    current list's rows plus the new row, and a new metadata JSON
+    with the snapshot appended. No prior manifest is read or
+    rewritten, so a long-running streaming sink stays metadata-class
+    per batch instead of O(history). Only for unpartitioned
+    single-spec tables with no schema change and data-file adds only
+    — commit_snapshot routes here and falls back to the general
+    rebuild otherwise."""
+    from .avro_lite import read_container, write_container
+    tdir = _local(table_dir)
+    meta_dir = os.path.join(tdir, "metadata")
+    meta = _read_table_metadata(table_dir)
+    snaps = meta.get("snapshots", [])
+    cur = snaps[-1]
+    new_id = 1 + max(int(s["snapshot-id"]) for s in snaps)
+    entry_schema = _manifest_entry_schema(None)
+    entries = [{"status": 1, "snapshot_id": new_id, "data_file": {
+        "content": 0, "file_path": p, "file_format": "PARQUET",
+        "record_count": 0,
+        "file_size_in_bytes": os.path.getsize(_local(p)),
+        "partition": None, "lower_bounds": None, "upper_bounds": None,
+        "equality_ids": None}} for p in add_files]
+    manifest = os.path.join(meta_dir, f"manifest-{new_id}.avro")
+    write_container(manifest, entry_schema, entries)
+    _, prior_rows = read_container(_local(cur["manifest-list"]))
+    mlist = os.path.join(meta_dir, f"snap-{new_id}.avro")
+    write_container(mlist, _MANIFEST_FILE_SCHEMA, prior_rows + [
+        {"manifest_path": manifest,
+         "manifest_length": os.path.getsize(manifest),
+         "partition_spec_id": int(meta.get("default-spec-id", 0)),
+         "content": 0, "added_snapshot_id": new_id}])
+    ts_ms = max(int(time.time() * 1000),
+                max((int(s.get("timestamp-ms") or 0) for s in snaps),
+                    default=0))
+    summary = {"operation": "append"}
+    if summary_extra:
+        summary.update({str(k): str(v)
+                        for k, v in summary_extra.items()})
+    snaps.append({"snapshot-id": new_id, "sequence-number": new_id,
+                  "timestamp-ms": ts_ms, "manifest-list": mlist,
+                  "summary": summary})
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = new_id
+    meta["last-sequence-number"] = max(
+        int(meta.get("last-sequence-number") or 0), new_id)
+    vs = [int(m.group(1)) for f in os.listdir(meta_dir)
+          if (m := re.match(r"v(\d+)\.metadata\.json$", f))]
+    nv = (max(vs) + 1) if vs else 1
+    with open(os.path.join(meta_dir, f"v{nv}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(nv))
+    return new_id
+
+
 def commit_snapshot(table_dir: str, add_files: list | None = None,
                     add_delete_files: list | None = None,
                     add_eq_delete_files: list | None = None,
@@ -1413,6 +1473,20 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
         if names:
             schema_fields = [(fid, name, types.get(fid, "string"))
                              for fid, name in sorted(names.items())]
+        # FAST PATH: a pure data-file append with no schema change on
+        # an unpartitioned table writes one manifest + one list +
+        # one metadata JSON (real Iceberg's append) — the O(history)
+        # rebuild below is only for shapes that must re-encode
+        if (add_files and not add_delete_files
+                and not add_eq_delete_files and not replace
+                and meta.get("snapshots")
+                and not _partition_spec_fields(meta)
+                and names
+                and (evolve_from_df is None
+                     or set(evolve_from_df.columns)
+                     <= set(names.values()))):
+            return _append_snapshot_fast(table_dir, list(add_files),
+                                         summary_extra)
         spec = _partition_spec_fields(meta)
         if spec:
             partition_spec = [
@@ -1615,6 +1689,21 @@ def expire_snapshots_local(table_dir: str, keep_last: int = 1,
             referenced |= {os.path.abspath(_local(p)) for p in dels}
             referenced |= {os.path.abspath(_local(e["path"]))
                            for e in eqs}
+    # the streaming sinks' exactly-once marks (qs-txn:<app> summary
+    # keys) must SURVIVE retention: fold each app's latest mark from
+    # the whole history into the newest kept snapshot, else a crash
+    # between sink-commit and Spark-checkpoint after an expiry would
+    # re-commit an already-committed batch (silent duplicates)
+    if kept and len(kept) < len(snaps):
+        marks: dict = {}
+        for s in snaps:                      # ascending: later wins
+            for k, v in (s.get("summary") or {}).items():
+                if k.startswith("qs-txn:"):
+                    marks[k] = v
+        if marks:
+            last_sm = dict(kept[-1].get("summary") or {})
+            kept[-1] = dict(kept[-1])
+            kept[-1]["summary"] = {**marks, **last_sm}
     meta["snapshots"] = kept
     if kept and meta.get("current-snapshot-id") not in \
             [s.get("snapshot-id") for s in kept]:

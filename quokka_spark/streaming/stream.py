@@ -932,12 +932,7 @@ def streaming_write_delta(df: DataFrame, table: str,
     Returns an un-started ``DataStreamWriter`` — callers pick the
     trigger (``availableNow`` for backfills, processingTime for
     continuous ingestion) and call ``.start()``."""
-    import os
-    # the FULL checkpoint path: two pipelines with same-named
-    # checkpoint dirs must not share a high-water mark (one would
-    # silently drop its batches)
-    aid = app_id or ("quokka-spark-"
-                     + os.path.abspath(checkpoint_dir.rstrip("/")))
+    aid = _sink_app_id(checkpoint_dir, app_id)
 
     def _sink(bdf, bid: int):
         from ..sources.delta_local import write_delta_local
@@ -961,10 +956,16 @@ def _should_commit_batch(table: str, app_id: str, bid: int) -> bool:
 def _sink_app_id(checkpoint_dir: str, app_id: str | None) -> str:
     """The FULL checkpoint path by default: two pipelines with
     same-named checkpoint dirs must not share a high-water mark (one
-    would silently drop its batches)."""
+    would silently drop its batches). The path NORMALIZES (file://
+    scheme stripped before abspath) so equivalent spellings of the
+    same checkpoint — '/tmp/chk' vs 'file:///tmp/chk' — derive the
+    same id; a mismatch would defeat the exactly-once guard on
+    restart."""
     import os
-    return app_id or ("quokka-spark-"
-                      + os.path.abspath(checkpoint_dir.rstrip("/")))
+    if app_id:
+        return app_id
+    plain = checkpoint_dir.removeprefix("file://").rstrip("/")
+    return "quokka-spark-" + os.path.abspath(plain)
 
 
 def streaming_write_iceberg(df: DataFrame, table: str,
@@ -973,13 +974,18 @@ def streaming_write_iceberg(df: DataFrame, table: str,
     """EXACTLY-ONCE micro-batch ingestion into a local Iceberg table
     — streaming_write_delta's twin. Iceberg has no txn action, so the
     idempotent-writer handshake rides each snapshot's SUMMARY map
-    (``qs-txn-app``/``qs-txn-version`` — the spec's extensible
-    metadata, where real engines record streaming checkpoints too); a
-    redelivered batch at or below the committed high-water mark for
-    this ``app_id`` is a no-op (iceberg_local.last_txn_version). The
-    first batch creates the table, later batches append one snapshot
-    each; empty batches still advance the mark. Returns an un-started
-    DataStreamWriter — pick the trigger and .start()."""
+    (one ``qs-txn:<app>`` → batch-id key per writer — the spec's
+    extensible metadata, where real engines record streaming
+    checkpoints too); a redelivered batch at or below the committed
+    high-water mark for this ``app_id`` is a no-op
+    (iceberg_local.last_txn_version), and the mark survives BOTH
+    rebuild-style commits (summary carry) and snapshot expiry
+    (expire_snapshots_local folds the latest mark per app into the
+    newest kept snapshot). Steady-state cost per batch is ONE new
+    manifest + list + metadata JSON (commit_snapshot's append fast
+    path), not an O(history) rebuild. The first batch creates the
+    table; empty batches still advance the mark. Returns an
+    un-started DataStreamWriter — pick the trigger and .start()."""
     aid = _sink_app_id(checkpoint_dir, app_id)
 
     def _sink(bdf, bid: int):
@@ -998,8 +1004,7 @@ def streaming_write_iceberg(df: DataFrame, table: str,
         bdf.write.mode("errorifexists").parquet(d)
         files = sorted(glob.glob(os.path.join(d, "*.parquet")))
         commit_snapshot(table, add_files=files, evolve_from_df=bdf,
-                        summary_extra={"qs-txn-app": aid,
-                                       "qs-txn-version": str(int(bid))})
+                        summary_extra={f"qs-txn:{aid}": str(int(bid))})
 
     return (df.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", checkpoint_dir))

@@ -1200,7 +1200,8 @@ def test_delta_id_mode_write_roundtrip(spark, qc, tmp_path):
     """id-mode WRITES (round 9): appended files land under the
     schema's physical names WITH parquet field ids stamped (via the
     native writer's parquet.field.id column metadata), so the id-mode
-    scan resolves them like any other file; compaction stays gated."""
+    scan resolves them like any other file; compaction rewrites
+    id-mode tables with field ids stamped too."""
     import pyarrow.parquet as pq
 
     from quokka_spark.sources.delta_local import (compact_delta_local,

@@ -1052,10 +1052,28 @@ def test_streaming_write_iceberg_exactly_once(spark, qc, tmp_path):
         == [1, 2, 3]
     last2 = last_txn_version(tbl, "t")
     assert last2 is not None and last2 > last
+    # the second drain was an O(1) fast append: the first drain's
+    # manifests were not rewritten (same bytes on disk)
+    import glob as _glob
+    import os as _os
+    meta_dir = _os.path.join(tbl, "metadata")
+    first_manifest = sorted(
+        _glob.glob(_os.path.join(meta_dir, "manifest-1.avro")))
+    assert first_manifest
+    m1 = first_manifest[0]
+    mt = _os.stat(m1).st_mtime_ns
     # the mark survives a rebuild-style commit (summary carry)
     extra = str(tmp_path / "x.parquet")
     spark.range(100, 101).coalesce(1).toPandas().to_parquet(extra)
     append_snapshot(tbl, [extra])
+    assert last_txn_version(tbl, "t") == last2
+    assert _os.stat(m1).st_mtime_ns == mt      # still untouched
+    # ... and survives snapshot EXPIRY (the mark folds into the
+    # newest kept snapshot) — round-9 review pin: a crash between
+    # sink-commit and Spark-checkpoint after retention must not
+    # re-commit the batch
+    from quokka_spark.sources.iceberg_local import expire_snapshots_local
+    expire_snapshots_local(tbl, keep_last=1)
     assert last_txn_version(tbl, "t") == last2
     # wrong app id sees no mark
     assert last_txn_version(tbl, "other") is None
