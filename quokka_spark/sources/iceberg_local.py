@@ -1315,16 +1315,9 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             "schemas": schemas, "current-schema-id": 0,
             "default-spec-id": default_sid,
             "partition-specs": meta_specs}
-    # metadata version: never collide with an existing file (e.g. the
-    # one expire_snapshots_local just wrote) — version-hint points at
-    # whatever we write
-    vs = [int(m.group(1)) for f in os.listdir(meta_dir)
-          if (m := re.match(r"v(\d+)\.metadata\.json$", f))]
-    nv = max([n] + [v + 1 for v in vs])
-    with open(os.path.join(meta_dir, f"v{nv}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(nv))
+    # shared publish: next non-colliding v<N>.metadata.json +
+    # version-hint (readers follow the hint, so N is opaque)
+    _publish_metadata(meta_dir, meta)
     return [s["snapshot-id"] for s in snap_entries]
 
 
@@ -1376,7 +1369,21 @@ def _evolved_schema_fields(schema_fields, df):
     return out or None
 
 
-def _append_snapshot_fast(table_dir: str, add_files: list,
+def _publish_metadata(meta_dir: str, meta: dict) -> int:
+    """The commit-publish step shared by every local writer: pick the
+    next v<N>.metadata.json (never colliding with an existing file),
+    dump, and point version-hint.text at it. Returns N."""
+    vs = [int(m.group(1)) for f in os.listdir(meta_dir)
+          if (m := re.match(r"v(\d+)\.metadata\.json$", f))]
+    nv = (max(vs) + 1) if vs else 1
+    with open(os.path.join(meta_dir, f"v{nv}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(nv))
+    return nv
+
+
+def _append_snapshot_fast(table_dir: str, add_files: list, meta: dict,
                           summary_extra: dict | None = None) -> int:
     """O(1) APPEND commit — real Iceberg's append shape: write ONE
     new manifest for the added files, a new manifest LIST that is the
@@ -1390,7 +1397,6 @@ def _append_snapshot_fast(table_dir: str, add_files: list,
     from .avro_lite import read_container, write_container
     tdir = _local(table_dir)
     meta_dir = os.path.join(tdir, "metadata")
-    meta = _read_table_metadata(table_dir)
     snaps = meta.get("snapshots", [])
     cur = snaps[-1]
     new_id = 1 + max(int(s["snapshot-id"]) for s in snaps)
@@ -1424,13 +1430,7 @@ def _append_snapshot_fast(table_dir: str, add_files: list,
     meta["current-snapshot-id"] = new_id
     meta["last-sequence-number"] = max(
         int(meta.get("last-sequence-number") or 0), new_id)
-    vs = [int(m.group(1)) for f in os.listdir(meta_dir)
-          if (m := re.match(r"v(\d+)\.metadata\.json$", f))]
-    nv = (max(vs) + 1) if vs else 1
-    with open(os.path.join(meta_dir, f"v{nv}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(nv))
+    _publish_metadata(meta_dir, meta)
     return new_id
 
 
@@ -1480,13 +1480,16 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
         if (add_files and not add_delete_files
                 and not add_eq_delete_files and not replace
                 and meta.get("snapshots")
+                # v1 inline-manifest snapshots lack a manifest-list
+                # file to extend — those rebuild
+                and "manifest-list" in meta["snapshots"][-1]
                 and not _partition_spec_fields(meta)
                 and names
                 and (evolve_from_df is None
                      or set(evolve_from_df.columns)
                      <= set(names.values()))):
             return _append_snapshot_fast(table_dir, list(add_files),
-                                         summary_extra)
+                                         meta, summary_extra)
         spec = _partition_spec_fields(meta)
         if spec:
             partition_spec = [
@@ -1708,14 +1711,7 @@ def expire_snapshots_local(table_dir: str, keep_last: int = 1,
     if kept and meta.get("current-snapshot-id") not in \
             [s.get("snapshot-id") for s in kept]:
         meta["current-snapshot-id"] = kept[-1]["snapshot-id"]
-    vs = [int(m.group(1))
-          for f in os.listdir(meta_dir)
-          if (m := re.match(r"v(\d+)\.metadata\.json$", f))]
-    nv = (max(vs) + 1) if vs else 1
-    with open(os.path.join(meta_dir, f"v{nv}.metadata.json"), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
-        f.write(str(nv))
+    _publish_metadata(meta_dir, meta)
     if delete_orphans:
         root = os.path.abspath(tdir)
         for dp, _, fs in os.walk(root):

@@ -962,9 +962,12 @@ def _sink_app_id(checkpoint_dir: str, app_id: str | None) -> str:
     same id; a mismatch would defeat the exactly-once guard on
     restart."""
     import os
+    import re
     if app_id:
         return app_id
-    plain = checkpoint_dir.removeprefix("file://").rstrip("/")
+    # '^file:/+' like iceberg_local._py_norm: Hadoop renders the same
+    # path as file:/p, file://p or file:///p depending on the caller
+    plain = re.sub(r"^file:/+", "/", checkpoint_dir).rstrip("/")
     return "quokka-spark-" + os.path.abspath(plain)
 
 

@@ -1075,6 +1075,15 @@ def test_streaming_write_iceberg_exactly_once(spark, qc, tmp_path):
     from quokka_spark.sources.iceberg_local import expire_snapshots_local
     expire_snapshots_local(tbl, keep_last=1)
     assert last_txn_version(tbl, "t") == last2
+    # ... and survives a REBUILD-shaped commit (position delete — the
+    # O(history) path that re-encodes every prior snapshot must carry
+    # summary extras; the plain append above took the fast path and
+    # does not exercise this)
+    from quokka_spark.sources.iceberg_local import (add_position_deletes,
+                                                    snapshot_files)
+    (files, _) = snapshot_files(tbl)
+    add_position_deletes(tbl, {files[0]: [0]})
+    assert last_txn_version(tbl, "t") == last2
     # wrong app id sees no mark
     assert last_txn_version(tbl, "other") is None
 
