@@ -1691,7 +1691,9 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     and the survivor rewrite + append re-partition under the table's
     partitionColumns (putting the partition columns in ``key_cols``
     keeps the affected-file set partition-local — the natural MERGE
-    shape). Mapped (columnMapping) tables stay gated."""
+    shape). NAME-mapped tables upsert as well (physical scan →
+    logical match → physical rewrite); id mode stays gated (per-file
+    physical names)."""
     import uuid
     from pyspark.sql import functions as F
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -1704,29 +1706,37 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
             f"{[c for c in pcols if c not in df.columns]}")
     if _cm_mode(meta) == "id":
         raise NotImplementedError(
-            "upsert on a columnMapping.mode=id table — a logical-name "
-            "scan would match nothing and rewritten files would carry "
-            "no parquet field ids, bricking the table")
-    if _column_mapping(meta):
-        raise NotImplementedError(
-            "upsert on a columnMapping.mode=name table — rewritten "
-            "files would carry logical names the schema cannot resolve")
+            "upsert on a columnMapping.mode=id table — files may each "
+            "use different physical names, so a uniform-schema "
+            "survivor scan cannot resolve them")
+    # name-mapped tables upsert (round 9): scan under PHYSICAL names,
+    # rename to logical for the key match, project back to physical
+    # for the rewrite (_write_and_add below)
+    cmap = _column_mapping(meta)
     # scan with the LOG's schema: after schema evolution, inference
     # could sample a pre-evolution file and the survivor rewrite
     # would silently drop the newer columns from rewritten files
-    rs = _log_read_schema(meta, pcols)
+    rs = _log_read_schema(meta, pcols, cmap=cmap)
     live = (spark.read.schema(rs).parquet(*files)
             if rs is not None else spark.read.parquet(*files))
     # DV-deleted rows must not survive into rewritten files
     live = _apply_deletion_vectors(spark, live, files, adds, root) \
         .withColumn("__qs_file__", F.col("_metadata.file_path"))
     if pcols:
+        live = live.withColumn("__qs_path__", _plain_path_col())
+    if cmap:
+        keep = ["__qs_file__"] + (["__qs_path__"] if pcols else [])
+        live = live.select(*keep,
+                           *[F.col(cmap[l]).alias(l) for l in cmap
+                             if l not in pcols])
+    if pcols:
         # partitioned tables (round 9): rejoin the log's partition
         # values so the key match and the survivor rewrite see the
         # full logical row (survivors re-partition by them below)
-        live = (live.withColumn("__qs_path__", _plain_path_col())
-                .join(F.broadcast(_partition_values_frame(
-                    spark, files, adds, pcols, ptypes)), "__qs_path__")
+        pv_key = {c: (cmap[c] if cmap else c) for c in pcols}
+        live = (live.join(F.broadcast(_partition_values_frame(
+                    spark, files, adds, pcols, ptypes, pv_key)),
+                    "__qs_path__")
                 .drop("__qs_path__"))
     new_keys = df.select(*keys).distinct()
     affected = [r["__qs_file__"]
@@ -1747,11 +1757,16 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     def _write_and_add(frame, dirname):
         """Write a rewrite/append frame (partitionBy on partitioned
         tables — the hive directory values become each file's
-        partitionValues) and append its add actions."""
+        partitionValues; mapped tables project back to PHYSICAL
+        names first) and append its add actions."""
         d = os.path.join(root, dirname)
+        out_pcols = pcols
+        if cmap:
+            frame, mapping = _physical_projection(frame, meta, "name")
+            out_pcols = [mapping[c][0] for c in pcols]
         w = frame.write
-        if pcols:
-            w = w.partitionBy(*pcols)
+        if out_pcols:
+            w = w.partitionBy(*out_pcols)
         w.parquet(d)
         out = sorted(
             os.path.join(dp, f) for dp, _, fs in os.walk(d)

@@ -1466,6 +1466,87 @@ def test_delta_cm_partitioned_name_mode_roundtrip(spark, qc, tmp_path):
     assert sorted(r["id"] for r in pruned2.collect()) == [1, 2]
 
 
+def test_delta_cm_upsert_name_mode(spark, qc, tmp_path):
+    """Round 9: MERGE upsert on NAME-mapped tables — plain and
+    PARTITIONED — scans physical, matches logical, rewrites physical;
+    the change feed pairs the update with logical columns."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit, _replay,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+
+    def mk(name, pcols, fields):
+        tbl = str(tmp_path / name)
+        os.makedirs(tbl)
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": _json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": pcols,
+                          "configuration": {
+                              "delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "9"},
+                          "createdTime": 0}}])
+        return tbl
+
+    def fld(name, typ, phys, fid):
+        return {"name": name, "type": typ, "nullable": True,
+                "metadata": {"delta.columnMapping.physicalName": phys,
+                             "delta.columnMapping.id": fid}}
+
+    # ---- plain name-mode ----------------------------------------------
+    tbl = mk("cmu", [], [fld("id", "long", "c-1", 1),
+                         fld("v", "double", "c-2", 2)])
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+        .coalesce(1), tbl, mode="append")
+    ver = upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(2, 99.0), (7, 7.0)],
+                              "id long, v double"), "id")
+    assert {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()} \
+        == {1: 1.0, 2: 99.0, 7: 7.0}
+    # rewritten + appended files carry PHYSICAL names
+    for u in qc.read_delta(tbl).df.inputFiles():
+        assert set(pq.read_schema(u.removeprefix("file:")).names) \
+            == {"c-1", "c-2"}
+    # the change feed pairs the update with LOGICAL columns
+    ch = sorted((r["_change_type"], r["id"], r["v"]) for r in
+                qc.read_delta_changes(tbl, ver, ver).df.collect())
+    assert ch == [("insert", 7, 7.0),
+                  ("update_postimage", 2, 99.0),
+                  ("update_preimage", 2, 2.0)]
+
+    # ---- partitioned + name-mode --------------------------------------
+    ptbl = mk("cmup", ["p"], [fld("p", "string", "c-p1", 1),
+                              fld("id", "long", "c-a2", 2),
+                              fld("v", "double", "c-b3", 3)])
+    write_delta_local(
+        spark.createDataFrame([("a", 1, 1.0), ("a", 2, 2.0),
+                               ("b", 3, 3.0)],
+                              "p string, id long, v double")
+        .coalesce(1), ptbl, mode="append")
+    upsert_delta_local(
+        spark, ptbl,
+        spark.createDataFrame([("a", 2, 99.0), ("z", 9, 9.0)],
+                              "p string, id long, v double"), "id")
+    got = {r["id"]: (r["p"], r["v"])
+           for r in qc.read_delta(ptbl).df.collect()}
+    assert got == {1: ("a", 1.0), 2: ("a", 99.0), 3: ("b", 3.0),
+                   9: ("z", 9.0)}
+    # every add keys partitionValues by the PHYSICAL name
+    _, _, _, adds = _replay(ptbl, None)
+    assert all(set(a["partitionValues"]) == {"c-p1"} for a in adds)
+    # pruning still routes on the logical partition column
+    pr = qc.read_delta(ptbl, partition_filter="p = 'z'").df
+    assert [(r["id"], r["v"]) for r in pr.collect()] == [(9, 9.0)]
+
+
 def test_delta_cm_review_regressions(spark, qc, tmp_path):
     """Round-8 review pins: an id-mode table refuses upserts (a
     logical-name scan would match nothing and committed rewrites
