@@ -45,9 +45,10 @@ gaps: id-mode WRITES stamp parquet field ids via the native writer's
 assigns fresh physicalName/id + maxColumnId in both modes, and
 PARTITIONED name-mapped tables read/write/compact/stream (hive
 directories and partitionValues key by the PHYSICAL partition-column
-name). Still gated with clear errors: id-mode + partitioned
-(per-file physical names make the partitionValues keys ambiguous)
-and upserts on mapped tables.
+name), including name-mode MERGE upserts (physical scan → logical
+match → physical rewrite). Still gated with clear errors: id-mode +
+partitioned and id-mode upserts (per-file physical names make a
+uniform survivor scan / the partitionValues keys ambiguous).
 ``metaData.schemaString`` is written spec-correctly (it IS Spark's
 schema JSON) and read back for partition-column types; data columns
 trust the parquet footers, which is what Spark's scan enforces
