@@ -922,6 +922,68 @@ def _commit(table: str, version: int, actions: list) -> None:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     os.rename(tmp, path)  # atomic single-writer commit
+    _maybe_checkpoint(table, version, actions)
+
+
+CHECKPOINT_INTERVAL_DEFAULT = 10  # the jar's delta.checkpointInterval
+_interval_cache: dict = {}
+
+
+def _checkpoint_interval(table: str, version: int, actions: list) -> int:
+    """The table's effective ``delta.checkpointInterval`` (default 10,
+    like the jar; ≤0 disables). Cached per log directory so the
+    common no-metaData commit costs a dict lookup; any ``metaData``
+    action flowing through _commit refreshes the cache (config
+    changes only ever enter the log that way). First sight of an
+    existing table resolves via one bounded _replay — bounded because
+    replay itself starts from the newest checkpoint."""
+    key = os.path.abspath(_log_dir(table))
+    for a in actions:
+        m = a.get("metaData")
+        if m is not None:
+            conf = m.get("configuration") or {}
+            try:
+                _interval_cache[key] = int(
+                    conf.get("delta.checkpointInterval",
+                             CHECKPOINT_INTERVAL_DEFAULT))
+            except (TypeError, ValueError):
+                _interval_cache[key] = CHECKPOINT_INTERVAL_DEFAULT
+    if key not in _interval_cache:
+        try:
+            _, meta, _, _ = _replay(table, version)
+            conf = meta.get("configuration") or {}
+            _interval_cache[key] = int(
+                conf.get("delta.checkpointInterval",
+                         CHECKPOINT_INTERVAL_DEFAULT))
+        except Exception:
+            return CHECKPOINT_INTERVAL_DEFAULT
+    return _interval_cache[key]
+
+
+def _maybe_checkpoint(table: str, version: int, actions: list) -> None:
+    """Auto-checkpoint every ``delta.checkpointInterval`` commits
+    (default 10), exactly like the jar — without this, a long-running
+    streaming sink accumulates one JSON commit per batch and every
+    ``last_txn_version`` handshake (and every read) replays O(total
+    batches) JSON per batch, O(n²) over the sink's lifetime. With it,
+    _replay/_txn_state start from the newest checkpoint and read at
+    most ``interval`` trailing JSON files (test-pinned in
+    tests/test_delta_checkpoint_auto.py). Best-effort: the data
+    commit already succeeded atomically, so a checkpoint failure
+    warns instead of raising — the next interval boundary retries."""
+    if version <= 0:
+        return
+    interval = _checkpoint_interval(table, version, actions)
+    if interval <= 0 or version % interval != 0:
+        return
+    try:
+        write_checkpoint_local(table, version)
+    except Exception as e:  # pragma: no cover - exercised via warns
+        import warnings
+        warnings.warn(
+            f"auto-checkpoint of {table} at version {version} failed "
+            f"({e}); reads fall back to JSON replay until the next "
+            "interval boundary", RuntimeWarning)
 
 
 def _add_action(root: str, path: str,
