@@ -179,18 +179,31 @@ def _avro_files(path: str) -> list:
     return files
 
 
-def spark_read_avro(spark, path):
+def spark_read_avro(spark, path, groups=None, key_fields=None):
     """DataFrame over the container files at ``path`` (file, dir, or
     an explicit list of file paths — the Hudi MoR log scan passes the
     timeline's log-file list directly). Schema comes from the FIRST
     file's writer schema (the avro_lite contract); every file must
-    carry a compatible record layout."""
+    carry a compatible record layout.
+
+    ``groups``: optional list of file-path lists — each group is one
+    FILE SLICE's logs in timeline order, decoded together in one task
+    so HoodieLogFormat rollback commands can invalidate blocks in an
+    earlier rolled-over file of the same slice (hudi_logfmt.
+    read_slice_log_records). Parallelism is per slice instead of per
+    file — the natural MoR unit (slices stay small under compaction;
+    slice COUNT is what grows at 100 TB). ``key_fields``: the table's
+    record-key columns, needed to decode delete-block tombstones."""
     import json as _json
 
     import pandas as pd
 
-    files = (list(path) if isinstance(path, (list, tuple))
-             else _avro_files(path))
+    if groups is not None:
+        groups = [list(g) for g in groups if g]
+        files = [p for g in groups for p in g]
+    else:
+        files = (list(path) if isinstance(path, (list, tuple))
+                 else _avro_files(path))
     if not files:
         raise FileNotFoundError("spark_read_avro: empty file list")
     # header-only sniffs: O(KB) regardless of file size. A file may be
@@ -204,6 +217,16 @@ def spark_read_avro(spark, path):
     if _head == b"#HUDI#":
         from .hudi_logfmt import read_log_schema
         record_schema = read_log_schema(files[0])
+        # delete-block tombstones surface as _hoodie_is_deleted rows
+        # even when the payload schema lacks the soft-delete field —
+        # without widening the schema here, the flag would be DROPPED
+        # by the projection below and deleted rows would resurrect
+        names_now = {f["name"] for f in record_schema["fields"]}
+        if "_hoodie_is_deleted" not in names_now:
+            record_schema = dict(record_schema)
+            record_schema["fields"] = record_schema["fields"] + [
+                {"name": "_hoodie_is_deleted",
+                 "type": ["null", "boolean"], "default": None}]
     else:
         meta = read_container_meta(files[0])
         record_schema = _json.loads(meta["avro.schema"])
@@ -226,28 +249,54 @@ def spark_read_avro(spark, path):
     int_cols = {f["name"] for f in record_schema["fields"]
                 if _plain_int(f["type"]) and f["name"] not in convs}
 
-    # one row per file, decoded in the executors (shared-filesystem
-    # contract, same as every local-lakehouse scan). NOT binaryFile:
-    # Spark's file index silently drops hidden files, and Hudi MoR log
-    # files are dot-named per spec — "all paths were ignored" would
-    # serve a stale merge.
+    # one row per file (or per slice-group), decoded in the executors
+    # (shared-filesystem contract, same as every local-lakehouse
+    # scan). NOT binaryFile: Spark's file index silently drops hidden
+    # files, and Hudi MoR log files are dot-named per spec — "all
+    # paths were ignored" would serve a stale merge.
+    units = (groups if groups is not None else [[f] for f in files])
     paths = spark.createDataFrame(
-        [(os.path.abspath(f),) for f in files], "__qs_path string")
-    par = min(len(files), spark.sparkContext.defaultParallelism)
+        [(_json.dumps([os.path.abspath(f) for f in g]),) for g in units],
+        "__qs_paths string")
+    par = min(len(units), spark.sparkContext.defaultParallelism)
     if par > 1:
         paths = paths.repartition(par)
+    kf = list(key_fields) if key_fields else None
+    sliced = groups is not None
 
     def decode(it):
+        import json as _j
         for pdf in it:
-            for p in pdf["__qs_path"]:
-                with open(p, "rb") as fh:
-                    data = fh.read()
-                if data[:6] == b"#HUDI#":
+            for enc in pdf["__qs_paths"]:
+                group = _j.loads(enc)
+                # framed files of an explicit slice-group decode
+                # TOGETHER in order (slice-scoped rollbacks; absent
+                # target = no-op, the view is complete); without
+                # groups each file keeps the STRICT per-file scope
+                # (absent target refuses — it may live one rolled-over
+                # file away). Plain containers decode per file.
+                framed, records = [], []
+                for p in group:
+                    with open(p, "rb") as fh:
+                        data = fh.read()
+                    if data[:6] == b"#HUDI#":
+                        if sliced:
+                            framed.append((data, p))
+                        else:
+                            from quokka_spark.sources.hudi_logfmt import \
+                                read_log_records_bytes
+                            _, recs = read_log_records_bytes(
+                                data, name=p, key_fields=kf)
+                            records.extend(recs)
+                    else:
+                        _, recs = read_container_bytes(data, name=p)
+                        records.extend(recs)
+                if framed:
                     from quokka_spark.sources.hudi_logfmt import \
-                        read_log_records_bytes
-                    _, records = read_log_records_bytes(data, name=p)
-                else:
-                    _, records = read_container_bytes(data, name=p)
+                        read_slice_log_records
+                    _, recs = read_slice_log_records(framed,
+                                                     key_fields=kf)
+                    records.extend(recs)
                 cols = {}
                 for name in names:
                     vals = [r.get(name) for r in records]

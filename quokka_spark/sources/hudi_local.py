@@ -185,14 +185,20 @@ def _recordkey_fields(table: str) -> list[str]:
     return keys
 
 
-def _merge_logs(spark, base_df, log_files: list[str], keys: list[str]):
+def _merge_logs(spark, base_df, log_groups: list[list[str]],
+                keys: list[str]):
     """Merge MoR log records onto the base rows, Spark-first: union
     the base (version 0) with the log records (version = the
     ``_hoodie_commit_time`` each record carries), keep the newest row
     per record key via one window, drop ``_hoodie_is_deleted``
-    tombstones. ONE shuffle on the record key; the log scan is its
-    own distributed read (avro_source.spark_read_avro). Filters on
-    the key columns still prune below the window (Catalyst pushes
+    tombstones (soft-delete payloads AND delete-block tombstones —
+    hudi_logfmt decodes both into the same shape). ONE shuffle on the
+    record key; the log scan is its own distributed read
+    (avro_source.spark_read_avro). ``log_groups`` is one list per
+    FILE SLICE, in timeline order — the slice is the rollback scope
+    (a command block may invalidate a block one rolled-over file
+    earlier), and the decode parallelizes per slice. Filters on the
+    key columns still prune below the window (Catalyst pushes
     predicates through matching PARTITION BY)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -202,7 +208,8 @@ def _merge_logs(spark, base_df, log_files: list[str], keys: list[str]):
     # containers (this engine's own logs) and HoodieLogFormat block
     # framing (real hudi-writer logs, sources/hudi_logfmt) — both
     # shapes merge through the same window plan
-    log_df = spark_read_avro(spark, log_files)
+    log_df = spark_read_avro(spark, None, groups=log_groups,
+                             key_fields=keys)
     data_cols = base_df.columns
     missing = [c for c in data_cols + ["_hoodie_commit_time"]
                if c not in log_df.columns]
@@ -282,7 +289,9 @@ def read_hudi_local(spark, table: str, as_of: str | None = None):
     row-bearing path is distributed."""
     slices = _file_slices(table, as_of)
     bases = sorted(s["base"] for s in slices.values() if s["base"])
-    logs = sorted(p for s in slices.values() for p in s["logs"])
+    # one group per slice, files in timeline (append) order — the
+    # rollback scope the decode needs (sorted stably for determinism)
+    log_groups = sorted(s["logs"] for s in slices.values() if s["logs"])
     log_only = [k for k, s in slices.items()
                 if s["logs"] and not s["base"]]
     if log_only:
@@ -296,9 +305,9 @@ def read_hudi_local(spark, table: str, as_of: str | None = None):
         raise ValueError(f"Hudi table {table} has no live files "
                          f"(everything replaced) at {as_of!r}")
     df = spark.read.parquet(*bases)
-    if not logs:
+    if not log_groups:
         return df
-    return _merge_logs(spark, df, logs, _recordkey_fields(table))
+    return _merge_logs(spark, df, log_groups, _recordkey_fields(table))
 
 
 # ----------------------------------------------------------------------
@@ -859,7 +868,11 @@ def read_hudi_incremental(spark, table: str, begin: str,
             parts.append(_tag(df, ts, F.lit("upsert")))
         if logs:
             from .avro_source import spark_read_avro
-            lg = spark_read_avro(spark, sorted(logs))
+            # key_fields let delete-block tombstones decode into
+            # _change_type='delete' rows (key columns + commit time,
+            # other columns null — deletes are signaled by key)
+            lg = spark_read_avro(spark, sorted(logs),
+                                 key_fields=_recordkey_fields(table))
             data_cols = [c for c in lg.columns
                          if not c.startswith("_hoodie_")]
             ctype = F.when(

@@ -27,9 +27,20 @@ An AVRO_DATA_BLOCK's content: ``int32 content-format version`` (2 and
 ``int32 length`` + the record's Avro BINARY encoding under the
 block header's SCHEMA. COMMAND blocks of type ROLLBACK_PREVIOUS_BLOCK
 invalidate earlier blocks of the command's target instant, which this
-reader honours. DELETE blocks (serialized tombstone key arrays),
-HFile/Parquet data blocks, and unknown versions refuse with typed
-errors — never a silent misread.
+reader honours — within one file via :func:`read_log_records_bytes`,
+and across the rolled-over files of a FILE SLICE via
+:func:`read_slice_log_records` (writers roll to ``.log.N+1`` on size,
+so crash-recovery rollbacks routinely land one file over; at slice
+scope a rollback whose target instant has no block anywhere is a
+genuine no-op — the block was never written). DELETE blocks decode
+their tombstones (content: ``int32 version`` ≥3, ``int32 length``,
+then the Avro BINARY encoding of ``HoodieDeleteRecordList`` — an
+array of ``{recordKey, partitionPath, orderingVal}`` records, the
+public wire shape real hudi writers emit for hard deletes) into
+``_hoodie_is_deleted`` rows that ride the same record-key merge as
+soft-delete payloads. Delete-block versions 1/2 (Kryo-serialized Java
+objects), HFile/Parquet data blocks, and unknown versions refuse with
+typed errors — never a silent misread.
 
 The reader is deliberately paranoid: it advances by PARSING, checks
 the declared block size against the parsed one, and refuses on any
@@ -134,48 +145,55 @@ def _iter_frames(data: bytes, name: str):
                "content": content}
 
 
+def _rollback_target(frame: dict, name: str) -> str:
+    """Validate a command frame and return its rollback target."""
+    header = frame["header"]
+    ctype = header.get("COMMAND_BLOCK_TYPE", "")
+    if ctype not in ("0", "ROLLBACK_PREVIOUS_BLOCK", "ROLLBACK_BLOCK"):
+        raise NotImplementedError(
+            f"{name}: command block type {ctype!r}")
+    target = header.get("TARGET_INSTANT_TIME")
+    if not target:
+        raise ValueError(
+            f"{name}: rollback command block carries no "
+            "TARGET_INSTANT_TIME — guessing which block to "
+            "invalidate would risk serving rolled-back rows")
+    return target
+
+
+def _check_block_supported(btype: str, name: str) -> None:
+    if btype in ("hfile_data", "parquet_data", "cdc_data",
+                 "corrupt") or btype.startswith("unknown_"):
+        raise NotImplementedError(
+            f"{name}: HoodieLogFormat {btype} block — only avro_data, "
+            "delete, and rollback command blocks are supported")
+
+
 def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
     """Parse the framing → [{type, header, footer, content}], with
     ROLLBACK_PREVIOUS_BLOCK commands already applied (rolled-back
-    blocks removed)."""
+    blocks removed). Single-FILE scope: a rollback whose target has
+    no block in this file refuses — at file scope the reader cannot
+    tell "never written" from "written one rolled-over file earlier",
+    and guessing no-op could serve rolled-back rows; callers with the
+    slice's full file list use :func:`read_slice_log_records`, which
+    resolves exactly that case."""
     blocks: list[dict] = []
     for frame in _iter_frames(data, name):
         btype = frame["type"]
-        header = frame["header"]
         if btype == "command":
-            ctype = header.get("COMMAND_BLOCK_TYPE", "")
-            if ctype not in ("0", "ROLLBACK_PREVIOUS_BLOCK",
-                             "ROLLBACK_BLOCK"):
-                raise NotImplementedError(
-                    f"{name}: command block type {ctype!r}")
-            target = header.get("TARGET_INSTANT_TIME")
-            if not target:
-                raise ValueError(
-                    f"{name}: rollback command block carries no "
-                    "TARGET_INSTANT_TIME — guessing which block to "
-                    "invalidate would risk serving rolled-back rows")
+            target = _rollback_target(frame, name)
             survivors = [b for b in blocks
                          if b["header"].get("INSTANT_TIME") != target]
             if len(survivors) == len(blocks):
-                # the target sits in ANOTHER log file of the slice
-                # (writers roll to .log.N+1 on size, so crash-recovery
-                # rollbacks routinely land one file over). This
-                # per-file reader cannot invalidate across files —
-                # rolled-back records would WIN the record-key merge
-                # with the newest commit time, a silent wrong answer;
-                # refuse loudly instead.
                 raise NotImplementedError(
                     f"{name}: rollback command targets instant "
                     f"{target!r} which has no block in THIS log file "
-                    "— cross-file rollback (rolled-over logs) is not "
-                    "supported by the per-file decode")
+                    "— pass every log file of the slice to "
+                    "read_slice_log_records for cross-file rollback")
             blocks = survivors
             continue
-        if btype in ("delete", "hfile_data", "parquet_data", "cdc_data",
-                     "corrupt") or btype.startswith("unknown_"):
-            raise NotImplementedError(
-                f"{name}: HoodieLogFormat {btype} block — only "
-                "avro_data and rollback command blocks are supported")
+        _check_block_supported(btype, name)
         blocks.append(frame)
     return blocks
 
@@ -201,20 +219,155 @@ def _decode_avro_block(block: dict, name: str) -> tuple[dict, list]:
     return schema, records
 
 
-def read_log_records_bytes(data: bytes, name: str = "<bytes>") \
-        -> tuple[dict, list]:
-    """A whole framed log file → (first block's schema, records of
-    every surviving avro_data block). The schema may evolve across
-    blocks; later-block records simply carry their own fields (the
-    caller's column projection null-fills, same as file-level
-    evolution)."""
-    blocks = read_log_blocks(data, name)
+# The public wire shape of a DELETE block's tombstone payload (the
+# Hudi project's HoodieDeleteRecordList Avro model — interface spec,
+# required byte-for-byte for interop with real hudi writers).
+_DELETE_RECORD_SCHEMA = {
+    "type": "record", "name": "HoodieDeleteRecord",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {"name": "recordKey", "type": ["null", "string"],
+         "default": None},
+        {"name": "partitionPath", "type": ["null", "string"],
+         "default": None},
+        {"name": "orderingVal",
+         "type": ["null", "string", "int", "long", "float", "double",
+                  "bytes"], "default": None}]}
+_DELETE_LIST_SCHEMA = {
+    "type": "record", "name": "HoodieDeleteRecordList",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [{"name": "deleteRecordList",
+                "type": {"type": "array",
+                         "items": _DELETE_RECORD_SCHEMA}}]}
+
+
+def _parse_record_key(rk: str, key_fields: list, name: str) -> dict:
+    """A Hudi record key string → {key field: string value}. Simple
+    keys are the raw value; composite keys (and simple keys written
+    by the complex generator) use the ``f1:v1,f2:v2`` convention."""
+    if rk is None:
+        raise ValueError(
+            f"{name}: delete block carries a null recordKey — cannot "
+            "tell which row to tombstone")
+    if len(key_fields) == 1 and not rk.startswith(key_fields[0] + ":"):
+        return {key_fields[0]: rk}
+    out = {}
+    for part in rk.split(","):
+        k, sep, v = part.partition(":")
+        if not sep or k not in key_fields:
+            raise ValueError(
+                f"{name}: delete-block recordKey {rk!r} does not "
+                f"parse as the table's key fields {key_fields} "
+                "(expected the f1:v1,f2:v2 convention)")
+        out[k] = v
+    if set(out) != set(key_fields):
+        raise ValueError(
+            f"{name}: delete-block recordKey {rk!r} covers "
+            f"{sorted(out)} but the table keys on {key_fields}")
+    return out
+
+
+def _decode_delete_block(block: dict, key_fields: list | None,
+                         name: str) -> list:
+    """One delete block → tombstone records ``{**key fields,
+    _hoodie_commit_time, _hoodie_is_deleted: True}`` that merge
+    exactly like soft-delete payload rows. ``orderingVal`` is
+    intentionally unused: this engine's whole MoR merge orders by
+    commit time (base = 0, log records = their instant), so a
+    tombstone at instant T beats every write before T and loses to
+    every write after — the same convention as the payload path."""
+    if key_fields is None:
+        raise NotImplementedError(
+            f"{name}: delete block present but no key_fields were "
+            "supplied — the tombstone recordKey strings cannot be "
+            "mapped back to columns (pass the table's "
+            "hoodie.table.recordkey.fields)")
+    r = _BytesIn(block["content"], name)
+    version = r.i32()
+    if version < 3:
+        raise NotImplementedError(
+            f"{name}: delete block content version {version} is "
+            "Kryo-serialized Java objects — only the Avro "
+            "HoodieDeleteRecordList layout (version 3+) is supported")
+    payload = r.take(r.i32())
+    rec = _decode(_Reader(payload), _DELETE_LIST_SCHEMA)
+    instant = block["header"].get("INSTANT_TIME")
+    if not instant:
+        raise ValueError(
+            f"{name}: delete block carries no INSTANT_TIME header — "
+            "tombstones without a commit time cannot be ordered in "
+            "the record-key merge")
+    out = []
+    for dr in rec["deleteRecordList"]:
+        row = _parse_record_key(dr.get("recordKey"), key_fields, name)
+        row["_hoodie_commit_time"] = instant
+        row["_hoodie_is_deleted"] = True
+        out.append(row)
+    return out
+
+
+def _coerce_key_types(records: list, schema: dict | None,
+                      key_fields: list | None) -> list:
+    """Tombstone key values arrive as STRINGS (parsed from the
+    recordKey); coerce them to the slice schema's field types so they
+    build into the same typed columns as payload rows."""
+    if not records or schema is None or not key_fields:
+        return records
+    casts = {}
+    # _hoodie_commit_time coerces too: tombstones stamp the instant
+    # as a digit string, but an engine-written payload schema may
+    # type the field long
+    want = set(key_fields) | {"_hoodie_commit_time"}
+    for f in schema.get("fields", []):
+        if f["name"] not in want:
+            continue
+        t = f["type"]
+        if isinstance(t, list):
+            nn = [x for x in t if x != "null"]
+            t = nn[0] if len(nn) == 1 else None
+        if isinstance(t, str):
+            if t in ("int", "long"):
+                casts[f["name"]] = int
+            elif t in ("float", "double"):
+                casts[f["name"]] = float
+    if not casts:
+        return records
+    for rec in records:
+        if rec.get("_hoodie_is_deleted") is True:
+            for k, fn in casts.items():
+                v = rec.get(k)
+                if isinstance(v, str):
+                    rec[k] = fn(v)
+    return records
+
+
+def _blocks_to_records(blocks: list, name: str,
+                       key_fields: list | None) -> tuple[dict | None,
+                                                         list]:
+    """Surviving blocks → (first data block's schema | None,
+    records). Delete blocks yield tombstone records; the schema may
+    evolve across data blocks (later records simply carry their own
+    fields — the caller's projection null-fills)."""
     schema, records = None, []
     for b in blocks:
+        if b["type"] == "delete":
+            records.extend(_decode_delete_block(b, key_fields, name))
+            continue
         s, recs = _decode_avro_block(b, name)
         schema = schema or s
         records.extend(recs)
-    if schema is None:
+    return schema, _coerce_key_types(records, schema, key_fields)
+
+
+def read_log_records_bytes(data: bytes, name: str = "<bytes>",
+                           key_fields: list | None = None) \
+        -> tuple[dict | None, list]:
+    """A whole framed log file → (first data block's schema, records
+    of every surviving block — avro_data payloads plus delete-block
+    tombstones). Single-file rollback scope (see read_log_blocks)."""
+    blocks = read_log_blocks(data, name)
+    schema, records = _blocks_to_records(blocks, name, key_fields)
+    if schema is None and not records:
         # every data block was rolled back (a crash-recovery shape):
         # the file legitimately contributes ZERO rows — sniff the
         # schema from the raw frames so the empty result stays typed
@@ -226,32 +379,84 @@ def read_log_records_bytes(data: bytes, name: str = "<bytes>") \
     return schema, records
 
 
+def read_slice_log_records(datas: list, key_fields: list | None = None) \
+        -> tuple[dict | None, list]:
+    """All log files of ONE file slice, in timeline order, as
+    ``[(bytes, name), ...]`` → (schema | None, surviving records).
+    Rollback commands apply SEQUENTIALLY across the whole slice: a
+    command invalidates every earlier block of its target instant in
+    any of the slice's files (writers roll to .log.N+1 on size, so a
+    crash-recovery rollback routinely lands one file after the block
+    it voids). A target with no block anywhere in the slice is a
+    genuine no-op — at slice scope the view is complete, so the
+    block was simply never written (crash before the block flush).
+    A block of the SAME instant written AFTER the rollback (a retry)
+    survives, matching sequential reader semantics."""
+    blocks: list = []
+    names: list = []
+    for data, name in datas:
+        for frame in _iter_frames(data, name):
+            btype = frame["type"]
+            if btype == "command":
+                target = _rollback_target(frame, name)
+                blocks = [b for b in blocks
+                          if b["header"].get("INSTANT_TIME") != target]
+                continue
+            _check_block_supported(btype, name)
+            blocks.append(frame)
+        names.append(name)
+    label = names[0] if len(names) == 1 else f"slice[{names[0]}…]"
+    schema, records = _blocks_to_records(blocks, label, key_fields)
+    if schema is None and not records:
+        for data, name in datas:
+            for frame in _iter_frames(data, name):
+                sj = frame["header"].get("SCHEMA")
+                if frame["type"] == "avro_data" and sj:
+                    return json.loads(sj), []
+        raise ValueError(f"{label}: log slice contains no data blocks")
+    return schema, records
+
+
 def read_log_schema(path: str, chunk: int = 1 << 20) -> dict:
-    """Driver-side schema sniff: parse ONLY up to the first block's
-    header (bounded read — the SCHEMA header precedes the content
-    bytes, so this never pulls a large data payload)."""
+    """Driver-side schema sniff: walk block headers until the first
+    avro_data block's SCHEMA (bounded read — headers precede content,
+    and non-data blocks' contents are skipped by the declared size,
+    so this never decodes a large data payload). Command and delete
+    blocks may legitimately lead a file (crash recovery / a
+    delete-first deltacommit)."""
     with open(path, "rb") as f:
         data = f.read(chunk)
         while True:
             try:
                 r = _BytesIn(data, path)
-                if r.take(6) != MAGIC:
-                    raise ValueError(f"{path}: not a HoodieLogFormat "
-                                     "file")
-                r.i64()
-                if r.i32() != 1:
-                    raise NotImplementedError(
-                        f"{path}: unsupported HoodieLogFormat version")
-                tord = r.i32()
-                header = _read_meta_map(r)
-                if _BLOCK_TYPES[tord:tord + 1] != ["avro_data"]:
-                    raise NotImplementedError(
-                        f"{path}: first block is not avro_data")
-                sj = header.get("SCHEMA")
-                if not sj:
-                    raise ValueError(f"{path}: first block carries "
-                                     "no SCHEMA header")
-                return json.loads(sj)
+                while True:
+                    if r.at_end():
+                        raise NotImplementedError(
+                            f"{path}: no avro_data block found — the "
+                            "schema sniff needs at least one data "
+                            "block's SCHEMA header")
+                    if r.take(6) != MAGIC:
+                        raise ValueError(f"{path}: not a HoodieLogFormat "
+                                         "file")
+                    declared = r.i64()
+                    body_start = r.pos
+                    if r.i32() != 1:
+                        raise NotImplementedError(
+                            f"{path}: unsupported HoodieLogFormat version")
+                    tord = r.i32()
+                    header = _read_meta_map(r)
+                    if _BLOCK_TYPES[tord:tord + 1] == ["avro_data"]:
+                        sj = header.get("SCHEMA")
+                        if not sj:
+                            raise ValueError(
+                                f"{path}: first avro_data block carries "
+                                "no SCHEMA header")
+                        return json.loads(sj)
+                    _check_block_supported(
+                        _BLOCK_TYPES[tord] if 0 <= tord < len(_BLOCK_TYPES)
+                        else f"unknown_{tord}", path)
+                    # skip this block's remaining bytes by declared size
+                    r.take(body_start + declared - r.pos)
             except ValueError as e:
                 if "truncated" not in str(e):
                     raise
@@ -312,6 +517,28 @@ def avro_data_block(schema: dict, records: list,
         "avro_data",
         {"INSTANT_TIME": instant_time, "SCHEMA": json.dumps(schema)},
         content.getvalue())
+
+
+def delete_block(record_keys: list, instant_time: str,
+                 partition_path: str = "") -> bytes:
+    """A spec-shaped DELETE block: version-3 content framing around
+    the Avro HoodieDeleteRecordList payload — what real hudi writers
+    emit for hard deletes. ``record_keys`` are the already-encoded
+    recordKey strings (raw value for simple keys, ``f1:v1,f2:v2``
+    for composite)."""
+    from .avro_lite import _encode
+    buf = io.BytesIO()
+    _encode(buf, _DELETE_LIST_SCHEMA,
+            {"deleteRecordList": [
+                {"recordKey": str(k), "partitionPath": partition_path,
+                 "orderingVal": None} for k in record_keys]})
+    payload = buf.getvalue()
+    content = io.BytesIO()
+    content.write(struct.pack(">i", 3))
+    content.write(struct.pack(">i", len(payload)))
+    content.write(payload)
+    return _block_bytes("delete", {"INSTANT_TIME": instant_time},
+                        content.getvalue())
 
 
 def rollback_block(target_instant: str) -> bytes:

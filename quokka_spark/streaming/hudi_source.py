@@ -215,11 +215,20 @@ class HudiStreamReader(DataSourceStreamReader):
         with open(path, "rb") as fh:
             data = fh.read()
         if data[:6] == b"#HUDI#":
-            # real hudi-writer framing (sources/hudi_logfmt)
+            # real hudi-writer framing (sources/hudi_logfmt); the
+            # table's record-key fields let DELETE-block tombstones
+            # decode — they hit the same refuse-or-skip gate as
+            # soft-delete payload rows below
+            from quokka_spark.sources.hudi_local import \
+                _recordkey_fields
             from quokka_spark.sources.hudi_logfmt import \
                 read_log_records_bytes
-            lsch, records = read_log_records_bytes(data, name=path)
-            declared = {f["name"] for f in lsch["fields"]}
+            lsch, records = read_log_records_bytes(
+                data, name=path, key_fields=_recordkey_fields(self.table))
+            # lsch is None only when the file carries delete blocks
+            # and no data block — nothing but tombstones to validate
+            declared = ({f["name"] for f in lsch["fields"]}
+                        if lsch is not None else None)
         else:
             from quokka_spark.sources.avro_lite import \
                 read_container_bytes
@@ -237,7 +246,8 @@ class HudiStreamReader(DataSourceStreamReader):
                     f"{path}: log container carries no parseable "
                     "avro.schema record — cannot verify the "
                     "payload") from e
-        missing = [c for c in self.fields if c not in declared]
+        missing = ([c for c in self.fields if c not in declared]
+                   if declared is not None else [])
         if missing:
             raise ValueError(
                 f"{path}: log records are missing columns {missing} — "

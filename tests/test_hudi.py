@@ -594,9 +594,19 @@ def test_hudi_logfmt_codec_roundtrip():
         read_log_records_bytes(data[:-5])
     with pytest.raises(ValueError, match="magic|framing"):
         read_log_records_bytes(b"NOTMAGIC" + data)
+    # delete blocks frame fine but refuse to DECODE without the
+    # table's key fields (tombstones would be unmappable), and a
+    # truncated delete payload refuses loudly
     bad = _block_bytes("delete", {"INSTANT_TIME": "1"}, b"\x00")
-    with pytest.raises(NotImplementedError, match="delete"):
-        read_log_blocks(data + bad)
+    assert [b["type"] for b in read_log_blocks(data + bad)] == \
+        ["avro_data", "avro_data", "delete"]
+    with pytest.raises(NotImplementedError, match="key_fields"):
+        read_log_records_bytes(data + bad)
+    with pytest.raises(ValueError, match="truncated"):
+        read_log_records_bytes(data + bad, key_fields=["id"])
+    hfile = _block_bytes("hfile_data", {"INSTANT_TIME": "1"}, b"\x00")
+    with pytest.raises(NotImplementedError, match="hfile"):
+        read_log_blocks(data + hfile)
     # declared-size mismatch refuses (no resync across corrupt bytes)
     import struct
     broken = bytearray(avro_data_block(schema, recs1, "1"))
@@ -657,6 +667,133 @@ def test_hudi_mor_spec_framed_logs_read_end_to_end(spark, qc, tmp_path):
     assert q.awaitTermination(120)
     ids = sorted(r["id"] for r in spark.table("hlfsrc").collect())
     assert ids == sorted(list(range(20)) + [3, 50])
+
+
+def test_hudi_logfmt_delete_block_codec():
+    """DELETE blocks (round 10): version-3 Avro HoodieDeleteRecordList
+    payloads decode into _hoodie_is_deleted tombstone records keyed by
+    the table's record-key fields; Kryo versions (<3) refuse typed;
+    recordKey strings parse in both the simple and f1:v1,f2:v2
+    conventions; key values coerce to the slice schema's types."""
+    import struct as _s
+
+    from quokka_spark.sources.hudi_logfmt import (_block_bytes,
+                                                  _parse_record_key,
+                                                  avro_data_block,
+                                                  delete_block,
+                                                  read_log_records_bytes)
+    schema = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": ["null", "long"]},
+        {"name": "v", "type": ["null", "double"]},
+        {"name": "_hoodie_commit_time", "type": ["null", "long"]}]}
+    recs = [{"id": 1, "v": 1.0, "_hoodie_commit_time": 100},
+            {"id": 2, "v": 2.0, "_hoodie_commit_time": 100}]
+    data = avro_data_block(schema, recs, "100") + delete_block(["2"], "200")
+    _, out = read_log_records_bytes(data, key_fields=["id"])
+    tomb = [r for r in out if r.get("_hoodie_is_deleted")]
+    # id coerced long per schema; commit time coerced too
+    assert tomb == [{"id": 2, "_hoodie_commit_time": 200,
+                     "_hoodie_is_deleted": True}]
+    assert [r for r in out if not r.get("_hoodie_is_deleted")] == recs
+    # recordKey conventions
+    assert _parse_record_key("7", ["id"], "t") == {"id": "7"}
+    assert _parse_record_key("id:7", ["id"], "t") == {"id": "7"}
+    assert _parse_record_key("a:1,b:x", ["a", "b"], "t") == \
+        {"a": "1", "b": "x"}
+    with pytest.raises(ValueError, match="covers"):
+        _parse_record_key("a:1", ["a", "b"], "t")
+    with pytest.raises(ValueError, match="parse"):
+        _parse_record_key("a:1,zz:9", ["a", "b"], "t")
+    # Kryo-era content versions refuse typed
+    kryo = _block_bytes("delete", {"INSTANT_TIME": "9"},
+                        _s.pack(">i", 2) + _s.pack(">i", 0))
+    with pytest.raises(NotImplementedError, match="Kryo"):
+        read_log_records_bytes(avro_data_block(schema, recs, "100")
+                               + kryo, key_fields=["id"])
+
+
+def test_hudi_logfmt_cross_file_rollback_slice_scope():
+    """read_slice_log_records (round 10): a rollback command in a
+    rolled-over file invalidates its target's blocks in EARLIER files
+    of the slice; a target absent from the whole slice is a no-op
+    (complete view — the block was never written); a same-instant
+    retry block written AFTER the rollback survives. The single-file
+    reader keeps its strict refusal."""
+    from quokka_spark.sources.hudi_logfmt import (avro_data_block,
+                                                  delete_block,
+                                                  read_log_records_bytes,
+                                                  read_slice_log_records,
+                                                  rollback_block)
+    schema = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": ["null", "long"]},
+        {"name": "v", "type": ["null", "double"]}]}
+    r1 = [{"id": 1, "v": 1.0}]
+    r2 = [{"id": 2, "v": 2.0}]
+    f1 = avro_data_block(schema, r1, "100")
+    f2 = rollback_block("100") + avro_data_block(schema, r2, "200")
+    _, recs = read_slice_log_records([(f1, "f1"), (f2, "f2")])
+    assert recs == r2
+    # absent target anywhere in the slice → no-op
+    _, recs = read_slice_log_records(
+        [(f1, "f1"), (rollback_block("999")
+                      + avro_data_block(schema, r2, "200"), "f2")])
+    assert recs == r1 + r2
+    # same-instant retry after the rollback survives (sequential scope)
+    f2b = rollback_block("100") + avro_data_block(
+        schema, [{"id": 9, "v": 9.0}], "100")
+    _, recs = read_slice_log_records([(f1, "f1"), (f2b, "f2")])
+    assert recs == [{"id": 9, "v": 9.0}]
+    # delete blocks participate in rollbacks like any other block
+    f3 = avro_data_block(schema, r1, "100") + delete_block(["1"], "300")
+    _, recs = read_slice_log_records(
+        [(f3, "f3"), (rollback_block("300"), "f4")], key_fields=["id"])
+    assert recs == r1
+    # the single-file reader still refuses a cross-file target
+    with pytest.raises(NotImplementedError, match="read_slice"):
+        read_log_records_bytes(f2, name="f2")
+    # an all-rolled-back slice still refuses when NO data block ever
+    # carried a schema
+    with pytest.raises(ValueError, match="no data blocks"):
+        read_slice_log_records([(rollback_block("999"), "f")])
+
+
+def test_hudi_mor_delete_block_and_cross_file_rollback_end_to_end(
+        spark, qc, tmp_path):
+    """The round-10 interop wall: a spec-framed MoR table whose logs
+    carry (a) a rollback command one rolled-over file AFTER its
+    target block and (b) a hard-delete DELETE block reads end-to-end:
+    the rolled-back upsert vanishes, the tombstoned key vanishes, and
+    everything else merges as before."""
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    from quokka_spark.sources.hudi_logfmt import (delete_block,
+                                                  rollback_block)
+    tbl = _mor_table(spark, tmp_path, n=10)
+    sch = "id long, v double, tag string"
+    # two upserts of the SAME key → two log files in one file slice
+    ts1 = upsert_hudi_mor_local(
+        spark, tbl, spark.createDataFrame([(3, 333.0, "A")], sch))
+    ts2 = upsert_hudi_mor_local(
+        spark, tbl, spark.createDataFrame([(3, 444.0, "B")], sch))
+    assert _reframe_logs_to_spec(tbl) == 2
+    logs = {}
+    for dp, _, fs in os.walk(tbl):
+        for f in fs:
+            if f".log.{ts1}." in f:
+                logs[ts1] = os.path.join(dp, f)
+            elif f".log.{ts2}." in f:
+                logs[ts2] = os.path.join(dp, f)
+    assert set(logs) == {ts1, ts2}
+    # crash-recovery shape: the rollback of ts1 landed in the NEXT
+    # log file; a hard delete of key 5 follows at a newer instant
+    with open(logs[ts2], "ab") as fh:
+        fh.write(rollback_block(ts1))
+        fh.write(delete_block(["5"], str(int(ts2) + 1)))
+    got = {r["id"]: (r["v"], r["tag"])
+           for r in qc.read_hudi(tbl).df.collect()}
+    assert 5 not in got                       # delete block honored
+    assert got[3] == (444.0, "B")             # ts1 rolled back, ts2 wins
+    assert len(got) == 9
+    assert got[4] == (40.0, "u1")             # untouched rows intact
 
 
 def test_hudi_incremental_reads(spark, qc, tmp_path):
