@@ -43,12 +43,15 @@ resolved layout and unions). Round 9 closes the remaining mapped
 gaps: id-mode WRITES stamp parquet field ids via the native writer's
 ``parquet.field.id`` column metadata, mapped schema EVOLUTION
 assigns fresh physicalName/id + maxColumnId in both modes, and
-PARTITIONED name-mapped tables read/write/compact/stream (hive
-directories and partitionValues key by the PHYSICAL partition-column
-name), including name-mode MERGE upserts (physical scan → logical
-match → physical rewrite). Still gated with clear errors: id-mode +
-partitioned and id-mode upserts (per-file physical names make a
-uniform survivor scan / the partitionValues keys ambiguous).
+PARTITIONED mapped tables read/write/compact/stream in BOTH modes
+(hive directories and partitionValues key by the PHYSICAL
+partition-column name — the SCHEMA's physicalName, stable across
+files even in id mode since partition columns never live in the
+data files), and MERGE upserts work in both modes too (physical
+scan → logical match → physical rewrite; round 10's id-mode
+survivor scan resolves each file by its parquet field ids). Still
+gated with a clear error: id-mode through the CHANGE FEED
+(read_delta_changes).
 ``metaData.schemaString`` is written spec-correctly (it IS Spark's
 schema JSON) and read back for partition-column types; data columns
 trust the parquet footers, which is what Spark's scan enforces
@@ -542,7 +545,7 @@ def _file_id_layout(f: str) -> dict:
     return id2name
 
 
-def _id_mode_scan(spark, files, adds, idmap, root):
+def _id_mode_scan(spark, files, adds, idmap, root, with_path=False):
     """id-mode scan: resolve each file's columns by the PARQUET FIELD
     IDS in its footer (one KB-scale footer read per file on FIRST
     touch — repeat scans hit the session layout cache and pay only an
@@ -550,7 +553,9 @@ def _id_mode_scan(spark, files, adds, idmap, root):
     each group natively, rename to the logical schema and union.
     Files may legitimately disagree on physical names (id mode exists
     for exactly that); a file missing a schema field id refuses
-    loudly — guessing by name would read the wrong column."""
+    loudly — guessing by name would read the wrong column.
+    ``with_path`` adds a ``__qs_path__`` plain-path column (the
+    partition rejoin / upsert survivor-scan hook)."""
     from pyspark.sql.types import StructField, StructType
 
     from pyspark.sql import functions as F
@@ -579,10 +584,12 @@ def _id_mode_scan(spark, files, adds, idmap, root):
                          if phys[i] is not None])
         d = spark.read.schema(rs).parquet(*gf)
         d = _apply_deletion_vectors(spark, d, gf, ga, root)
-        parts.append(d.select(
-            *[(F.col(phys[i]) if phys[i] is not None
-               else F.lit(None).cast(dt)).alias(n)
-              for i, (n, dt) in sorted(idmap.items())]))
+        cols = [(F.col(phys[i]) if phys[i] is not None
+                 else F.lit(None).cast(dt)).alias(n)
+                for i, (n, dt) in sorted(idmap.items())]
+        if with_path:
+            cols.append(_plain_path_col().alias("__qs_path__"))
+        parts.append(d.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -821,18 +828,46 @@ def read_delta_local(spark, table: str, version: int | None = None,
         raise ValueError("partition_filter on an unpartitioned table")
     cmap = _column_mapping(meta)
     idmap = _id_mapping(meta)
-    if idmap and pcols:
-        raise NotImplementedError(
-            "columnMapping.mode=id on a PARTITIONED table — "
-            "partitionValues key by physical name but id-mode files "
-            "may each use different ones; unsupported here (name "
-            "mode IS supported)")
     if idmap:
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
         root = table.removeprefix("file://")
         # stats skipping is SKIPPED under id mode: stats keys are each
         # file's own physical names, which id mode allows to differ
         # per file — the row-level filter below keeps semantics exact
-        df = _id_mode_scan(spark, files, adds, idmap, root)
+        if not pcols:
+            df = _id_mode_scan(spark, files, adds, idmap, root)
+            return df.filter(scan_filter) if scan_filter else df
+        # PARTITIONED id mode (round 10): partition columns never
+        # live in the data files, so only DATA columns resolve by
+        # per-file field ids; partitionValues key by the SCHEMA's
+        # physicalName — stable across files (only data columns may
+        # vary physically in id mode), exactly like name mode
+        phys = {f.name: p for f, p in _mapped_fields(
+            meta, "id", "delta.columnMapping.physicalName")}
+        pv_key = {c: phys[c] for c in pcols}
+        mapping = _partition_values_frame(spark, files, adds, pcols,
+                                          ptypes, pv_key)
+        if partition_filter:
+            keep = {r["__qs_path__"]
+                    for r in mapping.filter(partition_filter)
+                    .select("__qs_path__").collect()}
+            kept = [(f, a) for f, a in zip(files, adds)
+                    if os.path.abspath(f) in keep]
+            files = [f for f, _ in kept]
+            adds = [a for _, a in kept]
+            if not files:
+                full = StructType.fromJson(
+                    json.loads(meta["schemaString"]))
+                return spark.createDataFrame([], full)
+        data_idmap = {i: nd for i, nd in idmap.items()
+                      if nd[0] not in pcols}
+        df = _id_mode_scan(spark, files, adds, data_idmap, root,
+                           with_path=True)
+        df = df.join(F.broadcast(mapping), "__qs_path__") \
+               .drop("__qs_path__")
+        full = StructType.fromJson(json.loads(meta["schemaString"]))
+        df = df.select(*[f.name for f in full.fields])
         return df.filter(scan_filter) if scan_filter else df
 
     def _empty_typed():
@@ -1573,16 +1608,14 @@ def write_delta_local(df, table: str, mode: str = "append",
             # writer's ``parquet.field.id`` column metadata. A batch
             # with NEW columns evolves the mapped schema first
             # (fresh physicalName/id + maxColumnId bump).
-            # PARTITIONED name-mode tables write too (round 9): the
-            # hive directories — and therefore partitionValues keys —
-            # use the PHYSICAL partition-column names per the
-            # protocol; id mode and partitioning CHANGES stay gated.
+            # PARTITIONED mapped tables write in BOTH modes (name
+            # round 9, id round 10): the hive directories — and
+            # therefore partitionValues keys — use the PHYSICAL
+            # partition-column names per the protocol (the SCHEMA's
+            # physicalName: partition columns never live in data
+            # files, so only data columns may vary physically per
+            # file in id mode); partitioning CHANGES stay gated.
             if table_pcols or pcols:
-                if cm == "id":
-                    raise NotImplementedError(
-                        "writing to a PARTITIONED columnMapping.mode="
-                        "id table — per-file physical names make the "
-                        "partitionValues keys ambiguous")
                 if mode == "overwrite" and pcols != table_pcols:
                     # includes overwrite WITHOUT partition_by, which
                     # would otherwise commit unpartitioned files
@@ -1754,9 +1787,10 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     and the survivor rewrite + append re-partition under the table's
     partitionColumns (putting the partition columns in ``key_cols``
     keeps the affected-file set partition-local — the natural MERGE
-    shape). NAME-mapped tables upsert as well (physical scan →
-    logical match → physical rewrite); id mode stays gated (per-file
-    physical names)."""
+    shape). MAPPED tables upsert in BOTH modes (name round 9, id
+    round 10): physical scan → logical match → physical rewrite; id
+    mode's survivor scan resolves each file by its parquet field ids
+    (the grouped _id_mode_scan), and the rewrite stamps fresh ids."""
     import uuid
     from pyspark.sql import functions as F
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
@@ -1767,36 +1801,51 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         raise ValueError(
             f"upsert batch is missing partition column(s) "
             f"{[c for c in pcols if c not in df.columns]}")
-    if _cm_mode(meta) == "id":
-        raise NotImplementedError(
-            "upsert on a columnMapping.mode=id table — files may each "
-            "use different physical names, so a uniform-schema "
-            "survivor scan cannot resolve them")
-    # name-mapped tables upsert (round 9): scan under PHYSICAL names,
-    # rename to logical for the key match, project back to physical
-    # for the rewrite (_write_and_add below)
+    cm = _cm_mode(meta)
     cmap = _column_mapping(meta)
-    # scan with the LOG's schema: after schema evolution, inference
-    # could sample a pre-evolution file and the survivor rewrite
-    # would silently drop the newer columns from rewritten files
-    rs = _log_read_schema(meta, pcols, cmap=cmap)
-    live = (spark.read.schema(rs).parquet(*files)
-            if rs is not None else spark.read.parquet(*files))
-    # DV-deleted rows must not survive into rewritten files
-    live = _apply_deletion_vectors(spark, live, files, adds, root) \
-        .withColumn("__qs_file__", F.col("_metadata.file_path"))
-    if pcols:
-        live = live.withColumn("__qs_path__", _plain_path_col())
-    if cmap:
-        keep = ["__qs_file__"] + (["__qs_path__"] if pcols else [])
-        live = live.select(*keep,
-                           *[F.col(cmap[l]).alias(l) for l in cmap
-                             if l not in pcols])
+    idmap = _id_mapping(meta)
+    if idmap:
+        # id mode (round 10): files may each use different physical
+        # names, so the survivor scan resolves per file by parquet
+        # field ids; partition columns (never in the files) rejoin
+        # below under the SCHEMA's stable physicalName
+        data_idmap = {i: nd for i, nd in idmap.items()
+                      if nd[0] not in pcols}
+        live = _id_mode_scan(spark, files, adds, data_idmap, root,
+                             with_path=True)
+        live = live.withColumn("__qs_file__", F.col("__qs_path__"))
+        if not pcols:
+            live = live.drop("__qs_path__")
+    else:
+        # scan with the LOG's schema: after schema evolution,
+        # inference could sample a pre-evolution file and the
+        # survivor rewrite would silently drop the newer columns
+        # from rewritten files
+        rs = _log_read_schema(meta, pcols, cmap=cmap)
+        live = (spark.read.schema(rs).parquet(*files)
+                if rs is not None else spark.read.parquet(*files))
+        # DV-deleted rows must not survive into rewritten files
+        live = _apply_deletion_vectors(spark, live, files, adds, root) \
+            .withColumn("__qs_file__", F.col("_metadata.file_path"))
+        if pcols:
+            live = live.withColumn("__qs_path__", _plain_path_col())
+        if cmap:
+            # name mode (round 9): rename physical → logical for the
+            # key match
+            keep = ["__qs_file__"] + (["__qs_path__"] if pcols else [])
+            live = live.select(*keep,
+                               *[F.col(cmap[l]).alias(l) for l in cmap
+                                 if l not in pcols])
     if pcols:
         # partitioned tables (round 9): rejoin the log's partition
         # values so the key match and the survivor rewrite see the
         # full logical row (survivors re-partition by them below)
-        pv_key = {c: (cmap[c] if cmap else c) for c in pcols}
+        if cm != "none":
+            phys = {f.name: p for f, p in _mapped_fields(
+                meta, cm, "delta.columnMapping.physicalName")}
+            pv_key = {c: phys[c] for c in pcols}
+        else:
+            pv_key = {c: c for c in pcols}
         live = (live.join(F.broadcast(_partition_values_frame(
                     spark, files, adds, pcols, ptypes, pv_key)),
                     "__qs_path__")
@@ -1824,8 +1873,8 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         names first) and append its add actions."""
         d = os.path.join(root, dirname)
         out_pcols = pcols
-        if cmap:
-            frame, mapping = _physical_projection(frame, meta, "name")
+        if cm != "none":
+            frame, mapping = _physical_projection(frame, meta, cm)
             out_pcols = [mapping[c][0] for c in pcols]
         w = frame.write
         if out_pcols:

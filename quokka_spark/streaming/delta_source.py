@@ -43,8 +43,10 @@ of the batch reader's broadcast rejoin, timestamp values cast in the
 session timezone). columnMapping tables stream too — name mode via
 the schema's physicalName metadata (including PARTITIONED name-mode
 tables, whose partitionValues key by the physical name), id mode by
-each file's own parquet field ids; id-mode + partitioned keeps the
-batch reader's refusal."""
+each file's own parquet field ids — in BOTH cases partition values
+key by the SCHEMA's physicalName (round 10: id-mode + partitioned
+streams too; partition columns never live in the data files, so
+their physical names cannot vary per file)."""
 
 from __future__ import annotations
 
@@ -105,12 +107,16 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.idmap = ({fid: name for fid, (name, _dt) in
                        _id_mapping(meta).items()}
                       if _cm_mode(meta) == "id" else None)
-        if self.idmap and self.pcols:
-            raise NotImplementedError(
-                "delta_local_stream: columnMapping.mode=id on a "
-                "PARTITIONED table — per-file physical names make "
-                "the partitionValues keys ambiguous (matches the "
-                "batch reader; name mode IS supported)")
+        # partitionValues key by the SCHEMA's physicalName in BOTH
+        # mapped modes (round 10) — partition columns never live in
+        # the data files, so only data columns may vary physically
+        # per file in id mode; matches the batch reader
+        if self._cm != "none":
+            from quokka_spark.sources.delta_local import _mapped_fields
+            self._pv_phys = {f.name: p for f, p in _mapped_fields(
+                meta, self._cm, "delta.columnMapping.physicalName")}
+        else:
+            self._pv_phys = None
         # session timezone, captured driver-side: timestamp-typed
         # partition values are wall-time strings the batch reader
         # casts in session tz — read() must agree
@@ -129,7 +135,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         # partitionValues key by the PHYSICAL name on mapped tables;
         # .get(c, c): a DROPPED old partition column has no mapping
         # and is not in the read schema either — passthrough is inert
-        return self.cmap.get(c, c) if self.cmap else c
+        return self._pv_phys.get(c, c) if self._pv_phys else c
 
     # ---- offsets: {"version": last PROCESSED version} -----------------
     def initialOffset(self) -> dict:

@@ -1466,6 +1466,119 @@ def test_delta_cm_partitioned_name_mode_roundtrip(spark, qc, tmp_path):
     assert sorted(r["id"] for r in pruned2.collect()) == [1, 2]
 
 
+def test_delta_cm_partitioned_id_mode_roundtrip(spark, qc, tmp_path):
+    """Round 10: PARTITIONED id-mapped tables read, append, prune,
+    compact and upsert — partition columns never live in the data
+    files, so they key partitionValues by the SCHEMA's physicalName
+    (stable across files) while DATA columns keep resolving per file
+    by parquet field id."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit, _replay,
+                                                  compact_delta_local,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    schema = {"type": "struct", "fields": [
+        {"name": "p", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-p1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a2",
+                      "delta.columnMapping.id": 2}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b3",
+                      "delta.columnMapping.id": 3}}]}
+    tbl = str(tmp_path / "pid")
+    os.makedirs(tbl)
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": ["p"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "3"},
+                      "createdTime": 0}}])
+    write_delta_local(
+        spark.createDataFrame([("A", 1, 1.0), ("A", 2, 2.0),
+                               ("B", 3, 3.0)],
+                              "p string, id long, v double").coalesce(1),
+        tbl, mode="append")
+    # partitionValues key by the schema physicalName; data files
+    # carry FIELD IDS for the data columns only
+    _, _, _, adds = _replay(tbl, None)
+    assert all(set(a["partitionValues"]) == {"col-p1"} for a in adds)
+    got = {r["id"]: (r["p"], r["v"])
+           for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: ("A", 1.0), 2: ("A", 2.0), 3: ("B", 3.0)}
+    f0 = [f.removeprefix("file:")
+          for f in qc.read_delta(tbl).df.inputFiles()][0]
+    ids = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+           for f in pq.read_schema(f0)}
+    assert ids == {"col-a2": b"2", "col-b3": b"3"}
+    # log-level pruning on the LOGICAL partition column
+    pruned = qc.read_delta(tbl, partition_filter="p = 'B'").df
+    assert [(r["id"], r["p"]) for r in pruned.collect()] == [(3, "B")]
+    assert len(pruned.inputFiles()) == 1
+    # id-mode MERGE upsert on the partitioned table (round 10)
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([("A", 2, 22.0), ("B", 9, 9.0)],
+                              "p string, id long, v double"), ["id"])
+    got2 = {r["id"]: (r["p"], r["v"])
+            for r in qc.read_delta(tbl).df.collect()}
+    assert got2 == {1: ("A", 1.0), 2: ("A", 22.0), 3: ("B", 3.0),
+                    9: ("B", 9.0)}
+    # compaction keeps the mapped+partitioned layout with field ids
+    compact_delta_local(spark, tbl, target_file_rows=100)
+    got3 = {r["id"]: (r["p"], r["v"])
+            for r in qc.read_delta(tbl).df.collect()}
+    assert got3 == got2
+    pruned2 = qc.read_delta(tbl, partition_filter="p = 'A'").df
+    assert sorted(r["id"] for r in pruned2.collect()) == [1, 2]
+    f1 = [f.removeprefix("file:") for f in pruned2.inputFiles()][0]
+    ids2 = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+            for f in pq.read_schema(f1)}
+    assert ids2 == {"col-a2": b"2", "col-b3": b"3"}
+
+
+def test_delta_id_mode_upsert_heterogeneous_files(spark, qc, tmp_path):
+    """Round 10: id-mode upsert where live files DISAGREE on physical
+    names (the exact case the old gate cited): the survivor scan
+    resolves each file by its field ids, the matched file is
+    rewritten without the key, the other file stays referenced, and
+    the rewrite carries the schema's physical names + field ids."""
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_replay,
+                                                  upsert_delta_local)
+    tbl = _id_mode_table(tmp_path, [
+        ("a.parquet", {1: ("x", [1, 2]), 2: ("y", [1.0, 2.0])}),
+        ("b.parquet", {1: ("renamed_x", [3]), 2: ("renamed_y", [3.0])})])
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(2, 22.0), (9, 9.0)], "id long, v double"),
+        ["id"])
+    got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: 1.0, 2: 22.0, 3: 3.0, 9: 9.0}
+    # untouched file b stays referenced as-is; a.parquet was rewritten
+    files, _, keys, _ = _replay(tbl, None)
+    assert any("b.parquet" in f for f in files)
+    assert not any("a.parquet" in f for f in files)
+    rewritten = [f for f in files if "b.parquet" not in f]
+    for f in rewritten:
+        ids = {fd.name: (fd.metadata or {}).get(b"PARQUET:field_id")
+               for fd in pq.read_schema(f)}
+        assert ids == {"whatever-1": b"1", "whatever-2": b"2"}
+    # time travel still shows the pre-upsert state
+    assert {r["id"]: r["v"]
+            for r in qc.read_delta(tbl, version=0).df.collect()} == \
+        {1: 1.0, 2: 2.0, 3: 3.0}
+
+
 def test_delta_cm_upsert_name_mode(spark, qc, tmp_path):
     """Round 9: MERGE upsert on NAME-mapped tables — plain and
     PARTITIONED — scans physical, matches logical, rewrites physical;
@@ -1548,11 +1661,11 @@ def test_delta_cm_upsert_name_mode(spark, qc, tmp_path):
 
 
 def test_delta_cm_review_regressions(spark, qc, tmp_path):
-    """Round-8 review pins: an id-mode table refuses upserts (a
-    logical-name scan would match nothing and committed rewrites
-    would brick the table), and an OVERWRITE without partition_by on
-    a partitioned name-mapped table refuses instead of committing
-    unpartitioned files under partition-declaring metadata."""
+    """Round-8 review pins (updated round 10 — id-mode upserts now
+    WORK, see test_delta_id_mode_upsert_heterogeneous_files): an
+    OVERWRITE without partition_by on a partitioned name-mapped table
+    refuses instead of committing unpartitioned files under
+    partition-declaring metadata."""
     import json as _json
 
     from quokka_spark.sources.delta_local import (_commit,
@@ -1560,11 +1673,12 @@ def test_delta_cm_review_regressions(spark, qc, tmp_path):
                                                   write_delta_local)
     tbl = _id_mode_table(
         tmp_path, [("a.parquet", {1: ("x", [1]), 2: ("y", [1.0])})])
-    with pytest.raises(NotImplementedError, match="mode=id"):
-        upsert_delta_local(spark, tbl,
-                           spark.createDataFrame([(1, 9.0)],
-                                                 "id long, v double"),
-                           "id")
+    upsert_delta_local(spark, tbl,
+                       spark.createDataFrame([(1, 9.0)],
+                                             "id long, v double"),
+                       "id")
+    assert {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()} \
+        == {1: 9.0}
     # partitioned + name-mapped: overwrite without partition_by gates
     f1 = str(tmp_path / "p1.parquet")
     pd.DataFrame({"col-b2": [1.0]}).to_parquet(f1)

@@ -2179,12 +2179,18 @@ def test_delta_stream_source_column_mapping(spark, qc, tmp_path):
     batch = qc.read_delta(tp).df
     assert {(r["id"], r["p"]) for r in batch.collect()} == \
         {(1, "x"), (2, "x")}
-    # partitioned + ID-mapped keeps the refusal (per-file physical
-    # names make the partitionValues keys ambiguous)
+    # partitioned + ID-mapped streams too (round 10): data columns
+    # resolve per file by field id, partitionValues key by the
+    # SCHEMA's physicalName (partition columns are never in the
+    # files, so their physical names cannot vary per file)
     tpi = mk_table("cmpartid", "id", [(a, {"c-p": "x"})], psch,
                    pcols=["p"])
-    with pytest.raises(Exception, match="PARTITIONED"):
-        drain(tpi, "cmpi")
+    got = drain(tpi, "cmpi")
+    assert {(r["id"], r["v"], r["p"]) for r in got.collect()} == \
+        {(1, 1.0, "x"), (2, 2.0, "x")}
+    batch = qc.read_delta(tpi).df
+    assert {(r["id"], r["v"], r["p"]) for r in batch.collect()} == \
+        {(1, 1.0, "x"), (2, 2.0, "x")}
 
 
 def test_iceberg_stream_source(spark, qc, tmp_path):
