@@ -1434,6 +1434,116 @@ def _append_snapshot_fast(table_dir: str, add_files: list, meta: dict,
     return new_id
 
 
+def _extend_snapshot_multispec(table_dir: str, meta: dict,
+                               add_files: list,
+                               add_delete_files: list,
+                               add_eq_delete_files: list,
+                               replace: bool,
+                               summary_extra: dict | None) -> int:
+    """Commit on a table with EVOLVED partition specs (round 10):
+    write the NEW files' manifests under the CURRENT (default) spec
+    and reference every PRIOR manifest untouched — exactly how real
+    Iceberg commits on evolved tables. Older-spec manifests keep
+    their own partition records (the reader's per-spec grouping and
+    pruning already handle them), so nothing is re-encoded and the
+    old rebuild's null-partition corruption risk never arises. With
+    ``replace`` the new manifest list carries ONLY the new manifest
+    (the compaction shape — everything was rewritten under the
+    current spec). O(new files + prior manifest-list rows) per
+    commit."""
+    from .avro_lite import read_container, write_container
+    meta_dir = os.path.join(_local(table_dir), "metadata")
+    snaps = meta.get("snapshots", [])
+    cur = snaps[-1]
+    if "manifest-list" not in cur:
+        raise NotImplementedError(
+            "multi-spec commit over a v1 inline-manifest snapshot — "
+            "no manifest list to extend")
+    new_id = 1 + max(int(s["snapshot-id"]) for s in snaps)
+    default_sid = int(meta.get("default-spec-id", 0))
+    types = _schema_types(meta)
+    spec = _partition_spec_fields(meta)
+    spec_fields = [
+        {"name": f["name"],
+         "transform": f.get("transform", "identity"),
+         "source-id": f.get("source-id"),
+         "field-id": f.get("field-id"),
+         "type": _partition_result_type(
+             f.get("transform", "identity"),
+             types.get(int(f.get("source-id", -1)), "string"))}
+        for f in spec] if spec else None
+    entry_schema = _manifest_entry_schema(spec_fields)
+
+    def kv(m):
+        if not m:
+            return None
+        return [{"key": int(k), "value": v}
+                for k, v in sorted(_bounds_map(m).items())]
+
+    def entry(item, content, equality_ids=None, seq=None):
+        if isinstance(item, dict):
+            p = item["path"]
+            partition = item.get("partition")
+            lo, hi = item.get("lower_bounds"), item.get("upper_bounds")
+            equality_ids = equality_ids or item.get("equality_ids")
+            seq = seq or item.get("seq")
+        else:
+            p, partition, lo, hi = item, None, None, None
+        return {"status": 1, "snapshot_id": seq or new_id,
+                "data_file": {
+                    "content": content, "file_path": p,
+                    "file_format": "PARQUET", "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(_local(p)),
+                    "partition": partition,
+                    "lower_bounds": kv(lo), "upper_bounds": kv(hi),
+                    "equality_ids": ([int(x) for x in equality_ids]
+                                     if equality_ids else None)}}
+
+    mlist_rows = ([] if replace else
+                  list(read_container(_local(cur["manifest-list"]))[1]))
+    if add_files:
+        manifest = os.path.join(meta_dir, f"manifest-{new_id}.avro")
+        write_container(manifest, entry_schema,
+                        [entry(p, 0) for p in add_files],
+                        extra_meta={"partition-spec-id": default_sid})
+        mlist_rows.append({"manifest_path": manifest,
+                           "manifest_length": os.path.getsize(manifest),
+                           "partition_spec_id": default_sid,
+                           "content": 0, "added_snapshot_id": new_id})
+    if add_delete_files or add_eq_delete_files:
+        dmanifest = os.path.join(meta_dir,
+                                 f"manifest-{new_id}-deletes.avro")
+        write_container(
+            dmanifest, entry_schema,
+            [entry(p, 1) for p in add_delete_files]
+            + [entry(d, 2) for d in add_eq_delete_files],
+            extra_meta={"partition-spec-id": default_sid})
+        mlist_rows.append({"manifest_path": dmanifest,
+                           "manifest_length": os.path.getsize(dmanifest),
+                           "partition_spec_id": default_sid,
+                           "content": 1, "added_snapshot_id": new_id})
+    mlist = os.path.join(meta_dir, f"snap-{new_id}.avro")
+    write_container(mlist, _MANIFEST_FILE_SCHEMA, mlist_rows)
+    summary = {"operation": (
+        "replace" if replace
+        else "overwrite" if (add_delete_files or add_eq_delete_files)
+        else "append")}
+    if summary_extra:
+        summary.update({str(k): str(v) for k, v in summary_extra.items()})
+    ts_ms = max(int(time.time() * 1000),
+                max((int(s.get("timestamp-ms") or 0) for s in snaps),
+                    default=0))
+    snaps.append({"snapshot-id": new_id, "sequence-number": new_id,
+                  "timestamp-ms": ts_ms, "manifest-list": mlist,
+                  "summary": summary})
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = new_id
+    meta["last-sequence-number"] = max(
+        int(meta.get("last-sequence-number") or 0), new_id)
+    _publish_metadata(meta_dir, meta)
+    return new_id
+
+
 def commit_snapshot(table_dir: str, add_files: list | None = None,
                     add_delete_files: list | None = None,
                     add_eq_delete_files: list | None = None,
@@ -1458,16 +1568,25 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
     if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
         meta = _read_table_metadata(table_dir)
         if len(meta.get("partition-specs") or []) > 1:
-            # the rebuild re-encodes every carried manifest under the
-            # DEFAULT spec's record shape; older-spec partition values
-            # would come back null and pruning would then silently
-            # drop their rows — refuse until per-spec manifest
-            # rewrites exist (reads and pruning of multi-spec tables
-            # are fully supported; this gates only local WRITES)
-            raise NotImplementedError(
-                "commit_snapshot on a table with EVOLVED partition "
-                "specs (multiple partition-specs in metadata) — the "
-                "local rebuild cannot re-encode older-spec manifests")
+            # EVOLVED partition specs (round 10): never rebuild —
+            # re-encoding older-spec manifests under the default
+            # spec would null their partition records and pruning
+            # would silently drop rows. Instead EXTEND: new manifests
+            # under the CURRENT spec, prior manifests untouched (the
+            # read side already groups and prunes per spec).
+            if evolve_from_df is not None:
+                known = set(_field_names(table_dir).values())
+                new_cols = [c for c in evolve_from_df.columns
+                            if c not in known]
+                if new_cols:
+                    raise NotImplementedError(
+                        f"schema evolution (new columns {new_cols}) "
+                        "on a table with evolved partition specs — "
+                        "the extend path does not rewrite the schema")
+            return _extend_snapshot_multispec(
+                table_dir, meta, list(add_files or []),
+                list(add_delete_files or []),
+                list(add_eq_delete_files or []), replace, summary_extra)
         names = _field_names(table_dir)
         types = _schema_types(meta)
         if names:

@@ -368,12 +368,29 @@ def test_partition_spec_evolution_pruning_sound(spark, qc, tmp_path):
     df = qc.read_iceberg(tbl, partition_filter=f"id = {probe}").df
     assert [(r["id"], r["v"]) for r in df.collect()] == [(probe, 1)]
     assert len(df.inputFiles()) == 1
-    # local commits refuse on multi-spec tables (the rebuild would
-    # re-encode older-spec partition values as nulls)
+    # local commits EXTEND multi-spec tables (round 10): the new
+    # file's manifest lands under the CURRENT spec (bucket[8]) and
+    # prior manifests stay untouched, so per-spec pruning holds
     extra = str(tmp_path / "x.parquet")
-    pd.DataFrame({"id": [999], "v": [9]}).to_parquet(extra)
-    with pytest.raises(NotImplementedError, match="EVOLVED"):
-        commit_snapshot(tbl, add_files=[extra])
+    nid = next(i for i in range(1000, 2000)
+               if bucket(i, 8) not in (bucket(probe, 8),
+                                       bucket(other, 8)))
+    pd.DataFrame({"id": [nid], "v": [9]}).to_parquet(extra)
+    commit_snapshot(tbl, add_files=[
+        {"path": extra, "partition": {"id_bucket": bucket(nid, 8)}}])
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
+        == sorted([probe, other, nid])
+    dfn = qc.read_iceberg(tbl, partition_filter=f"id = {nid}").df
+    assert [(r["id"], r["v"]) for r in dfn.collect()] == [(nid, 9)]
+    assert len(dfn.inputFiles()) == 1
+    # the spec-0 file STILL survives its own bucket[4] judgment
+    dfp = qc.read_iceberg(tbl, partition_filter=f"id = {probe}").df
+    assert [(r["id"], r["v"]) for r in dfp.collect()] == [(probe, 1)]
+    assert len(dfp.inputFiles()) == 1
+    # time travel to the pre-commit snapshot is intact
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg(tbl, snapshot=2).df.collect()) \
+        == sorted([probe, other])
     # UNKNOWN spec id: drop spec-0 from metadata (archived) — the
     # spec-0 file can no longer be judged, so it is KEPT and the
     # row-level filter stays exact
@@ -392,6 +409,72 @@ def test_partition_spec_evolution_pruning_sound(spark, qc, tmp_path):
     df4 = qc.read_iceberg(tbl,
                           partition_filter=f"id = {probe}").df
     assert len(df4.inputFiles()) == 1
+
+
+def test_iceberg_multispec_upsert_and_replace(spark, qc, tmp_path):
+    """Round 10: MERGE upserts and compaction on a table with EVOLVED
+    partition specs — the commit extends the manifest list (prior
+    manifests byte-untouched, pinned by mtime), new manifests land
+    under the CURRENT spec, and per-spec pruning stays sound."""
+    import pandas as pd
+
+    from quokka_spark.sources.avro_lite import (read_container,
+                                                write_container)
+    from quokka_spark.sources.iceberg_local import (
+        _MANIFEST_FILE_SCHEMA, create_local_iceberg_table,
+        rewrite_data_files_local, upsert_iceberg_local)
+    fa = str(tmp_path / "a.parquet")
+    fb = str(tmp_path / "b.parquet")
+    pd.DataFrame({"id": [1, 2], "v": [10, 20],
+                  "p": ["x", "x"]}).to_parquet(fa)
+    pd.DataFrame({"id": [3], "v": [30], "p": ["y"]}).to_parquet(fb)
+    tbl = str(tmp_path / "evo2")
+    create_local_iceberg_table(
+        tbl,
+        [{"data": [{"path": fa, "partition": {"p": "x"}}],
+          "spec_id": 0},
+         {"data": [{"path": fb, "partition": {"p": "y"}}],
+          "spec_id": 1}],
+        schema_fields=[(1, "id", "long"), (2, "v", "long"),
+                       (3, "p", "string")],
+        partition_specs=[
+            {"spec-id": 0, "fields": [
+                {"name": "p", "type": "string", "source-id": 3,
+                 "transform": "identity", "field-id": 1000}]},
+            {"spec-id": 1, "fields": [
+                {"name": "p", "type": "string", "source-id": 3,
+                 "transform": "identity", "field-id": 1001}]}])
+    meta_dir = os.path.join(tbl, "metadata")
+    _, rows1 = read_container(os.path.join(meta_dir, "snap-1.avro"))
+    _, rows2 = read_container(os.path.join(meta_dir, "snap-2.avro"))
+    write_container(os.path.join(meta_dir, "snap-2.avro"),
+                    _MANIFEST_FILE_SCHEMA, rows1 + rows2)
+    m1 = os.path.join(meta_dir, "manifest-1.avro")
+    m2 = os.path.join(meta_dir, "manifest-2.avro")
+    mt = (os.stat(m1).st_mtime_ns, os.stat(m2).st_mtime_ns)
+    # MERGE across BOTH specs' files + an insert, in one snapshot
+    upsert_iceberg_local(
+        spark, tbl,
+        spark.createDataFrame([(2, 22, "x"), (3, 33, "y"), (9, 90, "z")],
+                              "id long, v long, p string"), ["id"])
+    got = {r["id"]: r["v"] for r in qc.read_iceberg(tbl).df.collect()}
+    assert got == {1: 10, 2: 22, 3: 33, 9: 90}
+    # prior manifests byte-untouched (the extend contract)
+    assert (os.stat(m1).st_mtime_ns, os.stat(m2).st_mtime_ns) == mt
+    # time travel to the pre-upsert snapshot
+    assert {r["id"]: r["v"]
+            for r in qc.read_iceberg(tbl, snapshot=2).df.collect()} == \
+        {1: 10, 2: 20, 3: 30}
+    # per-spec pruning still sound on the carried files
+    dfp = qc.read_iceberg(tbl, snapshot=2, partition_filter="p = 'y'").df
+    assert [r["id"] for r in dfp.collect()] == [3]
+    assert len(dfp.inputFiles()) == 1
+    # compaction (replace) rewrites everything under the CURRENT spec
+    rewrite_data_files_local(spark, tbl, target_file_rows=1000)
+    got2 = {r["id"]: r["v"] for r in qc.read_iceberg(tbl).df.collect()}
+    assert got2 == got
+    dfy = qc.read_iceberg(tbl, partition_filter="p = 'y'").df
+    assert sorted(r["id"] for r in dfy.collect()) == [3]
 
 
 def test_partition_filter_bucket_transform_prunes(spark, qc, tmp_path):
