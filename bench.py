@@ -111,29 +111,56 @@ def run_suite(spark, registry, names, sf_dir,
     return timings, errors
 
 
-def calibration(spark) -> float:
-    """Fixed, repo-code-independent workload timed min-of-3 so
-    cross-round BENCH files can be normalized for host drift (round-6
-    lesson: ~10% uniform machine slowdown masqueraded as a regression
-    and cost a full A/B re-bench to disprove). Exercises the three
-    axes the suite leans on — whole-stage-codegen arithmetic, a
-    hash-shuffle aggregate, and an Arrow-batched Python pass — with
-    synthetic spark.range input (no file I/O, no dependence on any
-    quokka_spark operator, identical every round)."""
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        (spark.range(20_000_000)
-         .selectExpr("id % 100000 AS k", "(id * 2654435761) % 997 AS v")
-         .groupBy("k").agg({"v": "sum"})
-         .write.format("noop").mode("overwrite").save())
-        (spark.range(2_000_000).repartition(CPUS)
-         .selectExpr("id", "cast(id % 1000 as double) AS x")
-         .mapInPandas(lambda it: it, "id long, x double")
-         .write.format("noop").mode("overwrite").save())
-        t = time.perf_counter() - t0
-        best = t if best is None else min(best, t)
-    return round(best, 3)
+def calibration(spark, sf_dir: str | None = None) -> dict:
+    """Fixed, repo-code-independent workloads timed min-of-3 per AXIS
+    so cross-round BENCH files can be normalized for host drift
+    (round-6 lesson: ~10% uniform machine slowdown masqueraded as a
+    regression and cost a full A/B re-bench to disprove; round-9
+    lesson: the old CPU-only combined number moved OPPOSITE to a real
+    I/O/JVM-side drift and would have mis-normalized). Four axes:
+
+    - ``cpu_codegen``: whole-stage-codegen arithmetic + hash-shuffle
+      aggregate over synthetic spark.range input;
+    - ``arrow_py``: an Arrow-batched Python (mapInPandas) pass —
+      the python-worker/serialization axis;
+    - ``file_io``: a full-column scan of the sf dir's lineitem
+      parquet — the storage/page-cache/parquet-decode axis the
+      CPU-only workload was blind to;
+    - ``total``: their sum.
+
+    Returns {axis: sec}. main() runs this BEFORE and AFTER the suite
+    (calibration_pre/calibration_post in the JSON): a drift that
+    appears mid-run shows as pre≠post instead of silently skewing
+    half the queries. ``calibration_sec`` stays published as the
+    cpu_codegen+arrow_py sum — the closest continuation of the
+    pre-round-10 combined number for cross-round ratios."""
+    def min3(fn) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        return round(best, 3)
+
+    axes = {}
+    axes["cpu_codegen"] = min3(lambda: (
+        spark.range(20_000_000)
+        .selectExpr("id % 100000 AS k", "(id * 2654435761) % 997 AS v")
+        .groupBy("k").agg({"v": "sum"})
+        .write.format("noop").mode("overwrite").save()))
+    axes["arrow_py"] = min3(lambda: (
+        spark.range(2_000_000).repartition(CPUS)
+        .selectExpr("id", "cast(id % 1000 as double) AS x")
+        .mapInPandas(lambda it: it, "id long, x double")
+        .write.format("noop").mode("overwrite").save()))
+    li = os.path.join(sf_dir or SF_DIR, "lineitem.parquet")
+    if os.path.exists(li):
+        axes["file_io"] = min3(lambda: (
+            spark.read.parquet(li)
+            .write.format("noop").mode("overwrite").save()))
+    axes["total"] = round(sum(axes.values()), 3)
+    return axes
 
 
 def main():
@@ -150,10 +177,12 @@ def main():
      .mapInPandas(lambda it: it, "id long")
      .write.format("noop").mode("overwrite").save())
 
-    calibration_sec = calibration(spark)
+    cal_pre = calibration(spark, SF_DIR)
 
     timings, errors = run_suite(spark, entry_mod.queries(),
                                 BENCH_QUERIES, SF_DIR)
+
+    cal_post = calibration(spark, SF_DIR)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -167,8 +196,14 @@ def main():
         "sf": sf,
         "cpus": CPUS,
         # host-speed yardstick: divide per-query times by the ratio of
-        # two rounds' calibration_sec before comparing across rounds
-        "calibration_sec": calibration_sec,
+        # two rounds' calibration_sec before comparing across rounds;
+        # per-axis pre/post numbers pin WHICH axis drifted (round-9
+        # lesson: CPU-only calibration moved opposite to an I/O-side
+        # drift) and whether it drifted MID-RUN (pre vs post)
+        "calibration_sec": round(cal_pre["cpu_codegen"]
+                                 + cal_pre["arrow_py"], 3),
+        "calibration_pre": cal_pre,
+        "calibration_post": cal_post,
         # methodology (for cross-round adjudication): each query runs
         # 1 warmup + 3 measured passes back-to-back, +2 extra measured
         # passes when min < 1.5s; reported value is the per-query MIN
