@@ -370,12 +370,30 @@ class QuokkaContext:
                         partition_filter=partition_filter,
                         scan_filter=scan_filter,
                         as_of_timestamp=as_of_timestamp))
+            # catalog tables without the jar: pyiceberg (the exact
+            # public package the reference itself reads Glue tables
+            # with, df.py:802-832) plans the files; Spark's native
+            # parquet scan reads them (sources/iceberg_catalog.py)
+            try:
+                import pyiceberg  # noqa: F401
+            except ImportError:
+                pyiceberg = None
+            if pyiceberg is not None:
+                from .sources.iceberg_catalog import read_iceberg_catalog
+                return DataStream(
+                    self, read_iceberg_catalog(
+                        self.spark, table, snapshot,
+                        partition_filter=partition_filter,
+                        scan_filter=scan_filter,
+                        as_of_timestamp=as_of_timestamp))
             raise RuntimeError(
                 "read_iceberg needs the iceberg-spark-runtime jar on the "
                 "Spark classpath (spark.jars.packages "
                 "org.apache.iceberg:iceberg-spark-runtime-*) for catalog "
-                "tables; local Iceberg table DIRECTORIES are readable "
-                "without it via the built-in metadata fallback. Neither "
+                "tables — or `pip install pyiceberg`, which plans "
+                "catalog tables' files for the native parquet scan; "
+                "local Iceberg table DIRECTORIES are readable without "
+                "either via the built-in metadata fallback. None "
                 "applies to this input."
             ) from e
 

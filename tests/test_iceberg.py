@@ -477,6 +477,119 @@ def test_iceberg_multispec_upsert_and_replace(spark, qc, tmp_path):
     assert sorted(r["id"] for r in dfy.collect()) == [3]
 
 
+def _install_fake_pyiceberg(monkeypatch, tables):
+    """Inject a minimal pyiceberg into sys.modules: load_catalog() →
+    catalog whose load_table(name) serves the given fake tables.
+    Mirrors the public surface read_iceberg_catalog touches (scan/
+    plan_files/metadata.snapshots/schema)."""
+    import sys
+    import types
+
+    class Snap:
+        def __init__(self, sid, ts):
+            self.snapshot_id, self.timestamp_ms = sid, ts
+
+    class Task:
+        def __init__(self, path, deletes=()):
+            self.file = types.SimpleNamespace(file_path=path)
+            self.delete_files = list(deletes)
+
+    class Table:
+        def __init__(self, spec):
+            self.spec = spec
+            self.scan_calls = []
+            self.metadata = types.SimpleNamespace(
+                snapshots=[Snap(s, t)
+                           for s, t in spec.get("snapshots", [])])
+
+        def scan(self, **kw):
+            self.scan_calls.append(kw)
+            if "row_filter" in kw and self.spec.get("reject_filter"):
+                raise ValueError("cannot parse row_filter")
+            sid = kw.get("snapshot_id")
+            files = self.spec["files_at"].get(
+                sid, self.spec["files_at"][None])
+            deletes = self.spec.get("deletes", ())
+            return types.SimpleNamespace(plan_files=lambda: [
+                Task(p, deletes) for p in files])
+
+        def schema(self):
+            return types.SimpleNamespace(fields=[
+                types.SimpleNamespace(name=n, field_type=t)
+                for n, t in self.spec.get("schema", [])])
+
+    built = {k: Table(v) for k, v in tables.items()}
+
+    class Catalog:
+        def load_table(self, name):
+            return built[name]
+
+    pi = types.ModuleType("pyiceberg")
+    cat = types.ModuleType("pyiceberg.catalog")
+    cat.load_catalog = lambda *a, **kw: Catalog()
+    pi.catalog = cat
+    monkeypatch.setitem(sys.modules, "pyiceberg", pi)
+    monkeypatch.setitem(sys.modules, "pyiceberg.catalog", cat)
+    return built
+
+
+def test_iceberg_catalog_reads_via_pyiceberg(spark, qc, tmp_path,
+                                             monkeypatch):
+    """Round 10: catalog-URI tables (no jar) read through pyiceberg —
+    the exact public package the reference uses — which PLANS the
+    file set; Spark's native parquet scan reads it. Snapshot and
+    timestamp travel resolve through pyiceberg metadata; an
+    unparseable pushdown filter falls back to plan-everything with
+    the exact Spark-side row filter; delete-carrying scans refuse
+    typed; without pyiceberg the jar error stands."""
+    import pandas as pd
+
+    f1 = str(tmp_path / "c1.parquet")
+    f2 = str(tmp_path / "c2.parquet")
+    pd.DataFrame({"id": [1, 2], "v": [1.0, 2.0]}).to_parquet(f1)
+    pd.DataFrame({"id": [3], "v": [3.0]}).to_parquet(f2)
+    tables = _install_fake_pyiceberg(monkeypatch, {
+        "db.t": {"files_at": {None: [f1, f2], 7: [f1]},
+                 "snapshots": [(7, 1000), (8, 2000)]},
+        "db.filt": {"files_at": {None: [f1, f2]},
+                    "reject_filter": True},
+        "db.del": {"files_at": {None: [f1]}, "deletes": ["d.parquet"]},
+        "db.empty": {"files_at": {None: []},
+                     "schema": [("id", "long"), ("v", "double")]}})
+    got = {r["id"]: r["v"] for r in qc.read_iceberg("db.t").df.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    # snapshot travel plans through pyiceberg's snapshot_id
+    got7 = {r["id"] for r in
+            qc.read_iceberg("db.t", snapshot=7).df.collect()}
+    assert got7 == {1, 2}
+    assert {"snapshot_id": 7} in tables["db.t"].scan_calls
+    # timestamp travel resolves the newest snapshot <= ts (ms)
+    import datetime
+    ts = datetime.datetime.fromtimestamp(1.5, datetime.timezone.utc)
+    got_ts = {r["id"] for r in
+              qc.read_iceberg("db.t", as_of_timestamp=ts).df.collect()}
+    assert got_ts == {1, 2}          # 1500ms -> snapshot 7
+    # pushdown attempted, rejected, exact fallback row-filters
+    df = qc.read_iceberg("db.filt", scan_filter="id >= 3").df
+    assert [r["id"] for r in df.collect()] == [3]
+    assert any("row_filter" in c for c in tables["db.filt"].scan_calls)
+    # delete-carrying scans refuse typed
+    with pytest.raises(NotImplementedError, match="delete"):
+        qc.read_iceberg("db.del")
+    # an empty plan returns a TYPED empty frame
+    e = qc.read_iceberg("db.empty").df
+    assert e.count() == 0 and [f.name for f in e.schema.fields] == \
+        ["id", "v"]
+    assert e.schema.fields[0].dataType.simpleString() == "bigint"
+
+
+def test_iceberg_catalog_without_pyiceberg_keeps_typed_error(qc):
+    """No jar, not a directory, no pyiceberg installed → the typed
+    RuntimeError stands and now names the pyiceberg option."""
+    with pytest.raises(RuntimeError, match="pyiceberg"):
+        qc.read_iceberg("glue.db.sometable")
+
+
 def test_partition_filter_bucket_transform_prunes(spark, qc, tmp_path):
     """bucket[N] pruning: `col = literal` opens ONLY the file(s) of
     bucket_N(literal); range predicates cannot prune buckets and keep
