@@ -6611,40 +6611,42 @@ FROM l FULL JOIN r ON l.k = r.k AND r.y > l.x
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
-    inside that window (TPC-H 22, time-series 6 + streaming 2, dedup
+    inside that window (TPC-H 17, time-series 6 + streaming 2, dedup
     3, similarity 2, text 2, pipeline/multimodal 2, linalg/ML 3,
-    sources 5 incl. the executor-side DV scan, MoR log merge, REAL
-    HoodieLogFormat framing and the log-derived CDF read, lakehouse
-    streaming 3 incl. the exactly-once sink and the plain+partitioned
-    Delta source = 50).
+    sources 8 incl. the executor-side DV scan, MoR log merge, REAL
+    HoodieLogFormat framing, the log-derived CDF read + its
+    update-pairing upsert, partitioned columnMapping, and timestamp
+    time travel, lakehouse streaming 5 incl. the exactly-once sink
+    TRIO and the plain+partitioned Delta source = 50).
     Round-8 rotation (round-7 verdict #6): `src_delta_dv`,
     `stream_sink_delta`, `src_hudi_mor` IN; `dedup_ngram_jaccard`,
     `agg_covariance`, `ts_hopping` OUT. Round-9 rotation (round-8
-    verdict #5 + this round's headlines): IN — `src_delta_cdf` and
-    `stream_src_delta` (the verdict's named pair), plus
-    `stream_src_delta_partitioned` (round-9 top task: partition
-    values rebuilt from the log in the stream) and `src_hudi_logfmt`
-    (spec-framed hudi-writer logs). OUT — `agg_quantile` (the
-    order-stat sketch family keeps `bench_wide_quantile`'s verdict
-    and the pytest oracle), `ts_backtest` (same stateful Executor
-    contract as the retained CEP/windows gates), `ml_bpe_train`
-    (`ml_bpe_encode` keeps the tokenizer family oracle-gated) and
-    `op_join_nonequi` (non-equi condition joins stay covered by
-    `ts_asof_join`'s range join in-window and the pytest oracle).
-    Redundant relational micro-gates (covered by TPC-H), perf bench
-    gates, and the remaining incremental/streaming-source gates
-    (`src_iceberg_cdf`, `src_hudi_incr`, `stream_src_{iceberg,hudi}`,
-    the timestamp-travel trio) sit past the window; ALL 180+ entries
-    stay pytest-oracle-checked in tests/test_oracle_parity.py."""
+    verdict #5): IN — `src_delta_cdf`, `stream_src_delta`,
+    `stream_src_delta_partitioned`, `src_hudi_logfmt`; OUT —
+    `agg_quantile`, `ts_backtest`, `ml_bpe_train`, `op_join_nonequi`.
+    Round-10 rotation (round-9 verdict #2): IN — the sink trio's
+    `stream_sink_iceberg` + `stream_sink_hudi`,
+    `src_delta_cm_partitioned`, `src_delta_cdf_upsert` (CDF update
+    pairing) and `src_delta_ts_travel` (one timestamp-travel gate);
+    OUT — the five single/two-table TPC-H micro plans
+    `tpch_q4/q6/q12/q14/q19`, whose operator shapes (filter-agg,
+    semi-join, two-table join-agg) stay covered in-window by
+    q1/q3/q21 and which remain BOTH pytest-oracled and benched every
+    round. Redundant relational micro-gates, perf bench gates, and
+    the remaining incremental/streaming-source gates sit past the
+    window; ALL 183 entries stay pytest-oracle-checked in
+    tests/test_oracle_parity.py."""
     return {
         # ---- driver-checked window (first 50) -------------------------
-        # TPC-H suite (22)
-        "tpch_q1": tpch_q1, "tpch_q3": tpch_q3, "tpch_q4": tpch_q4,
-        "tpch_q5": tpch_q5, "tpch_q6": tpch_q6, "tpch_q7": tpch_q7,
+        # TPC-H suite (17 in-window; the 5 single/two-table micro
+        # plans q4/q6/q12/q14/q19 rotated out in round 10 — still
+        # pytest-oracled AND benched every round)
+        "tpch_q1": tpch_q1, "tpch_q3": tpch_q3,
+        "tpch_q5": tpch_q5, "tpch_q7": tpch_q7,
         "tpch_q8": tpch_q8, "tpch_q9": tpch_q9, "tpch_q10": tpch_q10,
-        "tpch_q12": tpch_q12, "tpch_q13": tpch_q13, "tpch_q14": tpch_q14,
+        "tpch_q13": tpch_q13,
         "tpch_q15": tpch_q15, "tpch_q16": tpch_q16, "tpch_q17": tpch_q17,
-        "tpch_q18": tpch_q18, "tpch_q19": tpch_q19, "tpch_q22": tpch_q22,
+        "tpch_q18": tpch_q18, "tpch_q22": tpch_q22,
         "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
         "tpch_q21": tpch_q21,
         # time series (7) + streaming (2)
@@ -6676,17 +6678,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_hudi_mor": src_hudi_mor,
         "src_hudi_logfmt": src_hudi_logfmt,
         "src_delta_cdf": src_delta_cdf,
-        # streaming (3: exactly-once Delta sink + the Delta SOURCE,
-        # plain and PARTITIONED — the round-9 top task)
+        # round-10 rotation IN: the remaining round-9 machinery —
+        # partitioned columnMapping reads, CDF update pairing,
+        # timestamp time travel
+        "src_delta_cm_partitioned": src_delta_cm_partitioned,
+        "src_delta_cdf_upsert": src_delta_cdf_upsert,
+        "src_delta_ts_travel": src_delta_ts_travel,
+        # streaming (5: the exactly-once sink TRIO + the Delta SOURCE,
+        # plain and PARTITIONED)
         "stream_sink_delta": stream_sink_delta,
+        "stream_sink_iceberg": stream_sink_iceberg,
+        "stream_sink_hudi": stream_sink_hudi,
         "stream_src_delta": stream_src_delta,
         "stream_src_delta_partitioned": stream_src_delta_partitioned,
         # ---- past the driver window (pytest-oracle-checked) -----------
+        "tpch_q4": tpch_q4, "tpch_q6": tpch_q6, "tpch_q12": tpch_q12,
+        "tpch_q14": tpch_q14, "tpch_q19": tpch_q19,
         "ts_backtest": ts_backtest,
         "agg_quantile": agg_quantile,
         "ml_bpe_train": ml_bpe_train,
         "op_join_nonequi": op_join_nonequi,
-        "src_delta_ts_travel": src_delta_ts_travel,
         "src_iceberg_ts_travel": src_iceberg_ts_travel,
         "src_hudi_ts_travel": src_hudi_ts_travel,
         "agg_covariance": agg_covariance,
@@ -6736,8 +6747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm": src_delta_cm,
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
-        "src_delta_cm_partitioned": src_delta_cm_partitioned,
-        "src_delta_cdf_upsert": src_delta_cdf_upsert,
         "src_hudi_incr": src_hudi_incr,
         "src_iceberg_cdf": src_iceberg_cdf,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
@@ -6800,8 +6809,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cep": stream_cep,
         "stream_resample": stream_resample,
         "stream_src_delta_cm": stream_src_delta_cm,
-        "stream_sink_iceberg": stream_sink_iceberg,
-        "stream_sink_hudi": stream_sink_hudi,
         "stream_src_iceberg": stream_src_iceberg,
         "stream_src_hudi": stream_src_hudi,
     }
