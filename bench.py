@@ -131,9 +131,11 @@ def calibration(spark, sf_dir: str | None = None) -> dict:
     Returns {axis: sec}. main() runs this BEFORE and AFTER the suite
     (calibration_pre/calibration_post in the JSON): a drift that
     appears mid-run shows as pre≠post instead of silently skewing
-    half the queries. ``calibration_sec`` stays published as the
-    cpu_codegen+arrow_py sum — the closest continuation of the
-    pre-round-10 combined number for cross-round ratios."""
+    half the queries. The ``legacy`` axis is the EXACT pre-round-10
+    combined workload (cpu+arrow in ONE timed run, min-of-3) and
+    feeds ``calibration_sec`` unchanged — a sum of per-axis mins
+    would be systematically LOWER than the old combined min and
+    silently bias every cross-round ratio."""
     def min3(fn) -> float:
         best = None
         for _ in range(3):
@@ -160,6 +162,17 @@ def calibration(spark, sf_dir: str | None = None) -> dict:
             spark.read.parquet(li)
             .write.format("noop").mode("overwrite").save()))
     axes["total"] = round(sum(axes.values()), 3)
+
+    def legacy():
+        (spark.range(20_000_000)
+         .selectExpr("id % 100000 AS k", "(id * 2654435761) % 997 AS v")
+         .groupBy("k").agg({"v": "sum"})
+         .write.format("noop").mode("overwrite").save())
+        (spark.range(2_000_000).repartition(CPUS)
+         .selectExpr("id", "cast(id % 1000 as double) AS x")
+         .mapInPandas(lambda it: it, "id long, x double")
+         .write.format("noop").mode("overwrite").save())
+    axes["legacy"] = min3(legacy)
     return axes
 
 
@@ -200,8 +213,7 @@ def main():
         # per-axis pre/post numbers pin WHICH axis drifted (round-9
         # lesson: CPU-only calibration moved opposite to an I/O-side
         # drift) and whether it drifted MID-RUN (pre vs post)
-        "calibration_sec": round(cal_pre["cpu_codegen"]
-                                 + cal_pre["arrow_py"], 3),
+        "calibration_sec": cal_pre["legacy"],
         "calibration_pre": cal_pre,
         "calibration_post": cal_post,
         # methodology (for cross-round adjudication): each query runs

@@ -179,7 +179,8 @@ def _avro_files(path: str) -> list:
     return files
 
 
-def spark_read_avro(spark, path, groups=None, key_fields=None):
+def spark_read_avro(spark, path, groups=None, key_fields=None,
+                    fallback_schema=None):
     """DataFrame over the container files at ``path`` (file, dir, or
     an explicit list of file paths — the Hudi MoR log scan passes the
     timeline's log-file list directly). Schema comes from the FIRST
@@ -216,7 +217,36 @@ def spark_read_avro(spark, path, groups=None, key_fields=None):
         _head = _fh.read(6)
     if _head == b"#HUDI#":
         from .hudi_logfmt import read_log_schema
-        record_schema = read_log_schema(files[0])
+        # a file may carry ONLY delete/command blocks (a pure
+        # hard-delete deltacommit log) — sniff the next file rather
+        # than failing the whole scan; only a table with no data
+        # block anywhere refuses
+        record_schema = None
+        last_exc = None
+        for _f in files:
+            with open(_f, "rb") as _fh2:
+                framed = _fh2.read(6) == b"#HUDI#"
+            try:
+                record_schema = (read_log_schema(_f) if framed
+                                 else _json.loads(read_container_meta(
+                                     _f)["avro.schema"]))
+                break
+            except NotImplementedError as e:
+                if "no avro_data block" not in str(e):
+                    raise
+                last_exc = e
+        if record_schema is None:
+            if fallback_schema is not None:
+                # EVERY log is a pure hard-delete file: the caller
+                # (the MoR merge, which knows the base schema)
+                # supplies the payload schema the tombstones type
+                # under
+                record_schema = fallback_schema
+            else:
+                raise ValueError(
+                    "spark_read_avro: no log file carries an "
+                    "avro_data block — delete-only logs have no "
+                    "payload schema to read under") from last_exc
         # delete-block tombstones surface as _hoodie_is_deleted rows
         # even when the payload schema lacks the soft-delete field —
         # without widening the schema here, the flag would be DROPPED
@@ -263,6 +293,9 @@ def spark_read_avro(spark, path, groups=None, key_fields=None):
         paths = paths.repartition(par)
     kf = list(key_fields) if key_fields else None
     sliced = groups is not None
+    # closure-shipped to executors: types tombstone keys on slices
+    # with NO data block of their own (pure hard-delete slices)
+    hint = record_schema if _head == b"#HUDI#" else None
 
     def decode(it):
         import json as _j
@@ -286,7 +319,8 @@ def spark_read_avro(spark, path, groups=None, key_fields=None):
                             from quokka_spark.sources.hudi_logfmt import \
                                 read_log_records_bytes
                             _, recs = read_log_records_bytes(
-                                data, name=p, key_fields=kf)
+                                data, name=p, key_fields=kf,
+                                schema_hint=hint)
                             records.extend(recs)
                     else:
                         _, recs = read_container_bytes(data, name=p)
@@ -295,7 +329,8 @@ def spark_read_avro(spark, path, groups=None, key_fields=None):
                     from quokka_spark.sources.hudi_logfmt import \
                         read_slice_log_records
                     _, recs = read_slice_log_records(framed,
-                                                     key_fields=kf)
+                                                     key_fields=kf,
+                                                     schema_hint=hint)
                     records.extend(recs)
                 cols = {}
                 for name in names:

@@ -203,13 +203,21 @@ def _merge_logs(spark, base_df, log_groups: list[list[str]],
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from .avro_source import spark_read_avro
+    from .avro_source import _spark_to_avro_field, spark_read_avro
     # spark_read_avro dispatches per file between plain Avro
     # containers (this engine's own logs) and HoodieLogFormat block
     # framing (real hudi-writer logs, sources/hudi_logfmt) — both
-    # shapes merge through the same window plan
+    # shapes merge through the same window plan. fallback_schema
+    # covers the every-log-is-a-hard-delete-block shape (no payload
+    # schema anywhere in the logs): tombstones then type under the
+    # BASE schema via the writer's own field mapping.
+    fallback = {"type": "record", "name": "row", "fields": (
+        [{"name": f.name, "type": _spark_to_avro_field(f)[0]}
+         for f in base_df.schema.fields]
+        + [{"name": "_hoodie_commit_time", "type": ["null", "string"]},
+           {"name": "_hoodie_is_deleted", "type": ["null", "boolean"]}])}
     log_df = spark_read_avro(spark, None, groups=log_groups,
-                             key_fields=keys)
+                             key_fields=keys, fallback_schema=fallback)
     data_cols = base_df.columns
     missing = [c for c in data_cols + ["_hoodie_commit_time"]
                if c not in log_df.columns]

@@ -342,12 +342,16 @@ def _coerce_key_types(records: list, schema: dict | None,
 
 
 def _blocks_to_records(blocks: list, name: str,
-                       key_fields: list | None) -> tuple[dict | None,
-                                                         list]:
+                       key_fields: list | None,
+                       schema_hint: dict | None = None
+                       ) -> tuple[dict | None, list]:
     """Surviving blocks → (first data block's schema | None,
     records). Delete blocks yield tombstone records; the schema may
     evolve across data blocks (later records simply carry their own
-    fields — the caller's projection null-fills)."""
+    fields — the caller's projection null-fills). ``schema_hint``
+    types tombstone keys when the slice itself has NO data block (a
+    pure hard-delete slice) — without it, string keys reaching a
+    numeric column would crash the typed decode."""
     schema, records = None, []
     for b in blocks:
         if b["type"] == "delete":
@@ -356,17 +360,20 @@ def _blocks_to_records(blocks: list, name: str,
         s, recs = _decode_avro_block(b, name)
         schema = schema or s
         records.extend(recs)
-    return schema, _coerce_key_types(records, schema, key_fields)
+    return schema, _coerce_key_types(records, schema or schema_hint,
+                                     key_fields)
 
 
 def read_log_records_bytes(data: bytes, name: str = "<bytes>",
-                           key_fields: list | None = None) \
+                           key_fields: list | None = None,
+                           schema_hint: dict | None = None) \
         -> tuple[dict | None, list]:
     """A whole framed log file → (first data block's schema, records
     of every surviving block — avro_data payloads plus delete-block
     tombstones). Single-file rollback scope (see read_log_blocks)."""
     blocks = read_log_blocks(data, name)
-    schema, records = _blocks_to_records(blocks, name, key_fields)
+    schema, records = _blocks_to_records(blocks, name, key_fields,
+                                         schema_hint)
     if schema is None and not records:
         # every data block was rolled back (a crash-recovery shape):
         # the file legitimately contributes ZERO rows — sniff the
@@ -379,7 +386,8 @@ def read_log_records_bytes(data: bytes, name: str = "<bytes>",
     return schema, records
 
 
-def read_slice_log_records(datas: list, key_fields: list | None = None) \
+def read_slice_log_records(datas: list, key_fields: list | None = None,
+                           schema_hint: dict | None = None) \
         -> tuple[dict | None, list]:
     """All log files of ONE file slice, in timeline order, as
     ``[(bytes, name), ...]`` → (schema | None, surviving records).
@@ -406,7 +414,8 @@ def read_slice_log_records(datas: list, key_fields: list | None = None) \
             blocks.append(frame)
         names.append(name)
     label = names[0] if len(names) == 1 else f"slice[{names[0]}…]"
-    schema, records = _blocks_to_records(blocks, label, key_fields)
+    schema, records = _blocks_to_records(blocks, label, key_fields,
+                                         schema_hint)
     if schema is None and not records:
         for data, name in datas:
             for frame in _iter_frames(data, name):
@@ -431,10 +440,15 @@ def read_log_schema(path: str, chunk: int = 1 << 20) -> dict:
                 r = _BytesIn(data, path)
                 while True:
                     if r.at_end():
-                        raise NotImplementedError(
-                            f"{path}: no avro_data block found — the "
-                            "schema sniff needs at least one data "
-                            "block's SCHEMA header")
+                        # end of BUFFER, not necessarily of file —
+                        # raise the grow-and-retry sentinel; the
+                        # handler below re-raises as the typed
+                        # no-data error only once the file is
+                        # exhausted (a chunk boundary landing exactly
+                        # between blocks must not masquerade as EOF)
+                        raise ValueError(
+                            f"{path}: truncated scan — buffer ended "
+                            "without an avro_data block")
                     if r.take(6) != MAGIC:
                         raise ValueError(f"{path}: not a HoodieLogFormat "
                                          "file")
@@ -462,6 +476,15 @@ def read_log_schema(path: str, chunk: int = 1 << 20) -> dict:
                     raise
                 more = f.read(max(chunk, len(data)))
                 if not more:
+                    if "without an avro_data block" in str(e):
+                        # file genuinely exhausted, cleanly framed,
+                        # but carries no data block (e.g. a pure
+                        # hard-delete log) — typed so callers can
+                        # fall through to the next file
+                        raise NotImplementedError(
+                            f"{path}: no avro_data block found — the "
+                            "schema sniff needs at least one data "
+                            "block's SCHEMA header") from None
                     raise
                 data += more
 

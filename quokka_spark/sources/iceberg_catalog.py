@@ -20,7 +20,21 @@ from __future__ import annotations
 def _snapshot_at_timestamp(tbl, ts_ms: int):
     """Newest snapshot with timestamp_ms <= ts_ms (Iceberg's
     as-of-timestamp contract), from the table metadata pyiceberg
-    already holds — no extra catalog round-trip."""
+    already holds — no extra catalog round-trip. Resolves via the
+    SNAPSHOT LOG (the main-branch lineage) when present: a rolled-
+    back snapshot stays in metadata.snapshots until expiration but
+    leaves the log, and the jar's as-of-timestamp follows the log —
+    picking it from the flat snapshot list would serve rolled-back
+    data."""
+    log = list(getattr(tbl.metadata, "snapshot_log", None) or [])
+    if log:
+        cands = [(int(e.timestamp_ms), int(e.snapshot_id))
+                 for e in log if int(e.timestamp_ms) <= int(ts_ms)]
+        if not cands:
+            raise ValueError(
+                f"no snapshot at or before timestamp {ts_ms} ms — "
+                "the table's earliest snapshot-log entry is newer")
+        return max(cands)[1]
     best = None
     for s in tbl.metadata.snapshots:
         if int(s.timestamp_ms) <= int(ts_ms) and (
@@ -58,9 +72,23 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
         scan_kwargs["snapshot_id"] = int(snapshot)
     # best-effort pushdown: pyiceberg's row_filter accepts simple SQL
     # strings; an unparseable filter falls back to plan-everything
-    # (the Spark row filter below keeps the result exact either way)
+    # (the Spark row filter below keeps the result exact either way).
+    # Only offered under a UTC session timezone: pyiceberg binds
+    # timestamp literals as UTC while Spark binds them in the session
+    # tz, and a tz-divergent prune DROPS files the row filter can
+    # never restore (QuokkaContext pins UTC, so the normal path
+    # pushes down).
+    tz = "UTC"
+    try:
+        from pyspark.sql import SparkSession
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            tz = sess.conf.get("spark.sql.session.timeZone") or "UTC"
+    except Exception:
+        pass
     pushdown = " AND ".join(f"({f})" for f in
-                            [partition_filter, scan_filter] if f)
+                            [partition_filter, scan_filter] if f) \
+        if tz in ("UTC", "Etc/UTC", "GMT") else ""
     if pushdown:
         try:
             scan = tbl.scan(row_filter=pushdown, **scan_kwargs)
@@ -78,24 +106,31 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
             "table directory (the pure-Python reader applies v2 "
             "position/equality deletes)")
     files = sorted(t.file.file_path for t in tasks)
+    # read under the TABLE schema (mapped from pyiceberg), never
+    # footer inference: after schema evolution an inferred schema can
+    # sample a pre-evolution file and silently drop the new column,
+    # where the jar null-fills. (Metadata-only RENAMES still read the
+    # renamed column as null from pre-rename files — exact rename
+    # resolution needs per-file field ids, the jar's job; new-column
+    # null-fill is the case that actually bites pipelines.)
+    from pyspark.sql.types import (BooleanType, DateType, DoubleType,
+                                   FloatType, IntegerType, LongType,
+                                   StringType, StructField,
+                                   StructType, TimestampType)
+    by_name = {"boolean": BooleanType(), "int": IntegerType(),
+               "long": LongType(), "float": FloatType(),
+               "double": DoubleType(), "date": DateType(),
+               "string": StringType(), "timestamptz": TimestampType(),
+               "timestamp": TimestampType()}
+    rs = StructType(
+        [StructField(f.name,
+                     by_name.get(str(f.field_type), StringType()),
+                     True) for f in tbl.schema().fields])
     if not files:
-        # typed empty frame mapped from the pyiceberg schema
-        from pyspark.sql.types import (BooleanType, DateType, DoubleType,
-                                       FloatType, IntegerType, LongType,
-                                       StringType, StructField,
-                                       StructType, TimestampType)
-        by_name = {"boolean": BooleanType(), "int": IntegerType(),
-                   "long": LongType(), "float": FloatType(),
-                   "double": DoubleType(), "date": DateType(),
-                   "string": StringType(), "timestamptz": TimestampType(),
-                   "timestamp": TimestampType()}
-        df = spark.createDataFrame([], StructType(
-            [StructField(f.name,
-                         by_name.get(str(f.field_type), StringType()),
-                         True) for f in tbl.schema().fields]))
+        df = spark.createDataFrame([], rs)
     else:
-        df = spark.read.parquet(*[f.removeprefix("file://")
-                                  for f in files])
+        df = spark.read.schema(rs).parquet(
+            *[f.removeprefix("file://") for f in files])
     if partition_filter:
         df = df.filter(partition_filter)
     if scan_filter:

@@ -633,6 +633,9 @@ def _reframe_logs_to_spec(tbl):
             if ".log." not in f:
                 continue
             p = os.path.join(dp, f)
+            with open(p, "rb") as fh:
+                if fh.read(6) == b"#HUDI#":
+                    continue          # already spec-framed
             meta, records = read_container(p)
             schema = _json.loads(meta["avro.schema"])
             ts = str(records[0].get("_hoodie_commit_time", "0")) \
@@ -794,6 +797,54 @@ def test_hudi_mor_delete_block_and_cross_file_rollback_end_to_end(
     assert got[3] == (444.0, "B")             # ts1 rolled back, ts2 wins
     assert len(got) == 9
     assert got[4] == (40.0, "u1")             # untouched rows intact
+
+
+def test_hudi_delete_only_logs_read_end_to_end(spark, qc, tmp_path):
+    """Round-10 review pins: (a) a slice whose log carries ONLY a
+    delete block must not break the scan's schema sniff (it falls
+    through to the next file); (b) a table where EVERY log is a pure
+    hard-delete file types its tombstones under the BASE schema via
+    the merge's fallback; (c) a leading non-data block ending exactly
+    at the sniff's chunk boundary grows the buffer instead of
+    masquerading as end-of-file."""
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    from quokka_spark.sources.hudi_logfmt import (avro_data_block,
+                                                  delete_block,
+                                                  read_log_schema)
+    # (b) only log in the table = a delete block
+    tbl = _mor_table(spark, tmp_path, n=6)
+    sch = "id long, v double, tag string"
+    ts = upsert_hudi_mor_local(
+        spark, tbl, spark.createDataFrame([(2,)], "id long"),
+        delete=True)
+    logs = [os.path.join(dp, f) for dp, _, fs in os.walk(tbl)
+            for f in fs if ".log." in f]
+    assert len(logs) == 1
+    with open(logs[0], "wb") as fh:
+        fh.write(delete_block(["2"], ts))
+    got = sorted(r["id"] for r in qc.read_hudi(tbl).df.collect())
+    assert got == [0, 1, 3, 4, 5]
+    # (a) a SECOND slice with a data-block log: sniff skips the
+    # delete-only file and reads both
+    ts2 = upsert_hudi_mor_local(
+        spark, tbl, spark.createDataFrame([(3, 333.0, "UP")], sch))
+    assert _reframe_logs_to_spec(tbl) == 1     # only the new log
+    got2 = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert got2 == {0: 0.0, 1: 10.0, 3: 333.0, 4: 40.0, 5: 50.0}
+    # (c) chunk boundary: delete block ends exactly at chunk size
+    p = str(tmp_path / "boundary.log.1")
+    db = delete_block(["9"], "100")
+    schema = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": ["null", "long"]}]}
+    with open(p, "wb") as fh:
+        fh.write(db + avro_data_block(schema, [{"id": 1}], "100"))
+    assert read_log_schema(p, chunk=len(db)) == schema
+    # a genuinely data-block-less file still refuses typed
+    p2 = str(tmp_path / "delonly.log.1")
+    with open(p2, "wb") as fh:
+        fh.write(db)
+    with pytest.raises(NotImplementedError, match="no avro_data"):
+        read_log_schema(p2, chunk=len(db))
 
 
 def test_hudi_incremental_reads(spark, qc, tmp_path):

@@ -500,7 +500,10 @@ def _install_fake_pyiceberg(monkeypatch, tables):
             self.scan_calls = []
             self.metadata = types.SimpleNamespace(
                 snapshots=[Snap(s, t)
-                           for s, t in spec.get("snapshots", [])])
+                           for s, t in spec.get("snapshots", [])],
+                snapshot_log=[Snap(s, t)
+                              for s, t in spec.get("snapshot_log",
+                                                   [])])
 
         def scan(self, **kw):
             self.scan_calls.append(kw)
@@ -548,16 +551,37 @@ def test_iceberg_catalog_reads_via_pyiceberg(spark, qc, tmp_path,
     f2 = str(tmp_path / "c2.parquet")
     pd.DataFrame({"id": [1, 2], "v": [1.0, 2.0]}).to_parquet(f1)
     pd.DataFrame({"id": [3], "v": [3.0]}).to_parquet(f2)
+    sch = [("id", "long"), ("v", "double")]
     tables = _install_fake_pyiceberg(monkeypatch, {
         "db.t": {"files_at": {None: [f1, f2], 7: [f1]},
-                 "snapshots": [(7, 1000), (8, 2000)]},
+                 "snapshots": [(7, 1000), (8, 2000)], "schema": sch},
         "db.filt": {"files_at": {None: [f1, f2]},
-                    "reject_filter": True},
-        "db.del": {"files_at": {None: [f1]}, "deletes": ["d.parquet"]},
-        "db.empty": {"files_at": {None: []},
-                     "schema": [("id", "long"), ("v", "double")]}})
+                    "reject_filter": True, "schema": sch},
+        "db.del": {"files_at": {None: [f1]}, "deletes": ["d.parquet"],
+                   "schema": sch},
+        "db.empty": {"files_at": {None: []}, "schema": sch},
+        # rolled back to snapshot 7: snapshot 8 stays in
+        # metadata.snapshots until expiration but LEAVES the
+        # snapshot log — as-of-timestamp must follow the log
+        "db.rb": {"files_at": {None: [f1, f2], 7: [f1]},
+                  "snapshots": [(7, 1000), (8, 2000)],
+                  "snapshot_log": [(7, 1000)], "schema": sch},
+        # schema EVOLUTION: table schema carries a column no data
+        # file has — the read must null-fill, never footer-infer
+        "db.evo": {"files_at": {None: [f1]},
+                   "schema": sch + [("w", "string")]}})
     got = {r["id"]: r["v"] for r in qc.read_iceberg("db.t").df.collect()}
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    # rolled-back table: ts=2500ms would pick snapshot 8 from the
+    # flat list, but the log says 7 is the lineage tip
+    import datetime as _dt
+    ts25 = _dt.datetime.fromtimestamp(2.5, _dt.timezone.utc)
+    assert {r["id"] for r in qc.read_iceberg(
+        "db.rb", as_of_timestamp=ts25).df.collect()} == {1, 2}
+    # evolved column null-fills under the TABLE schema
+    evo = qc.read_iceberg("db.evo").df
+    assert [f.name for f in evo.schema.fields] == ["id", "v", "w"]
+    assert [r["w"] for r in evo.collect()] == [None, None]
     # snapshot travel plans through pyiceberg's snapshot_id
     got7 = {r["id"] for r in
             qc.read_iceberg("db.t", snapshot=7).df.collect()}
