@@ -2448,10 +2448,15 @@ def src_hudi_logfmt(spark, sf_dir):
     with INSTANT_TIME + SCHEMA, length-prefixed Avro binary records),
     exactly what a real hudi writer produces — the merge scan, the
     driver schema sniff, and the record-key window must read them
-    identically to the engine's own container logs. Fixture:
-    documents bulk-loads, one deltacommit updates lang of doc_id%10=0
-    and one deletes doc_id%7=0; every log file is then reframed to
-    the spec layout before the read."""
+    identically to the engine's own container logs. Round 10 widens
+    the gate to the full block family: the delete deltacommit is
+    reframed as a HARD-DELETE BLOCK (version-3 Avro
+    HoodieDeleteRecordList tombstones), and a poisoned update commit
+    is voided by a CROSS-FILE ROLLBACK command appended to a LATER
+    log file of each touched slice (the crash-recovery shape).
+    Fixture: documents bulk-loads; lang of doc_id%10=0 updates;
+    lang of doc_id%5=0 updates to 'zz' then ROLLS BACK (must be
+    invisible); doc_id%7=0 hard-deletes via delete blocks."""
     import json as _json
     import os
     import tempfile
@@ -2459,11 +2464,13 @@ def src_hudi_logfmt(spark, sf_dir):
     from quokka_spark.sources.avro_lite import read_container
     from quokka_spark.sources.hudi_local import (upsert_hudi_mor_local,
                                                  write_hudi_mor_local)
-    from quokka_spark.sources.hudi_logfmt import write_log_file
+    from quokka_spark.sources.hudi_logfmt import (delete_block,
+                                                  rollback_block,
+                                                  write_log_file)
     qc = _qc(spark)
     docs = os.path.join(sf_dir, "documents.parquet")
     base = os.path.join(tempfile.gettempdir(),
-                        "qs_hudilf_" + sf_dir.strip("/").replace("/", "_"))
+                        "qs_hudilf2_" + sf_dir.strip("/").replace("/", "_"))
     tbl = os.path.join(base, "tbl")
     done = os.path.join(base, "_done")
     if not os.path.exists(done):
@@ -2476,9 +2483,14 @@ def src_hudi_logfmt(spark, sf_dir):
         upd = src.where("doc_id % 10 = 0").withColumn("lang",
                                                       F.lit("xx"))
         upsert_hudi_mor_local(spark, tbl, upd)
+        poisoned = upsert_hudi_mor_local(
+            spark, tbl,
+            src.where("doc_id % 5 = 0").withColumn("lang", F.lit("zz")))
         dels = src.where("doc_id % 7 = 0").select("doc_id")
         upsert_hudi_mor_local(spark, tbl, dels, delete=True)
-        # reframe every container log into spec framing, in place
+        # reframe every container log into spec framing, in place;
+        # all-tombstone logs become HARD-DELETE blocks
+        by_group: dict = {}
         for dp, _, fs in os.walk(tbl):
             if ".hoodie" in dp:
                 continue
@@ -2490,7 +2502,24 @@ def src_hudi_logfmt(spark, sf_dir):
                 schema = _json.loads(meta["avro.schema"])
                 ts = str(records[0].get("_hoodie_commit_time", "0")) \
                     if records else "0"
-                write_log_file(p, schema, records, ts)
+                if records and all(r.get("_hoodie_is_deleted")
+                                   for r in records):
+                    with open(p, "wb") as fh:
+                        fh.write(delete_block(
+                            [str(r["doc_id"]) for r in records], ts))
+                else:
+                    write_log_file(p, schema, records, ts)
+                # group key = fileId prefix of the spec log name
+                by_group.setdefault(f.split(".log.")[0], []).append(
+                    (ts, p))
+        # void the poisoned instant with a rollback command appended
+        # to the NEWEST log file of each slice that carries it — the
+        # rolled-over-file shape real crash recovery produces
+        for _g, items in by_group.items():
+            if any(ts == poisoned for ts, _p in items):
+                newest = max(items)[1]
+                with open(newest, "ab") as fh:
+                    fh.write(rollback_block(poisoned))
         with open(done, "w") as fh:
             fh.write("ok")
     ds = qc.read_hudi(tbl)

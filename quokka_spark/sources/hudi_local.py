@@ -826,6 +826,38 @@ def read_hudi_incremental(spark, table: str, begin: str,
             "*", ctype_col.alias("_change_type"),
             F.lit(ts).alias("_commit_instant"))
 
+    # COALESCED base-file runs (round 10, tier-3 probe): an
+    # append-heavy timeline contributes one upsert part per instant,
+    # and an N-way union's Catalyst analysis cost grows super-
+    # linearly with N (same finding as the Delta CDF). Consecutive
+    # instants whose contribution is ONLY new base files scan as ONE
+    # part with _commit_instant stamped per row from a broadcast
+    # file→instant map.
+    pending: list = []            # [(ts, [files])]
+
+    def _flush_bases():
+        if not pending:
+            return
+        if len(pending) == 1:
+            ts0, fs = pending[0]
+            parts.append(_tag(spark.read.parquet(*sorted(fs)),
+                              ts0, F.lit("upsert")))
+        else:
+            from .delta_local import _plain_path_col
+            fs = sorted(f for _, fls in pending for f in fls)
+            im = spark.createDataFrame(
+                [(os.path.abspath(f), ts0)
+                 for ts0, fls in pending for f in fls],
+                "__qs_bf__ string, __qs_ts__ string")
+            df = (spark.read.parquet(*fs)
+                  .withColumn("__qs_bf__", _plain_path_col())
+                  .join(F.broadcast(im), "__qs_bf__").drop("__qs_bf__"))
+            data_cols = [c for c in df.columns if c != "__qs_ts__"]
+            parts.append(df.select(
+                *data_cols, F.lit("upsert").alias("_change_type"),
+                F.col("__qs_ts__").alias("_commit_instant")))
+        pending.clear()
+
     for ts, action, path in instants:
         if int(ts) > int(end):
             break
@@ -871,6 +903,10 @@ def read_hudi_incremental(spark, table: str, begin: str,
                 "changed and carried-over records, and these files "
                 "carry no _hoodie_commit_time meta column to filter "
                 "by")
+        if new_bases and not logs:
+            pending.append((ts, new_bases))
+            continue
+        _flush_bases()
         if new_bases:
             df = spark.read.parquet(*sorted(new_bases))
             parts.append(_tag(df, ts, F.lit("upsert")))
@@ -892,6 +928,7 @@ def read_hudi_incremental(spark, table: str, begin: str,
             parts.append(lg.select(
                 *data_cols, ctype.alias("_change_type"),
                 F.lit(ts).alias("_commit_instant")))
+    _flush_bases()
     if not parts:
         # typed empty: current schema + the two change columns
         cur = read_hudi_local(spark, table, as_of=end)

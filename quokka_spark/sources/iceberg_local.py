@@ -1969,6 +1969,35 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
         return (spark.read.schema(rs).parquet(*fs)
                 if rs is not None else spark.read.parquet(*fs))
 
+    # COALESCED insert runs (round 10, tier-3 probe — same finding as
+    # the Delta CDF): one union branch per snapshot makes Catalyst
+    # analysis grow super-linearly with the range length. Consecutive
+    # insert-only snapshots scan as ONE part, _snapshot_id stamped
+    # per row from a broadcast file→snapshot map.
+    pending: list = []            # [(sid, [paths])]
+
+    def _flush_inserts():
+        if not pending:
+            return
+        if len(pending) == 1:
+            sid0, paths = pending[0]
+            parts.append(_tag(_scan(paths), "insert", sid0))
+        else:
+            from .delta_local import _plain_path_col
+            all_paths = [p for _, ps in pending for p in ps]
+            im = spark.createDataFrame(
+                [(os.path.abspath(_local(p)), int(sid0))
+                 for sid0, ps in pending for p in ps],
+                "__qs_if__ string, __qs_sid__ long")
+            df = (_scan(all_paths)
+                  .withColumn("__qs_if__", _plain_path_col())
+                  .join(F.broadcast(im), "__qs_if__").drop("__qs_if__"))
+            data_cols = [c for c in df.columns if c != "__qs_sid__"]
+            parts.append(df.select(
+                *data_cols, F.lit("insert").alias("_change_type"),
+                F.col("__qs_sid__").alias("_snapshot_id")))
+        pending.clear()
+
     for pos in range(i0, i1 + 1):
         sid = ids[pos]
         op = (snaps[pos].get("summary") or {}).get("operation")
@@ -1990,7 +2019,12 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
                 raise ValueError(
                     f"snapshot {sid}: stamped 'replace' but adds "
                     "delete files — malformed rewrite")
+            continue        # contributes nothing; the run stays open
+        if added and not removed and not new_pos and not new_eq:
+            # pure-insert snapshot: join the coalesced run
+            pending.append((sid, added))
             continue
+        _flush_inserts()
         # UPDATE pairing (round 9): an upsert snapshot that declares
         # its MERGE keys in the summary (upsert_iceberg_local stamps
         # "merge-keys") pairs its position-delete rows with its new
@@ -2123,6 +2157,7 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
             parts.append(_tag(
                 tgt.join(dd, cond, "left_semi")
                 .drop("__qs_fp__", "__qs_pos__"), "delete", sid))
+    _flush_inserts()
     if not parts:
         cur = _live_df(spark, table_path, to_snapshot)
         return _tag(cur, "insert", 0).limit(0)
