@@ -87,7 +87,7 @@ def probe_delta(spark, root: str, bands=(100, 250, 500)) -> None:
     # CDF over the whole history — EXPECTED linear in commits (the
     # plan is a ~N-way union of per-version parts, so the DRIVER
     # analysis cost is the term to watch)
-    for b in (25, 50, 100):
+    for b in [x for x in (25, 50, 100) if x <= n_total]:
         print(json.dumps({
             "probe": "delta_cdf_replay", "commits": b,
             "sec": _timed(lambda b=b: read_delta_changes(
@@ -142,7 +142,7 @@ def probe_hudi(spark, root: str, bands=(50, 100, 200)) -> None:
     instants = None
     from quokka_spark.sources.hudi_local import completed_instants
     instants = [ts for ts, _, _ in completed_instants(tbl)]
-    for b in (25, 50):
+    for b in [x for x in (25, 50) if x <= n_total]:
         print(json.dumps({
             "probe": "hudi_incremental_replay", "instants": b,
             "sec": _timed(lambda b=b: read_hudi_incremental(

@@ -701,6 +701,28 @@ def _partition_values_frame(spark, files, adds, pcols, ptypes,
           for c in pcols])
 
 
+def _stamp_provenance(spark, df, rows, path_col: str,
+                      stamp_name: str, stamp_type: str, ctype: str):
+    """Shared tail of the three coalesced-insert-run builders (Delta
+    CDF / Hudi incremental / Iceberg CDF — the round-10 N-way-union
+    fix): join a broadcast (path → stamp) map onto the combined scan
+    and project (data…, _change_type, stamp). ``rows`` is
+    [(path key, stamp)]; the path keys MUST come from the SAME
+    normalizer that produced ``df[path_col]`` (os.path.abspath for
+    the Delta/Hudi scans' _plain_path_col, iceberg_local._py_norm
+    for manifests that may store file:/ URIs) — single-sourcing this
+    join is the point, a diverged key silently drops every row of
+    the run (inner join)."""
+    from pyspark.sql import functions as F
+    m = spark.createDataFrame(
+        rows, f"{path_col} string, __qs_stamp__ {stamp_type}")
+    out = df.join(F.broadcast(m), path_col).drop(path_col)
+    data_cols = [c for c in out.columns if c != "__qs_stamp__"]
+    return out.select(*data_cols,
+                      F.lit(ctype).alias("_change_type"),
+                      F.col("__qs_stamp__").alias(stamp_name))
+
+
 def _plain_path_col():
     """``_metadata.file_path`` (a percent-encoded URI) → the plain
     filesystem path the log/map uses. A literal '+' in a path is a
@@ -2099,16 +2121,11 @@ def read_delta_changes(spark, table: str, from_version: int,
             fs = [f for _, fls, _ in pending for f in fls]
             ads = [a for _, _, als in pending for a in als]
             df = _part(fs, ads, state, keep_path=True)
-            vm = spark.createDataFrame(
+            parts.append(_stamp_provenance(
+                spark, df,
                 [(os.path.abspath(f), v)
                  for v, fls, _ in pending for f in fls],
-                "__qs_path__ string, __qs_ver__ long")
-            df = (df.join(F.broadcast(vm), "__qs_path__")
-                  .drop("__qs_path__"))
-            data_cols = [c for c in df.columns if c != "__qs_ver__"]
-            parts.append(df.select(
-                *data_cols, F.lit("insert").alias("_change_type"),
-                F.col("__qs_ver__").alias("_commit_version")))
+                "__qs_path__", "_commit_version", "long", "insert"))
         pending.clear()
 
     def _dv_delta_rows(v, pairs, st):

@@ -843,19 +843,15 @@ def read_hudi_incremental(spark, table: str, begin: str,
             parts.append(_tag(spark.read.parquet(*sorted(fs)),
                               ts0, F.lit("upsert")))
         else:
-            from .delta_local import _plain_path_col
+            from .delta_local import _plain_path_col, _stamp_provenance
             fs = sorted(f for _, fls in pending for f in fls)
-            im = spark.createDataFrame(
+            df = (spark.read.parquet(*fs)
+                  .withColumn("__qs_bf__", _plain_path_col()))
+            parts.append(_stamp_provenance(
+                spark, df,
                 [(os.path.abspath(f), ts0)
                  for ts0, fls in pending for f in fls],
-                "__qs_bf__ string, __qs_ts__ string")
-            df = (spark.read.parquet(*fs)
-                  .withColumn("__qs_bf__", _plain_path_col())
-                  .join(F.broadcast(im), "__qs_bf__").drop("__qs_bf__"))
-            data_cols = [c for c in df.columns if c != "__qs_ts__"]
-            parts.append(df.select(
-                *data_cols, F.lit("upsert").alias("_change_type"),
-                F.col("__qs_ts__").alias("_commit_instant")))
+                "__qs_bf__", "_commit_instant", "string", "upsert"))
         pending.clear()
 
     for ts, action, path in instants:

@@ -1983,19 +1983,19 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
             sid0, paths = pending[0]
             parts.append(_tag(_scan(paths), "insert", sid0))
         else:
-            from .delta_local import _plain_path_col
+            from .delta_local import _stamp_provenance
             all_paths = [p for _, ps in pending for p in ps]
-            im = spark.createDataFrame(
-                [(os.path.abspath(_local(p)), int(sid0))
+            # THIS module's path convention (_py_norm/_norm_path), not
+            # abspath: externally-written manifests may store file:/
+            # single-slash URIs, which abspath would mangle and the
+            # inner join would then silently drop the whole run
+            df = _scan(all_paths).withColumn(
+                "__qs_if__", _norm_path(F.col("_metadata.file_path")))
+            parts.append(_stamp_provenance(
+                spark, df,
+                [(_py_norm(_local(p)), int(sid0))
                  for sid0, ps in pending for p in ps],
-                "__qs_if__ string, __qs_sid__ long")
-            df = (_scan(all_paths)
-                  .withColumn("__qs_if__", _plain_path_col())
-                  .join(F.broadcast(im), "__qs_if__").drop("__qs_if__"))
-            data_cols = [c for c in df.columns if c != "__qs_sid__"]
-            parts.append(df.select(
-                *data_cols, F.lit("insert").alias("_change_type"),
-                F.col("__qs_sid__").alias("_snapshot_id")))
+                "__qs_if__", "_snapshot_id", "long", "insert"))
         pending.clear()
 
     for pos in range(i0, i1 + 1):
