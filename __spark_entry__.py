@@ -1943,6 +1943,212 @@ GROUP BY l_returnflag
 """
 
 
+def src_delta_cm_id_partitioned(spark, sf_dir):
+    """PARTITIONED columnMapping.mode=id Delta table end-to-end
+    (round 10): partition columns never live in the data files, so
+    partitionValues key by the SCHEMA's physicalName while data
+    columns resolve per file by parquet field id; the id-mode MERGE
+    upsert rewrites matched files via the per-file field-id survivor
+    scan. Upserted rows (p_partkey%10=0 → retailprice -1) make a
+    wrong merge hash-visible; aggregating BY the partition column
+    pins the partition rejoin."""
+    import json as _json
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    pt = os.path.join(sf_dir, "part.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_cmidp_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        os.makedirs(tbl)
+        schema = {"type": "struct", "fields": [
+            {"name": "p_brand", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-1",
+                          "delta.columnMapping.id": 1}},
+            {"name": "p_partkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-2",
+                          "delta.columnMapping.id": 2}},
+            {"name": "p_retailprice", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "c-3",
+                          "delta.columnMapping.id": 3}}]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "qs-cm-id-part",
+                          "format": {"provider": "parquet",
+                                     "options": {}},
+                          "schemaString": _json.dumps(schema),
+                          "partitionColumns": ["p_brand"],
+                          "configuration": {
+                              "delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "3"},
+                          "createdTime": 0}}])
+        src = spark.read.parquet(pt) \
+            .select("p_brand", "p_partkey", "p_retailprice")
+        write_delta_local(src.where("p_partkey % 2 = 0"), tbl,
+                          mode="append")
+        write_delta_local(src.where("p_partkey % 2 = 1"), tbl,
+                          mode="append")
+        upsert_delta_local(
+            spark, tbl,
+            src.where("p_partkey % 10 = 0")
+            .withColumn("p_retailprice", F.lit(-1.0)),
+            ["p_partkey"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_delta(tbl)
+    return ds.df.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        F.sum("p_partkey").alias("sum_pk"))
+
+
+_SRC_DELTA_CM_ID_PARTITIONED_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN p_partkey % 10 = 0 THEN -1.0
+                      ELSE p_retailprice END), 2) AS sum_price,
+       CAST(sum(p_partkey) AS BIGINT) AS sum_pk
+FROM part GROUP BY p_brand
+"""
+
+
+def src_delta_auto_checkpoint(spark, sf_dir):
+    """Automatic checkpointing on the write path (round 10): 12
+    append commits leave an auto-checkpoint at v10 with NO manual
+    write_checkpoint_local call; the fixture then DELETES every JSON
+    commit the checkpoint covers (log cleanup), so this read is
+    impossible unless the auto-checkpoint was written and replays
+    correctly — a missing or wrong checkpoint is loud, not
+    hash-wrong."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import (_scan_log,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_autockpt_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(li) \
+            .select("l_orderkey", "l_quantity", "l_returnflag")
+        for i in range(12):
+            write_delta_local(src.where(f"l_orderkey % 12 = {i}"),
+                              tbl, mode="append")
+        assert 10 in _scan_log(tbl)[1], "auto-checkpoint missing"
+        for v in range(10):
+            p = os.path.join(tbl, "_delta_log", f"{v:020d}.json")
+            if os.path.exists(p):
+                os.remove(p)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_delta(tbl)
+    return ds.df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum("l_orderkey").alias("sum_ok"))
+
+
+_SRC_DELTA_AUTO_CHECKPOINT_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def src_iceberg_multispec(spark, sf_dir):
+    """Iceberg commits on a table with EVOLVED partition specs
+    (round 10): the current snapshot spans manifests of TWO specs;
+    a MERGE upsert then commits through the EXTEND path (new
+    manifests under the current spec, prior manifests untouched).
+    Upserted rows (p_partkey%10=0 → retailprice -1) make a wrong
+    merge or a corrupted older-spec manifest hash-visible."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.avro_lite import (read_container,
+                                                write_container)
+    from quokka_spark.sources.iceberg_local import (
+        _MANIFEST_FILE_SCHEMA, create_local_iceberg_table,
+        upsert_iceberg_local)
+    qc = _qc(spark)
+    pt = os.path.join(sf_dir, "part.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_icems_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(pt) \
+            .select("p_brand", "p_partkey", "p_retailprice", "p_type")
+        fa = os.path.join(base, "a.parquet")
+        fb = os.path.join(base, "b.parquet")
+        src.where("p_partkey % 2 = 0").coalesce(1) \
+            .toPandas().to_parquet(fa)
+        src.where("p_partkey % 2 = 1").coalesce(1) \
+            .toPandas().to_parquet(fb)
+        create_local_iceberg_table(
+            tbl,
+            [{"data": [{"path": fa, "partition": {"p_type": "all"}}],
+              "spec_id": 0},
+             {"data": [{"path": fb, "partition": {"p_brand": "all"}}],
+              "spec_id": 1}],
+            schema_fields=[(1, "p_brand", "string"),
+                           (2, "p_partkey", "long"),
+                           (3, "p_retailprice", "double"),
+                           (4, "p_type", "string")],
+            partition_specs=[
+                {"spec-id": 0, "fields": [
+                    {"name": "p_type", "type": "string", "source-id": 4,
+                     "transform": "identity", "field-id": 1000}]},
+                {"spec-id": 1, "fields": [
+                    {"name": "p_brand", "type": "string", "source-id": 1,
+                     "transform": "identity", "field-id": 1001}]}])
+        # a real evolved table's current snapshot spans both specs
+        meta_dir = os.path.join(tbl, "metadata")
+        _, r1 = read_container(os.path.join(meta_dir, "snap-1.avro"))
+        _, r2 = read_container(os.path.join(meta_dir, "snap-2.avro"))
+        write_container(os.path.join(meta_dir, "snap-2.avro"),
+                        _MANIFEST_FILE_SCHEMA, r1 + r2)
+        upsert_iceberg_local(
+            spark, tbl,
+            src.where("p_partkey % 10 = 0")
+            .withColumn("p_retailprice", F.lit(-1.0)),
+            ["p_partkey"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_iceberg(tbl)
+    return ds.df.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        F.sum("p_partkey").alias("sum_pk"))
+
+
+_SRC_ICEBERG_MULTISPEC_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN p_partkey % 10 = 0 THEN -1.0
+                      ELSE p_retailprice END), 2) AS sum_price,
+       CAST(sum(p_partkey) AS BIGINT) AS sum_pk
+FROM part GROUP BY p_brand
+"""
+
+
 def src_delta_cm_id_write(spark, sf_dir):
     """Delta columnMapping.mode=id WRITE roundtrip + mapped schema
     EVOLUTION (round 9): the even-orderkey half of lineitem sits in
@@ -6776,6 +6982,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm": src_delta_cm,
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
+        "src_delta_cm_id_partitioned": src_delta_cm_id_partitioned,
+        "src_delta_auto_checkpoint": src_delta_auto_checkpoint,
+        "src_iceberg_multispec": src_iceberg_multispec,
         "src_hudi_incr": src_hudi_incr,
         "src_iceberg_cdf": src_iceberg_cdf,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
@@ -6977,6 +7186,9 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_cm": _SRC_DELTA_CM_SQL,
         "src_delta_cm_write": _SRC_DELTA_CM_WRITE_SQL,
         "src_delta_cm_id_write": _SRC_DELTA_CM_ID_WRITE_SQL,
+        "src_delta_cm_id_partitioned": _SRC_DELTA_CM_ID_PARTITIONED_SQL,
+        "src_delta_auto_checkpoint": _SRC_DELTA_AUTO_CHECKPOINT_SQL,
+        "src_iceberg_multispec": _SRC_ICEBERG_MULTISPEC_SQL,
         "src_delta_cm_partitioned": _SRC_DELTA_CM_PARTITIONED_SQL,
         "src_delta_cdf": _SRC_DELTA_CDF_SQL,
         "src_delta_cdf_upsert": _SRC_DELTA_CDF_UPSERT_SQL,
