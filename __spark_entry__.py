@@ -2520,6 +2520,105 @@ FROM ch GROUP BY _change_type
 """
 
 
+def src_delta_cdf_id(spark, sf_dir):
+    """CDF on a columnMapping.mode=id Delta table (round 10 — closes
+    the last column-mapping gate, delta_local.read_delta_changes id
+    branch): data columns resolve PER FILE by parquet field ids, so
+    the change stream survives a mid-history physical RENAME
+    (spec-legal in id mode — files before and after the rename carry
+    different parquet column names for the same field id). Fixture:
+    v0 commits id-mode metadata; v1 appends the even-doc_id half
+    under the original physical names; v2 renames the physical names
+    (metadata-only commit, same field ids); v3 appends the odd half
+    under the NEW names — two live layouts; v4 DV-deletes every
+    doc_id % 7 = 0 row. The stream from v1 must reproduce the
+    oracle's insert/insert/delete decomposition with LOGICAL names."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  delete_rows_delta_local,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_cdfid_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(tbl, exist_ok=True)
+
+        def meta_action(phys_a, phys_b):
+            schema = {"type": "struct", "fields": [
+                {"name": "doc_id", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 1,
+                              "delta.columnMapping.physicalName": phys_a}},
+                {"name": "n_chars", "type": "long", "nullable": True,
+                 "metadata": {"delta.columnMapping.id": 2,
+                              "delta.columnMapping.physicalName": phys_b}}]}
+            return {"metaData": {
+                "id": "cdfid", "format": {"provider": "parquet",
+                                          "options": {}},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id",
+                                  "delta.columnMapping.maxColumnId": "2"},
+                "createdTime": 0}}
+
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta_action("col-a1", "col-b2")])
+        src = spark.read.parquet(docs).select("doc_id", "n_chars")
+        write_delta_local(src.where("doc_id % 2 = 0"), tbl,
+                          mode="append")                        # v1
+        _commit(tbl, 2, [meta_action("col-x1", "col-y2")])      # v2
+        write_delta_local(src.where("doc_id % 2 = 1"), tbl,
+                          mode="append")                        # v3
+        deletes = {}
+        for uri in qc.read_delta(tbl).df.inputFiles():
+            f = uri.removeprefix("file:")
+            # resolve doc_id by FIELD ID — physical names differ
+            name = next(fl.name for fl in pq.read_schema(f)
+                        if (fl.metadata or {}).get(
+                            b"PARQUET:field_id") == b"1")
+            keys = pq.read_table(f, columns=[name]) \
+                .column(name).to_pylist()
+            pos = [i for i, v in enumerate(keys) if v % 7 == 0]
+            if pos:
+                deletes[f] = pos
+        delete_rows_delta_local(tbl, deletes)                   # v4
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ch = qc.read_delta_changes(tbl, 1).df
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+_SRC_DELTA_CDF_ID_SQL = """
+WITH ch AS (
+  SELECT 1 AS v, 'insert' AS t, doc_id, n_chars
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 3, 'insert', doc_id, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 4, 'delete', doc_id, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT CAST(v AS BIGINT) AS _commit_version, t AS _change_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM ch GROUP BY v, t
+"""
+
+
 def src_iceberg_transform(spark, sf_dir):
     """Iceberg BUCKET-transform partition pruning end-to-end
     (iceberg_local._prune_entries_transforms + the spec's 32-bit
@@ -6918,6 +7017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # timestamp time travel
         "src_delta_cm_partitioned": src_delta_cm_partitioned,
         "src_delta_cdf_upsert": src_delta_cdf_upsert,
+        "src_delta_cdf_id": src_delta_cdf_id,
         "src_delta_ts_travel": src_delta_ts_travel,
         # streaming (5: the exactly-once sink TRIO + the Delta SOURCE,
         # plain and PARTITIONED)
@@ -7192,6 +7292,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_cm_partitioned": _SRC_DELTA_CM_PARTITIONED_SQL,
         "src_delta_cdf": _SRC_DELTA_CDF_SQL,
         "src_delta_cdf_upsert": _SRC_DELTA_CDF_UPSERT_SQL,
+        "src_delta_cdf_id": _SRC_DELTA_CDF_ID_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,

@@ -49,9 +49,9 @@ partition-column name — the SCHEMA's physicalName, stable across
 files even in id mode since partition columns never live in the
 data files), and MERGE upserts work in both modes too (physical
 scan → logical match → physical rewrite; round 10's id-mode
-survivor scan resolves each file by its parquet field ids). Still
-gated with a clear error: id-mode through the CHANGE FEED
-(read_delta_changes).
+survivor scan resolves each file by its parquet field ids), and the
+CHANGE FEED (read_delta_changes) handles BOTH modes — id mode routes
+every change part through the same grouped field-id scan.
 ``metaData.schemaString`` is written spec-correctly (it IS Spark's
 schema JSON) and read back for partition-column types; data columns
 trust the parquet footers, which is what Spark's scan enforces
@@ -545,7 +545,8 @@ def _file_id_layout(f: str) -> dict:
     return id2name
 
 
-def _id_mode_scan(spark, files, adds, idmap, root, with_path=False):
+def _id_mode_scan(spark, files, adds, idmap, root, with_path=False,
+                  with_pos=False, apply_dv=True):
     """id-mode scan: resolve each file's columns by the PARQUET FIELD
     IDS in its footer (one KB-scale footer read per file on FIRST
     touch — repeat scans hit the session layout cache and pay only an
@@ -555,7 +556,10 @@ def _id_mode_scan(spark, files, adds, idmap, root, with_path=False):
     for exactly that); a file missing a schema field id refuses
     loudly — guessing by name would read the wrong column.
     ``with_path`` adds a ``__qs_path__`` plain-path column (the
-    partition rejoin / upsert survivor-scan hook)."""
+    partition rejoin / upsert survivor-scan hook); ``with_pos`` adds
+    the ``_metadata.row_index`` as ``__qs_pos__`` and ``apply_dv=
+    False`` keeps deleted rows — the change feed's DV-diff part needs
+    the RAW rows to semi-join its new-minus-old positions against."""
     from pyspark.sql.types import StructField, StructType
 
     from pyspark.sql import functions as F
@@ -583,12 +587,15 @@ def _id_mode_scan(spark, files, adds, idmap, root, with_path=False):
                          for i, (_n, dt) in sorted(idmap.items())
                          if phys[i] is not None])
         d = spark.read.schema(rs).parquet(*gf)
-        d = _apply_deletion_vectors(spark, d, gf, ga, root)
+        if apply_dv:
+            d = _apply_deletion_vectors(spark, d, gf, ga, root)
         cols = [(F.col(phys[i]) if phys[i] is not None
                  else F.lit(None).cast(dt)).alias(n)
                 for i, (n, dt) in sorted(idmap.items())]
         if with_path:
             cols.append(_plain_path_col().alias("__qs_path__"))
+        if with_pos:
+            cols.append(F.col("_metadata.row_index").alias("__qs_pos__"))
         parts.append(d.select(*cols))
     out = parts[0]
     for p in parts[1:]:
@@ -1973,7 +1980,9 @@ def read_delta_changes(spark, table: str, from_version: int,
     partition spec per version — a repartitioning overwrite scans its
     removed files under the pre-commit scheme and its new files under
     the post-commit one. columnMapping NAME-mode tables translate
-    physical→logical on every part (round 9); id mode and mid-range
+    physical→logical on every part (round 9); ID-mode tables resolve
+    data columns per file by parquet field ids through the same
+    grouped scan as the batch reader (round 10); mid-range
     mapping-MODE changes stay gated."""
     import json as _json
 
@@ -2009,15 +2018,19 @@ def read_delta_changes(spark, table: str, from_version: int,
     else:
         cur_meta, pre_live = None, {}
     end_cm = _cm_mode(meta)
-    if end_cm == "id":
-        raise NotImplementedError(
-            "read_delta_changes on a columnMapping.mode=id table — "
-            "per-file field-id layouts are not wired into the change "
-            "scan")
     # name-mode mapping (round 9): the END meta's mapping is a
     # superset of every version's (physical names never change for an
     # existing column; later columns null-fill in older files)
     cmap = _column_mapping(meta)
+    # id-mode mapping (round 10): data columns resolve PER FILE by
+    # parquet field ids (the grouped _id_mode_scan — the same engine
+    # as the batch reader and the upsert survivor scan); partition
+    # columns never live in the data files, so partitionValues key by
+    # the SCHEMA's stable physicalName, exactly like the batch path
+    idmap = _id_mapping(meta)
+    id_phys = ({f.name: p for f, p in _mapped_fields(
+        meta, "id", "delta.columnMapping.physicalName")}
+        if idmap else None)
     root = table.removeprefix("file://")
     # output column order: the to_version schema (None for minimal
     # fixtures → whatever the scans infer)
@@ -2046,8 +2059,10 @@ def read_delta_changes(spark, table: str, from_version: int,
         state["pcols"], state["ptypes"] = pc, pt
         # scan with the to_version schema MINUS this version's
         # partition columns — evolution null-fill + no rejoin clash;
-        # physical names on mapped tables
-        state["rs"] = _log_read_schema(meta, pc, cmap=cmap)
+        # physical names on mapped tables (id mode resolves per file
+        # instead — _id_mode_scan builds each group's own schema)
+        state["rs"] = (None if idmap
+                       else _log_read_schema(meta, pc, cmap=cmap))
 
     _set_meta(cur_meta)
 
@@ -2069,6 +2084,24 @@ def read_delta_changes(spark, table: str, from_version: int,
         files whose partitionValues key by the old scheme).
         ``keep_path`` retains ``__qs_path__`` for the coalesced
         insert path's per-file version stamping."""
+        if idmap:
+            # id mode: per-file field-id resolution (DVs applied per
+            # layout group inside the scan), then the partition
+            # rejoin keyed by the schema's stable physicalName
+            data_idmap = {i: nd for i, nd in idmap.items()
+                          if nd[0] not in st["pcols"]}
+            df = _id_mode_scan(spark, files_, adds_, data_idmap,
+                               root, with_path=True)
+            if st["pcols"]:
+                mapping = _partition_values_frame(
+                    spark, files_, adds_, st["pcols"], st["ptypes"],
+                    {c: id_phys[c] for c in st["pcols"]})
+                df = df.join(F.broadcast(mapping), "__qs_path__")
+            if keep_path:
+                return (df.select("__qs_path__", *schema_cols)
+                        if schema_cols else df)
+            df = df.drop("__qs_path__")
+            return df.select(*schema_cols) if schema_cols else df
         df = _apply_deletion_vectors(spark, _scan_raw(files_, st),
                                      files_, adds_, root)
         if not st["pcols"] and not cmap:
@@ -2175,6 +2208,32 @@ def read_delta_changes(spark, table: str, from_version: int,
         positions = dd.mapInPandas(
             _decode, "__qs_dfp__ string, __qs_dpos__ long")
         files = [r[0] for r in rows]
+        if idmap:
+            # id mode: RAW per-file-resolved rows (apply_dv=False —
+            # the semi-join below picks exactly the new-minus-old
+            # positions), then the same partition rejoin as _part
+            data_idmap = {i: nd for i, nd in idmap.items()
+                          if nd[0] not in st["pcols"]}
+            new_adds = [na for _, na, _ in pairs]
+            scan = (_id_mode_scan(spark, files, new_adds, data_idmap,
+                                  root, with_path=True, with_pos=True,
+                                  apply_dv=False)
+                    .withColumnRenamed("__qs_path__", "__qs_fp__")
+                    .join(positions,
+                          (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                          & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                          "left_semi"))
+            if st["pcols"]:
+                mapping = _partition_values_frame(
+                    spark, files, new_adds, st["pcols"], st["ptypes"],
+                    {c: id_phys[c] for c in st["pcols"]}
+                ).withColumnRenamed("__qs_path__", "__qs_fp__")
+                scan = scan.join(F.broadcast(mapping), "__qs_fp__")
+            scan = scan.drop("__qs_fp__", "__qs_pos__")
+            if schema_cols:
+                scan = scan.select(*schema_cols)
+            parts.append(_tag(scan, "delete", v))
+            return
         scan = (_scan_raw(files, st)
                 .withColumn("__qs_fp__", _plain_path_col())
                 .withColumn("__qs_pos__", F.col("_metadata.row_index"))

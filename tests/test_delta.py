@@ -2042,6 +2042,90 @@ def test_delta_changes_column_mapping_name_mode(spark, qc, tmp_path):
     assert got == [(1, "a"), (2, "b")]
 
 
+def test_delta_changes_id_mode(spark, qc, tmp_path):
+    """Round 10: the change feed on an ID-mapped table resolves data
+    columns per file by parquet FIELD IDS (heterogeneous physical
+    layouts — the exact case name-mode translation can't express),
+    DV-delta deletes semi-join raw per-file-resolved rows, and upsert
+    commits pair update_pre/postimage — all surfacing LOGICAL names."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  delete_rows_delta_local,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+
+    # v0: meta + two files whose PHYSICAL names disagree
+    tbl = _id_mode_table(tmp_path, [
+        ("cdfa.parquet", {1: ("x", [1, 2]), 2: ("y", [1.0, 2.0])}),
+        ("cdfb.parquet", {1: ("zz", [3]), 2: ("ww", [3.0])})])
+    # v1: DV delete of id=2 (row index 1 of cdfa.parquet)
+    delete_rows_delta_local(tbl, {str(tmp_path / "cdfa.parquet"): [1]})
+    # v2: MERGE upsert — update id=1, insert id=9
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(1, 11.0), (9, 9.0)], "id long, v double"),
+        ["id"])
+    ch = qc.read_delta_changes(tbl, 0).df
+    assert set(ch.columns) == {"id", "v", "_change_type",
+                               "_commit_version"}
+    rows = sorted((r["_commit_version"], r["_change_type"], r["id"],
+                   r["v"]) for r in ch.collect())
+    assert rows == [
+        (0, "insert", 1, 1.0), (0, "insert", 2, 2.0),
+        (0, "insert", 3, 3.0),
+        (1, "delete", 2, 2.0),
+        (2, "insert", 9, 9.0),
+        (2, "update_postimage", 1, 11.0),
+        (2, "update_preimage", 1, 1.0)]
+    # partitioned + id-mapped: partition values come back LOGICAL
+    schema = {"type": "struct", "fields": [
+        {"name": "p", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-p1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a2",
+                      "delta.columnMapping.id": 2}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b3",
+                      "delta.columnMapping.id": 3}}]}
+    ptbl = str(tmp_path / "pidch")
+    os.makedirs(ptbl)
+    _commit(ptbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(schema),
+                      "partitionColumns": ["p"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "3"},
+                      "createdTime": 0}}])
+    write_delta_local(
+        spark.createDataFrame([("A", 1, 1.0), ("B", 2, 2.0)],
+                              "p string, id long, v double").coalesce(1),
+        ptbl, mode="append")
+    upsert_delta_local(
+        spark, ptbl,
+        spark.createDataFrame([("B", 2, 22.0)],
+                              "p string, id long, v double"), ["id"])
+    ch2 = qc.read_delta_changes(ptbl, 1).df
+    got = sorted((r["_commit_version"], r["_change_type"], r["id"],
+                  r["p"], r["v"]) for r in ch2.collect())
+    assert got == [
+        (1, "insert", 1, "A", 1.0), (1, "insert", 2, "B", 2.0),
+        (2, "update_postimage", 2, "B", 22.0),
+        (2, "update_preimage", 2, "B", 2.0)]
+    # data files still carry field ids for DATA columns only
+    f0 = [f.removeprefix("file:")
+          for f in qc.read_delta(ptbl).df.inputFiles()][0]
+    ids = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+           for f in pq.read_schema(f0)}
+    assert ids == {"col-a2": b"2", "col-b3": b"3"}
+
+
 def test_delta_changes_random_ops_partitioned(spark, qc, tmp_path):
     """Model-based sweep for the PARTITIONED change feed (round 9):
     a seeded random sequence of partitioned appends, DV deletes,
