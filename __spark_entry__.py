@@ -2756,12 +2756,15 @@ def src_hudi_logfmt(spark, sf_dir):
     identically to the engine's own container logs. Round 10 widens
     the gate to the full block family: the delete deltacommit is
     reframed as a HARD-DELETE BLOCK (version-3 Avro
-    HoodieDeleteRecordList tombstones), and a poisoned update commit
-    is voided by a CROSS-FILE ROLLBACK command appended to a LATER
-    log file of each touched slice (the crash-recovery shape).
-    Fixture: documents bulk-loads; lang of doc_id%10=0 updates;
-    lang of doc_id%5=0 updates to 'zz' then ROLLS BACK (must be
-    invisible); doc_id%7=0 hard-deletes via delete blocks."""
+    HoodieDeleteRecordList tombstones), the 'xx' update commit is
+    reframed as a PARQUET DATA BLOCK (hoodie.logfile.data.block.
+    format=parquet — the block content is a complete parquet file),
+    and a poisoned update commit is voided by a CROSS-FILE ROLLBACK
+    command appended to a LATER log file of each touched slice (the
+    crash-recovery shape). Fixture: documents bulk-loads; lang of
+    doc_id%10=0 updates; lang of doc_id%5=0 updates to 'zz' then
+    ROLLS BACK (must be invisible); doc_id%7=0 hard-deletes via
+    delete blocks."""
     import json as _json
     import os
     import tempfile
@@ -2770,16 +2773,19 @@ def src_hudi_logfmt(spark, sf_dir):
     from quokka_spark.sources.hudi_local import (upsert_hudi_mor_local,
                                                  write_hudi_mor_local)
     from quokka_spark.sources.hudi_logfmt import (delete_block,
+                                                  parquet_data_block,
                                                   rollback_block,
                                                   write_log_file)
     qc = _qc(spark)
     docs = os.path.join(sf_dir, "documents.parquet")
     base = os.path.join(tempfile.gettempdir(),
-                        "qs_hudilf2_" + sf_dir.strip("/").replace("/", "_"))
+                        "qs_hudilf3_" + sf_dir.strip("/").replace("/", "_"))
     tbl = os.path.join(base, "tbl")
     done = os.path.join(base, "_done")
     if not os.path.exists(done):
         import shutil
+
+        import pyarrow as pa
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(base, exist_ok=True)
         src = spark.read.parquet(docs)
@@ -2787,14 +2793,29 @@ def src_hudi_logfmt(spark, sf_dir):
                              recordkey="doc_id")
         upd = src.where("doc_id % 10 = 0").withColumn("lang",
                                                       F.lit("xx"))
-        upsert_hudi_mor_local(spark, tbl, upd)
+        updated = upsert_hudi_mor_local(spark, tbl, upd)
         poisoned = upsert_hudi_mor_local(
             spark, tbl,
             src.where("doc_id % 5 = 0").withColumn("lang", F.lit("zz")))
         dels = src.where("doc_id % 7 = 0").select("doc_id")
         upsert_hudi_mor_local(spark, tbl, dels, delete=True)
+
+        def to_arrow(schema, records):
+            amap = {"long": pa.int64(), "int": pa.int32(),
+                    "double": pa.float64(), "float": pa.float32(),
+                    "string": pa.string(), "boolean": pa.bool_()}
+            arrays = {}
+            for fld in schema["fields"]:
+                ft = fld["type"]
+                if isinstance(ft, list):
+                    ft = [x for x in ft if x != "null"][0]
+                arrays[fld["name"]] = pa.array(
+                    [r.get(fld["name"]) for r in records], amap[ft])
+            return pa.table(arrays)
+
         # reframe every container log into spec framing, in place;
-        # all-tombstone logs become HARD-DELETE blocks
+        # all-tombstone logs become HARD-DELETE blocks, the update
+        # instant's logs become PARQUET data blocks
         by_group: dict = {}
         for dp, _, fs in os.walk(tbl):
             if ".hoodie" in dp:
@@ -2812,6 +2833,11 @@ def src_hudi_logfmt(spark, sf_dir):
                     with open(p, "wb") as fh:
                         fh.write(delete_block(
                             [str(r["doc_id"]) for r in records], ts))
+                elif ts == str(updated):
+                    with open(p, "wb") as fh:
+                        fh.write(parquet_data_block(
+                            to_arrow(schema, records), ts,
+                            schema=schema))
                 else:
                     write_log_file(p, schema, records, ts)
                 # group key = fileId prefix of the spec log name

@@ -38,9 +38,14 @@ then the Avro BINARY encoding of ``HoodieDeleteRecordList`` — an
 array of ``{recordKey, partitionPath, orderingVal}`` records, the
 public wire shape real hudi writers emit for hard deletes) into
 ``_hoodie_is_deleted`` rows that ride the same record-key merge as
-soft-delete payloads. Delete-block versions 1/2 (Kryo-serialized Java
-objects), HFile/Parquet data blocks, and unknown versions refuse with
-typed errors — never a silent misread.
+soft-delete payloads. PARQUET data blocks (a real hudi writer option,
+``hoodie.logfile.data.block.format=parquet``) decode too: the block
+content is a complete parquet file, read via Arrow into the SAME
+avro-raw record shape as avro_data blocks (logical date/timestamp
+values as day/micros ints), so both kinds share one downstream
+pipeline. Delete-block versions 1/2 (Kryo-serialized Java objects),
+HFile/CDC data blocks, and unknown versions refuse with typed errors
+— never a silent misread.
 
 The reader is deliberately paranoid: it advances by PARSING, checks
 the declared block size against the parsed one, and refuses on any
@@ -162,11 +167,12 @@ def _rollback_target(frame: dict, name: str) -> str:
 
 
 def _check_block_supported(btype: str, name: str) -> None:
-    if btype in ("hfile_data", "parquet_data", "cdc_data",
+    if btype in ("hfile_data", "cdc_data",
                  "corrupt") or btype.startswith("unknown_"):
         raise NotImplementedError(
             f"{name}: HoodieLogFormat {btype} block — only avro_data, "
-            "delete, and rollback command blocks are supported")
+            "parquet_data, delete, and rollback command blocks are "
+            "supported")
 
 
 def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
@@ -217,6 +223,102 @@ def _decode_avro_block(block: dict, name: str) -> tuple[dict, list]:
         rec = r.take(r.i32())
         records.append(_decode(_Reader(rec), schema))
     return schema, records
+
+
+def _arrow_to_avro_schema(aschema, name: str) -> dict:
+    """Arrow schema → the Avro record-schema dict the shared decode
+    pipeline types under — the fallback when a parquet_data block
+    carries no SCHEMA header (real hudi writers stamp one; this
+    keeps schema-less interop files readable). Scalar types only —
+    anything else refuses rather than guessing a mapping."""
+    import pyarrow as pa
+    fields = []
+    for f in aschema:
+        t = f.type
+        if pa.types.is_boolean(t):
+            at = "boolean"
+        elif pa.types.is_signed_integer(t) and t.bit_width <= 32:
+            at = "int"
+        elif pa.types.is_integer(t):
+            at = "long"
+        elif pa.types.is_float32(t):
+            at = "float"
+        elif pa.types.is_floating(t):
+            at = "double"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            at = "string"
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            at = "bytes"
+        elif pa.types.is_date(t):
+            at = {"type": "int", "logicalType": "date"}
+        elif pa.types.is_timestamp(t):
+            at = {"type": "long", "logicalType": "timestamp-micros"}
+        else:
+            raise NotImplementedError(
+                f"{name}: parquet_data column {f.name!r} has arrow "
+                f"type {t} — no Avro mapping in this reader")
+        fields.append({"name": f.name, "type": ["null", at],
+                       "default": None})
+    return {"type": "record", "name": "row", "fields": fields}
+
+
+def _decode_parquet_block(block: dict, name: str) -> tuple[dict, list]:
+    """One parquet_data block → (avro schema dict, avro-RAW records).
+    The content is a COMPLETE parquet file (real hudi's parquet log
+    blocks serialize records through a parquet writer straight into
+    the block content — no version/count prefix, unlike avro_data).
+    Records come back in the same RAW shape as avro_data records
+    (logical date/timestamp values as day/micros ints), so both
+    block kinds flow through one downstream typing pipeline
+    (avro_source._logical_converters applies the presentation pass).
+    The block header's SCHEMA (the writer's avro schema) is
+    authoritative when present; otherwise the arrow schema maps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    content = block["content"]
+    if content[:4] != b"PAR1" or content[-4:] != b"PAR1":
+        raise ValueError(
+            f"{name}: parquet_data block content lacks the parquet "
+            "magic — corrupt framing or an unsupported layout")
+    tbl = pq.read_table(pa.BufferReader(content))
+    sj = block["header"].get("SCHEMA")
+    schema = (json.loads(sj) if sj
+              else _arrow_to_avro_schema(tbl.schema, name))
+    cols = {}
+    for i, f in enumerate(tbl.schema):
+        col, t = tbl.column(i), f.type
+        if pa.types.is_timestamp(t):
+            col = col.cast(pa.timestamp("us", tz=t.tz)) \
+                .cast(pa.int64())                 # raw epoch micros
+        elif pa.types.is_date(t):
+            col = col.cast(pa.date32()).cast(pa.int32())  # raw days
+        elif not (pa.types.is_boolean(t) or pa.types.is_integer(t)
+                  or pa.types.is_floating(t) or pa.types.is_string(t)
+                  or pa.types.is_large_string(t)
+                  or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+                  or pa.types.is_null(t)):
+            raise NotImplementedError(
+                f"{name}: parquet_data block column {f.name!r} has "
+                f"type {t} — outside this reader's scalar set")
+        cols[f.name] = col.to_pylist()
+    return schema, [{k: v[i] for k, v in cols.items()}
+                    for i in range(tbl.num_rows)]
+
+
+def _frame_schema(frame: dict) -> dict | None:
+    """A data frame's payload schema for the rolled-back-to-zero
+    sniff: the SCHEMA header (both data block kinds carry one from
+    real writers), else a parquet block's content schema."""
+    sj = frame["header"].get("SCHEMA")
+    if frame["type"] in ("avro_data", "parquet_data") and sj:
+        return json.loads(sj)
+    if frame["type"] == "parquet_data":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        return _arrow_to_avro_schema(
+            pq.read_schema(pa.BufferReader(frame["content"])),
+            "<frame>")
+    return None
 
 
 # The public wire shape of a DELETE block's tombstone payload (the
@@ -357,7 +459,9 @@ def _blocks_to_records(blocks: list, name: str,
         if b["type"] == "delete":
             records.extend(_decode_delete_block(b, key_fields, name))
             continue
-        s, recs = _decode_avro_block(b, name)
+        s, recs = (_decode_parquet_block(b, name)
+                   if b["type"] == "parquet_data"
+                   else _decode_avro_block(b, name))
         schema = schema or s
         records.extend(recs)
     return schema, _coerce_key_types(records, schema or schema_hint,
@@ -379,9 +483,9 @@ def read_log_records_bytes(data: bytes, name: str = "<bytes>",
         # the file legitimately contributes ZERO rows — sniff the
         # schema from the raw frames so the empty result stays typed
         for frame in _iter_frames(data, name):
-            sj = frame["header"].get("SCHEMA")
-            if frame["type"] == "avro_data" and sj:
-                return json.loads(sj), []
+            s = _frame_schema(frame)
+            if s is not None:
+                return s, []
         raise ValueError(f"{name}: log file contains no data blocks")
     return schema, records
 
@@ -419,9 +523,9 @@ def read_slice_log_records(datas: list, key_fields: list | None = None,
     if schema is None and not records:
         for data, name in datas:
             for frame in _iter_frames(data, name):
-                sj = frame["header"].get("SCHEMA")
-                if frame["type"] == "avro_data" and sj:
-                    return json.loads(sj), []
+                s = _frame_schema(frame)
+                if s is not None:
+                    return s, []
         raise ValueError(f"{label}: log slice contains no data blocks")
     return schema, records
 
@@ -466,6 +570,13 @@ def read_log_schema(path: str, chunk: int = 1 << 20) -> dict:
                                 f"{path}: first avro_data block carries "
                                 "no SCHEMA header")
                         return json.loads(sj)
+                    if _BLOCK_TYPES[tord:tord + 1] == ["parquet_data"] \
+                            and header.get("SCHEMA"):
+                        # parquet data blocks stamp the writer's avro
+                        # schema too; a schema-less one is skipped
+                        # (its content schema is recoverable, but the
+                        # sniff deliberately never reads content)
+                        return json.loads(header["SCHEMA"])
                     _check_block_supported(
                         _BLOCK_TYPES[tord] if 0 <= tord < len(_BLOCK_TYPES)
                         else f"unknown_{tord}", path)
@@ -540,6 +651,26 @@ def avro_data_block(schema: dict, records: list,
         "avro_data",
         {"INSTANT_TIME": instant_time, "SCHEMA": json.dumps(schema)},
         content.getvalue())
+
+
+def parquet_data_block(table, instant_time: str,
+                       schema: dict | None = None) -> bytes:
+    """A spec-shaped PARQUET data block from a pyarrow Table — the
+    fixture/interop twin of :func:`avro_data_block` (real hudi
+    writers emit these under hoodie.logfile.data.block.format=
+    parquet: the block content IS a complete parquet file). The
+    header stamps INSTANT_TIME + SCHEMA like real writers; ``schema``
+    overrides the arrow-derived avro schema when a test needs an
+    exact writer schema."""
+    import pyarrow.parquet as pq
+    buf = io.BytesIO()
+    pq.write_table(table, buf)
+    sch = schema or _arrow_to_avro_schema(table.schema,
+                                          "<parquet_data_block>")
+    return _block_bytes(
+        "parquet_data",
+        {"INSTANT_TIME": instant_time, "SCHEMA": json.dumps(sch)},
+        buf.getvalue())
 
 
 def delete_block(record_keys: list, instant_time: str,

@@ -715,6 +715,163 @@ def test_hudi_logfmt_delete_block_codec():
                                + kryo, key_fields=["id"])
 
 
+def test_hudi_logfmt_parquet_block_codec():
+    """PARQUET data blocks (round 10 — hoodie.logfile.data.block.
+    format=parquet): the block content is a complete parquet file;
+    records decode into the SAME avro-raw shape as avro_data blocks
+    (date → days int, timestamp → epoch micros), the header SCHEMA
+    wins when present, a schema-less block derives its avro schema
+    from the arrow footer, rollbacks apply uniformly, and non-parquet
+    content / unsupported nested types refuse typed."""
+    import datetime
+
+    import pyarrow as pa
+
+    from quokka_spark.sources.hudi_logfmt import (_block_bytes,
+                                                  avro_data_block,
+                                                  parquet_data_block,
+                                                  read_log_records_bytes,
+                                                  read_log_schema,
+                                                  rollback_block)
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "v": pa.array([1.5, None], pa.float64()),
+        "s": pa.array(["a", "b"], pa.string()),
+        "d": pa.array([datetime.date(1970, 1, 3), None], pa.date32()),
+        "ts": pa.array([datetime.datetime(1970, 1, 1, 0, 0, 1), None],
+                       pa.timestamp("us"))})
+    blk = parquet_data_block(tbl, "100")
+    s, recs = read_log_records_bytes(blk, name="pq")
+    # avro-RAW values: date as days, timestamp as epoch micros
+    assert recs == [
+        {"id": 1, "v": 1.5, "s": "a", "d": 2, "ts": 1_000_000},
+        {"id": 2, "v": None, "s": "b", "d": None, "ts": None}]
+    types = {f["name"]: f["type"] for f in s["fields"]}
+    assert types["d"] == ["null", {"type": "int",
+                                   "logicalType": "date"}]
+    assert types["ts"] == ["null", {"type": "long",
+                                    "logicalType": "timestamp-micros"}]
+    # mixed avro + parquet blocks in one file share the pipeline
+    schema = {"type": "record", "name": "row", "fields": [
+        {"name": "id", "type": ["null", "long"]},
+        {"name": "v", "type": ["null", "double"]}]}
+    small = pa.table({"id": pa.array([7], pa.int64()),
+                      "v": pa.array([7.0], pa.float64())})
+    mixed = (avro_data_block(schema, [{"id": 1, "v": 1.0}], "100")
+             + parquet_data_block(small, "200", schema=schema))
+    s2, recs2 = read_log_records_bytes(mixed, name="mix")
+    assert s2 == schema
+    assert recs2 == [{"id": 1, "v": 1.0}, {"id": 7, "v": 7.0}]
+    # rollback removes a parquet block's instant like any other
+    _, recs3 = read_log_records_bytes(mixed + rollback_block("200"),
+                                      name="rb")
+    assert recs3 == [{"id": 1, "v": 1.0}]
+    # the driver schema sniff returns the parquet block's SCHEMA
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".log.1", delete=False) as f:
+        f.write(parquet_data_block(small, "100", schema=schema))
+        p = f.name
+    assert read_log_schema(p) == schema
+    # a schema-less parquet block derives from the arrow footer
+    import io as _io
+
+    import pyarrow.parquet as _pq
+    buf = _io.BytesIO()
+    _pq.write_table(small, buf)
+    naked = _block_bytes("parquet_data", {"INSTANT_TIME": "1"},
+                         buf.getvalue())
+    s4, recs4 = read_log_records_bytes(naked, name="naked")
+    assert recs4 == [{"id": 7, "v": 7.0}]
+    assert {f["name"] for f in s4["fields"]} == {"id", "v"}
+    # non-parquet content refuses (no silent misread)
+    junk = _block_bytes("parquet_data", {"INSTANT_TIME": "1"},
+                        b"\x00" * 16)
+    with pytest.raises(ValueError, match="magic"):
+        read_log_records_bytes(junk, name="junk")
+    # nested arrow types refuse typed
+    nested = pa.table({"a": pa.array([[1, 2]], pa.list_(pa.int64()))})
+    nbuf = _io.BytesIO()
+    _pq.write_table(nested, nbuf)
+    nblk = _block_bytes("parquet_data", {"INSTANT_TIME": "1"},
+                        nbuf.getvalue())
+    with pytest.raises(NotImplementedError, match="scalar|mapping"):
+        read_log_records_bytes(nblk, name="nested")
+    # hfile / cdc blocks still refuse
+    for bt in ("hfile_data", "cdc_data"):
+        bad = _block_bytes(bt, {"INSTANT_TIME": "1"}, b"\x00")
+        with pytest.raises(NotImplementedError, match="block"):
+            read_log_records_bytes(bad, name=bt)
+
+
+def test_hudi_mor_parquet_framed_logs_read_end_to_end(spark, qc,
+                                                      tmp_path):
+    """A MoR table whose log files carry PARQUET data blocks (round
+    10) reads identically to the container/avro-framed forms — batch
+    merge, schema sniff, and streaming source all dispatch on the
+    #HUDI# magic and decode the parquet payload."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from quokka_spark.sources.avro_lite import read_container
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    from quokka_spark.sources.hudi_logfmt import parquet_data_block
+    tbl = _mor_table(spark, tmp_path)
+    upsert_hudi_mor_local(
+        spark, tbl,
+        spark.createDataFrame([(3, 999.0, "UP"), (50, 500.0, "NEW")],
+                              "id long, v double, tag string"))
+    before = {r["id"]: (r["v"], r["tag"])
+              for r in qc.read_hudi(tbl).df.collect()}
+
+    def reframe_parquet(t):
+        n = 0
+        for dp, _, fs in os.walk(t):
+            if ".hoodie" in dp:
+                continue
+            for f in fs:
+                if ".log." not in f:
+                    continue
+                p = os.path.join(dp, f)
+                meta, records = read_container(p)
+                schema = _json.loads(meta["avro.schema"])
+                arrays, amap = {}, {"long": pa.int64(),
+                                    "int": pa.int32(),
+                                    "double": pa.float64(),
+                                    "float": pa.float32(),
+                                    "string": pa.string(),
+                                    "boolean": pa.bool_()}
+                for fld in schema["fields"]:
+                    ft = fld["type"]
+                    if isinstance(ft, list):
+                        nn = [x for x in ft if x != "null"]
+                        ft = nn[0]
+                    arrays[fld["name"]] = pa.array(
+                        [r.get(fld["name"]) for r in records],
+                        amap[ft])
+                ts = str(records[0].get("_hoodie_commit_time", "0")) \
+                    if records else "0"
+                blk = parquet_data_block(pa.table(arrays), ts,
+                                         schema=schema)
+                with open(p, "wb") as fh:
+                    fh.write(blk)
+                n += 1
+        return n
+
+    assert reframe_parquet(tbl) > 0
+    after = {r["id"]: (r["v"], r["tag"])
+             for r in qc.read_hudi(tbl).df.collect()}
+    assert after == before
+    assert after[3] == (999.0, "UP") and after[50] == (500.0, "NEW")
+    # the streaming source decodes parquet-framed log upserts too
+    s = qc.read_hudi_stream(tbl)
+    q = (s.writeStream.format("memory").queryName("hlfpq")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    ids = sorted(r["id"] for r in spark.table("hlfpq").collect())
+    assert ids == sorted(list(range(20)) + [3, 50])
+
+
 def test_hudi_logfmt_cross_file_rollback_slice_scope():
     """read_slice_log_records (round 10): a rollback command in a
     rolled-over file invalidates its target's blocks in EARLIER files
