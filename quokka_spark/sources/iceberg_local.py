@@ -1369,6 +1369,44 @@ def _evolved_schema_fields(schema_fields, df):
     return out or None
 
 
+def _evolve_meta_schema(meta: dict, df) -> None:
+    """Schema evolution on the EXTEND path (multi-spec tables, round
+    10): append a NEW schema entry (fresh schema-id) consisting of
+    the current fields plus ``df``'s new columns under fresh field
+    ids, and point current-schema-id at it — the spec's add-column
+    evolution shape (prior schemas stay listed; older files null-fill
+    the new columns at read time). Best-effort exactly like
+    _evolved_schema_fields: unmappable Spark types are skipped, never
+    raised. In-place on ``meta``; the caller publishes."""
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        return                # minimal fixture — no schema to evolve
+    cur_id = meta.get("current-schema-id")
+    cur = next((s for s in schemas if s.get("schema-id") == cur_id),
+               schemas[0])
+    fields = list(cur.get("fields", []))
+    existing = {f.get("name") for f in fields}
+    next_fid = max([int(f["id"]) for f in fields if "id" in f],
+                   default=0) + 1
+    added = []
+    for f in df.schema.fields:
+        if f.name in existing:
+            continue
+        it = _SPARK_TO_ICEBERG.get(f.dataType.simpleString())
+        if it is None:
+            continue
+        added.append({"id": next_fid, "name": f.name,
+                      "required": False, "type": it})
+        next_fid += 1
+    if not added:
+        return
+    new_sid = max(int(s.get("schema-id") or 0) for s in schemas) + 1
+    meta["schemas"] = schemas + [
+        {"schema-id": new_sid, "type": "struct",
+         "fields": fields + added}]
+    meta["current-schema-id"] = new_sid
+
+
 def _publish_metadata(meta_dir: str, meta: dict) -> int:
     """The commit-publish step shared by every local writer: pick the
     next v<N>.metadata.json (never colliding with an existing file),
@@ -1575,14 +1613,10 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
             # under the CURRENT spec, prior manifests untouched (the
             # read side already groups and prunes per spec).
             if evolve_from_df is not None:
-                known = set(_field_names(table_dir).values())
-                new_cols = [c for c in evolve_from_df.columns
-                            if c not in known]
-                if new_cols:
-                    raise NotImplementedError(
-                        f"schema evolution (new columns {new_cols}) "
-                        "on a table with evolved partition specs — "
-                        "the extend path does not rewrite the schema")
+                # round 10: new columns EVOLVE the schema in place —
+                # a fresh schema entry with fresh field ids; prior
+                # manifests stay byte-untouched either way
+                _evolve_meta_schema(meta, evolve_from_df)
             return _extend_snapshot_multispec(
                 table_dir, meta, list(add_files or []),
                 list(add_delete_files or []),

@@ -312,7 +312,7 @@ def test_partition_spec_evolution_pruning_sound(spark, qc, tmp_path):
     — judging a spec-0 file with the default spec's transform would
     silently drop live rows. Files under a spec id MISSING from
     metadata are kept and resolved row-level; local commits on
-    multi-spec tables refuse with a typed error."""
+    multi-spec tables EXTEND the manifest list (round 10)."""
     import json as _json
 
     import pandas as pd
@@ -1071,6 +1071,92 @@ def test_prune_entries_absent_field_kept_null_prunable(spark):
                {"partition": {}}]          # absent (old spec) → kept
     got = _prune_entries(spark, entries, meta, "x = 5")
     assert got == [entries[0], entries[3]]
+
+
+def test_iceberg_multispec_schema_evolution(spark, qc, tmp_path):
+    """Round 10 (closes the last multi-spec gate): an append carrying
+    a NEW column on a table with EVOLVED partition specs evolves the
+    schema on the EXTEND path — a fresh schema entry (fresh
+    schema-id + field id) is published while prior manifests stay
+    byte-untouched; pre-evolution files null-fill the new column;
+    per-spec pruning and time travel stay sound."""
+    import json as _json
+
+    import pandas as pd
+
+    from quokka_spark.sources.avro_lite import (read_container,
+                                                write_container)
+    from quokka_spark.sources.iceberg_local import (
+        _MANIFEST_FILE_SCHEMA, commit_snapshot,
+        create_local_iceberg_table)
+    fa = str(tmp_path / "a.parquet")
+    fb = str(tmp_path / "b.parquet")
+    pd.DataFrame({"id": [1, 2], "v": [10, 20],
+                  "p": ["x", "x"]}).to_parquet(fa)
+    pd.DataFrame({"id": [3], "v": [30], "p": ["y"]}).to_parquet(fb)
+    tbl = str(tmp_path / "evo3")
+    create_local_iceberg_table(
+        tbl,
+        [{"data": [{"path": fa, "partition": {"p": "x"}}],
+          "spec_id": 0},
+         {"data": [{"path": fb, "partition": {"p": "y"}}],
+          "spec_id": 1}],
+        schema_fields=[(1, "id", "long"), (2, "v", "long"),
+                       (3, "p", "string")],
+        partition_specs=[
+            {"spec-id": 0, "fields": [
+                {"name": "p", "type": "string", "source-id": 3,
+                 "transform": "identity", "field-id": 1000}]},
+            {"spec-id": 1, "fields": [
+                {"name": "p", "type": "string", "source-id": 3,
+                 "transform": "identity", "field-id": 1001}]}])
+    meta_dir = os.path.join(tbl, "metadata")
+    _, rows1 = read_container(os.path.join(meta_dir, "snap-1.avro"))
+    _, rows2 = read_container(os.path.join(meta_dir, "snap-2.avro"))
+    write_container(os.path.join(meta_dir, "snap-2.avro"),
+                    _MANIFEST_FILE_SCHEMA, rows1 + rows2)
+    m1 = os.path.join(meta_dir, "manifest-1.avro")
+    m2 = os.path.join(meta_dir, "manifest-2.avro")
+    mt = (os.stat(m1).st_mtime_ns, os.stat(m2).st_mtime_ns)
+    # append a file that CARRIES a new double column
+    fc = str(tmp_path / "c.parquet")
+    pd.DataFrame({"id": [9], "v": [90], "p": ["z"],
+                  "score": [1.5]}).to_parquet(fc)
+    wdf = spark.createDataFrame([(9, 90, "z", 1.5)],
+                                "id long, v long, p string, score double")
+    commit_snapshot(tbl, add_files=[{"path": fc,
+                                     "partition": {"p": "z"}}],
+                    evolve_from_df=wdf)
+    got = qc.read_iceberg(tbl).df
+    assert set(got.columns) == {"id", "v", "p", "score"}
+    rows = {r["id"]: (r["v"], r["p"], r["score"])
+            for r in got.collect()}
+    assert rows == {1: (10, "x", None), 2: (20, "x", None),
+                    3: (30, "y", None), 9: (90, "z", 1.5)}
+    # prior manifests byte-untouched (the extend contract holds)
+    assert (os.stat(m1).st_mtime_ns, os.stat(m2).st_mtime_ns) == mt
+    # the published metadata carries a NEW schema entry with a fresh
+    # field id, and current-schema-id points at it
+    hint = open(os.path.join(meta_dir, "version-hint.text")).read()
+    with open(os.path.join(meta_dir,
+                           f"v{hint.strip()}.metadata.json")) as fh:
+        meta = _json.load(fh)
+    assert len(meta["schemas"]) == 2
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    added = [f for f in cur["fields"] if f["name"] == "score"]
+    assert added == [{"id": 4, "name": "score", "required": False,
+                      "type": "double"}]
+    # per-spec pruning still sound, incl. the new file
+    dfz = qc.read_iceberg(tbl, partition_filter="p = 'z'").df
+    assert [r["id"] for r in dfz.collect()] == [9]
+    assert len(dfz.inputFiles()) == 1
+    dfy = qc.read_iceberg(tbl, partition_filter="p = 'y'").df
+    assert [r["id"] for r in dfy.collect()] == [3]
+    # time travel to the pre-evolution snapshot
+    assert {r["id"]: r["v"]
+            for r in qc.read_iceberg(tbl, snapshot=2).df.collect()} == \
+        {1: 10, 2: 20, 3: 30}
 
 
 def test_iceberg_schema_evolution_added_column(qc, spark, tmp_path):
