@@ -2520,6 +2520,68 @@ FROM ch GROUP BY _change_type
 """
 
 
+def src_delta_cdc_write(spark, sf_dir):
+    """CDF-enabled writer + cdc-action reader, end-to-end (round 10 —
+    delta_local upsert cdc emission + read_delta_changes cdc branch):
+    the table carries delta.enableChangeDataFeed=true, so the MERGE
+    writes Change Data Files under _change_data/ plus protocol
+    ``cdc`` actions, and the change feed serves that commit FROM
+    those files (authoritative — the jar's CDF-reader rule) instead
+    of reconstructing. Fixture: documents bulk-loads; one upsert
+    bumps n_chars of doc_id%10=0 rows and inserts fresh keys
+    (doc_id+10M) for doc_id%10=1 — the same decomposition as
+    src_delta_cdf_upsert, but round-tripped through real cdc files."""
+    import json as _json
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_cdcw_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(tbl, exist_ok=True)
+        schema = {"type": "struct", "fields": [
+            {"name": "doc_id", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "lang", "type": "string", "nullable": True,
+             "metadata": {}},
+            {"name": "n_chars", "type": "long", "nullable": True,
+             "metadata": {}}]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": {
+                "id": "cdcw", "format": {"provider": "parquet",
+                                         "options": {}},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.enableChangeDataFeed": "true"},
+                "createdTime": 0}}])
+        src = spark.read.parquet(docs) \
+            .select("doc_id", "lang", "n_chars")
+        write_delta_local(src, tbl, mode="append")
+        changed = src.where("doc_id % 10 = 0") \
+            .withColumn("n_chars", F.col("n_chars") + 1000)
+        fresh = src.where("doc_id % 10 = 1") \
+            .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        upsert_delta_local(spark, tbl, changed.unionByName(fresh),
+                           "doc_id")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ch = qc.read_delta_changes(tbl, 2).df
+    return ch.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
 def src_delta_cdf_id(spark, sf_dir):
     """CDF on a columnMapping.mode=id Delta table (round 10 — closes
     the last column-mapping gate, delta_local.read_delta_changes id
@@ -7044,6 +7106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_partitioned": src_delta_cm_partitioned,
         "src_delta_cdf_upsert": src_delta_cdf_upsert,
         "src_delta_cdf_id": src_delta_cdf_id,
+        "src_delta_cdc_write": src_delta_cdc_write,
         "src_delta_ts_travel": src_delta_ts_travel,
         # streaming (5: the exactly-once sink TRIO + the Delta SOURCE,
         # plain and PARTITIONED)
@@ -7319,6 +7382,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_cdf": _SRC_DELTA_CDF_SQL,
         "src_delta_cdf_upsert": _SRC_DELTA_CDF_UPSERT_SQL,
         "src_delta_cdf_id": _SRC_DELTA_CDF_ID_SQL,
+        "src_delta_cdc_write": _SRC_DELTA_CDF_UPSERT_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,

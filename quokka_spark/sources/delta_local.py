@@ -220,15 +220,21 @@ def _replay(table: str, version: int | None):
 
 
 def _commit_parsed(table: str, v: int) -> tuple[dict, dict,
-                                                dict | None, dict]:
+                                                dict | None, dict,
+                                                list]:
     """ONE pass over a commit file → ({path: add}, {path: remove},
-    metaData | None, commitInfo) — the change feed and streaming
-    source need all four per version, and separate helpers would
-    re-parse a 100k-add commit once per question."""
+    metaData | None, commitInfo, [cdc action, ...]) — the change feed
+    and streaming source need all of them per version, and separate
+    helpers would re-parse a 100k-add commit once per question. The
+    ``cdc`` actions (protocol: Change Data Files under _change_data/,
+    written by CDF-enabled writers for update/delete/merge commits)
+    matter ONLY to the change feed; replay and the batch scan ignore
+    them (they are dataChange=false by spec)."""
     adds: dict = {}
     removes: dict = {}
     md = None
     ci: dict = {}
+    cdcs: list = []
     first = True
     with open(_version_path(table, v)) as fh:
         for line in fh:
@@ -242,11 +248,13 @@ def _commit_parsed(table: str, v: int) -> tuple[dict, dict,
                 removes[action["remove"]["path"]] = action["remove"]
             elif "metaData" in action:
                 md = action["metaData"]
+            elif "cdc" in action:
+                cdcs.append(action["cdc"])
             elif first and "commitInfo" in action:
                 # first-line convention only — see _commit_info
                 ci = action["commitInfo"] or {}
             first = False
-    return adds, removes, md, ci
+    return adds, removes, md, ci, cdcs
 
 
 def _commit_actions(table: str, v: int) -> tuple[dict, dict]:
@@ -254,7 +262,7 @@ def _commit_actions(table: str, v: int) -> tuple[dict, dict]:
     remove}) — the per-commit parse shared by _replay, the change
     stream and the streaming source (reconciliation is per-commit,
     never per-line)."""
-    adds, removes, _, _ = _commit_parsed(table, v)
+    adds, removes, _, _, _ = _commit_parsed(table, v)
     return adds, removes
 
 
@@ -546,7 +554,7 @@ def _file_id_layout(f: str) -> dict:
 
 
 def _id_mode_scan(spark, files, adds, idmap, root, with_path=False,
-                  with_pos=False, apply_dv=True):
+                  with_pos=False, apply_dv=True, extra_cols=()):
     """id-mode scan: resolve each file's columns by the PARQUET FIELD
     IDS in its footer (one KB-scale footer read per file on FIRST
     touch — repeat scans hit the session layout cache and pay only an
@@ -559,7 +567,11 @@ def _id_mode_scan(spark, files, adds, idmap, root, with_path=False,
     partition rejoin / upsert survivor-scan hook); ``with_pos`` adds
     the ``_metadata.row_index`` as ``__qs_pos__`` and ``apply_dv=
     False`` keeps deleted rows — the change feed's DV-diff part needs
-    the RAW rows to semi-join its new-minus-old positions against."""
+    the RAW rows to semi-join its new-minus-old positions against.
+    ``extra_cols``: (name, DataType) pairs of UNMAPPED columns stored
+    literally in the files (the change feed's ``_change_type`` in
+    _change_data files — not a schema field, so it has no field id);
+    they read and select by name verbatim."""
     from pyspark.sql.types import StructField, StructType
 
     from pyspark.sql import functions as F
@@ -585,13 +597,16 @@ def _id_mode_scan(spark, files, adds, idmap, root, with_path=False,
         ga = [a for _, a in pairs]
         rs = StructType([StructField(phys[i], dt, True)
                          for i, (_n, dt) in sorted(idmap.items())
-                         if phys[i] is not None])
+                         if phys[i] is not None]
+                        + [StructField(n, dt, True)
+                           for n, dt in extra_cols])
         d = spark.read.schema(rs).parquet(*gf)
         if apply_dv:
             d = _apply_deletion_vectors(spark, d, gf, ga, root)
         cols = [(F.col(phys[i]) if phys[i] is not None
                  else F.lit(None).cast(dt)).alias(n)
-                for i, (n, dt) in sorted(idmap.items())]
+                for i, (n, dt) in sorted(idmap.items())] \
+            + [F.col(n) for n, _dt in extra_cols]
         if with_path:
             cols.append(_plain_path_col().alias("__qs_path__"))
         if with_pos:
@@ -1492,12 +1507,14 @@ def _evolve_schema_actions(meta: dict, df, mode: str,
     return [md]
 
 
-def _physical_projection(df, meta: dict, cm: str):
+def _physical_projection(df, meta: dict, cm: str, passthrough=()):
     """Rename a LOGICAL-schema batch to the table's physical layout
     (the schema metadata's physicalName per column); id mode also
     stamps each column's parquet field id via the native writer's
     ``parquet.field.id`` column metadata. Shared by the mapped write
-    path and mapped compaction."""
+    path and mapped compaction. ``passthrough`` columns are NOT
+    schema fields and keep their literal names (the change feed's
+    ``_change_type`` in Change Data Files, per protocol)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
     mapping = {}
@@ -1512,8 +1529,9 @@ def _physical_projection(df, meta: dict, cm: str):
                 "to guess a physical layout")
         mapping[f.name] = (phys, int(fid))
     out = df.select(*[
-        F.col(c).alias(mapping[c][0],
-                       metadata={"parquet.field.id": mapping[c][1]})
+        F.col(c) if c in passthrough
+        else F.col(c).alias(mapping[c][0],
+                            metadata={"parquet.field.id": mapping[c][1]})
         if cm == "id" else F.col(c).alias(mapping[c][0])
         for c in df.columns])
     return out, mapping
@@ -1781,6 +1799,17 @@ def vacuum_delta_local(table: str, keep_last: int = 1) -> int:
             if dv and dv.get("storageType") in ("u", "p"):
                 from .dv import dv_file_path
                 referenced.add(os.path.abspath(dv_file_path(root, dv)))
+        # Change Data Files of kept versions stay readable through
+        # read_delta_changes (cdc actions, round 10); older versions'
+        # cdc files reclaim with their version, the VACUUM trade
+        try:
+            cdcs = _commit_parsed(table, v)[4]
+        except FileNotFoundError:
+            cdcs = []                 # checkpoint-only kept version
+        for c in cdcs:
+            p = c.get("path", "")
+            referenced.add(os.path.abspath(
+                p if os.path.isabs(p) else os.path.join(root, p)))
     deleted = 0
     for dp, _, fs in os.walk(root):
         if "_delta_log" in dp:
@@ -1931,6 +1960,44 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
                                            "deletionTimestamp": ts,
                                            "dataChange": True}})
     _write_and_add(df, f"data-{tag}-append")
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        # CDF-enabled table (round 10): record this MERGE's exact
+        # change rows as Change Data Files under _change_data/ plus
+        # protocol ``cdc`` actions (dataChange=false) — the shape the
+        # jar's CDF reader consumes; read_delta_changes prefers them
+        # over add/remove reconstruction for this commit too. All
+        # distributed set ops on the already-built ``live`` scan.
+        mk = live.select(*keys).join(new_keys, keys, "left_semi") \
+            .distinct()
+        pre = (live.drop("__qs_file__").join(mk, keys, "left_semi")
+               .withColumn("_change_type", F.lit("update_preimage")))
+        post = (df.join(mk, keys, "left_semi")
+                .withColumn("_change_type", F.lit("update_postimage")))
+        ins = (df.join(mk, keys, "left_anti")
+               .withColumn("_change_type", F.lit("insert")))
+        cdc = pre.unionByName(post).unionByName(ins)
+        d = os.path.join(root, "_change_data", f"cdc-{tag}")
+        out_pcols = pcols
+        if cm != "none":
+            cdc, mapping = _physical_projection(
+                cdc, meta, cm, passthrough=("_change_type",))
+            out_pcols = [mapping[c][0] for c in pcols]
+        w = cdc.write
+        if out_pcols:
+            w = w.partitionBy(*out_pcols)
+        w.parquet(d)
+        for p in sorted(os.path.join(dp, f)
+                        for dp, _, fs in os.walk(d)
+                        for f in fs if f.endswith(".parquet")):
+            actions.append({"cdc": {
+                "path": os.path.relpath(p, root),
+                "partitionValues": (_hive_partition_values(d, p)
+                                    if pcols else {}),
+                "size": os.path.getsize(p),
+                "dataChange": False}})
     # commitInfo with the MERGE keys (what real writers record in
     # operationParameters): read_delta_changes uses it to pair this
     # version's removes+adds into update_preimage/update_postimage
@@ -1949,13 +2016,16 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
 def read_delta_changes(spark, table: str, from_version: int,
                        to_version: int | None = None):
     """Row-level changes committed in versions ``[from_version,
-    to_version]`` (inclusive, like Delta CDF's startingVersion) —
-    the incremental-consumer read, derived ENTIRELY from the log, no
-    _change_data files needed. Output = the table's data columns plus
-    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+    to_version]`` (inclusive, like Delta CDF's startingVersion).
+    Output = the table's data columns plus ``_change_type`` and
+    ``_commit_version``. A commit carrying protocol ``cdc`` actions
+    (a CDF-enabled writer's Change Data Files, round 10) reads THOSE
+    files — they are authoritative, exactly the jar's CDF-reader
+    rule; every other commit reconstructs from the log alone, no
+    _change_data files needed.
 
-    Per commit, exactly the protocol's change semantics for non-CDC
-    writers:
+    Per reconstructed commit, exactly the protocol's change semantics
+    for non-CDC writers:
     - an add of a NEW path with dataChange=true → its surviving rows
       (minus the add's own DV) are inserts;
     - an add RE-ADDing a live path (the DV-update commit shape) →
@@ -2257,6 +2327,52 @@ def read_delta_changes(spark, table: str, from_version: int,
             scan = scan.select(*schema_cols)
         parts.append(_tag(scan, "delete", v))
 
+    def _cdc_scan(v, cdcs, st):
+        """Change Data Files of ONE commit (protocol ``cdc`` actions,
+        round 10 — CDF-writer interop): the files under _change_data/
+        already carry the exact change rows plus a literal
+        ``_change_type`` column, so they scan directly — mapped
+        tables translate data columns (name mode by rename, id mode
+        per file by field ids; _change_type is NOT a schema field and
+        reads by name), partition values rejoin from the cdc actions'
+        partitionValues exactly like adds."""
+        from pyspark.sql.types import StringType, StructField, StructType
+        files_ = [_abs(c["path"]) for c in cdcs]
+        ct = [("_change_type", StringType())]
+        if idmap:
+            data_idmap = {i: nd for i, nd in idmap.items()
+                          if nd[0] not in st["pcols"]}
+            df = _id_mode_scan(spark, files_, cdcs, data_idmap, root,
+                               with_path=True, apply_dv=False,
+                               extra_cols=ct)
+        else:
+            rs = st["rs"]
+            if rs is not None:
+                rs = StructType(list(rs.fields) + [
+                    StructField("_change_type", StringType(), True)])
+                df = spark.read.schema(rs).parquet(*files_)
+            else:
+                df = spark.read.parquet(*files_)
+            df = df.withColumn("__qs_path__", _plain_path_col())
+            if cmap:
+                df = df.select(
+                    "__qs_path__", "_change_type",
+                    *[F.col(cmap[l]).alias(l) for l in cmap
+                      if l not in st["pcols"]])
+        if st["pcols"]:
+            pv_key = ({c: id_phys[c] for c in st["pcols"]} if idmap
+                      else {c: (cmap[c] if cmap else c)
+                            for c in st["pcols"]})
+            mapping = _partition_values_frame(
+                spark, files_, cdcs, st["pcols"], st["ptypes"], pv_key)
+            df = df.join(F.broadcast(mapping), "__qs_path__")
+        df = df.drop("__qs_path__")
+        cols = (schema_cols if schema_cols
+                else [c for c in df.columns if c != "_change_type"])
+        return df.select(
+            *cols, "_change_type",
+            F.lit(v).cast("long").alias("_commit_version"))
+
     for v in range(from_version, to_version + 1):
         # fold this commit's metaData forward BEFORE scanning it (a
         # commit that changes the partitioning writes its new files
@@ -2264,11 +2380,26 @@ def read_delta_changes(spark, table: str, from_version: int,
         # PRE-commit scheme for the delete/DV sides whose files
         # predate the change
         prev_state = dict(state)
-        adds, removes, commit_md, commit_ci = _commit_parsed(table, v)
+        adds, removes, commit_md, commit_ci, cdcs = _commit_parsed(
+            table, v)
         if commit_md is not None:
             # the pending run was written under the PRE-change state
             _flush_inserts()
         _set_meta(commit_md)
+        if cdcs:
+            # Change Data Files are AUTHORITATIVE for their commit
+            # (the jar's CDF reader rule): read them instead of
+            # reconstructing from add/remove — which in such commits
+            # would double-count (the writer records both the file
+            # actions AND the cdc rows). The live-set fold below
+            # still applies the commit's file actions.
+            _flush_inserts()
+            parts.append(_cdc_scan(v, cdcs, state))
+            for k in removes:
+                pre_live.pop(k, None)
+            for k, a in adds.items():
+                pre_live[k] = a
+            continue
         ins_files, ins_adds = [], []
         dv_pairs = []
         for k, a in adds.items():

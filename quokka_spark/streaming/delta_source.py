@@ -179,7 +179,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         cur_pcols = list(self._cur_pcols)
         parts = []
         for v in range(v0 + 1, v1 + 1):
-            adds, removes, md, _ci = _commit_parsed(self.table, v)
+            adds, removes, md, _ci, _cdc = _commit_parsed(self.table, v)
             if md is not None:
                 # fold the ACTIVE partition spec forward — this
                 # commit's files already follow the new scheme

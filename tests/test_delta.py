@@ -2126,6 +2126,189 @@ def test_delta_changes_id_mode(spark, qc, tmp_path):
     assert ids == {"col-a2": b"2", "col-b3": b"3"}
 
 
+def test_delta_changes_cdc_actions(spark, qc, tmp_path):
+    """Round 10 CDF-writer interop: an upsert on a table with
+    delta.enableChangeDataFeed=true writes Change Data Files under
+    _change_data/ plus protocol ``cdc`` actions, read_delta_changes
+    serves that commit FROM them (authoritative — equal to the twin
+    non-CDF table's reconstruction), batch reads ignore cdc actions,
+    and vacuum keeps the kept versions' cdc files."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  upsert_delta_local,
+                                                  vacuum_delta_local,
+                                                  write_delta_local)
+
+    def mk(name, cdf):
+        tbl = str(tmp_path / name)
+        os.makedirs(tbl)
+        conf = {"delta.enableChangeDataFeed": "true"} if cdf else {}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                                "options": {}},
+                          "schemaString": _json.dumps(
+                              {"type": "struct", "fields": [
+                                  {"name": "id", "type": "long",
+                                   "nullable": True, "metadata": {}},
+                                  {"name": "v", "type": "double",
+                                   "nullable": True, "metadata": {}}]}),
+                          "partitionColumns": [],
+                          "configuration": conf, "createdTime": 0}}])
+        write_delta_local(
+            spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)],
+                                  "id long, v double").coalesce(1),
+            tbl, mode="append")
+        upsert_delta_local(
+            spark, tbl,
+            spark.createDataFrame([(2, 22.0), (9, 9.0)],
+                                  "id long, v double"), ["id"])
+        return tbl
+
+    cdf_tbl = mk("cdc_on", True)
+    plain_tbl = mk("cdc_off", False)
+    # the cdc commit carries cdc actions and the plain one does not
+    with open(os.path.join(cdf_tbl, "_delta_log",
+                           f"{2:020d}.json")) as fh:
+        acts = [_json.loads(ln) for ln in fh if ln.strip()]
+    cdc_acts = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc_acts and all(not a["dataChange"] for a in cdc_acts)
+    assert all(a["path"].startswith("_change_data/")
+               for a in cdc_acts)
+    # the change feed reads the cdc FILES for that commit …
+    ch = qc.read_delta_changes(cdf_tbl, 2, 2).df
+    assert all("_change_data" in f for f in ch.inputFiles())
+    rows = sorted((r["_change_type"], r["id"], r["v"])
+                  for r in ch.collect())
+    assert rows == [("insert", 9, 9.0),
+                    ("update_postimage", 2, 22.0),
+                    ("update_preimage", 2, 2.0)]
+    # … and equals the twin table's reconstruction exactly
+    plain = sorted((r["_change_type"], r["id"], r["v"])
+                   for r in qc.read_delta_changes(plain_tbl, 2, 2)
+                   .df.collect())
+    assert rows == plain
+    # a range MIXING cdc and reconstructed commits works
+    both = sorted((r["_commit_version"], r["_change_type"], r["id"])
+                  for r in qc.read_delta_changes(cdf_tbl, 1).df.collect())
+    assert both == [(1, "insert", 1), (1, "insert", 2),
+                    (1, "insert", 3), (2, "insert", 9),
+                    (2, "update_postimage", 2),
+                    (2, "update_preimage", 2)]
+    # batch reads ignore cdc actions entirely
+    got = {r["id"]: r["v"] for r in qc.read_delta(cdf_tbl).df.collect()}
+    assert got == {1: 1.0, 2: 22.0, 3: 3.0, 9: 9.0}
+    # vacuum keeps the kept version's cdc files (the v2 change read
+    # stays serviceable even after pre-upsert data files reclaim)
+    vacuum_delta_local(cdf_tbl, keep_last=1)
+    rows2 = sorted((r["_change_type"], r["id"], r["v"])
+                   for r in qc.read_delta_changes(cdf_tbl, 2, 2)
+                   .df.collect())
+    assert rows2 == rows
+
+
+def test_delta_changes_cdc_actions_foreign_and_mapped(spark, qc,
+                                                      tmp_path):
+    """cdc actions are AUTHORITATIVE: a foreign-shaped commit whose
+    cdc file disagrees with what add/remove reconstruction would say
+    serves ONLY the cdc rows (no double count); partitioned +
+    name-mapped cdc files translate physical→logical and rejoin
+    partition values from the cdc actions' partitionValues."""
+    import json as _json
+
+    import pandas as pd
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    # (a) foreign: v1 adds a file AND declares a cdc file carrying a
+    # single delete row — reconstruction would call the add an insert
+    tbl = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(tbl, "_change_data"))
+    f1 = str(tmp_path / "d1.parquet")
+    pd.DataFrame({"id": [5, 6]}).to_parquet(f1)
+    cf = os.path.join(tbl, "_change_data", "c1.parquet")
+    pd.DataFrame({"id": [99], "_change_type": ["delete"]}
+                 ).to_parquet(cf)
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": [
+                              {"name": "id", "type": "long",
+                               "nullable": True, "metadata": {}}]}),
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 0}}])
+    _commit(tbl, 1, [
+        {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"cdc": {"path": "_change_data/c1.parquet",
+                 "partitionValues": {}, "size": 1,
+                 "dataChange": False}}])
+    ch = qc.read_delta_changes(tbl, 1).df
+    assert [(r["_change_type"], r["id"]) for r in ch.collect()] == \
+        [("delete", 99)]
+    # the batch read still sees the added file
+    assert sorted(r["id"] for r in qc.read_delta(tbl).df.collect()) \
+        == [5, 6]
+    # (b) partitioned + name-mapped CDF table end-to-end
+    ptbl = str(tmp_path / "cdcpm")
+    os.makedirs(ptbl)
+    fields = [
+        {"name": "p", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-p1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a2",
+                      "delta.columnMapping.id": 2}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b3",
+                      "delta.columnMapping.id": 3}}]
+    _commit(ptbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": fields}),
+                      "partitionColumns": ["p"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.columnMapping.maxColumnId": "9",
+                          "delta.enableChangeDataFeed": "true"},
+                      "createdTime": 0}}])
+    write_delta_local(
+        spark.createDataFrame([("A", 1, 1.0), ("B", 2, 2.0)],
+                              "p string, id long, v double").coalesce(1),
+        ptbl, mode="append")
+    upsert_delta_local(
+        spark, ptbl,
+        spark.createDataFrame([("B", 2, 22.0), ("A", 7, 7.0)],
+                              "p string, id long, v double"), ["id"])
+    ch2 = qc.read_delta_changes(ptbl, 2, 2).df
+    assert all("_change_data" in f for f in ch2.inputFiles())
+    got = sorted((r["_change_type"], r["id"], r["p"], r["v"])
+                 for r in ch2.collect())
+    assert got == [("insert", 7, "A", 7.0),
+                   ("update_postimage", 2, "B", 22.0),
+                   ("update_preimage", 2, "B", 2.0)]
+    # cdc files carry PHYSICAL data-column names + literal
+    # _change_type; partitionValues key by the physical name
+    with open(os.path.join(ptbl, "_delta_log",
+                           f"{2:020d}.json")) as fh:
+        acts = [_json.loads(ln) for ln in fh if ln.strip()]
+    cdc_acts = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc_acts
+    assert all(set(a["partitionValues"]) == {"col-p1"}
+               for a in cdc_acts)
+    import pyarrow.parquet as pq
+    names = set(pq.read_schema(
+        os.path.join(ptbl, cdc_acts[0]["path"])).names)
+    assert "_change_type" in names and "col-a2" in names \
+        and "col-b3" in names
+
+
 def test_delta_changes_random_ops_partitioned(spark, qc, tmp_path):
     """Model-based sweep for the PARTITIONED change feed (round 9):
     a seeded random sequence of partitioned appends, DV deletes,
