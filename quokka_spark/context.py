@@ -524,7 +524,8 @@ class QuokkaContext:
         (delta_local.delete_rows_delta_local — merges with each
         file's existing DV per protocol). Returns the version."""
         from .sources.delta_local import delete_rows_delta_local
-        return delete_rows_delta_local(table, deletes)
+        return delete_rows_delta_local(table, deletes,
+                                       spark=self.spark)
 
     def from_pandas(self, pdf) -> DataStream:
         return DataStream(self, self.spark.createDataFrame(pdf), materialized=True)

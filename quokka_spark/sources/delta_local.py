@@ -1239,7 +1239,8 @@ def last_txn_version(table: str, app_id: str):
     return _txn_state(table).get(app_id)
 
 
-def delete_rows_delta_local(table: str, deletes: dict) -> int:
+def delete_rows_delta_local(table: str, deletes: dict,
+                            spark=None) -> int:
     """Commit DELETION VECTORS for the given rows: ``deletes`` maps a
     live data-file path to the 0-based row positions to delete. Each
     touched file gets remove + re-add with a fresh DV ``.bin``
@@ -1248,7 +1249,13 @@ def delete_rows_delta_local(table: str, deletes: dict) -> int:
     merge would resurrect earlier deletions). Data files untouched —
     the row-level delete without a copy-on-write rewrite, which is
     the whole point of DVs at 100 TB. Returns the committed version;
-    compact_delta_local materializes accumulated DVs away."""
+    compact_delta_local materializes accumulated DVs away.
+
+    On a table with delta.enableChangeDataFeed=true the commit also
+    records the NEWLY deleted rows as Change Data Files + ``cdc``
+    actions (round 10 — what the protocol requires of CDF writers for
+    row-level deletes); that scan needs a SparkSession (``spark`` or
+    the active one)."""
     from .dv import dv_row_indexes, write_dv_file
     files, meta, keys, adds = _replay(table, None)
     root = table.removeprefix("file://")
@@ -1277,6 +1284,7 @@ def delete_rows_delta_local(table: str, deletes: dict) -> int:
             "writerFeatures": sorted(set(
                 (proto.get("writerFeatures") or [])
                 + legacy_w + ["deletionVectors"]))}})
+    new_positions: dict = {}
     for p, positions in deletes.items():
         ap = os.path.abspath(p)
         if ap not in by_abs:
@@ -1299,8 +1307,12 @@ def delete_rows_delta_local(table: str, deletes: dict) -> int:
             raise ValueError(
                 f"{p}: row positions {sorted(bad)[:5]} out of range "
                 f"(file has {nrec} rows; positions are 0-based)")
-        if a.get("deletionVector"):
-            merged |= set(dv_row_indexes(root, a["deletionVector"]))
+        old = (set(dv_row_indexes(root, a["deletionVector"]))
+               if a.get("deletionVector") else set())
+        newly = sorted(merged - old)
+        if newly:
+            new_positions[ap] = newly
+        merged |= old
         dvp = os.path.join(dv_dir,
                            f"deletion_vector_{uuid.uuid4().hex}.bin")
         desc = write_dv_file(dvp, sorted(merged))
@@ -1310,9 +1322,93 @@ def delete_rows_delta_local(table: str, deletes: dict) -> int:
         actions.append({"remove": {"path": k, "deletionTimestamp": ts,
                                    "dataChange": True}})
         actions.append({"add": na})
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true" \
+            and new_positions:
+        actions += _delete_cdc_actions(spark, root, meta,
+                                       new_positions, by_abs)
     version = list_versions(table)[-1] + 1
     _commit(table, version, actions)
     return version
+
+
+def _delete_cdc_actions(spark, root: str, meta: dict,
+                        new_positions: dict, by_abs: dict) -> list:
+    """Change Data Files for a DV-delete commit on a CDF-enabled
+    table (round 10): scan the NEWLY deleted (file, position) rows —
+    a distributed (path, row_index) semi-join, never a driver row
+    path — and write them under _change_data/ with
+    ``_change_type='delete'``. The change files follow data-file
+    rules: physical column names on name-mapped tables, partition
+    values in the cdc actions (hive layout), never in the files.
+    id mode refuses typed — per-file field-id layouts would need
+    per-group change files."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+    if spark is None:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            "delete_rows_delta_local on a delta.enableChangeDataFeed "
+            "table writes Change Data Files, which needs a "
+            "SparkSession — pass spark= or run inside an active one")
+    if _id_mapping(meta):
+        raise NotImplementedError(
+            "cdc emission for DV deletes on a columnMapping.mode=id "
+            "table — per-file field-id layouts would need per-group "
+            "change files; use upsert_delta_local or disable "
+            "delta.enableChangeDataFeed")
+    pcols, ptypes = _partition_schema(meta)
+    cmap = _column_mapping(meta)
+    files = sorted(new_positions)
+    pos = spark.createDataFrame(
+        [(f, int(p)) for f in files for p in new_positions[f]],
+        "__qs_dfp__ string, __qs_dpos__ long")
+    rs = _log_read_schema(meta, pcols, cmap=cmap)
+    scan = (spark.read.schema(rs).parquet(*files) if rs is not None
+            else spark.read.parquet(*files))
+    scan = (scan.withColumn("__qs_fp__", _plain_path_col())
+            .withColumn("__qs_pos__", F.col("_metadata.row_index"))
+            .join(pos, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                  & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                  "left_semi"))
+    out_pcols = []
+    if pcols:
+        pv_key = ({c: cmap[c] for c in pcols} if cmap
+                  else {c: c for c in pcols})
+        out_pcols = [pv_key[c] for c in pcols]
+        adds = [by_abs[f][1] for f in files]
+        mapping = (_partition_values_frame(spark, files, adds, pcols,
+                                           ptypes, pv_key)
+                   .withColumnRenamed("__qs_path__", "__qs_fp__"))
+        # the change files' hive layout keys by the PHYSICAL name,
+        # like every mapped write
+        mapping = mapping.select(
+            "__qs_fp__", *[F.col(c).alias(pv_key[c]) for c in pcols])
+        scan = scan.join(F.broadcast(mapping), "__qs_fp__")
+    scan = scan.drop("__qs_fp__", "__qs_pos__") \
+        .withColumn("_change_type", F.lit("delete"))
+    d = os.path.join(root, "_change_data",
+                     f"cdc-{_uuid.uuid4().hex[:12]}")
+    w = scan.write
+    if out_pcols:
+        w = w.partitionBy(*out_pcols)
+    w.parquet(d)
+    out = []
+    for p in sorted(os.path.join(dp, f)
+                    for dp, _, fs in os.walk(d)
+                    for f in fs if f.endswith(".parquet")):
+        out.append({"cdc": {
+            "path": os.path.relpath(p, root),
+            "partitionValues": (_hive_partition_values(d, p)
+                                if pcols else {}),
+            "size": os.path.getsize(p),
+            "dataChange": False}})
+    return out
 
 
 def write_checkpoint_local(table: str, version: int | None = None) -> int:

@@ -2199,13 +2199,44 @@ def test_delta_changes_cdc_actions(spark, qc, tmp_path):
     # batch reads ignore cdc actions entirely
     got = {r["id"]: r["v"] for r in qc.read_delta(cdf_tbl).df.collect()}
     assert got == {1: 1.0, 2: 22.0, 3: 3.0, 9: 9.0}
-    # vacuum keeps the kept version's cdc files (the v2 change read
-    # stays serviceable even after pre-upsert data files reclaim)
+    # DV deletes on the CDF table also emit cdc (round 10): v3
+    # deletes id=3 on both tables — the CDF one serves the change
+    # from its change file, equal to the twin's DV-diff
+    # reconstruction
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import delete_rows_delta_local
+
+    def del3(tbl):
+        for uri in qc.read_delta(tbl).df.inputFiles():
+            f = uri.removeprefix("file:")
+            ids = pq.read_table(f, columns=["id"]) \
+                .column("id").to_pylist()
+            if 3 in ids:
+                delete_rows_delta_local(tbl, {f: [ids.index(3)]},
+                                        spark=spark)
+                return
+        raise AssertionError("id 3 not found")
+
+    del3(cdf_tbl)
+    del3(plain_tbl)
+    chd = qc.read_delta_changes(cdf_tbl, 3, 3).df
+    assert all("_change_data" in f for f in chd.inputFiles())
+    dd = sorted((r["_change_type"], r["id"], r["v"])
+                for r in chd.collect())
+    assert dd == [("delete", 3, 3.0)]
+    assert dd == sorted((r["_change_type"], r["id"], r["v"])
+                        for r in qc.read_delta_changes(plain_tbl, 3, 3)
+                        .df.collect())
+    assert {r["id"] for r in qc.read_delta(cdf_tbl).df.collect()} == \
+        {1, 2, 9}
+    # vacuum keeps the kept version's cdc files (the v3 change read
+    # stays serviceable even after superseded files reclaim)
     vacuum_delta_local(cdf_tbl, keep_last=1)
     rows2 = sorted((r["_change_type"], r["id"], r["v"])
-                   for r in qc.read_delta_changes(cdf_tbl, 2, 2)
+                   for r in qc.read_delta_changes(cdf_tbl, 3, 3)
                    .df.collect())
-    assert rows2 == rows
+    assert rows2 == dd
 
 
 def test_delta_changes_cdc_actions_foreign_and_mapped(spark, qc,
