@@ -43,9 +43,12 @@ soft-delete payloads. PARQUET data blocks (a real hudi writer option,
 content is a complete parquet file, read via Arrow into the SAME
 avro-raw record shape as avro_data blocks (logical date/timestamp
 values as day/micros ints), so both kinds share one downstream
-pipeline. Delete-block versions 1/2 (Kryo-serialized Java objects),
-HFile/CDC data blocks, and unknown versions refuse with typed errors
-— never a silent misread.
+pipeline. CDC blocks (``hoodie.table.cdc.enabled`` writers emit one
+next to each data block) are SKIPPED in snapshot reads — they are
+supplemental change info, and decoding them as data would
+double-count. Delete-block versions 1/2 (Kryo-serialized Java
+objects), HFile data blocks, and unknown versions refuse with typed
+errors — never a silent misread.
 
 The reader is deliberately paranoid: it advances by PARSING, checks
 the declared block size against the parsed one, and refuses on any
@@ -167,7 +170,7 @@ def _rollback_target(frame: dict, name: str) -> str:
 
 
 def _check_block_supported(btype: str, name: str) -> None:
-    if btype in ("hfile_data", "cdc_data",
+    if btype in ("hfile_data",
                  "corrupt") or btype.startswith("unknown_"):
         raise NotImplementedError(
             f"{name}: HoodieLogFormat {btype} block — only avro_data, "
@@ -198,6 +201,12 @@ def read_log_blocks(data: bytes, name: str = "<bytes>") -> list[dict]:
                     "— pass every log file of the slice to "
                     "read_slice_log_records for cross-file rollback")
             blocks = survivors
+            continue
+        if btype == "cdc_data":
+            # supplemental change info (hoodie.table.cdc.enabled
+            # writers emit one next to each data block): a SNAPSHOT
+            # read must ignore it — the data blocks carry the actual
+            # rows; decoding it as data would double-count
             continue
         _check_block_supported(btype, name)
         blocks.append(frame)
@@ -514,6 +523,8 @@ def read_slice_log_records(datas: list, key_fields: list | None = None,
                 blocks = [b for b in blocks
                           if b["header"].get("INSTANT_TIME") != target]
                 continue
+            if btype == "cdc_data":
+                continue          # supplemental — see read_log_blocks
             _check_block_supported(btype, name)
             blocks.append(frame)
         names.append(name)

@@ -796,11 +796,14 @@ def test_hudi_logfmt_parquet_block_codec():
                         nbuf.getvalue())
     with pytest.raises(NotImplementedError, match="scalar|mapping"):
         read_log_records_bytes(nblk, name="nested")
-    # hfile / cdc blocks still refuse
-    for bt in ("hfile_data", "cdc_data"):
-        bad = _block_bytes(bt, {"INSTANT_TIME": "1"}, b"\x00")
-        with pytest.raises(NotImplementedError, match="block"):
-            read_log_records_bytes(bad, name=bt)
+    # hfile blocks still refuse; cdc blocks (supplemental change
+    # info) are SKIPPED by snapshot reads — not decoded as data
+    bad = _block_bytes("hfile_data", {"INSTANT_TIME": "1"}, b"\x00")
+    with pytest.raises(NotImplementedError, match="block"):
+        read_log_records_bytes(bad, name="hfile")
+    cdcb = _block_bytes("cdc_data", {"INSTANT_TIME": "100"}, b"\x00")
+    _, recs5 = read_log_records_bytes(mixed + cdcb, name="cdcmix")
+    assert recs5 == recs2
 
 
 def test_hudi_mor_parquet_framed_logs_read_end_to_end(spark, qc,
