@@ -2530,7 +2530,10 @@ def src_delta_cdc_write(spark, sf_dir):
     of reconstructing. Fixture: documents bulk-loads; one upsert
     bumps n_chars of doc_id%10=0 rows and inserts fresh keys
     (doc_id+10M) for doc_id%10=1 — the same decomposition as
-    src_delta_cdf_upsert, but round-tripped through real cdc files."""
+    src_delta_cdf_upsert, but round-tripped through real cdc files.
+    (The shared oracle is valid because every update CHANGES values;
+    a no-op re-apply would pair pre/postimage in cdc, like the jar,
+    where the log-only reconstruction cancels byte-identical rows.)"""
     import json as _json
     import os
     import tempfile
@@ -2836,6 +2839,7 @@ def src_hudi_logfmt(spark, sf_dir):
                                                  write_hudi_mor_local)
     from quokka_spark.sources.hudi_logfmt import (delete_block,
                                                   parquet_data_block,
+                                                  records_to_arrow,
                                                   rollback_block,
                                                   write_log_file)
     qc = _qc(spark)
@@ -2846,8 +2850,6 @@ def src_hudi_logfmt(spark, sf_dir):
     done = os.path.join(base, "_done")
     if not os.path.exists(done):
         import shutil
-
-        import pyarrow as pa
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(base, exist_ok=True)
         src = spark.read.parquet(docs)
@@ -2861,20 +2863,6 @@ def src_hudi_logfmt(spark, sf_dir):
             src.where("doc_id % 5 = 0").withColumn("lang", F.lit("zz")))
         dels = src.where("doc_id % 7 = 0").select("doc_id")
         upsert_hudi_mor_local(spark, tbl, dels, delete=True)
-
-        def to_arrow(schema, records):
-            amap = {"long": pa.int64(), "int": pa.int32(),
-                    "double": pa.float64(), "float": pa.float32(),
-                    "string": pa.string(), "boolean": pa.bool_()}
-            arrays = {}
-            for fld in schema["fields"]:
-                ft = fld["type"]
-                if isinstance(ft, list):
-                    ft = [x for x in ft if x != "null"][0]
-                arrays[fld["name"]] = pa.array(
-                    [r.get(fld["name"]) for r in records], amap[ft])
-            return pa.table(arrays)
-
         # reframe every container log into spec framing, in place;
         # all-tombstone logs become HARD-DELETE blocks, the update
         # instant's logs become PARQUET data blocks
@@ -2898,7 +2886,7 @@ def src_hudi_logfmt(spark, sf_dir):
                 elif ts == str(updated):
                     with open(p, "wb") as fh:
                         fh.write(parquet_data_block(
-                            to_arrow(schema, records), ts,
+                            records_to_arrow(schema, records), ts,
                             schema=schema))
                 else:
                     write_log_file(p, schema, records, ts)

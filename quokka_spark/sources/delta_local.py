@@ -1259,6 +1259,30 @@ def delete_rows_delta_local(table: str, deletes: dict,
     from .dv import dv_row_indexes, write_dv_file
     files, meta, keys, adds = _replay(table, None)
     root = table.removeprefix("file://")
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    cdf_on = str(conf.get("delta.enableChangeDataFeed",
+                          "")).lower() == "true"
+    if cdf_on:
+        # validate the cdc-emission preconditions BEFORE any DV .bin
+        # lands on disk — a late refusal would orphan them
+        if _id_mapping(meta):
+            raise NotImplementedError(
+                "cdc emission for DV deletes on a "
+                "columnMapping.mode=id table — per-file field-id "
+                "layouts would need per-group change files; use "
+                "upsert_delta_local or disable "
+                "delta.enableChangeDataFeed")
+        if spark is None:
+            from pyspark.sql import SparkSession
+            spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "delete_rows_delta_local on a "
+                "delta.enableChangeDataFeed table writes Change Data "
+                "Files, which needs a SparkSession — pass spark= or "
+                "run inside an active one")
     by_abs = {os.path.abspath(f): (k, a)
               for f, k, a in zip(files, keys, adds)}
     dv_dir = os.path.join(root, "_dv")
@@ -1322,11 +1346,7 @@ def delete_rows_delta_local(table: str, deletes: dict,
         actions.append({"remove": {"path": k, "deletionTimestamp": ts,
                                    "dataChange": True}})
         actions.append({"add": na})
-    conf = meta.get("configuration") or {}
-    if isinstance(conf, list):
-        conf = dict(conf)
-    if str(conf.get("delta.enableChangeDataFeed", "")).lower() == "true" \
-            and new_positions:
+    if cdf_on and new_positions:
         actions += _delete_cdc_actions(spark, root, meta,
                                        new_positions, by_abs)
     version = list_versions(table)[-1] + 1
@@ -1343,25 +1363,12 @@ def _delete_cdc_actions(spark, root: str, meta: dict,
     ``_change_type='delete'``. The change files follow data-file
     rules: physical column names on name-mapped tables, partition
     values in the cdc actions (hive layout), never in the files.
-    id mode refuses typed — per-file field-id layouts would need
-    per-group change files."""
+    The caller validates the preconditions (a live SparkSession, not
+    id mode) BEFORE writing any DV file — see delete_rows_delta_local
+    — so a refusal never orphans on-disk state."""
     import uuid as _uuid
 
     from pyspark.sql import functions as F
-    if spark is None:
-        from pyspark.sql import SparkSession
-        spark = SparkSession.getActiveSession()
-    if spark is None:
-        raise ValueError(
-            "delete_rows_delta_local on a delta.enableChangeDataFeed "
-            "table writes Change Data Files, which needs a "
-            "SparkSession — pass spark= or run inside an active one")
-    if _id_mapping(meta):
-        raise NotImplementedError(
-            "cdc emission for DV deletes on a columnMapping.mode=id "
-            "table — per-file field-id layouts would need per-group "
-            "change files; use upsert_delta_local or disable "
-            "delta.enableChangeDataFeed")
     pcols, ptypes = _partition_schema(meta)
     cmap = _column_mapping(meta)
     files = sorted(new_positions)
@@ -1897,15 +1904,23 @@ def vacuum_delta_local(table: str, keep_last: int = 1) -> int:
                 referenced.add(os.path.abspath(dv_file_path(root, dv)))
         # Change Data Files of kept versions stay readable through
         # read_delta_changes (cdc actions, round 10); older versions'
-        # cdc files reclaim with their version, the VACUUM trade
+        # cdc files reclaim with their version, the VACUUM trade.
+        # Substring-gated line scan, not a second full JSON parse —
+        # a 100k-add commit would otherwise parse twice per vacuum
         try:
-            cdcs = _commit_parsed(table, v)[4]
+            with open(_version_path(table, v)) as fh:
+                for line in fh:
+                    if '"cdc"' not in line:
+                        continue
+                    c = json.loads(line).get("cdc")
+                    if not c:
+                        continue
+                    p = c.get("path", "")
+                    referenced.add(os.path.abspath(
+                        p if os.path.isabs(p)
+                        else os.path.join(root, p)))
         except FileNotFoundError:
-            cdcs = []                 # checkpoint-only kept version
-        for c in cdcs:
-            p = c.get("path", "")
-            referenced.add(os.path.abspath(
-                p if os.path.isabs(p) else os.path.join(root, p)))
+            pass                      # checkpoint-only kept version
     deleted = 0
     for dp, _, fs in os.walk(root):
         if "_delta_log" in dp:
@@ -2064,17 +2079,30 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         # change rows as Change Data Files under _change_data/ plus
         # protocol ``cdc`` actions (dataChange=false) — the shape the
         # jar's CDF reader consumes; read_delta_changes prefers them
-        # over add/remove reconstruction for this commit too. All
-        # distributed set ops on the already-built ``live`` scan.
-        mk = live.select(*keys).join(new_keys, keys, "left_semi") \
-            .distinct()
-        pre = (live.drop("__qs_file__").join(mk, keys, "left_semi")
-               .withColumn("_change_type", F.lit("update_preimage")))
-        post = (df.join(mk, keys, "left_semi")
-                .withColumn("_change_type", F.lit("update_postimage")))
-        ins = (df.join(mk, keys, "left_anti")
-               .withColumn("_change_type", F.lit("insert")))
-        cdc = pre.unionByName(post).unionByName(ins)
+        # over add/remove reconstruction for this commit too. Matched
+        # keys can only live in the AFFECTED files, so the pre-image
+        # pass scans exactly those (not the whole table). Like the
+        # jar, a matched row whose values did not change still pairs
+        # as update_preimage/update_postimage — the one shape the
+        # log-only reconstruction cannot recover (byte-identical rows
+        # cancel there); the cdc form is the authoritative one.
+        if affected:
+            base = live.filter(
+                F.col("__qs_file__").isin(list(affected)))
+            mk = base.select(*keys).join(new_keys, keys,
+                                         "left_semi").distinct()
+            pre = (base.drop("__qs_file__")
+                   .join(mk, keys, "left_semi")
+                   .withColumn("_change_type",
+                               F.lit("update_preimage")))
+            post = (df.join(mk, keys, "left_semi")
+                    .withColumn("_change_type",
+                                F.lit("update_postimage")))
+            ins = (df.join(mk, keys, "left_anti")
+                   .withColumn("_change_type", F.lit("insert")))
+            cdc = pre.unionByName(post).unionByName(ins)
+        else:
+            cdc = df.withColumn("_change_type", F.lit("insert"))
         d = os.path.join(root, "_change_data", f"cdc-{tag}")
         out_pcols = pcols
         if cm != "none":

@@ -271,6 +271,50 @@ def _arrow_to_avro_schema(aschema, name: str) -> dict:
     return {"type": "record", "name": "row", "fields": fields}
 
 
+def records_to_arrow(schema: dict, records: list):
+    """Avro-RAW records (the decode pipeline's shape — logical
+    date/timestamp values as day/micros ints) → a pyarrow Table laid
+    out for :func:`parquet_data_block`: the inverse of
+    :func:`_arrow_to_avro_schema`, shared by fixtures and interop
+    tests so the avro↔arrow type mapping lives in one place. Loud on
+    anything outside the scalar set — a silent coercion here would
+    poison the byte-level roundtrip the tests pin."""
+    import pyarrow as pa
+    amap = {"boolean": pa.bool_(), "int": pa.int32(),
+            "long": pa.int64(), "float": pa.float32(),
+            "double": pa.float64(), "string": pa.string(),
+            "bytes": pa.binary()}
+    arrays = {}
+    for fld in schema["fields"]:
+        ft = fld["type"]
+        if isinstance(ft, list):
+            nn = [x for x in ft if x != "null"]
+            if len(nn) != 1:
+                raise NotImplementedError(
+                    f"column {fld['name']!r}: multi-branch union {ft}")
+            ft = nn[0]
+        vals = [r.get(fld["name"]) for r in records]
+        if isinstance(ft, dict):
+            lt, base = ft.get("logicalType"), ft.get("type")
+            if lt == "date" and base == "int":
+                arr = pa.array(vals, pa.int32()).cast(pa.date32())
+            elif lt == "timestamp-micros" and base == "long":
+                arr = pa.array(vals, pa.int64()) \
+                    .cast(pa.timestamp("us"))
+            else:
+                raise NotImplementedError(
+                    f"column {fld['name']!r}: avro type {ft} has no "
+                    "arrow mapping in this writer")
+        elif ft in amap:
+            arr = pa.array(vals, amap[ft])
+        else:
+            raise NotImplementedError(
+                f"column {fld['name']!r}: avro type {ft} has no "
+                "arrow mapping in this writer")
+        arrays[fld["name"]] = arr
+    return pa.table(arrays)
+
+
 def _decode_parquet_block(block: dict, name: str) -> tuple[dict, list]:
     """One parquet_data block → (avro schema dict, avro-RAW records).
     The content is a COMPLETE parquet file (real hudi's parquet log
@@ -324,9 +368,14 @@ def _frame_schema(frame: dict) -> dict | None:
     if frame["type"] == "parquet_data":
         import pyarrow as pa
         import pyarrow.parquet as pq
+        content = frame["content"]
+        if content[:4] != b"PAR1" or content[-4:] != b"PAR1":
+            raise ValueError(
+                "<frame>: parquet_data block content lacks the "
+                "parquet magic — corrupt framing or an unsupported "
+                "layout")
         return _arrow_to_avro_schema(
-            pq.read_schema(pa.BufferReader(frame["content"])),
-            "<frame>")
+            pq.read_schema(pa.BufferReader(content)), "<frame>")
     return None
 
 

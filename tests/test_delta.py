@@ -2131,8 +2131,11 @@ def test_delta_changes_cdc_actions(spark, qc, tmp_path):
     delta.enableChangeDataFeed=true writes Change Data Files under
     _change_data/ plus protocol ``cdc`` actions, read_delta_changes
     serves that commit FROM them (authoritative — equal to the twin
-    non-CDF table's reconstruction), batch reads ignore cdc actions,
-    and vacuum keeps the kept versions' cdc files."""
+    non-CDF table's reconstruction, which holds because every update
+    here CHANGES values: a no-op re-apply pairs pre/postimage in cdc,
+    like the jar, while byte-identical rows cancel in the log-only
+    reconstruction), batch reads ignore cdc actions, and vacuum keeps
+    the kept versions' cdc files."""
     import json as _json
 
     from quokka_spark.sources.delta_local import (_commit,

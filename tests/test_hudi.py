@@ -814,11 +814,10 @@ def test_hudi_mor_parquet_framed_logs_read_end_to_end(spark, qc,
     #HUDI# magic and decode the parquet payload."""
     import json as _json
 
-    import pyarrow as pa
-
     from quokka_spark.sources.avro_lite import read_container
     from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
-    from quokka_spark.sources.hudi_logfmt import parquet_data_block
+    from quokka_spark.sources.hudi_logfmt import (parquet_data_block,
+                                                  records_to_arrow)
     tbl = _mor_table(spark, tmp_path)
     upsert_hudi_mor_local(
         spark, tbl,
@@ -838,24 +837,11 @@ def test_hudi_mor_parquet_framed_logs_read_end_to_end(spark, qc,
                 p = os.path.join(dp, f)
                 meta, records = read_container(p)
                 schema = _json.loads(meta["avro.schema"])
-                arrays, amap = {}, {"long": pa.int64(),
-                                    "int": pa.int32(),
-                                    "double": pa.float64(),
-                                    "float": pa.float32(),
-                                    "string": pa.string(),
-                                    "boolean": pa.bool_()}
-                for fld in schema["fields"]:
-                    ft = fld["type"]
-                    if isinstance(ft, list):
-                        nn = [x for x in ft if x != "null"]
-                        ft = nn[0]
-                    arrays[fld["name"]] = pa.array(
-                        [r.get(fld["name"]) for r in records],
-                        amap[ft])
                 ts = str(records[0].get("_hoodie_commit_time", "0")) \
                     if records else "0"
-                blk = parquet_data_block(pa.table(arrays), ts,
-                                         schema=schema)
+                blk = parquet_data_block(
+                    records_to_arrow(schema, records), ts,
+                    schema=schema)
                 with open(p, "wb") as fh:
                     fh.write(blk)
                 n += 1
