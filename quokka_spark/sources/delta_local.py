@@ -2608,8 +2608,15 @@ def read_delta_changes(spark, table: str, from_version: int,
             pre_live[k] = a
     _flush_inserts()
     if not parts:
-        # typed empty frame: data schema + the two change columns
-        base = read_delta_local(spark, table, to_version)
+        # typed empty frame: data schema + the two change columns —
+        # built from the LOG's schema when it has one (a metadata-only
+        # range has no live files for a scan to type from)
+        try:
+            from pyspark.sql.types import StructType
+            base = spark.createDataFrame([], StructType.fromJson(
+                json.loads(meta["schemaString"])))
+        except (KeyError, ValueError, TypeError):
+            base = read_delta_local(spark, table, to_version)
         return _tag(base, "insert", 0).limit(0)
     out = parts[0]
     for p in parts[1:]:

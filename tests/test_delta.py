@@ -2343,6 +2343,136 @@ def test_delta_changes_cdc_actions_foreign_and_mapped(spark, qc,
         and "col-b3" in names
 
 
+def test_delta_changes_random_ops_cdc_twin(spark, qc, tmp_path):
+    """Model-based sweep for cdc-action interop (round 10): the SAME
+    seeded random op sequence (appends, value-changing upserts, DV
+    deletes, compactions) applied to a CDF-enabled table and a plain
+    twin must yield IDENTICAL change feeds version-by-version — the
+    CDF table serves upsert/delete commits from its Change Data Files,
+    the twin reconstructs from the log — and applying the CDF table's
+    change rows must reconstruct its time-travel state at every
+    version."""
+    import json as _json
+    import random
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  compact_delta_local,
+                                                  delete_rows_delta_local,
+                                                  list_versions,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+
+    def mk(name, cdf):
+        tbl = str(tmp_path / name)
+        os.makedirs(tbl)
+        conf = {"delta.enableChangeDataFeed": "true"} if cdf else {}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": {"id": name, "format": {
+                "provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": [
+                        {"name": "id", "type": "long",
+                         "nullable": True, "metadata": {}},
+                        {"name": "v", "type": "double",
+                         "nullable": True, "metadata": {}}]}),
+                "partitionColumns": [], "configuration": conf,
+                "createdTime": 0}}])
+        return tbl
+
+    rng = random.Random(42)
+    ta, tb = mk("cdctwin_on", True), mk("cdctwin_off", False)
+    nxt = 0
+    model: dict = {}                      # id -> v (live state)
+
+    def fresh(n):
+        nonlocal nxt
+        rows = [(i, float(i) * 0.5) for i in range(nxt, nxt + n)]
+        nxt += n
+        return rows
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "id long, v double") \
+            .coalesce(1)
+
+    def apply_both(fn):
+        fn(ta)
+        fn(tb)
+
+    rows0 = fresh(6)
+    apply_both(lambda t: write_delta_local(frame(rows0), t,
+                                           mode="append"))
+    model.update(dict(rows0))
+    for _ in range(6):
+        op = rng.choice(["append", "upsert", "delete", "compact"])
+        if op == "append":
+            rows = fresh(rng.randint(1, 3))
+            apply_both(lambda t: write_delta_local(
+                frame(rows), t, mode="append"))
+            model.update(dict(rows))
+        elif op == "upsert":
+            live_ids = sorted(model)
+            upd = [(i, model[i] + 100.0)
+                   for i in rng.sample(live_ids,
+                                       min(2, len(live_ids)))]
+            rows = upd + fresh(1)
+            apply_both(lambda t: upsert_delta_local(
+                spark, t, frame(rows), "id"))
+            model.update(dict(rows))
+        elif op == "delete":
+            live_ids = sorted(model)
+            victims = set(rng.sample(live_ids,
+                                     min(2, len(live_ids))))
+            if not victims:
+                continue
+
+            def dodel(t):
+                dels = {}
+                for uri in qc.read_delta(t).df.inputFiles():
+                    f = uri.removeprefix("file:")
+                    ids = pq.read_table(f, columns=["id"]) \
+                        .column("id").to_pylist()
+                    pos = [i for i, x in enumerate(ids)
+                           if x in victims]
+                    if pos:
+                        dels[f] = pos
+                if dels:
+                    delete_rows_delta_local(t, dels, spark=spark)
+
+            apply_both(dodel)
+            for i in victims:
+                model.pop(i, None)
+        else:
+            apply_both(lambda t: compact_delta_local(
+                spark, t, target_file_rows=1000))
+    assert list_versions(ta) == list_versions(tb)
+    state: Counter = Counter()
+    for ver in list_versions(ta):
+        cha = sorted((r["_change_type"], r["id"], r["v"]) for r in
+                     qc.read_delta_changes(ta, ver, ver).df.collect())
+        chb = sorted((r["_change_type"], r["id"], r["v"]) for r in
+                     qc.read_delta_changes(tb, ver, ver).df.collect())
+        assert cha == chb, f"feeds diverged at version {ver}"
+        for ct, i, v in cha:
+            key = (i, v)
+            if ct in ("insert", "update_postimage"):
+                state[key] += 1
+            else:
+                state[key] -= 1
+                if state[key] == 0:
+                    del state[key]
+        try:
+            want = Counter((r["id"], r["v"]) for r in
+                           qc.read_delta(ta, version=ver).df.collect())
+        except ValueError:
+            want = Counter()          # metadata-only version
+        assert state == want, f"state diverged at version {ver}"
+    assert dict(state) == {(i, v): 1 for i, v in model.items()}
+
+
 def test_delta_changes_random_ops_partitioned(spark, qc, tmp_path):
     """Model-based sweep for the PARTITIONED change feed (round 9):
     a seeded random sequence of partitioned appends, DV deletes,
