@@ -7037,25 +7037,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-10 rotation (round-9 verdict #2): IN — the sink trio's
     `stream_sink_iceberg` + `stream_sink_hudi`,
     `src_delta_cm_partitioned`, `src_delta_cdf_upsert` (CDF update
-    pairing) and `src_delta_ts_travel` (one timestamp-travel gate);
-    OUT — the five single/two-table TPC-H micro plans
-    `tpch_q4/q6/q12/q14/q19`, whose operator shapes (filter-agg,
-    semi-join, two-table join-agg) stay covered in-window by
-    q1/q3/q21 and which remain BOTH pytest-oracled and benched every
-    round. Redundant relational micro-gates, perf bench gates, and
-    the remaining incremental/streaming-source gates sit past the
-    window; ALL 183 entries stay pytest-oracle-checked in
+    pairing), `src_delta_ts_travel` (one timestamp-travel gate), and
+    the two gates this round's new machinery added mid-session —
+    `src_delta_cdf_id` (id-mode change feed) and `src_delta_cdc_write`
+    (CDF-writer cdc actions end-to-end); OUT — the seven
+    single/two-table TPC-H micro plans `tpch_q4/q6/q12/q14/q15/q17/
+    q19`, whose operator shapes (filter-agg, semi-join, two-table
+    join-agg, view-max, correlated scalar) stay covered in-window by
+    q1/q3/q18/q21 and which remain BOTH pytest-oracled and benched
+    every round. Redundant relational micro-gates, perf bench gates,
+    and the remaining incremental/streaming-source gates sit past the
+    window; ALL 188 entries stay pytest-oracle-checked in
     tests/test_oracle_parity.py."""
     return {
         # ---- driver-checked window (first 50) -------------------------
-        # TPC-H suite (17 in-window; the 5 single/two-table micro
-        # plans q4/q6/q12/q14/q19 rotated out in round 10 — still
-        # pytest-oracled AND benched every round)
+        # TPC-H suite (15 in-window; the 7 single/two-table micro
+        # plans q4/q6/q12/q14/q15/q17/q19 rotated out in round 10 —
+        # still pytest-oracled AND benched every round)
         "tpch_q1": tpch_q1, "tpch_q3": tpch_q3,
         "tpch_q5": tpch_q5, "tpch_q7": tpch_q7,
         "tpch_q8": tpch_q8, "tpch_q9": tpch_q9, "tpch_q10": tpch_q10,
         "tpch_q13": tpch_q13,
-        "tpch_q15": tpch_q15, "tpch_q16": tpch_q16, "tpch_q17": tpch_q17,
+        "tpch_q16": tpch_q16,
         "tpch_q18": tpch_q18, "tpch_q22": tpch_q22,
         "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
         "tpch_q21": tpch_q21,
@@ -7105,7 +7108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_src_delta_partitioned": stream_src_delta_partitioned,
         # ---- past the driver window (pytest-oracle-checked) -----------
         "tpch_q4": tpch_q4, "tpch_q6": tpch_q6, "tpch_q12": tpch_q12,
-        "tpch_q14": tpch_q14, "tpch_q19": tpch_q19,
+        "tpch_q14": tpch_q14, "tpch_q15": tpch_q15,
+        "tpch_q17": tpch_q17, "tpch_q19": tpch_q19,
         "ts_backtest": ts_backtest,
         "agg_quantile": agg_quantile,
         "ml_bpe_train": ml_bpe_train,
