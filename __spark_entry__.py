@@ -2920,6 +2920,84 @@ GROUP BY 1
 """
 
 
+def src_delta_restore(spark, sf_dir):
+    """RESTORE (round 10 — delta_local.restore_delta_local): the
+    even-orderkey half of lineitem bulk-loads (v0), the odd half
+    appends (v1), then RESTORE to v0 commits the diff as v2 — the
+    read-back must equal the plain even-half oracle, with v1 still
+    reachable by time travel (asserted by the fixture)."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.delta_local import (restore_delta_local,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_drst_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(li)
+        write_delta_local(src.where("l_orderkey % 2 = 0"), tbl)
+        write_delta_local(src.where("l_orderkey % 2 = 1"), tbl,
+                          mode="append")
+        restore_delta_local(tbl, 0)
+        assert qc.read_delta(tbl, version=1).df.count() \
+            == src.count()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return qc.read_delta(tbl).df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_SRC_RESTORE_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_orderkey % 2 = 0
+GROUP BY l_returnflag
+"""
+
+
+def src_iceberg_restore(spark, sf_dir):
+    """Iceberg restore (round 10 — iceberg_local.
+    restore_iceberg_local): snap 1 = even-orderkey half, snap 2
+    appends the odd half, snap 3 re-references snap 1's manifest list
+    byte-for-byte — the read-back must equal the even-half oracle and
+    snap 2 stays time-travelable (asserted by the fixture)."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.iceberg_local import restore_iceberg_local
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_irst_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(li)
+        qc.read_parquet(li).filter_sql("l_orderkey % 2 = 0") \
+            .write_iceberg(tbl)
+        qc.read_parquet(li).filter_sql("l_orderkey % 2 = 1") \
+            .write_iceberg(tbl)
+        restore_iceberg_local(tbl, 1)
+        assert qc.read_iceberg(tbl, snapshot=2).df.count() \
+            == src.count()
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return qc.read_iceberg(tbl).df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
 def src_delta_ts_travel(spark, sf_dir):
     """Delta timestampAsOf (round 9 — delta_local.
     version_at_timestamp): two commits with PINNED commit-file
@@ -7116,6 +7194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_join_nonequi": op_join_nonequi,
         "src_iceberg_ts_travel": src_iceberg_ts_travel,
         "src_hudi_ts_travel": src_hudi_ts_travel,
+        "src_delta_restore": src_delta_restore,
+        "src_iceberg_restore": src_iceberg_restore,
         "agg_covariance": agg_covariance,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ts_hopping": ts_hopping,
@@ -7361,6 +7441,8 @@ def oracle_sql() -> dict[str, str]:
         "src_hudi_mor": _SRC_HUDI_MOR_SQL,
         "src_hudi_logfmt": _SRC_HUDI_LOGFMT_SQL,
         "src_delta_ts_travel": _TS_TRAVEL_SQL,
+        "src_delta_restore": _SRC_RESTORE_SQL,
+        "src_iceberg_restore": _SRC_RESTORE_SQL,
         "src_iceberg_ts_travel": _TS_TRAVEL_SQL,
         "src_hudi_ts_travel": _TS_TRAVEL_SQL,
         "src_delta_dv": _SRC_DELTA_DV_SQL,

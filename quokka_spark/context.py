@@ -481,6 +481,23 @@ class QuokkaContext:
         from .sources.delta_local import vacuum_delta_local
         return vacuum_delta_local(table, keep_last)
 
+    def restore_delta(self, table: str, version: int) -> int:
+        """RESTORE the table to an older version's state as a new
+        commit — history preserved, removes/re-adds derived by diff
+        (delta_local.restore_delta_local, the jar's RESTORE TABLE).
+        Returns the committed version."""
+        from .sources.delta_local import restore_delta_local
+        return restore_delta_local(table, version)
+
+    def restore_iceberg(self, table: str, snapshot_id: int) -> int:
+        """Revert the table to an older snapshot's state as a NEW
+        snapshot that re-references the target's manifest list
+        byte-for-byte (iceberg_local.restore_iceberg_local — the
+        rollback_to_snapshot analog, metadata-only). Returns the new
+        snapshot id."""
+        from .sources.iceberg_local import restore_iceberg_local
+        return restore_iceberg_local(table, snapshot_id)
+
     def compact_iceberg(self, table: str,
                         target_file_rows: int = 5_000_000) -> int:
         """rewrite_data_files-style compaction for a local Iceberg

@@ -1418,6 +1418,65 @@ def _delete_cdc_actions(spark, root: str, meta: dict,
     return out
 
 
+def restore_delta_local(table: str, version: int) -> int:
+    """RESTORE the table to an older version's state as a NEW commit
+    (the jar's ``RESTORE TABLE ... VERSION AS OF``): live files absent
+    from the target version become removes, target files not
+    currently live become re-adds carrying their ORIGINAL
+    partitionValues/stats/deletionVector, a file whose DV changed is
+    remove+re-added under the target's DV, and the target's metaData
+    is re-committed when the schema/partitioning/configuration
+    changed since. History is preserved — time travel still reaches
+    every version, and a restore of a restore works. Every
+    re-referenced file (data + DV bins) must still exist on disk:
+    vacuum may have reclaimed them, and committing a table that
+    cannot be scanned would be strictly worse than refusing."""
+    from .dv import dv_file_path
+    root = table.removeprefix("file://")
+    cur_files, cur_meta, cur_keys, cur_adds = _replay(table, None)
+    tgt_files, tgt_meta, tgt_keys, tgt_adds = _replay(table, version)
+    cur = dict(zip(cur_keys, cur_adds))
+    tgt = dict(zip(tgt_keys, tgt_adds))
+    missing = []
+    for f, a in zip(tgt_files, tgt_adds):
+        if not os.path.exists(f):
+            missing.append(f)
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p") \
+                and not os.path.exists(dv_file_path(root, dv)):
+            missing.append(dv_file_path(root, dv))
+    if missing:
+        raise ValueError(
+            f"restore to version {version} needs files that no "
+            f"longer exist (vacuumed?): {missing[:5]}")
+    ts = int(time.time() * 1000)
+    actions: list = []
+    if tgt_meta is not None and tgt_meta != cur_meta:
+        actions.append({"metaData": tgt_meta})
+
+    def _same(a, b):
+        return a.get("deletionVector") == b.get("deletionVector")
+
+    for k in cur:
+        if k not in tgt or not _same(cur[k], tgt[k]):
+            actions.append({"remove": {"path": k,
+                                       "deletionTimestamp": ts,
+                                       "dataChange": True}})
+    for k, a in tgt.items():
+        if k not in cur or not _same(cur[k], a):
+            na = dict(a)
+            na["dataChange"] = True
+            actions.append({"add": na})
+    newv = list_versions(table)[-1] + 1
+    if not actions:
+        return newv - 1                # already at the target state
+    actions.insert(0, {"commitInfo": {
+        "timestamp": ts, "operation": "RESTORE",
+        "operationParameters": {"version": str(version)}}})
+    _commit(table, newv, actions)
+    return newv
+
+
 def write_checkpoint_local(table: str, version: int | None = None) -> int:
     """Write a spec-shaped checkpoint parquet for ``version`` (None =
     latest) plus the ``_last_checkpoint`` pointer. After this the JSON

@@ -1709,6 +1709,52 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
     return ids[-1]
 
 
+def restore_iceberg_local(table_dir: str, snapshot_id: int) -> int:
+    """Revert the table to an older snapshot's state as a NEW
+    snapshot (the Delta-RESTORE analog of the jar's
+    rollback_to_snapshot): the new snapshot REUSES the target's
+    manifest-list file byte-for-byte, so its state — data files,
+    delete files, per-spec partition records, sequence scoping — is
+    identical to the target's, while history and time travel stay
+    intact and subsequent commits extend linearly from it (this
+    engine's single-writer paths build on the LATEST snapshot, so a
+    bare current-snapshot-id pointer move would fork the lineage).
+    Metadata-only: one JSON publish, no manifest rewritten."""
+    meta = _read_table_metadata(table_dir)
+    snaps = meta.get("snapshots") or []
+    tgt = next((s for s in snaps
+                if s.get("snapshot-id") == snapshot_id), None)
+    if tgt is None:
+        raise ValueError(
+            f"snapshot {snapshot_id} not found "
+            f"(have {[s.get('snapshot-id') for s in snaps]})")
+    if "manifest-list" not in tgt:
+        raise NotImplementedError(
+            "restore to a v1 inline-manifest snapshot — no manifest "
+            "list to re-reference")
+    if not os.path.exists(_local(tgt["manifest-list"])):
+        raise ValueError(
+            f"restore to snapshot {snapshot_id} needs its manifest "
+            f"list {tgt['manifest-list']}, which no longer exists "
+            "(expired?)")
+    new_id = 1 + max(int(s["snapshot-id"]) for s in snaps)
+    ts_ms = max(int(time.time() * 1000),
+                max((int(s.get("timestamp-ms") or 0) for s in snaps),
+                    default=0))
+    snaps.append({"snapshot-id": new_id, "sequence-number": new_id,
+                  "timestamp-ms": ts_ms,
+                  "manifest-list": tgt["manifest-list"],
+                  "summary": {"operation": "rollback",
+                              "rolled-back-to": str(snapshot_id)}})
+    meta["snapshots"] = snaps
+    meta["current-snapshot-id"] = new_id
+    meta["last-sequence-number"] = max(
+        int(meta.get("last-sequence-number") or 0), new_id)
+    _publish_metadata(os.path.join(_local(table_dir), "metadata"),
+                      meta)
+    return new_id
+
+
 def rewrite_data_files_local(spark, table_dir: str,
                              target_file_rows: int = 5_000_000) -> int:
     """OPTIMIZE/rewrite_data_files-style compaction: the snapshot's

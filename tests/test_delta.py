@@ -2343,6 +2343,73 @@ def test_delta_changes_cdc_actions_foreign_and_mapped(spark, qc,
         and "col-b3" in names
 
 
+def test_delta_restore(spark, qc, tmp_path):
+    """RESTORE (round 10 — delta_local.restore_delta_local): a new
+    commit whose removes/re-adds diff the live set against the target
+    version — DV'd files re-add under the TARGET's DV (deleted rows
+    resurrect), partition values ride the original adds, history and
+    time travel survive, restoring to the current state is a no-op,
+    and a vacuumed target refuses instead of committing an
+    unscannable table."""
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  list_versions,
+                                                  restore_delta_local,
+                                                  upsert_delta_local,
+                                                  vacuum_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "rst")
+    write_delta_local(
+        spark.createDataFrame([(1, "a", 1.0), (2, "a", 2.0)],
+                              "id long, cat string, v double")
+        .coalesce(1), tbl, partition_by="cat")                    # v0
+    write_delta_local(
+        spark.createDataFrame([(3, "b", 3.0)],
+                              "id long, cat string, v double")
+        .coalesce(1), tbl, mode="append")                         # v1
+    # v2: DV-delete id=2
+    for uri in qc.read_delta(tbl).df.inputFiles():
+        f = uri.removeprefix("file:")
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        if 2 in ids:
+            delete_rows_delta_local(tbl, {f: [ids.index(2)]})
+            break
+    # v3: upsert id=1
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(1, "a", 11.0)],
+                              "id long, cat string, v double"), ["id"])
+    assert {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()} \
+        == {1: 11.0, 3: 3.0}
+    # restore to v1: DV'd row resurrects, upsert reverts, partition
+    # values intact
+    rv = restore_delta_local(tbl, 1)
+    assert rv == 4
+    got = {r["id"]: (r["cat"], r["v"])
+           for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: ("a", 1.0), 2: ("a", 2.0), 3: ("b", 3.0)}
+    # equals time travel to the target, and the pre-restore head is
+    # still reachable
+    tt = {r["id"]: (r["cat"], r["v"])
+          for r in qc.read_delta(tbl, version=1).df.collect()}
+    assert got == tt
+    assert {r["id"]: r["v"]
+            for r in qc.read_delta(tbl, version=3).df.collect()} == \
+        {1: 11.0, 3: 3.0}
+    # restoring to the now-current state is a no-op (no new version)
+    assert restore_delta_local(tbl, 1) == 4
+    assert list_versions(tbl)[-1] == 4
+    # restore of a restore: back to v3's state
+    assert restore_delta_local(tbl, 3) == 5
+    assert {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()} \
+        == {1: 11.0, 3: 3.0}
+    # a vacuumed target refuses with a clear error
+    vacuum_delta_local(tbl, keep_last=1)
+    with pytest.raises(ValueError, match="no longer exist"):
+        restore_delta_local(tbl, 1)
+
+
 def test_delta_changes_random_ops_cdc_twin(spark, qc, tmp_path):
     """Model-based sweep for cdc-action interop (round 10): the SAME
     seeded random op sequence (appends, value-changing upserts, DV

@@ -1159,6 +1159,56 @@ def test_iceberg_multispec_schema_evolution(spark, qc, tmp_path):
         {1: 10, 2: 20, 3: 30}
 
 
+def test_iceberg_restore(qc, spark, tmp_path):
+    """restore_iceberg_local (round 10): a NEW snapshot re-references
+    the target's manifest list byte-for-byte — state identical to the
+    target, history intact, later commits extend linearly from it,
+    and expiry after a restore keeps the shared manifest list
+    readable."""
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import (
+        expire_snapshots_local, restore_iceberg_local,
+        upsert_iceberg_local)
+    tbl = str(tmp_path / "irst")
+    qc.from_pandas(pd.DataFrame({"id": [1, 2], "v": [10, 20]})) \
+        .write_iceberg(tbl)                                   # snap 1
+    qc.from_pandas(pd.DataFrame({"id": [3], "v": [30]})) \
+        .write_iceberg(tbl)                                   # snap 2
+    upsert_iceberg_local(
+        spark, tbl,
+        spark.createDataFrame([(2, 22), (9, 90)], "id long, v long"),
+        ["id"])                                               # snap 3
+    assert {r["id"]: r["v"] for r in qc.read_iceberg(tbl).df.collect()} \
+        == {1: 10, 2: 22, 3: 30, 9: 90}
+    new_id = restore_iceberg_local(tbl, 2)
+    got = {r["id"]: r["v"] for r in qc.read_iceberg(tbl).df.collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    assert got == {r["id"]: r["v"]
+                   for r in qc.read_iceberg(tbl, snapshot=2)
+                   .df.collect()}
+    # pre-restore head still time-travels
+    assert {r["id"]: r["v"]
+            for r in qc.read_iceberg(tbl, snapshot=3).df.collect()} \
+        == {1: 10, 2: 22, 3: 30, 9: 90}
+    # a later append extends the RESTORED state linearly
+    qc.from_pandas(pd.DataFrame({"id": [7], "v": [70]})) \
+        .write_iceberg(tbl)
+    assert {r["id"]: r["v"] for r in qc.read_iceberg(tbl).df.collect()} \
+        == {1: 10, 2: 20, 3: 30, 7: 70}
+    # unknown target refuses
+    with pytest.raises(ValueError, match="not found"):
+        restore_iceberg_local(tbl, 999)
+    # expiry keeps the restore snapshot's (shared) manifest list
+    expire_snapshots_local(tbl, keep_last=2, delete_orphans=True)
+    assert {r["id"]: r["v"] for r in qc.read_iceberg(tbl).df.collect()} \
+        == {1: 10, 2: 20, 3: 30, 7: 70}
+    from quokka_spark.sources.iceberg_local import _read_table_metadata
+    kept = [s.get("snapshot-id")
+            for s in _read_table_metadata(tbl)["snapshots"]]
+    assert new_id in kept
+
+
 def test_iceberg_schema_evolution_added_column(qc, spark, tmp_path):
     """A column added by schema evolution surfaces (typed, null for
     pre-evolution files) because the scan uses the TABLE schema when
