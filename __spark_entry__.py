@@ -2998,6 +2998,42 @@ def src_iceberg_restore(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
 
 
+def src_hudi_restore(spark, sf_dir):
+    """Hudi restore (round 10 — hudi_local.restore_hudi_local,
+    hudi's own destructive semantics): the even-orderkey half
+    bulk-loads (instant 1), the odd half appends (instant 2), then
+    restore truncates the timeline back to instant 1 — the read-back
+    must equal the even-half oracle, and the later instant's files
+    are gone from disk (asserted by the fixture)."""
+    import os
+    import tempfile
+
+    from quokka_spark.sources.hudi_local import (completed_instants,
+                                                 restore_hudi_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_hrst_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        qc.read_parquet(li).filter_sql("l_orderkey % 2 = 0") \
+            .write_hudi(tbl)
+        t0 = completed_instants(tbl)[-1][0]
+        qc.read_parquet(li).filter_sql("l_orderkey % 2 = 1") \
+            .write_hudi(tbl, mode="append")
+        removed = restore_hudi_local(tbl, t0)
+        assert removed and len(completed_instants(tbl)) == 1
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return qc.read_hudi(tbl).df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
 def src_delta_ts_travel(spark, sf_dir):
     """Delta timestampAsOf (round 9 — delta_local.
     version_at_timestamp): two commits with PINNED commit-file
@@ -7196,6 +7232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_hudi_ts_travel": src_hudi_ts_travel,
         "src_delta_restore": src_delta_restore,
         "src_iceberg_restore": src_iceberg_restore,
+        "src_hudi_restore": src_hudi_restore,
         "agg_covariance": agg_covariance,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ts_hopping": ts_hopping,
@@ -7443,6 +7480,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_ts_travel": _TS_TRAVEL_SQL,
         "src_delta_restore": _SRC_RESTORE_SQL,
         "src_iceberg_restore": _SRC_RESTORE_SQL,
+        "src_hudi_restore": _SRC_RESTORE_SQL,
         "src_iceberg_ts_travel": _TS_TRAVEL_SQL,
         "src_hudi_ts_travel": _TS_TRAVEL_SQL,
         "src_delta_dv": _SRC_DELTA_DV_SQL,

@@ -535,6 +535,15 @@ class QuokkaContext:
         from .sources.hudi_local import clean_hudi_local
         return clean_hudi_local(table, keep_last)
 
+    def restore_hudi(self, table: str, instant: str) -> list:
+        """Restore to ``instant`` by truncating the timeline — Hudi's
+        own (destructive) restore semantics: later instants and their
+        table-local files are deleted
+        (hudi_local.restore_hudi_local). Returns the removed instant
+        timestamps."""
+        from .sources.hudi_local import restore_hudi_local
+        return restore_hudi_local(table, instant)
+
     def delete_delta_rows(self, table: str, deletes: dict) -> int:
         """Row-level delete WITHOUT rewriting data files: commit
         deletion vectors for ``{file path: [row positions]}``

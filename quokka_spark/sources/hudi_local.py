@@ -402,6 +402,55 @@ def _commit_instant(table: str, writes: dict, replaces: dict | None,
     return ts
 
 
+def restore_hudi_local(table: str, instant: str) -> list:
+    """Restore the table to ``instant`` by TRUNCATING the timeline —
+    Hudi's own restore semantics (savepoint + restore deletes every
+    instant after the savepoint; there is no time travel past a
+    restore, unlike the history-preserving Delta/Iceberg reverts):
+    completed write instants AFTER the target are removed from
+    ``.hoodie/`` and the table-local data/log files they wrote are
+    deleted (referenced-in-place files outside the root are left).
+    Refuses BEFORE touching anything if the target state's files no
+    longer exist (a clean may have reclaimed a superseded base the
+    restore would resurrect). Returns the removed instant
+    timestamps."""
+    insts = completed_instants(table)
+    if not any(ts == str(instant) for ts, _, _ in insts):
+        raise ValueError(
+            f"instant {instant!r} is not a completed write instant "
+            f"of {table}")
+    # the restored state must be fully scannable — validate first
+    slices = _file_slices(table, as_of=str(instant))
+    missing = [s["base"] for s in slices.values()
+               if s["base"] and not os.path.exists(s["base"])]
+    missing += [p for s in slices.values() for p in s["logs"]
+                if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"restore to {instant} needs files that no longer exist "
+            f"(cleaned?): {missing[:5]}")
+    root = _local(table)
+    abs_root = os.path.abspath(root)
+    removed = []
+    for ts, action, path in insts:
+        if int(ts) <= int(instant):
+            continue
+        with open(path) as fh:
+            commit = json.load(fh)
+        for part, stats in (commit.get("partitionToWriteStats")
+                            or {}).items():
+            for st in stats:
+                p = st["path"]
+                p = p if os.path.isabs(p) else os.path.join(root, p)
+                ap = os.path.abspath(p)
+                inside = os.path.commonpath([abs_root, ap]) == abs_root
+                if inside and os.path.exists(ap):
+                    os.unlink(ap)
+        os.unlink(path)
+        removed.append(ts)
+    return removed
+
+
 def compact_hudi_local(spark, table: str,
                        target_file_rows: int = 5_000_000) -> str:
     """Clustering-style compaction: the live rows rewrite into

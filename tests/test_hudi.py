@@ -715,6 +715,43 @@ def test_hudi_logfmt_delete_block_codec():
                                + kryo, key_fields=["id"])
 
 
+def test_hudi_restore(spark, qc, tmp_path):
+    """restore_hudi_local (round 10 — hudi's own destructive restore
+    semantics): the timeline truncates to the target instant, later
+    upserts vanish with their table-local log files, the timeline
+    resumes linearly afterwards, and an unknown target refuses."""
+    from quokka_spark.sources.hudi_local import (completed_instants,
+                                                 restore_hudi_local,
+                                                 upsert_hudi_mor_local)
+    tbl = _mor_table(spark, tmp_path)
+    t0 = completed_instants(tbl)[-1][0]
+    upsert_hudi_mor_local(
+        spark, tbl,
+        spark.createDataFrame([(3, 999.0, "UP")],
+                              "id long, v double, tag string"))
+    upsert_hudi_mor_local(
+        spark, tbl,
+        spark.createDataFrame([(4, 888.0, "UP2")],
+                              "id long, v double, tag string"))
+    before = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert before[3] == 999.0 and before[4] == 888.0
+    removed = restore_hudi_local(tbl, t0)
+    assert len(removed) == 2
+    after = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert set(after) == set(range(20))
+    assert after[3] != 999.0 and after[4] != 888.0
+    assert len(completed_instants(tbl)) == 1
+    with pytest.raises(ValueError, match="not a completed"):
+        restore_hudi_local(tbl, "1")
+    # the timeline resumes linearly after a restore
+    upsert_hudi_mor_local(
+        spark, tbl,
+        spark.createDataFrame([(5, 777.0, "N")],
+                              "id long, v double, tag string"))
+    got = {r["id"]: r["v"] for r in qc.read_hudi(tbl).df.collect()}
+    assert got[5] == 777.0 and got[3] == after[3]
+
+
 def test_hudi_logfmt_parquet_block_codec():
     """PARQUET data blocks (round 10 — hoodie.logfile.data.block.
     format=parquet): the block content is a complete parquet file;
