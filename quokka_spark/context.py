@@ -253,19 +253,25 @@ class QuokkaContext:
              .option("ignore_changes", str(ignore_changes).lower()))
         return r.load(table)
 
-    def read_delta_changes(self, table: str, from_version: int,
-                           to_version: int | None = None) -> DataStream:
+    def read_delta_changes(self, table: str,
+                           from_version: int | None = None,
+                           to_version: int | None = None,
+                           from_timestamp=None,
+                           to_timestamp=None) -> DataStream:
         """CDF-style incremental read of a local Delta table: the
         row-level changes of versions [from_version, to_version]
-        (inclusive), derived entirely from the log — data columns
-        plus `_change_type` ('insert'/'delete') and
-        `_commit_version`. Inserts come from dataChange add actions,
-        deletes from removed files and deletion-vector deltas;
-        compaction (dataChange=false) contributes nothing. See
-        sources/delta_local.read_delta_changes."""
+        (inclusive) — data columns plus `_change_type` and
+        `_commit_version`. Commits carrying protocol ``cdc`` actions
+        are served from their Change Data Files (round 10); others
+        reconstruct from the log (dataChange adds → inserts, removed
+        files / DV deltas → deletes; compaction contributes nothing).
+        Timestamp bounds mirror the jar: `from_timestamp` picks the
+        earliest commit at-or-after, `to_timestamp` the latest
+        at-or-before. See sources/delta_local.read_delta_changes."""
         from .sources.delta_local import read_delta_changes
         return DataStream(self, read_delta_changes(
-            self.spark, table, from_version, to_version))
+            self.spark, table, from_version, to_version,
+            from_timestamp=from_timestamp, to_timestamp=to_timestamp))
 
     def read_hudi(self, table: str, as_of: str | None = None,
                   as_of_timestamp=None) -> DataStream:

@@ -2196,8 +2196,35 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
 # incremental / CDF-style reads (round 8)
 # ----------------------------------------------------------------------
 
-def read_delta_changes(spark, table: str, from_version: int,
-                       to_version: int | None = None):
+def version_at_or_after_timestamp(table: str, ts) -> int:
+    """CDF ``startingTimestamp`` resolution (the jar's rule, the
+    MIRROR of version_at_timestamp): the EARLIEST version whose
+    commit timestamp is >= ``ts``. A timestamp after the latest
+    commit refuses — there are no changes to serve and silently
+    returning an empty stream would hide a units typo."""
+    ts_ms = _to_epoch_ms(ts)
+    best = None
+    latest = None
+    for v in list_versions(table):
+        try:
+            ct = _commit_timestamp(table, v)
+        except FileNotFoundError:
+            continue
+        latest = ct if latest is None else max(latest, ct)
+        if ct >= ts_ms and best is None:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"startingTimestamp {ts!r} is after the table's latest "
+            f"commit" + (f" ({latest} ms)" if latest is not None
+                         else ""))
+    return best
+
+
+def read_delta_changes(spark, table: str,
+                       from_version: int | None = None,
+                       to_version: int | None = None,
+                       from_timestamp=None, to_timestamp=None):
     """Row-level changes committed in versions ``[from_version,
     to_version]`` (inclusive, like Delta CDF's startingVersion).
     Output = the table's data columns plus ``_change_type`` and
@@ -2241,6 +2268,20 @@ def read_delta_changes(spark, table: str, from_version: int,
 
     from pyspark.sql import functions as F
 
+    # timestamp bounds (round 10 — the jar's startingTimestamp /
+    # endingTimestamp): start resolves to the EARLIEST commit at or
+    # after, end to the LATEST commit at or before (time-travel rule)
+    if (from_version is None) == (from_timestamp is None):
+        raise ValueError(
+            "pass exactly one of from_version / from_timestamp")
+    if to_version is not None and to_timestamp is not None:
+        raise ValueError("pass at most one of to_version / "
+                         "to_timestamp")
+    if from_timestamp is not None:
+        from_version = version_at_or_after_timestamp(table,
+                                                     from_timestamp)
+    if to_timestamp is not None:
+        to_version = version_at_timestamp(table, to_timestamp)
     versions = list_versions(table)
     if to_version is None:
         to_version = versions[-1]

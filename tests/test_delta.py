@@ -2343,6 +2343,40 @@ def test_delta_changes_cdc_actions_foreign_and_mapped(spark, qc,
         and "col-b3" in names
 
 
+def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
+    """CDF timestamp bounds (round 10, the jar's startingTimestamp/
+    endingTimestamp): from_timestamp resolves to the EARLIEST commit
+    at-or-after, to_timestamp to the LATEST at-or-before; mixing both
+    kinds of the same bound refuses; a start past the newest commit
+    refuses instead of serving an empty stream."""
+    import os as _os
+
+    from quokka_spark.sources.delta_local import write_delta_local
+    tbl = str(tmp_path / "tsb")
+    for i in range(3):
+        write_delta_local(
+            spark.createDataFrame([(i, float(i))], "id long, v double")
+            .coalesce(1), tbl, mode="append")
+    log = _os.path.join(tbl, "_delta_log")
+    for v, mt in ((0, 1_000_000), (1, 2_000_000), (2, 3_000_000)):
+        _os.utime(_os.path.join(log, f"{v:020d}.json"), (mt,) * 2)
+    ch = qc.read_delta_changes(tbl, from_timestamp=1_500_000_000,
+                               to_timestamp=2_500_000_000).df
+    assert [(r["_commit_version"], r["id"]) for r in ch.collect()] \
+        == [(1, 1)]
+    ch2 = qc.read_delta_changes(tbl, from_timestamp=1_000_000_000).df
+    assert sorted(r["id"] for r in ch2.collect()) == [0, 1, 2]
+    with pytest.raises(ValueError, match="exactly one"):
+        qc.read_delta_changes(tbl)
+    with pytest.raises(ValueError, match="exactly one"):
+        qc.read_delta_changes(tbl, 1, from_timestamp=1)
+    with pytest.raises(ValueError, match="at most one"):
+        qc.read_delta_changes(tbl, 1, to_version=2,
+                              to_timestamp=2_500_000_000)
+    with pytest.raises(ValueError, match="after the table's latest"):
+        qc.read_delta_changes(tbl, from_timestamp=9_000_000_000)
+
+
 def test_delta_restore(spark, qc, tmp_path):
     """RESTORE (round 10 — delta_local.restore_delta_local): a new
     commit whose removes/re-adds diff the live set against the target
