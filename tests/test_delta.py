@@ -2341,6 +2341,51 @@ def test_delta_changes_cdc_actions_foreign_and_mapped(spark, qc,
         os.path.join(ptbl, cdc_acts[0]["path"])).names)
     assert "_change_type" in names and "col-a2" in names \
         and "col-b3" in names
+    # (c) id-mapped + CDF: the upsert's change files stamp FIELD IDS
+    # on data columns (literal _change_type carries none) and the
+    # cdc read resolves them per file
+    itbl = str(tmp_path / "cdcid")
+    os.makedirs(itbl)
+    ifields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-a1",
+                      "delta.columnMapping.id": 1}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-b2",
+                      "delta.columnMapping.id": 2}}]
+    _commit(itbl, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": _json.dumps(
+                          {"type": "struct", "fields": ifields}),
+                      "partitionColumns": [],
+                      "configuration": {
+                          "delta.columnMapping.mode": "id",
+                          "delta.columnMapping.maxColumnId": "2",
+                          "delta.enableChangeDataFeed": "true"},
+                      "createdTime": 0}}])
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+        .coalesce(1), itbl, mode="append")
+    upsert_delta_local(
+        spark, itbl,
+        spark.createDataFrame([(2, 22.0)], "id long, v double"), ["id"])
+    ch3 = qc.read_delta_changes(itbl, 2, 2).df
+    assert all("_change_data" in f for f in ch3.inputFiles())
+    assert sorted((r["_change_type"], r["id"], r["v"])
+                  for r in ch3.collect()) == \
+        [("update_postimage", 2, 22.0), ("update_preimage", 2, 2.0)]
+    with open(os.path.join(itbl, "_delta_log",
+                           f"{2:020d}.json")) as fh:
+        iacts = [_json.loads(ln) for ln in fh if ln.strip()]
+    icdc = [a["cdc"] for a in iacts if "cdc" in a]
+    assert icdc
+    ids = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+           for f in pq.read_schema(
+               os.path.join(itbl, icdc[0]["path"]))}
+    assert ids["col-a1"] == b"1" and ids["col-b2"] == b"2"
+    assert ids["_change_type"] is None
 
 
 def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
