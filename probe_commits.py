@@ -150,6 +150,58 @@ def probe_hudi(spark, root: str, bands=(50, 100, 200)) -> None:
                 reps=1)}), flush=True)
 
 
+def probe_cdc(spark, root: str, bands=(10, 20, 40)) -> None:
+    """cdc actions vs log reconstruction (round 10): the SAME
+    upsert-heavy history on a CDF-enabled table and a plain twin —
+    the change-feed replay over N upsert commits reads small Change
+    Data Files on the CDF table but per-version exceptAll joins over
+    the full rewritten files on the twin. Whole-history replays are
+    expected linear in N on both; the cdc path's constant should be
+    visibly smaller."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  read_delta_changes,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+
+    def mk(name, cdf):
+        tbl = os.path.join(root, name)
+        os.makedirs(tbl)
+        conf = {"delta.enableChangeDataFeed": "true"} if cdf else {}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": {"id": name, "format": {
+                "provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": [
+                        {"name": "id", "type": "long",
+                         "nullable": True, "metadata": {}},
+                        {"name": "v", "type": "double",
+                         "nullable": True, "metadata": {}}]}),
+                "partitionColumns": [], "configuration": conf,
+                "createdTime": 0}}])
+        base = spark.range(2000).selectExpr(
+            "id", "cast(id as double) AS v")
+        write_delta_local(base.coalesce(4), tbl, mode="append")
+        return tbl
+
+    n_total = max(bands)
+    tables = {"cdc": mk("cdfon", True), "recon": mk("cdfoff", False)}
+    for bid in range(n_total):
+        upd = spark.range(bid * 7, bid * 7 + 5).selectExpr(
+            "id", f"cast(id as double) + {bid + 1}000 AS v")
+        for t in tables.values():
+            upsert_delta_local(spark, t, upd.coalesce(1), ["id"])
+    for b in bands:
+        for kind, t in tables.items():
+            print(json.dumps({
+                "probe": f"delta_cdf_{kind}_replay_upserts",
+                "commits": b,
+                "sec": _timed(lambda t=t, b=b: read_delta_changes(
+                    spark, t, 2, b + 1).count(), reps=1)}), flush=True)
+
+
 def _band(bid: int, bands) -> int:
     for b in bands:
         if bid < b:
@@ -163,13 +215,15 @@ def main():
                         cpus=int(os.environ.get("SPARK_GRAFT_CPUS",
                                                 "16")))
     spark.sparkContext.setLogLevel("ERROR")
-    which = set(sys.argv[1:]) or {"delta", "hudi"}
+    which = set(sys.argv[1:]) or {"delta", "hudi", "cdc"}
     root = tempfile.mkdtemp(prefix="qs_tier3_")
     try:
         if "delta" in which:
             probe_delta(spark, root)
         if "hudi" in which:
             probe_hudi(spark, root)
+        if "cdc" in which:
+            probe_cdc(spark, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
