@@ -7161,7 +7161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q1/q3/q18/q21 and which remain BOTH pytest-oracled and benched
     every round. Redundant relational micro-gates, perf bench gates,
     and the remaining incremental/streaming-source gates sit past the
-    window; ALL 188 entries stay pytest-oracle-checked in
+    window; ALL 191 entries (incl. the restore-trio gates past the
+    window) stay pytest-oracle-checked in
     tests/test_oracle_parity.py."""
     return {
         # ---- driver-checked window (first 50) -------------------------

@@ -2239,9 +2239,10 @@ def read_delta_changes(spark, table: str,
     - an add of a NEW path with dataChange=true → its surviving rows
       (minus the add's own DV) are inserts;
     - an add RE-ADDing a live path (the DV-update commit shape) →
-      the NEW-minus-OLD deletion-vector positions are deletes, rows
-      fetched by a distributed (path, pos) semi-join with both DVs
-      decoded executor-side;
+      the NEW-minus-OLD deletion-vector positions are deletes and the
+      OLD-minus-NEW positions are inserts (a restore shrinks the DV —
+      rows resurrect), fetched by a distributed (path, pos) join with
+      both DVs decoded executor-side;
     - a remove with dataChange=true whose path is not re-added in the
       same commit → the file's pre-commit surviving rows are deletes;
     - dataChange=false actions (compaction/clustering) contribute
@@ -2281,7 +2282,16 @@ def read_delta_changes(spark, table: str,
         from_version = version_at_or_after_timestamp(table,
                                                      from_timestamp)
     if to_timestamp is not None:
-        to_version = version_at_timestamp(table, to_timestamp)
+        # the END bound CLAMPS at the newest commit ("changes up to
+        # now" is the natural call); only a START past-latest refuses
+        # (nothing to serve — usually a units typo). Before-earliest
+        # still refuses via version_at_timestamp.
+        try:
+            to_version = version_at_timestamp(table, to_timestamp)
+        except ValueError as e:
+            if "after the table's latest" not in str(e):
+                raise
+            to_version = None              # → versions[-1] below
     versions = list_versions(table)
     if to_version is None:
         to_version = versions[-1]
@@ -2457,9 +2467,11 @@ def read_delta_changes(spark, table: str,
 
     def _dv_delta_rows(v, pairs, st):
         """pairs: [(path key, new add, old add|None)] → 'delete' rows
-        at positions new-DV minus old-DV, decoded executor-side;
-        ``st``: the partition scheme the DV'd files live under (the
-        pre-commit scheme — a DV rewrite never repartitions)."""
+        at positions new-DV minus old-DV PLUS 'insert' rows at
+        old-minus-new (DV shrink = resurrection, the restore shape),
+        decoded executor-side; ``st``: the partition scheme the DV'd
+        files live under (the pre-commit scheme — a DV rewrite never
+        repartitions)."""
         rows = []
         for k, na, oa in pairs:
             # abspath, NOT _abs: the semi-join compares against
@@ -2493,19 +2505,39 @@ def read_delta_changes(spark, table: str,
                         else set()
                     opos = set(dv_row_indexes(abs_root, old)) if old \
                         else set()
-                    delta = sorted(npos - opos)
+                    # new-minus-old = deletes; old-minus-new =
+                    # RESURRECTIONS (a restore re-adds the path under
+                    # a smaller DV) — CDF must emit those as inserts
+                    # or applying the feed diverges from time travel
+                    dels = sorted(npos - opos)
+                    ress = sorted(opos - npos)
+                    pos = dels + ress
+                    kinds = (["delete"] * len(dels)
+                             + ["insert"] * len(ress))
                     yield pd.DataFrame(
-                        {"__qs_dfp__": pd.Series([fp] * len(delta),
+                        {"__qs_dfp__": pd.Series([fp] * len(pos),
                                                  dtype="object"),
-                         "__qs_dpos__": pd.array(delta, dtype="int64")})
+                         "__qs_dpos__": pd.array(pos, dtype="int64"),
+                         "__qs_kind__": pd.Series(kinds,
+                                                  dtype="object")})
 
         positions = dd.mapInPandas(
-            _decode, "__qs_dfp__ string, __qs_dpos__ long")
+            _decode,
+            "__qs_dfp__ string, __qs_dpos__ long, __qs_kind__ string")
         files = [r[0] for r in rows]
+
+        def _kind_tag(df):
+            cols = (schema_cols if schema_cols
+                    else [c for c in df.columns
+                          if c != "__qs_kind__"])
+            return df.select(
+                *cols, F.col("__qs_kind__").alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"))
+
         if idmap:
             # id mode: RAW per-file-resolved rows (apply_dv=False —
-            # the semi-join below picks exactly the new-minus-old
-            # positions), then the same partition rejoin as _part
+            # the join below picks exactly the DV-delta positions,
+            # tagged delete/insert), then the same rejoin as _part
             data_idmap = {i: nd for i, nd in idmap.items()
                           if nd[0] not in st["pcols"]}
             new_adds = [na for _, na, _ in pairs]
@@ -2516,17 +2548,16 @@ def read_delta_changes(spark, table: str,
                     .join(positions,
                           (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                           & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
-                          "left_semi"))
+                          "inner"))
             if st["pcols"]:
                 mapping = _partition_values_frame(
                     spark, files, new_adds, st["pcols"], st["ptypes"],
                     {c: id_phys[c] for c in st["pcols"]}
                 ).withColumnRenamed("__qs_path__", "__qs_fp__")
                 scan = scan.join(F.broadcast(mapping), "__qs_fp__")
-            scan = scan.drop("__qs_fp__", "__qs_pos__")
-            if schema_cols:
-                scan = scan.select(*schema_cols)
-            parts.append(_tag(scan, "delete", v))
+            scan = scan.drop("__qs_fp__", "__qs_pos__", "__qs_dfp__",
+                             "__qs_dpos__")
+            parts.append(_kind_tag(scan))
             return
         scan = (_scan_raw(files, st)
                 .withColumn("__qs_fp__", _plain_path_col())
@@ -2534,11 +2565,12 @@ def read_delta_changes(spark, table: str,
                 .join(positions,
                       (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                       & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
-                      "left_semi"))
+                      "inner"))
         if cmap:
             scan = scan.select(
-                "__qs_fp__", *[F.col(cmap[l]).alias(l) for l in cmap
-                               if l not in st["pcols"]])
+                "__qs_fp__", "__qs_kind__",
+                *[F.col(cmap[l]).alias(l) for l in cmap
+                  if l not in st["pcols"]])
         if st["pcols"]:
             pv_key = {c: (cmap[c] if cmap else c) for c in st["pcols"]}
             mapping = _partition_values_frame(
@@ -2546,10 +2578,9 @@ def read_delta_changes(spark, table: str,
                 st["pcols"], st["ptypes"], pv_key).withColumnRenamed(
                     "__qs_path__", "__qs_fp__")
             scan = scan.join(F.broadcast(mapping), "__qs_fp__")
-        scan = scan.drop("__qs_fp__", "__qs_pos__")
-        if schema_cols and (cmap or st["pcols"]):
-            scan = scan.select(*schema_cols)
-        parts.append(_tag(scan, "delete", v))
+        scan = scan.drop("__qs_fp__", "__qs_pos__", "__qs_dfp__",
+                         "__qs_dpos__")
+        parts.append(_kind_tag(scan))
 
     def _cdc_scan(v, cdcs, st):
         """Change Data Files of ONE commit (protocol ``cdc`` actions,

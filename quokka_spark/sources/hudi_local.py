@@ -431,12 +431,28 @@ def restore_hudi_local(table: str, instant: str) -> list:
             f"(cleaned?): {missing[:5]}")
     root = _local(table)
     abs_root = os.path.abspath(root)
-    removed = []
-    for ts, action, path in insts:
-        if int(ts) <= int(instant):
-            continue
+    # paths the RESTORED state references must survive — real hudi
+    # writers append blocks to a SHARED log file across deltacommits
+    # (rollover only on size), so a post-target instant's writeStats
+    # can name a file the target-era slices still need. Deleting it
+    # would destroy target-era blocks; keeping it verbatim would
+    # serve the rolled-back blocks (they win the record-key merge on
+    # commit time) — so shared FRAMED logs get ROLLBACK command
+    # blocks appended, exactly what real hudi's restore writes, and
+    # the slice decode already honors them. A shared container-format
+    # log cannot take a command block: refuse BEFORE mutating.
+    keep = {os.path.abspath(s["base"]) for s in slices.values()
+            if s["base"]}
+    keep |= {os.path.abspath(p) for s in slices.values()
+             for p in s["logs"]}
+    to_remove = [(ts, action, path) for ts, action, path in insts
+                 if int(ts) > int(instant)]
+    plans = []                      # (instant ts, [paths to delete])
+    shared: dict = {}               # shared log path -> [instant ts]
+    for ts, action, path in to_remove:
         with open(path) as fh:
             commit = json.load(fh)
+        dels = []
         for part, stats in (commit.get("partitionToWriteStats")
                             or {}).items():
             for st in stats:
@@ -444,11 +460,34 @@ def restore_hudi_local(table: str, instant: str) -> list:
                 p = p if os.path.isabs(p) else os.path.join(root, p)
                 ap = os.path.abspath(p)
                 inside = os.path.commonpath([abs_root, ap]) == abs_root
-                if inside and os.path.exists(ap):
-                    os.unlink(ap)
+                if not inside:
+                    continue
+                if ap in keep:
+                    shared.setdefault(ap, []).append(ts)
+                else:
+                    dels.append(ap)
+        plans.append((ts, path, dels))
+    for ap in shared:
+        with open(ap, "rb") as fh:
+            framed = fh.read(6) == b"#HUDI#"
+        if not framed:
+            raise NotImplementedError(
+                f"restore would roll back blocks inside {ap}, which "
+                "is shared with the target state but is a plain Avro "
+                "container — only HoodieLogFormat-framed logs can "
+                "take the rollback command block a restore appends")
+    for ts, path, dels in plans:
+        for ap in dels:
+            if os.path.exists(ap):
+                os.unlink(ap)
         os.unlink(path)
-        removed.append(ts)
-    return removed
+    if shared:
+        from .hudi_logfmt import rollback_block
+        for ap, tss in shared.items():
+            with open(ap, "ab") as fh:
+                for ts in tss:
+                    fh.write(rollback_block(ts))
+    return [ts for ts, _p, _d in plans]
 
 
 def compact_hudi_local(spark, table: str,

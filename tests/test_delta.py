@@ -2420,6 +2420,10 @@ def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
                               to_timestamp=2_500_000_000)
     with pytest.raises(ValueError, match="after the table's latest"):
         qc.read_delta_changes(tbl, from_timestamp=9_000_000_000)
+    # the END bound clamps at the newest commit ("changes up to now")
+    ch3 = qc.read_delta_changes(tbl, 1,
+                                to_timestamp=9_000_000_000).df
+    assert sorted(r["id"] for r in ch3.collect()) == [1, 2]
 
 
 def test_delta_restore(spark, qc, tmp_path):
@@ -2476,6 +2480,25 @@ def test_delta_restore(spark, qc, tmp_path):
     assert {r["id"]: r["v"]
             for r in qc.read_delta(tbl, version=3).df.collect()} == \
         {1: 11.0, 3: 3.0}
+    # the change feed of the restore commit RESURRECTS the DV'd row
+    # (DV shrink → insert) alongside the upsert-revert delete+insert
+    chr_ = sorted((r["_change_type"], r["id"], r["v"]) for r in
+                  qc.read_delta_changes(tbl, 4, 4).df.collect())
+    assert ("insert", 2, 2.0) in chr_
+    assert ("insert", 1, 1.0) in chr_ and ("delete", 1, 11.0) in chr_
+    # applying the whole feed reconstructs the restored state
+    from collections import Counter
+    state = Counter()
+    for ver in list_versions(tbl):
+        for r in qc.read_delta_changes(tbl, ver, ver).df.collect():
+            key = (r["id"], r["v"])
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[key] += 1
+            else:
+                state[key] -= 1
+                if state[key] == 0:
+                    del state[key]
+    assert dict(state) == {(1, 1.0): 1, (2, 2.0): 1, (3, 3.0): 1}
     # restoring to the now-current state is a no-op (no new version)
     assert restore_delta_local(tbl, 1) == 4
     assert list_versions(tbl)[-1] == 4
@@ -2552,8 +2575,9 @@ def test_delta_changes_random_ops_cdc_twin(spark, qc, tmp_path):
     apply_both(lambda t: write_delta_local(frame(rows0), t,
                                            mode="append"))
     model.update(dict(rows0))
-    for _ in range(6):
-        op = rng.choice(["append", "upsert", "delete", "compact"])
+    for _ in range(8):
+        op = rng.choice(["append", "upsert", "delete", "compact",
+                         "restore"])
         if op == "append":
             rows = fresh(rng.randint(1, 3))
             apply_both(lambda t: write_delta_local(
@@ -2591,6 +2615,13 @@ def test_delta_changes_random_ops_cdc_twin(spark, qc, tmp_path):
             apply_both(dodel)
             for i in victims:
                 model.pop(i, None)
+        elif op == "restore":
+            from quokka_spark.sources.delta_local import \
+                restore_delta_local
+            tgt = rng.choice(list_versions(ta)[1:])
+            apply_both(lambda t: restore_delta_local(t, tgt))
+            model = {r["id"]: r["v"]
+                     for r in qc.read_delta(ta).df.collect()}
         else:
             apply_both(lambda t: compact_delta_local(
                 spark, t, target_file_rows=1000))

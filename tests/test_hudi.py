@@ -752,7 +752,74 @@ def test_hudi_restore(spark, qc, tmp_path):
     assert got[5] == 777.0 and got[3] == after[3]
 
 
-def test_hudi_logfmt_parquet_block_codec():
+def test_hudi_restore_shared_log(spark, qc, tmp_path):
+    """Restore when a post-target deltacommit appended its block to a
+    log file the TARGET state also references (real hudi writers
+    share log files across instants, rolling only on size): the
+    shared FRAMED log must not be deleted — the restore appends a
+    ROLLBACK command block voiding the rolled-back instant's blocks,
+    exactly what real hudi restore writes. A shared plain-container
+    log refuses BEFORE mutating anything."""
+    import json as _json
+
+    from quokka_spark.sources.hudi_local import (completed_instants,
+                                                 restore_hudi_local,
+                                                 upsert_hudi_mor_local)
+    tbl = _mor_table(spark, tmp_path)
+    u1 = upsert_hudi_mor_local(
+        spark, tbl,
+        spark.createDataFrame([(3, 111.0, "T1")],
+                              "id long, v double, tag string"))
+    u2 = upsert_hudi_mor_local(
+        spark, tbl,
+        spark.createDataFrame([(3, 222.0, "T2")],
+                              "id long, v double, tag string"))
+    # find the two instants' log files for id=3's group, merge t2's
+    # blocks INTO t1's log, and repoint t2's commit at the shared path
+    tdir = os.path.join(tbl, ".hoodie")
+    paths = {}
+    for ts, action, ipath in completed_instants(tbl):
+        if ts not in (str(u1), str(u2)):
+            continue
+        with open(ipath) as fh:
+            commit = _json.load(fh)
+        for part, stats in commit["partitionToWriteStats"].items():
+            for st in stats:
+                if ".log." in st["path"]:      # the group's LOG stat
+                    paths[ts] = (ipath, st["path"], commit)
+    (ip1, log1, _c1), (ip2, log2, c2) = paths[str(u1)], paths[str(u2)]
+    assert log1 != log2
+    # SHARE the path in metadata first (container bytes still split):
+    # restore must refuse before mutating anything
+    for part, stats in c2["partitionToWriteStats"].items():
+        for st in stats:
+            if ".log." in st["path"]:
+                st["path"] = log1
+    with open(ip2, "w") as fh:
+        _json.dump(c2, fh)
+    before = completed_instants(tbl)
+    with pytest.raises(NotImplementedError, match="container"):
+        restore_hudi_local(tbl, str(u1))
+    assert completed_instants(tbl) == before      # nothing mutated
+    # now make the sharing REAL in the framed form: reframe both
+    # logs to spec framing, then append u2's framed block onto u1's
+    # log (framed logs are a block sequence — concatenation is the
+    # writer's own append shape) and drop the separate u2 file
+    _reframe_logs_to_spec(tbl)
+    with open(log1, "ab") as out, open(log2, "rb") as src:
+        out.write(src.read())
+    os.unlink(log2)
+    assert {r["id"]: r["v"] for r in
+            qc.read_hudi(tbl).df.collect()}[3] == 222.0
+    removed = restore_hudi_local(tbl, str(u1))
+    assert removed == [str(u2)]
+    # the shared log survives with a rollback block appended; the
+    # merge now serves t1's value
+    assert os.path.exists(log1)
+    got = {r["id"]: (r["v"], r["tag"])
+           for r in qc.read_hudi(tbl).df.collect()}
+    assert got[3] == (111.0, "T1")
+    assert set(got) == set(range(20))
     """PARQUET data blocks (round 10 — hoodie.logfile.data.block.
     format=parquet): the block content is a complete parquet file;
     records decode into the SAME avro-raw shape as avro_data blocks
