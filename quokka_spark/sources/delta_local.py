@@ -861,6 +861,7 @@ def read_delta_local(spark, table: str, version: int | None = None,
             raise ValueError(
                 "pass version OR timestamp_as_of, not both")
         version = version_at_timestamp(table, timestamp_as_of)
+    _check_read_protocol(_protocol_state(table, version))
     files, meta, _, adds = _replay(table, version)
     if not files:
         raise ValueError(
@@ -1200,6 +1201,102 @@ def _protocol_state(table: str, version: int | None = None,
     return proto
 
 
+# reader features this engine IMPLEMENTS (spec: a reader MUST refuse
+# a reader-3 table listing any feature it does not support — ignoring
+# e.g. v2Checkpoint would silently serve stale or wrong data)
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping",
+                              "timestampNtz"}
+# writer features this engine implements; the conditional ones
+# (appendOnly/invariants/checkConstraints/generatedColumns/
+# identityColumns) are "supported" per spec by ENFORCING them when
+# the table actually uses them — _check_write_protocol refuses
+# writes that would violate, instead of writing blind
+_SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
+    "appendOnly", "invariants", "checkConstraints",
+    "generatedColumns", "identityColumns", "changeDataFeed"}
+
+
+def _check_read_protocol(proto: dict) -> None:
+    """Spec compliance gate for reads: refuse minReaderVersion > 3
+    and any reader-3 feature outside the supported set — a reader
+    that ignores an unknown feature can silently misread."""
+    r = int(proto.get("minReaderVersion", 1))
+    if r > 3:
+        raise NotImplementedError(
+            f"minReaderVersion {r} — this reader implements the "
+            "protocol up to reader 3 (table features)")
+    if r == 3:
+        unknown = set(proto.get("readerFeatures") or []) \
+            - _SUPPORTED_READER_FEATURES
+        if unknown:
+            raise NotImplementedError(
+                f"table requires reader features {sorted(unknown)} "
+                "this reader does not implement — reading anyway "
+                "could silently return wrong data")
+
+
+def _check_write_protocol(table: str, meta: dict | None,
+                          data_change_removes: bool) -> None:
+    """Spec compliance gate for writers, called by every public write
+    path BEFORE any data lands: refuse unknown writer versions/
+    features, enforce delta.appendOnly (no dataChange removes), and
+    refuse writes to tables that USE invariants / CHECK constraints /
+    generated or identity columns (this engine does not evaluate
+    them — writing without enforcement would corrupt the contract
+    other readers rely on). Compaction passes data_change_removes=
+    False: appendOnly allows dataChange=false rearrangements."""
+    proto = _protocol_state(table)
+    _check_read_protocol(proto)          # a writer reads first
+    w = int(proto.get("minWriterVersion", 2))
+    if w > 7:
+        raise NotImplementedError(
+            f"minWriterVersion {w} — this writer implements the "
+            "protocol up to writer 7 (table features)")
+    feats = (set(proto.get("writerFeatures") or []) if w == 7
+             else set(_legacy_features(proto)[1]))
+    unknown = feats - _SUPPORTED_WRITER_FEATURES
+    if unknown:
+        raise NotImplementedError(
+            f"table requires writer features {sorted(unknown)} this "
+            "writer does not implement — writing anyway would break "
+            "the feature's contract for other readers")
+    if meta is None:
+        return
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    if data_change_removes and \
+            str(conf.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            "delta.appendOnly=true forbids removing or rewriting "
+            "data (appends and dataChange=false compaction only)")
+    if any(str(k).startswith("delta.constraints.") for k in conf):
+        raise NotImplementedError(
+            "table declares CHECK constraints (delta.constraints.*) "
+            "— this writer does not evaluate them; drop the "
+            "constraint or write with the runtime jar")
+    try:
+        from pyspark.sql.types import StructType
+        fields = StructType.fromJson(
+            json.loads(meta["schemaString"])).fields
+    except (KeyError, ValueError, TypeError):
+        return
+    for f in fields:
+        md = f.metadata or {}
+        if "delta.invariants" in md:
+            raise NotImplementedError(
+                f"column {f.name!r} declares an invariant — this "
+                "writer does not evaluate invariants")
+        if "delta.generationExpression" in md:
+            raise NotImplementedError(
+                f"column {f.name!r} is a generated column — this "
+                "writer does not compute generation expressions")
+        if any(str(k).startswith("delta.identity.") for k in md):
+            raise NotImplementedError(
+                f"column {f.name!r} is an identity column — this "
+                "writer does not allocate identity values")
+
+
 def _legacy_features(proto: dict) -> tuple[list, list]:
     """(readerFeatures, writerFeatures) IMPLIED by a legacy protocol's
     version numbers (spec §Protocol Evolution) — needed when
@@ -1258,6 +1355,7 @@ def delete_rows_delta_local(table: str, deletes: dict,
     the active one)."""
     from .dv import dv_row_indexes, write_dv_file
     files, meta, keys, adds = _replay(table, None)
+    _check_write_protocol(table, meta, data_change_removes=True)
     root = table.removeprefix("file://")
     conf = meta.get("configuration") or {}
     if isinstance(conf, list):
@@ -1434,6 +1532,7 @@ def restore_delta_local(table: str, version: int) -> int:
     from .dv import dv_file_path
     root = table.removeprefix("file://")
     cur_files, cur_meta, cur_keys, cur_adds = _replay(table, None)
+    _check_write_protocol(table, cur_meta, data_change_removes=True)
     tgt_files, tgt_meta, tgt_keys, tgt_adds = _replay(table, version)
     cur = dict(zip(cur_keys, cur_adds))
     tgt = dict(zip(tgt_keys, tgt_adds))
@@ -1800,6 +1899,8 @@ def write_delta_local(df, table: str, mode: str = "append",
     evolve: list = []
     if version > 0:
         _, meta, live_keys, _ = _replay(table, None)
+        _check_write_protocol(table, meta,
+                              data_change_removes=(mode == "overwrite"))
         table_pcols = meta.get("partitionColumns") or []
         if mode == "append":
             if pcols and pcols != table_pcols:
@@ -1896,6 +1997,8 @@ def compact_delta_local(spark, table: str,
     log-level pruning contract survives."""
     import math
     files, meta, keys, _ = _replay(table, None)
+    # compaction removes are dataChange=false — allowed on appendOnly
+    _check_write_protocol(table, meta, data_change_removes=False)
     if not files:
         raise ValueError(f"Delta table {table} has no live files")
     root = table.removeprefix("file://")
@@ -2024,6 +2127,7 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     root = table.removeprefix("file://")
     files, meta, live_keys, adds = _replay(table, None)
+    _check_write_protocol(table, meta, data_change_removes=True)
     pcols, ptypes = _partition_schema(meta)
     if pcols and not all(c in df.columns for c in pcols):
         raise ValueError(
@@ -2295,6 +2399,7 @@ def read_delta_changes(spark, table: str,
     versions = list_versions(table)
     if to_version is None:
         to_version = versions[-1]
+    _check_read_protocol(_protocol_state(table, to_version))
     if from_version > to_version:
         raise ValueError(f"from_version {from_version} > to_version "
                          f"{to_version}")

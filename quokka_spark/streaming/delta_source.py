@@ -88,6 +88,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                 f"starting_version {self.start_version} is beyond the "
                 f"log's latest version {latest} — refusing (the "
                 "committed offset would regress below it)")
+        from quokka_spark.sources.delta_local import (
+            _check_read_protocol, _protocol_state)
+        _check_read_protocol(_protocol_state(table))
         _, meta, _, _ = _replay(table, None)
         # partitioned tables: partition values live in the LOG; each
         # input partition ships its file's values (LOGICAL-keyed,

@@ -2426,6 +2426,91 @@ def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
     assert sorted(r["id"] for r in ch3.collect()) == [1, 2]
 
 
+def test_delta_protocol_feature_gates(spark, qc, tmp_path):
+    """Protocol compliance (round 10): a reader-3 table listing a
+    reader feature this engine lacks refuses to READ (ignoring e.g.
+    v2Checkpoint could serve stale data); a writer-7 table listing an
+    unknown writer feature refuses to WRITE but still reads;
+    delta.appendOnly=true allows appends and dataChange=false
+    compaction but refuses upsert/delete/overwrite/restore; declared
+    invariants / CHECK constraints / generated columns refuse writes
+    (this engine does not evaluate them)."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (compact_delta_local,
+                                                  delete_rows_delta_local,
+                                                  restore_delta_local,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+
+    def mk(name, protocol, conf=None, field_md=None):
+        tbl = str(tmp_path / name)
+        os.makedirs(tbl)
+        fields = [{"name": "id", "type": "long", "nullable": True,
+                   "metadata": field_md or {}}]
+        _commit_raw = __import__(
+            "quokka_spark.sources.delta_local",
+            fromlist=["_commit"])._commit
+        _commit_raw(tbl, 0, [
+            {"protocol": protocol},
+            {"metaData": {"id": name, "format": {
+                "provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": [], "configuration": conf or {},
+                "createdTime": 0}}])
+        return tbl
+
+    one = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    # unknown READER feature refuses reads (and writes — writers read)
+    t1 = mk("p_rf", {"minReaderVersion": 3, "minWriterVersion": 7,
+                     "readerFeatures": ["deletionVectors",
+                                        "v2Checkpoint"],
+                     "writerFeatures": ["deletionVectors"]})
+    write_delta_local(one, str(tmp_path / "seed"))  # unrelated, fine
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        qc.read_delta(t1)
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        write_delta_local(one, t1, mode="append")
+    # unknown WRITER feature refuses writes, reads fine
+    t2 = mk("p_wf", {"minReaderVersion": 1, "minWriterVersion": 7,
+                     "writerFeatures": ["rowTracking"]})
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        write_delta_local(one, t2, mode="append")
+    # appendOnly: append + compaction OK; rewrites refuse
+    t3 = mk("p_ao", {"minReaderVersion": 1, "minWriterVersion": 2},
+            conf={"delta.appendOnly": "true"})
+    write_delta_local(one, t3, mode="append")
+    write_delta_local(spark.createDataFrame([(2,)], "id long")
+                      .coalesce(1), t3, mode="append")
+    compact_delta_local(spark, t3, target_file_rows=100)
+    assert sorted(r["id"] for r in qc.read_delta(t3).df.collect()) \
+        == [1, 2]
+    with pytest.raises(ValueError, match="appendOnly"):
+        write_delta_local(one, t3, mode="overwrite")
+    with pytest.raises(ValueError, match="appendOnly"):
+        upsert_delta_local(spark, t3, one, ["id"])
+    f = qc.read_delta(t3).df.inputFiles()[0].removeprefix("file:")
+    with pytest.raises(ValueError, match="appendOnly"):
+        delete_rows_delta_local(t3, {f: [0]})
+    with pytest.raises(ValueError, match="appendOnly"):
+        restore_delta_local(t3, 1)
+    # declared invariants / constraints / generated columns refuse
+    t4 = mk("p_inv", {"minReaderVersion": 1, "minWriterVersion": 2},
+            field_md={"delta.invariants":
+                      '{"expression":{"expression":"id > 0"}}'})
+    with pytest.raises(NotImplementedError, match="invariant"):
+        write_delta_local(one, t4, mode="append")
+    t5 = mk("p_ck", {"minReaderVersion": 1, "minWriterVersion": 3},
+            conf={"delta.constraints.positive": "id > 0"})
+    with pytest.raises(NotImplementedError, match="CHECK"):
+        write_delta_local(one, t5, mode="append")
+    t6 = mk("p_gen", {"minReaderVersion": 1, "minWriterVersion": 4},
+            field_md={"delta.generationExpression": "id + 1"})
+    with pytest.raises(NotImplementedError, match="generated"):
+        write_delta_local(one, t6, mode="append")
+
+
 def test_delta_restore(spark, qc, tmp_path):
     """RESTORE (round 10 — delta_local.restore_delta_local): a new
     commit whose removes/re-adds diff the live set against the target
