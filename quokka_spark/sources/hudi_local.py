@@ -82,6 +82,14 @@ def _table_props(table: str) -> dict:
             if line and not line.startswith("#") and "=" in line:
                 k, v = line.split("=", 1)
                 out[k.strip()] = v.strip()
+    tv = out.get("hoodie.table.version")
+    if tv and tv.isdigit() and int(tv) > 6:
+        # hudi 1.x (table version 8) renames completed instants to
+        # <begin>_<completion>.<action> and moves the timeline dir —
+        # replaying with 0.x rules would see an empty timeline
+        raise NotImplementedError(
+            f"{table}: hoodie.table.version {tv} — this reader "
+            "implements the 0.x timeline layout (table version <= 6)")
     return out
 
 

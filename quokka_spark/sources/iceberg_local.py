@@ -79,7 +79,16 @@ def _read_table_metadata(table_path: str) -> dict:
             raise FileNotFoundError(f"{meta_dir}: no *.metadata.json")
         cand = [os.path.join(meta_dir, files[-1])]
     with open(cand[0]) as f:
-        return json.load(f)
+        meta = json.load(f)
+    fv = int(meta.get("format-version") or 1)
+    if fv > 2:
+        # v3 adds deletion vectors (puffin), row lineage and default
+        # values — reading with v2 rules would silently serve deleted
+        # rows and miss defaults
+        raise NotImplementedError(
+            f"{table_path}: Iceberg format-version {fv} — this "
+            "reader implements versions 1 and 2")
+    return meta
 
 
 def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict:

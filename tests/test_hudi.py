@@ -715,6 +715,18 @@ def test_hudi_logfmt_delete_block_codec():
                                + kryo, key_fields=["id"])
 
 
+def test_hudi_table_version_gate(spark, qc, tmp_path):
+    """A hudi-1.x table (hoodie.table.version > 6) refuses typed —
+    the 1.x timeline renames completed instants, so replaying with
+    0.x rules would silently see an empty timeline."""
+    tbl = _mor_table(spark, tmp_path)
+    props = os.path.join(tbl, ".hoodie", "hoodie.properties")
+    with open(props, "a") as fh:
+        fh.write("hoodie.table.version=8\n")
+    with pytest.raises(NotImplementedError, match="table.version 8"):
+        qc.read_hudi(tbl)
+
+
 def test_hudi_restore(spark, qc, tmp_path):
     """restore_hudi_local (round 10 — hudi's own destructive restore
     semantics): the timeline truncates to the target instant, later

@@ -1159,6 +1159,22 @@ def test_iceberg_multispec_schema_evolution(spark, qc, tmp_path):
         {1: 10, 2: 20, 3: 30}
 
 
+def test_iceberg_format_version_gate(qc, tmp_path):
+    """A format-version 3 table refuses typed — v3 adds puffin
+    deletion vectors and row lineage; reading with v2 rules would
+    silently serve deleted rows."""
+    import json as _json
+    tbl = str(tmp_path / "v3")
+    md = os.path.join(tbl, "metadata")
+    os.makedirs(md)
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        _json.dump({"format-version": 3, "snapshots": []}, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    with pytest.raises(NotImplementedError, match="format-version 3"):
+        qc.read_iceberg(tbl)
+
+
 def test_iceberg_restore(qc, spark, tmp_path):
     """restore_iceberg_local (round 10): a NEW snapshot re-references
     the target's manifest list byte-for-byte — state identical to the
