@@ -487,6 +487,62 @@ class QuokkaContext:
         from .sources.delta_local import vacuum_delta_local
         return vacuum_delta_local(table, keep_last)
 
+    def delta_history(self, table: str) -> DataStream:
+        """DESCRIBE HISTORY: one row per version — (version,
+        timestamp epoch-ms, operation, operationParameters JSON) from
+        each commit's commitInfo (operation null for bare commits).
+        Driver reads KB of log metadata; no data files touched."""
+        import json as _json
+
+        from .sources.delta_local import (_commit_info,
+                                          _commit_timestamp,
+                                          list_versions)
+        rows = []
+        for v in list_versions(table):
+            try:
+                ts = _commit_timestamp(table, v)
+            except FileNotFoundError:
+                continue                  # checkpoint-only version
+            ci = _commit_info(table, v)
+            rows.append((v, ts, ci.get("operation"),
+                         _json.dumps(ci.get("operationParameters"))
+                         if ci.get("operationParameters") else None))
+        df = self.spark.createDataFrame(
+            rows, "version long, timestamp long, operation string, "
+                  "operationParameters string")
+        return DataStream(self, df, materialized=True)
+
+    def iceberg_history(self, table: str) -> DataStream:
+        """Snapshot history: one row per snapshot — (snapshot_id,
+        timestamp epoch-ms, operation, is_current). Metadata-only."""
+        from .sources.iceberg_local import _read_table_metadata
+        meta = _read_table_metadata(table)
+        cur = meta.get("current-snapshot-id")
+        rows = [(int(s.get("snapshot-id")),
+                 int(s.get("timestamp-ms") or 0),
+                 (s.get("summary") or {}).get("operation"),
+                 s.get("snapshot-id") == cur)
+                for s in meta.get("snapshots") or []]
+        df = self.spark.createDataFrame(
+            rows, "snapshot_id long, timestamp long, operation string, "
+                  "is_current boolean")
+        return DataStream(self, df, materialized=True)
+
+    def hudi_history(self, table: str) -> DataStream:
+        """Completed timeline: one row per write instant —
+        (instant, action, operation). Metadata-only."""
+        import json as _json
+
+        from .sources.hudi_local import completed_instants
+        rows = []
+        for ts, action, path in completed_instants(table):
+            with open(path) as fh:
+                commit = _json.load(fh)
+            rows.append((ts, action, commit.get("operationType")))
+        df = self.spark.createDataFrame(
+            rows, "instant string, action string, operation string")
+        return DataStream(self, df, materialized=True)
+
     def restore_delta(self, table: str, version: int) -> int:
         """RESTORE the table to an older version's state as a new
         commit — history preserved, removes/re-adds derived by diff

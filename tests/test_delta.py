@@ -2426,6 +2426,29 @@ def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
     assert sorted(r["id"] for r in ch3.collect()) == [1, 2]
 
 
+def test_delta_history(spark, qc, tmp_path):
+    """qc.delta_history — DESCRIBE HISTORY: version, commit
+    timestamp, operation (+parameters) per version; MERGE commits
+    carry their keyColumns, bare appends a null operation."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (upsert_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "hist")
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0)], "id long, v double")
+        .coalesce(1), tbl)
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(1, 2.0)], "id long, v double"), ["id"])
+    h = {r["version"]: r for r in qc.delta_history(tbl).df.collect()}
+    assert sorted(h) == [0, 1]
+    assert h[1]["operation"] == "MERGE"
+    assert _json.loads(h[1]["operationParameters"])["keyColumns"] \
+        == '["id"]'
+    assert h[0]["timestamp"] <= h[1]["timestamp"]
+
+
 def test_delta_protocol_feature_gates(spark, qc, tmp_path):
     """Protocol compliance (round 10): a reader-3 table listing a
     reader feature this engine lacks refuses to READ (ignoring e.g.

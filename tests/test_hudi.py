@@ -715,6 +715,21 @@ def test_hudi_logfmt_delete_block_codec():
                                + kryo, key_fields=["id"])
 
 
+def test_hudi_history(spark, qc, tmp_path):
+    """qc.hudi_history: the completed write timeline with per-instant
+    action and operation type."""
+    from quokka_spark.sources.hudi_local import upsert_hudi_mor_local
+    tbl = _mor_table(spark, tmp_path)
+    upsert_hudi_mor_local(
+        spark, tbl,
+        spark.createDataFrame([(3, 1.0, "U")],
+                              "id long, v double, tag string"))
+    rows = qc.hudi_history(tbl).df.collect()
+    assert len(rows) == 2
+    assert [r["action"] for r in rows] == ["deltacommit", "deltacommit"]
+    assert rows[-1]["operation"] == "upsert"
+
+
 def test_hudi_table_version_gate(spark, qc, tmp_path):
     """A hudi-1.x table (hoodie.table.version > 6) refuses typed —
     the 1.x timeline renames completed instants, so replaying with

@@ -1159,6 +1159,23 @@ def test_iceberg_multispec_schema_evolution(spark, qc, tmp_path):
         {1: 10, 2: 20, 3: 30}
 
 
+def test_iceberg_history(qc, spark, tmp_path):
+    """qc.iceberg_history: one row per snapshot with operation and
+    the current-pointer flag (restore snapshots show 'rollback')."""
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import restore_iceberg_local
+    tbl = str(tmp_path / "ihist")
+    qc.from_pandas(pd.DataFrame({"id": [1]})).write_iceberg(tbl)
+    qc.from_pandas(pd.DataFrame({"id": [2]})).write_iceberg(tbl)
+    restore_iceberg_local(tbl, 1)
+    h = {r["snapshot_id"]: r
+         for r in qc.iceberg_history(tbl).df.collect()}
+    assert sorted(h) == [1, 2, 3]
+    assert h[3]["operation"] == "rollback" and h[3]["is_current"]
+    assert not h[1]["is_current"] and not h[2]["is_current"]
+
+
 def test_iceberg_format_version_gate(qc, tmp_path):
     """A format-version 3 table refuses typed — v3 adds puffin
     deletion vectors and row lineage; reading with v2 rules would
