@@ -78,11 +78,19 @@ def _version_path(table: str, v: int) -> str:
 
 _CHECKPOINT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$")
+# V2 checkpoints (protocol "V2 Checkpoint Spec"): ONE top-level file
+# named <version>.checkpoint.<uniqueStr>.{json|parquet} holding the
+# non-file actions plus ``sidecar`` pointers; the file actions live
+# in parquet sidecars under _delta_log/_sidecars/. uniqueStr has no
+# dots, so classic multipart names can never match this pattern.
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-zA-Z_-]+)\.(parquet|json)$")
 
 
 def _scan_log(table: str) -> tuple[list, dict]:
     """One log-directory listing → (sorted JSON commit versions,
-    {checkpoint version: sorted list of its parquet part paths})."""
+    {checkpoint version: sorted list of its part paths}) — classic
+    single/multipart parquet checkpoints and V2 checkpoints both."""
     d = _log_dir(table)
     if not os.path.isdir(d):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table}")
@@ -92,11 +100,36 @@ def _scan_log(table: str) -> tuple[list, dict]:
         if ext == ".json" and stem.isdigit():
             commits.append(int(stem))
         else:
-            m = _CHECKPOINT_RE.match(f)
+            m = _CHECKPOINT_RE.match(f) or _CHECKPOINT_V2_RE.match(f)
             if m:
                 checkpoints.setdefault(int(m.group(1)), []).append(
                     os.path.join(d, f))
     return sorted(commits), {v: sorted(ps) for v, ps in checkpoints.items()}
+
+
+def _checkpoint_action_rows(path: str, columns=None):
+    """Yield action dicts ({action name: payload}) from ONE
+    checkpoint file — classic/multipart/v2-top-level parquet or the
+    v2 JSON flavor. ``columns`` prunes the parquet read (txn and
+    protocol lookups touch a handful of rows among potentially a
+    million adds); a parquet file lacking every asked column yields
+    nothing, exactly like the old schema check."""
+    if path.endswith(".json"):
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+        return
+    import pyarrow.parquet as pq
+    names = pq.read_schema(path).names
+    cols = ([c for c in columns if c in names]
+            if columns is not None else None)
+    if columns is not None and not cols:
+        return
+    t = pq.read_table(path, columns=cols)
+    for r in t.to_pylist():
+        yield {k: v for k, v in r.items() if v is not None}
 
 
 def list_versions(table: str) -> list:
@@ -109,30 +142,48 @@ def list_versions(table: str) -> list:
 
 def _read_checkpoint(paths: list) -> tuple[dict, dict]:
     """Load a checkpoint's full state: (live add-actions by path,
-    metaData dict). Multi-part checkpoints concatenate. Driver-side
-    pyarrow read — a checkpoint row is ~100 bytes of metadata per
-    data file, so even a million-file table is ~100 MB here; a
-    distributed scan would be the next step past that."""
-    import pyarrow.parquet as pq
-
+    metaData dict). Multi-part checkpoints concatenate; V2
+    checkpoints read their top-level non-file actions and then every
+    ``sidecar`` parquet under _delta_log/_sidecars/ (where the file
+    actions live, per the V2 Checkpoint spec). Driver-side pyarrow
+    read — a checkpoint row is ~100 bytes of metadata per data file,
+    so even a million-file table is ~100 MB here; a distributed scan
+    would be the next step past that."""
     live, meta = {}, {}
+
+    def absorb(r):
+        nonlocal meta
+        m = r.get("metaData")
+        a = r.get("add")
+        if m:
+            meta = dict(m)
+            if isinstance(meta.get("configuration"), list):
+                # arrow map columns round-trip as pair lists
+                meta["configuration"] = dict(meta["configuration"])
+        if a:
+            pv = a.get("partitionValues")
+            if isinstance(pv, list):      # arrow map → list of pairs
+                a["partitionValues"] = dict(pv)
+            live[a["path"]] = a
+
     for p in paths:
-        t = pq.read_table(p)
-        cols = t.column_names
-        rows = t.to_pylist()
-        for r in rows:
-            a = r.get("add") if "add" in cols else None
-            m = r.get("metaData") if "metaData" in cols else None
-            if m:
-                meta = dict(m)
-                if isinstance(meta.get("configuration"), list):
-                    # arrow map columns round-trip as pair lists
-                    meta["configuration"] = dict(meta["configuration"])
-            if a:
-                pv = a.get("partitionValues")
-                if isinstance(pv, list):  # arrow map → list of pairs
-                    a["partitionValues"] = dict(pv)
-                live[a["path"]] = a
+        sidecars = []
+        for r in _checkpoint_action_rows(p):
+            sc = r.get("sidecar")
+            if sc:
+                sidecars.append(sc)
+                continue
+            absorb(r)
+        sdir = os.path.join(os.path.dirname(p), "_sidecars")
+        for sc in sidecars:
+            sp = sc.get("path") or ""
+            sp = sp if os.path.isabs(sp) else os.path.join(sdir, sp)
+            if not os.path.exists(sp):
+                raise FileNotFoundError(
+                    f"{p}: sidecar {sc.get('path')!r} is missing — "
+                    "the checkpoint state is incomplete")
+            for r in _checkpoint_action_rows(sp):
+                absorb(r)
     return live, meta
 
 
@@ -1122,7 +1173,12 @@ def _txn_state(table: str, version: int | None = None,
     base = -1
     if usable:
         base = max(usable)
-        if any("txn" not in pq.read_schema(p).names
+        # a v2 JSON checkpoint keeps non-file actions (incl. txn)
+        # inline — the format implies completeness; a PARQUET part
+        # lacking the txn column is a foreign checkpoint that never
+        # recorded sink marks
+        if any(not p.endswith(".json")
+               and "txn" not in pq.read_schema(p).names
                for p in checkpoints[base]):
             # foreign checkpoint without txn rows: usable only when
             # the full JSON history below it still exists
@@ -1140,8 +1196,8 @@ def _txn_state(table: str, version: int | None = None,
             for p in checkpoints[base]:
                 # column-pruned read: txn rows are a handful among
                 # potentially a million add rows
-                for x in pq.read_table(p, columns=["txn"]) \
-                        .column("txn").to_pylist():
+                for r in _checkpoint_action_rows(p, columns=["txn"]):
+                    x = r.get("txn")
                     if x and x.get("appId") is not None:
                         txns[x["appId"]] = max(
                             txns.get(x["appId"], -1), int(x["version"]))
@@ -1169,7 +1225,6 @@ def _protocol_state(table: str, version: int | None = None,
     """The table's current ``protocol`` action (default reader 1 /
     writer 2): newest checkpoint's protocol row, then any later JSON
     protocol actions win."""
-    import pyarrow.parquet as pq
     commits, checkpoints = _scan or _scan_log(table)
     versions = sorted(set(commits) | set(checkpoints))
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -1182,10 +1237,8 @@ def _protocol_state(table: str, version: int | None = None,
     if usable:
         base = max(usable)
         for p in checkpoints[base]:
-            if "protocol" not in pq.read_schema(p).names:
-                continue
-            for x in pq.read_table(p, columns=["protocol"]) \
-                    .column("protocol").to_pylist():
+            for r in _checkpoint_action_rows(p, columns=["protocol"]):
+                x = r.get("protocol")
                 if x and x.get("minReaderVersion") is not None:
                     proto = {k: v for k, v in x.items() if v is not None}
     for v in commits:
@@ -1205,7 +1258,7 @@ def _protocol_state(table: str, version: int | None = None,
 # a reader-3 table listing any feature it does not support — ignoring
 # e.g. v2Checkpoint would silently serve stale or wrong data)
 _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping",
-                              "timestampNtz"}
+                              "timestampNtz", "v2Checkpoint"}
 # writer features this engine implements; the conditional ones
 # (appendOnly/invariants/checkConstraints/generatedColumns/
 # identityColumns) are "supported" per spec by ENFORCING them when
@@ -1214,6 +1267,9 @@ _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping",
 _SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
     "appendOnly", "invariants", "checkConstraints",
     "generatedColumns", "identityColumns", "changeDataFeed"}
+# v2Checkpoint is in BOTH sets: reads decode the v2 layout
+# (_read_checkpoint) and the spec allows writers on such tables to
+# keep producing classic checkpoints, which this writer does.
 
 
 def _check_read_protocol(proto: dict) -> None:

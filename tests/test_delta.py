@@ -2426,6 +2426,105 @@ def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
     assert sorted(r["id"] for r in ch3.collect()) == [1, 2]
 
 
+def test_delta_v2_checkpoint_reads(spark, qc, tmp_path):
+    """V2 checkpoints (round 10 — protocol 'V2 Checkpoint Spec'): a
+    top-level <v>.checkpoint.<uuid>.json (or .parquet) holding the
+    non-file actions plus ``sidecar`` pointers, with the add actions
+    in parquet sidecars under _delta_log/_sidecars/, reads end-to-end
+    after the covered JSON commits are cleaned — state, protocol
+    (reader-3 + v2Checkpoint feature), and txn sink marks all come
+    from the checkpoint; a missing sidecar refuses; later appends
+    keep working."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_replay,
+                                                  last_txn_version,
+                                                  write_delta_local)
+
+    def build(name, top_kind):
+        tbl = str(tmp_path / name)
+        write_delta_local(
+            spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                  "id long, v double").coalesce(1), tbl)
+        write_delta_local(
+            spark.createDataFrame([(3, 3.0)], "id long, v double")
+            .coalesce(1), tbl, mode="append", txn=("app", 7))
+        _, meta, keys, adds = _replay(tbl, 1)
+        log = os.path.join(tbl, "_delta_log")
+        sdir = os.path.join(log, "_sidecars")
+        os.makedirs(sdir)
+        sname = "sc-1.parquet"
+        side_rows = [{"add": {
+            "path": k, "size": int(a["size"]),
+            "modificationTime": 0, "dataChange": True,
+            "stats": a.get("stats")}} for k, a in zip(keys, adds)]
+        pq.write_table(pa.Table.from_pylist(side_rows),
+                       os.path.join(sdir, sname))
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["v2Checkpoint"],
+                 "writerFeatures": ["v2Checkpoint", "appendOnly",
+                                    "invariants"]}
+        sc = {"path": sname,
+              "sizeInBytes": os.path.getsize(
+                  os.path.join(sdir, sname)),
+              "modificationTime": 0}
+        if top_kind == "json":
+            top = os.path.join(log, f"{1:020d}.checkpoint.abc-123.json")
+            with open(top, "w") as fh:
+                for act in ({"checkpointMetadata": {"version": 1}},
+                            {"protocol": proto}, {"metaData": meta},
+                            {"txn": {"appId": "app", "version": 7}},
+                            {"sidecar": sc}):
+                    fh.write(_json.dumps(act) + "\n")
+        else:
+            top = os.path.join(log,
+                               f"{1:020d}.checkpoint.def-456.parquet")
+            # every key in every row — pyarrow infers the unified
+            # schema from the first row; empty dicts don't survive
+            # struct inference, so give the nested maps a value
+            pmeta = dict(meta)
+            pmeta["configuration"] = {"qs.fixture": "1"}
+            pmeta["format"] = {"provider": "parquet",
+                               "options": {"qs": "1"}}
+            blank = {"protocol": None, "metaData": None, "txn": None,
+                     "sidecar": None}
+            pq.write_table(pa.Table.from_pylist([
+                {**blank, "protocol": proto},
+                {**blank, "metaData": pmeta},
+                {**blank, "txn": {"appId": "app", "version": 7}},
+                {**blank, "sidecar": sc}]), top)
+        # clean the covered JSON commits — the checkpoint must carry
+        # the whole state
+        os.unlink(os.path.join(log, f"{0:020d}.json"))
+        os.unlink(os.path.join(log, f"{1:020d}.json"))
+        return tbl, os.path.join(sdir, sname)
+
+    for kind in ("json", "parquet"):
+        tbl, sidecar = build(f"v2ck_{kind}", kind)
+        got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+        assert got == {1: 1.0, 2: 2.0, 3: 3.0}, kind
+        # time travel INTO the checkpoint version
+        assert {r["id"] for r in
+                qc.read_delta(tbl, version=1).df.collect()} \
+            == {1, 2, 3}
+        # sink marks come from the checkpoint
+        assert last_txn_version(tbl, "app") == 7
+        # appends keep working (v2Checkpoint is a supported writer
+        # feature — classic checkpoints remain legal on such tables)
+        write_delta_local(
+            spark.createDataFrame([(9, 9.0)], "id long, v double")
+            .coalesce(1), tbl, mode="append")
+        assert {r["id"] for r in qc.read_delta(tbl).df.collect()} \
+            == {1, 2, 3, 9}
+        # a missing sidecar refuses instead of serving partial state
+        os.unlink(sidecar)
+        with pytest.raises(FileNotFoundError, match="sidecar"):
+            qc.read_delta(tbl, version=1)
+
+
 def test_delta_history(spark, qc, tmp_path):
     """qc.delta_history — DESCRIBE HISTORY: version, commit
     timestamp, operation (+parameters) per version; MERGE commits
@@ -2488,12 +2587,12 @@ def test_delta_protocol_feature_gates(spark, qc, tmp_path):
     # unknown READER feature refuses reads (and writes — writers read)
     t1 = mk("p_rf", {"minReaderVersion": 3, "minWriterVersion": 7,
                      "readerFeatures": ["deletionVectors",
-                                        "v2Checkpoint"],
+                                        "typeWidening"],
                      "writerFeatures": ["deletionVectors"]})
     write_delta_local(one, str(tmp_path / "seed"))  # unrelated, fine
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         qc.read_delta(t1)
-    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         write_delta_local(one, t1, mode="append")
     # unknown WRITER feature refuses writes, reads fine
     t2 = mk("p_wf", {"minReaderVersion": 1, "minWriterVersion": 7,
