@@ -3264,6 +3264,72 @@ FROM lineitem GROUP BY l_linestatus
 """
 
 
+def src_delta_v2_checkpoint(spark, sf_dir):
+    """read_delta through a V2 CHECKPOINT (round 10 — protocol 'V2
+    Checkpoint Spec', delta_local._read_checkpoint sidecar path): the
+    even-orderkey half of lineitem commits at v0, the odd half at v1,
+    then a hand-built v2 checkpoint (top-level JSON with protocol
+    reader-3 + v2Checkpoint feature, metaData, and a sidecar pointer;
+    add actions in a _sidecars/ parquet) replaces the CLEANED JSON
+    commits — the read must reproduce plain lineitem entirely from
+    the v2 layout."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import (_replay,
+                                                  write_delta_local)
+    qc = _qc(spark)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_v2cp_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        src = spark.read.parquet(li)
+        write_delta_local(src.where("l_orderkey % 2 = 0"), tbl)
+        write_delta_local(src.where("l_orderkey % 2 = 1"), tbl,
+                          mode="append")
+        _, meta, keys, adds = _replay(tbl, 1)
+        log = os.path.join(tbl, "_delta_log")
+        sdir = os.path.join(log, "_sidecars")
+        os.makedirs(sdir)
+        sname = "sc-1.parquet"
+        pq.write_table(pa.Table.from_pylist(
+            [{"add": {"path": k, "size": int(a["size"]),
+                      "modificationTime": 0, "dataChange": True,
+                      "stats": a.get("stats")}}
+             for k, a in zip(keys, adds)]),
+            os.path.join(sdir, sname))
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["v2Checkpoint"],
+                 "writerFeatures": ["v2Checkpoint", "appendOnly",
+                                    "invariants"]}
+        with open(os.path.join(
+                log, f"{1:020d}.checkpoint.qs-v2.json"), "w") as fh:
+            for act in ({"checkpointMetadata": {"version": 1}},
+                        {"protocol": proto}, {"metaData": meta},
+                        {"sidecar": {
+                            "path": sname,
+                            "sizeInBytes": os.path.getsize(
+                                os.path.join(sdir, sname)),
+                            "modificationTime": 0}}):
+                fh.write(_json.dumps(act) + "\n")
+        for v in (0, 1):
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = qc.read_delta(tbl)
+    return ds.df.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
 def src_delta_partitioned(spark, sf_dir):
     """read_delta on a PARTITIONED table: lineitem written with
     partition_by=l_returnflag (the partition column lives in the LOG,
@@ -7161,7 +7227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q1/q3/q18/q21 and which remain BOTH pytest-oracled and benched
     every round. Redundant relational micro-gates, perf bench gates,
     and the remaining incremental/streaming-source gates sit past the
-    window; ALL 191 entries (incl. the restore-trio gates past the
+    window; ALL 192 entries (incl. the restore-trio and v2-checkpoint gates past the
     window) stay pytest-oracle-checked in
     tests/test_oracle_parity.py."""
     return {
@@ -7234,6 +7300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_restore": src_delta_restore,
         "src_iceberg_restore": src_iceberg_restore,
         "src_hudi_restore": src_hudi_restore,
+        "src_delta_v2_checkpoint": src_delta_v2_checkpoint,
         "agg_covariance": agg_covariance,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ts_hopping": ts_hopping,
@@ -7482,6 +7549,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_restore": _SRC_RESTORE_SQL,
         "src_iceberg_restore": _SRC_RESTORE_SQL,
         "src_hudi_restore": _SRC_RESTORE_SQL,
+        "src_delta_v2_checkpoint": _SRC_DELTA_CP_SQL,
         "src_iceberg_ts_travel": _TS_TRAVEL_SQL,
         "src_hudi_ts_travel": _TS_TRAVEL_SQL,
         "src_delta_dv": _SRC_DELTA_DV_SQL,
