@@ -216,18 +216,23 @@ class QuokkaContext:
             r = r.option("starting_snapshot", str(starting_snapshot))
         return r.load(table)
 
-    def read_iceberg_changes(self, table: str, from_snapshot: int,
-                             to_snapshot: int | None = None) -> DataStream:
+    def read_iceberg_changes(self, table: str,
+                             from_snapshot: int | None = None,
+                             to_snapshot: int | None = None,
+                             from_timestamp=None,
+                             to_timestamp=None) -> DataStream:
         """CDF-style incremental read of a local Iceberg table:
         row-level changes of snapshots [from_snapshot, to_snapshot]
         (inclusive) — data columns plus `_change_type`
         ('insert'/'delete') and `_snapshot_id`. Added data files are
         inserts, added position/equality delete files surface their
         deleted rows, `replace` (compaction) snapshots contribute
-        nothing. See sources/iceberg_local.read_iceberg_changes."""
+        nothing. Timestamp bounds mirror the Delta CDF rule.
+        See sources/iceberg_local.read_iceberg_changes."""
         from .sources.iceberg_local import read_iceberg_changes
         return DataStream(self, read_iceberg_changes(
-            self.spark, table, from_snapshot, to_snapshot))
+            self.spark, table, from_snapshot, to_snapshot,
+            from_timestamp=from_timestamp, to_timestamp=to_timestamp))
 
     def read_delta_stream(self, table: str,
                           starting_version: int = 0,

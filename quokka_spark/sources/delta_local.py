@@ -344,6 +344,11 @@ def _commit_timestamp(table: str, v: int) -> int:
     if not os.path.exists(p):
         raise FileNotFoundError(p)
     ci = _commit_info(table, v)
+    # inCommitTimestamp (the ICT table feature) is the authoritative,
+    # clock-skew-proof commit time when a writer recorded one — the
+    # jar prefers it for time travel on ICT tables
+    if ci.get("inCommitTimestamp") is not None:
+        return int(ci["inCommitTimestamp"])
     if ci.get("timestamp") is not None:
         return int(ci["timestamp"])
     return int(os.path.getmtime(p) * 1000)

@@ -1998,8 +1998,25 @@ def add_equality_deletes(table_dir: str, rows: "pa.Table | dict",
 # delta_local.read_delta_changes and hudi_local.read_hudi_incremental
 # ----------------------------------------------------------------------
 
-def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
-                         to_snapshot: int | None = None):
+def snapshot_at_or_after_timestamp(table_path: str, ts) -> int:
+    """CDF start-bound resolution, the MIRROR of
+    :func:`snapshot_at_timestamp`: the EARLIEST snapshot whose
+    ``timestamp-ms`` is >= ``ts``. A timestamp past the newest
+    snapshot refuses — an empty stream would hide a units typo."""
+    from .delta_local import _to_epoch_ms
+    ts_ms = _to_epoch_ms(ts)
+    meta = _read_table_metadata(table_path)
+    for s in meta.get("snapshots", []):
+        if int(s.get("timestamp-ms") or 0) >= ts_ms:
+            return int(s.get("snapshot-id"))
+    raise ValueError(
+        f"from_timestamp {ts!r} is after the table's newest snapshot")
+
+
+def read_iceberg_changes(spark, table_path: str,
+                         from_snapshot: int | None = None,
+                         to_snapshot: int | None = None,
+                         from_timestamp=None, to_timestamp=None):
     """Row-level changes committed in snapshots ``[from_snapshot,
     to_snapshot]`` (inclusive, metadata order) — derived entirely
     from manifests, no changelog files. Output = the table's data
@@ -2025,9 +2042,25 @@ def read_iceberg_changes(spark, table_path: str, from_snapshot: int,
     insert(new rows) decomposition.
 
     Driver cost: manifest reads per snapshot in the range (KB-scale);
-    every row-bearing step is a distributed scan."""
+    every row-bearing step is a distributed scan. Timestamp bounds
+    (round 10) mirror the Delta CDF rule: ``from_timestamp`` picks
+    the earliest snapshot at-or-after (past-newest refuses),
+    ``to_timestamp`` the latest at-or-before (clamps at newest)."""
     from pyspark.sql import functions as F
 
+    if (from_snapshot is None) == (from_timestamp is None):
+        raise ValueError(
+            "pass exactly one of from_snapshot / from_timestamp")
+    if to_snapshot is not None and to_timestamp is not None:
+        raise ValueError("pass at most one of to_snapshot / "
+                         "to_timestamp")
+    if from_timestamp is not None:
+        from_snapshot = snapshot_at_or_after_timestamp(table_path,
+                                                       from_timestamp)
+    if to_timestamp is not None:
+        # latest at-or-before: clamps at the newest snapshot,
+        # refuses before-first — snapshot_at_timestamp's own rule
+        to_snapshot = snapshot_at_timestamp(table_path, to_timestamp)
     meta = _read_table_metadata(table_path)
     snaps = meta.get("snapshots", [])
     ids = [s.get("snapshot-id") for s in snaps]

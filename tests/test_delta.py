@@ -2633,6 +2633,48 @@ def test_delta_protocol_feature_gates(spark, qc, tmp_path):
         write_delta_local(one, t6, mode="append")
 
 
+def test_delta_in_commit_timestamp_preferred(spark, qc, tmp_path):
+    """ICT tables (round 10): commitInfo.inCommitTimestamp is the
+    authoritative commit time — time travel and CDF timestamp bounds
+    resolve by it even when the commit FILE's mtime and plain
+    timestamp disagree (the exact clock-skew case ICT exists for)."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  version_at_timestamp)
+    import pandas as pd
+    tbl = str(tmp_path / "ict")
+    os.makedirs(tbl)
+    f1 = str(tmp_path / "i1.parquet")
+    f2 = str(tmp_path / "i2.parquet")
+    pd.DataFrame({"id": [1]}).to_parquet(f1)
+    pd.DataFrame({"id": [2]}).to_parquet(f2)
+    schema = _json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {}}]})
+    _commit(tbl, 0, [
+        {"commitInfo": {"timestamp": 999_999_999_999,
+                        "inCommitTimestamp": 1_000_000_000}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "t", "format": {"provider": "parquet",
+                                            "options": {}},
+                      "schemaString": schema, "partitionColumns": [],
+                      "configuration": {}, "createdTime": 0}},
+        {"add": {"path": f1, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+    _commit(tbl, 1, [
+        {"commitInfo": {"timestamp": 999_999_999_999,
+                        "inCommitTimestamp": 2_000_000_000}},
+        {"add": {"path": f2, "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True}}])
+    assert version_at_timestamp(tbl, 1_500_000_000) == 0
+    assert sorted(r["id"] for r in
+                  qc.read_delta(tbl, timestamp_as_of=1_500_000_000)
+                  .df.collect()) == [1]
+    ch = qc.read_delta_changes(tbl, from_timestamp=1_500_000_000).df
+    assert [r["id"] for r in ch.collect()] == [2]
+
+
 def test_delta_restore(spark, qc, tmp_path):
     """RESTORE (round 10 — delta_local.restore_delta_local): a new
     commit whose removes/re-adds diff the live set against the target

@@ -1159,6 +1159,49 @@ def test_iceberg_multispec_schema_evolution(spark, qc, tmp_path):
         {1: 10, 2: 20, 3: 30}
 
 
+def test_iceberg_changes_timestamp_bounds(qc, spark, tmp_path):
+    """read_iceberg_changes timestamp bounds (round 10, the Delta CDF
+    rule): from_timestamp → earliest snapshot at-or-after (past-newest
+    refuses); to_timestamp → latest at-or-before (clamps at newest);
+    mixing both kinds of a bound refuses."""
+    import json as _json
+
+    import pandas as pd
+
+    from quokka_spark.sources.iceberg_local import _read_table_metadata
+    tbl = str(tmp_path / "icts")
+    qc.from_pandas(pd.DataFrame({"id": [1]})).write_iceberg(tbl)
+    qc.from_pandas(pd.DataFrame({"id": [2]})).write_iceberg(tbl)
+    # pin the snapshot timestamps for determinism
+    hint = open(os.path.join(tbl, "metadata",
+                             "version-hint.text")).read().strip()
+    mpath = os.path.join(tbl, "metadata", f"v{hint}.metadata.json")
+    with open(mpath) as fh:
+        meta = _json.load(fh)
+    for s, ts in zip(meta["snapshots"], (1_000_000_000,
+                                         2_000_000_000)):
+        s["timestamp-ms"] = ts
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    assert _read_table_metadata(tbl)["snapshots"][0]["timestamp-ms"] \
+        == 1_000_000_000
+    ch = qc.read_iceberg_changes(
+        tbl, from_timestamp=1_500_000_000).df
+    assert [r["id"] for r in ch.collect()] == [2]
+    ch2 = qc.read_iceberg_changes(
+        tbl, from_timestamp=500_000_000,
+        to_timestamp=1_500_000_000).df
+    assert [r["id"] for r in ch2.collect()] == [1]
+    # to_timestamp clamps at the newest snapshot
+    ch3 = qc.read_iceberg_changes(
+        tbl, from_snapshot=1, to_timestamp=9_000_000_000).df
+    assert sorted(r["id"] for r in ch3.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="exactly one"):
+        qc.read_iceberg_changes(tbl)
+    with pytest.raises(ValueError, match="after the table's newest"):
+        qc.read_iceberg_changes(tbl, from_timestamp=9_000_000_000)
+
+
 def test_iceberg_history(qc, spark, tmp_path):
     """qc.iceberg_history: one row per snapshot with operation and
     the current-pointer flag (restore snapshots show 'rollback')."""
