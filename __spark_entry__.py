@@ -3266,21 +3266,18 @@ FROM lineitem GROUP BY l_linestatus
 
 def src_delta_v2_checkpoint(spark, sf_dir):
     """read_delta through a V2 CHECKPOINT (round 10 — protocol 'V2
-    Checkpoint Spec', delta_local._read_checkpoint sidecar path): the
-    even-orderkey half of lineitem commits at v0, the odd half at v1,
-    then a hand-built v2 checkpoint (top-level JSON with protocol
-    reader-3 + v2Checkpoint feature, metaData, and a sidecar pointer;
-    add actions in a _sidecars/ parquet) replaces the CLEANED JSON
-    commits — the read must reproduce plain lineitem entirely from
-    the v2 layout."""
-    import json as _json
+    Checkpoint Spec'): the even-orderkey half of lineitem commits at
+    v0, the odd half at v1, then write_v2_checkpoint_local upgrades
+    the protocol (reader 3 + v2Checkpoint) and writes the v2 layout —
+    top-level JSON with checkpointMetadata/protocol/metaData + a
+    sidecar pointer, add actions in a _sidecars/ parquet — and the
+    covered JSON commits are CLEANED: the read must reproduce plain
+    lineitem entirely from the v2 checkpoint."""
     import os
     import tempfile
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    from quokka_spark.sources.delta_local import (_replay,
-                                                  write_delta_local)
+    from quokka_spark.sources.delta_local import (
+        write_delta_local, write_v2_checkpoint_local)
     qc = _qc(spark)
     li = os.path.join(sf_dir, "lineitem.parquet")
     base = os.path.join(tempfile.gettempdir(),
@@ -3295,32 +3292,9 @@ def src_delta_v2_checkpoint(spark, sf_dir):
         write_delta_local(src.where("l_orderkey % 2 = 0"), tbl)
         write_delta_local(src.where("l_orderkey % 2 = 1"), tbl,
                           mode="append")
-        _, meta, keys, adds = _replay(tbl, 1)
+        cpv = write_v2_checkpoint_local(tbl)
         log = os.path.join(tbl, "_delta_log")
-        sdir = os.path.join(log, "_sidecars")
-        os.makedirs(sdir)
-        sname = "sc-1.parquet"
-        pq.write_table(pa.Table.from_pylist(
-            [{"add": {"path": k, "size": int(a["size"]),
-                      "modificationTime": 0, "dataChange": True,
-                      "stats": a.get("stats")}}
-             for k, a in zip(keys, adds)]),
-            os.path.join(sdir, sname))
-        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
-                 "readerFeatures": ["v2Checkpoint"],
-                 "writerFeatures": ["v2Checkpoint", "appendOnly",
-                                    "invariants"]}
-        with open(os.path.join(
-                log, f"{1:020d}.checkpoint.qs-v2.json"), "w") as fh:
-            for act in ({"checkpointMetadata": {"version": 1}},
-                        {"protocol": proto}, {"metaData": meta},
-                        {"sidecar": {
-                            "path": sname,
-                            "sizeInBytes": os.path.getsize(
-                                os.path.join(sdir, sname)),
-                            "modificationTime": 0}}):
-                fh.write(_json.dumps(act) + "\n")
-        for v in (0, 1):
+        for v in range(cpv + 1):
             os.remove(os.path.join(log, f"{v:020d}.json"))
         with open(done, "w") as fh:
             fh.write("ok")

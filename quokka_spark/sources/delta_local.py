@@ -176,7 +176,9 @@ def _read_checkpoint(paths: list) -> tuple[dict, dict]:
             absorb(r)
         sdir = os.path.join(os.path.dirname(p), "_sidecars")
         for sc in sidecars:
-            sp = sc.get("path") or ""
+            # the spec allows absolute sidecar paths, possibly in the
+            # file: URI form this codebase strips everywhere else
+            sp = re.sub("^file:/+", "/", sc.get("path") or "")
             sp = sp if os.path.isabs(sp) else os.path.join(sdir, sp)
             if not os.path.exists(sp):
                 raise FileNotFoundError(
@@ -1251,11 +1253,15 @@ def _protocol_state(table: str, version: int | None = None,
             continue
         with open(_version_path(table, v)) as fh:
             for line in fh:
-                line = line.strip()
-                if line:
-                    action = json.loads(line)
-                    if "protocol" in action:
-                        proto = action["protocol"]
+                # substring-gated: protocol actions are one line in a
+                # potentially 100k-line commit — json-parsing every
+                # line here would double _replay's log cost on every
+                # read/write that validates the protocol
+                if '"protocol"' not in line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    proto = action["protocol"]
     return proto
 
 
@@ -1297,15 +1303,21 @@ def _check_read_protocol(proto: dict) -> None:
 
 
 def _check_write_protocol(table: str, meta: dict | None,
-                          data_change_removes: bool) -> None:
+                          data_change_removes: bool,
+                          new_data: bool = True) -> None:
     """Spec compliance gate for writers, called by every public write
     path BEFORE any data lands: refuse unknown writer versions/
-    features, enforce delta.appendOnly (no dataChange removes), and
-    refuse writes to tables that USE invariants / CHECK constraints /
-    generated or identity columns (this engine does not evaluate
-    them — writing without enforcement would corrupt the contract
-    other readers rely on). Compaction passes data_change_removes=
-    False: appendOnly allows dataChange=false rearrangements."""
+    features, enforce delta.appendOnly (no dataChange removes), and —
+    for NEW-DATA writes only — refuse tables that USE invariants /
+    CHECK constraints / generated or identity columns (this engine
+    does not evaluate them; writing unvalidated rows would corrupt
+    the contract other readers rely on). Maintenance shapes pass
+    ``new_data=False``: compaction re-encodes existing rows, restore
+    re-adds previously committed files and DV deletes only remove —
+    none can violate a row constraint, and the jar allows them on
+    constrained tables too. Compaction also passes
+    data_change_removes=False: appendOnly allows dataChange=false
+    rearrangements."""
     proto = _protocol_state(table)
     _check_read_protocol(proto)          # a writer reads first
     w = int(proto.get("minWriterVersion", 2))
@@ -1331,6 +1343,8 @@ def _check_write_protocol(table: str, meta: dict | None,
         raise ValueError(
             "delta.appendOnly=true forbids removing or rewriting "
             "data (appends and dataChange=false compaction only)")
+    if not new_data:
+        return
     if any(str(k).startswith("delta.constraints.") for k in conf):
         raise NotImplementedError(
             "table declares CHECK constraints (delta.constraints.*) "
@@ -1416,7 +1430,8 @@ def delete_rows_delta_local(table: str, deletes: dict,
     the active one)."""
     from .dv import dv_row_indexes, write_dv_file
     files, meta, keys, adds = _replay(table, None)
-    _check_write_protocol(table, meta, data_change_removes=True)
+    _check_write_protocol(table, meta, data_change_removes=True,
+                          new_data=False)
     root = table.removeprefix("file://")
     conf = meta.get("configuration") or {}
     if isinstance(conf, list):
@@ -1593,7 +1608,8 @@ def restore_delta_local(table: str, version: int) -> int:
     from .dv import dv_file_path
     root = table.removeprefix("file://")
     cur_files, cur_meta, cur_keys, cur_adds = _replay(table, None)
-    _check_write_protocol(table, cur_meta, data_change_removes=True)
+    _check_write_protocol(table, cur_meta, data_change_removes=True,
+                          new_data=False)
     tgt_files, tgt_meta, tgt_keys, tgt_adds = _replay(table, version)
     cur = dict(zip(cur_keys, cur_adds))
     tgt = dict(zip(tgt_keys, tgt_adds))
@@ -1637,22 +1653,10 @@ def restore_delta_local(table: str, version: int) -> int:
     return newv
 
 
-def write_checkpoint_local(table: str, version: int | None = None) -> int:
-    """Write a spec-shaped checkpoint parquet for ``version`` (None =
-    latest) plus the ``_last_checkpoint`` pointer. After this the JSON
-    commits at or below the checkpoint are no longer needed to read
-    any version ≥ the checkpoint — the log-cleanup contract long-lived
-    tables rely on (Delta checkpoints every 10 commits by default).
-    Returns the checkpointed version."""
+def _cp_arrow_types() -> dict:
+    """The typed arrow action schema shared by the classic checkpoint
+    writer's single parquet and the v2 writer's sidecars."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    scan = _scan_log(table)
-    commits, checkpoints = scan
-    versions = sorted(set(commits) | set(checkpoints))
-    if version is None:
-        version = versions[-1]
-    _, meta, keys, adds = _replay(table, version)
     pv_t = pa.map_(pa.string(), pa.string())
     dv_t = pa.struct([("storageType", pa.string()),
                       ("pathOrInlineDv", pa.string()),
@@ -1678,6 +1682,134 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
                          ("writerFeatures", pa.list_(pa.string()))])
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64()),
                        ("lastUpdated", pa.int64())])
+    return {"pv": pv_t, "dv": dv_t, "add": add_t, "meta": meta_t,
+            "proto": proto_t, "txn": txn_t}
+
+
+def _cp_add_payload(k: str, a: dict) -> dict:
+    """One live add action → the typed checkpoint add row (shared by
+    the classic parquet and the v2 sidecar writers)."""
+    dv = a.get("deletionVector")
+    return {"path": k,
+            "partitionValues": a.get("partitionValues") or {},
+            "size": int(a.get("size") or 0),
+            "modificationTime": int(a.get("modificationTime") or 0),
+            "dataChange": False,
+            "stats": a.get("stats"),
+            "deletionVector": (
+                {"storageType": dv.get("storageType"),
+                 "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                 "offset": int(dv.get("offset") or 0),
+                 "sizeInBytes": int(dv.get("sizeInBytes") or 0),
+                 "cardinality": int(dv.get("cardinality") or 0)}
+                if dv else None)}
+
+
+def write_v2_checkpoint_local(table: str,
+                              version: int | None = None) -> int:
+    """Write a V2 CHECKPOINT (protocol 'V2 Checkpoint Spec') — the v2
+    twin of :func:`write_checkpoint_local`: a top-level
+    ``<v>.checkpoint.<uuid>.json`` carrying checkpointMetadata, the
+    protocol, the metaData, every sink txn mark, and one ``sidecar``
+    pointer, with the add actions in a parquet sidecar under
+    ``_delta_log/_sidecars/``. A table carrying v2 checkpoints must
+    DECLARE the v2Checkpoint feature, so when the current protocol
+    lacks it a protocol-upgrade commit (reader 3 / writer 7, legacy
+    features folded in) is appended first — which requires
+    ``version`` to be None (latest); pass an explicit version only on
+    already-upgraded tables. Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _check_write_protocol(table, None, data_change_removes=False)
+    cur = _protocol_state(table)
+    feats = set(cur.get("readerFeatures") or [])
+    if "v2Checkpoint" not in feats \
+            or int(cur.get("minReaderVersion", 1)) < 3:
+        if version is not None:
+            raise ValueError(
+                "write_v2_checkpoint_local at an explicit version "
+                "needs the table to already declare the v2Checkpoint "
+                "feature — call with version=None to auto-upgrade")
+        lr, lw = _legacy_features(cur)
+        _commit(table, list_versions(table)[-1] + 1, [{"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(set(
+                (cur.get("readerFeatures") or []) + lr
+                + ["v2Checkpoint"])),
+            "writerFeatures": sorted(set(
+                (cur.get("writerFeatures") or []) + lw
+                + ["v2Checkpoint"]))}}])
+    scan = _scan_log(table)
+    commits, checkpoints = scan
+    versions = sorted(set(commits) | set(checkpoints))
+    if version is None:
+        version = versions[-1]
+    _, meta, keys, adds = _replay(table, version)
+    types = _cp_arrow_types()
+    log = _log_dir(table)
+    sdir = os.path.join(log, "_sidecars")
+    os.makedirs(sdir, exist_ok=True)
+    sname = f"{uuid.uuid4().hex}.parquet"
+    sp = os.path.join(sdir, sname)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"add": _cp_add_payload(k, a)}
+             for k, a in zip(keys, adds)],
+            schema=pa.schema([("add", types["add"])])), sp)
+    proto = _protocol_state(table, version, _scan=scan)
+    try:
+        txns = sorted(_txn_state(table, version, _scan=scan).items())
+    except ValueError:
+        txns = []
+    acts = [{"checkpointMetadata": {"version": version}},
+            {"protocol": proto},
+            {"metaData": meta}]
+    acts += [{"txn": {"appId": a_, "version": int(v_),
+                      "lastUpdated": 0}} for a_, v_ in txns]
+    acts.append({"sidecar": {"path": sname,
+                             "sizeInBytes": os.path.getsize(sp),
+                             "modificationTime": 0}})
+    cp = os.path.join(
+        log, f"{version:020d}.checkpoint.{uuid.uuid4().hex[:12]}.json")
+    tmp = cp + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        for act in acts:
+            fh.write(json.dumps(act) + "\n")
+    os.replace(tmp, cp)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version,
+                   "size": len(acts) + len(keys)}, fh)
+    return version
+
+
+def write_checkpoint_local(table: str, version: int | None = None) -> int:
+    """Write a spec-shaped checkpoint parquet for ``version`` (None =
+    latest) plus the ``_last_checkpoint`` pointer. After this the JSON
+    commits at or below the checkpoint are no longer needed to read
+    any version ≥ the checkpoint — the log-cleanup contract long-lived
+    tables rely on (Delta checkpoints every 10 commits by default).
+    Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # a checkpoint persists REPLAYED state with a fixed action schema
+    # (protocol/metaData/txn/add): on a table using features this
+    # engine doesn't implement it would snapshot misread state and
+    # DROP the unknown features' auxiliary actions — after log
+    # cleanup that broken state becomes authoritative. Refuse like
+    # every other write path (no meta → usage checks don't apply;
+    # _maybe_checkpoint catches this and skips, warning).
+    _check_write_protocol(table, None, data_change_removes=False)
+    scan = _scan_log(table)
+    commits, checkpoints = scan
+    versions = sorted(set(commits) | set(checkpoints))
+    if version is None:
+        version = versions[-1]
+    _, meta, keys, adds = _replay(table, version)
+    types = _cp_arrow_types()
+    pv_t, add_t = types["pv"], types["add"]
+    meta_t, proto_t, txn_t = types["meta"], types["proto"], types["txn"]
     cur_proto = _protocol_state(table, version, _scan=scan)
     rows = [{"protocol": {
                 "minReaderVersion": int(cur_proto.get("minReaderVersion",
@@ -1713,25 +1845,8 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
                      "txn": {"appId": app_id, "version": int(tv),
                              "lastUpdated": 0}})
     for k, a in zip(keys, adds):
-        dv = a.get("deletionVector")
         rows.append({"protocol": None, "metaData": None,
-                     "add": {"path": k,
-                             "partitionValues": a.get("partitionValues")
-                             or {},
-                             "size": int(a.get("size") or 0),
-                             "modificationTime":
-                             int(a.get("modificationTime") or 0),
-                             "dataChange": False,
-                             "stats": a.get("stats"),
-                             "deletionVector": (
-                                 {"storageType": dv.get("storageType"),
-                                  "pathOrInlineDv": dv.get("pathOrInlineDv"),
-                                  "offset": int(dv.get("offset") or 0),
-                                  "sizeInBytes": int(dv.get("sizeInBytes")
-                                                     or 0),
-                                  "cardinality": int(dv.get("cardinality")
-                                                     or 0)}
-                                 if dv else None)}})
+                     "add": _cp_add_payload(k, a)})
     tbl = pa.Table.from_pylist(rows, schema=pa.schema(
         [("protocol", proto_t), ("metaData", meta_t), ("add", add_t),
          ("txn", txn_t)]))
@@ -2059,7 +2174,8 @@ def compact_delta_local(spark, table: str,
     import math
     files, meta, keys, _ = _replay(table, None)
     # compaction removes are dataChange=false — allowed on appendOnly
-    _check_write_protocol(table, meta, data_change_removes=False)
+    _check_write_protocol(table, meta, data_change_removes=False,
+                          new_data=False)
     if not files:
         raise ValueError(f"Delta table {table} has no live files")
     root = table.removeprefix("file://")

@@ -113,6 +113,15 @@ def completed_instants(table: str) -> list:
     if not os.path.isdir(tdir):
         raise FileNotFoundError(
             f"{table}: no .hoodie/ directory — not a Hudi table")
+    # the 1.x layout gate must sit at THIS chokepoint (every timeline
+    # replay shares it): a hudi-1.x table's instants never match the
+    # 0.x pattern below, so without the properties check every
+    # replay-only path (history, incremental, txn marks) would
+    # silently see an empty timeline instead of refusing typed
+    try:
+        _table_props(table)
+    except FileNotFoundError:
+        pass            # properties-less local fixture — 0.x shaped
     out = []
     for f in os.listdir(tdir):
         m = re.fullmatch(r"(\d+)\.(commit|replacecommit|deltacommit)", f)

@@ -145,7 +145,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         return {"version": self.start_version - 1}
 
     def latestOffset(self) -> dict:
-        from quokka_spark.sources.delta_local import list_versions
+        from quokka_spark.sources.delta_local import (
+            _check_read_protocol, _protocol_state, list_versions)
+        # per-trigger, not just at construction: a foreign writer can
+        # UPGRADE the protocol mid-stream to a feature this reader
+        # lacks — serving later micro-batches anyway would silently
+        # misread exactly what the gate exists to prevent
+        _check_read_protocol(_protocol_state(self.table))
         return {"version": list_versions(self.table)[-1]}
 
     def _live_before(self, v0: int) -> set:

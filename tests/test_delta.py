@@ -2427,102 +2427,105 @@ def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
 
 
 def test_delta_v2_checkpoint_reads(spark, qc, tmp_path):
-    """V2 checkpoints (round 10 — protocol 'V2 Checkpoint Spec'): a
-    top-level <v>.checkpoint.<uuid>.json (or .parquet) holding the
-    non-file actions plus ``sidecar`` pointers, with the add actions
-    in parquet sidecars under _delta_log/_sidecars/, reads end-to-end
-    after the covered JSON commits are cleaned — state, protocol
-    (reader-3 + v2Checkpoint feature), and txn sink marks all come
-    from the checkpoint; a missing sidecar refuses; later appends
-    keep working."""
+    """V2 checkpoints (round 10 — protocol 'V2 Checkpoint Spec'):
+    (a) write_v2_checkpoint_local produces the real layout — a
+    protocol-upgrade commit declaring v2Checkpoint, a top-level
+    <v>.checkpoint.<uuid>.json with checkpointMetadata/protocol/
+    metaData/txn + sidecar pointer, add actions in a _sidecars/
+    parquet — and the table reads end-to-end after the covered JSON
+    commits are cleaned (state, protocol, txn sink marks); (b) a
+    FOREIGN parquet-flavor top-level reads too; a missing sidecar
+    refuses; later appends keep working."""
+    import glob as _glob
     import json as _json
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from quokka_spark.sources.delta_local import (_replay,
-                                                  last_txn_version,
-                                                  write_delta_local)
+    from quokka_spark.sources.delta_local import (
+        _replay, last_txn_version, write_delta_local,
+        write_v2_checkpoint_local)
 
-    def build(name, top_kind):
-        tbl = str(tmp_path / name)
-        write_delta_local(
-            spark.createDataFrame([(1, 1.0), (2, 2.0)],
-                                  "id long, v double").coalesce(1), tbl)
-        write_delta_local(
-            spark.createDataFrame([(3, 3.0)], "id long, v double")
-            .coalesce(1), tbl, mode="append", txn=("app", 7))
-        _, meta, keys, adds = _replay(tbl, 1)
-        log = os.path.join(tbl, "_delta_log")
-        sdir = os.path.join(log, "_sidecars")
-        os.makedirs(sdir)
-        sname = "sc-1.parquet"
-        side_rows = [{"add": {
-            "path": k, "size": int(a["size"]),
-            "modificationTime": 0, "dataChange": True,
-            "stats": a.get("stats")}} for k, a in zip(keys, adds)]
-        pq.write_table(pa.Table.from_pylist(side_rows),
-                       os.path.join(sdir, sname))
-        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
-                 "readerFeatures": ["v2Checkpoint"],
-                 "writerFeatures": ["v2Checkpoint", "appendOnly",
-                                    "invariants"]}
-        sc = {"path": sname,
-              "sizeInBytes": os.path.getsize(
-                  os.path.join(sdir, sname)),
-              "modificationTime": 0}
-        if top_kind == "json":
-            top = os.path.join(log, f"{1:020d}.checkpoint.abc-123.json")
-            with open(top, "w") as fh:
-                for act in ({"checkpointMetadata": {"version": 1}},
-                            {"protocol": proto}, {"metaData": meta},
-                            {"txn": {"appId": "app", "version": 7}},
-                            {"sidecar": sc}):
-                    fh.write(_json.dumps(act) + "\n")
-        else:
-            top = os.path.join(log,
-                               f"{1:020d}.checkpoint.def-456.parquet")
-            # every key in every row — pyarrow infers the unified
-            # schema from the first row; empty dicts don't survive
-            # struct inference, so give the nested maps a value
-            pmeta = dict(meta)
-            pmeta["configuration"] = {"qs.fixture": "1"}
-            pmeta["format"] = {"provider": "parquet",
-                               "options": {"qs": "1"}}
-            blank = {"protocol": None, "metaData": None, "txn": None,
-                     "sidecar": None}
-            pq.write_table(pa.Table.from_pylist([
-                {**blank, "protocol": proto},
-                {**blank, "metaData": pmeta},
-                {**blank, "txn": {"appId": "app", "version": 7}},
-                {**blank, "sidecar": sc}]), top)
-        # clean the covered JSON commits — the checkpoint must carry
-        # the whole state
-        os.unlink(os.path.join(log, f"{0:020d}.json"))
-        os.unlink(os.path.join(log, f"{1:020d}.json"))
-        return tbl, os.path.join(sdir, sname)
+    # (a) the library writer, end to end
+    tbl = str(tmp_path / "v2ck_lib")
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                              "id long, v double").coalesce(1), tbl)
+    write_delta_local(
+        spark.createDataFrame([(3, 3.0)], "id long, v double")
+        .coalesce(1), tbl, mode="append", txn=("app", 7))
+    cpv = write_v2_checkpoint_local(tbl)
+    assert cpv == 2                     # the protocol-upgrade commit
+    log = os.path.join(tbl, "_delta_log")
+    tops = _glob.glob(os.path.join(log, "*.checkpoint.*.json"))
+    assert len(tops) == 1
+    with open(tops[0]) as fh:
+        acts = [_json.loads(ln) for ln in fh if ln.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "v2Checkpoint" in proto["readerFeatures"]
+    assert any("checkpointMetadata" in a for a in acts)
+    for v in range(cpv + 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    assert {r["id"] for r in
+            qc.read_delta(tbl, version=cpv).df.collect()} == {1, 2, 3}
+    assert last_txn_version(tbl, "app") == 7
+    # appends keep working (classic checkpoints stay legal on
+    # v2Checkpoint tables)
+    write_delta_local(
+        spark.createDataFrame([(9, 9.0)], "id long, v double")
+        .coalesce(1), tbl, mode="append")
+    assert {r["id"] for r in qc.read_delta(tbl).df.collect()} \
+        == {1, 2, 3, 9}
+    # a missing sidecar refuses instead of serving partial state
+    sc = _glob.glob(os.path.join(log, "_sidecars", "*.parquet"))[0]
+    os.unlink(sc)
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        qc.read_delta(tbl, version=cpv)
 
-    for kind in ("json", "parquet"):
-        tbl, sidecar = build(f"v2ck_{kind}", kind)
-        got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
-        assert got == {1: 1.0, 2: 2.0, 3: 3.0}, kind
-        # time travel INTO the checkpoint version
-        assert {r["id"] for r in
-                qc.read_delta(tbl, version=1).df.collect()} \
-            == {1, 2, 3}
-        # sink marks come from the checkpoint
-        assert last_txn_version(tbl, "app") == 7
-        # appends keep working (v2Checkpoint is a supported writer
-        # feature — classic checkpoints remain legal on such tables)
-        write_delta_local(
-            spark.createDataFrame([(9, 9.0)], "id long, v double")
-            .coalesce(1), tbl, mode="append")
-        assert {r["id"] for r in qc.read_delta(tbl).df.collect()} \
-            == {1, 2, 3, 9}
-        # a missing sidecar refuses instead of serving partial state
-        os.unlink(sidecar)
-        with pytest.raises(FileNotFoundError, match="sidecar"):
-            qc.read_delta(tbl, version=1)
+    # (b) a FOREIGN parquet-flavor top-level (hand-built)
+    tbl2 = str(tmp_path / "v2ck_foreign")
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                              "id long, v double").coalesce(1), tbl2)
+    write_delta_local(
+        spark.createDataFrame([(3, 3.0)], "id long, v double")
+        .coalesce(1), tbl2, mode="append", txn=("app", 7))
+    _, meta, keys, adds = _replay(tbl2, 1)
+    log2 = os.path.join(tbl2, "_delta_log")
+    sdir = os.path.join(log2, "_sidecars")
+    os.makedirs(sdir)
+    sname = "sc-1.parquet"
+    pq.write_table(pa.Table.from_pylist(
+        [{"add": {"path": k, "size": int(a["size"]),
+                  "modificationTime": 0, "dataChange": True,
+                  "stats": a.get("stats")}}
+         for k, a in zip(keys, adds)]), os.path.join(sdir, sname))
+    proto2 = {"minReaderVersion": 3, "minWriterVersion": 7,
+              "readerFeatures": ["v2Checkpoint"],
+              "writerFeatures": ["v2Checkpoint", "appendOnly",
+                                 "invariants"]}
+    pmeta = dict(meta)
+    pmeta["configuration"] = {"qs.fixture": "1"}
+    pmeta["format"] = {"provider": "parquet", "options": {"qs": "1"}}
+    blank = {"protocol": None, "metaData": None, "txn": None,
+             "sidecar": None}
+    pq.write_table(pa.Table.from_pylist([
+        {**blank, "protocol": proto2},
+        {**blank, "metaData": pmeta},
+        {**blank, "txn": {"appId": "app", "version": 7}},
+        {**blank, "sidecar": {
+            "path": sname,
+            "sizeInBytes": os.path.getsize(
+                os.path.join(sdir, sname)),
+            "modificationTime": 0}}]),
+        os.path.join(log2, f"{1:020d}.checkpoint.def-456.parquet"))
+    for v in (0, 1):
+        os.unlink(os.path.join(log2, f"{v:020d}.json"))
+    got2 = {r["id"]: r["v"] for r in qc.read_delta(tbl2).df.collect()}
+    assert got2 == {1: 1.0, 2: 2.0, 3: 3.0}
+    assert last_txn_version(tbl2, "app") == 7
 
 
 def test_delta_history(spark, qc, tmp_path):
