@@ -7175,13 +7175,14 @@ FROM l FULL JOIN r ON l.k = r.k AND r.y > l.x
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
-    inside that window (TPC-H 17, time-series 6 + streaming 2, dedup
-    3, similarity 2, text 2, pipeline/multimodal 2, linalg/ML 3,
-    sources 8 incl. the executor-side DV scan, MoR log merge, REAL
-    HoodieLogFormat framing, the log-derived CDF read + its
-    update-pairing upsert, partitioned columnMapping, and timestamp
-    time travel, lakehouse streaming 5 incl. the exactly-once sink
-    TRIO and the plain+partitioned Delta source = 50).
+    inside that window (TPC-H 12, time-series 6 + streaming 2, dedup
+    3, similarity 2, text 2, pipeline 1, linalg/ML 3, sources 15
+    incl. the executor-side DV scan, MoR log merge, REAL
+    HoodieLogFormat framing, the log-derived CDF read, CDF-writer cdc
+    actions, partitioned columnMapping, auto- and v2 checkpoints, the
+    RESTORE trio, Iceberg multi-spec + CDF, and Hudi incremental
+    reads, lakehouse streaming 4 incl. the exactly-once sink TRIO and
+    the Delta source = 50).
     Round-8 rotation (round-7 verdict #6): `src_delta_dv`,
     `stream_sink_delta`, `src_hudi_mor` IN; `dedup_ngram_jaccard`,
     `agg_covariance`, `ts_hopping` OUT. Round-9 rotation (round-8
@@ -7201,8 +7202,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q1/q3/q18/q21 and which remain BOTH pytest-oracled and benched
     every round. Redundant relational micro-gates, perf bench gates,
     and the remaining incremental/streaming-source gates sit past the
-    window; ALL 192 entries (incl. the restore-trio and v2-checkpoint gates past the
-    window) stay pytest-oracle-checked in
+    window. Round-11 rotation (round-10 verdict #1): IN — the
+    round-10 machinery headlines `src_delta_auto_checkpoint`,
+    `src_delta_v2_checkpoint`, the RESTORE trio
+    `src_delta_restore`/`src_iceberg_restore`/`src_hudi_restore`,
+    `src_iceberg_multispec`, `src_iceberg_cdf`, `src_hudi_incr`;
+    OUT — `src_delta_cdf_upsert` + `src_delta_cdf_id` (the
+    `src_delta_cdf` + `src_delta_cdc_write` pair keeps the CDF shape
+    in-window), `src_delta_ts_travel` (iceberg/hudi ts-travel gates
+    keep the shape pytest-oracled), `tpch_q2/q11/q20` (q1/q3/q21's
+    shapes cover), `stream_src_delta_partitioned`, `mm_metadata`.
+    ALL 192 entries stay pytest-oracle-checked in
     tests/test_oracle_parity.py."""
     return {
         # ---- driver-checked window (first 50) -------------------------
@@ -7215,7 +7225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": tpch_q13,
         "tpch_q16": tpch_q16,
         "tpch_q18": tpch_q18, "tpch_q22": tpch_q22,
-        "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
         "tpch_q21": tpch_q21,
         # time series (7) + streaming (2)
         "ts_tumbling": ts_tumbling,
@@ -7233,8 +7242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis (2)
         "text_tokens": text_tokens,
         "text_quality": text_quality,
-        # pipeline / multimodal (2)
-        "pipeline_llm_data": pipeline_llm_data, "mm_metadata": mm_metadata,
+        # pipeline (1; mm_metadata rotated out round 11 — mm_phash keeps
+        # the multimodal shape pytest-oracled)
+        "pipeline_llm_data": pipeline_llm_data,
         # linalg / ML / graph (3)
         "agg_gramian": agg_gramian, "ml_kmeans": ml_kmeans,
         "graph_pagerank": graph_pagerank,
@@ -7246,35 +7256,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_hudi_mor": src_hudi_mor,
         "src_hudi_logfmt": src_hudi_logfmt,
         "src_delta_cdf": src_delta_cdf,
-        # round-10 rotation IN: the remaining round-9 machinery —
-        # partitioned columnMapping reads, CDF update pairing,
-        # timestamp time travel
+        # partitioned columnMapping reads + CDF-writer cdc actions
+        # (the round-10 keepers; cdf_upsert/cdf_id/ts_travel rotated
+        # out round 11, shapes covered by src_delta_cdf +
+        # src_delta_cdc_write + the iceberg/hudi travel gates)
         "src_delta_cm_partitioned": src_delta_cm_partitioned,
-        "src_delta_cdf_upsert": src_delta_cdf_upsert,
-        "src_delta_cdf_id": src_delta_cdf_id,
         "src_delta_cdc_write": src_delta_cdc_write,
-        "src_delta_ts_travel": src_delta_ts_travel,
-        # streaming (5: the exactly-once sink TRIO + the Delta SOURCE,
-        # plain and PARTITIONED)
+        # round-11 rotation IN (round-10 verdict #1): the round-10
+        # machinery headlines — auto- and v2 checkpoints, the RESTORE
+        # trio, Iceberg multi-spec commits, Iceberg CDF, Hudi
+        # incremental reads
+        "src_delta_auto_checkpoint": src_delta_auto_checkpoint,
+        "src_delta_v2_checkpoint": src_delta_v2_checkpoint,
+        "src_delta_restore": src_delta_restore,
+        "src_iceberg_restore": src_iceberg_restore,
+        "src_hudi_restore": src_hudi_restore,
+        "src_iceberg_multispec": src_iceberg_multispec,
+        "src_iceberg_cdf": src_iceberg_cdf,
+        "src_hudi_incr": src_hudi_incr,
+        # streaming (4: the exactly-once sink TRIO + the Delta SOURCE;
+        # the partitioned source variant rotated out round 11)
         "stream_sink_delta": stream_sink_delta,
         "stream_sink_iceberg": stream_sink_iceberg,
         "stream_sink_hudi": stream_sink_hudi,
         "stream_src_delta": stream_src_delta,
-        "stream_src_delta_partitioned": stream_src_delta_partitioned,
         # ---- past the driver window (pytest-oracle-checked) -----------
+        "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
         "tpch_q4": tpch_q4, "tpch_q6": tpch_q6, "tpch_q12": tpch_q12,
         "tpch_q14": tpch_q14, "tpch_q15": tpch_q15,
         "tpch_q17": tpch_q17, "tpch_q19": tpch_q19,
+        "src_delta_cdf_upsert": src_delta_cdf_upsert,
+        "src_delta_cdf_id": src_delta_cdf_id,
+        "src_delta_ts_travel": src_delta_ts_travel,
+        "stream_src_delta_partitioned": stream_src_delta_partitioned,
+        "mm_metadata": mm_metadata,
         "ts_backtest": ts_backtest,
         "agg_quantile": agg_quantile,
         "ml_bpe_train": ml_bpe_train,
         "op_join_nonequi": op_join_nonequi,
         "src_iceberg_ts_travel": src_iceberg_ts_travel,
         "src_hudi_ts_travel": src_hudi_ts_travel,
-        "src_delta_restore": src_delta_restore,
-        "src_iceberg_restore": src_iceberg_restore,
-        "src_hudi_restore": src_hudi_restore,
-        "src_delta_v2_checkpoint": src_delta_v2_checkpoint,
         "agg_covariance": agg_covariance,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "ts_hopping": ts_hopping,
@@ -7323,10 +7344,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
         "src_delta_cm_id_partitioned": src_delta_cm_id_partitioned,
-        "src_delta_auto_checkpoint": src_delta_auto_checkpoint,
-        "src_iceberg_multispec": src_iceberg_multispec,
-        "src_hudi_incr": src_hudi_incr,
-        "src_iceberg_cdf": src_iceberg_cdf,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
