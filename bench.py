@@ -49,6 +49,25 @@ BENCH_QUERIES = [
     "stream_tumbling", "stream_dedup", "stream_join",
 ]
 
+# lakehouse metadata-path entries (round 11): FIXED-scale fixtures
+# (independent of SPARK_GRAFT_SF_DIR — commit/instant count is the
+# axis, not row count), built untimed in a temp dir each run by
+# lakehouse_suite(); the names land in "queries" so BENCH_rN tracks
+# the rounds-8..10 metadata machinery round-over-round like any
+# other query (previously only one-shot probe_commits.py runs and
+# pytest wall-clocks watched this code — a metadata regression was
+# invisible to the bench)
+LAKEHOUSE_BENCH = [
+    "lake_delta_snapshot_cp500",   # snapshot read through a checkpoint,
+                                   # 500-commit table (auto-cp every 10)
+    "lake_delta_cdf_100",          # read_delta_changes over 100 mixed
+                                   # commits (90 appends + 10 upserts)
+    "lake_delta_sink_50",          # 50 sink batches: txn handshake +
+                                   # append commit per batch
+    "lake_hudi_mor_snapshot",      # MoR merge scan: base + update +
+                                   # delete log blocks over 20k rows
+]
+
 
 def run_suite(spark, registry, names, sf_dir,
               passes=(False, True, True, True)) -> tuple[dict, dict]:
@@ -108,6 +127,155 @@ def run_suite(spark, registry, names, sf_dir,
             spark.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001 - measurement aid only
             pass
+    return timings, errors
+
+
+def lakehouse_suite(spark) -> tuple[dict, dict]:
+    """Build fixed-scale lakehouse fixtures (untimed) and time the
+    metadata-heavy read/sink paths from LAKEHOUSE_BENCH. Fixture
+    scale is pinned (500/100/50 commits, 20k rows) so the numbers
+    compare across rounds regardless of $SPARK_GRAFT_SF_DIR; the
+    fixtures reuse probe_commits.py's build recipes (the tier-3
+    SCALE.md harness) so a regression here points at the same code
+    path a probe re-run would. Returns (timings, errors) shaped like
+    run_suite's."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import quokka_spark.sources.delta_local as dl
+    from quokka_spark.sources.delta_local import (read_delta_changes,
+                                                  read_delta_local,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    from quokka_spark.sources.hudi_local import (read_hudi_local,
+                                                 upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+
+    root = tempfile.mkdtemp(prefix="qs_lakebench_")
+    timings: dict = {}
+    errors: dict = {}
+    try:
+        # shared seed file for metadata-only append commits (os.link
+        # keeps fixture build off the Spark write path — the probe's
+        # trick: what's being benched is the LOG, not parquet I/O)
+        seed_dir = os.path.join(root, "seed")
+        spark.range(100).selectExpr("id", "cast(id as double) AS v") \
+            .coalesce(1).write.parquet(seed_dir)
+        seed = [os.path.join(seed_dir, f) for f in os.listdir(seed_dir)
+                if f.endswith(".parquet")][0]
+        schema_json = spark.read.parquet(seed).schema.json()
+
+        # -- fixture 1: 500-commit Delta table (auto-checkpoint every
+        # 10 fires at the _commit chokepoint, so the snapshot read
+        # goes checkpoint + <=10 trailing JSONs + 500-file scan)
+        d500 = os.path.join(root, "delta500")
+        os.makedirs(d500)
+        for bid in range(500):
+            data = os.path.join(d500, f"b-{bid:05d}.parquet")
+            os.link(seed, data)
+            actions = dl._meta_actions(schema_json) if bid == 0 else []
+            actions.append(dl._add_action(d500, data))
+            actions.append({"txn": {"appId": "bench", "version": bid,
+                                    "lastUpdated": 0}})
+            dl._commit(d500, bid, actions)
+
+        # -- fixture 2: CDF-enabled table, 100 mixed commits on a
+        # 2k-row base: 90 metadata appends + 10 real upserts (the
+        # upserts exercise the cdc-file write + replay path, the
+        # appends the insert-run coalescing path)
+        dcdf = os.path.join(root, "deltacdf")
+        os.makedirs(dcdf)
+        dl._commit(dcdf, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {"metaData": {"id": "lakebench-cdf", "format":
+                          {"provider": "parquet", "options": {}},
+                          "schemaString": schema_json,
+                          "partitionColumns": [],
+                          "configuration":
+                          {"delta.enableChangeDataFeed": "true"},
+                          "createdTime": 0}}])
+        write_delta_local(
+            spark.range(2000).selectExpr(
+                "id", "cast(id as double) AS v").coalesce(4),
+            dcdf, mode="append")
+        ver = 1
+        for bid in range(100):
+            if bid % 10 == 0:
+                upd = spark.range(bid * 7, bid * 7 + 5).selectExpr(
+                    "id", f"cast(id as double) + {bid + 1}000 AS v")
+                upsert_delta_local(spark, dcdf, upd.coalesce(1), ["id"])
+            else:
+                data = os.path.join(dcdf, f"a-{bid:05d}.parquet")
+                os.link(seed, data)
+                dl._commit(dcdf, ver + 1,
+                           [dl._add_action(dcdf, data)])
+            ver += 1
+
+        # -- fixture 3: 20k-row MoR table with update + delete log
+        # blocks (the merge scan has to join base files against both)
+        mor = os.path.join(root, "hudimor")
+        base = spark.range(20_000).selectExpr(
+            "id", "cast(id as double) AS v",
+            "cast(id % 97 as long) AS k")
+        write_hudi_mor_local(base.repartition(4), mor, recordkey="id")
+        upd = read_hudi_local(spark, mor).where("id % 10 = 0") \
+            .withColumn("v", F.col("v") + 1000.0)
+        upsert_hudi_mor_local(spark, mor, upd)
+        dels = read_hudi_local(spark, mor).where("id % 7 = 0") \
+            .select("id")
+        upsert_hudi_mor_local(spark, mor, dels, delete=True)
+
+        reg = {
+            "lake_delta_snapshot_cp500":
+                lambda s, _sf: read_delta_local(s, d500),
+            "lake_delta_cdf_100":
+                lambda s, _sf: read_delta_changes(s, dcdf, 0, ver),
+            "lake_hudi_mor_snapshot":
+                lambda s, _sf: read_hudi_local(s, mor),
+        }
+        timings, errors = run_suite(
+            spark, reg,
+            [n for n in LAKEHOUSE_BENCH if n in reg], root)
+
+        # -- sink handshake: 50 batches of (last_txn_version probe +
+        # append commit), fresh table per rep so every rep replays
+        # the same 0..49 history; min-of-3. Not a DataFrame op, so
+        # timed directly rather than through run_suite.
+        def sink50(tbl):
+            for bid in range(50):
+                assert dl.last_txn_version(tbl, "bench") == \
+                    (None if bid == 0 else bid - 1)
+                data = os.path.join(tbl, f"b-{bid:05d}.parquet")
+                os.link(seed, data)
+                actions = dl._meta_actions(schema_json) \
+                    if bid == 0 else []
+                actions.append(dl._add_action(tbl, data))
+                actions.append({"txn": {"appId": "bench",
+                                        "version": bid,
+                                        "lastUpdated": 0}})
+                dl._commit(tbl, bid, actions)
+        try:
+            best = None
+            for rep in range(3):
+                tbl = os.path.join(root, f"sink-{rep}")
+                os.makedirs(tbl)
+                t0 = time.perf_counter()
+                sink50(tbl)
+                t = round(time.perf_counter() - t0, 3)
+                best = t if best is None else min(best, t)
+            timings["lake_delta_sink_50"] = best
+        except Exception as exc:  # noqa: BLE001 - same isolation as run_suite
+            errors["lake_delta_sink_50"] = \
+                f"{type(exc).__name__}: {exc}"[:500]
+    except Exception as exc:  # noqa: BLE001 - fixture build failed: mark
+        # every not-yet-timed entry errored rather than abort the bench
+        for n in LAKEHOUSE_BENCH:
+            if n not in timings and n not in errors:
+                errors[n] = f"fixture: {type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return timings, errors
 
 
@@ -195,6 +363,10 @@ def main():
     timings, errors = run_suite(spark, entry_mod.queries(),
                                 BENCH_QUERIES, SF_DIR)
 
+    lake_timings, lake_errors = lakehouse_suite(spark)
+    timings.update(lake_timings)
+    errors.update(lake_errors)
+
     cal_post = calibration(spark, SF_DIR)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -202,7 +374,7 @@ def main():
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "quokka_spark headline suite runtime (sum of per-query sec, "
-                  "TPC-H + time-series + LLM-data ops)",
+                  "TPC-H + time-series + LLM-data + lakehouse-metadata ops)",
         "value": total,
         "unit": "sec",
         "queries": timings,
