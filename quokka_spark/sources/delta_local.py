@@ -1345,11 +1345,11 @@ def _check_write_protocol(table: str, meta: dict | None,
             "data (appends and dataChange=false compaction only)")
     if not new_data:
         return
-    if any(str(k).startswith("delta.constraints.") for k in conf):
-        raise NotImplementedError(
-            "table declares CHECK constraints (delta.constraints.*) "
-            "— this writer does not evaluate them; drop the "
-            "constraint or write with the runtime jar")
+    # CHECK constraints and column invariants are EVALUATED, not
+    # refused (round 11): every new-data write path runs
+    # _validate_constraints on its incoming batch before any file
+    # lands. Generated/identity columns stay refused — those need
+    # the writer to COMPUTE values, not just validate them.
     try:
         from pyspark.sql.types import StructType
         fields = StructType.fromJson(
@@ -1358,10 +1358,6 @@ def _check_write_protocol(table: str, meta: dict | None,
         return
     for f in fields:
         md = f.metadata or {}
-        if "delta.invariants" in md:
-            raise NotImplementedError(
-                f"column {f.name!r} declares an invariant — this "
-                "writer does not evaluate invariants")
         if "delta.generationExpression" in md:
             raise NotImplementedError(
                 f"column {f.name!r} is a generated column — this "
@@ -1370,6 +1366,78 @@ def _check_write_protocol(table: str, meta: dict | None,
             raise NotImplementedError(
                 f"column {f.name!r} is an identity column — this "
                 "writer does not allocate identity values")
+
+
+def _constraint_exprs(meta: dict) -> list:
+    """``[(name, sql_expression)]`` of every row constraint the
+    table declares: CHECK constraints (``delta.constraints.<name>``
+    table configuration, PROTOCOL.md §CHECK Constraints) and legacy
+    column invariants (``delta.invariants`` field metadata, a JSON
+    wrapper ``{"expression": {"expression": "<sql>"}}`` — the shape
+    the reference-era delta writers produced). Expressions reference
+    LOGICAL column names, so callers validate BEFORE any
+    columnMapping physical rename."""
+    out = []
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    for k, v in sorted(conf.items()):
+        ks = str(k)
+        if ks.startswith("delta.constraints."):
+            out.append((ks[len("delta.constraints."):], str(v)))
+    try:
+        fields = json.loads(meta.get("schemaString") or "{}") \
+            .get("fields") or []
+    except ValueError:
+        return out
+    for f in fields:
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError):
+            raise ValueError(
+                f"column {f.get('name')!r} declares an invariant "
+                f"this writer cannot parse: {inv!r} — expected "
+                '{"expression": {"expression": "<sql>"}}')
+        out.append((f"invariant:{f.get('name')}", expr))
+    return out
+
+
+def _validate_constraints(df, meta: dict) -> None:
+    """Enforce the table's CHECK constraints and column invariants
+    on an incoming batch, like the runtime jar does at write time
+    (delta-spark CheckDeltaInvariant): every expression must
+    evaluate to TRUE for every row — false AND null both violate
+    (the protocol's "must be satisfied", which is stricter than SQL
+    CHECK's null-passes). One distributed aggregation pass counts
+    violations per constraint (bounded single-row result — no
+    collect of data rows), and the write aborts BEFORE any data file
+    lands, so a violation costs one scan of the batch and leaves the
+    table untouched. Scale note: the batch is computed twice (this
+    pre-pass + the write); the jar folds validation into the write
+    job, but a pre-pass keeps the single-atomic-rename commit path
+    and the cost is one map-side scan of the INCOMING batch, never
+    of the table."""
+    from pyspark.sql import functions as F
+    cons = _constraint_exprs(meta)
+    if not cons:
+        return
+    aggs = [F.sum(F.when(F.expr(sql).eqNullSafe(F.lit(True)), 0)
+                  .otherwise(1)).alias(f"c{i}")
+            for i, (_, sql) in enumerate(cons)]
+    row = df.agg(*aggs).first()
+    bad = [(name, sql, int(row[f"c{i}"] or 0))
+           for i, (name, sql) in enumerate(cons)
+           if (row[f"c{i}"] or 0) > 0]
+    if bad:
+        detail = "; ".join(
+            f"{name} ({cnt} row{'s' if cnt != 1 else ''} fail "
+            f"CHECK ({sql}))" for name, sql, cnt in bad)
+        raise ValueError(
+            f"write violates table constraint(s): {detail} — "
+            "no data was committed")
 
 
 def _legacy_features(proto: dict) -> tuple[list, list]:
@@ -2077,6 +2145,10 @@ def write_delta_local(df, table: str, mode: str = "append",
         _, meta, live_keys, _ = _replay(table, None)
         _check_write_protocol(table, meta,
                               data_change_removes=(mode == "overwrite"))
+        # constraints reference logical names: validate before any
+        # columnMapping physical rename, and before the data write
+        # (a violation must not burn the write or orphan files)
+        _validate_constraints(df, meta)
         table_pcols = meta.get("partitionColumns") or []
         if mode == "append":
             if pcols and pcols != table_pcols:
@@ -2305,6 +2377,12 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     root = table.removeprefix("file://")
     files, meta, live_keys, adds = _replay(table, None)
     _check_write_protocol(table, meta, data_change_removes=True)
+    # every row a MERGE can land comes from the batch (matched rows
+    # are replaced whole, unmatched inserted; survivors were
+    # validated at their own write), so validating the batch against
+    # the table's CHECK constraints/invariants covers the result —
+    # before any scan or rewrite work
+    _validate_constraints(df, meta)
     pcols, ptypes = _partition_schema(meta)
     if pcols and not all(c in df.columns for c in pcols):
         raise ValueError(

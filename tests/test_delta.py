@@ -2558,8 +2558,9 @@ def test_delta_protocol_feature_gates(spark, qc, tmp_path):
     unknown writer feature refuses to WRITE but still reads;
     delta.appendOnly=true allows appends and dataChange=false
     compaction but refuses upsert/delete/overwrite/restore; declared
-    invariants / CHECK constraints / generated columns refuse writes
-    (this engine does not evaluate them)."""
+    invariants / CHECK constraints are EVALUATED on writes (round
+    11) — valid batches commit, violating ones refuse; generated
+    columns still refuse (the writer would have to compute them)."""
     import json as _json
 
     from quokka_spark.sources.delta_local import (compact_delta_local,
@@ -2620,20 +2621,103 @@ def test_delta_protocol_feature_gates(spark, qc, tmp_path):
         delete_rows_delta_local(t3, {f: [0]})
     with pytest.raises(ValueError, match="appendOnly"):
         restore_delta_local(t3, 1)
-    # declared invariants / constraints / generated columns refuse
+    # declared invariants / constraints EVALUATE (round 11): valid
+    # rows commit, violating batches refuse before any file lands
     t4 = mk("p_inv", {"minReaderVersion": 1, "minWriterVersion": 2},
             field_md={"delta.invariants":
                       '{"expression":{"expression":"id > 0"}}'})
-    with pytest.raises(NotImplementedError, match="invariant"):
-        write_delta_local(one, t4, mode="append")
+    write_delta_local(one, t4, mode="append")
+    with pytest.raises(ValueError, match="invariant:id"):
+        write_delta_local(spark.createDataFrame([(-1,)], "id long")
+                          .coalesce(1), t4, mode="append")
+    assert [r["id"] for r in qc.read_delta(t4).df.collect()] == [1]
     t5 = mk("p_ck", {"minReaderVersion": 1, "minWriterVersion": 3},
             conf={"delta.constraints.positive": "id > 0"})
-    with pytest.raises(NotImplementedError, match="CHECK"):
-        write_delta_local(one, t5, mode="append")
+    write_delta_local(one, t5, mode="append")
+    with pytest.raises(ValueError, match="positive"):
+        write_delta_local(spark.createDataFrame([(2,), (-3,)],
+                                                "id long")
+                          .coalesce(1), t5, mode="append")
+    # generated columns still refuse: the writer would have to
+    # COMPUTE values, not just validate them
     t6 = mk("p_gen", {"minReaderVersion": 1, "minWriterVersion": 4},
             field_md={"delta.generationExpression": "id + 1"})
     with pytest.raises(NotImplementedError, match="generated"):
         write_delta_local(one, t6, mode="append")
+
+
+def test_delta_constraints_lifecycle(spark, qc, tmp_path):
+    """CHECK constraints + column invariants evaluate like the jar
+    (round 11, delta-spark CheckDeltaInvariant semantics: an
+    expression must come out TRUE for every row — false and NULL
+    both violate). Lifecycle: constrained appends and MERGE upserts
+    commit when valid; a violating append refuses naming the
+    constraint and leaves the table version untouched; a violating
+    upsert refuses before any rewrite; multi-constraint violations
+    report each count; NULL in a constrained column violates."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  list_versions,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "cons")
+    os.makedirs(tbl)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.invariants":
+                      '{"expression":{"expression":"id IS NOT NULL"}}'}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": {"id": "cons", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.constraints.v_nonneg": "v >= 0",
+                "delta.constraints.v_cap": "v < 1000"},
+            "createdTime": 0}}])
+    ok = spark.createDataFrame([(1, 1.0), (2, 999.0)],
+                               "id long, v double").coalesce(1)
+    write_delta_local(ok, tbl, mode="append")
+    # valid upsert: update id=1, insert id=3
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(1, 5.0), (3, 0.0)],
+                              "id long, v double").coalesce(1),
+        ["id"])
+    got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: 5.0, 2: 999.0, 3: 0.0}
+    before = list_versions(tbl)[-1]
+    # violating append: names the constraint, counts rows, no commit
+    bad = spark.createDataFrame([(4, -1.0), (5, -2.0), (6, 1.0)],
+                                "id long, v double").coalesce(1)
+    with pytest.raises(ValueError, match=r"v_nonneg \(2 rows"):
+        write_delta_local(bad, tbl, mode="append")
+    # multi-constraint violation reports both
+    worse = spark.createDataFrame([(4, -1.0), (5, 2000.0)],
+                                  "id long, v double").coalesce(1)
+    with pytest.raises(ValueError) as ei:
+        write_delta_local(worse, tbl, mode="append")
+    assert "v_nonneg" in str(ei.value) and "v_cap" in str(ei.value)
+    # NULL violates (must evaluate TRUE, not just not-false)
+    withnull = spark.createDataFrame([(None, 1.0)],
+                                     "id long, v double").coalesce(1)
+    with pytest.raises(ValueError, match="invariant:id"):
+        write_delta_local(withnull, tbl, mode="append")
+    # violating upsert refuses too
+    with pytest.raises(ValueError, match="v_nonneg"):
+        upsert_delta_local(
+            spark, tbl,
+            spark.createDataFrame([(1, -9.0)], "id long, v double")
+            .coalesce(1), ["id"])
+    assert list_versions(tbl)[-1] == before        # nothing committed
+    assert {r["id"]: r["v"]
+            for r in qc.read_delta(tbl).df.collect()} == got
 
 
 def test_delta_in_commit_timestamp_preferred(spark, qc, tmp_path):
