@@ -1509,13 +1509,6 @@ def delete_rows_delta_local(table: str, deletes: dict,
     if cdf_on:
         # validate the cdc-emission preconditions BEFORE any DV .bin
         # lands on disk — a late refusal would orphan them
-        if _id_mapping(meta):
-            raise NotImplementedError(
-                "cdc emission for DV deletes on a "
-                "columnMapping.mode=id table — per-file field-id "
-                "layouts would need per-group change files; use "
-                "upsert_delta_local or disable "
-                "delta.enableChangeDataFeed")
         if spark is None:
             from pyspark.sql import SparkSession
             spark = SparkSession.getActiveSession()
@@ -1603,34 +1596,63 @@ def _delete_cdc_actions(spark, root: str, meta: dict,
     a distributed (path, row_index) semi-join, never a driver row
     path — and write them under _change_data/ with
     ``_change_type='delete'``. The change files follow data-file
-    rules: physical column names on name-mapped tables, partition
-    values in the cdc actions (hive layout), never in the files.
-    The caller validates the preconditions (a live SparkSession, not
-    id mode) BEFORE writing any DV file — see delete_rows_delta_local
-    — so a refusal never orphans on-disk state."""
+    rules: physical column names on name-mapped tables; on id-mode
+    tables (round 11) the pre-image rows resolve through the grouped
+    field-id scan (each deleted file read by its OWN physical
+    layout, raw — the positions being emitted are exactly the rows
+    the new DV hides) and the change files land under the CURRENT
+    schema's physicalName with parquet field ids stamped, the same
+    convention the upsert path's cdc emission uses and _cdc_scan
+    already resolves. Partition values ride in the cdc actions
+    (hive layout), never in the files. The caller validates the
+    preconditions (a live SparkSession) BEFORE writing any DV file —
+    see delete_rows_delta_local — so a refusal never orphans on-disk
+    state."""
     import uuid as _uuid
 
     from pyspark.sql import functions as F
     pcols, ptypes = _partition_schema(meta)
     cmap = _column_mapping(meta)
+    idmap = _id_mapping(meta)
     files = sorted(new_positions)
+    adds = [by_abs[f][1] for f in files]
     pos = spark.createDataFrame(
         [(f, int(p)) for f in files for p in new_positions[f]],
         "__qs_dfp__ string, __qs_dpos__ long")
-    rs = _log_read_schema(meta, pcols, cmap=cmap)
-    scan = (spark.read.schema(rs).parquet(*files) if rs is not None
-            else spark.read.parquet(*files))
-    scan = (scan.withColumn("__qs_fp__", _plain_path_col())
-            .withColumn("__qs_pos__", F.col("_metadata.row_index"))
-            .join(pos, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
-                  & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
-                  "left_semi"))
+    if idmap:
+        data_idmap = {i: nd for i, nd in idmap.items()
+                      if nd[0] not in pcols}
+        scan = (_id_mode_scan(spark, files, adds, data_idmap, root,
+                              with_path=True, with_pos=True,
+                              apply_dv=False)
+                .withColumnRenamed("__qs_path__", "__qs_fp__"))
+    else:
+        rs = _log_read_schema(meta, pcols, cmap=cmap)
+        scan = (spark.read.schema(rs).parquet(*files)
+                if rs is not None else spark.read.parquet(*files))
+        scan = (scan.withColumn("__qs_fp__", _plain_path_col())
+                .withColumn("__qs_pos__",
+                            F.col("_metadata.row_index")))
+    scan = scan.join(pos, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                     & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                     "left_semi").drop("__qs_pos__")
+    id_mapping = None
+    if idmap:
+        # id-mode scan output is LOGICAL — rename to the current
+        # schema's physical layout + stamp field ids, keeping the
+        # path key and _change_type-to-be out of the mapping
+        scan, id_mapping = _physical_projection(
+            scan.withColumn("_change_type", F.lit("delete")),
+            meta, "id", passthrough=("_change_type", "__qs_fp__"))
     out_pcols = []
     if pcols:
-        pv_key = ({c: cmap[c] for c in pcols} if cmap
-                  else {c: c for c in pcols})
+        if id_mapping:
+            pv_key = {c: id_mapping[c][0] for c in pcols}
+        elif cmap:
+            pv_key = {c: cmap[c] for c in pcols}
+        else:
+            pv_key = {c: c for c in pcols}
         out_pcols = [pv_key[c] for c in pcols]
-        adds = [by_abs[f][1] for f in files]
         mapping = (_partition_values_frame(spark, files, adds, pcols,
                                            ptypes, pv_key)
                    .withColumnRenamed("__qs_path__", "__qs_fp__"))
@@ -1639,8 +1661,9 @@ def _delete_cdc_actions(spark, root: str, meta: dict,
         mapping = mapping.select(
             "__qs_fp__", *[F.col(c).alias(pv_key[c]) for c in pcols])
         scan = scan.join(F.broadcast(mapping), "__qs_fp__")
-    scan = scan.drop("__qs_fp__", "__qs_pos__") \
-        .withColumn("_change_type", F.lit("delete"))
+    scan = scan.drop("__qs_fp__")
+    if not idmap:
+        scan = scan.withColumn("_change_type", F.lit("delete"))
     d = os.path.join(root, "_change_data",
                      f"cdc-{_uuid.uuid4().hex[:12]}")
     w = scan.write

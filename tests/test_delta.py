@@ -1091,10 +1091,11 @@ def test_last_txn_version_gap_is_loud_missing_table_is_none(
 # columnMapping: id-mode reads + name-mode writes (round 8)
 # ----------------------------------------------------------------------
 
-def _id_mode_table(tmp_path, file_specs):
+def _id_mode_table(tmp_path, file_specs, conf_extra=None):
     """Build an id-mapped table whose files carry parquet FIELD IDS:
     file_specs = [(filename, {field_id: (parquet_col_name, values)})].
-    Logical schema: id->1 (long), v->2 (double)."""
+    Logical schema: id->1 (long), v->2 (double). ``conf_extra``
+    merges into the table configuration (e.g. CDF enablement)."""
     import json as _json
 
     import pyarrow as pa
@@ -1128,9 +1129,10 @@ def _id_mode_table(tmp_path, file_specs):
                                             "options": {}},
                       "schemaString": _json.dumps(schema),
                       "partitionColumns": [],
-                      "configuration": {"delta.columnMapping.mode": "id",
-                                        "delta.columnMapping.maxColumnId":
-                                            "2"},
+                      "configuration": dict(
+                          {"delta.columnMapping.mode": "id",
+                           "delta.columnMapping.maxColumnId": "2"},
+                          **(conf_extra or {})),
                       "createdTime": 0}}] + adds)
     return tbl
 
@@ -2386,6 +2388,58 @@ def test_delta_changes_cdc_actions_foreign_and_mapped(spark, qc,
                os.path.join(itbl, icdc[0]["path"]))}
     assert ids["col-a1"] == b"1" and ids["col-b2"] == b"2"
     assert ids["_change_type"] is None
+
+
+def test_delta_id_mode_dv_delete_cdc(spark, qc, tmp_path):
+    """DV deletes on a CDF-enabled id-mode table emit cdc (round 11,
+    the last CDF gap): two files whose PHYSICAL names disagree (the
+    case id mode exists for) each lose a row; the change feed serves
+    the deletes from the change files, the pre-image values prove
+    each deleted file was resolved by its OWN field-id layout, and
+    the change files themselves land under the CURRENT schema's
+    physicalName with field ids stamped (the id-mode upsert
+    convention, so jar CDF readers resolve them). A second delete
+    overlapping already-deleted positions emits cdc for the NEWLY
+    deleted rows only."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import delete_rows_delta_local
+    tbl = _id_mode_table(tmp_path, [
+        ("fa.parquet", {1: ("alpha", [1, 2]), 2: ("beta", [1.0, 2.0])}),
+        ("fb.parquet", {1: ("x_id", [3, 4]), 2: ("x_v", [3.0, 4.0])}),
+    ], conf_extra={"delta.enableChangeDataFeed": "true"})
+    fa, fb = str(tmp_path / "fa.parquet"), str(tmp_path / "fb.parquet")
+    v1 = delete_rows_delta_local(tbl, {fa: [0], fb: [1]}, spark=spark)
+    # snapshot hides the deleted rows
+    assert sorted(r["id"] for r in qc.read_delta(tbl).df.collect()) \
+        == [2, 3]
+    # change feed serves the deletes FROM change files, with the
+    # pre-image values of BOTH differently-named files
+    ch = qc.read_delta_changes(tbl, v1, v1).df
+    assert all("_change_data" in f for f in ch.inputFiles())
+    assert sorted((r["_change_type"], r["id"], r["v"])
+                  for r in ch.collect()) == \
+        [("delete", 1, 1.0), ("delete", 4, 4.0)]
+    # the change files stamp the schema's physicalName + field ids
+    with open(os.path.join(tbl, "_delta_log",
+                           f"{v1:020d}.json")) as fh:
+        acts = [_json.loads(ln) for ln in fh if ln.strip()]
+    cdc_acts = [a["cdc"] for a in acts if "cdc" in a]
+    assert cdc_acts and all(not a["dataChange"] for a in cdc_acts)
+    ids = {f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+           for f in pq.read_schema(
+               os.path.join(tbl, cdc_acts[0]["path"]))}
+    assert ids["whatever-1"] == b"1" and ids["whatever-2"] == b"2"
+    assert ids["_change_type"] is None
+    # overlapping re-delete: cdc only for the newly deleted position
+    v2 = delete_rows_delta_local(tbl, {fa: [0, 1]}, spark=spark)
+    ch2 = qc.read_delta_changes(tbl, v2, v2).df
+    assert sorted((r["_change_type"], r["id"], r["v"])
+                  for r in ch2.collect()) == [("delete", 2, 2.0)]
+    assert sorted(r["id"] for r in qc.read_delta(tbl).df.collect()) \
+        == [3]
 
 
 def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
