@@ -9,9 +9,13 @@ reads them (pushdown/pruning as on raw parquet).
 
 Import-gated: ``pyiceberg`` is an optional dependency — absent, the
 caller (QuokkaContext.read_iceberg) keeps its typed jar/local-dir
-error. Tables whose current scan carries row-level DELETE files
-refuse typed (the jar — or a local table directory, which the
-pure-Python reader handles deletes for — covers those).
+error. Row-level DELETE files on the planned scan apply through the
+same distributed anti-joins the local-directory reader uses (round
+11): pyiceberg attaches each task's APPLICABLE delete files
+(its planner already enforces the spec's sequence-number and
+partition rules), so position deletes anti-join on (file, row
+position) and equality deletes on the equality columns, scoped to
+each delete file's applicable data files.
 """
 
 from __future__ import annotations
@@ -97,14 +101,31 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
             tasks = list(tbl.scan(**scan_kwargs).plan_files())
     else:
         tasks = list(tbl.scan(**scan_kwargs).plan_files())
-    with_deletes = [t for t in tasks if getattr(t, "delete_files", None)]
-    if with_deletes:
-        raise NotImplementedError(
-            f"catalog table {table}: the planned scan carries "
-            f"row-level delete files on {len(with_deletes)} task(s) — "
-            "read it with the iceberg runtime jar, or as a local "
-            "table directory (the pure-Python reader applies v2 "
-            "position/equality deletes)")
+    # collect the planned delete files (round 11): pyiceberg attaches
+    # to each task exactly the delete files APPLICABLE to it (its
+    # planner enforces the spec's sequence-number + partition rules),
+    # so this reader only has to apply them row-level. Position
+    # deletes are global (their rows name the data file); equality
+    # deletes are scoped to each delete file's applicable data files
+    # — merging two eq-delete files with different scopes would
+    # delete matching rows from files the spec says they never touch.
+    pos_paths: set = set()
+    eq_apply: dict = {}           # (equality_ids, delete path) → {data files}
+    for t in tasks:
+        for d in (getattr(t, "delete_files", None) or []):
+            content = getattr(d, "content", None)
+            c = int(content) if content is not None else 1
+            if c == 1:            # DataFileContent.POSITION_DELETES
+                pos_paths.add(str(d.file_path))
+            elif c == 2:          # DataFileContent.EQUALITY_DELETES
+                ids = tuple(int(i) for i in
+                            (getattr(d, "equality_ids", None) or ()))
+                eq_apply.setdefault((ids, str(d.file_path)),
+                                    set()).add(str(t.file.file_path))
+            else:
+                raise NotImplementedError(
+                    f"catalog table {table}: delete file "
+                    f"{d.file_path} has unknown content {content!r}")
     files = sorted(t.file.file_path for t in tasks)
     # read under the TABLE schema (mapped from pyiceberg), never
     # footer inference: after schema evolution an inferred schema can
@@ -131,6 +152,60 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     else:
         df = spark.read.schema(rs).parquet(
             *[f.removeprefix("file://") for f in files])
+    if files and (pos_paths or eq_apply):
+        from pyspark.sql import functions as F
+
+        from .iceberg_local import _norm_path, _py_norm
+        df = (df.withColumn("__qs_fp__",
+                            _norm_path(F.col("_metadata.file_path")))
+              .withColumn("__qs_pos__",
+                          F.col("_metadata.row_index")))
+        if pos_paths:
+            # the same (file, row position) anti-join as
+            # iceberg_local's local-directory reader; distinct keeps
+            # re-deleted positions from inflating the build side
+            dd = (spark.read.parquet(
+                *[p.removeprefix("file://")
+                  for p in sorted(pos_paths)])
+                .select(_norm_path(F.col("file_path"))
+                        .alias("__qs_dfp__"),
+                        F.col("pos").cast("long").alias("__qs_dpos__"))
+                .distinct())
+            df = df.join(
+                dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                "left_anti")
+        if eq_apply:
+            id2name = {}
+            for f in tbl.schema().fields:
+                fid = getattr(f, "field_id", None)
+                if fid is not None:
+                    id2name[int(fid)] = f.name
+            # one null-safe anti-join per (equality ids, applicable
+            # data-file set) group — delete files sharing both merge
+            # into one join; the applicability list is bounded by the
+            # planned task count, never row counts
+            groups: dict = {}
+            for (ids, dpath), dfiles in eq_apply.items():
+                groups.setdefault((ids, frozenset(dfiles)),
+                                  set()).add(dpath)
+            for (ids, dfiles), dpaths in sorted(groups.items(),
+                                                key=str):
+                dd = spark.read.parquet(
+                    *[p.removeprefix("file://")
+                      for p in sorted(dpaths)])
+                cols = ([id2name[i] for i in ids]
+                        if ids and all(i in id2name for i in ids)
+                        else list(dd.columns))
+                dd = dd.select(*[F.col(c).alias(f"__qs_eq_{c}__")
+                                 for c in cols]).distinct()
+                cond = F.col("__qs_fp__").isin(
+                    [_py_norm(p) for p in sorted(dfiles)])
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(
+                        F.col(f"__qs_eq_{c}__"))
+                df = df.join(dd, cond, "left_anti")
+        df = df.drop("__qs_fp__", "__qs_pos__")
     if partition_filter:
         df = df.filter(partition_filter)
     if scan_filter:

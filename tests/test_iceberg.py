@@ -492,7 +492,16 @@ def _install_fake_pyiceberg(monkeypatch, tables):
     class Task:
         def __init__(self, path, deletes=()):
             self.file = types.SimpleNamespace(file_path=path)
-            self.delete_files = list(deletes)
+            # mirror pyiceberg: only the delete files APPLICABLE to
+            # this data file ride on its task
+            self.delete_files = [
+                types.SimpleNamespace(
+                    file_path=d["path"],
+                    content=d.get("content", 1),
+                    equality_ids=d.get("equality_ids"))
+                for d in deletes
+                if d.get("applies_to") is None
+                or path in d["applies_to"]]
 
     class Table:
         def __init__(self, spec):
@@ -518,8 +527,10 @@ def _install_fake_pyiceberg(monkeypatch, tables):
 
         def schema(self):
             return types.SimpleNamespace(fields=[
-                types.SimpleNamespace(name=n, field_type=t)
-                for n, t in self.spec.get("schema", [])])
+                types.SimpleNamespace(name=s[0], field_type=s[1],
+                                      field_id=(s[2] if len(s) > 2
+                                                else None))
+                for s in self.spec.get("schema", [])])
 
     built = {k: Table(v) for k, v in tables.items()}
 
@@ -543,22 +554,35 @@ def test_iceberg_catalog_reads_via_pyiceberg(spark, qc, tmp_path,
     file set; Spark's native parquet scan reads it. Snapshot and
     timestamp travel resolve through pyiceberg metadata; an
     unparseable pushdown filter falls back to plan-everything with
-    the exact Spark-side row filter; delete-carrying scans refuse
-    typed; without pyiceberg the jar error stands."""
+    the exact Spark-side row filter; delete-carrying scans apply
+    position/equality deletes through the local reader's anti-joins
+    (round 11); without pyiceberg the jar error stands."""
     import pandas as pd
 
     f1 = str(tmp_path / "c1.parquet")
     f2 = str(tmp_path / "c2.parquet")
     pd.DataFrame({"id": [1, 2], "v": [1.0, 2.0]}).to_parquet(f1)
     pd.DataFrame({"id": [3], "v": [3.0]}).to_parquet(f2)
+    pdel = str(tmp_path / "pd.parquet")
+    pd.DataFrame({"file_path": [f1], "pos": [0]}).to_parquet(pdel)
+    edel = str(tmp_path / "ed.parquet")
+    # id=2 lives in f1 (OUT of the delete's scope) — it must survive
+    pd.DataFrame({"id": [2, 3]}).to_parquet(edel)
     sch = [("id", "long"), ("v", "double")]
+    sch3 = [("id", "long", 1), ("v", "double", 2)]
     tables = _install_fake_pyiceberg(monkeypatch, {
         "db.t": {"files_at": {None: [f1, f2], 7: [f1]},
                  "snapshots": [(7, 1000), (8, 2000)], "schema": sch},
         "db.filt": {"files_at": {None: [f1, f2]},
                     "reject_filter": True, "schema": sch},
-        "db.del": {"files_at": {None: [f1]}, "deletes": ["d.parquet"],
-                   "schema": sch},
+        # pos delete hides (f1, row 0); the eq delete on id=3 is
+        # scoped to f2 ONLY — the spec's applicability rule
+        "db.del": {"files_at": {None: [f1, f2]},
+                   "deletes": [{"path": pdel, "content": 1},
+                               {"path": edel, "content": 2,
+                                "equality_ids": [1],
+                                "applies_to": [f2]}],
+                   "schema": sch3},
         "db.empty": {"files_at": {None: []}, "schema": sch},
         # rolled back to snapshot 7: snapshot 8 stays in
         # metadata.snapshots until expiration but LEAVES the
@@ -597,9 +621,11 @@ def test_iceberg_catalog_reads_via_pyiceberg(spark, qc, tmp_path,
     df = qc.read_iceberg("db.filt", scan_filter="id >= 3").df
     assert [r["id"] for r in df.collect()] == [3]
     assert any("row_filter" in c for c in tables["db.filt"].scan_calls)
-    # delete-carrying scans refuse typed
-    with pytest.raises(NotImplementedError, match="delete"):
-        qc.read_iceberg("db.del")
+    # delete-carrying scans APPLY the deletes (round 11): the pos
+    # delete hides (f1, 0) → id 1; the f2-scoped equality delete
+    # hides id 3
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg("db.del").df.collect()) == [2]
     # an empty plan returns a TYPED empty frame
     e = qc.read_iceberg("db.empty").df
     assert e.count() == 0 and [f.name for f in e.schema.fields] == \
@@ -612,6 +638,46 @@ def test_iceberg_catalog_without_pyiceberg_keeps_typed_error(qc):
     RuntimeError stands and now names the pyiceberg option."""
     with pytest.raises(RuntimeError, match="pyiceberg"):
         qc.read_iceberg("glue.db.sometable")
+
+
+def test_iceberg_catalog_deletes_match_local_reader(spark, qc, table,
+                                                    monkeypatch):
+    """Round 11 parity: a delete-carrying catalog scan reads
+    IDENTICALLY to the local-directory reader over the SAME files —
+    real position-delete and equality-delete parquet produced by the
+    local writer, served through the catalog planner's task shape
+    (each eq delete attached only to data files with strictly lower
+    sequence, which is what pyiceberg's planner enforces)."""
+    from quokka_spark.sources.iceberg_local import (_field_names,
+                                                    add_equality_deletes,
+                                                    add_position_deletes,
+                                                    snapshot_files,
+                                                    snapshot_files_full)
+    tbl, (s1, s2) = table
+    (a_path, *_), _ = snapshot_files(tbl, s1)      # a.parquet: 0..9
+    add_position_deletes(tbl, {a_path: [0, 3]})
+    add_equality_deletes(tbl, {"id": [7, 15]})
+    local = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert local == [i for i in range(25) if i not in (0, 3, 7, 15)]
+    data, pos, eq = snapshot_files_full(tbl, None)
+    # the minimal fixture's metadata carries no schema fields, so
+    # equality ids cannot resolve to names — both readers then fall
+    # back to the delete file's own columns, the same contract
+    fid = {v: k for k, v in _field_names(tbl).items()}
+    sch = ([("id", "long", fid["id"])] if "id" in fid
+           else [("id", "long")])
+    deletes = [{"path": p, "content": 1} for p in pos]
+    for d in eq:
+        deletes.append({"path": d["path"], "content": 2,
+                        "equality_ids": d.get("equality_ids") or [],
+                        "applies_to": [e["path"] for e in data
+                                       if int(e["seq"]) < int(d["seq"])]})
+    _install_fake_pyiceberg(monkeypatch, {
+        "db.par": {"files_at": {None: [e["path"] for e in data]},
+                   "deletes": deletes, "schema": sch}})
+    got = sorted(r["id"] for r in
+                 qc.read_iceberg("db.par").df.collect())
+    assert got == local
 
 
 def test_partition_filter_bucket_transform_prunes(spark, qc, tmp_path):
