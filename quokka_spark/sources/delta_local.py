@@ -140,15 +140,72 @@ def list_versions(table: str) -> list:
     return sorted(set(commits) | set(checkpoints))
 
 
+def _checkpoint_candidates(paths: list) -> list:
+    """Group one version's checkpoint files into independent
+    CANDIDATES (round 11, advisor finding): a classic checkpoint, a
+    complete multipart set, and each v2 uniqueStr are separate,
+    spec-legal checkpoints of the same state — concatenating them
+    would double-absorb actions, and one abandoned/incomplete v2
+    attempt would fail the whole read even though a complete sibling
+    exists. Returns ``[[paths of candidate], ...]`` — classic
+    flavors first, then v2 by uniqueStr; an INCOMPLETE multipart set
+    (missing parts) is dropped here, other validation happens at
+    read time."""
+    classic_single: list = []
+    multi: dict = {}               # num_parts -> [paths]
+    v2: dict = {}                  # uniqueStr -> [paths]
+    for p in paths:
+        f = os.path.basename(p)
+        m = _CHECKPOINT_RE.match(f)
+        if m:
+            if m.group(2) is None:
+                classic_single.append(p)
+            else:
+                multi.setdefault(int(m.group(3)), []).append(p)
+            continue
+        m = _CHECKPOINT_V2_RE.match(f)
+        if m:
+            v2.setdefault(m.group(2), []).append(p)
+    out = [[p] for p in sorted(classic_single)]
+    for n, parts in sorted(multi.items()):
+        if len(parts) == n:        # all declared parts present
+            out.append(sorted(parts))
+    for u in sorted(v2):
+        out.append(sorted(v2[u]))
+    return out
+
+
 def _read_checkpoint(paths: list) -> tuple[dict, dict]:
     """Load a checkpoint's full state: (live add-actions by path,
-    metaData dict). Multi-part checkpoints concatenate; V2
-    checkpoints read their top-level non-file actions and then every
-    ``sidecar`` parquet under _delta_log/_sidecars/ (where the file
-    actions live, per the V2 Checkpoint spec). Driver-side pyarrow
-    read — a checkpoint row is ~100 bytes of metadata per data file,
-    so even a million-file table is ~100 MB here; a distributed scan
-    would be the next step past that."""
+    metaData dict). ``paths`` are every checkpoint file at one
+    version; they group into independent candidates
+    (_checkpoint_candidates) and the FIRST one that reads completely
+    wins — a candidate whose sidecar or part is missing falls back
+    to the next instead of failing the read. Multi-part candidates
+    concatenate their parts; V2 candidates read their top-level
+    non-file actions and then every ``sidecar`` parquet under
+    _delta_log/_sidecars/ (where the file actions live, per the V2
+    Checkpoint spec). Driver-side pyarrow read — a checkpoint row is
+    ~100 bytes of metadata per data file, so even a million-file
+    table is ~100 MB here; a distributed scan would be the next step
+    past that."""
+    cands = _checkpoint_candidates(paths)
+    if not cands:
+        raise FileNotFoundError(
+            f"no complete checkpoint candidate among {paths}")
+    errors = []
+    for cand in cands:
+        try:
+            return _read_checkpoint_candidate(cand)
+        except (FileNotFoundError, OSError, ValueError) as e:
+            errors.append(f"{[os.path.basename(p) for p in cand]}: "
+                          f"{type(e).__name__}: {e}")
+    raise FileNotFoundError(
+        "every checkpoint candidate at this version failed to read: "
+        + "; ".join(errors))
+
+
+def _read_checkpoint_candidate(paths: list) -> tuple[dict, dict]:
     live, meta = {}, {}
 
     def absorb(r):
@@ -356,6 +413,14 @@ def _commit_timestamp(table: str, v: int) -> int:
     return int(os.path.getmtime(p) * 1000)
 
 
+class TimestampAfterLatestError(ValueError):
+    """``timestamp_as_of`` past the table's newest commit — a
+    DEDICATED type so read_delta_changes' documented end-bound clamp
+    catches the case structurally instead of matching error text
+    (a reworded message must never silently turn the clamp into a
+    refusal)."""
+
+
 def version_at_timestamp(table: str, ts) -> int:
     """Delta ``timestampAsOf`` resolution: the LATEST version whose
     commit timestamp is <= ``ts`` (epoch ms, ISO string, or
@@ -384,7 +449,7 @@ def version_at_timestamp(table: str, ts) -> int:
             f"available commit"
             + (f" ({earliest} ms)" if earliest is not None else ""))
     if latest is not None and ts_ms > latest:
-        raise ValueError(
+        raise TimestampAfterLatestError(
             f"timestamp_as_of {ts!r} is after the table's latest "
             f"commit ({latest} ms) — pass that timestamp or read "
             "the table without time travel (matches the jar's "
@@ -1180,34 +1245,58 @@ def _txn_state(table: str, version: int | None = None,
     base = -1
     if usable:
         base = max(usable)
-        # a v2 JSON checkpoint keeps non-file actions (incl. txn)
-        # inline — the format implies completeness; a PARQUET part
-        # lacking the txn column is a foreign checkpoint that never
-        # recorded sink marks
-        if any(not p.endswith(".json")
-               and "txn" not in pq.read_schema(p).names
-               for p in checkpoints[base]):
-            # foreign checkpoint without txn rows: usable only when
-            # the full JSON history below it still exists
-            if set(commits).issuperset(range(base + 1)):
-                base = -1
-            else:
-                raise ValueError(
-                    f"checkpoint {base} of {table} carries no txn "
-                    "column but covers cleaned commits — the sink "
-                    "high-water mark is unknowable (idempotent sinks "
-                    "on this table may double-commit; "
-                    "write_checkpoint_local resets the marks to "
-                    "empty)")
+        # candidate-aware like _read_checkpoint (round 11): the first
+        # same-version candidate that resolves wins; a broken or
+        # txn-less sibling falls back instead of failing or
+        # mis-demoting the whole lookup
+        chosen = None                 # txn dict, or "demote" → base -1
+        errors: list = []
+        for cand in (_checkpoint_candidates(checkpoints[base])
+                     or [checkpoints[base]]):
+            try:
+                # a v2 JSON checkpoint keeps non-file actions (incl.
+                # txn) inline — the format implies completeness; a
+                # PARQUET part lacking the txn column is a foreign
+                # checkpoint that never recorded sink marks
+                if any(not p.endswith(".json")
+                       and "txn" not in pq.read_schema(p).names
+                       for p in cand):
+                    # foreign checkpoint without txn rows: usable
+                    # only when the full JSON history below it still
+                    # exists
+                    if set(commits).issuperset(range(base + 1)):
+                        chosen = "demote"
+                    else:
+                        raise ValueError(
+                            f"checkpoint {base} of {table} carries "
+                            "no txn column but covers cleaned "
+                            "commits — the sink high-water mark is "
+                            "unknowable (idempotent sinks on this "
+                            "table may double-commit; "
+                            "write_checkpoint_local resets the "
+                            "marks to empty)")
+                else:
+                    t: dict = {}
+                    for p in cand:
+                        # column-pruned read: txn rows are a handful
+                        # among potentially a million add rows
+                        for r in _checkpoint_action_rows(
+                                p, columns=["txn"]):
+                            x = r.get("txn")
+                            if x and x.get("appId") is not None:
+                                t[x["appId"]] = max(
+                                    t.get(x["appId"], -1),
+                                    int(x["version"]))
+                    chosen = t
+                break
+            except (OSError, ValueError) as e:
+                errors.append(e)
+        if chosen is None:
+            raise errors[-1]
+        if chosen == "demote":
+            base = -1
         else:
-            for p in checkpoints[base]:
-                # column-pruned read: txn rows are a handful among
-                # potentially a million add rows
-                for r in _checkpoint_action_rows(p, columns=["txn"]):
-                    x = r.get("txn")
-                    if x and x.get("appId") is not None:
-                        txns[x["appId"]] = max(
-                            txns.get(x["appId"], -1), int(x["version"]))
+            txns = chosen
     tail = [v for v in commits if base < v <= version]
     if tail != list(range(base + 1, version + 1)):
         raise FileNotFoundError(
@@ -1243,11 +1332,29 @@ def _protocol_state(table: str, version: int | None = None,
     base = -1
     if usable:
         base = max(usable)
-        for p in checkpoints[base]:
-            for r in _checkpoint_action_rows(p, columns=["protocol"]):
-                x = r.get("protocol")
-                if x and x.get("minReaderVersion") is not None:
-                    proto = {k: v for k, v in x.items() if v is not None}
+        # candidate-aware like _read_checkpoint (round 11): protocol
+        # rows live in each candidate's top-level file(s); the first
+        # candidate that reads wins, a broken sibling falls back
+        errors: list = []
+        for cand in (_checkpoint_candidates(checkpoints[base])
+                     or [checkpoints[base]]):
+            try:
+                got = None
+                for p in cand:
+                    for r in _checkpoint_action_rows(
+                            p, columns=["protocol"]):
+                        x = r.get("protocol")
+                        if x and x.get("minReaderVersion") is not None:
+                            got = {k: v for k, v in x.items()
+                                   if v is not None}
+                errors = []
+                if got:
+                    proto = got
+                break
+            except (OSError, ValueError) as e:
+                errors.append(e)
+        if errors:
+            raise errors[-1]
     for v in commits:
         if not (base < v <= version):
             continue
@@ -2670,9 +2777,7 @@ def read_delta_changes(spark, table: str,
         # still refuses via version_at_timestamp.
         try:
             to_version = version_at_timestamp(table, to_timestamp)
-        except ValueError as e:
-            if "after the table's latest" not in str(e):
-                raise
+        except TimestampAfterLatestError:
             to_version = None              # → versions[-1] below
     versions = list_versions(table)
     if to_version is None:

@@ -493,17 +493,24 @@ def restore_hudi_local(table: str, instant: str) -> list:
                 "is shared with the target state but is a plain Avro "
                 "container — only HoodieLogFormat-framed logs can "
                 "take the rollback command block a restore appends")
-    for ts, path, dels in plans:
-        for ap in dels:
-            if os.path.exists(ap):
-                os.unlink(ap)
-        os.unlink(path)
+    # rollback blocks FIRST, deletions after (round 11, advisor
+    # finding): a crash between the two phases then leaves the
+    # rolled-back instants' shared-log blocks VOIDED (harmless — the
+    # retried restore re-appends idempotent rollback blocks and
+    # finishes the deletes) instead of live blocks whose timeline
+    # instants are already gone, which a snapshot read would serve
+    # as resurrected rows
     if shared:
         from .hudi_logfmt import rollback_block
         for ap, tss in shared.items():
             with open(ap, "ab") as fh:
                 for ts in tss:
                     fh.write(rollback_block(ts))
+    for ts, path, dels in plans:
+        for ap in dels:
+            if os.path.exists(ap):
+                os.unlink(ap)
+        os.unlink(path)
     return [ts for ts, _p, _d in plans]
 
 

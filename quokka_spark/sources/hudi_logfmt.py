@@ -248,8 +248,20 @@ def _arrow_to_avro_schema(aschema, name: str) -> dict:
             at = "boolean"
         elif pa.types.is_signed_integer(t) and t.bit_width <= 32:
             at = "int"
-        elif pa.types.is_integer(t):
+        elif pa.types.is_signed_integer(t):
             at = "long"
+        elif pa.types.is_unsigned_integer(t) and t.bit_width <= 32:
+            # uint8/16/32 fit int64 exactly — widen, never truncate
+            at = "long"
+        elif pa.types.is_unsigned_integer(t):
+            # Avro has no unsigned 64-bit type: values above 2^63-1
+            # would wrap negative in "long" — refuse like every
+            # other unmappable type (advisor finding, round 11)
+            raise NotImplementedError(
+                f"{name}: parquet_data column {f.name!r} is "
+                f"unsigned 64-bit ({t}) — Avro long cannot hold "
+                "values above 2^63-1; cast the column to a signed "
+                "or decimal type upstream")
         elif pa.types.is_float32(t):
             at = "float"
         elif pa.types.is_floating(t):

@@ -81,13 +81,24 @@ def _read_table_metadata(table_path: str) -> dict:
     with open(cand[0]) as f:
         meta = json.load(f)
     fv = int(meta.get("format-version") or 1)
-    if fv > 2:
-        # v3 adds deletion vectors (puffin), row lineage and default
-        # values — reading with v2 rules would silently serve deleted
-        # rows and miss defaults
+    if fv > 3:
         raise NotImplementedError(
             f"{table_path}: Iceberg format-version {fv} — this "
-            "reader implements versions 1 and 2")
+            "reader implements versions 1-3")
+    if fv == 3:
+        # v3 DELETION VECTORS (puffin) read end-to-end (round 11);
+        # the v3 features that would change plain column reads still
+        # refuse typed: column DEFAULT VALUES (null-filling a
+        # defaulted column serves wrong data). Row lineage needs no
+        # gate for data reads — it defines the _row_id metadata
+        # columns, which this reader never serves.
+        for sch in (meta.get("schemas") or []):
+            for f in sch.get("fields", []):
+                if "initial-default" in f or "write-default" in f:
+                    raise NotImplementedError(
+                        f"{table_path}: column {f.get('name')!r} "
+                        "declares a v3 default value — this reader "
+                        "would null-fill it; read with the jar")
     return meta
 
 
@@ -109,7 +120,8 @@ def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict:
 
 
 def snapshot_files_full(table_path: str,
-                        snapshot_id: int | None = None):
+                        snapshot_id: int | None = None,
+                        with_dvs: bool = False):
     """Full file inventory of a snapshot (default: current):
     ``(data_entries, position_delete_paths, equality_delete_entries)``
     where data entries are ``{"path", "seq"}`` and equality entries
@@ -121,12 +133,21 @@ def snapshot_files_full(table_path: str,
     EXISTING(0) or ADDED(1) and dropping DELETED(2). Delete manifests
     (v2 ``content=1``) contribute POSITION delete files (entry
     content=1: rows of (file_path, pos)) and EQUALITY delete files
-    (entry content=2: rows of the ``equality_ids`` columns)."""
+    (entry content=2: rows of the ``equality_ids`` columns).
+
+    ``with_dvs=True`` (round 11) returns a 4-tuple whose last element
+    is the v3 DELETION VECTORS — content=1 entries in PUFFIN format
+    carrying ``referenced_data_file``/``content_offset``/
+    ``content_size_in_bytes`` per spec — as dicts of those fields.
+    The default 3-tuple form REFUSES a DV-carrying snapshot instead
+    of silently dropping the vectors (every legacy caller would
+    resurrect the deleted rows)."""
     meta = _read_table_metadata(table_path)
     snap = _pick_snapshot(meta, snapshot_id)
     data: list[dict] = []
     pos_deletes: list[str] = []
     eq_deletes: list[dict] = []
+    dvs: list[dict] = []
     if "manifest-list" in snap:
         _, manifests = read_container(_local(snap["manifest-list"]))
     else:  # v1 inline manifest list
@@ -155,6 +176,26 @@ def snapshot_files_full(table_path: str,
             df = e["data_file"]
             content = df.get("content", 0)
             fmt = str(df.get("file_format", "PARQUET")).upper()
+            if fmt == "PUFFIN":
+                # v3 deletion vector: a content=1 delete entry whose
+                # file is a puffin blob container, located by the
+                # spec-required DV manifest fields
+                if not (is_delete_manifest and content == 1
+                        and df.get("referenced_data_file")
+                        and df.get("content_offset") is not None
+                        and df.get("content_size_in_bytes") is not None):
+                    raise ValueError(
+                        f"malformed table: PUFFIN file "
+                        f"{df.get('file_path')} outside a deletion-"
+                        "vector delete entry (or missing the DV "
+                        "manifest fields)")
+                dvs.append({
+                    "path": df["file_path"],
+                    "referenced_data_file": df["referenced_data_file"],
+                    "content_offset": int(df["content_offset"]),
+                    "content_size_in_bytes":
+                        int(df["content_size_in_bytes"])})
+                continue
             if fmt != "PARQUET":
                 raise NotImplementedError(
                     f"file format {fmt}: only PARQUET is supported")
@@ -187,6 +228,14 @@ def snapshot_files_full(table_path: str,
                                  _bounds_map(df.get("lower_bounds")),
                              "upper_bounds":
                                  _bounds_map(df.get("upper_bounds"))})
+    if with_dvs:
+        return data, pos_deletes, eq_deletes, dvs
+    if dvs:
+        raise NotImplementedError(
+            f"{table_path}: snapshot carries v3 deletion vectors — "
+            "this caller predates DV support (dropping them would "
+            "resurrect deleted rows); read via read_iceberg_local, "
+            "or pass with_dvs=True and apply them")
     return data, pos_deletes, eq_deletes
 
 
@@ -780,8 +829,8 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
     ``scan_filter`` skips files whose manifest column bounds refute it
     and then applies row-level."""
     from pyspark.sql import functions as F
-    entries, deletes, eq_deletes = snapshot_files_full(
-        table_path, snapshot_id)
+    entries, deletes, eq_deletes, dvs = snapshot_files_full(
+        table_path, snapshot_id, with_dvs=True)
     meta = _read_table_metadata(table_path)
     spec_names = []
     if partition_filter:
@@ -827,6 +876,52 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
               .select(_norm_path(F.col("file_path")).alias("__qs_dfp__"),
                       F.col("pos").cast("long").alias("__qs_dpos__"))
               .distinct())
+        df = df.join(dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                     & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                     "left_anti")
+    if dvs:
+        # v3 deletion vectors (round 11): the driver handles only the
+        # per-file DV descriptors (KBs); the puffin blob decode —
+        # O(deleted rows) — runs executor-side in a mapInPandas
+        # kernel, then the same (file, position) anti-join as
+        # position deletes. Spec: at most ONE DV per data file per
+        # snapshot — duplicates mean a corrupt table, refuse rather
+        # than guess (union could mask a writer that forgot to merge).
+        seen: dict = {}
+        for d in dvs:
+            ref = _py_norm(_local(d["referenced_data_file"]))
+            if ref in seen:
+                raise ValueError(
+                    f"{table_path}: data file {ref} is referenced by "
+                    "two deletion vectors in one snapshot — the spec "
+                    "allows at most one; table is corrupt")
+            seen[ref] = d
+        rows = [(ref, os.path.abspath(_local(d["path"])),
+                 d["content_offset"], d["content_size_in_bytes"])
+                for ref, d in sorted(seen.items())]
+        dd = spark.createDataFrame(
+            rows, "__qs_dfp__ string, __qs_pf__ string, "
+                  "__qs_off__ long, __qs_sz__ long")
+        par = min(len(rows), spark.sparkContext.defaultParallelism)
+        if par > 1:
+            dd = dd.repartition(par)
+
+        def _decode_dvs(batches):
+            import pandas as pd
+
+            from quokka_spark.sources.puffin import read_puffin_dv_blob
+            for pdf in batches:
+                for ref, pf, off, sz in zip(
+                        pdf["__qs_dfp__"], pdf["__qs_pf__"],
+                        pdf["__qs_off__"], pdf["__qs_sz__"]):
+                    idx = read_puffin_dv_blob(pf, int(off), int(sz))
+                    yield pd.DataFrame(
+                        {"__qs_dfp__": pd.Series([ref] * len(idx),
+                                                 dtype="object"),
+                         "__qs_dpos__": pd.array(idx, dtype="int64")})
+
+        dd = dd.mapInPandas(_decode_dvs,
+                            "__qs_dfp__ string, __qs_dpos__ long")
         df = df.join(dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                      & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                      "left_anti")
@@ -1024,6 +1119,14 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}],
                  "field-id": 135},
+                # v3 deletion-vector locator fields (spec: required
+                # on DV entries, null elsewhere)
+                {"name": "referenced_data_file",
+                 "type": ["null", "string"], "field-id": 143},
+                {"name": "content_offset",
+                 "type": ["null", "long"], "field-id": 144},
+                {"name": "content_size_in_bytes",
+                 "type": ["null", "long"], "field-id": 145},
             ]}},
     ]}
 
@@ -1142,13 +1245,16 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
     """Write a spec-shaped Iceberg v2 table whose snapshot N contains
     ``snapshots[N]`` — either a plain list of parquet data-file paths,
     or a dict ``{"data": [...], "deletes": [...], "eq_deletes":
-    [...]}`` where ``deletes`` are position-delete parquet files
-    (columns file_path, pos) and ``eq_deletes`` are ``{"path": ...,
-    "equality_ids": [...], "seq": N}`` equality-delete parquet files
-    (``seq`` defaults to the snapshot that introduces them; existing
-    files keep their original seq when carried forward by
-    commit_snapshot). Files are referenced in place, not copied — KB
-    of metadata around existing data.
+    [...], "dvs": [...]}`` where ``deletes`` are position-delete
+    parquet files (columns file_path, pos), ``eq_deletes`` are
+    ``{"path": ..., "equality_ids": [...], "seq": N}``
+    equality-delete parquet files (``seq`` defaults to the snapshot
+    that introduces them; existing files keep their original seq when
+    carried forward by commit_snapshot), and ``dvs`` (round 11) are
+    v3 deletion-vector dicts ``{"path", "referenced_data_file",
+    "content_offset", "content_size_in_bytes"}`` — any dvs stamp the
+    table format-version 3. Files are referenced in place, not
+    copied — KB of metadata around existing data.
     ``schema_fields``: optional ``[(field_id, name)]`` or
     ``[(field_id, name, iceberg_type)]`` embedded as the table schema
     so equality_ids and partition types resolve.
@@ -1208,7 +1314,8 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
         if isinstance(spec, dict):
             files, dels = spec.get("data", []), spec.get("deletes", [])
             eq_dels = spec.get("eq_deletes", [])
-            operation = spec.get("operation") or "append" 
+            dv_items = spec.get("dvs", [])
+            operation = spec.get("operation") or "append"
             # explicit id: commit_snapshot preserves ORIGINAL snapshot
             # ids/sequence numbers across rebuilds — after
             # expire_snapshots_local, positional renumbering would
@@ -1216,7 +1323,7 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             # seq and wrongly delete their rows
             sid = int(spec.get("snapshot_id") or max(i, last_sid + 1))
         else:
-            files, dels, eq_dels = spec, [], []
+            files, dels, eq_dels, dv_items = spec, [], [], []
             sid = max(i, last_sid + 1)
         if sid <= last_sid:
             raise ValueError(
@@ -1272,14 +1379,26 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                        "manifest_length": os.path.getsize(manifest),
                        "partition_spec_id": snap_spec, "content": 0,
                        "added_snapshot_id": sid}]
-        if dels or eq_dels:
+        if dels or eq_dels or dv_items:
             dmanifest = os.path.join(meta_dir,
                                      f"manifest-{sid}-deletes.avro")
+
+            def dv_entry(d):
+                e = entry(d["path"], 1, seq=d.get("seq"))
+                e["data_file"].update({
+                    "file_format": "PUFFIN",
+                    "referenced_data_file": d["referenced_data_file"],
+                    "content_offset": int(d["content_offset"]),
+                    "content_size_in_bytes":
+                        int(d["content_size_in_bytes"])})
+                return e
+
             write_container(
                 dmanifest, entry_schema,
                 [entry(p, 1) for p in dels]
                 + [entry(d["path"], 2, d.get("equality_ids"),
-                         d.get("seq")) for d in eq_dels])
+                         d.get("seq")) for d in eq_dels]
+                + [dv_entry(d) for d in dv_items])
             mlist_rows.append({"manifest_path": dmanifest,
                                "manifest_length": os.path.getsize(dmanifest),
                                "partition_spec_id": snap_spec, "content": 1,
@@ -1318,12 +1437,23 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                     "fields": _meta_spec_fields(s["fields"])}
                    for s in specs_in]
                   or [{"spec-id": 0, "fields": []}])
-    meta = {"format-version": 2, "table-uuid": "0" * 32,
+    # deletion vectors are a format-version 3 feature — a v2-stamped
+    # table carrying them would make spec-compliant v2 readers accept
+    # the table and silently resurrect the deleted rows
+    fv = 3 if any(isinstance(s, dict) and s.get("dvs")
+                  for s in snapshots) else 2
+    meta = {"format-version": fv, "table-uuid": "0" * 32,
             "location": table_dir, "last-sequence-number": n,
             "current-snapshot-id": n, "snapshots": snap_entries,
             "schemas": schemas, "current-schema-id": 0,
             "default-spec-id": default_sid,
-            "partition-specs": meta_specs}
+            "partition-specs": meta_specs,
+            # spec-required allocation high-water mark: later writers
+            # (incl. real Iceberg) must never reuse a retired id
+            "last-column-id": max(
+                [int(f["id"]) for s in schemas
+                 for f in s.get("fields", []) if "id" in f],
+                default=0)}
     # shared publish: next non-colliding v<N>.metadata.json +
     # version-hint (readers follow the hint, so N is opaque)
     _publish_metadata(meta_dir, meta)
@@ -1354,19 +1484,24 @@ _SPARK_TO_ICEBERG = {
 }
 
 
-def _evolved_schema_fields(schema_fields, df):
+def _evolved_schema_fields(schema_fields, df, floor_id: int = 0):
     """schema_fields triples extended with ``df``'s NEW columns
     (fresh field ids) — the write-side half of schema evolution.
     Best-effort by design: unmappable Spark types and name collisions
     with a different declared type are skipped, never raised — the
     read side only applies the table schema when it matches the
     files' physical types (_table_read_schema), so a skipped
-    evolution degrades to inference, not to wrong answers."""
+    evolution degrades to inference, not to wrong answers.
+    ``floor_id``: lowest id NOT to allocate below (the table's
+    last-column-id) — without it, a column dropped by a foreign
+    writer would get its retired id reused and old files' dead
+    values served as the new column."""
     if df is None:
         return schema_fields
     out = list(schema_fields or [])
     existing = {t[1] for t in out}
-    next_fid = max([int(t[0]) for t in out], default=0) + 1
+    next_fid = max([int(t[0]) for t in out] + [int(floor_id)],
+                   default=0) + 1
     for f in df.schema.fields:
         if f.name in existing:
             continue
@@ -1395,8 +1530,16 @@ def _evolve_meta_schema(meta: dict, df) -> None:
                schemas[0])
     fields = list(cur.get("fields", []))
     existing = {f.get("name") for f in fields}
-    next_fid = max([int(f["id"]) for f in fields if "id" in f],
-                   default=0) + 1
+    # fresh ids start past last-column-id AND every id across ALL
+    # listed schemas, not just the current one: on a foreign table
+    # where a column was dropped (or another schema holds higher
+    # ids), reusing a retired field id would silently serve old
+    # files' dead-column values as the new column — and a stale
+    # last-column-id would let a later real-Iceberg writer allocate
+    # the same id for a different column
+    all_ids = [int(f["id"]) for s in schemas
+               for f in s.get("fields", []) if "id" in f]
+    next_fid = max([int(meta.get("last-column-id") or 0)] + all_ids) + 1
     added = []
     for f in df.schema.fields:
         if f.name in existing:
@@ -1414,6 +1557,7 @@ def _evolve_meta_schema(meta: dict, df) -> None:
         {"schema-id": new_sid, "type": "struct",
          "fields": fields + added}]
     meta["current-schema-id"] = new_sid
+    meta["last-column-id"] = added[-1]["id"]
 
 
 def _publish_metadata(meta_dir: str, meta: dict) -> int:
@@ -1596,7 +1740,8 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                     add_eq_delete_files: list | None = None,
                     replace: bool = False,
                     evolve_from_df=None,
-                    summary_extra: dict | None = None) -> int:
+                    summary_extra: dict | None = None,
+                    add_dv_files: list | None = None) -> int:
     """General single-writer commit: a new snapshot = current live
     files + ``add_files``, current position-delete files +
     ``add_delete_files``, current equality-delete files +
@@ -1608,12 +1753,23 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
     ``evolve_from_df``: a Spark DataFrame whose new columns extend
     the table schema (write-side schema evolution; see
     _evolved_schema_fields for the best-effort contract).
-    Metadata-only; returns the new snapshot id."""
+    ``add_dv_files`` (round 11, format v3): deletion-vector dicts
+    ``{"path", "referenced_data_file", "content_offset",
+    "content_size_in_bytes"}``; per the spec's replacement rule a new
+    DV SUPERSEDES the referenced file's previous DV (callers merge —
+    add_deletion_vectors does), and committing any DV stamps the
+    table format-version 3. Metadata-only; returns the new snapshot
+    id."""
     prior: list[dict] = []
     schema_fields = None
     partition_spec = None
     if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
         meta = _read_table_metadata(table_dir)
+        if add_dv_files and len(meta.get("partition-specs") or []) > 1:
+            raise NotImplementedError(
+                "deletion-vector commits on a table with evolved "
+                "partition specs — the multispec extend path does "
+                "not write DV entries yet")
         if len(meta.get("partition-specs") or []) > 1:
             # EVOLVED partition specs (round 10): never rebuild —
             # re-encoding older-spec manifests under the default
@@ -1640,7 +1796,8 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
         # one metadata JSON (real Iceberg's append) — the O(history)
         # rebuild below is only for shapes that must re-encode
         if (add_files and not add_delete_files
-                and not add_eq_delete_files and not replace
+                and not add_eq_delete_files and not add_dv_files
+                and not replace
                 and meta.get("snapshots")
                 # v1 inline-manifest snapshots lack a manifest-list
                 # file to extend — those rebuild
@@ -1667,14 +1824,15 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                      types.get(int(f.get("source-id", -1)), "string"))}
                 for f in spec]
         for s in meta.get("snapshots", []):
-            d, dels, eqs = snapshot_files_full(table_dir,
-                                               s.get("snapshot-id"))
+            d, dels, eqs, dvs_ = snapshot_files_full(
+                table_dir, s.get("snapshot-id"), with_dvs=True)
             # keep the ORIGINAL snapshot id — positional renumbering
             # after expire_snapshots_local would assign new data files
             # a sequence BELOW carried equality deletes and silently
             # delete their rows (and break time travel to kept ids)
             summ = dict(s.get("summary") or {})
             prior.append({"data": d, "deletes": dels, "eq_deletes": eqs,
+                          "dvs": dvs_,
                           "snapshot_id": s.get("snapshot-id"),
                           "operation": summ.pop("operation", None),
                           # summary extras (e.g. merge-keys) and the
@@ -1695,14 +1853,24 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                     "eq_deletes": [], "snapshot_id": new_id,
                     "operation": "replace"}
     else:
+        # a new DV supersedes the referenced file's previous DV
+        # (spec replacement rule — carrying both would double-apply
+        # one and violate the one-DV-per-file invariant)
+        new_refs = {_py_norm(_local(d["referenced_data_file"]))
+                    for d in (add_dv_files or [])}
+        kept_dvs = [d for d in current.get("dvs", [])
+                    if _py_norm(_local(d["referenced_data_file"]))
+                    not in new_refs]
         new_snap = {
             "data": current["data"] + list(add_files or []),
             "deletes": current["deletes"] + list(add_delete_files or []),
             "eq_deletes": (current["eq_deletes"]
                            + list(add_eq_delete_files or [])),
+            "dvs": kept_dvs + list(add_dv_files or []),
             "snapshot_id": new_id,
             "operation": ("overwrite"
-                          if (add_delete_files or add_eq_delete_files)
+                          if (add_delete_files or add_eq_delete_files
+                              or add_dv_files)
                           else "append")}
     if summary_extra:
         new_snap["summary_extra"] = dict(summary_extra)
@@ -1711,7 +1879,14 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
         int(time.time() * 1000),
         max([int(p.get("timestamp_ms") or 0) for p in prior],
             default=0))
-    schema_fields = _evolved_schema_fields(schema_fields, evolve_from_df)
+    floor = 0
+    if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
+        floor = max(
+            [int(meta.get("last-column-id") or 0)]
+            + [int(f["id"]) for s in (meta.get("schemas") or [])
+               for f in s.get("fields", []) if "id" in f])
+    schema_fields = _evolved_schema_fields(schema_fields,
+                                           evolve_from_df, floor)
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
                                      partition_spec=partition_spec)
@@ -1894,12 +2069,15 @@ def expire_snapshots_local(table_dir: str, keep_last: int = 1,
     referenced: set = set()
     if delete_orphans:
         for s in kept:
-            d, dels, eqs = snapshot_files_full(table_dir,
-                                               s.get("snapshot-id"))
+            d, dels, eqs, dvs_ = snapshot_files_full(
+                table_dir, s.get("snapshot-id"), with_dvs=True)
             referenced |= {os.path.abspath(_local(e["path"])) for e in d}
             referenced |= {os.path.abspath(_local(p)) for p in dels}
             referenced |= {os.path.abspath(_local(e["path"]))
                            for e in eqs}
+            # puffin DV containers the kept snapshots still need
+            referenced |= {os.path.abspath(_local(e["path"]))
+                           for e in dvs_}
     # the streaming sinks' exactly-once marks (qs-txn:<app> summary
     # keys) must SURVIVE retention: fold each app's latest mark from
     # the whole history into the newest kept snapshot, else a crash
@@ -1991,6 +2169,58 @@ def add_equality_deletes(table_dir: str, rows: "pa.Table | dict",
     return commit_snapshot(table_dir, add_eq_delete_files=[
         {"path": dpath,
          "equality_ids": [int(x) for x in (equality_ids or [])]}])
+
+
+def add_deletion_vectors(table_dir: str,
+                         deletes: "dict[str, list[int]]") -> int:
+    """Commit v3 DELETION VECTORS for the given rows (round 11):
+    ``deletes`` maps a data-file path to 0-based row positions. One
+    puffin file holds a ``deletion-vector-v1`` blob per touched data
+    file; each blob's positions are the UNION of the file's existing
+    DV (per the spec's replacement rule a new DV supersedes the old
+    one — forgetting the merge would resurrect earlier deletions —
+    the same contract as delta_local.delete_rows_delta_local). The
+    commit stamps the table format-version 3; existing v2
+    position/equality deletes keep applying. Returns the new
+    snapshot id. Same driver-side single-writer caveat as
+    add_position_deletes; the blob decode on READS runs
+    executor-side."""
+    import uuid as _uuid
+
+    from .puffin import read_puffin_dv_blob, write_puffin_dv
+    tdir = _local(table_dir)
+    meta = _read_table_metadata(table_dir)
+    data, _pos, _eqs, dvs = snapshot_files_full(table_dir, None,
+                                                with_dvs=True)
+    live = {_py_norm(_local(d["path"])): d["path"] for d in data}
+    by_ref = {_py_norm(_local(d["referenced_data_file"])): d
+              for d in dvs}
+    dv_map: dict = {}
+    for p, positions in deletes.items():
+        ref = _py_norm(_local(p))
+        if ref not in live:
+            raise ValueError(f"{p}: not a live data file of "
+                             f"{table_dir}")
+        merged = set(int(x) for x in positions)
+        if any(x < 0 for x in merged):
+            raise ValueError(f"{p}: negative row position")
+        old = by_ref.get(ref)
+        if old is not None:
+            merged |= set(read_puffin_dv_blob(
+                os.path.abspath(_local(old["path"])),
+                old["content_offset"], old["content_size_in_bytes"]))
+        # key by the path string the MANIFESTS use, so the reader's
+        # referenced-file normalization matches the data entries
+        dv_map[live[ref]] = sorted(merged)
+    n = len(meta.get("snapshots", [])) + 1
+    ppath = os.path.join(tdir, "metadata",
+                         f"dv-{n}-{_uuid.uuid4().hex[:8]}.puffin")
+    info = write_puffin_dv(ppath, dv_map)
+    return commit_snapshot(table_dir, add_dv_files=[
+        {"path": ppath, "referenced_data_file": p,
+         "content_offset": info[p]["content_offset"],
+         "content_size_in_bytes": info[p]["content_size_in_bytes"]}
+        for p in sorted(dv_map)])
 
 
 # ----------------------------------------------------------------------

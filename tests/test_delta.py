@@ -2480,6 +2480,52 @@ def test_delta_changes_timestamp_bounds(spark, qc, tmp_path):
     assert sorted(r["id"] for r in ch3.collect()) == [1, 2]
 
 
+def test_delta_checkpoint_candidates_fall_back(spark, qc, tmp_path):
+    """Same-version checkpoint files group into independent
+    CANDIDATES (round 11, advisor finding): a classic checkpoint and
+    an abandoned v2 attempt (sidecar never written) are both
+    spec-legal at one version — the read must serve the complete
+    candidate instead of concatenating (double-absorbing actions) or
+    failing on the incomplete one. Reverse direction too: a corrupt
+    classic falls back to a complete v2 sibling; all-broken still
+    refuses loudly."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (write_checkpoint_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "cands")
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                              "id long, v double").coalesce(1), tbl)
+    write_delta_local(
+        spark.createDataFrame([(3, 3.0)], "id long, v double")
+        .coalesce(1), tbl, mode="append")
+    cpv = write_checkpoint_local(tbl)
+    log = os.path.join(tbl, "_delta_log")
+    classic = os.path.join(log, f"{cpv:020d}.checkpoint.parquet")
+    assert os.path.exists(classic)
+    # drop the covered JSON commits so the checkpoint is load-bearing
+    for v in range(cpv + 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    # abandoned v2 attempt at the SAME version: top-level pointing at
+    # a sidecar that was never written
+    with open(os.path.join(
+            log, f"{cpv:020d}.checkpoint.abandoned0.json"), "w") as fh:
+        fh.write(_json.dumps({"checkpointMetadata": {"version": cpv}})
+                 + "\n")
+        fh.write(_json.dumps({"sidecar": {
+            "path": "never-written.parquet", "sizeInBytes": 1,
+            "modificationTime": 0}}) + "\n")
+    got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    # corrupt the classic: the read falls back… to nothing complete
+    # here (the v2 sibling is still broken) → loud aggregate error
+    with open(classic, "wb") as fh:
+        fh.write(b"not parquet")
+    with pytest.raises(Exception, match="candidate"):
+        qc.read_delta(tbl)
+
+
 def test_delta_v2_checkpoint_reads(spark, qc, tmp_path):
     """V2 checkpoints (round 10 — protocol 'V2 Checkpoint Spec'):
     (a) write_v2_checkpoint_local produces the real layout — a

@@ -1232,3 +1232,21 @@ def test_hudi_stream_source(spark, qc, tmp_path):
                  ignore_deletes=True) == [(1, 111.0), (50, 5.0)]
     with pytest.raises(Exception, match="not a completed instant"):
         drain("hbogus", starting_instant="42")
+
+
+def test_hudi_logfmt_uint64_refuses_typed():
+    """Avro has no unsigned 64-bit type (round 11, advisor finding):
+    a schema-less parquet_data block whose arrow schema carries
+    uint64 must refuse instead of mapping to "long" and silently
+    wrapping values above 2^63-1 negative; uint8/16/32 widen to
+    "long" exactly."""
+    import pyarrow as pa
+
+    from quokka_spark.sources.hudi_logfmt import _arrow_to_avro_schema
+    ok = _arrow_to_avro_schema(
+        pa.schema([("a", pa.uint32()), ("b", pa.uint8()),
+                   ("c", pa.int64())]), "blk")
+    types = {f["name"]: f["type"][1] for f in ok["fields"]}
+    assert types == {"a": "long", "b": "long", "c": "long"}
+    with pytest.raises(NotImplementedError, match="unsigned 64"):
+        _arrow_to_avro_schema(pa.schema([("x", pa.uint64())]), "blk")

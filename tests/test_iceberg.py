@@ -64,6 +64,139 @@ def test_malformed_delete_manifest_raises(table):
         snapshot_data_files(tbl)
 
 
+def test_iceberg_v3_deletion_vectors(qc, spark, table, tmp_path):
+    """Format-v3 DELETION VECTORS (round 11): add_deletion_vectors
+    writes a puffin `deletion-vector-v1` blob per touched file
+    (portable 64-bit roaring, CRC-validated) and commits DV manifest
+    entries (PUFFIN + referenced_data_file/content_offset/
+    content_size_in_bytes); the read applies them via the same
+    (file, position) anti-join as v2 position deletes, decoding
+    executor-side. A second DV on the same file MERGES (the spec's
+    supersede rule — at most one DV per file per snapshot); time
+    travel to the pre-DV snapshot still sees the rows; appends carry
+    DVs forward; legacy 3-tuple inventory callers refuse typed
+    instead of resurrecting rows."""
+    from quokka_spark.sources.iceberg_local import (
+        _read_table_metadata, add_deletion_vectors, append_snapshot,
+        snapshot_files, snapshot_files_full)
+    tbl, (s1, s2) = table
+    (a_path,), _ = snapshot_files(tbl, s1)          # a.parquet: 0..9
+    add_deletion_vectors(tbl, {a_path: [0, 3, 7]})
+    assert int(_read_table_metadata(tbl)["format-version"]) == 3
+    got = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got == [1, 2, 4, 5, 6, 8, 9] + list(range(10, 25))
+    # pre-DV snapshot untouched
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl, snapshot=s2)
+                  .df.collect()) == list(range(25))
+    # second DV on the same file merges; exactly ONE DV per file
+    add_deletion_vectors(tbl, {a_path: [1]})
+    got2 = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got2 == [2, 4, 5, 6, 8, 9] + list(range(10, 25))
+    _, _, _, dvs = snapshot_files_full(tbl, None, with_dvs=True)
+    assert len(dvs) == 1
+    # appends on the DV table carry the vectors forward
+    c = str(tmp_path / "c.parquet")
+    spark.range(100, 103).coalesce(1).toPandas().to_parquet(c)
+    append_snapshot(tbl, [c])
+    got3 = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
+    assert got3 == [2, 4, 5, 6, 8, 9] + list(range(10, 25)) \
+        + [100, 101, 102]
+    # legacy 3-tuple form refuses rather than dropping the DVs
+    with pytest.raises(NotImplementedError, match="deletion vector"):
+        snapshot_files_full(tbl)
+    # compaction MATERIALIZES the vectors (DV-aware live scan →
+    # replace commit): same rows, no DV entries left
+    from quokka_spark.sources.iceberg_local import (
+        expire_snapshots_local, rewrite_data_files_local)
+    rewrite_data_files_local(spark, tbl, target_file_rows=1000)
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
+        == got3
+    _, _, _, dvs2 = snapshot_files_full(tbl, None, with_dvs=True)
+    assert dvs2 == []
+    # expiry runs on (historical) DV snapshots too
+    expire_snapshots_local(tbl, keep_last=1, delete_orphans=True)
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
+        == got3
+
+
+def test_iceberg_v3_feature_gates(qc, spark, table, tmp_path):
+    """v3 gates: format-version 4 refuses; a v3 schema field with a
+    default value refuses typed (null-filling it would serve wrong
+    data); row lineage needs no gate (this reader never serves
+    _row_id)."""
+    import json as _json
+
+    from quokka_spark.sources.iceberg_local import _read_table_metadata
+    tbl, _ = table
+    meta_dir = os.path.join(tbl, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    with open(hint) as fh:
+        cur = fh.read().strip()
+    mpath = os.path.join(meta_dir, f"v{cur}.metadata.json")
+    with open(mpath) as fh:
+        meta = _json.load(fh)
+    meta["format-version"] = 4
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(NotImplementedError, match="format-version 4"):
+        _read_table_metadata(tbl)
+    meta["format-version"] = 3
+    meta["schemas"] = [{"schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "type": "long",
+         "initial-default": 7}]}]
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(NotImplementedError, match="default value"):
+        _read_table_metadata(tbl)
+    # plain v3 (no defaults) reads fine
+    meta["schemas"] = [{"schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "type": "long"}]}]
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
+        == list(range(25))
+
+
+def test_puffin_dv_blob_roundtrip(tmp_path):
+    """Puffin primitives: portable roaring64 encode/decode including
+    >2^32 positions; blob CRC and framing validation refuse
+    corruption instead of serving a wrong delete set."""
+    import struct
+
+    from quokka_spark.sources.puffin import (MAGIC,
+                                             decode_rb64_portable,
+                                             encode_rb64_portable,
+                                             read_puffin_dv_blob,
+                                             write_puffin_dv)
+    vals = [0, 1, 5, 2**16 + 3, 2**32 + 7, 2**33, 123456789012]
+    assert decode_rb64_portable(encode_rb64_portable(vals)) \
+        == sorted(set(vals))
+    p = str(tmp_path / "dv.puffin")
+    info = write_puffin_dv(p, {"/d/a.parquet": [3, 1, 2],
+                               "/d/b.parquet": [10**10, 0]})
+    raw = open(p, "rb").read()
+    assert raw[:4] == MAGIC and raw[-4:] == MAGIC
+    a = info["/d/a.parquet"]
+    assert read_puffin_dv_blob(p, a["content_offset"],
+                               a["content_size_in_bytes"]) == [1, 2, 3]
+    b = info["/d/b.parquet"]
+    assert read_puffin_dv_blob(p, b["content_offset"],
+                               b["content_size_in_bytes"]) \
+        == [0, 10**10]
+    # flip one bitmap byte → CRC refuses
+    bad = bytearray(raw)
+    bad[a["content_offset"] + 9] ^= 0xFF
+    p2 = str(tmp_path / "bad.puffin")
+    open(p2, "wb").write(bytes(bad))
+    with pytest.raises(ValueError, match="CRC"):
+        read_puffin_dv_blob(p2, a["content_offset"],
+                            a["content_size_in_bytes"])
+    # misframed size → refuses before decoding
+    with pytest.raises(ValueError, match="length field"):
+        read_puffin_dv_blob(p, a["content_offset"],
+                            a["content_size_in_bytes"] + 4)
+
+
 def test_position_deletes_applied_and_time_travel(qc, spark, table):
     """v2 position deletes: add_position_deletes commits a delete
     snapshot; the current read drops exactly those rows (distributed
@@ -1286,9 +1419,10 @@ def test_iceberg_history(qc, spark, tmp_path):
 
 
 def test_iceberg_format_version_gate(qc, tmp_path):
-    """A format-version 3 table refuses typed — v3 adds puffin
-    deletion vectors and row lineage; reading with v2 rules would
-    silently serve deleted rows."""
+    """Format-version 3 is ACCEPTED since round 11 (deletion vectors
+    read end-to-end; defaults still gate —
+    test_iceberg_v3_feature_gates); unknown future versions refuse
+    typed."""
     import json as _json
     tbl = str(tmp_path / "v3")
     md = os.path.join(tbl, "metadata")
@@ -1297,7 +1431,13 @@ def test_iceberg_format_version_gate(qc, tmp_path):
         _json.dump({"format-version": 3, "snapshots": []}, fh)
     with open(os.path.join(md, "version-hint.text"), "w") as fh:
         fh.write("1")
-    with pytest.raises(NotImplementedError, match="format-version 3"):
+    # v3 passes the metadata gate — the failure is the ordinary
+    # empty-table one, not a format refusal
+    with pytest.raises(ValueError, match="no snapshots"):
+        qc.read_iceberg(tbl)
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        _json.dump({"format-version": 4, "snapshots": []}, fh)
+    with pytest.raises(NotImplementedError, match="format-version 4"):
         qc.read_iceberg(tbl)
 
 
@@ -1689,6 +1829,64 @@ def test_iceberg_changes_review_regressions(spark, qc, tmp_path):
             for r in ch.collect()}
     assert rows[(s4, "insert", 10)] == 1.5
     assert rows[(s1, "insert", 1)] is None               # pre-evolution
+
+
+def test_iceberg_schema_evolution_never_reuses_field_ids(spark, qc,
+                                                         tmp_path):
+    """Field-id allocation honors last-column-id and every listed
+    schema (round 11, advisor finding): on a foreign table where a
+    column was dropped (current schema's max id < last-column-id) or
+    where an older schema holds higher ids, a newly evolved column
+    must get a FRESH id — reusing a retired id would silently serve
+    old files' dead-column values as the new column — and the
+    published last-column-id must advance so later real-Iceberg
+    writers cannot collide either."""
+    import json as _json
+
+    from quokka_spark.sources.iceberg_local import (_evolve_meta_schema,
+                                                    _read_table_metadata,
+                                                    commit_snapshot)
+    a = str(tmp_path / "a.parquet")
+    spark.range(0, 3).coalesce(1).toPandas().to_parquet(a)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(tbl, [[a]],
+                               schema_fields=[(1, "id", "long")])
+    # simulate a foreign writer having dropped columns 2..5
+    meta_dir = os.path.join(tbl, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        cur = fh.read().strip()
+    mpath = os.path.join(meta_dir, f"v{cur}.metadata.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    m["last-column-id"] = 5
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    wdf = spark.createDataFrame([(10, 1.5)], "id long, v double")
+    w = str(tmp_path / "w.parquet")
+    wdf.coalesce(1).toPandas().to_parquet(w)
+    commit_snapshot(tbl, add_files=[w], evolve_from_df=wdf)
+    m2 = _read_table_metadata(tbl)
+    cur_schema = next(s for s in m2["schemas"]
+                      if s["schema-id"] == m2["current-schema-id"])
+    vid = next(f["id"] for f in cur_schema["fields"]
+               if f["name"] == "v")
+    assert vid == 6                    # not a retired 2..5 id
+    assert int(m2["last-column-id"]) >= 6
+    # multispec extend path (_evolve_meta_schema): an OLDER listed
+    # schema holds a higher id than the current one
+    meta = {"schemas": [
+        {"schema-id": 0, "type": "struct",
+         "fields": [{"id": 1, "name": "id", "type": "long"},
+                    {"id": 9, "name": "old", "type": "long"}]},
+        {"schema-id": 1, "type": "struct",
+         "fields": [{"id": 1, "name": "id", "type": "long"}]}],
+        "current-schema-id": 1, "last-column-id": 4}
+    _evolve_meta_schema(meta, wdf)
+    new = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    assert next(f["id"] for f in new["fields"]
+                if f["name"] == "v") == 10
+    assert meta["last-column-id"] == 10
 
 
 def test_iceberg_changes_random_ops_reconstruct_state(spark, qc,
