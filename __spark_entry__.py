@@ -7226,7 +7226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": tpch_q16,
         "tpch_q18": tpch_q18, "tpch_q22": tpch_q22,
         "tpch_q21": tpch_q21,
-        # time series (7) + streaming (2)
+        # time series (6) + streaming (2)
         "ts_tumbling": ts_tumbling,
         "ts_sliding": ts_sliding, "ts_session": ts_session,
         "ts_asof_join": ts_asof_join,

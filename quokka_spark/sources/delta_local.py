@@ -263,15 +263,33 @@ def _replay(table: str, version: int | None):
             f"version {version} not in table {table}; have {versions}")
     live: dict = {}
     meta: dict = {}
-    usable = [v for v in checkpoints if v <= version]
+    usable = sorted([v for v in checkpoints if v <= version],
+                    reverse=True)
     base = -1
-    if usable:
-        base = max(usable)
-        live, meta = _read_checkpoint(checkpoints[base])
+    cp_err = None
+    # newest-first with fallback (review finding): an unreadable
+    # checkpoint (e.g. a foreign writer's crash left only part 1 of
+    # a 2-part set) must not brick the table when an older
+    # checkpoint or the full JSON history can serve the same state —
+    # the spec tells readers to ignore incomplete checkpoints
+    for cv in usable:
+        try:
+            live, meta = _read_checkpoint(checkpoints[cv])
+            base = cv
+            cp_err = None
+            break
+        except (OSError, ValueError) as e:
+            cp_err = e
+            live, meta = {}, {}
     tail = [v for v in commits if base < v <= version]
     # the replay must be gapless: checkpoint (or 0) .. version
     expect = list(range(base + 1, version + 1))
     if tail != expect:
+        if cp_err is not None:
+            # the JSON history cannot cover and every usable
+            # checkpoint failed — the checkpoint error is the root
+            # cause, surface it
+            raise cp_err
         missing = sorted(set(expect) - set(tail))
         raise FileNotFoundError(
             f"cannot reconstruct version {version} of {table}: JSON "
@@ -1245,14 +1263,16 @@ def _txn_state(table: str, version: int | None = None,
     base = -1
     if usable:
         base = max(usable)
-        # candidate-aware like _read_checkpoint (round 11): the first
-        # same-version candidate that resolves wins; a broken or
-        # txn-less sibling falls back instead of failing or
-        # mis-demoting the whole lookup
-        chosen = None                 # txn dict, or "demote" → base -1
+        # candidate-aware like _read_checkpoint (round 11): prefer a
+        # candidate that CARRIES txn marks over demoting to a full
+        # JSON replay — a foreign txn-less classic next to this
+        # engine's v2 (txn inline) must use the v2, or every sink
+        # handshake degrades to O(full history) per batch (review
+        # finding); broken siblings fall back
+        chosen = None                 # the winning candidate's txn dict
+        demote_ok = False             # a txn-less candidate allows it
         errors: list = []
-        for cand in (_checkpoint_candidates(checkpoints[base])
-                     or [checkpoints[base]]):
+        for cand in _checkpoint_candidates(checkpoints[base]):
             try:
                 # a v2 JSON checkpoint keeps non-file actions (incl.
                 # txn) inline — the format implies completeness; a
@@ -1263,40 +1283,46 @@ def _txn_state(table: str, version: int | None = None,
                        for p in cand):
                     # foreign checkpoint without txn rows: usable
                     # only when the full JSON history below it still
-                    # exists
+                    # exists — keep looking for a sibling WITH marks
                     if set(commits).issuperset(range(base + 1)):
-                        chosen = "demote"
-                    else:
-                        raise ValueError(
-                            f"checkpoint {base} of {table} carries "
-                            "no txn column but covers cleaned "
-                            "commits — the sink high-water mark is "
-                            "unknowable (idempotent sinks on this "
-                            "table may double-commit; "
-                            "write_checkpoint_local resets the "
-                            "marks to empty)")
-                else:
-                    t: dict = {}
-                    for p in cand:
-                        # column-pruned read: txn rows are a handful
-                        # among potentially a million add rows
-                        for r in _checkpoint_action_rows(
-                                p, columns=["txn"]):
-                            x = r.get("txn")
-                            if x and x.get("appId") is not None:
-                                t[x["appId"]] = max(
-                                    t.get(x["appId"], -1),
-                                    int(x["version"]))
-                    chosen = t
+                        demote_ok = True
+                        continue
+                    raise ValueError(
+                        f"checkpoint {base} of {table} carries "
+                        "no txn column but covers cleaned "
+                        "commits — the sink high-water mark is "
+                        "unknowable (idempotent sinks on this "
+                        "table may double-commit; "
+                        "write_checkpoint_local resets the "
+                        "marks to empty)")
+                t: dict = {}
+                for p in cand:
+                    # column-pruned read: txn rows are a handful
+                    # among potentially a million add rows
+                    for r in _checkpoint_action_rows(
+                            p, columns=["txn"]):
+                        x = r.get("txn")
+                        if x and x.get("appId") is not None:
+                            t[x["appId"]] = max(
+                                t.get(x["appId"], -1),
+                                int(x["version"]))
+                chosen = t
                 break
             except (OSError, ValueError) as e:
                 errors.append(e)
-        if chosen is None:
-            raise errors[-1]
-        if chosen == "demote":
-            base = -1
-        else:
+        if chosen is not None:
             txns = chosen
+        elif demote_ok or set(commits).issuperset(range(base + 1)):
+            # no candidate yielded marks (txn-less, broken, or an
+            # incomplete multipart set with no siblings) but the
+            # full JSON history exists — replay it
+            base = -1
+        elif errors:
+            raise errors[-1]
+        else:
+            raise FileNotFoundError(
+                f"no complete checkpoint candidate at version {base} "
+                f"of {table} and the JSON history below is cleaned")
     tail = [v for v in commits if base < v <= version]
     if tail != list(range(base + 1, version + 1)):
         raise FileNotFoundError(
@@ -1332,29 +1358,45 @@ def _protocol_state(table: str, version: int | None = None,
     base = -1
     if usable:
         base = max(usable)
-        # candidate-aware like _read_checkpoint (round 11): protocol
-        # rows live in each candidate's top-level file(s); the first
-        # candidate that reads wins, a broken sibling falls back
+        # candidate-aware like _read_checkpoint (round 11): the first
+        # candidate that YIELDS a protocol row wins — a readable
+        # sibling without the row (foreign checkpoint missing the
+        # protocol column) must not stop the search, or the table's
+        # feature gates silently fall back to the (1,2) default
+        # (review finding); a broken sibling falls back too
         errors: list = []
-        for cand in (_checkpoint_candidates(checkpoints[base])
-                     or [checkpoints[base]]):
+        got = None
+        read_ok = False
+        for cand in _checkpoint_candidates(checkpoints[base]):
             try:
-                got = None
+                g = None
                 for p in cand:
                     for r in _checkpoint_action_rows(
                             p, columns=["protocol"]):
                         x = r.get("protocol")
                         if x and x.get("minReaderVersion") is not None:
-                            got = {k: v for k, v in x.items()
-                                   if v is not None}
-                errors = []
-                if got:
-                    proto = got
-                break
+                            g = {k: v for k, v in x.items()
+                                 if v is not None}
+                read_ok = True
+                if g:
+                    got = g
+                    break
             except (OSError, ValueError) as e:
                 errors.append(e)
-        if errors:
-            raise errors[-1]
+        if got:
+            proto = got
+        elif set(commits).issuperset(range(base + 1)):
+            # no candidate carried the row (or none was readable —
+            # incl. an incomplete multipart set, empty candidates)
+            # but the FULL JSON history exists: replay it instead
+            base = -1
+        elif not read_ok:
+            raise (errors[-1] if errors else FileNotFoundError(
+                f"no complete checkpoint candidate at version {base} "
+                f"of {table} and the JSON history below is cleaned"))
+        # else: readable checkpoint without a protocol row over a
+        # cleaned history — a pre-features table; the (1,2) default
+        # plus any trailing JSON protocol actions is faithful
     for v in commits:
         if not (base < v <= version):
             continue
@@ -1616,6 +1658,19 @@ def delete_rows_delta_local(table: str, deletes: dict,
     if cdf_on:
         # validate the cdc-emission preconditions BEFORE any DV .bin
         # lands on disk — a late refusal would orphan them
+        if _id_mapping(meta):
+            # the id-mode cdc scan resolves each touched file by its
+            # parquet field ids; a file without them (foreign writer)
+            # would only fail inside _delete_cdc_actions, AFTER the
+            # bins were written (review finding) — check the KB-scale
+            # footers now (cached per session)
+            for p in deletes:
+                if not _file_id_layout(os.path.abspath(p)):
+                    raise ValueError(
+                        f"{p}: parquet schema carries no field ids — "
+                        "id-mode cdc emission cannot resolve this "
+                        "file; rewrite it with field ids or disable "
+                        "delta.enableChangeDataFeed")
         if spark is None:
             from pyspark.sql import SparkSession
             spark = SparkSession.getActiveSession()

@@ -111,11 +111,33 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     # delete matching rows from files the spec says they never touch.
     pos_paths: set = set()
     eq_apply: dict = {}           # (equality_ids, delete path) → {data files}
+    dv_files: list = []           # v3 puffin deletion vectors
     for t in tasks:
         for d in (getattr(t, "delete_files", None) or []):
             content = getattr(d, "content", None)
             c = int(content) if content is not None else 1
-            if c == 1:            # DataFileContent.POSITION_DELETES
+            fmt = str(getattr(d, "file_format", "") or "").upper()
+            is_puffin = "PUFFIN" in fmt \
+                or str(d.file_path).endswith(".puffin")
+            if c == 1 and is_puffin:
+                # v3 deletion vector: locate the blob via the
+                # spec-required manifest fields, refuse typed when a
+                # planner doesn't surface them (feeding a puffin
+                # container to the parquet pos-delete scan would die
+                # with a raw not-a-parquet error)
+                ref = getattr(d, "referenced_data_file", None)
+                off = getattr(d, "content_offset", None)
+                sz = getattr(d, "content_size_in_bytes", None)
+                if not ref or off is None or sz is None:
+                    raise NotImplementedError(
+                        f"catalog table {table}: deletion vector "
+                        f"{d.file_path} lacks the referenced_data_"
+                        "file/content_offset/content_size_in_bytes "
+                        "locator fields — upgrade pyiceberg or read "
+                        "as a local table directory")
+                dv_files.append((str(ref), str(d.file_path),
+                                 int(off), int(sz)))
+            elif c == 1:          # DataFileContent.POSITION_DELETES
                 pos_paths.add(str(d.file_path))
             elif c == 2:          # DataFileContent.EQUALITY_DELETES
                 ids = tuple(int(i) for i in
@@ -152,7 +174,7 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     else:
         df = spark.read.schema(rs).parquet(
             *[f.removeprefix("file://") for f in files])
-    if files and (pos_paths or eq_apply):
+    if files and (pos_paths or eq_apply or dv_files):
         from pyspark.sql import functions as F
 
         from .iceberg_local import _norm_path, _py_norm
@@ -160,6 +182,44 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
                             _norm_path(F.col("_metadata.file_path")))
               .withColumn("__qs_pos__",
                           F.col("_metadata.row_index")))
+        if dv_files:
+            # same executor-side decode + (file, position) anti-join
+            # as the local reader's v3 path; descriptors only on the
+            # driver, blob decode (O(deleted rows)) on the executors
+            rows = sorted((_py_norm(ref),
+                           pf.removeprefix("file://"), off, sz)
+                          for ref, pf, off, sz in dv_files)
+            dd = spark.createDataFrame(
+                rows, "__qs_dfp__ string, __qs_pf__ string, "
+                      "__qs_off__ long, __qs_sz__ long")
+            par = min(len(rows),
+                      spark.sparkContext.defaultParallelism)
+            if par > 1:
+                dd = dd.repartition(par)
+
+            def _decode_dvs(batches):
+                import pandas as pd
+
+                from quokka_spark.sources.puffin import \
+                    read_puffin_dv_blob
+                for pdf in batches:
+                    for ref, pf, off, sz in zip(
+                            pdf["__qs_dfp__"], pdf["__qs_pf__"],
+                            pdf["__qs_off__"], pdf["__qs_sz__"]):
+                        idx = read_puffin_dv_blob(pf, int(off),
+                                                  int(sz))
+                        yield pd.DataFrame(
+                            {"__qs_dfp__": pd.Series(
+                                [ref] * len(idx), dtype="object"),
+                             "__qs_dpos__": pd.array(idx,
+                                                     dtype="int64")})
+
+            dd = dd.mapInPandas(
+                _decode_dvs, "__qs_dfp__ string, __qs_dpos__ long")
+            df = df.join(
+                dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
+                & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                "left_anti")
         if pos_paths:
             # the same (file, row position) anti-join as
             # iceberg_local's local-directory reader; distinct keeps

@@ -92,13 +92,24 @@ def _read_table_metadata(table_path: str) -> dict:
         # defaulted column serves wrong data). Row lineage needs no
         # gate for data reads — it defines the _row_id metadata
         # columns, which this reader never serves.
-        for sch in (meta.get("schemas") or []):
-            for f in sch.get("fields", []):
-                if "initial-default" in f or "write-default" in f:
+        def _walk_defaults(node):
+            # defaults can sit on NESTED struct fields too (review
+            # finding) — walk the whole schema JSON, not just the
+            # top level
+            if isinstance(node, dict):
+                if "initial-default" in node or "write-default" in node:
                     raise NotImplementedError(
-                        f"{table_path}: column {f.get('name')!r} "
-                        "declares a v3 default value — this reader "
-                        "would null-fill it; read with the jar")
+                        f"{table_path}: field "
+                        f"{node.get('name', '<nested>')!r} declares "
+                        "a v3 default value — this reader would "
+                        "null-fill it; read with the jar")
+                for v in node.values():
+                    _walk_defaults(v)
+            elif isinstance(node, list):
+                for v in node:
+                    _walk_defaults(v)
+
+        _walk_defaults(meta.get("schemas") or [])
     return meta
 
 
@@ -1240,7 +1251,8 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                                partition_spec: list | None = None,
                                collect_bounds: list | None = None,
                                partition_specs: list | None = None,
-                               default_spec_id: int | None = None
+                               default_spec_id: int | None = None,
+                               min_last_column_id: int = 0
                                ) -> list[int]:
     """Write a spec-shaped Iceberg v2 table whose snapshot N contains
     ``snapshots[N]`` — either a plain list of parquet data-file paths,
@@ -1449,11 +1461,15 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             "default-spec-id": default_sid,
             "partition-specs": meta_specs,
             # spec-required allocation high-water mark: later writers
-            # (incl. real Iceberg) must never reuse a retired id
+            # (incl. real Iceberg) must never reuse a retired id.
+            # min_last_column_id carries a FOREIGN table's persisted
+            # mark through rebuild commits (review finding: a
+            # non-evolving rebuild recomputing purely from the schema
+            # would regress the mark below retired ids)
             "last-column-id": max(
-                [int(f["id"]) for s in schemas
-                 for f in s.get("fields", []) if "id" in f],
-                default=0)}
+                [int(min_last_column_id)]
+                + [int(f["id"]) for s in schemas
+                   for f in s.get("fields", []) if "id" in f])}
     # shared publish: next non-colliding v<N>.metadata.json +
     # version-hint (readers follow the hint, so N is opaque)
     _publish_metadata(meta_dir, meta)
@@ -1889,7 +1905,8 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                                            evolve_from_df, floor)
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
-                                     partition_spec=partition_spec)
+                                     partition_spec=partition_spec,
+                                     min_last_column_id=floor)
     return ids[-1]
 
 

@@ -2525,6 +2525,62 @@ def test_delta_checkpoint_candidates_fall_back(spark, qc, tmp_path):
     with pytest.raises(Exception, match="candidate"):
         qc.read_delta(tbl)
 
+    # an INCOMPLETE multipart set as the version's only checkpoint
+    # must not brick a table whose JSON history still exists (review
+    # finding: the spec says ignore incomplete checkpoints)
+    tbl2 = str(tmp_path / "cands2")
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0)], "id long, v double")
+        .coalesce(1), tbl2)
+    write_delta_local(
+        spark.createDataFrame([(2, 2.0)], "id long, v double")
+        .coalesce(1), tbl2, mode="append", txn=("app", 3))
+    cpv2 = write_checkpoint_local(tbl2)
+    log2 = os.path.join(tbl2, "_delta_log")
+    classic2 = os.path.join(log2, f"{cpv2:020d}.checkpoint.parquet")
+    # part 1 of a declared 2-part set, part 2 never written
+    os.rename(classic2, os.path.join(
+        log2, f"{cpv2:020d}.checkpoint.0000000001.0000000002.parquet"))
+    assert {r["id"] for r in qc.read_delta(tbl2).df.collect()} \
+        == {1, 2}
+    from quokka_spark.sources.delta_local import last_txn_version
+    assert last_txn_version(tbl2, "app") == 3   # JSON-replay fallback
+    # appends still work (protocol lookup falls back too)
+    write_delta_local(
+        spark.createDataFrame([(3, 3.0)], "id long, v double")
+        .coalesce(1), tbl2, mode="append")
+    assert {r["id"] for r in qc.read_delta(tbl2).df.collect()} \
+        == {1, 2, 3}
+
+    # a sibling that CARRIES txn marks wins over a txn-less foreign
+    # classic at the same version (review finding: the demote/refuse
+    # branch used to shadow it)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (
+        _replay, write_v2_checkpoint_local)
+    tbl3 = str(tmp_path / "cands3")
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0)], "id long, v double")
+        .coalesce(1), tbl3)
+    write_delta_local(
+        spark.createDataFrame([(2, 2.0)], "id long, v double")
+        .coalesce(1), tbl3, mode="append", txn=("app", 11))
+    cpv3 = write_v2_checkpoint_local(tbl3)        # v2: txn inline
+    _, meta3, keys3, adds3 = _replay(tbl3, cpv3)
+    log3 = os.path.join(tbl3, "_delta_log")
+    # foreign classic at the SAME version, NO txn column
+    pq.write_table(pa.Table.from_pylist(
+        [{"add": {"path": k, "size": int(a["size"]),
+                  "modificationTime": 0, "dataChange": True}}
+         for k, a in zip(keys3, adds3)]
+        + [{"metaData": meta3}]),
+        os.path.join(log3, f"{cpv3:020d}.checkpoint.parquet"))
+    for v in range(cpv3 + 1):
+        os.unlink(os.path.join(log3, f"{v:020d}.json"))
+    assert last_txn_version(tbl3, "app") == 11
+
 
 def test_delta_v2_checkpoint_reads(spark, qc, tmp_path):
     """V2 checkpoints (round 10 — protocol 'V2 Checkpoint Spec'):
@@ -2818,6 +2874,27 @@ def test_delta_constraints_lifecycle(spark, qc, tmp_path):
     assert list_versions(tbl)[-1] == before        # nothing committed
     assert {r["id"]: r["v"]
             for r in qc.read_delta(tbl).df.collect()} == got
+
+
+def test_delta_id_mode_dv_delete_precondition_no_orphans(spark, qc,
+                                                         tmp_path):
+    """An id-mode CDF table containing a file WITHOUT parquet field
+    ids refuses the DV delete BEFORE any .bin lands (review finding:
+    the late _id_mode_scan failure inside cdc emission would orphan
+    freshly written deletion vectors)."""
+    from quokka_spark.sources.delta_local import delete_rows_delta_local
+    tbl = _id_mode_table(tmp_path, [
+        ("noids.parquet", {1: ("alpha", [1, 2]),
+                           2: ("beta", [1.0, 2.0])}),
+    ], conf_extra={"delta.enableChangeDataFeed": "true"})
+    # swap in a foreign file that carries NO field ids
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    f = str(tmp_path / "noids.parquet")
+    pq.write_table(pa.table({"whatever": [1, 2]}), f)
+    with pytest.raises(ValueError, match="field ids"):
+        delete_rows_delta_local(tbl, {f: [0]}, spark=spark)
+    assert not os.path.isdir(os.path.join(tbl, "_dv"))   # no orphans
 
 
 def test_delta_in_commit_timestamp_preferred(spark, qc, tmp_path):

@@ -148,6 +148,17 @@ def test_iceberg_v3_feature_gates(qc, spark, table, tmp_path):
         _json.dump(meta, fh)
     with pytest.raises(NotImplementedError, match="default value"):
         _read_table_metadata(tbl)
+    # NESTED defaults gate too (review finding: a struct member's
+    # default would otherwise be silently null-filled)
+    meta["schemas"] = [{"schema-id": 0, "fields": [
+        {"id": 1, "name": "s", "type": {
+            "type": "struct", "fields": [
+                {"id": 2, "name": "inner", "type": "long",
+                 "write-default": 9}]}}]}]
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+    with pytest.raises(NotImplementedError, match="default value"):
+        _read_table_metadata(tbl)
     # plain v3 (no defaults) reads fine
     meta["schemas"] = [{"schema-id": 0, "fields": [
         {"id": 1, "name": "id", "type": "long"}]}]
@@ -631,7 +642,11 @@ def _install_fake_pyiceberg(monkeypatch, tables):
                 types.SimpleNamespace(
                     file_path=d["path"],
                     content=d.get("content", 1),
-                    equality_ids=d.get("equality_ids"))
+                    equality_ids=d.get("equality_ids"),
+                    file_format=d.get("file_format", "PARQUET"),
+                    referenced_data_file=d.get("referenced_data_file"),
+                    content_offset=d.get("content_offset"),
+                    content_size_in_bytes=d.get("content_size_in_bytes"))
                 for d in deletes
                 if d.get("applies_to") is None
                 or path in d["applies_to"]]
@@ -811,6 +826,42 @@ def test_iceberg_catalog_deletes_match_local_reader(spark, qc, table,
     got = sorted(r["id"] for r in
                  qc.read_iceberg("db.par").df.collect())
     assert got == local
+
+
+def test_iceberg_catalog_puffin_dv_applies_and_gates(spark, qc, table,
+                                                     monkeypatch,
+                                                     tmp_path):
+    """Catalog scans carrying v3 puffin deletion vectors APPLY them
+    via the executor-side blob decode when the planner surfaces the
+    locator fields, and refuse TYPED when it does not (review
+    finding: a puffin file fed to the parquet pos-delete scan died
+    with a raw not-a-parquet error)."""
+    from quokka_spark.sources.iceberg_local import snapshot_files
+    from quokka_spark.sources.puffin import write_puffin_dv
+    tbl, (s1, _) = table
+    (a_path, *rest), _ = snapshot_files(tbl, s1)    # a.parquet: 0..9
+    p = str(tmp_path / "cat.puffin")
+    info = write_puffin_dv(p, {a_path: [0, 2]})
+    dv = {"path": p, "content": 1, "file_format": "PUFFIN",
+          "referenced_data_file": a_path,
+          "content_offset": info[a_path]["content_offset"],
+          "content_size_in_bytes":
+              info[a_path]["content_size_in_bytes"],
+          "applies_to": [a_path]}
+    from quokka_spark.sources.iceberg_local import snapshot_files_full
+    data, _pos, _eq = snapshot_files_full(tbl, None)
+    files = [e["path"] for e in data]
+    _install_fake_pyiceberg(monkeypatch, {
+        "db.dv": {"files_at": {None: files}, "deletes": [dv],
+                  "schema": [("id", "long", 1)]},
+        "db.dvbad": {"files_at": {None: files},
+                     "deletes": [{**dv, "content_offset": None}],
+                     "schema": [("id", "long", 1)]}})
+    got = sorted(r["id"] for r in
+                 qc.read_iceberg("db.dv").df.collect())
+    assert got == [i for i in range(25) if i not in (0, 2)]
+    with pytest.raises(NotImplementedError, match="locator"):
+        qc.read_iceberg("db.dvbad")
 
 
 def test_partition_filter_bucket_transform_prunes(spark, qc, tmp_path):
@@ -1861,6 +1912,14 @@ def test_iceberg_schema_evolution_never_reuses_field_ids(spark, qc,
     m["last-column-id"] = 5
     with open(mpath, "w") as fh:
         _json.dump(m, fh)
+    # a NON-evolving rebuild commit (position delete) must carry the
+    # foreign mark forward, not recompute it from the schema's max id
+    # (review finding: it regressed 5 → 1)
+    from quokka_spark.sources.iceberg_local import (add_position_deletes,
+                                                    snapshot_files)
+    (a_live,), _ = snapshot_files(tbl)
+    add_position_deletes(tbl, {a_live: [0]})
+    assert int(_read_table_metadata(tbl)["last-column-id"]) >= 5
     wdf = spark.createDataFrame([(10, 1.5)], "id long, v double")
     w = str(tmp_path / "w.parquet")
     wdf.coalesce(1).toPandas().to_parquet(w)
