@@ -828,6 +828,56 @@ def _arrow_type_ok(ityp: str, at) -> bool:
     return False
 
 
+def _dv_one_per_file(table_path: str, dvs: list) -> None:
+    seen: set = set()
+    for d in dvs:
+        ref = _py_norm(_local(d["referenced_data_file"]))
+        if ref in seen:
+            raise ValueError(
+                f"{table_path}: data file {ref} is referenced by "
+                "two deletion vectors in one snapshot — the spec "
+                "allows at most one; table is corrupt")
+        seen.add(ref)
+
+
+def _dv_positions_df(spark, dvs: list):
+    """``(__qs_dfp__, __qs_dpos__)`` frame of the given deletion
+    vectors' deleted row positions (referenced file normalized via
+    _py_norm). The driver handles only the per-file descriptors
+    (KBs); the puffin blob decode — O(deleted rows) — runs
+    executor-side in a mapInPandas kernel, one task per descriptor
+    up to the default parallelism. Shared by the snapshot read and
+    the change stream's DV diff."""
+    rows = sorted(
+        (_py_norm(_local(d["referenced_data_file"])),
+         os.path.abspath(_local(d["path"])),
+         int(d["content_offset"]), int(d["content_size_in_bytes"]))
+        for d in dvs)
+    dd = spark.createDataFrame(
+        rows, "__qs_dfp__ string, __qs_pf__ string, "
+              "__qs_off__ long, __qs_sz__ long")
+    par = min(len(rows), spark.sparkContext.defaultParallelism)
+    if par > 1:
+        dd = dd.repartition(par)
+
+    def _decode_dvs(batches):
+        import pandas as pd
+
+        from quokka_spark.sources.puffin import read_puffin_dv_blob
+        for pdf in batches:
+            for ref, pf, off, sz in zip(
+                    pdf["__qs_dfp__"], pdf["__qs_pf__"],
+                    pdf["__qs_off__"], pdf["__qs_sz__"]):
+                idx = read_puffin_dv_blob(pf, int(off), int(sz))
+                yield pd.DataFrame(
+                    {"__qs_dfp__": pd.Series([ref] * len(idx),
+                                             dtype="object"),
+                     "__qs_dpos__": pd.array(idx, dtype="int64")})
+
+    return dd.mapInPandas(_decode_dvs,
+                          "__qs_dfp__ string, __qs_dpos__ long")
+
+
 def _live_df(spark, table_path: str, snapshot_id: int | None,
              keep_position: bool = False,
              partition_filter: str | None = None,
@@ -891,48 +941,14 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
                      & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                      "left_anti")
     if dvs:
-        # v3 deletion vectors (round 11): the driver handles only the
-        # per-file DV descriptors (KBs); the puffin blob decode —
-        # O(deleted rows) — runs executor-side in a mapInPandas
-        # kernel, then the same (file, position) anti-join as
-        # position deletes. Spec: at most ONE DV per data file per
-        # snapshot — duplicates mean a corrupt table, refuse rather
-        # than guess (union could mask a writer that forgot to merge).
-        seen: dict = {}
-        for d in dvs:
-            ref = _py_norm(_local(d["referenced_data_file"]))
-            if ref in seen:
-                raise ValueError(
-                    f"{table_path}: data file {ref} is referenced by "
-                    "two deletion vectors in one snapshot — the spec "
-                    "allows at most one; table is corrupt")
-            seen[ref] = d
-        rows = [(ref, os.path.abspath(_local(d["path"])),
-                 d["content_offset"], d["content_size_in_bytes"])
-                for ref, d in sorted(seen.items())]
-        dd = spark.createDataFrame(
-            rows, "__qs_dfp__ string, __qs_pf__ string, "
-                  "__qs_off__ long, __qs_sz__ long")
-        par = min(len(rows), spark.sparkContext.defaultParallelism)
-        if par > 1:
-            dd = dd.repartition(par)
-
-        def _decode_dvs(batches):
-            import pandas as pd
-
-            from quokka_spark.sources.puffin import read_puffin_dv_blob
-            for pdf in batches:
-                for ref, pf, off, sz in zip(
-                        pdf["__qs_dfp__"], pdf["__qs_pf__"],
-                        pdf["__qs_off__"], pdf["__qs_sz__"]):
-                    idx = read_puffin_dv_blob(pf, int(off), int(sz))
-                    yield pd.DataFrame(
-                        {"__qs_dfp__": pd.Series([ref] * len(idx),
-                                                 dtype="object"),
-                         "__qs_dpos__": pd.array(idx, dtype="int64")})
-
-        dd = dd.mapInPandas(_decode_dvs,
-                            "__qs_dfp__ string, __qs_dpos__ long")
+        # v3 deletion vectors (round 11): same (file, position)
+        # anti-join as position deletes; the puffin blob decode runs
+        # executor-side (_dv_positions_df). Spec: at most ONE DV per
+        # data file per snapshot — duplicates mean a corrupt table,
+        # refuse rather than guess (union could mask a writer that
+        # forgot to merge).
+        _dv_one_per_file(table_path, dvs)
+        dd = _dv_positions_df(spark, dvs)
         df = df.join(dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                      & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                      "left_anti")
@@ -2276,6 +2292,10 @@ def read_iceberg_changes(spark, table_path: str,
       fetched by a distributed semi-join over the targeted files;
     - newly added EQUALITY-delete files → the matching rows of
       strictly-older data files (sequence-scoped, null-safe);
+    - new or superseded v3 DELETION VECTORS (round 11) → the
+      cur-minus-parent positions of each referenced file, decoded
+      executor-side (the Delta CDF DV-diff shape); dropping a live
+      file's DV (row resurrection) refuses typed;
     - snapshots stamped ``replace`` (compaction/rewrite) → NOTHING;
     - data files REMOVED by a non-replace snapshot (overwrite /
       truncate) → their rows as deletes, gated when the parent
@@ -2370,12 +2390,13 @@ def read_iceberg_changes(spark, table_path: str,
     for pos in range(i0, i1 + 1):
         sid = ids[pos]
         op = (snaps[pos].get("summary") or {}).get("operation")
-        cur_d, cur_p, cur_e = snapshot_files_full(table_path, sid)
+        cur_d, cur_p, cur_e, cur_v = snapshot_files_full(
+            table_path, sid, with_dvs=True)
         if pos > 0:
-            par_d, par_p, par_e = snapshot_files_full(table_path,
-                                                      ids[pos - 1])
+            par_d, par_p, par_e, par_v = snapshot_files_full(
+                table_path, ids[pos - 1], with_dvs=True)
         else:
-            par_d, par_p, par_e = [], [], []
+            par_d, par_p, par_e, par_v = [], [], [], []
         cur_paths = {d["path"]: d for d in cur_d}
         par_paths = {d["path"]: d for d in par_d}
         added = [p for p in cur_paths if p not in par_paths]
@@ -2383,13 +2404,38 @@ def read_iceberg_changes(spark, table_path: str,
         new_pos = [p for p in cur_p if p not in set(par_p)]
         par_eq_paths = {d["path"] for d in par_e}
         new_eq = [d for d in cur_e if d["path"] not in par_eq_paths]
+        # v3 deletion vectors: a DV is NEW when its referenced file
+        # had none before, CHANGED when the blob moved (supersede
+        # rule) — either way the change rows are cur-minus-parent
+        # positions, the Delta CDF DV-diff shape
+        _dv_one_per_file(table_path, cur_v)
+        cur_by_ref = {_py_norm(_local(d["referenced_data_file"])): d
+                      for d in cur_v}
+        par_by_ref = {_py_norm(_local(d["referenced_data_file"])): d
+                      for d in par_v}
+        new_dvs = [d for ref, d in sorted(cur_by_ref.items())
+                   if par_by_ref.get(ref) is None
+                   or (par_by_ref[ref]["path"],
+                       par_by_ref[ref]["content_offset"])
+                   != (d["path"], d["content_offset"])]
         if op == "replace":
-            if new_pos or new_eq:
+            if new_pos or new_eq or new_dvs:
                 raise ValueError(
                     f"snapshot {sid}: stamped 'replace' but adds "
                     "delete files — malformed rewrite")
             continue        # contributes nothing; the run stays open
-        if added and not removed and not new_pos and not new_eq:
+        # a DV disappearing while its data file stays live would
+        # RESURRECT rows — not an insert/delete the stream can emit
+        live_norm = {_py_norm(_local(p)) for p in cur_paths}
+        gone = [r for r in par_by_ref
+                if r not in cur_by_ref and r in live_norm]
+        if gone:
+            raise NotImplementedError(
+                f"snapshot {sid} drops the deletion vector of a "
+                f"still-live data file ({sorted(gone)[:3]}) — the "
+                "resurrected rows have no change-stream shape")
+        if added and not removed and not new_pos and not new_eq \
+                and not new_dvs:
             # pure-insert snapshot: join the coalesced run
             pending.append((sid, added))
             continue
@@ -2403,7 +2449,8 @@ def read_iceberg_changes(spark, table_path: str,
         # mixed keeps the raw decomposition.
         pair_kc = None
         mk_raw = (snaps[pos].get("summary") or {}).get("merge-keys")
-        if mk_raw and added and new_pos and not removed and not new_eq:
+        if mk_raw and added and new_pos and not removed \
+                and not new_eq and not new_dvs:
             try:
                 pair_kc = list(json.loads(mk_raw))
             except (ValueError, TypeError):
@@ -2412,7 +2459,7 @@ def read_iceberg_changes(spark, table_path: str,
         if pair_kc and not all(k in ins_df.columns for k in pair_kc):
             pair_kc = None             # schema drift: fall back
         if removed:
-            if par_p or par_e:
+            if par_p or par_e or par_v:
                 raise NotImplementedError(
                     f"snapshot {sid} removes data files while the "
                     "parent carries delete files — reconstructing "
@@ -2427,16 +2474,30 @@ def read_iceberg_changes(spark, table_path: str,
         # (phantom deletes); when the parent is delete-free, a raw
         # scan bounded to the referenced files is cheaper and equal
         par_live = None
-        if (new_pos or new_eq) and pos > 0 and (par_p or par_e):
+        if (new_pos or new_eq or new_dvs) and pos > 0 \
+                and (par_p or par_e or par_v):
             par_live = _live_df(spark, table_path, ids[pos - 1],
                                 keep_position=True)
         added_norm = {_py_norm(_local(p)): p for p in added}
+        dd = None
         if new_pos:
             dd = (spark.read.parquet(*[_local(p) for p in new_pos])
                   .select(_norm_path(F.col("file_path"))
                           .alias("__qs_dfp__"),
                           F.col("pos").cast("long").alias("__qs_dpos__"))
                   .distinct())
+        if new_dvs:
+            # newly deleted = cur blob minus the file's parent blob
+            dv_dd = _dv_positions_df(spark, new_dvs)
+            prior = [par_by_ref[r] for r in sorted(
+                {_py_norm(_local(d["referenced_data_file"]))
+                 for d in new_dvs} & set(par_by_ref))]
+            if prior:
+                dv_dd = dv_dd.join(
+                    _dv_positions_df(spark, prior),
+                    ["__qs_dfp__", "__qs_dpos__"], "left_anti")
+            dd = dv_dd if dd is None else dd.unionByName(dv_dd)
+        if dd is not None:
             # the referenced-path set bounds the target scan; it comes
             # from a distributed distinct (KB-scale: one row per
             # referenced file), NOT a driver read of the delete files

@@ -1948,17 +1948,50 @@ def test_iceberg_schema_evolution_never_reuses_field_ids(spark, qc,
     assert meta["last-column-id"] == 10
 
 
+def test_iceberg_changes_deletion_vectors(spark, qc, table, tmp_path):
+    """The change stream serves v3 DV commits (round 11): a DV
+    commit emits exactly the NEWLY deleted rows (cur-minus-parent
+    blob — a superseding DV that re-lists old positions emits no
+    phantom re-deletes), and a full-range fold reproduces the live
+    state."""
+    from quokka_spark.sources.iceberg_local import (add_deletion_vectors,
+                                                    snapshot_files)
+    tbl, (s1, s2) = table                    # a: 0..9, b: 10..24
+    (a_path,), _ = snapshot_files(tbl, s1)
+    v3 = add_deletion_vectors(tbl, {a_path: [0, 3]})
+    v4 = add_deletion_vectors(tbl, {a_path: [3, 5]})   # 3 is old news
+    ch3 = sorted((r["_change_type"], r["id"]) for r in
+                 qc.read_iceberg_changes(tbl, v3, v3).df.collect())
+    assert ch3 == [("delete", 0), ("delete", 3)]
+    ch4 = sorted((r["_change_type"], r["id"]) for r in
+                 qc.read_iceberg_changes(tbl, v4, v4).df.collect())
+    assert ch4 == [("delete", 5)]                      # no phantom 3
+    # fold the full range: inserts minus deletes == live rows
+    from collections import Counter
+    state: Counter = Counter()
+    for r in qc.read_iceberg_changes(tbl, s1, v4).df.collect():
+        if r["_change_type"] in ("insert", "update_postimage"):
+            state[r["id"]] += 1
+        elif r["_change_type"] in ("delete", "update_preimage"):
+            state[r["id"]] -= 1
+    live = sorted(x for x, n in state.items() if n > 0)
+    assert live == sorted(
+        r["id"] for r in qc.read_iceberg(tbl).df.collect())
+
+
 def test_iceberg_changes_random_ops_reconstruct_state(spark, qc,
                                                       tmp_path):
     """Model-based sweep for the Iceberg change stream: a seeded
-    random sequence of appends, position deletes, equality deletes
-    and compactions — folding each snapshot's change rows into a
-    multiset equals the table's time-travel state at that snapshot."""
+    random sequence of appends, position deletes, equality deletes,
+    v3 deletion vectors (round 11) and compactions — folding each
+    snapshot's change rows into a multiset equals the table's
+    time-travel state at that snapshot."""
     import random
     from collections import Counter
 
     from quokka_spark.sources.iceberg_local import (
-        add_equality_deletes, add_position_deletes, append_snapshot,
+        add_deletion_vectors, add_equality_deletes,
+        add_position_deletes, append_snapshot,
         create_local_iceberg_table, rewrite_data_files_local,
         snapshot_files_full)
     rng = random.Random(77)
@@ -1976,14 +2009,16 @@ def test_iceberg_changes_random_ops_reconstruct_state(spark, qc,
 
     create_local_iceberg_table(tbl, [[fresh_file(6, 0)]],
                                schema_fields=[(1, "id", "long")])
-    for step in range(6):
-        op = rng.choice(["append", "posdel", "eqdel", "compact"])
+    for step in range(8):
+        op = rng.choice(["append", "posdel", "eqdel", "dv",
+                         "compact"])
         live = sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect())
         if op == "append" or not live:
             append_snapshot(tbl, [fresh_file(rng.randint(1, 4),
                                              step + 1)])
-        elif op == "posdel":
-            data, _, _ = snapshot_files_full(tbl)
+        elif op in ("posdel", "dv"):
+            data, _, _, _dvs = snapshot_files_full(tbl, None,
+                                                   with_dvs=True)
             import pyarrow.parquet as pq
             deletes = {}
             for d in data:
@@ -1994,7 +2029,10 @@ def test_iceberg_changes_random_ops_reconstruct_state(spark, qc,
                 if pos:
                     deletes[d["path"]] = pos
             if deletes:
-                add_position_deletes(tbl, deletes)
+                if op == "dv":
+                    add_deletion_vectors(tbl, deletes)
+                else:
+                    add_position_deletes(tbl, deletes)
         elif op == "eqdel":
             ks = [k for k in live if rng.random() < 0.25]
             if ks:
