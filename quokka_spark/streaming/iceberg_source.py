@@ -8,8 +8,9 @@ order this layout maintains): each micro-batch covers the DATA FILES
 ADDED by the snapshots in ``(start, end]``, one input partition per
 file, read executor-side as Arrow batches. Append-only contract:
 - snapshots stamped ``replace`` (compaction/rewrite) are invisible;
-- snapshots that add POSITION/EQUALITY DELETE files refuse unless
-  ``ignore_deletes=true`` (the rows already streamed stay streamed);
+- snapshots that add POSITION/EQUALITY DELETE files or v3 DELETION
+  VECTORS refuse unless ``ignore_deletes=true`` (the rows already
+  streamed stay streamed);
 - snapshots that REMOVE data files (overwrite) refuse unless
   ``ignore_changes=true``, which streams the snapshot's new files in
   full (surviving rows re-transmitted — the ignoreChanges contract).
@@ -97,12 +98,13 @@ class IcebergStreamReader(DataSourceStreamReader):
         if p1 <= p0:
             return []
         parts = []
-        par_d, par_p, par_e = ([], [], []) if p0 < 0 else \
-            snapshot_files_full(self.table, ids[p0])
+        par_d, par_p, par_e, par_v = ([], [], [], []) if p0 < 0 else \
+            snapshot_files_full(self.table, ids[p0], with_dvs=True)
         for pos in range(p0 + 1, p1 + 1):
             sid = ids[pos]
             op = (snaps[pos].get("summary") or {}).get("operation")
-            cur_d, cur_p, cur_e = snapshot_files_full(self.table, sid)
+            cur_d, cur_p, cur_e, cur_v = snapshot_files_full(
+                self.table, sid, with_dvs=True)
             cur_paths = {d["path"] for d in cur_d}
             par_paths = {d["path"] for d in par_d}
             added = sorted(cur_paths - par_paths)
@@ -111,10 +113,17 @@ class IcebergStreamReader(DataSourceStreamReader):
             new_pos_files = [p for p in cur_p if p not in par_pos]
             par_eq = {d["path"] for d in par_e}
             new_eq = [d for d in cur_e if d["path"] not in par_eq]
+            # v3 deletion vectors: a new or superseded blob is a
+            # row-delete like any other delete file (round 11)
+            par_dv = {(d["path"], d.get("content_offset"))
+                      for d in par_v}
+            new_dvs = [d for d in cur_v
+                       if (d["path"], d.get("content_offset"))
+                       not in par_dv]
             if op == "replace":
                 pass                       # rearrangement: invisible
             else:
-                has_del = bool(new_pos_files or new_eq)
+                has_del = bool(new_pos_files or new_eq or new_dvs)
                 # per-shape contract, aligned with the Delta sibling:
                 # - pure delete (delete files or file drops, NO new
                 #   data) → ignore_deletes (or ignore_changes) skips;
@@ -136,7 +145,7 @@ class IcebergStreamReader(DataSourceStreamReader):
                         "ignore_deletes=true to skip delete snapshots")
                 for p in added:
                     parts.append(InputPartition(p))
-            par_d, par_p, par_e = cur_d, cur_p, cur_e
+            par_d, par_p, par_e, par_v = cur_d, cur_p, cur_e, cur_v
         return parts
 
     def read(self, partition):

@@ -2236,6 +2236,15 @@ def test_iceberg_stream_source(spark, qc, tmp_path):
                  ignore_deletes=True) == [5, 6, 7, 100, 101]
     with pytest.raises(Exception, match="not in the table"):
         drain("isrc7", starting_snapshot=424242)
+    # a v3 DELETION-VECTOR snapshot follows the same contract
+    # (round 11): refuses as a delete, skips under ignore_deletes
+    from quokka_spark.sources.iceberg_local import add_deletion_vectors
+    (files2, _) = snapshot_files(tbl)
+    add_deletion_vectors(tbl, {files2[0]: [1]})
+    with pytest.raises(Exception, match="append-only"):
+        drain("isrc8")
+    assert drain("isrc9", ignore_deletes=True) == \
+        list(range(8)) + [100, 101]
 
 
 def test_iceberg_stream_source_review_regressions(spark, qc, tmp_path):
