@@ -1507,14 +1507,12 @@ def _check_write_protocol(table: str, meta: dict | None,
         return
     for f in fields:
         md = f.metadata or {}
-        if "delta.generationExpression" in md:
-            raise NotImplementedError(
-                f"column {f.name!r} is a generated column — this "
-                "writer does not compute generation expressions")
         if any(str(k).startswith("delta.identity.") for k in md):
             raise NotImplementedError(
                 f"column {f.name!r} is an identity column — this "
-                "writer does not allocate identity values")
+                "writer does not allocate identity values (the "
+                "high-water mark lives in metaData and needs "
+                "coordinated allocation)")
 
 
 def _constraint_exprs(meta: dict) -> list:
@@ -1552,6 +1550,64 @@ def _constraint_exprs(meta: dict) -> list:
                 '{"expression": {"expression": "<sql>"}}')
         out.append((f"invariant:{f.get('name')}", expr))
     return out
+
+
+def _apply_generated_columns(df, meta: dict):
+    """Evaluate the table's GENERATED columns on an incoming batch,
+    like the jar (round 11; PROTOCOL.md §Writer Requirements for
+    Generated Columns): a generated column ABSENT from the batch is
+    computed from its ``delta.generationExpression``; one PROVIDED by
+    the batch is validated null-safe-equal to the expression (the
+    jar enforces this as an implicit CHECK constraint) in the same
+    single distributed pre-pass shape as _validate_constraints.
+    Columns compute in schema order, so a generation expression may
+    reference an earlier generated column. Returns the batch with
+    every generated column present, schema-ordered when complete."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+    try:
+        fields = StructType.fromJson(
+            _json.loads(meta["schemaString"])).fields
+    except (KeyError, ValueError, TypeError):
+        return df
+    checks = []
+    for f in fields:
+        expr = (f.metadata or {}).get("delta.generationExpression")
+        if not expr:
+            continue
+        if f.name in df.columns:
+            checks.append((f.name, expr))
+        else:
+            df = df.withColumn(
+                f.name, F.expr(expr).cast(f.dataType))
+    if checks:
+        aggs = [F.sum(F.when(F.col(name).eqNullSafe(
+                    F.expr(expr).cast(
+                        next(x.dataType for x in fields
+                             if x.name == name))), 0)
+                      .otherwise(1)).alias(f"g{i}")
+                for i, (name, expr) in enumerate(checks)]
+        row = df.agg(*aggs).first()
+        bad = [(name, expr, int(row[f"g{i}"] or 0))
+               for i, (name, expr) in enumerate(checks)
+               if (row[f"g{i}"] or 0) > 0]
+        if bad:
+            detail = "; ".join(
+                f"{name} ({cnt} row{'s' if cnt != 1 else ''} != "
+                f"({expr}))" for name, expr, cnt in bad)
+            raise ValueError(
+                "write provides generated column values that "
+                f"contradict their generation expressions: {detail} "
+                "— no data was committed")
+    # schema-order the batch when it now covers the schema exactly
+    # (the computed column was APPENDED; partitioned/hive writes and
+    # foreign readers expect the declared order)
+    names = [f.name for f in fields]
+    if set(df.columns) == set(names):
+        df = df.select(*names)
+    return df
 
 
 def _validate_constraints(df, meta: dict) -> None:
@@ -2330,9 +2386,12 @@ def write_delta_local(df, table: str, mode: str = "append",
         _, meta, live_keys, _ = _replay(table, None)
         _check_write_protocol(table, meta,
                               data_change_removes=(mode == "overwrite"))
-        # constraints reference logical names: validate before any
-        # columnMapping physical rename, and before the data write
-        # (a violation must not burn the write or orphan files)
+        # generated columns compute first (constraints may reference
+        # them), then constraints validate — all on logical names,
+        # before any columnMapping physical rename, and before the
+        # data write (a violation must not burn the write or orphan
+        # files)
+        df = _apply_generated_columns(df, meta)
         _validate_constraints(df, meta)
         table_pcols = meta.get("partitionColumns") or []
         if mode == "append":
@@ -2564,9 +2623,11 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     _check_write_protocol(table, meta, data_change_removes=True)
     # every row a MERGE can land comes from the batch (matched rows
     # are replaced whole, unmatched inserted; survivors were
-    # validated at their own write), so validating the batch against
-    # the table's CHECK constraints/invariants covers the result —
-    # before any scan or rewrite work
+    # validated at their own write), so computing generated columns
+    # and validating the batch against the table's CHECK
+    # constraints/invariants covers the result — before any scan or
+    # rewrite work
+    df = _apply_generated_columns(df, meta)
     _validate_constraints(df, meta)
     pcols, ptypes = _partition_schema(meta)
     if pcols and not all(c in df.columns for c in pcols):

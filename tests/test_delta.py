@@ -2794,12 +2794,17 @@ def test_delta_protocol_feature_gates(spark, qc, tmp_path):
         write_delta_local(spark.createDataFrame([(2,), (-3,)],
                                                 "id long")
                           .coalesce(1), t5, mode="append")
-    # generated columns still refuse: the writer would have to
-    # COMPUTE values, not just validate them
+    # generated columns EVALUATE too (round 11): a provided value
+    # contradicting its expression refuses; identity columns still
+    # refuse (allocation needs coordinated state)
     t6 = mk("p_gen", {"minReaderVersion": 1, "minWriterVersion": 4},
             field_md={"delta.generationExpression": "id + 1"})
-    with pytest.raises(NotImplementedError, match="generated"):
+    with pytest.raises(ValueError, match="contradict"):
         write_delta_local(one, t6, mode="append")
+    t7 = mk("p_idn", {"minReaderVersion": 1, "minWriterVersion": 6},
+            field_md={"delta.identity.start": 1})
+    with pytest.raises(NotImplementedError, match="identity"):
+        write_delta_local(one, t7, mode="append")
 
 
 def test_delta_constraints_lifecycle(spark, qc, tmp_path):
@@ -2895,6 +2900,66 @@ def test_delta_id_mode_dv_delete_precondition_no_orphans(spark, qc,
     with pytest.raises(ValueError, match="field ids"):
         delete_rows_delta_local(tbl, {f: [0]}, spark=spark)
     assert not os.path.isdir(os.path.join(tbl, "_dv"))   # no orphans
+
+
+def test_delta_generated_columns_lifecycle(spark, qc, tmp_path):
+    """Generated columns evaluate like the jar (round 11): a batch
+    MISSING the generated column gets it computed from
+    delta.generationExpression (schema-ordered, typed); a batch
+    PROVIDING it validates null-safe equality and refuses on
+    contradiction; MERGE upserts flow the same way; constraints see
+    the computed values."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "gen")
+    os.makedirs(tbl)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "twice", "type": "long", "nullable": True,
+         "metadata": {"delta.generationExpression": "id * 2"}},
+    ]
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "gen", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.constraints.cap": "twice < 100"},
+            "createdTime": 0}}])
+    # absent → computed (and the cap constraint sees the result)
+    write_delta_local(
+        spark.createDataFrame([(1,), (2,)], "id long").coalesce(1),
+        tbl, mode="append")
+    got = {r["id"]: r["twice"]
+           for r in qc.read_delta(tbl).df.collect()}
+    assert got == {1: 2, 2: 4}
+    # provided-and-correct passes; provided-and-wrong refuses
+    write_delta_local(
+        spark.createDataFrame([(3, 6)], "id long, twice long")
+        .coalesce(1), tbl, mode="append")
+    with pytest.raises(ValueError, match="contradict"):
+        write_delta_local(
+            spark.createDataFrame([(4, 9)], "id long, twice long")
+            .coalesce(1), tbl, mode="append")
+    # the computed value feeds the CHECK constraint: id=60 → 120 ≥ 100
+    with pytest.raises(ValueError, match="cap"):
+        write_delta_local(
+            spark.createDataFrame([(60,)], "id long").coalesce(1),
+            tbl, mode="append")
+    # upserts compute too (update id=1, insert id=5)
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(1,), (5,)], "id long").coalesce(1),
+        ["id"])
+    got2 = {r["id"]: r["twice"]
+            for r in qc.read_delta(tbl).df.collect()}
+    assert got2 == {1: 2, 2: 4, 3: 6, 5: 10}
 
 
 def test_delta_in_commit_timestamp_preferred(spark, qc, tmp_path):
