@@ -1456,11 +1456,12 @@ def _check_write_protocol(table: str, meta: dict | None,
                           new_data: bool = True) -> None:
     """Spec compliance gate for writers, called by every public write
     path BEFORE any data lands: refuse unknown writer versions/
-    features, enforce delta.appendOnly (no dataChange removes), and —
-    for NEW-DATA writes only — refuse tables that USE invariants /
-    CHECK constraints / generated or identity columns (this engine
-    does not evaluate them; writing unvalidated rows would corrupt
-    the contract other readers rely on). Maintenance shapes pass
+    features and enforce delta.appendOnly (no dataChange removes).
+    Invariants / CHECK constraints / generated / identity columns
+    are no longer refused here — the new-data write paths evaluate,
+    compute, or allocate them (round 11:
+    _apply_identity_columns → _apply_generated_columns →
+    _validate_constraints). Maintenance shapes pass
     ``new_data=False``: compaction re-encodes existing rows, restore
     re-adds previously committed files and DV deletes only remove —
     none can violate a row constraint, and the jar allows them on
@@ -1494,25 +1495,12 @@ def _check_write_protocol(table: str, meta: dict | None,
             "data (appends and dataChange=false compaction only)")
     if not new_data:
         return
-    # CHECK constraints and column invariants are EVALUATED, not
-    # refused (round 11): every new-data write path runs
+    # CHECK constraints, column invariants, GENERATED columns and
+    # IDENTITY columns are all EVALUATED/ALLOCATED, not refused
+    # (round 11): every new-data write path runs
+    # _apply_identity_columns → _apply_generated_columns →
     # _validate_constraints on its incoming batch before any file
-    # lands. Generated/identity columns stay refused — those need
-    # the writer to COMPUTE values, not just validate them.
-    try:
-        from pyspark.sql.types import StructType
-        fields = StructType.fromJson(
-            json.loads(meta["schemaString"])).fields
-    except (KeyError, ValueError, TypeError):
-        return
-    for f in fields:
-        md = f.metadata or {}
-        if any(str(k).startswith("delta.identity.") for k in md):
-            raise NotImplementedError(
-                f"column {f.name!r} is an identity column — this "
-                "writer does not allocate identity values (the "
-                "high-water mark lives in metaData and needs "
-                "coordinated allocation)")
+    # lands.
 
 
 def _constraint_exprs(meta: dict) -> list:
@@ -1550,6 +1538,121 @@ def _constraint_exprs(meta: dict) -> list:
                 '{"expression": {"expression": "<sql>"}}')
         out.append((f"invariant:{f.get('name')}", expr))
     return out
+
+
+def _apply_identity_columns(df, meta: dict, allocate: bool = True):
+    """Allocate the table's IDENTITY column values on an incoming
+    batch, like the jar (round 11; PROTOCOL.md §Identity Columns):
+    an identity column ABSENT from the batch gets a dense run of
+    fresh values — ``highWaterMark + step`` onward (``start`` on a
+    virgin table) — and the caller commits the advanced high-water
+    mark in the same commit's metaData (_identity_meta_action); a
+    column PROVIDED by the batch refuses unless the field declares
+    ``allowExplicitInsert``, in which case the mark still advances
+    past any explicit value beyond it. Returns ``(df, {column: new
+    high-water mark})``.
+
+    Scale note: dense allocation uses one global row_number window —
+    a deliberate single coordination point that keeps the allocated
+    VALUE SET deterministic (base + step·[0, N)) even if Spark
+    recomputes the plan between the mark calculation and the data
+    write; identity batches are ingest-sized, and the jar's
+    per-partition range allocation is the same coordination done
+    driver-side. The mark itself is pure arithmetic off one
+    count() — no second scan."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+    from pyspark.sql.window import Window
+    try:
+        fields = StructType.fromJson(
+            _json.loads(meta["schemaString"])).fields
+    except (KeyError, ValueError, TypeError):
+        return df, {}
+    updates: dict = {}
+    for f in fields:
+        md = f.metadata or {}
+        if not any(str(k).startswith("delta.identity.") for k in md):
+            continue
+        step = int(md.get("delta.identity.step", 1) or 1)
+        if step == 0:
+            raise ValueError(
+                f"column {f.name!r}: delta.identity.step is 0")
+        start = int(md.get("delta.identity.start", 1) or 1)
+        hwm = md.get("delta.identity.highWaterMark")
+        allow = md.get("delta.identity.allowExplicitInsert", False)
+        allow = (allow is True
+                 or str(allow).lower() == "true")
+        if f.name in df.columns:
+            if not allow:
+                raise ValueError(
+                    f"column {f.name!r} is GENERATED ALWAYS AS "
+                    "IDENTITY (allowExplicitInsert=false) — the "
+                    "batch must not provide values for it")
+            agg = F.max if step > 0 else F.min
+            ext = df.agg(agg(F.col(f.name))).first()[0]
+            if ext is not None and (
+                    hwm is None
+                    or (step > 0 and int(ext) > int(hwm))
+                    or (step < 0 and int(ext) < int(hwm))):
+                updates[f.name] = int(ext)
+            continue
+        if not allocate:
+            # MERGE batches must carry identity values themselves:
+            # matched rows are replaced whole, so generating here
+            # would silently REASSIGN existing rows' identities (the
+            # jar also refuses identity generation inside MERGE)
+            raise NotImplementedError(
+                f"upsert batch omits identity column {f.name!r} — "
+                "identity generation inside a MERGE would reassign "
+                "matched rows' values; provide the column "
+                "(allowExplicitInsert) or use append")
+        n = df.count()
+        if n == 0:
+            df = df.withColumn(f.name,
+                               F.lit(None).cast(f.dataType))
+            continue
+        base = (int(hwm) + step) if hwm is not None else start
+        w = Window.orderBy(F.monotonically_increasing_id())
+        df = df.withColumn(
+            f.name,
+            (F.lit(base)
+             + F.lit(step) * (F.row_number().over(w) - 1))
+            .cast(f.dataType))
+        updates[f.name] = base + step * (n - 1)
+    names = [f.name for f in fields]
+    if updates and set(df.columns) == set(names):
+        df = df.select(*names)
+    return df, updates
+
+
+def _identity_meta_action(meta: dict, evolve_actions: list,
+                          updates: dict):
+    """Fold advanced identity high-water marks into the commit's
+    metaData: patches an evolution metaData action IN PLACE when the
+    commit already carries one (two metaData actions in one commit
+    would make replay order load-bearing), else returns a fresh
+    action based on ``meta``. None when there is nothing to record —
+    a write that allocated values but failed to commit the advanced
+    mark would hand the next writer the same range (duplicate
+    identities)."""
+    if not updates:
+        return None
+    target = None
+    for a in evolve_actions or []:
+        if "metaData" in a:
+            target = a["metaData"]
+    base = target if target is not None \
+        else json.loads(json.dumps(meta))
+    sch = json.loads(base["schemaString"])
+    for f in sch.get("fields", []):
+        if f.get("name") in updates:
+            fmd = f.setdefault("metadata", {})
+            fmd["delta.identity.highWaterMark"] = \
+                int(updates[f["name"]])
+    base["schemaString"] = json.dumps(sch)
+    return None if target is not None else {"metaData": base}
 
 
 def _apply_generated_columns(df, meta: dict):
@@ -2382,15 +2485,18 @@ def write_delta_local(df, table: str, mode: str = "append",
     # write and orphan its directory
     live_keys: list = []
     evolve: list = []
+    ident_updates: dict = {}
     if version > 0:
         _, meta, live_keys, _ = _replay(table, None)
         _check_write_protocol(table, meta,
                               data_change_removes=(mode == "overwrite"))
-        # generated columns compute first (constraints may reference
-        # them), then constraints validate — all on logical names,
-        # before any columnMapping physical rename, and before the
-        # data write (a violation must not burn the write or orphan
-        # files)
+        # identity values allocate first, generated columns compute
+        # next (their expressions may reference identity columns),
+        # constraints validate last (they may reference both) — all
+        # on logical names, before any columnMapping physical rename,
+        # and before the data write (a violation must not burn the
+        # write or orphan files)
+        df, ident_updates = _apply_identity_columns(df, meta)
         df = _apply_generated_columns(df, meta)
         _validate_constraints(df, meta)
         table_pcols = meta.get("partitionColumns") or []
@@ -2451,7 +2557,14 @@ def write_delta_local(df, table: str, mode: str = "append",
     if version == 0:
         actions += _meta_actions(df.schema.json(), pcols)
     else:
+        # the identity high-water mark advances IN THE SAME COMMIT as
+        # the allocated values (patched into the evolution metaData
+        # when one exists, else a fresh metaData action)
+        ia = _identity_meta_action(meta, evolve, ident_updates) \
+            if ident_updates else None
         actions += evolve
+        if ia:
+            actions.append(ia)
     ts = int(time.time() * 1000)
     if mode == "overwrite" and versions:
         # remove by the exact path KEY each add used (absolute for
@@ -2623,10 +2736,12 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     _check_write_protocol(table, meta, data_change_removes=True)
     # every row a MERGE can land comes from the batch (matched rows
     # are replaced whole, unmatched inserted; survivors were
-    # validated at their own write), so computing generated columns
-    # and validating the batch against the table's CHECK
-    # constraints/invariants covers the result — before any scan or
-    # rewrite work
+    # validated at their own write), so allocating identity values,
+    # computing generated columns and validating the batch against
+    # the table's CHECK constraints/invariants covers the result —
+    # before any scan or rewrite work
+    df, ident_updates = _apply_identity_columns(df, meta,
+                                                allocate=False)
     df = _apply_generated_columns(df, meta)
     _validate_constraints(df, meta)
     pcols, ptypes = _partition_schema(meta)
@@ -2786,6 +2901,11 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
                                     if pcols else {}),
                 "size": os.path.getsize(p),
                 "dataChange": False}})
+    # an explicit identity value beyond the high-water mark advances
+    # it in this same commit
+    ia = _identity_meta_action(meta, [], ident_updates)
+    if ia:
+        actions.append(ia)
     # commitInfo with the MERGE keys (what real writers record in
     # operationParameters): read_delta_changes uses it to pair this
     # version's removes+adds into update_preimage/update_postimage

@@ -2795,15 +2795,15 @@ def test_delta_protocol_feature_gates(spark, qc, tmp_path):
                                                 "id long")
                           .coalesce(1), t5, mode="append")
     # generated columns EVALUATE too (round 11): a provided value
-    # contradicting its expression refuses; identity columns still
-    # refuse (allocation needs coordinated state)
+    # contradicting its expression refuses; an identity column with
+    # allowExplicitInsert=false refuses explicit values
     t6 = mk("p_gen", {"minReaderVersion": 1, "minWriterVersion": 4},
             field_md={"delta.generationExpression": "id + 1"})
     with pytest.raises(ValueError, match="contradict"):
         write_delta_local(one, t6, mode="append")
     t7 = mk("p_idn", {"minReaderVersion": 1, "minWriterVersion": 6},
             field_md={"delta.identity.start": 1})
-    with pytest.raises(NotImplementedError, match="identity"):
+    with pytest.raises(ValueError, match="IDENTITY"):
         write_delta_local(one, t7, mode="append")
 
 
@@ -2960,6 +2960,81 @@ def test_delta_generated_columns_lifecycle(spark, qc, tmp_path):
     got2 = {r["id"]: r["twice"]
             for r in qc.read_delta(tbl).df.collect()}
     assert got2 == {1: 2, 2: 4, 3: 6, 5: 10}
+
+
+def test_delta_identity_columns_lifecycle(spark, qc, tmp_path):
+    """Identity columns allocate like the jar (round 11): appends
+    missing the column get dense fresh values from start/step; the
+    advanced high-water mark commits WITH the data, so the next
+    append continues past it; explicit values refuse without
+    allowExplicitInsert and advance the mark with it; MERGE batches
+    must provide the column (generation inside a merge would
+    reassign matched rows)."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit, _replay,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+
+    def mk(name, extra_md=None):
+        tbl = str(tmp_path / name)
+        os.makedirs(tbl)
+        fields = [
+            {"name": "rid", "type": "long", "nullable": True,
+             "metadata": dict({"delta.identity.start": 100,
+                               "delta.identity.step": 10},
+                              **(extra_md or {}))},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {}},
+        ]
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 6}},
+            {"metaData": {"id": name, "format": {
+                "provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0}}])
+        return tbl
+
+    tbl = mk("ident")
+    write_delta_local(
+        spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+        .coalesce(1), tbl, mode="append")
+    got = sorted(r["rid"] for r in qc.read_delta(tbl).df.collect())
+    assert got == [100, 110, 120]
+    # the mark advanced in the same commit → the next batch continues
+    _, meta, _, _ = _replay(tbl, None)
+    md = _json.loads(meta["schemaString"])["fields"][0]["metadata"]
+    assert int(md["delta.identity.highWaterMark"]) == 120
+    write_delta_local(
+        spark.createDataFrame([(4.0,)], "v double").coalesce(1),
+        tbl, mode="append")
+    got2 = sorted(r["rid"] for r in qc.read_delta(tbl).df.collect())
+    assert got2 == [100, 110, 120, 130]
+    # explicit values refuse (allowExplicitInsert defaults false)
+    with pytest.raises(ValueError, match="IDENTITY"):
+        write_delta_local(
+            spark.createDataFrame([(999, 9.0)],
+                                  "rid long, v double").coalesce(1),
+            tbl, mode="append")
+    # …and a merge batch omitting the column refuses typed
+    with pytest.raises(NotImplementedError, match="identity"):
+        upsert_delta_local(
+            spark, tbl,
+            spark.createDataFrame([(2.0,)], "v double").coalesce(1),
+            ["v"])
+    # allowExplicitInsert=true accepts and advances the mark
+    tbl2 = mk("identx", {"delta.identity.allowExplicitInsert": True})
+    write_delta_local(
+        spark.createDataFrame([(500, 1.0)], "rid long, v double")
+        .coalesce(1), tbl2, mode="append")
+    write_delta_local(
+        spark.createDataFrame([(2.0,)], "v double").coalesce(1),
+        tbl2, mode="append")
+    got3 = sorted(r["rid"] for r in qc.read_delta(tbl2).df.collect())
+    assert got3 == [500, 510]          # continues past the explicit
 
 
 def test_delta_in_commit_timestamp_preferred(spark, qc, tmp_path):
