@@ -43,6 +43,7 @@ SF001_SUBSET = [
     "op_zorder", "op_quantize", "src_iceberg_deletes", "sim_topk_pushdown",
     "src_iceberg_eq_deletes", "op_grouping_sets_facade",
     "op_token_budget_mix",
+    "src_delta_constraints", "src_iceberg_dv", "src_iceberg_dv_cdf",
     "text_bigram_lm", "text_hash_tf", "op_cms", "ts_rolling_corr", "pipeline_corpus_prep",
     "dedup_exact_best", "dedup_hybrid", "text_entropy", "op_pair_metrics", "text_accent_fold", "op_bloom", "dedup_incremental", "op_weighted_sample_k", "ts_ewma", "ts_zscore", "ts_drawdown", "text_readability", "ts_vwap", "op_grouping_sets", "dedup_containment", "op_percentile_approx_group", "text_c4", "ml_bpe_encode", "src_delta", "op_sql_window", "ts_resample", "text_url_canon",
 ]
