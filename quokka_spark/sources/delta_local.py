@@ -1544,13 +1544,16 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
     """Allocate the table's IDENTITY column values on an incoming
     batch, like the jar (round 11; PROTOCOL.md §Identity Columns):
     an identity column ABSENT from the batch gets a dense run of
-    fresh values — ``highWaterMark + step`` onward (``start`` on a
-    virgin table) — and the caller commits the advanced high-water
-    mark in the same commit's metaData (_identity_meta_action); a
-    column PROVIDED by the batch refuses unless the field declares
-    ``allowExplicitInsert``, in which case the mark still advances
-    past any explicit value beyond it. Returns ``(df, {column: new
-    high-water mark})``.
+    fresh values — past the high-water mark, never below ``start`` —
+    and the caller commits the advanced mark in the same commit's
+    metaData (_identity_meta_action); a column PROVIDED by the batch
+    refuses unless the field declares ``allowExplicitInsert``, in
+    which case the mark still advances past any explicit value
+    beyond it. Returns ``(df, aggs, finalize)`` — ``aggs`` are
+    (alias, aggregation Column) pairs to fold into the caller's
+    SINGLE pre-pass (_prepare_write_batch) and ``finalize(row)``
+    turns the agg row into the ``{column: new high-water mark}``
+    dict, so identity adds NO Spark job of its own.
 
     Scale note: dense allocation uses one global row_number window —
     a deliberate single coordination point that keeps the allocated
@@ -1558,8 +1561,8 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
     recomputes the plan between the mark calculation and the data
     write; identity batches are ingest-sized, and the jar's
     per-partition range allocation is the same coordination done
-    driver-side. The mark itself is pure arithmetic off one
-    count() — no second scan."""
+    driver-side. The mark itself is pure arithmetic off the shared
+    pass's row count."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1569,17 +1572,26 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
         fields = StructType.fromJson(
             _json.loads(meta["schemaString"])).fields
     except (KeyError, ValueError, TypeError):
-        return df, {}
-    updates: dict = {}
+        return df, [], lambda row: {}
+
+    def num(md, key, default):
+        # explicit None test: "or default" would coerce a declared 0
+        # (START WITH 0 is legal) into the default
+        v = md.get(key)
+        return default if v is None else int(v)
+
+    aggs: list = []
+    pending: list = []
+    need_count = False
     for f in fields:
         md = f.metadata or {}
         if not any(str(k).startswith("delta.identity.") for k in md):
             continue
-        step = int(md.get("delta.identity.step", 1) or 1)
+        step = num(md, "delta.identity.step", 1)
         if step == 0:
             raise ValueError(
                 f"column {f.name!r}: delta.identity.step is 0")
-        start = int(md.get("delta.identity.start", 1) or 1)
+        start = num(md, "delta.identity.start", 1)
         hwm = md.get("delta.identity.highWaterMark")
         allow = md.get("delta.identity.allowExplicitInsert", False)
         allow = (allow is True
@@ -1590,13 +1602,10 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
                     f"column {f.name!r} is GENERATED ALWAYS AS "
                     "IDENTITY (allowExplicitInsert=false) — the "
                     "batch must not provide values for it")
+            alias = f"__qs_idx_{len(aggs)}__"
             agg = F.max if step > 0 else F.min
-            ext = df.agg(agg(F.col(f.name))).first()[0]
-            if ext is not None and (
-                    hwm is None
-                    or (step > 0 and int(ext) > int(hwm))
-                    or (step < 0 and int(ext) < int(hwm))):
-                updates[f.name] = int(ext)
+            aggs.append((alias, agg(F.col(f.name))))
+            pending.append(("explicit", f.name, step, hwm, alias))
             continue
         if not allocate:
             # MERGE batches must carry identity values themselves:
@@ -1608,23 +1617,43 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
                 "identity generation inside a MERGE would reassign "
                 "matched rows' values; provide the column "
                 "(allowExplicitInsert) or use append")
-        n = df.count()
-        if n == 0:
-            df = df.withColumn(f.name,
-                               F.lit(None).cast(f.dataType))
-            continue
-        base = (int(hwm) + step) if hwm is not None else start
+        # never allocate below the declared start, even when an
+        # explicit insert left the mark there (review finding)
+        base = start if hwm is None else int(hwm) + step
+        base = max(base, start) if step > 0 else min(base, start)
         w = Window.orderBy(F.monotonically_increasing_id())
         df = df.withColumn(
             f.name,
             (F.lit(base)
              + F.lit(step) * (F.row_number().over(w) - 1))
             .cast(f.dataType))
-        updates[f.name] = base + step * (n - 1)
-    names = [f.name for f in fields]
-    if updates and set(df.columns) == set(names):
-        df = df.select(*names)
-    return df, updates
+        pending.append(("alloc", f.name, step, base, None))
+        need_count = True
+    if need_count:
+        aggs.append(("__qs_idn__", F.count(F.lit(1))))
+    if pending:
+        names = [f.name for f in fields]
+        if set(df.columns) == set(names):
+            df = df.select(*names)
+
+    def finalize(row) -> dict:
+        updates: dict = {}
+        for kind, name, step, extra, alias in pending:
+            if kind == "alloc":
+                n = int(row["__qs_idn__"] or 0)
+                if n > 0:
+                    updates[name] = extra + step * (n - 1)
+            else:
+                ext = row[alias]
+                hwm = extra
+                if ext is not None and (
+                        hwm is None
+                        or (step > 0 and int(ext) > int(hwm))
+                        or (step < 0 and int(ext) < int(hwm))):
+                    updates[name] = int(ext)
+        return updates
+
+    return df, aggs, finalize
 
 
 def _identity_meta_action(meta: dict, evolve_actions: list,
@@ -1661,11 +1690,12 @@ def _apply_generated_columns(df, meta: dict):
     Generated Columns): a generated column ABSENT from the batch is
     computed from its ``delta.generationExpression``; one PROVIDED by
     the batch is validated null-safe-equal to the expression (the
-    jar enforces this as an implicit CHECK constraint) in the same
-    single distributed pre-pass shape as _validate_constraints.
-    Columns compute in schema order, so a generation expression may
-    reference an earlier generated column. Returns the batch with
-    every generated column present, schema-ordered when complete."""
+    jar enforces it as an implicit constraint) contributes a
+    null-safe-equality check folded into the caller's SINGLE
+    pre-pass (_prepare_write_batch). Columns compute in schema
+    order, so a generation expression may reference an earlier
+    generated column. Returns ``(batch, checks)`` — checks are
+    (label, ok Column, detail, kind) tuples."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1681,71 +1711,76 @@ def _apply_generated_columns(df, meta: dict):
         if not expr:
             continue
         if f.name in df.columns:
-            checks.append((f.name, expr))
+            checks.append((
+                f.name,
+                F.col(f.name).eqNullSafe(
+                    F.expr(expr).cast(f.dataType)),
+                f"({expr})", "generated"))
         else:
             df = df.withColumn(
                 f.name, F.expr(expr).cast(f.dataType))
-    if checks:
-        aggs = [F.sum(F.when(F.col(name).eqNullSafe(
-                    F.expr(expr).cast(
-                        next(x.dataType for x in fields
-                             if x.name == name))), 0)
-                      .otherwise(1)).alias(f"g{i}")
-                for i, (name, expr) in enumerate(checks)]
-        row = df.agg(*aggs).first()
-        bad = [(name, expr, int(row[f"g{i}"] or 0))
-               for i, (name, expr) in enumerate(checks)
-               if (row[f"g{i}"] or 0) > 0]
-        if bad:
-            detail = "; ".join(
-                f"{name} ({cnt} row{'s' if cnt != 1 else ''} != "
-                f"({expr}))" for name, expr, cnt in bad)
-            raise ValueError(
-                "write provides generated column values that "
-                f"contradict their generation expressions: {detail} "
-                "— no data was committed")
     # schema-order the batch when it now covers the schema exactly
     # (the computed column was APPENDED; partitioned/hive writes and
     # foreign readers expect the declared order)
     names = [f.name for f in fields]
     if set(df.columns) == set(names):
         df = df.select(*names)
-    return df
+    return df, checks
 
 
-def _validate_constraints(df, meta: dict) -> None:
-    """Enforce the table's CHECK constraints and column invariants
-    on an incoming batch, like the runtime jar does at write time
-    (delta-spark CheckDeltaInvariant): every expression must
-    evaluate to TRUE for every row — false AND null both violate
-    (the protocol's "must be satisfied", which is stricter than SQL
-    CHECK's null-passes). One distributed aggregation pass counts
-    violations per constraint (bounded single-row result — no
-    collect of data rows), and the write aborts BEFORE any data file
-    lands, so a violation costs one scan of the batch and leaves the
-    table untouched. Scale note: the batch is computed twice (this
-    pre-pass + the write); the jar folds validation into the write
-    job, but a pre-pass keeps the single-atomic-rename commit path
-    and the cost is one map-side scan of the INCOMING batch, never
-    of the table."""
+def _prepare_write_batch(df, meta: dict, allocate: bool = True):
+    """The ONE distributed pre-pass every new-data write runs
+    (review finding: separate identity/generated/constraint passes
+    launched up to four jobs over the batch): identity values
+    allocate via row_number (no job of their own), absent generated
+    columns compute, then a SINGLE ``df.agg`` collects CHECK
+    constraint / invariant violation counts (delta-spark
+    CheckDeltaInvariant semantics — an expression must come out TRUE
+    for every row; false AND null both violate), generated-column
+    contradictions, the batch row count, and explicit identity
+    extremes. Any violation aborts BEFORE any data file lands, so it
+    costs one scan of the batch and leaves the table untouched;
+    success returns ``(batch, {identity column: new high-water
+    mark})``. Scale note: the batch is computed twice (this pre-pass
+    + the write); the jar folds validation into the write job, but
+    the pre-pass keeps the single-atomic-rename commit path and the
+    cost is one map-side scan of the INCOMING batch, never of the
+    table."""
     from pyspark.sql import functions as F
-    cons = _constraint_exprs(meta)
-    if not cons:
-        return
-    aggs = [F.sum(F.when(F.expr(sql).eqNullSafe(F.lit(True)), 0)
-                  .otherwise(1)).alias(f"c{i}")
-            for i, (_, sql) in enumerate(cons)]
+    df, id_aggs, id_final = _apply_identity_columns(df, meta,
+                                                    allocate)
+    df, checks = _apply_generated_columns(df, meta)
+    checks = [(name, F.expr(sql).eqNullSafe(F.lit(True)),
+               f"CHECK ({sql})", "constraint")
+              for name, sql in _constraint_exprs(meta)] + checks
+    aggs = [F.sum(F.when(ok, 0).otherwise(1)).alias(f"c{i}")
+            for i, (_n, ok, _d, _k) in enumerate(checks)]
+    aggs += [col.alias(name) for name, col in id_aggs]
+    if not aggs:
+        return df, {}
     row = df.agg(*aggs).first()
-    bad = [(name, sql, int(row[f"c{i}"] or 0))
-           for i, (name, sql) in enumerate(cons)
+    bad = [(name, detail, kind, int(row[f"c{i}"] or 0))
+           for i, (name, _ok, detail, kind) in enumerate(checks)
            if (row[f"c{i}"] or 0) > 0]
     if bad:
-        detail = "; ".join(
-            f"{name} ({cnt} row{'s' if cnt != 1 else ''} fail "
-            f"CHECK ({sql}))" for name, sql, cnt in bad)
-        raise ValueError(
-            f"write violates table constraint(s): {detail} — "
-            "no data was committed")
+        msgs = []
+        cons = [b for b in bad if b[2] == "constraint"]
+        gens = [b for b in bad if b[2] == "generated"]
+        if cons:
+            msgs.append(
+                "write violates table constraint(s): " + "; ".join(
+                    f"{n} ({c} row{'s' if c != 1 else ''} fail {d})"
+                    for n, d, _k, c in cons))
+        if gens:
+            msgs.append(
+                "write provides generated column values that "
+                "contradict their generation expressions: "
+                + "; ".join(
+                    f"{n} ({c} row{'s' if c != 1 else ''} != {d})"
+                    for n, d, _k, c in gens))
+        raise ValueError("; AND ".join(msgs)
+                         + " — no data was committed")
+    return df, id_final(row)
 
 
 def _legacy_features(proto: dict) -> tuple[list, list]:
@@ -2342,7 +2377,17 @@ def _evolve_schema_actions(meta: dict, df, mode: str,
                 "rewrites history; use overwrite to replace the "
                 "schema)")
     if mode == "overwrite":
-        merged = df.schema
+        # same-name same-type columns KEEP the table's field — its
+        # metadata carries generation/identity/invariant declarations
+        # a plain batch schema never has; adopting df.schema verbatim
+        # would silently strip those contracts (review finding)
+        cur_by_name = {f.name: f for f in cur.fields}
+        merged = StructType([
+            cur_by_name[f.name]
+            if (f.name in cur_by_name
+                and cur_by_name[f.name].dataType == f.dataType)
+            else f
+            for f in df.schema.fields])
         out_pcols = list(pcols or [])
         if merged == cur and out_pcols == table_pcols:
             return []
@@ -2353,6 +2398,11 @@ def _evolve_schema_actions(meta: dict, df, mode: str,
         merged = StructType(list(cur.fields) + new_fields)
     md = _meta_actions(merged.json(), out_pcols)[1]
     md["metaData"]["id"] = meta.get("id") or md["metaData"]["id"]
+    # a metaData action replaces the table state WHOLESALE on replay:
+    # the configuration (CDF flag, appendOnly, constraints, …) must
+    # ride along or an evolution commit silently drops it
+    conf = meta.get("configuration") or {}
+    md["metaData"]["configuration"] = dict(conf)
     return [md]
 
 
@@ -2490,15 +2540,12 @@ def write_delta_local(df, table: str, mode: str = "append",
         _, meta, live_keys, _ = _replay(table, None)
         _check_write_protocol(table, meta,
                               data_change_removes=(mode == "overwrite"))
-        # identity values allocate first, generated columns compute
-        # next (their expressions may reference identity columns),
-        # constraints validate last (they may reference both) — all
-        # on logical names, before any columnMapping physical rename,
-        # and before the data write (a violation must not burn the
-        # write or orphan files)
-        df, ident_updates = _apply_identity_columns(df, meta)
-        df = _apply_generated_columns(df, meta)
-        _validate_constraints(df, meta)
+        # identity allocation, generated-column computation, and
+        # constraint/invariant validation in ONE distributed
+        # pre-pass — all on logical names, before any columnMapping
+        # physical rename, and before the data write (a violation
+        # must not burn the write or orphan files)
+        df, ident_updates = _prepare_write_batch(df, meta)
         table_pcols = meta.get("partitionColumns") or []
         if mode == "append":
             if pcols and pcols != table_pcols:
@@ -2736,14 +2783,11 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     _check_write_protocol(table, meta, data_change_removes=True)
     # every row a MERGE can land comes from the batch (matched rows
     # are replaced whole, unmatched inserted; survivors were
-    # validated at their own write), so allocating identity values,
-    # computing generated columns and validating the batch against
-    # the table's CHECK constraints/invariants covers the result —
-    # before any scan or rewrite work
-    df, ident_updates = _apply_identity_columns(df, meta,
-                                                allocate=False)
-    df = _apply_generated_columns(df, meta)
-    _validate_constraints(df, meta)
+    # validated at their own write), so the single write pre-pass
+    # (identity validation, generated columns, constraints) over the
+    # batch covers the result — before any scan or rewrite work
+    df, ident_updates = _prepare_write_batch(df, meta,
+                                             allocate=False)
     pcols, ptypes = _partition_schema(meta)
     if pcols and not all(c in df.columns for c in pcols):
         raise ValueError(

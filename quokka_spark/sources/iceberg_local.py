@@ -2409,6 +2409,9 @@ def read_iceberg_changes(spark, table_path: str,
         # rule) — either way the change rows are cur-minus-parent
         # positions, the Delta CDF DV-diff shape
         _dv_one_per_file(table_path, cur_v)
+        _dv_one_per_file(table_path, par_v)   # a corrupt parent would
+        # otherwise collapse silently in the dict (last wins) and the
+        # diff re-emit already-dead positions as phantom deletes
         cur_by_ref = {_py_norm(_local(d["referenced_data_file"])): d
                       for d in cur_v}
         par_by_ref = {_py_norm(_local(d["referenced_data_file"])): d

@@ -3037,6 +3037,94 @@ def test_delta_identity_columns_lifecycle(spark, qc, tmp_path):
     assert got3 == [500, 510]          # continues past the explicit
 
 
+def test_delta_write_features_review_regressions(spark, qc, tmp_path):
+    """Round-11 review findings: (a) OVERWRITE on a feature-declaring
+    table keeps the field metadata and configuration — adopting the
+    batch's metadata-free schema verbatim silently erased generation
+    expressions and constraints; (b) START WITH 0 allocates from 0
+    (the old 'or 1' coerced it); (c) an explicit identity insert
+    below the declared start never drags later allocation below
+    start; (d) a numeric step of 0 still refuses."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit, _replay,
+                                                  write_delta_local)
+
+    # (a) overwrite keeps generated metadata + constraints config
+    tbl = str(tmp_path / "ow")
+    os.makedirs(tbl)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "twice", "type": "long", "nullable": True,
+         "metadata": {"delta.generationExpression": "id * 2"}}]
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "ow", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.constraints.pos": "id > 0"},
+            "createdTime": 0}}])
+    write_delta_local(spark.createDataFrame([(1,)], "id long")
+                      .coalesce(1), tbl, mode="append")
+    write_delta_local(spark.createDataFrame([(2,)], "id long")
+                      .coalesce(1), tbl, mode="overwrite")
+    _, meta, _, _ = _replay(tbl, None)
+    sch = _json.loads(meta["schemaString"])
+    tw = next(f for f in sch["fields"] if f["name"] == "twice")
+    assert tw["metadata"].get("delta.generationExpression") == "id * 2"
+    assert meta["configuration"].get("delta.constraints.pos") == "id > 0"
+    # the contracts still enforce after the overwrite
+    assert [(r["id"], r["twice"]) for r in
+            qc.read_delta(tbl).df.collect()] == [(2, 4)]
+    with pytest.raises(ValueError, match="pos"):
+        write_delta_local(spark.createDataFrame([(-1,)], "id long")
+                          .coalesce(1), tbl, mode="append")
+
+    # (b)+(c)+(d) identity numerics
+    def mk(name, md):
+        t = str(tmp_path / name)
+        os.makedirs(t)
+        _commit(t, 0, [
+            {"protocol": {"minReaderVersion": 1,
+                          "minWriterVersion": 6}},
+            {"metaData": {"id": name, "format": {
+                "provider": "parquet", "options": {}},
+                "schemaString": _json.dumps({"type": "struct",
+                                             "fields": [
+                    {"name": "rid", "type": "long", "nullable": True,
+                     "metadata": md},
+                    {"name": "v", "type": "double", "nullable": True,
+                     "metadata": {}}]}),
+                "partitionColumns": [], "configuration": {},
+                "createdTime": 0}}])
+        return t
+
+    z = mk("start0", {"delta.identity.start": 0,
+                      "delta.identity.step": 1})
+    write_delta_local(spark.createDataFrame(
+        [(1.0,), (2.0,)], "v double").coalesce(1), z, mode="append")
+    assert sorted(r["rid"] for r in qc.read_delta(z).df.collect()) \
+        == [0, 1]
+    lo = mk("below", {"delta.identity.start": 100,
+                      "delta.identity.step": 1,
+                      "delta.identity.allowExplicitInsert": True})
+    write_delta_local(spark.createDataFrame(
+        [(5, 1.0)], "rid long, v double").coalesce(1),
+        lo, mode="append")
+    write_delta_local(spark.createDataFrame(
+        [(2.0,)], "v double").coalesce(1), lo, mode="append")
+    assert sorted(r["rid"] for r in qc.read_delta(lo).df.collect()) \
+        == [5, 100]                    # never allocates below start
+    bad = mk("step0", {"delta.identity.start": 1,
+                       "delta.identity.step": 0})
+    with pytest.raises(ValueError, match="step is 0"):
+        write_delta_local(spark.createDataFrame(
+            [(1.0,)], "v double").coalesce(1), bad, mode="append")
+
+
 def test_delta_in_commit_timestamp_preferred(spark, qc, tmp_path):
     """ICT tables (round 10): commitInfo.inCommitTimestamp is the
     authoritative commit time — time travel and CDF timestamp bounds

@@ -119,6 +119,33 @@ def test_iceberg_v3_deletion_vectors(qc, spark, table, tmp_path):
         == got3
 
 
+def test_iceberg_v3_duplicate_dv_refuses(qc, spark, tmp_path):
+    """Two deletion vectors referencing the same data file in one
+    snapshot violate the spec's one-DV-per-file rule — both the
+    snapshot read and the change stream refuse 'table is corrupt'
+    instead of silently letting the last one win (review finding:
+    the change stream's parent-side dict collapse would re-emit
+    already-dead positions as phantom deletes)."""
+    from quokka_spark.sources.iceberg_local import \
+        create_local_iceberg_table
+    from quokka_spark.sources.puffin import write_puffin_dv
+    a = str(tmp_path / "a.parquet")
+    spark.range(0, 6).coalesce(1).toPandas().to_parquet(a)
+    p = str(tmp_path / "dv.puffin")
+    info = write_puffin_dv(p, {a: [0]})
+    dv = {"path": p, "referenced_data_file": a,
+          "content_offset": info[a]["content_offset"],
+          "content_size_in_bytes": info[a]["content_size_in_bytes"]}
+    tbl = str(tmp_path / "dup")
+    s1, = create_local_iceberg_table(
+        tbl, [{"data": [a], "dvs": [dv, dict(dv)]}],
+        schema_fields=[(1, "id", "long")])
+    with pytest.raises(ValueError, match="at most one"):
+        qc.read_iceberg(tbl).df.collect()
+    with pytest.raises(ValueError, match="at most one"):
+        qc.read_iceberg_changes(tbl, s1, s1).df.collect()
+
+
 def test_iceberg_v3_feature_gates(qc, spark, table, tmp_path):
     """v3 gates: format-version 4 refuses; a v3 schema field with a
     default value refuses typed (null-filling it would serve wrong
