@@ -7339,6 +7339,68 @@ FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
 """
 
 
+def src_iceberg_refs(spark, sf_dir):
+    """Named snapshot references (round 11 — spec §Snapshot
+    References; iceberg_local.set_iceberg_ref / snapshot_for_ref):
+    supplier loads in two snapshots (low keys, then the rest); a TAG
+    pins the first; read_iceberg(ref=) must serve exactly the tagged
+    snapshot's rows even after a later rebuild commit (a position
+    delete against the CURRENT snapshot) — refs survive the rebuild
+    and time travel to the tag ignores the later delete."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import (
+        add_position_deletes, append_snapshot,
+        create_local_iceberg_table, set_iceberg_ref)
+    qc = _qc(spark)
+    sup = os.path.join(sf_dir, "supplier.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_refs_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(sup, columns=[
+            "s_suppkey", "s_nationkey", "s_acctbal"])
+        cut = pc.less(t.column("s_suppkey"),
+                      pa.scalar(50, type=t.schema.field(
+                          "s_suppkey").type))
+        lo = os.path.join(base, "lo.parquet")
+        hi = os.path.join(base, "hi.parquet")
+        pq.write_table(t.filter(cut), lo)
+        pq.write_table(t.filter(pc.invert(cut)), hi)
+        (s1,) = create_local_iceberg_table(
+            tbl, [[lo]],
+            schema_fields=[(1, "s_suppkey", "long"),
+                           (2, "s_nationkey", "long"),
+                           (3, "s_acctbal", "double")])
+        append_snapshot(tbl, [hi])
+        set_iceberg_ref(tbl, "v1", s1, kind="tag")
+        # later rebuild commit: deletes the first row of lo from the
+        # CURRENT snapshot — the tag must still see it
+        add_position_deletes(tbl, {lo: [0]})
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (qc.read_iceberg(tbl, ref="v1").df
+            .groupBy("s_nationkey")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("sum_bal")))
+
+
+_SRC_ICEBERG_REFS_SQL = """
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+       round(sum(s_acctbal), 2) AS sum_bal
+FROM supplier WHERE s_suppkey < 50
+GROUP BY s_nationkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
@@ -7379,10 +7441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window), `src_delta_ts_travel` (iceberg/hudi ts-travel gates
     keep the shape pytest-oracled), `tpch_q2/q11/q20` (q1/q3/q21's
     shapes cover), `stream_src_delta_partitioned`, `mm_metadata`.
-    ALL 195 entries (incl. round 11's src_delta_constraints /
-    src_iceberg_dv / src_iceberg_dv_cdf machinery gates, rotation
-    candidates for round 12) stay pytest-oracle-checked in
-    tests/test_oracle_parity.py."""
+    ALL 196 entries (incl. round 11's src_delta_constraints /
+    src_iceberg_dv / src_iceberg_dv_cdf / src_iceberg_refs machinery
+    gates, rotation candidates for round 12) stay
+    pytest-oracle-checked in tests/test_oracle_parity.py."""
     return {
         # ---- driver-checked window (first 50) -------------------------
         # TPC-H suite (15 in-window; the 7 single/two-table micro
@@ -7517,6 +7579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_constraints": src_delta_constraints,
         "src_iceberg_dv": src_iceberg_dv,
         "src_iceberg_dv_cdf": src_iceberg_dv_cdf,
+        "src_iceberg_refs": src_iceberg_refs,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -7731,6 +7794,7 @@ def oracle_sql() -> dict[str, str]:
         "src_delta_constraints": _SRC_DELTA_CONSTRAINTS_SQL,
         "src_iceberg_dv": _SRC_ICEBERG_DV_SQL,
         "src_iceberg_dv_cdf": _SRC_ICEBERG_DV_CDF_SQL,
+        "src_iceberg_refs": _SRC_ICEBERG_REFS_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,

@@ -335,7 +335,8 @@ class QuokkaContext:
     def read_iceberg(self, table: str, snapshot: int | None = None,
                      partition_filter: str | None = None,
                      scan_filter: str | None = None,
-                     as_of_timestamp=None) -> DataStream:
+                     as_of_timestamp=None,
+                     ref: str | None = None) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).
 
         Prefers the iceberg-spark runtime jar. When the jar is absent
@@ -353,9 +354,39 @@ class QuokkaContext:
         files (on the jar path both filters are pushed down and the
         jar prunes natively)."""
         import os
-        if as_of_timestamp is not None and snapshot is not None:
-            raise ValueError("pass snapshot OR as_of_timestamp, not both")
+        if sum(x is not None
+               for x in (snapshot, as_of_timestamp, ref)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot / as_of_timestamp / ref")
+        if ref is not None:
+            # named BRANCH/TAG (spec §Snapshot References, round 11):
+            # resolve to its snapshot-id from the table metadata —
+            # local directories via the pure-Python reader, catalog
+            # tables via pyiceberg below; the jar path is skipped
+            # because silently reading main instead of the ref would
+            # be wrong, and branch-vs-tag needs the metadata anyway
+            if os.path.isdir(os.path.join(
+                    table.removeprefix("file://"), "metadata")):
+                from .sources.iceberg_local import snapshot_for_ref
+                snapshot = snapshot_for_ref(table, ref)
+                ref = None
         reader = self.spark.read.format("iceberg")
+        if ref is not None:
+            # catalog table: let read_iceberg_catalog resolve via
+            # pyiceberg metadata (the jar fallback would mis-serve)
+            try:
+                import pyiceberg  # noqa: F401
+            except ImportError as e:
+                raise RuntimeError(
+                    "read_iceberg(ref=...) on a catalog table needs "
+                    "pyiceberg to resolve the branch/tag; local "
+                    "table directories resolve without it") from e
+            from .sources.iceberg_catalog import read_iceberg_catalog
+            return DataStream(
+                self, read_iceberg_catalog(
+                    self.spark, table,
+                    partition_filter=partition_filter,
+                    scan_filter=scan_filter, ref=ref))
         if snapshot is not None:
             reader = reader.option("snapshot-id", snapshot)
         if as_of_timestamp is not None:

@@ -56,7 +56,8 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
                          partition_filter: str | None = None,
                          scan_filter: str | None = None,
                          as_of_timestamp=None,
-                         catalog: str | None = None):
+                         catalog: str | None = None,
+                         ref: str | None = None):
     """DataFrame over a CATALOG Iceberg table: pyiceberg resolves the
     table and plans the file set (its planner applies partition and
     metrics pruning when the filter parses); Spark's native parquet
@@ -67,6 +68,22 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
 
     cat = load_catalog(catalog) if catalog else load_catalog()
     tbl = cat.load_table(table)
+    if ref is not None:
+        # named branch/tag (spec §Snapshot References): resolve from
+        # the metadata pyiceberg already holds
+        refs = getattr(tbl.metadata, "refs", None) or {}
+        r = refs.get(ref)
+        if r is None:
+            raise ValueError(
+                f"{table}: no branch or tag {ref!r} "
+                f"(refs: {sorted(refs) or 'none'})")
+        sid = getattr(r, "snapshot_id", None)
+        if sid is None and isinstance(r, dict):
+            sid = r.get("snapshot-id")
+        if sid is None:
+            raise ValueError(
+                f"{table}: ref {ref!r} carries no snapshot id")
+        snapshot = int(sid)
     if as_of_timestamp is not None:
         from .delta_local import _to_epoch_ms
         snapshot = _snapshot_at_timestamp(tbl,

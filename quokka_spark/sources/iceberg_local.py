@@ -828,6 +828,57 @@ def _arrow_type_ok(ityp: str, at) -> bool:
     return False
 
 
+def snapshot_for_ref(table_path: str, ref: str) -> int:
+    """snapshot-id of a named BRANCH or TAG (metadata ``refs``, spec
+    §Snapshot References — what the jar resolves for
+    ``VERSION AS OF 'name'`` / ``.option("branch"/"tag", name)``).
+    Unknown names refuse listing the table's refs."""
+    meta = _read_table_metadata(table_path)
+    refs = meta.get("refs") or {}
+    r = refs.get(ref)
+    if r is None:
+        raise ValueError(
+            f"{table_path}: no branch or tag {ref!r} "
+            f"(refs: {sorted(refs) or 'none'})")
+    return int(r["snapshot-id"])
+
+
+def set_iceberg_ref(table_dir: str, name: str, snapshot_id: int,
+                    kind: str = "tag") -> None:
+    """Create or move a named snapshot reference (branch or tag) —
+    the metadata-only half of the jar's createTag/createBranch.
+    Refuses an id the table does not have (a dangling ref would make
+    every later ref read fail)."""
+    if kind not in ("tag", "branch"):
+        raise ValueError(f"kind must be 'tag' or 'branch', not {kind!r}")
+    meta = _read_table_metadata(table_dir)
+    have = {int(s["snapshot-id"]) for s in meta.get("snapshots", [])}
+    if int(snapshot_id) not in have:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in {table_dir} "
+            f"(have {sorted(have)})")
+    refs = dict(meta.get("refs") or {})
+    refs[str(name)] = {"snapshot-id": int(snapshot_id), "type": kind}
+    meta["refs"] = refs
+    _publish_metadata(os.path.join(_local(table_dir), "metadata"),
+                      meta)
+
+
+def drop_iceberg_ref(table_dir: str, name: str) -> None:
+    """Remove a named snapshot reference (the jar's dropTag/
+    dropBranch); unknown names refuse like snapshot_for_ref."""
+    meta = _read_table_metadata(table_dir)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(
+            f"{table_dir}: no branch or tag {name!r} "
+            f"(refs: {sorted(refs) or 'none'})")
+    del refs[name]
+    meta["refs"] = refs
+    _publish_metadata(os.path.join(_local(table_dir), "metadata"),
+                      meta)
+
+
 def _dv_one_per_file(table_path: str, dvs: list) -> None:
     seen: set = set()
     for d in dvs:
@@ -1268,7 +1319,8 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                                collect_bounds: list | None = None,
                                partition_specs: list | None = None,
                                default_spec_id: int | None = None,
-                               min_last_column_id: int = 0
+                               min_last_column_id: int = 0,
+                               meta_extra: dict | None = None
                                ) -> list[int]:
     """Write a spec-shaped Iceberg v2 table whose snapshot N contains
     ``snapshots[N]`` — either a plain list of parquet data-file paths,
@@ -1486,6 +1538,11 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                 [int(min_last_column_id)]
                 + [int(f["id"]) for s in schemas
                    for f in s.get("fields", []) if "id" in f])}
+    if meta_extra:
+        # rebuild-surviving metadata the snapshot specs don't encode
+        # (e.g. the refs map — dropping it on every commit would
+        # silently delete the table's branches and tags)
+        meta.update(meta_extra)
     # shared publish: next non-colliding v<N>.metadata.json +
     # version-hint (readers follow the hint, so N is opaque)
     _publish_metadata(meta_dir, meta)
@@ -1919,10 +1976,17 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                for f in s.get("fields", []) if "id" in f])
     schema_fields = _evolved_schema_fields(schema_fields,
                                            evolve_from_df, floor)
+    extra = None
+    if prior and os.path.isdir(os.path.join(_local(table_dir),
+                                            "metadata")):
+        refs = _read_table_metadata(table_dir).get("refs")
+        if refs:
+            extra = {"refs": refs}
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
                                      partition_spec=partition_spec,
-                                     min_last_column_id=floor)
+                                     min_last_column_id=floor,
+                                     meta_extra=extra)
     return ids[-1]
 
 
@@ -2099,6 +2163,18 @@ def expire_snapshots_local(table_dir: str, keep_last: int = 1,
     meta = _read_table_metadata(table_dir)
     snaps = meta.get("snapshots", [])
     kept = snaps[-keep_last:]
+    # branches/tags protect their snapshots (the jar's
+    # expireSnapshots never drops a referenced one) — a silently
+    # dangling ref would fail every later ref read
+    kept_ids = {int(s["snapshot-id"]) for s in kept}
+    pinned = {name: int(r["snapshot-id"])
+              for name, r in (meta.get("refs") or {}).items()
+              if int(r["snapshot-id"]) not in kept_ids}
+    if pinned:
+        raise ValueError(
+            f"expire would drop snapshot(s) still referenced by "
+            f"branch/tag {sorted(pinned)} — drop the ref(s) first "
+            "(drop_iceberg_ref) or keep more history")
     referenced: set = set()
     if delete_orphans:
         for s in kept:

@@ -119,6 +119,68 @@ def test_iceberg_v3_deletion_vectors(qc, spark, table, tmp_path):
         == got3
 
 
+def test_iceberg_branch_tag_refs(qc, spark, table, tmp_path,
+                                 monkeypatch):
+    """Named snapshot references (spec §Snapshot References, round
+    11): set_iceberg_ref creates a tag/branch, read_iceberg(ref=)
+    resolves it (local dir via metadata, catalog via pyiceberg refs),
+    refs SURVIVE rebuild commits, expiry refuses to drop a
+    referenced snapshot until the ref is dropped, and unknown names
+    list the table's refs."""
+    from quokka_spark.sources.iceberg_local import (
+        add_position_deletes, drop_iceberg_ref, expire_snapshots_local,
+        set_iceberg_ref, snapshot_files)
+    tbl, (s1, s2) = table                    # a: 0..9; a+b: 0..24
+    set_iceberg_ref(tbl, "v1.0", s1, kind="tag")
+    set_iceberg_ref(tbl, "audit", s2, kind="branch")
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg(tbl, ref="v1.0").df.collect()) \
+        == list(range(10))
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg(tbl, ref="audit").df.collect()) \
+        == list(range(25))
+    # a rebuild commit (position delete) must not drop the refs
+    (a_path,), _ = snapshot_files(tbl, s1)
+    add_position_deletes(tbl, {a_path: [0]})
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg(tbl, ref="v1.0").df.collect()) \
+        == list(range(10))
+    with pytest.raises(ValueError, match="no branch or tag"):
+        qc.read_iceberg(tbl, ref="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        qc.read_iceberg(tbl, ref="v1.0", snapshot=s1)
+    with pytest.raises(ValueError, match="not in"):
+        set_iceberg_ref(tbl, "bad", 424242)
+    # expiry refuses while the tag pins s1; dropping it unblocks
+    with pytest.raises(ValueError, match="v1.0"):
+        expire_snapshots_local(tbl, keep_last=1)
+    drop_iceberg_ref(tbl, "v1.0")
+    with pytest.raises(ValueError, match="audit"):
+        expire_snapshots_local(tbl, keep_last=1)
+    drop_iceberg_ref(tbl, "audit")
+    expire_snapshots_local(tbl, keep_last=1)
+    with pytest.raises(ValueError, match="no branch or tag"):
+        drop_iceberg_ref(tbl, "v1.0")
+    # catalog path: pyiceberg refs resolve the same way
+    import pandas as pd
+    f1 = str(tmp_path / "r1.parquet")
+    f2 = str(tmp_path / "r2.parquet")
+    pd.DataFrame({"id": [1], "v": [1.0]}).to_parquet(f1)
+    pd.DataFrame({"id": [2], "v": [2.0]}).to_parquet(f2)
+    import types
+    built = _install_fake_pyiceberg(monkeypatch, {
+        "db.r": {"files_at": {None: [f1, f2], 7: [f1]},
+                 "snapshots": [(7, 1000), (8, 2000)],
+                 "schema": [("id", "long"), ("v", "double")]}})
+    built["db.r"].metadata.refs = {
+        "rel": types.SimpleNamespace(snapshot_id=7)}
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg("db.r", ref="rel").df.collect()) \
+        == [1]
+    with pytest.raises(ValueError, match="no branch or tag"):
+        qc.read_iceberg("db.r", ref="missing")
+
+
 def test_iceberg_v3_duplicate_dv_refuses(qc, spark, tmp_path):
     """Two deletion vectors referencing the same data file in one
     snapshot violate the spec's one-DV-per-file rule — both the
@@ -1826,7 +1888,7 @@ def test_iceberg_timestamp_time_travel(spark, qc, tmp_path):
     assert sorted(r["id"] for r in got.collect()) == list(range(5))
     with pytest.raises(ValueError, match="before"):
         snapshot_at_timestamp(tbl, 999)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         qc.read_iceberg(tbl, snapshot=s1, as_of_timestamp=1500)
     # a rebuild-style commit keeps prior timestamps and stamps now
     c = str(tmp_path / "c.parquet")
