@@ -1704,7 +1704,7 @@ def _apply_generated_columns(df, meta: dict):
         fields = StructType.fromJson(
             _json.loads(meta["schemaString"])).fields
     except (KeyError, ValueError, TypeError):
-        return df
+        return df, []
     checks = []
     for f in fields:
         expr = (f.metadata or {}).get("delta.generationExpression")

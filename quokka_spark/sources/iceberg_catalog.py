@@ -126,7 +126,7 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     # deletes are scoped to each delete file's applicable data files
     # — merging two eq-delete files with different scopes would
     # delete matching rows from files the spec says they never touch.
-    pos_paths: set = set()
+    pos_apply: dict = {}          # delete path → {applicable data files}
     eq_apply: dict = {}           # (equality_ids, delete path) → {data files}
     dv_files: list = []           # v3 puffin deletion vectors
     for t in tasks:
@@ -142,20 +142,21 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
                 # planner doesn't surface them (feeding a puffin
                 # container to the parquet pos-delete scan would die
                 # with a raw not-a-parquet error)
-                ref = getattr(d, "referenced_data_file", None)
+                ref_file = getattr(d, "referenced_data_file", None)
                 off = getattr(d, "content_offset", None)
                 sz = getattr(d, "content_size_in_bytes", None)
-                if not ref or off is None or sz is None:
+                if not ref_file or off is None or sz is None:
                     raise NotImplementedError(
                         f"catalog table {table}: deletion vector "
                         f"{d.file_path} lacks the referenced_data_"
                         "file/content_offset/content_size_in_bytes "
                         "locator fields — upgrade pyiceberg or read "
                         "as a local table directory")
-                dv_files.append((str(ref), str(d.file_path),
+                dv_files.append((str(ref_file), str(d.file_path),
                                  int(off), int(sz)))
             elif c == 1:          # DataFileContent.POSITION_DELETES
-                pos_paths.add(str(d.file_path))
+                pos_apply.setdefault(str(d.file_path), set()).add(
+                    str(t.file.file_path))
             elif c == 2:          # DataFileContent.EQUALITY_DELETES
                 ids = tuple(int(i) for i in
                             (getattr(d, "equality_ids", None) or ()))
@@ -191,7 +192,7 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     else:
         df = spark.read.schema(rs).parquet(
             *[f.removeprefix("file://") for f in files])
-    if files and (pos_paths or eq_apply or dv_files):
+    if files and (pos_apply or eq_apply or dv_files):
         from pyspark.sql import functions as F
 
         from .iceberg_local import _norm_path, _py_norm
@@ -237,17 +238,33 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
                 dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                 & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                 "left_anti")
-        if pos_paths:
+        if pos_apply:
             # the same (file, row position) anti-join as
-            # iceberg_local's local-directory reader; distinct keeps
-            # re-deleted positions from inflating the build side
-            dd = (spark.read.parquet(
-                *[p.removeprefix("file://")
-                  for p in sorted(pos_paths)])
-                .select(_norm_path(F.col("file_path"))
-                        .alias("__qs_dfp__"),
-                        F.col("pos").cast("long").alias("__qs_dpos__"))
-                .distinct())
+            # iceberg_local's local-directory reader, but scoped to
+            # the planner's per-task attachment: a delete row only
+            # builds if its named file is one the planner attached
+            # that delete file to (sequence-number scoping — without
+            # it, pathological data-file path reuse across rewrites
+            # would resurrect old deletes). Groups sharing an
+            # applicable set merge into one scan; one union'd build
+            # side keeps a single anti-join. distinct keeps
+            # re-deleted positions from inflating the build side.
+            groups: dict = {}
+            for dpath, dfiles in pos_apply.items():
+                groups.setdefault(frozenset(dfiles), set()).add(dpath)
+            dd = None
+            for dfiles, dpaths in sorted(groups.items(), key=str):
+                part = (spark.read.parquet(
+                    *[p.removeprefix("file://")
+                      for p in sorted(dpaths)])
+                    .select(_norm_path(F.col("file_path"))
+                            .alias("__qs_dfp__"),
+                            F.col("pos").cast("long")
+                            .alias("__qs_dpos__"))
+                    .where(F.col("__qs_dfp__").isin(
+                        [_py_norm(p) for p in sorted(dfiles)])))
+                dd = part if dd is None else dd.unionByName(part)
+            dd = dd.distinct()
             df = df.join(
                 dd, (F.col("__qs_fp__") == F.col("__qs_dfp__"))
                 & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
