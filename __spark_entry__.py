@@ -7441,10 +7441,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window), `src_delta_ts_travel` (iceberg/hudi ts-travel gates
     keep the shape pytest-oracled), `tpch_q2/q11/q20` (q1/q3/q21's
     shapes cover), `stream_src_delta_partitioned`, `mm_metadata`.
-    ALL 196 entries (incl. round 11's src_delta_constraints /
-    src_iceberg_dv / src_iceberg_dv_cdf / src_iceberg_refs machinery
-    gates, rotation candidates for round 12) stay
-    pytest-oracle-checked in tests/test_oracle_parity.py."""
+    Round-12 rotation (round-11 verdict #1): IN — the round-11
+    protocol machinery `src_iceberg_dv`, `src_iceberg_dv_cdf`,
+    `src_iceberg_refs`, `src_delta_constraints`; OUT — `tpch_q22`
+    (q13/q16 keep the agg shapes), `src_delta_checkpoint` (auto + v2
+    checkpoint gates keep the replay shape), `src_delta_restore`
+    (iceberg/hudi restores + history keep the shape),
+    `stream_sink_hudi` (delta/iceberg sinks keep the exactly-once
+    contract). ALL entries stay pytest-oracle-checked in
+    tests/test_oracle_parity.py."""
     return {
         # ---- driver-checked window (first 50) -------------------------
         # TPC-H suite (15 in-window; the 7 single/two-table micro
@@ -7455,7 +7460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8": tpch_q8, "tpch_q9": tpch_q9, "tpch_q10": tpch_q10,
         "tpch_q13": tpch_q13,
         "tpch_q16": tpch_q16,
-        "tpch_q18": tpch_q18, "tpch_q22": tpch_q22,
+        "tpch_q18": tpch_q18,
         "tpch_q21": tpch_q21,
         # time series (6) + streaming (2)
         "ts_tumbling": ts_tumbling,
@@ -7479,10 +7484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linalg / ML / graph (3)
         "agg_gramian": agg_gramian, "ml_kmeans": ml_kmeans,
         "graph_pagerank": graph_pagerank,
-        # sources (5: checkpoint replay, executor-side DV decode,
-        # Hudi MoR log merge, REAL HoodieLogFormat framing + the
-        # log-derived CDF read — the round-8/9 headlines)
-        "src_delta_checkpoint": src_delta_checkpoint,
+        # sources (4: executor-side DV decode, Hudi MoR log merge,
+        # REAL HoodieLogFormat framing + the log-derived CDF read —
+        # the round-8/9 headlines; src_delta_checkpoint rotated out
+        # round 12, auto+v2 checkpoint gates keep the replay shape)
         "src_delta_dv": src_delta_dv,
         "src_hudi_mor": src_hudi_mor,
         "src_hudi_logfmt": src_hudi_logfmt,
@@ -7499,19 +7504,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental reads
         "src_delta_auto_checkpoint": src_delta_auto_checkpoint,
         "src_delta_v2_checkpoint": src_delta_v2_checkpoint,
-        "src_delta_restore": src_delta_restore,
         "src_iceberg_restore": src_iceberg_restore,
         "src_hudi_restore": src_hudi_restore,
         "src_iceberg_multispec": src_iceberg_multispec,
         "src_iceberg_cdf": src_iceberg_cdf,
         "src_hudi_incr": src_hudi_incr,
-        # streaming (4: the exactly-once sink TRIO + the Delta SOURCE;
-        # the partitioned source variant rotated out round 11)
+        # round-12 rotation IN (round-11 verdict #1): the round-11
+        # protocol machinery — Iceberg v3 deletion vectors + their CDF
+        # diffs, branch/tag refs, and evaluated Delta CHECK
+        # constraints / invariants / generated+identity columns
+        "src_iceberg_dv": src_iceberg_dv,
+        "src_iceberg_dv_cdf": src_iceberg_dv_cdf,
+        "src_iceberg_refs": src_iceberg_refs,
+        "src_delta_constraints": src_delta_constraints,
+        # streaming (3: delta + iceberg exactly-once sinks + the Delta
+        # SOURCE; stream_sink_hudi rotated out round 12 — the sink
+        # contract stays shape-covered by the delta/iceberg pair)
         "stream_sink_delta": stream_sink_delta,
         "stream_sink_iceberg": stream_sink_iceberg,
-        "stream_sink_hudi": stream_sink_hudi,
         "stream_src_delta": stream_src_delta,
         # ---- past the driver window (pytest-oracle-checked) -----------
+        # round-12 rotation OUT (shapes stay covered in-window)
+        "tpch_q22": tpch_q22,
+        "src_delta_checkpoint": src_delta_checkpoint,
+        "src_delta_restore": src_delta_restore,
+        "stream_sink_hudi": stream_sink_hudi,
         "tpch_q2": tpch_q2, "tpch_q11": tpch_q11, "tpch_q20": tpch_q20,
         "tpch_q4": tpch_q4, "tpch_q6": tpch_q6, "tpch_q12": tpch_q12,
         "tpch_q14": tpch_q14, "tpch_q15": tpch_q15,
@@ -7575,11 +7592,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
         "src_delta_cm_id_partitioned": src_delta_cm_id_partitioned,
-        # round-11 machinery gates (rotation candidates for round 12)
-        "src_delta_constraints": src_delta_constraints,
-        "src_iceberg_dv": src_iceberg_dv,
-        "src_iceberg_dv_cdf": src_iceberg_dv_cdf,
-        "src_iceberg_refs": src_iceberg_refs,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
