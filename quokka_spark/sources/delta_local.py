@@ -1555,14 +1555,21 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
     turns the agg row into the ``{column: new high-water mark}``
     dict, so identity adds NO Spark job of its own.
 
-    Scale note: dense allocation uses one global row_number window —
-    a deliberate single coordination point that keeps the allocated
-    VALUE SET deterministic (base + step·[0, N)) even if Spark
-    recomputes the plan between the mark calculation and the data
-    write; identity batches are ingest-sized, and the jar's
-    per-partition range allocation is the same coordination done
-    driver-side. The mark itself is pure arithmetic off the shared
-    pass's row count."""
+    Scale note (round 12): dense allocation on a MULTI-partition
+    batch uses the jar's per-partition RANGE scheme — one
+    count-per-partition job, the driver prefix-sums the counts into
+    per-partition bases, and each partition numbers its own rows
+    (spark_partition_id + the low 33 bits of
+    monotonically_increasing_id, which Spark defines as the
+    consecutive in-partition record number) — so a bulk initial load
+    never funnels through a single task. Single-partition batches
+    keep the global row_number window (its SinglePartition exchange
+    is the batch's own single partition — no extra movement, no
+    count job). Both paths allocate the same deterministic VALUE SET
+    base + step·[0, N); under a non-deterministic upstream the
+    row→value ASSIGNMENT can shift on recomputation in either path
+    (row_number over monotonically_increasing_id order is equally
+    non-deterministic), the set cannot."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1583,6 +1590,8 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
     aggs: list = []
     pending: list = []
     need_count = False
+    part_offsets: dict | None = None   # pid → allocated range offset
+    part_total = 0                     # shared across alloc columns
     for f in fields:
         md = f.metadata or {}
         if not any(str(k).startswith("delta.identity.") for k in md):
@@ -1621,14 +1630,42 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
         # explicit insert left the mark there (review finding)
         base = start if hwm is None else int(hwm) + step
         base = max(base, start) if step > 0 else min(base, start)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        df = df.withColumn(
-            f.name,
-            (F.lit(base)
-             + F.lit(step) * (F.row_number().over(w) - 1))
-            .cast(f.dataType))
-        pending.append(("alloc", f.name, step, base, None))
-        need_count = True
+        if part_offsets is None and df.rdd.getNumPartitions() > 1:
+            counts = sorted(
+                (int(r["__qs_pid__"]), int(r["__qs_n__"]))
+                for r in df.groupBy(
+                    F.spark_partition_id().alias("__qs_pid__"))
+                .agg(F.count(F.lit(1)).alias("__qs_n__"))
+                .collect())
+            part_offsets, part_total = {}, 0
+            for pid, n in counts:
+                part_offsets[pid] = part_total
+                part_total += n
+        if part_offsets is not None:
+            if part_offsets:
+                omap = F.create_map(*[
+                    F.lit(x) for pid, off in part_offsets.items()
+                    for x in (pid, off)])
+                idx = (F.element_at(omap, F.spark_partition_id())
+                       + F.monotonically_increasing_id()
+                       .bitwiseAND(F.lit((1 << 33) - 1)))
+                df = df.withColumn(
+                    f.name,
+                    (F.lit(base) + F.lit(step) * idx)
+                    .cast(f.dataType))
+            else:  # counted empty — keep schema, nothing allocates
+                df = df.withColumn(
+                    f.name, F.lit(None).cast(f.dataType))
+            pending.append(("ranged", f.name, step, base, part_total))
+        else:
+            w = Window.orderBy(F.monotonically_increasing_id())
+            df = df.withColumn(
+                f.name,
+                (F.lit(base)
+                 + F.lit(step) * (F.row_number().over(w) - 1))
+                .cast(f.dataType))
+            pending.append(("alloc", f.name, step, base, None))
+            need_count = True
     if need_count:
         aggs.append(("__qs_idn__", F.count(F.lit(1))))
     if pending:
@@ -1639,7 +1676,12 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
     def finalize(row) -> dict:
         updates: dict = {}
         for kind, name, step, extra, alias in pending:
-            if kind == "alloc":
+            if kind == "ranged":
+                # mark comes from the count job's own total — the
+                # values it allocated — not the pre-pass row count
+                if alias > 0:
+                    updates[name] = extra + step * (alias - 1)
+            elif kind == "alloc":
                 n = int(row["__qs_idn__"] or 0)
                 if n > 0:
                     updates[name] = extra + step * (n - 1)
@@ -1757,7 +1799,9 @@ def _prepare_write_batch(df, meta: dict, allocate: bool = True):
             for i, (_n, ok, _d, _k) in enumerate(checks)]
     aggs += [col.alias(name) for name, col in id_aggs]
     if not aggs:
-        return df, {}
+        # no pre-pass needed — but ranged identity allocation already
+        # counted its partitions, so its marks finalize row-free
+        return df, id_final(None)
     row = df.agg(*aggs).first()
     bad = [(name, detail, kind, int(row[f"c{i}"] or 0))
            for i, (name, _ok, detail, kind) in enumerate(checks)

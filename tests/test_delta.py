@@ -3037,6 +3037,67 @@ def test_delta_identity_columns_lifecycle(spark, qc, tmp_path):
     assert got3 == [500, 510]          # continues past the explicit
 
 
+def test_delta_identity_bulk_load_per_partition_ranges(
+        spark, qc, tmp_path):
+    """Round-12 (round-11 verdict #3): dense identity allocation on a
+    MULTI-partition batch uses the jar's per-partition RANGE scheme —
+    the physical plan of the prepared batch must carry NO
+    SinglePartition exchange (the global row_number window funneled
+    the ENTIRE bulk load through one task), and the allocated values
+    are still the exact dense set base + step·[0, N) with the mark
+    advanced to the last value. Single-partition batches keep the
+    window path (its SinglePartition exchange moves nothing — the
+    batch IS one partition)."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  _prepare_write_batch,
+                                                  _replay,
+                                                  write_delta_local)
+
+    tbl = str(tmp_path / "identbulk")
+    os.makedirs(tbl)
+    fields = [
+        {"name": "rid", "type": "long", "nullable": True,
+         "metadata": {"delta.identity.start": 100,
+                      "delta.identity.step": 10}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {}},
+    ]
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {"id": "identbulk", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {"type": "struct", "fields": fields}),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0}}])
+    _, meta, _, _ = _replay(tbl, None)
+
+    n = 10_000
+    batch = spark.range(n).selectExpr("cast(id as double) AS v") \
+        .repartition(8)
+    prepared, updates = _prepare_write_batch(batch, meta)
+    plan = prepared._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert updates == {"rid": 100 + 10 * (n - 1)}
+
+    # end-to-end: the committed values are the exact dense set and
+    # the mark persisted with the data
+    write_delta_local(batch, tbl, mode="append")
+    got = [r["rid"] for r in qc.read_delta(tbl).df.collect()]
+    assert sorted(got) == list(range(100, 100 + 10 * n, 10))
+    _, meta2, _, _ = _replay(tbl, None)
+    md = _json.loads(meta2["schemaString"])["fields"][0]["metadata"]
+    assert int(md["delta.identity.highWaterMark"]) == 100 + 10 * (n - 1)
+    # and the next (single-partition) append continues past it
+    write_delta_local(
+        spark.createDataFrame([(1.5,)], "v double").coalesce(1),
+        tbl, mode="append")
+    got2 = sorted(r["rid"] for r in qc.read_delta(tbl).df.collect())
+    assert got2[-1] == 100 + 10 * n
+
+
 def test_delta_write_features_review_regressions(spark, qc, tmp_path):
     """Round-11 review findings: (a) OVERWRITE on a feature-declaring
     table keeps the field metadata and configuration — adopting the
