@@ -279,6 +279,109 @@ def lakehouse_suite(spark) -> tuple[dict, dict]:
     return timings, errors
 
 
+def _read_steal_ticks() -> tuple[int, int]:
+    """(steal ticks, total ticks) from the aggregate /proc/stat cpu
+    line. steal is field 8 (user nice system idle iowait irq softirq
+    STEAL guest guest_nice) — present since Linux 2.6.11; absent
+    fields read as 0 on non-virtualized or non-Linux hosts."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def sample_steal(duration: float = 30.0,
+                 window: float = 5.0) -> list[float]:
+    """Per-window steal%% over ``duration`` wall seconds. Returns []
+    when /proc/stat is unreadable (non-Linux)."""
+    try:
+        s0, t0 = _read_steal_ticks()
+    except OSError:
+        return []
+    out = []
+    end = time.monotonic() + duration - 1e-3
+    while time.monotonic() < end:
+        time.sleep(window)
+        s1, t1 = _read_steal_ticks()
+        dt = t1 - t0
+        out.append(round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else 0.0)
+        s0, t0 = s1, t1
+    return out
+
+
+def _trace_summary(trace: list[float]) -> dict:
+    return {
+        "trace_pct": trace,
+        "mean_pct": round(sum(trace) / len(trace), 3) if trace else 0.0,
+        "max_window_pct": max(trace) if trace else 0.0,
+    }
+
+
+def steal_gate(max_attempts: int = 6, duration: float = 30.0,
+               window: float = 5.0, mean_limit: float = 1.0,
+               max_limit: float = 5.0) -> dict:
+    """Gate the official run on a calm hypervisor-steal window
+    (round-11 lesson: the recorded 54s artifact was a steal-window
+    outlier — identical code ran 41s calm; one stolen vCPU stalls a
+    32-task barrier, so wide many-task plans swing hardest). Sample
+    ~30s of /proc/stat steal; proceed when the mean is <=1%% and no
+    5-s window exceeds 5%%, else wait and retry (bounded — after
+    ``max_attempts`` the bench RUNS anyway and the recorded gate
+    marks itself exhausted, so adjudication is in-artifact)."""
+    attempts = []
+    for _ in range(max_attempts):
+        trace = sample_steal(duration, window)
+        if not trace:
+            return {"passed": None, "reason": "steal unavailable "
+                    "(/proc/stat unreadable)", "attempts": []}
+        att = _trace_summary(trace)
+        attempts.append(att)
+        if att["mean_pct"] <= mean_limit \
+                and att["max_window_pct"] <= max_limit:
+            return {"passed": True, "mean_limit_pct": mean_limit,
+                    "max_window_limit_pct": max_limit,
+                    "attempts": attempts}
+    return {"passed": False, "reason": "retries exhausted — bench ran "
+            "anyway; adjudicate against steal_during",
+            "mean_limit_pct": mean_limit,
+            "max_window_limit_pct": max_limit, "attempts": attempts}
+
+
+class StealMonitor:
+    """Background 5-s steal sampler covering the WHOLE timed run, so
+    BENCH_rN carries the during-run trace the round-11 adjudication
+    had to reconstruct by hand in SCALE.md."""
+
+    def __init__(self, window: float = 5.0):
+        import threading
+        self._window = window
+        self._trace: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        try:
+            s0, t0 = _read_steal_ticks()
+        except OSError:
+            return
+        while not self._stop.wait(self._window):
+            s1, t1 = _read_steal_ticks()
+            dt = t1 - t0
+            self._trace.append(
+                round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else 0.0)
+            s0, t0 = s1, t1
+
+    def start(self) -> "StealMonitor":
+        self._thread.start()
+        return self
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=self._window + 1.0)
+        return _trace_summary(self._trace)
+
+
 def calibration(spark, sf_dir: str | None = None) -> dict:
     """Fixed, repo-code-independent workloads timed min-of-3 per AXIS
     so cross-round BENCH files can be normalized for host drift
@@ -348,6 +451,13 @@ def main():
     from quokka_spark.session import build_spark
     import __spark_entry__ as entry_mod
 
+    # steal-gate the official run (round-11 verdict #2); set
+    # SPARK_GRAFT_STEAL_GATE=0 to skip while iterating locally
+    gate = {"passed": None, "reason": "skipped via env", "attempts": []}
+    if os.environ.get("SPARK_GRAFT_STEAL_GATE", "1") != "0":
+        gate = steal_gate()
+    monitor = StealMonitor().start()
+
     spark = build_spark(app_name="quokka_spark_bench", cpus=CPUS)
 
     # JVM/codegen warmup + python-UDF worker pool spin-up (one tiny
@@ -368,6 +478,7 @@ def main():
     errors.update(lake_errors)
 
     cal_post = calibration(spark, SF_DIR)
+    steal_during = monitor.stop()
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -388,6 +499,15 @@ def main():
         "calibration_sec": cal_pre["legacy"],
         "calibration_pre": cal_pre,
         "calibration_post": cal_post,
+        # hypervisor-steal evidence, in-artifact (round-11 lesson: the
+        # recorded 54s total was a steal-window outlier the builder's
+        # own out-of-band /proc/stat trace disqualified): steal_gate
+        # is the pre-run calm-window gate (mean<=1%, no 5s window >5%,
+        # bounded retries), steal_during the 5-s trace spanning the
+        # whole timed run — a regressed query under a spiky
+        # steal_during is host noise, not code
+        "steal_gate": gate,
+        "steal_during": steal_during,
         # methodology (for cross-round adjudication): each query runs
         # 1 warmup + 3 measured passes back-to-back, +2 extra measured
         # passes when min < 1.5s; reported value is the per-query MIN
