@@ -7401,6 +7401,88 @@ GROUP BY s_nationkey
 """
 
 
+def src_iceberg_lineage(spark, sf_dir):
+    """Iceberg format-v3 ROW LINEAGE (round 12 — spec §Row Lineage;
+    iceberg_local create/commit emit next-row-id, snapshot
+    first-row-id and explicit per-file first_row_id ranges; the
+    reader serves _row_id = first_row_id + row position and
+    _last_updated_sequence_number = the file's data sequence):
+    customer splits into even keys (snapshot 1, row ids [0, n_even),
+    seq 1) and odd keys (snapshot 2, ids continue, seq 2), both
+    key-sorted so each row's position is its key rank; a v3 DELETION
+    VECTOR then kills the even c_custkey % 7 = 0 rows — survivors
+    must keep their ORIGINAL row ids (lineage is stable under
+    deletes and the DV rebuild commit). Aggregates sum the lineage
+    columns per key group so any renumbering or seq drift
+    hash-mismatches."""
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import (
+        add_deletion_vectors, create_local_iceberg_table)
+    qc = _qc(spark)
+    cust = os.path.join(sf_dir, "customer.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_lineage_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(cust, columns=[
+            "c_custkey", "c_nationkey", "c_acctbal"])
+        t = t.sort_by("c_custkey")
+        even = pc.equal(pc.bit_wise_and(t.column("c_custkey"), 1), 0)
+        fe = os.path.join(base, "even.parquet")
+        fo = os.path.join(base, "odd.parquet")
+        pq.write_table(t.filter(even), fe)
+        pq.write_table(t.filter(pc.invert(even)), fo)
+        create_local_iceberg_table(
+            tbl, [[fe], [{"path": fe, "seq": 1}, fo]],
+            schema_fields=[(1, "c_custkey", "long"),
+                           (2, "c_nationkey", "long"),
+                           (3, "c_acctbal", "double")],
+            format_version=3)
+        ekeys = pq.read_table(fe, columns=["c_custkey"]) \
+            .column("c_custkey").to_pylist()
+        add_deletion_vectors(tbl, {
+            fe: [i for i, k in enumerate(ekeys) if k % 7 == 0]})
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (qc.read_iceberg(tbl, with_lineage=True).df
+            .groupBy((F.col("c_custkey") % 3).alias("g"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("_row_id").alias("sum_rid"),
+                 F.sum("_last_updated_sequence_number").alias("sum_seq"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+_SRC_ICEBERG_LINEAGE_SQL = """
+WITH evens AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+  FROM customer WHERE c_custkey % 2 = 0),
+odds AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey) - 1
+         + (SELECT count(*) FROM evens) AS rid
+  FROM customer WHERE c_custkey % 2 = 1),
+live AS (
+  SELECT c_custkey, c_acctbal, rid, 1 AS seq FROM evens
+  WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey, c_acctbal, rid, 2 AS seq FROM odds)
+SELECT c_custkey % 3 AS g, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(sum(seq) AS BIGINT) AS sum_seq,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM live GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
@@ -7592,6 +7674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
         "src_delta_cm_id_partitioned": src_delta_cm_id_partitioned,
+        # round-12 machinery gate (rotation candidate for round 13)
+        "src_iceberg_lineage": src_iceberg_lineage,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -7807,6 +7891,7 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_dv": _SRC_ICEBERG_DV_SQL,
         "src_iceberg_dv_cdf": _SRC_ICEBERG_DV_CDF_SQL,
         "src_iceberg_refs": _SRC_ICEBERG_REFS_SQL,
+        "src_iceberg_lineage": _SRC_ICEBERG_LINEAGE_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,

@@ -336,7 +336,8 @@ class QuokkaContext:
                      partition_filter: str | None = None,
                      scan_filter: str | None = None,
                      as_of_timestamp=None,
-                     ref: str | None = None) -> DataStream:
+                     ref: str | None = None,
+                     with_lineage: bool = False) -> DataStream:
         """Iceberg table, optional time travel (reference df.py:802-832).
 
         Prefers the iceberg-spark runtime jar. When the jar is absent
@@ -352,12 +353,23 @@ class QuokkaContext:
         bounds refute simple ``col op literal`` conjunctions —
         manifest-level pruning, so filtered reads open only matching
         files (on the jar path both filters are pushed down and the
-        jar prunes natively)."""
+        jar prunes natively). ``with_lineage`` (round 12) appends the
+        v3 row-lineage metadata columns ``_row_id`` and
+        ``_last_updated_sequence_number`` (spec §Row Lineage) —
+        served by the pure-Python local-directory reader; jar/catalog
+        paths refuse typed rather than silently omit them."""
         import os
         if sum(x is not None
                for x in (snapshot, as_of_timestamp, ref)) > 1:
             raise ValueError(
                 "pass at most one of snapshot / as_of_timestamp / ref")
+        if with_lineage and not os.path.isdir(os.path.join(
+                table.removeprefix("file://"), "metadata")):
+            raise NotImplementedError(
+                "with_lineage=True is served by the local-directory "
+                "metadata reader; jar/catalog reads would silently "
+                "omit the lineage columns — read the table directory, "
+                "or SELECT _row_id via the jar's own metadata columns")
         if ref is not None:
             # named BRANCH/TAG (spec §Snapshot References, round 11):
             # resolve to its snapshot-id from the table metadata —
@@ -393,6 +405,17 @@ class QuokkaContext:
             from .sources.delta_local import _to_epoch_ms
             reader = reader.option("as-of-timestamp",
                                    str(_to_epoch_ms(as_of_timestamp)))
+        if with_lineage:
+            # local directory (checked above): straight to the
+            # pure-Python reader — the jar path can't serve the flag
+            from .sources.iceberg_local import read_iceberg_local
+            return DataStream(
+                self, read_iceberg_local(
+                    self.spark, table, snapshot,
+                    partition_filter=partition_filter,
+                    scan_filter=scan_filter,
+                    as_of_timestamp=as_of_timestamp,
+                    with_lineage=True))
         try:
             df = reader.load(table)
             if partition_filter:

@@ -167,6 +167,14 @@ def snapshot_files_full(table_path: str,
     for mf in manifests:
         is_delete_manifest = mf.get("content", 0) == 1
         mmeta, entries = read_container(_local(mf["manifest_path"]))
+        # v3 row lineage inheritance base (spec §Row Lineage): a data
+        # entry with null first_row_id inherits the manifest's
+        # first_row_id plus the running record_count of preceding
+        # null-id data entries; entries stay None (no lineage) on v2
+        # tables, where both levels are absent
+        mf_first = (None if is_delete_manifest
+                    else mf.get("first_row_id"))
+        lineage_running = 0
         # the spec the manifest's partition records were written
         # under: manifest-list field 502, falling back to the
         # manifest container's own header metadata. Pruning must
@@ -232,9 +240,17 @@ def snapshot_files_full(table_path: str,
                         f"malformed table: data manifest "
                         f"{mf['manifest_path']} contains a file with "
                         f"content={content}")
+                frid = df.get("first_row_id")
+                if frid is None and mf_first is not None:
+                    frid = int(mf_first) + lineage_running
+                    lineage_running += int(df.get("record_count") or 0)
                 data.append({"path": df["file_path"], "seq": seq,
                              "spec_id": spec_id,
                              "partition": df.get("partition"),
+                             "first_row_id": (None if frid is None
+                                              else int(frid)),
+                             "record_count":
+                                 int(df.get("record_count") or 0),
                              "lower_bounds":
                                  _bounds_map(df.get("lower_bounds")),
                              "upper_bounds":
@@ -932,14 +948,23 @@ def _dv_positions_df(spark, dvs: list):
 def _live_df(spark, table_path: str, snapshot_id: int | None,
              keep_position: bool = False,
              partition_filter: str | None = None,
-             scan_filter: str | None = None):
+             scan_filter: str | None = None,
+             with_lineage: bool = False):
     """Live rows of a snapshot with position AND equality deletes
     applied; with ``keep_position`` the normalized (__qs_fp__,
     __qs_pos__) columns survive — the upsert path needs them to
     address matched rows. ``partition_filter`` prunes the data-file
     list from the manifests' partition values before the scan;
     ``scan_filter`` skips files whose manifest column bounds refute it
-    and then applies row-level."""
+    and then applies row-level. ``with_lineage`` (round 12, spec §Row
+    Lineage) appends the v3 metadata columns ``_row_id`` (the file's
+    first_row_id + row position — null when the file carries no
+    lineage) and ``_last_updated_sequence_number`` (the file's data
+    sequence number): one KB-scale broadcast of (path → first_row_id,
+    seq) joined onto the scan, pure arithmetic per row. Files
+    REWRITTEN by lineage-preserving engines materialize the two as
+    physical columns; per spec a non-null materialized value wins
+    over the inherited one (coalesce)."""
     from pyspark.sql import functions as F
     entries, deletes, eq_deletes, dvs = snapshot_files_full(
         table_path, snapshot_id, with_dvs=True)
@@ -1033,6 +1058,28 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__qs_eq_{c}__"))
             df = df.join(dd, cond, "left_anti")
         df = df.drop("__qs_seq__")
+    if with_lineage:
+        lin = spark.createDataFrame(
+            [(_py_norm(d["path"]),
+              (None if d.get("first_row_id") is None
+               else int(d["first_row_id"])),
+              int(d["seq"])) for d in entries],
+            "__qs_lfp__ string, __qs_frid__ long, __qs_lseq__ long")
+        df = df.join(F.broadcast(lin),
+                     F.col("__qs_fp__") == F.col("__qs_lfp__"), "left")
+        rid = F.col("__qs_frid__") + F.col("__qs_pos__")
+        seqc = F.col("__qs_lseq__")
+        if "_row_id" in df.columns:           # materialized by a rewrite
+            rid = F.coalesce(F.col("_row_id"), rid)
+            df = df.drop("_row_id")
+        if "_last_updated_sequence_number" in df.columns:
+            seqc = F.coalesce(
+                F.col("_last_updated_sequence_number"), seqc)
+            df = df.drop("_last_updated_sequence_number")
+        df = (df.withColumn("_row_id", rid.cast("long"))
+              .withColumn("_last_updated_sequence_number",
+                          seqc.cast("long"))
+              .drop("__qs_lfp__", "__qs_frid__", "__qs_lseq__"))
     return df if keep_position else df.drop("__qs_fp__", "__qs_pos__")
 
 
@@ -1080,19 +1127,22 @@ def snapshot_at_timestamp(table_path: str, ts) -> int:
 def read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
                        partition_filter: str | None = None,
                        scan_filter: str | None = None,
-                       as_of_timestamp=None):
+                       as_of_timestamp=None,
+                       with_lineage: bool = False):
     if as_of_timestamp is not None:
         if snapshot_id is not None:
             raise ValueError(
                 "pass snapshot_id OR as_of_timestamp, not both")
         snapshot_id = snapshot_at_timestamp(table_path, as_of_timestamp)
     return _read_iceberg_local(spark, table_path, snapshot_id,
-                               partition_filter, scan_filter)
+                               partition_filter, scan_filter,
+                               with_lineage=with_lineage)
 
 
 def _read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
                         partition_filter: str | None = None,
-                        scan_filter: str | None = None):
+                        scan_filter: str | None = None,
+                        with_lineage: bool = False):
     """Spark DataFrame over a local Iceberg table's live data files,
     with v2 POSITION deletes applied as an anti-join on (file, row
     position) and v2 EQUALITY deletes as sequence-scoped null-safe
@@ -1121,7 +1171,8 @@ def _read_iceberg_local(spark, table_path: str, snapshot_id: int | None = None,
     needs."""
     return _live_df(spark, table_path, snapshot_id,
                     partition_filter=partition_filter,
-                    scan_filter=scan_filter)
+                    scan_filter=scan_filter,
+                    with_lineage=with_lineage)
 
 
 def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
@@ -1197,6 +1248,12 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "equality_ids",
                  "type": ["null", {"type": "array", "items": "int"}],
                  "field-id": 135},
+                # v3 row lineage (spec §Row Lineage, round 12): the
+                # first row id assigned to the file's first row; null
+                # on v2 entries (and inherited from the manifest's
+                # first_row_id by v3 readers when null)
+                {"name": "first_row_id",
+                 "type": ["null", "long"], "field-id": 142},
                 # v3 deletion-vector locator fields (spec: required
                 # on DV entries, null elsewhere)
                 {"name": "referenced_data_file",
@@ -1267,6 +1324,11 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
         {"name": "content", "type": "int", "field-id": 517},
         {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        # v3 row lineage: first row id assigned to this (data)
+        # manifest — the inheritance base for entries whose own
+        # first_row_id is null; null on v2 lists and delete manifests
+        {"name": "first_row_id", "type": ["null", "long"],
+         "field-id": 520},
     ]}
 
 _AVRO_PART_TYPES = {
@@ -1320,7 +1382,8 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                                partition_specs: list | None = None,
                                default_spec_id: int | None = None,
                                min_last_column_id: int = 0,
-                               meta_extra: dict | None = None
+                               meta_extra: dict | None = None,
+                               format_version: int | None = None
                                ) -> list[int]:
     """Write a spec-shaped Iceberg v2 table whose snapshot N contains
     ``snapshots[N]`` — either a plain list of parquet data-file paths,
@@ -1335,6 +1398,21 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
     "content_offset", "content_size_in_bytes"}`` — any dvs stamp the
     table format-version 3. Files are referenced in place, not
     copied — KB of metadata around existing data.
+    ``format_version`` (round 12) pins the stamped version explicitly
+    — rebuild commits pass the SOURCE table's version so a v3 table
+    whose current snapshot happens to carry no DVs is never
+    downgraded to v2 (which would also drop v3-only metadata).
+    Format-version 3 tables get spec §Row Lineage metadata: every
+    data file is assigned a stable ``first_row_id`` range (explicit
+    per entry, so rebuilds never renumber a file), snapshots carry
+    ``first-row-id``, manifest-list rows ``first_row_id``, data
+    entries their REAL parquet ``record_count`` (the inheritance
+    arithmetic foreign readers run), and the table metadata the
+    advancing ``next-row-id`` mark. A ``next-row-id`` in
+    ``meta_extra`` (carried from a rebuilt table) seeds the
+    allocation so new files continue past the source's mark; spec
+    dict items may carry ``first_row_id``/``record_count`` to keep
+    prior assignments (snapshot_files_full returns them).
     ``schema_fields``: optional ``[(field_id, name)]`` or
     ``[(field_id, name, iceberg_type)]`` embedded as the table schema
     so equality_ids and partition types resolve.
@@ -1387,6 +1465,58 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             bounds_cache[path] = _footer_bounds(path, wanted_bounds)
         return bounds_cache[path]
 
+    any_dvs = any(isinstance(s, dict) and s.get("dvs")
+                  for s in snapshots)
+    if format_version is None:
+        # deletion vectors are a format-version 3 feature — a
+        # v2-stamped table carrying them would make spec-compliant v2
+        # readers accept the table and silently resurrect the deleted
+        # rows
+        fv = 3 if any_dvs else 2
+    else:
+        fv = int(format_version)
+        if fv not in (1, 2, 3):
+            raise ValueError(f"format_version {fv}: expected 1-3")
+        if fv < 3 and any_dvs:
+            raise ValueError(
+                "deletion vectors require format-version 3 — a "
+                f"v{fv}-stamped table carrying them would resurrect "
+                "deleted rows under spec-compliant readers")
+    meta_extra = dict(meta_extra or {})
+    # v3 row lineage allocation: continue past a carried mark
+    next_row_id = int(meta_extra.pop("next-row-id", 0) or 0)
+    lineage_ids: dict = {}    # normalized path → (first_row_id, rows)
+    rows_cache: dict = {}
+
+    def rows_of(path) -> int:
+        lp = _local(path)
+        if lp not in rows_cache:
+            import pyarrow.parquet as _pq
+            rows_cache[lp] = int(_pq.ParquetFile(lp).metadata.num_rows)
+        return rows_cache[lp]
+
+    def lineage_of(spec_item) -> tuple:
+        """(first_row_id, record_count) for a data spec item —
+        first appearance assigns the next range, later appearances
+        (carried-forward files) reuse it, explicit carries win."""
+        nonlocal next_row_id
+        path = (spec_item["path"] if isinstance(spec_item, dict)
+                else spec_item)
+        key = _py_norm(_local(path))
+        if key not in lineage_ids:
+            rc = (spec_item.get("record_count")
+                  if isinstance(spec_item, dict) else None)
+            rc = int(rc) if rc else rows_of(path)
+            explicit = (spec_item.get("first_row_id")
+                        if isinstance(spec_item, dict) else None)
+            if explicit is not None:
+                lineage_ids[key] = (int(explicit), rc)
+                next_row_id = max(next_row_id, int(explicit) + rc)
+            else:
+                lineage_ids[key] = (next_row_id, rc)
+                next_row_id += rc
+        return lineage_ids[key]
+
     snap_entries = []
     last_sid = 0
     for i, spec in enumerate(snapshots, start=1):
@@ -1411,7 +1541,8 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
         last_sid = sid
 
         def entry(p, content, equality_ids=None, seq=None,
-                  partition=None, lower=None, upper=None):
+                  partition=None, lower=None, upper=None,
+                  first_row_id=None, record_count=0):
             def kv(m):
                 if not m:
                     return None
@@ -1419,9 +1550,11 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                         for k, v in sorted(_bounds_map(m).items())]
             return {"status": 1, "snapshot_id": seq or sid, "data_file": {
                 "content": content, "file_path": p,
-                "file_format": "PARQUET", "record_count": 0,
+                "file_format": "PARQUET",
+                "record_count": int(record_count or 0),
                 "file_size_in_bytes": os.path.getsize(_local(p)),
                 "partition": partition,
+                "first_row_id": first_row_id,
                 "lower_bounds": kv(lower), "upper_bounds": kv(upper),
                 "equality_ids": ([int(x) for x in equality_ids]
                                  if equality_ids else None)}}
@@ -1431,7 +1564,10 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             # "partition", "lower_bounds"/"upper_bounds"} —
             # carried-forward files keep their ORIGINAL sequence so
             # equality-delete scoping stays correct across commits,
-            # plus their partition values and column bounds
+            # plus their partition values and column bounds. On v3
+            # tables every data entry carries its EXPLICIT row-id
+            # range and real record_count (spec §Row Lineage)
+            frid, rc = lineage_of(spec_item) if fv >= 3 else (None, 0)
             if isinstance(spec_item, dict):
                 lo = spec_item.get("lower_bounds")
                 hi = spec_item.get("upper_bounds")
@@ -1440,9 +1576,11 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                 return entry(spec_item["path"], 0,
                              seq=spec_item.get("seq"),
                              partition=spec_item.get("partition"),
-                             lower=lo, upper=hi)
+                             lower=lo, upper=hi,
+                             first_row_id=frid, record_count=rc)
             lo, hi = bounds_of(spec_item) if wanted_bounds else (None, None)
-            return entry(spec_item, 0, lower=lo, upper=hi)
+            return entry(spec_item, 0, lower=lo, upper=hi,
+                         first_row_id=frid, record_count=rc)
 
         snap_spec = (int(spec.get("spec_id", default_sid))
                      if isinstance(spec, dict) else default_sid)
@@ -1452,13 +1590,15 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                 f"snapshot {i}: spec_id {snap_spec} not among the "
                 f"declared partition_specs {sorted(entry_schemas)}")
         manifest = os.path.join(meta_dir, f"manifest-{sid}.avro")
+        snap_first = next_row_id if fv >= 3 else None
         write_container(manifest, entry_schema,
                         [data_entry(p) for p in files],
                         extra_meta={"partition-spec-id": snap_spec})
         mlist_rows = [{"manifest_path": manifest,
                        "manifest_length": os.path.getsize(manifest),
                        "partition_spec_id": snap_spec, "content": 0,
-                       "added_snapshot_id": sid}]
+                       "added_snapshot_id": sid,
+                       "first_row_id": snap_first}]
         if dels or eq_dels or dv_items:
             dmanifest = os.path.join(meta_dir,
                                      f"manifest-{sid}-deletes.avro")
@@ -1490,9 +1630,12 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
             summary.update(spec["summary_extra"])
         ts_ms = (int(spec.get("timestamp_ms", 0))
                  if isinstance(spec, dict) else 0)
-        snap_entries.append({"snapshot-id": sid, "sequence-number": sid,
-                             "timestamp-ms": ts_ms, "manifest-list": mlist,
-                             "summary": summary})
+        snap_entry = {"snapshot-id": sid, "sequence-number": sid,
+                      "timestamp-ms": ts_ms, "manifest-list": mlist,
+                      "summary": summary}
+        if snap_first is not None:
+            snap_entry["first-row-id"] = snap_first
+        snap_entries.append(snap_entry)
     n = last_sid or len(snapshots)
     schemas = []
     if schema_fields:
@@ -1517,11 +1660,6 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                     "fields": _meta_spec_fields(s["fields"])}
                    for s in specs_in]
                   or [{"spec-id": 0, "fields": []}])
-    # deletion vectors are a format-version 3 feature — a v2-stamped
-    # table carrying them would make spec-compliant v2 readers accept
-    # the table and silently resurrect the deleted rows
-    fv = 3 if any(isinstance(s, dict) and s.get("dvs")
-                  for s in snapshots) else 2
     meta = {"format-version": fv, "table-uuid": "0" * 32,
             "location": table_dir, "last-sequence-number": n,
             "current-snapshot-id": n, "snapshots": snap_entries,
@@ -1538,6 +1676,10 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                 [int(min_last_column_id)]
                 + [int(f["id"]) for s in schemas
                    for f in s.get("fields", []) if "id" in f])}
+    if fv >= 3:
+        # spec §Row Lineage: the table-level allocation high-water
+        # mark — later writers assign ids from here
+        meta["next-row-id"] = next_row_id
     if meta_extra:
         # rebuild-surviving metadata the snapshot specs don't encode
         # (e.g. the refs map — dropping it on every commit would
@@ -1681,12 +1823,29 @@ def _append_snapshot_fast(table_dir: str, add_files: list, meta: dict,
     cur = snaps[-1]
     new_id = 1 + max(int(s["snapshot-id"]) for s in snaps)
     entry_schema = _manifest_entry_schema(None)
-    entries = [{"status": 1, "snapshot_id": new_id, "data_file": {
-        "content": 0, "file_path": p, "file_format": "PARQUET",
-        "record_count": 0,
-        "file_size_in_bytes": os.path.getsize(_local(p)),
-        "partition": None, "lower_bounds": None, "upper_bounds": None,
-        "equality_ids": None}} for p in add_files]
+    # v3 row lineage (spec): the O(1) append still assigns each new
+    # file its explicit row-id range off the table's next-row-id mark
+    # — one footer read per ADDED file, never per history
+    fv = int(meta.get("format-version") or 1)
+    frid_base = int(meta.get("next-row-id") or 0) if fv >= 3 else None
+    running = frid_base or 0
+    entries = []
+    for p in add_files:
+        rc = 0
+        frid = None
+        if frid_base is not None:
+            import pyarrow.parquet as _pq
+            rc = int(_pq.ParquetFile(_local(p)).metadata.num_rows)
+            frid = running
+            running += rc
+        entries.append({"status": 1, "snapshot_id": new_id,
+                        "data_file": {
+            "content": 0, "file_path": p, "file_format": "PARQUET",
+            "record_count": rc,
+            "file_size_in_bytes": os.path.getsize(_local(p)),
+            "partition": None, "first_row_id": frid,
+            "lower_bounds": None, "upper_bounds": None,
+            "equality_ids": None}})
     manifest = os.path.join(meta_dir, f"manifest-{new_id}.avro")
     write_container(manifest, entry_schema, entries)
     _, prior_rows = read_container(_local(cur["manifest-list"]))
@@ -1695,7 +1854,8 @@ def _append_snapshot_fast(table_dir: str, add_files: list, meta: dict,
         {"manifest_path": manifest,
          "manifest_length": os.path.getsize(manifest),
          "partition_spec_id": int(meta.get("default-spec-id", 0)),
-         "content": 0, "added_snapshot_id": new_id}])
+         "content": 0, "added_snapshot_id": new_id,
+         "first_row_id": frid_base}])
     ts_ms = max(int(time.time() * 1000),
                 max((int(s.get("timestamp-ms") or 0) for s in snaps),
                     default=0))
@@ -1703,9 +1863,13 @@ def _append_snapshot_fast(table_dir: str, add_files: list, meta: dict,
     if summary_extra:
         summary.update({str(k): str(v)
                         for k, v in summary_extra.items()})
-    snaps.append({"snapshot-id": new_id, "sequence-number": new_id,
-                  "timestamp-ms": ts_ms, "manifest-list": mlist,
-                  "summary": summary})
+    new_snap = {"snapshot-id": new_id, "sequence-number": new_id,
+                "timestamp-ms": ts_ms, "manifest-list": mlist,
+                "summary": summary}
+    if frid_base is not None:
+        new_snap["first-row-id"] = frid_base
+        meta["next-row-id"] = running
+    snaps.append(new_snap)
     meta["snapshots"] = snaps
     meta["current-snapshot-id"] = new_id
     meta["last-sequence-number"] = max(
@@ -1977,16 +2141,34 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
     schema_fields = _evolved_schema_fields(schema_fields,
                                            evolve_from_df, floor)
     extra = None
-    if prior and os.path.isdir(os.path.join(_local(table_dir),
-                                            "metadata")):
-        refs = _read_table_metadata(table_dir).get("refs")
-        if refs:
-            extra = {"refs": refs}
+    fv_pin = None
+    if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
+        src_meta = _read_table_metadata(table_dir)
+        # never downgrade the source's format-version on a rebuild
+        # (review finding: a v3 table whose snapshot carried no DVs
+        # was re-stamped v2, dropping v3-only metadata under strict
+        # readers); v1 sources still rebuild as v2 — the rebuild
+        # writes v2 manifest-list shapes
+        fv_pin = max(int(src_meta.get("format-version") or 1), 2)
+        # preserve every top-level key the rebuild does not recompute
+        # (refs, table-uuid, properties, next-row-id — the row-id
+        # allocation seed — and any foreign keys this engine does not
+        # model) instead of silently dropping them
+        recomputed = {"format-version", "location",
+                      "last-sequence-number", "current-snapshot-id",
+                      "snapshots", "schemas", "current-schema-id",
+                      "default-spec-id", "partition-specs",
+                      "last-column-id"}
+        extra = {k: v for k, v in src_meta.items()
+                 if k not in recomputed} or None
+    if any(bool(s.get("dvs")) for s in prior + [new_snap]):
+        fv_pin = max(fv_pin or 2, 3)
     ids = create_local_iceberg_table(table_dir, prior + [new_snap],
                                      schema_fields=schema_fields,
                                      partition_spec=partition_spec,
                                      min_last_column_id=floor,
-                                     meta_extra=extra)
+                                     meta_extra=extra,
+                                     format_version=fv_pin)
     return ids[-1]
 
 

@@ -2139,3 +2139,163 @@ def test_iceberg_changes_random_ops_reconstruct_state(spark, qc,
             r["id"] for r in qc.read_iceberg(tbl, snapshot=sid)
             .df.collect())
         assert +state == want, f"diverged at snapshot {sid}"
+
+
+def test_iceberg_v3_row_lineage_lifecycle(spark, qc, tmp_path):
+    """Format-v3 row lineage (round 12, spec §Row Lineage): a v3
+    table assigns every data file a stable explicit first_row_id
+    range, stamps snapshot first-row-id and table next-row-id, and
+    the reader serves _row_id = first_row_id + position and
+    _last_updated_sequence_number = the file's data sequence. DV
+    commits delete rows WITHOUT renumbering survivors; rebuild
+    commits (position deletes, appends) keep prior files' ids and
+    allocate new files past the carried next-row-id mark; fv and
+    foreign metadata keys survive non-DV rebuilds (round-11 advisor
+    finding: a rebuild used to re-stamp v2 from DV presence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        _read_table_metadata, add_deletion_vectors,
+        add_position_deletes, commit_snapshot,
+        create_local_iceberg_table, read_iceberg_local)
+
+    f1 = str(tmp_path / "f1.parquet")
+    f2 = str(tmp_path / "f2.parquet")
+    pq.write_table(pa.table({"k": list(range(10)),
+                             "v": [float(i) for i in range(10)]}), f1)
+    pq.write_table(pa.table({"k": list(range(100, 105)),
+                             "v": [1.0] * 5}), f2)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[f1], [{"path": f1, "seq": 1}, f2]],
+        schema_fields=[(1, "k", "long"), (2, "v", "double")],
+        format_version=3,
+        meta_extra={"properties": {"owner": "lineage-test"},
+                    "table-uuid": "feedface" * 4})
+    m = _read_table_metadata(tbl)
+    assert m["format-version"] == 3
+    assert m["next-row-id"] == 15
+    assert [s.get("first-row-id") for s in m["snapshots"]] == [0, 10]
+    rows = sorted((r["k"], r["_row_id"],
+                   r["_last_updated_sequence_number"])
+                  for r in read_iceberg_local(
+                      spark, tbl, with_lineage=True).collect())
+    assert [r[1] for r in rows] == list(range(15))
+    assert all(r[2] == (1 if r[0] < 100 else 2) for r in rows)
+    # plain reads are unchanged — no lineage columns leak
+    plain = read_iceberg_local(spark, tbl)
+    assert "_row_id" not in plain.columns
+
+    # DV commit: survivors keep their ids, fv stays 3, mark carried
+    add_deletion_vectors(tbl, {f1: [0, 1]})
+    m2 = _read_table_metadata(tbl)
+    assert m2["format-version"] == 3 and m2["next-row-id"] == 15
+    rows2 = sorted((r["k"], r["_row_id"]) for r in read_iceberg_local(
+        spark, tbl, with_lineage=True).collect())
+    assert [r[1] for r in rows2] == list(range(2, 15))
+
+    # non-DV rebuild + append: fv/uuid/properties survive, the new
+    # file allocates [15, 17) past the mark, old ids stable
+    f3 = str(tmp_path / "f3.parquet")
+    pq.write_table(pa.table({"k": [200, 201], "v": [2.0, 2.0]}), f3)
+    add_position_deletes(tbl, {f2: [0]})
+    commit_snapshot(tbl, add_files=[f3])
+    m3 = _read_table_metadata(tbl)
+    assert m3["format-version"] == 3
+    assert m3["next-row-id"] == 17
+    assert m3["table-uuid"] == "feedface" * 4
+    assert m3["properties"] == {"owner": "lineage-test"}
+    rows3 = sorted((r["k"], r["_row_id"],
+                    r["_last_updated_sequence_number"])
+                   for r in read_iceberg_local(
+                       spark, tbl, with_lineage=True).collect())
+    assert [r[1] for r in rows3 if r[0] >= 200] == [15, 16]
+    assert [r[1] for r in rows3 if r[0] < 100] == list(range(2, 10))
+    assert [r[2] for r in rows3 if r[0] < 100] == [1] * 8
+
+
+def test_iceberg_v3_lineage_inheritance_from_manifest(spark, qc,
+                                                      tmp_path):
+    """Foreign v3 tables may write null entry first_row_id for ADDED
+    files (spec inheritance): the reader must derive first_row_id =
+    manifest first_row_id + running record_count of preceding null-id
+    data entries. Built by stripping the explicit ids this engine's
+    writer emits for newly-added entries — the derived ids must equal
+    the stripped ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        _manifest_entry_schema, _read_table_metadata,
+        create_local_iceberg_table, read_iceberg_local)
+
+    f1 = str(tmp_path / "f1.parquet")
+    f2 = str(tmp_path / "f2.parquet")
+    f3 = str(tmp_path / "f3.parquet")
+    pq.write_table(pa.table({"k": list(range(7))}), f1)
+    pq.write_table(pa.table({"k": list(range(100, 104))}), f2)
+    pq.write_table(pa.table({"k": list(range(200, 203))}), f3)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[f1, f2], [{"path": f1, "seq": 1},
+                         {"path": f2, "seq": 1}, f3]],
+        schema_fields=[(1, "k", "long")], format_version=3)
+    # strip the explicit first_row_id from entries ADDED in each
+    # snapshot (f1+f2 in manifest 1, f3 in manifest 2) — carried
+    # entries keep theirs, as real v3 writers do
+    m = _read_table_metadata(tbl)
+    added_per_manifest = {1: {f1, f2}, 2: {f3}}
+    for snap in m["snapshots"]:
+        _, mrows = read_container(snap["manifest-list"])
+        for mf in mrows:
+            if mf.get("content", 0) != 0:
+                continue
+            _, entries = read_container(mf["manifest_path"])
+            sid = snap["snapshot-id"]
+            for e in entries:
+                if e["data_file"]["file_path"] in \
+                        added_per_manifest.get(sid, set()):
+                    assert e["data_file"]["first_row_id"] is not None
+                    e["data_file"]["first_row_id"] = None
+            write_container(mf["manifest_path"],
+                            _manifest_entry_schema(None), entries,
+                            extra_meta={"partition-spec-id": 0})
+    rows = sorted((r["k"], r["_row_id"]) for r in read_iceberg_local(
+        spark, tbl, with_lineage=True).collect())
+    # snapshot 2: f1 [0,7) f2 [7,11) explicit carries, f3 inherits
+    # manifest-2 first_row_id (11) + 0
+    assert [r[1] for r in rows] == list(range(14)), rows
+
+
+def test_iceberg_v3_fast_append_assigns_lineage(spark, qc, tmp_path):
+    """The O(1) unpartitioned append (_append_snapshot_fast) on a v3
+    table assigns the new file an explicit row-id range off
+    next-row-id and advances the mark — a lineage table must not need
+    the O(history) rebuild for plain appends."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        _read_table_metadata, commit_snapshot,
+        create_local_iceberg_table, read_iceberg_local)
+
+    f1 = str(tmp_path / "f1.parquet")
+    f2 = str(tmp_path / "f2.parquet")
+    pq.write_table(pa.table({"k": list(range(5))}), f1)
+    pq.write_table(pa.table({"k": list(range(100, 103))}), f2)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[f1]], schema_fields=[(1, "k", "long")],
+        format_version=3)
+    before = len(os.listdir(os.path.join(tbl, "metadata")))
+    commit_snapshot(tbl, add_files=[f2])     # routes to the fast path
+    after = len(os.listdir(os.path.join(tbl, "metadata")))
+    # fast path writes exactly manifest + list + metadata JSON
+    assert after - before == 3
+    m = _read_table_metadata(tbl)
+    assert m["format-version"] == 3 and m["next-row-id"] == 8
+    assert m["snapshots"][-1]["first-row-id"] == 5
+    rows = sorted((r["k"], r["_row_id"]) for r in read_iceberg_local(
+        spark, tbl, with_lineage=True).collect())
+    assert [r[1] for r in rows] == list(range(8))
