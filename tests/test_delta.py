@@ -3605,3 +3605,65 @@ def test_delta_changes_random_ops_reconstruct_state(spark, qc, tmp_path):
         want = Counter(r["id"] for r in
                        qc.read_delta(tbl, version=v).df.collect())
         assert +state == want, f"diverged at version {v}"
+
+
+def test_delta_generated_columns_inside_merge(spark, qc, tmp_path):
+    """Round-12 (round-11 verdict #6): a MERGE batch may omit
+    generated columns — the writer computes them for BOTH
+    not-matched inserts and matched rewrites (matched rows are
+    replaced whole from the batch, so recomputing from the
+    generation expression is exactly the jar's semantics), and a
+    batch that DOES carry the column refuses on contradicting
+    values. Pins the behavior the upsert path gets from folding
+    _apply_generated_columns into _prepare_write_batch."""
+    import json as _json
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  upsert_delta_local,
+                                                  write_delta_local)
+
+    tbl = str(tmp_path / "gen_merge")
+    os.makedirs(tbl)
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {}},
+        {"name": "v2", "type": "double", "nullable": True,
+         "metadata": {"delta.generationExpression": "v * 2"}}]}
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "gen_merge", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0}}])
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                              "id long, v double"), tbl, mode="append")
+    # batch omits v2: matched id=2 rewrites with a recomputed value,
+    # not-matched id=3 inserts with one
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(2, 20.0), (3, 30.0)],
+                              "id long, v double"), ["id"])
+    rows = sorted((r["id"], r["v"], r["v2"])
+                  for r in qc.read_delta(tbl).df.collect())
+    assert rows == [(1, 1.0, 2.0), (2, 20.0, 40.0), (3, 30.0, 60.0)]
+    # a provided-but-contradicting value aborts BEFORE any rewrite
+    with pytest.raises(ValueError, match="generated"):
+        upsert_delta_local(
+            spark, tbl,
+            spark.createDataFrame([(4, 4.0, 999.0)],
+                                  "id long, v double, v2 double"),
+            ["id"])
+    rows2 = sorted(r["id"] for r in qc.read_delta(tbl).df.collect())
+    assert rows2 == [1, 2, 3]      # table untouched by the refusal
+    # a provided-and-consistent value is accepted
+    upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(5, 5.0, 10.0)],
+                              "id long, v double, v2 double"), ["id"])
+    rows3 = sorted((r["id"], r["v2"])
+                   for r in qc.read_delta(tbl).df.collect())
+    assert rows3 == [(1, 2.0), (2, 40.0), (3, 60.0), (5, 10.0)]
