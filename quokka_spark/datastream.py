@@ -917,7 +917,8 @@ class DataStream:
 
     def write_iceberg(self, path: str,
                       output_line_limit: int = 5_000_000,
-                      mode: str = "append", key=None) -> int:
+                      mode: str = "append", key=None,
+                      catalog: str | None = None) -> int | None:
         """Commit the stream as a new snapshot of a LOCAL Iceberg v2
         table (parity-plus: the reference only reads Iceberg). Data is
         written as parquet by Spark's distributed writer into a
@@ -931,12 +932,28 @@ class DataStream:
         keys are position-deleted and the stream appended in one
         atomic snapshot — the delete set is computed by a distributed
         semi-join and written by Spark, never the driver. Single-writer
-        local tables only; concurrent commits need a real catalog."""
+        local tables only; concurrent commits need a real catalog.
+
+        CATALOG tables (round 12): pass ``catalog=`` (a pyiceberg
+        catalog name) — or a bare ``db.table`` identifier that is not
+        a local directory — to commit through pyiceberg transactions
+        (sources/iceberg_catalog.write_iceberg_catalog): Spark stages
+        the parquet distributed, pyiceberg registers it via add_files
+        (append) or an atomic delete-all + add transaction
+        (overwrite). Needs the pyiceberg package; returns None (the
+        catalog assigns snapshot ids)."""
         import glob
         import os
         import uuid
         from .sources.iceberg_local import (commit_snapshot,
                                             upsert_iceberg_local)
+        if catalog is not None or (os.sep not in path
+                                   and "/" not in path
+                                   and not os.path.isdir(path)):
+            from .sources.iceberg_catalog import write_iceberg_catalog
+            return write_iceberg_catalog(
+                self.qc.spark, self.df, path, mode=mode,
+                catalog=catalog, output_line_limit=output_line_limit)
         if mode == "upsert":
             if key is None:
                 raise ValueError('write_iceberg(mode="upsert") needs key=')

@@ -6,6 +6,7 @@ import os
 import pytest
 
 from quokka_spark.sources.avro_lite import read_container, write_container
+from quokka_spark.datastream import DataStream
 from quokka_spark.sources.iceberg_local import (
     _MANIFEST_ENTRY_SCHEMA, _MANIFEST_FILE_SCHEMA,
     create_local_iceberg_table, snapshot_data_files)
@@ -769,6 +770,39 @@ def _install_fake_pyiceberg(monkeypatch, tables):
                                                 else None))
                 for s in self.spec.get("schema", [])])
 
+        # --- write surface (round 12: write_iceberg_catalog) ------
+        def location(self):
+            return self.spec["location"]
+
+        def add_files(self, file_paths):
+            self.spec.setdefault("add_files_calls", []).append(
+                list(file_paths))
+            self.spec["files_at"][None] = (
+                self.spec["files_at"].get(None, []) + list(file_paths))
+
+        def transaction(self):
+            tbl = self
+
+            class Tx:
+                def __init__(self):
+                    self.deleted = False
+                    self.staged: list = []
+
+                def delete(self, expr):
+                    self.deleted = True
+                    tbl.spec.setdefault("tx_deletes", []).append(expr)
+
+                def add_files(self, file_paths):
+                    self.staged += list(file_paths)
+
+                def commit_transaction(self):
+                    if self.deleted:
+                        tbl.spec["files_at"][None] = []
+                    tbl.spec["files_at"][None] = (
+                        tbl.spec["files_at"].get(None, [])
+                        + self.staged)
+            return Tx()
+
     built = {k: Table(v) for k, v in tables.items()}
 
     class Catalog:
@@ -779,8 +813,12 @@ def _install_fake_pyiceberg(monkeypatch, tables):
     cat = types.ModuleType("pyiceberg.catalog")
     cat.load_catalog = lambda *a, **kw: Catalog()
     pi.catalog = cat
+    expr = types.ModuleType("pyiceberg.expressions")
+    expr.AlwaysTrue = lambda: "ALWAYS_TRUE"
+    pi.expressions = expr
     monkeypatch.setitem(sys.modules, "pyiceberg", pi)
     monkeypatch.setitem(sys.modules, "pyiceberg.catalog", cat)
+    monkeypatch.setitem(sys.modules, "pyiceberg.expressions", expr)
     return built
 
 
@@ -2299,3 +2337,63 @@ def test_iceberg_v3_fast_append_assigns_lineage(spark, qc, tmp_path):
     rows = sorted((r["k"], r["_row_id"]) for r in read_iceberg_local(
         spark, tbl, with_lineage=True).collect())
     assert [r[1] for r in rows] == list(range(8))
+
+
+def test_iceberg_catalog_write_roundtrip(spark, qc, tmp_path,
+                                         monkeypatch):
+    """Round-12 (round-11 verdict #7): write_iceberg to a CATALOG
+    table commits through pyiceberg — Spark stages the parquet
+    distributed under the table's own location, add_files registers
+    it (append), a delete-all + add_files transaction replaces it
+    (overwrite) — and the catalog read path serves the rows back.
+    Upserts refuse typed (pyiceberg's upsert is driver-side Arrow);
+    without pyiceberg the typed package error stands."""
+    loc = str(tmp_path / "warehouse" / "db.t")
+    os.makedirs(loc)
+    tables = _install_fake_pyiceberg(monkeypatch, {
+        "db.t": {"location": loc, "files_at": {None: []},
+                 "snapshots": [],
+                 "schema": [("id", "long", 1), ("v", "double", 2)]}})
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)],
+                               "id long, v double")
+    DataStream(qc, df).write_iceberg("db.t", catalog="default")
+    spec = tables["db.t"].spec
+    assert len(spec["add_files_calls"]) == 1
+    staged = spec["add_files_calls"][0]
+    assert staged and all(p.endswith(".parquet")
+                          and p.startswith(loc) for p in staged)
+    got = qc.read_iceberg("db.t")
+    assert sorted(r["id"] for r in got.df.collect()) == [1, 2, 3]
+
+    # append again: files accumulate
+    DataStream(qc, df.where("id = 1")).write_iceberg(
+        "db.t", catalog="default")
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg("db.t").df.collect()) == [1, 1, 2, 3]
+
+    # overwrite: one atomic delete-all + add transaction
+    DataStream(qc, df.where("id >= 2")).write_iceberg(
+        "db.t", catalog="default", mode="overwrite")
+    assert spec.get("tx_deletes"), "overwrite must delete-all in a tx"
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg("db.t").df.collect()) == [2, 3]
+
+    # bare db.table identifier routes to the catalog without catalog=
+    DataStream(qc, df.where("id = 1")).write_iceberg("db.t")
+    assert sorted(r["id"] for r in
+                  qc.read_iceberg("db.t").df.collect()) == [1, 2, 3]
+
+    # MERGE upserts refuse typed on catalog tables
+    with pytest.raises(NotImplementedError, match="upsert"):
+        DataStream(qc, df).write_iceberg("db.t", catalog="default",
+                                        mode="upsert", key=["id"])
+
+
+def test_iceberg_catalog_write_without_pyiceberg_refuses(spark, qc):
+    """No pyiceberg installed → catalog writes refuse with the typed
+    package pointer (never a silent local-directory table named
+    'db.t')."""
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(RuntimeError, match="pyiceberg"):
+        DataStream(qc, df).write_iceberg("db.t", catalog="default")
