@@ -3667,3 +3667,246 @@ def test_delta_generated_columns_inside_merge(spark, qc, tmp_path):
     rows3 = sorted((r["id"], r["v2"])
                    for r in qc.read_delta(tbl).df.collect())
     assert rows3 == [(1, 2.0), (2, 40.0), (3, 60.0), (5, 10.0)]
+
+
+def test_delta_foreign_v2_checkpoint_dv_column_mapping(spark, qc,
+                                                       tmp_path):
+    """Round-12 (round-11 verdict #5): byte-compat read of a FOREIGN
+    (jar-shaped, hand-crafted per PROTOCOL.md — not produced by this
+    engine's writers) table combining v2Checkpoint + deletion
+    vectors + columnMapping:
+
+    - reader-3/writer-7 protocol listing the three features;
+    - name-mode columnMapping with col-<id> physical names in the
+      data files, stats keyed by physical names;
+    - a storageType='u' DV behind a random prefix directory, the
+      bitmap hand-encoded with a RUN container (cookie 12346 +
+      run-flag bitset — a byte shape this engine's own encoder never
+      emits) plus an array container in a second 16-bit key;
+    - a V2 checkpoint: top-level parquet with checkpointMetadata /
+      protocol / metaData / sidecar rows, add actions (including the
+      DV descriptor and jar-only fields baseRowId /
+      defaultRowCommitVersion) in a _sidecars/ parquet that also
+      carries a remove tombstone; JSON commits at or below the
+      checkpoint deleted (log cleanup), so replay MUST start from
+      the checkpoint bytes;
+    - one trailing JSON commit with commitInfo noise.
+    """
+    import json as _json
+    import struct
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "foreign")
+    log = os.path.join(tbl, "_delta_log")
+    os.makedirs(os.path.join(log, "_sidecars"))
+
+    # physical-name data files (columnMapping name mode)
+    P_ID, P_V = "col-aaaa1111", "col-bbbb2222"
+    f1, f2, f3 = "part-0001.parquet", "part-0002.parquet", \
+        "part-0003.parquet"
+    n1 = 70_001
+    pq.write_table(pa.table({P_ID: pa.array(range(n1), pa.int64()),
+                             P_V: pa.array([float(i % 97)
+                                            for i in range(n1)])}),
+                   os.path.join(tbl, f1))
+    pq.write_table(pa.table({P_ID: pa.array(range(200, 205),
+                                            pa.int64()),
+                             P_V: pa.array([1.0] * 5)}),
+                   os.path.join(tbl, f2))
+    pq.write_table(pa.table({P_ID: pa.array(range(300, 303),
+                                            pa.int64()),
+                             P_V: pa.array([2.0] * 3)}),
+                   os.path.join(tbl, f3))
+
+    # hand-encoded portable RoaringBitmapArray: RUN container
+    # (positions 0..2) + array container under key 1 (position
+    # 70000 = (1<<16) + 4464) — cookie 12346, no offset header
+    rb = struct.pack("<I", 12346 | (1 << 16)) + bytes([0b01])
+    rb += struct.pack("<HH", 0, 2) + struct.pack("<HH", 1, 0)
+    rb += struct.pack("<H", 1) + struct.pack("<HH", 0, 2)
+    rb += struct.pack("<H", 4464)
+    dv_data = struct.pack("<I", 1681511377) + struct.pack("<q", 1) \
+        + struct.pack("<I", 0) + rb
+    # 'u' storage: prefix dir 'ab' + uuid-derived file name; the z85
+    # of 00112233-...-eeff is precomputed (byte-pinned, not derived
+    # through the engine's encoder at test time)
+    z85_uuid = "01*zhl@^&yH)+oP+?.Z!"
+    dv_dir = os.path.join(tbl, "ab")
+    os.makedirs(dv_dir)
+    with open(os.path.join(
+            dv_dir, "deletion_vector_00112233-4455-6677-8899-"
+                    "aabbccddeeff.bin"), "wb") as fh:
+        fh.write(b"\x01")
+        fh.write(struct.pack(">i", len(dv_data)))
+        fh.write(dv_data)
+        fh.write(struct.pack(">I", zlib.crc32(dv_data) & 0xFFFFFFFF))
+    dv_desc = {"storageType": "u", "pathOrInlineDv": "ab" + z85_uuid,
+               "offset": 1, "sizeInBytes": len(dv_data),
+               "cardinality": 4}
+
+    schema_str = _json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": P_ID}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": P_V}}]})
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["columnMapping", "deletionVectors",
+                                "v2Checkpoint"],
+             "writerFeatures": ["columnMapping", "deletionVectors",
+                                "v2Checkpoint"]}
+    meta = {"id": "foreign-fixture", "name": None, "description": None,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2",
+                              "delta.checkpointPolicy": "v2"},
+            "createdTime": 1700000000000}
+
+    def jline(**kw):
+        return _json.dumps(kw) + "\n"
+
+    def add(path, size_of, dv=None, base_row_id=None):
+        a = {"path": path, "partitionValues": {},
+             "size": os.path.getsize(os.path.join(tbl, size_of)),
+             "modificationTime": 1700000000000, "dataChange": True,
+             "stats": _json.dumps({"numRecords": 1, "minValues": {
+                 P_ID: 0}, "maxValues": {P_ID: 1},
+                 "nullCount": {P_ID: 0}})}
+        if dv:
+            a["deletionVector"] = dv
+        if base_row_id is not None:
+            a["baseRowId"] = base_row_id
+            a["defaultRowCommitVersion"] = 1
+        return a
+
+    with open(os.path.join(log, "%020d.json" % 0), "w") as fh:
+        fh.write(jline(commitInfo={"operation": "CREATE TABLE"}))
+        fh.write(jline(protocol=proto))
+        fh.write(jline(metaData=meta))
+    with open(os.path.join(log, "%020d.json" % 1), "w") as fh:
+        fh.write(jline(commitInfo={"operation": "WRITE"}))
+        fh.write(jline(add=add(f1, f1, base_row_id=0)))
+        fh.write(jline(add=add(f2, f2, base_row_id=70001)))
+    with open(os.path.join(log, "%020d.json" % 2), "w") as fh:
+        fh.write(jline(commitInfo={"operation": "DELETE"}))
+        fh.write(jline(remove={"path": "gone.parquet",
+                               "deletionTimestamp": 1700000000001,
+                               "dataChange": True}))
+        fh.write(jline(add=add(f1, f1, dv=dv_desc, base_row_id=0)))
+
+    # ---- V2 checkpoint at version 2 -----------------------------
+    dv_struct = pa.struct([("storageType", pa.string()),
+                           ("pathOrInlineDv", pa.string()),
+                           ("offset", pa.int32()),
+                           ("sizeInBytes", pa.int32()),
+                           ("cardinality", pa.int64())])
+    add_struct = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()), ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()), ("stats", pa.string()),
+        ("deletionVector", dv_struct), ("baseRowId", pa.int64()),
+        ("defaultRowCommitVersion", pa.int64())])
+    remove_struct = pa.struct([("path", pa.string()),
+                               ("deletionTimestamp", pa.int64()),
+                               ("dataChange", pa.bool_())])
+
+    def arrow_add(path, size_of, dv=None, base_row_id=None):
+        a = add(path, size_of, dv=None, base_row_id=base_row_id)
+        a["partitionValues"] = []
+        a["deletionVector"] = dv
+        return a
+
+    side_rows = [
+        {"add": arrow_add(f1, f1, dv=dv_desc, base_row_id=0),
+         "remove": None},
+        {"add": arrow_add(f2, f2, base_row_id=70001), "remove": None},
+        {"add": None, "remove": {"path": "gone.parquet",
+                                 "deletionTimestamp": 1700000000001,
+                                 "dataChange": False}},
+    ]
+    side_path = os.path.join(log, "_sidecars",
+                             "016ae953-37a9-438e-8683-9a9a4a79a395"
+                             ".parquet")
+    pq.write_table(
+        pa.Table.from_pylist(side_rows, schema=pa.schema(
+            [("add", add_struct), ("remove", remove_struct)])),
+        side_path)
+
+    cpm_struct = pa.struct([("version", pa.int64()),
+                            ("tags", pa.map_(pa.string(),
+                                             pa.string()))])
+    proto_struct = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string()))])
+    meta_struct = pa.struct([
+        ("id", pa.string()), ("name", pa.string()),
+        ("description", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options", pa.map_(pa.string(),
+                                                  pa.string()))])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64())])
+    sidecar_struct = pa.struct([("path", pa.string()),
+                                ("sizeInBytes", pa.int64()),
+                                ("modificationTime", pa.int64())])
+    meta_arrow = dict(meta)
+    meta_arrow["format"] = {"provider": "parquet", "options": []}
+    meta_arrow["configuration"] = sorted(
+        meta["configuration"].items())
+    top_rows = [
+        {"checkpointMetadata": {"version": 2, "tags": []},
+         "protocol": None, "metaData": None, "sidecar": None},
+        {"checkpointMetadata": None, "protocol": proto,
+         "metaData": None, "sidecar": None},
+        {"checkpointMetadata": None, "protocol": None,
+         "metaData": meta_arrow, "sidecar": None},
+        {"checkpointMetadata": None, "protocol": None,
+         "metaData": None,
+         "sidecar": {"path": os.path.basename(side_path),
+                     "sizeInBytes": os.path.getsize(side_path),
+                     "modificationTime": 1700000000002}},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(top_rows, schema=pa.schema(
+            [("checkpointMetadata", cpm_struct),
+             ("protocol", proto_struct), ("metaData", meta_struct),
+             ("sidecar", sidecar_struct)])),
+        os.path.join(log, "%020d.checkpoint."
+                          "80a083e8-7026-4e79-81be-64bd76c43a11"
+                          ".parquet" % 2))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 2, "size": 4,
+                              "v2Checkpoint": True}))
+    # jar log cleanup: commits at or below the checkpoint are gone —
+    # replay MUST reconstruct state from the checkpoint bytes alone
+    for v in (0, 1, 2):
+        os.unlink(os.path.join(log, "%020d.json" % v))
+
+    # trailing JSON commit past the checkpoint
+    with open(os.path.join(log, "%020d.json" % 3), "w") as fh:
+        fh.write(jline(commitInfo={"operation": "WRITE"}))
+        fh.write(jline(add=add(f3, f3, base_row_id=70006)))
+
+    # ---- reads ---------------------------------------------------
+    df = qc.read_delta(tbl).df
+    assert sorted(df.columns) == ["id", "v"]       # logical names
+    ids = [r["id"] for r in df.collect()]
+    # DV killed positions 0,1,2 and 70000 of f1 (run + array
+    # containers); f2 and the trailing f3 serve whole
+    assert len(ids) == (n1 - 4) + 5 + 3
+    s = set(ids)
+    assert {0, 1, 2, 70000}.isdisjoint(s)
+    assert {3, 69999, 200, 204, 300, 302} <= s
+    # time travel TO the checkpoint version (no JSON at <= 2 left)
+    df2 = qc.read_delta(tbl, version=2).df
+    assert df2.count() == (n1 - 4) + 5
