@@ -291,22 +291,29 @@ def _read_steal_ticks() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+def _steal_pct(prev: tuple[int, int], cur: tuple[int, int]) -> float:
+    """steal%% across one window from two (steal, total) samples —
+    the ONE place the delta math lives (gate and monitor both use
+    it, so they can never diverge)."""
+    dt = cur[1] - prev[1]
+    return round(100.0 * (cur[0] - prev[0]) / dt, 2) if dt > 0 else 0.0
+
+
 def sample_steal(duration: float = 30.0,
                  window: float = 5.0) -> list[float]:
     """Per-window steal%% over ``duration`` wall seconds. Returns []
     when /proc/stat is unreadable (non-Linux)."""
     try:
-        s0, t0 = _read_steal_ticks()
+        prev = _read_steal_ticks()
     except OSError:
         return []
     out = []
     end = time.monotonic() + duration - 1e-3
     while time.monotonic() < end:
         time.sleep(window)
-        s1, t1 = _read_steal_ticks()
-        dt = t1 - t0
-        out.append(round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else 0.0)
-        s0, t0 = s1, t1
+        cur = _read_steal_ticks()
+        out.append(_steal_pct(prev, cur))
+        prev = cur
     return out
 
 
@@ -362,15 +369,13 @@ class StealMonitor:
 
     def _run(self):
         try:
-            s0, t0 = _read_steal_ticks()
+            prev = _read_steal_ticks()
         except OSError:
             return
         while not self._stop.wait(self._window):
-            s1, t1 = _read_steal_ticks()
-            dt = t1 - t0
-            self._trace.append(
-                round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else 0.0)
-            s0, t0 = s1, t1
+            cur = _read_steal_ticks()
+            self._trace.append(_steal_pct(prev, cur))
+            prev = cur
 
     def start(self) -> "StealMonitor":
         self._thread.start()

@@ -947,8 +947,13 @@ class DataStream:
         import uuid
         from .sources.iceberg_local import (commit_snapshot,
                                             upsert_iceberg_local)
+        # implicit catalog routing needs the db.table SHAPE (a dot,
+        # no path separators, not an existing directory) — a bare
+        # relative name like "mytbl" still creates a local table, as
+        # it always did (review finding)
         if catalog is not None or (os.sep not in path
                                    and "/" not in path
+                                   and "." in path
                                    and not os.path.isdir(path)):
             from .sources.iceberg_catalog import write_iceberg_catalog
             return write_iceberg_catalog(

@@ -1557,19 +1557,20 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
 
     Scale note (round 12): dense allocation on a MULTI-partition
     batch uses the jar's per-partition RANGE scheme — one
-    count-per-partition job, the driver prefix-sums the counts into
-    per-partition bases, and each partition numbers its own rows
-    (spark_partition_id + the low 33 bits of
-    monotonically_increasing_id, which Spark defines as the
+    count-per-partition job over a lazily localCheckpoint-pinned
+    batch (the pin guarantees the count job, the shared pre-pass and
+    the data write all see the SAME partition layout; it also stops
+    the batch lineage recomputing three times), the driver
+    prefix-sums the counts into per-partition bases, and each
+    partition numbers its own rows (spark_partition_id + the low 33
+    bits of monotonically_increasing_id, which Spark defines as the
     consecutive in-partition record number) — so a bulk initial load
-    never funnels through a single task. Single-partition batches
-    keep the global row_number window (its SinglePartition exchange
-    is the batch's own single partition — no extra movement, no
-    count job). Both paths allocate the same deterministic VALUE SET
-    base + step·[0, N); under a non-deterministic upstream the
-    row→value ASSIGNMENT can shift on recomputation in either path
-    (row_number over monotonically_increasing_id order is equally
-    non-deterministic), the set cannot."""
+    never funnels through a single task. This is the one Spark job
+    identity adds, and only on multi-partition allocating batches.
+    Single-partition batches keep the global row_number window (its
+    SinglePartition exchange is the batch's own single partition —
+    no extra movement, no count job, no checkpoint). Both paths
+    allocate the exact dense VALUE SET base + step·[0, N)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -1631,6 +1632,19 @@ def _apply_identity_columns(df, meta: dict, allocate: bool = True):
         base = start if hwm is None else int(hwm) + step
         base = max(base, start) if step > 0 else min(base, start)
         if part_offsets is None and df.rdd.getNumPartitions() > 1:
+            # pin the partitioning BEFORE counting (review finding):
+            # the count job, the pre-pass agg, and the data write are
+            # separate jobs — under a non-deterministic upstream or a
+            # runtime-replanned shuffle they could otherwise observe
+            # different partition layouts, and a partition writing
+            # more rows than were counted would overlap the next
+            # partition's range (duplicate identities) while an
+            # uncounted partition id would null its values. The lazy
+            # localCheckpoint materializes on the count job
+            # (MEMORY_AND_DISK, spills at bulk size) and every later
+            # job reads the SAME stored partitions — which also stops
+            # the batch lineage recomputing for the pre-pass + write.
+            df = df.localCheckpoint(eager=False)
             counts = sorted(
                 (int(r["__qs_pid__"]), int(r["__qs_n__"]))
                 for r in df.groupBy(

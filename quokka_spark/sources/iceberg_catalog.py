@@ -348,6 +348,25 @@ def write_iceberg_catalog(spark, df, table: str, mode: str = "append",
      .option("maxRecordsPerFile", output_line_limit)
      .parquet(staging))
     plain = staging.removeprefix("file://")
+
+    def _drop_staging():
+        # a failed registration must not leave orphan parquet inside
+        # the table's own data prefix (each failure would otherwise
+        # accumulate files that look like table data to directory
+        # tooling); best-effort — the commit error is the one that
+        # propagates
+        try:
+            if os.path.isdir(plain):
+                import shutil
+                shutil.rmtree(plain, ignore_errors=True)
+            else:
+                sc = spark.sparkContext
+                hp = sc._jvm.org.apache.hadoop.fs.Path(staging)
+                hp.getFileSystem(
+                    sc._jsc.hadoopConfiguration()).delete(hp, True)
+        except Exception:  # noqa: BLE001 - cleanup only
+            pass
+
     if os.path.isdir(plain):
         files = sorted(os.path.join(plain, f)
                        for f in os.listdir(plain)
@@ -362,14 +381,19 @@ def write_iceberg_catalog(spark, df, table: str, mode: str = "append",
                        for st in fs.listStatus(hpath)
                        if str(st.getPath()).endswith(".parquet"))
     if not files:
+        _drop_staging()
         raise ValueError(
             f"{table}: the staged write produced no parquet files "
             f"under {staging} — nothing to commit")
-    if mode == "append":
-        tbl.add_files(file_paths=files)
-        return
-    from pyiceberg.expressions import AlwaysTrue
-    tx = tbl.transaction()
-    tx.delete(AlwaysTrue())
-    tx.add_files(file_paths=files)
-    tx.commit_transaction()
+    try:
+        if mode == "append":
+            tbl.add_files(file_paths=files)
+            return
+        from pyiceberg.expressions import AlwaysTrue
+        tx = tbl.transaction()
+        tx.delete(AlwaysTrue())
+        tx.add_files(file_paths=files)
+        tx.commit_transaction()
+    except BaseException:
+        _drop_staging()
+        raise

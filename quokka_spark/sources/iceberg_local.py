@@ -1475,8 +1475,11 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
         fv = 3 if any_dvs else 2
     else:
         fv = int(format_version)
-        if fv not in (1, 2, 3):
-            raise ValueError(f"format_version {fv}: expected 1-3")
+        if fv not in (2, 3):
+            # this writer emits v2 manifest-list shapes — stamping 1
+            # would label them as a layout v1 readers can't parse
+            raise ValueError(f"format_version {fv}: this writer "
+                             "produces format-version 2 or 3")
         if fv < 3 and any_dvs:
             raise ValueError(
                 "deletion vectors require format-version 3 — a "
@@ -1590,7 +1593,17 @@ def create_local_iceberg_table(table_dir: str, snapshots: list,
                 f"snapshot {i}: spec_id {snap_spec} not among the "
                 f"declared partition_specs {sorted(entry_schemas)}")
         manifest = os.path.join(meta_dir, f"manifest-{sid}.avro")
-        snap_first = next_row_id if fv >= 3 else None
+        # a rebuilt snapshot keeps its HISTORICAL first-row-id
+        # (review finding: stamping the carried next-row-id seed on
+        # prior snapshots would record e.g. first-row-id 15 on the
+        # snapshot that assigned rows 0..14 — spec-wrong metadata a
+        # foreign reader may use as an inheritance base)
+        snap_first = None
+        if fv >= 3:
+            carried = (spec.get("first_row_id")
+                       if isinstance(spec, dict) else None)
+            snap_first = (int(carried) if carried is not None
+                          else next_row_id)
         write_container(manifest, entry_schema,
                         [data_entry(p) for p in files],
                         extra_meta={"partition-spec-id": snap_spec})
@@ -2088,11 +2101,14 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                           "dvs": dvs_,
                           "snapshot_id": s.get("snapshot-id"),
                           "operation": summ.pop("operation", None),
-                          # summary extras (e.g. merge-keys) and the
-                          # commit timestamp survive the rebuild —
-                          # losing them would strip update pairing
-                          # and timestamp time travel
+                          # summary extras (e.g. merge-keys), the
+                          # commit timestamp and the v3 row-lineage
+                          # base survive the rebuild — losing them
+                          # would strip update pairing, timestamp
+                          # time travel, or stamp spec-wrong
+                          # first-row-id on history
                           "summary_extra": summ,
+                          "first_row_id": s.get("first-row-id"),
                           "timestamp_ms": s.get("timestamp-ms", 0)})
     current = prior[-1] if prior else {"data": [], "deletes": [],
                                        "eq_deletes": []}
