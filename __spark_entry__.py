@@ -7483,6 +7483,77 @@ FROM live GROUP BY g
 """
 
 
+def src_iceberg_defaults(spark, sf_dir):
+    """Iceberg v3 initial-DEFAULT values (round 12 — spec §Default
+    values; iceberg_local._field_defaults + the per-file presence
+    split in _live_df): customer loads in two snapshots — the FIRST
+    file predates the c_mktsegment column (written without it), the
+    second carries it with real values — and the schema declares
+    initial-default 'LEGACY'. The read must serve 'LEGACY' for every
+    pre-evolution row (null-filling would collapse them into the
+    NULL group) and the stored segments for the rest."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import \
+        create_local_iceberg_table
+    qc = _qc(spark)
+    cust = os.path.join(sf_dir, "customer.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_icedef_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(cust, columns=[
+            "c_custkey", "c_acctbal", "c_mktsegment"])
+        even = pc.equal(pc.bit_wise_and(t.column("c_custkey"), 1), 0)
+        fe = os.path.join(base, "pre_evolution.parquet")
+        fo = os.path.join(base, "post_evolution.parquet")
+        pq.write_table(t.filter(even).drop_columns(["c_mktsegment"]),
+                       fe)
+        pq.write_table(t.filter(pc.invert(even)), fo)
+        create_local_iceberg_table(
+            tbl, [[fe], [{"path": fe, "seq": 1}, fo]],
+            schema_fields=[(1, "c_custkey", "long"),
+                           (2, "c_acctbal", "double"),
+                           (3, "c_mktsegment", "string")],
+            format_version=3)
+        # stamp the default the way a foreign ADD COLUMN ... DEFAULT
+        # writer records it (the fixture builder has no
+        # evolution-with-default API)
+        mdir = os.path.join(tbl, "metadata")
+        mfile = sorted(f for f in os.listdir(mdir)
+                       if f.endswith(".metadata.json"))[-1]
+        with open(os.path.join(mdir, mfile)) as fh:
+            m = _json.load(fh)
+        for f in m["schemas"][0]["fields"]:
+            if f["name"] == "c_mktsegment":
+                f["initial-default"] = "LEGACY"
+        with open(os.path.join(mdir, mfile), "w") as fh:
+            fh.write(_json.dumps(m))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (qc.read_iceberg(tbl).df
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+_SRC_ICEBERG_DEFAULTS_SQL = """
+SELECT CASE WHEN c_custkey % 2 = 0 THEN 'LEGACY'
+            ELSE c_mktsegment END AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
@@ -7674,8 +7745,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
         "src_delta_cm_id_partitioned": src_delta_cm_id_partitioned,
-        # round-12 machinery gate (rotation candidate for round 13)
+        # round-12 machinery gates (rotation candidates for round 13)
         "src_iceberg_lineage": src_iceberg_lineage,
+        "src_iceberg_defaults": src_iceberg_defaults,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -7892,6 +7964,7 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_dv_cdf": _SRC_ICEBERG_DV_CDF_SQL,
         "src_iceberg_refs": _SRC_ICEBERG_REFS_SQL,
         "src_iceberg_lineage": _SRC_ICEBERG_LINEAGE_SQL,
+        "src_iceberg_defaults": _SRC_ICEBERG_DEFAULTS_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,

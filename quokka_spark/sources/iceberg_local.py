@@ -11,6 +11,12 @@ stays in Spark's vectorized parquet reader with full predicate
 pushdown / column pruning.
 
 Scope (documented, test-enforced):
+- format-version 3: deletion vectors (puffin, round 11), ROW LINEAGE
+  (_row_id / _last_updated_sequence_number served on reads, explicit
+  ranges + next-row-id emitted on writes, materialized across
+  compaction — round 12), and top-level primitive initial-DEFAULT
+  values (served per file presence); v3 defaults on nested fields
+  and format v4+ refuse typed.
 - format-version 1 and 2 tables, including v2 POSITION deletes
   (applied as a distributed anti-join on ``_metadata`` file/row
   position — see read_iceberg_local) and v2 EQUALITY deletes
@@ -86,31 +92,58 @@ def _read_table_metadata(table_path: str) -> dict:
             f"{table_path}: Iceberg format-version {fv} — this "
             "reader implements versions 1-3")
     if fv == 3:
-        # v3 DELETION VECTORS (puffin) read end-to-end (round 11);
-        # the v3 features that would change plain column reads still
-        # refuse typed: column DEFAULT VALUES (null-filling a
-        # defaulted column serves wrong data). Row lineage needs no
-        # gate for data reads — it defines the _row_id metadata
-        # columns, which this reader never serves.
-        def _walk_defaults(node):
-            # defaults can sit on NESTED struct fields too (review
-            # finding) — walk the whole schema JSON, not just the
-            # top level
+        # v3 DELETION VECTORS (puffin) and row lineage read
+        # end-to-end (rounds 11-12); TOP-LEVEL primitive column
+        # DEFAULT VALUES are SERVED on reads (round 12 —
+        # _field_defaults + the per-file presence split in _live_df).
+        # Defaults on NESTED fields still refuse typed: the scan
+        # cannot splice a default into a struct/list/map element
+        # without restructuring the column (the jar's job), and
+        # null-filling it would serve wrong data.
+        def _walk_nested_defaults(node, depth):
             if isinstance(node, dict):
-                if "initial-default" in node or "write-default" in node:
+                has_def = ("initial-default" in node
+                           or "write-default" in node)
+                if has_def and (depth > 2
+                                or isinstance(node.get("type"), dict)):
                     raise NotImplementedError(
                         f"{table_path}: field "
                         f"{node.get('name', '<nested>')!r} declares "
-                        "a v3 default value — this reader would "
-                        "null-fill it; read with the jar")
+                        "a v3 default value on a nested or "
+                        "non-primitive field — this reader serves "
+                        "top-level primitive defaults only; read "
+                        "with the jar")
                 for v in node.values():
-                    _walk_defaults(v)
+                    _walk_nested_defaults(v, depth + 1)
             elif isinstance(node, list):
                 for v in node:
-                    _walk_defaults(v)
+                    _walk_nested_defaults(v, depth)
 
-        _walk_defaults(meta.get("schemas") or [])
+        # depth: schemas list(0) → schema dict(1) → fields list(1) →
+        # field dict(2) → nested type dict(3+)
+        _walk_nested_defaults(meta.get("schemas") or [], 0)
     return meta
+
+
+def _field_defaults(meta: dict) -> dict:
+    """{column name: (initial-default JSON value, iceberg type)} for
+    TOP-LEVEL primitive fields of the CURRENT schema that declare one
+    (spec v3 §Default values): ``initial-default`` is the value rows
+    of data files written BEFORE the column existed must read as —
+    null-filling them serves wrong data. Nested defaults were already
+    refused at metadata load."""
+    cur = meta.get("current-schema-id", 0)
+    schema = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == cur:
+            schema = s
+    if schema is None and (meta.get("schemas") or []):
+        schema = meta["schemas"][-1]
+    out = {}
+    for f in (schema or {}).get("fields", []):
+        if "initial-default" in f and isinstance(f.get("type"), str):
+            out[f["name"]] = (f["initial-default"], f["type"])
+    return out
 
 
 def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict:
@@ -807,6 +840,10 @@ def _table_read_schema(meta: dict, probe_path: str):
         file_cols = set(fsch.names)
     except Exception:
         return None
+    # rewritten v3 files MATERIALIZE the reserved row-lineage columns
+    # (spec §Row Lineage); they are metadata, never part of the table
+    # schema, so they must not flip the coverage check to inference
+    file_cols -= {"_row_id", "_last_updated_sequence_number"}
     if file_cols - set(by_name):
         return None  # partial fixture schema — infer instead
     for c in file_cols:
@@ -981,10 +1018,52 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
                          + (f" matching {partition_filter or scan_filter!r}"
                             if (partition_filter or scan_filter) else ""))
     rs = _table_read_schema(meta, paths[0])
+    if rs is not None and with_lineage:
+        # rewritten v3 files materialize the lineage columns — put
+        # them in the read schema so coalesce can prefer them; files
+        # without them null-fill and fall back to the inherited value
+        from pyspark.sql.types import LongType, StructField
+        for c in ("_row_id", "_last_updated_sequence_number"):
+            rs = rs.add(StructField(c, LongType(), True))
     df = ((spark.read.schema(rs).parquet(*paths)
            if rs is not None else spark.read.parquet(*paths))
           .withColumn("__qs_fp__", _norm_path(F.col("_metadata.file_path")))
           .withColumn("__qs_pos__", F.col("_metadata.row_index")))
+    if not with_lineage:
+        # a plain read of a table whose rewritten files materialize
+        # the reserved lineage columns must not surface them (they
+        # can only appear here via schema inference)
+        df = df.drop("_row_id", "_last_updated_sequence_number")
+    defaults = _field_defaults(meta)
+    if defaults:
+        # v3 initial-defaults (spec §Default values, round 12): rows
+        # of files written BEFORE a defaulted column existed read as
+        # the default, not null. Presence is per FILE (one KB footer
+        # read each, driver-side, only on the pruned list and only
+        # for tables that declare defaults); genuinely-null stored
+        # values in files that HAVE the column stay null — a blanket
+        # coalesce would be wrong.
+        import pyarrow.parquet as _pq
+        foot_cache: dict = {}
+        for c, (val, ityp) in sorted(defaults.items()):
+            missing = []
+            for d in entries:
+                lp = _local(d["path"])
+                if lp not in foot_cache:
+                    foot_cache[lp] = set(_pq.read_schema(lp).names)
+                if c not in foot_cache[lp]:
+                    missing.append(_py_norm(d["path"]))
+            if not missing:
+                continue
+            if c not in df.columns:
+                raise NotImplementedError(
+                    f"{table_path}: defaulted column {c!r} resolved "
+                    "into no read-schema column — read with the jar")
+            styp = _ICEBERG_TO_SPARK_TYPE.get(ityp, "string")
+            df = df.withColumn(
+                c, F.when(F.col("__qs_fp__").isin(missing),
+                          F.lit(val).cast(styp))
+                .otherwise(F.col(c)))
     if partition_filter:
         from .pruning import parse_conjuncts
         atoms = parse_conjuncts(partition_filter)
@@ -1070,16 +1149,17 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
         rid = F.col("__qs_frid__") + F.col("__qs_pos__")
         seqc = F.col("__qs_lseq__")
         if "_row_id" in df.columns:           # materialized by a rewrite
-            rid = F.coalesce(F.col("_row_id"), rid)
-            df = df.drop("_row_id")
+            df = df.withColumnRenamed("_row_id", "__qs_mrid__")
+            rid = F.coalesce(F.col("__qs_mrid__"), rid)
         if "_last_updated_sequence_number" in df.columns:
-            seqc = F.coalesce(
-                F.col("_last_updated_sequence_number"), seqc)
-            df = df.drop("_last_updated_sequence_number")
+            df = df.withColumnRenamed(
+                "_last_updated_sequence_number", "__qs_mseq__")
+            seqc = F.coalesce(F.col("__qs_mseq__"), seqc)
         df = (df.withColumn("_row_id", rid.cast("long"))
               .withColumn("_last_updated_sequence_number",
                           seqc.cast("long"))
-              .drop("__qs_lfp__", "__qs_frid__", "__qs_lseq__"))
+              .drop("__qs_lfp__", "__qs_frid__", "__qs_lseq__",
+                    "__qs_mrid__", "__qs_mseq__"))
     return df if keep_position else df.drop("__qs_fp__", "__qs_pos__")
 
 
@@ -2253,7 +2333,15 @@ def rewrite_data_files_local(spark, table_dir: str,
     — partition_filter pruning keeps working on the compacted files.
     Non-identity transforms (bucket/truncate/…) stay gated: the
     transform result can't be recomputed without the transform
-    implementation (the jar's job)."""
+    implementation (the jar's job).
+
+    Format-v3 tables preserve ROW LINEAGE across the rewrite (round
+    12, spec §Row Lineage): the compacted files MATERIALIZE each
+    surviving row's ``_row_id`` and ``_last_updated_sequence_number``
+    as physical columns — compaction rearranges rows without
+    re-identifying them or faking an update — and the reader's
+    lineage path prefers a non-null materialized value over the
+    file-range arithmetic."""
     import glob
     import math
     import uuid as _uuid
@@ -2267,7 +2355,8 @@ def rewrite_data_files_local(spark, table_dir: str,
             "compaction of a table partitioned by a non-identity "
             "transform — the manifest partition values are transform "
             "RESULTS this reader cannot recompute; use the runtime jar")
-    df = _live_df(spark, table_dir, None)
+    fv = int(meta.get("format-version") or 1)
+    df = _live_df(spark, table_dir, None, with_lineage=fv >= 3)
     n = df.count()
     parts = max(1, math.ceil(n / target_file_rows))
     tdir = _local(table_dir)

@@ -210,10 +210,12 @@ def test_iceberg_v3_duplicate_dv_refuses(qc, spark, tmp_path):
 
 
 def test_iceberg_v3_feature_gates(qc, spark, table, tmp_path):
-    """v3 gates: format-version 4 refuses; a v3 schema field with a
-    default value refuses typed (null-filling it would serve wrong
-    data); row lineage needs no gate (this reader never serves
-    _row_id)."""
+    """v3 gates: format-version 4 refuses; a TOP-LEVEL primitive
+    default is SERVED since round 12 (every file here carries the
+    column, so stored values win and the schema merely loads); a
+    NESTED field's default still refuses typed (the scan cannot
+    splice a default into a struct element — null-filling it would
+    serve wrong data); row lineage needs no gate."""
     import json as _json
 
     from quokka_spark.sources.iceberg_local import _read_table_metadata
@@ -236,9 +238,10 @@ def test_iceberg_v3_feature_gates(qc, spark, table, tmp_path):
          "initial-default": 7}]}]
     with open(mpath, "w") as fh:
         _json.dump(meta, fh)
-    with pytest.raises(NotImplementedError, match="default value"):
-        _read_table_metadata(tbl)
-    # NESTED defaults gate too (review finding: a struct member's
+    _read_table_metadata(tbl)          # loads; serving is read-side
+    assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
+        == list(range(25))             # stored values win everywhere
+    # NESTED defaults gate (review finding: a struct member's
     # default would otherwise be silently null-filled)
     meta["schemas"] = [{"schema-id": 0, "fields": [
         {"id": 1, "name": "s", "type": {
@@ -2397,3 +2400,116 @@ def test_iceberg_catalog_write_without_pyiceberg_refuses(spark, qc):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(RuntimeError, match="pyiceberg"):
         DataStream(qc, df).write_iceberg("db.t", catalog="default")
+
+
+def test_iceberg_v3_compaction_preserves_row_lineage(spark, qc,
+                                                     tmp_path):
+    """Round-12: rewrite_data_files_local on a format-v3 table
+    MATERIALIZES _row_id / _last_updated_sequence_number into the
+    compacted files (spec §Row Lineage — compaction rearranges rows,
+    it must not re-identify them or fake an update). After
+    compaction: lineage reads serve the ORIGINAL ids and sequence
+    numbers (materialized wins over the fresh file-range
+    arithmetic), DV-deleted rows stay gone, and PLAIN reads never
+    surface the reserved columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        add_deletion_vectors, create_local_iceberg_table,
+        read_iceberg_local, rewrite_data_files_local)
+
+    f1 = str(tmp_path / "f1.parquet")
+    f2 = str(tmp_path / "f2.parquet")
+    pq.write_table(pa.table({"k": list(range(10)),
+                             "v": [float(i) for i in range(10)]}), f1)
+    pq.write_table(pa.table({"k": list(range(100, 105)),
+                             "v": [1.0] * 5}), f2)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[f1], [{"path": f1, "seq": 1}, f2]],
+        schema_fields=[(1, "k", "long"), (2, "v", "double")],
+        format_version=3)
+    add_deletion_vectors(tbl, {f1: [0, 1]})
+    before = sorted((r["k"], r["_row_id"],
+                     r["_last_updated_sequence_number"])
+                    for r in read_iceberg_local(
+                        spark, tbl, with_lineage=True).collect())
+
+    rewrite_data_files_local(spark, tbl, target_file_rows=7)
+
+    plain = read_iceberg_local(spark, tbl)
+    assert "_row_id" not in plain.columns
+    assert sorted(r["k"] for r in plain.collect()) == \
+        [r[0] for r in before]
+    after = sorted((r["k"], r["_row_id"],
+                    r["_last_updated_sequence_number"])
+                   for r in read_iceberg_local(
+                       spark, tbl, with_lineage=True).collect())
+    assert after == before, (before, after)
+
+
+def test_iceberg_v3_initial_default_values(spark, qc, tmp_path):
+    """Round-12 (spec v3 §Default values): a top-level primitive
+    column with ``initial-default`` reads as the DEFAULT from data
+    files written before the column existed, while files that carry
+    the column serve their stored values — including genuinely-null
+    stored values (a blanket coalesce would be wrong). Defaults on
+    nested fields keep the typed refusal."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        _read_table_metadata, create_local_iceberg_table,
+        read_iceberg_local)
+
+    old = str(tmp_path / "old.parquet")     # pre-evolution: no 'tag'
+    new = str(tmp_path / "new.parquet")     # carries 'tag', one null
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}), old)
+    pq.write_table(pa.table({"k": pa.array([3, 4], pa.int64()),
+                             "tag": pa.array(["x", None],
+                                             pa.string())}), new)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[old], [{"path": old, "seq": 1}, new]],
+        schema_fields=[(1, "k", "long"), (2, "tag", "string")],
+        format_version=3)
+    # stamp the default into the published schema (the fixture
+    # builder has no evolution-with-default API — patch like a
+    # foreign writer would have written it)
+    meta_dir = os.path.join(tbl, "metadata")
+    mfile = sorted(f for f in os.listdir(meta_dir)
+                   if f.endswith(".metadata.json"))[-1]
+    with open(os.path.join(meta_dir, mfile)) as fh:
+        m = _json.load(fh)
+    for f in m["schemas"][0]["fields"]:
+        if f["name"] == "tag":
+            f["initial-default"] = "legacy"
+            f["write-default"] = "fresh"
+    with open(os.path.join(meta_dir, mfile), "w") as fh:
+        fh.write(_json.dumps(m))
+
+    rows = sorted((r["k"], r["tag"]) for r in read_iceberg_local(
+        spark, tbl).collect())
+    assert rows == [(1, "legacy"), (2, "legacy"),
+                    (3, "x"), (4, None)], rows
+    # filters evaluate over the defaulted values
+    got = read_iceberg_local(spark, tbl,
+                             scan_filter="tag = 'legacy'")
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+    # nested defaults keep the typed refusal
+    for f in m["schemas"][0]["fields"]:
+        if f["name"] == "tag":
+            f.pop("initial-default"), f.pop("write-default")
+    m["schemas"][0]["fields"].append({
+        "id": 9, "name": "s", "required": False,
+        "type": {"type": "struct", "fields": [
+            {"id": 10, "name": "inner", "required": False,
+             "type": "string", "initial-default": "nope"}]}})
+    with open(os.path.join(meta_dir, mfile), "w") as fh:
+        fh.write(_json.dumps(m))
+    with pytest.raises(NotImplementedError, match="default"):
+        _read_table_metadata(tbl)
