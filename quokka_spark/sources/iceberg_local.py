@@ -2111,6 +2111,7 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
     partition_spec = None
     if os.path.isdir(os.path.join(_local(table_dir), "metadata")):
         meta = _read_table_metadata(table_dir)
+        _check_write_defaults(table_dir, meta, add_files)
         if add_dv_files and len(meta.get("partition-specs") or []) > 1:
             raise NotImplementedError(
                 "deletion-vector commits on a table with evolved "
@@ -2266,6 +2267,43 @@ def commit_snapshot(table_dir: str, add_files: list | None = None,
                                      meta_extra=extra,
                                      format_version=fv_pin)
     return ids[-1]
+
+
+def _check_write_defaults(table_dir: str, meta: dict,
+                          add_files: list | None) -> None:
+    """Write-side honesty gate for v3 defaults (round 12): a data
+    file that OMITS a column whose ``write-default`` differs from its
+    ``initial-default`` would be read back as the initial-default —
+    not the value the spec says the writer must have filled. Refuse
+    that commit (this engine registers files in place and cannot
+    rewrite them). When the two defaults agree — the common ADD
+    COLUMN ... DEFAULT case — an omitted column reads correctly and
+    commits freely. One KB footer read per ADDED file, only on
+    tables that declare diverging defaults (rare)."""
+    cur = meta.get("current-schema-id", 0)
+    schema = None
+    for s in meta.get("schemas") or []:
+        if s.get("schema-id") == cur:
+            schema = s
+    diverging = {
+        f["name"] for f in (schema or {}).get("fields", [])
+        if isinstance(f.get("type"), str)
+        and "write-default" in f
+        and f.get("write-default") != f.get("initial-default")}
+    if not diverging or not add_files:
+        return
+    import pyarrow.parquet as _pq
+    for a in add_files:
+        p = a["path"] if isinstance(a, dict) else a
+        cols = set(_pq.read_schema(_local(p)).names)
+        missing = sorted(diverging - cols)
+        if missing:
+            raise NotImplementedError(
+                f"{table_dir}: data file {p} omits column(s) "
+                f"{missing} whose write-default differs from their "
+                "initial-default — rows would read back as the "
+                "WRONG default; write the column(s) into the batch "
+                "or commit with the jar")
 
 
 def restore_iceberg_local(table_dir: str, snapshot_id: int) -> int:

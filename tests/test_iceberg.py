@@ -2513,3 +2513,59 @@ def test_iceberg_v3_initial_default_values(spark, qc, tmp_path):
         fh.write(_json.dumps(m))
     with pytest.raises(NotImplementedError, match="default"):
         _read_table_metadata(tbl)
+
+
+def test_iceberg_v3_write_default_divergence_gate(spark, qc,
+                                                  tmp_path):
+    """Round-12 write-side defaults honesty: committing a data file
+    that omits a column whose write-default DIFFERS from its
+    initial-default refuses (the rows would read back as the wrong
+    default — this engine registers files in place and cannot fill
+    them); agreeing defaults (the ADD COLUMN ... DEFAULT shape) and
+    files that carry the column commit freely."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        commit_snapshot, create_local_iceberg_table,
+        read_iceberg_local)
+
+    full = str(tmp_path / "full.parquet")
+    bare = str(tmp_path / "bare.parquet")
+    pq.write_table(pa.table({"k": pa.array([1], pa.int64()),
+                             "tag": pa.array(["a"])}), full)
+    pq.write_table(pa.table({"k": pa.array([2], pa.int64())}), bare)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[full]],
+        schema_fields=[(1, "k", "long"), (2, "tag", "string")],
+        format_version=3)
+
+    def set_defaults(init, write):
+        mdir = os.path.join(tbl, "metadata")
+        mfile = sorted(f for f in os.listdir(mdir)
+                       if f.endswith(".metadata.json"))[-1]
+        with open(os.path.join(mdir, mfile)) as fh:
+            m = _json.load(fh)
+        for f in m["schemas"][0]["fields"]:
+            if f["name"] == "tag":
+                f["initial-default"] = init
+                f["write-default"] = write
+        with open(os.path.join(mdir, mfile), "w") as fh:
+            fh.write(_json.dumps(m))
+
+    # diverging defaults + a file omitting the column → refuse
+    set_defaults("old", "new")
+    with pytest.raises(NotImplementedError, match="write-default"):
+        commit_snapshot(tbl, add_files=[bare])
+    # the file carrying the column commits under diverging defaults
+    commit_snapshot(tbl, add_files=[full])
+    # agreeing defaults: the omitting file commits and reads as the
+    # shared default
+    set_defaults("same", "same")
+    commit_snapshot(tbl, add_files=[bare])
+    rows = sorted((r["k"], r["tag"]) for r in read_iceberg_local(
+        spark, tbl).collect())
+    assert (2, "same") in rows
