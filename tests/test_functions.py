@@ -288,6 +288,55 @@ def test_bench_harness_survives_broken_query(spark):
     assert "injected failure" in errors["boom"]
 
 
+def test_bench_steal_instruments(monkeypatch):
+    """Round-12 steal machinery (round-11 verdict #2): the window
+    delta math, the gate's pass/retry/exhaust contract, and the
+    during-run monitor all read from one tick source — driven here
+    with injected tick sequences so the test is host-independent."""
+    import bench
+
+    assert bench._steal_pct((0, 0), (5, 100)) == 5.0
+    assert bench._steal_pct((10, 100), (10, 100)) == 0.0   # no ticks
+
+    # scripted /proc/stat: (steal, total) advancing per read
+    def scripted(seq):
+        it = iter(seq)
+        return lambda: next(it)
+
+    # calm host: one 2-window attempt, passes
+    monkeypatch.setattr(bench, "_read_steal_ticks",
+                        scripted([(0, 0), (1, 1000), (2, 2000)]))
+    g = bench.steal_gate(max_attempts=3, duration=0.02, window=0.01)
+    assert g["passed"] is True and len(g["attempts"]) == 1
+    assert g["attempts"][0]["max_window_pct"] <= 0.1
+
+    # stolen host: every attempt breaches, gate exhausts but the
+    # bench still runs (passed=False is recorded, never raised)
+    hot = [(i * 100, i * 1000) for i in range(40)]     # 10% steal
+    monkeypatch.setattr(bench, "_read_steal_ticks", scripted(hot))
+    g = bench.steal_gate(max_attempts=2, duration=0.02, window=0.01)
+    assert g["passed"] is False and len(g["attempts"]) == 2
+    assert all(a["mean_pct"] > 1.0 for a in g["attempts"])
+
+    # unreadable /proc/stat (non-Linux): gate reports unavailable
+    def boom():
+        raise OSError("no /proc/stat")
+    monkeypatch.setattr(bench, "_read_steal_ticks", boom)
+    g = bench.steal_gate(max_attempts=2, duration=0.01, window=0.01)
+    assert g["passed"] is None
+
+    # the during-run monitor aggregates through the same math
+    monkeypatch.setattr(bench, "_read_steal_ticks",
+                        scripted([(0, 0), (50, 1000), (50, 2000),
+                                  (50, 3000), (50, 4000)]))
+    import time as _t
+    m = bench.StealMonitor(window=0.01).start()
+    _t.sleep(0.08)
+    out = m.stop()
+    assert out["max_window_pct"] == 5.0        # the first hot window
+    assert out["trace_pct"][0] == 5.0 and 0.0 in out["trace_pct"]
+
+
 def test_line_dedup_global_first_occurrence(spark):
     """Newline corpus: a boilerplate line survives only at its globally
     first (doc_id, pos); blank lines always survive; a doc whose every
