@@ -7557,14 +7557,15 @@ FROM customer GROUP BY 1
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
-    inside that window (TPC-H 12, time-series 6 + streaming 2, dedup
-    3, similarity 2, text 2, pipeline 1, linalg/ML 3, sources 15
-    incl. the executor-side DV scan, MoR log merge, REAL
+    inside that window (TPC-H 11, time-series 6 + streaming 2, dedup
+    3, similarity 2, text 2, pipeline 1, linalg/ML 3, sources 17
+    incl. the executor-side Delta DV scan, MoR log merge, REAL
     HoodieLogFormat framing, the log-derived CDF read, CDF-writer cdc
-    actions, partitioned columnMapping, auto- and v2 checkpoints, the
-    RESTORE trio, Iceberg multi-spec + CDF, and Hudi incremental
-    reads, lakehouse streaming 4 incl. the exactly-once sink TRIO and
-    the Delta source = 50).
+    actions, partitioned columnMapping, auto- and v2 checkpoints,
+    iceberg/hudi restores, Iceberg multi-spec + CDF + v3 DELETION
+    VECTORS + DV-CDF + branch/tag refs, Hudi incremental reads, and
+    evaluated Delta constraints, lakehouse streaming 3 incl. the
+    delta/iceberg exactly-once sinks and the Delta source = 50).
     Round-8 rotation (round-7 verdict #6): `src_delta_dv`,
     `stream_sink_delta`, `src_hudi_mor` IN; `dedup_ngram_jaccard`,
     `agg_covariance`, `ts_hopping` OUT. Round-9 rotation (round-8

@@ -167,6 +167,17 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
                     f"catalog table {table}: delete file "
                     f"{d.file_path} has unknown content {content!r}")
     files = sorted(t.file.file_path for t in tasks)
+    # v3 default values: the local-directory reader SERVES top-level
+    # initial-defaults (iceberg_local round 12); this catalog path
+    # would silently null-fill them — refuse typed instead (the jar,
+    # or the table directory, serves them correctly)
+    for f in tbl.schema().fields:
+        if getattr(f, "initial_default", None) is not None:
+            raise NotImplementedError(
+                f"catalog table {table}: column {f.name!r} declares "
+                "a v3 initial-default this path would null-fill — "
+                "read the table DIRECTORY (defaults are served "
+                "there) or use the runtime jar")
     # read under the TABLE schema (mapped from pyiceberg), never
     # footer inference: after schema evolution an inferred schema can
     # sample a pre-evolution file and silently drop the new column,
