@@ -1267,17 +1267,39 @@ def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
     passes through the driver; the driver commit is KB of manifests.
 
     The standard corpus-refresh shape at 100 TB: re-crawled or
-    re-scored documents replace their previous versions by key."""
+    re-scored documents replace their previous versions by key.
+
+    Format-v3 lineage tables (round 12, spec §Row Lineage): an
+    UPDATED row keeps its ``_row_id`` — the batch joins the matched
+    live rows' ids and the appended files MATERIALIZE the column
+    (null for genuine inserts, which then inherit from the new
+    file's range; the new snapshot's sequence number is each row's
+    ``_last_updated_sequence_number`` either way). Preservation
+    applies exactly when a batch key matched ONE live row; a key
+    that replaced several rows is a delete+insert and assigns fresh
+    ids, as the spec permits."""
     import glob
     import uuid
     from pyspark.sql import functions as F
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     tdir = _local(table_dir)
     tag = uuid.uuid4().hex[:12]
-    live = _live_df(spark, table_dir, None, keep_position=True)
+    meta = _read_table_metadata(table_dir)
+    lineage = (int(meta.get("format-version") or 1) >= 3
+               and "next-row-id" in meta)
+    df_evolve = df        # schema evolution must never see _row_id
+    live = _live_df(spark, table_dir, None, keep_position=True,
+                    with_lineage=lineage)
     matched = (live.join(df.select(*keys).distinct(), keys, "left_semi")
                .select(F.col("__qs_fp__").alias("file_path"),
                        F.col("__qs_pos__").cast("long").alias("pos")))
+    if lineage and "_row_id" not in df.columns:
+        old = (live.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("__qs_kn__"),
+                    F.min("_row_id").alias("__qs_krid__"))
+               .where("__qs_kn__ = 1")
+               .select(*keys, F.col("__qs_krid__").alias("_row_id")))
+        df = df.join(old, keys, "left")
     ddir = os.path.join(tdir, "metadata", f"upsert-del-{tag}")
     matched.write.mode("errorifexists").parquet(ddir)
     delete_files = sorted(glob.glob(os.path.join(ddir, "*.parquet")))
@@ -1288,7 +1310,7 @@ def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
     # merge-keys in the snapshot summary: read_iceberg_changes pairs
     # this snapshot's deletes+inserts into update_pre/postimage rows
     return commit_snapshot(table_dir, add_files, delete_files,
-                           evolve_from_df=df,
+                           evolve_from_df=df_evolve,
                            summary_extra={"merge-keys":
                                           json.dumps(keys)})
 

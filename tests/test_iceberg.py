@@ -2569,3 +2569,45 @@ def test_iceberg_v3_write_default_divergence_gate(spark, qc,
     rows = sorted((r["k"], r["tag"]) for r in read_iceberg_local(
         spark, tbl).collect())
     assert (2, "same") in rows
+
+
+def test_iceberg_v3_upsert_preserves_row_ids(spark, qc, tmp_path):
+    """Round-12 (spec §Row Lineage, MERGE shape): an upsert on a v3
+    lineage table keeps the _row_id of each UPDATED row (materialized
+    into the rewritten batch file) while its
+    _last_updated_sequence_number advances to the merge snapshot;
+    genuine inserts take fresh ids from the new file's range."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        _read_table_metadata, create_local_iceberg_table,
+        read_iceberg_local, upsert_iceberg_local)
+
+    f1 = str(tmp_path / "f1.parquet")
+    pq.write_table(pa.table({"k": list(range(5)),
+                             "v": [float(i) for i in range(5)]}), f1)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[f1]],
+        schema_fields=[(1, "k", "long"), (2, "v", "double")],
+        format_version=3)
+    # update k=2 and k=4, insert k=100
+    upsert_iceberg_local(
+        spark, tbl,
+        spark.createDataFrame([(2, 20.0), (4, 40.0), (100, 1.0)],
+                              "k long, v double"), ["k"])
+    rows = {r["k"]: (r["v"], r["_row_id"],
+                     r["_last_updated_sequence_number"])
+            for r in read_iceberg_local(
+                spark, tbl, with_lineage=True).collect()}
+    # untouched rows: original ids, original seq
+    assert rows[0] == (0.0, 0, 1) and rows[1] == (1.0, 1, 1) \
+        and rows[3] == (3.0, 3, 1)
+    # updated rows: ORIGINAL ids, NEW sequence
+    assert rows[2][0] == 20.0 and rows[2][1] == 2 and rows[2][2] == 2
+    assert rows[4][0] == 40.0 and rows[4][1] == 4 and rows[4][2] == 2
+    # insert: a fresh id past the original range, new sequence
+    assert rows[100][1] >= 5 and rows[100][2] == 2
+    # the mark advanced past the merge file's allocation
+    assert _read_table_metadata(tbl)["next-row-id"] > rows[100][1]
