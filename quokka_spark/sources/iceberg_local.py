@@ -2775,11 +2775,15 @@ def read_iceberg_changes(spark, table_path: str,
     def _scan(paths):
         # the TABLE read schema, not per-file inference: pre-evolution
         # files surface evolved columns as null, exactly like the
-        # normal read path, and the parts union cleanly
+        # normal read path, and the parts union cleanly. Merge-written
+        # v3 files MATERIALIZE the reserved lineage columns — never
+        # table columns, so they must not leak into the change stream
+        # (they can only appear via the inference fallback)
         fs = [_local(p) for p in sorted(paths)]
         rs = _table_read_schema(meta, fs[0])
         return (spark.read.schema(rs).parquet(*fs)
-                if rs is not None else spark.read.parquet(*fs))
+                if rs is not None else spark.read.parquet(*fs)
+                .drop("_row_id", "_last_updated_sequence_number"))
 
     # COALESCED insert runs (round 10, tier-3 probe — same finding as
     # the Delta CDF): one union branch per snapshot makes Catalyst

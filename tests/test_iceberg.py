@@ -2611,3 +2611,13 @@ def test_iceberg_v3_upsert_preserves_row_ids(spark, qc, tmp_path):
     assert rows[100][1] >= 5 and rows[100][2] == 2
     # the mark advanced past the merge file's allocation
     assert _read_table_metadata(tbl)["next-row-id"] > rows[100][1]
+    # the change stream never surfaces the materialized reserved
+    # columns the merge wrote into its files
+    from quokka_spark.sources.iceberg_local import read_iceberg_changes
+    sids = [s["snapshot-id"] for s in
+            _read_table_metadata(tbl)["snapshots"]]
+    ch = read_iceberg_changes(spark, tbl, sids[-1], sids[-1])
+    assert "_row_id" not in ch.columns
+    post = {r["k"]: r["v"] for r in ch.collect()
+            if r["_change_type"] in ("insert", "update_postimage")}
+    assert post == {2: 20.0, 4: 40.0, 100: 1.0}
