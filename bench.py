@@ -373,7 +373,12 @@ class StealMonitor:
         except OSError:
             return
         while not self._stop.wait(self._window):
-            cur = _read_steal_ticks()
+            try:
+                cur = _read_steal_ticks()
+            except OSError:
+                # one transient sampler error must not silently
+                # truncate the whole during-run trace
+                continue
             self._trace.append(_steal_pct(prev, cur))
             prev = cur
 

@@ -170,14 +170,26 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     # v3 default values: the local-directory reader SERVES top-level
     # initial-defaults (iceberg_local round 12); this catalog path
     # would silently null-fill them — refuse typed instead (the jar,
-    # or the table directory, serves them correctly)
-    for f in tbl.schema().fields:
-        if getattr(f, "initial_default", None) is not None:
+    # or the table directory, serves them correctly). Walk NESTED
+    # fields too (struct/list/map element fields can declare
+    # defaults and would null-fill just as silently).
+    def _refuse_defaults(field, label):
+        if getattr(field, "initial_default", None) is not None \
+                or getattr(field, "write_default", None) is not None:
             raise NotImplementedError(
-                f"catalog table {table}: column {f.name!r} declares "
-                "a v3 initial-default this path would null-fill — "
-                "read the table DIRECTORY (defaults are served "
+                f"catalog table {table}: field {label!r} declares a "
+                "v3 default this path would null-fill — read the "
+                "table DIRECTORY (top-level defaults are served "
                 "there) or use the runtime jar")
+        ftype = getattr(field, "field_type", None)
+        for sub in (getattr(ftype, "fields", None) or []):
+            _refuse_defaults(sub, f"{label}.{sub.name}")
+        for attr in ("element_field", "key_field", "value_field"):
+            sub = getattr(ftype, attr, None)
+            if sub is not None:
+                _refuse_defaults(sub, f"{label}.{attr}")
+    for f in tbl.schema().fields:
+        _refuse_defaults(f, f.name)
     # read under the TABLE schema (mapped from pyiceberg), never
     # footer inference: after schema evolution an inferred schema can
     # sample a pre-evolution file and silently drop the new column,

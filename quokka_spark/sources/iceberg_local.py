@@ -125,6 +125,20 @@ def _read_table_metadata(table_path: str) -> dict:
     return meta
 
 
+def _current_schema(meta: dict) -> dict:
+    """The CURRENT schema dict ({} when the metadata carries none) —
+    the ONE resolver every schema consumer shares (review finding:
+    three hand-rolled copies had three divergent fallbacks, so one
+    read path could mix two schemas). Fallback on a missing/stale
+    current-schema-id is schemas[0], the longest-standing behavior."""
+    schemas = meta.get("schemas") or []
+    if not schemas:
+        return {}
+    cur = meta.get("current-schema-id")
+    return next((s for s in schemas if s.get("schema-id") == cur),
+                schemas[0])
+
+
 def _field_defaults(meta: dict) -> dict:
     """{column name: (initial-default JSON value, iceberg type)} for
     TOP-LEVEL primitive fields of the CURRENT schema that declare one
@@ -132,18 +146,57 @@ def _field_defaults(meta: dict) -> dict:
     of data files written BEFORE the column existed must read as —
     null-filling them serves wrong data. Nested defaults were already
     refused at metadata load."""
-    cur = meta.get("current-schema-id", 0)
-    schema = None
-    for s in meta.get("schemas") or []:
-        if s.get("schema-id") == cur:
-            schema = s
-    if schema is None and (meta.get("schemas") or []):
-        schema = meta["schemas"][-1]
     out = {}
-    for f in (schema or {}).get("fields", []):
+    for f in _current_schema(meta).get("fields", []):
         if "initial-default" in f and isinstance(f.get("type"), str):
             out[f["name"]] = (f["initial-default"], f["type"])
     return out
+
+
+def _apply_initial_defaults(df, meta: dict, paths: list, fp_col):
+    """Serve v3 initial-defaults on a scan of ``paths`` (spec
+    §Default values): rows of files written BEFORE a defaulted
+    column existed read as the default; files that carry the column
+    serve stored values, genuinely-null included (a blanket coalesce
+    would be wrong). Presence is per FILE — one KB footer read each,
+    driver-side, only for tables that declare defaults. ``fp_col``
+    is the normalized file-path Column of ``df``. Shared by the
+    snapshot read (_live_df) and the change stream (_scan) so the
+    two can never diverge (review finding: the CDF path null-filled
+    what the snapshot path served)."""
+    from pyspark.sql import functions as F
+    defaults = _field_defaults(meta)
+    if not defaults:
+        return df
+    import pyarrow.parquet as _pq
+    foot_cache: dict = {}
+    for c, (val, ityp) in sorted(defaults.items()):
+        missing = []
+        for p in paths:
+            lp = _local(p)
+            if lp not in foot_cache:
+                foot_cache[lp] = set(_pq.read_schema(lp).names)
+            if c not in foot_cache[lp]:
+                missing.append(_py_norm(p))
+        if not missing:
+            continue
+        if ityp not in _ICEBERG_TO_SPARK_TYPE:
+            # a lit().cast fallback through an unmapped type would
+            # coerce the WHOLE column via CaseWhen's common type
+            # (decimal → string observed) — refuse instead
+            raise NotImplementedError(
+                f"defaulted column {c!r} has iceberg type {ityp!r}, "
+                "which this reader cannot cast a default literal to "
+                "— read with the jar")
+        if c not in df.columns:
+            raise NotImplementedError(
+                f"defaulted column {c!r} resolved into no "
+                "read-schema column — read with the jar")
+        df = df.withColumn(
+            c, F.when(fp_col.isin(missing),
+                      F.lit(val).cast(_ICEBERG_TO_SPARK_TYPE[ityp]))
+            .otherwise(F.col(c)))
+    return df
 
 
 def _pick_snapshot(meta: dict, snapshot_id: int | None) -> dict:
@@ -335,13 +388,8 @@ _ICEBERG_TO_SPARK_TYPE = {
 def _schema_types(meta: dict) -> dict:
     """field-id → iceberg type string from the current schema ({}
     when the metadata carries no schema)."""
-    schemas = meta.get("schemas") or []
-    if not schemas:
-        return {}
-    cur = meta.get("current-schema-id")
-    schema = next((s for s in schemas if s.get("schema-id") == cur),
-                  schemas[0])
-    return {int(f["id"]): f.get("type") for f in schema.get("fields", [])
+    return {int(f["id"]): f.get("type")
+            for f in _current_schema(meta).get("fields", [])
             if "id" in f and isinstance(f.get("type"), str)}
 
 
@@ -793,14 +841,9 @@ def _field_names(table_path: str) -> dict:
 
 
 def _field_names_of(meta: dict) -> dict:
-    schemas = meta.get("schemas") or []
-    if not schemas:
-        return {}
-    cur = meta.get("current-schema-id")
-    schema = next((s for s in schemas if s.get("schema-id") == cur),
-                  schemas[0])
     return {int(f["id"]): f["name"]
-            for f in schema.get("fields", []) if "id" in f and "name" in f}
+            for f in _current_schema(meta).get("fields", [])
+            if "id" in f and "name" in f}
 
 
 def _py_norm(p: str) -> str:
@@ -1034,36 +1077,8 @@ def _live_df(spark, table_path: str, snapshot_id: int | None,
         # the reserved lineage columns must not surface them (they
         # can only appear here via schema inference)
         df = df.drop("_row_id", "_last_updated_sequence_number")
-    defaults = _field_defaults(meta)
-    if defaults:
-        # v3 initial-defaults (spec §Default values, round 12): rows
-        # of files written BEFORE a defaulted column existed read as
-        # the default, not null. Presence is per FILE (one KB footer
-        # read each, driver-side, only on the pruned list and only
-        # for tables that declare defaults); genuinely-null stored
-        # values in files that HAVE the column stay null — a blanket
-        # coalesce would be wrong.
-        import pyarrow.parquet as _pq
-        foot_cache: dict = {}
-        for c, (val, ityp) in sorted(defaults.items()):
-            missing = []
-            for d in entries:
-                lp = _local(d["path"])
-                if lp not in foot_cache:
-                    foot_cache[lp] = set(_pq.read_schema(lp).names)
-                if c not in foot_cache[lp]:
-                    missing.append(_py_norm(d["path"]))
-            if not missing:
-                continue
-            if c not in df.columns:
-                raise NotImplementedError(
-                    f"{table_path}: defaulted column {c!r} resolved "
-                    "into no read-schema column — read with the jar")
-            styp = _ICEBERG_TO_SPARK_TYPE.get(ityp, "string")
-            df = df.withColumn(
-                c, F.when(F.col("__qs_fp__").isin(missing),
-                          F.lit(val).cast(styp))
-                .otherwise(F.col(c)))
+    df = _apply_initial_defaults(df, meta, [d["path"] for d in entries],
+                                 F.col("__qs_fp__"))
     if partition_filter:
         from .pruning import parse_conjuncts
         atoms = parse_conjuncts(partition_filter)
@@ -1290,15 +1305,26 @@ def upsert_iceberg_local(spark, table_dir: str, df, key_cols,
     df_evolve = df        # schema evolution must never see _row_id
     live = _live_df(spark, table_dir, None, keep_position=True,
                     with_lineage=lineage)
-    matched = (live.join(df.select(*keys).distinct(), keys, "left_semi")
+    batch_keys = df.select(*keys).distinct()
+    matched = (live.join(batch_keys, keys, "left_semi")
                .select(F.col("__qs_fp__").alias("file_path"),
                        F.col("__qs_pos__").cast("long").alias("pos")))
     if lineage and "_row_id" not in df.columns:
-        old = (live.groupBy(*keys)
+        # ids come only from keys with exactly ONE live match (semi-
+        # joined first so the aggregation is bounded by batch keys,
+        # never the table) AND exactly one batch row — stamping one
+        # preserved id on several batch rows would commit duplicate
+        # row ids (review findings)
+        old = (live.join(batch_keys, keys, "left_semi")
+               .groupBy(*keys)
                .agg(F.count(F.lit(1)).alias("__qs_kn__"),
                     F.min("_row_id").alias("__qs_krid__"))
                .where("__qs_kn__ = 1")
                .select(*keys, F.col("__qs_krid__").alias("_row_id")))
+        bcnt = (df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__qs_bn__")))
+        old = (old.join(bcnt, keys)
+               .where("__qs_bn__ = 1").drop("__qs_bn__"))
         df = df.join(old, keys, "left")
     ddir = os.path.join(tdir, "metadata", f"upsert-del-{tag}")
     matched.write.mode("errorifexists").parquet(ddir)
@@ -2302,13 +2328,8 @@ def _check_write_defaults(table_dir: str, meta: dict,
     COLUMN ... DEFAULT case — an omitted column reads correctly and
     commits freely. One KB footer read per ADDED file, only on
     tables that declare diverging defaults (rare)."""
-    cur = meta.get("current-schema-id", 0)
-    schema = None
-    for s in meta.get("schemas") or []:
-        if s.get("schema-id") == cur:
-            schema = s
     diverging = {
-        f["name"] for f in (schema or {}).get("fields", [])
+        f["name"] for f in _current_schema(meta).get("fields", [])
         if isinstance(f.get("type"), str)
         and "write-default" in f
         and f.get("write-default") != f.get("initial-default")}
@@ -2778,12 +2799,17 @@ def read_iceberg_changes(spark, table_path: str,
         # normal read path, and the parts union cleanly. Merge-written
         # v3 files MATERIALIZE the reserved lineage columns — never
         # table columns, so they must not leak into the change stream
-        # (they can only appear via the inference fallback)
+        # (they can only appear via the inference fallback). v3
+        # initial-defaults apply through the SAME helper as the
+        # snapshot read (review finding: the stream otherwise
+        # null-filled what read_iceberg served).
         fs = [_local(p) for p in sorted(paths)]
         rs = _table_read_schema(meta, fs[0])
-        return (spark.read.schema(rs).parquet(*fs)
-                if rs is not None else spark.read.parquet(*fs)
-                .drop("_row_id", "_last_updated_sequence_number"))
+        out = (spark.read.schema(rs).parquet(*fs)
+               if rs is not None else spark.read.parquet(*fs)
+               .drop("_row_id", "_last_updated_sequence_number"))
+        return _apply_initial_defaults(
+            out, meta, fs, _norm_path(F.col("_metadata.file_path")))
 
     # COALESCED insert runs (round 10, tier-3 probe — same finding as
     # the Delta CDF): one union branch per snapshot makes Catalyst

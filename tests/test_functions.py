@@ -325,10 +325,18 @@ def test_bench_steal_instruments(monkeypatch):
     g = bench.steal_gate(max_attempts=2, duration=0.01, window=0.01)
     assert g["passed"] is None
 
-    # the during-run monitor aggregates through the same math
-    monkeypatch.setattr(bench, "_read_steal_ticks",
-                        scripted([(0, 0), (50, 1000), (50, 2000),
-                                  (50, 3000), (50, 4000)]))
+    # the during-run monitor aggregates through the same math; the
+    # tick source keeps flowing for the whole run (and one injected
+    # transient OSError mid-run is skipped, not trace-truncating)
+    ticks = [(0, 0), (50, 1000), OSError("blip"), (50, 2000),
+             (50, 3000)]
+
+    def flowing():
+        t = ticks.pop(0) if ticks else (50, 1_000_000)
+        if isinstance(t, Exception):
+            raise t
+        return t
+    monkeypatch.setattr(bench, "_read_steal_ticks", flowing)
     import time as _t
     m = bench.StealMonitor(window=0.01).start()
     _t.sleep(0.08)

@@ -2621,3 +2621,59 @@ def test_iceberg_v3_upsert_preserves_row_ids(spark, qc, tmp_path):
     post = {r["k"]: r["v"] for r in ch.collect()
             if r["_change_type"] in ("insert", "update_postimage")}
     assert post == {2: 20.0, 4: 40.0, 100: 1.0}
+
+
+def test_iceberg_changes_serve_initial_defaults(spark, qc, tmp_path):
+    """Round-12 review finding: the change stream must serve v3
+    initial-defaults exactly like the snapshot read — the old
+    metadata-load gate refused defaulted tables outright, and
+    relaxing it for snapshot reads silently null-filled the CDF
+    path. Also: duplicate BATCH keys in a lineage upsert never stamp
+    one preserved row id on several rows."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        _read_table_metadata, create_local_iceberg_table,
+        read_iceberg_changes, read_iceberg_local,
+        upsert_iceberg_local)
+
+    old = str(tmp_path / "old.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int64())}), old)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[old]],
+        schema_fields=[(1, "k", "long"), (2, "tag", "string")],
+        format_version=3)
+    mdir = os.path.join(tbl, "metadata")
+    mfile = sorted(f for f in os.listdir(mdir)
+                   if f.endswith(".metadata.json"))[-1]
+    with open(os.path.join(mdir, mfile)) as fh:
+        m = _json.load(fh)
+    for f in m["schemas"][0]["fields"]:
+        if f["name"] == "tag":
+            f["initial-default"] = "legacy"
+    with open(os.path.join(mdir, mfile), "w") as fh:
+        fh.write(_json.dumps(m))
+
+    sids = [s["snapshot-id"] for s in
+            _read_table_metadata(tbl)["snapshots"]]
+    ch = read_iceberg_changes(spark, tbl, sids[0], sids[0])
+    rows = sorted((r["k"], r["tag"], r["_change_type"])
+                  for r in ch.collect())
+    assert rows == [(1, "legacy", "insert"), (2, "legacy", "insert")]
+
+    # duplicate batch keys: both rows land, NEITHER carries the
+    # preserved id (fresh file-range ids instead — no duplicates)
+    upsert_iceberg_local(
+        spark, tbl,
+        spark.createDataFrame([(2, "a"), (2, "b"), (9, "c")],
+                              "k long, tag string"), ["k"])
+    out = [(r["k"], r["tag"], r["_row_id"]) for r in
+           read_iceberg_local(spark, tbl, with_lineage=True).collect()]
+    rids = [r[2] for r in out]
+    assert len(rids) == len(set(rids)) == 4, out     # all ids unique
+    assert {r[0] for r in out} == {1, 2, 9}
+    assert [r for r in out if r[0] == 1][0][2] == 0  # untouched keeps 0
