@@ -365,6 +365,17 @@ def write_iceberg_catalog(spark, df, table: str, mode: str = "append",
             "a local table directory (write_iceberg mode='upsert')")
     cat = load_catalog(catalog) if catalog else load_catalog()
     tbl = cat.load_table(table)
+    spec = getattr(tbl, "spec", None)
+    spec_fields = list(getattr(spec() if callable(spec) else spec,
+                               "fields", None) or [])
+    if spec_fields:
+        # the staging write is unpartitioned; registering its files
+        # on a partitioned table would stamp empty partition records
+        # and break partition pruning — refuse typed
+        raise NotImplementedError(
+            f"write_iceberg_catalog: table {table} is PARTITIONED — "
+            "this writer stages unpartitioned parquet; write through "
+            "the runtime jar, or to a local table directory")
     loc = str(tbl.location()).rstrip("/")
     staging = f"{loc}/data/qs-{uuid.uuid4().hex[:12]}"
     (df.write.mode("errorifexists")
