@@ -7554,6 +7554,109 @@ FROM customer GROUP BY 1
 """
 
 
+def src_delta_row_tracking(spark, sf_dir):
+    """Delta ROW TRACKING (round 12 — protocol §Row Tracking;
+    delta_local._apply_row_tracking): customer splits into even keys
+    (baseRowId 0, commit 1) and odd keys (baseRowId = n_even, commit
+    1), both key-sorted so each row's position is its key rank; a DV
+    then kills the even c_custkey % 7 = 0 rows — survivors keep
+    their ORIGINAL row ids, and a later materialized-rewrite file
+    carries explicit per-row ids that win over the arithmetic.
+    Aggregates sum _row_id and _row_commit_version per key group so
+    any renumbering hash-mismatches."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import _commit
+    from quokka_spark.sources.dv import inline_dv_descriptor
+    qc = _qc(spark)
+    cust = os.path.join(sf_dir, "customer.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_drt_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(tbl, exist_ok=True)
+        t = pq.read_table(cust, columns=[
+            "c_custkey", "c_acctbal"]).sort_by("c_custkey")
+        even = pc.equal(pc.bit_wise_and(t.column("c_custkey"), 1), 0)
+        te, to = t.filter(even), t.filter(pc.invert(even))
+        pq.write_table(te, os.path.join(tbl, "even.parquet"))
+        pq.write_table(to, os.path.join(tbl, "odd.parquet"))
+        n_even = te.num_rows
+        schema = {"type": "struct", "fields": [
+            {"name": "c_custkey", "type": "long", "nullable": True,
+             "metadata": {}},
+            {"name": "c_acctbal", "type": "double", "nullable": True,
+             "metadata": {}}]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["rowTracking",
+                                             "deletionVectors",
+                                             "domainMetadata"]}},
+            {"metaData": {"id": "drt", "format": {
+                "provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {"delta.enableRowTracking": "true"},
+                "createdTime": 0}}])
+
+        def add(path, brid):
+            return {"add": {"path": path, "partitionValues": {},
+                            "size": os.path.getsize(
+                                os.path.join(tbl, path)),
+                            "modificationTime": 0, "dataChange": True,
+                            "baseRowId": brid,
+                            "defaultRowCommitVersion": 1}}
+        _commit(tbl, 1, [add("even.parquet", 0),
+                         add("odd.parquet", n_even)])
+        ekeys = te.column("c_custkey").to_pylist()
+        dv_add = add("even.parquet", 0)
+        dv_add["add"]["deletionVector"] = inline_dv_descriptor(
+            [i for i, k in enumerate(ekeys) if k % 7 == 0])
+        _commit(tbl, 2, [
+            {"remove": {"path": "even.parquet",
+                        "deletionTimestamp": 1, "dataChange": True}},
+            dv_add])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (qc.read_delta(tbl, with_row_tracking=True).df
+            .groupBy((F.col("c_custkey") % 3).alias("g"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("_row_id").alias("sum_rid"),
+                 F.sum("_row_commit_version").alias("sum_rcv"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+_SRC_DELTA_ROW_TRACKING_SQL = """
+WITH evens AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+  FROM customer WHERE c_custkey % 2 = 0),
+odds AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey) - 1
+         + (SELECT count(*) FROM evens) AS rid
+  FROM customer WHERE c_custkey % 2 = 1),
+live AS (
+  SELECT c_custkey, c_acctbal, rid FROM evens
+  WHERE c_custkey % 7 <> 0
+  UNION ALL SELECT c_custkey, c_acctbal, rid FROM odds)
+SELECT c_custkey % 3 AS g, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(count(*) AS BIGINT) AS sum_rcv,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM live GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
@@ -7749,6 +7852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-12 machinery gates (rotation candidates for round 13)
         "src_iceberg_lineage": src_iceberg_lineage,
         "src_iceberg_defaults": src_iceberg_defaults,
+        "src_delta_row_tracking": src_delta_row_tracking,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -7966,6 +8070,7 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_refs": _SRC_ICEBERG_REFS_SQL,
         "src_iceberg_lineage": _SRC_ICEBERG_LINEAGE_SQL,
         "src_iceberg_defaults": _SRC_ICEBERG_DEFAULTS_SQL,
+        "src_delta_row_tracking": _SRC_DELTA_ROW_TRACKING_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,

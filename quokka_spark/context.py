@@ -171,7 +171,8 @@ class QuokkaContext:
     def read_delta(self, table: str, version: int | None = None,
                    partition_filter: str | None = None,
                    scan_filter: str | None = None,
-                   timestamp_as_of=None) -> DataStream:
+                   timestamp_as_of=None,
+                   with_row_tracking: bool = False) -> DataStream:
         """Delta Lake table, optional time travel by ``version``
         (extension source — lakehouse parity next to read_iceberg).
         Pure-Python log replay (sources/delta_local.py) incl.
@@ -190,11 +191,18 @@ class QuokkaContext:
         ``timestamp_as_of`` (epoch ms, ISO string, or datetime) time
         travels to the latest version committed at-or-before that
         instant — the jar's timestampAsOf rule (commitInfo timestamp
-        when recorded, else the commit file's mtime)."""
+        when recorded, else the commit file's mtime).
+        ``with_row_tracking`` (round 12, protocol §Row Tracking — the
+        Delta analog of Iceberg row lineage) appends the ``_row_id``
+        and ``_row_commit_version`` metadata columns: baseRowId + row
+        position / defaultRowCommitVersion per add action, overridden
+        by non-null MATERIALIZED per-row values on files the jar
+        rewrote."""
         from .sources.delta_local import read_delta_local
         return DataStream(self, read_delta_local(
             self.spark, table, version, partition_filter=partition_filter,
-            scan_filter=scan_filter, timestamp_as_of=timestamp_as_of))
+            scan_filter=scan_filter, timestamp_as_of=timestamp_as_of,
+            with_row_tracking=with_row_tracking))
 
     def read_iceberg_stream(self, table: str,
                             starting_snapshot: int | None = None,

@@ -974,10 +974,62 @@ def _apply_deletion_vectors(spark, df, files, adds, root):
             .drop("__qs_fp__", "__qs_pos__"))
 
 
+def _apply_row_tracking(spark, df, files, adds, meta):
+    """Serve the ROW TRACKING metadata columns (protocol §Row
+    Tracking, round 12 — the Delta analog of Iceberg v3 row lineage):
+    ``_row_id`` = the add action's baseRowId + the row's position,
+    ``_row_commit_version`` = defaultRowCommitVersion, each
+    overridden by a non-null MATERIALIZED value when the table's
+    configuration names materialized columns (files rewritten by
+    UPDATE/MERGE under the jar store per-row values there). One
+    KB-scale broadcast of (path → baseRowId, defaultRowCommitVersion)
+    joined onto the scan; pure arithmetic per row. DV-deleted rows
+    are already gone and survivors keep position-stable ids."""
+    from pyspark.sql import functions as F
+    conf = meta.get("configuration") or {}
+    mat_rid = conf.get(
+        "delta.rowTracking.materializedRowIdColumnName")
+    mat_rcv = conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName")
+    if not (mat_rid or mat_rcv
+            or any(a.get("baseRowId") is not None for a in adds)):
+        raise NotImplementedError(
+            "with_row_tracking=True: the table carries no row "
+            "tracking metadata (no baseRowId on any live file, no "
+            "materialized column names) — enable delta.enableRowTracking"
+            " with a writer that supports it")
+    rows = [(os.path.abspath(f),
+             None if a.get("baseRowId") is None
+             else int(a["baseRowId"]),
+             None if a.get("defaultRowCommitVersion") is None
+             else int(a["defaultRowCommitVersion"]))
+            for f, a in zip(files, adds)]
+    m = spark.createDataFrame(
+        rows, "__qs_rtp__ string, __qs_brid__ long, __qs_dcv__ long")
+    df = (df.withColumn("__qs_rtfp__", _plain_path_col())
+          .withColumn("__qs_rtpos__", F.col("_metadata.row_index"))
+          .join(F.broadcast(m),
+                F.col("__qs_rtfp__") == F.col("__qs_rtp__"), "left"))
+    rid = F.col("__qs_brid__") + F.col("__qs_rtpos__")
+    rcv = F.col("__qs_dcv__")
+    if mat_rid and mat_rid in df.columns:
+        df = df.withColumnRenamed(mat_rid, "__qs_mrid__")
+        rid = F.coalesce(F.col("__qs_mrid__"), rid)
+    if mat_rcv and mat_rcv in df.columns:
+        df = df.withColumnRenamed(mat_rcv, "__qs_mrcv__")
+        rcv = F.coalesce(F.col("__qs_mrcv__"), rcv)
+    return (df.withColumn("_row_id", rid.cast("long"))
+            .withColumn("_row_commit_version", rcv.cast("long"))
+            .drop("__qs_rtfp__", "__qs_rtpos__", "__qs_rtp__",
+                  "__qs_brid__", "__qs_dcv__", "__qs_mrid__",
+                  "__qs_mrcv__"))
+
+
 def read_delta_local(spark, table: str, version: int | None = None,
                      partition_filter: str | None = None,
                      scan_filter: str | None = None,
-                     timestamp_as_of=None):
+                     timestamp_as_of=None,
+                     with_row_tracking: bool = False):
     """DataFrame over the table's live files at ``version`` (time
     travel; None = latest). One native parquet scan — pushdown and
     column pruning behave exactly as on raw parquet.
@@ -1014,6 +1066,11 @@ def read_delta_local(spark, table: str, version: int | None = None,
         raise ValueError("partition_filter on an unpartitioned table")
     cmap = _column_mapping(meta)
     idmap = _id_mapping(meta)
+    if with_row_tracking and idmap:
+        raise NotImplementedError(
+            "with_row_tracking under id-mode column mapping — the "
+            "per-file-group scan path does not carry row positions; "
+            "read with the jar")
     if idmap:
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
@@ -1076,16 +1133,44 @@ def read_delta_local(spark, table: str, version: int | None = None,
             # still yields the correct (empty) result
     root = table.removeprefix("file://")
     rs = _log_read_schema(meta, pcols, cmap=cmap)
+    if with_row_tracking and rs is not None:
+        # the MATERIALIZED row-tracking columns (configuration-named
+        # physical columns, never in schemaString) must be in the
+        # read schema so coalesce can prefer them; files without them
+        # null-fill and fall back to baseRowId arithmetic
+        from pyspark.sql.types import LongType, StructField
+        conf = meta.get("configuration") or {}
+        for key in ("delta.rowTracking.materializedRowIdColumnName",
+                    "delta.rowTracking."
+                    "materializedRowCommitVersionColumnName"):
+            c = conf.get(key)
+            if c and c not in rs.fieldNames():
+                rs = rs.add(StructField(c, LongType(), True))
     if not pcols:
         df = (spark.read.schema(rs).parquet(*files)
               if rs is not None else spark.read.parquet(*files))
         df = _apply_deletion_vectors(spark, df, files, adds, root)
+        if with_row_tracking:
+            df = _apply_row_tracking(spark, df, files, adds, meta)
+        elif rs is None:
+            # inference fallback: configured MATERIALIZED row-tracking
+            # columns are metadata, never table columns — a plain
+            # read must not surface them
+            conf = meta.get("configuration") or {}
+            df = df.drop(*[c for c in (
+                conf.get("delta.rowTracking."
+                         "materializedRowIdColumnName"),
+                conf.get("delta.rowTracking."
+                         "materializedRowCommitVersionColumnName"))
+                if c])
         if cmap:
             # physical parquet names → the logical schema the user
             # queries; the row filter below then sees logical names
             from pyspark.sql import functions as F
-            df = df.select(*[F.col(phys).alias(logical)
-                             for logical, phys in cmap.items()])
+            df = df.select(*([F.col(phys).alias(logical)
+                              for logical, phys in cmap.items()]
+                             + (["_row_id", "_row_commit_version"]
+                                if with_row_tracking else [])))
         return df.filter(scan_filter) if scan_filter else df
     from pyspark.sql import functions as F
 
@@ -1116,11 +1201,15 @@ def read_delta_local(spark, table: str, version: int | None = None,
     df = (spark.read.schema(rs).parquet(*files)
           if rs is not None else spark.read.parquet(*files))
     df = _apply_deletion_vectors(spark, df, files, adds, root)
+    if with_row_tracking:
+        df = _apply_row_tracking(spark, df, files, adds, meta)
     df = df.withColumn("__qs_path__", _plain_path_col())
+    rt_cols = ["_row_id", "_row_commit_version"] \
+        if with_row_tracking else []
     if cmap:
         # physical parquet names → logical for the DATA columns
         # (partition columns join back under logical names below)
-        df = df.select("__qs_path__",
+        df = df.select("__qs_path__", *rt_cols,
                        *[F.col(cmap[l]).alias(l)
                          for l in cmap if l not in pcols])
     df = df.join(F.broadcast(mapping), "__qs_path__").drop("__qs_path__")
@@ -1128,7 +1217,7 @@ def read_delta_local(spark, table: str, version: int | None = None,
     # the files, spec order in the schemaString)
     from pyspark.sql.types import StructType
     full = StructType.fromJson(json.loads(meta["schemaString"]))
-    df = df.select(*[f.name for f in full.fields])
+    df = df.select(*[f.name for f in full.fields], *rt_cols)
     return df.filter(scan_filter) if scan_filter else df
 
 

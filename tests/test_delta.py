@@ -3910,3 +3910,127 @@ def test_delta_foreign_v2_checkpoint_dv_column_mapping(spark, qc,
     # time travel TO the checkpoint version (no JSON at <= 2 left)
     df2 = qc.read_delta(tbl, version=2).df
     assert df2.count() == (n1 - 4) + 5
+
+
+def test_delta_row_tracking_reads(spark, qc, tmp_path):
+    """Round-12 (protocol §Row Tracking — the Delta analog of Iceberg
+    v3 row lineage): read_delta(with_row_tracking=True) serves
+    _row_id = baseRowId + row position and _row_commit_version =
+    defaultRowCommitVersion per add action, with non-null
+    MATERIALIZED per-row values (configuration-named physical
+    columns, as the jar writes on UPDATE/MERGE rewrites) winning over
+    the arithmetic. DV deletes never renumber survivors; plain reads
+    surface neither the metadata columns nor the materialized
+    physicals; untracked tables refuse typed; writes to rowTracking
+    tables keep the writer-feature refusal."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  read_delta_local,
+                                                  write_delta_local)
+    from quokka_spark.sources.dv import inline_dv_descriptor
+
+    tbl = str(tmp_path / "rt")
+    os.makedirs(tbl)
+    pq.write_table(pa.table({"id": pa.array(range(10), pa.int64()),
+                             "v": pa.array([float(i) for i in
+                                            range(10)])}),
+                   os.path.join(tbl, "f1.parquet"))
+    pq.write_table(pa.table({"id": pa.array(range(100, 105),
+                                            pa.int64()),
+                             "v": pa.array([1.0] * 5)}),
+                   os.path.join(tbl, "f2.parquet"))
+    # f3: a jar-style rewrite carrying MATERIALIZED row ids (two
+    # rewritten rows keep 3 and 7; the third row is new → null,
+    # falls back to baseRowId arithmetic)
+    pq.write_table(pa.table({
+        "id": pa.array([3, 7, 200], pa.int64()),
+        "v": pa.array([30.0, 70.0, 2.0]),
+        "_mat_rid": pa.array([3, 7, None], pa.int64()),
+        "_mat_rcv": pa.array([1, 1, None], pa.int64())}),
+        os.path.join(tbl, "f3.parquet"))
+
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {}}]}
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["rowTracking",
+                                         "deletionVectors",
+                                         "domainMetadata"]}},
+        {"metaData": {"id": "rt", "format": {"provider": "parquet",
+                                             "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.enableRowTracking": "true",
+                "delta.rowTracking.materializedRowIdColumnName":
+                    "_mat_rid",
+                "delta.rowTracking."
+                "materializedRowCommitVersionColumnName": "_mat_rcv"},
+            "createdTime": 0}}])
+    _commit(tbl, 1, [
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 0, "defaultRowCommitVersion": 1}},
+        {"add": {"path": "f2.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 10, "defaultRowCommitVersion": 1}},
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": _json.dumps(
+                                {"rowIdHighWaterMark": 14}),
+                            "removed": False}}])
+    # DV delete of f1 positions 0,1 — survivors keep their ids
+    _commit(tbl, 2, [
+        {"remove": {"path": "f1.parquet", "deletionTimestamp": 1,
+                    "dataChange": True}},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 0, "defaultRowCommitVersion": 1,
+                 "deletionVector": inline_dv_descriptor([0, 1])}}])
+    # the materialized rewrite lands (two kept rows + one new)
+    _commit(tbl, 3, [
+        {"add": {"path": "f3.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "baseRowId": 15, "defaultRowCommitVersion": 3}}])
+
+    got = {(r["id"], r["v"]): (r["_row_id"], r["_row_commit_version"])
+           for r in read_delta_local(
+               spark, tbl, with_row_tracking=True).collect()}
+    # f1 survivors: ids 2..9 (positions), rcv 1
+    for i in range(2, 10):
+        assert got[(i, float(i))] == (i, 1)
+    # f2: ids 10..14
+    for j, i in enumerate(range(100, 105)):
+        assert got[(i, 1.0)] == (10 + j, 1)
+    # f3: materialized wins for the rewrites, arithmetic for the new
+    assert got[(3, 30.0)] == (3, 1)
+    assert got[(7, 70.0)] == (7, 1)
+    assert got[(200, 2.0)] == (15 + 2, 3)
+
+    # plain read: neither metadata columns nor materialized physicals
+    plain = qc.read_delta(tbl).df
+    assert "_row_id" not in plain.columns
+    assert "_mat_rid" not in plain.columns
+    assert plain.count() == len(got)
+
+    # untracked table refuses typed
+    tbl2 = str(tmp_path / "plainrt")
+    write_delta_local(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"),
+        tbl2, mode="append")
+    with pytest.raises(NotImplementedError, match="row "):
+        read_delta_local(spark, tbl2, with_row_tracking=True).collect()
+    # writes to rowTracking tables keep the writer-feature refusal
+    # (this engine does not maintain the high-water mark)
+    with pytest.raises(NotImplementedError,
+                       match="rowTracking|writer"):
+        write_delta_local(
+            spark.createDataFrame([(1, 1.0)], "id long, v double"),
+            tbl, mode="append")
