@@ -7616,7 +7616,13 @@ def src_delta_row_tracking(spark, sf_dir):
                             "baseRowId": brid,
                             "defaultRowCommitVersion": 1}}
         _commit(tbl, 1, [add("even.parquet", 0),
-                         add("odd.parquet", n_even)])
+                         add("odd.parquet", n_even),
+                         {"domainMetadata": {
+                             "domain": "delta.rowTracking",
+                             "configuration": _json.dumps(
+                                 {"rowIdHighWaterMark":
+                                  t.num_rows - 1}),
+                             "removed": False}}])
         ekeys = te.column("c_custkey").to_pylist()
         dv_add = add("even.parquet", 0)
         dv_add["add"]["deletionVector"] = inline_dv_descriptor(

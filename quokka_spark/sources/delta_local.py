@@ -1515,7 +1515,14 @@ _SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping",
 # writes that would violate, instead of writing blind
 _SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
     "appendOnly", "invariants", "checkConstraints",
-    "generatedColumns", "identityColumns", "changeDataFeed"}
+    "generatedColumns", "identityColumns", "changeDataFeed",
+    # round 12: appends/overwrites ASSIGN baseRowId ranges and
+    # advance the delta.rowTracking high-water mark; checkpoints
+    # persist domainMetadata and the per-add row-tracking fields; DV
+    # deletes and restore carry adds wholesale. MERGE and compaction
+    # refuse typed on rowTracking tables (their rewrites would drop
+    # survivors' ids without materialized-column writes).
+    "domainMetadata", "rowTracking"}
 # v2Checkpoint is in BOTH sets: reads decode the v2 layout
 # (_read_checkpoint) and the spec allows writers on such tables to
 # keep producing classic checkpoints, which this writer does.
@@ -2262,7 +2269,15 @@ def _cp_arrow_types() -> dict:
                        ("modificationTime", pa.int64()),
                        ("dataChange", pa.bool_()),
                        ("stats", pa.string()),
-                       ("deletionVector", dv_t)])
+                       ("deletionVector", dv_t),
+                       # row tracking (round 12): dropping these on a
+                       # checkpoint would erase every file's row-id
+                       # base once the JSON log is cleaned up
+                       ("baseRowId", pa.int64()),
+                       ("defaultRowCommitVersion", pa.int64())])
+    dm_t = pa.struct([("domain", pa.string()),
+                      ("configuration", pa.string()),
+                      ("removed", pa.bool_())])
     meta_t = pa.struct([
         ("id", pa.string()),
         ("format", pa.struct([("provider", pa.string())])),
@@ -2277,7 +2292,7 @@ def _cp_arrow_types() -> dict:
     txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64()),
                        ("lastUpdated", pa.int64())])
     return {"pv": pv_t, "dv": dv_t, "add": add_t, "meta": meta_t,
-            "proto": proto_t, "txn": txn_t}
+            "proto": proto_t, "txn": txn_t, "dm": dm_t}
 
 
 def _cp_add_payload(k: str, a: dict) -> dict:
@@ -2296,7 +2311,93 @@ def _cp_add_payload(k: str, a: dict) -> dict:
                  "offset": int(dv.get("offset") or 0),
                  "sizeInBytes": int(dv.get("sizeInBytes") or 0),
                  "cardinality": int(dv.get("cardinality") or 0)}
-                if dv else None)}
+                if dv else None),
+            "baseRowId": (None if a.get("baseRowId") is None
+                          else int(a["baseRowId"])),
+            "defaultRowCommitVersion": (
+                None if a.get("defaultRowCommitVersion") is None
+                else int(a["defaultRowCommitVersion"]))}
+
+
+def _domain_metadata(table: str, version: int | None = None) -> dict:
+    """Latest ``domainMetadata`` action per domain at ``version``
+    (protocol §Domain Metadata), TOMBSTONES INCLUDED (``removed``
+    true) — callers filter. Replays from the newest usable checkpoint
+    (classic parquet, multipart, or v2 top-level — domain metadata is
+    a non-file action, never in sidecars) plus the trailing JSON
+    commits; KB-scale driver work."""
+    commits, checkpoints = _scan_log(table)
+    versions = sorted(set(commits) | set(checkpoints))
+    if not versions:
+        return {}
+    if version is None:
+        version = versions[-1]
+    out: dict = {}
+    base = -1
+    for cv in sorted([v for v in checkpoints if v <= version],
+                     reverse=True):
+        done = False
+        for cand in _checkpoint_candidates(checkpoints[cv]):
+            try:
+                got: dict = {}
+                for p in cand:
+                    for r in _checkpoint_action_rows(
+                            p, columns=["domainMetadata"]):
+                        d = r.get("domainMetadata")
+                        if d and d.get("domain"):
+                            got[d["domain"]] = dict(d)
+                out, base, done = got, cv, True
+                break
+            except (OSError, ValueError):
+                continue
+        if done:
+            break
+    for v in [c for c in commits if base < c <= version]:
+        with open(_version_path(table, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                d = action.get("domainMetadata")
+                if d and d.get("domain"):
+                    out[d["domain"]] = dict(d)
+    return out
+
+
+def _refuse_row_tracking_rewrite(table: str, op: str) -> None:
+    """MERGE and compaction rewrite SURVIVING rows into new files;
+    without materialized-column writes those rows would silently get
+    fresh ids — refuse typed on rowTracking tables (append/overwrite/
+    DV-delete/restore/checkpoint all maintain tracking correctly)."""
+    proto = _protocol_state(table)
+    if int(proto.get("minWriterVersion", 2)) == 7 and \
+            "rowTracking" in (proto.get("writerFeatures") or []):
+        raise NotImplementedError(
+            f"{op} on a rowTracking table — the rewrite would assign "
+            "surviving rows fresh row ids (preserving them needs "
+            "materialized-column writes, the jar's job)")
+
+
+def _row_tracking_base(table: str, proto: dict) -> int | None:
+    """The next row id to assign, or None when the table does not
+    carry the rowTracking writer feature. The high-water mark lives
+    in the ``delta.rowTracking`` domain's configuration
+    (rowIdHighWaterMark; -1 before any assignment)."""
+    w = int(proto.get("minWriterVersion", 2))
+    feats = (set(proto.get("writerFeatures") or []) if w == 7
+             else set())
+    if "rowTracking" not in feats:
+        return None
+    dm = _domain_metadata(table).get("delta.rowTracking")
+    hwm = -1
+    if dm and not dm.get("removed"):
+        try:
+            hwm = int(json.loads(dm.get("configuration") or "{}")
+                      .get("rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            pass
+    return hwm + 1
 
 
 def write_v2_checkpoint_local(table: str,
@@ -2361,6 +2462,9 @@ def write_v2_checkpoint_local(table: str,
             {"metaData": meta}]
     acts += [{"txn": {"appId": a_, "version": int(v_),
                       "lastUpdated": 0}} for a_, v_ in txns]
+    acts += [{"domainMetadata": dict(d)} for d in sorted(
+        _domain_metadata(table, version).values(),
+        key=lambda x: x["domain"])]
     acts.append({"sidecar": {"path": sname,
                              "sizeInBytes": os.path.getsize(sp),
                              "modificationTime": 0}})
@@ -2438,12 +2542,23 @@ def write_checkpoint_local(table: str, version: int | None = None) -> int:
         rows.append({"protocol": None, "metaData": None, "add": None,
                      "txn": {"appId": app_id, "version": int(tv),
                              "lastUpdated": 0}})
+    # domain metadata (round 12): a checkpoint is the authoritative
+    # state after log cleanup — dropping domains would erase e.g. the
+    # row-tracking high-water mark; tombstones persist per spec
+    for d in sorted(_domain_metadata(table, version).values(),
+                    key=lambda x: x["domain"]):
+        rows.append({"protocol": None, "metaData": None, "add": None,
+                     "txn": None,
+                     "domainMetadata": {
+                         "domain": d["domain"],
+                         "configuration": d.get("configuration"),
+                         "removed": bool(d.get("removed"))}})
     for k, a in zip(keys, adds):
         rows.append({"protocol": None, "metaData": None,
                      "add": _cp_add_payload(k, a)})
     tbl = pa.Table.from_pylist(rows, schema=pa.schema(
         [("protocol", proto_t), ("metaData", meta_t), ("add", add_t),
-         ("txn", txn_t)]))
+         ("txn", txn_t), ("domainMetadata", types["dm"])]))
     cp = os.path.join(_log_dir(table), f"{version:020d}.checkpoint.parquet")
     tmp = cp + f".tmp-{uuid.uuid4().hex}"
     pq.write_table(tbl, tmp)
@@ -2767,10 +2882,30 @@ def write_delta_local(df, table: str, mode: str = "append",
             actions.append({"remove": {"path": k,
                                        "deletionTimestamp": ts,
                                        "dataChange": True}})
+    # row tracking (round 12, protocol §Row Tracking): hand every new
+    # file a fresh baseRowId range off the domain high-water mark and
+    # advance the mark IN THE SAME COMMIT (losing the mark would hand
+    # the next writer the same range — duplicate row ids)
+    next_rid = None
+    if version > 0:
+        next_rid = _row_tracking_base(table, _protocol_state(table))
     for p in new_files:
-        actions.append(_add_action(
+        act = _add_action(
             root, p, _hive_partition_values(data_dir, p) if pcols else None,
-            stats=_footer_stats(p)))
+            stats=_footer_stats(p))
+        if next_rid is not None:
+            import pyarrow.parquet as _pq
+            n = int(_pq.ParquetFile(p).metadata.num_rows)
+            act["add"]["baseRowId"] = next_rid
+            act["add"]["defaultRowCommitVersion"] = version
+            next_rid += n
+        actions.append(act)
+    if next_rid is not None:
+        actions.append({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": next_rid - 1}),
+            "removed": False}})
     if txn is not None:
         app_id, tv = txn
         actions.append({"txn": {"appId": str(app_id),
@@ -2799,6 +2934,7 @@ def compact_delta_local(spark, table: str,
     # compaction removes are dataChange=false — allowed on appendOnly
     _check_write_protocol(table, meta, data_change_removes=False,
                           new_data=False)
+    _refuse_row_tracking_rewrite(table, "compaction")
     if not files:
         raise ValueError(f"Delta table {table} has no live files")
     root = table.removeprefix("file://")
@@ -2928,6 +3064,7 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     root = table.removeprefix("file://")
     files, meta, live_keys, adds = _replay(table, None)
     _check_write_protocol(table, meta, data_change_removes=True)
+    _refuse_row_tracking_rewrite(table, "MERGE upsert")
     # every row a MERGE can land comes from the batch (matched rows
     # are replaced whole, unmatched inserted; survivors were
     # validated at their own write), so the single write pre-pass

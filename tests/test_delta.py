@@ -3994,11 +3994,16 @@ def test_delta_row_tracking_reads(spark, qc, tmp_path):
                  "size": 1, "modificationTime": 0, "dataChange": True,
                  "baseRowId": 0, "defaultRowCommitVersion": 1,
                  "deletionVector": inline_dv_descriptor([0, 1])}}])
-    # the materialized rewrite lands (two kept rows + one new)
+    # the materialized rewrite lands (two kept rows + one new); a
+    # compliant writer advances the high-water mark in the same commit
     _commit(tbl, 3, [
         {"add": {"path": "f3.parquet", "partitionValues": {},
                  "size": 1, "modificationTime": 0, "dataChange": True,
-                 "baseRowId": 15, "defaultRowCommitVersion": 3}}])
+                 "baseRowId": 15, "defaultRowCommitVersion": 3}},
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": _json.dumps(
+                                {"rowIdHighWaterMark": 17}),
+                            "removed": False}}])
 
     got = {(r["id"], r["v"]): (r["_row_id"], r["_row_commit_version"])
            for r in read_delta_local(
@@ -4027,10 +4032,47 @@ def test_delta_row_tracking_reads(spark, qc, tmp_path):
         tbl2, mode="append")
     with pytest.raises(NotImplementedError, match="row "):
         read_delta_local(spark, tbl2, with_row_tracking=True).collect()
-    # writes to rowTracking tables keep the writer-feature refusal
-    # (this engine does not maintain the high-water mark)
-    with pytest.raises(NotImplementedError,
-                       match="rowTracking|writer"):
-        write_delta_local(
-            spark.createDataFrame([(1, 1.0)], "id long, v double"),
-            tbl, mode="append")
+
+    # APPENDS maintain row tracking (round 12): fresh baseRowId range
+    # past the domain high-water mark, defaultRowCommitVersion = the
+    # commit, and the mark advances in the same commit
+    from quokka_spark.sources.delta_local import (_domain_metadata,
+                                                  compact_delta_local,
+                                                  upsert_delta_local,
+                                                  write_checkpoint_local)
+    v = write_delta_local(
+        spark.createDataFrame([(500, 5.0), (501, 5.0)],
+                              "id long, v double").coalesce(1),
+        tbl, mode="append")
+    got2 = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_local(
+                spark, tbl, with_row_tracking=True).collect()}
+    assert sorted((got2[500][0], got2[501][0])) == [18, 19]
+    assert got2[500][1] == v and got2[501][1] == v
+    assert got2[(3)][0] == 3                 # old ids untouched
+    dm = _domain_metadata(tbl)["delta.rowTracking"]
+    assert _json.loads(dm["configuration"])["rowIdHighWaterMark"] == 19
+
+    # a CHECKPOINT persists the domain mark and the per-add bases:
+    # after log cleanup the next append still continues past 19
+    cpv = write_checkpoint_local(tbl)
+    log = os.path.join(tbl, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json") and int(f.split(".")[0]) <= cpv:
+            os.unlink(os.path.join(log, f))
+    write_delta_local(
+        spark.createDataFrame([(600, 6.0)], "id long, v double")
+        .coalesce(1), tbl, mode="append")
+    got3 = {r["id"]: r["_row_id"] for r in read_delta_local(
+        spark, tbl, with_row_tracking=True).collect()}
+    assert got3[600] == 20 and got3[500] == got2[500][0]
+
+    # MERGE and compaction rewrites refuse typed — survivors would
+    # silently get fresh ids
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        upsert_delta_local(
+            spark, tbl,
+            spark.createDataFrame([(500, 9.0)], "id long, v double"),
+            ["id"])
+    with pytest.raises(NotImplementedError, match="rowTracking"):
+        compact_delta_local(spark, tbl)
