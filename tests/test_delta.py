@@ -2754,11 +2754,24 @@ def test_delta_protocol_feature_gates(spark, qc, tmp_path):
         qc.read_delta(t1)
     with pytest.raises(NotImplementedError, match="typeWidening"):
         write_delta_local(one, t1, mode="append")
-    # unknown WRITER feature refuses writes, reads fine
+    # unknown WRITER feature refuses writes, reads fine (rowTracking
+    # WAS the example here until round 12 made it a supported,
+    # maintained feature — appends now assign row ids instead)
     t2 = mk("p_wf", {"minReaderVersion": 1, "minWriterVersion": 7,
-                     "writerFeatures": ["rowTracking"]})
-    with pytest.raises(NotImplementedError, match="rowTracking"):
+                     "writerFeatures": ["icebergCompatV2"]})
+    with pytest.raises(NotImplementedError, match="icebergCompatV2"):
         write_delta_local(one, t2, mode="append")
+    t2b = mk("p_wf_rt", {"minReaderVersion": 1, "minWriterVersion": 7,
+                         "writerFeatures": ["rowTracking",
+                                            "domainMetadata"]})
+    write_delta_local(one, t2b, mode="append")
+    from quokka_spark.sources.delta_local import (_domain_metadata,
+                                                  read_delta_local)
+    rows_rt = [(r["id"], r["_row_id"]) for r in read_delta_local(
+        spark, t2b, with_row_tracking=True).collect()]
+    assert rows_rt == [(1, 0)]
+    dm = _domain_metadata(t2b)["delta.rowTracking"]
+    assert _json.loads(dm["configuration"])["rowIdHighWaterMark"] == 0
     # appendOnly: append + compaction OK; rewrites refuse
     t3 = mk("p_ao", {"minReaderVersion": 1, "minWriterVersion": 2},
             conf={"delta.appendOnly": "true"})
