@@ -2366,10 +2366,11 @@ def _domain_metadata(table: str, version: int | None = None) -> dict:
 
 
 def _refuse_row_tracking_rewrite(table: str, op: str) -> None:
-    """MERGE and compaction rewrite SURVIVING rows into new files;
-    without materialized-column writes those rows would silently get
-    fresh ids — refuse typed on rowTracking tables (append/overwrite/
-    DV-delete/restore/checkpoint all maintain tracking correctly)."""
+    """MERGE rewrites SURVIVING rows into new files; without
+    materialized-column writes those rows would silently get fresh
+    ids — refuse typed on rowTracking tables (append/overwrite/
+    DV-delete/restore/checkpoint maintain tracking correctly, and
+    compaction MATERIALIZES the ids per spec since round 12)."""
     proto = _protocol_state(table)
     if int(proto.get("minWriterVersion", 2)) == 7 and \
             "rowTracking" in (proto.get("writerFeatures") or []):
@@ -2928,19 +2929,57 @@ def compact_delta_local(spark, table: str,
     layout (old files stay on disk until vacuum).
 
     Partitioned tables rewrite with the same partitionBy so the
-    log-level pruning contract survives."""
+    log-level pruning contract survives.
+
+    ROW TRACKING tables (round 12, protocol §Row Tracking) preserve
+    row identity across the rewrite the jar's way: the compacted
+    files MATERIALIZE each row's _row_id and _row_commit_version as
+    the configuration-named physical columns (names generated and
+    committed into the configuration when the table has none yet),
+    so compaction rearranges rows without re-identifying them or
+    faking an update; the new files still get fresh baseRowId ranges
+    and the high-water mark advances in the same commit per spec.
+    rowTracking + columnMapping together stays gated (the physical
+    projection would collide with the materialized names)."""
     import math
     files, meta, keys, _ = _replay(table, None)
     # compaction removes are dataChange=false — allowed on appendOnly
     _check_write_protocol(table, meta, data_change_removes=False,
                           new_data=False)
-    _refuse_row_tracking_rewrite(table, "compaction")
     if not files:
         raise ValueError(f"Delta table {table} has no live files")
     root = table.removeprefix("file://")
     pcols = meta.get("partitionColumns") or []
-    df = read_delta_local(spark, table)
     cm = _cm_mode(meta)
+    rt_base = _row_tracking_base(table, _protocol_state(table))
+    meta_update = None
+    if rt_base is not None:
+        if cm != "none":
+            raise NotImplementedError(
+                "compaction of a rowTracking table under column "
+                "mapping — the physical projection and materialized "
+                "row-id columns are not wired together; use the jar")
+        conf = dict(meta.get("configuration") or {})
+        mat_rid = conf.get(
+            "delta.rowTracking.materializedRowIdColumnName")
+        mat_rcv = conf.get(
+            "delta.rowTracking."
+            "materializedRowCommitVersionColumnName")
+        if not (mat_rid and mat_rcv):
+            sfx = uuid.uuid4().hex[:8]
+            mat_rid = mat_rid or f"_row-id-col-{sfx}"
+            mat_rcv = mat_rcv or f"_row-commit-version-col-{sfx}"
+            conf["delta.rowTracking."
+                 "materializedRowIdColumnName"] = mat_rid
+            conf["delta.rowTracking."
+                 "materializedRowCommitVersionColumnName"] = mat_rcv
+            meta_update = dict(meta)
+            meta_update["configuration"] = conf
+        df = (read_delta_local(spark, table, with_row_tracking=True)
+              .withColumnRenamed("_row_id", mat_rid)
+              .withColumnRenamed("_row_commit_version", mat_rcv))
+    else:
+        df = read_delta_local(spark, table)
     if cm != "none":
         # the mapped read surfaced LOGICAL names; rewritten files must
         # carry the physical ones (footer stats then key physically —
@@ -2962,17 +3001,32 @@ def compact_delta_local(spark, table: str,
     version = list_versions(table)[-1] + 1
     ts = int(time.time() * 1000)
     actions: list = []
+    if meta_update is not None:
+        actions.append({"metaData": meta_update})
     for k in keys:
         actions.append({"remove": {"path": k, "deletionTimestamp": ts,
                                    "dataChange": False}})
+    next_rid = rt_base
     for p in new_files:
         # a compaction rearranges rows without changing the data: per
         # protocol BOTH sides mark dataChange=false, else a streaming
         # consumer re-reads the compacted rows as fresh appends
-        actions.append(_add_action(
+        act = _add_action(
             root, p,
             _hive_partition_values(data_dir, p) if pcols else None,
-            stats=_footer_stats(p), data_change=False))
+            stats=_footer_stats(p), data_change=False)
+        if next_rid is not None:
+            import pyarrow.parquet as _pq
+            act["add"]["baseRowId"] = next_rid
+            act["add"]["defaultRowCommitVersion"] = version
+            next_rid += int(_pq.ParquetFile(p).metadata.num_rows)
+        actions.append(act)
+    if next_rid is not None:
+        actions.append({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": next_rid - 1}),
+            "removed": False}})
     _commit(table, version, actions)
     return version
 

@@ -4080,12 +4080,27 @@ def test_delta_row_tracking_reads(spark, qc, tmp_path):
         spark, tbl, with_row_tracking=True).collect()}
     assert got3[600] == 20 and got3[500] == got2[500][0]
 
-    # MERGE and compaction rewrites refuse typed — survivors would
-    # silently get fresh ids
+    # MERGE rewrites refuse typed — survivors would silently get
+    # fresh ids
     with pytest.raises(NotImplementedError, match="rowTracking"):
         upsert_delta_local(
             spark, tbl,
             spark.createDataFrame([(500, 9.0)], "id long, v double"),
             ["id"])
-    with pytest.raises(NotImplementedError, match="rowTracking"):
-        compact_delta_local(spark, tbl)
+    # COMPACTION preserves identity by MATERIALIZING the ids (round
+    # 12): every row keeps (_row_id, _row_commit_version) across the
+    # rewrite, plain reads still hide the physical columns, and the
+    # high-water mark advanced for the compacted files' fresh ranges
+    before = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+              for r in read_delta_local(
+                  spark, tbl, with_row_tracking=True).collect()}
+    compact_delta_local(spark, tbl, target_file_rows=1000)
+    after = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+             for r in read_delta_local(
+                 spark, tbl, with_row_tracking=True).collect()}
+    assert after == before
+    plain2 = qc.read_delta(tbl).df
+    assert not [c for c in plain2.columns if c.startswith("_")]
+    dm2 = _domain_metadata(tbl)["delta.rowTracking"]
+    assert _json.loads(dm2["configuration"])["rowIdHighWaterMark"] \
+        > 20
