@@ -1519,9 +1519,9 @@ _SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
     # round 12: appends/overwrites ASSIGN baseRowId ranges and
     # advance the delta.rowTracking high-water mark; checkpoints
     # persist domainMetadata and the per-add row-tracking fields; DV
-    # deletes and restore carry adds wholesale. MERGE and compaction
-    # refuse typed on rowTracking tables (their rewrites would drop
-    # survivors' ids without materialized-column writes).
+    # deletes and restore carry adds wholesale; MERGE and compaction
+    # PRESERVE row identity by materializing the ids into rewritten
+    # files (rowTracking + columnMapping rewrites refuse typed).
     "domainMetadata", "rowTracking"}
 # v2Checkpoint is in BOTH sets: reads decode the v2 layout
 # (_read_checkpoint) and the spec allows writers on such tables to
@@ -2365,21 +2365,6 @@ def _domain_metadata(table: str, version: int | None = None) -> dict:
     return out
 
 
-def _refuse_row_tracking_rewrite(table: str, op: str) -> None:
-    """MERGE rewrites SURVIVING rows into new files; without
-    materialized-column writes those rows would silently get fresh
-    ids — refuse typed on rowTracking tables (append/overwrite/
-    DV-delete/restore/checkpoint maintain tracking correctly, and
-    compaction MATERIALIZES the ids per spec since round 12)."""
-    proto = _protocol_state(table)
-    if int(proto.get("minWriterVersion", 2)) == 7 and \
-            "rowTracking" in (proto.get("writerFeatures") or []):
-        raise NotImplementedError(
-            f"{op} on a rowTracking table — the rewrite would assign "
-            "surviving rows fresh row ids (preserving them needs "
-            "materialized-column writes, the jar's job)")
-
-
 def _row_tracking_base(table: str, proto: dict) -> int | None:
     """The next row id to assign, or None when the table does not
     carry the rowTracking writer feature. The high-water mark lives
@@ -3118,7 +3103,38 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     root = table.removeprefix("file://")
     files, meta, live_keys, adds = _replay(table, None)
     _check_write_protocol(table, meta, data_change_removes=True)
-    _refuse_row_tracking_rewrite(table, "MERGE upsert")
+    # row tracking (round 12): the merge PRESERVES row identity the
+    # jar's way — survivors and single-match updated rows materialize
+    # their ids into the rewritten/appended files (reader coalesces
+    # materialized over baseRowId arithmetic); genuine inserts and
+    # multi-row replacements take fresh ids, as the spec permits.
+    # Under column mapping the physical projection and materialized
+    # names are not wired together — typed refusal.
+    rt_base = _row_tracking_base(table, _protocol_state(table))
+    if rt_base is not None and _cm_mode(meta) != "none":
+        raise NotImplementedError(
+            "MERGE upsert on a rowTracking table under column "
+            "mapping — preserving row ids through the physical "
+            "projection is not wired up; use the jar")
+    mat_rid = mat_rcv = None
+    meta_update = None
+    if rt_base is not None:
+        conf_rt = dict(meta.get("configuration") or {})
+        mat_rid = conf_rt.get(
+            "delta.rowTracking.materializedRowIdColumnName")
+        mat_rcv = conf_rt.get(
+            "delta.rowTracking."
+            "materializedRowCommitVersionColumnName")
+        if not (mat_rid and mat_rcv):
+            sfx = uuid.uuid4().hex[:8]
+            mat_rid = mat_rid or f"_row-id-col-{sfx}"
+            mat_rcv = mat_rcv or f"_row-commit-version-col-{sfx}"
+            conf_rt["delta.rowTracking."
+                    "materializedRowIdColumnName"] = mat_rid
+            conf_rt["delta.rowTracking."
+                    "materializedRowCommitVersionColumnName"] = mat_rcv
+            meta_update = dict(meta)
+            meta_update["configuration"] = conf_rt
     # every row a MERGE can land comes from the batch (matched rows
     # are replaced whole, unmatched inserted; survivors were
     # validated at their own write), so the single write pre-pass
@@ -3152,11 +3168,20 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         # survivor rewrite would silently drop the newer columns
         # from rewritten files
         rs = _log_read_schema(meta, pcols, cmap=cmap)
+        if rt_base is not None and rs is not None:
+            # materialized row-tracking columns must be readable so
+            # survivors keep ids a previous rewrite already pinned
+            from pyspark.sql.types import LongType, StructField
+            for c in (mat_rid, mat_rcv):
+                if c not in rs.fieldNames():
+                    rs = rs.add(StructField(c, LongType(), True))
         live = (spark.read.schema(rs).parquet(*files)
                 if rs is not None else spark.read.parquet(*files))
         # DV-deleted rows must not survive into rewritten files
         live = _apply_deletion_vectors(spark, live, files, adds, root) \
             .withColumn("__qs_file__", F.col("_metadata.file_path"))
+        if rt_base is not None:
+            live = _apply_row_tracking(spark, live, files, adds, meta)
         if pcols:
             live = live.withColumn("__qs_path__", _plain_path_col())
         if cmap:
@@ -3181,6 +3206,21 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
                     "__qs_path__")
                 .drop("__qs_path__"))
     new_keys = df.select(*keys).distinct()
+    if rt_base is not None:
+        # single-match updated rows keep their id: semi-join bounds
+        # the aggregation to batch keys; keys with several live rows
+        # OR several batch rows assign fresh (delete+insert)
+        old_ids = (live.join(new_keys, keys, "left_semi")
+                   .groupBy(*keys)
+                   .agg(F.count(F.lit(1)).alias("__qs_kn__"),
+                        F.min("_row_id").alias("__qs_krid__"))
+                   .where("__qs_kn__ = 1")
+                   .select(*keys, F.col("__qs_krid__").alias(mat_rid)))
+        bcnt = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__qs_bn__"))
+        old_ids = (old_ids.join(bcnt, keys)
+                   .where("__qs_bn__ = 1").drop("__qs_bn__"))
+        df = (df.join(old_ids, keys, "left")
+              .withColumn(mat_rcv, F.lit(None).cast("long")))
     affected = [r["__qs_file__"]
                 for r in (live.join(new_keys, keys, "left_semi")
                           .select("__qs_file__").distinct().collect())]
@@ -3196,11 +3236,14 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     ts = int(time.time() * 1000)
     actions: list = []
     tag = uuid.uuid4().hex[:12]
+    rt_next = {"v": rt_base}
+
     def _write_and_add(frame, dirname):
         """Write a rewrite/append frame (partitionBy on partitioned
         tables — the hive directory values become each file's
         partitionValues; mapped tables project back to PHYSICAL
-        names first) and append its add actions."""
+        names first) and append its add actions (with fresh
+        baseRowId ranges on rowTracking tables)."""
         d = os.path.join(root, dirname)
         out_pcols = pcols
         if cm != "none":
@@ -3214,15 +3257,29 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
             os.path.join(dp, f) for dp, _, fs in os.walk(d)
             for f in fs if f.endswith(".parquet"))
         for p in out:
-            actions.append(_add_action(
+            act = _add_action(
                 root, p,
                 _hive_partition_values(d, p) if pcols else None,
-                stats=_footer_stats(p)))
+                stats=_footer_stats(p))
+            if rt_next["v"] is not None:
+                import pyarrow.parquet as _pq
+                act["add"]["baseRowId"] = rt_next["v"]
+                act["add"]["defaultRowCommitVersion"] = version
+                rt_next["v"] += int(
+                    _pq.ParquetFile(p).metadata.num_rows)
+            actions.append(act)
 
     if affected_set:
         survivors = (live.filter(F.col("__qs_file__").isin(list(affected)))
                      .drop("__qs_file__")
                      .join(new_keys, keys, "left_anti"))
+        if rt_base is not None:
+            # survivors keep BOTH their id and their last-updated
+            # commit (they were not modified by this merge)
+            survivors = (survivors
+                         .withColumnRenamed("_row_id", mat_rid)
+                         .withColumnRenamed("_row_commit_version",
+                                            mat_rcv))
         _write_and_add(survivors, f"data-{tag}-rewrite")
         # remove by the exact key each file was added under
         for k, fpath in zip(live_keys, files):
@@ -3247,8 +3304,13 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         # as update_preimage/update_postimage — the one shape the
         # log-only reconstruction cannot recover (byte-identical rows
         # cancel there); the cdc form is the authoritative one.
+        # row-tracking metadata/materialized columns are never table
+        # columns — they must not leak into the change feed's schema
+        live_cdc = live if rt_base is None else live.drop(
+            "_row_id", "_row_commit_version")
+        df_cdc = df if rt_base is None else df.drop(mat_rid, mat_rcv)
         if affected:
-            base = live.filter(
+            base = live_cdc.filter(
                 F.col("__qs_file__").isin(list(affected)))
             mk = base.select(*keys).join(new_keys, keys,
                                          "left_semi").distinct()
@@ -3256,14 +3318,14 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
                    .join(mk, keys, "left_semi")
                    .withColumn("_change_type",
                                F.lit("update_preimage")))
-            post = (df.join(mk, keys, "left_semi")
+            post = (df_cdc.join(mk, keys, "left_semi")
                     .withColumn("_change_type",
                                 F.lit("update_postimage")))
-            ins = (df.join(mk, keys, "left_anti")
+            ins = (df_cdc.join(mk, keys, "left_anti")
                    .withColumn("_change_type", F.lit("insert")))
             cdc = pre.unionByName(post).unionByName(ins)
         else:
-            cdc = df.withColumn("_change_type", F.lit("insert"))
+            cdc = df_cdc.withColumn("_change_type", F.lit("insert"))
         d = os.path.join(root, "_change_data", f"cdc-{tag}")
         out_pcols = pcols
         if cm != "none":
@@ -3285,9 +3347,23 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
                 "dataChange": False}})
     # an explicit identity value beyond the high-water mark advances
     # it in this same commit
-    ia = _identity_meta_action(meta, [], ident_updates)
+    mu_actions = []
+    if meta_update is not None:
+        # the generated materialized-column names commit WITH the
+        # files that use them; identity marks patch this same
+        # metaData (two metaData actions in one commit would make
+        # replay order load-bearing)
+        mu_actions.append({"metaData": meta_update})
+        actions.insert(0, mu_actions[0])
+    ia = _identity_meta_action(meta, mu_actions, ident_updates)
     if ia:
         actions.append(ia)
+    if rt_next["v"] is not None:
+        actions.append({"domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps(
+                {"rowIdHighWaterMark": rt_next["v"] - 1}),
+            "removed": False}})
     # commitInfo with the MERGE keys (what real writers record in
     # operationParameters): read_delta_changes uses it to pair this
     # version's removes+adds into update_preimage/update_postimage

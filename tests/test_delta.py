@@ -4080,13 +4080,24 @@ def test_delta_row_tracking_reads(spark, qc, tmp_path):
         spark, tbl, with_row_tracking=True).collect()}
     assert got3[600] == 20 and got3[500] == got2[500][0]
 
-    # MERGE rewrites refuse typed — survivors would silently get
-    # fresh ids
-    with pytest.raises(NotImplementedError, match="rowTracking"):
-        upsert_delta_local(
-            spark, tbl,
-            spark.createDataFrame([(500, 9.0)], "id long, v double"),
-            ["id"])
+    # MERGE preserves row identity (round 12): the updated row keeps
+    # its id with the merge version as its commit; survivors of the
+    # rewritten file keep BOTH id and original commit; the insert
+    # takes a fresh id past the mark
+    vm = upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(500, 9.0), (700, 7.0)],
+                              "id long, v double"), ["id"])
+    gm = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+          for r in read_delta_local(
+              spark, tbl, with_row_tracking=True).collect()}
+    assert gm[500] == (got2[500][0], vm)      # updated: old id, new rcv
+    assert gm[501] == got2[501]               # survivor: untouched pair
+    assert gm[600][0] == 20                   # earlier append intact
+    assert gm[700][1] == vm                   # insert: fresh id
+    all_ids = [p[0] for p in gm.values()]
+    assert len(all_ids) == len(set(all_ids))  # ids stay unique
+    assert gm[700][0] > 20
     # COMPACTION preserves identity by MATERIALIZING the ids (round
     # 12): every row keeps (_row_id, _row_commit_version) across the
     # rewrite, plain reads still hide the physical columns, and the
