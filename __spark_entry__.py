@@ -7711,8 +7711,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checkpoint gates keep the replay shape), `src_delta_restore`
     (iceberg/hudi restores + history keep the shape),
     `stream_sink_hudi` (delta/iceberg sinks keep the exactly-once
-    contract). ALL entries stay pytest-oracle-checked in
-    tests/test_oracle_parity.py."""
+    contract). Round-13 rotation (round-12 verdict #1): IN — the
+    round-12 machinery `src_iceberg_lineage`, `src_iceberg_defaults`,
+    `src_delta_row_tracking`; OUT — `src_delta_auto_checkpoint`
+    (`src_delta_v2_checkpoint` keeps the checkpoint-replay shape),
+    `src_iceberg_restore` (`src_hudi_restore` + history keep the
+    restore shape), `stream_sink_iceberg` (`stream_sink_delta` keeps
+    the exactly-once sink contract). ALL entries stay
+    pytest-oracle-checked in tests/test_oracle_parity.py."""
     return {
         # ---- driver-checked window (first 50) -------------------------
         # TPC-H suite (15 in-window; the 7 single/two-table micro
@@ -7765,9 +7771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery headlines — auto- and v2 checkpoints, the RESTORE
         # trio, Iceberg multi-spec commits, Iceberg CDF, Hudi
         # incremental reads
-        "src_delta_auto_checkpoint": src_delta_auto_checkpoint,
         "src_delta_v2_checkpoint": src_delta_v2_checkpoint,
-        "src_iceberg_restore": src_iceberg_restore,
         "src_hudi_restore": src_hudi_restore,
         "src_iceberg_multispec": src_iceberg_multispec,
         "src_iceberg_cdf": src_iceberg_cdf,
@@ -7780,13 +7784,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_iceberg_dv_cdf": src_iceberg_dv_cdf,
         "src_iceberg_refs": src_iceberg_refs,
         "src_delta_constraints": src_delta_constraints,
-        # streaming (3: delta + iceberg exactly-once sinks + the Delta
-        # SOURCE; stream_sink_hudi rotated out round 12 — the sink
-        # contract stays shape-covered by the delta/iceberg pair)
+        # round-13 rotation IN (round-12 verdict #1): the round-12
+        # protocol machinery — Iceberg v3 row lineage (_row_id /
+        # _last_updated_sequence_number via per-file first_row_id
+        # arithmetic), Iceberg v3 top-level initial-default values,
+        # and Delta row tracking (_row_id / _row_commit_version)
+        "src_iceberg_lineage": src_iceberg_lineage,
+        "src_iceberg_defaults": src_iceberg_defaults,
+        "src_delta_row_tracking": src_delta_row_tracking,
+        # streaming (2: the delta exactly-once sink + the Delta SOURCE;
+        # stream_sink_hudi rotated out round 12, stream_sink_iceberg
+        # round 13 — the sink contract stays shape-covered by
+        # stream_sink_delta, and iceberg/hudi sinks stay pytest-oracled)
         "stream_sink_delta": stream_sink_delta,
-        "stream_sink_iceberg": stream_sink_iceberg,
         "stream_src_delta": stream_src_delta,
         # ---- past the driver window (pytest-oracle-checked) -----------
+        # round-13 rotation OUT (shapes stay covered in-window:
+        # v2_checkpoint keeps the checkpoint-replay shape, hudi_restore
+        # + history keep the restore shape, stream_sink_delta keeps the
+        # exactly-once sink contract)
+        "src_delta_auto_checkpoint": src_delta_auto_checkpoint,
+        "src_iceberg_restore": src_iceberg_restore,
+        "stream_sink_iceberg": stream_sink_iceberg,
         # round-12 rotation OUT (shapes stay covered in-window)
         "tpch_q22": tpch_q22,
         "src_delta_checkpoint": src_delta_checkpoint,
@@ -7855,10 +7874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
         "src_delta_cm_id_partitioned": src_delta_cm_id_partitioned,
-        # round-12 machinery gates (rotation candidates for round 13)
-        "src_iceberg_lineage": src_iceberg_lineage,
-        "src_iceberg_defaults": src_iceberg_defaults,
-        "src_delta_row_tracking": src_delta_row_tracking,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
