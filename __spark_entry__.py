@@ -7554,6 +7554,278 @@ FROM customer GROUP BY 1
 """
 
 
+def _bind_fs_iceberg_catalog(root: str) -> str:
+    """Bind the pyiceberg DEFAULT catalog to a filesystem warehouse
+    at ``root`` so the package's catalog write path
+    (iceberg_catalog.write_iceberg_catalog) and catalog read path
+    (read_iceberg_catalog) can run in this container. With the real
+    pyiceberg package importable, configures a sqlite-backed ``sql``
+    catalog through the documented PYICEBERG_CATALOG__ env vars and
+    returns 'pyiceberg'. Without it (this container), installs a
+    minimal filesystem-catalog SHIM into sys.modules whose table
+    state IS a real local Iceberg table directory under
+    ``root/<identifier>`` — add_files / the overwrite transaction
+    commit through iceberg_local's spec-shaped metadata writer, and
+    scan().plan_files() serves the live file set from that same
+    metadata — so the package's write machinery and BOTH readers
+    (catalog-planned scan and local-directory metadata reader) run
+    unmodified; only the pyiceberg client object is substituted.
+    Returns 'shim' then. Mirrors tests/_install_fake_pyiceberg's
+    public surface, but with durable on-disk state."""
+    import os
+    import sys
+    import types
+    try:
+        import pyiceberg  # noqa: F401
+        os.environ["PYICEBERG_CATALOG__DEFAULT__TYPE"] = "sql"
+        os.environ["PYICEBERG_CATALOG__DEFAULT__URI"] = \
+            f"sqlite:///{root}/catalog.db"
+        os.environ["PYICEBERG_CATALOG__DEFAULT__WAREHOUSE"] = \
+            f"file://{root}"
+        return "pyiceberg"
+    except ImportError:
+        pass
+    if "pyiceberg" in sys.modules and getattr(
+            sys.modules["pyiceberg"], "_qs_fs_root", None) is not None:
+        sys.modules["pyiceberg"]._qs_fs_root = root
+        return "shim"
+
+    def _infer_fields(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def ice(t):
+            if pa.types.is_int64(t):
+                return "long"
+            if pa.types.is_integer(t):
+                return "int"
+            if pa.types.is_float64(t):
+                return "double"
+            if pa.types.is_float32(t):
+                return "float"
+            if pa.types.is_boolean(t):
+                return "boolean"
+            if pa.types.is_date(t):
+                return "date"
+            if pa.types.is_timestamp(t):
+                return "timestamp"
+            return "string"
+        sch = pq.read_schema(path)
+        return [(i + 1, f.name, ice(f.type))
+                for i, f in enumerate(sch)]
+
+    class _Tbl:
+        def __init__(self, path):
+            self._path = path
+
+        def location(self):
+            return self._path
+
+        def _meta(self):
+            from quokka_spark.sources.iceberg_local import \
+                _read_table_metadata
+            return _read_table_metadata(self._path)
+
+        def _exists(self):
+            return os.path.isdir(os.path.join(self._path, "metadata"))
+
+        def spec(self):
+            fields = []
+            if self._exists():
+                m = self._meta()
+                sid = m.get("default-spec-id", 0)
+                for s in m.get("partition-specs", []):
+                    if s.get("spec-id", 0) == sid:
+                        fields = [types.SimpleNamespace(**{
+                            "name": f.get("name"),
+                            "transform": f.get("transform", "identity"),
+                            "source_id": f.get("source-id"),
+                            "field_id": f.get("field-id")})
+                            for f in s.get("fields", [])]
+            return types.SimpleNamespace(fields=fields)
+
+        def schema(self):
+            from quokka_spark.sources.iceberg_local import \
+                _current_schema
+            flds = _current_schema(self._meta()).get("fields", [])
+            return types.SimpleNamespace(fields=[
+                types.SimpleNamespace(name=f["name"],
+                                      field_type=str(f["type"]),
+                                      field_id=int(f["id"]))
+                for f in flds])
+
+        @property
+        def metadata(self):
+            m = self._meta() if self._exists() else {}
+            snaps = [types.SimpleNamespace(
+                snapshot_id=int(s["snapshot-id"]),
+                timestamp_ms=int(s.get("timestamp-ms", 0)))
+                for s in m.get("snapshots", [])]
+            refs = {name: types.SimpleNamespace(
+                snapshot_id=int(r["snapshot-id"]))
+                for name, r in (m.get("refs") or {}).items()}
+            return types.SimpleNamespace(
+                snapshots=snaps, snapshot_log=[], refs=refs)
+
+        def _commit(self, files, replace=False):
+            from quokka_spark.sources.iceberg_local import (
+                commit_snapshot, create_local_iceberg_table)
+            files = [p.removeprefix("file://") for p in files]
+            if not self._exists():
+                create_local_iceberg_table(
+                    self._path, [files],
+                    schema_fields=_infer_fields(files[0]))
+            else:
+                commit_snapshot(self._path, add_files=files,
+                                replace=replace)
+
+        def add_files(self, file_paths):
+            self._commit(list(file_paths))
+
+        def transaction(self):
+            tbl = self
+
+            class Tx:
+                def __init__(self):
+                    self.deleted = False
+                    self.staged: list = []
+
+                def delete(self, expr):
+                    self.deleted = True
+
+                def add_files(self, file_paths):
+                    self.staged += list(file_paths)
+
+                def commit_transaction(self):
+                    tbl._commit(self.staged, replace=self.deleted)
+            return Tx()
+
+        def scan(self, snapshot_id=None, row_filter=None, **kw):
+            # plan-everything: read_iceberg_catalog re-applies every
+            # filter row-level, so skipping pushdown stays exact
+            from quokka_spark.sources.iceberg_local import \
+                snapshot_files_full
+            data, pos, eq = snapshot_files_full(self._path,
+                                                snapshot_id)
+            if eq:
+                raise NotImplementedError(
+                    "fs-catalog shim: equality deletes not planned — "
+                    "read the table directory")
+            deletes = [types.SimpleNamespace(
+                file_path=p, content=1, equality_ids=None,
+                file_format="PARQUET", referenced_data_file=None,
+                content_offset=None, content_size_in_bytes=None)
+                for p in pos]
+            tasks = [types.SimpleNamespace(
+                file=types.SimpleNamespace(file_path=d["path"]),
+                delete_files=list(deletes)) for d in data]
+            return types.SimpleNamespace(plan_files=lambda: tasks)
+
+    class _Cat:
+        def __init__(self, root):
+            self._root = root
+
+        def load_table(self, ident):
+            return _Tbl(os.path.join(self._root, ident))
+
+    pi = types.ModuleType("pyiceberg")
+    pi._qs_fs_root = root
+    cat_mod = types.ModuleType("pyiceberg.catalog")
+    cat_mod.load_catalog = \
+        lambda *a, **kw: _Cat(sys.modules["pyiceberg"]._qs_fs_root)
+    pi.catalog = cat_mod
+    expr_mod = types.ModuleType("pyiceberg.expressions")
+    expr_mod.AlwaysTrue = lambda: True
+    pi.expressions = expr_mod
+    sys.modules["pyiceberg"] = pi
+    sys.modules["pyiceberg.catalog"] = cat_mod
+    sys.modules["pyiceberg.expressions"] = expr_mod
+    return "shim"
+
+
+def src_iceberg_catalog_write(spark, sf_dir):
+    """Iceberg CATALOG writes (round 13 — round-12 verdict #2;
+    iceberg_catalog.write_iceberg_catalog, the round-12 parity-plus
+    headline: the reference only READS catalog tables, df.py:802-832).
+    Lifecycle on a supplier projection: two ``add_files`` APPEND
+    commits (low keys, then the rest) followed by one atomic
+    delete-all + add_files OVERWRITE transaction keeping the even
+    keys — Spark stages the parquet distributed under the table's
+    own location, pyiceberg only registers file paths. Read-back
+    crosses THREE surfaces and unions them: the catalog-planned scan
+    at the PRE-overwrite snapshot (both appends visible — snapshot
+    ids come from the catalog metadata, never hardcoded), the
+    catalog-planned scan at current (overwrite wins), and the
+    local-directory metadata reader over the same table location —
+    any drift between registration, snapshot lineage, and on-disk
+    state hash-mismatches. pyiceberg absent (this container): the
+    fixture binds a filesystem-catalog shim whose durable state is a
+    real Iceberg table directory, so the package write path and both
+    readers run unmodified; pyiceberg importable: a real
+    sqlite-backed sql catalog serves the same flow."""
+    import json as _json
+    import os
+    import tempfile
+
+    from quokka_spark.datastream import DataStream
+    qc = _qc(spark)
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_catw_" + sf_dir.strip("/").replace("/", "_"))
+    root = os.path.join(base, "warehouse")
+    ident = "db.sup"
+    done = os.path.join(base, "_done")
+    _bind_fs_iceberg_catalog(root)
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        _bind_fs_iceberg_catalog(root)
+        sup = _t(qc, sf_dir, "supplier").df.select(
+            "s_suppkey", "s_nationkey", "s_acctbal")
+        DataStream(qc, sup.where("s_suppkey < 100")).write_iceberg(
+            ident, catalog="default")
+        DataStream(qc, sup.where("s_suppkey >= 100")).write_iceberg(
+            ident, catalog="default")
+        from pyiceberg.catalog import load_catalog
+        snaps = load_catalog("default").load_table(ident) \
+            .metadata.snapshots
+        sid2 = int(snaps[-1].snapshot_id)
+        DataStream(qc, sup.where("s_suppkey % 2 = 0")).write_iceberg(
+            ident, catalog="default", mode="overwrite")
+        with open(done, "w") as fh:
+            fh.write(_json.dumps({"sid2": sid2}))
+    with open(done) as fh:
+        sid2 = _json.load(fh)["sid2"]
+    tdir = os.path.join(root, ident)
+
+    def agg(df, via):
+        return (df.groupBy("s_nationkey")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
+                .withColumn("via", F.lit(via)))
+    return (agg(qc.read_iceberg(ident, snapshot=sid2).df,
+                "catalog_snap")
+            .unionByName(agg(qc.read_iceberg(ident).df, "catalog"))
+            .unionByName(agg(qc.read_iceberg(tdir).df, "dir")))
+
+
+_SRC_ICEBERG_CATALOG_WRITE_SQL = """
+SELECT via, s_nationkey, n, sum_bal FROM (
+  SELECT 'catalog_snap' AS via, s_nationkey,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(s_acctbal), 2) AS sum_bal
+  FROM supplier GROUP BY s_nationkey
+  UNION ALL
+  SELECT 'catalog', s_nationkey, CAST(count(*) AS BIGINT),
+         round(sum(s_acctbal), 2)
+  FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey
+  UNION ALL
+  SELECT 'dir', s_nationkey, CAST(count(*) AS BIGINT),
+         round(sum(s_acctbal), 2)
+  FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey)
+"""
+
+
 def src_delta_row_tracking(spark, sf_dir):
     """Delta ROW TRACKING (round 12 — protocol §Row Tracking;
     delta_local._apply_row_tracking): customer splits into even keys
@@ -7874,6 +8146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_write": src_delta_cm_write,
         "src_delta_cm_id_write": src_delta_cm_id_write,
         "src_delta_cm_id_partitioned": src_delta_cm_id_partitioned,
+        # round-13 machinery gates (rotation candidates for round 14)
+        "src_iceberg_catalog_write": src_iceberg_catalog_write,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -8091,6 +8365,7 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_refs": _SRC_ICEBERG_REFS_SQL,
         "src_iceberg_lineage": _SRC_ICEBERG_LINEAGE_SQL,
         "src_iceberg_defaults": _SRC_ICEBERG_DEFAULTS_SQL,
+        "src_iceberg_catalog_write": _SRC_ICEBERG_CATALOG_WRITE_SQL,
         "src_delta_row_tracking": _SRC_DELTA_ROW_TRACKING_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
