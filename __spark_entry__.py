@@ -7575,6 +7575,12 @@ def _bind_fs_iceberg_catalog(root: str) -> str:
     import os
     import sys
     import types
+    # an earlier entry in this process may have installed the shim —
+    # its module would satisfy the import probe below, so check first
+    if "pyiceberg" in sys.modules and getattr(
+            sys.modules["pyiceberg"], "_qs_fs_root", None) is not None:
+        sys.modules["pyiceberg"]._qs_fs_root = root
+        return "shim"
     try:
         import pyiceberg  # noqa: F401
         os.environ["PYICEBERG_CATALOG__DEFAULT__TYPE"] = "sql"
@@ -7585,10 +7591,6 @@ def _bind_fs_iceberg_catalog(root: str) -> str:
         return "pyiceberg"
     except ImportError:
         pass
-    if "pyiceberg" in sys.modules and getattr(
-            sys.modules["pyiceberg"], "_qs_fs_root", None) is not None:
-        sys.modules["pyiceberg"]._qs_fs_root = root
-        return "shim"
 
     def _infer_fields(path):
         import pyarrow as pa
@@ -7675,9 +7677,52 @@ def _bind_fs_iceberg_catalog(root: str) -> str:
                 create_local_iceberg_table(
                     self._path, [files],
                     schema_fields=_infer_fields(files[0]))
-            else:
-                commit_snapshot(self._path, add_files=files,
+                return
+            part_fields = [(f.name, f.source_id)
+                           for f in self.spec().fields]
+            if part_fields:
+                # pyiceberg's add_files contract on identity
+                # partitions: each file's column statistics must be
+                # VALUE-PURE (min == max); the inferred value becomes
+                # the manifest partition record. Same inference here,
+                # from the parquet footers — KB of metadata per file.
+                import pyarrow.parquet as pq
+                items = []
+                for p in files:
+                    md = pq.read_metadata(p)
+                    part = {}
+                    for name, _sid in part_fields:
+                        lo = hi = None
+                        for rg in range(md.num_row_groups):
+                            row = md.row_group(rg)
+                            for ci in range(row.num_columns):
+                                col = row.column(ci)
+                                if col.path_in_schema != name:
+                                    continue
+                                st = col.statistics
+                                if st is None or not st.has_min_max:
+                                    raise ValueError(
+                                        f"fs-catalog shim: {p} has "
+                                        f"no statistics for "
+                                        f"partition column {name}")
+                                lo = st.min if lo is None \
+                                    else min(lo, st.min)
+                                hi = st.max if hi is None \
+                                    else max(hi, st.max)
+                        if lo is None or lo != hi:
+                            raise ValueError(
+                                f"fs-catalog shim: staged file {p} "
+                                f"is not value-pure on partition "
+                                f"column {name} (min={lo!r}, "
+                                f"max={hi!r}) — add_files would "
+                                "refuse it")
+                        part[name] = lo
+                    items.append({"path": p, "partition": part})
+                commit_snapshot(self._path, add_files=items,
                                 replace=replace)
+                return
+            commit_snapshot(self._path, add_files=files,
+                            replace=replace)
 
         def add_files(self, file_paths):
             self._commit(list(file_paths))
@@ -7823,6 +7868,125 @@ SELECT via, s_nationkey, n, sum_bal FROM (
   SELECT 'dir', s_nationkey, CAST(count(*) AS BIGINT),
          round(sum(s_acctbal), 2)
   FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey)
+"""
+
+
+def _cat_create_partitioned_supplier(mode: str, root: str,
+                                     ident: str) -> None:
+    """Create the identity-partitioned supplier table ``ident`` in
+    the bound catalog: shim mode writes the table directory through
+    iceberg_local (empty first snapshot, partition spec on
+    s_nationkey); real pyiceberg creates it through the catalog API
+    (namespace + create_table with an IdentityTransform spec)."""
+    import os
+    tdir = os.path.join(root, ident)
+    if mode == "shim":
+        from quokka_spark.sources.iceberg_local import \
+            create_local_iceberg_table
+        create_local_iceberg_table(
+            tdir, [[]],
+            schema_fields=[(1, "s_suppkey", "long"),
+                           (2, "s_nationkey", "long"),
+                           (3, "s_acctbal", "double")],
+            partition_spec=[{"name": "s_nationkey", "type": "long",
+                             "source-id": 2, "field-id": 1000,
+                             "transform": "identity"}])
+        return
+    from pyiceberg.catalog import load_catalog
+    from pyiceberg.partitioning import PartitionField, PartitionSpec
+    from pyiceberg.schema import Schema
+    from pyiceberg.transforms import IdentityTransform
+    from pyiceberg.types import DoubleType, LongType, NestedField
+    cat = load_catalog("default")
+    try:
+        cat.create_namespace(ident.split(".", 1)[0])
+    except Exception:  # noqa: BLE001 - already exists
+        pass
+    cat.create_table(
+        ident,
+        schema=Schema(
+            NestedField(1, "s_suppkey", LongType()),
+            NestedField(2, "s_nationkey", LongType()),
+            NestedField(3, "s_acctbal", DoubleType())),
+        partition_spec=PartitionSpec(PartitionField(
+            source_id=2, field_id=1000,
+            transform=IdentityTransform(), name="s_nationkey")),
+        location=f"file://{tdir}")
+
+
+def src_iceberg_catalog_write_part(spark, sf_dir):
+    """IDENTITY-PARTITIONED Iceberg catalog writes (round 13 —
+    round-12 verdict #3; iceberg_catalog.write_iceberg_catalog's
+    partitioned path): the table is created partitioned by
+    s_nationkey, then the same append/append/overwrite lifecycle as
+    src_iceberg_catalog_write runs through the partitioned stage
+    (odd keys, even keys, then overwrite keeping the evens) —
+    partitionBy on a DUPLICATE hive column so every registered file
+    is value-pure AND keeps the real s_nationkey column in its data
+    (pyiceberg's add_files infers identity partition values from
+    per-file min==max statistics; the shim applies the same
+    inference from the parquet footers). Read-back unions the
+    catalog-planned scan at current with the LOCAL-DIRECTORY reader
+    under a partition_filter — the directory reader prunes the file
+    list from the MANIFESTS' partition records, so a wrong or empty
+    stamped partition value drops rows and hash-mismatches (exactly
+    the corruption the old typed refusal guarded against)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from quokka_spark.datastream import DataStream
+    qc = _qc(spark)
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_catwp_" + sf_dir.strip("/").replace("/", "_"))
+    root = os.path.join(base, "warehouse")
+    ident = "db.sup_part"
+    done = os.path.join(base, "_done")
+    mode = _bind_fs_iceberg_catalog(root)
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        mode = _bind_fs_iceberg_catalog(root)
+        _cat_create_partitioned_supplier(mode, root, ident)
+        sup = _t(qc, sf_dir, "supplier").df.select(
+            "s_suppkey", "s_nationkey", "s_acctbal")
+        # parity splits stay non-empty at every SF (an empty
+        # partitionBy stage writes no files, which the writer
+        # refuses to register)
+        DataStream(qc, sup.where("s_suppkey % 2 = 1")).write_iceberg(
+            ident, catalog="default")
+        DataStream(qc, sup.where("s_suppkey % 2 = 0")).write_iceberg(
+            ident, catalog="default")
+        DataStream(qc, sup.where("s_suppkey % 2 = 0")).write_iceberg(
+            ident, catalog="default", mode="overwrite")
+        with open(done, "w") as fh:
+            fh.write(_json.dumps({"mode": mode}))
+    tdir = os.path.join(root, ident)
+
+    def agg(df, via):
+        return (df.groupBy("s_nationkey")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
+                .withColumn("via", F.lit(via)))
+    return (agg(qc.read_iceberg(ident).df, "catalog")
+            .unionByName(agg(
+                qc.read_iceberg(
+                    tdir, partition_filter="s_nationkey < 10").df,
+                "dir_pruned")))
+
+
+_SRC_ICEBERG_CATALOG_WRITE_PART_SQL = """
+SELECT via, s_nationkey, n, sum_bal FROM (
+  SELECT 'catalog' AS via, s_nationkey,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(s_acctbal), 2) AS sum_bal
+  FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey
+  UNION ALL
+  SELECT 'dir_pruned', s_nationkey, CAST(count(*) AS BIGINT),
+         round(sum(s_acctbal), 2)
+  FROM supplier WHERE s_suppkey % 2 = 0 AND s_nationkey < 10
+  GROUP BY s_nationkey)
 """
 
 
@@ -8148,6 +8312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_delta_cm_id_partitioned": src_delta_cm_id_partitioned,
         # round-13 machinery gates (rotation candidates for round 14)
         "src_iceberg_catalog_write": src_iceberg_catalog_write,
+        "src_iceberg_catalog_write_part": src_iceberg_catalog_write_part,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -8366,6 +8531,8 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_lineage": _SRC_ICEBERG_LINEAGE_SQL,
         "src_iceberg_defaults": _SRC_ICEBERG_DEFAULTS_SQL,
         "src_iceberg_catalog_write": _SRC_ICEBERG_CATALOG_WRITE_SQL,
+        "src_iceberg_catalog_write_part":
+            _SRC_ICEBERG_CATALOG_WRITE_PART_SQL,
         "src_delta_row_tracking": _SRC_DELTA_ROW_TRACKING_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,

@@ -342,11 +342,18 @@ def write_iceberg_catalog(spark, df, table: str, mode: str = "append",
     ``add_files`` commit for ``append``, one delete-everything +
     ``add_files`` transaction for ``overwrite`` (atomic: readers see
     either the old or the new table) — so only KB-scale metadata
-    passes through the driver, never rows. Requires pyiceberg >= 0.7
-    (the add_files API); callers without the package get a typed
-    error. MERGE upserts refuse typed: pyiceberg's row-level upsert
-    materializes Arrow on the driver — read + merge through the jar,
-    or mirror the table locally."""
+    passes through the driver, never rows. IDENTITY-partitioned
+    tables (round 13) stage VALUE-PURE files — partitionBy on a
+    duplicate hive column, so each file holds one partition value
+    AND keeps the source column in its data (pyiceberg's add_files
+    infers identity partition values from per-file column statistics,
+    which demand min == max; plain partitionBy would drop the column
+    and null-fill every read-back). Transform-partitioned
+    (bucket/truncate/day/...) tables refuse typed. Requires pyiceberg
+    >= 0.7 (the add_files API); callers without the package get a
+    typed error. MERGE upserts refuse typed: pyiceberg's row-level
+    upsert materializes Arrow on the driver — read + merge through
+    the jar, or mirror the table locally."""
     import os
     import uuid
 
@@ -368,19 +375,64 @@ def write_iceberg_catalog(spark, df, table: str, mode: str = "append",
     spec = getattr(tbl, "spec", None)
     spec_fields = list(getattr(spec() if callable(spec) else spec,
                                "fields", None) or [])
+    part_cols: list = []
     if spec_fields:
-        # the staging write is unpartitioned; registering its files
-        # on a partitioned table would stamp empty partition records
-        # and break partition pruning — refuse typed
-        raise NotImplementedError(
-            f"write_iceberg_catalog: table {table} is PARTITIONED — "
-            "this writer stages unpartitioned parquet; write through "
-            "the runtime jar, or to a local table directory")
+        # IDENTITY-partitioned tables (round 13 — round-12 verdict
+        # #3): stage value-pure files and let add_files register
+        # them. pyiceberg >= 0.7 infers identity partition values
+        # from each file's parquet column statistics and REQUIRES
+        # min == max per file, so the stage must be value-pure AND
+        # keep the source column in the data (Spark's plain
+        # partitionBy would drop it and null-fill every read) — the
+        # write partitions on a DUPLICATE hive column and drops only
+        # the duplicate from the registered files' schema readers.
+        # Transform partitions (bucket/truncate/day/...) still refuse
+        # typed: their manifest values are transform RESULTS no
+        # file statistic can stand in for.
+        non_identity = [
+            f for f in spec_fields
+            if str(getattr(f, "transform", "identity")).lower()
+            not in ("identity", "identitytransform()")]
+        if non_identity:
+            raise NotImplementedError(
+                f"write_iceberg_catalog: table {table} is partitioned "
+                "by non-identity transforms "
+                f"({[str(getattr(f, 'transform', '?')) for f in non_identity]}) — "
+                "add_files cannot derive transform partition values; "
+                "write through the runtime jar, or to a local table "
+                "directory")
+        id2name = {}
+        for f in tbl.schema().fields:
+            fid = getattr(f, "field_id", None)
+            if fid is not None:
+                id2name[int(fid)] = f.name
+        try:
+            part_cols = [id2name[int(f.source_id)]
+                         for f in spec_fields]
+        except (KeyError, TypeError, AttributeError) as e:
+            raise NotImplementedError(
+                f"write_iceberg_catalog: table {table}'s partition "
+                "spec references fields this writer cannot resolve "
+                "to column names") from e
+        missing = [c for c in part_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"write_iceberg_catalog: DataFrame lacks partition "
+                f"source columns {missing} for table {table}")
     loc = str(tbl.location()).rstrip("/")
     staging = f"{loc}/data/qs-{uuid.uuid4().hex[:12]}"
-    (df.write.mode("errorifexists")
-     .option("maxRecordsPerFile", output_line_limit)
-     .parquet(staging))
+    writer = (df.write.mode("errorifexists")
+              .option("maxRecordsPerFile", output_line_limit))
+    if part_cols:
+        from pyspark.sql import functions as F
+        hive = {c: f"__qs_hp_{c}__" for c in part_cols}
+        staged = df
+        for c, d in hive.items():
+            staged = staged.withColumn(d, F.col(c))
+        writer = (staged.write.mode("errorifexists")
+                  .option("maxRecordsPerFile", output_line_limit)
+                  .partitionBy(*hive.values()))
+    writer.parquet(staging)
     plain = staging.removeprefix("file://")
 
     def _drop_staging():
@@ -402,8 +454,10 @@ def write_iceberg_catalog(spark, df, table: str, mode: str = "append",
             pass
 
     if os.path.isdir(plain):
-        files = sorted(os.path.join(plain, f)
-                       for f in os.listdir(plain)
+        # recursive: identity-partitioned stages nest files under
+        # hive directories; unpartitioned stages sit at the top level
+        files = sorted(os.path.join(r, f)
+                       for r, _, fs_ in os.walk(plain) for f in fs_
                        if f.endswith(".parquet"))
     else:
         # remote locations: list through Hadoop's FileSystem (the
@@ -411,9 +465,13 @@ def write_iceberg_catalog(spark, df, table: str, mode: str = "append",
         sc = spark.sparkContext
         hpath = sc._jvm.org.apache.hadoop.fs.Path(staging)
         fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-        files = sorted(str(st.getPath())
-                       for st in fs.listStatus(hpath)
-                       if str(st.getPath()).endswith(".parquet"))
+        it = fs.listFiles(hpath, True)
+        files = []
+        while it.hasNext():
+            p = str(it.next().getPath())
+            if p.endswith(".parquet"):
+                files.append(p)
+        files.sort()
     if not files:
         _drop_staging()
         raise ValueError(

@@ -744,9 +744,23 @@ def _install_fake_pyiceberg(monkeypatch, tables):
                 if d.get("applies_to") is None
                 or path in d["applies_to"]]
 
+    class Cfg(dict):
+        """The fake table's config dict doubles as its partition
+        SPEC object: write_iceberg_catalog reads ``.fields`` off
+        whatever ``tbl.spec`` is (pyiceberg returns a PartitionSpec
+        there) — expose the configured ``partition_fields`` as
+        attribute namespaces while the tests keep their plain dict
+        access to add_files_calls / tx_deletes."""
+
+        @property
+        def fields(self):
+            import types as _types
+            return [_types.SimpleNamespace(**f)
+                    for f in self.get("partition_fields", [])]
+
     class Table:
         def __init__(self, spec):
-            self.spec = spec
+            self.spec = Cfg(spec)
             self.scan_calls = []
             self.metadata = types.SimpleNamespace(
                 snapshots=[Snap(s, t)
@@ -2391,6 +2405,62 @@ def test_iceberg_catalog_write_roundtrip(spark, qc, tmp_path,
     with pytest.raises(NotImplementedError, match="upsert"):
         DataStream(qc, df).write_iceberg("db.t", catalog="default",
                                         mode="upsert", key=["id"])
+
+
+def test_iceberg_catalog_write_partitioned(spark, qc, tmp_path,
+                                           monkeypatch):
+    """Round-13 (round-12 verdict #3): catalog writes to an
+    IDENTITY-partitioned table stage VALUE-PURE hive files that KEEP
+    the source column in their data — pyiceberg's add_files infers
+    identity partition values from per-file column statistics (min
+    must equal max), and a plain partitionBy stage would drop the
+    column so every read-back null-fills. Transform partitions still
+    refuse typed."""
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "warehouse" / "db.p")
+    os.makedirs(loc)
+    tables = _install_fake_pyiceberg(monkeypatch, {
+        "db.p": {"location": loc, "files_at": {None: []},
+                 "snapshots": [],
+                 "schema": [("id", "long", 1), ("p", "string", 2),
+                            ("v", "double", 3)],
+                 "partition_fields": [
+                     {"name": "p", "transform": "identity",
+                      "source_id": 2, "field_id": 1000}]},
+        "db.b": {"location": str(tmp_path / "db.b"),
+                 "files_at": {None: []}, "snapshots": [],
+                 "schema": [("id", "long", 1), ("p", "string", 2)],
+                 "partition_fields": [
+                     {"name": "p_bucket", "transform": "bucket[4]",
+                      "source_id": 2, "field_id": 1000}]}})
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0), (4, "z", 4.0)],
+        "id long, p string, v double")
+    DataStream(qc, df).write_iceberg("db.p", catalog="default")
+    staged = tables["db.p"].spec["add_files_calls"][0]
+    assert staged and all("__qs_hp_p__=" in f for f in staged)
+    for f in staged:
+        t = pq.read_table(f)
+        # value-pure AND source column retained in the data
+        assert "p" in t.column_names
+        vals = set(t.column("p").to_pylist())
+        assert len(vals) == 1
+    # read-back through the catalog scan serves the real column
+    got = {(r["id"], r["p"]) for r in
+           qc.read_iceberg("db.p").df.collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "x"), (4, "z")}
+
+    # missing partition source column → typed error
+    with pytest.raises(ValueError, match="partition source"):
+        DataStream(qc, df.drop("p")).write_iceberg(
+            "db.p", catalog="default")
+
+    # transform-partitioned tables keep the typed refusal
+    with pytest.raises(NotImplementedError, match="bucket"):
+        DataStream(qc, df.drop("v")).write_iceberg(
+            "db.b", catalog="default")
 
 
 def test_iceberg_catalog_write_without_pyiceberg_refuses(spark, qc):
