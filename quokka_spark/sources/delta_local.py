@@ -1521,7 +1521,9 @@ _SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
     # persist domainMetadata and the per-add row-tracking fields; DV
     # deletes and restore carry adds wholesale; MERGE and compaction
     # PRESERVE row identity by materializing the ids into rewritten
-    # files (rowTracking + columnMapping rewrites refuse typed).
+    # files, composing with NAME-mode columnMapping (round 13; the
+    # materialized columns are physical names and pass through the
+    # projection literally — id-mode rewrites refuse typed).
     "domainMetadata", "rowTracking"}
 # v2Checkpoint is in BOTH sets: reads decode the v2 layout
 # (_read_checkpoint) and the spec allows writers on such tables to
@@ -2924,8 +2926,11 @@ def compact_delta_local(spark, table: str,
     so compaction rearranges rows without re-identifying them or
     faking an update; the new files still get fresh baseRowId ranges
     and the high-water mark advances in the same commit per spec.
-    rowTracking + columnMapping together stays gated (the physical
-    projection would collide with the materialized names)."""
+    rowTracking + NAME-mode columnMapping compose (round 13): the
+    materialized columns are PHYSICAL names per protocol, so they
+    pass through the physical projection by their literal names;
+    id mode stays gated (the per-file-group scan carries no row
+    positions)."""
     import math
     files, meta, keys, _ = _replay(table, None)
     # compaction removes are dataChange=false — allowed on appendOnly
@@ -2938,12 +2943,13 @@ def compact_delta_local(spark, table: str,
     cm = _cm_mode(meta)
     rt_base = _row_tracking_base(table, _protocol_state(table))
     meta_update = None
+    mat_rid = mat_rcv = None
     if rt_base is not None:
-        if cm != "none":
+        if cm == "id":
             raise NotImplementedError(
-                "compaction of a rowTracking table under column "
-                "mapping — the physical projection and materialized "
-                "row-id columns are not wired together; use the jar")
+                "compaction of a rowTracking table under ID-mode "
+                "column mapping — the per-file-group scan does not "
+                "carry row positions; use the jar")
         conf = dict(meta.get("configuration") or {})
         mat_rid = conf.get(
             "delta.rowTracking.materializedRowIdColumnName")
@@ -2970,8 +2976,12 @@ def compact_delta_local(spark, table: str,
         # carry the physical ones (footer stats then key physically —
         # id mode additionally stamps field ids, round 9), and a
         # partitioned mapped table re-partitions under the PHYSICAL
-        # partition-column names
-        df, mapping = _physical_projection(df, meta, cm)
+        # partition-column names. Materialized row-tracking columns
+        # (round 13) are ALREADY physical per protocol — they pass
+        # through the projection by their literal names
+        df, mapping = _physical_projection(
+            df, meta, cm,
+            passthrough=tuple(c for c in (mat_rid, mat_rcv) if c))
         pcols = [mapping[c][0] for c in pcols]
     n = df.count()
     parts = max(1, math.ceil(n / target_file_rows))
@@ -3108,14 +3118,16 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     # their ids into the rewritten/appended files (reader coalesces
     # materialized over baseRowId arithmetic); genuine inserts and
     # multi-row replacements take fresh ids, as the spec permits.
-    # Under column mapping the physical projection and materialized
-    # names are not wired together — typed refusal.
+    # NAME-mode column mapping composes (round 13): the materialized
+    # columns are PHYSICAL names per protocol and pass through the
+    # physical projection literally; ID mode stays gated — its
+    # per-file-group scan carries no row positions.
     rt_base = _row_tracking_base(table, _protocol_state(table))
-    if rt_base is not None and _cm_mode(meta) != "none":
+    if rt_base is not None and _cm_mode(meta) == "id":
         raise NotImplementedError(
-            "MERGE upsert on a rowTracking table under column "
-            "mapping — preserving row ids through the physical "
-            "projection is not wired up; use the jar")
+            "MERGE upsert on a rowTracking table under ID-mode "
+            "column mapping — the per-file-group scan does not "
+            "carry row positions; use the jar")
     mat_rid = mat_rcv = None
     meta_update = None
     if rt_base is not None:
@@ -3186,8 +3198,11 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
             live = live.withColumn("__qs_path__", _plain_path_col())
         if cmap:
             # name mode (round 9): rename physical → logical for the
-            # key match
-            keep = ["__qs_file__"] + (["__qs_path__"] if pcols else [])
+            # key match; row-tracking metadata columns (round 13)
+            # ride along under their literal names
+            keep = ["__qs_file__"] + (["__qs_path__"] if pcols else []) \
+                + (["_row_id", "_row_commit_version"]
+                   if rt_base is not None else [])
             live = live.select(*keep,
                                *[F.col(cmap[l]).alias(l) for l in cmap
                                  if l not in pcols])
@@ -3247,7 +3262,11 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         d = os.path.join(root, dirname)
         out_pcols = pcols
         if cm != "none":
-            frame, mapping = _physical_projection(frame, meta, cm)
+            # materialized row-id columns are already physical names
+            # — pass through the projection (round 13)
+            frame, mapping = _physical_projection(
+                frame, meta, cm,
+                passthrough=tuple(c for c in (mat_rid, mat_rcv) if c))
             out_pcols = [mapping[c][0] for c in pcols]
         w = frame.write
         if out_pcols:
