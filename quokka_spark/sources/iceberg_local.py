@@ -95,33 +95,50 @@ def _read_table_metadata(table_path: str) -> dict:
         # v3 DELETION VECTORS (puffin) and row lineage read
         # end-to-end (rounds 11-12); TOP-LEVEL primitive column
         # DEFAULT VALUES are SERVED on reads (round 12 —
-        # _field_defaults + the per-file presence split in _live_df).
-        # Defaults on NESTED fields still refuse typed: the scan
-        # cannot splice a default into a struct/list/map element
-        # without restructuring the column (the jar's job), and
-        # null-filling it would serve wrong data.
-        def _walk_nested_defaults(node, depth):
-            if isinstance(node, dict):
-                has_def = ("initial-default" in node
-                           or "write-default" in node)
-                if has_def and (depth > 2
-                                or isinstance(node.get("type"), dict)):
+        # _field_defaults + the per-file presence split in _live_df),
+        # and so are primitive defaults on STRUCT sub-fields at any
+        # struct depth (round 13 — spec §Default values applies
+        # recursively; the scan splices them with withField under
+        # the same per-file presence split). Still refused typed:
+        # defaults on non-primitive-TYPED fields (the default value
+        # itself would be a composite literal) and defaults anywhere
+        # under a list/map (splicing into repeated elements needs
+        # restructuring — the jar's job). Write-defaults DIVERGING
+        # from the initial-default gate at COMMIT time
+        # (_check_write_defaults — nested-aware since round 13),
+        # matching the round-12 top-level contract: reads serve the
+        # initial-default, new omitting files refuse to commit.
+        def _walk_field_defaults(field, under_collection):
+            t = field.get("type")
+            has_def = ("initial-default" in field
+                       or "write-default" in field)
+            if has_def:
+                if under_collection or isinstance(t, dict):
                     raise NotImplementedError(
                         f"{table_path}: field "
-                        f"{node.get('name', '<nested>')!r} declares "
-                        "a v3 default value on a nested or "
+                        f"{field.get('name', '<nested>')!r} declares "
+                        "a v3 default value on a list/map element or "
                         "non-primitive field — this reader serves "
-                        "top-level primitive defaults only; read "
-                        "with the jar")
-                for v in node.values():
-                    _walk_nested_defaults(v, depth + 1)
-            elif isinstance(node, list):
-                for v in node:
-                    _walk_nested_defaults(v, depth)
+                        "primitive defaults on top-level and struct "
+                        "sub-fields only; read with the jar")
+            if isinstance(t, dict):
+                tt = t.get("type")
+                if tt == "struct":
+                    for sub in t.get("fields", []):
+                        _walk_field_defaults(sub, under_collection)
+                elif tt == "list":
+                    el = t.get("element")
+                    if isinstance(el, dict):
+                        _walk_field_defaults({"type": el}, True)
+                elif tt == "map":
+                    for k in ("key", "value"):
+                        sub = t.get(k)
+                        if isinstance(sub, dict):
+                            _walk_field_defaults({"type": sub}, True)
 
-        # depth: schemas list(0) → schema dict(1) → fields list(1) →
-        # field dict(2) → nested type dict(3+)
-        _walk_nested_defaults(meta.get("schemas") or [], 0)
+        for s in (meta.get("schemas") or []):
+            for f in s.get("fields", []):
+                _walk_field_defaults(f, False)
     return meta
 
 
@@ -140,17 +157,43 @@ def _current_schema(meta: dict) -> dict:
 
 
 def _field_defaults(meta: dict) -> dict:
-    """{column name: (initial-default JSON value, iceberg type)} for
-    TOP-LEVEL primitive fields of the CURRENT schema that declare one
-    (spec v3 §Default values): ``initial-default`` is the value rows
-    of data files written BEFORE the column existed must read as —
-    null-filling them serves wrong data. Nested defaults were already
-    refused at metadata load."""
+    """{dotted column path: (initial-default JSON value, iceberg
+    type)} for primitive fields of the CURRENT schema that declare
+    one (spec v3 §Default values): ``initial-default`` is the value
+    rows of data files written BEFORE the field existed must read as
+    — null-filling them serves wrong data. Top-level fields key by
+    name; STRUCT sub-fields (round 13 — the spec applies
+    recursively) key by their dotted path (``s.b``). Defaults under
+    list/map and on non-primitive fields were already refused at
+    metadata load."""
     out = {}
-    for f in _current_schema(meta).get("fields", []):
-        if "initial-default" in f and isinstance(f.get("type"), str):
-            out[f["name"]] = (f["initial-default"], f["type"])
+
+    def walk(fields, prefix):
+        for f in fields:
+            t = f.get("type")
+            path = prefix + f["name"]
+            if "initial-default" in f and isinstance(t, str):
+                out[path] = (f["initial-default"], t)
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []), path + ".")
+    walk(_current_schema(meta).get("fields", []), "")
     return out
+
+
+def _arrow_has_path(sch, parts):
+    """True when a parquet footer (arrow) schema carries the
+    (possibly struct-nested) dotted path given as segments."""
+    import pyarrow as pa
+    node = None
+    for i, part in enumerate(parts):
+        names = (sch.names if i == 0
+                 else ([f.name for f in node]
+                       if pa.types.is_struct(node) else []))
+        if part not in names:
+            return False
+        node = (sch.field(part).type if i == 0
+                else node.field(part).type)
+    return True
 
 
 def _apply_initial_defaults(df, meta: dict, paths: list, fp_col):
@@ -171,12 +214,13 @@ def _apply_initial_defaults(df, meta: dict, paths: list, fp_col):
     import pyarrow.parquet as _pq
     foot_cache: dict = {}
     for c, (val, ityp) in sorted(defaults.items()):
+        parts = c.split(".")
         missing = []
         for p in paths:
             lp = _local(p)
             if lp not in foot_cache:
-                foot_cache[lp] = set(_pq.read_schema(lp).names)
-            if c not in foot_cache[lp]:
+                foot_cache[lp] = _pq.read_schema(lp)
+            if not _arrow_has_path(foot_cache[lp], parts):
                 missing.append(_py_norm(p))
         if not missing:
             continue
@@ -188,14 +232,28 @@ def _apply_initial_defaults(df, meta: dict, paths: list, fp_col):
                 f"defaulted column {c!r} has iceberg type {ityp!r}, "
                 "which this reader cannot cast a default literal to "
                 "— read with the jar")
-        if c not in df.columns:
+        if parts[0] not in df.columns:
             raise NotImplementedError(
                 f"defaulted column {c!r} resolved into no "
                 "read-schema column — read with the jar")
-        df = df.withColumn(
-            c, F.when(fp_col.isin(missing),
-                      F.lit(val).cast(_ICEBERG_TO_SPARK_TYPE[ityp]))
-            .otherwise(F.col(c)))
+        lit = F.lit(val).cast(_ICEBERG_TO_SPARK_TYPE[ityp])
+        if len(parts) == 1:
+            df = df.withColumn(
+                c, F.when(fp_col.isin(missing), lit)
+                .otherwise(F.col(c)))
+        else:
+            # STRUCT sub-field (round 13): splice the default into
+            # the struct for rows scanned from pre-evolution files.
+            # withField on a NULL struct stays NULL — a row whose
+            # whole struct is absent keeps reading null, exactly the
+            # jar's behavior (the struct field itself declares no
+            # default; a composite default refuses at metadata load)
+            parent, sub = parts[0], ".".join(parts[1:])
+            df = df.withColumn(
+                parent,
+                F.when(fp_col.isin(missing),
+                       F.col(parent).withField(sub, lit))
+                .otherwise(F.col(parent)))
     return df
 
 
@@ -871,12 +929,16 @@ def _table_read_schema(meta: dict, probe_path: str):
     a type mismatch (loosely-typed fixtures)."""
     from pyspark.sql.types import StructType
     names = _field_names_of(meta)
-    types = _schema_types(meta)
-    if not names or set(names) - set(types):
+    raw_types = {int(f["id"]): f.get("type")
+                 for f in _current_schema(meta).get("fields", [])
+                 if "id" in f}
+    if not names or set(names) - set(raw_types):
         return None
-    if any(types[fid] not in _ICEBERG_TO_SPARK_TYPE for fid in names):
-        return None
-    by_name = {names[fid]: types[fid] for fid in names}
+    ddl_by_fid = {fid: _iceberg_type_ddl(raw_types[fid])
+                  for fid in names}
+    if any(d is None for d in ddl_by_fid.values()):
+        return None  # list/map or unmapped primitive — infer
+    by_name = {names[fid]: raw_types[fid] for fid in names}
     try:
         import pyarrow.parquet as pq
         fsch = pq.read_schema(_local(probe_path))
@@ -890,15 +952,54 @@ def _table_read_schema(meta: dict, probe_path: str):
     if file_cols - set(by_name):
         return None  # partial fixture schema — infer instead
     for c in file_cols:
-        if not _arrow_type_ok(by_name[c], fsch.field(c).type):
+        if not _iceberg_arrow_ok(by_name[c], fsch.field(c).type):
             return None
-    ddl = ", ".join(
-        f"`{names[fid]}` {_ICEBERG_TO_SPARK_TYPE[types[fid]]}"
-        for fid in sorted(names))
+    ddl = ", ".join(f"`{names[fid]}` {ddl_by_fid[fid]}"
+                    for fid in sorted(names))
     try:
         return StructType.fromDDL(ddl)
     except Exception:  # unexpected name/type spelling — infer instead
         return None
+
+
+def _iceberg_type_ddl(t):
+    """Spark DDL for an iceberg type — primitives via the shared map,
+    STRUCTS recursively (round 13, so defaulted struct sub-fields
+    read under the table schema); list/map return None (those columns
+    fall back to parquet inference, as before)."""
+    if isinstance(t, str):
+        return _ICEBERG_TO_SPARK_TYPE.get(t)
+    if isinstance(t, dict) and t.get("type") == "struct":
+        subs = []
+        for f in t.get("fields", []):
+            sub = _iceberg_type_ddl(f.get("type"))
+            if sub is None or "name" not in f:
+                return None
+            subs.append(f"`{f['name']}`: {sub}")
+        return "struct<" + ", ".join(subs) + ">"
+    return None
+
+
+def _iceberg_arrow_ok(ityp, at) -> bool:
+    """_arrow_type_ok extended over struct types: every arrow
+    sub-field present in the file must match its declared sub-type
+    (sub-fields the file predates are simply absent — the read
+    schema null-fills them)."""
+    import pyarrow as pa
+    if isinstance(ityp, str):
+        return _arrow_type_ok(ityp, at)
+    if isinstance(ityp, dict) and ityp.get("type") == "struct":
+        if not pa.types.is_struct(at):
+            return False
+        declared = {f.get("name"): f.get("type")
+                    for f in ityp.get("fields", [])}
+        for sub in at:
+            if sub.name not in declared:
+                return False
+            if not _iceberg_arrow_ok(declared[sub.name], sub.type):
+                return False
+        return True
+    return False
 
 
 def _arrow_type_ok(ityp: str, at) -> bool:
@@ -2328,18 +2429,29 @@ def _check_write_defaults(table_dir: str, meta: dict,
     COLUMN ... DEFAULT case — an omitted column reads correctly and
     commits freely. One KB footer read per ADDED file, only on
     tables that declare diverging defaults (rare)."""
-    diverging = {
-        f["name"] for f in _current_schema(meta).get("fields", [])
-        if isinstance(f.get("type"), str)
-        and "write-default" in f
-        and f.get("write-default") != f.get("initial-default")}
+    diverging: set = set()
+
+    def _collect(fields, prefix):
+        for f in fields:
+            t = f.get("type")
+            path = prefix + f.get("name", "?")
+            if isinstance(t, str) and "write-default" in f \
+                    and f.get("write-default") != f.get(
+                        "initial-default"):
+                diverging.add(path)
+            # struct sub-fields carry defaults too (round 13);
+            # list/map-nested defaults refuse at metadata load
+            if isinstance(t, dict) and t.get("type") == "struct":
+                _collect(t.get("fields", []), path + ".")
+    _collect(_current_schema(meta).get("fields", []), "")
     if not diverging or not add_files:
         return
     import pyarrow.parquet as _pq
     for a in add_files:
         p = a["path"] if isinstance(a, dict) else a
-        cols = set(_pq.read_schema(_local(p)).names)
-        missing = sorted(diverging - cols)
+        sch = _pq.read_schema(_local(p))
+        missing = sorted(c for c in diverging
+                         if not _arrow_has_path(sch, c.split(".")))
         if missing:
             raise NotImplementedError(
                 f"{table_dir}: data file {p} omits column(s) "

@@ -241,13 +241,17 @@ def test_iceberg_v3_feature_gates(qc, spark, table, tmp_path):
     _read_table_metadata(tbl)          # loads; serving is read-side
     assert sorted(r["id"] for r in qc.read_iceberg(tbl).df.collect()) \
         == list(range(25))             # stored values win everywhere
-    # NESTED defaults gate (review finding: a struct member's
-    # default would otherwise be silently null-filled)
+    # struct sub-field defaults are SERVED since round 13
+    # (test_iceberg_v3_nested_struct_defaults); the load-time gate
+    # still refuses defaults under a LIST/MAP (review finding: a
+    # repeated element's default would otherwise silently null-fill)
     meta["schemas"] = [{"schema-id": 0, "fields": [
-        {"id": 1, "name": "s", "type": {
-            "type": "struct", "fields": [
-                {"id": 2, "name": "inner", "type": "long",
-                 "write-default": 9}]}}]}]
+        {"id": 1, "name": "arr", "type": {
+            "type": "list", "element-id": 2,
+            "element-required": False,
+            "element": {"type": "struct", "fields": [
+                {"id": 3, "name": "inner", "type": "long",
+                 "write-default": 9}]}}}]}]
     with open(mpath, "w") as fh:
         _json.dump(meta, fh)
     with pytest.raises(NotImplementedError, match="default value"):
@@ -2570,18 +2574,37 @@ def test_iceberg_v3_initial_default_values(spark, qc, tmp_path):
                              scan_filter="tag = 'legacy'")
     assert sorted(r["k"] for r in got.collect()) == [1, 2]
 
-    # nested defaults keep the typed refusal
+    # struct SUB-FIELD defaults are SERVED since round 13
+    # (test_iceberg_v3_nested_struct_defaults); the remaining typed
+    # refusals: a default on a non-primitive-TYPED field, and a
+    # default anywhere under a list/map
     for f in m["schemas"][0]["fields"]:
         if f["name"] == "tag":
             f.pop("initial-default"), f.pop("write-default")
-    m["schemas"][0]["fields"].append({
+    import copy as _copy
+    m_bad = _copy.deepcopy(m)
+    m_bad["schemas"][0]["fields"].append({
         "id": 9, "name": "s", "required": False,
+        "initial-default": {"inner": "nope"},
         "type": {"type": "struct", "fields": [
             {"id": 10, "name": "inner", "required": False,
-             "type": "string", "initial-default": "nope"}]}})
+             "type": "string"}]}})
     with open(os.path.join(meta_dir, mfile), "w") as fh:
-        fh.write(_json.dumps(m))
-    with pytest.raises(NotImplementedError, match="default"):
+        fh.write(_json.dumps(m_bad))
+    with pytest.raises(NotImplementedError, match="non-primitive"):
+        _read_table_metadata(tbl)
+    m_bad = _copy.deepcopy(m)
+    m_bad["schemas"][0]["fields"].append({
+        "id": 9, "name": "arr", "required": False,
+        "type": {"type": "list", "element-id": 10,
+                 "element-required": False,
+                 "element": {"type": "struct", "fields": [
+                     {"id": 11, "name": "inner", "required": False,
+                      "type": "string",
+                      "initial-default": "nope"}]}}})
+    with open(os.path.join(meta_dir, mfile), "w") as fh:
+        fh.write(_json.dumps(m_bad))
+    with pytest.raises(NotImplementedError, match="list/map"):
         _read_table_metadata(tbl)
 
 
@@ -2747,3 +2770,112 @@ def test_iceberg_changes_serve_initial_defaults(spark, qc, tmp_path):
     assert len(rids) == len(set(rids)) == 4, out     # all ids unique
     assert {r[0] for r in out} == {1, 2, 9}
     assert [r for r in out if r[0] == 1][0][2] == 0  # untouched keeps 0
+
+
+def test_iceberg_v3_nested_struct_defaults(spark, qc, tmp_path):
+    """Round-13 (round-12 verdict #5; spec v3 §Default values applies
+    recursively): a primitive STRUCT sub-field added post-hoc with an
+    ``initial-default`` reads as the default from files written
+    before the sub-field existed — spliced into the struct with
+    withField under the same per-file presence split — while files
+    carrying it serve stored values, genuinely-null included; a row
+    whose WHOLE struct is null stays null (the struct field itself
+    declares no default). Hash-checked against a DuckDB oracle
+    building the same struct; nested write-defaults diverging from
+    the initial-default refuse typed."""
+    import json as _json
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.iceberg_local import (
+        _read_table_metadata, create_local_iceberg_table,
+        read_iceberg_local)
+
+    struct_old = pa.struct([("a", pa.int64())])
+    struct_new = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    old = str(tmp_path / "old.parquet")   # pre-evolution: s has no b
+    new = str(tmp_path / "new.parquet")   # carries s.b, one null
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "s": pa.array([{"a": 10}, {"a": 20}, None], struct_old)}),
+        old)
+    pq.write_table(pa.table({
+        "k": pa.array([4, 5], pa.int64()),
+        "s": pa.array([{"a": 40, "b": "x"},
+                       {"a": 50, "b": None}], struct_new)}), new)
+    tbl = str(tmp_path / "tbl")
+    create_local_iceberg_table(
+        tbl, [[old], [{"path": old, "seq": 1}, new]],
+        schema_fields=[
+            (1, "k", "long"),
+            (2, "s", {"type": "struct", "fields": [
+                {"id": 3, "name": "a", "required": False,
+                 "type": "long"},
+                {"id": 4, "name": "b", "required": False,
+                 "type": "string"}]})],
+        format_version=3)
+    meta_dir = os.path.join(tbl, "metadata")
+    mfile = sorted(f for f in os.listdir(meta_dir)
+                   if f.endswith(".metadata.json"))[-1]
+    with open(os.path.join(meta_dir, mfile)) as fh:
+        m = _json.load(fh)
+    for f in m["schemas"][0]["fields"]:
+        if f["name"] == "s":
+            for sub in f["type"]["fields"]:
+                if sub["name"] == "b":
+                    sub["initial-default"] = "LEGACY"
+    with open(os.path.join(meta_dir, mfile), "w") as fh:
+        fh.write(_json.dumps(m))
+
+    got = sorted(
+        (r["k"],
+         None if r["s"] is None else (r["s"]["a"], r["s"]["b"]))
+        for r in read_iceberg_local(spark, tbl).collect())
+    # DuckDB oracle builds the same evolved struct independently
+    want = sorted(
+        (r[0], None if r[1] is None else (r[1]["a"], r[1]["b"]))
+        for r in duckdb.connect().execute(f"""
+            WITH pre AS (
+              SELECT k, CASE WHEN s IS NULL THEN NULL
+                  ELSE struct_pack(a := s.a, b := 'LEGACY') END AS s
+              FROM read_parquet('{old}')),
+            post AS (SELECT k, s FROM read_parquet('{new}'))
+            SELECT k, s FROM pre UNION ALL SELECT k, s FROM post
+        """).fetchall())
+    assert got == want, (got, want)
+    # filters evaluate over the spliced values
+    legacy = read_iceberg_local(spark, tbl,
+                                scan_filter="s.b = 'LEGACY'")
+    assert sorted(r["k"] for r in legacy.collect()) == [1, 2]
+
+    # a nested write-default DIVERGING from the initial-default:
+    # reads keep serving the initial-default (the round-12 top-level
+    # contract), but COMMITTING a file that omits the sub-field
+    # refuses typed — rows would read back as the wrong default
+    from quokka_spark.sources.iceberg_local import commit_snapshot
+    for f in m["schemas"][0]["fields"]:
+        if f["name"] == "s":
+            for sub in f["type"]["fields"]:
+                if sub["name"] == "b":
+                    sub["write-default"] = "FRESH"
+    with open(os.path.join(meta_dir, mfile), "w") as fh:
+        fh.write(_json.dumps(m))
+    _read_table_metadata(tbl)   # reads stay open
+    another = str(tmp_path / "another.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([9], pa.int64()),
+        "s": pa.array([{"a": 90}], struct_old)}), another)
+    with pytest.raises(NotImplementedError, match="write-default"):
+        commit_snapshot(tbl, add_files=[another])
+    # a file CARRYING the sub-field commits freely
+    ok = str(tmp_path / "ok.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([9], pa.int64()),
+        "s": pa.array([{"a": 90, "b": "FRESH"}], struct_new)}), ok)
+    commit_snapshot(tbl, add_files=[ok])
+    got2 = {r["k"]: (r["s"]["a"], r["s"]["b"])
+            for r in read_iceberg_local(spark, tbl).collect()
+            if r["k"] == 9}
+    assert got2 == {9: (90, "FRESH")}
