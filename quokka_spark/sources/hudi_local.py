@@ -83,14 +83,39 @@ def _table_props(table: str) -> dict:
                 k, v = line.split("=", 1)
                 out[k.strip()] = v.strip()
     tv = out.get("hoodie.table.version")
-    if tv and tv.isdigit() and int(tv) > 6:
-        # hudi 1.x (table version 8) renames completed instants to
-        # <begin>_<completion>.<action> and moves the timeline dir —
-        # replaying with 0.x rules would see an empty timeline
+    if tv and tv.isdigit() and int(tv) > 8:
+        # beyond hudi 1.x: refuse typed rather than misread a future
+        # timeline layout as empty
         raise NotImplementedError(
             f"{table}: hoodie.table.version {tv} — this reader "
-            "implements the 0.x timeline layout (table version <= 6)")
+            "implements the 0.x (<= 6) and 1.x (7/8) timeline "
+            "layouts")
     return out
+
+
+def _table_version(table: str) -> int:
+    """hoodie.table.version as an int (6 and below = the 0.x layout,
+    7/8 = the 1.x layout); properties-less local fixtures are
+    0.x-shaped."""
+    try:
+        tv = _table_props(table).get("hoodie.table.version", "")
+    except FileNotFoundError:
+        return 6
+    return int(tv) if tv.isdigit() else 6
+
+
+def _refuse_1x_writes(table: str, op: str) -> None:
+    """1.x tables are READ-ONLY here (round 13 — CoW snapshot +
+    time-travel + incremental reads): this engine's writers emit
+    0.x-shaped instants in the 0.x location, which a 1.x timeline
+    would never replay — refuse typed instead of committing
+    invisible instants (or truncating/cleaning a layout whose
+    completion-time semantics they do not model)."""
+    if _table_version(table) >= 7:
+        raise NotImplementedError(
+            f"{table}: {op} on a hoodie.table.version >= 7 (hudi "
+            "1.x) table — this engine writes the 0.x timeline "
+            "layout only; use a 1.x writer")
 
 
 def _table_type(table: str) -> str:
@@ -113,11 +138,10 @@ def completed_instants(table: str) -> list:
     if not os.path.isdir(tdir):
         raise FileNotFoundError(
             f"{table}: no .hoodie/ directory — not a Hudi table")
-    # the 1.x layout gate must sit at THIS chokepoint (every timeline
-    # replay shares it): a hudi-1.x table's instants never match the
-    # 0.x pattern below, so without the properties check every
-    # replay-only path (history, incremental, txn marks) would
-    # silently see an empty timeline instead of refusing typed
+    # version gate at THIS chokepoint (every timeline replay shares
+    # it): _table_props refuses table versions BEYOND 1.x typed, so
+    # no replay-only path (history, incremental, txn marks) can
+    # silently see an empty timeline for a future layout
     try:
         _table_props(table)
     except FileNotFoundError:
@@ -127,6 +151,20 @@ def completed_instants(table: str) -> list:
         m = re.fullmatch(r"(\d+)\.(commit|replacecommit|deltacommit)", f)
         if m:
             out.append((m.group(1), m.group(2), os.path.join(tdir, f)))
+    # hudi 1.x (table version 7/8, round 13): the ACTIVE timeline
+    # moved under .hoodie/timeline/ and completed instants carry the
+    # COMPLETION time in the name — <requested>_<completion>.<action>.
+    # Replay still orders by REQUESTED time (instant identity); the
+    # 0.x pattern is accepted inside timeline/ too (bridge tables).
+    ldir = os.path.join(tdir, "timeline")
+    if os.path.isdir(ldir):
+        for f in os.listdir(ldir):
+            m = re.fullmatch(
+                r"(\d+)(?:_(\d+))?\.(commit|replacecommit|deltacommit)",
+                f)
+            if m:
+                out.append((m.group(1), m.group(3),
+                            os.path.join(ldir, f)))
     return sorted(out, key=lambda t: int(t[0]))
 
 
@@ -139,6 +177,14 @@ def _file_slices(table: str, as_of: str | None = None) -> dict:
     log write appends to the current slice, a replacecommit kills the
     group."""
     ttype = _table_type(table)
+    if ttype == "MERGE_ON_READ" and _table_version(table) >= 7:
+        # 1.x MoR stays gated (round 13): log-format blocks and the
+        # compaction/completion-time semantics changed in 1.x —
+        # merging 0.x-style would serve wrong snapshots
+        raise NotImplementedError(
+            f"{table}: MERGE_ON_READ under the hudi 1.x timeline — "
+            "this reader serves 1.x COPY_ON_WRITE only; read MoR "
+            "with a 1.x-aware engine")
     root = _local(table)
     slices: dict = {}
     seen_any = False
@@ -151,8 +197,15 @@ def _file_slices(table: str, as_of: str | None = None) -> dict:
                 "table has no log files to merge; the table's "
                 "hoodie.properties and its timeline disagree")
         seen_any = True
-        with open(path) as fh:
-            commit = json.load(fh)
+        try:
+            with open(path) as fh:
+                commit = json.load(fh)
+        except (UnicodeDecodeError, json.JSONDecodeError) as e:
+            raise NotImplementedError(
+                f"{table}: instant {os.path.basename(path)} carries "
+                "non-JSON commit metadata (avro-serialized timeline "
+                "metadata) — this reader parses JSON "
+                "HoodieCommitMetadata only") from e
         if action == "replacecommit":
             for part, fids in (commit.get("partitionToReplaceFileIds")
                                or {}).items():
@@ -391,6 +444,7 @@ def _commit_instant(table: str, writes: dict, replaces: dict | None,
                     ts: str, action: str,
                     operation: str | None = None,
                     extra_meta: dict | None = None) -> str:
+    _refuse_1x_writes(table, "commit")
     doc = {"partitionToWriteStats": {
         part: [{"fileId": fid, "path": os.path.abspath(_local(p)),
                 "numWrites": None, "prevCommit": None}
@@ -431,6 +485,7 @@ def restore_hudi_local(table: str, instant: str) -> list:
     longer exist (a clean may have reclaimed a superseded base the
     restore would resurrect). Returns the removed instant
     timestamps."""
+    _refuse_1x_writes(table, "restore")
     insts = completed_instants(table)
     if not any(ts == str(instant) for ts, _, _ in insts):
         raise ValueError(
@@ -543,6 +598,7 @@ def clean_hudi_local(table: str, keep_last: int = 1) -> int:
     deleted."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    _refuse_1x_writes(table, "clean")
     root = os.path.abspath(_local(table))
     instants = [ts for ts, _, _ in completed_instants(table)]
     if not instants:

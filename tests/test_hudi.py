@@ -731,14 +731,21 @@ def test_hudi_history(spark, qc, tmp_path):
 
 
 def test_hudi_table_version_gate(spark, qc, tmp_path):
-    """A hudi-1.x table (hoodie.table.version > 6) refuses typed —
-    the 1.x timeline renames completed instants, so replaying with
-    0.x rules would silently see an empty timeline."""
+    """Version gates after round 13: MERGE_ON_READ under the 1.x
+    timeline refuses typed (log-format/compaction semantics changed;
+    only 1.x CoW is served — test_hudi_1x_cow_timeline), and table
+    versions BEYOND 1.x (> 8) refuse typed everywhere — replaying a
+    future layout with these rules would silently see an empty
+    timeline."""
     tbl = _mor_table(spark, tmp_path)
     props = os.path.join(tbl, ".hoodie", "hoodie.properties")
     with open(props, "a") as fh:
         fh.write("hoodie.table.version=8\n")
-    with pytest.raises(NotImplementedError, match="table.version 8"):
+    with pytest.raises(NotImplementedError, match="MERGE_ON_READ"):
+        qc.read_hudi(tbl)
+    with open(props, "a") as fh:
+        fh.write("hoodie.table.version=9\n")
+    with pytest.raises(NotImplementedError, match="table.version 9"):
         qc.read_hudi(tbl)
 
 
@@ -1250,3 +1257,95 @@ def test_hudi_logfmt_uint64_refuses_typed():
     assert types == {"a": "long", "b": "long", "c": "long"}
     with pytest.raises(NotImplementedError, match="unsigned 64"):
         _arrow_to_avro_schema(pa.schema([("x", pa.uint64())]), "blk")
+
+
+def test_hudi_1x_cow_timeline(spark, qc, tmp_path):
+    """Round-13 (round-12 verdict #6): hudi 1.x tables
+    (hoodie.table.version 7/8) read for COPY_ON_WRITE — the active
+    timeline lives under .hoodie/timeline/ and completed instants
+    carry the completion time in the name
+    (<requested>_<completion>.<action>); replay orders by REQUESTED
+    time. The 1.x read hash-matches the equivalent 0.x (v6) table,
+    snapshot and time travel included; replacecommit drops groups;
+    writes/restore/clean refuse typed (this engine writes 0.x
+    layouts only); avro-serialized commit metadata refuses typed."""
+    import json as _json
+
+    from quokka_spark.sources.hudi_local import (clean_hudi_local,
+                                                 commit_hudi_local,
+                                                 restore_hudi_local)
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    a2 = str(tmp_path / "a2.parquet")
+    pd.DataFrame({"id": [1, 2], "v": [1.0, 2.0]}).to_parquet(a)
+    pd.DataFrame({"id": [10, 11], "v": [10.0, 11.0]}).to_parquet(b)
+    pd.DataFrame({"id": [1, 2, 3],
+                  "v": [1.5, 2.5, 3.5]}).to_parquet(a2)
+
+    # the 0.x reference table
+    v6 = str(tmp_path / "v6")
+    t1 = commit_hudi_local(v6, {"": [("g1", a), ("g2", b)]})
+    commit_hudi_local(v6, {"": [("g1", a2)]})
+
+    # the equivalent 1.x table: same files, version-8 properties,
+    # instants under .hoodie/timeline/ with completion suffixes
+    v8 = str(tmp_path / "v8")
+    tdir = os.path.join(v8, ".hoodie", "timeline")
+    os.makedirs(tdir)
+    with open(os.path.join(v8, ".hoodie", "hoodie.properties"),
+              "w") as fh:
+        fh.write("hoodie.table.type=COPY_ON_WRITE\n"
+                 "hoodie.table.name=v8\n"
+                 "hoodie.table.version=8\n")
+
+    def instant(req, comp, action, doc):
+        with open(os.path.join(tdir, f"{req}_{comp}.{action}"),
+                  "w") as fh:
+            fh.write(_json.dumps(doc))
+
+    instant("20240101000000001", "20240101000000005", "commit",
+            {"partitionToWriteStats": {"": [
+                {"fileId": "g1", "path": a},
+                {"fileId": "g2", "path": b}]}})
+    # completes EARLIER than instant 1's completion but requests
+    # later — replay must order by requested time
+    instant("20240101000000002", "20240101000000003", "commit",
+            {"partitionToWriteStats": {"": [
+                {"fileId": "g1", "path": a2}]}})
+
+    got_v6 = sorted((r["id"], r["v"])
+                    for r in qc.read_hudi(v6).df.collect())
+    got_v8 = sorted((r["id"], r["v"])
+                    for r in qc.read_hudi(v8).df.collect())
+    assert got_v8 == got_v6
+    assert [i for i, _ in got_v8] == [1, 2, 3, 10, 11]
+    # time travel to the first instant matches the v6 travel
+    tv6 = sorted((r["id"], r["v"]) for r in
+                 qc.read_hudi(v6, as_of=t1).df.collect())
+    tv8 = sorted((r["id"], r["v"]) for r in
+                 qc.read_hudi(v8, as_of="20240101000000001")
+                 .df.collect())
+    assert tv8 == tv6
+    # replacecommit in the 1.x timeline drops the group
+    instant("20240101000000004", "20240101000000006",
+            "replacecommit",
+            {"partitionToReplaceFileIds": {"": ["g2"]}})
+    assert sorted(r["id"] for r in qc.read_hudi(v8).df.collect()) \
+        == [1, 2, 3]
+
+    # 1.x write paths refuse typed
+    with pytest.raises(NotImplementedError, match="1.x"):
+        commit_hudi_local(v8, {"": [("g3", a)]})
+    with pytest.raises(NotImplementedError, match="1.x"):
+        restore_hudi_local(v8, "20240101000000001")
+    with pytest.raises(NotImplementedError, match="1.x"):
+        clean_hudi_local(v8, keep_last=1)
+
+    # avro-serialized commit metadata refuses typed, never misparses
+    with open(os.path.join(
+            tdir, "20240101000000007_20240101000000008.commit"),
+            "wb") as fh:
+        fh.write(b"Obj\x01\x02\x16avro.schema")
+    with pytest.raises(NotImplementedError, match="non-JSON"):
+        qc.read_hudi(v8).df.collect()
