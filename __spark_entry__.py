@@ -2273,6 +2273,89 @@ FROM doubled GROUP BY l_returnflag
 """
 
 
+def src_hudi_1x(spark, sf_dir):
+    """Hudi 1.x timeline reads (round 13 — round-12 verdict #6;
+    hudi_local.completed_instants' 1.x branch): a
+    hoodie.table.version=8 COPY_ON_WRITE table whose ACTIVE timeline
+    lives under .hoodie/timeline/ with completion-time instant names
+    (<requested>_<completion>.<action>). Supplier splits into odd
+    keys (instant 1) and even keys (instant 2 — whose COMPLETION
+    time is later but irrelevant: replay orders by requested time);
+    a replacecommit then kills the odd group. The gate unions the
+    CURRENT read (evens only — replacecommit honored) with a
+    TIME-TRAVEL read at instant 2 (both groups live), so a replay
+    that misses the 1.x layout, misorders instants, or ignores the
+    replace hash-mismatches."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    qc = _qc(spark)
+    sup = os.path.join(sf_dir, "supplier.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_hudi1x_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        tdir = os.path.join(tbl, ".hoodie", "timeline")
+        os.makedirs(tdir)
+        t = pq.read_table(sup, columns=[
+            "s_suppkey", "s_nationkey", "s_acctbal"])
+        even = pc.equal(pc.bit_wise_and(t.column("s_suppkey"), 1), 0)
+        fo = os.path.join(tbl, "odd.parquet")
+        fe = os.path.join(tbl, "even.parquet")
+        pq.write_table(t.filter(pc.invert(even)), fo)
+        pq.write_table(t.filter(even), fe)
+        with open(os.path.join(tbl, ".hoodie",
+                               "hoodie.properties"), "w") as fh:
+            fh.write("hoodie.table.type=COPY_ON_WRITE\n"
+                     "hoodie.table.name=sup1x\n"
+                     "hoodie.table.version=8\n")
+
+        def instant(req, comp, action, doc):
+            with open(os.path.join(tdir, f"{req}_{comp}.{action}"),
+                      "w") as fh:
+                fh.write(_json.dumps(doc))
+        instant("20240101000000001", "20240101000000009", "commit",
+                {"partitionToWriteStats": {"": [
+                    {"fileId": "g1", "path": fo}]}})
+        instant("20240101000000002", "20240101000000003", "commit",
+                {"partitionToWriteStats": {"": [
+                    {"fileId": "g2", "path": fe}]}})
+        instant("20240101000000004", "20240101000000005",
+                "replacecommit",
+                {"partitionToReplaceFileIds": {"": ["g1"]}})
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    def agg(df, via):
+        return (df.groupBy("s_nationkey")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
+                .withColumn("via", F.lit(via)))
+    return (agg(qc.read_hudi(tbl).df, "current")
+            .unionByName(agg(
+                qc.read_hudi(tbl, as_of="20240101000000002").df,
+                "travel")))
+
+
+_SRC_HUDI_1X_SQL = """
+SELECT via, s_nationkey, n, sum_bal FROM (
+  SELECT 'current' AS via, s_nationkey,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(s_acctbal), 2) AS sum_bal
+  FROM supplier WHERE s_suppkey % 2 = 0 GROUP BY s_nationkey
+  UNION ALL
+  SELECT 'travel', s_nationkey, CAST(count(*) AS BIGINT),
+         round(sum(s_acctbal), 2)
+  FROM supplier GROUP BY s_nationkey)
+"""
+
+
 def src_iceberg_cdf(spark, sf_dir):
     """Iceberg incremental read (iceberg_local.read_iceberg_changes —
     manifest diffs per snapshot, no changelog files): snapshot 1
@@ -8313,6 +8396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-13 machinery gates (rotation candidates for round 14)
         "src_iceberg_catalog_write": src_iceberg_catalog_write,
         "src_iceberg_catalog_write_part": src_iceberg_catalog_write_part,
+        "src_hudi_1x": src_hudi_1x,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -8503,6 +8587,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": _CONTAINMENT_SQL,
         "op_percentile_approx_group": _percentile_approx_oracle(),
         "src_hudi": _SRC_HUDI_SQL,
+        "src_hudi_1x": _SRC_HUDI_1X_SQL,
         "src_hudi_mor": _SRC_HUDI_MOR_SQL,
         "src_hudi_logfmt": _SRC_HUDI_LOGFMT_SQL,
         "src_delta_ts_travel": _TS_TRAVEL_SQL,
