@@ -2,9 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the FULL artifact JSON line first:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
+then a FINAL compact line {"final": true, "value": ..., "tpch": ...,
+"steal_during_mean": ...} so a tail-truncated capture (round-12
+driver behavior cut the head TPC-H numbers) still carries the totals
+and the steal-adjudication evidence standalone.
 
 Each query executes fully via the noop sink (no driver-side collect in
 the timing; execution + shuffles are measured, result transfer is not).
@@ -525,7 +529,31 @@ def main():
     }
     if errors:
         out["errors"] = errors
+    # truncation-proofing (round-13, round-12 verdict #7): the driver
+    # captures a TAIL of stdout, so BENCH_r12's head TPC-H numbers
+    # were cut. Print the full artifact FIRST, then a FINAL compact
+    # line carrying the totals and adjudication evidence — whatever
+    # tail survives always parses standalone.
     print(json.dumps(out))
+    print(json.dumps({
+        "final": True,
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "tpch": round(sum(v for k, v in timings.items()
+                          if k.startswith("tpch_")), 3),
+        "lake": round(sum(v for k, v in timings.items()
+                          if k.startswith("lake_")
+                          or k.startswith("stream_sink")
+                          or k.startswith("stream_src")), 3),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "calibration_sec": cal_pre["legacy"],
+        "steal_gate_mean": gate["attempts"][-1]["mean_pct"]
+        if gate.get("attempts") else None,
+        "steal_during_mean": steal_during.get("mean_pct"),
+        "steal_during_max_window": steal_during.get("max_window_pct"),
+    }))
     spark.stop()
 
 
