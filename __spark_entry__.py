@@ -2278,14 +2278,16 @@ def src_hudi_1x(spark, sf_dir):
     hudi_local.completed_instants' 1.x branch): a
     hoodie.table.version=8 COPY_ON_WRITE table whose ACTIVE timeline
     lives under .hoodie/timeline/ with completion-time instant names
-    (<requested>_<completion>.<action>). Supplier splits into odd
-    keys (instant 1) and even keys (instant 2 — whose COMPLETION
-    time is later but irrelevant: replay orders by requested time);
-    a replacecommit then kills the odd group. The gate unions the
-    CURRENT read (evens only — replacecommit honored) with a
-    TIME-TRAVEL read at instant 2 (both groups live), so a replay
-    that misses the 1.x layout, misorders instants, or ignores the
-    replace hash-mismatches."""
+    (<requested>_<completion>.<action>). 1.x visibility is
+    COMPLETION-time-based: the odd-keys instant REQUESTS first but
+    COMPLETES last (a slow writer overlapping a fast one on a
+    different file group — legal under OCC), so a time-travel at the
+    fast instant's completion must NOT see it yet, and the as_of
+    boundary compares completion times. The gate unions the CURRENT
+    read (evens only — a later replacecommit kills the odd group)
+    with a TIME-TRAVEL read at the slow instant's completion (both
+    groups visible), so a replay that misses the 1.x layout, orders
+    by requested time, or ignores the replace hash-mismatches."""
     import json as _json
     import os
     import tempfile
@@ -2320,13 +2322,17 @@ def src_hudi_1x(spark, sf_dir):
             with open(os.path.join(tdir, f"{req}_{comp}.{action}"),
                       "w") as fh:
                 fh.write(_json.dumps(doc))
+        # odd keys: requested FIRST, completed LAST (slow writer)
         instant("20240101000000001", "20240101000000009", "commit",
                 {"partitionToWriteStats": {"": [
                     {"fileId": "g1", "path": fo}]}})
+        # even keys: requested second, completed first (fast writer,
+        # different file group — legal concurrent shape)
         instant("20240101000000002", "20240101000000003", "commit",
                 {"partitionToWriteStats": {"": [
                     {"fileId": "g2", "path": fe}]}})
-        instant("20240101000000004", "20240101000000005",
+        # the replace of g1 requests AND completes after g1's write
+        instant("20240101000000010", "20240101000000011",
                 "replacecommit",
                 {"partitionToReplaceFileIds": {"": ["g1"]}})
         with open(done, "w") as fh:
@@ -2339,7 +2345,7 @@ def src_hudi_1x(spark, sf_dir):
                 .withColumn("via", F.lit(via)))
     return (agg(qc.read_hudi(tbl).df, "current")
             .unionByName(agg(
-                qc.read_hudi(tbl, as_of="20240101000000002").df,
+                qc.read_hudi(tbl, as_of="20240101000000009").df,
                 "travel")))
 
 
@@ -7907,7 +7913,8 @@ def src_iceberg_catalog_write(spark, sf_dir):
         import shutil
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
-        _bind_fs_iceberg_catalog(root)
+        mode = _bind_fs_iceberg_catalog(root)
+        _cat_create_supplier(mode, root, ident, partitioned=False)
         sup = _t(qc, sf_dir, "supplier").df.select(
             "s_suppkey", "s_nationkey", "s_acctbal")
         DataStream(qc, sup.where("s_suppkey < 100")).write_iceberg(
@@ -7954,16 +7961,21 @@ SELECT via, s_nationkey, n, sum_bal FROM (
 """
 
 
-def _cat_create_partitioned_supplier(mode: str, root: str,
-                                     ident: str) -> None:
-    """Create the identity-partitioned supplier table ``ident`` in
-    the bound catalog: shim mode writes the table directory through
-    iceberg_local (empty first snapshot, partition spec on
-    s_nationkey); real pyiceberg creates it through the catalog API
-    (namespace + create_table with an IdentityTransform spec)."""
+def _cat_create_supplier(mode: str, root: str, ident: str,
+                         partitioned: bool) -> None:
+    """Create the supplier projection table ``ident`` in the bound
+    catalog (identity-partitioned on s_nationkey when asked): shim
+    mode writes the table directory through iceberg_local
+    (unpartitioned tables auto-create on the first add_files, so
+    only the partitioned shape pre-creates — the spec must exist
+    before the write); real pyiceberg creates every shape through
+    the catalog API (namespace + create_table, location pinned
+    under the warehouse so the dir-reader leg finds it)."""
     import os
     tdir = os.path.join(root, ident)
     if mode == "shim":
+        if not partitioned:
+            return
         from quokka_spark.sources.iceberg_local import \
             create_local_iceberg_table
         create_local_iceberg_table(
@@ -7976,25 +7988,28 @@ def _cat_create_partitioned_supplier(mode: str, root: str,
                              "transform": "identity"}])
         return
     from pyiceberg.catalog import load_catalog
-    from pyiceberg.partitioning import PartitionField, PartitionSpec
     from pyiceberg.schema import Schema
-    from pyiceberg.transforms import IdentityTransform
     from pyiceberg.types import DoubleType, LongType, NestedField
     cat = load_catalog("default")
     try:
         cat.create_namespace(ident.split(".", 1)[0])
     except Exception:  # noqa: BLE001 - already exists
         pass
+    kwargs = {}
+    if partitioned:
+        from pyiceberg.partitioning import (PartitionField,
+                                            PartitionSpec)
+        from pyiceberg.transforms import IdentityTransform
+        kwargs["partition_spec"] = PartitionSpec(PartitionField(
+            source_id=2, field_id=1000,
+            transform=IdentityTransform(), name="s_nationkey"))
     cat.create_table(
         ident,
         schema=Schema(
             NestedField(1, "s_suppkey", LongType()),
             NestedField(2, "s_nationkey", LongType()),
             NestedField(3, "s_acctbal", DoubleType())),
-        partition_spec=PartitionSpec(PartitionField(
-            source_id=2, field_id=1000,
-            transform=IdentityTransform(), name="s_nationkey")),
-        location=f"file://{tdir}")
+        location=f"file://{tdir}", **kwargs)
 
 
 def src_iceberg_catalog_write_part(spark, sf_dir):
@@ -8031,7 +8046,7 @@ def src_iceberg_catalog_write_part(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         mode = _bind_fs_iceberg_catalog(root)
-        _cat_create_partitioned_supplier(mode, root, ident)
+        _cat_create_supplier(mode, root, ident, partitioned=True)
         sup = _t(qc, sf_dir, "supplier").df.select(
             "s_suppkey", "s_nationkey", "s_acctbal")
         # parity splits stay non-empty at every SF (an empty

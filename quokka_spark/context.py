@@ -598,13 +598,11 @@ class QuokkaContext:
     def hudi_history(self, table: str) -> DataStream:
         """Completed timeline: one row per write instant —
         (instant, action, operation). Metadata-only."""
-        import json as _json
-
-        from .sources.hudi_local import completed_instants
+        from .sources.hudi_local import (_read_commit_json,
+                                         completed_instants)
         rows = []
         for ts, action, path in completed_instants(table):
-            with open(path) as fh:
-                commit = _json.load(fh)
+            commit = _read_commit_json(table, path)
             rows.append((ts, action, commit.get("operationType")))
         df = self.spark.createDataFrame(
             rows, "instant string, action string, operation string")

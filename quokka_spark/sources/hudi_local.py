@@ -146,16 +146,25 @@ def completed_instants(table: str) -> list:
         _table_props(table)
     except FileNotFoundError:
         pass            # properties-less local fixture — 0.x shaped
-    out = []
-    for f in os.listdir(tdir):
-        m = re.fullmatch(r"(\d+)\.(commit|replacecommit|deltacommit)", f)
-        if m:
-            out.append((m.group(1), m.group(2), os.path.join(tdir, f)))
     # hudi 1.x (table version 7/8, round 13): the ACTIVE timeline
     # moved under .hoodie/timeline/ and completed instants carry the
     # COMPLETION time in the name — <requested>_<completion>.<action>.
-    # Replay still orders by REQUESTED time (instant identity); the
-    # 0.x pattern is accepted inside timeline/ too (bridge tables).
+    # 1.x visibility semantics are COMPLETION-time-based (an
+    # instant's effects become readable when it COMPLETES, and
+    # time-travel / incremental boundaries compare completion
+    # times), so 1.x entries are KEYED by their completion time —
+    # every consumer (replay order, as_of, incremental ranges,
+    # history) then follows the 1.x contract with no special cases.
+    # The 0.x pattern is accepted inside timeline/ too (bridge
+    # tables); an instant present in BOTH layouts (mid-upgrade copy)
+    # counts once, the timeline/ copy winning — double-replay would
+    # double-count incremental rows.
+    by_req: dict = {}
+    for f in os.listdir(tdir):
+        m = re.fullmatch(r"(\d+)\.(commit|replacecommit|deltacommit)", f)
+        if m:
+            by_req[m.group(1)] = (m.group(1), m.group(2),
+                                  os.path.join(tdir, f))
     ldir = os.path.join(tdir, "timeline")
     if os.path.isdir(ldir):
         for f in os.listdir(ldir):
@@ -163,9 +172,27 @@ def completed_instants(table: str) -> list:
                 r"(\d+)(?:_(\d+))?\.(commit|replacecommit|deltacommit)",
                 f)
             if m:
-                out.append((m.group(1), m.group(3),
-                            os.path.join(ldir, f)))
-    return sorted(out, key=lambda t: int(t[0]))
+                by_req[m.group(1)] = (m.group(2) or m.group(1),
+                                      m.group(3),
+                                      os.path.join(ldir, f))
+    return sorted(by_req.values(), key=lambda t: int(t[0]))
+
+
+def _read_commit_json(table: str, path: str) -> dict:
+    """Parse an instant file's HoodieCommitMetadata JSON; non-JSON
+    bytes (hudi 1.x can serialize timeline metadata as avro) refuse
+    typed at EVERY consumer — snapshot replay, incremental reads,
+    history, txn marks, the streaming source — never a raw decode
+    error."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise NotImplementedError(
+            f"{table}: instant {os.path.basename(path)} carries "
+            "non-JSON commit metadata (avro-serialized timeline "
+            "metadata) — this reader parses JSON "
+            "HoodieCommitMetadata only") from e
 
 
 def _file_slices(table: str, as_of: str | None = None) -> dict:
@@ -197,15 +224,7 @@ def _file_slices(table: str, as_of: str | None = None) -> dict:
                 "table has no log files to merge; the table's "
                 "hoodie.properties and its timeline disagree")
         seen_any = True
-        try:
-            with open(path) as fh:
-                commit = json.load(fh)
-        except (UnicodeDecodeError, json.JSONDecodeError) as e:
-            raise NotImplementedError(
-                f"{table}: instant {os.path.basename(path)} carries "
-                "non-JSON commit metadata (avro-serialized timeline "
-                "metadata) — this reader parses JSON "
-                "HoodieCommitMetadata only") from e
+        commit = _read_commit_json(table, path)
         if action == "replacecommit":
             for part, fids in (commit.get("partitionToReplaceFileIds")
                                or {}).items():
@@ -522,8 +541,7 @@ def restore_hudi_local(table: str, instant: str) -> list:
     plans = []                      # (instant ts, [paths to delete])
     shared: dict = {}               # shared log path -> [instant ts]
     for ts, action, path in to_remove:
-        with open(path) as fh:
-            commit = json.load(fh)
+        commit = _read_commit_json(table, path)
         dels = []
         for part, stats in (commit.get("partitionToWriteStats")
                             or {}).items():
@@ -654,8 +672,7 @@ def last_txn_version(table: str, app_id: str):
     except FileNotFoundError:
         return None
     for _ts, _action, path in reversed(instants):
-        with open(path) as fh:
-            doc = json.load(fh)
+        doc = _read_commit_json(table, path)
         em = doc.get("extraMetadata") or {}
         if em.get("qs.txn.appId") == str(app_id) \
                 and em.get("qs.txn.version") is not None:
@@ -1026,8 +1043,7 @@ def read_hudi_incremental(spark, table: str, begin: str,
         if int(ts) > int(end):
             break
         in_range = int(ts) >= int(begin)
-        with open(path) as fh:
-            commit = json.load(fh)
+        commit = _read_commit_json(table, path)
         op = commit.get("operationType")
         root = _local(table)
         new_bases, logs = [], []

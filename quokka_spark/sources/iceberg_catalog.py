@@ -429,6 +429,14 @@ def write_iceberg_catalog(spark, df, table: str, mode: str = "append",
         staged = df
         for c, d in hive.items():
             staged = staged.withColumn(d, F.col(c))
+        # co-locate each partition value before the dynamic-partition
+        # write: without this every task writes one file per value it
+        # holds (tasks × values small files, all registered — the
+        # canonical lakehouse small-file failure); with it each value
+        # lands in one task and maxRecordsPerFile right-sizes the
+        # output. Skewed values serialize into one task but still
+        # split into bounded files; AQE rebalances when enabled.
+        staged = staged.repartition(*[F.col(d) for d in hive.values()])
         writer = (staged.write.mode("errorifexists")
                   .option("maxRecordsPerFile", output_line_limit)
                   .partitionBy(*hive.values()))

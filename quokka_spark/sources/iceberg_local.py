@@ -170,6 +170,8 @@ def _field_defaults(meta: dict) -> dict:
 
     def walk(fields, prefix):
         for f in fields:
+            if "name" not in f:
+                continue        # loosely-typed fixture field
             t = f.get("type")
             path = prefix + f["name"]
             if "initial-default" in f and isinstance(t, str):
@@ -236,6 +238,25 @@ def _apply_initial_defaults(df, meta: dict, paths: list, fp_col):
             raise NotImplementedError(
                 f"defaulted column {c!r} resolved into no "
                 "read-schema column — read with the jar")
+        if len(parts) > 1:
+            # the SUB-FIELD must be in the read frame too: an
+            # inference-fallback scan (list/map column in the table)
+            # that sampled a pre-evolution file lacks it, and the
+            # when/otherwise splice would then fail with an opaque
+            # struct-type mismatch — and wide files' stored values
+            # would be unreadable anyway. Refuse typed, like the
+            # top-level case.
+            from pyspark.sql.types import StructType as _ST
+            node = df.schema[parts[0]].dataType
+            for part in parts[1:]:
+                if not isinstance(node, _ST) \
+                        or part not in node.fieldNames():
+                    raise NotImplementedError(
+                        f"defaulted column {c!r} resolved into no "
+                        "read-schema column (struct sub-field "
+                        "missing from the scan schema) — read with "
+                        "the jar")
+                node = node[part].dataType
         lit = F.lit(val).cast(_ICEBERG_TO_SPARK_TYPE[ityp])
         if len(parts) == 1:
             df = df.withColumn(

@@ -100,8 +100,8 @@ class HudiStreamReader(DataSourceStreamReader):
         return pos
 
     def partitions(self, start: dict, end: dict):
-        from quokka_spark.sources.hudi_local import (_is_log,
-                                                     completed_instants)
+        from quokka_spark.sources.hudi_local import (
+            _is_log, _read_commit_json, completed_instants)
         instants = completed_instants(self.table)
         p0 = self._check_offset(start, instants)
         p1 = self._check_offset(end, instants)
@@ -119,8 +119,7 @@ class HudiStreamReader(DataSourceStreamReader):
         else:
             live = set()
             for ts, action, path in instants[:p0 + 1]:
-                with open(path) as fh:
-                    commit = json.load(fh)
+                commit = _read_commit_json(self.table, path)
                 if action == "replacecommit":
                     for part, fids in (
                             commit.get("partitionToReplaceFileIds")
@@ -132,8 +131,7 @@ class HudiStreamReader(DataSourceStreamReader):
         parts = []
         for pos in range(p0 + 1, p1 + 1):
             ts, action, path = instants[pos]
-            with open(path) as fh:
-                commit = json.load(fh)
+            commit = _read_commit_json(self.table, path)
             op = commit.get("operationType")
             bases, logs, touched = [], [], []
             for part, stats in (commit.get("partitionToWriteStats")

@@ -1262,11 +1262,15 @@ def test_hudi_logfmt_uint64_refuses_typed():
 def test_hudi_1x_cow_timeline(spark, qc, tmp_path):
     """Round-13 (round-12 verdict #6): hudi 1.x tables
     (hoodie.table.version 7/8) read for COPY_ON_WRITE — the active
-    timeline lives under .hoodie/timeline/ and completed instants
-    carry the completion time in the name
-    (<requested>_<completion>.<action>); replay orders by REQUESTED
-    time. The 1.x read hash-matches the equivalent 0.x (v6) table,
-    snapshot and time travel included; replacecommit drops groups;
+    timeline lives under .hoodie/timeline/, completed instants carry
+    the completion time in the name
+    (<requested>_<completion>.<action>), and visibility is
+    COMPLETION-time-based: replay order, as_of boundaries and
+    incremental ranges key on when an instant COMPLETED (a slow
+    writer overlapping a fast one on a different file group — the
+    legal OCC shape — must not surface before its completion). The
+    1.x read hash-matches the equivalent 0.x (v6) table; instants
+    present in BOTH layouts count once; replacecommit drops groups;
     writes/restore/clean refuse typed (this engine writes 0.x
     layouts only); avro-serialized commit metadata refuses typed."""
     import json as _json
@@ -1283,13 +1287,16 @@ def test_hudi_1x_cow_timeline(spark, qc, tmp_path):
     pd.DataFrame({"id": [1, 2, 3],
                   "v": [1.5, 2.5, 3.5]}).to_parquet(a2)
 
-    # the 0.x reference table
+    # 0.x reference table in the v8 timeline's COMPLETION order:
+    # g1→a, then g1→a2, then g2→b
     v6 = str(tmp_path / "v6")
-    t1 = commit_hudi_local(v6, {"": [("g1", a), ("g2", b)]})
-    commit_hudi_local(v6, {"": [("g1", a2)]})
+    commit_hudi_local(v6, {"": [("g1", a)]})
+    t2 = commit_hudi_local(v6, {"": [("g1", a2)]})
+    commit_hudi_local(v6, {"": [("g2", b)]})
 
-    # the equivalent 1.x table: same files, version-8 properties,
-    # instants under .hoodie/timeline/ with completion suffixes
+    # the equivalent 1.x table: i2 (g2→b) REQUESTS before i3 (g1→a2)
+    # but COMPLETES after it — the legal concurrent shape (different
+    # file groups); completion order is i1, i3, i2
     v8 = str(tmp_path / "v8")
     tdir = os.path.join(v8, ".hoodie", "timeline")
     os.makedirs(tdir)
@@ -1304,13 +1311,13 @@ def test_hudi_1x_cow_timeline(spark, qc, tmp_path):
                   "w") as fh:
             fh.write(_json.dumps(doc))
 
-    instant("20240101000000001", "20240101000000005", "commit",
+    instant("20240101000000001", "20240101000000002", "commit",
             {"partitionToWriteStats": {"": [
-                {"fileId": "g1", "path": a},
+                {"fileId": "g1", "path": a}]}})
+    instant("20240101000000003", "20240101000000008", "commit",
+            {"partitionToWriteStats": {"": [
                 {"fileId": "g2", "path": b}]}})
-    # completes EARLIER than instant 1's completion but requests
-    # later — replay must order by requested time
-    instant("20240101000000002", "20240101000000003", "commit",
+    instant("20240101000000004", "20240101000000005", "commit",
             {"partitionToWriteStats": {"": [
                 {"fileId": "g1", "path": a2}]}})
 
@@ -1320,15 +1327,28 @@ def test_hudi_1x_cow_timeline(spark, qc, tmp_path):
                     for r in qc.read_hudi(v8).df.collect())
     assert got_v8 == got_v6
     assert [i for i, _ in got_v8] == [1, 2, 3, 10, 11]
-    # time travel to the first instant matches the v6 travel
+    # time travel at i3's COMPLETION: g1→a2 visible, g2 NOT yet
+    # (it completes at ...008 despite requesting at ...003) — the
+    # requested-time rule would wrongly include it
     tv6 = sorted((r["id"], r["v"]) for r in
-                 qc.read_hudi(v6, as_of=t1).df.collect())
+                 qc.read_hudi(v6, as_of=t2).df.collect())
     tv8 = sorted((r["id"], r["v"]) for r in
-                 qc.read_hudi(v8, as_of="20240101000000001")
+                 qc.read_hudi(v8, as_of="20240101000000005")
                  .df.collect())
     assert tv8 == tv6
+    assert [i for i, _ in tv8] == [1, 2, 3]
+    # an instant duplicated across BOTH layouts (mid-upgrade copy)
+    # counts once — the timeline/ copy wins
+    with open(os.path.join(v8, ".hoodie",
+                           "20240101000000001.commit"), "w") as fh:
+        fh.write(_json.dumps({"partitionToWriteStats": {"": [
+            {"fileId": "g1", "path": a}]}}))
+    assert sorted((r["id"], r["v"]) for r in
+                  qc.read_hudi(v8).df.collect()) == got_v6
+    hist = qc.hudi_history(v8).df.collect()
+    assert len(hist) == 3
     # replacecommit in the 1.x timeline drops the group
-    instant("20240101000000004", "20240101000000006",
+    instant("20240101000000010", "20240101000000011",
             "replacecommit",
             {"partitionToReplaceFileIds": {"": ["g2"]}})
     assert sorted(r["id"] for r in qc.read_hudi(v8).df.collect()) \
