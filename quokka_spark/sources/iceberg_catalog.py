@@ -20,6 +20,8 @@ each delete file's applicable data files.
 
 from __future__ import annotations
 
+import re
+
 
 def _snapshot_at_timestamp(tbl, ts_ms: int):
     """Newest snapshot with timestamp_ms <= ts_ms (Iceberg's
@@ -197,19 +199,49 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     # renamed column as null from pre-rename files — exact rename
     # resolution needs per-file field ids, the jar's job; new-column
     # null-fill is the case that actually bites pipelines.)
-    from pyspark.sql.types import (BooleanType, DateType, DoubleType,
-                                   FloatType, IntegerType, LongType,
-                                   StringType, StructField,
-                                   StructType, TimestampType)
+    from pyspark.sql.types import (BinaryType, BooleanType, DateType,
+                                   DecimalType, DoubleType, FloatType,
+                                   IntegerType, LongType, StringType,
+                                   StructField, StructType,
+                                   TimestampType)
     by_name = {"boolean": BooleanType(), "int": IntegerType(),
                "long": LongType(), "float": FloatType(),
                "double": DoubleType(), "date": DateType(),
-               "string": StringType(), "timestamptz": TimestampType(),
+               "string": StringType(), "uuid": StringType(),
+               "binary": BinaryType(),
+               "timestamptz": TimestampType(),
                "timestamp": TimestampType()}
+
+    def _spark_type(ftype, label):
+        """pyiceberg type → Spark type, STRUCTS recursively (round
+        13); unmapped types refuse typed — the old StringType
+        fallback made Spark reject the scan with an opaque parquet
+        schema-mismatch error (or, worse, could misread)."""
+        s = str(ftype)
+        if s in by_name:
+            return by_name[s]
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", s)
+        if m:
+            return DecimalType(int(m.group(1)), int(m.group(2)))
+        # list/map stay refused below (some pyiceberg versions expose
+        # a .fields view on them too — matching it would mis-map a
+        # repeated type as a struct)
+        subs = None if s.startswith(("list<", "map<")) \
+            else getattr(ftype, "fields", None)
+        if subs:
+            return StructType([
+                StructField(sf.name,
+                            _spark_type(sf.field_type,
+                                        f"{label}.{sf.name}"), True)
+                for sf in subs])
+        raise NotImplementedError(
+            f"catalog table {table}: column {label!r} has iceberg "
+            f"type {s!r}, which this reader cannot map to a Spark "
+            "read schema — read with the runtime jar")
+
     rs = StructType(
-        [StructField(f.name,
-                     by_name.get(str(f.field_type), StringType()),
-                     True) for f in tbl.schema().fields])
+        [StructField(f.name, _spark_type(f.field_type, f.name), True)
+         for f in tbl.schema().fields])
     if not files:
         df = spark.createDataFrame([], rs)
     else:
