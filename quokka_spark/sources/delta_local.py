@@ -742,6 +742,15 @@ def _id_mode_scan(spark, files, adds, idmap, root, with_path=False,
                         + [StructField(n, dt, True)
                            for n, dt in extra_cols])
         d = spark.read.schema(rs).parquet(*gf)
+        # materialize path/position BEFORE the DV anti-join: the
+        # join output no longer resolves the scan's _metadata
+        # pseudo-column, and positions must be the FILE positions
+        # (DV survivors keep their original row_index)
+        if with_path:
+            d = d.withColumn("__qs_path__", _plain_path_col())
+        if with_pos:
+            d = d.withColumn("__qs_pos__",
+                             F.col("_metadata.row_index"))
         if apply_dv:
             d = _apply_deletion_vectors(spark, d, gf, ga, root)
         cols = [(F.col(phys[i]) if phys[i] is not None
@@ -749,9 +758,9 @@ def _id_mode_scan(spark, files, adds, idmap, root, with_path=False,
                 for i, (n, dt) in sorted(idmap.items())] \
             + [F.col(n) for n, _dt in extra_cols]
         if with_path:
-            cols.append(_plain_path_col().alias("__qs_path__"))
+            cols.append(F.col("__qs_path__"))
         if with_pos:
-            cols.append(F.col("_metadata.row_index").alias("__qs_pos__"))
+            cols.append(F.col("__qs_pos__"))
         parts.append(d.select(*cols))
     out = parts[0]
     for p in parts[1:]:
@@ -974,7 +983,8 @@ def _apply_deletion_vectors(spark, df, files, adds, root):
             .drop("__qs_fp__", "__qs_pos__"))
 
 
-def _apply_row_tracking(spark, df, files, adds, meta):
+def _apply_row_tracking(spark, df, files, adds, meta,
+                        fp_col=None, pos_col=None):
     """Serve the ROW TRACKING metadata columns (protocol §Row
     Tracking, round 12 — the Delta analog of Iceberg v3 row lineage):
     ``_row_id`` = the add action's baseRowId + the row's position,
@@ -984,7 +994,12 @@ def _apply_row_tracking(spark, df, files, adds, meta):
     UPDATE/MERGE under the jar store per-row values there). One
     KB-scale broadcast of (path → baseRowId, defaultRowCommitVersion)
     joined onto the scan; pure arithmetic per row. DV-deleted rows
-    are already gone and survivors keep position-stable ids."""
+    are already gone and survivors keep position-stable ids.
+    ``fp_col``/``pos_col`` (round 13): names of existing plain-path /
+    row-position columns to use instead of deriving them from
+    ``_metadata`` — the id-mode scan's unioned frame has no metadata
+    columns but carries ``__qs_path__``/``__qs_pos__``; the named
+    columns are preserved, the derived ones dropped as before."""
     from pyspark.sql import functions as F
     conf = meta.get("configuration") or {}
     mat_rid = conf.get(
@@ -1006,11 +1021,20 @@ def _apply_row_tracking(spark, df, files, adds, meta):
             for f, a in zip(files, adds)]
     m = spark.createDataFrame(
         rows, "__qs_rtp__ string, __qs_brid__ long, __qs_dcv__ long")
-    df = (df.withColumn("__qs_rtfp__", _plain_path_col())
-          .withColumn("__qs_rtpos__", F.col("_metadata.row_index"))
-          .join(F.broadcast(m),
-                F.col("__qs_rtfp__") == F.col("__qs_rtp__"), "left"))
-    rid = F.col("__qs_brid__") + F.col("__qs_rtpos__")
+    drop = ["__qs_rtp__", "__qs_brid__", "__qs_dcv__",
+            "__qs_mrid__", "__qs_mrcv__"]
+    if fp_col is None:
+        df = df.withColumn("__qs_rtfp__", _plain_path_col())
+        fp_col = "__qs_rtfp__"
+        drop.append("__qs_rtfp__")
+    if pos_col is None:
+        df = df.withColumn("__qs_rtpos__",
+                           F.col("_metadata.row_index"))
+        pos_col = "__qs_rtpos__"
+        drop.append("__qs_rtpos__")
+    df = df.join(F.broadcast(m),
+                 F.col(fp_col) == F.col("__qs_rtp__"), "left")
+    rid = F.col("__qs_brid__") + F.col(pos_col)
     rcv = F.col("__qs_dcv__")
     if mat_rid and mat_rid in df.columns:
         df = df.withColumnRenamed(mat_rid, "__qs_mrid__")
@@ -1020,9 +1044,7 @@ def _apply_row_tracking(spark, df, files, adds, meta):
         rcv = F.coalesce(F.col("__qs_mrcv__"), rcv)
     return (df.withColumn("_row_id", rid.cast("long"))
             .withColumn("_row_commit_version", rcv.cast("long"))
-            .drop("__qs_rtfp__", "__qs_rtpos__", "__qs_rtp__",
-                  "__qs_brid__", "__qs_dcv__", "__qs_mrid__",
-                  "__qs_mrcv__"))
+            .drop(*drop))
 
 
 def read_delta_local(spark, table: str, version: int | None = None,
@@ -1066,20 +1088,39 @@ def read_delta_local(spark, table: str, version: int | None = None,
         raise ValueError("partition_filter on an unpartitioned table")
     cmap = _column_mapping(meta)
     idmap = _id_mapping(meta)
-    if with_row_tracking and idmap:
-        raise NotImplementedError(
-            "with_row_tracking under id-mode column mapping — the "
-            "per-file-group scan path does not carry row positions; "
-            "read with the jar")
     if idmap:
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import LongType, StructType
         root = table.removeprefix("file://")
+        # row tracking under ID mode (round 13): the per-file-group
+        # scan carries __qs_path__/__qs_pos__ and reads the
+        # MATERIALIZED columns literally by their configured names
+        # (they are physical columns outside the schema, so they
+        # have no field ids); the shared arithmetic then serves
+        # _row_id/_row_commit_version exactly like the plain path
+        rt_extra = ()
+        if with_row_tracking:
+            conf_rt = meta.get("configuration") or {}
+            rt_extra = tuple(
+                (c, LongType()) for c in (
+                    conf_rt.get("delta.rowTracking."
+                                "materializedRowIdColumnName"),
+                    conf_rt.get("delta.rowTracking."
+                                "materializedRowCommitVersion"
+                                "ColumnName")) if c)
         # stats skipping is SKIPPED under id mode: stats keys are each
         # file's own physical names, which id mode allows to differ
         # per file — the row-level filter below keeps semantics exact
         if not pcols:
-            df = _id_mode_scan(spark, files, adds, idmap, root)
+            df = _id_mode_scan(spark, files, adds, idmap, root,
+                               with_path=with_row_tracking,
+                               with_pos=with_row_tracking,
+                               extra_cols=rt_extra)
+            if with_row_tracking:
+                df = _apply_row_tracking(
+                    spark, df, files, adds, meta,
+                    fp_col="__qs_path__", pos_col="__qs_pos__")
+                df = df.drop("__qs_path__", "__qs_pos__")
             return df.filter(scan_filter) if scan_filter else df
         # PARTITIONED id mode (round 10): partition columns never
         # live in the data files, so only DATA columns resolve by
@@ -1106,11 +1147,20 @@ def read_delta_local(spark, table: str, version: int | None = None,
         data_idmap = {i: nd for i, nd in idmap.items()
                       if nd[0] not in pcols}
         df = _id_mode_scan(spark, files, adds, data_idmap, root,
-                           with_path=True)
+                           with_path=True,
+                           with_pos=with_row_tracking,
+                           extra_cols=rt_extra)
+        if with_row_tracking:
+            df = _apply_row_tracking(
+                spark, df, files, adds, meta,
+                fp_col="__qs_path__", pos_col="__qs_pos__")
+            df = df.drop("__qs_pos__")
         df = df.join(F.broadcast(mapping), "__qs_path__") \
                .drop("__qs_path__")
         full = StructType.fromJson(json.loads(meta["schemaString"]))
-        df = df.select(*[f.name for f in full.fields])
+        df = df.select(*([f.name for f in full.fields]
+                         + (["_row_id", "_row_commit_version"]
+                            if with_row_tracking else [])))
         return df.filter(scan_filter) if scan_filter else df
 
     def _empty_typed():
@@ -1521,9 +1571,10 @@ _SUPPORTED_WRITER_FEATURES = _SUPPORTED_READER_FEATURES | {
     # persist domainMetadata and the per-add row-tracking fields; DV
     # deletes and restore carry adds wholesale; MERGE and compaction
     # PRESERVE row identity by materializing the ids into rewritten
-    # files, composing with NAME-mode columnMapping (round 13; the
-    # materialized columns are physical names and pass through the
-    # projection literally — id-mode rewrites refuse typed).
+    # files, composing with columnMapping in BOTH modes (round 13;
+    # the materialized columns are physical names outside the
+    # schema — they pass through the projection literally and the
+    # id-mode scan reads them by name).
     "domainMetadata", "rowTracking"}
 # v2Checkpoint is in BOTH sets: reads decode the v2 layout
 # (_read_checkpoint) and the spec allows writers on such tables to
@@ -2926,11 +2977,11 @@ def compact_delta_local(spark, table: str,
     so compaction rearranges rows without re-identifying them or
     faking an update; the new files still get fresh baseRowId ranges
     and the high-water mark advances in the same commit per spec.
-    rowTracking + NAME-mode columnMapping compose (round 13): the
-    materialized columns are PHYSICAL names per protocol, so they
-    pass through the physical projection by their literal names;
-    id mode stays gated (the per-file-group scan carries no row
-    positions)."""
+    rowTracking + columnMapping compose in BOTH modes (round 13):
+    the materialized columns are PHYSICAL names per protocol, so
+    they pass through the physical projection by their literal
+    names (no field ids in id mode — they are not schema fields,
+    and the reader resolves them by name)."""
     import math
     files, meta, keys, _ = _replay(table, None)
     # compaction removes are dataChange=false — allowed on appendOnly
@@ -2945,11 +2996,6 @@ def compact_delta_local(spark, table: str,
     meta_update = None
     mat_rid = mat_rcv = None
     if rt_base is not None:
-        if cm == "id":
-            raise NotImplementedError(
-                "compaction of a rowTracking table under ID-mode "
-                "column mapping — the per-file-group scan does not "
-                "carry row positions; use the jar")
         conf = dict(meta.get("configuration") or {})
         mat_rid = conf.get(
             "delta.rowTracking.materializedRowIdColumnName")
@@ -3118,16 +3164,11 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     # their ids into the rewritten/appended files (reader coalesces
     # materialized over baseRowId arithmetic); genuine inserts and
     # multi-row replacements take fresh ids, as the spec permits.
-    # NAME-mode column mapping composes (round 13): the materialized
-    # columns are PHYSICAL names per protocol and pass through the
-    # physical projection literally; ID mode stays gated — its
-    # per-file-group scan carries no row positions.
+    # column mapping composes in BOTH modes (round 13): the
+    # materialized columns are PHYSICAL names per protocol and pass
+    # through the physical projection literally; the id-mode live
+    # scan carries positions and reads them by name.
     rt_base = _row_tracking_base(table, _protocol_state(table))
-    if rt_base is not None and _cm_mode(meta) == "id":
-        raise NotImplementedError(
-            "MERGE upsert on a rowTracking table under ID-mode "
-            "column mapping — the per-file-group scan does not "
-            "carry row positions; use the jar")
     mat_rid = mat_rcv = None
     meta_update = None
     if rt_base is not None:
@@ -3166,11 +3207,32 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
         # id mode (round 10): files may each use different physical
         # names, so the survivor scan resolves per file by parquet
         # field ids; partition columns (never in the files) rejoin
-        # below under the SCHEMA's stable physicalName
+        # below under the SCHEMA's stable physicalName. Row tracking
+        # (round 13): positions + literal-name materialized columns
+        # ride the per-file-group scan, same arithmetic as the plain
+        # path.
+        from pyspark.sql.types import LongType
         data_idmap = {i: nd for i, nd in idmap.items()
                       if nd[0] not in pcols}
+        rt_extra = tuple((c, LongType())
+                         for c in (mat_rid, mat_rcv) if c) \
+            if rt_base is not None else ()
         live = _id_mode_scan(spark, files, adds, data_idmap, root,
-                             with_path=True)
+                             with_path=True,
+                             with_pos=rt_base is not None,
+                             extra_cols=rt_extra)
+        if rt_base is not None:
+            live = _apply_row_tracking(
+                spark, live, files, adds, meta,
+                fp_col="__qs_path__", pos_col="__qs_pos__") \
+                .drop("__qs_pos__")
+            # names GENERATED this commit are not in the replayed
+            # meta, so _apply_row_tracking left their null-read
+            # columns in place — drop them (no-op when the meta
+            # already configured them: they were consumed above),
+            # else the survivor rename to the same name would
+            # produce an ambiguous duplicate
+            live = live.drop(*[c for c, _ in rt_extra])
         live = live.withColumn("__qs_file__", F.col("__qs_path__"))
         if not pcols:
             live = live.drop("__qs_path__")

@@ -4119,14 +4119,16 @@ def test_delta_row_tracking_reads(spark, qc, tmp_path):
 
 def test_delta_row_tracking_cm_name_rewrites(spark, qc, tmp_path):
     """Round-13 (round-12 verdict #4): MERGE and compaction on a
-    table with BOTH rowTracking and NAME-mode columnMapping preserve
-    row identity — the materialized row-id columns are PHYSICAL names
-    per protocol, so they pass through the physical projection by
-    their literal names while the schema columns rename. Survivors
-    and single-match updates keep their original (_row_id,
-    _row_commit_version); rewritten files carry physical schema names
-    plus the materialized columns; plain reads hide everything;
-    ID-mode tables keep the typed refusal."""
+    table with BOTH rowTracking and columnMapping preserve row
+    identity in BOTH modes — the materialized row-id columns are
+    PHYSICAL names per protocol, outside the schema, so they pass
+    through the physical projection by their literal names while the
+    schema columns rename (id mode: schema columns resolve by field
+    id, materialized columns by name, positions ride the
+    per-file-group scan). Survivors and single-match updates keep
+    their original (_row_id, _row_commit_version); rewritten files
+    carry physical schema names plus the materialized columns; plain
+    reads hide everything."""
     import json as _json
 
     import pyarrow as pa
@@ -4139,13 +4141,22 @@ def test_delta_row_tracking_cm_name_rewrites(spark, qc, tmp_path):
 
     def build(tbl, mode):
         os.makedirs(tbl)
+        # id-mode resolution needs parquet field ids in the files
+        # (name mode ignores them)
+        sch = pa.schema([
+            pa.field("col-a1", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("col-b2", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"2"})])
         pq.write_table(pa.table({
             "col-a1": pa.array(range(1, 6), pa.int64()),
-            "col-b2": pa.array([float(i) for i in range(1, 6)])}),
+            "col-b2": pa.array([float(i) for i in range(1, 6)])}
+            ).cast(sch),
             os.path.join(tbl, "f1.parquet"))
         pq.write_table(pa.table({
             "col-a1": pa.array(range(6, 11), pa.int64()),
-            "col-b2": pa.array([float(i) for i in range(6, 11)])}),
+            "col-b2": pa.array([float(i) for i in range(6, 11)])}
+            ).cast(sch),
             os.path.join(tbl, "f2.parquet"))
         schema = {"type": "struct", "fields": [
             {"name": "id", "type": "long", "nullable": True,
@@ -4235,13 +4246,40 @@ def test_delta_row_tracking_cm_name_rewrites(spark, qc, tmp_path):
     assert set(plain.columns) == {"id", "v"}
     assert {r["id"]: r["v"] for r in plain.collect()}[3] == 300.0
 
-    # ID mode keeps the typed refusal on both rewrite paths
+    # ID mode: the same full lifecycle preserves identity (round-13
+    # unlock — reads/rewrites compose through the per-file-group
+    # scan's positions + literal-name materialized columns)
     tbl_id = str(tmp_path / "rtcm_id")
     build(tbl_id, "id")
-    with pytest.raises(NotImplementedError, match="ID-mode"):
-        upsert_delta_local(
-            spark, tbl_id,
-            spark.createDataFrame([(3, 1.0)], "id long, v double"),
-            ["id"])
-    with pytest.raises(NotImplementedError, match="ID-mode"):
-        compact_delta_local(spark, tbl_id, target_file_rows=1000)
+    before_id = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+                 for r in read_delta_local(
+                     spark, tbl_id, with_row_tracking=True).collect()}
+    assert before_id[1] == (0, 1) and before_id[6] == (5, 1)
+    vm2 = upsert_delta_local(
+        spark, tbl_id,
+        spark.createDataFrame([(3, 300.0), (99, 990.0)],
+                              "id long, v double"),
+        ["id"])
+    got_id = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+              for r in read_delta_local(
+                  spark, tbl_id, with_row_tracking=True).collect()}
+    assert got_id[3] == (before_id[3][0], vm2)
+    for k in (1, 2, 4, 5, 6, 10):
+        assert got_id[k] == before_id[k]
+    assert got_id[99][0] > 9 and got_id[99][1] == vm2
+    compact_delta_local(spark, tbl_id, target_file_rows=1000)
+    after_id = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+                for r in read_delta_local(
+                    spark, tbl_id, with_row_tracking=True).collect()}
+    assert after_id == got_id
+    # rewritten id-mode files: schema columns carry field ids, the
+    # materialized columns ride by literal name (no ids — they are
+    # not schema fields); plain reads hide everything
+    files_id, meta_id, _, _ = _replay(tbl_id, None)
+    conf_id = meta_id.get("configuration") or {}
+    mat_id = conf_id["delta.rowTracking.materializedRowIdColumnName"]
+    assert len(files_id) == 1
+    sch_id = pq.read_schema(files_id[0])
+    assert "col-a1" in sch_id.names and mat_id in sch_id.names
+    plain_id = qc.read_delta(tbl_id).df
+    assert set(plain_id.columns) == {"id", "v"}
