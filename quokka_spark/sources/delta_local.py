@@ -575,7 +575,9 @@ def _prune_by_stats(files: list, adds: list, scan_filter: str,
     literal`` conjunct is provably false over its [min, max]; missing
     stats, unsupported shapes, or incomparable types keep the file
     (the caller always row-filters too, so this is a pure
-    optimization)."""
+    optimization). ``cmap`` maps logical → physical stats keys; a
+    CALLABLE cmap (round 13, id mode) resolves per FILE — id mode
+    allows each file its own physical names."""
     from .pruning import interval_refutes, parse_conjuncts
     atoms = parse_conjuncts(scan_filter)
     if not atoms:
@@ -587,10 +589,11 @@ def _prune_by_stats(files: list, adds: list, scan_filter: str,
         if st:
             mins = st.get("minValues") or {}
             maxs = st.get("maxValues") or {}
+            fmap = cmap(f) if callable(cmap) else cmap
             for col, op, v in atoms:
-                if cmap:
+                if fmap:
                     # stats keys are PHYSICAL names under mapping
-                    col = cmap.get(col, col)
+                    col = fmap.get(col, col)
                 # each bound coerced with ITS OWN lifted literal, so a
                 # date-vs-timestamp pair compares soundly per bound
                 lo_p = _coerce_pair(mins.get(col), v)
@@ -1108,9 +1111,35 @@ def read_delta_local(spark, table: str, version: int | None = None,
                     conf_rt.get("delta.rowTracking."
                                 "materializedRowCommitVersion"
                                 "ColumnName")) if c)
-        # stats skipping is SKIPPED under id mode: stats keys are each
-        # file's own physical names, which id mode allows to differ
-        # per file — the row-level filter below keeps semantics exact
+        # id-mode data skipping (round 13): stats keys are each
+        # file's OWN physical names, so the logical filter column
+        # resolves per file — logical name → schema field id → that
+        # file's footer layout (already read + session-cached for
+        # the scan's grouping). Missing layouts/stats keep the file;
+        # the row-level filter below keeps semantics exact either way
+        if scan_filter:
+            name_to_fid = {nd[0]: i for i, nd in idmap.items()}
+
+            def _per_file_cmap(f):
+                try:
+                    layout = _file_id_layout(f)
+                except Exception:
+                    return {}
+                return {ln: layout[fid]
+                        for ln, fid in name_to_fid.items()
+                        if layout.get(fid)}
+            pf, pa_ = _prune_by_stats(files, adds, scan_filter,
+                                      cmap=_per_file_cmap)
+            if pf:
+                files, adds = pf, pa_
+            else:
+                full = StructType.fromJson(
+                    json.loads(meta["schemaString"]))
+                if full.fields:
+                    if with_row_tracking:
+                        full = full.add("_row_id", "long") \
+                                   .add("_row_commit_version", "long")
+                    return spark.createDataFrame([], full)
         if not pcols:
             df = _id_mode_scan(spark, files, adds, idmap, root,
                                with_path=with_row_tracking,

@@ -169,29 +169,41 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
                     f"catalog table {table}: delete file "
                     f"{d.file_path} has unknown content {content!r}")
     files = sorted(t.file.file_path for t in tasks)
-    # v3 default values: the local-directory reader SERVES top-level
-    # initial-defaults (iceberg_local round 12); this catalog path
-    # would silently null-fill them — refuse typed instead (the jar,
-    # or the table directory, serves them correctly). Walk NESTED
-    # fields too (struct/list/map element fields can declare
-    # defaults and would null-fill just as silently).
-    def _refuse_defaults(field, label):
-        if getattr(field, "initial_default", None) is not None \
-                or getattr(field, "write_default", None) is not None:
-            raise NotImplementedError(
-                f"catalog table {table}: field {label!r} declares a "
-                "v3 default this path would null-fill — read the "
-                "table DIRECTORY (top-level defaults are served "
-                "there) or use the runtime jar")
+    # v3 default values (round 13 — was a blanket typed refusal):
+    # SERVE primitive initial-defaults on top-level and struct
+    # sub-fields through the same per-file footer-presence split the
+    # local-directory reader uses (iceberg_local._apply_defaults).
+    # Still refused typed: defaults under list/map or on composite
+    # fields (splicing repeated elements is the jar's job), and
+    # tables whose planned files are not local-filesystem paths (the
+    # presence check reads footers driver-side).
+    cat_defaults: dict = {}
+
+    def _collect_defaults(field, label, under_collection):
         ftype = getattr(field, "field_type", None)
-        for sub in (getattr(ftype, "fields", None) or []):
-            _refuse_defaults(sub, f"{label}.{sub.name}")
+        s = str(ftype)
+        subs = None if s.startswith(("list<", "map<")) \
+            else (getattr(ftype, "fields", None) or None)
+        init = getattr(field, "initial_default", None)
+        if init is not None:
+            if under_collection or subs \
+                    or s.startswith(("list<", "map<")):
+                raise NotImplementedError(
+                    f"catalog table {table}: field {label!r} "
+                    "declares a v3 default on a list/map element or "
+                    "composite field — primitive defaults on "
+                    "top-level and struct sub-fields only; use the "
+                    "runtime jar")
+            cat_defaults[label] = (init, s)
+        for sub in (subs or []):
+            _collect_defaults(sub, f"{label}.{sub.name}",
+                              under_collection)
         for attr in ("element_field", "key_field", "value_field"):
             sub = getattr(ftype, attr, None)
             if sub is not None:
-                _refuse_defaults(sub, f"{label}.{attr}")
+                _collect_defaults(sub, f"{label}.{attr}", True)
     for f in tbl.schema().fields:
-        _refuse_defaults(f, f.name)
+        _collect_defaults(f, f.name, False)
     # read under the TABLE schema (mapped from pyiceberg), never
     # footer inference: after schema evolution an inferred schema can
     # sample a pre-evolution file and silently drop the new column,
@@ -247,6 +259,24 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     else:
         df = spark.read.schema(rs).parquet(
             *[f.removeprefix("file://") for f in files])
+    if files and cat_defaults:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from .iceberg_local import _apply_defaults, _norm_path
+        local_files = [f.removeprefix("file://") for f in files]
+        remote = [p for p in local_files if not os.path.exists(p)]
+        if remote:
+            raise NotImplementedError(
+                f"catalog table {table}: serving v3 defaults needs "
+                "per-file footer presence checks, and planned file "
+                f"{remote[0]} is not on the local filesystem — use "
+                "the runtime jar")
+        df = (df.withColumn("__qs_defp__",
+                            _norm_path(F.col("_metadata.file_path"))))
+        df = _apply_defaults(df, cat_defaults, local_files,
+                             F.col("__qs_defp__")).drop("__qs_defp__")
     if files and (pos_apply or eq_apply or dv_files):
         from pyspark.sql import functions as F
 

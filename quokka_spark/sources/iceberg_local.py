@@ -209,8 +209,14 @@ def _apply_initial_defaults(df, meta: dict, paths: list, fp_col):
     snapshot read (_live_df) and the change stream (_scan) so the
     two can never diverge (review finding: the CDF path null-filled
     what the snapshot path served)."""
+    return _apply_defaults(df, _field_defaults(meta), paths, fp_col)
+
+
+def _apply_defaults(df, defaults: dict, paths: list, fp_col):
+    """Core of _apply_initial_defaults, shared with the CATALOG
+    reader (round 13): ``defaults`` maps dotted column paths to
+    (JSON value, iceberg type string)."""
     from pyspark.sql import functions as F
-    defaults = _field_defaults(meta)
     if not defaults:
         return df
     import pyarrow.parquet as _pq

@@ -971,8 +971,9 @@ def test_delta_column_mapping_name_mode(spark, qc, tmp_path):
     """columnMapping.mode=name: parquet columns carry PHYSICAL names;
     the scan reads them via the schema's physicalName metadata and
     renames to the logical schema; stats skipping translates the
-    filter's logical column to the physical stats key; id mode stays
-    gated."""
+    filter's logical column to the physical stats key (id mode
+    prunes per file since round 13 —
+    test_delta_id_mode_stats_skipping)."""
     import json as _json
 
     from quokka_spark.sources.delta_local import _commit
@@ -1093,9 +1094,11 @@ def test_last_txn_version_gap_is_loud_missing_table_is_none(
 
 def _id_mode_table(tmp_path, file_specs, conf_extra=None):
     """Build an id-mapped table whose files carry parquet FIELD IDS:
-    file_specs = [(filename, {field_id: (parquet_col_name, values)})].
-    Logical schema: id->1 (long), v->2 (double). ``conf_extra``
-    merges into the table configuration (e.g. CDF enablement)."""
+    file_specs = [(filename, {field_id: (parquet_col_name, values)}
+    [, stats_dict])]. Logical schema: id->1 (long), v->2 (double).
+    ``conf_extra`` merges into the table configuration (e.g. CDF
+    enablement); an optional third spec element lands as the add
+    action's stats JSON (keys = THAT file's physical names)."""
     import json as _json
 
     import pyarrow as pa
@@ -1105,7 +1108,9 @@ def _id_mode_table(tmp_path, file_specs, conf_extra=None):
     tbl = str(tmp_path / "idtbl")
     os.makedirs(tbl, exist_ok=True)
     adds = []
-    for fname, cols in file_specs:
+    for spec in file_specs:
+        fname, cols = spec[0], spec[1]
+        stats = spec[2] if len(spec) > 2 else None
         fields, arrays = [], []
         for fid, (pname, vals) in sorted(cols.items()):
             typ = pa.int64() if isinstance(vals[0], int) else pa.float64()
@@ -1114,8 +1119,11 @@ def _id_mode_table(tmp_path, file_specs, conf_extra=None):
             arrays.append(pa.array(vals, type=typ))
         p = str(tmp_path / fname)
         pq.write_table(pa.Table.from_arrays(arrays, schema=pa.schema(fields)), p)
-        adds.append({"add": {"path": p, "partitionValues": {}, "size": 1,
-                             "modificationTime": 0, "dataChange": True}})
+        act = {"add": {"path": p, "partitionValues": {}, "size": 1,
+                       "modificationTime": 0, "dataChange": True}}
+        if stats is not None:
+            act["add"]["stats"] = _json.dumps(stats)
+        adds.append(act)
     schema = {"type": "struct", "fields": [
         {"name": "id", "type": "long", "nullable": True,
          "metadata": {"delta.columnMapping.id": 1,
@@ -1149,7 +1157,8 @@ def test_delta_id_mode_reads_by_field_id(spark, qc, tmp_path):
     ])
     got = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
     assert got == {1: 1.0, 2: 2.0, 3: 30.0, 4: 40.0}
-    # scan_filter applies row-level (stats skipping is bypassed)
+    # scan_filter applies row-level (these adds carry no stats, so
+    # per-file pruning keeps everything)
     f = qc.read_delta(tbl, scan_filter="id >= 3").df
     assert sorted(r["id"] for r in f.collect()) == [3, 4]
 
@@ -4283,3 +4292,39 @@ def test_delta_row_tracking_cm_name_rewrites(spark, qc, tmp_path):
     assert "col-a1" in sch_id.names and mat_id in sch_id.names
     plain_id = qc.read_delta(tbl_id).df
     assert set(plain_id.columns) == {"id", "v"}
+
+
+def test_delta_id_mode_stats_skipping(spark, qc, tmp_path):
+    """Round-13: data skipping works under ID-mode column mapping —
+    stats keys are each file's OWN physical names, so the logical
+    filter column resolves per file (logical name -> schema field id
+    -> that file's footer layout, already session-cached by the
+    scan). Files whose stats refute the filter never open; a
+    name-SWAPPED file (physical names point the opposite way) prunes
+    by field id, not name; stats-less files are kept."""
+    tbl = _id_mode_table(tmp_path, [
+        ("a.parquet", {1: ("c_one", [1, 2]), 2: ("c_two", [1.0, 2.0])},
+         {"numRecords": 2, "minValues": {"c_one": 1},
+          "maxValues": {"c_one": 2}}),
+        ("b.parquet", {1: ("renamed", [100]), 2: ("other", [30.0])},
+         {"numRecords": 1, "minValues": {"renamed": 100},
+          "maxValues": {"renamed": 100}}),
+        # physical names point the OPPOSITE way: logical id has
+        # field id 1, stored in the column literally NAMED "v" —
+        # pruning by name would mis-skip
+        ("c.parquet", {1: ("v", [200]), 2: ("id", [40.0])},
+         {"numRecords": 1, "minValues": {"v": 200, "id": 40.0},
+          "maxValues": {"v": 200, "id": 40.0}}),
+        ("nostats.parquet", {1: ("x1", [3]), 2: ("x2", [3.5])}),
+    ])
+    full = {r["id"]: r["v"] for r in qc.read_delta(tbl).df.collect()}
+    assert full == {1: 1.0, 2: 2.0, 100: 30.0, 200: 40.0, 3: 3.5}
+    pruned = qc.read_delta(tbl, scan_filter="id >= 100").df
+    assert sorted(r["id"] for r in pruned.collect()) == [100, 200]
+    # a, dropped by stats; nostats kept (then row-filtered)
+    opened = {os.path.basename(f) for f in pruned.inputFiles()}
+    assert "a.parquet" not in opened
+    assert {"b.parquet", "c.parquet", "nostats.parquet"} <= opened
+    # all files refuted -> empty-but-typed result
+    none = qc.read_delta(tbl, scan_filter="id > 100000").df
+    assert none.collect() == [] and none.columns == ["id", "v"]

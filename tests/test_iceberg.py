@@ -786,19 +786,23 @@ def _install_fake_pyiceberg(monkeypatch, tables):
 
         def schema(self):
             def ft(t):
-                # {"struct": [(name, type), ...]} models a pyiceberg
-                # StructType (object exposing .fields); strings model
-                # primitives (str(field_type) spelling)
+                # {"struct": [(name, type[, extra-attrs]), ...]}
+                # models a pyiceberg StructType (object exposing
+                # .fields); strings model primitives
+                # (str(field_type) spelling); the optional extra
+                # dict injects attrs like initial_default
                 if isinstance(t, dict) and "struct" in t:
                     return types.SimpleNamespace(
                         fields=[types.SimpleNamespace(
-                            name=n, field_type=ft(st))
-                            for n, st in t["struct"]])
+                            name=e[0], field_type=ft(e[1]),
+                            **(e[2] if len(e) > 2 else {}))
+                            for e in t["struct"]])
                 return t
             return types.SimpleNamespace(fields=[
                 types.SimpleNamespace(name=s[0], field_type=ft(s[1]),
                                       field_id=(s[2] if len(s) > 2
-                                                else None))
+                                                else None),
+                                      **(s[3] if len(s) > 3 else {}))
                 for s in self.spec.get("schema", [])])
 
         # --- write surface (round 12: write_iceberg_catalog) ------
@@ -2930,3 +2934,52 @@ def test_iceberg_catalog_read_typed_schema(spark, qc, tmp_path,
                    2: (None, decimal.Decimal("2.50"))}
     with pytest.raises(NotImplementedError, match="list<string>"):
         qc.read_iceberg("db.listy").df.collect()
+
+
+def test_iceberg_catalog_read_serves_defaults(spark, qc, tmp_path,
+                                              monkeypatch):
+    """Round-13: the catalog-planned scan SERVES v3 primitive
+    initial-defaults — top-level AND struct sub-fields — through the
+    same per-file footer-presence split as the local-directory
+    reader (this was a blanket typed refusal). Files carrying the
+    column serve stored values, genuinely-null included; list/map
+    defaults keep the typed refusal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    old = str(tmp_path / "old.parquet")   # predates tag AND s.b
+    new = str(tmp_path / "new.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "s": pa.array([{"a": 10}, None],
+                      pa.struct([("a", pa.int64())]))}), old)
+    pq.write_table(pa.table({
+        "k": pa.array([3, 4], pa.int64()),
+        "tag": pa.array(["x", None], pa.string()),
+        "s": pa.array([{"a": 30, "b": "stored"},
+                       {"a": 40, "b": None}],
+                      pa.struct([("a", pa.int64()),
+                                 ("b", pa.string())]))}), new)
+    _install_fake_pyiceberg(monkeypatch, {
+        "db.defs": {"files_at": {None: [old, new]}, "snapshots": [],
+                    "schema": [
+                        ("k", "long", 1),
+                        ("tag", "string", 2,
+                         {"initial_default": "legacy"}),
+                        ("s", {"struct": [
+                            ("a", "long"),
+                            ("b", "string",
+                             {"initial_default": "NEW"})]}, 3)]},
+        "db.listdef": {"files_at": {None: [old]}, "snapshots": [],
+                       "schema": [
+                           ("k", "long", 1),
+                           ("arr", "list<string>", 2,
+                            {"initial_default": "nope"})]}})
+    got = {r["k"]: (r["tag"],
+                    None if r["s"] is None
+                    else (r["s"]["a"], r["s"]["b"]))
+           for r in qc.read_iceberg("db.defs").df.collect()}
+    assert got == {1: ("legacy", (10, "NEW")), 2: ("legacy", None),
+                   3: ("x", (30, "stored")), 4: (None, (40, None))}
+    with pytest.raises(NotImplementedError, match="list/map"):
+        qc.read_iceberg("db.listdef").df.collect()
