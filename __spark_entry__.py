@@ -7738,12 +7738,31 @@ def _bind_fs_iceberg_catalog(root: str) -> str:
         def schema(self):
             from quokka_spark.sources.iceberg_local import \
                 _current_schema
+
+            def ftype(t):
+                # struct types surface as objects exposing .fields
+                # (pyiceberg's StructType shape); primitives as their
+                # spec string
+                if isinstance(t, dict) and t.get("type") == "struct":
+                    return types.SimpleNamespace(
+                        fields=[mk(sub) for sub in
+                                t.get("fields", [])])
+                return str(t)
+
+            def mk(f):
+                ns = types.SimpleNamespace(
+                    name=f.get("name"), field_type=ftype(f.get("type")),
+                    field_id=int(f["id"]) if "id" in f else None)
+                # v3 defaults must surface like pyiceberg surfaces
+                # them — the catalog reader SERVES initial-defaults
+                # (round 13); hiding them here would null-fill
+                if "initial-default" in f:
+                    ns.initial_default = f["initial-default"]
+                if "write-default" in f:
+                    ns.write_default = f["write-default"]
+                return ns
             flds = _current_schema(self._meta()).get("fields", [])
-            return types.SimpleNamespace(fields=[
-                types.SimpleNamespace(name=f["name"],
-                                      field_type=str(f["type"]),
-                                      field_id=int(f["id"]))
-                for f in flds])
+            return types.SimpleNamespace(fields=[mk(f) for f in flds])
 
         @property
         def metadata(self):
@@ -8197,6 +8216,133 @@ FROM live GROUP BY g
 """
 
 
+def src_delta_rt_cm(spark, sf_dir):
+    """Delta ROW TRACKING x ID-mode COLUMN MAPPING composed (round
+    13 — round-12 verdict #4 plus the id-mode unlock;
+    delta_local._id_mode_scan's position-carrying path +
+    upsert_delta_local's materializing rewrite): customer splits
+    into even keys (baseRowId 0) and odd keys (baseRowId = n_even),
+    both key-sorted, stored under OPAQUE physical names with parquet
+    field ids (id-mode resolution); a MERGE then updates the
+    c_custkey % 10 = 0 rows (+1000 acctbal) — single-match updates
+    KEEP their row ids and take the merge commit version, everyone
+    else keeps commit 1. Aggregates sum _row_id and
+    _row_commit_version per key group, so renumbering, a
+    name-resolved (rather than id-resolved) scan, or identity loss
+    through the mapped rewrite hash-mismatches."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  upsert_delta_local)
+    qc = _qc(spark)
+    cust = os.path.join(sf_dir, "customer.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_rtcm_" + sf_dir.strip("/").replace("/", "_"))
+    tbl = os.path.join(base, "tbl")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(tbl, exist_ok=True)
+        t = pq.read_table(cust, columns=[
+            "c_custkey", "c_acctbal"]).sort_by("c_custkey")
+        psch = pa.schema([
+            pa.field("pc-1", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("pc-2", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"2"})])
+        even = pc.equal(pc.bit_wise_and(t.column("c_custkey"), 1), 0)
+        te = t.filter(even).rename_columns(["pc-1", "pc-2"]).cast(psch)
+        to = t.filter(pc.invert(even)).rename_columns(
+            ["pc-1", "pc-2"]).cast(psch)
+        pq.write_table(te, os.path.join(tbl, "even.parquet"))
+        pq.write_table(to, os.path.join(tbl, "odd.parquet"))
+        schema = {"type": "struct", "fields": [
+            {"name": "c_custkey", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "pc-1"}},
+            {"name": "c_acctbal", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "pc-2"}}]}
+        _commit(tbl, 0, [
+            {"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["rowTracking",
+                                             "domainMetadata",
+                                             "columnMapping"]}},
+            {"metaData": {"id": "rtcm", "format": {
+                "provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(schema),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "2",
+                    "delta.enableRowTracking": "true"},
+                "createdTime": 0}}])
+        n_even = te.num_rows
+
+        def add(path, brid):
+            return {"add": {"path": path, "partitionValues": {},
+                            "size": os.path.getsize(
+                                os.path.join(tbl, path)),
+                            "modificationTime": 0, "dataChange": True,
+                            "baseRowId": brid,
+                            "defaultRowCommitVersion": 1}}
+        _commit(tbl, 1, [
+            add("even.parquet", 0), add("odd.parquet", n_even),
+            {"domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": _json.dumps(
+                    {"rowIdHighWaterMark": t.num_rows - 1}),
+                "removed": False}}])
+        batch = (qc.read_parquet(cust).df
+                 .where("c_custkey % 10 = 0")
+                 .selectExpr("c_custkey",
+                             "c_acctbal + 1000 AS c_acctbal"))
+        upsert_delta_local(spark, tbl, batch, ["c_custkey"])
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (qc.read_delta(tbl, with_row_tracking=True).df
+            .groupBy((F.col("c_custkey") % 3).alias("g"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("_row_id").alias("sum_rid"),
+                 F.sum("_row_commit_version").alias("sum_rcv"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal")))
+
+
+_SRC_DELTA_RT_CM_SQL = """
+WITH evens AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+  FROM customer WHERE c_custkey % 2 = 0),
+odds AS (
+  SELECT c_custkey, c_acctbal,
+         row_number() OVER (ORDER BY c_custkey) - 1
+         + (SELECT count(*) FROM evens) AS rid
+  FROM customer WHERE c_custkey % 2 = 1),
+base AS (
+  SELECT * FROM evens UNION ALL SELECT * FROM odds),
+final AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+              ELSE c_acctbal END AS bal,
+         rid,
+         CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS rcv
+  FROM base)
+SELECT c_custkey % 3 AS g, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(rid) AS BIGINT) AS sum_rid,
+       CAST(sum(rcv) AS BIGINT) AS sum_rcv,
+       round(sum(bal), 2) AS sum_bal
+FROM final GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver correctness-checks the
     FIRST 50 entries, so every operator family places at least one gate
@@ -8412,6 +8558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_iceberg_catalog_write": src_iceberg_catalog_write,
         "src_iceberg_catalog_write_part": src_iceberg_catalog_write_part,
         "src_hudi_1x": src_hudi_1x,
+        "src_delta_rt_cm": src_delta_rt_cm,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -8634,6 +8781,7 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_catalog_write_part":
             _SRC_ICEBERG_CATALOG_WRITE_PART_SQL,
         "src_delta_row_tracking": _SRC_DELTA_ROW_TRACKING_SQL,
+        "src_delta_rt_cm": _SRC_DELTA_RT_CM_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
         "src_iceberg_cdf": _SRC_ICEBERG_CDF_SQL,
         "stream_tumbling": _STREAM_TUMBLING_SQL,
