@@ -587,11 +587,26 @@ def _prune_by_stats(files: list, adds: list, scan_filter: str,
         st = _stats_of(a)
         keep = True
         if st:
+            fmap = cmap(f) if callable(cmap) else cmap
+            if callable(cmap) and not fmap:
+                # a per-file resolver that could not produce a
+                # mapping (footer unreadable, no field ids) means
+                # the stats keys are UNKNOWN for this file — keep it
+                # unpruned; falling through to logical-name lookup
+                # could falsely refute on name-swapped physical
+                # layouts (review finding)
+                out_f.append(f)
+                out_a.append(a)
+                continue
             mins = st.get("minValues") or {}
             maxs = st.get("maxValues") or {}
-            fmap = cmap(f) if callable(cmap) else cmap
             for col, op, v in atoms:
                 if fmap:
+                    if callable(cmap) and col not in fmap:
+                        # this FILE has no physical column for the
+                        # logical name (pre-evolution file) — its
+                        # stats cannot speak to this atom
+                        continue
                     # stats keys are PHYSICAL names under mapping
                     col = fmap.get(col, col)
                 # each bound coerced with ITS OWN lifted literal, so a
@@ -977,13 +992,31 @@ def _apply_deletion_vectors(spark, df, files, adds, root):
 
     positions = dd.mapInPandas(
         _decode, "__qs_dfp__ string, __qs_dpos__ long")
-    return (df.withColumn("__qs_fp__", _plain_path_col())
-            .withColumn("__qs_pos__", F.col("_metadata.row_index"))
+    # UNIQUE internal names (round-13 review finding: these used to
+    # be __qs_fp__/__qs_pos__, which clobbered the id-mode scan's
+    # pre-materialized position column and crashed every DV-carrying
+    # row-tracking read)
+    return (df.withColumn("__qs_dvfp__", _plain_path_col())
+            .withColumn("__qs_dvpos__", F.col("_metadata.row_index"))
             .join(positions,
-                  (F.col("__qs_fp__") == F.col("__qs_dfp__"))
-                  & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
+                  (F.col("__qs_dvfp__") == F.col("__qs_dfp__"))
+                  & (F.col("__qs_dvpos__") == F.col("__qs_dpos__")),
                   "left_anti")
-            .drop("__qs_fp__", "__qs_pos__"))
+            .drop("__qs_dvfp__", "__qs_dvpos__"))
+
+
+def _rt_col_names(meta: dict) -> tuple:
+    """(materialized row-id column name, materialized
+    row-commit-version column name) from the table configuration —
+    None where unconfigured. The ONE resolver for the two
+    delta.rowTracking.materialized*ColumnName keys (round-13 review:
+    five hand-rolled copies)."""
+    conf = meta.get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    return (conf.get("delta.rowTracking.materializedRowIdColumnName"),
+            conf.get("delta.rowTracking."
+                     "materializedRowCommitVersionColumnName"))
 
 
 def _apply_row_tracking(spark, df, files, adds, meta,
@@ -1004,11 +1037,7 @@ def _apply_row_tracking(spark, df, files, adds, meta,
     columns but carries ``__qs_path__``/``__qs_pos__``; the named
     columns are preserved, the derived ones dropped as before."""
     from pyspark.sql import functions as F
-    conf = meta.get("configuration") or {}
-    mat_rid = conf.get(
-        "delta.rowTracking.materializedRowIdColumnName")
-    mat_rcv = conf.get(
-        "delta.rowTracking.materializedRowCommitVersionColumnName")
+    mat_rid, mat_rcv = _rt_col_names(meta)
     if not (mat_rid or mat_rcv
             or any(a.get("baseRowId") is not None for a in adds)):
         raise NotImplementedError(
@@ -1103,14 +1132,8 @@ def read_delta_local(spark, table: str, version: int | None = None,
         # _row_id/_row_commit_version exactly like the plain path
         rt_extra = ()
         if with_row_tracking:
-            conf_rt = meta.get("configuration") or {}
-            rt_extra = tuple(
-                (c, LongType()) for c in (
-                    conf_rt.get("delta.rowTracking."
-                                "materializedRowIdColumnName"),
-                    conf_rt.get("delta.rowTracking."
-                                "materializedRowCommitVersion"
-                                "ColumnName")) if c)
+            rt_extra = tuple((c, LongType())
+                             for c in _rt_col_names(meta) if c)
         # id-mode data skipping (round 13): stats keys are each
         # file's OWN physical names, so the logical filter column
         # resolves per file — logical name → schema field id → that
@@ -1172,6 +1195,11 @@ def read_delta_local(spark, table: str, version: int | None = None,
             if not files:
                 full = StructType.fromJson(
                     json.loads(meta["schemaString"]))
+                if with_row_tracking:
+                    # empty results carry the SAME schema as
+                    # non-empty ones (review finding)
+                    full = full.add("_row_id", "long") \
+                               .add("_row_commit_version", "long")
                 return spark.createDataFrame([], full)
         data_idmap = {i: nd for i, nd in idmap.items()
                       if nd[0] not in pcols}
@@ -1198,7 +1226,13 @@ def read_delta_local(spark, table: str, version: int | None = None,
             full = StructType.fromJson(json.loads(meta["schemaString"]))
         except (KeyError, ValueError):
             return None
-        return spark.createDataFrame([], full) if full.fields else None
+        if not full.fields:
+            return None
+        if with_row_tracking:
+            # empty results carry the SAME schema as non-empty ones
+            full = full.add("_row_id", "long") \
+                       .add("_row_commit_version", "long")
+        return spark.createDataFrame([], full)
 
     if scan_filter:
         pf, pa_ = _prune_by_stats(files, adds, scan_filter, cmap=cmap)
@@ -1218,11 +1252,7 @@ def read_delta_local(spark, table: str, version: int | None = None,
         # read schema so coalesce can prefer them; files without them
         # null-fill and fall back to baseRowId arithmetic
         from pyspark.sql.types import LongType, StructField
-        conf = meta.get("configuration") or {}
-        for key in ("delta.rowTracking.materializedRowIdColumnName",
-                    "delta.rowTracking."
-                    "materializedRowCommitVersionColumnName"):
-            c = conf.get(key)
+        for c in _rt_col_names(meta):
             if c and c not in rs.fieldNames():
                 rs = rs.add(StructField(c, LongType(), True))
     if not pcols:
@@ -1235,13 +1265,7 @@ def read_delta_local(spark, table: str, version: int | None = None,
             # inference fallback: configured MATERIALIZED row-tracking
             # columns are metadata, never table columns — a plain
             # read must not surface them
-            conf = meta.get("configuration") or {}
-            df = df.drop(*[c for c in (
-                conf.get("delta.rowTracking."
-                         "materializedRowIdColumnName"),
-                conf.get("delta.rowTracking."
-                         "materializedRowCommitVersionColumnName"))
-                if c])
+            df = df.drop(*[c for c in _rt_col_names(meta) if c])
         if cmap:
             # physical parquet names → the logical schema the user
             # queries; the row filter below then sees logical names
@@ -1270,8 +1294,13 @@ def read_delta_local(spark, table: str, version: int | None = None,
         adds = [a for _, a in kept_pairs]
         if not files:
             # empty-but-typed result with the full table schema
+            # (plus the row-tracking columns when requested — empty
+            # and non-empty results must agree)
             from pyspark.sql.types import StructType
             full = StructType.fromJson(json.loads(meta["schemaString"]))
+            if with_row_tracking:
+                full = full.add("_row_id", "long") \
+                           .add("_row_commit_version", "long")
             return spark.createDataFrame([], full)
     # _metadata.file_path is a percent-ENCODED URI ("file:/…%2F…");
     # decode to the plain filesystem path the log/map uses. A literal
@@ -3026,11 +3055,7 @@ def compact_delta_local(spark, table: str,
     mat_rid = mat_rcv = None
     if rt_base is not None:
         conf = dict(meta.get("configuration") or {})
-        mat_rid = conf.get(
-            "delta.rowTracking.materializedRowIdColumnName")
-        mat_rcv = conf.get(
-            "delta.rowTracking."
-            "materializedRowCommitVersionColumnName")
+        mat_rid, mat_rcv = _rt_col_names(meta)
         if not (mat_rid and mat_rcv):
             sfx = uuid.uuid4().hex[:8]
             mat_rid = mat_rid or f"_row-id-col-{sfx}"
@@ -3202,11 +3227,7 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
     meta_update = None
     if rt_base is not None:
         conf_rt = dict(meta.get("configuration") or {})
-        mat_rid = conf_rt.get(
-            "delta.rowTracking.materializedRowIdColumnName")
-        mat_rcv = conf_rt.get(
-            "delta.rowTracking."
-            "materializedRowCommitVersionColumnName")
+        mat_rid, mat_rcv = _rt_col_names(meta)
         if not (mat_rid and mat_rcv):
             sfx = uuid.uuid4().hex[:8]
             mat_rid = mat_rid or f"_row-id-col-{sfx}"
@@ -3285,6 +3306,13 @@ def upsert_delta_local(spark, table: str, df, key_cols) -> int:
             .withColumn("__qs_file__", F.col("_metadata.file_path"))
         if rt_base is not None:
             live = _apply_row_tracking(spark, live, files, adds, meta)
+            # names GENERATED this commit are not in the replayed
+            # meta, so _apply_row_tracking left their null-read
+            # columns in place (review finding: the first MERGE on
+            # an unconfigured rowTracking table crashed with
+            # COLUMN_ALREADY_EXISTS at the survivor rename) — drop
+            # them; no-op when the meta already configured them
+            live = live.drop(*[c for c in (mat_rid, mat_rcv) if c])
         if pcols:
             live = live.withColumn("__qs_path__", _plain_path_col())
         if cmap:

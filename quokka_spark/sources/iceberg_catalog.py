@@ -219,7 +219,11 @@ def read_iceberg_catalog(spark, table: str, snapshot: int | None = None,
     by_name = {"boolean": BooleanType(), "int": IntegerType(),
                "long": LongType(), "float": FloatType(),
                "double": DoubleType(), "date": DateType(),
-               "string": StringType(), "uuid": StringType(),
+               "string": StringType(),
+               # uuid is stored as FIXED_LEN_BYTE_ARRAY(16) — a
+               # string read schema fails mid-scan; binary reads it
+               # losslessly (review finding)
+               "uuid": BinaryType(),
                "binary": BinaryType(),
                "timestamptz": TimestampType(),
                "timestamp": TimestampType()}

@@ -4328,3 +4328,145 @@ def test_delta_id_mode_stats_skipping(spark, qc, tmp_path):
     # all files refuted -> empty-but-typed result
     none = qc.read_delta(tbl, scan_filter="id > 100000").df
     assert none.collect() == [] and none.columns == ["id", "v"]
+
+
+def test_delta_row_tracking_id_mode_with_dv(spark, qc, tmp_path):
+    """Round-13 review regression (confirmed crash): an id-mode
+    rowTracking table carrying a DELETION VECTOR must read — the DV
+    anti-join used internal column names that clobbered the id-mode
+    scan's pre-materialized position column. Survivors keep their
+    ORIGINAL position-stable ids; a MERGE on the DV-carrying table
+    still preserves identity."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit,
+                                                  read_delta_local,
+                                                  upsert_delta_local)
+    from quokka_spark.sources.dv import inline_dv_descriptor
+
+    tbl = str(tmp_path / "rtdv")
+    os.makedirs(tbl)
+    sch = pa.schema([
+        pa.field("pc-1", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("pc-2", pa.float64(),
+                 metadata={b"PARQUET:field_id": b"2"})])
+    pq.write_table(pa.table({
+        "pc-1": pa.array(range(10), pa.int64()),
+        "pc-2": pa.array([float(i) for i in range(10)])}).cast(sch),
+        os.path.join(tbl, "f1.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "pc-1"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "pc-2"}}]}
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["columnMapping",
+                                         "deletionVectors"],
+                      "writerFeatures": ["rowTracking",
+                                         "deletionVectors",
+                                         "domainMetadata",
+                                         "columnMapping"]}},
+        {"metaData": {"id": "rtdv", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {
+                "delta.columnMapping.mode": "id",
+                "delta.columnMapping.maxColumnId": "2",
+                "delta.enableRowTracking": "true"},
+            "createdTime": 0}}])
+    _commit(tbl, 1, [
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0,
+                 "dataChange": True, "baseRowId": 0,
+                 "defaultRowCommitVersion": 1,
+                 "deletionVector": inline_dv_descriptor([2, 5])}},
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": _json.dumps(
+                                {"rowIdHighWaterMark": 9}),
+                            "removed": False}}])
+    got = {r["id"]: r["_row_id"] for r in read_delta_local(
+        spark, tbl, with_row_tracking=True).collect()}
+    # DV killed positions 2 and 5; survivors keep FILE positions
+    assert got == {i: i for i in range(10) if i not in (2, 5)}
+    # MERGE on the DV-carrying table: single-match keeps its id
+    vm = upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(7, 700.0)], "id long, v double"),
+        ["id"])
+    got2 = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+            for r in read_delta_local(
+                spark, tbl, with_row_tracking=True).collect()}
+    assert got2[7] == (7, vm)
+    assert got2[3] == (3, 1) and 2 not in got2 and 5 not in got2
+
+
+def test_delta_row_tracking_first_merge_unconfigured(spark, qc,
+                                                     tmp_path):
+    """Round-13 review regression (confirmed crash): the FIRST merge
+    on a plain (no column mapping) rowTracking table with NO
+    configured materialized column names generated names, added them
+    to the live-scan read schema, and then collided with the
+    survivor rename (COLUMN_ALREADY_EXISTS). The merge must commit
+    the generated names and preserve identity."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quokka_spark.sources.delta_local import (_commit, _replay,
+                                                  read_delta_local,
+                                                  upsert_delta_local)
+
+    tbl = str(tmp_path / "rtgen")
+    os.makedirs(tbl)
+    pq.write_table(pa.table({
+        "id": pa.array(range(10), pa.int64()),
+        "v": pa.array([float(i) for i in range(10)])}),
+        os.path.join(tbl, "f1.parquet"))
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {}}]}
+    _commit(tbl, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["rowTracking",
+                                         "domainMetadata"]}},
+        {"metaData": {"id": "rtgen", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.enableRowTracking": "true"},
+            "createdTime": 0}}])
+    _commit(tbl, 1, [
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0,
+                 "dataChange": True, "baseRowId": 0,
+                 "defaultRowCommitVersion": 1}},
+        {"domainMetadata": {"domain": "delta.rowTracking",
+                            "configuration": _json.dumps(
+                                {"rowIdHighWaterMark": 9}),
+                            "removed": False}}])
+    vm = upsert_delta_local(
+        spark, tbl,
+        spark.createDataFrame([(4, 400.0), (99, 990.0)],
+                              "id long, v double"),
+        ["id"])
+    got = {r["id"]: (r["_row_id"], r["_row_commit_version"])
+           for r in read_delta_local(
+               spark, tbl, with_row_tracking=True).collect()}
+    assert got[4] == (4, vm)          # single match keeps its id
+    assert got[0] == (0, 1) and got[9] == (9, 1)
+    assert got[99][0] > 9 and got[99][1] == vm
+    # the generated names committed with the files that use them
+    _, meta, _, _ = _replay(tbl, None)
+    conf = meta.get("configuration") or {}
+    assert conf.get("delta.rowTracking.materializedRowIdColumnName")
