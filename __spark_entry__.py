@@ -2300,7 +2300,17 @@ def src_hudi_1x(spark, sf_dir):
                         "qs_hudi1x_" + sf_dir.strip("/").replace("/", "_"))
     tbl = os.path.join(base, "tbl")
     done = os.path.join(base, "_done")
-    if not os.path.exists(done):
+
+    def _built():
+        # VERSIONED marker: the fixture layout changed mid-round-13
+        # (completion-time visibility semantics) and /tmp fixtures
+        # outlive code changes — a stale v1 layout must rebuild
+        try:
+            with open(done) as fh:
+                return fh.read() == "v2"
+        except OSError:
+            return False
+    if not _built():
         import shutil
         shutil.rmtree(base, ignore_errors=True)
         tdir = os.path.join(tbl, ".hoodie", "timeline")
@@ -2336,7 +2346,7 @@ def src_hudi_1x(spark, sf_dir):
                 "replacecommit",
                 {"partitionToReplaceFileIds": {"": ["g1"]}})
         with open(done, "w") as fh:
-            fh.write("ok")
+            fh.write("v2")
 
     def agg(df, via):
         return (df.groupBy("s_nationkey")
@@ -7980,6 +7990,88 @@ SELECT via, s_nationkey, n, sum_bal FROM (
 """
 
 
+def src_iceberg_catalog_defaults(spark, sf_dir):
+    """Iceberg v3 initial-defaults served through the CATALOG-planned
+    scan (round 13 — iceberg_catalog.read_iceberg_catalog's
+    _apply_defaults path, previously a blanket typed refusal): the
+    same pre-/post-evolution customer split as src_iceberg_defaults
+    (first file predates c_mktsegment; initial-default 'LEGACY'),
+    read BOTH through the catalog reader (pyiceberg-planned files +
+    the shared footer-presence split) and the local-directory
+    metadata reader, unioned — a catalog path that null-fills
+    pre-evolution rows collapses them into the NULL group and
+    hash-mismatches."""
+    import json as _json
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from quokka_spark.sources.iceberg_local import \
+        create_local_iceberg_table
+    qc = _qc(spark)
+    cust = os.path.join(sf_dir, "customer.parquet")
+    base = os.path.join(tempfile.gettempdir(),
+                        "qs_catdef_" + sf_dir.strip("/").replace("/", "_"))
+    root = os.path.join(base, "warehouse")
+    ident = "db.defs"
+    tbl = os.path.join(root, ident)
+    done = os.path.join(base, "_done")
+    _bind_fs_iceberg_catalog(root)
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        _bind_fs_iceberg_catalog(root)
+        t = pq.read_table(cust, columns=[
+            "c_custkey", "c_acctbal", "c_mktsegment"])
+        even = pc.equal(pc.bit_wise_and(t.column("c_custkey"), 1), 0)
+        fe = os.path.join(base, "pre_evolution.parquet")
+        fo = os.path.join(base, "post_evolution.parquet")
+        pq.write_table(t.filter(even).drop_columns(["c_mktsegment"]),
+                       fe)
+        pq.write_table(t.filter(pc.invert(even)), fo)
+        create_local_iceberg_table(
+            tbl, [[fe], [{"path": fe, "seq": 1}, fo]],
+            schema_fields=[(1, "c_custkey", "long"),
+                           (2, "c_acctbal", "double"),
+                           (3, "c_mktsegment", "string")],
+            format_version=3)
+        mdir = os.path.join(tbl, "metadata")
+        mfile = sorted(f for f in os.listdir(mdir)
+                       if f.endswith(".metadata.json"))[-1]
+        with open(os.path.join(mdir, mfile)) as fh:
+            m = _json.load(fh)
+        for f in m["schemas"][0]["fields"]:
+            if f["name"] == "c_mktsegment":
+                f["initial-default"] = "LEGACY"
+        with open(os.path.join(mdir, mfile), "w") as fh:
+            fh.write(_json.dumps(m))
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    def agg(df, via):
+        return (df.groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+                .withColumn("via", F.lit(via)))
+    return (agg(qc.read_iceberg(ident).df, "catalog")
+            .unionByName(agg(qc.read_iceberg(tbl).df, "dir")))
+
+
+_SRC_ICEBERG_CATALOG_DEFAULTS_SQL = """
+WITH g AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN 'LEGACY'
+              ELSE c_mktsegment END AS c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(c_acctbal), 2) AS sum_bal
+  FROM customer GROUP BY 1)
+SELECT c_mktsegment, n, sum_bal, via FROM (
+  SELECT g.*, 'catalog' AS via FROM g
+  UNION ALL SELECT g.*, 'dir' FROM g)
+"""
+
+
 def _cat_create_supplier(mode: str, root: str, ident: str,
                          partitioned: bool) -> None:
     """Create the supplier projection table ``ident`` in the bound
@@ -8559,6 +8651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_iceberg_catalog_write_part": src_iceberg_catalog_write_part,
         "src_hudi_1x": src_hudi_1x,
         "src_delta_rt_cm": src_delta_rt_cm,
+        "src_iceberg_catalog_defaults": src_iceberg_catalog_defaults,
         "op_sql_window": op_sql_window, "ts_resample": ts_resample,
         "dedup_spans": dedup_spans,
         "dedup_clusters": dedup_clusters,
@@ -8780,6 +8873,8 @@ def oracle_sql() -> dict[str, str]:
         "src_iceberg_catalog_write": _SRC_ICEBERG_CATALOG_WRITE_SQL,
         "src_iceberg_catalog_write_part":
             _SRC_ICEBERG_CATALOG_WRITE_PART_SQL,
+        "src_iceberg_catalog_defaults":
+            _SRC_ICEBERG_CATALOG_DEFAULTS_SQL,
         "src_delta_row_tracking": _SRC_DELTA_ROW_TRACKING_SQL,
         "src_delta_rt_cm": _SRC_DELTA_RT_CM_SQL,
         "src_hudi_incr": _SRC_HUDI_INCR_SQL,
