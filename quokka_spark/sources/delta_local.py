@@ -902,11 +902,19 @@ def _stamp_provenance(spark, df, rows, path_col: str,
     the Delta/Hudi scans' _plain_path_col, iceberg_local._py_norm
     for manifests that may store file:/ URIs) — single-sourcing this
     join is the point, a diverged key silently drops every row of
-    the run (inner join)."""
+    the run (inner join). ``ctype=None`` keeps the scan's OWN
+    ``_change_type`` column (the coalesced cdc-file path, round 13 —
+    cdc files carry the literal change type per row; only the commit
+    version is stamped per file)."""
     from pyspark.sql import functions as F
     m = spark.createDataFrame(
         rows, f"{path_col} string, __qs_stamp__ {stamp_type}")
     out = df.join(F.broadcast(m), path_col).drop(path_col)
+    if ctype is None:
+        data_cols = [c for c in out.columns
+                     if c not in ("__qs_stamp__", "_change_type")]
+        return out.select(*data_cols, "_change_type",
+                          F.col("__qs_stamp__").alias(stamp_name))
     data_cols = [c for c in out.columns if c != "__qs_stamp__"]
     return out.select(*data_cols,
                       F.lit(ctype).alias("_change_type"),
@@ -3902,7 +3910,7 @@ def read_delta_changes(spark, table: str,
                          "__qs_dpos__")
         parts.append(_kind_tag(scan))
 
-    def _cdc_scan(v, cdcs, st):
+    def _cdc_scan(v, cdcs, st, keep_path=False):
         """Change Data Files of ONE commit (protocol ``cdc`` actions,
         round 10 — CDF-writer interop): the files under _change_data/
         already carry the exact change rows plus a literal
@@ -3910,7 +3918,10 @@ def read_delta_changes(spark, table: str,
         tables translate data columns (name mode by rename, id mode
         per file by field ids; _change_type is NOT a schema field and
         reads by name), partition values rejoin from the cdc actions'
-        partitionValues exactly like adds."""
+        partitionValues exactly like adds. ``keep_path`` (round 13)
+        returns ``__qs_path__`` + rows WITHOUT the version stamp for
+        the coalesced multi-commit path, which stamps
+        ``_commit_version`` per file from a broadcast map instead."""
         from pyspark.sql.types import StringType, StructField, StructType
         files_ = [_abs(c["path"]) for c in cdcs]
         ct = [("_change_type", StringType())]
@@ -3941,12 +3952,45 @@ def read_delta_changes(spark, table: str,
             mapping = _partition_values_frame(
                 spark, files_, cdcs, st["pcols"], st["ptypes"], pv_key)
             df = df.join(F.broadcast(mapping), "__qs_path__")
+        if keep_path:
+            cols = (schema_cols if schema_cols
+                    else [c for c in df.columns
+                          if c not in ("_change_type", "__qs_path__")])
+            return df.select("__qs_path__", *cols, "_change_type")
         df = df.drop("__qs_path__")
         cols = (schema_cols if schema_cols
                 else [c for c in df.columns if c != "_change_type"])
         return df.select(
             *cols, "_change_type",
             F.lit(v).cast("long").alias("_commit_version"))
+
+    # Deferred-flush coalescing (round 13, guide §1/§2.4 — measured:
+    # ~55% of this read's wall time was DRIVER plan construction,
+    # ~2700 py4j round trips at 100 commits): a pending insert run /
+    # cdc run only needs to flush when the TABLE STATE its scan was
+    # built under changes (a metaData action), NOT on every
+    # interrupting upsert/delete commit — interleaved commits build
+    # their own parts from their own files, and the union is
+    # order-free. A 100-commit mixed history (90 appends + 10
+    # upserts) now builds 1 insert part + 1 cdc part instead of
+    # 10 + 10.
+    pending_cdc: list = []       # [(version, cdc actions)]
+
+    def _flush_cdc():
+        if not pending_cdc:
+            return
+        if len(pending_cdc) == 1:
+            v0, cs = pending_cdc[0]
+            parts.append(_cdc_scan(v0, cs, state))
+        else:
+            all_cs = [c for _, cs in pending_cdc for c in cs]
+            df = _cdc_scan(None, all_cs, state, keep_path=True)
+            parts.append(_stamp_provenance(
+                spark, df,
+                [(os.path.abspath(_abs(c["path"])), v0)
+                 for v0, cs in pending_cdc for c in cs],
+                "__qs_path__", "_commit_version", "long", None))
+        pending_cdc.clear()
 
     for v in range(from_version, to_version + 1):
         # fold this commit's metaData forward BEFORE scanning it (a
@@ -3958,8 +4002,9 @@ def read_delta_changes(spark, table: str,
         adds, removes, commit_md, commit_ci, cdcs = _commit_parsed(
             table, v)
         if commit_md is not None:
-            # the pending run was written under the PRE-change state
+            # the pending runs were written under the PRE-change state
             _flush_inserts()
+            _flush_cdc()
         _set_meta(commit_md)
         if cdcs:
             # Change Data Files are AUTHORITATIVE for their commit
@@ -3968,8 +4013,7 @@ def read_delta_changes(spark, table: str,
             # would double-count (the writer records both the file
             # actions AND the cdc rows). The live-set fold below
             # still applies the commit's file actions.
-            _flush_inserts()
-            parts.append(_cdc_scan(v, cdcs, state))
+            pending_cdc.append((v, cdcs))
             for k in removes:
                 pre_live.pop(k, None)
             for k, a in adds.items():
@@ -4006,7 +4050,6 @@ def read_delta_changes(spark, table: str,
             for k, a in adds.items():
                 pre_live[k] = a
             continue
-        _flush_inserts()
         ins_df = _part(ins_files, ins_adds, state) if ins_files \
             else None
         del_df = _part(del_files, del_adds, prev_state) if del_files \
@@ -4032,18 +4075,56 @@ def read_delta_changes(spark, table: str,
                 if kc and not all(k in ins_df.columns for k in kc):
                     kc = None          # schema drift: fall back
         if kc:
-            real_pre = del_df.exceptAll(ins_df)
-            real_post = ins_df.exceptAll(del_df)
-            mk = (real_pre.select(*kc)
-                  .intersect(real_post.select(*kc)))
-            parts.append(_tag(real_pre.join(mk, kc, "left_semi"),
-                              "update_preimage", v))
-            parts.append(_tag(real_pre.join(mk, kc, "left_anti"),
-                              "delete", v))
-            parts.append(_tag(real_post.join(mk, kc, "left_semi"),
-                              "update_postimage", v))
-            parts.append(_tag(real_post.join(mk, kc, "left_anti"),
-                              "insert", v))
+            # Single-aggregation CDC pairing (optimization round 13,
+            # guide §2.3/§2.4). The former formulation —
+            # exceptAll×2 + key intersect + 4 semi/anti joins — cost
+            # ~8 exchanges of tiny data per upsert commit and
+            # re-scanned both sides up to 4×. The identical multiset
+            # falls out of ONE union + count-by-row aggregate:
+            # per distinct row value with pre-multiplicity a and
+            # post-multiplicity b, exceptAll leaves max(a-b,0) /
+            # max(b-a,0) copies (byte-identical survivor
+            # re-transmissions cancel), and a key pairs as
+            # update_pre/postimage exactly when it keeps survivors
+            # on BOTH sides (the old intersect) — a per-key window
+            # flag. 2 exchanges total, one scan per side; the row
+            # multiset is pinned unchanged by
+            # test_delta_changes_upsert_* and the CDF oracle gates.
+            from pyspark.sql.window import Window
+            cols = ins_df.columns
+            tagged = (del_df.select(*cols, F.lit(1).alias("__qs_pre__"))
+                      .unionAll(ins_df.select(
+                          *cols, F.lit(0).alias("__qs_pre__"))))
+            m = tagged.groupBy(*cols).agg(
+                F.sum("__qs_pre__").alias("__qs_npre__"),
+                F.sum(F.lit(1) - F.col("__qs_pre__"))
+                .alias("__qs_npost__"))
+            m = m.select(
+                *cols,
+                F.greatest(F.col("__qs_npre__") - F.col("__qs_npost__"),
+                           F.lit(0)).cast("int").alias("__qs_pre_n__"),
+                F.greatest(F.col("__qs_npost__") - F.col("__qs_npre__"),
+                           F.lit(0)).cast("int").alias("__qs_post_n__"))
+            m = m.where((F.col("__qs_pre_n__") > 0)
+                        | (F.col("__qs_post_n__") > 0))
+            w = Window.partitionBy(*kc)
+            m = (m.withColumn("__qs_has_pre__",
+                              F.max(F.col("__qs_pre_n__")).over(w) > 0)
+                 .withColumn("__qs_has_post__",
+                             F.max(F.col("__qs_post_n__")).over(w) > 0))
+            side_pre = F.col("__qs_pre_n__") > 0
+            ctype = (F.when(side_pre & F.col("__qs_has_post__"),
+                            "update_preimage")
+                     .when(side_pre, "delete")
+                     .when(F.col("__qs_has_pre__"), "update_postimage")
+                     .otherwise("insert"))
+            reps = (F.when(side_pre, F.col("__qs_pre_n__"))
+                    .otherwise(F.col("__qs_post_n__")))
+            parts.append(m.select(
+                *cols, ctype.alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+                F.explode(F.sequence(F.lit(1), reps))
+                .alias("__qs_rep__")).drop("__qs_rep__"))
         else:
             if ins_df is not None:
                 parts.append(_tag(ins_df, "insert", v))
@@ -4058,6 +4139,7 @@ def read_delta_changes(spark, table: str,
         for k, a in adds.items():
             pre_live[k] = a
     _flush_inserts()
+    _flush_cdc()
     if not parts:
         # typed empty frame: data schema + the two change columns —
         # built from the LOG's schema when it has one (a metadata-only
