@@ -243,7 +243,9 @@ def ann_index_topk(spark, path: str, probe, k: int,
         scan_info["fragments_read"] = 1
 
     dirs = [os.path.join(path, frags[fi]["dir"]) for fi in sorted(keep)]
-    # ONE job: brute-force top-k over the surviving fragments only
+    # ONE job: brute-force top-k over the surviving fragments only —
+    # reusing the probe rows collected above for the pruning bounds
     return brute_force_topk(spark.read.parquet(*dirs), probe, vec_column,
                             k, id_column=id_column,
-                            probe_id_column=probe_id_column)
+                            probe_id_column=probe_id_column,
+                            probes_collected=(p_ids, pmat))

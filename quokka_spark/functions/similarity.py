@@ -56,11 +56,17 @@ def _train_spherical_centroids(x: np.ndarray, n_cells: int,
 
 def brute_force_topk(df: DataFrame, probe, vec_column: str, k: int,
                      id_column: str = "vec_id",
-                     probe_id_column: str = "probe_id") -> DataFrame:
-    """Exact cosine top-k per probe. Deterministic tie-break on id."""
-    ids, pmat = _collect_probes(probe, vec_column,
-                                probe_id_column if probe_id_column in
-                                getattr(probe, "columns", []) else id_column)
+                     probe_id_column: str = "probe_id",
+                     probes_collected=None) -> DataFrame:
+    """Exact cosine top-k per probe. Deterministic tie-break on id.
+    ``probes_collected=(ids, matrix)`` skips the probe-collection job
+    when the caller already ran it (ann_index_topk collects probes for
+    its fragment-pruning bounds — re-collecting the same rows cost a
+    second driver job per call, optimization round 13)."""
+    ids, pmat = probes_collected if probes_collected is not None else \
+        _collect_probes(probe, vec_column,
+                        probe_id_column if probe_id_column in
+                        getattr(probe, "columns", []) else id_column)
     pnorm = pmat / np.linalg.norm(pmat, axis=1, keepdims=True)
     sc = df.sparkSession.sparkContext
     b_probes = sc.broadcast((ids, pnorm))
