@@ -402,12 +402,17 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     dt = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).cast("double").alias("__tf__"))
     dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
-    n_docs = df.count()
+    # N as a LAZY one-row broadcast (optimization round 13): df.count()
+    # here was an eager driver job re-scanning the corpus at every
+    # plan build; the broadcast cross join folds the same scalar into
+    # the single job. 1.0 + count is exact in double either way.
+    ndf = df.select(F.count(F.lit(1)).cast("double").alias("__nd__"))
     score = (F.col("__tf__")
-             * (F.log((1.0 + float(n_docs)) / (1.0 + F.col("__df__")))
+             * (F.log((1.0 + F.col("__nd__")) / (1.0 + F.col("__df__")))
                 + 1.0))
     w = Window.partitionBy(id_col).orderBy(F.desc("__s__"), F.asc("term"))
     return (dt.join(dfreq, "term")
+            .crossJoin(F.broadcast(ndf))
             .withColumn("__s__", score)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_n)
