@@ -222,14 +222,23 @@ def bpe_symbol_expr(text_col: str) -> "F.Column":
     every character wrapped as ``STX c ETX``, and a ``</w>``
     end-of-word symbol closing each word. Built from portable string
     ops (mark word breaks with a newline sentinel — impossible in the
-    collapsed text — wrap chars via one ``(?s)`` regexp, rewrite the
-    sentinel as the boundary symbol), so the IDENTICAL staging runs in
-    the DuckDB oracle. Empty documents stage to ''."""
+    collapsed text — wrap chars, rewrite the sentinel as the boundary
+    symbol), so the IDENTICAL staging runs in the DuckDB oracle.
+    Empty documents stage to ''.
+
+    Char wrap (optimization round 13): ``split(s, '')`` + array_join
+    instead of the original per-char ``(?s)(.)`` regexp substitution —
+    same output for every code point (Spark's split on the empty
+    pattern yields code-point pieces, surrogate pairs intact, no
+    trailing empty; pinned equal on the corpus and non-BMP edges) at
+    ~25% less stage time; the ORACLE keeps its regexp form, which the
+    hash-exact gate continues to compare end-to-end."""
     L, R = BPE_SYM_L, BPE_SYM_R
     norm = F.expr(
         f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))")
     marked = F.replace(norm, F.lit(" "), F.lit("\n"))
-    wrapped = F.regexp_replace(marked, "(?s)(.)", f"{L}$1{R}")
+    wrapped = F.concat(
+        F.lit(L), F.array_join(F.split(marked, ""), f"{R}{L}"), F.lit(R))
     closed = F.concat(
         F.replace(wrapped, F.lit(f"{L}\n{R}"), F.lit(f"{L}</w>{R}")),
         F.lit(f"{L}</w>{R}"))
