@@ -3135,17 +3135,50 @@ def read_iceberg_changes(spark, table_path: str,
                     & (F.col("__qs_pos__") == F.col("__qs_dpos__")),
                     "left_semi").drop("__qs_fp__", "__qs_pos__"))
                 if pair_kc:
+                    # Single-window CDC pairing (optimization round
+                    # 13, guide §2.3 — the Delta CDF shape): the
+                    # former key-intersect + 4 semi/anti joins
+                    # re-scanned both sides twice and shuffled 4 tiny
+                    # joins per upsert snapshot. A key pairs as
+                    # update exactly when it keeps rows on BOTH
+                    # sides, which is one window flag over the tagged
+                    # union — each row keeps its own multiplicity
+                    # (position deletes are exact; no exceptAll
+                    # cancellation exists on this path, unlike
+                    # Delta's). Rows with any NULL merge-key column
+                    # stay delete/insert: the old semi/anti
+                    # equi-joins were null-rejecting.
+                    from pyspark.sql.window import Window
                     kc = pair_kc
-                    mk = (scan.select(*kc)
-                          .intersect(ins_df.select(*kc)))
-                    parts.append(_tag(scan.join(mk, kc, "left_semi"),
-                                      "update_preimage", sid))
-                    parts.append(_tag(scan.join(mk, kc, "left_anti"),
-                                      "delete", sid))
-                    parts.append(_tag(ins_df.join(mk, kc, "left_semi"),
-                                      "update_postimage", sid))
-                    parts.append(_tag(ins_df.join(mk, kc, "left_anti"),
-                                      "insert", sid))
+                    cols = ins_df.columns
+                    pre_f = F.col("__qs_cdc_pre__")
+                    tagged = (scan.select(
+                        *cols, F.lit(True).alias("__qs_cdc_pre__"))
+                        .unionAll(ins_df.select(
+                            *cols,
+                            F.lit(False).alias("__qs_cdc_pre__"))))
+                    keyed = F.lit(True)
+                    for k in kc:
+                        keyed = keyed & F.col(k).isNotNull()
+                    w = Window.partitionBy(*kc)
+                    t = (tagged
+                         .withColumn(
+                             "__qs_has_pre__",
+                             F.max(pre_f.cast("int")).over(w) > 0)
+                         .withColumn(
+                             "__qs_has_post__",
+                             F.min(pre_f.cast("int")).over(w) < 1))
+                    ctype = (
+                        F.when(pre_f & keyed & F.col("__qs_has_post__"),
+                               "update_preimage")
+                        .when(pre_f, "delete")
+                        .when(keyed & F.col("__qs_has_pre__"),
+                              "update_postimage")
+                        .otherwise("insert"))
+                    parts.append(t.select(
+                        *cols, ctype.alias("_change_type"),
+                        F.lit(int(sid)).cast("long")
+                        .alias("_snapshot_id")))
                     pair_kc = None     # consumed
                 else:
                     parts.append(_tag(scan, "delete", sid))
