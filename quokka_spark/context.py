@@ -21,17 +21,12 @@ from .sqldialect import duckdb_to_spark_sql
 
 
 @functools.lru_cache(maxsize=256)
-@functools.lru_cache(maxsize=1024)
 def _nanos_timestamp_columns(path: str) -> list:
     """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection;
     local paths only — remote stores return [] and rely on the writer
     using µs, the common case). Cached per path: the footer schema is
     immutable for a given dataset version, and re-probing it on every
-    read_parquet call costs a filesystem round-trip per query. (The
-    docstring promised this cache since round 2; the decorator landed
-    in optimization round 13 — it was measurably absent: one footer
-    parse per _t() call, ~5 ms × every table reference × every bench
-    pass.)"""
+    read_parquet call costs a filesystem round-trip per query."""
     try:
         import pyarrow.dataset as pads
         import pyarrow as pa
