@@ -4090,6 +4090,11 @@ def read_delta_changes(spark, table: str,
             # flag. 2 exchanges total, one scan per side; the row
             # multiset is pinned unchanged by
             # test_delta_changes_upsert_* and the CDF oracle gates.
+            # Rows with any NULL merge-key column always stay
+            # delete/insert: the old semi/anti equi-joins were
+            # null-rejecting, while the window below groups NULL
+            # keys together — the __qs_keyed__ guard preserves the
+            # old (and MERGE-ON-semantics) behavior.
             from pyspark.sql.window import Window
             cols = ins_df.columns
             tagged = (del_df.select(*cols, F.lit(1).alias("__qs_pre__"))
@@ -4113,10 +4118,14 @@ def read_delta_changes(spark, table: str,
                  .withColumn("__qs_has_post__",
                              F.max(F.col("__qs_post_n__")).over(w) > 0))
             side_pre = F.col("__qs_pre_n__") > 0
-            ctype = (F.when(side_pre & F.col("__qs_has_post__"),
+            keyed = F.lit(True)
+            for k in kc:
+                keyed = keyed & F.col(k).isNotNull()
+            ctype = (F.when(side_pre & keyed & F.col("__qs_has_post__"),
                             "update_preimage")
                      .when(side_pre, "delete")
-                     .when(F.col("__qs_has_pre__"), "update_postimage")
+                     .when(keyed & F.col("__qs_has_pre__"),
+                           "update_postimage")
                      .otherwise("insert"))
             reps = (F.when(side_pre, F.col("__qs_pre_n__"))
                     .otherwise(F.col("__qs_post_n__")))

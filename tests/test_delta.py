@@ -1891,6 +1891,56 @@ def test_delta_changes_upsert_pairs_updates(spark, qc, tmp_path):
     assert qc.read_delta_changes(tbl, v2, v2).df.count() == 0
 
 
+def test_delta_changes_upsert_null_keys_stay_delete_insert(
+        spark, qc, tmp_path):
+    """Round 13 (optimization): the single-window CDC pairing must
+    keep NULL merge-key rows as delete/insert — the pre-round-13
+    semi/anti equi-joins were null-rejecting, and MERGE ON key never
+    matches NULL either, while an unguarded window partition groups
+    NULL keys together. A real writer cannot produce a
+    non-cancelling NULL-key preimage (survivors rewrite
+    byte-identical and cancel), so the MERGE commit is forged
+    directly from remove+add+commitInfo actions."""
+    import glob
+    import json
+    import time
+    from quokka_spark.sources.delta_local import (_add_action,
+                                                  _commit,
+                                                  _commit_parsed,
+                                                  _footer_stats,
+                                                  write_delta_local)
+    tbl = str(tmp_path / "nullkey")
+    write_delta_local(
+        spark.createDataFrame([(None, 20.0), (2, 20.0)],
+                              "id long, v double").coalesce(1), tbl)
+    adds0, _, _, _, _ = _commit_parsed(tbl, 0)
+    (apath,) = adds0
+    # the "rewritten" file: both rows changed, so NOTHING cancels and
+    # the NULL-key preimage survives into the pairing
+    bdir = str(tmp_path / "bstage")
+    spark.createDataFrame([(None, 99.0), (2, 99.0)],
+                          "id long, v double").coalesce(1) \
+        .write.parquet(bdir)
+    bdst = os.path.join(tbl, "part-b.parquet")
+    os.replace(glob.glob(os.path.join(bdir, "*.parquet"))[0], bdst)
+    ts = int(time.time() * 1000)
+    _commit(tbl, 1, [
+        {"commitInfo": {"timestamp": ts, "operation": "MERGE",
+                        "operationParameters":
+                        {"keyColumns": json.dumps(["id"])}}},
+        {"remove": {"path": apath, "deletionTimestamp": ts,
+                    "dataChange": True}},
+        _add_action(tbl, bdst, None, stats=_footer_stats(bdst)),
+    ])
+    ch = qc.read_delta_changes(tbl, 1, 1).df.collect()
+    rows = sorted(((r["_change_type"], r["id"], r["v"]) for r in ch),
+                  key=lambda t: (t[0], t[1] is None, t[1] or 0))
+    assert rows == [("delete", None, 20.0),
+                    ("insert", None, 99.0),
+                    ("update_postimage", 2, 99.0),
+                    ("update_preimage", 2, 20.0)]
+
+
 def test_delta_upsert_partitioned_table(spark, qc, tmp_path):
     """Round 9: MERGE-style upsert on a PARTITIONED table — the live
     scan rejoins log partition values for the key match, only files
