@@ -461,6 +461,28 @@ def calibration(spark, sf_dir: str | None = None) -> dict:
     return axes
 
 
+def _final_query_lines(timings: dict, max_bytes: int = 2000) -> list:
+    """Chunk ``timings`` into standalone ``{"final_queries": i, "n": N,
+    "queries": {...}}`` JSON lines of at most ``max_bytes`` bytes each.
+    Ordering puts tpch_* LAST so a tail-truncated capture keeps the
+    head-of-suite numbers that were cut in rounds 12 and 13; every line
+    parses on its own and carries its chunk index + total count so the
+    driver can detect a partial set."""
+    items = sorted(timings.items(),
+                   key=lambda kv: (kv[0].startswith("tpch_"), kv[0]))
+    chunks: list[dict] = [{}]
+    for k, v in items:
+        trial = dict(chunks[-1])
+        trial[k] = v
+        if len(json.dumps({"final_queries": 0, "n": 99, "queries": trial})) \
+                > max_bytes and chunks[-1]:
+            chunks.append({k: v})
+        else:
+            chunks[-1] = trial
+    return [json.dumps({"final_queries": i, "n": len(chunks), "queries": c})
+            for i, c in enumerate(chunks)]
+
+
 def main():
     from quokka_spark.session import build_spark
     import __spark_entry__ as entry_mod
@@ -554,6 +576,16 @@ def main():
         "steal_during_mean": steal_during.get("mean_pct"),
         "steal_during_max_window": steal_during.get("max_window_pct"),
     }))
+    # per-query truncation-proofing (round-14, verdict-13 item #2): the
+    # driver's tail capture cut the per-query timings in BOTH r12 and
+    # r13 artifacts, leaving PERF per_query/scaling empty. Re-emit the
+    # queries dict as small standalone JSON lines (<=2 KB each) AFTER
+    # the compact totals line; ordered least- to most-critical so the
+    # historically-truncated TPC-H head sits on the LAST line (nearest
+    # the surviving end of a tail capture). Additions-only: the full
+    # artifact line and the compact final line above are unchanged.
+    for line in _final_query_lines(timings):
+        print(line)
     spark.stop()
 
 

@@ -1018,21 +1018,35 @@ def read_hudi_incremental(spark, table: str, begin: str,
     # instants whose contribution is ONLY new base files scan as ONE
     # part with _commit_instant stamped per row from a broadcast
     # file→instant map.
+    #
+    # DEFERRED flush (optimization round 14 — the round-13 Delta CDF
+    # rule, guide §1/§2.4): a pending run only has to flush when the
+    # table state its scan was built under changes, and this timeline
+    # carries no such state transitions — log-bearing deltacommits
+    # build their own Avro-scan parts from their own files, and the
+    # final union is order-free. The base run therefore stays open
+    # across them and flushes ONCE after the loop; ``pending_at``
+    # pins the coalesced part back at the position of the run's first
+    # instant so the emitted part order (and with it the union's
+    # type-alignment target, parts[0]) is exactly what the
+    # per-interruption flush produced.
     pending: list = []            # [(ts, [files])]
+    pending_at = [0]              # parts-index where the run lands
 
     def _flush_bases():
         if not pending:
             return
         if len(pending) == 1:
             ts0, fs = pending[0]
-            parts.append(_tag(spark.read.parquet(*sorted(fs)),
+            parts.insert(pending_at[0],
+                         _tag(spark.read.parquet(*sorted(fs)),
                               ts0, F.lit("upsert")))
         else:
             from .delta_local import _plain_path_col, _stamp_provenance
             fs = sorted(f for _, fls in pending for f in fls)
             df = (spark.read.parquet(*fs)
                   .withColumn("__qs_bf__", _plain_path_col()))
-            parts.append(_stamp_provenance(
+            parts.insert(pending_at[0], _stamp_provenance(
                 spark, df,
                 [(os.path.abspath(f), ts0)
                  for ts0, fls in pending for f in fls],
@@ -1084,9 +1098,13 @@ def read_hudi_incremental(spark, table: str, begin: str,
                 "carry no _hoodie_commit_time meta column to filter "
                 "by")
         if new_bases and not logs:
+            # join the coalesced run (stays open across log-bearing
+            # instants — deferred-flush note above; the single flush
+            # happens after the loop)
+            if not pending:
+                pending_at[0] = len(parts)
             pending.append((ts, new_bases))
             continue
-        _flush_bases()
         if new_bases:
             df = spark.read.parquet(*sorted(new_bases))
             parts.append(_tag(df, ts, F.lit("upsert")))

@@ -2955,14 +2955,28 @@ def read_iceberg_changes(spark, table_path: str,
     # analysis grow super-linearly with the range length. Consecutive
     # insert-only snapshots scan as ONE part, _snapshot_id stamped
     # per row from a broadcast file→snapshot map.
+    #
+    # DEFERRED flush (optimization round 14 — the round-13 Delta CDF
+    # rule, guide §1/§2.4): a pending run only has to flush when the
+    # TABLE STATE its scan was built under changes, and here it never
+    # does — every ``_scan`` reads through the SAME latest table
+    # metadata (read schema + initial defaults resolved once at the
+    # top), and interrupting upsert/delete snapshots build their own
+    # parts from their own files, so the union is order-free. The run
+    # therefore stays open across interruptions and flushes ONCE at
+    # the end; ``pending_at`` pins the coalesced part back at the
+    # position of the run's first snapshot so the emitted part order
+    # stays chronological (a 100-snapshot mixed history builds 1
+    # insert part instead of one per inter-upsert run).
     pending: list = []            # [(sid, [paths])]
+    pending_at = [0]              # parts-index where the run lands
 
     def _flush_inserts():
         if not pending:
             return
         if len(pending) == 1:
             sid0, paths = pending[0]
-            parts.append(_tag(_scan(paths), "insert", sid0))
+            parts.insert(pending_at[0], _tag(_scan(paths), "insert", sid0))
         else:
             from .delta_local import _stamp_provenance
             all_paths = [p for _, ps in pending for p in ps]
@@ -2972,7 +2986,7 @@ def read_iceberg_changes(spark, table_path: str,
             # inner join would then silently drop the whole run
             df = _scan(all_paths).withColumn(
                 "__qs_if__", _norm_path(F.col("_metadata.file_path")))
-            parts.append(_stamp_provenance(
+            parts.insert(pending_at[0], _stamp_provenance(
                 spark, df,
                 [(_py_norm(_local(p)), int(sid0))
                  for sid0, ps in pending for p in ps],
@@ -3031,10 +3045,14 @@ def read_iceberg_changes(spark, table_path: str,
                 "resurrected rows have no change-stream shape")
         if added and not removed and not new_pos and not new_eq \
                 and not new_dvs:
-            # pure-insert snapshot: join the coalesced run
+            # pure-insert snapshot: join the coalesced run (the run
+            # stays open across interrupting snapshots — see the
+            # deferred-flush note above; no flush happens here or at
+            # any interruption, only once after the loop)
+            if not pending:
+                pending_at[0] = len(parts)
             pending.append((sid, added))
             continue
-        _flush_inserts()
         # UPDATE pairing (round 9): an upsert snapshot that declares
         # its MERGE keys in the summary (upsert_iceberg_local stamps
         # "merge-keys") pairs its position-delete rows with its new

@@ -345,6 +345,33 @@ def test_bench_steal_instruments(monkeypatch):
     assert out["trace_pct"][0] == 5.0 and 0.0 in out["trace_pct"]
 
 
+def test_bench_final_query_lines_contract():
+    """Round-14 truncation-proofing (verdict-13 item #2): the per-query
+    timings re-emit as standalone <=2 KB JSON lines that reassemble to
+    the full dict, with tpch_* on the LAST line (a tail capture keeps
+    the end of stdout, and rounds 12/13 both lost the TPC-H head)."""
+    import json
+
+    import bench
+
+    timings = {f"q{i:03d}_{'x' * 40}": i * 0.111 for i in range(120)}
+    timings.update({f"tpch_q{i}": 0.5 + i for i in range(1, 23)})
+    lines = bench._final_query_lines(timings)
+    assert len(lines) > 1                      # forced multi-chunk
+    merged: dict = {}
+    for ln in lines:
+        d = json.loads(ln)                     # every line standalone
+        assert len(ln) <= 2000
+        assert d["n"] == len(lines)
+        merged.update(d["queries"])
+    assert merged == timings
+    last = json.loads(lines[-1])["queries"]
+    assert any(k.startswith("tpch_") for k in last)
+    # empty timings still yields one parseable line
+    d = json.loads(bench._final_query_lines({})[0])
+    assert d["queries"] == {} and d["n"] == 1
+
+
 def test_line_dedup_global_first_occurrence(spark):
     """Newline corpus: a boilerplate line survives only at its globally
     first (doc_id, pos); blank lines always survive; a doc whose every

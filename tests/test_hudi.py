@@ -1177,6 +1177,59 @@ def test_hudi_incremental_reads(spark, qc, tmp_path):
         qc.read_hudi_incremental(tbl, t0)
 
 
+def test_hudi_incremental_deferred_flush_coalesces_across_logs(
+        spark, qc, tmp_path):
+    """Optimization round 14 (the round-13 Delta CDF deferred-flush
+    rule ported): a base-file run stays OPEN across an interrupting
+    log-bearing deltacommit — the log part scans its own Avro files,
+    nothing changes the base scan's state — so a mixed timeline
+    builds ONE provenance-stamped coalesced base scan instead of one
+    per inter-log run. Values and per-instant stamps are unchanged."""
+    from quokka_spark.sources import delta_local
+    from quokka_spark.sources.hudi_local import (upsert_hudi_mor_local,
+                                                 write_hudi_mor_local)
+
+    def df_range(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", "cast(id * 10 as double) as v").coalesce(1)
+
+    tbl = str(tmp_path / "mor")
+    t0 = write_hudi_mor_local(df_range(0, 3), tbl, recordkey="id")
+    t1 = write_hudi_mor_local(df_range(10, 12), tbl, mode="append",
+                              recordkey="id")
+    t2 = upsert_hudi_mor_local(spark, tbl, spark.createDataFrame(
+        [(1, 999.0)], "id long, v double"))        # log instant
+    t3 = write_hudi_mor_local(df_range(20, 22), tbl, mode="append",
+                              recordkey="id")
+    t4 = write_hudi_mor_local(df_range(30, 31), tbl, mode="append",
+                              recordkey="id")
+
+    calls = []
+    orig = delta_local._stamp_provenance
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    delta_local._stamp_provenance = counted
+    try:
+        ch = qc.read_hudi_incremental(tbl, t0).df
+        rows = sorted((r["_commit_instant"], r["_change_type"],
+                       r["id"], r["v"]) for r in ch.collect())
+    finally:
+        delta_local._stamp_provenance = orig
+    # ONE coalesced base run for {t0,t1,t3,t4} (pre-round-14: two
+    # runs, split at the t2 log instant — a second call)
+    assert len(calls) == 1
+    assert rows == sorted(
+        [(t0, "upsert", 0, 0.0), (t0, "upsert", 1, 10.0),
+         (t0, "upsert", 2, 20.0),
+         (t1, "upsert", 10, 100.0), (t1, "upsert", 11, 110.0),
+         (t2, "upsert", 1, 999.0),
+         (t3, "upsert", 20, 200.0), (t3, "upsert", 21, 210.0),
+         (t4, "upsert", 30, 300.0)])
+
+
 def test_hudi_incremental_cow_append_and_overwrite(spark, qc, tmp_path):
     """CoW incremental: appends are upserts; insert_overwrite
     surfaces the new rows; a rewritten live group (supersession

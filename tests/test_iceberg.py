@@ -2009,6 +2009,66 @@ def test_iceberg_changes_upsert_pairs_updates(spark, qc, tmp_path):
         [("insert", 7), ("update_postimage", 2), ("update_preimage", 2)]
 
 
+def test_iceberg_changes_deferred_flush_coalesces_across_upsert(
+        spark, qc, tmp_path):
+    """Optimization round 14 (the round-13 Delta CDF deferred-flush
+    rule ported): an insert run stays OPEN across an interrupting
+    upsert snapshot — every _scan reads through the same latest table
+    metadata, so nothing forces a flush — and the whole mixed history
+    builds ONE provenance-stamped coalesced scan instead of one per
+    inter-upsert run. Values and per-snapshot stamps are unchanged."""
+    from quokka_spark.sources import delta_local
+    from quokka_spark.sources.iceberg_local import (append_snapshot,
+                                                    upsert_iceberg_local)
+
+    def f(name, lo, hi):
+        p = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame([(i, float(i)) for i in range(lo, hi)],
+                              "id long, v double") \
+            .coalesce(1).toPandas().to_parquet(p)
+        return p
+
+    tbl = str(tmp_path / "tbl")
+    (s1,) = create_local_iceberg_table(
+        tbl, [[f("a", 0, 3)]],
+        schema_fields=[(1, "id", "long"), (2, "v", "double")])
+    s2 = append_snapshot(tbl, [f("b", 3, 6)])
+    s3 = upsert_iceberg_local(
+        spark, tbl,
+        spark.createDataFrame([(1, 111.0), (50, 50.0)],
+                              "id long, v double"), "id")
+    s4 = append_snapshot(tbl, [f("c", 6, 8)])
+    s5 = append_snapshot(tbl, [f("d", 8, 9)])
+
+    calls = []
+    orig = delta_local._stamp_provenance
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    delta_local._stamp_provenance = counted
+    try:
+        ch = qc.read_iceberg_changes(tbl, s1, s5).df
+        rows = sorted((r["_snapshot_id"], r["_change_type"], r["id"],
+                       r["v"]) for r in ch.collect())
+    finally:
+        delta_local._stamp_provenance = orig
+    # ONE coalesced run for {s1,s2,s4,s5} (pre-round-14: two runs,
+    # split at the s3 upsert — the second _stamp_provenance call)
+    assert len(calls) == 1
+    assert rows == sorted(
+        [(s1, "insert", 0, 0.0), (s1, "insert", 1, 1.0),
+         (s1, "insert", 2, 2.0),
+         (s2, "insert", 3, 3.0), (s2, "insert", 4, 4.0),
+         (s2, "insert", 5, 5.0),
+         (s3, "update_preimage", 1, 1.0),
+         (s3, "update_postimage", 1, 111.0),
+         (s3, "insert", 50, 50.0),
+         (s4, "insert", 6, 6.0), (s4, "insert", 7, 7.0),
+         (s5, "insert", 8, 8.0)])
+
+
 def test_iceberg_changes_review_regressions(spark, qc, tmp_path):
     """Round-8 review pins: (1) an equality delete of a row ALREADY
     position-deleted earlier emits no phantom delete row; (2)
