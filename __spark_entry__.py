@@ -2388,20 +2388,28 @@ def src_iceberg_cdf(spark, sf_dir):
     manifest diffs per snapshot, no changelog files): snapshot 1
     holds the even-orderkey half of lineitem, snapshot 2 appends the
     odd half, snapshot 3 position-deletes every l_orderkey % 7 = 0
-    row — the change stream from snapshot 2 carries exactly the
-    appends and the deleted rows, which the oracle reproduces from
-    plain lineitem."""
+    row, and snapshot 4 (round 14, verdict #5 — puts the rewritten
+    single-window update pairing on the driver's oracle path) is a
+    MERGE upsert keyed on (l_orderkey, l_linenumber) that bumps
+    l_quantity of the live l_orderkey % 10 = 1 rows and inserts
+    fresh re-keyed rows — the change stream from snapshot 2 carries
+    the appends, the deleted rows, and the paired
+    update_preimage/update_postimage + insert decomposition, which
+    the oracle reproduces from plain lineitem."""
     import os
     import tempfile
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from quokka_spark.sources.iceberg_local import (
-        add_position_deletes, create_local_iceberg_table)
+        add_position_deletes, create_local_iceberg_table,
+        upsert_iceberg_local)
     qc = _qc(spark)
     li = os.path.join(sf_dir, "lineitem.parquet")
+    # dir renamed r14 (fixture history changed): a stale cached _done
+    # dir from an earlier round must not serve the 3-snapshot shape
     base = os.path.join(tempfile.gettempdir(),
-                        "qs_icecdf_" + sf_dir.strip("/").replace("/", "_"))
+                        "qs_icecdf14_" + sf_dir.strip("/").replace("/", "_"))
     tbl = os.path.join(base, "tbl")
     done = os.path.join(base, "_done")
     if not os.path.exists(done):
@@ -2423,6 +2431,14 @@ def src_iceberg_cdf(spark, sf_dir):
             if pos:
                 deletes[f] = pos
         add_position_deletes(tbl, deletes)
+        src = spark.read.parquet(li)
+        changed = src.where(
+            "l_orderkey % 10 = 1 AND l_orderkey % 7 <> 0") \
+            .withColumn("l_quantity", F.col("l_quantity") + 50)
+        fresh = src.where("l_orderkey % 10 = 3") \
+            .withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+        upsert_iceberg_local(spark, tbl, changed.unionByName(fresh),
+                             ["l_orderkey", "l_linenumber"])
         with open(done, "w") as fh:
             fh.write("ok")
     ch = qc.read_iceberg_changes(tbl, 2).df
@@ -2440,6 +2456,15 @@ WITH ch AS (
   UNION ALL
   SELECT 3, 'delete', l_returnflag, l_quantity
   FROM lineitem WHERE l_orderkey % 7 = 0
+  UNION ALL
+  SELECT 4, 'update_preimage', l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 10 = 1 AND l_orderkey % 7 <> 0
+  UNION ALL
+  SELECT 4, 'update_postimage', l_returnflag, l_quantity + 50
+  FROM lineitem WHERE l_orderkey % 10 = 1 AND l_orderkey % 7 <> 0
+  UNION ALL
+  SELECT 4, 'insert', l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 10 = 3
 )
 SELECT CAST(_snapshot_id AS BIGINT) AS _snapshot_id,
        _change_type, l_returnflag,
@@ -2510,19 +2535,28 @@ def src_delta_cdf(spark, sf_dir):
     read_delta_changes — inserts from dataChange adds, deletes from
     DV deltas, all derived from the log): v0 bulk-loads the
     even-orderkey half of lineitem, v1 appends the odd half, v2
-    DV-deletes every l_orderkey % 7 = 0 row — the change stream from
-    version 1 must carry exactly the v1 inserts and the v2 deletes,
-    which the oracle reproduces from plain lineitem."""
+    DV-deletes every l_orderkey % 7 = 0 row, and v3 (round 14,
+    verdict #5 — puts the rewritten single-aggregation update
+    pairing on the driver's oracle path) is a MERGE upsert keyed on
+    (l_orderkey, l_linenumber) that bumps l_quantity of the live
+    l_orderkey % 10 = 1 rows and inserts fresh re-keyed rows — the
+    change stream from version 1 must carry the v1 inserts, the v2
+    deletes, and v3's paired update_preimage/update_postimage +
+    insert decomposition (byte-identical rewritten survivors
+    cancelled), which the oracle reproduces from plain lineitem."""
     import os
     import tempfile
 
     import pyarrow.parquet as pq
     from quokka_spark.sources.delta_local import (delete_rows_delta_local,
+                                                  upsert_delta_local,
                                                   write_delta_local)
     qc = _qc(spark)
     li = os.path.join(sf_dir, "lineitem.parquet")
+    # dir renamed r14 (fixture history changed): a stale cached _done
+    # dir from an earlier round must not serve the 3-commit shape
     base = os.path.join(tempfile.gettempdir(),
-                        "qs_deltacdf_" + sf_dir.strip("/").replace("/", "_"))
+                        "qs_deltacdf14_" + sf_dir.strip("/").replace("/", "_"))
     tbl = os.path.join(base, "tbl")
     done = os.path.join(base, "_done")
     if not os.path.exists(done):
@@ -2542,6 +2576,13 @@ def src_delta_cdf(spark, sf_dir):
             if pos:
                 deletes[f] = pos
         delete_rows_delta_local(tbl, deletes)
+        changed = src.where(
+            "l_orderkey % 10 = 1 AND l_orderkey % 7 <> 0") \
+            .withColumn("l_quantity", F.col("l_quantity") + 50)
+        fresh = src.where("l_orderkey % 10 = 3") \
+            .withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+        upsert_delta_local(spark, tbl, changed.unionByName(fresh),
+                           ["l_orderkey", "l_linenumber"])
         with open(done, "w") as fh:
             fh.write("ok")
     ch = qc.read_delta_changes(tbl, 1).df
@@ -2559,6 +2600,15 @@ WITH ch AS (
   UNION ALL
   SELECT 2, 'delete', l_returnflag, l_quantity
   FROM lineitem WHERE l_orderkey % 7 = 0
+  UNION ALL
+  SELECT 3, 'update_preimage', l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 10 = 1 AND l_orderkey % 7 <> 0
+  UNION ALL
+  SELECT 3, 'update_postimage', l_returnflag, l_quantity + 50
+  FROM lineitem WHERE l_orderkey % 10 = 1 AND l_orderkey % 7 <> 0
+  UNION ALL
+  SELECT 3, 'insert', l_returnflag, l_quantity
+  FROM lineitem WHERE l_orderkey % 10 = 3
 )
 SELECT CAST(_commit_version AS BIGINT) AS _commit_version,
        _change_type, l_returnflag,
