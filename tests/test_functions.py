@@ -372,6 +372,31 @@ def test_bench_final_query_lines_contract():
     assert d["queries"] == {} and d["n"] == 1
 
 
+def test_listing_threshold_scheme_aware(spark, monkeypatch):
+    """Round-14 (verdict-13 #7): driver-side listing is raised ONLY
+    for local input roots; remote schemes keep Spark's distributed-
+    listing default (32) without needing an override, and the env
+    knob stays as the explicit escape hatch."""
+    from quokka_spark import session as qs_session
+
+    monkeypatch.delenv("SPARK_GRAFT_PARALLEL_DISCOVERY_THRESHOLD",
+                       raising=False)
+    f = qs_session._listing_threshold
+    assert f("/root/testdata/sf0.1") == 8192          # bare local path
+    assert f("file:///warehouse/t") == 8192
+    assert f(None) == 8192                            # unset = local
+    assert f("C:/data/t") == 8192                     # drive letter
+    assert f("s3a://bucket/warehouse") == 32          # object store
+    assert f("hdfs://nn:9000/w") == 32
+    assert f("abfss://c@a.dfs.example.net/w") == 32
+    monkeypatch.setenv("SPARK_GRAFT_PARALLEL_DISCOVERY_THRESHOLD", "7")
+    assert f("s3a://bucket/w") == 7                   # escape hatch
+    # the tests' own session (local testdata root) carries the raised
+    # threshold — the measured cp500 listing win stays wired
+    assert spark.conf.get(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold") == "8192"
+
+
 def test_line_dedup_global_first_occurrence(spark):
     """Newline corpus: a boilerplate line survives only at its globally
     first (doc_id, pos); blank lines always survive; a doc whose every
