@@ -4112,15 +4112,27 @@ def read_delta_changes(spark, table: str,
                            F.lit(0)).cast("int").alias("__qs_post_n__"))
             m = m.where((F.col("__qs_pre_n__") > 0)
                         | (F.col("__qs_post_n__") > 0))
-            w = Window.partitionBy(*kc)
+            keyed = F.lit(True)
+            for k in kc:
+                keyed = keyed & F.col(k).isNotNull()
+            # NULL-key rows never read their window flags (the keyed
+            # guard routes them straight to delete/insert), so give
+            # them a per-row-value salt: a commit with many NULL or
+            # hot-NULL merge keys would otherwise funnel every such
+            # row through ONE window task (round-13 advisor finding,
+            # guide §2.5). Deterministic (xxhash64 of the row value,
+            # never rand — task retries must re-derive the same
+            # partition), and keyed rows keep salt 0 so their
+            # grouping is untouched.
+            m = m.withColumn(
+                "__qs_salt__",
+                F.when(keyed, F.lit(0)).otherwise(F.xxhash64(*cols)))
+            w = Window.partitionBy(*kc, "__qs_salt__")
             m = (m.withColumn("__qs_has_pre__",
                               F.max(F.col("__qs_pre_n__")).over(w) > 0)
                  .withColumn("__qs_has_post__",
                              F.max(F.col("__qs_post_n__")).over(w) > 0))
             side_pre = F.col("__qs_pre_n__") > 0
-            keyed = F.lit(True)
-            for k in kc:
-                keyed = keyed & F.col(k).isNotNull()
             ctype = (F.when(side_pre & keyed & F.col("__qs_has_post__"),
                             "update_preimage")
                      .when(side_pre, "delete")

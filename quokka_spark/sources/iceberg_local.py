@@ -3178,7 +3178,36 @@ def read_iceberg_changes(spark, table_path: str,
                     keyed = F.lit(True)
                     for k in kc:
                         keyed = keyed & F.col(k).isNotNull()
-                    w = Window.partitionBy(*kc)
+                    # NULL-key rows never read their window flags
+                    # (the keyed guard routes them to delete/insert)
+                    # — salt them per row value so a snapshot with
+                    # many NULL/hot-NULL merge keys does not funnel
+                    # through ONE window task (round-13 advisor
+                    # finding, guide §2.5); keyed rows keep salt 0.
+                    # Hash only hashable columns: xxhash64 rejects
+                    # MAP anywhere in a type (unlike the window's
+                    # own partitioning, which never sees non-key
+                    # payloads) — the delta twin is covered upstream
+                    # by its groupBy's identical constraint.
+                    def _hashable(dt):
+                        from pyspark.sql.types import (ArrayType,
+                                                       MapType,
+                                                       StructType)
+                        if isinstance(dt, MapType):
+                            return False
+                        if isinstance(dt, ArrayType):
+                            return _hashable(dt.elementType)
+                        if isinstance(dt, StructType):
+                            return all(_hashable(f.dataType)
+                                       for f in dt.fields)
+                        return True
+                    hcols = [f.name for f in ins_df.schema.fields
+                             if _hashable(f.dataType)] or list(kc)
+                    tagged = tagged.withColumn(
+                        "__qs_salt__",
+                        F.when(keyed, F.lit(0))
+                        .otherwise(F.xxhash64(*hcols)))
+                    w = Window.partitionBy(*kc, "__qs_salt__")
                     t = (tagged
                          .withColumn(
                              "__qs_has_pre__",
