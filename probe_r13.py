@@ -54,10 +54,15 @@ def main():
         reg = entry_mod.queries()
         for name in names:
             df = reg[name](spark, SF_DIR)
-            txt = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
+            # public explain API (round-13 advisor finding: the old
+            # PythonSQLUtils reach-through breaks under Spark Connect)
+            import contextlib
+            import io
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
             with open(f"plans/r13/{name}_{suffix}.txt", "w") as fh:
-                fh.write(txt)
+                fh.write(buf.getvalue())
             print(f"wrote plans/r13/{name}_{suffix}.txt")
     elif mode == "lake":
         mon = StealMonitor().start()

@@ -128,6 +128,46 @@ def main():
         t, e = lakehouse_suite(spark)
         print(json.dumps({"timings": t, "errors": e,
                           "steal": mon.stop()}))
+    elif mode == "streamprobe":
+        # verdict-13 item #3: decompose stream_* residual cost from
+        # the StreamingQueryProgress metrics (batch count, per-phase
+        # durationMs, state-operator commit/memory numbers)
+        import __spark_entry__ as em
+
+        def _drain_probed(df, mode="append", final_wm_batch=True):
+            import uuid
+            spk = df.sparkSession
+            name = "qs_sink_" + uuid.uuid4().hex[:10]
+            old = spk.conf.get("spark.sql.shuffle.partitions")
+            nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+            old_nodata = spk.conf.get(nodata_key)
+            spk.conf.set("spark.sql.shuffle.partitions",
+                         str(min(int(old), 8)))
+            if not final_wm_batch:
+                spk.conf.set(nodata_key, "false")
+            try:
+                q = (df.writeStream.format("memory").queryName(name)
+                     .outputMode(mode).trigger(availableNow=True)
+                     .start())
+            finally:
+                spk.conf.set("spark.sql.shuffle.partitions", old)
+                spk.conf.set(nodata_key, old_nodata)
+            q.awaitTermination(600)
+            for p in q.recentProgress:
+                keep = {k: p.get(k) for k in
+                        ("batchId", "numInputRows", "durationMs",
+                         "stateOperators")}
+                print(json.dumps(keep, default=str))
+            return spk.table(name)
+
+        em._drain = _drain_probed
+        for name in sys.argv[2:]:
+            t0 = time.perf_counter()
+            em.queries()[name](spark, SF_DIR) \
+                .write.format("noop").mode("overwrite").save()
+            print(json.dumps({"query": name,
+                              "wall": round(time.perf_counter() - t0,
+                                            3)}))
     elif mode == "mixed":
         import shutil
         import tempfile

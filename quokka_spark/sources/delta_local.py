@@ -1443,6 +1443,41 @@ def _meta_actions(schema_json: str | None,
     ]
 
 
+# Incremental fold memo for _txn_state (round 14, guide §1.2 step 1:
+# the sink handshake re-read the WHOLE trailing JSON history on every
+# probe — a 50-batch sink run paid O(n^2) commit-file reads, and a
+# long-running exactly-once sink pays its full history per batch).
+# Keyed by table path; an entry records (folded version, stat
+# signature of that version's commit file, txns). A later call folds
+# only the commits AFTER the cached version. Correct under: log
+# cleanup (txn state at v is immutable — removing older files cannot
+# change it), table recreation (the recorded signature of the folded
+# commit no longer matches -> full rebuild), gaps (the gapless tail
+# check runs on the incremental range too), and new checkpoints (the
+# cached state already covers their range).
+_txn_fold_cache: dict = {}
+
+
+def _commit_sig(table: str, v: int):
+    try:
+        st = os.stat(_version_path(table, v))
+    except OSError:
+        return None
+    return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+
+def _fold_txn_commit(table: str, v: int, txns: dict) -> None:
+    with open(_version_path(table, v)) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            x = json.loads(line).get("txn")
+            if x and x.get("appId") is not None:
+                txns[x["appId"]] = max(
+                    txns.get(x["appId"], -1), int(x["version"]))
+
+
 def _txn_state(table: str, version: int | None = None,
                _scan=None) -> dict:
     """{appId: highest committed txn version} at ``version`` — the
@@ -1463,6 +1498,26 @@ def _txn_state(table: str, version: int | None = None,
         return {}
     if version is None:
         version = versions[-1]
+    cached = _txn_fold_cache.get(table)
+    if cached is not None:
+        cv, sig, ctxns = cached
+        # Hit ONLY in the checkpoint-free, fully-gapless case — the
+        # one where the old path re-read the whole history and where
+        # its loud-gap / foreign-checkpoint contracts cannot be in
+        # play, so cached and uncached behavior are identical by
+        # construction (a gap, a checkpoint, or a recreated table all
+        # fall through to the full path).
+        if cv <= version and sig is not None \
+                and not any(c <= version for c in checkpoints) \
+                and commits[:version + 1] == list(range(version + 1)) \
+                and _commit_sig(table, cv) == sig:
+            txns = dict(ctxns)
+            for v in range(cv + 1, version + 1):
+                _fold_txn_commit(table, v, txns)
+            if version > cv:
+                _txn_fold_cache[table] = (
+                    version, _commit_sig(table, version), dict(txns))
+            return txns
     txns: dict = {}
     usable = [v for v in checkpoints if v <= version]
     base = -1
@@ -1534,16 +1589,14 @@ def _txn_state(table: str, version: int | None = None,
             f"cannot reconstruct txn state of {table} at {version}: "
             "JSON commits are missing and no checkpoint covers them")
     for v in tail:
-        with open(_version_path(table, v)) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                x = action.get("txn")
-                if x and x.get("appId") is not None:
-                    txns[x["appId"]] = max(
-                        txns.get(x["appId"], -1), int(x["version"]))
+        _fold_txn_commit(table, v, txns)
+    # memoize only when ``version``'s own commit file exists (its stat
+    # signature is the recreation guard); a checkpoint-only version
+    # has nothing to sign and stays uncached
+    sig = _commit_sig(table, version)
+    if sig is not None and (tail and tail[-1] == version
+                            or version in commits):
+        _txn_fold_cache[table] = (version, sig, dict(txns))
     return txns
 
 

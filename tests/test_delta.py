@@ -1088,6 +1088,46 @@ def test_last_txn_version_gap_is_loud_missing_table_is_none(
         last_txn_version(tbl, "a")
 
 
+def test_txn_state_incremental_fold(spark, tmp_path, monkeypatch):
+    """Round 14 (guide §1.2): the sink handshake's txn-state replay is
+    incremental — a second probe folds only the NEW commits instead of
+    re-reading the whole history — while the loud-gap contract and
+    table recreation stay exact (cache keyed on the folded commit's
+    stat signature; any gap or checkpoint bypasses the cache)."""
+    import shutil as _shutil
+
+    from quokka_spark.sources import delta_local as dl
+
+    tbl = str(tmp_path / "t")
+    for bid in range(10):
+        dl.write_delta_local(spark.range(2).coalesce(1), tbl,
+                             mode="append", txn=("s", bid))
+    assert dl.last_txn_version(tbl, "s") == 9
+
+    folds = []
+    orig = dl._fold_txn_commit
+
+    def counted(table, v, txns):
+        folds.append(v)
+        return orig(table, v, txns)
+
+    monkeypatch.setattr(dl, "_fold_txn_commit", counted)
+    dl.write_delta_local(spark.range(2).coalesce(1), tbl,
+                         mode="append", txn=("s", 10))
+    assert dl.last_txn_version(tbl, "s") == 10
+    assert folds == [10], folds          # only the new commit folded
+    # repeat probe with no new commits: zero folds
+    folds.clear()
+    assert dl.last_txn_version(tbl, "s") == 10
+    assert folds == []
+    # recreation at the same path invalidates (stat signature guard)
+    _shutil.rmtree(tbl)
+    for bid in range(3):
+        dl.write_delta_local(spark.range(2).coalesce(1), tbl,
+                             mode="append", txn=("s", bid + 100))
+    assert dl.last_txn_version(tbl, "s") == 102
+
+
 # ----------------------------------------------------------------------
 # columnMapping: id-mode reads + name-mode writes (round 8)
 # ----------------------------------------------------------------------

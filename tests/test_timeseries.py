@@ -49,27 +49,31 @@ def brute_force_funnel(pdf: pd.DataFrame, maxspan: float):
 
 def brute_force_funnel_full(pdf: pd.DataFrame, maxspan: float):
     """DFS over all intermediate candidates (not just greedy-b), one
-    match per start — matches operators/cep.py exactly."""
+    match per start — matches operators/cep.py exactly. NumPy-array
+    form of the original pandas-.iloc scan (round 14 suite-runtime
+    fix: the per-row .iloc inner loops, which also never stopped at
+    the horizon, burned ~80 s of driver CPU in the bucketed-equality
+    test); candidate order, horizon bound (ts <= start + maxspan) and
+    first-match tie-breaks are identical."""
     rows = pdf.sort_values("ts_sec").reset_index(drop=True)
+    ts = rows["ts_sec"].to_numpy()
+    et = rows["event_type"].to_numpy()
+    val = rows["value"].to_numpy()
     out = []
-    for i in range(len(rows)):
-        a = rows.iloc[i]
-        if a.event_type != "signup":
+    for i in range(len(ts)):
+        if et[i] != "signup":
             continue
-        horizon = a.ts_sec + maxspan
+        hi = int(np.searchsorted(ts, ts[i] + maxspan, side="right"))
         found = None
-        bs = [j for j in range(i + 1, len(rows))
-              if rows.iloc[j].ts_sec <= horizon
-              and rows.iloc[j].event_type == "click"
-              and rows.iloc[j].value > a.value]
-        for j in bs:
-            cs = [k for k in range(j + 1, len(rows))
-                  if rows.iloc[k].ts_sec <= horizon
-                  and rows.iloc[k].event_type == "purchase"]
-            if cs:
-                found = (a.ts_sec, rows.iloc[cs[0]].ts_sec)
-                break
-        if found:
+        for j in range(i + 1, hi):
+            if et[j] == "click" and val[j] > val[i]:
+                for k in range(j + 1, hi):
+                    if et[k] == "purchase":
+                        found = (ts[i], ts[k])
+                        break
+                if found is not None:
+                    break
+        if found is not None:
             out.append(found)
     return out
 
